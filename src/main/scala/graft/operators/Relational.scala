@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** Relational operator suite (SURVEY.md §2, q01–q20).
+  *
+  * Every query is a declarative DataFrame plan — filters and
+  * projections reach the parquet scan, joins shuffle on their keys (or
+  * broadcast for true dimension tables region/nation, ≤25 rows at ANY
+  * scale factor), aggregation is partial (map-side combine) by
+  * construction. Nothing collects to the driver.
+  */
+object Relational {
+
+  /** q01: TPC-H Q1-style pricing summary. Scan → filter → hash agg. */
+  def q01(t: Tables): DataFrame = {
+    val disc  = dec(lit(1.0) - col("l_discount"))
+    val tax   = dec(lit(1.0) + col("l_tax"))
+    val dp    = (dec(col("l_extendedprice")) * disc).cast(D4)
+    t.lineitem
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dp).cast("double").as("sum_disc_price"),
+        sum((dp * tax).cast(D6)).cast("double").as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q02: selective filter + narrow projection (pushdown showcase). */
+  def q02(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= ts("1997-06-01") && col("l_discount") > lit(0.05))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q03: TPC-H Q3 — 3-way join, agg, top-k by revenue. */
+  def q03(t: Tables): DataFrame =
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders.filter(col("o_orderdate") < ts("1996-03-15")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_shipdate") > ts("1996-03-15")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+
+  /** q04: TPC-H Q4 — EXISTS as a left-semi join (no row duplication,
+    * no distinct needed; the semi join short-circuits per key).
+    */
+  def q04(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderdate") >= ts("1996-07-01") && col("o_orderdate") < ts("1996-10-01"))
+      .join(t.lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q05: TPC-H Q5 — 6-table snowflake join. region/nation broadcast
+    * (bounded dims at any SF); fact-fact joins left to AQE.
+    */
+  def q05(t: Tables): DataFrame =
+    broadcast(t.region.filter(col("r_name") === "ASIA"))
+      .join(broadcast(t.nation), col("n_regionkey") === col("r_regionkey"))
+      .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+      .join(t.orders.filter(
+        col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier,
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** q06: TPC-H Q6 — selective scan agg; single stage, no shuffle
+    * beyond the final 1-row combine.
+    */
+  def q06(t: Tables): DataFrame =
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24.0))
+      .agg(
+        sum((dec(col("l_extendedprice")) * dec(col("l_discount"))).cast(D4))
+          .cast("double").as("promo_revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** q07: window top-N per group (row_number, deterministic tie-break). */
+  def q07(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q08: running revenue per supplier (rows-unbounded-preceding). */
+  def q08(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.lineitem
+      .filter(col("l_suppkey") < 10)
+      .withColumn("running_revenue",
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("running_revenue"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q09: multi-distinct aggregation. */
+  def q09(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q10: NOT EXISTS as a left-anti join (customers idle in a window). */
+  def q10(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(
+        col("o_orderdate") >= ts("1995-01-01") && col("o_orderdate") < ts("1995-04-01")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** q11: union all of two filtered branches + agg. */
+  def q11(t: Tables): DataFrame = {
+    val a = t.events.filter(col("value") > lit(150.0)).select(col("event_type"))
+    val b = t.events.filter(col("user_id") % 10 === 0).select(col("event_type"))
+    a.union(b)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q12: TPC-H Q12-style conditional aggregation (count-if buckets). */
+  def q12(t: Tables): DataFrame =
+    t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("l_quantity") > 25.0, 1)).as("high_qty_count"),
+        count(when(col("l_quantity") <= 25.0, 1)).as("low_qty_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q13: TPC-H Q13 — left outer join, count distribution incl. zero. */
+  def q13(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** q14: TPC-H Q14 — expression ratio over a join. */
+  def q14(t: Tables): DataFrame = {
+    val rev = revenue(col("l_extendedprice"), col("l_discount"))
+    t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-09-01") && col("l_shipdate") < ts("1996-10-01"))
+      .join(t.part, col("p_partkey") === col("l_partkey"))
+      .agg(
+        ((lit(100.0) * sum(when(col("p_type") === "PROMO", rev)).cast("double")) /
+          sum(rev).cast("double")).as("promo_ratio"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q15: TPC-H Q15 — top supplier by quarterly revenue; the
+    * revenue-equals-max comparison is on EXACT decimals, so the
+    * equality is deterministic (never compare computed doubles).
+    */
+  def q15(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    t.supplier
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** q16: ROLLUP aggregation over the region/nation hierarchy. */
+  def q16(t: Tables): DataFrame =
+    broadcast(t.region)
+      .join(broadcast(t.nation), col("n_regionkey") === col("r_regionkey"))
+      .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** q17: TPC-H Q17 — correlated scalar subquery (avg qty per part),
+    * decorrelated into an aggregate + re-join (what Catalyst would do;
+    * stated explicitly so the plan is one shuffle on partkey).
+    */
+  def q17(t: Tables): DataFrame = {
+    val partAvg = t.lineitem
+      .groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((lit(0.2) * (sum(dec(col("l_quantity"))).cast("double") / count(col("l_quantity"))))
+        .as("qty_threshold"))
+    t.lineitem
+      .join(t.part.filter(col("p_brand") === "Brand#23"), col("p_partkey") === col("l_partkey"))
+      .join(partAvg, col("ap_partkey") === col("l_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(
+        (decSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q18: TPC-H Q18 — HAVING on a grouped sum (exact decimal compare). */
+  def q18(t: Tables): DataFrame = {
+    val big = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    t.customer
+      .join(t.orders, col("o_custkey") === col("c_custkey"))
+      .join(big, col("l_orderkey") === col("o_orderkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** q19: TPC-H Q19 — OR-of-ANDs join predicate. */
+  def q19(t: Tables): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity") >= 10.0 && col("l_quantity") <= 20.0) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+        col("l_quantity") >= 20.0 && col("l_quantity") <= 30.0)
+    t.lineitem
+      .join(t.part, col("p_partkey") === col("l_partkey"))
+      .filter(cond)
+      .agg(
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q20: pivot orderstatus × order-year via conditional aggregation
+    * (portable form of PIVOT; one pass, map-side combinable).
+    */
+  def q20(t: Tables): DataFrame = {
+    def pivotRev(status: String) =
+      sum(when(col("o_orderstatus") === status, dec(col("o_totalprice")))
+        .otherwise(lit(0).cast(D2))).cast("double")
+    t.orders
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      .groupBy(col("yr"))
+      .agg(
+        pivotRev("F").as("rev_f"),
+        pivotRev("O").as("rev_o"),
+        pivotRev("P").as("rev_p"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("yr"))
+  }
+}
