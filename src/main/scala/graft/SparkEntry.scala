@@ -37,6 +37,23 @@ object SparkEntry {
     "q18_having"          -> q(Relational.q18),
     "q19_complex_pred"    -> q(Relational.q19),
     "q20_pivot"           -> q(Relational.q20),
+    "q21_asof_join"       -> q(Temporal.q21),
+    "q22_sessionize"      -> q(Temporal.q22),
+    "q23_time_bucket"     -> q(Temporal.q23),
+    "q24_json_extract"    -> q(JsonOps.q24),
+    "q25_json_roundtrip"  -> q(JsonOps.q25),
+    "q26_nested_explode"  -> q(JsonOps.q26),
+    "q27_text_stats"      -> q(TextAnalysis.q27),
+    "q28_lang_id"         -> q(TextAnalysis.q28),
+    "q29_fingerprint"     -> q(TextAnalysis.q29),
+    "q30_token_diversity" -> q(TextAnalysis.q30),
+    "q31_dedup_exact"     -> q(Dedup.q31),
+    "q32_jaccard_pairs"   -> q(Dedup.q32),
+    "q33_minhash_lsh"     -> q(Dedup.q33),
+    "q34_simhash"         -> q(Dedup.q34),
+    "q35_cosine_topk"     -> q(Similarity.q35),
+    "q36_ann_ivf"         -> q(Similarity.q36),
+    "q37_binary_meta"     -> q(Multimodal.q37),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -236,5 +253,156 @@ object SparkEntry {
          |  COUNT(*) AS n_orders
          |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
     },
+
+    "q21_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'click')
+        |  WHERE rn = 1),
+        |purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  c.click_id, c.ts AS click_ts, c.click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q22_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+         |         ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |y AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+         |  FROM x)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  ${dSum("value")} AS total_value
+         |FROM y GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q23_time_bucket" ->
+      s"""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket_start,
+         |  event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users, ${dSum("value")} AS total_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q24_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q25_json_roundtrip" ->
+      """WITH j AS (
+        |  SELECT to_json(struct_pack(user_id := user_id, event_type := event_type)) AS doc
+        |  FROM events)
+        |SELECT json_extract_string(doc, '$.event_type') AS et, COUNT(*) AS n,
+        |  COUNT(DISTINCT CAST(json_extract_string(doc, '$.user_id') AS BIGINT)) AS n_users
+        |FROM j GROUP BY et ORDER BY et""".stripMargin,
+
+    "q26_nested_explode" ->
+      """SELECT u.token, COUNT(*) AS n
+        |FROM documents, unnest(string_split(text, ' ')) AS u(token)
+        |WHERE u.token <> ''
+        |GROUP BY u.token
+        |ORDER BY n DESC, u.token
+        |LIMIT 50""".stripMargin,
+
+    // Shared DuckDB text fragments: norm/tokens mirror
+    // graft.functions.TextFunctions exactly (note DuckDB needs the 'g'
+    // regex flag; Spark regexp_replace is global by default).
+    "q27_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+        |  len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |      x -> x IN ('the', 'a', 'of', 'and'))) AS n_stopwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_lang_id" -> {
+      def occ(s: String) = s"(length(text) - length(regexp_replace(text, '$s', '', 'g')))"
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${occ("the")} >= 15 THEN 'en'
+         |       WHEN ${occ("data")} >= 12 THEN 'en-tech'
+         |       WHEN ${occ("merge")} >= 10 THEN 'sql'
+         |       ELSE 'und' END AS guess,
+         |  CAST(CASE WHEN (CASE WHEN ${occ("the")} >= 15 THEN 'en'
+         |       WHEN ${occ("data")} >= 12 THEN 'en-tech'
+         |       WHEN ${occ("merge")} >= 10 THEN 'sql'
+         |       ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_token_diversity" ->
+      """SELECT source, COUNT(DISTINCT u.token) AS n_distinct_tokens, COUNT(*) AS n_tokens
+        |FROM (SELECT source,
+        |        list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                    x -> x <> '') AS toks
+        |      FROM documents) d, unnest(d.toks) AS u(token)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q31_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+        |  COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+        |FROM corpus GROUP BY fingerprint ORDER BY keep_id""".stripMargin,
+
+    "q32_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                      x -> x <> '') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 3),
+        |blocked AS (SELECT doc_id, s, list_min(s) AS block FROM sh WHERE len(s) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q35_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    list_cosine_similarity(q.emb, c.emb) AS raw_score
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT qid, vid, raw_score,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY raw_score DESC, vid) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, vid, round(raw_score, 4) AS score
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q37_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5, source AS modality_hint
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

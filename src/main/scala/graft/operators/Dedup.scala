@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** Deduplication family (SURVEY.md §2 q31–q34).
+  *
+  * Scale design: exact dedup is a hash groupBy (one shuffle on the
+  * fingerprint — the 100 TB-safe primitive). Near-dup detection never
+  * materializes the O(n²) pair space: q32 blocks on the lexicographic
+  * min shingle (cheap LSH-lite, exact-oracle-checkable), q33 is real
+  * MinHash+LSH banding where pairs only form inside a (band, bucket),
+  * q34 is SimHash for constant-size fingerprints.
+  */
+object Dedup {
+
+  /** Corpus with simulated re-crawled shards (doc_id offset, same
+    * text) so exact dedup has true positives to collapse.
+    */
+  private def corpus(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    docs.unionByName(
+      t.documents.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** q31: exact dedup — group by normalized-text md5, keep min id. */
+  def q31(t: Tables): DataFrame =
+    corpus(t)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+
+  /** q32: n-gram Jaccard near-dup pairs with min-shingle blocking —
+    * candidate pairs only form within a block, so the join shuffles on
+    * the block key instead of exploding the full cross product.
+    */
+  def q32(t: Tables): DataFrame = {
+    val sh = t.documents
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("s"))
+      .filter(size(col("s")) > 0)
+      .withColumn("block", array_min(col("s")))
+    val a = sh.select(col("block"), col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = sh.select(col("block"), col("doc_id").as("doc_b"), col("s").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val union = size(col("sa")) + size(col("sb")) - inter
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q33: MinHash + LSH banding (64 perms, 16 bands × 4 rows).
+    * Candidates share at least one band bucket; each candidate pair is
+    * then verified with exact Jaccard. No SQL oracle (rows-only):
+    * the probabilistic banding isn't reasonably SQL-expressible, but
+    * DedupSpec checks its recall against q32's exact pairs.
+    */
+  def q33(t: Tables): DataFrame = {
+    val perms = 64; val bands = 16; val rows = perms / bands
+    val sh = t.documents
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("s"))
+      .filter(size(col("s")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("s"), perms))
+    val banded = sig.select(
+      col("doc_id"), col("s"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("s").as("sb"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val union = size(col("sa")) + size(col("sb")) - inter
+    cand
+      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q34: 60-bit SimHash fingerprints (rows-only; DedupSpec asserts
+    * hamming closeness of known near-dups).
+    */
+  def q34(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), simhash(tokens(col("text")), 60).as("simhash"))
+      .orderBy(col("doc_id"))
+}

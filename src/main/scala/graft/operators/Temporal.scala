@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** Event-time operators: as-of join, sessionization, time bucketing.
+  *
+  * The as-of join is the one operator here Spark lacks natively; the
+  * classic scalable formulation is used (SURVEY.md §2 q21): tag and
+  * UNION both sides, shuffle ONCE on the key, then carry the most
+  * recent right-side row forward with a last_value(ignoreNulls)
+  * running window. This is a single exchange + sort — no per-key
+  * collect, no broadcast of an unbounded side, no range cross-join —
+  * and it scales to arbitrarily large sides (each partition streams).
+  */
+object Temporal {
+
+  /** q21: for each purchase event, the most recent click of the same
+    * user at-or-before the purchase time (ASOF LEFT JOIN semantics).
+    */
+  def q21(t: Tables): DataFrame = {
+    val ev = t.events
+    // Dedupe the right side on (user_id, ts) — ASOF tie-winner must be
+    // deterministic; keep the max event_id.
+    val clickW = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(clickW)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+
+    // tag 0 = click (sorts before an equal-ts purchase → inclusive >=)
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        col("click_id"), col("ts").as("click_ts"), col("click_value"))
+      .unionByName(purchases
+        .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("timestamp").as("click_ts"),
+          lit(null).cast("double").as("click_value")))
+
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("m_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("m_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("m_click_id").as("click_id"), col("m_click_ts").as("click_ts"),
+        col("m_click_value").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q22: gap-based sessionization (30-min inactivity gap) via
+    * lag → break flag → running sum; one shuffle on user_id.
+    */
+  def q22(t: Tables): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val brk = when(prev.isNull, 1)
+      .when(unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
+      .otherwise(0)
+    t.events
+      .withColumn("brk", brk)
+      .withColumn("session_id", sum(col("brk")).over(wc).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        decSum(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q23: 5-minute tumbling event-time buckets (batch mirror of the
+    * streaming pipeline in graft.streaming). Bucketing is pure
+    * arithmetic on µs-since-epoch → map-side, then one agg shuffle.
+    */
+  def q23(t: Tables): DataFrame =
+    t.events
+      .withColumn("bucket_start",
+        expr("timestamp_micros((unix_micros(ts) div 300000000) * 300000000)"))
+      .groupBy(col("bucket_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        decSum(col("value")).as("total_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+}

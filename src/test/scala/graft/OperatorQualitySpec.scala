@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Semantic quality checks for the operators without a SQL oracle
+  * (SURVEY.md §2 rows-only entries): LSH recall, SimHash locality,
+  * IVF recall, multimodal pipeline shape.
+  */
+class OperatorQualitySpec extends AnyFunSuite {
+  import SparkTestSession._
+  private lazy val t = Tables(spark, sfDir)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q33 MinHash+LSH recovers the exact-Jaccard near-dup pairs") {
+    val exact = pairs(Dedup.q32(t))
+    val lsh   = pairs(Dedup.q33(t))
+    assert(exact.nonEmpty, "exact near-dup set should not be empty")
+    // LSH candidates are verified with exact Jaccard, so no false
+    // positives are possible; recall must be high for 0.5+ similarity
+    // with 16 bands x 4 rows.
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (exact=${exact.size}, lsh=${lsh.size})")
+    // LSH may legitimately find MORE pairs than q32 (whose min-shingle
+    // blocking can miss pairs LSH banding catches); every LSH pair is
+    // already exact-Jaccard-verified >= 0.5 inside q33 itself.
+  }
+
+  test("q34 SimHash: near-dup docs are hamming-close, random docs are not") {
+    val sims = Dedup.q34(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearDup = pairs(Dedup.q32(t)).head
+    val near = hamming(sims(nearDup._1), sims(nearDup._2))
+    val far  = hamming(sims(0L), sims(250L))
+    assert(near < 10, s"near-dup pair hamming=$near, expected < 10")
+    assert(far > near, s"random pair ($far) should be farther than near-dup ($near)")
+  }
+
+  test("q36 IVF ANN has nonzero recall vs q35 brute force") {
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.q35(t))
+    val ivf   = hits(Similarity.q36(t))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall $recall vs brute force too low")
+  }
+
+  test("cosine_sim expression matches manual double computation") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS c")
+    val got = df.collect().head.getDouble(0)
+    val expected = {
+      val (a, b) = (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(got === expected)
+  }
+
+  test("multimodal pipeline: schema, determinism, fixed feature shape") {
+    val feats = Multimodal.featurePipeline(spark, sfDir)
+    assert(feats.schema.fieldNames.toSeq == Seq("doc_id", "kind", "features"))
+    val rows = feats.limit(5).collect()
+    assert(rows.forall(_.getSeq[Float](2).length == 16))
+    // deterministic stub: same input -> same features
+    val again = Multimodal.featurePipeline(spark, sfDir).limit(5).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("multimodal frame sampling is distributed and chunk-shaped") {
+    val media  = Multimodal.attachMedia(t)
+    val frames = Multimodal.sampleFrames(media, everyN = 4)
+    val n = frames.count()
+    assert(n > 0)
+    val f = frames.filter(_.doc_id == 0L).collect()
+    assert(f.forall(_.frame_payload.length <= 64))
+    assert(f.map(_.frame_idx).distinct.length == f.length)
+  }
+
+  test("media kinds partition the corpus") {
+    val kinds = Multimodal.attachMedia(t).groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    assert(kinds.values.sum == t.documents.count())
+  }
+}
