@@ -1,0 +1,193 @@
+package graft.data
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Avro schema ⇄ Spark Catalyst type interop — the Spark-native
+  * re-expression of the reference's Avro ADT machinery:
+  *
+  *  - Anglerfish `data/avro/AvroData.scala` models Avro types as a
+  *    recursion-scheme pattern functor `AvroType[A]`; here the target
+  *    representation is Catalyst's `DataType` tree, and the fold over
+  *    `org.apache.avro.Schema` plays the role of its interop algebras
+  *    (`data/avro/AvroGenericInteropFAlgebras.scala`).
+  *  - Anglerfish `data/avro/AvroJsonFAlgebras.scala` decodes JSON
+  *    datums against an Avro schema with default-value support; here
+  *    that is `decodeJson` = codegen'd `from_json` against the
+  *    converted schema + `withDefaults` null-filling.
+  *  - Recursive schemas (supported by the reference through `Fix`)
+  *    cannot exist in a finite `StructType`; they are unrolled to
+  *    `maxRecursionDepth` and pruned below it, mirroring
+  *    spark-avro's `recursiveFieldMaxDepth` approach.
+  *
+  * All conversions are driver-side (schemas are small); the data path
+  * stays fully distributed and codegen'd.
+  */
+object AvroSchemas {
+
+  def parse(schemaJson: String): Schema =
+    new Schema.Parser().parse(schemaJson)
+
+  /** Avro schema → Spark DataType. Returns None when the type is
+    * entirely pruned (a recursive reference beyond maxDepth).
+    */
+  def toSparkType(schema: Schema, maxRecursionDepth: Int = 1): DataType =
+    convert(schema, Map.empty, maxRecursionDepth)
+      .getOrElse(throw new IllegalArgumentException(
+        s"schema ${schema.getFullName} prunes to nothing at depth $maxRecursionDepth"))
+
+  private def convert(
+      s: Schema, seen: Map[String, Int], maxDepth: Int): Option[DataType] = {
+    import Schema.Type._
+    s.getType match {
+      case NULL    => Some(NullType)
+      case BOOLEAN => Some(BooleanType)
+      case INT =>
+        Some(s.getLogicalType match {
+          case _: LogicalTypes.Date => DateType
+          case _                    => IntegerType
+        })
+      case LONG =>
+        Some(s.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros => TimestampType
+          case _ => LongType
+        })
+      case FLOAT  => Some(FloatType)
+      case DOUBLE => Some(DoubleType)
+      case STRING => Some(StringType)
+      case ENUM   => Some(StringType)
+      case BYTES | FIXED =>
+        Some(s.getLogicalType match {
+          case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+          case _                       => BinaryType
+        })
+      case ARRAY =>
+        convert(s.getElementType, seen, maxDepth).map(ArrayType(_, containsNull = nullable(s.getElementType)))
+      case MAP =>
+        convert(s.getValueType, seen, maxDepth).map(MapType(StringType, _, valueContainsNull = nullable(s.getValueType)))
+      case UNION =>
+        val branches = s.getTypes.asScala.filter(_.getType != NULL).toSeq
+        branches match {
+          case Seq() => Some(NullType)
+          case Seq(only) => convert(only, seen, maxDepth)
+          case many =>
+            // multi-branch union → one nullable struct field per branch
+            // (the same encoding spark-avro uses: member0, member1, ...)
+            val fields = many.zipWithIndex.flatMap { case (b, i) =>
+              convert(b, seen, maxDepth).map(dt => StructField(s"member$i", dt, nullable = true))
+            }
+            Some(StructType(fields))
+        }
+      case RECORD =>
+        val name = s.getFullName
+        val depth = seen.getOrElse(name, 0)
+        if (depth >= maxDepth) None // prune recursive tail
+        else {
+          val inner = seen.updated(name, depth + 1)
+          val fields = s.getFields.asScala.flatMap { f =>
+            convert(f.schema(), inner, maxDepth).map { dt =>
+              StructField(f.name(), dt, nullable = nullable(f.schema()) || f.hasDefaultValue)
+            }
+          }.toSeq
+          Some(StructType(fields))
+        }
+    }
+  }
+
+  private def nullable(s: Schema): Boolean =
+    s.getType == Schema.Type.NULL ||
+      (s.getType == Schema.Type.UNION && s.getTypes.asScala.exists(_.getType == Schema.Type.NULL))
+
+  /** Spark DataType → Avro schema (records named `name`, nullable
+    * fields become [null, T] unions) — the unfold direction.
+    */
+  def toAvroSchema(dt: DataType, name: String = "record", namespace: String = "graft"): Schema = {
+    import org.apache.avro.SchemaBuilder
+    def go(t: DataType, path: String): Schema = t match {
+      case NullType      => Schema.create(Schema.Type.NULL)
+      case BooleanType   => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case LongType      => Schema.create(Schema.Type.LONG)
+      case FloatType     => Schema.create(Schema.Type.FLOAT)
+      case DoubleType    => Schema.create(Schema.Type.DOUBLE)
+      case StringType    => Schema.create(Schema.Type.STRING)
+      case BinaryType    => Schema.create(Schema.Type.BYTES)
+      case DateType      =>
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale).addToSchema(Schema.create(Schema.Type.BYTES))
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(optional(go(et, path + "_item"), containsNull))
+      case MapType(StringType, vt, valueContainsNull) =>
+        Schema.createMap(optional(go(vt, path + "_value"), valueContainsNull))
+      case StructType(fields) =>
+        val rec = Schema.createRecord(path, null, namespace, false)
+        rec.setFields(fields.map { f =>
+          new Schema.Field(f.name, optional(go(f.dataType, path + "_" + f.name), f.nullable),
+            null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+        }.toList.asJava)
+        rec
+      case other =>
+        throw new IllegalArgumentException(s"unsupported Spark type for Avro: $other")
+    }
+    def optional(s: Schema, isNullable: Boolean): Schema =
+      if (isNullable && s.getType != Schema.Type.NULL)
+        Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+      else s
+    go(dt, name)
+  }
+
+  /** Scalar field defaults declared in the Avro record schema
+    * (top-level fields only; nested defaults can be applied by calling
+    * this on the nested record and targeting the nested column).
+    */
+  def fieldDefaults(schema: Schema): Map[String, Any] =
+    schema.getFields.asScala.flatMap { f =>
+      Option(f.defaultVal()).collect {
+        case v: java.lang.Integer => f.name() -> v.intValue()
+        case v: java.lang.Long    => f.name() -> v.longValue()
+        case v: java.lang.Double  => f.name() -> v.doubleValue()
+        case v: java.lang.Float   => f.name() -> v.floatValue()
+        case v: java.lang.Boolean => f.name() -> v.booleanValue()
+        case v: String            => f.name() -> v
+      }
+    }.toMap
+
+  /** Decode a column of JSON datums against an Avro schema: the
+    * schema-first JSON decoding of the reference, as one codegen'd
+    * `from_json` + default injection. `options` passes through to
+    * Spark's JSON parser (e.g. mode=FAILFAST for strict decode).
+    */
+  def decodeJson(
+      df: DataFrame, jsonCol: String, avroSchemaJson: String,
+      out: String = "decoded", maxRecursionDepth: Int = 1,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val schema = parse(avroSchemaJson)
+    val sparkType = toSparkType(schema, maxRecursionDepth)
+    val parsed = df.withColumn(out, from_json(col(jsonCol), sparkType, options))
+    withDefaults(parsed, out, schema)
+  }
+
+  /** Fill null struct fields with the schema's declared defaults. */
+  def withDefaults(df: DataFrame, structCol: String, schema: Schema): DataFrame = {
+    val defaults = fieldDefaults(schema)
+    if (defaults.isEmpty) df
+    else {
+      val st = df.schema(structCol).dataType.asInstanceOf[StructType]
+      val rebuilt: Seq[Column] = st.fields.toSeq.map { f =>
+        val c = col(s"$structCol.${f.name}")
+        defaults.get(f.name) match {
+          case Some(d) => coalesce(c, lit(d).cast(f.dataType)).as(f.name)
+          case None    => c.as(f.name)
+        }
+      }
+      df.withColumn(structCol, struct(rebuilt: _*))
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines mirroring the batch semantics of
+  * q22 (sessionize) and q23 (time buckets) — SURVEY.md §2 streaming
+  * rows. Same engine, same plans: a stream is just an unbounded
+  * DataFrame here, so the windowed agg below compiles to the same
+  * tungsten agg as the batch query plus watermark-driven state
+  * eviction (bounded state at 100 TB/day ingest).
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Per-user streaming state (public: encoder codegen constructs it).
+    * Timestamps kept as full-precision values — `getTime` is
+    * millisecond-truncated and would drift from the batch µs results.
+    */
+  final case class OpenSession(
+      start: Timestamp, end: Timestamp, n: Long, total: Double)
+
+  /** Microseconds since epoch incl. the sub-millisecond fraction. */
+  private def micros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Tumbling 5-minute event-time window aggregation with a 10-minute
+    * watermark (same bucket alignment as batch q23: epoch-based).
+    */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization (30-minute inactivity) as custom
+    * streaming state: one `OpenSession` per user in the state store,
+    * closed sessions emitted as soon as the gap is observed. State is
+    * O(active users) — the streaming analogue of batch q22.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var open = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          for (e <- sorted) {
+            open match {
+              case Some(s) if micros(e.ts) - micros(s.end) <= gapUs =>
+                open = Some(s.copy(end = e.ts, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += SessionOut(userId, s.start, s.end, s.n, s.total)
+                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+              case None =>
+                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.AvroSchemas
+
+/** Spark-native re-expression of the reference's Avro capabilities:
+  * schema ADT ⇄ runtime representation folds and schema-first JSON
+  * decoding with defaults (Anglerfish data/avro sources).
+  */
+class AvroSchemasSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val nestedSchema =
+    """{
+      |  "type": "record", "name": "Doc", "namespace": "t",
+      |  "fields": [
+      |    {"name": "id", "type": "long"},
+      |    {"name": "title", "type": ["null", "string"], "default": null},
+      |    {"name": "score", "type": "double", "default": 1.5},
+      |    {"name": "tags", "type": {"type": "array", "items": "string"}},
+      |    {"name": "attrs", "type": {"type": "map", "values": "int"}},
+      |    {"name": "kind", "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B"]}},
+      |    {"name": "created", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+      |    {"name": "price", "type": {"type": "bytes", "logicalType": "decimal", "precision": 18, "scale": 2}},
+      |    {"name": "inner", "type": {"type": "record", "name": "Inner",
+      |      "fields": [{"name": "x", "type": "int"}]}}
+      |  ]
+      |}""".stripMargin
+
+  test("Avro record schema folds to the expected StructType") {
+    val st = AvroSchemas.toSparkType(AvroSchemas.parse(nestedSchema)).asInstanceOf[StructType]
+    assert(st("id").dataType == LongType && !st("id").nullable)
+    assert(st("title").dataType == StringType && st("title").nullable)
+    assert(st("score").nullable, "field with default must be nullable for injection")
+    assert(st("tags").dataType == ArrayType(StringType, containsNull = false))
+    assert(st("attrs").dataType == MapType(StringType, IntegerType, valueContainsNull = false))
+    assert(st("kind").dataType == StringType)
+    assert(st("created").dataType == TimestampType)
+    assert(st("price").dataType == DecimalType(18, 2))
+    assert(st("inner").dataType.asInstanceOf[StructType]("x").dataType == IntegerType)
+  }
+
+  test("multi-branch union becomes memberN struct") {
+    val s = """{"type": "record", "name": "U", "fields": [
+              |  {"name": "v", "type": ["null", "string", "long"]}]}""".stripMargin
+    val st = AvroSchemas.toSparkType(AvroSchemas.parse(s)).asInstanceOf[StructType]
+    val u = st("v").dataType.asInstanceOf[StructType]
+    assert(u.fieldNames.toSeq == Seq("member0", "member1"))
+    assert(u("member0").dataType == StringType && u("member1").dataType == LongType)
+  }
+
+  test("recursive schema unrolls to maxDepth then prunes") {
+    val s = """{"type": "record", "name": "Node", "fields": [
+              |  {"name": "value", "type": "int"},
+              |  {"name": "next", "type": ["null", "Node"], "default": null}]}""".stripMargin
+    val d1 = AvroSchemas.toSparkType(AvroSchemas.parse(s), maxRecursionDepth = 1).asInstanceOf[StructType]
+    assert(d1.fieldNames.toSeq == Seq("value"), "depth-1 prunes the recursive field")
+    val d2 = AvroSchemas.toSparkType(AvroSchemas.parse(s), maxRecursionDepth = 2).asInstanceOf[StructType]
+    val inner = d2("next").dataType.asInstanceOf[StructType]
+    assert(inner.fieldNames.toSeq == Seq("value"), "depth-2 keeps one unrolled level")
+  }
+
+  test("StructType -> Avro schema -> StructType roundtrip") {
+    val st = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = true),
+      StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("d", StructType(Seq(StructField("x", IntegerType, nullable = true))), nullable = false),
+      StructField("e", TimestampType, nullable = false),
+      StructField("f", DecimalType(12, 3), nullable = false)))
+    val avro = AvroSchemas.toAvroSchema(st, "Round")
+    val back = AvroSchemas.toSparkType(avro).asInstanceOf[StructType]
+    assert(back("a").dataType == LongType)
+    assert(back("b").dataType == StringType && back("b").nullable)
+    assert(back("c").dataType == ArrayType(DoubleType, containsNull = false))
+    assert(back("d").dataType.asInstanceOf[StructType]("x").dataType == IntegerType)
+    assert(back("e").dataType == TimestampType)
+    assert(back("f").dataType == DecimalType(12, 3))
+  }
+
+  test("schema-first JSON decode applies declared defaults") {
+    import spark.implicits._
+    val schema =
+      """{"type": "record", "name": "E", "fields": [
+        |  {"name": "k", "type": "long"},
+        |  {"name": "v", "type": ["null", "double"], "default": null},
+        |  {"name": "w", "type": "double", "default": 2.5}]}""".stripMargin
+    val df = Seq(
+      """{"k": 1, "v": 0.5, "w": 9.0}""",
+      """{"k": 2}""").toDF("j")
+    val out = AvroSchemas.decodeJson(df, "j", schema).select("decoded.*").orderBy("k")
+    val rows = out.collect()
+    assert(rows(0).getLong(0) == 1 && rows(0).getDouble(2) == 9.0)
+    assert(rows(1).getLong(0) == 2 && rows(1).isNullAt(1), "null union default stays null")
+    assert(rows(1).getDouble(2) == 2.5, "missing field takes declared default")
+  }
+
+  test("decode of real events.props JSON against an Avro schema") {
+    val t = graft.sources.Tables(spark, sfDir)
+    val schema = """{"type": "record", "name": "P", "fields": [
+                   |  {"name": "k", "type": "int"},
+                   |  {"name": "missing", "type": "int", "default": -1}]}""".stripMargin
+    val out = AvroSchemas.decodeJson(t.events, "props", schema)
+      .select(col("decoded.k").as("k"), col("decoded.missing").as("m"))
+    assert(out.filter(col("k").isNull).count() == 0)
+    assert(out.filter(col("m") === -1).count() == out.count(), "default fills all rows")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+import graft.sources.Tables
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Streaming ≡ batch equivalence (SURVEY.md §2 streaming rows): the
+  * same events through the streaming pipelines must reproduce the
+  * batch q22/q23 results.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def eventSeq: Seq[Event] = {
+    val t = Tables(spark, sfDir)
+    t.events.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming window agg reproduces batch q23 buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(eventSeq)
+    val query = Streams.windowAgg(stream.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select(col("bucket_start"), col("event_type"), col("n_events"))
+      val batch = Temporal.q23(Tables(spark, sfDir))
+        .select(col("bucket_start"), col("event_type"), col("n_events"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "streaming buckets differ from batch q23")
+    } finally query.stop()
+  }
+
+  test("streaming sessionize emits exactly the closed batch q22 sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(eventSeq)
+    val query = Streams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .select(col("user_id"), col("session_start"), col("n_events"))
+      // batch sessions minus each user's final (still-open) session
+      val batch = Temporal.q22(Tables(spark, sfDir))
+      val lastSession = batch.groupBy(col("user_id").as("u"))
+        .agg(max(col("session_id")).as("last_sid"))
+      val closedBatch = batch
+        .join(lastSession, col("user_id") === col("u") && col("session_id") === col("last_sid"), "left_anti")
+        .select(col("user_id"), col("session_start"), col("n_events"))
+      assert(streamed.count() == closedBatch.count())
+      assert(streamed.except(closedBatch).isEmpty && closedBatch.except(streamed).isEmpty,
+        "streaming sessions differ from closed batch q22 sessions")
+    } finally query.stop()
+  }
+}
