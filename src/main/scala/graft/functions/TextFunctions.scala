@@ -22,13 +22,24 @@ object TextFunctions {
     filter(split(normText(c), " "), x => x =!= "")
 
   /** Distinct word 3-gram shingles (empty array when < 3 tokens).
-    * Guarded because Spark's sequence(1, 0) counts DOWN, not empty.
+    *
+    * Built with zip_with over three shifted slices instead of
+    * element_at(toks, i) inside a transform lambda: an expression
+    * referenced inside a lambda body is RE-EVALUATED per element, so
+    * the indexed form re-runs the whole tokenizer O(n) times per row
+    * (measured 25s for 5000 docs at sf0.1; this form is ~100ms).
+    * Callers should still pass an attribute (projected column), not an
+    * inline tokenizer expression.
     */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+  def shingles3(toks: Column): Column = {
+    val len = greatest(size(toks) - 2, lit(0))
+    val a = slice(toks, lit(1), len)
+    val b = slice(toks, lit(2), len)
+    val c = slice(toks, lit(3), len)
+    array_distinct(
+      zip_with(zip_with(a, b, (x, y) => concat(x, lit(" "), y)), c,
+        (xy, z) => concat(xy, lit(" "), z)))
+  }
 
   /** Portable seeded 60-bit hash (same value as the DuckDB expression
     * CAST('0x'||substr(md5(seed||':'||s),1,15) AS BIGINT)).
@@ -37,26 +48,41 @@ object TextFunctions {
     conv(substring(md5(concat(seed.cast("string"), lit(":"), s).cast("binary")), 1, 15), 16, 10)
       .cast("long")
 
-  /** MinHash signature: for each of `perms` seeded hash functions, the
-    * minimum hash over the shingle set. One pass over the array per
-    * perm, all inside whole-stage codegen.
+  /** Per-shingle hash pair for the affine MinHash family
+    * g_i(x) = h1(x) + i*h2(x). 28-bit hashes keep i*h2 far from long
+    * overflow (ANSI mode would throw) while staying collision-safe for
+    * realistic shingle-set sizes. Project THIS as a column, then pass
+    * the attribute to [[minhashSignature]] — md5 runs twice per
+    * shingle total, instead of `perms` times.
     */
-  def minhashSignature(sh: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)), i =>
-      array_min(transform(sh, s => seededHash(i, s))))
+  def minhashPairs(sh: Column): Column =
+    transform(sh, s => struct(
+      conv(substring(md5(concat(lit("a:"), s).cast("binary")), 1, 7), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(concat(lit("b:"), s).cast("binary")), 1, 7), 16, 10)
+        .cast("long").as("h2")))
 
-  /** SimHash over the token multiset using the low `bits` bits of the
-    * portable hash: bit j is set when the +1/-1 vote of all token
-    * hashes at bit j is positive. The per-bit loop is unrolled at plan
-    * build time (shiftright needs a literal shift), yielding one wide
-    * codegen'd expression.
+  /** MinHash signature from projected hash pairs: element i is
+    * min over shingles of h1 + i*h2.
     */
-  def simhash(toks: Column, bits: Int): Column = {
-    val hashes = transform(toks, s => seededHash(lit(0), s))
+  def minhashSignature(hashPairs: Column, perms: Int): Column =
+    transform(sequence(lit(0), lit(perms - 1)), i =>
+      array_min(transform(hashPairs, p => p("h1") + i * p("h2"))))
+
+  /** Token hash array for [[simhash]] — project this as a column. */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, s => seededHash(lit(0), s))
+
+  /** SimHash from a PROJECTED token-hash attribute: bit j is set when
+    * the +1/-1 vote of all token hashes at bit j is positive. The
+    * per-bit loop is unrolled at plan build time (shiftright needs a
+    * literal shift); passing an attribute keeps each of the `bits`
+    * aggregate scans an O(n) read instead of re-hashing every token.
+    */
+  def simhash(hashes: Column, bits: Int): Column =
     (0 until bits).map { j =>
       when(aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1)) > 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 }

@@ -41,8 +41,11 @@ object Dedup {
     * the block key instead of exploding the full cross product.
     */
   def q32(t: Tables): DataFrame = {
+    // project tokens → shingles as attributes: expressions referenced
+    // inside HOF lambdas re-evaluate per element, attributes don't.
     val sh = t.documents
-      .select(col("doc_id"), shingles3(tokens(col("text"))).as("s"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles3(col("toks")).as("s"))
       .filter(size(col("s")) > 0)
       .withColumn("block", array_min(col("s")))
     val a = sh.select(col("block"), col("doc_id").as("doc_a"), col("s").as("sa"))
@@ -66,9 +69,13 @@ object Dedup {
   def q33(t: Tables): DataFrame = {
     val perms = 64; val bands = 16; val rows = perms / bands
     val sh = t.documents
-      .select(col("doc_id"), shingles3(tokens(col("text"))).as("s"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles3(col("toks")).as("s"))
       .filter(size(col("s")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("s"), perms))
+    val sig = sh
+      .withColumn("hp", minhashPairs(col("s")))
+      .withColumn("sig", minhashSignature(col("hp"), perms))
+      .drop("hp")
     val banded = sig.select(
       col("doc_id"), col("s"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -94,6 +101,8 @@ object Dedup {
     */
   def q34(t: Tables): DataFrame =
     t.documents
-      .select(col("doc_id"), simhash(tokens(col("text")), 60).as("simhash"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("hashes", tokenHashes(col("toks")))
+      .select(col("doc_id"), simhash(col("hashes"), 60).as("simhash"))
       .orderBy(col("doc_id"))
 }
