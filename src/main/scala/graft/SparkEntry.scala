@@ -54,6 +54,10 @@ object SparkEntry {
     "q35_cosine_topk"     -> q(Similarity.q35),
     "q36_ann_ivf"         -> q(Similarity.q36),
     "q37_binary_meta"     -> q(Multimodal.q37),
+    "q38_percentiles"     -> q(Extended.q38),
+    "q39_range_join"      -> q(Extended.q39),
+    "q40_quality_score"   -> q(Extended.q40),
+    "q41_nation_volume"   -> q(Extended.q41),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -404,5 +408,54 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, source AS modality_hint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_percentiles" ->
+      """SELECT o_orderstatus,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q39_range_join" ->
+      """SELECT p.event_id AS p_id, e.event_id AS e_id,
+        |  epoch_us(p.ts) - epoch_us(e.ts) AS diff_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 300000000
+        |ORDER BY p_id, e_id""".stripMargin,
+
+    "q40_quality_score" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |         x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(0.5 * least(n_chars / 500.0, 1.0)
+        |      + 0.3 * (1.0 - n_punct / n_chars)
+        |      + 0.2 * (n_stop / n_tokens), 6) AS quality_score,
+        |  CAST(CASE WHEN 0.5 * least(n_chars / 500.0, 1.0)
+        |      + 0.3 * (1.0 - n_punct / n_chars)
+        |      + 0.2 * (n_stop / n_tokens) >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q41_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS yr,
+         |  CAST(SUM($REV) AS DOUBLE) AS volume, COUNT(*) AS n_rows
+         |FROM lineitem
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+         |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+         |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** Extended operator coverage (SURVEY.md §2 q38–q41): exact
+  * percentiles, bucketed range join, text quality scoring, and a
+  * double-dimension (self-aliased) join.
+  */
+object Extended {
+
+  /** q38: exact interpolated percentiles per group. */
+  def q38(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** q39: time-proximity range join (purchase↔error within ±300s,
+    * no equi key). The scalable plan: bucket time into the tolerance
+    * width, explode one side into its 3 candidate buckets, equi-join
+    * on the bucket (hash join, shuffle on bucket), then refine with
+    * the exact predicate — instead of the O(n·m) nested-loop join a
+    * naive inequality join degenerates to. Each qualifying pair
+    * matches in exactly one bucket, so no dedup pass is needed.
+    */
+  def q39(t: Tables): DataFrame = {
+    val tolUs = 300000000L // 300s
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withColumn("b", expr(s"unix_micros(p_ts) div $tolUs"))
+    val e = t.events.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+      .withColumn("b", explode(array(
+        expr(s"unix_micros(e_ts) div $tolUs") - 1,
+        expr(s"unix_micros(e_ts) div $tolUs"),
+        expr(s"unix_micros(e_ts) div $tolUs") + 1)))
+    p.join(e, Seq("b"))
+      .withColumn("diff_us", expr("unix_micros(p_ts) - unix_micros(e_ts)"))
+      .filter(abs(col("diff_us")) <= tolUs)
+      .select(col("p_id"), col("e_id"), col("diff_us"))
+      .orderBy(col("p_id"), col("e_id"))
+  }
+
+  /** q40: composite document quality score (training-data filtering):
+    * length saturation + punctuation penalty + stopword evidence, all
+    * from integer counts → one deterministic double expression.
+    */
+  def q40(t: Tables): DataFrame = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(toks).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val nStop = size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double")
+    val score =
+      lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / nChars) +
+      lit(0.2) * (nStop / nTokens)
+    t.documents
+      .select(col("doc_id"), round(score, 6).as("quality_score"),
+        when(score >= 0.5, 1).otherwise(0).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q41: TPC-H Q7-style nation-pair volume — the nation dim joined
+    * twice under different roles (supplier vs customer side).
+    */
+  def q41(t: Tables): DataFrame = {
+    val n1 = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(t.supplier, col("s_suppkey") === col("l_suppkey"))
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nk") === col("s_nationkey"))
+      .join(broadcast(n2), col("c_nk") === col("c_nationkey"))
+      .filter(
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+      .withColumn("yr", year(col("l_shipdate")).cast("int"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("volume"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+}

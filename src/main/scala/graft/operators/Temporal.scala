@@ -24,17 +24,17 @@ object Temporal {
     */
   def q21(t: Tables): DataFrame = {
     val ev = t.events
-    // Dedupe the right side on (user_id, ts) — ASOF tie-winner must be
-    // deterministic; keep the max event_id.
-    val clickW = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
     val clicks = ev.filter(col("event_type") === "click")
-      .withColumn("rn", row_number().over(clickW)).filter(col("rn") === 1)
       .select(col("user_id"), col("ts"),
         col("event_id").as("click_id"), col("value").as("click_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
 
-    // tag 0 = click (sorts before an equal-ts purchase → inclusive >=)
+    // tag 0 = click (sorts before an equal-ts purchase → inclusive >=).
+    // No pre-dedup pass: ordering equal-ts clicks by click_id makes
+    // last_value(ignoreNulls) pick the max-event_id click — identical
+    // to deduping on (user_id, ts) first, but ONE shuffle instead of
+    // two (the dedup window needed its own (user_id, ts) exchange).
     val tagged = clicks
       .select(col("user_id"), col("ts"), lit(0).as("tag"),
         lit(null).cast("long").as("event_id"),
@@ -46,7 +46,7 @@ object Temporal {
           lit(null).cast("double").as("click_value")))
 
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("tag"))
+      .orderBy(col("ts"), col("tag"), col("click_id").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("m_click_id", last(col("click_id"), ignoreNulls = true).over(w))
