@@ -68,7 +68,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * can use `GraftExtensions` with spark.sql.extensions instead.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => {
         if (exprs.length != 2)
@@ -76,6 +76,24 @@ object GraftFunctions {
             s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_sketch", exprs => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"topk_sketch(col, k, cap) requires 3 arguments, got ${exprs.length}")
+        def intLit(e: Expression, name: String): Int = {
+          if (!e.foldable)
+            throw new IllegalArgumentException(
+              s"topk_sketch $name must be an int literal, got expression ${e.sql}")
+          e.eval(null) match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"topk_sketch $name must be an int literal, got $other")
+          }
+        }
+        TopKSketch(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "cap"))
+      }, "built-in")
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` on a real
