@@ -58,6 +58,10 @@ object SparkEntry {
     "q39_range_join"      -> q(Extended.q39),
     "q40_quality_score"   -> q(Extended.q40),
     "q41_nation_volume"   -> q(Extended.q41),
+    "q42_label_centroids" -> q(Vectors.q42),
+    "q43_hll_distinct"    -> q(Vectors.q43),
+    "q44_window_suite"    -> q(WindowSuite.q44),
+    "q45_string_suite"    -> q(WindowSuite.q45),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -457,5 +461,40 @@ object SparkEntry {
          |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
          |GROUP BY 1, 2, 3
          |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+
+    "q42_label_centroids" ->
+      """WITH flat AS (
+        |  SELECT label,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, pos, SUM(x) / COUNT(x) AS dim_mean
+        |  FROM flat GROUP BY label, pos)
+        |SELECT label,
+        |  list_transform(array_agg(dim_mean ORDER BY pos), v -> round(v, 3)) AS centroid,
+        |  COUNT(*) AS n_dims
+        |FROM dims GROUP BY label ORDER BY label""".stripMargin,
+
+    "q44_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_orderdate, 1) OVER w AS prev_date,
+        |  lead(o_orderdate, 1) OVER w AS next_date,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q45_string_suite" ->
+      """SELECT p_partkey,
+        |  upper(substring(p_name, 1, 4)) AS prefix,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_key,
+        |  regexp_extract(p_type, '([A-Z]+)', 1) AS type_head,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  length(replace(p_name, ' ', '')) AS compact_len,
+        |  CAST(CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS BIGINT) AS has_gold
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }

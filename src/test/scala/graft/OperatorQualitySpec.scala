@@ -64,6 +64,19 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q43 HLL distinct counts are within 5% of exact") {
+    val approx = graft.operators.Vectors.q43(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((flag, (ep, eo)) <- exact) {
+      val (ap, ao) = approx(flag)
+      assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$flag parts: approx=$ap exact=$ep")
+      assert(math.abs(ao - eo).toDouble / eo < 0.05, s"$flag orders: approx=$ao exact=$eo")
+    }
+  }
+
   test("multimodal pipeline: schema, determinism, fixed feature shape") {
     val feats = Multimodal.featurePipeline(spark, sfDir)
     assert(feats.schema.fieldNames.toSeq == Seq("doc_id", "kind", "features"))

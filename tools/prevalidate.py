@@ -18,6 +18,11 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # list-valued cells (numpy arrays / lists) -> tuples for comparison
+    if hasattr(v, "tolist"):
+        return tuple(norm_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
     return v
 
 def main():
@@ -56,10 +61,14 @@ def compare(a, b):
     for col in a.columns:
         av, bv = list(a[col]), list(b[col])
         for i, (x, y) in enumerate(zip(av, bv)):
-            xn, yn = x is None or x != x, y is None or y != y
+            x, y = norm_cell(x), norm_cell(y)
+            # None, float NaN and pandas NaT are all "null" (x != x);
+            # normed tuples never contain raw NaN (norm_cell strings it)
+            xn = x is None or (not isinstance(x, tuple) and x != x)
+            yn = y is None or (not isinstance(y, tuple) and y != y)
             if xn and yn:
                 continue
-            if xn != yn or norm_cell(x) != norm_cell(y):
+            if xn != yn or (not xn and x != y):
                 return "VALUE", f"col={col} row={i} spark={x!r} duck={y!r}"
     # dtype sanity (loose: both numeric-int, both float, etc.)
     for col in a.columns:
