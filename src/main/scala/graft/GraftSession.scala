@@ -25,10 +25,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
-  /** Build (or reuse) the session and register graft functions. */
+  /** Build (or reuse) the session, register graft functions and
+    * install the graft optimizer rules (range-join rewrite).
+    */
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     graft.functions.GraftFunctions.register(spark)
+    graft.plans.RangeJoinRewrite.install(spark)
     spark
   }
 }

@@ -100,10 +100,12 @@ object GraftFunctions {
   * cluster registers everything at session build time.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, "cosine_sim"),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
