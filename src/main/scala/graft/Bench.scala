@@ -17,7 +17,8 @@ object Bench {
     "q06_selective_agg", "q08_running_window", "q13_outer_join",
     "q21_asof_join", "q22_sessionize", "q23_time_bucket",
     "q26_nested_explode", "q29_fingerprint", "q31_dedup_exact",
-    "q32_jaccard_pairs", "q35_cosine_topk")
+    "q32_jaccard_pairs", "q35_cosine_topk", "q39_range_join",
+    "q42_label_centroids", "q46_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -62,6 +62,7 @@ object SparkEntry {
     "q43_hll_distinct"    -> q(Vectors.q43),
     "q44_window_suite"    -> q(WindowSuite.q44),
     "q45_string_suite"    -> q(WindowSuite.q45),
+    "q46_dedup_clusters"  -> q(Dedup.q46),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -375,7 +376,7 @@ object SparkEntry {
         |FROM corpus GROUP BY fingerprint ORDER BY keep_id""".stripMargin,
 
     "q32_jaccard_pairs" ->
-      """WITH sh AS (
+      """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -496,5 +497,40 @@ object SparkEntry {
         |  length(replace(p_name, ' ', '')) AS compact_len,
         |  CAST(CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS BIGINT) AS has_gold
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q46_dedup_clusters" -> {
+      // same near-dup pair graph as q32, closed transitively
+      val pairSql =
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+          |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          |  FROM (SELECT doc_id,
+          |          list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+          |                      x -> x <> '') AS t
+          |        FROM documents)
+          |  WHERE len(t) >= 3),
+          |blocked AS (SELECT doc_id, s, list_min(s) AS block FROM sh WHERE len(s) > 0),
+          |edges AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+          |sym AS (SELECT doc_a, doc_b FROM edges
+          |        UNION ALL SELECT doc_b, doc_a FROM edges),""".stripMargin
+      pairSql +
+        """
+          |reach AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM sym
+          |  UNION
+          |  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON r.b = s.doc_a)
+          |SELECT cluster_id, COUNT(*) AS cluster_size,
+          |  array_agg(doc_id ORDER BY doc_id) AS members
+          |FROM (
+          |  SELECT a AS doc_id, least(MIN(b), a) AS cluster_id
+          |  FROM reach GROUP BY a)
+          |GROUP BY cluster_id
+          |ORDER BY cluster_id""".stripMargin
+    },
   )
 }

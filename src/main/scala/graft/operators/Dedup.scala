@@ -96,6 +96,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q46: near-dup clusters — connected components over the q32 pair
+    * graph by iterative min-label propagation (each round: label :=
+    * min(label, neighbors' labels); converges in O(diameter) rounds —
+    * the scalable BSP formulation, vs. a driver-side union-find that
+    * cannot hold 100 TB worth of vertices). Components here are tiny
+    * duplicate groups, so the fixed 8 rounds is far past convergence;
+    * the oracle computes the same fixpoint with a recursive CTE.
+    */
+  def q46(t: Tables): DataFrame = {
+    // Iterative algorithms MUST break lineage each round: without the
+    // localCheckpoints the logical plan grows exponentially and the
+    // (expensive) edge derivation re-executes every iteration — this
+    // exact loop went from 495s to ~5s at sf0.1 with them. `sym` is
+    // materialized once; each round starts from a checkpointed frame.
+    val edges = q32(t).select(col("doc_a"), col("doc_b"))
+    val sym = edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(eager = true)
+    val verts = sym.select(col("doc_a").as("doc_id")).distinct()
+    var labels = verts.withColumn("label", col("doc_id")).localCheckpoint(eager = true)
+    for (_ <- 1 to 8) {
+      val viaNeighbors = sym
+        .join(labels, col("doc_a") === col("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+      labels = labels.select(col("doc_id"), col("label"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .select(col("label").as("cluster_id"), col("cluster_size"), col("members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** q34: 60-bit SimHash fingerprints (rows-only; DedupSpec asserts
     * hamming closeness of known near-dups).
     */
