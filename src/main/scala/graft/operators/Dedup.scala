@@ -43,11 +43,14 @@ object Dedup {
   def q32(t: Tables): DataFrame = {
     // project tokens → shingles as attributes: expressions referenced
     // inside HOF lambdas re-evaluate per element, attributes don't.
+    // materialize the derived shingle table once — both self-join legs
+    // read the checkpoint instead of re-running tokenize+shingle
     val sh = t.documents
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles3(col("toks")).as("s"))
       .filter(size(col("s")) > 0)
       .withColumn("block", array_min(col("s")))
+      .localCheckpoint(true)
     val a = sh.select(col("block"), col("doc_id").as("doc_a"), col("s").as("sa"))
     val b = sh.select(col("block"), col("doc_id").as("doc_b"), col("s").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
@@ -81,6 +84,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint(true) // both self-join legs reuse the signatures
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("s").as("sa"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("s").as("sb"))
     val cand = a.join(b, Seq("band", "bucket"))
