@@ -54,6 +54,8 @@ object AvroSchemas {
       case LONG =>
         Some(s.getLogicalType match {
           case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros => TimestampType
+          case _: LogicalTypes.LocalTimestampMicros | _: LogicalTypes.LocalTimestampMillis =>
+            TimestampNTZType
           case _ => LongType
         })
       case FLOAT  => Some(FloatType)
@@ -120,6 +122,8 @@ object AvroSchemas {
         LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
       case TimestampType =>
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case d: DecimalType =>
         LogicalTypes.decimal(d.precision, d.scale).addToSchema(Schema.create(Schema.Type.BYTES))
       case ArrayType(et, containsNull) =>
