@@ -42,20 +42,41 @@ object AvroBinary {
     }(Encoders.row(StructType(Seq(StructField("avro_bin", BinaryType, nullable = false)))))
   }
 
-  /** Decode Avro binary datums back into typed rows. */
-  def decode(df: DataFrame, binCol: String, avroSchemaJson: String): DataFrame = {
-    val sparkSchema = AvroSchemas.toSparkType(
+  /** Decode Avro binary datums back into typed rows.
+    *
+    * `permissive = false` (default) fails the task on a corrupt datum
+    * (fail-fast, like FAILFAST JSON mode). `permissive = true` yields
+    * null fields plus a `_corrupt` flag instead — the mode a 100 TB
+    * backfill wants, where one bad record must not kill the job.
+    */
+  def decode(df: DataFrame, binCol: String, avroSchemaJson: String,
+             permissive: Boolean = false): DataFrame = {
+    val base = AvroSchemas.toSparkType(
       AvroSchemas.parse(avroSchemaJson)).asInstanceOf[StructType]
+    val outSchema =
+      if (permissive) StructType(base.fields :+ StructField("_corrupt", BooleanType, nullable = false))
+      else base
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(avroSchemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-        recordToRow(reader.read(null, dec), sparkSchema)
+        if (permissive) {
+          try {
+            val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+            val r = recordToRow(reader.read(null, dec), base)
+            Row.fromSeq(r.toSeq :+ false)
+          } catch {
+            case _: Exception =>
+              Row.fromSeq(base.fields.toSeq.map(_ => null) :+ true)
+          }
+        } else {
+          val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+          recordToRow(reader.read(null, dec), base)
+        }
       }
-    }(Encoders.row(sparkSchema))
+    }(Encoders.row(outSchema))
   }
 
   // ---- Row ⇄ GenericRecord (the interop fold/unfold) ----

@@ -35,6 +35,21 @@ class AvroBinarySpec extends AnyFunSuite {
     roundtrip("embeddings", t.embeddings)
   }
 
+  test("permissive decode flags corrupt datums instead of failing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schemaJson = AvroSchemas.toAvroSchema(t.region.schema, "region").toString
+    val good = AvroBinary.encode(t.region, "region")
+    val corrupt = spark.createDataFrame(
+      java.util.List.of(Row(Array[Byte](1, 2, 3))),
+      StructType(Seq(StructField("avro_bin", BinaryType))))
+    val mixed = good.unionByName(corrupt)
+    val out = AvroBinary.decode(mixed, "avro_bin", schemaJson, permissive = true)
+    assert(out.filter(col("_corrupt") === true).count() == 1)
+    assert(out.filter(col("_corrupt") === false).count() == t.region.count())
+    assert(out.filter(col("_corrupt") === true).collect().head.isNullAt(0))
+  }
+
   test("encoded datums are compact and self-consistent") {
     val enc = AvroBinary.encode(t.region, "region")
     val sizes = enc.select(length(col("avro_bin")).as("n")).collect().map(_.getInt(0))
