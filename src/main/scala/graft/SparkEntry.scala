@@ -63,6 +63,8 @@ object SparkEntry {
     "q44_window_suite"    -> q(WindowSuite.q44),
     "q45_string_suite"    -> q(WindowSuite.q45),
     "q46_dedup_clusters"  -> q(Dedup.q46),
+    "q47_bigram_stats"    -> q(TextAnalysis.q47),
+    "q48_tfidf"           -> q(TextAnalysis.q48),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -532,5 +534,38 @@ object SparkEntry {
           |GROUP BY cluster_id
           |ORDER BY cluster_id""".stripMargin
     },
+
+    "q47_bigram_stats" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT u.p[1] AS w1, u.p[2] AS w2
+        |  FROM toks, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)),
+        |cnt AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+        |pc AS (
+        |  SELECT w1, w2, n,
+        |    round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 6) AS p_cond
+        |  FROM cnt)
+        |SELECT w1, w2, n, p_cond FROM pc
+        |WHERE n >= 20
+        |ORDER BY w1, w2""".stripMargin,
+
+    "q48_tfidf" ->
+      """WITH td AS (
+        |  SELECT doc_id, u.term
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                      x -> x <> '') AS toks
+        |        FROM documents), unnest(toks) AS u(term)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM td GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM td) GROUP BY term),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tf_idf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, term""".stripMargin,
   )
 }

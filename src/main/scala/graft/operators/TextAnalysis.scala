@@ -47,6 +47,49 @@ object TextAnalysis {
       .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** q47: bigram conditional statistics — P(w2|w1) over the corpus
+    * (the n-gram LM building block): shifted-slice zip (no per-element
+    * re-eval), explode, two aggregations sharing the w1 shuffle key.
+    */
+  def q47(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    t.documents
+      .withColumn("toks", tokens(col("text")))
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_cond",
+        round(col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
+      .filter(col("n") >= 20)
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  /** q48: TF-IDF — term frequency per (doc, term) × inverse document
+    * frequency ln(N/df). One explode + two aggs; the df table is tiny
+    * (vocabulary-sized) and broadcast back onto the tf table.
+    */
+  def q48(t: Tables): DataFrame = {
+    val termDocs = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = termDocs.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = termDocs.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = t.documents.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(nDocs))
+      .withColumn("tf_idf",
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   /** q30: token diversity per source (explode + two-level agg). */
   def q30(t: Tables): DataFrame =
     t.documents
