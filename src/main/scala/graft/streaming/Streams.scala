@@ -44,6 +44,37 @@ object Streams {
       .select(col("win.start").as("bucket_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: left events matched to right events
+    * within ±`toleranceSec` seconds. Watermarks on BOTH sides plus the
+    * two-sided time-range predicate are what let Spark bound the join
+    * state (evict rows older than watermark+tolerance) — without them
+    * a stream-stream join buffers forever. This is the streaming
+    * analogue of batch q39.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   toleranceSec: Long, watermark: String = "10 minutes"): DataFrame = {
+    // Spark refuses stream-stream joins without an equality predicate;
+    // the q39 bucket trick provides one (and shrinks join state to
+    // co-bucketed rows): bucket left to the tolerance width, explode
+    // right into its 3 candidate buckets, equi-join, exact refine.
+    val tolUs = toleranceSec * 1000000L
+    val l = left.withColumnRenamed("ts", "l_ts").withColumnRenamed("event_id", "l_id")
+      .withWatermark("l_ts", watermark)
+      .withColumn("bucket", expr(s"unix_micros(l_ts) div $tolUs"))
+    val r = right.withColumnRenamed("ts", "r_ts").withColumnRenamed("event_id", "r_id")
+      .withWatermark("r_ts", watermark)
+      .withColumn("bucket", explode(array(
+        expr(s"unix_micros(r_ts) div $tolUs") - 1,
+        expr(s"unix_micros(r_ts) div $tolUs"),
+        expr(s"unix_micros(r_ts) div $tolUs") + 1)))
+    l.join(r, Seq("bucket"))
+      .filter(
+        expr(s"""r_ts >= l_ts - INTERVAL $toleranceSec SECONDS AND
+                |r_ts <= l_ts + INTERVAL $toleranceSec SECONDS""".stripMargin))
+      .select(col("l_id"), col("r_id"),
+        expr("unix_micros(l_ts) - unix_micros(r_ts)").as("diff_us"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity) as custom
     * streaming state: one `OpenSession` per user in the state store,
     * closed sessions emitted as soon as the gap is observed. State is

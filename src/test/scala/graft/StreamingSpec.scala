@@ -43,6 +43,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join reproduces batch q39 pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val all = eventSeq
+    purchases.addData(all.filter(_.event_type == "purchase"))
+    errors.addData(all.filter(_.event_type == "error"))
+    val joined = Streams.intervalJoin(
+      purchases.toDF().select("event_id", "ts"),
+      errors.toDF().select("event_id", "ts"), toleranceSec = 300)
+    val query = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("ij_out")
+        .select(col("l_id").as("p_id"), col("r_id").as("e_id"))
+      val batch = graft.operators.Extended.q39(Tables(spark, sfDir))
+        .select(col("p_id"), col("e_id"))
+      assert(streamed.count() == batch.count(),
+        s"streamed=${streamed.count()} batch=${batch.count()}")
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    } finally query.stop()
+  }
+
   test("streaming sessionize emits exactly the closed batch q22 sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
