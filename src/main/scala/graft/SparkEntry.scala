@@ -65,6 +65,7 @@ object SparkEntry {
     "q46_dedup_clusters"  -> q(Dedup.q46),
     "q47_bigram_stats"    -> q(TextAnalysis.q47),
     "q48_tfidf"           -> q(TextAnalysis.q48),
+    "q49_stratified_sample" -> q(Extended.q49),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -567,5 +568,17 @@ object SparkEntry {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN nd
         |WHERE doc_id < 20
         |ORDER BY doc_id, term""".stripMargin,
+
+    "q49_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS hash_bucket,
+        |    CAST(CASE WHEN source IN ('src0', 'src1') THEN 50
+        |              WHEN source IN ('src2', 'src3') THEN 20
+        |              ELSE 10 END AS BIGINT) AS sample_rate
+        |  FROM documents)
+        |SELECT doc_id, source, hash_bucket, sample_rate
+        |FROM s WHERE hash_bucket < sample_rate
+        |ORDER BY doc_id""".stripMargin,
   )
 }

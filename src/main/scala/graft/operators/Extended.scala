@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.util.Portable._
+import graft.util.Portable.portableHash64
 
 /** Extended operator coverage (SURVEY.md §2 q38–q41): exact
   * percentiles, bucketed range join, text quality scoring, and a
@@ -65,6 +66,26 @@ object Extended {
     t.documents
       .select(col("doc_id"), round(score, 6).as("quality_score"),
         when(score >= 0.5, 1).otherwise(0).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q49: deterministic stratified sampling — the reproducible
+    * train/eval split a data pipeline needs. The selector is the
+    * portable md5 hash mod 100 against a per-source rate, so the SAME
+    * rows are chosen on any engine, any run, any partitioning (unlike
+    * rand()-based sampling); the sampled id stays stable as the
+    * corpus grows.
+    */
+  def q49(t: Tables): DataFrame = {
+    val bucket = pmod(portableHash64(col("doc_id").cast("string")), lit(100))
+    val rate = when(col("source").isin("src0", "src1"), 50)
+      .when(col("source").isin("src2", "src3"), 20)
+      .otherwise(10)
+    t.documents
+      .withColumn("hash_bucket", bucket.cast("long"))
+      .withColumn("sample_rate", rate.cast("long"))
+      .filter(col("hash_bucket") < col("sample_rate"))
+      .select(col("doc_id"), col("source"), col("hash_bucket"), col("sample_rate"))
       .orderBy(col("doc_id"))
   }
 

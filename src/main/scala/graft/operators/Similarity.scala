@@ -57,8 +57,17 @@ object Similarity {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
 
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("cell"))
+    // queries probe their TWO nearest cells (nprobe=2) — the standard
+    // IVF recall lever; candidates stay in their single home cell.
+    val probeW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("centroid_id"))
+    val q = t.embeddings.filter(col("vec_id") < 10)
+      .join(broadcast(centroids))
+      .withColumn("c_score", cos("embedding", "cent_emb"))
+      .withColumn("crn", row_number().over(probeW))
+      .filter(col("crn") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("centroid_id").as("cell"))
     val c = assigned
       .select(col("vec_id").as("vid"), col("embedding").as("c_emb"), col("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))

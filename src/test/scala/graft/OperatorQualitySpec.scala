@@ -48,7 +48,9 @@ class OperatorQualitySpec extends AnyFunSuite {
     val exact = hits(Similarity.q35(t))
     val ivf   = hits(Similarity.q36(t))
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall > 0.2, s"IVF recall $recall vs brute force too low")
+    // nprobe=2 over 8 cells; embeddings are near-random (weakly
+    // clusterable), so the bound is modest — real corpora cluster.
+    assert(recall > 0.3, s"IVF recall $recall vs brute force too low")
   }
 
   test("cosine_sim expression matches manual double computation") {
