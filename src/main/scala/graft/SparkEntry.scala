@@ -66,6 +66,8 @@ object SparkEntry {
     "q47_bigram_stats"    -> q(TextAnalysis.q47),
     "q48_tfidf"           -> q(TextAnalysis.q48),
     "q49_stratified_sample" -> q(Extended.q49),
+    "q50_datetime_suite"  -> q(WindowSuite.q50),
+    "q51_null_handling"   -> q(WindowSuite.q51),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -580,5 +582,27 @@ object SparkEntry {
         |SELECT doc_id, source, hash_bucket, sample_rate
         |FROM s WHERE hash_bucket < sample_rate
         |ORDER BY doc_id""".stripMargin,
+
+    "q50_datetime_suite" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
+        |  o_orderdate + INTERVAL 90 DAY AS due_date
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q51_null_handling" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS segment,
+        |  greatest(c_acctbal, 0.0) AS bal_floor,
+        |  least(c_acctbal, 5000.0) AS bal_cap,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 1000 THEN 'low'
+        |       ELSE 'ok' END AS bal_band,
+        |  CAST(CASE WHEN nullif(c_nationkey, 0) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_nation_zero
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

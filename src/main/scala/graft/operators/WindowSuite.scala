@@ -30,6 +30,37 @@ object WindowSuite {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** q50: date/time expression family over order dates. */
+  def q50(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderkey") < 2000)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        quarter(col("o_orderdate")).cast("int").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_1999"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"))
+      .orderBy(col("o_orderkey"))
+
+  /** q51: null-handling expression family (coalesce/nullif/greatest/
+    * least/nvl2-style case) over customer balances.
+    */
+  def q51(t: Tables): DataFrame =
+    t.customer
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("REDACTED")).as("segment"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(5000.0)).as("bal_cap"),
+        when(col("c_acctbal") < 0, lit("overdrawn"))
+          .when(col("c_acctbal") < 1000, lit("low"))
+          .otherwise(lit("ok")).as("bal_band"),
+        isnull(nullif(col("c_nationkey"), lit(0))).cast("long").as("is_nation_zero"))
+      .orderBy(col("c_custkey"))
+
   /** q45: string expression family over part names/types. */
   def q45(t: Tables): DataFrame =
     t.part
