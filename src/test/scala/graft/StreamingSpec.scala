@@ -68,6 +68,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file sink + checkpoint: restart resumes exactly-once (no dups, no loss)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val all = eventSeq.sortBy(_.event_id)
+    val (batch1, batch2) = all.splitAt(all.size / 2)
+    val stream = MemoryStream[Event]
+
+    def run(data: Seq[Event]): Unit = {
+      stream.addData(data)
+      val q = stream.toDF().writeStream.format("parquet")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(batch1) // first query lifetime
+    run(batch2) // restart from checkpoint — must process ONLY batch2
+
+    val sunk = spark.read.parquet(dir)
+    assert(sunk.count() == all.size,
+      s"expected ${all.size} rows after restart, got ${sunk.count()}")
+    assert(sunk.select("event_id").distinct().count() == all.size,
+      "duplicate events after checkpoint recovery")
+  }
+
   test("streaming sessionize emits exactly the closed batch q22 sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
