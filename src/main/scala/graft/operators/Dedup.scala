@@ -120,7 +120,15 @@ object Dedup {
       .localCheckpoint(eager = true)
     val verts = sym.select(col("doc_a").as("doc_id")).distinct()
     var labels = verts.withColumn("label", col("doc_id")).localCheckpoint(eager = true)
-    for (_ <- 1 to 8) {
+    // Labels only decrease, so the label sum strictly decreases until
+    // the fixpoint: a cheap per-round convergence probe (one agg on the
+    // already-checkpointed frame) that exits at O(component diameter)
+    // rounds instead of a guessed constant — correct at any scale.
+    var prevSum = Long.MinValue
+    var converged = false
+    var round = 0
+    while (!converged && round < 50) {
+      round += 1
       val viaNeighbors = sym
         .join(labels, col("doc_a") === col("doc_id"))
         .select(col("doc_b").as("doc_id"), col("label"))
@@ -129,6 +137,9 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
         .localCheckpoint(eager = true)
+      val s = labels.agg(sum(col("label"))).collect().head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
     labels
       .groupBy(col("label"))
