@@ -71,6 +71,7 @@ object SparkEntry {
     "q49_stratified_sample" -> q(Extended.q49),
     "q50_datetime_suite"  -> q(WindowSuite.q50),
     "q51_null_handling"   -> q(WindowSuite.q51),
+    "q52_map_roundtrip"   -> q(JsonOps.q52),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -607,5 +608,18 @@ object SparkEntry {
         |       ELSE 'ok' END AS bal_band,
         |  CAST(CASE WHEN nullif(c_nationkey, 0) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_nation_zero
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q52_map_roundtrip" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |m AS (
+        |  SELECT user_id,
+        |    map_from_entries(array_agg({'k': event_type, 'v': n})) AS mp
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, u.e.key AS event_type, CAST(u.e.value AS BIGINT) AS n
+        |FROM m, unnest(map_entries(mp)) AS u(e)
+        |WHERE user_id < 50
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 }

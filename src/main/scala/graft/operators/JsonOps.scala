@@ -39,6 +39,23 @@ object JsonOps {
       .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("n_users"))
       .orderBy(col("et"))
 
+  /** q52: map-typed column roundtrip — build a per-user
+    * event_type→count map (map_from_entries over collected structs),
+    * then explode it back to rows. Collection order inside the map is
+    * nondeterministic, so determinism comes from the post-explode sort
+    * — the pattern for any map-valued column in a verified pipeline.
+    */
+  def q52(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"), explode(col("m")))
+      .select(col("user_id"), col("key").as("event_type"), col("value").as("n"))
+      .filter(col("user_id") < 50)
+      .orderBy(col("user_id"), col("event_type"))
+
   /** q26: nested-array handling — split, explode, aggregate (top-k
     * corpus tokens). explode is Spark's generator path (codegen'd).
     */
