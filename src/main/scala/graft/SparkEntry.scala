@@ -476,13 +476,13 @@ object SparkEntry {
       """WITH flat AS (
         |  SELECT label,
         |    generate_subscripts(embedding, 1) - 1 AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(27,12)) AS x
         |  FROM embeddings),
         |dims AS (
-        |  SELECT label, pos, SUM(x) / COUNT(x) AS dim_mean
+        |  SELECT label, pos, CAST(SUM(x) AS DOUBLE) / COUNT(x) AS dim_mean
         |  FROM flat GROUP BY label, pos)
         |SELECT label,
-        |  list_transform(array_agg(dim_mean ORDER BY pos), v -> round(v, 3)) AS centroid,
+        |  string_agg(CAST(CAST(dim_mean AS DECIMAL(18,3)) AS VARCHAR), ',' ORDER BY pos) AS centroid,
         |  COUNT(*) AS n_dims
         |FROM dims GROUP BY label ORDER BY label""".stripMargin,
 
@@ -534,7 +534,7 @@ object SparkEntry {
           |  UNION
           |  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON r.b = s.doc_a)
           |SELECT cluster_id, COUNT(*) AS cluster_size,
-          |  array_agg(doc_id ORDER BY doc_id) AS members
+          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
           |FROM (
           |  SELECT a AS doc_id, least(MIN(b), a) AS cluster_id
           |  FROM reach GROUP BY a)

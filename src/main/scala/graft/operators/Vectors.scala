@@ -18,18 +18,25 @@ import graft.sources.Tables
   */
 object Vectors {
 
-  /** q42: per-label centroid of the embedding vectors (rounded for
-    * engine-portable float math; see SURVEY.md §3).
+  /** q42: per-label centroid of the embedding vectors.
+    *
+    * Engine-portable math: elements are summed as DECIMAL(27,12) so the
+    * partial-agg order can't perturb low bits, the mean is the decimal
+    * sum cast to double divided by the count (bit-identical on any
+    * engine), and the centroid is serialized to a comma-joined string of
+    * fixed-scale DECIMAL(18,3) renderings — the driver's sort+hash
+    * compare can't handle array cells, so the verified projection is a
+    * deterministic string (see VERDICT.md round 1, "What's wrong" #1).
     */
   def q42(t: Tables): DataFrame =
     t.embeddings
       .select(col("label"), posexplode(col("embedding").cast("array<double>")))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(col("col")) / count(col("col"))).as("dim_mean"))
+      .agg((sum(col("col").cast("decimal(27,12)")).cast("double") / count(col("col"))).as("dim_mean"))
       .groupBy(col("label"))
-      .agg(transform(
+      .agg(concat_ws(",", transform(
         array_sort(collect_list(struct(col("pos"), col("dim_mean")))),
-        s => round(s("dim_mean"), 3)).as("centroid"),
+        s => s("dim_mean").cast("decimal(18,3)").cast("string"))).as("centroid"),
         count(lit(1)).as("n_dims"))
       .orderBy(col("label"))
 
