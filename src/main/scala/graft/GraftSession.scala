@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet ships TIMESTAMP(NANOS); the vectorized reader
+      // needs the legacy raw-long mode (Tables.events converts to µs)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Build (or reuse) the session, register graft functions and

@@ -75,25 +75,34 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles3(col("toks")).as("s"))
       .filter(size(col("s")) > 0)
-    val sig = sh
+    // shingle sets stay OUT of the banding explode and the self-join:
+    // the 16× band explode and the (band, bucket) shuffle carry only
+    // (doc_id, band, bucket) — ~constant bytes/row — and the full
+    // shingle arrays are joined back by doc_id only for the deduped
+    // candidate pairs. At corpus scale this cuts the banding shuffle
+    // by roughly the average shingle-set size (orders of magnitude).
+    val shCk = sh.localCheckpoint(true) // shared by banding + both shingle joins
+    val banded = shCk
       .withColumn("hp", minhashPairs(col("s")))
       .withColumn("sig", minhashSignature(col("hp"), perms))
-      .drop("hp")
-    val banded = sig.select(
-      col("doc_id"), col("s"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
+      .select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .localCheckpoint(true) // both self-join legs reuse the signatures
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("s").as("sa"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("s").as("sb"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val withSets = cand
+      .join(shCk.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(shCk.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val union = size(col("sa")) + size(col("sb")) - inter
-    cand
+    withSets
       .withColumn("jaccard", inter.cast("double") / union.cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -108,18 +117,31 @@ object Dedup {
     * duplicate groups, so the fixed 8 rounds is far past convergence;
     * the oracle computes the same fixpoint with a recursive CTE.
     */
-  def q46(t: Tables): DataFrame = {
+  def q46(t: Tables): DataFrame = q46(t, checkpointDir = None)
+
+  /** @param checkpointDir when set, per-round lineage breaks use
+    *   reliable `checkpoint` into this directory (HDFS/S3 on a real
+    *   cluster — survives executor loss, the right mode for a 100 TB
+    *   run) instead of `localCheckpoint` (executor-local blocks —
+    *   faster, fine for local mode and short-lived jobs).
+    */
+  def q46(t: Tables, checkpointDir: Option[String]): DataFrame = {
     // Iterative algorithms MUST break lineage each round: without the
-    // localCheckpoints the logical plan grows exponentially and the
+    // checkpoints the logical plan grows exponentially and the
     // (expensive) edge derivation re-executes every iteration — this
     // exact loop went from 495s to ~5s at sf0.1 with them. `sym` is
     // materialized once; each round starts from a checkpointed frame.
+    val ck: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        t.spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     val edges = q32(t).select(col("doc_a"), col("doc_b"))
-    val sym = edges
-      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(eager = true)
+    val sym = ck(edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     val verts = sym.select(col("doc_a").as("doc_id")).distinct()
-    var labels = verts.withColumn("label", col("doc_id")).localCheckpoint(eager = true)
+    var labels = ck(verts.withColumn("label", col("doc_id")))
     // Labels only decrease, so the label sum strictly decreases until
     // the fixpoint: a cheap per-round convergence probe (one agg on the
     // already-checkpointed frame) that exits at O(component diameter)
@@ -132,11 +154,10 @@ object Dedup {
       val viaNeighbors = sym
         .join(labels, col("doc_a") === col("doc_id"))
         .select(col("doc_b").as("doc_id"), col("label"))
-      labels = labels.select(col("doc_id"), col("label"))
+      labels = ck(labels.select(col("doc_id"), col("label"))
         .unionByName(viaNeighbors)
         .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(eager = true)
+        .agg(min(col("label")).as("label")))
       val s = labels.agg(sum(col("label"))).collect().head.getLong(0)
       converged = s == prevSum
       prevSum = s

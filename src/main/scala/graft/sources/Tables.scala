@@ -22,12 +22,16 @@ final class Tables(val spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy flag) and surface a
+    * reader rejects; it is read as raw nanos (the `nanosAsLong` legacy
+    * flag — set at session construction by GraftSession/Verify/Bench,
+    * NOT here: loaders are side-effect-free) and surfaced as a
     * microsecond timestamp column (the generator writes µs precision,
     * so `div 1000` is lossless and matches DuckDB).
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession does)")
     table("events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select(col("event_id"), col("ts"), col("user_id"),

@@ -105,4 +105,12 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(kinds.keySet == Set("image", "audio", "video"))
     assert(kinds.values.sum == t.documents.count())
   }
+
+  test("q46 reliable-checkpoint mode produces the same clusters as localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val local    = Dedup.q46(t).collect().toSeq
+    val reliable = Dedup.q46(t, checkpointDir = Some(dir)).collect().toSeq
+    assert(local.nonEmpty)
+    assert(local == reliable)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Plan-shape regression lock (VERDICT.md round 1, next-round #7).
+  *
+  * The round-1 audit found every headline plan scale-correct — no
+  * cartesian products, no broadcast-nested-loop fallbacks, filters
+  * pushed to the parquet scan. These tests pin that state so a future
+  * refactor that silently degrades a join to a cross product (the
+  * classic 100 TB killer) fails CI instead of the cluster.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  // q46 omitted: its plan is materialized per-round via checkpoints
+  // (already audited as the BSP shape); building it runs the full loop.
+  // q35 is the brute-force ANN *baseline*: its broadcast nested-loop
+  // (bounded query set broadcast against one corpus scan) is the
+  // intended plan — the scale path is q36's IVF cell join.
+  private val locked =
+    Bench.headline.filterNot(Set("q46_dedup_clusters", "q35_cosine_topk"))
+
+  for (name <- locked) {
+    test(s"$name plan has no cartesian product or nested-loop join") {
+      val plan = physicalPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"BroadcastNestedLoopJoin in $name:\n$plan")
+    }
+  }
+
+  test("q35 stays a single broadcast pass (no shuffled cartesian)") {
+    val plan = physicalPlan("q35_cosine_topk")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q35:\n$plan")
+  }
+
+  test("q02 pushes its filters into the parquet scan") {
+    val plan = Relational.q02(Tables(spark, sfDir)).queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(l => !l.contains("PushedFilters: []")),
+      s"expected non-empty PushedFilters in q02 scan:\n$plan")
+  }
+
+  test("q05 broadcasts the bounded dimension tables") {
+    val plan = physicalPlan("q05_multijoin")
+    assert(plan.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in q05:\n$plan")
+  }
+}
