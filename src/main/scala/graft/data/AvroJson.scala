@@ -1,0 +1,435 @@
+package graft.data
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{JsonProperties, LogicalTypes, Schema}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-first, *validating* Avro JSON datum decoding — the Spark
+  * re-expression of the reference's JSON datum algebra
+  * (Anglerfish AvroJsonFAlgebras.scala `parseAvroDatumAlgebra`), with
+  * the semantics the plain `from_json` path cannot express:
+  *
+  *  - **Union datum encoding** (reference :536–586,
+  *    `selectUnionMemberByName`): Avro JSON wraps a non-null union
+  *    value as a single-key object `{"branchName": value}` where the
+  *    branch name is the primitive type name (`"int"`, `"string"`, …),
+  *    `"array"`/`"map"`, or the full name for record/enum/fixed.
+  *    Unknown or non-object wrappers are a `UnionResolutionError`.
+  *  - **Enum symbol validation** (reference :645–649, `EnumError`):
+  *    a string outside the declared symbol set is rejected.
+  *  - **Fixed length validation** (reference :637–642, `FixedError`):
+  *    the base64-decoded payload must have exactly the declared size.
+  *    Bytes/fixed datums are base64 strings (reference `decodeBytes`).
+  *  - **Default values, recursively** (reference AvroData.scala:66):
+  *    missing record fields take their declared default, including
+  *    record/array/map defaults, at any nesting depth.
+  *
+  * Everything is built from codegen'd Catalyst expressions (`from_json`
+  * for the tree shape, `when`/`cast`/HOFs for per-position semantics) —
+  * no UDFs, one projection, fully distributed.
+  *
+  * Strictness: [[FailFast]] raises a descriptive error on the first
+  * invalid datum (the reference's MonadError behavior); [[Permissive]]
+  * nulls the offending value instead — the mode a 100 TB backfill
+  * wants, consistent with [[AvroBinary.decode]]'s `permissive` flag.
+  */
+object AvroJson {
+
+  sealed trait Mode
+  case object FailFast extends Mode
+  case object Permissive extends Mode
+
+  /** Decode a column of JSON datums against an Avro schema into a
+    * typed struct column `out` (shape = [[AvroSchemas.toSparkType]]).
+    */
+  def decode(df: DataFrame, jsonCol: String, avroSchemaJson: String,
+             out: String = "decoded", mode: Mode = FailFast,
+             maxRecursionDepth: Int = 1): DataFrame = {
+    val schema = AvroSchemas.parse(avroSchemaJson)
+    val pt = parseType(schema, Map.empty, maxRecursionDepth).getOrElse(
+      throw new IllegalArgumentException(
+        s"schema ${schema.getFullName} prunes to nothing at depth $maxRecursionDepth"))
+    val opts = mode match {
+      case FailFast   => Map("mode" -> "FAILFAST")
+      case Permissive => Map.empty[String, String]
+    }
+    val parsed = from_json(col(jsonCol), pt, opts)
+    val typed  = rebuild(parsed, schema, Map.empty, maxRecursionDepth, mode)
+    df.withColumn(out, fillDefaults(typed, schema, Map.empty, maxRecursionDepth))
+  }
+
+  // ---- stage 1: parse shape ------------------------------------------------
+  // `from_json` target where every position whose JSON encoding needs
+  // post-processing is captured verbatim: multi-branch unions and
+  // bytes/fixed as strings (raw JSON / base64), date/timestamp
+  // logicals as their raw epoch numbers.
+
+  private[data] def parseType(
+      s: Schema, seen: Map[String, Int], maxDepth: Int): Option[DataType] = {
+    import Schema.Type._
+    s.getType match {
+      case NULL          => Some(NullType)
+      case BOOLEAN       => Some(BooleanType)
+      case INT           => Some(IntegerType)
+      case LONG          => Some(LongType)
+      case FLOAT         => Some(FloatType)
+      case DOUBLE        => Some(DoubleType)
+      case STRING | ENUM => Some(StringType)
+      case BYTES | FIXED =>
+        Some(s.getLogicalType match {
+          case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+          case _                       => StringType // base64 payload
+        })
+      case ARRAY =>
+        parseType(s.getElementType, seen, maxDepth)
+          .map(ArrayType(_, containsNull = AvroSchemas.nullable(s.getElementType)))
+      case MAP =>
+        parseType(s.getValueType, seen, maxDepth)
+          .map(MapType(StringType, _, valueContainsNull = AvroSchemas.nullable(s.getValueType)))
+      case UNION =>
+        nonNull(s) match {
+          case Seq()  => Some(NullType)
+          case Seq(b) => parseType(b, seen, maxDepth)
+          case _      => Some(StringType) // raw {"branch": value} wrapper
+        }
+      case RECORD =>
+        val name = s.getFullName
+        val depth = seen.getOrElse(name, 0)
+        if (depth >= maxDepth) None
+        else {
+          val inner = seen.updated(name, depth + 1)
+          val fields = s.getFields.asScala.flatMap { f =>
+            parseType(f.schema(), inner, maxDepth)
+              .map(dt => StructField(f.name(), dt, nullable = true))
+          }.toSeq
+          Some(StructType(fields))
+        }
+    }
+  }
+
+  private def nonNull(s: Schema): Seq[Schema] =
+    s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+
+  /** JSON union branch selector for a member schema (reference
+    * `selectUnionMemberByName`): full name for named types, `"array"`
+    * / `"map"` for complex unnamed ones, the type name otherwise.
+    */
+  private[data] def branchName(s: Schema): String = {
+    import Schema.Type._
+    s.getType match {
+      case RECORD | ENUM | FIXED => s.getFullName
+      case ARRAY                 => "array"
+      case MAP                   => "map"
+      case t                     => t.getName
+    }
+  }
+
+  /** Fully-nullable rendering of a type — cast targets must not claim
+    * NOT NULL (parsed values are always nullable, and casting a
+    * nullable struct to a non-null-field struct is rejected).
+    */
+  private def nullableOf(dt: DataType): DataType = dt match {
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = nullableOf(f.dataType), nullable = true)))
+    case ArrayType(et, _)  => ArrayType(nullableOf(et), containsNull = true)
+    case MapType(k, v, _)  => MapType(nullableOf(k), nullableOf(v), valueContainsNull = true)
+    case other             => other
+  }
+
+  private def targetType(s: Schema, seen: Map[String, Int], maxDepth: Int): DataType =
+    nullableOf(AvroSchemas.convert(s, seen, maxDepth).getOrElse(NullType))
+
+  // ---- stage 2: per-position semantics ------------------------------------
+
+  /** Does this subtree need any post-`from_json` work? Positions that
+    * don't are passed through untouched (keeps the projection lean).
+    */
+  private def needsWork(s: Schema, seen: Map[String, Int], maxDepth: Int): Boolean = {
+    import Schema.Type._
+    s.getType match {
+      case ENUM => true
+      case BYTES | FIXED =>
+        !s.getLogicalType.isInstanceOf[LogicalTypes.Decimal]
+      case INT => s.getLogicalType.isInstanceOf[LogicalTypes.Date]
+      case LONG =>
+        s.getLogicalType match {
+          case _: LogicalTypes.TimestampMicros | _: LogicalTypes.TimestampMillis |
+               _: LogicalTypes.LocalTimestampMicros | _: LogicalTypes.LocalTimestampMillis => true
+          case _ => false
+        }
+      case ARRAY => needsWork(s.getElementType, seen, maxDepth)
+      case MAP   => needsWork(s.getValueType, seen, maxDepth)
+      case UNION =>
+        val b = nonNull(s)
+        b.lengthIs > 1 || b.exists(needsWork(_, seen, maxDepth))
+      case RECORD =>
+        val depth = seen.getOrElse(s.getFullName, 0)
+        depth < maxDepth && {
+          val inner = seen.updated(s.getFullName, depth + 1)
+          s.getFields.asScala.exists(f => needsWork(f.schema(), inner, maxDepth))
+        }
+      case _ => false
+    }
+  }
+
+  private def err(mode: Mode, msg: Column, target: DataType): Column = mode match {
+    case FailFast   => raise_error(msg).cast(target)
+    case Permissive => lit(null).cast(target)
+  }
+
+  private def decodeBase64(c: Column, mode: Mode): Column = mode match {
+    case FailFast   => to_binary(c, lit("base64"))
+    case Permissive => try_to_binary(c, lit("base64"))
+  }
+
+  private def rebuild(c: Column, s: Schema, seen: Map[String, Int],
+                      maxDepth: Int, mode: Mode): Column = {
+    import Schema.Type._
+    s.getType match {
+      case INT =>
+        s.getLogicalType match {
+          case _: LogicalTypes.Date => date_from_unix_date(c)
+          case _                    => c
+        }
+      case LONG =>
+        s.getLogicalType match {
+          case _: LogicalTypes.TimestampMicros      => timestamp_micros(c)
+          case _: LogicalTypes.TimestampMillis      => timestamp_millis(c)
+          // session tz is UTC everywhere in graft, so instant == wall clock
+          case _: LogicalTypes.LocalTimestampMicros => timestamp_micros(c).cast(TimestampNTZType)
+          case _: LogicalTypes.LocalTimestampMillis => timestamp_millis(c).cast(TimestampNTZType)
+          case _                                    => c
+        }
+      case ENUM =>
+        val symbols = s.getEnumSymbols.asScala.toSeq
+        when(c.isNull, lit(null).cast(StringType))
+          .when(c.isInCollection(symbols), c)
+          .otherwise(err(mode,
+            concat(lit("EnumError: '"), c,
+              lit(s"' is not a symbol of ${s.getFullName} ${symbols.mkString("[", ",", "]")}")),
+            StringType))
+      case BYTES if !s.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
+        decodeBase64(c, mode)
+      case FIXED if !s.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
+        val b = decodeBase64(c, mode)
+        when(c.isNull, lit(null).cast(BinaryType))
+          .when(octet_length(b) === s.getFixedSize, b)
+          .otherwise(err(mode,
+            concat(lit(s"FixedError: ${s.getFullName} expects ${s.getFixedSize} bytes, got "),
+              coalesce(octet_length(b).cast(StringType), lit("<not base64>"))),
+            BinaryType))
+      case ARRAY if needsWork(s.getElementType, seen, maxDepth) =>
+        transform(c, x => rebuild(x, s.getElementType, seen, maxDepth, mode))
+      case MAP if needsWork(s.getValueType, seen, maxDepth) =>
+        transform_values(c, (_, v) => rebuild(v, s.getValueType, seen, maxDepth, mode))
+      case RECORD if needsWork(s, seen, maxDepth) =>
+        val inner = seen.updated(s.getFullName, seen.getOrElse(s.getFullName, 0) + 1)
+        val fields = s.getFields.asScala.flatMap { f =>
+          parseType(f.schema(), inner, maxDepth).map { _ =>
+            rebuild(c.getField(f.name()), f.schema(), inner, maxDepth, mode).as(f.name())
+          }
+        }.toSeq
+        when(c.isNotNull, struct(fields: _*))
+      case UNION =>
+        nonNull(s) match {
+          case Seq()  => c
+          case Seq(b) => rebuild(c, b, seen, maxDepth, mode)
+          case many   => unionCol(c, many, s, seen, maxDepth, mode)
+        }
+      case _ => c
+    }
+  }
+
+  /** Decode a raw `{"branchName": value}` wrapper into the memberN
+    * struct encoding. The wrapper is parsed once as map<string,string>
+    * (values captured verbatim), the selector key picks the branch,
+    * and anything else — non-object, zero/multi-key, unknown name —
+    * is a `UnionResolutionError`. (Ambiguity, the reference's other
+    * error case, cannot arise from a schema Avro itself accepts:
+    * selector names are unique within a valid union.)
+    */
+  private def unionCol(c: Column, branches: Seq[Schema], u: Schema,
+                       seen: Map[String, Int], maxDepth: Int, mode: Mode): Column = {
+    val target = targetType(u, seen, maxDepth)
+    val names  = branches.map(branchName)
+    val m      = from_json(c, MapType(StringType, StringType))
+    val key    = map_keys(m).getItem(0)
+    val members = branches.zipWithIndex.flatMap { case (b, i) =>
+      AvroSchemas.convert(b, seen, maxDepth).map { _ =>
+        when(key === branchName(b),
+          branchValue(element_at(m, lit(branchName(b))), b, seen, maxDepth, mode))
+          .as(s"member$i")
+      }
+    }
+    val msg = concat(
+      lit(s"UnionResolutionError: expected one of ${names.mkString("{", ", ", "}")}, got "),
+      coalesce(key, lit("<non-object datum>")))
+    when(c.isNull, lit(null).cast(target))
+      .when(m.isNotNull && size(map_keys(m)) === 1 && key.isInCollection(names),
+        struct(members: _*).cast(target))
+      .otherwise(err(mode, msg, target))
+  }
+
+  /** Decode one union branch from its captured JSON text. */
+  private def branchValue(v: Column, b: Schema, seen: Map[String, Int],
+                          maxDepth: Int, mode: Mode): Column = {
+    import Schema.Type._
+    def castTo(dt: DataType): Column = mode match {
+      case FailFast   => v.cast(dt) // ANSI: malformed literal raises
+      case Permissive => v.try_cast(dt)
+    }
+    b.getType match {
+      case BOOLEAN => castTo(BooleanType)
+      case INT     => rebuild(castTo(IntegerType), b, seen, maxDepth, mode)
+      case LONG    => rebuild(castTo(LongType), b, seen, maxDepth, mode)
+      case FLOAT   => castTo(FloatType)
+      case DOUBLE  => castTo(DoubleType)
+      case STRING  => v
+      case ENUM | BYTES | FIXED =>
+        b.getLogicalType match {
+          case d: LogicalTypes.Decimal => castTo(DecimalType(d.getPrecision, d.getScale))
+          case _                       => rebuild(v, b, seen, maxDepth, mode)
+        }
+      case RECORD | ARRAY | MAP =>
+        val pt = parseType(b, seen, maxDepth).getOrElse(NullType)
+        val opts = mode match {
+          case FailFast   => Map("mode" -> "FAILFAST")
+          case Permissive => Map.empty[String, String]
+        }
+        rebuild(from_json(v, pt, opts), b, seen, maxDepth, mode)
+      case UNION | NULL => lit(null) // Avro forbids directly nested unions
+    }
+  }
+
+  // ---- stage 3: defaults ---------------------------------------------------
+
+  private def hasDefaults(s: Schema, seen: Map[String, Int], maxDepth: Int): Boolean = {
+    import Schema.Type._
+    s.getType match {
+      case RECORD =>
+        val depth = seen.getOrElse(s.getFullName, 0)
+        depth < maxDepth && {
+          val inner = seen.updated(s.getFullName, depth + 1)
+          s.getFields.asScala.exists(f =>
+            f.hasDefaultValue || hasDefaults(f.schema(), inner, maxDepth))
+        }
+      case ARRAY => hasDefaults(s.getElementType, seen, maxDepth)
+      case MAP   => hasDefaults(s.getValueType, seen, maxDepth)
+      case UNION => nonNull(s).exists(hasDefaults(_, seen, maxDepth))
+      case _     => false
+    }
+  }
+
+  /** Fill missing (null) record fields with declared defaults, at any
+    * nesting depth (reference AvroData.scala:66 models defaults as
+    * full Avro values, records included).
+    */
+  private def fillDefaults(c: Column, s: Schema,
+                           seen: Map[String, Int], maxDepth: Int): Column = {
+    import Schema.Type._
+    s.getType match {
+      case RECORD if hasDefaults(s, seen, maxDepth) =>
+        val inner = seen.updated(s.getFullName, seen.getOrElse(s.getFullName, 0) + 1)
+        val fields = s.getFields.asScala.flatMap { f =>
+          AvroSchemas.convert(f.schema(), inner, maxDepth).map { _ =>
+            val base = fillDefaults(c.getField(f.name()), f.schema(), inner, maxDepth)
+            val filled =
+              if (f.hasDefaultValue)
+                coalesce(base, defaultCol(f.defaultVal(), f.schema(), inner, maxDepth))
+              else base
+            filled.as(f.name())
+          }
+        }.toSeq
+        when(c.isNotNull, struct(fields: _*))
+      case ARRAY if hasDefaults(s.getElementType, seen, maxDepth) =>
+        transform(c, x => fillDefaults(x, s.getElementType, seen, maxDepth))
+      case MAP if hasDefaults(s.getValueType, seen, maxDepth) =>
+        transform_values(c, (_, v) => fillDefaults(v, s.getValueType, seen, maxDepth))
+      case UNION =>
+        nonNull(s) match {
+          case Seq(b) if hasDefaults(b, seen, maxDepth) => fillDefaults(c, b, seen, maxDepth)
+          case many if many.lengthIs > 1 && many.exists(hasDefaults(_, seen, maxDepth)) =>
+            val members = many.zipWithIndex.flatMap { case (b, i) =>
+              AvroSchemas.convert(b, seen, maxDepth).map(_ =>
+                fillDefaults(c.getField(s"member$i"), b, seen, maxDepth).as(s"member$i"))
+            }
+            when(c.isNotNull, struct(members: _*))
+          case _ => c
+        }
+      case _ => c
+    }
+  }
+
+  /** An Avro default value (as surfaced by `Schema.Field.defaultVal`:
+    * boxed primitives, String, java List/Map, byte[],
+    * `JsonProperties.NULL_VALUE`) as a typed literal Column.
+    */
+  private def defaultCol(v: Any, s: Schema,
+                         seen: Map[String, Int], maxDepth: Int): Column = {
+    import Schema.Type._
+    val target = targetType(s, seen, maxDepth)
+    v match {
+      case null | JsonProperties.NULL_VALUE => lit(null).cast(target)
+      case _ =>
+        s.getType match {
+          case UNION =>
+            nonNull(s) match {
+              case Seq()  => lit(null).cast(target)
+              case Seq(b) => defaultCol(v, b, seen, maxDepth)
+              case many =>
+                // a non-null default always belongs to the FIRST branch
+                // (Avro spec: defaults are validated against it)
+                val members = many.zipWithIndex.flatMap { case (b, i) =>
+                  AvroSchemas.convert(b, seen, maxDepth).map { bt =>
+                    (if (i == 0) defaultCol(v, b, seen, maxDepth)
+                     else lit(null).cast(nullableOf(bt))).as(s"member$i")
+                  }
+                }
+                struct(members: _*).cast(target)
+            }
+          case RECORD =>
+            val m = v.asInstanceOf[java.util.Map[String, AnyRef]]
+            val inner = seen.updated(s.getFullName, seen.getOrElse(s.getFullName, 0) + 1)
+            val fields = s.getFields.asScala.flatMap { f =>
+              AvroSchemas.convert(f.schema(), inner, maxDepth).map { _ =>
+                val fv: Any =
+                  if (m.containsKey(f.name())) m.get(f.name())
+                  else if (f.hasDefaultValue) f.defaultVal()
+                  else null
+                defaultCol(fv, f.schema(), inner, maxDepth).as(f.name())
+              }
+            }.toSeq
+            struct(fields: _*).cast(target)
+          case ARRAY =>
+            val elems = v.asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
+              .map(x => defaultCol(x, s.getElementType, seen, maxDepth))
+            array(elems: _*).cast(target)
+          case MAP =>
+            val kvs = v.asInstanceOf[java.util.Map[String, AnyRef]].asScala.toSeq
+              .flatMap { case (k, mv) =>
+                Seq(lit(k), defaultCol(mv, s.getValueType, seen, maxDepth)) }
+            map(kvs: _*).cast(target)
+          case BYTES | FIXED =>
+            v match {
+              case b: Array[Byte] => lit(b).cast(target)
+              // avro surfaces bytes defaults as ISO-8859-1 strings
+              case str: String =>
+                lit(str.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).cast(target)
+              case other => lit(other.toString).cast(target)
+            }
+          case STRING | ENUM => lit(v.toString)
+          case INT =>
+            rebuild(lit(v.asInstanceOf[Number].intValue()), s, seen, maxDepth, FailFast)
+          case LONG =>
+            rebuild(lit(v.asInstanceOf[Number].longValue()), s, seen, maxDepth, FailFast)
+          case FLOAT  => lit(v.asInstanceOf[Number].floatValue())
+          case DOUBLE => lit(v.asInstanceOf[Number].doubleValue())
+          case BOOLEAN => lit(v.asInstanceOf[Boolean])
+          case _ => lit(null).cast(target)
+        }
+    }
+  }
+}

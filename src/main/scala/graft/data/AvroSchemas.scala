@@ -40,7 +40,7 @@ object AvroSchemas {
       .getOrElse(throw new IllegalArgumentException(
         s"schema ${schema.getFullName} prunes to nothing at depth $maxRecursionDepth"))
 
-  private def convert(
+  private[data] def convert(
       s: Schema, seen: Map[String, Int], maxDepth: Int): Option[DataType] = {
     import Schema.Type._
     s.getType match {
@@ -100,7 +100,7 @@ object AvroSchemas {
     }
   }
 
-  private def nullable(s: Schema): Boolean =
+  private[data] def nullable(s: Schema): Boolean =
     s.getType == Schema.Type.NULL ||
       (s.getType == Schema.Type.UNION && s.getTypes.asScala.exists(_.getType == Schema.Type.NULL))
 
@@ -164,18 +164,21 @@ object AvroSchemas {
     }.toMap
 
   /** Decode a column of JSON datums against an Avro schema: the
-    * schema-first JSON decoding of the reference, as one codegen'd
-    * `from_json` + default injection. `options` passes through to
-    * Spark's JSON parser (e.g. mode=FAILFAST for strict decode).
+    * schema-first JSON decoding of the reference. Delegates to
+    * [[AvroJson.decode]], which implements the full datum semantics —
+    * `{"branchName": value}` union wrappers, enum symbol and fixed
+    * length validation, recursive defaults. `options("mode") =
+    * "FAILFAST"` selects strict decode (raise on invalid datum);
+    * anything else is permissive (null out invalid values).
     */
   def decodeJson(
       df: DataFrame, jsonCol: String, avroSchemaJson: String,
       out: String = "decoded", maxRecursionDepth: Int = 1,
       options: Map[String, String] = Map.empty): DataFrame = {
-    val schema = parse(avroSchemaJson)
-    val sparkType = toSparkType(schema, maxRecursionDepth)
-    val parsed = df.withColumn(out, from_json(col(jsonCol), sparkType, options))
-    withDefaults(parsed, out, schema)
+    val mode =
+      if (options.get("mode").exists(_.equalsIgnoreCase("FAILFAST"))) AvroJson.FailFast
+      else AvroJson.Permissive
+    AvroJson.decode(df, jsonCol, avroSchemaJson, out, mode, maxRecursionDepth)
   }
 
   /** Fill null struct fields with the schema's declared defaults. */

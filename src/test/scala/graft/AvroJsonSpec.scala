@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.{AvroJson, AvroSchemas}
+
+/** Validating Avro JSON datum decode (reference AvroJsonFAlgebras):
+  * union branch-name wrappers, enum/fixed validation, recursive
+  * defaults — the semantics VERDICT.md round 1 flagged as missing.
+  */
+class AvroJsonSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def decodeOne(schema: String, json: String,
+                        mode: AvroJson.Mode = AvroJson.FailFast): org.apache.spark.sql.Row =
+    AvroJson.decode(Seq(json).toDF("j"), "j", schema, mode = mode)
+      .select("decoded.*").collect().head
+
+  private def failsWith(msg: String)(body: => Any): Unit = {
+    val e = intercept[Exception](body)
+    def texts(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ texts(t.getCause)
+    assert(texts(e).exists(_.contains(msg)),
+      s"expected failure containing '$msg', got: ${texts(e).mkString(" | ")}")
+  }
+
+  private val unionSchema =
+    """{"type": "record", "name": "U", "fields": [
+      |  {"name": "v", "type": ["null", "int", "string"]}]}""".stripMargin
+
+  test("union datum decodes by branch name (int and string)") {
+    val asInt = decodeOne(unionSchema, """{"v": {"int": 5}}""")
+    val u1 = asInt.getStruct(0)
+    assert(u1.getInt(0) == 5 && u1.isNullAt(1))
+    val asStr = decodeOne(unionSchema, """{"v": {"string": "hi"}}""")
+    val u2 = asStr.getStruct(0)
+    assert(u2.isNullAt(0) && u2.getString(1) == "hi")
+  }
+
+  test("union null datum decodes to null when union has a null branch") {
+    assert(decodeOne(unionSchema, """{"v": null}""").isNullAt(0))
+  }
+
+  test("unknown union branch raises UnionResolutionError in FailFast") {
+    failsWith("UnionResolutionError") {
+      decodeOne(unionSchema, """{"v": {"long": 5}}""")
+    }
+  }
+
+  test("non-object union datum raises UnionResolutionError in FailFast") {
+    failsWith("UnionResolutionError") {
+      decodeOne(unionSchema, """{"v": 5}""")
+    }
+  }
+
+  test("unknown union branch nulls out in Permissive") {
+    assert(decodeOne(unionSchema, """{"v": {"long": 5}}""", AvroJson.Permissive).isNullAt(0))
+  }
+
+  test("record union branch selects by full name") {
+    val s =
+      """{"type": "record", "name": "R", "namespace": "t", "fields": [
+        |  {"name": "v", "type": ["null",
+        |     {"type": "record", "name": "Point", "namespace": "geo",
+        |      "fields": [{"name": "x", "type": "int"}, {"name": "y", "type": "int"}]},
+        |     "string"]}]}""".stripMargin
+    val r = decodeOne(s, """{"v": {"geo.Point": {"x": 1, "y": 2}}}""")
+    val member0 = r.getStruct(0).getStruct(0)
+    assert(member0.getInt(0) == 1 && member0.getInt(1) == 2)
+    failsWith("UnionResolutionError") {
+      decodeOne(s, """{"v": {"Point": {"x": 1, "y": 2}}}""")
+    }
+  }
+
+  test("array and map union branches use their type-kind selectors") {
+    val s =
+      """{"type": "record", "name": "A", "fields": [
+        |  {"name": "v", "type": [{"type": "array", "items": "int"},
+        |                         {"type": "map", "values": "long"}]}]}""".stripMargin
+    val asArr = decodeOne(s, """{"v": {"array": [1, 2, 3]}}""").getStruct(0)
+    assert(asArr.getSeq[Int](0) == Seq(1, 2, 3))
+    val asMap = decodeOne(s, """{"v": {"map": {"a": 7}}}""").getStruct(0)
+    assert(asMap.getMap[String, Long](1) == Map("a" -> 7L))
+  }
+
+  private val enumSchema =
+    """{"type": "record", "name": "E", "fields": [
+      |  {"name": "kind", "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B"]}}]}""".stripMargin
+
+  test("enum accepts declared symbols and rejects unknown ones") {
+    assert(decodeOne(enumSchema, """{"kind": "A"}""").getString(0) == "A")
+    failsWith("EnumError") { decodeOne(enumSchema, """{"kind": "C"}""") }
+    assert(decodeOne(enumSchema, """{"kind": "C"}""", AvroJson.Permissive).isNullAt(0))
+  }
+
+  private val fixedSchema =
+    """{"type": "record", "name": "F", "fields": [
+      |  {"name": "h", "type": {"type": "fixed", "name": "H4", "size": 4}}]}""".stripMargin
+
+  test("fixed validates the decoded byte length") {
+    // base64("ABCD") = "QUJDRA=="  (4 bytes — valid)
+    val ok = decodeOne(fixedSchema, """{"h": "QUJDRA=="}""")
+    assert(ok.getAs[Array[Byte]](0).toSeq == "ABCD".getBytes.toSeq)
+    // base64("ABC") = "QUJD" (3 bytes — FixedError)
+    failsWith("FixedError") { decodeOne(fixedSchema, """{"h": "QUJD"}""") }
+    assert(decodeOne(fixedSchema, """{"h": "QUJD"}""", AvroJson.Permissive).isNullAt(0))
+  }
+
+  test("bytes decode from base64") {
+    val s = """{"type": "record", "name": "B", "fields": [
+              |  {"name": "p", "type": "bytes"}]}""".stripMargin
+    val r = decodeOne(s, """{"p": "QUJDRA=="}""")
+    assert(r.getAs[Array[Byte]](0).toSeq == "ABCD".getBytes.toSeq)
+  }
+
+  test("nested record default materializes through decode") {
+    val s =
+      """{"type": "record", "name": "Outer", "fields": [
+        |  {"name": "id", "type": "long"},
+        |  {"name": "cfg", "type": {"type": "record", "name": "Cfg", "fields": [
+        |       {"name": "retries", "type": "int"},
+        |       {"name": "region", "type": "string"}]},
+        |   "default": {"retries": 3, "region": "eu"}},
+        |  {"name": "inner", "type": {"type": "record", "name": "Inn", "fields": [
+        |       {"name": "a", "type": "long"},
+        |       {"name": "b", "type": "string", "default": "dflt"}]}}]}""".stripMargin
+    val r = decodeOne(s, """{"id": 1, "inner": {"a": 9}}""")
+    val cfg = r.getStruct(1)
+    assert(cfg.getInt(0) == 3 && cfg.getString(1) == "eu",
+      "missing record field takes its full record default")
+    val inner = r.getStruct(2)
+    assert(inner.getLong(0) == 9L && inner.getString(1) == "dflt",
+      "default inside a nested record fills when the record is present")
+  }
+
+  test("array and map defaults materialize") {
+    val s =
+      """{"type": "record", "name": "D", "fields": [
+        |  {"name": "id", "type": "long"},
+        |  {"name": "tags", "type": {"type": "array", "items": "string"}, "default": ["x", "y"]},
+        |  {"name": "weights", "type": {"type": "map", "values": "double"}, "default": {"w": 0.5}}]}""".stripMargin
+    val r = decodeOne(s, """{"id": 1}""")
+    assert(r.getSeq[String](1) == Seq("x", "y"))
+    assert(r.getMap[String, Double](2) == Map("w" -> 0.5))
+  }
+
+  test("timestamp-micros and date logical types decode from epoch numbers") {
+    val s =
+      """{"type": "record", "name": "T", "fields": [
+        |  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        |  {"name": "d", "type": {"type": "int", "logicalType": "date"}}]}""".stripMargin
+    val r = decodeOne(s, """{"ts": 86400000000, "d": 1}""")
+    assert(r.getTimestamp(0).toInstant == java.time.Instant.parse("1970-01-02T00:00:00Z"))
+    assert(r.getDate(1).toLocalDate == java.time.LocalDate.of(1970, 1, 2))
+  }
+
+  test("decodeJson keeps its flat-schema behavior (defaults, events.props)") {
+    val schema =
+      """{"type": "record", "name": "P", "fields": [
+        |  {"name": "k", "type": "long"},
+        |  {"name": "w", "type": "double", "default": 2.5}]}""".stripMargin
+    val df: DataFrame = Seq("""{"k": 1, "w": 9.0}""", """{"k": 2}""").toDF("j")
+    val rows = AvroSchemas.decodeJson(df, "j", schema)
+      .select("decoded.*").orderBy("k").collect()
+    assert(rows(0).getLong(0) == 1 && rows(0).getDouble(1) == 9.0)
+    assert(rows(1).getDouble(1) == 2.5)
+  }
+}
