@@ -17,18 +17,31 @@ import org.apache.spark.sql.types._
   * cluster codec needs), schema derived through [[AvroSchemas]], rows
   * streamed — nothing driver-side.
   *
-  * Supported field types: boolean/int/long/float/double/string/binary,
-  * timestamp (micros logical), date, nullable unions of those, and
-  * arrays of primitives. That covers every testdata table.
+  * Full Avro ADT coverage (parity with the reference's
+  * AvroGenericInteropFAlgebras): primitives, string, bytes, fixed
+  * (length-validated), enum (symbol-validated), decimal logical,
+  * date/timestamp logicals, arrays, maps, nested records, nullable
+  * unions and multi-branch unions (Spark side = the memberN struct
+  * encoding of [[AvroSchemas.toSparkType]]).
   */
 object AvroBinary {
 
-  /** Encode each row to one Avro binary datum (column `avro_bin`). */
-  def encode(df: DataFrame, recordName: String = "record"): DataFrame = {
+  /** Encode each row to one Avro binary datum (column `avro_bin`),
+    * against the schema derived from the DataFrame's own schema.
+    */
+  def encode(df: DataFrame, recordName: String = "record"): DataFrame =
+    encodeAs(df, AvroSchemas.toAvroSchema(df.schema, recordName).toString)
+
+  /** Encode against a caller-supplied Avro schema — the way to target
+    * enum/fixed/multi-branch-union writer schemas (Spark has no native
+    * types for those; string ⇒ enum, binary ⇒ fixed, memberN struct ⇒
+    * union). Row shape must match [[AvroSchemas.toSparkType]] of the
+    * schema.
+    */
+  def encodeAs(df: DataFrame, avroSchemaJson: String): DataFrame = {
     val sparkSchema = df.schema
-    val avroJson = AvroSchemas.toAvroSchema(sparkSchema, recordName).toString
     df.mapPartitions { rows =>
-      val schema = new Schema.Parser().parse(avroJson)
+      val schema = new Schema.Parser().parse(avroSchemaJson)
       val writer = new GenericDatumWriter[GenericRecord](schema)
       val bos = new ByteArrayOutputStream()
       val encoder = EncoderFactory.get().binaryEncoder(bos, null)
@@ -65,7 +78,7 @@ object AvroBinary {
         if (permissive) {
           try {
             val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-            val r = recordToRow(reader.read(null, dec), base)
+            val r = recordToRow(reader.read(null, dec), base, schema)
             Row.fromSeq(r.toSeq :+ false)
           } catch {
             case _: Exception =>
@@ -73,7 +86,7 @@ object AvroBinary {
           }
         } else {
           val dec = DecoderFactory.get().binaryDecoder(bytes, null)
-          recordToRow(reader.read(null, dec), base)
+          recordToRow(reader.read(null, dec), base, schema)
         }
       }
     }(Encoders.row(outSchema))
@@ -81,39 +94,109 @@ object AvroBinary {
 
   // ---- Row ⇄ GenericRecord (the interop fold/unfold) ----
 
+  private def nonNull(s: Schema): Seq[Schema] =
+    s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+
   private def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     st.fields.zipWithIndex.foreach { case (f, i) =>
-      rec.put(f.name, if (row.isNullAt(i)) null else toAvroValue(row.get(i), f.dataType))
+      val fs = schema.getField(f.name).schema()
+      rec.put(f.name, if (row.isNullAt(i)) null else toAvroValue(row.get(i), f.dataType, fs))
     }
     rec
   }
 
-  private def toAvroValue(v: Any, dt: DataType): Any = dt match {
-    case TimestampType =>
-      val t = v.asInstanceOf[java.sql.Timestamp]
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    case TimestampNTZType =>
-      val ldt = v.asInstanceOf[java.time.LocalDateTime]
-      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
-    case DateType => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
-    case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-    case ArrayType(et, _) =>
-      val arr = new java.util.ArrayList[Any]()
-      v.asInstanceOf[scala.collection.Seq[Any]].foreach(x =>
-        arr.add(if (x == null) null else toAvroValue(x, et)))
-      arr
-    case _ => v // primitives map 1:1
+  private def toAvroValue(v: Any, dt: DataType, as: Schema): Any = {
+    import Schema.Type._
+    if (as.getType == UNION) {
+      nonNull(as) match {
+        case Seq(only) => return toAvroValue(v, dt, only)
+        case branches  =>
+          // memberN struct: exactly one non-null member picks the branch
+          val row = v.asInstanceOf[Row]
+          val st = dt.asInstanceOf[StructType]
+          val i = (0 until row.length).indexWhere(!row.isNullAt(_))
+          if (i < 0) return null
+          return toAvroValue(row.get(i), st.fields(i).dataType, branches(i))
+      }
+    }
+    dt match {
+      case TimestampType =>
+        val t = v.asInstanceOf[java.sql.Timestamp]
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      case TimestampNTZType =>
+        val ldt = v.asInstanceOf[java.time.LocalDateTime]
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      case DateType => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case BinaryType =>
+        val bytes = v.asInstanceOf[Array[Byte]]
+        as.getType match {
+          case FIXED =>
+            if (bytes.length != as.getFixedSize)
+              throw new IllegalArgumentException(
+                s"FixedError: ${as.getFullName} expects ${as.getFixedSize} bytes, got ${bytes.length}")
+            new GenericData.Fixed(as, bytes)
+          case _ => java.nio.ByteBuffer.wrap(bytes)
+        }
+      case StringType =>
+        as.getType match {
+          case ENUM =>
+            val sym = v.toString
+            if (!as.getEnumSymbols.contains(sym))
+              throw new IllegalArgumentException(
+                s"EnumError: '$sym' is not a symbol of ${as.getFullName} ${as.getEnumSymbols.asScala.mkString("[", ",", "]")}")
+            new GenericData.EnumSymbol(as, sym)
+          case _ => v
+        }
+      case d: DecimalType =>
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+        val unscaled = bd.unscaledValue().toByteArray
+        as.getType match {
+          case FIXED =>
+            // left-pad with the sign byte to the declared fixed size
+            val out = Array.fill[Byte](as.getFixedSize)(if (bd.signum() < 0) -1 else 0)
+            System.arraycopy(unscaled, 0, out, as.getFixedSize - unscaled.length, unscaled.length)
+            new GenericData.Fixed(as, out)
+          case _ => java.nio.ByteBuffer.wrap(unscaled)
+        }
+      case ArrayType(et, _) =>
+        val arr = new java.util.ArrayList[Any]()
+        v.asInstanceOf[scala.collection.Seq[Any]].foreach(x =>
+          arr.add(if (x == null) null else toAvroValue(x, et, as.getElementType)))
+        arr
+      case MapType(StringType, vt, _) =>
+        val m = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[scala.collection.Map[String, Any]].foreach { case (k, mv) =>
+          m.put(k, if (mv == null) null else toAvroValue(mv, vt, as.getValueType))
+        }
+        m
+      case st: StructType => rowToRecord(v.asInstanceOf[Row], st, as)
+      case _ => v // primitives map 1:1
+    }
   }
 
-  private def recordToRow(rec: GenericRecord, st: StructType): Row =
+  private def recordToRow(rec: GenericRecord, st: StructType, schema: Schema): Row =
     Row.fromSeq(st.fields.toSeq.map { f =>
-      fromAvroValue(rec.get(f.name), f.dataType)
+      fromAvroValue(rec.get(f.name), f.dataType, schema.getField(f.name).schema())
     })
 
-  private def fromAvroValue(v: Any, dt: DataType): Any =
+  private def fromAvroValue(v: Any, dt: DataType, as: Schema): Any = {
+    import Schema.Type._
     if (v == null) null
-    else dt match {
+    else if (as.getType == UNION) {
+      nonNull(as) match {
+        case Seq(only) => fromAvroValue(v, dt, only)
+        case branches =>
+          // datum branch → memberN struct with that member set
+          val st = dt.asInstanceOf[StructType]
+          val unionIdx = GenericData.get().resolveUnion(as, v)
+          val memberIdx = as.getTypes.asScala.take(unionIdx)
+            .count(_.getType != Schema.Type.NULL)
+          Row.fromSeq(st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            if (i == memberIdx) fromAvroValue(v, f.dataType, branches(i)) else null
+          })
+      }
+    } else dt match {
       case TimestampType =>
         val us = v.asInstanceOf[Long]
         val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
@@ -126,12 +209,30 @@ object AvroBinary {
           java.time.ZoneOffset.UTC)
       case DateType =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-      case StringType => v.toString // avro Utf8 → String
+      case StringType => v.toString // avro Utf8 / EnumSymbol → String
       case BinaryType =>
-        val bb = v.asInstanceOf[java.nio.ByteBuffer]
-        val out = new Array[Byte](bb.remaining()); bb.get(out); out
+        v match {
+          case f: GenericData.Fixed => f.bytes().clone()
+          case bb: java.nio.ByteBuffer =>
+            val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+          case other => other.asInstanceOf[Array[Byte]]
+        }
+      case d: DecimalType =>
+        val bytes = v match {
+          case f: GenericData.Fixed => f.bytes()
+          case bb: java.nio.ByteBuffer =>
+            val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+        }
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
       case ArrayType(et, _) =>
-        v.asInstanceOf[java.util.List[Any]].asScala.map(fromAvroValue(_, et)).toSeq
+        v.asInstanceOf[java.util.List[Any]].asScala
+          .map(x => if (x == null) null else fromAvroValue(x, et, as.getElementType)).toSeq
+      case MapType(StringType, vt, _) =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, mv) =>
+          k.toString -> (if (mv == null) null else fromAvroValue(mv, vt, as.getValueType))
+        }.toMap
+      case st: StructType => recordToRow(v.asInstanceOf[GenericRecord], st, as)
       case _ => v
     }
+  }
 }

@@ -55,4 +55,93 @@ class AvroBinarySpec extends AnyFunSuite {
     val sizes = enc.select(length(col("avro_bin")).as("n")).collect().map(_.getInt(0))
     assert(sizes.forall(n => n > 0 && n < 64), s"unexpected datum sizes: ${sizes.toSeq}")
   }
+
+  // ---- full-ADT coverage (VERDICT.md round 1, next-round #4) ----
+
+  private val adtSchemaJson =
+    """{
+      |  "type": "record", "name": "Full", "namespace": "t",
+      |  "fields": [
+      |    {"name": "id", "type": "long"},
+      |    {"name": "kind", "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B"]}},
+      |    {"name": "hash", "type": {"type": "fixed", "name": "H4", "size": 4}},
+      |    {"name": "attrs", "type": {"type": "map", "values": "int"}},
+      |    {"name": "inner", "type": {"type": "record", "name": "Inner", "fields": [
+      |        {"name": "xs", "type": {"type": "array", "items": "double"}},
+      |        {"name": "tags", "type": {"type": "map", "values": "string"}}]}},
+      |    {"name": "v", "type": ["null", "int", "string"]}
+      |  ]
+      |}""".stripMargin
+
+  private def adtRows = {
+    import org.apache.spark.sql.Row
+    Seq(
+      Row(1L, "A", Array[Byte](1, 2, 3, 4), Map("a" -> 1),
+        Row(Seq(0.5, 1.5), Map("t" -> "x")), Row(java.lang.Integer.valueOf(7), null)),
+      Row(2L, "B", Array[Byte](9, 9, 9, 9), Map.empty[String, Int],
+        Row(Seq.empty[Double], Map.empty[String, String]), Row(null, "s")),
+      Row(3L, "A", Array[Byte](0, 0, 0, 1), Map("z" -> -1),
+        Row(Seq(2.0), Map("k" -> "v")), null))
+  }
+
+  private def adtDf = {
+    val st = AvroSchemas.toSparkType(AvroSchemas.parse(adtSchemaJson))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(spark.sparkContext.parallelize(adtRows, 2), st)
+  }
+
+  test("enum/fixed/map/nested-record/multi-union roundtrip through binary Avro") {
+    val enc = AvroBinary.encodeAs(adtDf, adtSchemaJson)
+    val back = AvroBinary.decode(enc, "avro_bin", adtSchemaJson)
+    // set ops reject MAP columns; compare a canonical JSON rendering
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("id").toJSON.collect().toSeq
+    assert(back.count() == 3)
+    assert(canon(back) == canon(adtDf), "full-ADT roundtrip altered values")
+  }
+
+  test("full-ADT datums cross-read by plain avro-core") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    val schema = new Schema.Parser().parse(adtSchemaJson)
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val datums = AvroBinary.encodeAs(adtDf, adtSchemaJson).collect()
+      .map(_.getAs[Array[Byte]](0))
+    val recs = datums.map { b =>
+      reader.read(null, DecoderFactory.get().binaryDecoder(b, null))
+    }.sortBy(_.get("id").asInstanceOf[Long])
+    assert(recs(0).get("kind").toString == "A")
+    assert(recs(0).get("hash").asInstanceOf[GenericData.Fixed].bytes().toSeq ==
+      Seq[Byte](1, 2, 3, 4))
+    assert(recs(0).get("v") == 7, "int union branch readable by avro-core")
+    assert(recs(1).get("v").toString == "s", "string union branch readable by avro-core")
+    assert(recs(2).get("v") == null, "null union branch readable by avro-core")
+    val inner = recs(2).get("inner").asInstanceOf[GenericRecord]
+    assert(inner.get("xs").asInstanceOf[java.util.List[Double]].asScala.toSeq == Seq(2.0))
+    val attrs = recs(2).get("attrs").asInstanceOf[java.util.Map[Any, Any]].asScala
+    assert(attrs.map { case (k, v) => k.toString -> v }.toMap == Map("z" -> -1))
+  }
+
+  test("binary encode validates enum symbols and fixed lengths") {
+    import org.apache.spark.sql.Row
+    val st = adtDf.schema
+    val badEnum = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "C", Array[Byte](1, 2, 3, 4),
+        Map.empty[String, Int], Row(Seq.empty[Double], Map.empty[String, String]), null)), 1), st)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      AvroBinary.encodeAs(badEnum, adtSchemaJson).collect()
+    }
+    assert(e1.getMessage.contains("EnumError") ||
+      Option(e1.getCause).exists(_.getMessage.contains("EnumError")))
+    val badFixed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "A", Array[Byte](1, 2, 3),
+        Map.empty[String, Int], Row(Seq.empty[Double], Map.empty[String, String]), null)), 1), st)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      AvroBinary.encodeAs(badFixed, adtSchemaJson).collect()
+    }
+    assert(e2.getMessage.contains("FixedError") ||
+      Option(e2.getCause).exists(_.getMessage.contains("FixedError")))
+  }
 }
