@@ -72,6 +72,8 @@ object SparkEntry {
     "q50_datetime_suite"  -> q(WindowSuite.q50),
     "q51_null_handling"   -> q(WindowSuite.q51),
     "q52_map_roundtrip"   -> q(JsonOps.q52),
+    "q53_embed_neardup"   -> q(Dedup.q53),
+    "q54_token_count"     -> q(TextAnalysis.q54),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -621,5 +623,34 @@ object SparkEntry {
         |FROM m, unnest(map_entries(mp)) AS u(e)
         |WHERE user_id < 50
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q53_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(emb, v -> v + 0.01)
+        |  FROM base WHERE vec_id < 50),
+        |e AS (
+        |  SELECT vec_id, emb,
+        |    array_to_string(list_transform(emb[1:8],
+        |      v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS block
+        |  FROM corpus)
+        |SELECT vec_a, vec_b, round(c, 4) AS cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_cosine_similarity(a.emb, b.emb) AS c
+        |  FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id)
+        |WHERE c >= 0.92
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q54_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |    CAST(greatest(len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 1) AS DOUBLE), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

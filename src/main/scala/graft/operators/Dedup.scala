@@ -174,6 +174,37 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** q53: embedding-cosine near-duplicates — the vector-space member
+    * of the dedup family. Candidate pairs only form inside a sign-
+    * signature block (axis-aligned hyperplane code over the leading 8
+    * dims → 256 buckets), never all-pairs, so the join shuffles on the
+    * block key and scales like q32/q33; the verification inner loop is
+    * the codegen'd CosineSimilarity expression. The corpus gets
+    * deterministic perturbed re-uploads (elementwise +0.01 in double —
+    * bit-identical on any IEEE engine) so true near-dups exist at
+    * every SF, mirroring [[corpus]]'s re-crawled shards.
+    */
+  def q53(t: Tables): DataFrame = {
+    graft.functions.GraftFunctions.register(t.spark)
+    val base = t.embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("emb"), v => v + lit(0.01)).as("emb")))
+    val e = corpus.withColumn("block",
+      concat_ws("", transform(slice(col("emb"), 1, 8),
+        v => when(v >= 0, lit("1")).otherwise(lit("0")))))
+    val a = e.select(col("block"), col("vec_id").as("vec_a"), col("emb").as("ea"))
+    val b = e.select(col("block"), col("vec_id").as("vec_b"), col("emb").as("eb"))
+    a.join(b, Seq("block"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", call_function("cosine_sim", col("ea"), col("eb")))
+      .filter(col("cos_raw") >= 0.92)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** q34: 60-bit SimHash fingerprints (rows-only; DedupSpec asserts
     * hamming closeness of known near-dups).
     */

@@ -41,6 +41,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q54: token counting, whitespace + BPE-ish — the tokenizer-budget
+    * estimate a training-data pipeline runs before the real tokenizer:
+    * a GPT-2-style pre-tokenizer regex (apostrophe contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs) counted
+    * per document, next to the whitespace count and a chars-per-token
+    * ratio. Pure map-side regex work (ASCII pattern — identical
+    * semantics in Java regex and RE2).
+    */
+  def q54(t: Tables): DataFrame = {
+    val bpePat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    val lowered = lower(col("text"))
+    val ws = filter(split(lowered, "\\s+"), x => x =!= "")
+    t.documents
+      .withColumn("n_bpe", size(regexp_extract_all(lowered, lit(bpePat), lit(0))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_bpe"),
+        size(ws).cast("long").as("n_ws"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(length(col("text")).cast("double") /
+          greatest(col("n_bpe"), lit(1L)).cast("double"), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q29: document fingerprint — md5 over the normalized text. */
   def q29(t: Tables): DataFrame =
     t.documents

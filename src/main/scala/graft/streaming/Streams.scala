@@ -75,6 +75,20 @@ object Streams {
         expr("unix_micros(l_ts) - unix_micros(r_ts)").as("diff_us"))
   }
 
+  /** Streaming exact deduplication — the streaming member of the
+    * dedup family (q31's analogue for continuous ingest): drop
+    * re-deliveries of the same fingerprint while the watermark keeps
+    * the dedup state bounded (`dropDuplicatesWithinWatermark` evicts
+    * fingerprints older than the watermark instead of remembering
+    * every key forever — the only formulation that survives an
+    * unbounded 100 TB/day stream).
+    */
+  def dedup(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+            watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization (30-minute inactivity) as custom
     * streaming state: one `OpenSession` per user in the state store,
     * closed sessions emitted as soon as the gap is observed. State is

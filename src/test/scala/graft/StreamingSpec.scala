@@ -43,6 +43,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-delivered events, keeps all distinct ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = eventSeq.take(500)
+    val stream = MemoryStream[Event]
+    // every event delivered twice (same micro-batch set) — the shape
+    // of an at-least-once source re-delivering on retry
+    stream.addData(events ++ events)
+    val query = Streams.dedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val out = spark.table("dedup_out")
+      assert(out.count() == events.length,
+        s"expected ${events.length} distinct events, got ${out.count()}")
+      assert(out.select("event_id").distinct().count() == events.length)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join reproduces batch q39 pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
