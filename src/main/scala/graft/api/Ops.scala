@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.TextFunctions._
+
 /** Public fluent API over the engine's composed operators — the
   * library surface a reference user programs against. Each method is
   * the generalized, parameterized form of the corresponding SURVEY.md
@@ -82,5 +84,121 @@ object Ops {
         .agg(count(lit(1)).as("__partial"))
         .groupBy(col(key))
         .agg(sum(col("__partial")).as("cnt"))
+
+    // ---- deduplication family (the generalized forms of q31–q33/q53) ----
+
+    /** Exact dedup by normalized-text fingerprint: one hash-groupBy
+      * shuffle — the 100 TB-safe primitive. Returns (fingerprint,
+      * dup_count, keep_id = min id).
+      */
+    def dedupExact(id: String, text: String): DataFrame =
+      left
+        .select(col(id), md5(normText(col(text)).cast("binary")).as("fingerprint"))
+        .groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("dup_count"), min(col(id)).as("keep_id"))
+
+    /** n-gram Jaccard near-dup pairs with min-shingle blocking:
+      * candidate pairs only form inside a block, so the self-join
+      * shuffles on the block key instead of the cross product.
+      * Exact-verifiable; for skew-proof banding at corpus scale use
+      * [[minhashLshPairs]]. Returns (doc_a, doc_b, jaccard ≥ threshold).
+      */
+    def nearDupPairs(id: String, text: String, threshold: Double): DataFrame = {
+      val sh = left
+        .withColumn("__toks", tokens(col(text)))
+        .select(col(id), shingles3(col("__toks")).as("__s"))
+        .filter(size(col("__s")) > 0)
+        .withColumn("__block", array_min(col("__s")))
+        .localCheckpoint(true) // both self-join legs reuse the shingles
+      val a = sh.select(col("__block"), col(id).as("doc_a"), col("__s").as("__sa"))
+      val b = sh.select(col("__block"), col(id).as("doc_b"), col("__s").as("__sb"))
+      val inter = size(array_intersect(col("__sa"), col("__sb")))
+      val union = size(col("__sa")) + size(col("__sb")) - inter
+      a.join(b, Seq("__block"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+
+    /** MinHash + LSH banding near-dup pairs — the production-scale
+      * formulation: banding carries only (id, band, bucket), candidate
+      * pairs form inside a (band, bucket), shingle sets are joined
+      * back just for the exact-Jaccard verification of candidates.
+      * Returns (doc_a, doc_b, jaccard ≥ threshold).
+      */
+    def minhashLshPairs(id: String, text: String, threshold: Double,
+                        perms: Int = 64, bands: Int = 16): DataFrame = {
+      require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
+      val rows = perms / bands
+      val sh = left
+        .withColumn("__toks", tokens(col(text)))
+        .select(col(id), shingles3(col("__toks")).as("__s"))
+        .filter(size(col("__s")) > 0)
+        .localCheckpoint(true) // shared by banding + both shingle joins
+      val banded = sh
+        .withColumn("__hp", minhashPairs(col("__s")))
+        .withColumn("__sig", minhashSignature(col("__hp"), perms))
+        .select(col(id),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))))))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+        .localCheckpoint(true) // both self-join legs reuse the signatures
+      val a = banded.select(col("__band"), col("__bucket"), col(id).as("doc_a"))
+      val b = banded.select(col("__band"), col("__bucket"), col(id).as("doc_b"))
+      val cand = a.join(b, Seq("__band", "__bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val withSets = cand
+        .join(sh.select(col(id).as("doc_a"), col("__s").as("__sa")), Seq("doc_a"))
+        .join(sh.select(col(id).as("doc_b"), col("__s").as("__sb")), Seq("doc_b"))
+      val inter = size(array_intersect(col("__sa"), col("__sb")))
+      val union = size(col("__sa")) + size(col("__sb")) - inter
+      withSets
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+
+    /** Embedding-cosine near-dup pairs with sign-signature blocking
+      * (axis-aligned hyperplane code over the leading `signBits`
+      * dims → 2^signBits buckets): pairs only form inside a block;
+      * the codegen'd cosine expression verifies candidates. Requires
+      * `GraftFunctions.register(spark)`. Returns (vec_a, vec_b,
+      * cosine ≥ threshold).
+      */
+    def embeddingNearDups(id: String, emb: String, threshold: Double,
+                          signBits: Int = 8): DataFrame = {
+      val e = left.select(col(id), col(emb).cast("array<double>").as("__e"))
+        .withColumn("__block",
+          concat_ws("", transform(slice(col("__e"), 1, signBits),
+            v => when(v >= 0, lit("1")).otherwise(lit("0")))))
+      val a = e.select(col("__block"), col(id).as("vec_a"), col("__e").as("__ea"))
+      val b = e.select(col("__block"), col(id).as("vec_b"), col("__e").as("__eb"))
+      a.join(b, Seq("__block"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cosine", call_function("cosine_sim", col("__ea"), col("__eb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+    }
+
+    /** Brute-force cosine top-k against a bounded query set: the query
+      * side is broadcast, the corpus side streams partitioned — one
+      * scan, no shuffle except the per-query top-k window. Requires
+      * `GraftFunctions.register(spark)`. Returns (qid, rank, vid, score).
+      */
+    def cosineTopK(queries: DataFrame, id: String, emb: String,
+                   queryId: String, queryEmb: String, k: Int): DataFrame = {
+      val q = queries.select(col(queryId).as("qid"),
+        col(queryEmb).cast("array<double>").as("__qe"))
+      val c = left.select(col(id).as("vid"), col(emb).cast("array<double>").as("__ce"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
+      c.join(broadcast(q), col("vid") =!= col("qid"))
+        .withColumn("score", call_function("cosine_sim", col("__qe"), col("__ce")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("vid"), col("score"))
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.api.Ops._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 import graft.util.Portable._
@@ -30,38 +31,16 @@ object Dedup {
 
   /** q31: exact dedup — group by normalized-text md5, keep min id. */
   def q31(t: Tables): DataFrame =
-    corpus(t)
-      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fingerprint"))
-      .groupBy(col("fingerprint"))
-      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
-      .orderBy(col("keep_id"))
+    corpus(t).dedupExact("doc_id", "text").orderBy(col("keep_id"))
 
   /** q32: n-gram Jaccard near-dup pairs with min-shingle blocking —
     * candidate pairs only form within a block, so the join shuffles on
     * the block key instead of exploding the full cross product.
+    * (Generalized form: [[graft.api.Ops.GraftDataFrameOps.nearDupPairs]].)
     */
-  def q32(t: Tables): DataFrame = {
-    // project tokens → shingles as attributes: expressions referenced
-    // inside HOF lambdas re-evaluate per element, attributes don't.
-    // materialize the derived shingle table once — both self-join legs
-    // read the checkpoint instead of re-running tokenize+shingle
-    val sh = t.documents
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), shingles3(col("toks")).as("s"))
-      .filter(size(col("s")) > 0)
-      .withColumn("block", array_min(col("s")))
-      .localCheckpoint(true)
-    val a = sh.select(col("block"), col("doc_id").as("doc_a"), col("s").as("sa"))
-    val b = sh.select(col("block"), col("doc_id").as("doc_b"), col("s").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val union = size(col("sa")) + size(col("sb")) - inter
-    a.join(b, Seq("block"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  def q32(t: Tables): DataFrame =
+    t.documents.nearDupPairs("doc_id", "text", threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** q33: MinHash + LSH banding (64 perms, 16 bands × 4 rows).
     * Candidates share at least one band bucket; each candidate pair is
@@ -69,45 +48,17 @@ object Dedup {
     * the probabilistic banding isn't reasonably SQL-expressible, but
     * DedupSpec checks its recall against q32's exact pairs.
     */
-  def q33(t: Tables): DataFrame = {
-    val perms = 64; val bands = 16; val rows = perms / bands
-    val sh = t.documents
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), shingles3(col("toks")).as("s"))
-      .filter(size(col("s")) > 0)
+  def q33(t: Tables): DataFrame =
     // shingle sets stay OUT of the banding explode and the self-join:
     // the 16× band explode and the (band, bucket) shuffle carry only
     // (doc_id, band, bucket) — ~constant bytes/row — and the full
     // shingle arrays are joined back by doc_id only for the deduped
     // candidate pairs. At corpus scale this cuts the banding shuffle
     // by roughly the average shingle-set size (orders of magnitude).
-    val shCk = sh.localCheckpoint(true) // shared by banding + both shingle joins
-    val banded = shCk
-      .withColumn("hp", minhashPairs(col("s")))
-      .withColumn("sig", minhashSignature(col("hp"), perms))
-      .select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .localCheckpoint(true) // both self-join legs reuse the signatures
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val withSets = cand
-      .join(shCk.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
-      .join(shCk.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val union = size(col("sa")) + size(col("sb")) - inter
-    withSets
-      .withColumn("jaccard", inter.cast("double") / union.cast("double"))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // (Generalized form: Ops.minhashLshPairs — this is the production
+    // path; q32's min-shingle blocking is the oracle companion.)
+    t.documents.minhashLshPairs("doc_id", "text", threshold = 0.5, perms = 64, bands = 16)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** q46: near-dup clusters — connected components over the q32 pair
     * graph by iterative min-label propagation (each round: label :=
@@ -192,16 +143,8 @@ object Dedup {
       base.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("emb"), v => v + lit(0.01)).as("emb")))
-    val e = corpus.withColumn("block",
-      concat_ws("", transform(slice(col("emb"), 1, 8),
-        v => when(v >= 0, lit("1")).otherwise(lit("0")))))
-    val a = e.select(col("block"), col("vec_id").as("vec_a"), col("emb").as("ea"))
-    val b = e.select(col("block"), col("vec_id").as("vec_b"), col("emb").as("eb"))
-    a.join(b, Seq("block"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_raw", call_function("cosine_sim", col("ea"), col("eb")))
-      .filter(col("cos_raw") >= 0.92)
-      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cosine"))
+    corpus.embeddingNearDups("vec_id", "emb", threshold = 0.92, signBits = 8)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

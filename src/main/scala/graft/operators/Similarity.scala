@@ -24,17 +24,15 @@ object Similarity {
   private def cos(a: String, b: String) =
     call_function("cosine_sim", col(a).cast("array<double>"), col(b).cast("array<double>"))
 
-  /** q35: brute-force cosine top-5 for the first 10 query vectors. */
+  /** q35: brute-force cosine top-5 for the first 10 query vectors.
+    * (Generalized form: [[graft.api.Ops.GraftDataFrameOps.cosineTopK]].)
+    */
   def q35(t: Tables): DataFrame = {
     GraftFunctions.register(t.spark)
-    val q = t.embeddings.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val c = t.embeddings.select(col("vec_id").as("vid"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
-    c.join(broadcast(q), col("vid") =!= col("qid"))
-      .withColumn("score", cos("q_emb", "c_emb"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+    import graft.api.Ops._
+    t.embeddings
+      .cosineTopK(t.embeddings.filter(col("vec_id") < 10),
+        id = "vec_id", emb = "embedding", queryId = "vec_id", queryEmb = "embedding", k = 5)
       .select(col("qid"), col("rank"), col("vid"), round(col("score"), 4).as("score"))
       .orderBy(col("qid"), col("rank"))
   }

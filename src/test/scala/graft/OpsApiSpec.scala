@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.Ops._
-import graft.operators.{JsonOps, Temporal}
+import graft.operators.{Dedup, JsonOps, Temporal}
 import graft.sources.Tables
 
 /** The public fluent API must reproduce the oracle-checked operator
@@ -68,5 +68,36 @@ class OpsApiSpec extends AnyFunSuite {
     val salted = t.events.saltedCount("event_type", buckets = 8)
     val plain = t.events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("dedupExact partitions the corpus: dup_counts sum to row count") {
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val out = docs.dedupExact("doc_id", "text")
+    assert(out.agg(sum(col("dup_count"))).collect().head.getLong(0) == docs.count())
+    assert(out.select("keep_id").distinct().count() == out.count())
+  }
+
+  test("minhashLshPairs with coarser banding still recovers exact near-dups") {
+    val exact = Dedup.q32(t).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = t.documents.minhashLshPairs("doc_id", "text", 0.5, perms = 64, bands = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // 8 bands × 8 rows is a stricter banding than q33's 16×4 — recall
+    // may drop but must stay useful for 0.5+ similarity
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
+  test("embeddingNearDups: fewer sign bits → coarser blocks → superset of pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    def pairs(bits: Int): Set[(Long, Long)] =
+      t.embeddings.embeddingNearDups("vec_id", "embedding", threshold = 0.3, signBits = bits)
+        .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fine = pairs(8)
+    val coarse = pairs(4)
+    assert(coarse.nonEmpty, "threshold 0.3 should find some pairs")
+    assert(fine.subsetOf(coarse),
+      "every pair blocked together on 8 sign bits must also block together on 4")
   }
 }
