@@ -97,7 +97,7 @@ object AvroBinary {
   private def nonNull(s: Schema): Seq[Schema] =
     s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
 
-  private def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
+  private[data] def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     st.fields.zipWithIndex.foreach { case (f, i) =>
       val fs = schema.getField(f.name).schema()
@@ -175,7 +175,7 @@ object AvroBinary {
     }
   }
 
-  private def recordToRow(rec: GenericRecord, st: StructType, schema: Schema): Row =
+  private[data] def recordToRow(rec: GenericRecord, st: StructType, schema: Schema): Row =
     Row.fromSeq(st.fields.toSeq.map { f =>
       fromAvroValue(rec.get(f.name), f.dataType, schema.getField(f.name).schema())
     })

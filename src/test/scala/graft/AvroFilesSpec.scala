@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.AvroFiles
+import graft.sources.Tables
+
+/** Avro container-file sink/source: per-partition files, streamed
+  * executors-side, reader-schema resolution (schema evolution).
+  */
+class AvroFilesSpec extends AnyFunSuite {
+  import SparkTestSession._
+  private lazy val t = Tables(spark, sfDir)
+
+  private def tmp(): String = Files.createTempDirectory("graft_avro").toString
+
+  test("orders roundtrip through Avro container files, one file per partition") {
+    val dir = tmp()
+    val df = t.orders.repartition(3)
+    val schemaJson = AvroFiles.write(df, dir, "orders")
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 3, s"expected 3 container files, got ${files.length}")
+    val back = AvroFiles.read(spark, dir, schemaJson)
+    assert(back.count() == df.count())
+    assert(back.except(df).isEmpty && df.except(back).isEmpty,
+      "container-file roundtrip altered values")
+  }
+
+  test("reader-schema resolution: added field takes default, dropped field skipped") {
+    import spark.implicits._
+    val dir = tmp()
+    val writerDf = Seq((1L, 0.5, "a"), (2L, 1.5, "b")).toDF("k", "v", "tag")
+    AvroFiles.write(writerDf, dir, "Evo")
+    // reader schema: drops `v`, adds defaulted `w` — standard evolution
+    val readerSchema =
+      """{"type": "record", "name": "Evo", "namespace": "graft", "fields": [
+        |  {"name": "k", "type": "long"},
+        |  {"name": "tag", "type": ["null", "string"], "default": null},
+        |  {"name": "w", "type": "double", "default": 9.5}]}""".stripMargin
+    val out = AvroFiles.read(spark, dir, readerSchema).orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(9.5, 9.5),
+      "added field must take its declared default on old data")
+    assert(out.head.length == 3, "dropped writer field must not surface")
+  }
+
+  test("container files are readable by plain avro-core tooling") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val dir = tmp()
+    AvroFiles.write(t.region, dir, "region")
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    val reader = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+    val names = reader.iterator().asScala.map(_.get("r_name").toString).toSeq
+    assert(names.nonEmpty && names.toSet.subsetOf(
+      t.region.select(col("r_name")).collect().map(_.getString(0)).toSet))
+  }
+}
