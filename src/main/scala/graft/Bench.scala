@@ -18,7 +18,7 @@ object Bench {
     "q21_asof_join", "q22_sessionize", "q23_time_bucket",
     "q26_nested_explode", "q29_fingerprint", "q31_dedup_exact",
     "q32_jaccard_pairs", "q35_cosine_topk", "q39_range_join",
-    "q42_label_centroids", "q46_dedup_clusters")
+    "q42_label_centroids", "q46_dedup_clusters", "q55_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

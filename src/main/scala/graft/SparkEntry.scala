@@ -74,6 +74,7 @@ object SparkEntry {
     "q52_map_roundtrip"   -> q(JsonOps.q52),
     "q53_embed_neardup"   -> q(Dedup.q53),
     "q54_token_count"     -> q(TextAnalysis.q54),
+    "q55_curation"        -> q(Pipeline.q55),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -652,5 +653,53 @@ object SparkEntry {
         |  round(CAST(length(text) AS DOUBLE) /
         |    CAST(greatest(len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')), 1) AS DOUBLE), 4) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q55_curation" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tokens_d,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |         x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, source,
+        |    round(0.5 * least(n_chars_d / 500.0, 1.0)
+        |        + 0.3 * (1.0 - n_punct / n_chars_d)
+        |        + 0.2 * (n_stop / n_tokens_d), 6) AS quality_score,
+        |    CAST(n_tokens_d AS BIGINT) AS n_tokens
+        |  FROM c),
+        |gated AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+        |exact AS (
+        |  SELECT doc_id, text, source, quality_score, n_tokens FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY
+        |      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS min_id
+        |    FROM gated) WHERE doc_id = min_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                      x -> x <> '') AS t
+        |        FROM exact)
+        |  WHERE len(t) >= 3),
+        |blocked AS (SELECT doc_id, s, list_min(s) AS block FROM sh WHERE len(s) > 0),
+        |dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |survivors AS (
+        |  SELECT e.* FROM exact e LEFT JOIN dropped d ON e.doc_id = d.doc_id
+        |  WHERE d.doc_id IS NULL)
+        |SELECT doc_id, source, quality_score, n_tokens
+        |FROM survivors
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 <
+        |  CAST(CASE WHEN source IN ('src0', 'src1') THEN 50
+        |            WHEN source IN ('src2', 'src3') THEN 20
+        |            ELSE 10 END AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

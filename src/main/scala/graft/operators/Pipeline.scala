@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.Ops._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** q55: the end-to-end training-data **curation pipeline** — the
+  * composition the individual operator families exist for, as one
+  * declarative plan:
+  *
+  *   1. quality gate (q40's composite score ≥ 0.5),
+  *   2. exact dedup (q31's normalized-md5 fingerprint, keep min id),
+  *   3. near-dup removal (drop the larger id of every q32-style
+  *      blocked-Jaccard pair among the survivors),
+  *   4. deterministic stratified sampling (q49's portable-hash
+  *      buckets × per-source rates).
+  *
+  * Each stage is shuffle-minimal on its own (window over the
+  * fingerprint, blocked pair join, map-side sampling) and the whole
+  * chain is one lazy plan — Catalyst pushes the quality gate beneath
+  * everything downstream, so later stages only ever see survivors.
+  */
+object Pipeline {
+
+  def q55(t: Tables): DataFrame = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(toks).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val nStop = size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double")
+    val score =
+      lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / nChars) +
+      lit(0.2) * (nStop / nTokens)
+
+    val gated = t.documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("quality_score", round(score, 6))
+      .filter(col("quality_score") >= 0.5)
+
+    val w = Window.partitionBy(col("fingerprint"))
+    val exactKept = gated
+      .withColumn("fingerprint", md5(normText(col("text")).cast("binary")))
+      .withColumn("min_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("min_id"))
+      .drop("min_id", "fingerprint")
+
+    val dropped = exactKept.nearDupPairs("doc_id", "text", threshold = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val survivors = exactKept.join(dropped, Seq("doc_id"), "left_anti")
+
+    val bucket = pmod(portableHash64(col("doc_id").cast("string")), lit(100))
+    val rate = when(col("source").isin("src0", "src1"), 50)
+      .when(col("source").isin("src2", "src3"), 20)
+      .otherwise(10)
+    survivors
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("source"), col("quality_score"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}
