@@ -44,11 +44,16 @@ object Pipeline {
       .filter(col("quality_score") >= 0.5)
 
     val w = Window.partitionBy(col("fingerprint"))
+    // materialized once: both the near-dup pair join (via its own
+    // shingle checkpoint) and the final anti-join read this leg —
+    // without the checkpoint the scan+score+fingerprint window runs
+    // twice (self-join-on-derived-table rule, see memory/VERDICT r1)
     val exactKept = gated
       .withColumn("fingerprint", md5(normText(col("text")).cast("binary")))
       .withColumn("min_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("min_id"))
       .drop("min_id", "fingerprint")
+      .localCheckpoint(true)
 
     val dropped = exactKept.nearDupPairs("doc_id", "text", threshold = 0.5)
       .select(col("doc_b").as("doc_id")).distinct()

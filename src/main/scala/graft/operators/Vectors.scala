@@ -40,6 +40,56 @@ object Vectors {
         count(lit(1)).as("n_dims"))
       .orderBy(col("label"))
 
+  /** Lloyd's k-means over an embedding column — the trainer for the
+    * coarse quantizer an IVF ANN index needs (q36 searches fixed
+    * cells; this learns them). Scale shape per iteration:
+    *
+    *  - **assignment is pure map-side**: the k centroids are collected
+    *    (k × dim doubles — driver-tiny, like q46's convergence probe)
+    *    and embedded as a literal array, so the argmin is a codegen'd
+    *    expression over the streaming corpus scan — zero shuffle;
+    *  - **re-centering is one (cid, dim) shuffle** with decimal
+    *    accumulation, so reducer order can't perturb the means and the
+    *    result is identical under any partitioning;
+    *  - each round `localCheckpoint`s (iterative-lineage rule).
+    *
+    * Deterministic: seeds are the k lowest-id vectors, distance ties
+    * break on cid. Empty clusters drop out (k shrinks).
+    * Returns (cid, centroid array<double>, cluster_size).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, embCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"k=$k, iters=$iters must be positive")
+    val vecs = df.select(col(embCol).cast("array<double>").as("v")).localCheckpoint(true)
+    var cents: Seq[(Int, Seq[Double])] = df
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(k).collect().toSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    var result: DataFrame = null
+    for (_ <- 1 to iters) {
+      val centArr = array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c")) }: _*)
+      val best = array_min(transform(centArr, ct => struct(
+        aggregate(zip_with(col("v"), ct.getField("c"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e).as("d2"),
+        ct.getField("cid").as("cid"))))
+      result = vecs
+        .select(best.getField("cid").as("cid"), col("v"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,12)")).cast("double") / count(lit(1))).as("m"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("centroid"),
+          max(col("n")).as("cluster_size"))
+        .localCheckpoint(true)
+      cents = result.collect().toSeq.map(r =>
+        (r.getInt(0), r.getSeq[Double](1)))
+    }
+    result.orderBy(col("cid"))
+  }
+
   /** q43: HyperLogLog approximate distinct counts (Spark-native HLL++;
     * rows-only — DuckDB's approx algorithm differs — with the spec
     * asserting <5% relative error vs exact).

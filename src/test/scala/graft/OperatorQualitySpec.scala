@@ -106,6 +106,24 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(kinds.values.sum == t.documents.count())
   }
 
+  test("kmeansCentroids: identical under repartitioning, inertia non-increasing") {
+    import graft.operators.Vectors
+    val e = t.embeddings
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int): Seq[(Int, Seq[Double])] =
+      Vectors.kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = iters)
+        .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+    // decimal re-centering ⇒ bit-identical centroids under ANY partitioning
+    assert(run(e.repartition(3), 3) == run(e.repartition(7), 3))
+    val vs = e.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    def inertia(cents: Seq[(Int, Seq[Double])]): Double =
+      vs.map(v => cents.map { case (_, c) =>
+        v.lazyZip(c).map((x, y) => (x - y) * (x - y)).sum }.min).sum
+    val js = (1 to 3).map(i => inertia(run(e, i)))
+    assert(js(1) <= js(0) + 1e-9 && js(2) <= js(1) + 1e-9,
+      s"inertia must not increase: $js")
+  }
+
   test("q46 reliable-checkpoint mode produces the same clusters as localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
     val local    = Dedup.q46(t).collect().toSeq
