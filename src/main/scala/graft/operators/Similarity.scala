@@ -42,39 +42,59 @@ object Similarity {
     * Rows-only (no SQL oracle); SimilaritySpec measures recall vs q35.
     */
   def q36(t: Tables): DataFrame = {
-    GraftFunctions.register(t.spark)
     val centroids = t.embeddings
       .filter(col("vec_id") >= 100 && col("vec_id") < 108)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_score").desc, col("centroid_id"))
-    val assigned = t.embeddings
-      .join(broadcast(centroids))
-      .withColumn("c_score", cos("embedding", "cent_emb"))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    ivfTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 10), centroids,
+      id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb", k = 5, nprobe = 2)
+      .select(col("qid"), col("rank"), col("vid"), round(col("score"), 4).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
-    // queries probe their TWO nearest cells (nprobe=2) — the standard
-    // IVF recall lever; candidates stay in their single home cell.
-    val probeW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_score").desc, col("centroid_id"))
-    val q = t.embeddings.filter(col("vec_id") < 10)
-      .join(broadcast(centroids))
-      .withColumn("c_score", cos("embedding", "cent_emb"))
-      .withColumn("crn", row_number().over(probeW))
-      .filter(col("crn") <= 2)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        col("centroid_id").as("cell"))
-    val c = assigned
-      .select(col("vec_id").as("vid"), col("embedding").as("c_emb"), col("cell"))
+  /** Generalized IVF top-k search over ANY centroid set — composes
+    * with [[Vectors.kmeansCentroids]] (train the quantizer, then
+    * search its cells). Scale shape:
+    *
+    *  - **cell assignment is pure map-side**: the centroids are
+    *    collected (k × dim doubles — driver-tiny) and embedded as a
+    *    literal array, so the per-row nearest-cells ranking is a
+    *    codegen'd sort over k structs — no join, no shuffle, for both
+    *    the corpus and the query side (vs the window-over-crossjoin
+    *    formulation, which shuffles n×k rows);
+    *  - candidates live in their 1 home cell, queries probe their
+    *    `nprobe` nearest cells (the standard recall lever);
+    *  - the search joins the partitioned corpus against the broadcast
+    *    exploded query set on the cell key.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              id: String, emb: String, centroidId: String, centroidEmb: String,
+              k: Int = 5, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = centroids
+      .select(col(centroidId).cast("long").as("cid"),
+        col(centroidEmb).cast("array<double>").as("ce"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "ivfTopK: empty centroid set")
+    val centLit = array(cents.map { case (cid, ce) =>
+      struct(lit(cid).as("cid"), array(ce.map(lit): _*).as("ce")) }: _*)
+    // per-row cell ranking: sort k (−score, cid) structs — ties break
+    // on the lower centroid id, matching the window formulation
+    def withCells(df: DataFrame, n: Int, outId: String, outEmb: String): DataFrame = {
+      val ranked = sort_array(transform(centLit, ct => struct(
+        (lit(-1.0) * call_function("cosine_sim", col(outEmb), ct.getField("ce"))).as("negscore"),
+        ct.getField("cid").as("cid"))))
+      df.select(col(id).as(outId), col(emb).cast("array<double>").as(outEmb))
+        .withColumn("cell", explode(transform(slice(ranked, 1, n), s => s.getField("cid"))))
+    }
+    val c = withCells(corpus, 1, "vid", "c_emb")
+    val q = withCells(queries, nprobe, "qid", "q_emb")
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
     c.join(broadcast(q), Seq("cell"))
       .filter(col("vid") =!= col("qid"))
-      .withColumn("score", cos("q_emb", "c_emb"))
+      .withColumn("score", call_function("cosine_sim", col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("vid"), round(col("score"), 4).as("score"))
-      .orderBy(col("qid"), col("rank"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid"), col("score"))
   }
 }

@@ -124,6 +124,24 @@ class OperatorQualitySpec extends AnyFunSuite {
       s"inertia must not increase: $js")
   }
 
+  test("trained k-means centroids compose with ivfTopK and lift recall") {
+    import graft.operators.{Similarity, Vectors}
+    def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topPairs(Similarity.q35(t))
+    val fixedRecall = (exact & topPairs(Similarity.q36(t))).size.toDouble / exact.size
+    val trained = Vectors.kmeansCentroids(t.embeddings, "vec_id", "embedding", k = 8, iters = 3)
+    val trainedIvf = Similarity.ivfTopK(
+      t.embeddings, t.embeddings.filter(col("vec_id") < 10), trained,
+      id = "vec_id", emb = "embedding", centroidId = "cid", centroidEmb = "centroid",
+      k = 5, nprobe = 2)
+    val trainedRecall = (exact & topPairs(trainedIvf)).size.toDouble / exact.size
+    info(s"recall vs q35: fixed-centroids=$fixedRecall trained-kmeans=$trainedRecall")
+    assert(trainedRecall > 0.0)
+    assert(trainedRecall >= fixedRecall - 0.1,
+      s"trained quantizer should not lose to arbitrary fixed vectors ($trainedRecall vs $fixedRecall)")
+  }
+
   test("q46 reliable-checkpoint mode produces the same clusters as localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
     val local    = Dedup.q46(t).collect().toSeq
