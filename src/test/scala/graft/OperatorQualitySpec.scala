@@ -142,6 +142,25 @@ class OperatorQualitySpec extends AnyFunSuite {
       s"trained quantizer should not lose to arbitrary fixed vectors ($trainedRecall vs $fixedRecall)")
   }
 
+  test("HLL sketch tables: merged estimate ≈ exact cross-shard distinct") {
+    import graft.operators.Sketches
+    val sketches = Sketches.eventUserSketches(t)
+    // constant-size sketch per shard (the whole point)
+    val sizes = sketches.select(org.apache.spark.sql.functions.length(col("hll_sketch")))
+      .collect().map(_.getInt(0))
+    assert(sizes.forall(_ < 64 * 1024), s"sketches must stay bounded: ${sizes.toSeq}")
+    val est = Sketches.hllMergedDistinct(sketches).collect().head.getLong(0)
+    val exact = t.events.select("user_id").distinct().count()
+    val err = math.abs(est.toDouble - exact) / exact
+    assert(err < 0.05, s"merged estimate $est vs exact $exact (err=$err)")
+    // merging a SUBSET of shards answers the filtered question from bytes
+    val sub = Sketches.hllMergedDistinct(
+      sketches.filter(col("event_type").isin("view", "click"))).collect().head.getLong(0)
+    val subExact = t.events.filter(col("event_type").isin("view", "click"))
+      .select("user_id").distinct().count()
+    assert(math.abs(sub.toDouble - subExact) / subExact < 0.05)
+  }
+
   test("q46 reliable-checkpoint mode produces the same clusters as localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ck").toString
     val local    = Dedup.q46(t).collect().toSeq
