@@ -99,6 +99,33 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(f.map(_.frame_idx).distinct.length == f.length)
   }
 
+  test("media metadata parses back from real container headers") {
+    val media = Multimodal.attachMedia(t).toDF()
+    val parsed = Multimodal.mediaMeta(media, "payload").collect()
+    assert(parsed.nonEmpty)
+    parsed.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      val fmt = r.getAs[String]("media_format")
+      kind match {
+        case "image" => assert(fmt == "png" || fmt == "jpeg", s"image parsed as $fmt")
+        case "audio" => assert(fmt == "wav")
+        case "video" => assert(fmt == "gif")
+      }
+      fmt match {
+        case "png" | "gif" =>
+          assert(r.getAs[Long]("parsed_width") == r.getAs[Int]("width").toLong, s"width in $fmt")
+          assert(r.getAs[Long]("parsed_height") == r.getAs[Int]("height").toLong)
+        case "wav" =>
+          assert(r.getAs[Long]("sample_rate") == r.getAs[Int]("width").toLong)
+          assert(r.getAs[Long]("channels") == r.getAs[Int]("height").toLong)
+        case "jpeg" =>
+          // variable-offset SOF: parsed by the JVM marker walk instead
+          val (h, w) = Multimodal.jpegDims(r.getAs[Array[Byte]]("payload")).get
+          assert(w == r.getAs[Int]("width") && h == r.getAs[Int]("height"))
+      }
+    }
+  }
+
   test("media kinds partition the corpus") {
     val kinds = Multimodal.attachMedia(t).groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
