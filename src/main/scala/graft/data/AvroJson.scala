@@ -42,14 +42,31 @@ object AvroJson {
   case object FailFast extends Mode
   case object Permissive extends Mode
 
+  /** How union datums are encoded in the JSON.
+    *
+    * [[CanonicalUnions]] — the Avro JSON encoding (and the
+    * reference's): EVERY non-null union value is wrapped as
+    * `{"branchName": value}`, including single-non-null-branch
+    * `["null", T]` unions. What avro-core's JsonEncoder writes.
+    *
+    * [[LenientUnions]] (default) — `["null", T]` unions are plain
+    * nullable values (the convention of ordinary JSON APIs); only
+    * multi-branch unions use the wrapper. The convenience mode for
+    * decoding real-world JSON against an Avro schema.
+    */
+  sealed trait UnionEncoding
+  case object CanonicalUnions extends UnionEncoding
+  case object LenientUnions extends UnionEncoding
+
   /** Decode a column of JSON datums against an Avro schema into a
     * typed struct column `out` (shape = [[AvroSchemas.toSparkType]]).
     */
   def decode(df: DataFrame, jsonCol: String, avroSchemaJson: String,
              out: String = "decoded", mode: Mode = FailFast,
-             maxRecursionDepth: Int = 1): DataFrame = {
+             maxRecursionDepth: Int = 1,
+             unions: UnionEncoding = LenientUnions): DataFrame = {
     val schema = AvroSchemas.parse(avroSchemaJson)
-    val pt = parseType(schema, Map.empty, maxRecursionDepth).getOrElse(
+    val pt = parseType(schema, Map.empty, maxRecursionDepth, unions).getOrElse(
       throw new IllegalArgumentException(
         s"schema ${schema.getFullName} prunes to nothing at depth $maxRecursionDepth"))
     val opts = mode match {
@@ -57,7 +74,7 @@ object AvroJson {
       case Permissive => Map.empty[String, String]
     }
     val parsed = from_json(col(jsonCol), pt, opts)
-    val typed  = rebuild(parsed, schema, Map.empty, maxRecursionDepth, mode)
+    val typed  = rebuild(parsed, schema, Map.empty, maxRecursionDepth, mode, unions)
     df.withColumn(out, fillDefaults(typed, schema, Map.empty, maxRecursionDepth))
   }
 
@@ -68,7 +85,8 @@ object AvroJson {
   // logicals as their raw epoch numbers.
 
   private[data] def parseType(
-      s: Schema, seen: Map[String, Int], maxDepth: Int): Option[DataType] = {
+      s: Schema, seen: Map[String, Int], maxDepth: Int,
+      unions: UnionEncoding = LenientUnions): Option[DataType] = {
     import Schema.Type._
     s.getType match {
       case NULL          => Some(NullType)
@@ -84,15 +102,15 @@ object AvroJson {
           case _                       => StringType // base64 payload
         })
       case ARRAY =>
-        parseType(s.getElementType, seen, maxDepth)
+        parseType(s.getElementType, seen, maxDepth, unions)
           .map(ArrayType(_, containsNull = AvroSchemas.nullable(s.getElementType)))
       case MAP =>
-        parseType(s.getValueType, seen, maxDepth)
+        parseType(s.getValueType, seen, maxDepth, unions)
           .map(MapType(StringType, _, valueContainsNull = AvroSchemas.nullable(s.getValueType)))
       case UNION =>
         nonNull(s) match {
           case Seq()  => Some(NullType)
-          case Seq(b) => parseType(b, seen, maxDepth)
+          case Seq(b) if unions == LenientUnions => parseType(b, seen, maxDepth, unions)
           case _      => Some(StringType) // raw {"branch": value} wrapper
         }
       case RECORD =>
@@ -102,7 +120,7 @@ object AvroJson {
         else {
           val inner = seen.updated(name, depth + 1)
           val fields = s.getFields.asScala.flatMap { f =>
-            parseType(f.schema(), inner, maxDepth)
+            parseType(f.schema(), inner, maxDepth, unions)
               .map(dt => StructField(f.name(), dt, nullable = true))
           }.toSeq
           Some(StructType(fields))
@@ -147,7 +165,8 @@ object AvroJson {
   /** Does this subtree need any post-`from_json` work? Positions that
     * don't are passed through untouched (keeps the projection lean).
     */
-  private def needsWork(s: Schema, seen: Map[String, Int], maxDepth: Int): Boolean = {
+  private def needsWork(s: Schema, seen: Map[String, Int], maxDepth: Int,
+                        unions: UnionEncoding): Boolean = {
     import Schema.Type._
     s.getType match {
       case ENUM => true
@@ -160,16 +179,17 @@ object AvroJson {
                _: LogicalTypes.LocalTimestampMicros | _: LogicalTypes.LocalTimestampMillis => true
           case _ => false
         }
-      case ARRAY => needsWork(s.getElementType, seen, maxDepth)
-      case MAP   => needsWork(s.getValueType, seen, maxDepth)
+      case ARRAY => needsWork(s.getElementType, seen, maxDepth, unions)
+      case MAP   => needsWork(s.getValueType, seen, maxDepth, unions)
       case UNION =>
         val b = nonNull(s)
-        b.lengthIs > 1 || b.exists(needsWork(_, seen, maxDepth))
+        b.lengthIs > 1 || (unions == CanonicalUnions && b.nonEmpty) ||
+          b.exists(needsWork(_, seen, maxDepth, unions))
       case RECORD =>
         val depth = seen.getOrElse(s.getFullName, 0)
         depth < maxDepth && {
           val inner = seen.updated(s.getFullName, depth + 1)
-          s.getFields.asScala.exists(f => needsWork(f.schema(), inner, maxDepth))
+          s.getFields.asScala.exists(f => needsWork(f.schema(), inner, maxDepth, unions))
         }
       case _ => false
     }
@@ -186,7 +206,7 @@ object AvroJson {
   }
 
   private def rebuild(c: Column, s: Schema, seen: Map[String, Int],
-                      maxDepth: Int, mode: Mode): Column = {
+                      maxDepth: Int, mode: Mode, unions: UnionEncoding): Column = {
     import Schema.Type._
     s.getType match {
       case INT =>
@@ -221,26 +241,47 @@ object AvroJson {
             concat(lit(s"FixedError: ${s.getFullName} expects ${s.getFixedSize} bytes, got "),
               coalesce(octet_length(b).cast(StringType), lit("<not base64>"))),
             BinaryType))
-      case ARRAY if needsWork(s.getElementType, seen, maxDepth) =>
-        transform(c, x => rebuild(x, s.getElementType, seen, maxDepth, mode))
-      case MAP if needsWork(s.getValueType, seen, maxDepth) =>
-        transform_values(c, (_, v) => rebuild(v, s.getValueType, seen, maxDepth, mode))
-      case RECORD if needsWork(s, seen, maxDepth) =>
+      case ARRAY if needsWork(s.getElementType, seen, maxDepth, unions) =>
+        transform(c, x => rebuild(x, s.getElementType, seen, maxDepth, mode, unions))
+      case MAP if needsWork(s.getValueType, seen, maxDepth, unions) =>
+        transform_values(c, (_, v) => rebuild(v, s.getValueType, seen, maxDepth, mode, unions))
+      case RECORD if needsWork(s, seen, maxDepth, unions) =>
         val inner = seen.updated(s.getFullName, seen.getOrElse(s.getFullName, 0) + 1)
         val fields = s.getFields.asScala.flatMap { f =>
-          parseType(f.schema(), inner, maxDepth).map { _ =>
-            rebuild(c.getField(f.name()), f.schema(), inner, maxDepth, mode).as(f.name())
+          parseType(f.schema(), inner, maxDepth, unions).map { _ =>
+            rebuild(c.getField(f.name()), f.schema(), inner, maxDepth, mode, unions).as(f.name())
           }
         }.toSeq
         when(c.isNotNull, struct(fields: _*))
       case UNION =>
         nonNull(s) match {
-          case Seq()  => c
-          case Seq(b) => rebuild(c, b, seen, maxDepth, mode)
-          case many   => unionCol(c, many, s, seen, maxDepth, mode)
+          case Seq() => c
+          case Seq(b) if unions == LenientUnions =>
+            rebuild(c, b, seen, maxDepth, mode, unions)
+          case Seq(b) =>
+            // canonical: even [null, T] carries the {"branch": v} wrapper
+            singleUnionCol(c, b, seen, maxDepth, mode, unions)
+          case many => unionCol(c, many, s, seen, maxDepth, mode, unions)
         }
       case _ => c
     }
+  }
+
+  /** Canonical-encoding decode of a single-non-null-branch union: the
+    * raw wrapper either is null or must be `{"<branchName>": value}`.
+    */
+  private def singleUnionCol(c: Column, b: Schema, seen: Map[String, Int],
+                             maxDepth: Int, mode: Mode, unions: UnionEncoding): Column = {
+    val target = targetType(b, seen, maxDepth)
+    val name = branchName(b)
+    val m = from_json(c, MapType(StringType, StringType))
+    val key = map_keys(m).getItem(0)
+    val msg = concat(lit(s"UnionResolutionError: expected {$name}, got "),
+      coalesce(key, lit("<non-object datum>")))
+    when(c.isNull, lit(null).cast(target))
+      .when(m.isNotNull && size(map_keys(m)) === 1 && key === name,
+        branchValue(element_at(m, lit(name)), b, seen, maxDepth, mode, unions).cast(target))
+      .otherwise(err(mode, msg, target))
   }
 
   /** Decode a raw `{"branchName": value}` wrapper into the memberN
@@ -252,7 +293,8 @@ object AvroJson {
     * selector names are unique within a valid union.)
     */
   private def unionCol(c: Column, branches: Seq[Schema], u: Schema,
-                       seen: Map[String, Int], maxDepth: Int, mode: Mode): Column = {
+                       seen: Map[String, Int], maxDepth: Int, mode: Mode,
+                       unions: UnionEncoding): Column = {
     val target = targetType(u, seen, maxDepth)
     val names  = branches.map(branchName)
     val m      = from_json(c, MapType(StringType, StringType))
@@ -260,7 +302,7 @@ object AvroJson {
     val members = branches.zipWithIndex.flatMap { case (b, i) =>
       AvroSchemas.convert(b, seen, maxDepth).map { _ =>
         when(key === branchName(b),
-          branchValue(element_at(m, lit(branchName(b))), b, seen, maxDepth, mode))
+          branchValue(element_at(m, lit(branchName(b))), b, seen, maxDepth, mode, unions))
           .as(s"member$i")
       }
     }
@@ -275,7 +317,7 @@ object AvroJson {
 
   /** Decode one union branch from its captured JSON text. */
   private def branchValue(v: Column, b: Schema, seen: Map[String, Int],
-                          maxDepth: Int, mode: Mode): Column = {
+                          maxDepth: Int, mode: Mode, unions: UnionEncoding): Column = {
     import Schema.Type._
     def castTo(dt: DataType): Column = mode match {
       case FailFast   => v.cast(dt) // ANSI: malformed literal raises
@@ -283,23 +325,23 @@ object AvroJson {
     }
     b.getType match {
       case BOOLEAN => castTo(BooleanType)
-      case INT     => rebuild(castTo(IntegerType), b, seen, maxDepth, mode)
-      case LONG    => rebuild(castTo(LongType), b, seen, maxDepth, mode)
+      case INT     => rebuild(castTo(IntegerType), b, seen, maxDepth, mode, unions)
+      case LONG    => rebuild(castTo(LongType), b, seen, maxDepth, mode, unions)
       case FLOAT   => castTo(FloatType)
       case DOUBLE  => castTo(DoubleType)
       case STRING  => v
       case ENUM | BYTES | FIXED =>
         b.getLogicalType match {
           case d: LogicalTypes.Decimal => castTo(DecimalType(d.getPrecision, d.getScale))
-          case _                       => rebuild(v, b, seen, maxDepth, mode)
+          case _                       => rebuild(v, b, seen, maxDepth, mode, unions)
         }
       case RECORD | ARRAY | MAP =>
-        val pt = parseType(b, seen, maxDepth).getOrElse(NullType)
+        val pt = parseType(b, seen, maxDepth, unions).getOrElse(NullType)
         val opts = mode match {
           case FailFast   => Map("mode" -> "FAILFAST")
           case Permissive => Map.empty[String, String]
         }
-        rebuild(from_json(v, pt, opts), b, seen, maxDepth, mode)
+        rebuild(from_json(v, pt, opts), b, seen, maxDepth, mode, unions)
       case UNION | NULL => lit(null) // Avro forbids directly nested unions
     }
   }
@@ -422,9 +464,9 @@ object AvroJson {
             }
           case STRING | ENUM => lit(v.toString)
           case INT =>
-            rebuild(lit(v.asInstanceOf[Number].intValue()), s, seen, maxDepth, FailFast)
+            rebuild(lit(v.asInstanceOf[Number].intValue()), s, seen, maxDepth, FailFast, LenientUnions)
           case LONG =>
-            rebuild(lit(v.asInstanceOf[Number].longValue()), s, seen, maxDepth, FailFast)
+            rebuild(lit(v.asInstanceOf[Number].longValue()), s, seen, maxDepth, FailFast, LenientUnions)
           case FLOAT  => lit(v.asInstanceOf[Number].floatValue())
           case DOUBLE => lit(v.asInstanceOf[Number].doubleValue())
           case BOOLEAN => lit(v.asInstanceOf[Boolean])
