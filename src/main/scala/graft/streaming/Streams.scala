@@ -75,6 +75,17 @@ object Streams {
         expr("unix_micros(l_ts) - unix_micros(r_ts)").as("diff_us"))
   }
 
+  /** Continuous Avro datum decode — the Spark-native answer to the
+    * reference's "FS2 integration for Avro" roadmap item: a stream of
+    * binary Avro datums decodes through the same per-partition codec
+    * as batch ([[graft.data.AvroBinary.decode]] composes unchanged
+    * with streaming Datasets), so an unbounded Kafka/file feed of
+    * datums becomes a typed streaming DataFrame.
+    */
+  def decodeAvro(stream: DataFrame, binCol: String, avroSchemaJson: String,
+                 permissive: Boolean = false): DataFrame =
+    graft.data.AvroBinary.decode(stream, binCol, avroSchemaJson, permissive)
+
   /** Streaming exact deduplication — the streaming member of the
     * dedup family (q31's analogue for continuous ingest): drop
     * re-deliveries of the same fingerprint while the watermark keeps

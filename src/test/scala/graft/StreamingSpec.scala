@@ -62,6 +62,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming Avro decode produces the same rows as batch decode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.data.{AvroBinary, AvroSchemas}
+    val region = Tables(spark, sfDir).region
+    val schemaJson = AvroSchemas.toAvroSchema(region.schema, "region").toString
+    val datums = AvroBinary.encode(region, "region").collect().map(_.getAs[Array[Byte]](0))
+    val stream = MemoryStream[Array[Byte]]
+    stream.addData(datums.toSeq)
+    val query = Streams.decodeAvro(stream.toDF().withColumnRenamed("value", "avro_bin"),
+        "avro_bin", schemaJson)
+      .writeStream.format("memory").queryName("avro_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("avro_out")
+      assert(streamed.count() == region.count())
+      assert(streamed.except(region).isEmpty && region.except(streamed).isEmpty,
+        "streaming avro decode diverged from the batch table")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join reproduces batch q39 pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
