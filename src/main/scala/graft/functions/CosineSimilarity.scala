@@ -106,6 +106,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CosineSimilarity].getName, "cosine_sim"),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("topk_sketch"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TopKSketch].getName, "topk_sketch"),
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != 3)
+            throw new IllegalArgumentException(
+              s"topk_sketch(col, k, cap) requires 3 arguments, got ${exprs.length}")
+          def intLit(ex: Expression, name: String): Int = {
+            if (!ex.foldable)
+              throw new IllegalArgumentException(
+                s"topk_sketch $name must be an int literal, got expression ${ex.sql}")
+            ex.eval(null) match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"topk_sketch $name must be an int literal, got $other")
+            }
+          }
+          TopKSketch(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "cap"))
+        }))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

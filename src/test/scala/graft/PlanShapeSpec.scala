@@ -51,4 +51,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = physicalPlan("q05_multijoin")
     assert(plan.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in q05:\n$plan")
   }
+
+  test("q54 prunes the documents scan to the two used columns") {
+    val plan = physicalPlan("q54_token_count")
+    val scan = plan.linesIterator.find(_.contains("ReadSchema"))
+    assert(scan.exists(l => l.contains("doc_id") && l.contains("text") && !l.contains("n_chars")),
+      s"expected 2-column pruned scan in q54:\n$plan")
+  }
+
+  test("q53 pushes its corpus filters into the parquet scans") {
+    val plan = physicalPlan("q53_embed_neardup")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q53:\n$plan")
+    assert(plan.contains("LessThan(vec_id,50)"),
+      s"expected pushed re-upload filter in q53:\n$plan")
+  }
+
+  test("GraftExtensions installs on a fresh extension set") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must register without error
+  }
 }
