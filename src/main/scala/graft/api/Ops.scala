@@ -161,6 +161,41 @@ object Ops {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }
 
+    /** SimHash near-dup pairs — constant-size fingerprints, banded:
+      * the 60-bit simhash splits into `bands` chunks; near-identical
+      * documents agree on at least one full chunk (pigeonhole: with
+      * `bands` > `maxHamming` differing bits spread across chunks,
+      * some chunk stays untouched), so candidates only form inside a
+      * (band, chunk-value) bucket and are verified with
+      * `bit_count(a XOR b) <= maxHamming` — everything built-in
+      * codegen, fingerprints instead of shingle sets on the wire.
+      * Returns (doc_a, doc_b, hamming).
+      */
+    def simhashNearDups(id: String, text: String,
+                        maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+      val bits = 60
+      require(bands > 0 && bits % bands == 0, s"bands ($bands) must divide $bits")
+      val chunk = bits / bands
+      val sh = left
+        .withColumn("__toks", tokens(col(text)))
+        .withColumn("__hashes", tokenHashes(col("__toks")))
+        .select(col(id), simhash(col("__hashes"), bits).as("__sh"))
+        .localCheckpoint(true) // both banding legs reuse the fingerprints
+      // bands unrolled Scala-side (shift amounts are compile-time ints)
+      val banded = sh.select(col(id), col("__sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("__sh"), b * chunk) % (1L << chunk)): _*)))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")
+      val a = banded.select(col("__band"), col("__chunk"), col(id).as("doc_a"), col("__sh").as("__sa"))
+      val b = banded.select(col("__band"), col("__chunk"), col(id).as("doc_b"), col("__sh").as("__sb"))
+      a.join(b, Seq("__band", "__chunk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
+        .filter(col("hamming") <= maxHamming)
+    }
+
     /** Embedding-cosine near-dup pairs with sign-signature blocking
       * (axis-aligned hyperplane code over the leading `signBits`
       * dims → 2^signBits buckets): pairs only form inside a block;

@@ -89,6 +89,19 @@ class OpsApiSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("simhashNearDups recovers exact near-dups through hamming banding") {
+    val exact = Dedup.q32(t).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = t.documents.simhashNearDups("doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.8, s"simhash recall $recall (exact=${exact.size}, sim=${sim.size})")
+    // fingerprint banding must stay far from the quadratic pair space
+    val n = t.documents.count()
+    assert(sim.size < n * 10, s"candidate blowup: ${sim.size} pairs for $n docs")
+  }
+
   test("embeddingNearDups: fewer sign bits → coarser blocks → superset of pairs") {
     graft.functions.GraftFunctions.register(spark)
     def pairs(bits: Int): Set[(Long, Long)] =
