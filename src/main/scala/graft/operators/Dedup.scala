@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.api.Ops._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
-import graft.util.Portable._
 
 /** Deduplication family (SURVEY.md §2 q31–q34).
   *
