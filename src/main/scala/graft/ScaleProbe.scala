@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pipeline, Vectors}
+import graft.sources.Tables
+
+/** Scale probe: replicate the sf0.1 corpus `REPL`× (distinct ids,
+  * shifted text/embeddings so replicas are NEAR-dups, not byte dups —
+  * the adversarial case for dedup: every document gains REPL-1 true
+  * near-duplicates) and time the dedup/curation family against the
+  * 1× baseline. Prints one line per (operator, scale) with rows/sec
+  * so sub-quadratic scaling is visible directly.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [replication]"` (default 10).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val repl = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = "/root/testdata/sf0.1"
+    val dir = s"/tmp/graft_scale_probe_x$repl"
+    val t1 = Tables(spark, base)
+
+    // documents: replica k appends a per-replica token so copies are
+    // near-dups (high Jaccard) rather than exact dups
+    val docs = (0 until repl).map { k =>
+      t1.documents.select(
+        (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica_marker_$k")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: replica k shifts every dim by k*0.001 (near-dup vectors)
+    val embs = (0 until repl).map { k =>
+      t1.embeddings.select(
+        (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding").cast("array<double>"), v => v + lit(k * 0.001))
+          .cast("array<float>").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // remaining tables: symlink-equivalent copies for Tables loaders
+    for (n <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"))
+      spark.read.parquet(s"$base/$n.parquet").write.mode("overwrite").parquet(s"$dir/$n.parquet")
+
+    val tN = Tables(spark, dir)
+    val nDocs1 = t1.documents.count(); val nDocsN = tN.documents.count()
+    println(s"[probe] docs: 1x=$nDocs1 ${repl}x=$nDocsN")
+
+    def time(name: String, scale: String, rows: Long)(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-16s $scale%4s  $sec%7.2f s  ${rows / sec}%10.0f rows/s")
+      sec
+    }
+
+    // warm-up (JIT + codegen)
+    Dedup.q31(t1).write.format("noop").mode("overwrite").save()
+
+    val ops: Seq[(String, Tables => DataFrame)] = Seq(
+      "q31_exact"     -> Dedup.q31,
+      "q32_jaccard"   -> Dedup.q32,
+      "q33_lsh"       -> Dedup.q33,
+      "q46_clusters"  -> (t => Dedup.q46(t)),
+      "q53_embed"     -> Dedup.q53,
+      "q55_curation"  -> Pipeline.q55,
+      "q42_centroids" -> Vectors.q42)
+    for ((name, op) <- ops) {
+      val s1 = time(name, "1x", nDocs1)(op(t1))
+      val sN = time(name, s"${repl}x", nDocsN)(op(tN))
+      println(f"[probe] $name%-16s scaling: ${sN / s1}%.1fx time for ${repl}x rows")
+    }
+    spark.stop()
+  }
+}

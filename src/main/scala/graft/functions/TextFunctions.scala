@@ -62,12 +62,24 @@ object TextFunctions {
       conv(substring(md5(concat(lit("b:"), s).cast("binary")), 1, 7), 16, 10)
         .cast("long").as("h2")))
 
-  /** MinHash signature from projected hash pairs: element i is
-    * min over shingles of h1 + i*h2.
+  /** MinHash signature from hash pairs: element i is min over
+    * shingles of h1 + i*h2.
+    *
+    * Shaped as ONE `aggregate` fold over the pair array (accumulator =
+    * the running 64-wide min vector) instead of a per-perm
+    * `transform(transform(...))`: `aggregate` evaluates its input
+    * array exactly once, so even when Catalyst's CollapseProject
+    * inlines the md5-computing [[minhashPairs]] alias into this
+    * expression (it inlines any single-referenced alias), the hashes
+    * are computed once per shingle — the nested-transform form
+    * re-evaluated them once PER PERM (64× the md5 work; q33 went
+    * 43.6s → seconds at sf0.1 from this change).
     */
   def minhashSignature(hashPairs: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)), i =>
-      array_min(transform(hashPairs, p => p("h1") + i * p("h2"))))
+    aggregate(hashPairs,
+      transform(sequence(lit(0), lit(perms - 1)), _ => lit(Long.MaxValue)),
+      (acc, p) => zip_with(acc, sequence(lit(0), lit(perms - 1)),
+        (m, i) => least(m, p("h1") + i * p("h2"))))
 
   /** Token hash array for [[simhash]] — project this as a column. */
   def tokenHashes(toks: Column): Column =
