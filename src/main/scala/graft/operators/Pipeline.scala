@@ -28,20 +28,24 @@ import graft.util.Portable._
 object Pipeline {
 
   def q55(t: Tables): DataFrame = {
-    val toks = filter(split(col("text"), " "), x => x =!= "")
+    // tokens projected ONCE: the expression is referenced 3× (count,
+    // stopwords, score), so CollapseProject keeps the projection and
+    // the split+filter runs once per row instead of three times
     val nChars = length(col("text")).cast("double")
-    val nTokens = size(toks).cast("double")
+    val nTokens = size(col("__toks")).cast("double")
     val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
-    val nStop = size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double")
+    val nStop = size(filter(col("__toks"), x => x.isin("the", "a", "of", "and"))).cast("double")
     val score =
       lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
       lit(0.3) * (lit(1.0) - nPunct / nChars) +
       lit(0.2) * (nStop / nTokens)
 
     val gated = t.documents
-      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("quality_score", round(score, 6))
       .filter(col("quality_score") >= 0.5)
+      .drop("__toks")
 
     val w = Window.partitionBy(col("fingerprint"))
     // materialized once: both the near-dup pair join (via its own
