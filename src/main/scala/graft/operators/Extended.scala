@@ -54,18 +54,22 @@ object Extended {
     * from integer counts → one deterministic double expression.
     */
   def q40(t: Tables): DataFrame = {
-    val toks = filter(split(col("text"), " "), x => x =!= "")
+    // token array projected once (multi-referenced alias survives
+    // CollapseProject) — the split runs once per row, and `score`
+    // itself is projected so the keep flag reads the attribute
     val nChars = length(col("text")).cast("double")
-    val nTokens = size(toks).cast("double")
+    val nTokens = size(col("__toks")).cast("double")
     val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
-    val nStop = size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double")
+    val nStop = size(filter(col("__toks"), x => x.isin("the", "a", "of", "and"))).cast("double")
     val score =
       lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
       lit(0.3) * (lit(1.0) - nPunct / nChars) +
       lit(0.2) * (nStop / nTokens)
     t.documents
-      .select(col("doc_id"), round(score, 6).as("quality_score"),
-        when(score >= 0.5, 1).otherwise(0).cast("long").as("keep"))
+      .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      .withColumn("__score", score)
+      .select(col("doc_id"), round(col("__score"), 6).as("quality_score"),
+        when(col("__score") >= 0.5, 1).otherwise(0).cast("long").as("keep"))
       .orderBy(col("doc_id"))
   }
 

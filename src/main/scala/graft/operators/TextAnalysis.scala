@@ -12,17 +12,21 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  /** q27: per-document stats — chars, tokens, punctuation, stopwords. */
-  def q27(t: Tables): DataFrame = {
-    val toks = filter(split(col("text"), " "), x => x =!= "")
-    t.documents.select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
-      length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"),
-      size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("long").as("n_stopwords"))
+  /** q27: per-document stats — chars, tokens, punctuation, stopwords.
+    * The token array is projected once (referenced twice → kept by
+    * CollapseProject) so the split runs once per row.
+    */
+  def q27(t: Tables): DataFrame =
+    t.documents
+      .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"),
+        size(filter(col("__toks"), x => x.isin("the", "a", "of", "and")))
+          .cast("long").as("n_stopwords"))
       .orderBy(col("doc_id"))
-  }
 
   /** q28: heuristic language ID from substring evidence counts.
     * `occ(s)` counts occurrences via length deltas — pure codegen'd
