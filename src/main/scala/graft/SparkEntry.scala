@@ -75,6 +75,7 @@ object SparkEntry {
     "q53_embed_neardup"   -> q(Dedup.q53),
     "q54_token_count"     -> q(TextAnalysis.q54),
     "q55_curation"        -> q(Pipeline.q55),
+    "q56_cube"            -> q(Relational.q56),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -701,5 +702,13 @@ object SparkEntry {
         |            WHEN source IN ('src2', 'src3') THEN 20
         |            ELSE 10 END AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    "q56_cube" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+        |FROM customer
+        |GROUP BY CUBE(c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
   )
 }

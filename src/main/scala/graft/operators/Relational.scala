@@ -213,6 +213,17 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("total_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
 
+  /** q56: CUBE — all 2^k grouping-set combinations (the rollup's
+    * sibling; cross-dimensional subtotals incl. per-segment-only).
+    * grouping_id disambiguates real NULL keys from subtotal rows.
+    */
+  def q56(t: Tables): DataFrame =
+    t.customer
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("total_bal"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))
+
   /** q17: TPC-H Q17 — correlated scalar subquery (avg qty per part),
     * decorrelated into an aggregate + re-join (what Catalyst would do;
     * stated explicitly so the plan is one shuffle on partkey).
