@@ -407,6 +407,49 @@ object SparkEntry {
         |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the graft minhash family is pure md5 arithmetic (seeded 28-bit
+    // affine hashes), so even the LSH banding is engine-portable: this
+    // recomputes signatures, bands and candidates bit-for-bit in SQL.
+    "q33_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |fil AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |hp AS (
+        |  SELECT doc_id, s,
+        |    list_transform(s, x -> CAST(('0x' || substr(md5('a:' || x), 1, 7)) AS BIGINT)) AS h1s,
+        |    list_transform(s, x -> CAST(('0x' || substr(md5('b:' || x), 1, 7)) AS BIGINT)) AS h2s
+        |  FROM fil),
+        |sig AS (
+        |  SELECT doc_id, s,
+        |    list_transform(range(0, 64), i ->
+        |      list_min(list_transform(range(1, len(h1s) + 1), j -> h1s[j] + i * h2s[j]))) AS sg
+        |  FROM hp),
+        |banded AS (
+        |  SELECT doc_id, u.b AS band,
+        |    array_to_string(sg[4*u.b+1 : 4*u.b+4], ',') AS bucket
+        |  FROM sig, unnest(range(0, 16)) AS u(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+        |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
+        |  FROM cand c
+        |  JOIN fil sa ON sa.doc_id = c.doc_a
+        |  JOIN fil sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q35_cosine_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |           FROM embeddings),

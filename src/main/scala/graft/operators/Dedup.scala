@@ -43,9 +43,11 @@ object Dedup {
 
   /** q33: MinHash + LSH banding (64 perms, 16 bands × 4 rows).
     * Candidates share at least one band bucket; each candidate pair is
-    * then verified with exact Jaccard. No SQL oracle (rows-only):
-    * the probabilistic banding isn't reasonably SQL-expressible, but
-    * DedupSpec checks its recall against q32's exact pairs.
+    * then verified with exact Jaccard. Because the hash family is pure
+    * seeded-md5 arithmetic (engine-portable), the ENTIRE pipeline —
+    * signatures, bands, candidates, verification — is recomputed
+    * bit-for-bit by the DuckDB oracle; the recall spec vs q32 covers
+    * the semantic quality on top.
     */
   def q33(t: Tables): DataFrame =
     // shingle sets stay OUT of the banding explode and the self-join:
