@@ -450,6 +450,52 @@ object SparkEntry {
         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // simhash is the same portable seeded-md5 arithmetic: bit votes
+    // recomputed exactly (outer sum cast to BIGINT — DuckDB list_sum
+    // yields HUGEINT, which pandas would round through float64)
+    "q34_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(t, x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS h
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN list_sum(list_transform(h, v -> 2 * ((v >> j) & 1) - 1)) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM hs
+        |ORDER BY doc_id""".stripMargin,
+
+    // IVF is cosine + deterministic tie-breaks end-to-end, and
+    // list_cosine_similarity matches the graft codegen expression
+    // bit-for-bit (proven by q35) — so cell assignment, probing and
+    // per-cell top-k all recompute exactly.
+    "q36_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id >= 100 AND vec_id < 108),
+        |scored_cells AS (
+        |  SELECT v.vec_id, v.emb, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC, c.cid) AS rn
+        |  FROM v CROSS JOIN cents c),
+        |corpus AS (SELECT vec_id AS vid, emb AS c_emb, cid AS cell FROM scored_cells WHERE rn = 1),
+        |queries AS (SELECT vec_id AS qid, emb AS q_emb, cid AS cell
+        |            FROM scored_cells WHERE vec_id < 10 AND rn <= 2),
+        |cand AS (
+        |  SELECT q.qid, c.vid, list_cosine_similarity(q.q_emb, c.c_emb) AS raw
+        |  FROM corpus c JOIN queries q ON c.cell = q.cell AND c.vid <> q.qid),
+        |ranked AS (
+        |  SELECT qid, vid, raw,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS BIGINT) AS rank
+        |  FROM cand)
+        |SELECT qid, rank, vid, round(raw, 4) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     "q35_cosine_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |           FROM embeddings),
