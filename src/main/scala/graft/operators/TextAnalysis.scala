@@ -77,11 +77,17 @@ object TextAnalysis {
 
   /** q47: bigram conditional statistics — P(w2|w1) over the corpus
     * (the n-gram LM building block): shifted-slice zip (no per-element
-    * re-eval), explode, two aggregations sharing the w1 shuffle key.
+    * re-eval), explode, then the denominator as a `groupBy(w1)`
+    * aggregate joined back — NOT a `sum over (partition by w1)` window.
+    * A window puts every successor of a Zipfian head word ("the") in
+    * ONE sort task; the aggregate gets map-side partial combine and the
+    * join probe streams, and AQE can split a skewed join partition but
+    * not a skewed window partition. Same shuffle count (the two legs
+    * share the bigram exchange via ReuseExchange), no single-task
+    * ceiling.
     */
   def q47(t: Tables): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
-    t.documents
+    val bigrams = t.documents
       .withColumn("toks", tokens(col("text")))
       .select(explode(zip_with(
         slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
@@ -90,15 +96,23 @@ object TextAnalysis {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
+    val denom = bigrams.groupBy(col("w1")).agg(sum(col("n")).as("__n_w1"))
+    bigrams.join(denom, Seq("w1"))
       .withColumn("p_cond",
-        round(col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
+        round(col("n").cast("double") / col("__n_w1").cast("double"), 6))
       .filter(col("n") >= 20)
+      .select(col("w1"), col("w2"), col("n"), col("p_cond"))
       .orderBy(col("w1"), col("w2"))
   }
 
   /** q48: TF-IDF — term frequency per (doc, term) × inverse document
-    * frequency ln(N/df). One explode + two aggs; the df table is tiny
-    * (vocabulary-sized) and broadcast back onto the tf table.
+    * frequency ln(N/df). One explode + two aggs. The df table is one
+    * row per DISTINCT TOKEN — vocabulary-sized, which GROWS with the
+    * corpus (typos, numbers, ids — billions of rows at 100 TB of
+    * text) — so it must NOT carry a broadcast hint: AQE broadcasts it
+    * when it is genuinely small and shuffle-joins on `term` otherwise.
+    * Only the 1-row nDocs aggregate is hint-broadcast. (Locked by
+    * PlanShapeSpec: no build-side hint on dfreq.)
     */
   def q48(t: Tables): DataFrame = {
     val termDocs = t.documents
@@ -108,7 +122,7 @@ object TextAnalysis {
     val dfreq = termDocs.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = t.documents.select(countDistinct(col("doc_id")).as("n_docs"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .join(broadcast(nDocs))
       .withColumn("tf_idf",
         round(col("tf").cast("double") *

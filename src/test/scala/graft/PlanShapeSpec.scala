@@ -66,6 +66,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected pushed re-upload filter in q53:\n$plan")
   }
 
+  test("q48 carries no broadcast hint on the vocabulary-sized df table") {
+    // The df table is one row per distinct token — unbounded at corpus
+    // scale — so the ONLY hint allowed in q48 is the 1-row nDocs
+    // aggregate. (VERDICT r3 "What's wrong #1": a hint-broadcast
+    // vocabulary table OOMs every executor at 100 TB.)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val analyzed = SparkEntry.queries("q48_tfidf")(spark, sfDir).queryExecution.analyzed
+    val hints = analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected exactly the nDocs hint in q48, got ${hints.size}:\n$analyzed")
+    assert(hints.head.child.output.map(_.name) == Seq("n_docs"),
+      s"the only q48 hint must cover the 1-row n_docs aggregate:\n${hints.head}")
+  }
+
+  test("q47 computes its denominator without a window over a Zipfian key") {
+    // sum(n) over (partition by w1) funnels every successor of a hot
+    // head word into one sort task; the groupBy+join shape has map-side
+    // combine and is AQE-skew-splittable (VERDICT r3 "What's wrong #5").
+    val plan = physicalPlan("q47_bigram_stats")
+    assert(!plan.contains("Window"), s"expected no Window operator in q47:\n$plan")
+  }
+
   test("GraftExtensions installs on a fresh extension set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext) // must register without error
