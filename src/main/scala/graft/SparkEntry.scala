@@ -91,6 +91,39 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** q53's oracle regenerates the SAME 4×8 seeded Rademacher
+    * hyperplanes as `Ops.embeddingNearDups`' defaults
+    * ([[graft.functions.Hyperplanes.weights]]) and recomputes code
+    * assignment → per-table candidate union → cosine verification
+    * bit-for-bit in DuckDB SQL (indexed-lambda products + list_reduce
+    * sequential fold == the Spark side's zip_with + aggregate fold).
+    */
+  private def q53OracleSql: String = {
+    val w = graft.functions.Hyperplanes.weights(tables = 4, bits = 8, dim = 64, seed = "graft-hp")
+    val codes = w.indices.map(l =>
+      s"  SELECT vec_id, $l AS tbl, ${graft.functions.Hyperplanes.blockCodeSql("emb", w(l))} AS block FROM corpus")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(emb, v -> v + 0.01)
+       |  FROM base WHERE vec_id < 50),
+       |codes AS (
+       |$codes),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM codes a JOIN codes b ON a.tbl = b.tbl AND a.block = b.block AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(c, 4) AS cosine FROM (
+       |  SELECT vec_a, vec_b, list_cosine_similarity(ea.emb, eb.emb) AS c
+       |  FROM cand
+       |  JOIN corpus ea ON ea.vec_id = cand.vec_a
+       |  JOIN corpus eb ON eb.vec_id = cand.vec_b)
+       |WHERE c >= 0.92
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -715,25 +748,7 @@ object SparkEntry {
         |WHERE user_id < 50
         |ORDER BY user_id, event_type""".stripMargin,
 
-    "q53_embed_neardup" ->
-      """WITH base AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |corpus AS (
-        |  SELECT vec_id, emb FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 100000, list_transform(emb, v -> v + 0.01)
-        |  FROM base WHERE vec_id < 50),
-        |e AS (
-        |  SELECT vec_id, emb,
-        |    array_to_string(list_transform(emb[1:8],
-        |      v -> CASE WHEN v >= 0 THEN '1' ELSE '0' END), '') AS block
-        |  FROM corpus)
-        |SELECT vec_a, vec_b, round(c, 4) AS cosine FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    list_cosine_similarity(a.emb, b.emb) AS c
-        |  FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id)
-        |WHERE c >= 0.92
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q53_embed_neardup" -> q53OracleSql,
 
     "q54_token_count" ->
       """SELECT doc_id,

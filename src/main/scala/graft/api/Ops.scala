@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.Hyperplanes
 import graft.functions.TextFunctions._
 
 /** Public fluent API over the engine's composed operators — the
@@ -18,6 +19,21 @@ object Ops {
     */
   def topkSketch(c: Column, k: Int, cap: Int = 4096): Column =
     call_function("topk_sketch", c, lit(k), lit(cap))
+
+  /** Per-round lineage break for iterative/self-joining plans: with a
+    * `checkpointDir`, reliable `checkpoint` into it (HDFS/S3 on a real
+    * cluster — survives executor loss, the right mode for a 100 TB
+    * run); without, `localCheckpoint` (executor-local blocks — faster,
+    * fine for local mode and short-lived jobs).
+    */
+  private[graft] def lineageBreaker(checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) => df => {
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      }
+      case None => df => df.localCheckpoint(eager = true)
+    }
 
   implicit final class GraftDataFrameOps(private val left: DataFrame) extends AnyVal {
 
@@ -196,23 +212,43 @@ object Ops {
         .filter(col("hamming") <= maxHamming)
     }
 
-    /** Embedding-cosine near-dup pairs with sign-signature blocking
-      * (axis-aligned hyperplane code over the leading `signBits`
-      * dims → 2^signBits buckets): pairs only form inside a block;
-      * the codegen'd cosine expression verifies candidates. Requires
+    /** Embedding-cosine near-dup pairs with multi-table random-
+      * hyperplane blocking ([[graft.functions.Hyperplanes]]): `tables`
+      * independent `signBits`-bit sign codes per vector, candidate
+      * pairs form inside any (table, code) bucket, the union is
+      * deduped and verified ONCE by the codegen'd cosine expression —
+      * the vector analogue of [[minhashLshPairs]]'s banding, with the
+      * same shuffle shape: the block join carries only (id, table,
+      * code), and the vectors join back for verification by id. A pair
+      * at cosine ≥ 0.92 that flips one sign in one table still
+      * collides in another; a single blocking table (the pre-r4 shape)
+      * silently loses it. `dim` is the embedding dimensionality (the
+      * hyperplane literals must cover every coordinate). Requires
       * `GraftFunctions.register(spark)`. Returns (vec_a, vec_b,
       * cosine ≥ threshold).
       */
-    def embeddingNearDups(id: String, emb: String, threshold: Double,
-                          signBits: Int = 8): DataFrame = {
-      val e = left.select(col(id), col(emb).cast("array<double>").as("__e"))
-        .withColumn("__block",
-          concat_ws("", transform(slice(col("__e"), 1, signBits),
-            v => when(v >= 0, lit("1")).otherwise(lit("0")))))
-      val a = e.select(col("__block"), col(id).as("vec_a"), col("__e").as("__ea"))
-      val b = e.select(col("__block"), col(id).as("vec_b"), col("__e").as("__eb"))
-      a.join(b, Seq("__block"))
+    def embeddingNearDups(id: String, emb: String, threshold: Double, dim: Int,
+                          signBits: Int = 8, tables: Int = 4,
+                          seed: String = "graft-hp",
+                          checkpointDir: Option[String] = None): DataFrame = {
+      val ckp = lineageBreaker(checkpointDir)
+      val w = Hyperplanes.weights(tables, signBits, dim, seed)
+      // materialized once: the code explode reads it, and both verify
+      // joins read it again by id
+      val base = ckp(left.select(col(id), col(emb).cast("array<double>").as("__e")))
+      val coded = ckp(base
+        .select(col(id), posexplode(array(
+          (0 until tables).map(l => Hyperplanes.blockCode(col("__e"), w(l))): _*)))
+        .withColumnRenamed("pos", "__tbl").withColumnRenamed("col", "__block"))
+      val a = coded.select(col("__tbl"), col("__block"), col(id).as("vec_a"))
+      val b = coded.select(col("__tbl"), col("__block"), col(id).as("vec_b"))
+      val cand = a.join(b, Seq("__tbl", "__block"))
         .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+        .dropDuplicates("vec_a", "vec_b")
+      cand
+        .join(base.select(col(id).as("vec_a"), col("__e").as("__ea")), Seq("vec_a"))
+        .join(base.select(col(id).as("vec_b"), col("__e").as("__eb")), Seq("vec_b"))
         .withColumn("cosine", call_function("cosine_sim", col("__ea"), col("__eb")))
         .filter(col("cosine") >= threshold)
         .select(col("vec_a"), col("vec_b"), col("cosine"))

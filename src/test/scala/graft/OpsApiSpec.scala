@@ -125,8 +125,10 @@ class OpsApiSpec extends AnyFunSuite {
 
   test("embeddingNearDups: fewer sign bits → coarser blocks → superset of pairs") {
     graft.functions.GraftFunctions.register(spark)
+    // per-table codes share a prefix (weights depend on (table, bit,
+    // dim), not on signBits), so shorter codes merge blocks
     def pairs(bits: Int): Set[(Long, Long)] =
-      t.embeddings.embeddingNearDups("vec_id", "embedding", threshold = 0.3, signBits = bits)
+      t.embeddings.embeddingNearDups("vec_id", "embedding", threshold = 0.3, dim = 64, signBits = bits)
         .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val fine = pairs(8)
     val coarse = pairs(4)
