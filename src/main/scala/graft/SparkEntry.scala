@@ -91,6 +91,54 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** CTE chain recomputing `Ops.minhashLshPairs` (64 perms × 16
+    * bands, seeded-md5 affine hash family) bit-for-bit from `src`
+    * (any relation providing doc_id + text), ending in a CTE named
+    * `pairs` (doc_a, doc_b, jaccard — unfiltered; consumers apply
+    * their threshold). Shared by q33 (the operator itself), q46 (its
+    * cluster edges) and q55 (curation's near-dup leg) — the
+    * production pipelines derive edges from LSH banding, never from
+    * skew-prone min-shingle blocks, and their oracles recompute the
+    * same derivation.
+    */
+  private def minhashPairCtes(src: String): String =
+    s"""mh_toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+       |                x -> x <> '') AS t
+       |  FROM $src),
+       |mh_sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM mh_toks WHERE len(t) >= 3),
+       |mh_fil AS (SELECT doc_id, s FROM mh_sh WHERE len(s) > 0),
+       |mh_hp AS (
+       |  SELECT doc_id, s,
+       |    list_transform(s, x -> CAST(('0x' || substr(md5('a:' || x), 1, 7)) AS BIGINT)) AS h1s,
+       |    list_transform(s, x -> CAST(('0x' || substr(md5('b:' || x), 1, 7)) AS BIGINT)) AS h2s
+       |  FROM mh_fil),
+       |mh_sig AS (
+       |  SELECT doc_id, s,
+       |    list_transform(range(0, 64), i ->
+       |      list_min(list_transform(range(1, len(h1s) + 1), j -> h1s[j] + i * h2s[j]))) AS sg
+       |  FROM mh_hp),
+       |mh_banded AS (
+       |  SELECT doc_id, u.b AS band,
+       |    array_to_string(sg[4*u.b+1 : 4*u.b+4], ',') AS bucket
+       |  FROM mh_sig, unnest(range(0, 16)) AS u(b)),
+       |mh_cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mh_banded a JOIN mh_banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
+       |  FROM mh_cand c
+       |  JOIN mh_fil sa ON sa.doc_id = c.doc_a
+       |  JOIN mh_fil sb ON sb.doc_id = c.doc_b)""".stripMargin
+
   /** q53's oracle regenerates the SAME 4×8 seeded Rademacher
     * hyperplanes as `Ops.embeddingNearDups`' defaults
     * ([[graft.functions.Hyperplanes.weights]]) and recomputes code
@@ -444,44 +492,9 @@ object SparkEntry {
     // affine hashes), so even the LSH banding is engine-portable: this
     // recomputes signatures, bands and candidates bit-for-bit in SQL.
     "q33_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-        |                x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks WHERE len(t) >= 3),
-        |fil AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-        |hp AS (
-        |  SELECT doc_id, s,
-        |    list_transform(s, x -> CAST(('0x' || substr(md5('a:' || x), 1, 7)) AS BIGINT)) AS h1s,
-        |    list_transform(s, x -> CAST(('0x' || substr(md5('b:' || x), 1, 7)) AS BIGINT)) AS h2s
-        |  FROM fil),
-        |sig AS (
-        |  SELECT doc_id, s,
-        |    list_transform(range(0, 64), i ->
-        |      list_min(list_transform(range(1, len(h1s) + 1), j -> h1s[j] + i * h2s[j]))) AS sg
-        |  FROM hp),
-        |banded AS (
-        |  SELECT doc_id, u.b AS band,
-        |    array_to_string(sg[4*u.b+1 : 4*u.b+4], ',') AS bucket
-        |  FROM sig, unnest(range(0, 16)) AS u(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |pairs AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-        |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
-        |  FROM cand c
-        |  JOIN fil sa ON sa.doc_id = c.doc_a
-        |  JOIN fil sb ON sb.doc_id = c.doc_b)
-        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH ${minhashPairCtes("documents")}
+         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // simhash is the same portable seeded-md5 arithmetic: bit votes
     // recomputed exactly (outer sum cast to BIGINT — DuckDB list_sum
@@ -634,25 +647,13 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q46_dedup_clusters" -> {
-      // same near-dup pair graph as q32, closed transitively
+      // the same MinHash-LSH pair graph as q33 (the production edge
+      // path — not q32's skewable min-shingle blocks), closed
+      // transitively by the recursive CTE
       val pairSql =
-        """WITH RECURSIVE sh AS (
-          |  SELECT doc_id,
-          |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
-          |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-          |  FROM (SELECT doc_id,
-          |          list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-          |                      x -> x <> '') AS t
-          |        FROM documents)
-          |  WHERE len(t) >= 3),
-          |blocked AS (SELECT doc_id, s, list_min(s) AS block FROM sh WHERE len(s) > 0),
-          |edges AS (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
-          |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
-          |sym AS (SELECT doc_a, doc_b FROM edges
-          |        UNION ALL SELECT doc_b, doc_a FROM edges),""".stripMargin
+        s"""WITH RECURSIVE ${minhashPairCtes("documents")},
+           |sym AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
+           |        UNION ALL SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5),""".stripMargin
       pairSql +
         """
           |reach AS (
@@ -760,7 +761,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q55_curation" ->
-      """WITH c AS (
+      ("""WITH c AS (
         |  SELECT doc_id, text, source,
         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tokens_d,
@@ -781,21 +782,9 @@ object SparkEntry {
         |    SELECT *, MIN(doc_id) OVER (PARTITION BY
         |      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS min_id
         |    FROM gated) WHERE doc_id = min_id),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
-        |                      x -> x <> '') AS t
-        |        FROM exact)
-        |  WHERE len(t) >= 3),
-        |blocked AS (SELECT doc_id, s, list_min(s) AS block FROM sh WHERE len(s) > 0),
+        |""".stripMargin + minhashPairCtes("exact") + """,
         |dropped AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |  SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jaccard >= 0.5),
         |survivors AS (
         |  SELECT e.* FROM exact e LEFT JOIN dropped d ON e.doc_id = d.doc_id
         |  WHERE d.doc_id IS NULL)
@@ -805,7 +794,7 @@ object SparkEntry {
         |  CAST(CASE WHEN source IN ('src0', 'src1') THEN 50
         |            WHEN source IN ('src2', 'src3') THEN 20
         |            ELSE 10 END AS BIGINT)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
 
     "q56_cube" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,

@@ -116,16 +116,21 @@ object Ops {
     /** n-gram Jaccard near-dup pairs with min-shingle blocking:
       * candidate pairs only form inside a block, so the self-join
       * shuffles on the block key instead of the cross product.
-      * Exact-verifiable; for skew-proof banding at corpus scale use
-      * [[minhashLshPairs]]. Returns (doc_a, doc_b, jaccard ≥ threshold).
+      * Exact-verifiable, but the min-shingle block key is skew-prone
+      * (a common minimal shingle = one hot reducer), so production
+      * pipelines (q46 clustering, q55/curate) route their edges
+      * through [[minhashLshPairs]] instead — this stays as the
+      * simplest exact-oracle companion. Returns (doc_a, doc_b,
+      * jaccard ≥ threshold).
       */
-    def nearDupPairs(id: String, text: String, threshold: Double): DataFrame = {
-      val sh = left
+    def nearDupPairs(id: String, text: String, threshold: Double,
+                     checkpointDir: Option[String] = None): DataFrame = {
+      val ckp = lineageBreaker(checkpointDir)
+      val sh = ckp(left
         .withColumn("__toks", tokens(col(text)))
         .select(col(id), shingles3(col("__toks")).as("__s"))
         .filter(size(col("__s")) > 0)
-        .withColumn("__block", array_min(col("__s")))
-        .localCheckpoint(true) // both self-join legs reuse the shingles
+        .withColumn("__block", array_min(col("__s")))) // both self-join legs reuse the shingles
       val a = sh.select(col("__block"), col(id).as("doc_a"), col("__s").as("__sa"))
       val b = sh.select(col("__block"), col(id).as("doc_b"), col("__s").as("__sb"))
       val inter = size(array_intersect(col("__sa"), col("__sb")))
@@ -139,27 +144,30 @@ object Ops {
 
     /** MinHash + LSH banding near-dup pairs — the production-scale
       * formulation: banding carries only (id, band, bucket), candidate
-      * pairs form inside a (band, bucket), shingle sets are joined
+      * pairs form inside a (band, bucket) — band buckets are
+      * 4-permutation minhash tuples, so no natural-language Zipfian
+      * key ever becomes a hot reducer — and shingle sets are joined
       * back just for the exact-Jaccard verification of candidates.
       * Returns (doc_a, doc_b, jaccard ≥ threshold).
       */
     def minhashLshPairs(id: String, text: String, threshold: Double,
-                        perms: Int = 64, bands: Int = 16): DataFrame = {
+                        perms: Int = 64, bands: Int = 16,
+                        checkpointDir: Option[String] = None): DataFrame = {
       require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
       val rows = perms / bands
-      val sh = left
+      val ckp = lineageBreaker(checkpointDir)
+      val sh = ckp(left
         .withColumn("__toks", tokens(col(text)))
         .select(col(id), shingles3(col("__toks")).as("__s"))
-        .filter(size(col("__s")) > 0)
-        .localCheckpoint(true) // shared by banding + both shingle joins
-      val banded = sh
+        .filter(size(col("__s")) > 0)) // shared by banding + both shingle joins
+      val banded = ckp(sh
         .withColumn("__hp", minhashPairs(col("__s")))
         .withColumn("__sig", minhashSignature(col("__hp"), perms))
         .select(col(id),
           posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
             concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))))))
-        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-        .localCheckpoint(true) // both self-join legs reuse the signatures
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket"))
+        // both self-join legs reuse the checkpointed signatures
       val a = banded.select(col("__band"), col("__bucket"), col(id).as("doc_a"))
       val b = banded.select(col("__band"), col("__bucket"), col(id).as("doc_b"))
       val cand = a.join(b, Seq("__band", "__bucket"))
@@ -257,25 +265,29 @@ object Ops {
     /** End-to-end curation (the generalized q55): quality gate by a
       * caller-supplied score column, exact dedup (fingerprint window,
       * keep min id), near-dup removal (drop the larger id of every
-      * blocked-Jaccard pair among survivors), deterministic
+      * MinHash-LSH-verified pair among survivors — the skew-proof
+      * banding path, not min-shingle blocking), deterministic
       * portable-hash sampling at `samplePct`. One declarative plan;
-      * returns the surviving rows of `left`.
+      * returns the surviving rows of `left`. `checkpointDir` selects
+      * reliable checkpoints for every lineage break (cluster mode).
       */
     def curate(id: String, text: String, qualityScore: Column,
                minQuality: Double, nearDupThreshold: Double = 0.5,
-               samplePct: Int = 100): DataFrame = {
+               samplePct: Int = 100,
+               checkpointDir: Option[String] = None): DataFrame = {
+      val ckp = lineageBreaker(checkpointDir)
       val gated = left
         .withColumn("__q", qualityScore)
         .filter(col("__q") >= minQuality)
         .drop("__q")
       val w = Window.partitionBy(col("__fp"))
-      val exactKept = gated
+      val exactKept = ckp(gated
         .withColumn("__fp", md5(normText(col(text)).cast("binary")))
         .withColumn("__min", min(col(id)).over(w))
         .filter(col(id) === col("__min"))
-        .drop("__min", "__fp")
-        .localCheckpoint(true) // shared by the pair join + the anti-join
-      val dropped = exactKept.nearDupPairs(id, text, nearDupThreshold)
+        .drop("__min", "__fp")) // shared by the pair join + the anti-join
+      val dropped = exactKept
+        .minhashLshPairs(id, text, nearDupThreshold, checkpointDir = checkpointDir)
         .select(col("doc_b").as(id)).distinct()
       val survivors = exactKept.join(dropped, Seq(id), "left_anti")
       if (samplePct >= 100) survivors

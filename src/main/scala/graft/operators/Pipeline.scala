@@ -15,8 +15,9 @@ import graft.util.Portable._
   *
   *   1. quality gate (q40's composite score ≥ 0.5),
   *   2. exact dedup (q31's normalized-md5 fingerprint, keep min id),
-  *   3. near-dup removal (drop the larger id of every q32-style
-  *      blocked-Jaccard pair among the survivors),
+  *   3. near-dup removal (drop the larger id of every q33-style
+  *      MinHash-LSH-verified pair among the survivors — the banding
+  *      path, whose bucket keys cannot skew like min-shingle blocks),
   *   4. deterministic stratified sampling (q49's portable-hash
   *      buckets × per-source rates).
   *
@@ -59,7 +60,7 @@ object Pipeline {
       .drop("min_id", "fingerprint")
       .localCheckpoint(true)
 
-    val dropped = exactKept.nearDupPairs("doc_id", "text", threshold = 0.5)
+    val dropped = exactKept.minhashLshPairs("doc_id", "text", threshold = 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
     val survivors = exactKept.join(dropped, Seq("doc_id"), "left_anti")
 

@@ -51,16 +51,21 @@ object Vectors {
     *  - **re-centering is one (cid, dim) shuffle** with decimal
     *    accumulation, so reducer order can't perturb the means and the
     *    result is identical under any partitioning;
-    *  - each round `localCheckpoint`s (iterative-lineage rule).
+    *  - each round breaks lineage (iterative-lineage rule):
+    *    `localCheckpoint` by default, reliable `checkpoint` into
+    *    `checkpointDir` for cluster runs that must survive executor
+    *    loss (same two modes as q46).
     *
     * Deterministic: seeds are the k lowest-id vectors, distance ties
     * break on cid. Empty clusters drop out (k shrinks).
     * Returns (cid, centroid array<double>, cluster_size).
     */
   def kmeansCentroids(df: DataFrame, idCol: String, embCol: String,
-                      k: Int, iters: Int): DataFrame = {
+                      k: Int, iters: Int,
+                      checkpointDir: Option[String] = None): DataFrame = {
     require(k > 0 && iters > 0, s"k=$k, iters=$iters must be positive")
-    val vecs = df.select(col(embCol).cast("array<double>").as("v")).localCheckpoint(true)
+    val ckp = graft.api.Ops.lineageBreaker(checkpointDir)
+    val vecs = ckp(df.select(col(embCol).cast("array<double>").as("v")))
     var cents: Seq[(Int, Seq[Double])] = df
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(k).collect().toSeq
@@ -83,7 +88,7 @@ object Vectors {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s("m")).as("centroid"),
           max(col("n")).as("cluster_size"))
-        .localCheckpoint(true)
+      result = ckp(result)
       cents = result.collect().toSeq.map(r =>
         (r.getInt(0), r.getSeq[Double](1)))
     }

@@ -123,6 +123,30 @@ class OpsApiSpec extends AnyFunSuite {
     assert(api.nonEmpty && q55ids.nonEmpty)
   }
 
+  test("reliable-checkpoint mode ≡ localCheckpoint across the fluent API") {
+    // Mirrors the q46 two-mode spec (VERDICT r3 item #4): every
+    // lineage-breaking fluent operator takes a checkpointDir and must
+    // produce identical results in both modes — reliable checkpoints
+    // are what a 100 TB cluster run needs to survive executor loss.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ck_api").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(
+      rows(t.documents.minhashLshPairs("doc_id", "text", 0.5)) ==
+        rows(t.documents.minhashLshPairs("doc_id", "text", 0.5, checkpointDir = Some(dir))))
+    val score = length(col("text")).cast("double") / lit(500.0)
+    val local    = t.documents.curate("doc_id", "text", score, minQuality = 0.3)
+    val reliable = t.documents.curate("doc_id", "text", score, minQuality = 0.3,
+      checkpointDir = Some(dir))
+    assert(rows(local) == rows(reliable) && rows(local).nonEmpty)
+    import graft.operators.Vectors
+    assert(
+      Vectors.kmeansCentroids(t.embeddings, "vec_id", "embedding", k = 4, iters = 2)
+        .collect().toSeq.map(_.toString) ==
+      Vectors.kmeansCentroids(t.embeddings, "vec_id", "embedding", k = 4, iters = 2,
+        checkpointDir = Some(dir)).collect().toSeq.map(_.toString))
+  }
+
   test("embeddingNearDups: fewer sign bits → coarser blocks → superset of pairs") {
     graft.functions.GraftFunctions.register(spark)
     // per-table codes share a prefix (weights depend on (table, bit,
