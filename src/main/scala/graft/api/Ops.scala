@@ -186,17 +186,19 @@ object Ops {
     }
 
     /** SimHash near-dup pairs — constant-size fingerprints, banded:
-      * the 60-bit simhash splits into `bands` chunks; near-identical
-      * documents agree on at least one full chunk (pigeonhole: with
-      * `bands` > `maxHamming` differing bits spread across chunks,
-      * some chunk stays untouched), so candidates only form inside a
-      * (band, chunk-value) bucket and are verified with
+      * the 60-bit simhash splits into `bands` chunks and candidates
+      * only form inside a (band, chunk-value) bucket, verified with
       * `bit_count(a XOR b) <= maxHamming` — everything built-in
       * codegen, fingerprints instead of shingle sets on the wire.
+      * Recall: the pigeonhole guarantee (every true pair is a
+      * candidate) holds exactly when `bands > maxHamming` — then
+      * ≤ maxHamming differing bits cannot touch every chunk — which
+      * the defaults (10 > 6) satisfy; calling with bands ≤ maxHamming
+      * makes recall probabilistic, not guaranteed.
       * Returns (doc_a, doc_b, hamming).
       */
     def simhashNearDups(id: String, text: String,
-                        maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+                        maxHamming: Int = 6, bands: Int = 10): DataFrame = {
       val bits = 60
       require(bands > 0 && bits % bands == 0, s"bands ($bands) must divide $bits")
       val chunk = bits / bands

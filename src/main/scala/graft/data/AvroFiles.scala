@@ -1,18 +1,24 @@
 package graft.data
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Avro **container file** source/sink — the file-level completion of
   * the datum-level [[AvroBinary]] codec: one Avro Object Container
-  * File per Spark partition on write, one Spark partition per file on
-  * read, everything streamed through the executors (no whole-file
-  * buffering, no driver-side data).
+  * File per Spark partition on write; on read, large files split into
+  * multiple partitions on Avro sync-marker boundaries (the format
+  * exists to be block-splittable — a directory of a few huge files
+  * reads with real parallelism, not one task per file). Everything is
+  * streamed through the executors (no whole-file buffering, no
+  * driver-side data).
   *
   * The read path passes the expected schema as the Avro *reader*
   * schema, so standard Avro schema resolution applies: files written
@@ -22,10 +28,28 @@ import org.apache.spark.sql.types.StructType
   * (AvroData.scala / AvroGenericInteropFAlgebras.scala) exists to
   * support.
   *
-  * Paths go through the Hadoop FileSystem API, so `file:/`, `hdfs:/`
-  * and any configured object store scheme work unchanged.
+  * Paths go through the Hadoop FileSystem API with the SESSION's
+  * Hadoop configuration shipped to every task (`spark.hadoop.*`
+  * settings and object-store credentials apply executor-side), so
+  * `file:/`, `hdfs:/` and any configured object store scheme work
+  * unchanged. Writes go to an attempt-unique temp name and rename
+  * into place on task success, so a task retry or speculative
+  * duplicate never leaves a partially-written part file visible
+  * (either attempt's rename yields one complete file).
   */
 object AvroFiles {
+
+  /** The driver's Hadoop conf as a serializable snapshot (the public
+    * equivalent of Spark's internal SerializableConfiguration).
+    */
+  private def confEntries(hc: Configuration): Array[(String, String)] =
+    hc.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+
+  private def rebuildConf(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(true)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   /** Write `df` as Avro container files under `dir`
     * (`part-NNNNN.avro`, one per non-empty partition). Returns the
@@ -38,23 +62,37 @@ object AvroFiles {
   }
 
   /** Write against a caller-supplied writer schema (enum/fixed/union
-    * targets — see [[AvroBinary.encodeAs]]).
+    * targets — see [[AvroBinary.encodeAs]]). `syncInterval` overrides
+    * the approximate bytes-per-block (smaller ⇒ more sync markers ⇒
+    * finer read splits).
     */
-  def writeAs(df: DataFrame, dir: String, avroSchemaJson: String): Unit = {
+  def writeAs(df: DataFrame, dir: String, avroSchemaJson: String,
+              syncInterval: Option[Int] = None): Unit = {
     val st = df.schema
+    val entries = confEntries(df.sparkSession.sparkContext.hadoopConfiguration)
     val counts = df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
+        val conf = rebuildConf(entries)
         val schema = new Schema.Parser().parse(avroSchemaJson)
-        val path = new Path(dir, f"part-$i%05d.avro")
-        val fs = path.getFileSystem(new Configuration())
-        val out = fs.create(path, true)
+        val finalPath = new Path(dir, f"part-$i%05d.avro")
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        val tmpPath = new Path(dir, f".part-$i%05d-$attempt%d.avro.tmp")
+        val fs = finalPath.getFileSystem(conf)
+        val out = fs.create(tmpPath, true)
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        syncInterval.foreach(writer.setSyncInterval)
         writer.create(schema, out)
         var n = 0L
         try rows.foreach { row =>
           writer.append(AvroBinary.rowToRecord(row, st, schema)); n += 1
         } finally writer.close()
+        // task commit: job semantics are whole-directory overwrite, so
+        // clear any previous part and move the complete temp file in;
+        // if a concurrent speculative attempt won the rename race, drop
+        // this attempt's output (both are complete files)
+        if (fs.exists(finalPath)) fs.delete(finalPath, false)
+        if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
         Iterator.single(n)
       }
     }
@@ -65,34 +103,60 @@ object AvroFiles {
   /** Read Avro container files under `dir` into a typed DataFrame.
     * `avroSchemaJson` is the *reader* schema; each file's own writer
     * schema (from its header) is resolved against it per standard
-    * Avro schema-resolution rules.
+    * Avro schema-resolution rules. Files larger than `maxSplitBytes`
+    * are read as multiple byte-range partitions aligned to Avro sync
+    * markers: each task syncs to the first block at/after its range
+    * start and stops past its range end — together the splits cover
+    * every block exactly once (the standard Avro split protocol).
     */
-  def read(spark: SparkSession, dir: String, avroSchemaJson: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, avroSchemaJson: String,
+           maxSplitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
     val readerSchema = AvroSchemas.parse(avroSchemaJson)
     val st = AvroSchemas.toSparkType(readerSchema).asInstanceOf[StructType]
+    val hc = spark.sparkContext.hadoopConfiguration
     val globPath = new Path(dir, "*.avro")
-    val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(globPath).map(_.getPath.toString).sorted
+    val fs = globPath.getFileSystem(hc)
+    val statuses = Option(fs.globStatus(globPath)).map(_.toSeq).getOrElse(Seq.empty)
+    if (statuses.isEmpty)
+      throw new IllegalArgumentException(s"no .avro container files found under $dir")
+    val splits: Seq[(String, Long, Long)] = statuses.sortBy(_.getPath.toString).flatMap { s =>
+      val len = s.getLen
+      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+      (0L until n).map(k => (s.getPath.toString, k * maxSplitBytes, math.min((k + 1) * maxSplitBytes, len)))
+    }
+    val entries = confEntries(hc)
     // avro Schema is not serializable: ship the JSON, re-parse per task
     val schemaJson = readerSchema.toString
     val target = st
     val rows = spark.sparkContext
-      .parallelize(files.toSeq, math.max(files.length, 1))
-      .flatMap { p =>
+      .parallelize(splits, splits.length)
+      .flatMap { case (p, start, end) =>
+        val conf = rebuildConf(entries)
         val parsed = new Schema.Parser().parse(schemaJson)
         val path = new Path(p)
-        val in = path.getFileSystem(new Configuration()).open(path)
-        // expected = reader schema; DataFileStream installs the file's
+        val pfs = path.getFileSystem(conf)
+        val len = pfs.getFileStatus(path).getLen
+        val in = pfs.open(path)
+        val seekable = new SeekableInput {
+          def length(): Long = len
+          def seek(pos: Long): Unit = in.seek(pos)
+          def tell(): Long = in.getPos
+          def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
+          def close(): Unit = in.close()
+        }
+        // expected = reader schema; DataFileReader installs the file's
         // writer schema as the actual → avro resolves between them
-        val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord](parsed))
+        val reader = new DataFileReader(seekable, new GenericDatumReader[GenericRecord](parsed))
+        reader.sync(start) // first sync marker at/after the range start
         new Iterator[org.apache.spark.sql.Row] {
           def hasNext: Boolean = {
-            val h = stream.hasNext
-            if (!h) stream.close()
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) reader.close()
             h
           }
           def next(): org.apache.spark.sql.Row =
-            AvroBinary.recordToRow(stream.next(), target, parsed)
+            AvroBinary.recordToRow(reader.next(), target, parsed)
         }
       }
     spark.createDataFrame(rows, st)

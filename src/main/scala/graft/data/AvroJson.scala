@@ -42,6 +42,25 @@ object AvroJson {
   case object FailFast extends Mode
   case object Permissive extends Mode
 
+  /** Record-field strictness (reference README "What's coming up
+    * next" #1: "Strict so additional fields are not allowed on
+    * records").
+    *
+    * [[Inclusive]] (default, and the former only behavior): fields
+    * the schema doesn't declare are ignored, as `from_json` does.
+    *
+    * [[Strict]]: any undeclared field on ANY record datum — top-level
+    * or nested inside arrays/maps/unions, to `maxRecursionDepth` — is
+    * an error (`StrictModeError`), handled per [[Mode]]: FailFast
+    * raises, Permissive nulls the decoded datum. The schema-drift
+    * detector a data platform runs at ingest: a producer adding a
+    * field upstream surfaces immediately instead of silently dropping
+    * data.
+    */
+  sealed trait RecordMode
+  case object Inclusive extends RecordMode
+  case object Strict extends RecordMode
+
   /** How union datums are encoded in the JSON.
     *
     * [[CanonicalUnions]] — the Avro JSON encoding (and the
@@ -60,12 +79,24 @@ object AvroJson {
 
   /** Decode a column of JSON datums against an Avro schema into a
     * typed struct column `out` (shape = [[AvroSchemas.toSparkType]]).
+    *
+    * The top-level schema must be a RECORD (Avro JSON datum files and
+    * the reference's algebra are record-rooted; a bare-union or
+    * primitive root has no struct rendering — wrap it in a
+    * single-field record). Known deviation: decimal-logical
+    * bytes/fixed datums are decoded from JSON numbers, not from
+    * Avro's ISO-8859-1 byte-string JSON rendering of the unscaled
+    * value.
     */
   def decode(df: DataFrame, jsonCol: String, avroSchemaJson: String,
              out: String = "decoded", mode: Mode = FailFast,
              maxRecursionDepth: Int = 1,
-             unions: UnionEncoding = LenientUnions): DataFrame = {
+             unions: UnionEncoding = LenientUnions,
+             records: RecordMode = Inclusive): DataFrame = {
     val schema = AvroSchemas.parse(avroSchemaJson)
+    require(schema.getType == Schema.Type.RECORD,
+      s"AvroJson.decode requires a RECORD top-level schema, got ${schema.getType} " +
+        "(wrap the datum in a single-field record, or use AvroBinary for non-record roots)")
     val pt = parseType(schema, Map.empty, maxRecursionDepth, unions).getOrElse(
       throw new IllegalArgumentException(
         s"schema ${schema.getFullName} prunes to nothing at depth $maxRecursionDepth"))
@@ -75,7 +106,15 @@ object AvroJson {
     }
     val parsed = from_json(col(jsonCol), pt, opts)
     val typed  = rebuild(parsed, schema, Map.empty, maxRecursionDepth, mode, unions)
-    df.withColumn(out, fillDefaults(typed, schema, Map.empty, maxRecursionDepth))
+    val filled = fillDefaults(typed, schema, Map.empty, maxRecursionDepth)
+    val result = records match {
+      case Inclusive => filled
+      case Strict =>
+        val target = targetType(schema, Map.empty, maxRecursionDepth)
+        val v = strictViolation(col(jsonCol), schema, Map.empty, maxRecursionDepth, unions)
+        when(v.isNull, filled.cast(target)).otherwise(err(mode, v, target))
+    }
+    df.withColumn(out, result)
   }
 
   // ---- stage 1: parse shape ------------------------------------------------
@@ -343,6 +382,83 @@ object AvroJson {
         }
         rebuild(from_json(v, pt, opts), b, seen, maxDepth, mode, unions)
       case UNION | NULL => lit(null) // Avro forbids directly nested unions
+    }
+  }
+
+  // ---- strict record-field validation -------------------------------------
+
+  /** Does this subtree reach a (non-pruned) record datum? Positions
+    * that don't are skipped by the Strict walk entirely.
+    */
+  private def containsRecord(s: Schema, seen: Map[String, Int], maxDepth: Int): Boolean = {
+    import Schema.Type._
+    s.getType match {
+      case RECORD => seen.getOrElse(s.getFullName, 0) < maxDepth
+      case ARRAY  => containsRecord(s.getElementType, seen, maxDepth)
+      case MAP    => containsRecord(s.getValueType, seen, maxDepth)
+      case UNION  => nonNull(s).exists(containsRecord(_, seen, maxDepth))
+      case _      => false
+    }
+  }
+
+  /** First undeclared-field description in the raw JSON datum `c`, or
+    * null — the [[Strict]] walk. Record nodes re-parse their raw text
+    * as `map<string,string>` (values captured verbatim — the same
+    * trick the union decoder uses), compare the key set against the
+    * schema's declared fields, and recurse into every field/element/
+    * branch whose subtree can reach another record. Malformed or null
+    * nodes report nothing here; the main decode path owns those
+    * errors.
+    */
+  private def strictViolation(c: Column, s: Schema, seen: Map[String, Int],
+                              maxDepth: Int, unions: UnionEncoding): Column = {
+    import Schema.Type._
+    val noViolation = lit(null).cast(StringType)
+    def firstOf(elems: Column, b: Schema): Column = {
+      val vs = filter(transform(elems, x => strictViolation(x, b, seen, maxDepth, unions)),
+        v => v.isNotNull)
+      when(size(vs) > 0, element_at(vs, 1))
+    }
+    s.getType match {
+      case RECORD if seen.getOrElse(s.getFullName, 0) < maxDepth =>
+        val inner = seen.updated(s.getFullName, seen.getOrElse(s.getFullName, 0) + 1)
+        val declared = s.getFields.asScala.map(_.name()).toSeq
+        val m = from_json(c, MapType(StringType, StringType))
+        val unknown = filter(map_keys(m), k => !k.isInCollection(declared))
+        val childChecks = s.getFields.asScala.toSeq
+          .filter(f => containsRecord(f.schema(), inner, maxDepth))
+          .map(f => strictViolation(element_at(m, lit(f.name())), f.schema(), inner, maxDepth, unions))
+        val childV = if (childChecks.isEmpty) noViolation else coalesce(childChecks: _*)
+        when(m.isNull, noViolation)
+          .when(size(unknown) > 0,
+            concat(lit("StrictModeError: unknown field '"), element_at(unknown, 1),
+              lit(s"' on record ${s.getFullName} (declared: ${declared.mkString(", ")})")))
+          .otherwise(childV)
+      case ARRAY if containsRecord(s.getElementType, seen, maxDepth) =>
+        firstOf(from_json(c, ArrayType(StringType)), s.getElementType)
+      case MAP if containsRecord(s.getValueType, seen, maxDepth) =>
+        firstOf(map_values(from_json(c, MapType(StringType, StringType))), s.getValueType)
+      case UNION =>
+        nonNull(s) match {
+          case Seq(b) if unions == LenientUnions =>
+            if (containsRecord(b, seen, maxDepth)) strictViolation(c, b, seen, maxDepth, unions)
+            else noViolation
+          case branches =>
+            // wrapped {"branchName": value} encoding (canonical
+            // single-branch, or any multi-branch union)
+            val recBranches = branches.filter(containsRecord(_, seen, maxDepth))
+            if (recBranches.isEmpty) noViolation
+            else {
+              val m = from_json(c, MapType(StringType, StringType))
+              val key = map_keys(m).getItem(0)
+              val cases = recBranches.map(b =>
+                when(key === branchName(b),
+                  strictViolation(element_at(m, lit(branchName(b))), b, seen, maxDepth, unions)))
+              when(m.isNotNull && size(map_keys(m)) === 1,
+                coalesce(cases :+ noViolation: _*))
+            }
+        }
+      case _ => noViolation
     }
   }
 

@@ -1,0 +1,116 @@
+package graft.data
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Schema-registry interface + framed datum decode — the network-free
+  * re-expression of the reference's roadmap item #2 (Anglerfish README
+  * "What's coming up next": "interfaces e.g. for Confluent Schema
+  * registry, Kafka, HDFS FileSystem object as tagless interfaces").
+  * The registry is a [[SchemaProvider]] trait; the impls here are
+  * in-memory and Hadoop-FS-file-backed — a real Confluent/HDP client
+  * is one more impl of the same two-method surface, with no other
+  * engine changes.
+  *
+  * Wire format (the public Confluent convention): magic byte `0x00`,
+  * 4-byte big-endian schema id, then the binary Avro datum. Because
+  * the id rides on EVERY datum, a stream whose producer upgrades its
+  * writer schema mid-stream decodes continuously: each datum's writer
+  * schema is resolved against the caller's reader schema per standard
+  * Avro schema-resolution rules (added fields take defaults, dropped
+  * fields are skipped) — resolution happens once per (schema id,
+  * partition), not per row.
+  */
+object AvroRegistry {
+
+  /** Subject-free minimal registry: writer schema JSON by schema id.
+    * Implementations must be Serializable (resolved executor-side) and
+    * thread-safe.
+    */
+  trait SchemaProvider extends Serializable {
+    def writerSchema(id: Int): Option[String]
+  }
+
+  final case class InMemoryProvider(schemas: Map[Int, String]) extends SchemaProvider {
+    def writerSchema(id: Int): Option[String] = schemas.get(id)
+  }
+
+  /** Hadoop-FS-backed provider: schema id `n` lives at `<dir>/n.avsc`
+    * (file:/hdfs:/object stores). Lookups are cached per JVM —
+    * executors fetch each schema at most once. `confEntries` carries
+    * any non-default Hadoop settings (e.g. object-store credentials)
+    * to the executors.
+    */
+  final case class FileProvider(dir: String, confEntries: Map[String, String] = Map.empty)
+      extends SchemaProvider {
+    @transient private lazy val cache =
+      scala.collection.concurrent.TrieMap.empty[Int, Option[String]]
+    def writerSchema(id: Int): Option[String] = cache.getOrElseUpdate(id, {
+      val conf = new Configuration(true)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      val path = new Path(dir, s"$id.avsc")
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          Some(out.toString("UTF-8"))
+        } finally in.close()
+      }
+    })
+  }
+
+  /** The 5-byte frame header for a schema id (magic 0x00 + BE int). */
+  def frameHeader(schemaId: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(5).put(0: Byte).putInt(schemaId).array()
+
+  /** Decode framed Avro datums (batch or streaming DataFrame) against
+    * `readerSchemaJson`, resolving each datum's writer schema through
+    * the provider. `permissive = true` nulls undecodable datums (bad
+    * magic, unknown id, corrupt payload) and flags them `_corrupt`
+    * instead of failing the task — mirroring [[AvroBinary.decode]].
+    */
+  def decodeFramed(df: DataFrame, binCol: String, provider: SchemaProvider,
+                   readerSchemaJson: String, permissive: Boolean = false): DataFrame = {
+    val base = AvroSchemas.toSparkType(
+      AvroSchemas.parse(readerSchemaJson)).asInstanceOf[StructType]
+    val outSchema =
+      if (permissive) StructType(base.fields :+ StructField("_corrupt", BooleanType, nullable = false))
+      else base
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      val reader = new Schema.Parser().parse(readerSchemaJson)
+      // one resolved reader per writer-schema id per partition
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      def readerFor(id: Int): GenericDatumReader[GenericRecord] =
+        readers.getOrElseUpdate(id, {
+          val wj = provider.writerSchema(id).getOrElse(throw new IllegalArgumentException(
+            s"SchemaProvider has no writer schema for id $id"))
+          new GenericDatumReader[GenericRecord](new Schema.Parser().parse(wj), reader)
+        })
+      def decodeOne(bytes: Array[Byte]): Row = {
+        require(bytes.length > 5 && bytes(0) == 0,
+          s"not a framed Avro datum (len=${bytes.length}, magic=${if (bytes.isEmpty) "∅" else bytes(0)})")
+        val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+        val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+        AvroBinary.recordToRow(readerFor(id).read(null, dec), base, reader)
+      }
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        if (permissive) {
+          try Row.fromSeq(decodeOne(bytes).toSeq :+ false)
+          catch { case _: Exception => Row.fromSeq(base.fields.toSeq.map(_ => null) :+ true) }
+        } else decodeOne(bytes)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -42,23 +42,36 @@ object JsonF {
         f.dataType match {
           case s: StructType => cols(path, s)
           case _ =>
-            Seq(col((structCol +: path).mkString(".")).as(path.mkString(sep)))
+            Seq(quoted(structCol +: path).as(path.mkString(sep)))
         }
       }
     val keep = df.columns.filter(_ != structCol).map(col).toSeq
     df.select(keep ++ cols(Nil, st): _*)
   }
 
-  /** Leaf paths of a schema with their types (driver-side walk of the
-    * type tree — schemas are small).
+  /** Column reference from raw path segments: every segment is
+    * backtick-quoted (with `` escaping), so inferred field names
+    * containing '.' or '`' — routine in real-world JSON keys —
+    * resolve to the right nested field instead of erroring or binding
+    * elsewhere. Unquoted dotted paths remain display-only.
     */
-  def leafPaths(st: StructType): Seq[(String, DataType)] = {
-    def go(prefix: Seq[String], t: DataType): Seq[(String, DataType)] = t match {
+  private def quoted(segments: Seq[String]): Column =
+    col(segments.map(s => "`" + s.replace("`", "``") + "`").mkString("."))
+
+  private def leafSegments(st: StructType): Seq[(Seq[String], DataType)] = {
+    def go(prefix: Seq[String], t: DataType): Seq[(Seq[String], DataType)] = t match {
       case s: StructType => s.fields.toSeq.flatMap(f => go(prefix :+ f.name, f.dataType))
-      case other         => Seq((prefix.mkString("."), other))
+      case other         => Seq((prefix, other))
     }
     go(Nil, st)
   }
+
+  /** Leaf paths of a schema with their types (driver-side walk of the
+    * type tree — schemas are small). Paths are display-form
+    * (dot-joined, unquoted).
+    */
+  def leafPaths(st: StructType): Seq[(String, DataType)] =
+    leafSegments(st).map { case (segs, dt) => (segs.mkString("."), dt) }
 
   /** Profile a JSON column: one row per leaf path with its inferred
     * type and non-null occurrence count — the data-discovery query
@@ -68,16 +81,16 @@ object JsonF {
   def profile(df: DataFrame, jsonCol: String): DataFrame = {
     val spark = df.sparkSession
     val st = inferSchema(df, jsonCol)
-    val leaves = leafPaths(st)
+    val leaves = leafSegments(st)
     val parsed = df.select(from_json(col(jsonCol), st).as("__p"))
     val counts = parsed
       .agg(count(lit(1)).as("__total"),
-        leaves.zipWithIndex.map { case ((p, _), i) =>
-          count(col(s"__p.$p")).as(s"__c$i") }: _*)
+        leaves.zipWithIndex.map { case ((segs, _), i) =>
+          count(quoted("__p" +: segs)).as(s"__c$i") }: _*)
       .collect().head
     val total = counts.getLong(0)
-    val rows = leaves.zipWithIndex.map { case ((p, dt), i) =>
-      (p, dt.simpleString, counts.getLong(i + 1), total)
+    val rows = leaves.zipWithIndex.map { case ((segs, dt), i) =>
+      (segs.mkString("."), dt.simpleString, counts.getLong(i + 1), total)
     }
     import spark.implicits._
     rows.toDF("path", "inferred_type", "n_nonnull", "n_rows")

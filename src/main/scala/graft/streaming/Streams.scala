@@ -86,6 +86,22 @@ object Streams {
                  permissive: Boolean = false): DataFrame =
     graft.data.AvroBinary.decode(stream, binCol, avroSchemaJson, permissive)
 
+  /** Registry-backed continuous decode of FRAMED Avro datums (magic +
+    * schema id + payload — the Confluent wire convention), the
+    * re-expression of the reference's schema-registry/Kafka roadmap
+    * item: each datum's writer schema comes from the
+    * [[graft.data.AvroRegistry.SchemaProvider]] and resolves against
+    * `readerSchemaJson`, so a producer upgrading its schema
+    * MID-STREAM keeps decoding — old datums fill new fields with
+    * defaults, per standard Avro resolution. Swap the in-memory/file
+    * provider for a real registry client without touching this path.
+    */
+  def decodeAvroFramed(stream: DataFrame, binCol: String,
+                       provider: graft.data.AvroRegistry.SchemaProvider,
+                       readerSchemaJson: String,
+                       permissive: Boolean = false): DataFrame =
+    graft.data.AvroRegistry.decodeFramed(stream, binCol, provider, readerSchemaJson, permissive)
+
   /** Streaming exact deduplication — the streaming member of the
     * dedup family (q31's analogue for continuous ingest): drop
     * re-deliveries of the same fingerprint while the watermark keeps

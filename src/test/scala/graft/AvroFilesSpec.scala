@@ -48,6 +48,32 @@ class AvroFilesSpec extends AnyFunSuite {
     assert(out.head.length == 3, "dropped writer field must not surface")
   }
 
+  test("one large container file splits on sync markers into multiple partitions") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = spark.range(2000).select(col("id").as("k"), (col("id") * 3).as("v")).coalesce(1)
+    val avroJson = graft.data.AvroSchemas.toAvroSchema(df.schema, "Big").toString
+    // small sync interval forces many blocks into the single file
+    AvroFiles.writeAs(df, dir, avroJson, syncInterval = Some(64))
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 1)
+    val split = AvroFiles.read(spark, dir, avroJson, maxSplitBytes = 1024)
+    assert(split.rdd.getNumPartitions >= 2,
+      s"expected multiple sync-aligned splits, got ${split.rdd.getNumPartitions}")
+    val whole = AvroFiles.read(spark, dir, avroJson)
+    assert(split.count() == 2000)
+    assert(split.except(whole).isEmpty && whole.except(split).isEmpty,
+      "sync-split read must cover every block exactly once")
+    // no leftover temp files from the rename commit protocol
+    assert(new java.io.File(dir).listFiles().forall(!_.getName.endsWith(".tmp")))
+  }
+
+  test("reading a directory with no container files fails with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      AvroFiles.read(spark, tmp(), """{"type":"record","name":"X","fields":[]}""")
+    }
+    assert(e.getMessage.contains("no .avro container files"))
+  }
+
   test("container files are readable by plain avro-core tooling") {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.file.DataFileReader

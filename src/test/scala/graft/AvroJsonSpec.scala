@@ -27,6 +27,52 @@ class AvroJsonSpec extends AnyFunSuite {
       s"expected failure containing '$msg', got: ${texts(e).mkString(" | ")}")
   }
 
+  test("Strict mode rejects unknown record fields; Inclusive accepts them") {
+    val s = """{"type": "record", "name": "S", "fields": [{"name": "a", "type": "int"}]}"""
+    // Inclusive (the default, = pre-existing behavior): extra field ignored
+    assert(decodeOne(s, """{"a": 1, "zz": 2}""").getInt(0) == 1)
+    failsWith("StrictModeError") {
+      AvroJson.decode(Seq("""{"a": 1, "zz": 2}""").toDF("j"), "j", s,
+        records = AvroJson.Strict).select("decoded.*").collect()
+    }
+    // a conforming datum still decodes under Strict
+    assert(AvroJson.decode(Seq("""{"a": 1}""").toDF("j"), "j", s,
+      records = AvroJson.Strict).select("decoded.*").collect().head.getInt(0) == 1)
+  }
+
+  test("Strict mode walks records nested inside arrays and unions") {
+    val s =
+      """{"type": "record", "name": "N", "fields": [
+        |  {"name": "pts", "type": {"type": "array", "items":
+        |     {"type": "record", "name": "P", "fields": [{"name": "x", "type": "int"}]}}},
+        |  {"name": "u", "type": ["null",
+        |     {"type": "record", "name": "Q", "fields": [{"name": "y", "type": "int"}]}]}
+        |]}""".stripMargin
+    def strict(json: String) =
+      AvroJson.decode(Seq(json).toDF("j"), "j", s, records = AvroJson.Strict)
+        .select("decoded.*").collect()
+    // conforming: nested records at every position
+    strict("""{"pts": [{"x": 1}, {"x": 2}], "u": {"y": 3}}""")
+    failsWith("StrictModeError") { strict("""{"pts": [{"x": 1}, {"x": 2, "w": 9}], "u": null}""") }
+    failsWith("StrictModeError") { strict("""{"pts": [], "u": {"y": 3, "extra": true}}""") }
+  }
+
+  test("Strict + Permissive nulls the offending datum instead of failing") {
+    val s = """{"type": "record", "name": "S2", "fields": [{"name": "a", "type": "int"}]}"""
+    val rows = AvroJson.decode(
+      Seq("""{"a": 1}""", """{"a": 2, "zz": 3}""").toDF("j"), "j", s,
+      mode = AvroJson.Permissive, records = AvroJson.Strict)
+      .select(org.apache.spark.sql.functions.col("decoded")).collect()
+    assert(rows(0).getStruct(0).getInt(0) == 1)
+    assert(rows(1).isNullAt(0), "the non-conforming datum must null out in Permissive")
+  }
+
+  test("non-record top-level schema is rejected with a clear error") {
+    failsWith("requires a RECORD top-level schema") {
+      AvroJson.decode(Seq("5").toDF("j"), "j", """["null", "int", "string"]""")
+    }
+  }
+
   private val unionSchema =
     """{"type": "record", "name": "U", "fields": [
       |  {"name": "v", "type": ["null", "int", "string"]}]}""".stripMargin

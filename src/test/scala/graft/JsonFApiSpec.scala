@@ -45,6 +45,21 @@ class JsonFApiSpec extends AnyFunSuite {
     assert(prof.contains("tags"))
   }
 
+  test("flatten and profile survive field names containing dots and backticks") {
+    import spark.implicits._
+    val df = Seq(
+      """{"a.b": 1, "outer": {"x.y": "v", "t`ick": 2}}""",
+      """{"a.b": 2, "outer": {"x.y": "w"}}""").toDF("j")
+    val p = JsonF.parsed(df, "j")
+    val flat = JsonF.flatten(p.drop("j"), "parsed")
+    assert(flat.columns.toSet == Set("a.b", "outer_t`ick", "outer_x.y"))
+    assert(flat.select(col("`outer_x.y`")).collect().map(_.getString(0)).toSet == Set("v", "w"))
+    val prof = JsonF.profile(df, "j").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prof("a.b") == 2L && prof("outer.x.y") == 2L && prof("outer.t`ick") == 1L,
+      s"dotted keys must profile by leaf, got $prof")
+  }
+
   test("profile works on the real events.props column") {
     val t = graft.sources.Tables(spark, sfDir)
     val prof = JsonF.profile(t.events, "props")

@@ -83,6 +83,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("framed Avro decode follows a mid-stream writer schema upgrade via the provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.data.AvroRegistry
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val v1 = """{"type": "record", "name": "M", "fields": [{"name": "a", "type": "long"}]}"""
+    val v2 =
+      """{"type": "record", "name": "M", "fields": [
+        |  {"name": "a", "type": "long"},
+        |  {"name": "b", "type": "string", "default": "legacy"}]}""".stripMargin
+    val provider = AvroRegistry.InMemoryProvider(Map(1 -> v1, 2 -> v2))
+    def framed(id: Int, schemaJson: String)(fill: GenericRecord => Unit): Array[Byte] = {
+      val sch = new Schema.Parser().parse(schemaJson)
+      val rec = new GenericData.Record(sch)
+      fill(rec)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](sch).write(rec, enc)
+      enc.flush()
+      AvroRegistry.frameHeader(id) ++ bos.toByteArray
+    }
+    val stream = MemoryStream[Array[Byte]]
+    // the producer upgrades its writer schema between deliveries
+    stream.addData(Seq(
+      framed(1, v1)(_.put("a", 1L)),
+      framed(1, v1)(_.put("a", 2L))))
+    stream.addData(Seq(
+      framed(2, v2) { r => r.put("a", 3L); r.put("b", "fresh") }))
+    val query = Streams.decodeAvroFramed(
+        stream.toDF().withColumnRenamed("value", "bin"), "bin", provider, readerSchemaJson = v2)
+      .writeStream.format("memory").queryName("framed_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("framed_out").orderBy("a").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "legacy"), (2L, "legacy"), (3L, "fresh")),
+        s"old-schema datums must resolve against the reader schema with defaults: $got")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join reproduces batch q39 pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
