@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
   * Times the SURVEY.md §5 headline set (one per operator family) at
   * SPARK_GRAFT_SF_DIR. Each query is forced through the noop sink so
   * the FULL plan executes (a bare count() lets Spark skip projections
-  * and windows). One untimed warm-up amortizes JIT/codegen compile so
-  * numbers reflect steady-state throughput, which is what a long-lived
-  * cluster job sees.
+  * and windows). One untimed warm-up amortizes JIT/codegen compile,
+  * and each query is timed SPARK_GRAFT_BENCH_RUNS (default 3) times
+  * with the MEDIAN reported — a single-shot timing cannot distinguish
+  * a real plan regression from JIT/AQE/GC noise (VERDICT r3 item #6:
+  * apparent +20–30% drifts turned out to be unmeasurable with n=1).
+  * Cached lineage-break blocks are dropped between runs so one run's
+  * block-manager pressure doesn't contaminate the next.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -37,16 +41,36 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // drop cached localCheckpoint/cache blocks a run left behind, so
+    // timings stay independent (a long-lived JVM accumulates
+    // block-manager pressure otherwise)
+    def dropCachedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { runOnce(name); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      val t = (System.nanoTime() - t0) / 1e9
+      dropCachedBlocks()
+      if (ok) t else -1.0
+    }
+
     // warm-up: JIT + codegen + FS metadata; never let it kill the run
     // (the driver needs the JSON line even on a misconfigured SF dir)
     try runOnce("q01_pricing_summary")
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    dropCachedBlocks()
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { runOnce(name); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0)
+      name -> (if (times.isEmpty) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

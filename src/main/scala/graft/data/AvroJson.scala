@@ -97,6 +97,7 @@ object AvroJson {
     require(schema.getType == Schema.Type.RECORD,
       s"AvroJson.decode requires a RECORD top-level schema, got ${schema.getType} " +
         "(wrap the datum in a single-field record, or use AvroBinary for non-record roots)")
+    AvroSchemas.warnIfPruned(schema, maxRecursionDepth, "AvroJson.decode")
     val pt = parseType(schema, Map.empty, maxRecursionDepth, unions).getOrElse(
       throw new IllegalArgumentException(
         s"schema ${schema.getFullName} prunes to nothing at depth $maxRecursionDepth"))

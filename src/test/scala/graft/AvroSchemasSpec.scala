@@ -63,6 +63,23 @@ class AvroSchemasSpec extends AnyFunSuite {
     assert(inner.fieldNames.toSeq == Seq("value"), "depth-2 keeps one unrolled level")
   }
 
+  test("isRecursive detects self-referencing schemas and only those") {
+    val rec = """{"type": "record", "name": "Node", "fields": [
+                |  {"name": "value", "type": "int"},
+                |  {"name": "next", "type": ["null", "Node"], "default": null}]}""".stripMargin
+    assert(AvroSchemas.isRecursive(AvroSchemas.parse(rec)))
+    val mutual = """{"type": "record", "name": "A", "fields": [
+                   |  {"name": "b", "type": ["null", {"type": "record", "name": "B", "fields": [
+                   |     {"name": "back", "type": ["null", "A"], "default": null}]}], "default": null}]}""".stripMargin
+    assert(AvroSchemas.isRecursive(AvroSchemas.parse(mutual)), "mutual recursion through B -> A")
+    val flat = """{"type": "record", "name": "F", "fields": [
+                 |  {"name": "p", "type": {"type": "record", "name": "P",
+                 |     "fields": [{"name": "x", "type": "int"}]}},
+                 |  {"name": "q", "type": "P"}]}""".stripMargin
+    assert(!AvroSchemas.isRecursive(AvroSchemas.parse(flat)),
+      "re-USE of a named type without a cycle is not recursion")
+  }
+
   test("StructType -> Avro schema -> StructType roundtrip") {
     val st = StructType(Seq(
       StructField("a", LongType, nullable = false),
