@@ -75,6 +75,8 @@ object SparkEntry {
     "q53_embed_neardup"   -> q(Dedup.q53),
     "q54_token_count"     -> q(TextAnalysis.q54),
     "q55_curation"        -> q(Pipeline.q55),
+    "q57_seq_pack"        -> q(Pipeline.q57),
+    "q58_decontaminate"   -> q(Pipeline.q58),
     "q56_cube"            -> q(Relational.q56),
   )
 
@@ -795,6 +797,50 @@ object SparkEntry {
         |            WHEN source IN ('src2', 'src3') THEN 20
         |            ELSE 10 END AS BIGINT)
         |ORDER BY doc_id""".stripMargin),
+
+    "q57_seq_pack" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+        |    CAST(len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM s)
+        |SELECT shard, (cum - n_tokens) // 2048 AS pack_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY shard, pack_id
+        |ORDER BY shard, pack_id""".stripMargin,
+
+    "q58_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |tgs AS (
+        |  SELECT doc_id AS train_id,
+        |    list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT))) AS gs
+        |  FROM toks WHERE len(t) >= 8),
+        |tg AS (SELECT train_id, u.g FROM tgs, unnest(gs) AS u(g)),
+        |egs AS (
+        |  SELECT doc_id + 500000 AS eval_id,
+        |    list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT))) AS gs
+        |  FROM toks WHERE doc_id < 20 AND len(t) >= 8),
+        |eg AS (SELECT eval_id, u.g FROM egs, unnest(gs) AS u(g)),
+        |ec AS (SELECT eval_id, CAST(len(gs) AS BIGINT) AS eval_ngrams FROM egs WHERE len(gs) > 0),
+        |ov AS (
+        |  SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
+        |  FROM tg JOIN eg USING (g) GROUP BY train_id, eval_id)
+        |SELECT train_id, eval_id, shared_ngrams, eval_ngrams,
+        |  round(CAST(shared_ngrams AS DOUBLE) / CAST(eval_ngrams AS DOUBLE), 6) AS overlap_frac
+        |FROM ov JOIN ec USING (eval_id)
+        |WHERE shared_ngrams >= 5
+        |ORDER BY train_id, eval_id""".stripMargin,
 
     "q56_cube" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,

@@ -41,6 +41,23 @@ object TextFunctions {
         (xy, z) => concat(xy, lit(" "), z)))
   }
 
+  /** Distinct portable 60-bit hashes of word n-grams (empty array
+    * when < n tokens). `toks` MUST be an attribute (projected
+    * column): `slice(toks, i, n)` inside the lambda then reads O(n)
+    * per gram without re-evaluating the tokenizer (the HOF re-eval
+    * trap). The `when` guard matters: Spark `sequence(1, 0)` counts
+    * DOWN, not empty. Mirror: DuckDB
+    * `list_distinct(list_transform(range(1, len(t)-n+2), i ->
+    * CAST(('0x'||substr(md5(array_to_string(t[i:i+n-1],' ')),1,15))
+    * AS BIGINT)))` (both engines' ranges cover 1..len-n+1, slices are
+    * 1-based).
+    */
+  def ngramHashes(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => graft.util.Portable.portableHash64(concat_ws(" ", slice(toks, i, lit(n)))))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Portable seeded 60-bit hash (same value as the DuckDB expression
     * CAST('0x'||substr(md5(seed||':'||s),1,15) AS BIGINT)).
     */

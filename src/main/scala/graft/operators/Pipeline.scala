@@ -73,4 +73,73 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("quality_score"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** q57: **sharded sequence packing** — the step between curation and
+    * the trainer: assign each document a token-offset position inside
+    * its shard and derive the training-sequence pack it starts in
+    * (`pack_id = start_offset div budget`). Shards come from the
+    * portable id hash, so the running-sum window is partitioned — the
+    * shard count is the parallelism knob (a 100 TB corpus packs with
+    * thousands of shards; a single global cumsum would be one task).
+    * Deterministic on any engine/partitioning: hash, order and sum are
+    * all portable, which is how the DuckDB oracle replays it exactly.
+    * Output: one row per (shard, pack) with doc count, token total and
+    * the id range.
+    */
+  def q57(t: Tables): DataFrame = {
+    val budget = 2048L
+    val shards = 8
+    val bpePat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    val toks = t.documents.select(
+      col("doc_id"),
+      pmod(portableHash64(col("doc_id").cast("string")), lit(shards.toLong)).as("shard"),
+      size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    toks
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(__cum - n_tokens) div $budget"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** q58: **train/eval decontamination** — find training documents
+    * that leak benchmark content, the check every serious training
+    * corpus runs before a model ships. Shape: distinct 8-gram hashes
+    * per document on both sides, inverted-index equi-join on the gram
+    * hash (never doc×doc), count shared grams per (train, eval) pair,
+    * report pairs sharing ≥ 5 grams with the eval-side overlap
+    * fraction. The eval set here is the first 20 documents re-uploaded
+    * verbatim under new ids — the realistic "benchmark ended up in the
+    * crawl" scenario, guaranteeing true contamination exists at every
+    * SF (natural near-dups surface too). The gram join is the scale
+    * path: candidates only form where an actual 8-gram collides, and
+    * the per-pair counts are a map-side-combinable aggregation.
+    */
+  def q58(t: Tables): DataFrame = {
+    val evalDocs = t.documents.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("eval_id"), col("text"))
+    val trainGrams = t.documents
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("doc_id").as("train_id"), explode(ngramHashes(col("__toks"), 8)).as("g"))
+    val evalGramSets = evalDocs
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("eval_id"), ngramHashes(col("__toks"), 8).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+    val evalGrams = evalGramSets.select(col("eval_id"), explode(col("__gs")).as("g"))
+    val evalCounts = evalGramSets.select(col("eval_id"), size(col("__gs")).cast("long").as("eval_ngrams"))
+    trainGrams.join(evalGrams, Seq("g"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams")) // grams are distinct per doc ⇒ count = |∩|
+      .join(evalCounts, Seq("eval_id"))
+      .filter(col("shared_ngrams") >= 5)
+      .withColumn("overlap_frac",
+        round(col("shared_ngrams").cast("double") / col("eval_ngrams").cast("double"), 6))
+      .select(col("train_id"), col("eval_id"), col("shared_ngrams"),
+        col("eval_ngrams"), col("overlap_frac"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
 }
