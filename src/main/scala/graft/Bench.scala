@@ -22,7 +22,8 @@ object Bench {
     "q21_asof_join", "q22_sessionize", "q23_time_bucket",
     "q26_nested_explode", "q29_fingerprint", "q31_dedup_exact",
     "q32_jaccard_pairs", "q35_cosine_topk", "q39_range_join",
-    "q42_label_centroids", "q46_dedup_clusters", "q55_curation")
+    "q42_label_centroids", "q46_dedup_clusters", "q53_embed_neardup",
+    "q55_curation", "q57_seq_pack", "q58_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,6 +27,13 @@ class PlanShapeSpec extends AnyFunSuite {
   private val locked =
     Bench.headline.filterNot(Set("q46_dedup_clusters", "q35_cosine_topk"))
 
+  test("q57's packing window is shard-partitioned, never a global ordering") {
+    val plan = physicalPlan("q57_seq_pack")
+    val windowLine = plan.linesIterator.find(_.contains("Window ["))
+    assert(windowLine.exists(_.contains("windowspecdefinition(shard")),
+      s"expected the cumsum window partitioned by shard in q57:\n$plan")
+  }
+
   for (name <- locked) {
     test(s"$name plan has no cartesian product or nested-loop join") {
       val plan = physicalPlan(name)
