@@ -297,6 +297,58 @@ object Ops {
         pmod(graft.util.Portable.portableHash64(col(id).cast("string")), lit(100)) < samplePct)
     }
 
+    /** Sharded sequence packing (the generalized q57): shard by the
+      * portable id hash, order by id within the shard, and assign each
+      * row the training-sequence pack its token offset starts in
+      * (`pack_id = offset div budgetTokens`). The cumsum window is
+      * per-shard, so `shards` is the parallelism knob — there is never
+      * a global single-task ordering. Adds (shard, pack_id) to `left`.
+      */
+    def packSequences(id: String, tokenCount: Column,
+                      budgetTokens: Long, shards: Int): DataFrame = {
+      require(budgetTokens > 0 && shards > 0, "budgetTokens and shards must be positive")
+      val w = Window.partitionBy(col("__shard")).orderBy(col(id))
+      left
+        .withColumn("__n", tokenCount.cast("long"))
+        .withColumn("__shard",
+          pmod(graft.util.Portable.portableHash64(col(id).cast("string")), lit(shards.toLong)))
+        .withColumn("__cum", sum(col("__n")).over(w))
+        .withColumn("pack_id", expr(s"(__cum - __n) div $budgetTokens"))
+        .withColumn("shard", col("__shard"))
+        .drop("__n", "__shard", "__cum")
+    }
+
+    /** Train/eval contamination pairs (the generalized q58): distinct
+      * word n-gram hashes per document on both sides, inverted-index
+      * join on the gram hash (candidates only form where an actual
+      * n-gram collides — never doc×doc), shared-gram counts per pair
+      * with the eval-side overlap fraction. Returns (train_id,
+      * eval_id, shared_ngrams, eval_ngrams, overlap_frac ordered-free;
+      * rows with ≥ minShared shared grams).
+      */
+    def contaminationPairs(evalSet: DataFrame, id: String, text: String,
+                           evalId: String, evalText: String,
+                           n: Int = 8, minShared: Long = 5L): DataFrame = {
+      val trainGrams = left
+        .withColumn("__toks", tokens(col(text)))
+        .select(col(id).as("train_id"), explode(ngramHashes(col("__toks"), n)).as("__g"))
+      val evalGramSets = evalSet
+        .withColumn("__toks", tokens(col(evalText)))
+        .select(col(evalId).as("eval_id"), ngramHashes(col("__toks"), n).as("__gs"))
+        .filter(size(col("__gs")) > 0)
+      val evalGrams = evalGramSets.select(col("eval_id"), explode(col("__gs")).as("__g"))
+      val evalCounts = evalGramSets.select(col("eval_id"), size(col("__gs")).cast("long").as("eval_ngrams"))
+      trainGrams.join(evalGrams, Seq("__g"))
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .join(evalCounts, Seq("eval_id"))
+        .filter(col("shared_ngrams") >= minShared)
+        .withColumn("overlap_frac",
+          round(col("shared_ngrams").cast("double") / col("eval_ngrams").cast("double"), 6))
+        .select(col("train_id"), col("eval_id"), col("shared_ngrams"),
+          col("eval_ngrams"), col("overlap_frac"))
+    }
+
     /** Brute-force cosine top-k against a bounded query set: the query
       * side is broadcast, the corpus side streams partitioned — one
       * scan, no shuffle except the per-query top-k window. Requires

@@ -87,17 +87,11 @@ object Pipeline {
     * the id range.
     */
   def q57(t: Tables): DataFrame = {
-    val budget = 2048L
-    val shards = 8
     val bpePat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
-    val toks = t.documents.select(
-      col("doc_id"),
-      pmod(portableHash64(col("doc_id").cast("string")), lit(shards.toLong)).as("shard"),
-      size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    toks
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack_id", expr(s"(__cum - n_tokens) div $budget"))
+    t.documents
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0))).cast("long").as("n_tokens"))
+      .packSequences("doc_id", col("n_tokens"), budgetTokens = 2048L, shards = 8)
       .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
@@ -122,24 +116,9 @@ object Pipeline {
   def q58(t: Tables): DataFrame = {
     val evalDocs = t.documents.filter(col("doc_id") < 20)
       .select((col("doc_id") + 500000).as("eval_id"), col("text"))
-    val trainGrams = t.documents
-      .withColumn("__toks", tokens(col("text")))
-      .select(col("doc_id").as("train_id"), explode(ngramHashes(col("__toks"), 8)).as("g"))
-    val evalGramSets = evalDocs
-      .withColumn("__toks", tokens(col("text")))
-      .select(col("eval_id"), ngramHashes(col("__toks"), 8).as("__gs"))
-      .filter(size(col("__gs")) > 0)
-    val evalGrams = evalGramSets.select(col("eval_id"), explode(col("__gs")).as("g"))
-    val evalCounts = evalGramSets.select(col("eval_id"), size(col("__gs")).cast("long").as("eval_ngrams"))
-    trainGrams.join(evalGrams, Seq("g"))
-      .groupBy(col("train_id"), col("eval_id"))
-      .agg(count(lit(1)).as("shared_ngrams")) // grams are distinct per doc ⇒ count = |∩|
-      .join(evalCounts, Seq("eval_id"))
-      .filter(col("shared_ngrams") >= 5)
-      .withColumn("overlap_frac",
-        round(col("shared_ngrams").cast("double") / col("eval_ngrams").cast("double"), 6))
-      .select(col("train_id"), col("eval_id"), col("shared_ngrams"),
-        col("eval_ngrams"), col("overlap_frac"))
+    t.documents
+      .contaminationPairs(evalDocs, id = "doc_id", text = "text",
+        evalId = "eval_id", evalText = "text", n = 8, minShared = 5L)
       .orderBy(col("train_id"), col("eval_id"))
   }
 }

@@ -123,6 +123,36 @@ class OpsApiSpec extends AnyFunSuite {
     assert(api.nonEmpty && q55ids.nonEmpty)
   }
 
+  test("packSequences: deterministic under repartitioning, budget shrinks pack count") {
+    val toks = t.documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    def packs(df: org.apache.spark.sql.DataFrame, budget: Long): Seq[(Long, Long, Long)] =
+      df.packSequences("doc_id", col("n_tokens"), budgetTokens = budget, shards = 4)
+        .select("doc_id", "shard", "pack_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // portable hash + per-shard ordering ⇒ identical on any layout
+    assert(packs(toks.repartition(3), 1024) == packs(toks.repartition(11), 1024))
+    val fine = packs(toks, 512).map(_._3).distinct.size
+    val coarse = packs(toks, 4096).map(_._3).distinct.size
+    assert(coarse <= fine, s"larger budget must not create more packs ($coarse vs $fine)")
+  }
+
+  test("contaminationPairs: planted verbatim dup overlaps fully, minShared filters") {
+    val evalSet = t.documents.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 900000).as("eid"), col("text").as("etext"))
+    val loose = t.documents.contaminationPairs(evalSet, "doc_id", "text", "eid", "etext",
+      n = 8, minShared = 1L)
+    val strict = t.documents.contaminationPairs(evalSet, "doc_id", "text", "eid", "etext",
+      n = 8, minShared = 10L)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_id", "eval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys(strict).subsetOf(keys(loose)))
+    // each planted eval doc is verbatim its source doc: overlap_frac == 1.0
+    val self = loose.filter(col("train_id") === col("eval_id") - 900000)
+    assert(self.count() == 5)
+    assert(self.collect().forall(_.getAs[Double]("overlap_frac") == 1.0))
+  }
+
   test("reliable-checkpoint mode ≡ localCheckpoint across the fluent API") {
     // Mirrors the q46 two-mode spec (VERDICT r3 item #4): every
     // lineage-breaking fluent operator takes a checkpointDir and must

@@ -30,8 +30,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
     val windowLine = plan.linesIterator.find(_.contains("Window ["))
-    assert(windowLine.exists(_.contains("windowspecdefinition(shard")),
-      s"expected the cumsum window partitioned by shard in q57:\n$plan")
+    assert(windowLine.exists(l =>
+      l.contains("windowspecdefinition(shard") || l.contains("windowspecdefinition(__shard")),
+      s"expected the cumsum window partitioned by the shard column in q57:\n$plan")
   }
 
   for (name <- locked) {
