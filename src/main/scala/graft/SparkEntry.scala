@@ -76,6 +76,7 @@ object SparkEntry {
     "q54_token_count"     -> q(TextAnalysis.q54),
     "q55_curation"        -> q(Pipeline.q55),
     "q57_seq_pack"        -> q(Pipeline.q57),
+    "q59_set_ops"         -> q(Relational.q59),
     "q58_decontaminate"   -> q(Pipeline.q58),
     "q56_cube"            -> q(Relational.q56),
   )
@@ -797,6 +798,17 @@ object SparkEntry {
         |            WHEN source IN ('src2', 'src3') THEN 20
         |            ELSE 10 END AS BIGINT)
         |ORDER BY doc_id""".stripMargin),
+
+    "q59_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT op, custkey FROM (
+        |  SELECT 'both' AS op, o_custkey AS custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'only_1995', o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'only_1996', o_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+        |ORDER BY op, custkey""".stripMargin,
 
     "q57_seq_pack" ->
       """WITH s AS (

@@ -291,4 +291,23 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("yr"))
   }
+
+  /** q59: set operations — INTERSECT / EXCEPT between year cohorts of
+    * buyers. Spark compiles `intersect`/`except` to distinct +
+    * left-semi/left-anti joins, so they shuffle on the compared key
+    * and AQE picks the strategy — no materialized temp sets, no
+    * driver-side set algebra.
+    */
+  def q59(t: Tables): DataFrame = {
+    def buyers(y: Int) = t.orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val a = buyers(1995)
+    val b = buyers(1996)
+    a.intersect(b).withColumn("op", lit("both"))
+      .unionByName(a.except(b).withColumn("op", lit("only_1995")))
+      .unionByName(b.except(a).withColumn("op", lit("only_1996")))
+      .select(col("op"), col("o_custkey").as("custkey"))
+      .orderBy(col("op"), col("custkey"))
+  }
 }
