@@ -116,6 +116,48 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class Doc(doc_id: Long, n_tokens: Long)
+  final case class PackedDoc(doc_id: Long, shard: Long, start_offset: Long, pack_id: Long)
+
+  /** JVM mirror of [[graft.util.Portable.portableHash64]] (md5 hex,
+    * first 15 nibbles as a positive 60-bit long) — same shard for the
+    * same id in batch and streaming packing.
+    */
+  private def portableHash64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Continuous sequence packing — batch q57's analogue for live
+    * ingest: each shard's running token offset lives in the state
+    * store, so packs keep filling ACROSS micro-batches instead of
+    * restarting per trigger. Within a micro-batch documents pack in
+    * doc_id order; across batches in arrival order (a stream has no
+    * global order — that is the streaming semantic). State is
+    * O(shards) longs: constant, watermark-free, survives restarts via
+    * the checkpoint like any stateful query.
+    */
+  def packStream(docs: Dataset[Doc], budgetTokens: Long, shards: Int): Dataset[PackedDoc] = {
+    require(budgetTokens > 0 && shards > 0, "budgetTokens and shards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(d => portableHash64(d.doc_id.toString) % shards)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, batch: Iterator[Doc], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+            val r = PackedDoc(d.doc_id, shard, off, off / budgetTokens)
+            off += d.n_tokens
+            r
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization (30-minute inactivity) as custom
     * streaming state: one `OpenSession` per user in the state store,
     * closed sessions emitted as soon as the gap is observed. State is

@@ -125,6 +125,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming pack: per-shard offsets continue across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{Doc, PackedDoc}
+    val stream = MemoryStream[Doc]
+    val batch1 = Seq(Doc(1, 700), Doc(2, 700), Doc(3, 700), Doc(4, 700))
+    val batch2 = Seq(Doc(5, 700), Doc(6, 700))
+    val query = Streams.packStream(stream.toDS(), budgetTokens = 1000L, shards = 2)
+      .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+    try {
+      stream.addData(batch1); query.processAllAvailable()
+      stream.addData(batch2); query.processAllAvailable()
+      val got = spark.table("pack_out").as[PackedDoc].collect()
+        .map(p => p.doc_id -> p).toMap
+      assert(got.size == 6)
+      // replay the same deterministic assignment driver-side
+      def hash(id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      val offsets = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (batch <- Seq(batch1, batch2); d <- batch.sortBy(_.doc_id)) {
+        val shard = hash(d.doc_id) % 2
+        val off = offsets(shard)
+        val exp = got(d.doc_id)
+        assert(exp.shard == shard && exp.start_offset == off && exp.pack_id == off / 1000L,
+          s"doc ${d.doc_id}: got $exp, expected shard=$shard off=$off")
+        offsets(shard) = off + d.n_tokens
+      }
+      // state carried across triggers: batch-2 docs never restart at 0
+      // unless their shard was genuinely empty in batch 1
+      val b1shards = batch1.map(d => hash(d.doc_id) % 2).toSet
+      assert(batch2.forall(d =>
+        !b1shards.contains(hash(d.doc_id) % 2) || got(d.doc_id).start_offset > 0))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join reproduces batch q39 pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
