@@ -161,6 +161,15 @@ class AvroPropertySpec extends AnyFunSuite {
       val viaBinary = AvroBinary.decode(binDf, "b", schemaJson).collect().toSeq
       assert(viaJson == viaBinary,
         s"decoder divergence for schema $schemaJson:\njson:   $viaJson\nbinary: $viaBinary")
+      // Strict record mode must never reject a datum avro-core itself
+      // encoded (no false positives from the raw-JSON strict walk,
+      // wrapped unions and nested records included)
+      val viaStrict = AvroJson.decode(jsons.toDF("j"), "j", schemaJson,
+        mode = AvroJson.FailFast, unions = AvroJson.CanonicalUnions,
+        records = AvroJson.Strict)
+        .select("decoded.*").collect().toSeq
+      assert(viaStrict == viaJson,
+        s"Strict mode diverged on valid datums for schema $schemaJson")
     }
     info(s"validated ${cases.size} schemas (incl. $unions with multi-branch unions), 3 datums each")
   }
