@@ -35,6 +35,19 @@ object Ops {
       case None => df => df.localCheckpoint(eager = true)
     }
 
+  /** Parallelization floor for expression-heavy map stages (md5
+    * shingling, minhash signatures, n-gram hashing): a small input —
+    * one or two file partitions at test scale — would run all of that
+    * on one core. Round-robin up to the session's default parallelism
+    * first; a NO-OP whenever the input is at least that parallel, so
+    * a 100 TB scan keeps its layout and pays no extra shuffle (the
+    * guard is what makes this safe to apply unconditionally).
+    */
+  private[graft] def floorPartitions(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   implicit final class GraftDataFrameOps(private val left: DataFrame) extends AnyVal {
 
     /** As-of join: for each left row, the most recent right row with
@@ -126,7 +139,7 @@ object Ops {
     def nearDupPairs(id: String, text: String, threshold: Double,
                      checkpointDir: Option[String] = None): DataFrame = {
       val ckp = lineageBreaker(checkpointDir)
-      val sh = ckp(left
+      val sh = ckp(floorPartitions(left.select(col(id), col(text)))
         .withColumn("__toks", tokens(col(text)))
         .select(col(id), shingles3(col("__toks")).as("__s"))
         .filter(size(col("__s")) > 0)
@@ -156,7 +169,7 @@ object Ops {
       require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
       val rows = perms / bands
       val ckp = lineageBreaker(checkpointDir)
-      val sh = ckp(left
+      val sh = ckp(floorPartitions(left.select(col(id), col(text)))
         .withColumn("__toks", tokens(col(text)))
         .select(col(id), shingles3(col("__toks")).as("__s"))
         .filter(size(col("__s")) > 0)) // shared by banding + both shingle joins
@@ -202,7 +215,7 @@ object Ops {
       val bits = 60
       require(bands > 0 && bits % bands == 0, s"bands ($bands) must divide $bits")
       val chunk = bits / bands
-      val sh = left
+      val sh = floorPartitions(left.select(col(id), col(text)))
         .withColumn("__toks", tokens(col(text)))
         .withColumn("__hashes", tokenHashes(col("__toks")))
         .select(col(id), simhash(col("__hashes"), bits).as("__sh"))
@@ -329,7 +342,7 @@ object Ops {
     def contaminationPairs(evalSet: DataFrame, id: String, text: String,
                            evalId: String, evalText: String,
                            n: Int = 8, minShared: Long = 5L): DataFrame = {
-      val trainGrams = left
+      val trainGrams = floorPartitions(left.select(col(id), col(text)))
         .withColumn("__toks", tokens(col(text)))
         .select(col(id).as("train_id"), explode(ngramHashes(col("__toks"), n)).as("__g"))
       val evalGramSets = evalSet
