@@ -62,6 +62,9 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop cached lineage-break blocks so one op's block-manager
+      // pressure doesn't contaminate the next (same rule as Bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       println(f"[probe] $name%-16s $scale%4s  $sec%7.2f s  ${rows / sec}%10.0f rows/s")
       sec
     }
