@@ -21,8 +21,10 @@ import org.apache.spark.sql.types._
   *  - **Enum symbol validation** (reference :645–649, `EnumError`):
   *    a string outside the declared symbol set is rejected.
   *  - **Fixed length validation** (reference :637–642, `FixedError`):
-  *    the base64-decoded payload must have exactly the declared size.
-  *    Bytes/fixed datums are base64 strings (reference `decodeBytes`).
+  *    the decoded payload must have exactly the declared size.
+  *    Bytes/fixed datums are base64 strings by default (reference
+  *    `decodeBytes`), or Avro's own ISO-8859-1 byte-string JSON
+  *    rendering — decimal logicals included — under [[IsoByteString]].
   *  - **Default values, recursively** (reference AvroData.scala:66):
   *    missing record fields take their declared default, including
   *    record/array/map defaults, at any nesting depth.
@@ -77,28 +79,47 @@ object AvroJson {
   case object CanonicalUnions extends UnionEncoding
   case object LenientUnions extends UnionEncoding
 
+  /** How bytes/fixed datums are rendered in the JSON.
+    *
+    * [[Base64Binary]] (default) — base64 strings: the reference's
+    * datum convention (AvroJsonFAlgebras `decodeBytes`) and the usual
+    * JSON-API rendering; decimal logical bytes/fixed are plain JSON
+    * numbers.
+    *
+    * [[IsoByteString]] — Avro's own JSON encoding (what avro-core's
+    * JsonEncoder writes): a JSON string whose Unicode code points
+    * 0–255 ARE the byte values (ISO-8859-1). Decimal logicals are the
+    * big-endian two's-complement bytes of the unscaled value, rendered
+    * the same way.
+    */
+  sealed trait BinaryEncoding
+  case object Base64Binary extends BinaryEncoding
+  case object IsoByteString extends BinaryEncoding
+
   /** Decode a column of JSON datums against an Avro schema into a
     * typed struct column `out` (shape = [[AvroSchemas.toSparkType]]).
     *
     * The top-level schema must be a RECORD (Avro JSON datum files and
     * the reference's algebra are record-rooted; a bare-union or
     * primitive root has no struct rendering — wrap it in a
-    * single-field record). Known deviation: decimal-logical
-    * bytes/fixed datums are decoded from JSON numbers, not from
-    * Avro's ISO-8859-1 byte-string JSON rendering of the unscaled
-    * value.
+    * single-field record). Bytes/fixed (decimal logicals included)
+    * decode per [[BinaryEncoding]]: base64/JSON-number by default,
+    * or Avro's own ISO-8859-1 byte-string rendering under
+    * [[IsoByteString]] — the latter is exact avro-core JsonEncoder
+    * parity (property-tested against it).
     */
   def decode(df: DataFrame, jsonCol: String, avroSchemaJson: String,
              out: String = "decoded", mode: Mode = FailFast,
              maxRecursionDepth: Int = 1,
              unions: UnionEncoding = LenientUnions,
-             records: RecordMode = Inclusive): DataFrame = {
+             records: RecordMode = Inclusive,
+             binary: BinaryEncoding = Base64Binary): DataFrame = {
     val schema = AvroSchemas.parse(avroSchemaJson)
     require(schema.getType == Schema.Type.RECORD,
       s"AvroJson.decode requires a RECORD top-level schema, got ${schema.getType} " +
         "(wrap the datum in a single-field record, or use AvroBinary for non-record roots)")
     AvroSchemas.warnIfPruned(schema, maxRecursionDepth, "AvroJson.decode")
-    val pt = parseType(schema, Map.empty, maxRecursionDepth, unions).getOrElse(
+    val pt = parseType(schema, Map.empty, maxRecursionDepth, unions, binary).getOrElse(
       throw new IllegalArgumentException(
         s"schema ${schema.getFullName} prunes to nothing at depth $maxRecursionDepth"))
     val opts = mode match {
@@ -106,7 +127,7 @@ object AvroJson {
       case Permissive => Map.empty[String, String]
     }
     val parsed = from_json(col(jsonCol), pt, opts)
-    val typed  = rebuild(parsed, schema, Map.empty, maxRecursionDepth, mode, unions)
+    val typed  = rebuild(parsed, schema, Map.empty, maxRecursionDepth, mode, unions, binary)
     val filled = fillDefaults(typed, schema, Map.empty, maxRecursionDepth)
     val result = records match {
       case Inclusive => filled
@@ -126,7 +147,8 @@ object AvroJson {
 
   private[data] def parseType(
       s: Schema, seen: Map[String, Int], maxDepth: Int,
-      unions: UnionEncoding = LenientUnions): Option[DataType] = {
+      unions: UnionEncoding = LenientUnions,
+      binary: BinaryEncoding = Base64Binary): Option[DataType] = {
     import Schema.Type._
     s.getType match {
       case NULL          => Some(NullType)
@@ -138,19 +160,20 @@ object AvroJson {
       case STRING | ENUM => Some(StringType)
       case BYTES | FIXED =>
         Some(s.getLogicalType match {
-          case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
-          case _                       => StringType // base64 payload
+          case d: LogicalTypes.Decimal if binary == Base64Binary =>
+            DecimalType(d.getPrecision, d.getScale) // plain JSON number
+          case _ => StringType // base64 or ISO byte-string payload
         })
       case ARRAY =>
-        parseType(s.getElementType, seen, maxDepth, unions)
+        parseType(s.getElementType, seen, maxDepth, unions, binary)
           .map(ArrayType(_, containsNull = AvroSchemas.nullable(s.getElementType)))
       case MAP =>
-        parseType(s.getValueType, seen, maxDepth, unions)
+        parseType(s.getValueType, seen, maxDepth, unions, binary)
           .map(MapType(StringType, _, valueContainsNull = AvroSchemas.nullable(s.getValueType)))
       case UNION =>
         nonNull(s) match {
           case Seq()  => Some(NullType)
-          case Seq(b) if unions == LenientUnions => parseType(b, seen, maxDepth, unions)
+          case Seq(b) if unions == LenientUnions => parseType(b, seen, maxDepth, unions, binary)
           case _      => Some(StringType) // raw {"branch": value} wrapper
         }
       case RECORD =>
@@ -160,7 +183,7 @@ object AvroJson {
         else {
           val inner = seen.updated(name, depth + 1)
           val fields = s.getFields.asScala.flatMap { f =>
-            parseType(f.schema(), inner, maxDepth, unions)
+            parseType(f.schema(), inner, maxDepth, unions, binary)
               .map(dt => StructField(f.name(), dt, nullable = true))
           }.toSeq
           Some(StructType(fields))
@@ -206,12 +229,12 @@ object AvroJson {
     * don't are passed through untouched (keeps the projection lean).
     */
   private def needsWork(s: Schema, seen: Map[String, Int], maxDepth: Int,
-                        unions: UnionEncoding): Boolean = {
+                        unions: UnionEncoding, binary: BinaryEncoding): Boolean = {
     import Schema.Type._
     s.getType match {
       case ENUM => true
       case BYTES | FIXED =>
-        !s.getLogicalType.isInstanceOf[LogicalTypes.Decimal]
+        binary == IsoByteString || !s.getLogicalType.isInstanceOf[LogicalTypes.Decimal]
       case INT => s.getLogicalType.isInstanceOf[LogicalTypes.Date]
       case LONG =>
         s.getLogicalType match {
@@ -219,17 +242,17 @@ object AvroJson {
                _: LogicalTypes.LocalTimestampMicros | _: LogicalTypes.LocalTimestampMillis => true
           case _ => false
         }
-      case ARRAY => needsWork(s.getElementType, seen, maxDepth, unions)
-      case MAP   => needsWork(s.getValueType, seen, maxDepth, unions)
+      case ARRAY => needsWork(s.getElementType, seen, maxDepth, unions, binary)
+      case MAP   => needsWork(s.getValueType, seen, maxDepth, unions, binary)
       case UNION =>
         val b = nonNull(s)
         b.lengthIs > 1 || (unions == CanonicalUnions && b.nonEmpty) ||
-          b.exists(needsWork(_, seen, maxDepth, unions))
+          b.exists(needsWork(_, seen, maxDepth, unions, binary))
       case RECORD =>
         val depth = seen.getOrElse(s.getFullName, 0)
         depth < maxDepth && {
           val inner = seen.updated(s.getFullName, depth + 1)
-          s.getFields.asScala.exists(f => needsWork(f.schema(), inner, maxDepth, unions))
+          s.getFields.asScala.exists(f => needsWork(f.schema(), inner, maxDepth, unions, binary))
         }
       case _ => false
     }
@@ -245,8 +268,64 @@ object AvroJson {
     case Permissive => try_to_binary(c, lit("base64"))
   }
 
+  // ---- ISO-8859-1 byte strings (Avro's own JSON bytes rendering) ----
+
+  private val latin1Re = "^[\\x00-\\xff]*$"
+
+  /** Byte values (0–255) of an ISO byte string, extracted via hex so
+    * no per-char codepoint builtin is needed (`ascii` is byte-, not
+    * codepoint-based). Only evaluated under a latin-1 guard — Spark's
+    * `encode` rejects unmappable characters. */
+  private def isoBytes(c: Column): Column = {
+    val hx = hex(encode(c, "ISO-8859-1"))
+    transform(sequence(lit(1), length(c)),
+      i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast(IntegerType))
+  }
+
+  private def decodeBinary(c: Column, mode: Mode, binary: BinaryEncoding): Column =
+    binary match {
+      case Base64Binary => decodeBase64(c, mode)
+      case IsoByteString =>
+        when(c.isNull, lit(null).cast(BinaryType))
+          .when(c.rlike(latin1Re), encode(c, "ISO-8859-1"))
+          .otherwise(err(mode,
+            concat(lit("ByteStringError: non-latin-1 code point in byte string '"),
+              c, lit("'")),
+            BinaryType))
+    }
+
+  /** Big-endian two's-complement unscaled bytes → DecimalType(p, s),
+    * from an ISO byte string (Avro JSON's rendering of decimal
+    * logical bytes/fixed). Pure codegen: hex-extracted byte values
+    * folded into a DECIMAL(38,0) accumulator (signed first byte, then
+    * acc*256+b), scaled by an exact 10^-s decimal literal. */
+  private def isoToDecimal(c: Column, d: LogicalTypes.Decimal,
+                           fixedSize: Option[Int], mode: Mode): Column = {
+    val target = DecimalType(d.getPrecision, d.getScale)
+    val d38 = DecimalType(38, 0)
+    val bs = isoBytes(c)
+    val first = element_at(bs, 1)
+    val signedFirst = when(first < 128, first).otherwise(first - 256).cast(d38)
+    val unscaled = aggregate(slice(bs, lit(2), size(bs) - 1), signedFirst,
+      (acc, b) => acc * lit(256) + b.cast(d38))
+    val tenPowNegS = lit(new java.math.BigDecimal(java.math.BigInteger.ONE, d.getScale))
+    val value = mode match {
+      case FailFast   => (unscaled * tenPowNegS).cast(target)
+      case Permissive => (unscaled * tenPowNegS).try_cast(target)
+    }
+    val sizeOk = fixedSize.map(sz => length(c) === sz).getOrElse(length(c) > 0)
+    when(c.isNull, lit(null).cast(target))
+      .when(c.rlike(latin1Re) && sizeOk, value)
+      .otherwise(err(mode,
+        concat(lit(s"ByteStringError: invalid decimal byte string for $target" +
+            fixedSize.map(sz => s" (expected $sz bytes)").getOrElse("") + " in '"),
+          c, lit("'")),
+        target))
+  }
+
   private def rebuild(c: Column, s: Schema, seen: Map[String, Int],
-                      maxDepth: Int, mode: Mode, unions: UnionEncoding): Column = {
+                      maxDepth: Int, mode: Mode, unions: UnionEncoding,
+                      binary: BinaryEncoding): Column = {
     import Schema.Type._
     s.getType match {
       case INT =>
@@ -271,25 +350,37 @@ object AvroJson {
             concat(lit("EnumError: '"), c,
               lit(s"' is not a symbol of ${s.getFullName} ${symbols.mkString("[", ",", "]")}")),
             StringType))
-      case BYTES if !s.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
-        decodeBase64(c, mode)
-      case FIXED if !s.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
-        val b = decodeBase64(c, mode)
-        when(c.isNull, lit(null).cast(BinaryType))
-          .when(octet_length(b) === s.getFixedSize, b)
-          .otherwise(err(mode,
-            concat(lit(s"FixedError: ${s.getFullName} expects ${s.getFixedSize} bytes, got "),
-              coalesce(octet_length(b).cast(StringType), lit("<not base64>"))),
-            BinaryType))
-      case ARRAY if needsWork(s.getElementType, seen, maxDepth, unions) =>
-        transform(c, x => rebuild(x, s.getElementType, seen, maxDepth, mode, unions))
-      case MAP if needsWork(s.getValueType, seen, maxDepth, unions) =>
-        transform_values(c, (_, v) => rebuild(v, s.getValueType, seen, maxDepth, mode, unions))
-      case RECORD if needsWork(s, seen, maxDepth, unions) =>
+      case BYTES =>
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal if binary == IsoByteString =>
+            isoToDecimal(c, d, None, mode)
+          case _: LogicalTypes.Decimal => c // parsed natively as a JSON number
+          case _                       => decodeBinary(c, mode, binary)
+        }
+      case FIXED =>
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal if binary == IsoByteString =>
+            isoToDecimal(c, d, Some(s.getFixedSize), mode)
+          case _: LogicalTypes.Decimal => c
+          case _ =>
+            val b = decodeBinary(c, mode, binary)
+            val undec = if (binary == Base64Binary) "<not base64>" else "<not latin-1>"
+            when(c.isNull, lit(null).cast(BinaryType))
+              .when(octet_length(b) === s.getFixedSize, b)
+              .otherwise(err(mode,
+                concat(lit(s"FixedError: ${s.getFullName} expects ${s.getFixedSize} bytes, got "),
+                  coalesce(octet_length(b).cast(StringType), lit(undec))),
+                BinaryType))
+        }
+      case ARRAY if needsWork(s.getElementType, seen, maxDepth, unions, binary) =>
+        transform(c, x => rebuild(x, s.getElementType, seen, maxDepth, mode, unions, binary))
+      case MAP if needsWork(s.getValueType, seen, maxDepth, unions, binary) =>
+        transform_values(c, (_, v) => rebuild(v, s.getValueType, seen, maxDepth, mode, unions, binary))
+      case RECORD if needsWork(s, seen, maxDepth, unions, binary) =>
         val inner = seen.updated(s.getFullName, seen.getOrElse(s.getFullName, 0) + 1)
         val fields = s.getFields.asScala.flatMap { f =>
-          parseType(f.schema(), inner, maxDepth, unions).map { _ =>
-            rebuild(c.getField(f.name()), f.schema(), inner, maxDepth, mode, unions).as(f.name())
+          parseType(f.schema(), inner, maxDepth, unions, binary).map { _ =>
+            rebuild(c.getField(f.name()), f.schema(), inner, maxDepth, mode, unions, binary).as(f.name())
           }
         }.toSeq
         when(c.isNotNull, struct(fields: _*))
@@ -297,11 +388,11 @@ object AvroJson {
         nonNull(s) match {
           case Seq() => c
           case Seq(b) if unions == LenientUnions =>
-            rebuild(c, b, seen, maxDepth, mode, unions)
+            rebuild(c, b, seen, maxDepth, mode, unions, binary)
           case Seq(b) =>
             // canonical: even [null, T] carries the {"branch": v} wrapper
-            singleUnionCol(c, b, seen, maxDepth, mode, unions)
-          case many => unionCol(c, many, s, seen, maxDepth, mode, unions)
+            singleUnionCol(c, b, seen, maxDepth, mode, unions, binary)
+          case many => unionCol(c, many, s, seen, maxDepth, mode, unions, binary)
         }
       case _ => c
     }
@@ -311,7 +402,8 @@ object AvroJson {
     * raw wrapper either is null or must be `{"<branchName>": value}`.
     */
   private def singleUnionCol(c: Column, b: Schema, seen: Map[String, Int],
-                             maxDepth: Int, mode: Mode, unions: UnionEncoding): Column = {
+                             maxDepth: Int, mode: Mode, unions: UnionEncoding,
+                             binary: BinaryEncoding): Column = {
     val target = targetType(b, seen, maxDepth)
     val name = branchName(b)
     val m = from_json(c, MapType(StringType, StringType))
@@ -320,7 +412,7 @@ object AvroJson {
       coalesce(key, lit("<non-object datum>")))
     when(c.isNull, lit(null).cast(target))
       .when(m.isNotNull && size(map_keys(m)) === 1 && key === name,
-        branchValue(element_at(m, lit(name)), b, seen, maxDepth, mode, unions).cast(target))
+        branchValue(element_at(m, lit(name)), b, seen, maxDepth, mode, unions, binary).cast(target))
       .otherwise(err(mode, msg, target))
   }
 
@@ -334,7 +426,7 @@ object AvroJson {
     */
   private def unionCol(c: Column, branches: Seq[Schema], u: Schema,
                        seen: Map[String, Int], maxDepth: Int, mode: Mode,
-                       unions: UnionEncoding): Column = {
+                       unions: UnionEncoding, binary: BinaryEncoding): Column = {
     val target = targetType(u, seen, maxDepth)
     val names  = branches.map(branchName)
     val m      = from_json(c, MapType(StringType, StringType))
@@ -342,7 +434,7 @@ object AvroJson {
     val members = branches.zipWithIndex.flatMap { case (b, i) =>
       AvroSchemas.convert(b, seen, maxDepth).map { _ =>
         when(key === branchName(b),
-          branchValue(element_at(m, lit(branchName(b))), b, seen, maxDepth, mode, unions))
+          branchValue(element_at(m, lit(branchName(b))), b, seen, maxDepth, mode, unions, binary))
           .as(s"member$i")
       }
     }
@@ -357,7 +449,8 @@ object AvroJson {
 
   /** Decode one union branch from its captured JSON text. */
   private def branchValue(v: Column, b: Schema, seen: Map[String, Int],
-                          maxDepth: Int, mode: Mode, unions: UnionEncoding): Column = {
+                          maxDepth: Int, mode: Mode, unions: UnionEncoding,
+                          binary: BinaryEncoding): Column = {
     import Schema.Type._
     def castTo(dt: DataType): Column = mode match {
       case FailFast   => v.cast(dt) // ANSI: malformed literal raises
@@ -365,23 +458,26 @@ object AvroJson {
     }
     b.getType match {
       case BOOLEAN => castTo(BooleanType)
-      case INT     => rebuild(castTo(IntegerType), b, seen, maxDepth, mode, unions)
-      case LONG    => rebuild(castTo(LongType), b, seen, maxDepth, mode, unions)
+      case INT     => rebuild(castTo(IntegerType), b, seen, maxDepth, mode, unions, binary)
+      case LONG    => rebuild(castTo(LongType), b, seen, maxDepth, mode, unions, binary)
       case FLOAT   => castTo(FloatType)
       case DOUBLE  => castTo(DoubleType)
       case STRING  => v
       case ENUM | BYTES | FIXED =>
         b.getLogicalType match {
+          case d: LogicalTypes.Decimal if binary == IsoByteString =>
+            val fs = if (b.getType == FIXED) Some(b.getFixedSize) else None
+            isoToDecimal(v, d, fs, mode)
           case d: LogicalTypes.Decimal => castTo(DecimalType(d.getPrecision, d.getScale))
-          case _                       => rebuild(v, b, seen, maxDepth, mode, unions)
+          case _                       => rebuild(v, b, seen, maxDepth, mode, unions, binary)
         }
       case RECORD | ARRAY | MAP =>
-        val pt = parseType(b, seen, maxDepth, unions).getOrElse(NullType)
+        val pt = parseType(b, seen, maxDepth, unions, binary).getOrElse(NullType)
         val opts = mode match {
           case FailFast   => Map("mode" -> "FAILFAST")
           case Permissive => Map.empty[String, String]
         }
-        rebuild(from_json(v, pt, opts), b, seen, maxDepth, mode, unions)
+        rebuild(from_json(v, pt, opts), b, seen, maxDepth, mode, unions, binary)
       case UNION | NULL => lit(null) // Avro forbids directly nested unions
     }
   }
@@ -581,9 +677,11 @@ object AvroJson {
             }
           case STRING | ENUM => lit(v.toString)
           case INT =>
-            rebuild(lit(v.asInstanceOf[Number].intValue()), s, seen, maxDepth, FailFast, LenientUnions)
+            rebuild(lit(v.asInstanceOf[Number].intValue()), s, seen, maxDepth,
+              FailFast, LenientUnions, Base64Binary)
           case LONG =>
-            rebuild(lit(v.asInstanceOf[Number].longValue()), s, seen, maxDepth, FailFast, LenientUnions)
+            rebuild(lit(v.asInstanceOf[Number].longValue()), s, seen, maxDepth,
+              FailFast, LenientUnions, Base64Binary)
           case FLOAT  => lit(v.asInstanceOf[Number].floatValue())
           case DOUBLE => lit(v.asInstanceOf[Number].doubleValue())
           case BOOLEAN => lit(v.asInstanceOf[Boolean])

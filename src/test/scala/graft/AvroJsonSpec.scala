@@ -162,6 +162,50 @@ class AvroJsonSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]](0).toSeq == "ABCD".getBytes.toSeq)
   }
 
+  private def decodeIso(schema: String, json: String,
+                        mode: AvroJson.Mode = AvroJson.FailFast): org.apache.spark.sql.Row =
+    AvroJson.decode(Seq(json).toDF("j"), "j", schema, mode = mode,
+      binary = AvroJson.IsoByteString).select("decoded.*").collect().head
+
+  test("IsoByteString: bytes decode from Avro's ISO-8859-1 rendering") {
+    val s = """{"type": "record", "name": "B", "fields": [
+              |  {"name": "p", "type": "bytes"}]}""".stripMargin
+    // bytes 0x41 0x00 0xFF as Avro JSON writes them: "A\u0000\u00ff"
+    val r = decodeIso(s, "{\"p\": \"A\\u0000\\u00ff\"}")
+    assert(r.getAs[Array[Byte]](0).toSeq == Seq[Byte](0x41, 0x00, -1))
+    // a code point above 255 cannot be a byte
+    failsWith("ByteStringError") { decodeIso(s, "{\"p\": \"A\\u20ac\"}") }
+    assert(decodeIso(s, "{\"p\": \"A\\u20ac\"}", AvroJson.Permissive).isNullAt(0))
+  }
+
+  test("IsoByteString: decimal bytes decode the two's-complement unscaled value") {
+    val s = """{"type": "record", "name": "D", "fields": [
+              |  {"name": "amt", "type": {"type": "bytes",
+              |     "logicalType": "decimal", "precision": 9, "scale": 2}}]}""".stripMargin
+    // unscaled -1234 = 0xFB 0x2E → -12.34
+    assert(decodeIso(s, "{\"amt\": \"\\u00fb.\"}")
+      .getDecimal(0).compareTo(new java.math.BigDecimal("-12.34")) == 0)
+    // unscaled 1234 = 0x04 0xD2 → 12.34
+    assert(decodeIso(s, "{\"amt\": \"\\u0004\\u00d2\"}")
+      .getDecimal(0).compareTo(new java.math.BigDecimal("12.34")) == 0)
+    // single byte: unscaled -1 → -0.01
+    assert(decodeIso(s, "{\"amt\": \"\\u00ff\"}")
+      .getDecimal(0).compareTo(new java.math.BigDecimal("-0.01")) == 0)
+    // empty byte string is not a valid unscaled integer
+    failsWith("ByteStringError") { decodeIso(s, "{\"amt\": \"\"}") }
+  }
+
+  test("IsoByteString: decimal fixed enforces size and sign-extends") {
+    val s = """{"type": "record", "name": "DF", "fields": [
+              |  {"name": "amt", "type": {"type": "fixed", "name": "Amt", "size": 4,
+              |     "logicalType": "decimal", "precision": 9, "scale": 2}}]}""".stripMargin
+    // -1234 sign-extended to 4 bytes: 0xFF 0xFF 0xFB 0x2E
+    assert(decodeIso(s, "{\"amt\": \"\\u00ff\\u00ff\\u00fb.\"}")
+      .getDecimal(0).compareTo(new java.math.BigDecimal("-12.34")) == 0)
+    // wrong length for the fixed
+    failsWith("ByteStringError") { decodeIso(s, "{\"amt\": \"\\u00fb.\"}") }
+  }
+
   test("nested record default materializes through decode") {
     val s =
       """{"type": "record", "name": "Outer", "fields": [

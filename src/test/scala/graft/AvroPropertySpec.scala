@@ -26,10 +26,12 @@ import graft.data.{AvroBinary, AvroJson}
   * the two independent implementations, or from avro-core's encoding
   * of a construct, fails.
   *
-  * bytes/fixed are excluded here: avro-core's JsonEncoder writes them
-  * as ISO-8859-1-escaped strings while graft follows the reference's
-  * base64 datum convention (AvroJsonFAlgebras `decodeBytes`) — that
-  * path is covered by the explicit AvroJsonSpec cases instead.
+  * bytes/fixed are excluded from the default-mode test (avro-core's
+  * JsonEncoder writes ISO-8859-1 byte strings while the default
+  * [[AvroJson.Base64Binary]] follows the reference's base64 datum
+  * convention, AvroJsonFAlgebras `decodeBytes`); the dedicated
+  * IsoByteString test below covers them — plain and decimal-logical,
+  * bytes and fixed — against the same avro-core encoders.
   */
 class AvroPropertySpec extends AnyFunSuite {
   import SparkTestSession._
@@ -82,6 +84,32 @@ class AvroPropertySpec extends AnyFunSuite {
 
   // ---- random datums for a schema ----
 
+  /** bytes/fixed datums, honoring a decimal logical type: decimals
+    * carry the big-endian two's-complement unscaled bytes
+    * (sign-extended to the declared size for fixed). */
+  private def genBinaryValue(s: Schema): Gen[AnyRef] = s.getLogicalType match {
+    case d: org.apache.avro.LogicalTypes.Decimal =>
+      val bound = BigInt(10).pow(d.getPrecision).toLong - 1
+      Gen.choose(-bound, bound).map { unscaled =>
+        val tw = BigInt(unscaled).toByteArray
+        s.getType match {
+          case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(tw)
+          case _ =>
+            val pad: Byte = if (unscaled < 0) -1 else 0
+            new GenericData.Fixed(s, Array.fill[Byte](s.getFixedSize - tw.length)(pad) ++ tw)
+        }
+      }
+    case _ =>
+      val len =
+        if (s.getType == Schema.Type.FIXED) Gen.const(s.getFixedSize) else Gen.choose(0, 8)
+      len.flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))).map { bytes =>
+        s.getType match {
+          case Schema.Type.BYTES => java.nio.ByteBuffer.wrap(bytes.toArray)
+          case _                 => new GenericData.Fixed(s, bytes.toArray)
+        }
+      }
+  }
+
   private def genValue(s: Schema): Gen[AnyRef] = s.getType match {
     case Schema.Type.BOOLEAN => Gen.oneOf(true, false).map(java.lang.Boolean.valueOf)
     case Schema.Type.INT     => Gen.choose(-1000000, 1000000).map(java.lang.Integer.valueOf)
@@ -116,6 +144,7 @@ class AvroPropertySpec extends AnyFunSuite {
         if (b.getType == Schema.Type.NULL) Gen.const(null.asInstanceOf[AnyRef])
         else genValue(b)
       }
+    case Schema.Type.BYTES | Schema.Type.FIXED => genBinaryValue(s)
     case other => throw new IllegalArgumentException(s"no generator for $other")
   }
 
@@ -172,5 +201,55 @@ class AvroPropertySpec extends AnyFunSuite {
         s"Strict mode diverged on valid datums for schema $schemaJson")
     }
     info(s"validated ${cases.size} schemas (incl. $unions with multi-branch unions), 3 datums each")
+  }
+
+  // ---- bytes / fixed / decimal logicals under IsoByteString ----
+
+  private def genBinarySchema: Gen[Schema] = Gen.oneOf(
+    Gen.const(Schema.create(Schema.Type.BYTES)),
+    Gen.choose(1, 8).map(n => Schema.createFixed(freshName("F"), null, "t", n)),
+    for { p <- Gen.choose(1, 12); sc <- Gen.choose(0, 4) } yield
+      org.apache.avro.LogicalTypes.decimal(p, math.min(sc, p))
+        .addToSchema(Schema.create(Schema.Type.BYTES)),
+    for { p <- Gen.choose(1, 12); sc <- Gen.choose(0, 4); extra <- Gen.choose(0, 2) } yield {
+      // size big enough for any |unscaled| < 10^p, plus optional padding
+      val need = (BigInt(10).pow(p) - 1).toByteArray.length + extra
+      org.apache.avro.LogicalTypes.decimal(p, math.min(sc, p))
+        .addToSchema(Schema.createFixed(freshName("F"), null, "t", need))
+    })
+
+  test("IsoByteString decode matches AvroBinary on avro-core-encoded bytes/fixed/decimals") {
+    import spark.implicits._
+    val cases = samples(
+      for {
+        n <- Gen.choose(1, 3)
+        fieldSchemas <- Gen.listOfN(n, genBinarySchema)
+      } yield {
+        val rec = Schema.createRecord(freshName("B"), null, "t", false)
+        rec.setFields(fieldSchemas.zipWithIndex.map { case (fs, i) =>
+          new Schema.Field(s"f$i", fs, null, null.asInstanceOf[AnyRef])
+        }.asJava)
+        rec
+      }, 20, seed0 = 21L)
+    var decimals = 0
+    for (schema <- cases) {
+      val schemaJson = schema.toString
+      if (schemaJson.contains("decimal")) decimals += 1
+      val datums = samples(genValue(schema), 3, seed0 = schema.getName.hashCode.toLong)
+        .map(_.asInstanceOf[GenericRecord])
+      val jsons = datums.map(toCanonicalJson(_, schema))
+      val viaJson = AvroJson.decode(jsons.toDF("j"), "j", schemaJson,
+        mode = AvroJson.FailFast, unions = AvroJson.CanonicalUnions,
+        binary = AvroJson.IsoByteString)
+        .select("decoded.*").collect().toSeq
+      val bins = datums.map(r => Row(toBinary(r, schema)))
+      val binDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(bins, 1),
+        StructType(Seq(StructField("b", BinaryType))))
+      val viaBinary = AvroBinary.decode(binDf, "b", schemaJson).collect().toSeq
+      assert(viaJson == viaBinary,
+        s"decoder divergence for schema $schemaJson:\njson:   $viaJson\nbinary: $viaBinary")
+    }
+    info(s"validated ${cases.size} binary-field schemas (incl. $decimals with decimals), 3 datums each")
   }
 }
