@@ -70,6 +70,42 @@ class OpsApiSpec extends AnyFunSuite {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("saltedCount: correct on a deliberately hot key, two-stage plan") {
+    import spark.implicits._
+    // 100k rows of one hot key + 100 singleton cold keys — the
+    // power-law shape the salt exists for
+    val hot = spark.range(100000).select(lit("hot").as("k"))
+      .unionByName(spark.range(100).select(concat(lit("cold"), $"id").as("k")))
+    val out = hot.saltedCount("k", buckets = 16)
+    assert(out.filter($"k" === "hot").head().getLong(1) == 100000L)
+    assert(out.count() == 101)
+    // the plan must carry BOTH aggregations: the (key, salt) pre-agg
+    // that spreads the hot key over 16 reducers, then the final
+    // combine — collapsing them would re-create the hot reducer
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.length == 2, s"expected 2-stage salted aggregate, got ${aggs.length}")
+    assert(aggs.exists(_.groupingExpressions.length == 2),
+      "pre-aggregate must group by (key, salt)")
+  }
+
+  test("nearDupPairs: hot-block split leaves the pair set identical") {
+    import spark.implicits._
+    // every doc opens with the same 3 tokens, so all 60 share the
+    // lexicographic min shingle "aaa aaa aaa" → ONE hot block; cap 8
+    // forces ceil(60/8)=8 sub-blocks and the full triangle of cells
+    val docs = (1L to 60L).map(i => (i, s"aaa aaa aaa u$i t$i w$i m$i s$i"))
+      .toDF("doc_id", "text")
+    def pairs(cap: Int): Set[(Long, Long, Double)] =
+      docs.nearDupPairs("doc_id", "text", threshold = 0.0, blockCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mono = pairs(1000000) // single monolithic block: the reference shape
+    val split = pairs(8)
+    assert(mono.size == 60 * 59 / 2, s"expected all within-block pairs, got ${mono.size}")
+    assert(split == mono, "sub-block triangle must not add, drop or change pairs")
+  }
+
   test("dedupExact partitions the corpus: dup_counts sum to row count") {
     val docs = t.documents.select(col("doc_id"), col("text"))
     val out = docs.dedupExact("doc_id", "text")
