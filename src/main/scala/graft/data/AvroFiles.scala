@@ -69,7 +69,21 @@ object AvroFiles {
   def writeAs(df: DataFrame, dir: String, avroSchemaJson: String,
               syncInterval: Option[Int] = None): Unit = {
     val st = df.schema
-    val entries = confEntries(df.sparkSession.sparkContext.hadoopConfiguration)
+    val hc = df.sparkSession.sparkContext.hadoopConfiguration
+    // job init: whole-directory-overwrite semantics require clearing
+    // EVERY previous part, not just same-named ones — a re-write with
+    // fewer partitions would otherwise leave stale part files that
+    // read() silently mixes into the new data. Orphaned temp files
+    // from killed attempts of earlier jobs go too. Driver-side, one
+    // listing — per-task renames below stay untouched.
+    val dirPath = new Path(dir)
+    val dirFs = dirPath.getFileSystem(hc)
+    if (dirFs.exists(dirPath)) {
+      val stale = Option(dirFs.globStatus(new Path(dir, "part-*.avro"))).getOrElse(Array.empty) ++
+        Option(dirFs.globStatus(new Path(dir, ".part-*.avro.tmp"))).getOrElse(Array.empty)
+      stale.foreach(s => dirFs.delete(s.getPath, false))
+    }
+    val entries = confEntries(hc)
     val counts = df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
@@ -149,10 +163,16 @@ object AvroFiles {
         // writer schema as the actual → avro resolves between them
         val reader = new DataFileReader(seekable, new GenericDatumReader[GenericRecord](parsed))
         reader.sync(start) // first sync marker at/after the range start
+        // close exactly once, EVEN when the iterator is never drained
+        // (limit/take/failed task would otherwise leak the FS stream):
+        // exhaustion closes eagerly, task completion closes the rest
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[org.apache.spark.sql.Row] {
           def hasNext: Boolean = {
-            val h = reader.hasNext && !reader.pastSync(end)
-            if (!h) reader.close()
+            val h = !closed && reader.hasNext && !reader.pastSync(end)
+            if (!h) closeOnce()
             h
           }
           def next(): org.apache.spark.sql.Row =

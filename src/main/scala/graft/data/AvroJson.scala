@@ -275,12 +275,17 @@ object AvroJson {
   /** Byte values (0–255) of an ISO byte string, extracted via hex so
     * no per-char codepoint builtin is needed (`ascii` is byte-, not
     * codepoint-based). Only evaluated under a latin-1 guard — Spark's
-    * `encode` rejects unmappable characters. */
-  private def isoBytes(c: Column): Column = {
-    val hx = hex(encode(c, "ISO-8859-1"))
-    transform(sequence(lit(1), length(c)),
-      i => conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast(IntegerType))
-  }
+    * `encode` rejects unmappable characters.
+    *
+    * The hex string is split into 2-char chunks and the lambda only
+    * touches its own element: an outer-column reference inside a HOF
+    * lambda re-evaluates per element (the earlier shape recomputed
+    * `hex(encode(..))` for every byte — the codebase's documented HOF
+    * trap, SURVEY §6). `split`'s child evaluates once per row. */
+  private def isoBytes(c: Column): Column =
+    transform(
+      filter(split(hex(encode(c, "ISO-8859-1")), "(?<=\\G..)"), p => length(p) === 2),
+      p => conv(p, 16, 10).cast(IntegerType))
 
   private def decodeBinary(c: Column, mode: Mode, binary: BinaryEncoding): Column =
     binary match {

@@ -98,15 +98,22 @@ object AvroRegistry {
           new GenericDatumReader[GenericRecord](new Schema.Parser().parse(wj), reader)
         })
       def decodeOne(bytes: Array[Byte]): Row = {
-        require(bytes.length > 5 && bytes(0) == 0,
+        // >= 5: the 5-byte frame alone is a VALID datum when the
+        // writer schema encodes to zero bytes (e.g. an empty record)
+        require(bytes.length >= 5 && bytes(0) == 0,
           s"not a framed Avro datum (len=${bytes.length}, magic=${if (bytes.isEmpty) "∅" else bytes(0)})")
         val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
         val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
         AvroBinary.recordToRow(readerFor(id).read(null, dec), base, reader)
       }
+      val nullRow = Row.fromSeq(base.fields.toSeq.map(_ => null))
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        if (permissive) {
+        if (bytes == null) {
+          // a null payload is an absent datum, not a corrupt one:
+          // all-null fields in both modes (mirrors from_avro on null)
+          if (permissive) Row.fromSeq(nullRow.toSeq :+ false) else nullRow
+        } else if (permissive) {
           try Row.fromSeq(decodeOne(bytes).toSeq :+ false)
           catch { case _: Exception => Row.fromSeq(base.fields.toSeq.map(_ => null) :+ true) }
         } else decodeOne(bytes)

@@ -144,4 +144,30 @@ class AvroBinarySpec extends AnyFunSuite {
     assert(e2.getMessage.contains("FixedError") ||
       Option(e2.getCause).exists(_.getMessage.contains("FixedError")))
   }
+
+  test("decodeFramed accepts empty-payload datums and null bytes") {
+    import spark.implicits._
+    import graft.data.AvroRegistry
+    // an empty record encodes to ZERO body bytes: the bare 5-byte
+    // frame is a valid datum and must decode (it was rejected by a
+    // length > 5 guard); null payloads decode to an all-null row in
+    // both modes instead of NPE-ing
+    val emptySchema = """{"type":"record","name":"E","fields":[]}"""
+    val readerSchema =
+      """{"type":"record","name":"E","fields":[
+        |  {"name":"x","type":"long","default":7}]}""".stripMargin
+    val provider = AvroRegistry.InMemoryProvider(Map(1 -> emptySchema))
+    val frames: Seq[Array[Byte]] =
+      Seq(AvroRegistry.frameHeader(1), null)
+    val df = frames.toDF("avro_bin")
+    val strict = AvroRegistry.decodeFramed(df, "avro_bin", provider, readerSchema)
+      .collect()
+    assert(strict.length == 2)
+    assert(strict.exists(r => !r.isNullAt(0) && r.getLong(0) == 7L),
+      "empty-payload datum must resolve added field to its default")
+    assert(strict.exists(_.isNullAt(0)), "null payload must yield a null row")
+    val perm = AvroRegistry.decodeFramed(df, "avro_bin", provider, readerSchema,
+      permissive = true).collect()
+    assert(perm.forall(!_.getBoolean(1)), "neither datum is corrupt")
+  }
 }

@@ -67,6 +67,41 @@ class AvroFilesSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().forall(!_.getName.endsWith(".tmp")))
   }
 
+  test("overwrite with fewer partitions leaves no stale parts or orphaned temps") {
+    import spark.implicits._
+    val dir = tmp()
+    val first = spark.range(400).select(col("id").as("k")).repartition(4)
+    val schemaJson = AvroFiles.write(first, dir, "Ow")
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 4)
+    // plant an orphaned temp from a hypothetical killed attempt
+    val orphan = new java.io.File(dir, ".part-00007-99.avro.tmp")
+    assert(orphan.createNewFile())
+    // re-write the SAME directory with fewer partitions and new data —
+    // the old part-00002/3 files and the orphan must be gone, and the
+    // read must see ONLY the new rows (stale parts silently mixing old
+    // data into a re-written directory was the bug)
+    val second = spark.range(1000, 1100).select(col("id").as("k")).repartition(2)
+    AvroFiles.writeAs(second, dir, schemaJson)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.count(_.getName.endsWith(".avro")) == 2,
+      s"stale parts remain: ${files.map(_.getName).mkString(",")}")
+    assert(!files.exists(_.getName.endsWith(".tmp")), "orphaned temp not cleared")
+    val back = AvroFiles.read(spark, dir, schemaJson)
+    assert(back.count() == 100)
+    assert(back.agg(min(col("k"))).head().getLong(0) == 1000L,
+      "read must return only the re-written data")
+  }
+
+  test("early-terminated read (limit) still returns correct rows") {
+    // exercises the close-once path: a limit stops consuming the
+    // iterator before exhaustion; the task-completion listener closes
+    // the FS stream instead of leaking it
+    val dir = tmp()
+    val schemaJson = AvroFiles.write(t.nation, dir, "nation")
+    val few = AvroFiles.read(spark, dir, schemaJson).limit(3).collect()
+    assert(few.length == 3)
+  }
+
   test("reading a directory with no container files fails with a clear error") {
     val e = intercept[IllegalArgumentException] {
       AvroFiles.read(spark, tmp(), """{"type":"record","name":"X","fields":[]}""")
