@@ -21,9 +21,11 @@ object Bench {
     "q06_selective_agg", "q08_running_window", "q13_outer_join",
     "q21_asof_join", "q22_sessionize", "q23_time_bucket",
     "q26_nested_explode", "q29_fingerprint", "q31_dedup_exact",
-    "q32_jaccard_pairs", "q35_cosine_topk", "q39_range_join",
-    "q42_label_centroids", "q46_dedup_clusters", "q53_embed_neardup",
-    "q55_curation", "q57_seq_pack", "q58_decontaminate")
+    "q32_jaccard_pairs", "q33_minhash_lsh", "q35_cosine_topk",
+    "q36_ann_ivf", "q39_range_join", "q42_label_centroids",
+    "q46_dedup_clusters", "q47_bigram_stats", "q48_tfidf",
+    "q53_embed_neardup", "q55_curation", "q57_seq_pack",
+    "q58_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,14 +71,20 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results = headline.map { name =>
-      val times = (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0)
-      name -> (if (times.isEmpty) -1.0 else median(times))
+    val results: Seq[(String, Seq[Double])] = headline.map { name =>
+      name -> (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    def med(ts: Seq[Double]): Double = if (ts.isEmpty) -1.0 else median(ts)
+    val qs = results.map { case (k, ts) => "\"" + k + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
+    // raw per-run times alongside the medians: two artifacts that
+    // differ on identical binaries (r4 vs r5 drifted 2×) are then
+    // self-diagnosing as environment skew — wide runs, stable median
+    val runsJson = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(r => med(r._2)).filter(_ >= 0).sum
     val sf = sfDir.split("/").last.stripPrefix("sf")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sf"}""")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sf"}""")
     spark.stop()
   }
 }
