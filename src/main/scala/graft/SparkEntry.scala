@@ -79,6 +79,7 @@ object SparkEntry {
     "q59_set_ops"         -> q(Relational.q59),
     "q58_decontaminate"   -> q(Pipeline.q58),
     "q56_cube"            -> q(Relational.q56),
+    "q60_refine"          -> q(Extended.q60),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -861,5 +862,24 @@ object SparkEntry {
         |FROM customer
         |GROUP BY CUBE(c_mktsegment, c_nationkey)
         |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    // recomputes Refine's Flag-mode _violations array (constraint
+    // names in sorted order, comma-joined) with CASE/list logic —
+    // NULL predicate results count as violations (refined totality)
+    "q60_refine" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  -- duckdb array_to_string([]) is NULL; Spark concat_ws is ''
+        |  coalesce(array_to_string(list_sort(list_filter([
+        |    CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 25, false)
+        |         THEN 'between(l_quantity, 1, 25)' END,
+        |    CASE WHEN NOT coalesce(l_returnflag IN ('N'), false)
+        |         THEN 'oneOf(l_returnflag)' END,
+        |    CASE WHEN NOT coalesce(regexp_matches(l_linestatus, '^O$'), false)
+        |         THEN 'matches(l_linestatus, ^O$)' END,
+        |    CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+        |         THEN 'positive(l_extendedprice)' END
+        |  ], x -> x IS NOT NULL)), ','), '') AS violations
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -93,6 +93,29 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** q60: declarative row-constraint validation in Flag mode
+    * ([[graft.data.Refine]] — the Spark re-expression of the
+    * reference's refined-types integration, Anglerfish
+    * core/refinedExtensions/Refinement.scala:14). Every row gains the
+    * names of the constraints it violates — pure map-side expression
+    * work, one pass, no row lost (what a 100 TB quality audit wants).
+    * Two constraints fire on real data, two never fire (the empty
+    * path); the array is sorted and comma-joined so the driver's
+    * sort+hash compare can process the cells.
+    */
+  def q60(t: Tables): DataFrame = {
+    import graft.data.Refine
+    val cs = Seq(
+      Refine.between(col("l_quantity"), 1, 25),
+      Refine.oneOf(col("l_returnflag"), Seq("N")),
+      Refine.matches(col("l_linestatus"), "^O$"),
+      Refine.positive(col("l_extendedprice")))
+    Refine.check(t.lineitem, cs, Refine.Flag)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        concat_ws(",", sort_array(col("_violations"))).as("violations"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** q41: TPC-H Q7-style nation-pair volume — the nation dim joined
     * twice under different roles (supplier vs customer side).
     */
