@@ -132,14 +132,24 @@ object Streams {
   /** Continuous sequence packing — batch q57's analogue for live
     * ingest: each shard's running token offset lives in the state
     * store, so packs keep filling ACROSS micro-batches instead of
-    * restarting per trigger. Within a micro-batch documents pack in
-    * doc_id order; across batches in arrival order (a stream has no
-    * global order — that is the streaming semantic). State is
-    * O(shards) longs: constant, watermark-free, survives restarts via
-    * the checkpoint like any stateful query.
+    * restarting per trigger. Documents pack in doc_id order within
+    * each `maxBufferPerShard`-sized chunk of a micro-batch, and in
+    * arrival order across chunks and batches (a stream has no global
+    * order — that is the streaming semantic). State is O(shards)
+    * longs: constant, watermark-free, survives restarts via the
+    * checkpoint like any stateful query.
+    *
+    * Memory contract (VERDICT r4 #6): at most `maxBufferPerShard`
+    * docs are ever buffered per shard — a huge catch-up trigger
+    * landing on few shards streams through in bounded chunks instead
+    * of materializing the whole slice. The output iterator is lazy;
+    * per-chunk `state.update` calls are legal because Structured
+    * Streaming commits group state only after the iterator drains.
     */
-  def packStream(docs: Dataset[Doc], budgetTokens: Long, shards: Int): Dataset[PackedDoc] = {
+  def packStream(docs: Dataset[Doc], budgetTokens: Long, shards: Int,
+                 maxBufferPerShard: Int = 100000): Dataset[PackedDoc] = {
     require(budgetTokens > 0 && shards > 0, "budgetTokens and shards must be positive")
+    require(maxBufferPerShard > 0, "maxBufferPerShard must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -148,13 +158,15 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (shard: Long, batch: Iterator[Doc], state: GroupState[Long]) =>
           var off = state.getOption.getOrElse(0L)
-          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
-            val r = PackedDoc(d.doc_id, shard, off, off / budgetTokens)
-            off += d.n_tokens
-            r
+          batch.grouped(maxBufferPerShard).flatMap { chunk =>
+            val out = chunk.sortBy(_.doc_id).map { d =>
+              val r = PackedDoc(d.doc_id, shard, off, off / budgetTokens)
+              off += d.n_tokens
+              r
+            }
+            state.update(off) // committed once the output iterator drains
+            out
           }
-          state.update(off)
-          out.iterator
       }
   }
 

@@ -163,6 +163,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming pack: one huge trigger streams through bounded per-shard chunks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{Doc, PackedDoc}
+    val stream = MemoryStream[Doc]
+    // 500 docs in ONE trigger on ONE shard-ish key space, buffer
+    // capped at 32: the catch-up-batch shape that used to buffer the
+    // whole slice per shard
+    val big = (1L to 500L).map(i => Doc(i, 10))
+    val query = Streams.packStream(stream.toDS(), budgetTokens = 100L, shards = 2,
+      maxBufferPerShard = 32)
+      .writeStream.format("memory").queryName("pack_big").outputMode("append").start()
+    try {
+      stream.addData(big); query.processAllAvailable()
+      val got = spark.table("pack_big").as[PackedDoc].collect()
+      assert(got.length == 500, "every doc must be packed exactly once")
+      // per shard: offsets are contiguous multiples of 10 covering
+      // [0, 10*n) — chunking must not skip, repeat or overlap offsets
+      for ((shard, rows) <- got.groupBy(_.shard)) {
+        val offs = rows.map(_.start_offset).sorted.toSeq
+        assert(offs == (0L until rows.length).map(_ * 10L).toSeq,
+          s"shard $shard offsets not contiguous: ${offs.take(10)}...")
+        assert(rows.forall(p => p.pack_id == p.start_offset / 100L))
+      }
+      // within each 32-doc chunk the ids pack in doc_id order
+      for ((_, rows) <- got.groupBy(_.shard)) {
+        val byOffset = rows.sortBy(_.start_offset).map(_.doc_id).toSeq
+        val chunkSorted = byOffset.grouped(32).forall(c => c == c.sorted)
+        assert(chunkSorted, "chunk-local doc_id ordering violated")
+      }
+    } finally query.stop()
+  }
+
   test("stream-stream interval join reproduces batch q39 pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
