@@ -79,6 +79,8 @@ object ScaleProbe {
       "q46_clusters"  -> (t => Dedup.q46(t)),
       "q53_embed"     -> Dedup.q53,
       "q55_curation"  -> Pipeline.q55,
+      "q57_seq_pack"  -> Pipeline.q57,
+      "q58_decontam"  -> Pipeline.q58,
       "q42_centroids" -> Vectors.q42)
     for ((name, op) <- ops) {
       val s1 = time(name, "1x", nDocs1)(op(t1))

@@ -24,8 +24,11 @@ class PlanShapeSpec extends AnyFunSuite {
   // q35 is the brute-force ANN *baseline*: its broadcast nested-loop
   // (bounded query set broadcast against one corpus scan) is the
   // intended plan — the scale path is q36's IVF cell join.
+  // q48's keyless join of the 1-row n_docs aggregate is necessarily a
+  // broadcast nested-loop; its dedicated test below pins that it is
+  // the ONLY one.
   private val locked =
-    Bench.headline.filterNot(Set("q46_dedup_clusters", "q35_cosine_topk"))
+    Bench.headline.filterNot(Set("q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -41,6 +44,15 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BroadcastNestedLoopJoin in $name:\n$plan")
     }
+  }
+
+  test("q48's only nested-loop is the 1-row n_docs broadcast") {
+    val plan = physicalPlan("q48_tfidf")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q48:\n$plan")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"expected exactly the keyless 1-row n_docs join in q48, got $nlj:\n$plan")
+    // the vocabulary join itself must stay a hash join on term
+    assert(plan.contains("HashJoin"), s"expected a hash join on term in q48:\n$plan")
   }
 
   test("q35 stays a single broadcast pass (no shuffled cartesian)") {
