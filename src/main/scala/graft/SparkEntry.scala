@@ -80,6 +80,7 @@ object SparkEntry {
     "q58_decontaminate"   -> q(Pipeline.q58),
     "q56_cube"            -> q(Relational.q56),
     "q60_refine"          -> q(Extended.q60),
+    "q61_redact"          -> q(TextAnalysis.q61),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -881,5 +882,27 @@ object SparkEntry {
         |  ], x -> x IS NOT NULL)), ','), '') AS violations
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // PII scrub parity: the planted contact line is recomputed in SQL
+    // and the same ASCII email/IPv4 patterns (Java-regex ≡ RE2) are
+    // counted then replaced — 'g' flag on every regexp_replace (Spark
+    // replaces all matches by default, DuckDB only the first)
+    "q61_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.' || CAST(doc_id % 100 AS VARCHAR) || ' done' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
   )
 }

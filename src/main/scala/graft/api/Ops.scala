@@ -61,7 +61,28 @@ object Ops {
     if (bytes / perPart + 1 < par) df.repartition(par) else df
   }
 
+  /** Portable ASCII PII patterns — character classes and bounded
+    * quantifiers only, so Java regex (Spark codegen) and RE2 (the
+    * DuckDB oracle) match identically. Emails and IPv4 addresses;
+    * callers extend with their own (regex, token) rules.
+    */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
   implicit final class GraftDataFrameOps(private val left: DataFrame) extends AnyVal {
+
+    /** PII redaction — the scrub pass a training-data pipeline runs
+      * before anything else sees the text: each (regex, token) rule
+      * rewrites every match of `textCol`, applied in rule order. A
+      * chain of codegen'd regexp_replace expressions: pure map-side
+      * work, no shuffle, streams at any corpus size.
+      */
+    def redact(textCol: String, rules: Seq[(String, String)] = piiRules): DataFrame =
+      left.withColumn(textCol,
+        rules.foldLeft(col(textCol)) { case (c, (re, token)) =>
+          regexp_replace(c, re, token)
+        })
 
     /** As-of join: for each left row, the most recent right row with
       * rightTime ≤ leftTime and matching key. One shuffle on the key:

@@ -140,4 +140,31 @@ object TextAnalysis {
       .agg(countDistinct(col("token")).as("n_distinct_tokens"),
         count(lit(1)).as("n_tokens"))
       .orderBy(col("source"))
+
+  /** q61: PII redaction + counts ([[graft.api.Ops]].redact) — the
+    * scrub pass a training-data pipeline runs before anything else
+    * sees the text. The synthetic documents carry no natural PII, so
+    * a deterministic contact line (email + IPv4 derived from doc_id)
+    * is planted per document — SQL-mirrorable, like Dedup.corpus's
+    * planted re-crawls — then counted (regexp_count pre-redaction)
+    * and scrubbed. All map-side regexp work, ASCII patterns with
+    * identical Java-regex/RE2 semantics, no shuffle.
+    */
+  def q61(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val planted = t.documents.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com at 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id"), lit(100)).cast("string"), lit(" done")).as("text"))
+    val email = piiRules(0)._1
+    val ip = piiRules(1)._1
+    planted
+      .withColumn("n_emails", regexp_count(col("text"), lit(email)).cast("long"))
+      .withColumn("n_ips", regexp_count(col("text"), lit(ip)).cast("long"))
+      .redact("text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("text").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
 }

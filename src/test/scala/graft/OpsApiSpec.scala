@@ -106,6 +106,26 @@ class OpsApiSpec extends AnyFunSuite {
     assert(split == mono, "sub-block triangle must not add, drop or change pairs")
   }
 
+  test("nearDupPairs: random corpora agree across block caps (triangle property)") {
+    import spark.implicits._
+    // tiny vocabulary → many shared min-shingles → multi-doc blocks of
+    // assorted sizes; every cap (incl. the degenerate cap=1) must
+    // reproduce the monolithic pair set exactly
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (1L to 80L).map { i =>
+      val len = 4 + rnd.nextInt(9)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(cap: Int): Set[(Long, Long, Double)] =
+      docs.nearDupPairs("doc_id", "text", threshold = 0.3, blockCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mono = pairs(1000000)
+    assert(mono.nonEmpty, "random corpus should produce near-dup pairs at 0.3")
+    for (cap <- Seq(1, 2, 7, 16))
+      assert(pairs(cap) == mono, s"cap=$cap diverges from the monolithic join")
+  }
+
   test("dedupExact partitions the corpus: dup_counts sum to row count") {
     val docs = t.documents.select(col("doc_id"), col("text"))
     val out = docs.dedupExact("doc_id", "text")
