@@ -81,6 +81,7 @@ object SparkEntry {
     "q56_cube"            -> q(Relational.q56),
     "q60_refine"          -> q(Extended.q60),
     "q61_redact"          -> q(TextAnalysis.q61),
+    "q62_dedup_incr"      -> q(Dedup.q62),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -904,5 +905,35 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |FROM p
         |ORDER BY doc_id""".stripMargin,
+
+    // incremental dedup: exact leg = normalized-md5 join of increment
+    // fingerprints against catalog fingerprints; near leg = the shared
+    // minhash CTE chain restricted to cross-boundary pairs (doc_a <
+    // 250 <= doc_b, since pairs always have doc_a < doc_b). Planted
+    // 200000+ copies are exact-dropped in both engines, so their
+    // absence from the raw-documents pair CTE cannot affect survivors.
+    "q62_dedup_incr" ->
+      s"""WITH ${minhashPairCtes("documents")},
+         |inc AS (
+         |  SELECT doc_id FROM documents WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 200000 FROM documents WHERE doc_id < 20),
+         |allfp AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+         |  FROM documents),
+         |incfp AS (
+         |  SELECT doc_id, f FROM allfp WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, f FROM allfp WHERE doc_id < 20),
+         |catfp AS (SELECT DISTINCT f FROM allfp WHERE doc_id < 250),
+         |exact_drop AS (SELECT DISTINCT i.doc_id FROM incfp i JOIN catfp c ON i.f = c.f),
+         |near_drop AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+         |  WHERE jaccard >= 0.5 AND doc_a < 250 AND doc_b >= 250)
+         |SELECT doc_id FROM inc
+         |WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+         |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

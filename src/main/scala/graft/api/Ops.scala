@@ -61,6 +61,34 @@ object Ops {
     if (bytes / perPart + 1 < par) df.repartition(par) else df
   }
 
+  /** Shared MinHash machinery: normalized-token 3-shingle sets and
+    * their LSH band buckets (perms/bands seeded-md5 signatures —
+    * engine-portable, recomputable in SQL). Both frames are
+    * lineage-broken: shingles feed banding plus every downstream
+    * verify join, bands feed the candidate joins. Used by the
+    * self-join form ([[GraftDataFrameOps.minhashLshPairs]]) and the
+    * two-sided incremental form
+    * ([[GraftDataFrameOps.dedupAgainstCatalog]]).
+    */
+  private[graft] def shingleBands(df: DataFrame, id: String, text: String,
+                                  perms: Int, bands: Int,
+                                  ckp: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.TextFunctions._
+    val rows = perms / bands
+    val sh = ckp(floorPartitions(df.select(col(id), col(text)))
+      .withColumn("__toks", tokens(col(text)))
+      .select(col(id), shingles3(col("__toks")).as("__s"))
+      .filter(size(col("__s")) > 0))
+    val banded = ckp(sh
+      .withColumn("__hp", minhashPairs(col("__s")))
+      .withColumn("__sig", minhashSignature(col("__hp"), perms))
+      .select(col(id),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket"))
+    (sh, banded)
+  }
+
   /** Portable ASCII PII patterns — character classes and bounded
     * quantifiers only, so Java regex (Spark codegen) and RE2 (the
     * DuckDB oracle) match identically. Emails and IPv4 addresses;
@@ -232,20 +260,9 @@ object Ops {
                         perms: Int = 64, bands: Int = 16,
                         checkpointDir: Option[String] = None): DataFrame = {
       require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
-      val rows = perms / bands
       val ckp = lineageBreaker(checkpointDir)
-      val sh = ckp(floorPartitions(left.select(col(id), col(text)))
-        .withColumn("__toks", tokens(col(text)))
-        .select(col(id), shingles3(col("__toks")).as("__s"))
-        .filter(size(col("__s")) > 0)) // shared by banding + both shingle joins
-      val banded = ckp(sh
-        .withColumn("__hp", minhashPairs(col("__s")))
-        .withColumn("__sig", minhashSignature(col("__hp"), perms))
-        .select(col(id),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-            concat_ws(",", slice(col("__sig"), b * rows + 1, lit(rows))))))
-        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket"))
-        // both self-join legs reuse the checkpointed signatures
+      // both self-join legs reuse the checkpointed shingles + bands
+      val (sh, banded) = shingleBands(left, id, text, perms, bands, ckp)
       val a = banded.select(col("__band"), col("__bucket"), col(id).as("doc_a"))
       val b = banded.select(col("__band"), col("__bucket"), col(id).as("doc_b"))
       val cand = a.join(b, Seq("__band", "__bucket"))
@@ -261,6 +278,44 @@ object Ops {
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+
+    /** Incremental dedup — the rolling-ingest production shape: drop
+      * incoming rows that duplicate the EXISTING catalog, exactly
+      * (normalized-md5 fingerprint anti-join) or nearly (two-sided
+      * MinHash-LSH: candidates form where an incoming band bucket
+      * equals a catalog band bucket — never increment × catalog — and
+      * are verified by exact Jaccard). Duplicates WITHIN the
+      * increment are untouched ([[dedupExact]]/[[curate]]'s job), and
+      * the catalog is never re-deduped: per-increment cost scales
+      * with the increment plus one catalog scan — at 100 TB you
+      * re-process the day's crawl, not the corpus. Returns the
+      * surviving rows of `left` with all columns.
+      */
+    def dedupAgainstCatalog(catalog: DataFrame, id: String, text: String,
+                            threshold: Double, perms: Int = 64, bands: Int = 16,
+                            checkpointDir: Option[String] = None): DataFrame = {
+      require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
+      val ckp = lineageBreaker(checkpointDir)
+      val fp = md5(normText(col(text)).cast("binary"))
+      val catFp = catalog.select(fp.as("__fp")).distinct()
+      val exactKept = left.withColumn("__fp", fp)
+        .join(catFp, Seq("__fp"), "left_anti").drop("__fp")
+      val (shNew, bandNew) = shingleBands(left, id, text, perms, bands, ckp)
+      val (shOld, bandOld) = shingleBands(catalog, id, text, perms, bands, ckp)
+      val cand = bandNew.select(col("__band"), col("__bucket"), col(id).as("__nid"))
+        .join(bandOld.select(col("__band"), col("__bucket"), col(id).as("__oid")),
+          Seq("__band", "__bucket"))
+        .select(col("__nid"), col("__oid"))
+        .dropDuplicates("__nid", "__oid")
+      val inter = size(array_intersect(col("__sa"), col("__sb")))
+      val union = size(col("__sa")) + size(col("__sb")) - inter
+      val nearDropped = cand
+        .join(shNew.select(col(id).as("__nid"), col("__s").as("__sa")), Seq("__nid"))
+        .join(shOld.select(col(id).as("__oid"), col("__s").as("__sb")), Seq("__oid"))
+        .filter(inter.cast("double") / union.cast("double") >= threshold)
+        .select(col("__nid").as(id)).distinct()
+      exactKept.join(nearDropped, Seq(id), "left_anti")
     }
 
     /** SimHash near-dup pairs — constant-size fingerprints, banded:

@@ -174,6 +174,26 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q62: incremental dedup against a catalog
+    * ([[graft.api.Ops.GraftDataFrameOps.dedupAgainstCatalog]]) — the
+    * rolling-ingest shape: catalog = docs < 250, increment = docs ≥
+    * 250 plus planted re-crawled copies of catalog docs (exact-dup
+    * true positives, mirroring [[corpus]]). Exact copies fall to the
+    * fingerprint anti-join; near-dups of catalog docs fall to the
+    * two-sided LSH leg; near-dups WITHIN the increment survive by
+    * contract. The oracle recomputes both legs (the shared minhash
+    * CTE chain restricted to cross-boundary pairs).
+    */
+  def q62(t: Tables): DataFrame = {
+    val catalog = t.documents.filter(col("doc_id") < 250)
+    val planted = t.documents.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 200000)
+    val incoming = t.documents.filter(col("doc_id") >= 250).unionByName(planted)
+    incoming.dedupAgainstCatalog(catalog, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q34: 60-bit SimHash fingerprints (rows-only; DedupSpec asserts
     * hamming closeness of known near-dups).
     */

@@ -158,6 +158,26 @@ class OpsApiSpec extends AnyFunSuite {
     assert(sim.size < n * 10, s"candidate blowup: ${sim.size} pairs for $n docs")
   }
 
+  test("dedupAgainstCatalog: drops catalog dups, keeps within-increment dups") {
+    import spark.implicits._
+    val catalog = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),        // exact dup of 1 → dropped
+      (11L, "one two three four five six seven eight nine ten"),     // near dup of 2 → dropped
+      (12L, "totally different content about spark engines here ok"),// novel → kept
+      (13L, "totally different content about spark engines here ok") // dup of 12 (increment-internal) → KEPT
+    ).toDF("doc_id", "text")
+    val kept = incoming.dedupAgainstCatalog(catalog, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L),
+      s"expected increment-internal dups kept, catalog dups dropped; got $kept")
+    // all original columns survive
+    val cols = incoming.dedupAgainstCatalog(catalog, "doc_id", "text", 0.5).columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+
   test("curate API composes the q55 stages and matches its survivor set") {
     import graft.operators.Pipeline
     val score = {
