@@ -25,7 +25,7 @@ object Bench {
     "q36_ann_ivf", "q39_range_join", "q42_label_centroids",
     "q46_dedup_clusters", "q47_bigram_stats", "q48_tfidf",
     "q53_embed_neardup", "q55_curation", "q57_seq_pack",
-    "q58_decontaminate")
+    "q58_decontaminate", "q60_refine", "q61_redact", "q62_dedup_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

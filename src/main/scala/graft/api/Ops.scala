@@ -226,10 +226,13 @@ object Ops {
       val counts = sh.groupBy(col("__block"))
         .agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") > 1) // a singleton block cannot form a pair
-      val sub = sh.join(counts, Seq("__block"))
+      // materialized once: BOTH triangle legs replay this frame, so
+      // without the break each leg would re-run the counts aggregate
+      // and the sizing join from the checkpointed shingles
+      val sub = ckp(sh.join(counts, Seq("__block"))
         .withColumn("__nsub", ceil(col("__bn").cast("double") / blockCap).cast("int"))
         .withColumn("__sub", pmod(graft.util.Portable.portableHash64(col(id).cast("string")),
-          col("__nsub").cast("long")).cast("int"))
+          col("__nsub").cast("long")).cast("int")))
       val a = sub.select(col("__block"), col("__sub").as("__p"),
         explode(sequence(col("__sub"), col("__nsub") - 1)).as("__q"),
         col(id).as("__ida"), col("__s").as("__sa"))
