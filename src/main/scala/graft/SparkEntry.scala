@@ -82,6 +82,9 @@ object SparkEntry {
     "q60_refine"          -> q(Extended.q60),
     "q61_redact"          -> q(TextAnalysis.q61),
     "q62_dedup_incr"      -> q(Dedup.q62),
+    "q63_mixture_sample"  -> q(Pipeline.q63),
+    "q64_repetition_filter" -> q(TextAnalysis.q64),
+    "q65_bloom_semijoin"  -> q(Extended.q65),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -935,5 +938,62 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
          |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
          |ORDER BY doc_id""".stripMargin,
+
+    // mixture sampling is pure integer arithmetic end-to-end (counts,
+    // basis-point scale via integer div, portable-hash threshold), so
+    // the oracle replays the exact kept set — `//` is DuckDB's
+    // integral division, matching Spark SQL `div`
+    "q63_mixture_sample" ->
+      """WITH w(cat, p) AS (VALUES
+        |    ('en', CAST(1 AS BIGINT)), ('de', CAST(1 AS BIGINT)),
+        |    ('es', CAST(1 AS BIGINT)), ('fr', CAST(1 AS BIGINT)),
+        |    ('zh', CAST(1 AS BIGINT))),
+        |c AS (SELECT lang AS cat, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |cw AS (SELECT cat, cnt, p FROM c JOIN w USING (cat)),
+        |s AS (SELECT MIN(cnt * 10000 // p) AS scale FROM cw),
+        |r AS (SELECT cat, LEAST(CAST(10000 AS BIGINT), scale * p // cnt) AS rate_bp
+        |      FROM cw CROSS JOIN s)
+        |SELECT d.doc_id, d.lang, r.rate_bp
+        |FROM documents d JOIN r ON d.lang = r.cat
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |      < r.rate_bp
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // repetition stats are list arithmetic over the shared token
+    // normalization; filtering happens on the 6-decimal ROUNDED
+    // fractions in both engines so the threshold boundary is
+    // bit-identical (DuckDB range(a,b) is [a,b), list slicing 1-based
+    // like Spark's element_at)
+    "q64_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_max(list_transform(list_distinct(toks),
+        |      w -> len(list_filter(toks, x -> x = w)))) AS topc,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |f AS (
+        |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |    round(CAST(topc AS DOUBLE) / n, 6) AS top_token_frac,
+        |    round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) AS dup_bigram_frac
+        |  FROM s)
+        |SELECT doc_id, n_tokens, top_token_frac, dup_bigram_frac
+        |FROM f
+        |WHERE top_token_frac > 0.12 OR dup_bigram_frac > 0.08
+        |ORDER BY doc_id""".stripMargin,
+
+    // the bloom prefilter only discards rows (false positives die in
+    // the exact semi-join behind it), so the oracle is the plain
+    // semi-join the operator is definitionally equal to
+    "q65_bloom_semijoin" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

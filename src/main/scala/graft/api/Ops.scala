@@ -485,6 +485,111 @@ object Ops {
           col("eval_ngrams"), col("overlap_frac"))
     }
 
+    /** Deterministic mixture sampling — reshape a corpus so category
+      * shares match the target integer `parts` (the "data mixture"
+      * step of a training pipeline: balance languages, cap a crawl
+      * source, up-weight a curated domain). The binding category (the
+      * one with the smallest count/parts ratio) keeps ~all its rows;
+      * every other category downsamples to match, so the output is the
+      * LARGEST corpus with the requested mixture. Categories absent
+      * from `parts` are dropped — the domain-filter half of the op.
+      *
+      * Every decision is integral (basis points, `div`) over a
+      * portable row hash, so the kept set is bit-reproducible on any
+      * engine and any partitioning — re-running the pipeline
+      * tomorrow keeps the SAME rows. Shape: one map-combinable count
+      * per category, two broadcast joins of category-sized frames,
+      * then a map-side hash-threshold filter — the corpus itself is
+      * never shuffled, which is what makes this usable as the first
+      * stage over 100 TB. Returns `left`'s rows plus `rate_bp`.
+      */
+    def mixtureSample(category: String, id: String,
+                      parts: Seq[(String, Long)]): DataFrame = {
+      require(parts.nonEmpty && parts.forall(_._2 > 0),
+        "mixtureSample needs at least one category with positive parts")
+      val spark = left.sparkSession
+      val wdf = spark.createDataFrame(
+        java.util.Arrays.asList(parts.map { case (c, p) =>
+          org.apache.spark.sql.Row(c, p) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__cat", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__p", org.apache.spark.sql.types.LongType))))
+      val counts = left.groupBy(col(category).as("__cat"))
+        .agg(count(lit(1)).as("__cnt"))
+        .join(broadcast(wdf), Seq("__cat"))
+      // scale = min over categories of cnt/parts, in basis points:
+      // the binding category's rate lands at 10000 (keep everything)
+      val scale = counts.select(min(expr("__cnt * 10000L div __p")).as("__scale"))
+      val rates = counts.crossJoin(broadcast(scale))
+        .select(col("__cat").as(category),
+          least(lit(10000L), expr("__scale * __p div __cnt")).as("rate_bp"))
+      left.join(broadcast(rates), Seq(category))
+        .filter(pmod(graft.util.Portable.portableHash64(col(id).cast("string")),
+          lit(10000L)) < col("rate_bp"))
+    }
+
+    /** Per-document repetition statistics — the Gopher-style quality
+      * signals that catch degenerate machine-generated text: the
+      * share of the document taken by its single most frequent token
+      * (`top_token_frac`) and the fraction of duplicated word bigrams
+      * (`dup_bigram_frac`). Pure map-side expression work over the
+      * projected token array (no explode, no shuffle): bigrams are a
+      * zip_with of two shifted slices, the top-token count is a
+      * transform over the distinct tokens — O(distinct · n) per row,
+      * bounded by natural vocabulary. Documents with < 2 tokens are
+      * dropped (no bigram is defined). Fractions are rounded to 6
+      * decimals so downstream threshold filters are engine-portable.
+      */
+    def repetitionStats(id: String, text: String): DataFrame = {
+      val len1 = size(col("__toks")) - 1
+      left
+        .select(col(id), tokens(col(text)).as("__toks"))
+        .filter(size(col("__toks")) >= 2)
+        .withColumn("__bg", zip_with(
+          slice(col("__toks"), lit(1), len1),
+          slice(col("__toks"), lit(2), len1),
+          (a, b) => concat(a, lit(" "), b)))
+        .select(col(id),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          round(array_max(transform(array_distinct(col("__toks")),
+            w => size(filter(col("__toks"), x => x === w)))).cast("double")
+            / size(col("__toks")), 6).as("top_token_frac"),
+          round(lit(1.0) - size(array_distinct(col("__bg"))).cast("double")
+            / size(col("__bg")), 6).as("dup_bigram_frac"))
+    }
+
+    /** Bloom-prefiltered semi-join: result identical to
+      * `left SEMI JOIN right ON leftKey = rightKey` — the bloom pass
+      * only removes rows, and its false positives are eliminated by
+      * the exact semi-join behind it. The 100 TB point: Spark plans a
+      * broadcast semi-join only when the right side fits the
+      * broadcast threshold as a full hash relation; in the middle
+      * regime (right side of millions of keys — too big to
+      * broadcast, far smaller than the left), the distributed
+      * `bloom_agg` build costs one scan of the right side, the
+      * one-row bloom broadcasts in a few MB, and the huge left side
+      * drops most non-matching rows MAP-SIDE before paying the
+      * semi-join shuffle. Same mechanism as Spark's own
+      * InjectRuntimeFilter — the bloom reaches the probe side as a
+      * SCALAR SUBQUERY (`might_contain` requires a constant or
+      * scalar-subquery bloom): the one-row build executes first and
+      * its result is inlined as a runtime literal into the scan
+      * filter. Requires `GraftFunctions.register(spark)` (done
+      * internally).
+      */
+    def bloomSemiJoin(right: DataFrame, leftKey: String, rightKey: String,
+                      expectedItems: Long = 1000000L,
+                      numBits: Long = 8L * 1024 * 1024): DataFrame = {
+      graft.functions.GraftFunctions.register(left.sparkSession)
+      val bloom = right.agg(
+        call_function("bloom_agg", xxhash64(col(rightKey)),
+          lit(expectedItems), lit(numBits)).as("__bf")).scalar()
+      left
+        .filter(call_function("bloom_contains", bloom, xxhash64(col(leftKey))))
+        .join(right.select(col(rightKey).as(leftKey)).distinct(),
+          Seq(leftKey), "left_semi")
+    }
+
     /** Brute-force cosine top-k against a bounded query set: the query
       * side is broadcast, the corpus side streams partitioned — one
       * scan, no shuffle except the per-query top-k window. Requires

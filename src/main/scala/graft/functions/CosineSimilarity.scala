@@ -93,6 +93,27 @@ object GraftFunctions {
         }
         TopKSketch(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "cap"))
       }, "built-in")
+    // Spark ships distributed bloom-filter expressions for its own
+    // runtime row-level filtering (InjectRuntimeFilter) but leaves
+    // them out of the public function registry; surfacing them gives
+    // the bloom-prefiltered semi-join ([[graft.api.Ops]].bloomSemiJoin)
+    // a codegen'd build/probe with zero new aggregation code.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"bloom_agg(xxhash64_col, est_items, num_bits) requires 3 arguments, got ${exprs.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains", exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"bloom_contains(bloom, xxhash64_col) requires 2 arguments, got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
+      }, "built-in")
   }
 }
 
@@ -126,6 +147,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           }
           TopKSketch(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "cap"))
         }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "bloom_agg"),
+        (exprs: Seq[Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs.head, exprs(1), exprs(2))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "bloom_contains"),
+        (exprs: Seq[Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -138,4 +138,27 @@ object Extended {
         count(lit(1)).as("n_rows"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
   }
+
+  /** q65: bloom-prefiltered semi-join
+    * ([[graft.api.Ops]].bloomSemiJoin) — orders of BUILDING-segment
+    * customers. The result is definitionally a plain semi-join (the
+    * oracle is `WHERE o_custkey IN (...)`); the bloom pass is the
+    * scale mechanism: the filtered customer keys aggregate into ONE
+    * bloom row (distributed build, no driver collect), broadcast in
+    * kilobytes, and the orders scan drops non-BUILDING customers'
+    * orders map-side before the exact semi-join shuffles the
+    * survivors. At 100 TB this is the middle regime Spark's planner
+    * can't broadcast: a dimension of millions of keys still
+    * fingerprints into a few MB of bloom bits.
+    */
+  def q65(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    t.orders
+      .bloomSemiJoin(building, "o_custkey", "c_custkey",
+        expectedItems = 100000L, numBits = 1L * 1024 * 1024)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
 }

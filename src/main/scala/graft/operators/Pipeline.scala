@@ -100,6 +100,26 @@ object Pipeline {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  /** q63: **mixture sampling** ([[graft.api.Ops]].mixtureSample) —
+    * reshape the corpus to a target language mixture, here equal
+    * parts per language (the "balance the corpus" step between
+    * curation and training). The synthetic corpus is ~44% English;
+    * the op downsamples every language to the binding class's level
+    * with integral basis-point rates over the portable row hash, so
+    * the DuckDB oracle replays the exact kept set: counts, the
+    * min(cnt·10⁴ div parts) scale, the per-class rate and the hash
+    * threshold are all integer arithmetic. Scale shape: the corpus is
+    * never shuffled — one tiny count agg plus two broadcast joins,
+    * then a map-side filter.
+    */
+  def q63(t: Tables): DataFrame = {
+    val parts = Seq("en" -> 1L, "de" -> 1L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L)
+    t.documents
+      .mixtureSample("lang", "doc_id", parts)
+      .select(col("doc_id"), col("lang"), col("rate_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q58: **train/eval decontamination** — find training documents
     * that leak benchmark content, the check every serious training
     * corpus runs before a model ships. Shape: distinct 8-gram hashes

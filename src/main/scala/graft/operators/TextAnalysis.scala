@@ -167,4 +167,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_emails"), col("n_ips"), col("text").as("redacted"))
       .orderBy(col("doc_id"))
   }
+
+  /** q64: repetition-based quality filter
+    * ([[graft.api.Ops]].repetitionStats) — flag documents whose text
+    * is dominated by one token or by duplicated bigrams, the
+    * Gopher-style screens for degenerate/boilerplate text. Thresholds
+    * sit at ~the corpus p80 (top_token_frac > 0.12) and ~p95
+    * (dup_bigram_frac > 0.08) so a meaningful slice flags at every
+    * SF. Filtering happens on the 6-decimal ROUNDED stats — the
+    * boundary is then bit-identical in the DuckDB oracle. All
+    * map-side array expressions; the only shuffle is the output sort.
+    */
+  def q64(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.documents
+      .repetitionStats("doc_id", "text")
+      .filter(col("top_token_frac") > 0.12 || col("dup_bigram_frac") > 0.08)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -266,4 +266,60 @@ class OpsApiSpec extends AnyFunSuite {
     assert(fine.subsetOf(coarse),
       "every pair blocked together on 8 sign bits must also block together on 4")
   }
+
+  test("mixtureSample: binding class keeps all rows, mixture balances, absent class drops") {
+    val parts = Seq("en" -> 1L, "de" -> 1L, "fr" -> 1L) // es/zh absent → dropped
+    val out = t.documents.mixtureSample("lang", "doc_id", parts)
+      .select(col("doc_id"), col("lang"), col("rate_bp")).cache()
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set("en", "de", "fr"), s"unexpected classes: ${kept.keySet}")
+    val counts = t.documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding class (smallest count at equal parts) keeps everything
+    val binding = Seq("en", "de", "fr").minBy(counts)
+    val rates = out.select("lang", "rate_bp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates(binding) == 10000L, s"binding class $binding must keep all rows, got ${rates(binding)}")
+    assert(kept(binding) == counts(binding))
+    // other classes land near the binding level (hash sampling noise)
+    for (c <- Seq("en", "de", "fr") if c != binding) {
+      assert(kept(c) <= counts(c))
+      assert(math.abs(kept(c).toDouble / kept(binding) - 1.0) < 0.35,
+        s"$c kept ${kept(c)} vs binding ${kept(binding)} — mixture off")
+    }
+    // bit-reproducible under a different partitioning
+    val again = t.documents.repartition(13).mixtureSample("lang", "doc_id", parts)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    out.unpersist()
+  }
+
+  test("repetitionStats: planted repetitive doc measures exactly, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"),   // 5 toks, top a=4/5, bigrams [a a,a a,a a,a b] → dup 1-2/4
+      (2L, "x y z w"),     // all distinct: top 1/4, dup 0
+      (3L, "solo")         // < 2 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = docs.repetitionStats("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((5L, 0.8, 0.5)))
+    assert(out(2L) == ((4L, 0.25, 0.0)))
+  }
+
+  test("bloomSemiJoin equals the exact semi-join and probes through a bloom filter") {
+    val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val api = t.orders.bloomSemiJoin(building, "o_custkey", "c_custkey",
+      expectedItems = 1000L, numBits = 64L * 1024)
+    val plain = t.orders.join(building.withColumnRenamed("c_custkey", "o_custkey"),
+      Seq("o_custkey"), "left_semi")
+    assert(api.count() == plain.count() && api.count() > 0)
+    assert(api.except(plain).isEmpty && plain.except(api).isEmpty)
+    val phys = api.queryExecution.executedPlan.toString
+    assert(phys.contains("might_contain"),
+      "bloom probe missing from the physical plan:\n" + phys.take(2000))
+  }
 }
