@@ -85,6 +85,8 @@ object SparkEntry {
     "q63_mixture_sample"  -> q(Pipeline.q63),
     "q64_repetition_filter" -> q(TextAnalysis.q64),
     "q65_bloom_semijoin"  -> q(Extended.q65),
+    "q66_zorder"          -> q(Extended.q66),
+    "q67_token_cap"       -> q(Pipeline.q67),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -995,5 +997,32 @@ object SparkEntry {
         |WHERE o_custkey IN (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the Morton interleave is the same unrolled >>/&/<< integer sum
+    // in both engines (graft.functions.ZOrder.zvalueSql generates it)
+    "q66_zorder" ->
+      s"""SELECT o_orderkey,
+         |  ${graft.functions.ZOrder.zvalueSql("(o_custkey % 65536)", "(o_orderkey % 65536)")} AS zval
+         |FROM orders
+         |ORDER BY zval, o_orderkey
+         |LIMIT 1000""".stripMargin,
+
+    // token-budget cap: integral rate from token totals (DuckDB SUM
+    // over integers returns HUGEINT → cast), portable-hash threshold
+    "q67_token_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot FROM t GROUP BY 1),
+        |r AS (SELECT source,
+        |        LEAST(CAST(10000 AS BIGINT), CAST(1300 * 10000 AS BIGINT) // tot) AS rate_bp
+        |      FROM tot)
+        |SELECT t.doc_id, t.source, t.n_tokens, r.rate_bp
+        |FROM t JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        |      < r.rate_bp
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -528,6 +528,33 @@ object Ops {
           lit(10000L)) < col("rate_bp"))
     }
 
+    /** Approximate per-category token-budget cap — "no source may
+      * contribute more than `budgetTokens` tokens", the hard-cap
+      * variant of [[mixtureSample]] (rates from token mass instead of
+      * row counts). A category whose total token count is under
+      * budget keeps everything; an over-budget category downsamples
+      * to ~budget tokens via the same integral basis-point rate over
+      * the portable row hash — approximate (sampling noise around the
+      * budget), deterministic, and engine-portable. The truly-exact
+      * alternative (order rows, running cumsum, cut at the budget) is
+      * a per-category sequential window — one reducer per hot
+      * category at 100 TB; the rate form is one map-combinable sum
+      * plus a map-side filter, and the corpus is never shuffled.
+      * Returns `left`'s kept rows plus `rate_bp`.
+      */
+    def capTokensPerCategory(category: String, id: String, tokenCount: Column,
+                             budgetTokens: Long): DataFrame = {
+      require(budgetTokens > 0, "budgetTokens must be positive")
+      val totals = left
+        .groupBy(col(category))
+        .agg(sum(tokenCount.cast("long")).as("__tot"))
+      val rates = totals.select(col(category),
+        least(lit(10000L), expr(s"${budgetTokens}L * 10000L div __tot")).as("rate_bp"))
+      left.join(broadcast(rates), Seq(category))
+        .filter(pmod(graft.util.Portable.portableHash64(col(id).cast("string")),
+          lit(10000L)) < col("rate_bp"))
+    }
+
     /** Per-document repetition statistics — the Gopher-style quality
       * signals that catch degenerate machine-generated text: the
       * share of the document taken by its single most frequent token

@@ -161,4 +161,21 @@ object Extended {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** q66: z-order (Morton) values over (customer, order) — the
+    * interleave expression behind [[graft.functions.ZOrder]].cluster,
+    * oracle-checked as pure integer arithmetic (the layout effect
+    * itself — file min/max rectangles, scan pruning — is pinned by
+    * ZOrderSpec, since file boundaries aren't SQL-expressible). The
+    * 1000 smallest z-values trace the curve's first rectangles.
+    */
+  def q66(t: Tables): DataFrame = {
+    import graft.functions.ZOrder
+    t.orders
+      .select(col("o_orderkey"),
+        ZOrder.zvalue(pmod(col("o_custkey"), lit(65536L)),
+          pmod(col("o_orderkey"), lit(65536L))).as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .limit(1000)
+  }
 }

@@ -120,6 +120,27 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** q67: **per-source token-budget cap**
+    * ([[graft.api.Ops]].capTokensPerCategory) — no source may
+    * contribute more than ~1300 tokens, the hard-cap companion to
+    * q63's share-based mixture. Sources under budget keep every
+    * document (rate 10000); over-budget sources downsample to the
+    * budget with the integral basis-point rate over the portable row
+    * hash, replayed exactly by the oracle. One map-combinable token
+    * sum + a broadcast of 20 rates + a map-side filter — the corpus
+    * never shuffles, unlike the exact-cumsum formulation whose
+    * per-category window would serialize a hot source onto one
+    * reducer.
+    */
+  def q67(t: Tables): DataFrame =
+    t.documents
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .drop("__toks")
+      .capTokensPerCategory("source", "doc_id", col("n_tokens"), budgetTokens = 1300L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_bp"))
+      .orderBy(col("doc_id"))
+
   /** q58: **train/eval decontamination** — find training documents
     * that leak benchmark content, the check every serious training
     * corpus runs before a model ships. Shape: distinct 8-gram hashes

@@ -295,6 +295,24 @@ class OpsApiSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("capTokensPerCategory: under-budget keeps all, over-budget lands near the budget") {
+    import spark.implicits._
+    val docs = ((1L to 50L).map(i => (i, "A", 10L)) ++
+      (51L to 250L).map(i => (i, "B", 10L))).toDF("doc_id", "cat", "n")
+    val out = docs.capTokensPerCategory("cat", "doc_id", col("n"), budgetTokens = 600L)
+      .cache()
+    val rates = out.select("cat", "rate_bp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("A") == 10000L, s"A is under budget (500 < 600), got rate ${rates("A")}")
+    assert(rates("B") == 3000L, s"B rate must be 600*10000 div 2000, got ${rates("B")}")
+    val kept = out.groupBy("cat").agg(sum("n").as("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("A") == 500L)
+    assert(kept("B") >= 300L && kept("B") <= 900L,
+      s"B kept ${kept("B")} tokens — far from the 600 budget")
+    out.unpersist()
+  }
+
   test("repetitionStats: planted repetitive doc measures exactly, short docs drop") {
     import spark.implicits._
     val docs = Seq(

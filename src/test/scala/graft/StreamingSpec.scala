@@ -270,4 +270,32 @@ class StreamingSpec extends AnyFunSuite {
         "streaming sessions differ from closed batch q22 sessions")
     } finally query.stop()
   }
+
+  test("stateless curation ops (redact, repetitionStats) apply to a stream and match batch") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    // redact + repetition stats are pure column expressions, so the
+    // SAME fluent calls run on a streaming frame unchanged — the
+    // ingest-time shape of the scrub/quality stage (no state, no
+    // watermark, survives any trigger size)
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1) + " mail me at u@ex.com")).toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val streamDf = stream.toDF().toDF("doc_id", "text")
+    val query = streamDf.redact("text")
+      .repetitionStats("doc_id", "text")
+      .writeStream.format("memory").queryName("curate_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("curate_out")
+      val batch = docs.toDF("doc_id", "text")
+        .redact("text").repetitionStats("doc_id", "text")
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "streaming redact+repetitionStats differ from batch")
+    } finally query.stop()
+  }
 }
