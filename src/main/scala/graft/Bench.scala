@@ -25,10 +25,16 @@ object Bench {
     "q36_ann_ivf", "q39_range_join", "q42_label_centroids",
     "q46_dedup_clusters", "q47_bigram_stats", "q48_tfidf",
     "q53_embed_neardup", "q55_curation", "q57_seq_pack",
-    "q58_decontaminate", "q60_refine", "q61_redact", "q62_dedup_incr")
+    "q58_decontaminate", "q60_refine", "q61_redact", "q62_dedup_incr",
+    "q63_mixture_sample", "q64_repetition_filter", "q65_bloom_semijoin",
+    "q66_zorder", "q67_token_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q53_embed_neardup,q33_minhash_lsh
+    // times just those queries (the driver never sets it → full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,9 +52,17 @@ object Bench {
 
     // drop cached localCheckpoint/cache blocks a run left behind, so
     // timings stay independent (a long-lived JVM accumulates
-    // block-manager pressure otherwise)
-    def dropCachedBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // block-manager pressure otherwise). Blocking, then a GC nudge:
+    // async unpersist + un-collected RDD references leave executor
+    // blocks + shuffle files alive until the ContextCleaner happens to
+    // run — over 33 queries × 3 runs that pressure snowballed onto the
+    // checkpoint-heavy queries (q53 timed 12s→31s→45s inside the full
+    // sweep vs a flat ~1s isolated; r4-vs-r5's 2× artifact drift was
+    // the same effect).
+    def dropCachedBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
 
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -71,9 +85,10 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results: Seq[(String, Seq[Double])] = headline.map { name =>
-      name -> (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0)
-    }
+    val results: Seq[(String, Seq[Double])] =
+      headline.filter(n => only.forall(_.contains(n))).map { name =>
+        name -> (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0)
+      }
     def med(ts: Seq[Double]): Double = if (ts.isEmpty) -1.0 else median(ts)
     val qs = results.map { case (k, ts) => "\"" + k + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
     // raw per-run times alongside the medians: two artifacts that

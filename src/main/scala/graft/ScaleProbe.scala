@@ -81,7 +81,10 @@ object ScaleProbe {
       "q55_curation"  -> Pipeline.q55,
       "q57_seq_pack"  -> Pipeline.q57,
       "q58_decontam"  -> Pipeline.q58,
-      "q42_centroids" -> Vectors.q42)
+      "q42_centroids" -> Vectors.q42,
+      "q63_mixture"   -> Pipeline.q63,
+      "q64_repetition" -> operators.TextAnalysis.q64,
+      "q67_token_cap" -> Pipeline.q67)
     for ((name, op) <- ops) {
       val s1 = time(name, "1x", nDocs1)(op(t1))
       val sN = time(name, s"${repl}x", nDocsN)(op(tN))

@@ -517,10 +517,14 @@ object Ops {
       val counts = left.groupBy(col(category).as("__cat"))
         .agg(count(lit(1)).as("__cnt"))
         .join(broadcast(wdf), Seq("__cat"))
-      // scale = min over categories of cnt/parts, in basis points:
-      // the binding category's rate lands at 10000 (keep everything)
-      val scale = counts.select(min(expr("__cnt * 10000L div __p")).as("__scale"))
-      val rates = counts.crossJoin(broadcast(scale))
+      // scale = min over categories of cnt/parts, in basis points: the
+      // binding category's rate lands at 10000 (keep everything). The
+      // unpartitioned window runs one task over ≤|parts| rows — the
+      // category frame, NOT the corpus — and avoids the 1-row
+      // cross-join a separate scalar aggregate would need.
+      val w = Window.partitionBy()
+      val rates = counts
+        .withColumn("__scale", min(expr("__cnt * 10000L div __p")).over(w))
         .select(col("__cat").as(category),
           least(lit(10000L), expr("__scale * __p div __cnt")).as("rate_bp"))
       left.join(broadcast(rates), Seq(category))
