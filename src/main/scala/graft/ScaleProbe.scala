@@ -63,8 +63,12 @@ object ScaleProbe {
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       // drop cached lineage-break blocks so one op's block-manager
-      // pressure doesn't contaminate the next (same rule as Bench)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // pressure doesn't contaminate the next — BLOCKING + a GC
+      // nudge, same fix as Bench: the async form let pressure
+      // snowball (q55 timed 157s at 1x late in a contaminated sweep
+      // vs 2.8s in the clean bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       println(f"[probe] $name%-16s $scale%4s  $sec%7.2f s  ${rows / sec}%10.0f rows/s")
       sec
     }
@@ -86,6 +90,10 @@ object ScaleProbe {
       "q64_repetition" -> operators.TextAnalysis.q64,
       "q67_token_cap" -> Pipeline.q67)
     for ((name, op) <- ops) {
+      // untimed 1x pass first: codegen/JIT compile lands here, not in
+      // the timed 1x (which would bias every scaling ratio DOWN — the
+      // 10x run reuses the compiled classes the 1x run paid for)
+      time(s"$name~warm", "1x", nDocs1)(op(t1))
       val s1 = time(name, "1x", nDocs1)(op(t1))
       val sN = time(name, s"${repl}x", nDocsN)(op(tN))
       println(f"[probe] $name%-16s scaling: ${sN / s1}%.1fx time for ${repl}x rows")

@@ -89,6 +89,67 @@ object Ops {
     (sh, banded)
   }
 
+  /** A catalog prepared ONCE for repeated incremental dedup: distinct
+    * normalized fingerprints, checkpointed shingle sets, and the LSH
+    * banding over them. Batch [[GraftDataFrameOps.dedupAgainstCatalog]]
+    * builds it per call; the streaming form
+    * ([[graft.streaming.Streams.dedupAgainstCatalogStream]]) builds it
+    * at query start and reuses it across every micro-batch — the
+    * catalog is scanned once per query lifetime, not once per trigger.
+    */
+  final case class PreparedCatalog private[graft] (
+    fingerprints: DataFrame, shingles: DataFrame, bands: DataFrame,
+    id: String, perms: Int, lshBands: Int)
+
+  /** Build a [[PreparedCatalog]]; `checkpointDir` selects reliable
+    * checkpoints (cluster mode) for the cached frames.
+    */
+  def prepareCatalog(catalog: DataFrame, id: String, text: String,
+                     perms: Int = 64, bands: Int = 16,
+                     checkpointDir: Option[String] = None): PreparedCatalog = {
+    require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
+    val ckp = lineageBreaker(checkpointDir)
+    import graft.functions.TextFunctions._
+    val fp = ckp(catalog.select(
+      md5(normText(col(text)).cast("binary")).as("__fp")).distinct())
+    val (sh, banded) = shingleBands(catalog, id, text, perms, bands, ckp)
+    PreparedCatalog(fp, sh, banded, id, perms, bands)
+  }
+
+  /** Incremental dedup of `left` against a prepared catalog — the
+    * shared core of the batch and streaming forms (see
+    * [[GraftDataFrameOps.dedupAgainstCatalog]] for semantics).
+    */
+  private[graft] def dedupAgainstPrepared(left: DataFrame, id: String, text: String,
+                                          prepared: PreparedCatalog,
+                                          threshold: Double,
+                                          ckp: DataFrame => DataFrame = identity): DataFrame = {
+    import graft.functions.TextFunctions._
+    val fp = md5(normText(col(text)).cast("binary"))
+    val exactKept = left.withColumn("__fp", fp)
+      .join(prepared.fingerprints, Seq("__fp"), "left_anti").drop("__fp")
+    // increment-side lineage break: the batch form checkpoints (its
+    // shingles feed both the banding and the verify join); the
+    // streaming form passes identity — a trigger is small and a
+    // 2× map recompute beats checkpoint I/O per micro-batch
+    val (shNew, bandNew) = shingleBands(left, id, text,
+      prepared.perms, prepared.lshBands, ckp)
+    val cand = bandNew.select(col("__band"), col("__bucket"), col(id).as("__nid"))
+      .join(prepared.bands.select(col("__band"), col("__bucket"),
+        col(prepared.id).as("__oid")), Seq("__band", "__bucket"))
+      .select(col("__nid"), col("__oid"))
+      .dropDuplicates("__nid", "__oid")
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    val union = size(col("__sa")) + size(col("__sb")) - inter
+    val nearDropped = cand
+      .join(shNew.select(col(id).as("__nid"), col("__s").as("__sa")), Seq("__nid"))
+      .join(prepared.shingles.select(col(prepared.id).as("__oid"),
+        col("__s").as("__sb")), Seq("__oid"))
+      .filter(inter.cast("double") / union.cast("double") >= threshold)
+      .select(col("__nid").as(id)).distinct()
+    exactKept.join(nearDropped, Seq(id), "left_anti")
+  }
+
   /** Portable ASCII PII patterns — character classes and bounded
     * quantifiers only, so Java regex (Spark codegen) and RE2 (the
     * DuckDB oracle) match identically. Emails and IPv4 addresses;
@@ -298,27 +359,9 @@ object Ops {
     def dedupAgainstCatalog(catalog: DataFrame, id: String, text: String,
                             threshold: Double, perms: Int = 64, bands: Int = 16,
                             checkpointDir: Option[String] = None): DataFrame = {
-      require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
-      val ckp = lineageBreaker(checkpointDir)
-      val fp = md5(normText(col(text)).cast("binary"))
-      val catFp = catalog.select(fp.as("__fp")).distinct()
-      val exactKept = left.withColumn("__fp", fp)
-        .join(catFp, Seq("__fp"), "left_anti").drop("__fp")
-      val (shNew, bandNew) = shingleBands(left, id, text, perms, bands, ckp)
-      val (shOld, bandOld) = shingleBands(catalog, id, text, perms, bands, ckp)
-      val cand = bandNew.select(col("__band"), col("__bucket"), col(id).as("__nid"))
-        .join(bandOld.select(col("__band"), col("__bucket"), col(id).as("__oid")),
-          Seq("__band", "__bucket"))
-        .select(col("__nid"), col("__oid"))
-        .dropDuplicates("__nid", "__oid")
-      val inter = size(array_intersect(col("__sa"), col("__sb")))
-      val union = size(col("__sa")) + size(col("__sb")) - inter
-      val nearDropped = cand
-        .join(shNew.select(col(id).as("__nid"), col("__s").as("__sa")), Seq("__nid"))
-        .join(shOld.select(col(id).as("__oid"), col("__s").as("__sb")), Seq("__oid"))
-        .filter(inter.cast("double") / union.cast("double") >= threshold)
-        .select(col("__nid").as(id)).distinct()
-      exactKept.join(nearDropped, Seq(id), "left_anti")
+      val prepared = prepareCatalog(catalog, id, text, perms, bands, checkpointDir)
+      dedupAgainstPrepared(left, id, text, prepared, threshold,
+        lineageBreaker(checkpointDir))
     }
 
     /** SimHash near-dup pairs — constant-size fingerprints, banded:

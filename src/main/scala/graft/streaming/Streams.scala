@@ -116,6 +116,33 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming incremental dedup against a STATIC catalog —
+    * `Ops.dedupAgainstCatalog`'s analogue for continuous ingest (the
+    * "today's crawl vs the corpus" shape, running as the crawl
+    * arrives). The dedup itself needs a per-doc "no candidate
+    * matched" decision — an aggregation over stream-derived joins
+    * that Structured Streaming cannot run statelessly — so each
+    * micro-batch runs the BATCH operator inside `foreachBatch` (the
+    * standard pattern for arbitrary batch logic over triggers). What
+    * makes it a streaming-scale design is the catalog preparation:
+    * [[graft.api.Ops.PreparedCatalog]] computes the catalog's
+    * fingerprints, shingles and LSH banding ONCE at query start
+    * (cached), so each trigger pays trigger-side expression work plus
+    * banded joins against the cached frames — never a catalog rescan,
+    * never trigger × catalog. Returns the started query; deduped
+    * survivors (all input columns) land in `sink` per micro-batch.
+    */
+  def dedupAgainstCatalogStream(docs: DataFrame, id: String, text: String,
+                                prepared: graft.api.Ops.PreparedCatalog,
+                                threshold: Double,
+                                sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.dedupAgainstPrepared(batch, id, text, prepared, threshold))
+      }
+      .outputMode("update")
+      .start()
+
   final case class Doc(doc_id: Long, n_tokens: Long)
   final case class PackedDoc(doc_id: Long, shard: Long, start_offset: Long, pack_id: Long)
 

@@ -271,6 +271,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming catalog dedup (prepared catalog + foreachBatch) equals the batch operator") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val t = Tables(spark, sfDir)
+    val catalog = t.documents.filter(col("doc_id") < 250).select("doc_id", "text")
+    val incDf = t.documents.filter(col("doc_id") >= 250).select("doc_id", "text")
+      .unionByName(t.documents.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val incRows = incDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val prepared = graft.api.Ops.prepareCatalog(catalog, "doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Streams.dedupAgainstCatalogStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", prepared,
+      threshold = 0.5,
+      sink = b => got.synchronized { got ++= b.select("doc_id").collect().map(_.getLong(0)) })
+    try {
+      // two triggers: each row is judged against the CATALOG only, so
+      // the trigger split must not change the kept set
+      stream.addData(incRows.take(incRows.size / 2))
+      q.processAllAvailable()
+      stream.addData(incRows.drop(incRows.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchKept = incDf.dedupAgainstCatalog(catalog, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == got.toSet.size, "a doc id surfaced in two triggers")
+    assert(got.toSet == batchKept,
+      s"streaming kept ${got.size} docs, batch kept ${batchKept.size}")
+    assert(batchKept.nonEmpty && batchKept.size < incRows.size,
+      "the corpus must exercise both kept and dropped rows")
+  }
+
   test("stateless curation ops (redact, repetitionStats) apply to a stream and match batch") {
     import spark.implicits._
     import graft.api.Ops._
