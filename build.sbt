@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g deliberately: growing a much larger heap on this virtualized
+  // host stalls the whole box (10x-probe q33 timed 1298s/1253s during
+  // 48g heap growth, then 34-79s once grown; at 8g the same runs
+  // peak ~180s). Override with SPARK_DRIVER_MEM when needed.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
