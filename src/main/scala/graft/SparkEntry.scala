@@ -87,6 +87,7 @@ object SparkEntry {
     "q65_bloom_semijoin"  -> q(Extended.q65),
     "q66_zorder"          -> q(Extended.q66),
     "q67_token_cap"       -> q(Pipeline.q67),
+    "q68_chunk"           -> q(Pipeline.q68),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1024,5 +1025,29 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
         |      < r.rate_bp
         |ORDER BY t.doc_id""".stripMargin,
+
+    // chunk boundaries are integer arithmetic (both engines' division
+    // sees only non-negative operands, so trunc-vs-floor never
+    // differs); slices are 1-based in both; chunk text compares as the
+    // space-joined token window
+    "q68_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |         ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, CAST(u.c AS BIGINT) AS chunk_id
+        |  FROM n, unnest(range(0, n_chunks)) AS u(c))
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

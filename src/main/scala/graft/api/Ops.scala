@@ -632,6 +632,41 @@ object Ops {
             / size(col("__bg")), 6).as("dup_bigram_frac"))
     }
 
+    /** Token-window chunking — split each document into
+      * `chunkTokens`-token windows that overlap by `overlap` tokens
+      * (the preprocessing step in front of embedding models and
+      * context-window-bounded consumers). Chunk starts advance by
+      * `chunkTokens - overlap`; the last window may be short; a
+      * document at or under one window emits exactly one chunk. All
+      * integer arithmetic + array slicing (map-side explode; the only
+      * data growth is the intended ~1/(1-overlap/chunk) duplication),
+      * so the DuckDB oracle replays chunk boundaries and text
+      * bit-for-bit. Returns (id, chunk_id, n_tokens, chunk_text);
+      * empty docs drop.
+      */
+    def chunkTokens(id: String, text: String,
+                    chunkTokens: Int, overlap: Int): DataFrame = {
+      require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+        s"need 0 <= overlap ($overlap) < chunkTokens ($chunkTokens)")
+      val step = chunkTokens - overlap
+      left
+        .select(col(id), tokens(col(text)).as("__toks"))
+        .withColumn("__n", size(col("__toks")))
+        .filter(col("__n") > 0)
+        // both branches non-negative: Spark `div` truncates toward
+        // zero while DuckDB `//` floors, so negatives must never
+        // reach the division
+        .withColumn("__chunks", when(col("__n") <= chunkTokens, lit(1L))
+          .otherwise(lit(1L) + expr(s"(__n - $chunkTokens + ${step - 1}) div $step")))
+        .select(col(id), explode(sequence(lit(0L), col("__chunks") - 1)).as("chunk_id"),
+          col("__toks"))
+        .withColumn("__slice",
+          slice(col("__toks"), (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)))
+        .select(col(id), col("chunk_id"),
+          size(col("__slice")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("__slice")).as("chunk_text"))
+    }
+
     /** Bloom-prefiltered semi-join: result identical to
       * `left SEMI JOIN right ON leftKey = rightKey` — the bloom pass
       * only removes rows, and its false positives are eliminated by

@@ -141,6 +141,18 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate_bp"))
       .orderBy(col("doc_id"))
 
+  /** q68: **token-window chunking** ([[graft.api.Ops]].chunkTokens) —
+    * 64-token windows overlapping by 16 (the embedding-model
+    * preprocessing shape). Chunk starts advance by 48; boundaries and
+    * chunk text are integer arithmetic + array slices, replayed
+    * bit-for-bit by the oracle. Map-side explode, ~1.33× intended
+    * data growth, no shuffle but the output sort.
+    */
+  def q68(t: Tables): DataFrame =
+    t.documents
+      .chunkTokens("doc_id", "text", chunkTokens = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** q58: **train/eval decontamination** — find training documents
     * that leak benchmark content, the check every serious training
     * corpus runs before a model ships. Shape: distinct 8-gram hashes

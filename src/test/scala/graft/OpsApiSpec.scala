@@ -327,6 +327,25 @@ class OpsApiSpec extends AnyFunSuite {
     assert(out(2L) == ((4L, 0.25, 0.0)))
   }
 
+  test("chunkTokens: planted doc chunks exactly with overlap, short docs emit one chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, chunk 4 step 2 → 4 chunks
+      (2L, "a b"),                            // under one window → one chunk
+      (3L, "")                                // empty → dropped
+    ).toDF("doc_id", "text")
+    val out = docs.chunkTokens("doc_id", "text", chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet.map(_._1) == Set(1L, 2L))
+    assert(out((1L, 0L)) == ((4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) == ((4L, "t3 t4 t5 t6")))
+    assert(out((1L, 2L)) == ((4L, "t5 t6 t7 t8")))
+    assert(out((1L, 3L)) == ((4L, "t7 t8 t9 t10")))
+    assert(out((2L, 0L)) == ((2L, "a b")))
+    // every source token appears in some chunk (coverage)
+    assert(out.count(_._1._1 == 1L) == 4)
+  }
+
   test("bloomSemiJoin equals the exact semi-join and probes through a bloom filter") {
     val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
