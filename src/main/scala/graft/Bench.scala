@@ -27,7 +27,7 @@ object Bench {
     "q53_embed_neardup", "q55_curation", "q57_seq_pack",
     "q58_decontaminate", "q60_refine", "q61_redact", "q62_dedup_incr",
     "q63_mixture_sample", "q64_repetition_filter", "q65_bloom_semijoin",
-    "q66_zorder", "q67_token_cap")
+    "q66_zorder", "q67_token_cap", "q68_chunk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

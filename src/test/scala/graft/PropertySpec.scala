@@ -71,6 +71,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zvalue is a bijection: x and y decode back from the interleave") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val xy = samples(for {
+      x <- Gen.choose(0L, 65535L); y <- Gen.choose(0L, 65535L)
+    } yield (x, y), 200)
+    val rows = xy.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zvalue(col("x"), col("y")).as("z"))
+      .collect()
+    rows.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var dx = 0L; var dy = 0L
+      (0 until 16).foreach { i =>
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx == x && dy == y, s"z=$z decoded to ($dx,$dy), expected ($x,$y)")
+    }
+    // locality sanity: z of (x,y) and (x+1,y) share high bits more
+    // often than random pairs do — the curve is not a hash
+    val near = rows.take(50).map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val df2 = near.toDF("x", "y").select(
+      ZOrder.zvalue(col("x"), col("y")).as("z1"),
+      ZOrder.zvalue(col("x") + 1, col("y")).as("z2")).collect()
+    assert(df2.count(r => (r.getLong(0) >> 20) == (r.getLong(1) >> 20)) > 25,
+      "adjacent x should usually stay in the same curve region")
+  }
+
+  test("chunkTokens covers every token in order for random docs") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val docs = samples(for {
+      n <- Gen.choose(1, 200)
+      toks <- Gen.listOfN(n, Gen.choose('a', 'z').map(c => s"w$c"))
+    } yield toks.mkString(" "), 30).zipWithIndex
+      .map { case (text, i) => (i.toLong, text) }
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, overlap) <- Seq((64, 16), (10, 0), (7, 3))) {
+      val step = chunk - overlap
+      val out = df.chunkTokens("doc_id", "text", chunk, overlap)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getString(3)))
+        }
+      for ((id, text) <- docs) {
+        val toks = text.split(" ").toSeq
+        val chunks = out(id)
+        // stitching chunk k's first `step` tokens (all of the last
+        // chunk) reproduces the document exactly
+        val stitched = (chunks.dropRight(1).flatMap(_._2.split(" ").take(step)) ++
+          chunks.last._2.split(" ")).toSeq
+        assert(stitched == toks, s"doc $id ($chunk,$overlap): stitch mismatch")
+        assert(chunks.map(_._1).toSeq == (0L until chunks.length.toLong),
+          "chunk ids must be dense from 0")
+      }
+    }
+  }
+
   test("seeded portable hash is deterministic and seed-sensitive") {
     import spark.implicits._
     import graft.functions.TextFunctions.seededHash
