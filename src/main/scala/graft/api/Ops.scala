@@ -632,6 +632,43 @@ object Ops {
             / size(col("__bg")), 6).as("dup_bigram_frac"))
     }
 
+    /** Per-column data profile — row count, null count, approximate
+      * distinct (HLL), and min/max rendered as strings — the census a
+      * pipeline runs before accepting a new corpus drop. ONE pass:
+      * every per-column aggregate lives in a single Aggregate operator
+      * (map-side combinable, schema-bounded expression count), and the
+      * one-row result reshapes to a row per column — never a
+      * job-per-column driver loop, so profiling 100 TB costs one scan.
+      * min/max apply to atomic and array types; other types (maps)
+      * report null bounds.
+      */
+    def profile(): DataFrame = {
+      val fields = left.schema.fields.toSeq
+      require(fields.nonEmpty, "profile() needs at least one column")
+      def orderable(f: org.apache.spark.sql.types.StructField): Boolean =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType)
+      val aggs = fields.flatMap { f =>
+        val c = col(f.name)
+        val mn = if (orderable(f)) min(c).cast("string") else lit(null).cast("string")
+        val mx = if (orderable(f)) max(c).cast("string") else lit(null).cast("string")
+        Seq(count(c).as(s"__nn_${f.name}"),
+          approx_count_distinct(c).as(s"__ad_${f.name}"),
+          mn.as(s"__mn_${f.name}"), mx.as(s"__mx_${f.name}"))
+      } :+ count(lit(1)).as("__rows")
+      left.agg(aggs.head, aggs.tail: _*)
+        .select(col("__rows"), explode(array(fields.map(f => struct(
+          lit(f.name).as("column"),
+          lit(f.dataType.simpleString).as("type"),
+          col(s"__nn_${f.name}").as("non_null"),
+          col(s"__ad_${f.name}").as("approx_distinct"),
+          col(s"__mn_${f.name}").as("min"),
+          col(s"__mx_${f.name}").as("max"))): _*)).as("__c"))
+        .select(col("__c.column"), col("__c.type"),
+          col("__rows").as("n_rows"), col("__c.non_null"),
+          (col("__rows") - col("__c.non_null")).as("n_null"),
+          col("__c.approx_distinct"), col("__c.min"), col("__c.max"))
+    }
+
     /** Token-window chunking — split each document into
       * `chunkTokens`-token windows that overlap by `overlap` tokens
       * (the preprocessing step in front of embedding models and

@@ -327,6 +327,34 @@ class OpsApiSpec extends AnyFunSuite {
     assert(out(2L) == ((4L, 0.25, 0.0)))
   }
 
+  test("profile: one row per column, exact null counts, sane distinct estimates, one-pass plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 1.5), (2L, None, 2.5), (3L, Some("b"), 2.5), (4L, Some("a"), 0.5)
+    ).toDF("id", "s", "v")
+    val p = df.profile()
+    val rows = p.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id", "s", "v"))
+    assert(rows("id").getAs[Long]("n_rows") == 4L)
+    assert(rows("s").getAs[Long]("n_null") == 1L && rows("id").getAs[Long]("n_null") == 0L)
+    assert(rows("s").getAs[Long]("approx_distinct") == 2L)
+    assert(rows("v").getAs[String]("min") == "0.5" && rows("v").getAs[String]("max") == "2.5")
+    assert(rows("id").getAs[String]("max") == "4")
+    // ONE aggregate pass: exactly one pair of HashAggregates (partial
+    // + final), no per-column job loop
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "profile must not join")
+    // embeddings: arrays profile with bounds, events props (map) gets null bounds
+    val t2 = Tables(spark, sfDir)
+    val ep = t2.embeddings.profile().collect().map(r => r.getString(0) -> r).toMap
+    assert(ep("embedding").getAs[Long]("n_null") == 0L)
+    assert(ep("embedding").getAs[String]("min") != null)
+    val withMap = df.withColumn("m", map(col("id").cast("string"), col("v")))
+    val mp = withMap.profile().collect().map(r => r.getString(0) -> r).toMap
+    assert(mp("m").getAs[String]("min") == null, "map bounds must be null")
+    assert(mp("m").getAs[Long]("non_null") == 4L, "maps still count non-nulls")
+  }
+
   test("chunkTokens: planted doc chunks exactly with overlap, short docs emit one chunk") {
     import spark.implicits._
     val docs = Seq(
