@@ -79,6 +79,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 2-column pruned scan in q54:\n$plan")
   }
 
+  test("q68 prunes the documents scan to the two used columns") {
+    val plan = physicalPlan("q68_chunk")
+    val scan = plan.linesIterator.find(_.contains("ReadSchema"))
+    assert(scan.exists(l => l.contains("doc_id") && l.contains("text") && !l.contains("n_chars")),
+      s"expected 2-column pruned scan in q68:\n$plan")
+  }
+
+  test("q63/q67 join their corpus through a broadcast of the category-rate frame") {
+    // the mixture/cap ops promise the corpus itself never shuffles:
+    // the only join touching the corpus must be a broadcast hash join
+    // (rates frame is category-sized), never a sort-merge exchange
+    for (name <- Seq("q63_mixture_sample", "q67_token_cap")) {
+      val plan = physicalPlan(name)
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast rates join in $name:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join in $name:\n$plan")
+    }
+  }
+
   test("q53 pushes its corpus filters into the parquet scans") {
     val plan = physicalPlan("q53_embed_neardup")
     assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q53:\n$plan")

@@ -319,17 +319,19 @@ class StreamingSpec extends AnyFunSuite {
     val stream = MemoryStream[(Long, String)]
     stream.addData(docs)
     val streamDf = stream.toDF().toDF("doc_id", "text")
-    val query = streamDf.redact("text")
-      .repetitionStats("doc_id", "text")
+    def pipelineOf(df: org.apache.spark.sql.DataFrame) =
+      df.redact("text").chunkTokens("doc_id", "text", chunkTokens = 32, overlap = 8)
+        .withColumn("key", concat_ws(":", col("doc_id"), col("chunk_id")))
+        .repetitionStats("key", "chunk_text")
+    val query = pipelineOf(streamDf)
       .writeStream.format("memory").queryName("curate_out").outputMode("append").start()
     try {
       query.processAllAvailable()
       val streamed = spark.table("curate_out")
-      val batch = docs.toDF("doc_id", "text")
-        .redact("text").repetitionStats("doc_id", "text")
+      val batch = pipelineOf(docs.toDF("doc_id", "text"))
       assert(streamed.count() == batch.count() && streamed.count() > 0)
       assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
-        "streaming redact+repetitionStats differ from batch")
+        "streaming redact+chunk+repetitionStats differ from batch")
     } finally query.stop()
   }
 }
