@@ -7,13 +7,28 @@ import org.apache.spark.sql.SparkSession
   * Times the SURVEY.md §5 headline set (one per operator family) at
   * SPARK_GRAFT_SF_DIR. Each query is forced through the noop sink so
   * the FULL plan executes (a bare count() lets Spark skip projections
-  * and windows). One untimed warm-up amortizes JIT/codegen compile,
-  * and each query is timed SPARK_GRAFT_BENCH_RUNS (default 3) times
-  * with the MEDIAN reported — a single-shot timing cannot distinguish
-  * a real plan regression from JIT/AQE/GC noise (VERDICT r3 item #6:
-  * apparent +20–30% drifts turned out to be unmeasurable with n=1).
-  * Cached lineage-break blocks are dropped between runs so one run's
-  * block-manager pressure doesn't contaminate the next.
+  * and windows).
+  *
+  * Isolation model (round 7): one CHILD JVM per query. A long-lived
+  * single JVM accumulates block-manager / shuffle-file / GC pressure
+  * across the 34-query sweep, and that pressure lands on whichever
+  * checkpoint-heavy query runs late (r6 artifact: q46 raw runs
+  * 5.6s/183s/30.3s on one unchanged plan, vs 3.3s median isolated).
+  * Blocking unpersist + System.gc() made the skew visible (raw runs
+  * in the JSON) but not gone. The fix is the same isolation
+  * SPARK_GRAFT_BENCH_ONLY gives manually: the parent process forks a
+  * fresh JVM per query — reusing this JVM's own --add-opens/-Xmx/-D
+  * args and classpath (run/fork := true makes java.class.path the
+  * real app classpath) — and aggregates the per-query JSON lines the
+  * children print. Within a child: one untimed warm-up of the query
+  * itself (JIT + codegen + FS metadata), then SPARK_GRAFT_BENCH_RUNS
+  * (default 3) timed runs, MEDIAN reported (a single-shot timing
+  * cannot distinguish a plan regression from JIT/AQE/GC noise).
+  *
+  * If forking is unavailable (classpath looks like an sbt launcher,
+  * fork fails, or SPARK_GRAFT_BENCH_NOFORK is set) the parent falls
+  * back to the old in-process sweep so the driver always gets its
+  * JSON line.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -29,12 +44,9 @@ object Bench {
     "q63_mixture_sample", "q64_repetition_filter", "q65_bloom_semijoin",
     "q66_zorder", "q67_token_cap", "q68_chunk")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // local iteration: SPARK_GRAFT_BENCH_ONLY=q53_embed_neardup,q33_minhash_lsh
-    // times just those queries (the driver never sets it → full set)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+  private val childMarker = "##BENCHQ##"
+
+  private def makeSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,61 +57,147 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    def runOnce(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+  private def runOnce(spark: SparkSession, sfDir: String, name: String): Unit =
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
 
-    // drop cached localCheckpoint/cache blocks a run left behind, so
-    // timings stay independent (a long-lived JVM accumulates
-    // block-manager pressure otherwise). Blocking, then a GC nudge:
-    // async unpersist + un-collected RDD references leave executor
-    // blocks + shuffle files alive until the ContextCleaner happens to
-    // run — over 33 queries × 3 runs that pressure snowballed onto the
-    // checkpoint-heavy queries (q53 timed 12s→31s→45s inside the full
-    // sweep vs a flat ~1s isolated; r4-vs-r5's 2× artifact drift was
-    // the same effect).
-    def dropCachedBlocks(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      System.gc()
-    }
+  // drop cached localCheckpoint/cache blocks a run left behind, so
+  // the timed runs within one child stay independent
+  private def dropCachedBlocks(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
 
-    def timeOnce(name: String): Double = {
-      val t0 = System.nanoTime()
-      val ok = try { runOnce(name); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-      val t = (System.nanoTime() - t0) / 1e9
-      dropCachedBlocks()
-      if (ok) t else -1.0
-    }
+  private def timeOnce(spark: SparkSession, sfDir: String, name: String): Double = {
+    val t0 = System.nanoTime()
+    val ok = try { runOnce(spark, sfDir, name); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+    val t = (System.nanoTime() - t0) / 1e9
+    dropCachedBlocks(spark)
+    if (ok) t else -1.0
+  }
 
-    // warm-up: JIT + codegen + FS metadata; never let it kill the run
-    // (the driver needs the JSON line even on a misconfigured SF dir)
-    try runOnce("q01_pricing_summary")
-    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    dropCachedBlocks()
+  private def benchRuns: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
-    val results: Seq[(String, Seq[Double])] =
-      headline.filter(n => only.forall(_.contains(n))).map { name =>
-        name -> (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0)
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Child mode: warm + time ONE query in this fresh JVM, print a
+    * marked JSON line, exit. Startup cost is outside the timings.
+    */
+  private def childMain(name: String, sfDir: String): Unit = {
+    val spark = makeSession()
+    try runOnce(spark, sfDir, name)
+    catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
+    dropCachedBlocks(spark)
+    val ts = (1 to benchRuns).map(_ => timeOnce(spark, sfDir, name)).filter(_ >= 0)
+    val runsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // println goes through Spark-captured stdout untouched; the marker
+    // lets the parent find it among any stray log lines
+    println(s"""$childMarker {"query":"$name","runs":$runsJson}""")
+    spark.stop()
+  }
+
+  /** Fork one child JVM for `name`, parse its marked line. Returns
+    * None if the fork/parse fails (caller falls back in-process).
+    */
+  private def forkQuery(name: String, javaBin: String, jvmArgs: Seq[String],
+                        classpath: String): Option[Seq[Double]] = {
+    import scala.jdk.CollectionConverters._
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", classpath, "graft.Bench")).asJava
+    try {
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", name)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      // drain stdout on its own thread: a hung child would otherwise
+      // block readLine forever and the timeout below would never fire
+      @volatile var marked: Option[String] = None
+      val reader = new Thread(() => {
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line: String = null
+        try while ({ line = out.readLine(); line != null }) {
+          if (line.startsWith(childMarker)) marked = Some(line)
+        } catch { case _: java.io.IOException => }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { proc.destroyForcibly(); System.err.println(s"[bench] $name: child timeout"); return None }
+      reader.join(10000)
+      marked.map { l =>
+        val runsPart = l.substring(l.indexOf("\"runs\":[") + 8, l.lastIndexOf("]"))
+        if (runsPart.trim.isEmpty) Seq.empty[Double]
+        else runsPart.split(",").toSeq.map(_.trim.toDouble)
       }
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] fork $name: $e"); None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
+      case Some(name) => childMain(name, sfDir); return
+      case None       =>
+    }
+
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q53_embed_neardup,q33_minhash_lsh
+    // times just those queries (the driver never sets it → full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = headline.filter(n => only.forall(_.contains(n)))
+
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val classpath = sys.props("java.class.path")
+    // this JVM's own args carry the jdk17 --add-opens + -Xmx + spark
+    // -D defaults sbt forked us with; strip agents (debuggers etc.)
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent")).toSeq
+    val canFork = !sys.env.contains("SPARK_GRAFT_BENCH_NOFORK") &&
+      classpath.contains("spark") && new java.io.File(javaBin).exists()
+
+    // lazily-created session for the in-process fallback path only —
+    // in pure fork mode the parent never starts Spark
+    var fellBack = false
+    lazy val fallbackSpark = {
+      fellBack = true
+      val s = makeSession()
+      try runOnce(s, sfDir, "q01_pricing_summary")
+      catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+      dropCachedBlocks(s)
+      s
+    }
+
+    val results: Seq[(String, Seq[Double])] = selected.map { name =>
+      val forked = if (canFork) forkQuery(name, javaBin, jvmArgs, classpath) else None
+      name -> forked.getOrElse {
+        System.err.println(s"[bench] $name: timing in-process (fork unavailable)")
+        (1 to benchRuns).map(_ => timeOnce(fallbackSpark, sfDir, name)).filter(_ >= 0)
+      }
+    }
+
     def med(ts: Seq[Double]): Double = if (ts.isEmpty) -1.0 else median(ts)
     val qs = results.map { case (k, ts) => "\"" + k + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
     // raw per-run times alongside the medians: two artifacts that
-    // differ on identical binaries (r4 vs r5 drifted 2×) are then
-    // self-diagnosing as environment skew — wide runs, stable median
+    // differ on identical binaries are then self-diagnosing — wide
+    // runs, stable median = environment skew, not a plan change
     val runsJson = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(r => med(r._2)).filter(_ >= 0).sum
     val sf = sfDir.split("/").last.stripPrefix("sf")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sf"}""")
-    spark.stop()
+    val iso = if (canFork) "jvm-per-query" else "in-process"
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sf","isolation":"$iso"}""")
+    if (fellBack) fallbackSpark.stop()
   }
 }
