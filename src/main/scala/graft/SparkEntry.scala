@@ -88,6 +88,7 @@ object SparkEntry {
     "q66_zorder"          -> q(Extended.q66),
     "q67_token_cap"       -> q(Pipeline.q67),
     "q68_chunk"           -> q(Pipeline.q68),
+    "q69_dup_spans"       -> q(Dedup.q69),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1049,5 +1050,43 @@ object SparkEntry {
         |  array_to_string(toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // duplicateSpans replay: positional 8-gram hashes (range end is
+    // exclusive → i covers 1..len-7), doc-frequency stop-gram prune,
+    // inverted-index self-join, gaps-and-islands merge (consecutive
+    // pos_a at constant pos_a-pos_b offset) into maximal spans
+    "q69_dup_spans" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 600000 + a.doc_id, a.text || ' ' || b.text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id < 10),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM aug),
+        |grams AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 15)) AS BIGINT) AS g
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |keep AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+        |  WHERE df <= 100),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  WHERE a.g IN (SELECT g FROM keep)),
+        |isl AS (
+        |  SELECT id_a, id_b, pos_a - pos_b AS delta, pos_a, pos_b,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+        |  FROM m)
+        |SELECT id_a, id_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+        |  CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY id_a, id_b, delta, island
+        |HAVING COUNT(*) + 7 >= 20
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
   )
 }

@@ -528,6 +528,65 @@ object Ops {
           col("eval_ngrams"), col("overlap_frac"))
     }
 
+    /** Duplicated-span detection (substring-level exact dedup, q69):
+      * find maximal verbatim token spans of ≥ `minSpanTokens` shared
+      * BETWEEN documents — the boilerplate / license-header / quoted-
+      * article duplication that document-level fingerprints (q31) and
+      * near-dup pairs (q32/q33) miss because the containing documents
+      * are otherwise distinct.
+      *
+      * Shape (never doc×doc): positional word n-gram hashes per doc →
+      * stop-gram pruning (grams appearing in > `maxDf` docs are
+      * dropped, bounding every posting list — the standard guard that
+      * keeps a common phrase from exploding the inverted index at
+      * corpus scale) → inverted-index self-join on the gram hash →
+      * gaps-and-islands merge of consecutive colliding positions at
+      * constant offset into maximal spans. The window partitions by
+      * (pair, offset) — thousands of small partitions, no global
+      * ordering. Every step is portable integer/md5 arithmetic, so a
+      * SQL oracle replays the whole pipeline bit-for-bit (pruning
+      * included: a span crossing a pruned gram splits identically in
+      * both engines).
+      *
+      * Returns (id_a, id_b, start_a, start_b, span_tokens), id_a <
+      * id_b, one row per maximal duplicated span; starts are 1-based
+      * token positions. Run exact dedup first — identical documents
+      * produce one full-length span each, but are cheaper to collapse
+      * with [[dedupExact]].
+      */
+    def duplicateSpans(id: String, text: String, n: Int = 8,
+                       minSpanTokens: Int = 20, maxDf: Long = 100L,
+                       checkpointDir: Option[String] = None): DataFrame = {
+      require(n >= 2 && minSpanTokens >= n,
+        "duplicateSpans needs n >= 2 and minSpanTokens >= n")
+      // grams feed both the df census and the postings join: break
+      // lineage so the tokenizer+md5 pass runs once, not twice
+      val grams = lineageBreaker(checkpointDir)(
+        floorPartitions(left.select(col(id), col(text)))
+          .withColumn("__toks", tokens(col(text)))
+          .select(col(id).as("__id"), explode(ngramPosHashes(col("__toks"), n)).as("__pg"))
+          .select(col("__id"), col("__pg.pos").as("__pos"), col("__pg.g").as("__g")))
+      val keep = grams.groupBy(col("__g"))
+        .agg(countDistinct(col("__id")).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .select(col("__g"))
+      val postings = grams.join(keep, Seq("__g"))
+      val a = postings.select(col("__g"), col("__id").as("id_a"), col("__pos").as("pos_a"))
+      val b = postings.select(col("__g"), col("__id").as("id_b"), col("__pos").as("pos_b"))
+      val w = Window.partitionBy(col("id_a"), col("id_b"), col("__delta"))
+        .orderBy(col("pos_a"))
+      a.join(b, Seq("__g"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("__delta", col("pos_a") - col("pos_b"))
+        .withColumn("__isl", col("pos_a") - row_number().over(w))
+        .groupBy(col("id_a"), col("id_b"), col("__delta"), col("__isl"))
+        .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+          (count(lit(1)) + lit(n - 1)).cast("long").as("span_tokens"))
+        .filter(col("span_tokens") >= minSpanTokens)
+        .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+          col("span_tokens"))
+    }
+
     /** Deterministic mixture sampling — reshape a corpus so category
       * shares match the target integer `parts` (the "data mixture"
       * step of a training pipeline: balance languages, cap a crawl

@@ -58,6 +58,20 @@ object TextFunctions {
         i => graft.util.Portable.portableHash64(concat_ws(" ", slice(toks, i, lit(n)))))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** POSITIONAL word n-gram hashes: array of (pos, g) structs, pos
+    * 1-based, one element per n-gram window (no distinct — position
+    * identity is the point; [[ngramHashes]] is the set form). Same
+    * attribute requirement and portable-hash mirror as
+    * [[ngramHashes]]; DuckDB replays as `list_transform(range(1,
+    * len(t)-n+2), i -> ...)` keeping i alongside the hash.
+    */
+  def ngramPosHashes(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => struct(i.cast("long").as("pos"),
+          graft.util.Portable.portableHash64(concat_ws(" ", slice(toks, i, lit(n)))).as("g"))))
+      .otherwise(array().cast("array<struct<pos:bigint,g:bigint>>"))
+
   /** Portable seeded 60-bit hash (same value as the DuckDB expression
     * CAST('0x'||substr(md5(seed||':'||s),1,15) AS BIGINT)).
     */

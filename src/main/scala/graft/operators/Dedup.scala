@@ -203,4 +203,26 @@ object Dedup {
       .withColumn("hashes", tokenHashes(col("toks")))
       .select(col("doc_id"), simhash(col("hashes"), 60).as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** q69: substring-level exact dedup — maximal duplicated token
+    * spans (≥ 20 tokens, 8-gram inverted index) across documents.
+    * The corpus is augmented with composite docs (text of doc i +
+    * text of doc i+1 under a new id, i < 10): partial overlap that
+    * document-level dedup misses by construction, guaranteeing true
+    * sub-document spans at every SF. Natural near-dup spans among
+    * the originals surface too. (Generalized form:
+    * [[graft.api.Ops.GraftDataFrameOps.duplicateSpans]].)
+    */
+  def q69(t: Tables): DataFrame = {
+    val d = t.documents.select(col("doc_id"), col("text"))
+    val a = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("__ida"), col("text").as("__ta"))
+    val b = d.select(col("doc_id").as("__idb"), col("text").as("__tb"))
+    val comp = a.join(b, col("__idb") === col("__ida") + 1)
+      .select((col("__ida") + 600000).as("doc_id"),
+        concat(col("__ta"), lit(" "), col("__tb")).as("text"))
+    d.unionByName(comp)
+      .duplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20, maxDf = 100L)
+      .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+  }
 }

@@ -387,4 +387,31 @@ class OpsApiSpec extends AnyFunSuite {
     assert(phys.contains("might_contain"),
       "bloom probe missing from the physical plan:\n" + phys.take(2000))
   }
+
+  test("duplicateSpans: planted span found with exact boundaries, filters honored") {
+    import spark.implicits._
+    // doc 1: 40 distinct tokens t01..t40; doc 2: 10 unique tokens,
+    // then doc 1's tokens 5..34 verbatim (a 30-token span), then noise
+    def tok(p: String, i: Int) = f"$p$i%02d"
+    val d1 = (1 to 40).map(tok("t", _))
+    val d2 = (1 to 10).map(tok("u", _)) ++ d1.slice(4, 34) ++ (1 to 6).map(tok("v", _))
+    val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = docs.duplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((1L, 2L, 5L, 11L, 30L)),
+      s"expected the single planted span, got ${spans.toSeq}")
+    // below minSpanTokens → silent
+    assert(docs.duplicateSpans("doc_id", "text", n = 8, minSpanTokens = 31)
+      .isEmpty, "31-token floor must drop the 30-token span")
+    // stop-gram pruning: 3 identical docs, maxDf=2 prunes every gram
+    val trip = Seq((1L, d1.mkString(" ")), (2L, d1.mkString(" ")), (3L, d1.mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(trip.duplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20, maxDf = 2L)
+      .isEmpty, "df > maxDf grams must be pruned")
+    // without the cap the same corpus reports all three full-length pairs
+    val full = trip.duplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(full == Set((1L, 2L, 40L), (1L, 3L, 40L), (2L, 3L, 40L)))
+  }
 }
