@@ -42,7 +42,8 @@ object Bench {
     "q53_embed_neardup", "q55_curation", "q57_seq_pack",
     "q58_decontaminate", "q60_refine", "q61_redact", "q62_dedup_incr",
     "q63_mixture_sample", "q64_repetition_filter", "q65_bloom_semijoin",
-    "q66_zorder", "q67_token_cap", "q68_chunk", "q69_dup_spans")
+    "q66_zorder", "q67_token_cap", "q68_chunk", "q69_dup_spans",
+    "q70_strip_markup")
 
   private val childMarker = "##BENCHQ##"
 

@@ -89,6 +89,7 @@ object SparkEntry {
     "q67_token_cap"       -> q(Pipeline.q67),
     "q68_chunk"           -> q(Pipeline.q68),
     "q69_dup_spans"       -> q(Dedup.q69),
+    "q70_strip_markup"    -> q(TextAnalysis.q70),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1088,5 +1089,43 @@ object SparkEntry {
         |FROM isl GROUP BY id_a, id_b, delta, island
         |HAVING COUNT(*) + 7 >= 20
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // stripMarkup replay: same RE2-compatible regex chain (script/
+    // style blocks, comments, tags → space; entity decode with &amp;
+    // last; explicit whitespace class — Java \s ≠ RE2 \s), same
+    // planted wrapper; both engines' replace() substitutes all
+    // non-overlapping occurrences left-to-right
+    "q70_strip_markup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style type="text/css">p { color: #fff; }</style></head>' || chr(10) ||
+        |    '<body><!-- doc ' || CAST(doc_id AS VARCHAR) || ' --><h1>Header</h1>' || chr(10) ||
+        |    '<p class="main">' || text ||
+        |    '</p><script>var n = 1 < 2 && "</p>";</script>' ||
+        |    '<p>A &amp;amp; B &lt;i&gt; &quot;Q&quot; &#39;S&#39;&nbsp;C</p></body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(
+        |        replace(replace(replace(replace(replace(replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(html, '(?is)<script\b.*?</script>', ' ', 'g'),
+        |                '(?is)<style\b.*?</style>', ' ', 'g'),
+        |              '(?s)<!--.*?-->', ' ', 'g'),
+        |            '<[!/]?[A-Za-z][^>]*>', ' ', 'g'),
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |          '&apos;', ''''), '&nbsp;', ' '),
+        |        '&amp;', '&'),
+        |      '[ \t\r\n\f]+', ' ', 'g')) AS clean_text
+        |  FROM h)
+        |SELECT doc_id, clean_text,
+        |  CAST(len(list_filter(string_split(trim(regexp_replace(lower(clean_text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |       x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
   )
 }

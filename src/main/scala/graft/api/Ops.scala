@@ -173,6 +173,16 @@ object Ops {
           regexp_replace(c, re, token)
         })
 
+    /** Markup strip — crawled corpora arrive as HTML; this is the
+      * "to plain text" pass that feeds quality scoring, dedup and
+      * curation. See [[graft.functions.TextFunctions.stripMarkup]]
+      * for the exact (oracle-replayable) semantics. Stateless column
+      * work, applies to streams unchanged.
+      */
+    def stripMarkup(textCol: String): DataFrame =
+      left.withColumn(textCol,
+        graft.functions.TextFunctions.stripMarkup(col(textCol)))
+
     /** As-of join: for each left row, the most recent right row with
       * rightTime ≤ leftTime and matching key. One shuffle on the key:
       * tag + union + running last_value(ignoreNulls) window. `carry`

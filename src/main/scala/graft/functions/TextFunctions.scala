@@ -112,6 +112,34 @@ object TextFunctions {
       (acc, p) => zip_with(acc, sequence(lit(0), lit(perms - 1)),
         (m, i) => least(m, p("h1") + i * p("h2"))))
 
+  /** HTML/markup strip: drop script/style blocks wholesale, drop
+    * comments and tags (replaced by a space so adjacent words don't
+    * fuse), decode the common entity set (&amp;amp; LAST, per the
+    * standard so "&amp;amp;lt;" stays literal), collapse whitespace.
+    *
+    * Every pattern is deliberately in the RE2-compatible subset that
+    * java.util.regex and DuckDB's RE2 interpret identically — inline
+    * (?is) flags, non-greedy .*?, explicit whitespace class instead
+    * of \s (Java's \s includes \x0B, RE2's does not) — so a SQL
+    * oracle replays the strip bit-for-bit (DuckDB side needs the 'g'
+    * flag; Spark replaces all matches by default). Both replace()
+    * builtins substitute all non-overlapping occurrences left-to-
+    * right. Pure codegen column work: no shuffle, streams unchanged.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script\\b.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // a tag must start with a letter (optionally after / or !) — a
+    // bare "<" in prose ("5 < 6") is NOT a tag and must survive
+    val noTags = regexp_replace(noComment, "<[!/]?[A-Za-z][^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    val amp = replace(ent, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "[ \\t\\r\\n\\f]+", " "))
+  }
+
   /** Token hash array for [[simhash]] — project this as a column. */
   def tokenHashes(toks: Column): Column =
     transform(toks, s => seededHash(lit(0), s))

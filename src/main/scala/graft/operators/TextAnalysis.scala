@@ -185,4 +185,33 @@ object TextAnalysis {
       .filter(col("top_token_frac") > 0.12 || col("dup_bigram_frac") > 0.08)
       .orderBy(col("doc_id"))
   }
+
+  /** q70: markup strip ([[graft.api.Ops]].stripMarkup) — crawled
+    * corpora arrive as HTML; this is the to-plain-text pass feeding
+    * quality scoring and dedup. The synthetic documents are plain
+    * text, so each is deterministically wrapped in realistic markup
+    * (head/style/script blocks, comments, attributes, the common
+    * entity set — SQL-mirrorable concat, like q61's planted PII),
+    * then stripped; the clean text plus its token count come back.
+    * Script/style/comment content must vanish wholesale, tag-only
+    * removal must not fuse adjacent words, entities decode with
+    * &amp;amp; last. Pure map-side regexp chain; the only shuffle is
+    * the output sort.
+    */
+  def q70(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val wrapped = t.documents.select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">p { color: #fff; }</style></head>\n<body><!-- doc "),
+        col("doc_id").cast("string"),
+        lit(" --><h1>Header</h1>\n<p class=\"main\">"), col("text"),
+        lit("</p><script>var n = 1 < 2 && \"</p>\";</script>"),
+        lit("<p>A &amp;amp; B &lt;i&gt; &quot;Q&quot; &#39;S&#39;&nbsp;C</p></body></html>"))
+        .as("text"))
+    wrapped.stripMarkup("text")
+      .select(col("doc_id"), col("text").as("clean_text"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

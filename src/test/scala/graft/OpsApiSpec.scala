@@ -388,6 +388,26 @@ class OpsApiSpec extends AnyFunSuite {
       "bloom probe missing from the physical plan:\n" + phys.take(2000))
   }
 
+  test("stripMarkup: tags/script/style/comments vanish, entities decode, whitespace collapses") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>", "hello world"),
+      (2L, "a<script type=\"x\">var q = \"</p>\"; if (1 < 2) {}</script>b", "a b"),
+      (3L, "a<style>p { color: red; }</style>b", "a b"),
+      (4L, "a<!-- hidden\n multiline -->b", "a b"),
+      // entity decode, &amp; LAST: "&amp;lt;" stays the literal "&lt;"
+      (5L, "x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &apos;t&apos;&nbsp;y &amp; z &amp;lt;", "x <tag> \"q\" 's' 't' y & z &lt;"),
+      (6L, "  a\t\tb\n\nc   d\f e ", "a b c d e"),
+      // unclosed tag and bare < survive sanely
+      (7L, "5 < 6 and <em>done", "5 < 6 and done"),
+      (8L, "<SCRIPT>upper case</script>mixed<Style>s</STYLE>", "mixed"))
+    val out = cases.toDF("id", "text", "want")
+      .stripMarkup("text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    for ((id, got, want) <- out)
+      assert(got == want, s"case $id: got '$got', want '$want'")
+  }
+
   test("duplicateSpans: planted span found with exact boundaries, filters honored") {
     import spark.implicits._
     // doc 1: 40 distinct tokens t01..t40; doc 2: 10 unique tokens,

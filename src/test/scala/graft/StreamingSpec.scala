@@ -305,22 +305,24 @@ class StreamingSpec extends AnyFunSuite {
       "the corpus must exercise both kept and dropped rows")
   }
 
-  test("stateless curation ops (redact, repetitionStats) apply to a stream and match batch") {
+  test("stateless curation ops (stripMarkup, redact, repetitionStats) apply to a stream and match batch") {
     import spark.implicits._
     import graft.api.Ops._
     implicit val sqlCtx = spark.sqlContext
-    // redact + repetition stats are pure column expressions, so the
-    // SAME fluent calls run on a streaming frame unchanged — the
-    // ingest-time shape of the scrub/quality stage (no state, no
-    // watermark, survives any trigger size)
+    // stripMarkup + redact + repetition stats are pure column
+    // expressions, so the SAME fluent calls run on a streaming frame
+    // unchanged — the ingest-time shape of the scrub/quality stage
+    // (no state, no watermark, survives any trigger size)
     val docs = Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text")).limit(200)
-      .collect().map(r => (r.getLong(0), r.getString(1) + " mail me at u@ex.com")).toSeq
+      .collect().map(r => (r.getLong(0),
+        "<div id=\"d\">" + r.getString(1) + "</div><script>var a=1;</script> mail me at u@ex.com")).toSeq
     val stream = MemoryStream[(Long, String)]
     stream.addData(docs)
     val streamDf = stream.toDF().toDF("doc_id", "text")
     def pipelineOf(df: org.apache.spark.sql.DataFrame) =
-      df.redact("text").chunkTokens("doc_id", "text", chunkTokens = 32, overlap = 8)
+      df.stripMarkup("text").redact("text")
+        .chunkTokens("doc_id", "text", chunkTokens = 32, overlap = 8)
         .withColumn("key", concat_ws(":", col("doc_id"), col("chunk_id")))
         .repetitionStats("key", "chunk_text")
     val query = pipelineOf(streamDf)
