@@ -619,6 +619,12 @@ object Ops {
                       parts: Seq[(String, Long)]): DataFrame = {
       require(parts.nonEmpty && parts.forall(_._2 > 0),
         "mixtureSample needs at least one category with positive parts")
+      // __scale ≤ min(cnt·10⁴ div p) so __scale·p ≤ cnt·10⁴; bounding
+      // parts keeps every intermediate far from Long overflow even at
+      // 10¹⁴-row categories (ANSI mode would throw, not wrap — this
+      // require turns that into a frontline parameter error)
+      require(parts.forall(_._2 <= 1000000L),
+        "mixture parts are ratios — values above 1e6 are unsupported")
       val spark = left.sparkSession
       val wdf = spark.createDataFrame(
         java.util.Arrays.asList(parts.map { case (c, p) =>
@@ -660,7 +666,9 @@ object Ops {
       */
     def capTokensPerCategory(category: String, id: String, tokenCount: Column,
                              budgetTokens: Long): DataFrame = {
-      require(budgetTokens > 0, "budgetTokens must be positive")
+      require(budgetTokens > 0 && budgetTokens <= Long.MaxValue / 10000L,
+        s"budgetTokens must be in 1..${Long.MaxValue / 10000L} " +
+          "(the basis-point rate is computed as budgetTokens * 10000)")
       val totals = left
         .groupBy(col(category))
         .agg(sum(tokenCount.cast("long")).as("__tot"))
@@ -713,40 +721,58 @@ object Ops {
     }
 
     /** Per-column data profile — row count, null count, approximate
-      * distinct (HLL), and min/max rendered as strings — the census a
-      * pipeline runs before accepting a new corpus drop. ONE pass:
-      * every per-column aggregate lives in a single Aggregate operator
-      * (map-side combinable, schema-bounded expression count), and the
-      * one-row result reshapes to a row per column — never a
-      * job-per-column driver loop, so profiling 100 TB costs one scan.
-      * min/max apply to atomic and array types; other types (maps)
-      * report null bounds.
+      * distinct (HLL), min/max rendered as strings, and for string
+      * columns the exact-below-cap top-`topK` values with counts
+      * ("item:cnt", comma-joined; the Misra–Gries [[topkSketch]]
+      * aggregate, bounded memory) — the census a pipeline runs before
+      * accepting a new corpus drop. ONE pass: every per-column
+      * aggregate, sketches included, lives in a single Aggregate
+      * operator (map-side combinable, schema-bounded expression
+      * count), and the one-row result reshapes to a row per column —
+      * never a job-per-column driver loop, so profiling 100 TB costs
+      * one scan. min/max apply to atomic and array types; other types
+      * (maps) report null bounds.
+      *
+      * Columns are addressed POSITIONALLY (a `toDF` rename to
+      * synthetic names, aggregate aliases keyed by field index): a
+      * user column named `a.b` or carrying backticks would otherwise
+      * parse as a struct path somewhere in the aggregate/alias
+      * round-trip.
       */
-    def profile(): DataFrame = {
+    def profile(topK: Int = 5): DataFrame = {
       val fields = left.schema.fields.toSeq
       require(fields.nonEmpty, "profile() needs at least one column")
+      graft.functions.GraftFunctions.register(left.sparkSession)
       def orderable(f: org.apache.spark.sql.types.StructField): Boolean =
         org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType)
-      val aggs = fields.flatMap { f =>
-        val c = col(f.name)
+      val renamed = left.toDF(fields.indices.map(i => s"__c$i"): _*)
+      val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(s"__c$i")
         val mn = if (orderable(f)) min(c).cast("string") else lit(null).cast("string")
         val mx = if (orderable(f)) max(c).cast("string") else lit(null).cast("string")
-        Seq(count(c).as(s"__nn_${f.name}"),
-          approx_count_distinct(c).as(s"__ad_${f.name}"),
-          mn.as(s"__mn_${f.name}"), mx.as(s"__mx_${f.name}"))
+        val tk = f.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            concat_ws(",", transform(topkSketch(c, topK),
+              s => concat(s.getField("item"), lit(":"), s.getField("cnt"))))
+          case _ => lit(null).cast("string")
+        }
+        Seq(count(c).as(s"__nn_$i"), approx_count_distinct(c).as(s"__ad_$i"),
+          mn.as(s"__mn_$i"), mx.as(s"__mx_$i"), tk.as(s"__tk_$i"))
       } :+ count(lit(1)).as("__rows")
-      left.agg(aggs.head, aggs.tail: _*)
-        .select(col("__rows"), explode(array(fields.map(f => struct(
+      renamed.agg(aggs.head, aggs.tail: _*)
+        .select(col("__rows"), explode(array(fields.zipWithIndex.map { case (f, i) => struct(
           lit(f.name).as("column"),
           lit(f.dataType.simpleString).as("type"),
-          col(s"__nn_${f.name}").as("non_null"),
-          col(s"__ad_${f.name}").as("approx_distinct"),
-          col(s"__mn_${f.name}").as("min"),
-          col(s"__mx_${f.name}").as("max"))): _*)).as("__c"))
+          col(s"__nn_$i").as("non_null"),
+          col(s"__ad_$i").as("approx_distinct"),
+          col(s"__mn_$i").as("min"),
+          col(s"__mx_$i").as("max"),
+          col(s"__tk_$i").as("top_values")) }: _*)).as("__c"))
         .select(col("__c.column"), col("__c.type"),
           col("__rows").as("n_rows"), col("__c.non_null"),
           (col("__rows") - col("__c.non_null")).as("n_null"),
-          col("__c.approx_distinct"), col("__c.min"), col("__c.max"))
+          col("__c.approx_distinct"), col("__c.min"), col("__c.max"),
+          col("__c.top_values"))
     }
 
     /** Token-window chunking — split each document into
@@ -777,6 +803,10 @@ object Ops {
           .otherwise(lit(1L) + expr(s"(__n - $chunkTokens + ${step - 1}) div $step")))
         .select(col(id), explode(sequence(lit(0L), col("__chunks") - 1)).as("chunk_id"),
           col("__toks"))
+        // the int cast cannot overflow: chunk_id*step+1 ≤ __n by the
+        // __chunks construction, and __n = size(array) is int-bounded
+        // (Spark arrays are int-indexed); ANSI mode would throw — not
+        // wrap — if the invariant were ever violated
         .withColumn("__slice",
           slice(col("__toks"), (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)))
         .select(col(id), col("chunk_id"),
@@ -810,10 +840,12 @@ object Ops {
       val bloom = right.agg(
         call_function("bloom_agg", xxhash64(col(rightKey)),
           lit(expectedItems), lit(numBits)).as("__bf")).scalar()
+      // no distinct on the build side: semi-join semantics already
+      // collapse duplicate build keys, a pre-distinct would only add
+      // a full extra shuffle of the right side (VERDICT r6 #2)
       left
         .filter(call_function("bloom_contains", bloom, xxhash64(col(leftKey))))
-        .join(right.select(col(rightKey).as(leftKey)).distinct(),
-          Seq(leftKey), "left_semi")
+        .join(right.select(col(rightKey).as(leftKey)), Seq(leftKey), "left_semi")
     }
 
     /** Brute-force cosine top-k against a bounded query set: the query

@@ -58,24 +58,45 @@ object ZOrder {
     * that dimension (the other never prunes). The min/max probe is a
     * one-row aggregate broadcast back over the frame: two passes over
     * the data, both full scans a layout rewrite pays anyway.
+    *
+    * Degenerate inputs are layout-only decisions, never row changes:
+    * a NULL in either dimension maps the row to z = −1 (all such
+    * rows cluster ahead of the real curve — "nulls first"); a
+    * constant dimension (min == max) contributes 0 to the interleave
+    * and the curve degrades to a range layout on the other dimension;
+    * a dimension spanning more than 2⁶² maps to 0 (that dimension
+    * stops clustering rather than overflowing — ANSI mode would
+    * throw on the span arithmetic otherwise). The scaling itself is
+    * pure integer cell division ((v − lo) div ceil(span / 2ᵇ)), so no
+    * boundary value can land in the wrong bucket the way a ~2⁵³
+    * double-division numerator could.
     */
   def cluster(df: DataFrame, x: Column, y: Column,
               numFiles: Int, bits: Int = 8): DataFrame = {
     require(numFiles > 0, "numFiles must be positive")
-    val n = lit(1L << bits)
+    val n = 1L << bits
     val stats = df.agg(
       min(x.cast("long")).as("__xmin"), max(x.cast("long")).as("__xmax"),
       min(y.cast("long")).as("__ymin"), max(y.cast("long")).as("__ymax"))
-    // scaled ∈ [0, 2^bits): numerators stay far below 2^53, so the
-    // double division is exact enough and the cast floors it
-    def scaled(c: Column, lo: Column, hi: Column): Column =
-      ((c.cast("long") - lo) * n / (hi - lo + 1)).cast("long")
+    // integer cell scaling via expr (Column has no integral div):
+    // cell = ceil(span/2^bits) ≥ 1, scaled = (v - lo) div cell ∈
+    // [0, 2^bits). The half-span probe decides overflow-safety
+    // WITHOUT computing the full span (CASE branches evaluate lazily,
+    // so the guarded arithmetic never runs on an unsafe range).
+    def scaled(v: String, lo: String, hi: String): String =
+      s"""CASE WHEN $v IS NULL THEN NULL
+         |  WHEN $hi div 2 - $lo div 2 > ${Long.MaxValue / 4} THEN 0L
+         |  ELSE ($v - $lo) div greatest(($hi - $lo + ${n}L) div ${n}L, 1L) END""".stripMargin
     df.crossJoin(broadcast(stats))
-      .withColumn("__z", zvalue(
-        scaled(x, col("__xmin"), col("__xmax")),
-        scaled(y, col("__ymin"), col("__ymax")), bits))
+      .withColumn("__xv", x.cast("long")).withColumn("__yv", y.cast("long"))
+      .withColumn("__zx", expr(scaled("__xv", "__xmin", "__xmax")))
+      .withColumn("__zy", expr(scaled("__yv", "__ymin", "__ymax")))
+      .withColumn("__z",
+        when(col("__zx").isNull || col("__zy").isNull, lit(-1L))
+          .otherwise(zvalue(col("__zx"), col("__zy"), bits)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "__xmin", "__xmax", "__ymin", "__ymax")
+      .drop("__z", "__zx", "__zy", "__xv", "__yv",
+        "__xmin", "__xmax", "__ymin", "__ymax")
   }
 }

@@ -340,6 +340,9 @@ class OpsApiSpec extends AnyFunSuite {
     assert(rows("s").getAs[Long]("approx_distinct") == 2L)
     assert(rows("v").getAs[String]("min") == "0.5" && rows("v").getAs[String]("max") == "2.5")
     assert(rows("id").getAs[String]("max") == "4")
+    // string columns carry exact-below-cap top-k values, others null
+    assert(rows("s").getAs[String]("top_values") == "a:2,b:1")
+    assert(rows("v").getAs[String]("top_values") == null)
     // ONE aggregate pass: exactly one pair of HashAggregates (partial
     // + final), no per-column job loop
     val plan = p.queryExecution.executedPlan.toString
@@ -353,6 +356,13 @@ class OpsApiSpec extends AnyFunSuite {
     val mp = withMap.profile().collect().map(r => r.getString(0) -> r).toMap
     assert(mp("m").getAs[String]("min") == null, "map bounds must be null")
     assert(mp("m").getAs[Long]("non_null") == 4L, "maps still count non-nulls")
+    // a column name with a dot must profile as a plain column, not a
+    // struct path (positional addressing inside the aggregate)
+    val dotted = df.withColumnRenamed("s", "a.b").profile()
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(dotted.keySet == Set("id", "a.b", "v"))
+    assert(dotted("a.b").getAs[Long]("n_null") == 1L)
+    assert(dotted("a.b").getAs[String]("top_values") == "a:2,b:1")
   }
 
   test("chunkTokens: planted doc chunks exactly with overlap, short docs emit one chunk") {
@@ -386,6 +396,21 @@ class OpsApiSpec extends AnyFunSuite {
     val phys = api.queryExecution.executedPlan.toString
     assert(phys.contains("might_contain"),
       "bloom probe missing from the physical plan:\n" + phys.take(2000))
+    // the build side must shuffle exactly ONCE (its semi-join
+    // exchange): a pre-distinct would add a redundant second full
+    // shuffle of the right side (semi join already collapses
+    // duplicate build keys). Forcing SMJ makes the count exact: one
+    // exchange per join side, nothing else.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val smj = t.orders.bloomSemiJoin(building, "o_custkey", "c_custkey",
+        expectedItems = 1000L, numBits = 64L * 1024)
+      val lines = smj.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(lines == 2,
+        s"expected exactly 2 shuffle exchanges (one per semi-join side), got $lines")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
   test("stripMarkup: tags/script/style/comments vanish, entities decode, whitespace collapses") {

@@ -59,4 +59,26 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zc < hc, s"custkey slice touched $zc z-ordered files vs $hc hashed")
     assert(zp < hp, s"price slice touched $zp z-ordered files vs $hp hashed")
   }
+
+  test("cluster: null dimensions keep their rows (nulls first), constant dimension still clusters the other") {
+    import spark.implicits._
+    // 100 rows, every 10th has a null y — layout-only op must keep all
+    val withNulls = (0L until 100L)
+      .map(i => (i, if (i % 10 == 0) None else Some(i * 7 % 100)))
+      .toDF("x", "y")
+    val clustered = ZOrder.cluster(withNulls, col("x"), col("y"), numFiles = 4)
+    assert(clustered.count() == 100, "null dimension rows must survive")
+    assert(clustered.filter(col("y").isNull).count() == 10)
+
+    // constant x (min == max): the curve must degrade to a clean
+    // range layout on y, not divide by zero or collapse
+    val constX = (0L until 64L).map(i => (5L, i)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zconst").toString
+    ZOrder.cluster(constX, col("x"), col("y"), numFiles = 4, bits = 4)
+      .write.mode("overwrite").parquet(s"$dir/c")
+    val c = spark.read.parquet(s"$dir/c")
+    assert(c.count() == 64)
+    val touched = c.filter(col("y") < 16).select(input_file_name()).distinct().count()
+    assert(touched < 4, s"y-slice on a constant-x layout touched $touched of 4 files")
+  }
 }
