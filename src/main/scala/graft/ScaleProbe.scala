@@ -13,11 +13,13 @@ import graft.sources.Tables
   * 1× baseline. Prints one line per (operator, scale) with rows/sec
   * so sub-quadratic scaling is visible directly.
   *
-  * Usage: `sbt "runMain graft.ScaleProbe [replication]"` (default 10).
+  * Usage: `sbt "runMain graft.ScaleProbe [replication] [op,op,…]"`
+  * (default 10, all ops; the optional second arg probes a subset).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val repl = args.headOption.map(_.toInt).getOrElse(10)
+    val onlyOps = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -88,8 +90,15 @@ object ScaleProbe {
       "q42_centroids" -> Vectors.q42,
       "q63_mixture"   -> Pipeline.q63,
       "q64_repetition" -> operators.TextAnalysis.q64,
-      "q67_token_cap" -> Pipeline.q67)
-    for ((name, op) <- ops) {
+      "q67_token_cap" -> Pipeline.q67,
+      "q61_redact"    -> (t => operators.TextAnalysis.q61(t)),
+      "q62_dedup_incr" -> (t => Dedup.q62(t)),
+      "q65_bloom"     -> (t => operators.Extended.q65(t)),
+      "q66_zorder"    -> (t => operators.Extended.q66(t)),
+      "q68_chunk"     -> Pipeline.q68,
+      "q69_dup_spans" -> (t => Dedup.q69(t)),
+      "q70_strip"     -> (t => operators.TextAnalysis.q70(t)))
+    for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the
       // 10x run reuses the compiled classes the 1x run paid for)

@@ -159,7 +159,60 @@ object Ops {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
 
+  /** BSP min-label connected components over an edge list, the engine
+    * behind q46's dedup clusters: symmetrize, then propagate the
+    * minimum label one hop per round until the label sum reaches its
+    * fixpoint. Labels only decrease, so the sum strictly decreases
+    * until convergence — a one-aggregate probe per round on an
+    * already-checkpointed frame, correct at any scale. Rounds needed
+    * = component diameter + 1 (the confirming round); near-dup
+    * clusters are shallow in practice, so diameter-bound rounds beat
+    * the constant-factor overhead of the O(log d) large-star/
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce") — switch to that shape if a workload's components
+    * ever run deep; the per-round checkpoint structure is the same.
+    * Returns (vertex, component) for every endpoint; also the round
+    * count for diagnostics. Vertex ids must be integral (the min
+    * label and the sum probe rely on numeric ordering).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      edges: DataFrame, src: String, dst: String,
+      maxRounds: Int, checkpointDir: Option[String]): (DataFrame, Int) = {
+    val ck = lineageBreaker(checkpointDir)
+    val e = edges.select(col(src).cast("long").as("__src"), col(dst).cast("long").as("__dst"))
+    val sym = ck(e.unionByName(
+      e.select(col("__dst").as("__src"), col("__src").as("__dst"))))
+    val verts = sym.select(col("__src").as("vertex")).distinct()
+    var labels = ck(verts.withColumn("component", col("vertex")))
+    var prevSum = Long.MinValue
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val viaNeighbors = sym
+        .join(labels, col("__src") === col("vertex"))
+        .select(col("__dst").as("vertex"), col("component"))
+      labels = ck(labels.select(col("vertex"), col("component"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("vertex"))
+        .agg(min(col("component")).as("component")))
+      val row = labels.agg(sum(col("component"))).collect().head
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+    }
+    (labels.select(col("vertex"), col("component")), round)
+  }
+
   implicit final class GraftDataFrameOps(private val left: DataFrame) extends AnyVal {
+
+    /** Connected components of this edge-list frame — see
+      * [[Ops.connectedComponentsWithRounds]] for the algorithm and
+      * the scale notes. Returns (vertex, component).
+      */
+    def connectedComponents(src: String, dst: String, maxRounds: Int = 50,
+                            checkpointDir: Option[String] = None): DataFrame =
+      connectedComponentsWithRounds(left, src, dst, maxRounds, checkpointDir)._1
 
     /** PII redaction — the scrub pass a training-data pipeline runs
       * before anything else sees the text: each (regex, token) rule

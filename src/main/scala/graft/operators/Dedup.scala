@@ -87,54 +87,28 @@ object Dedup {
     *   faster, fine for local mode and short-lived jobs).
     */
   def q46(t: Tables, checkpointDir: Option[String]): DataFrame = {
-    // Iterative algorithms MUST break lineage each round: without the
-    // checkpoints the logical plan grows exponentially and the
-    // (expensive) edge derivation re-executes every iteration — this
-    // exact loop went from 495s to ~5s at sf0.1 with them. `sym` is
-    // materialized once; each round starts from a checkpointed frame.
-    val ck: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        t.spark.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(eager = true)
-    }
+    // Iterative algorithms MUST break lineage each round: the BSP
+    // loop ([[graft.api.Ops.connectedComponentsWithRounds]], factored
+    // out r7 so its convergence behavior is spec-testable on planted
+    // graphs) checkpoints per round — without that the logical plan
+    // grows exponentially and the (expensive) edge derivation
+    // re-executes every iteration; this exact loop went from 495s to
+    // ~5s at sf0.1 with the checkpoints.
     val edges = t.documents
       .minhashLshPairs("doc_id", "text", threshold = 0.5, perms = 64, bands = 16,
         checkpointDir = checkpointDir)
       .select(col("doc_a"), col("doc_b"))
-    val sym = ck(edges
-      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    val verts = sym.select(col("doc_a").as("doc_id")).distinct()
-    var labels = ck(verts.withColumn("label", col("doc_id")))
-    // Labels only decrease, so the label sum strictly decreases until
-    // the fixpoint: a cheap per-round convergence probe (one agg on the
-    // already-checkpointed frame) that exits at O(component diameter)
-    // rounds instead of a guessed constant — correct at any scale.
-    var prevSum = Long.MinValue
-    var converged = false
-    var round = 0
-    while (!converged && round < 50) {
-      round += 1
-      val viaNeighbors = sym
-        .join(labels, col("doc_a") === col("doc_id"))
-        .select(col("doc_b").as("doc_id"), col("label"))
-      labels = ck(labels.select(col("doc_id"), col("label"))
-        .unionByName(viaNeighbors)
-        .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label")))
-      val s = labels.agg(sum(col("label"))).collect().head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
-    }
+    val labels = edges.connectedComponents("doc_a", "doc_b",
+      maxRounds = 50, checkpointDir = checkpointDir)
     // members is serialized to a comma-joined string (numeric sort
     // first, then render) — the driver's sort+hash compare can't
     // process array cells (VERDICT.md round 1, "What's wrong" #1).
     labels
-      .groupBy(col("label"))
+      .groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"),
-        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+        concat_ws(",", transform(sort_array(collect_list(col("vertex"))),
           v => v.cast("string"))).as("members"))
-      .select(col("label").as("cluster_id"), col("cluster_size"), col("members"))
+      .select(col("component").as("cluster_id"), col("cluster_size"), col("members"))
       .orderBy(col("cluster_id"))
   }
 

@@ -248,4 +248,29 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(local.nonEmpty)
     assert(local == reliable)
   }
+
+  test("connectedComponents converges on a worst-case-diameter 50-node chain") {
+    import spark.implicits._
+    import graft.api.Ops
+    // a pure path graph 0-1-2-...-49: diameter 49 is the worst case
+    // for one-hop min-label propagation (real near-dup clusters are
+    // shallow; this pins the adversarial bound). Label 0 travels one
+    // hop per round → 49 propagation rounds + 1 confirming round.
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Ops.connectedComponentsWithRounds(
+      chain, "src", "dst", maxRounds = 60, checkpointDir = None)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 50 && got.forall(_._2 == 0L),
+      s"all 50 chain vertices must collapse to component 0: ${got.take(5).toSeq}…")
+    assert(rounds == 50,
+      s"expected diameter+1 = 50 rounds on the 50-chain, got $rounds")
+    // a shallow star converges in 2 rounds regardless of size — the
+    // shape near-dup clusters actually take, so diameter, not vertex
+    // count, drives the round bill
+    val star = (1L until 40L).map(i => (0L, i)).toDF("src", "dst")
+    val (starLabels, starRounds) = Ops.connectedComponentsWithRounds(
+      star, "src", "dst", maxRounds = 60, checkpointDir = None)
+    assert(starLabels.collect().forall(_.getLong(1) == 0L))
+    assert(starRounds == 2, s"star must converge in 2 rounds, got $starRounds")
+  }
 }
