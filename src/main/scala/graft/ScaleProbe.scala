@@ -97,7 +97,8 @@ object ScaleProbe {
       "q66_zorder"    -> (t => operators.Extended.q66(t)),
       "q68_chunk"     -> Pipeline.q68,
       "q69_dup_spans" -> (t => Dedup.q69(t)),
-      "q70_strip"     -> (t => operators.TextAnalysis.q70(t)))
+      "q70_strip"     -> (t => operators.TextAnalysis.q70(t)),
+      "q71_rm_spans"  -> (t => Dedup.q71(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -90,6 +90,7 @@ object SparkEntry {
     "q68_chunk"           -> q(Pipeline.q68),
     "q69_dup_spans"       -> q(Dedup.q69),
     "q70_strip_markup"    -> q(TextAnalysis.q70),
+    "q71_remove_spans"    -> q(Dedup.q71),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1126,6 +1127,60 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(trim(regexp_replace(lower(clean_text), '[^a-z0-9]+', ' ', 'g')), ' '),
         |       x -> x <> '')) AS BIGINT) AS n_tokens
         |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    // removeDuplicateSpans replay: the q69 span chain, then keep-first
+    // removal as a pure position-set operation — a token drops when
+    // ANY later-doc interval covers it (NOT EXISTS between join; no
+    // interval merging needed on either engine), text rebuilt in
+    // position order
+    "q71_remove_spans" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 600000 + a.doc_id, a.text || ' ' || b.text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id < 10),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM aug),
+        |grams AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 15)) AS BIGINT) AS g
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |keep AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+        |  WHERE df <= 100),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  WHERE a.g IN (SELECT g FROM keep)),
+        |isl AS (
+        |  SELECT id_a, id_b, pos_a - pos_b AS delta, pos_a, pos_b,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+        |  FROM m),
+        |spans AS (
+        |  SELECT id_b, MIN(pos_b) AS start_b, COUNT(*) + 7 AS st
+        |  FROM isl GROUP BY id_a, id_b, delta, island
+        |  HAVING COUNT(*) + 7 >= 20),
+        |iv AS (SELECT id_b AS doc_id, start_b AS s, start_b + st - 1 AS e FROM spans),
+        |pos AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS p, t[u.i] AS tok
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (
+        |  SELECT p.doc_id, p.p, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv
+        |                    WHERE iv.doc_id = p.doc_id AND p.p BETWEEN iv.s AND iv.e)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+        |         COUNT(*) AS kept_n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT) AS removed_tokens
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
   )
 }

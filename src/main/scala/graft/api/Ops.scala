@@ -650,6 +650,48 @@ object Ops {
           col("span_tokens"))
     }
 
+    /** Substring-level dedup REMOVAL — the action on
+      * [[duplicateSpans]]' findings: delete every duplicated span
+      * from the LATER document (keep-first by id — deterministic,
+      * engine-portable), so each verbatim span survives exactly in
+      * its smallest-id carrier. Output is the NORMALIZED token stream
+      * (the dedup domain) minus the removed positions — the shape the
+      * next pipeline stage (chunking, packing, tokenization) consumes.
+      *
+      * Removal is a position-set operation: a doc's spans collect
+      * into an interval list (no merge needed — coverage by ANY
+      * interval removes the token, which makes the semantics
+      * order-free and exactly replayable in SQL as a NOT EXISTS
+      * between join), then one filter pass with the positional HOF
+      * drops covered tokens. Per-doc interval counts are small (each
+      * interval is ≥ minSpanTokens long), so the per-token coverage
+      * check stays cheap; everything else inherits duplicateSpans'
+      * inverted-index shape. Returns (id, clean_text,
+      * removed_tokens); docs without duplicated spans pass through
+      * with their normalized text intact.
+      */
+    def removeDuplicateSpans(id: String, text: String, n: Int = 8,
+                             minSpanTokens: Int = 20, maxDf: Long = 100L,
+                             checkpointDir: Option[String] = None): DataFrame = {
+      val spans = duplicateSpans(id, text, n, minSpanTokens, maxDf, checkpointDir)
+      val ivs = spans
+        .select(col("id_b").as("__rid"), struct(col("start_b").as("s"),
+          (col("start_b") + col("span_tokens") - 1).as("e")).as("__iv"))
+        .groupBy(col("__rid"))
+        .agg(collect_list(col("__iv")).as("__ivs"))
+      left.select(col(id), col(text))
+        .withColumn("__toks", tokens(col(text)))
+        .join(ivs, col(id) === col("__rid"), "left")
+        .withColumn("__cover",
+          coalesce(col("__ivs"), array().cast("array<struct<s:bigint,e:bigint>>")))
+        .withColumn("__kept", filter(col("__toks"), (x, i) =>
+          !exists(col("__cover"), iv =>
+            (i + 1) >= iv.getField("s") && (i + 1) <= iv.getField("e"))))
+        .select(col(id),
+          concat_ws(" ", col("__kept")).as("clean_text"),
+          (size(col("__toks")) - size(col("__kept"))).cast("long").as("removed_tokens"))
+    }
+
     /** Deterministic mixture sampling — reshape a corpus so category
       * shares match the target integer `parts` (the "data mixture"
       * step of a training pipeline: balance languages, cap a crawl

@@ -187,7 +187,16 @@ object Dedup {
     * the originals surface too. (Generalized form:
     * [[graft.api.Ops.GraftDataFrameOps.duplicateSpans]].)
     */
-  def q69(t: Tables): DataFrame = {
+  def q69(t: Tables): DataFrame =
+    spanCorpus(t)
+      .duplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20, maxDf = 100L)
+      .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+
+  /** q69/q71's corpus: documents plus composite docs (text of doc i +
+    * text of doc i+1 under a new id, i < 10) — partial overlap that
+    * document-level dedup misses by construction.
+    */
+  private def spanCorpus(t: Tables): DataFrame = {
     val d = t.documents.select(col("doc_id"), col("text"))
     val a = d.filter(col("doc_id") < 10)
       .select(col("doc_id").as("__ida"), col("text").as("__ta"))
@@ -196,7 +205,17 @@ object Dedup {
       .select((col("__ida") + 600000).as("doc_id"),
         concat(col("__ta"), lit(" "), col("__tb")).as("text"))
     d.unionByName(comp)
-      .duplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20, maxDf = 100L)
-      .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
   }
+
+  /** q71: substring-level dedup REMOVAL — apply
+    * [[graft.api.Ops.GraftDataFrameOps.removeDuplicateSpans]] to the
+    * q69 corpus: every duplicated span survives only in its
+    * smallest-id carrier (the composites lose their copied halves;
+    * the originals keep theirs), and each doc comes back as its
+    * normalized token stream minus the removed positions.
+    */
+  def q71(t: Tables): DataFrame =
+    spanCorpus(t)
+      .removeDuplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20, maxDf = 100L)
+      .orderBy(col("doc_id"))
 }

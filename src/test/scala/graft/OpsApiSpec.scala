@@ -459,4 +459,26 @@ class OpsApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
     assert(full == Set((1L, 2L, 40L), (1L, 3L, 40L), (2L, 3L, 40L)))
   }
+
+  test("removeDuplicateSpans: keep-first removal with exact surviving text") {
+    import spark.implicits._
+    def tok(p: String, i: Int) = f"$p$i%02d"
+    val d1 = (1 to 40).map(tok("t", _))
+    val pre = (1 to 10).map(tok("u", _)); val post = (1 to 6).map(tok("v", _))
+    val d2 = pre ++ d1.slice(4, 34) ++ post
+    val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = docs.removeDuplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 (smaller id) keeps its copy untouched
+    assert(out(1L) == ((d1.mkString(" "), 0L)))
+    // doc 2 loses exactly the 30-token copied span, neighbors survive
+    assert(out(2L) == (((pre ++ post).mkString(" "), 30L)))
+    // three identical docs: 2 and 3 empty out entirely, 1 survives
+    val trip = Seq(1L, 2L, 3L).map(i => (i, d1.mkString(" "))).toDF("doc_id", "text")
+    val t3 = trip.removeDuplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(t3(1L) == ((d1.mkString(" "), 0L)))
+    assert(t3(2L) == (("", 40L)) && t3(3L) == (("", 40L)))
+  }
 }
