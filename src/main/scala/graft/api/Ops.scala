@@ -633,7 +633,11 @@ object Ops {
         .agg(countDistinct(col("__id")).as("__df"))
         .filter(col("__df") <= maxDf)
         .select(col("__g"))
-      val postings = grams.join(keep, Seq("__g"))
+      // materialize the PRUNED postings once: both sides of the pair
+      // self-join read this frame, and without the break the df
+      // census (a full aggregate over every gram) would execute once
+      // PER SIDE (plan-audited r7: two census subtrees)
+      val postings = lineageBreaker(checkpointDir)(grams.join(keep, Seq("__g")))
       val a = postings.select(col("__g"), col("__id").as("id_a"), col("__pos").as("pos_a"))
       val b = postings.select(col("__g"), col("__id").as("id_b"), col("__pos").as("pos_b"))
       val w = Window.partitionBy(col("id_a"), col("id_b"), col("__delta"))
