@@ -574,16 +574,19 @@ object Ops {
       val trainGrams = floorPartitions(left.select(col(id), col(text)))
         .withColumn("__toks", tokens(col(text)))
         .select(col(id).as("train_id"), explode(ngramHashes(col("__toks"), n)).as("__g"))
-      val evalGramSets = evalSet
+      // eval_ngrams rides along on every exploded gram row (8 bytes,
+      // functionally dependent on eval_id) so the eval side is ONE
+      // subtree — the alternative (a separate counts frame joined back
+      // after the agg) tokenizes the eval set twice and adds a join
+      // (plan-audited r7, same class as the q69 double census)
+      val evalGrams = evalSet
         .withColumn("__toks", tokens(col(evalText)))
         .select(col(evalId).as("eval_id"), ngramHashes(col("__toks"), n).as("__gs"))
-        .filter(size(col("__gs")) > 0)
-      val evalGrams = evalGramSets.select(col("eval_id"), explode(col("__gs")).as("__g"))
-      val evalCounts = evalGramSets.select(col("eval_id"), size(col("__gs")).cast("long").as("eval_ngrams"))
+        .select(col("eval_id"), size(col("__gs")).cast("long").as("eval_ngrams"),
+          explode(col("__gs")).as("__g"))
       trainGrams.join(evalGrams, Seq("__g"))
-        .groupBy(col("train_id"), col("eval_id"))
+        .groupBy(col("train_id"), col("eval_id"), col("eval_ngrams"))
         .agg(count(lit(1)).as("shared_ngrams"))
-        .join(evalCounts, Seq("eval_id"))
         .filter(col("shared_ngrams") >= minShared)
         .withColumn("overlap_frac",
           round(col("shared_ngrams").cast("double") / col("eval_ngrams").cast("double"), 6))
