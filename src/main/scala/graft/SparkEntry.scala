@@ -91,6 +91,7 @@ object SparkEntry {
     "q69_dup_spans"       -> q(Dedup.q69),
     "q70_strip_markup"    -> q(TextAnalysis.q70),
     "q71_remove_spans"    -> q(Dedup.q71),
+    "q72_shuffle_shards"  -> q(Pipeline.q72),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1182,5 +1183,17 @@ object SparkEntry {
         |  CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT) AS removed_tokens
         |FROM toks t LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // seeded portable permutation: shard assignment AND within-shard
+    // rank replay from md5('7:'||id) — the whole deal is deterministic
+    "q72_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents)
+        |SELECT doc_id, hh % 16 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
+        |FROM h
+        |ORDER BY shard, shard_pos""".stripMargin,
   )
 }

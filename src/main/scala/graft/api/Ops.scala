@@ -560,6 +560,37 @@ object Ops {
         .drop("__n", "__shard", "__cum")
     }
 
+    /** Deterministic training-shard shuffle (the generalized q72) —
+      * the LAST step of a training-data pipeline: deal the curated
+      * corpus into `shards` output shards in a globally-shuffled,
+      * bit-reproducible order (training consumers need documents
+      * decorrelated from crawl/source order, and re-running the
+      * pipeline tomorrow must produce the SAME shard files). Each row
+      * gets `shard = seededHash(seed, id) mod shards` and `shard_pos`
+      * = its 1-based rank within the shard by (hash, id) — a seeded
+      * permutation, not an engine-dependent random: portable md5
+      * arithmetic end-to-end, so any engine (and the DuckDB oracle)
+      * reproduces the exact deal. Changing `seed` reshuffles;
+      * changing `shards` redistributes.
+      *
+      * Scale shape: ONE hash-partition shuffle on `shard` plus a
+      * per-shard sort — `shards` is the parallelism knob exactly as
+      * in [[packSequences]] (the window partitions by shard, so no
+      * global single-task ordering; at 100 TB pick shards in the
+      * thousands so each reducer sorts corpus/shards). Returns
+      * `left`'s rows plus (shard, shard_pos).
+      */
+    def shuffleShards(id: String, shards: Int, seed: Long = 0L): DataFrame = {
+      require(shards > 0, "shards must be positive")
+      val w = Window.partitionBy(col("__shard")).orderBy(col("__h"), col(id))
+      left
+        .withColumn("__h", graft.functions.TextFunctions.seededHash(lit(seed), col(id).cast("string")))
+        .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)))
+        .withColumn("shard_pos", row_number().over(w).cast("long"))
+        .withColumn("shard", col("__shard"))
+        .drop("__h", "__shard")
+    }
+
     /** Train/eval contamination pairs (the generalized q58): distinct
       * word n-gram hashes per document on both sides, inverted-index
       * join on the gram hash (candidates only form where an actual

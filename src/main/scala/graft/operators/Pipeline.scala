@@ -153,6 +153,21 @@ object Pipeline {
       .chunkTokens("doc_id", "text", chunkTokens = 64, overlap = 16)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** q72: **deterministic training-shard shuffle**
+    * ([[graft.api.Ops]].shuffleShards) — deal the corpus into 16
+    * globally-shuffled shards with a seeded portable permutation, the
+    * step that materializes training shards after curation. Shard
+    * assignment and within-shard rank are md5 arithmetic end-to-end,
+    * so the DuckDB oracle replays the exact deal (assignment AND
+    * order); one hash shuffle + per-shard sort, window partitioned by
+    * shard (no global ordering task).
+    */
+  def q72(t: Tables): DataFrame =
+    t.documents
+      .shuffleShards("doc_id", shards = 16, seed = 7L)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy(col("shard"), col("shard_pos"))
+
   /** q58: **train/eval decontamination** — find training documents
     * that leak benchmark content, the check every serious training
     * corpus runs before a model ships. Shape: distinct 8-gram hashes

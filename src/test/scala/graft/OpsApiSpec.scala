@@ -295,6 +295,35 @@ class OpsApiSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("shuffleShards: a seeded permutation — balanced, contiguous, partitioning-proof") {
+    import spark.implicits._
+    val rows = spark.range(2000).select($"id".as("doc_id"), lit("x").as("payload"))
+    val out = rows.shuffleShards("doc_id", shards = 8, seed = 7L)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2000)
+    // every shard in range, positions contiguous 1..count within a shard
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.foreach { case (s, xs) =>
+      assert(xs.map(_._3).sorted.toSeq == (1L to xs.length).toSeq,
+        s"shard $s positions not contiguous")
+      // md5 deals near-uniformly: no shard should be off by >30%
+      assert(math.abs(xs.length - 250.0) / 250.0 < 0.3,
+        s"shard $s badly unbalanced: ${xs.length}/2000")
+    }
+    // the deal (assignment AND order) is identical under a different
+    // input partitioning — a seeded permutation, not an engine random
+    val again = rows.repartition(13).shuffleShards("doc_id", shards = 8, seed = 7L)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+    // a different seed produces a genuinely different permutation
+    val reseeded = rows.shuffleShards("doc_id", shards = 8, seed = 8L)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reseeded != out.map(x => (x._1, x._2)).toSet)
+  }
+
   test("capTokensPerCategory: under-budget keeps all, over-budget lands near the budget") {
     import spark.implicits._
     val docs = ((1L to 50L).map(i => (i, "A", 10L)) ++

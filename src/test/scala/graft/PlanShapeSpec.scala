@@ -38,6 +38,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the cumsum window partitioned by the shard column in q57:\n$plan")
   }
 
+  test("q72's rank window is shard-partitioned, never a global ordering") {
+    val plan = physicalPlan("q72_shuffle_shards")
+    val windowLine = plan.linesIterator.find(_.contains("Window ["))
+    assert(windowLine.exists(_.contains("windowspecdefinition(__shard")),
+      s"expected the shard_pos window partitioned by the shard column in q72:\n$plan")
+  }
+
   for (name <- locked) {
     test(s"$name plan has no cartesian product or nested-loop join") {
       val plan = physicalPlan(name)
