@@ -43,7 +43,8 @@ object Bench {
     "q58_decontaminate", "q60_refine", "q61_redact", "q62_dedup_incr",
     "q63_mixture_sample", "q64_repetition_filter", "q65_bloom_semijoin",
     "q66_zorder", "q67_token_cap", "q68_chunk", "q69_dup_spans",
-    "q70_strip_markup", "q71_remove_spans", "q72_shuffle_shards")
+    "q70_strip_markup", "q71_remove_spans", "q72_shuffle_shards",
+    "q73_lm_score")
 
   private val childMarker = "##BENCHQ##"
 

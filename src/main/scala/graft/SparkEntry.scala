@@ -92,6 +92,7 @@ object SparkEntry {
     "q70_strip_markup"    -> q(TextAnalysis.q70),
     "q71_remove_spans"    -> q(Dedup.q71),
     "q72_shuffle_shards"  -> q(Pipeline.q72),
+    "q73_lm_score"        -> q(TextAnalysis.q73),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1195,5 +1196,32 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
         |FROM h
         |ORDER BY shard, shard_pos""".stripMargin,
+
+    // add-one bigram LM replay: integer counts, prefix counts and V
+    // derived from the census; ln/avg land ~1e-13 apart between libms
+    // — far inside the 4-decimal rounding — and ppl is exp of the
+    // already-rounded average, so the float steps are hash-safe
+    "q73_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS v FROM c2)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  round(avg(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))), 4) AS avg_logp,
+        |  round(exp(-round(avg(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))), 4)), 2) AS ppl
+        |FROM bg
+        |JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |JOIN c1 ON bg.w1 = c1.w1
+        |CROSS JOIN v
+        |GROUP BY bg.doc_id
+        |ORDER BY bg.doc_id""".stripMargin,
   )
 }

@@ -812,6 +812,56 @@ object Ops {
           lit(10000L)) < col("rate_bp"))
     }
 
+    /** Bigram language-model quality score (the generalized q73) —
+      * the CCNet/Gopher-style "perplexity filter": train an add-k
+      * bigram LM on the corpus itself, score every document by its
+      * average bigram log-likelihood, and the outliers (gibberish,
+      * wrong-language, boilerplate soup) surface as high perplexity.
+      * P(w₂|w₁) = (C(w₁w₂)+k) / (C(w₁·)+k·V), where C(w₁·) is the
+      * bigram-prefix count and V the continuation vocabulary size.
+      *
+      * Scale shape: one corpus tokenize (the exploded bigram stream is
+      * lineage-broken — census and scoring both read it), a
+      * map-combinable bigram census, prefix counts and V DERIVED from
+      * the census (vocab-sized inputs, no corpus rescan), then
+      * gram-keyed joins back to the stream — never doc×vocab, and the
+      * 1-row V frame broadcasts onto the VOCAB-sized prefix frame,
+      * not the corpus. Determinism across engines: counts are exact
+      * integers; ln/avg are the only float steps and land ~1e-13
+      * apart worst-case between libms, so rounding avg_logp to 4
+      * decimals (spacing 1e-4) makes the hash safe; ppl is exp of the
+      * ALREADY-rounded average. Docs with < 2 tokens have no bigram
+      * and are dropped. Returns (id, n_bigrams, avg_logp, ppl).
+      */
+    def lmScore(id: String, text: String, addK: Int = 1,
+                checkpointDir: Option[String] = None): DataFrame = {
+      require(addK >= 1, "addK must be a positive integer (add-k smoothing)")
+      val toks = tokens(col(text))
+      val pairs = zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val bg = lineageBreaker(checkpointDir)(
+        floorPartitions(left.select(col(id), col(text)))
+          .withColumn("__toks", toks)
+          .filter(size(col("__toks")) >= 2)
+          .select(col(id), explode(pairs).as("__bg"))
+          .select(col(id), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2")))
+      val c2 = bg.groupBy(col("__w1"), col("__w2"))
+        .agg(count(lit(1)).as("__c2"))
+      val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
+      val v = c2.select(countDistinct(col("__w2")).as("__v"))
+      val c1v = c1.join(broadcast(v)) // 1 row × vocab rows, not corpus
+      val logp = log((col("__c2") + lit(addK.toLong)).cast("double") /
+        (col("__c1") + lit(addK.toLong) * col("__v")).cast("double"))
+      bg.join(c2, Seq("__w1", "__w2"))
+        .join(c1v, Seq("__w1"))
+        .groupBy(col(id))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(logp), 4).as("avg_logp"))
+        .withColumn("ppl", round(exp(-col("avg_logp")), 2))
+    }
+
     /** Per-document repetition statistics — the Gopher-style quality
       * signals that catch degenerate machine-generated text: the
       * share of the document taken by its single most frequent token

@@ -214,4 +214,19 @@ object TextAnalysis {
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** q73: bigram-LM perplexity scoring ([[graft.api.Ops]].lmScore) —
+    * the CCNet-style quality filter: an add-one bigram LM trained on
+    * the corpus itself scores every document's average bigram
+    * log-likelihood; gibberish and off-distribution text surface as
+    * high perplexity. Counts are exact integers on both engines; the
+    * only float steps (ln, avg) land far inside the 4-decimal
+    * rounding, so the oracle replays the scores bit-for-bit.
+    */
+  def q73(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.documents
+      .lmScore("doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
 }

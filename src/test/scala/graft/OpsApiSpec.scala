@@ -324,6 +324,29 @@ class OpsApiSpec extends AnyFunSuite {
     assert(reseeded != out.map(x => (x._1, x._2)).toSet)
   }
 
+  test("lmScore: in-distribution text scores better than gibberish, short docs drop") {
+    import spark.implicits._
+    // 20 docs of the same predictable pattern + 1 gibberish outlier
+    val common = (1 to 20).map(i => (i.toLong, "the cat sat on the mat and the dog sat on the rug"))
+    val outlier = Seq((99L, "zq xv jk wp qm zn xr vt kp wq")) // bigrams seen once each
+    val tiny = Seq((100L, "single"))                          // no bigram → dropped
+    val docs = (common ++ outlier ++ tiny).toDF("doc_id", "text")
+    val out = docs.lmScore("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(!out.contains(100L), "a 1-token doc has no bigram and must be dropped")
+    assert(out.contains(99L) && out.contains(1L))
+    val (nb1, lp1, ppl1) = out(1L)
+    val (nbo, lpo, pplo) = out(99L)
+    assert(nb1 == 12L && nbo == 9L, s"bigram counts wrong: $nb1 / $nbo")
+    assert(lp1 > lpo, s"predictable doc must out-score gibberish: $lp1 vs $lpo")
+    assert(ppl1 < pplo, s"predictable doc must have lower perplexity: $ppl1 vs $pplo")
+    // identical docs score identically; scores are partitioning-proof
+    assert(out(2L) == out(1L))
+    val again = docs.repartition(7).lmScore("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(again == out)
+  }
+
   test("capTokensPerCategory: under-budget keeps all, over-budget lands near the budget") {
     import spark.implicits._
     val docs = ((1L to 50L).map(i => (i, "A", 10L)) ++

@@ -26,9 +26,12 @@ class PlanShapeSpec extends AnyFunSuite {
   // intended plan — the scale path is q36's IVF cell join.
   // q48's keyless join of the 1-row n_docs aggregate is necessarily a
   // broadcast nested-loop; its dedicated test below pins that it is
-  // the ONLY one.
+  // the ONLY one. q73's keyless join of the 1-row vocabulary-size
+  // aggregate onto the vocab-sized prefix frame is the same shape and
+  // gets the same dedicated pin.
   private val locked =
-    Bench.headline.filterNot(Set("q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf"))
+    Bench.headline.filterNot(Set(
+      "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -60,6 +63,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nlj == 1, s"expected exactly the keyless 1-row n_docs join in q48, got $nlj:\n$plan")
     // the vocabulary join itself must stay a hash join on term
     assert(plan.contains("HashJoin"), s"expected a hash join on term in q48:\n$plan")
+  }
+
+  test("q73's only nested-loop is the 1-row vocabulary-size broadcast") {
+    val plan = physicalPlan("q73_lm_score")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q73:\n$plan")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"expected exactly the keyless 1-row V join in q73, got $nlj:\n$plan")
+    // the bigram and prefix joins themselves must stay hash joins
+    assert(plan.contains("HashJoin"), s"expected hash joins on the gram keys in q73:\n$plan")
   }
 
   test("q35 stays a single broadcast pass (no shuffled cartesian)") {
