@@ -98,7 +98,10 @@ object ScaleProbe {
       "q68_chunk"     -> Pipeline.q68,
       "q69_dup_spans" -> (t => Dedup.q69(t)),
       "q70_strip"     -> (t => operators.TextAnalysis.q70(t)),
-      "q71_rm_spans"  -> (t => Dedup.q71(t)))
+      "q71_rm_spans"  -> (t => Dedup.q71(t)),
+      "q72_shuffle"   -> Pipeline.q72,
+      "q73_lm_score"  -> (t => operators.TextAnalysis.q73(t)),
+      "q74_split"     -> Pipeline.q74)
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -93,6 +93,7 @@ object SparkEntry {
     "q71_remove_spans"    -> q(Dedup.q71),
     "q72_shuffle_shards"  -> q(Pipeline.q72),
     "q73_lm_score"        -> q(TextAnalysis.q73),
+    "q74_split"           -> q(Pipeline.q74),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1223,5 +1224,20 @@ object SparkEntry {
         |CROSS JOIN v
         |GROUP BY bg.doc_id
         |ORDER BY bg.doc_id""".stripMargin,
+
+    // seeded-hash split replay: bucket = seededHash(11, doc_id) mod
+    // 10000 against cumulative 90/5/5 thresholds — pure integer
+    // arithmetic, hash-exact on both engines
+    "q74_split" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bk < 9000 THEN 'train' WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY source, split""".stripMargin,
   )
 }

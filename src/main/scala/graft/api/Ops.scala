@@ -591,6 +591,45 @@ object Ops {
         .drop("__h", "__shard")
     }
 
+    /** Deterministic train/val/test corpus split (the generalized
+      * q74) — every row gets a `split` label from its seeded hash
+      * bucket (`seededHash(seed, id) mod 10000`) against cumulative
+      * basis-point thresholds. The property that matters for training
+      * pipelines is STABILITY: a document's split depends only on
+      * (seed, id), never on what else is in the corpus — so the
+      * held-out set stays fixed as the corpus grows (new crawl data
+      * can't silently migrate eval docs into train, preserving the
+      * decontamination guarantee q58 checks across re-splits), and
+      * any subset of the corpus splits consistently with the whole.
+      *
+      * Scale shape: one pure map-side expression — zero shuffle, zero
+      * joins, streaming-applicable unchanged. Proportions are
+      * binomial-exact (±√n noise per split); for exact-count dealing
+      * use [[shuffleShards]]' rank machinery instead. `splits` are
+      * (name, basis points) and must sum to 10000.
+      */
+    def splitCorpus(id: String, splits: Seq[(String, Long)],
+                    seed: Long = 0L): DataFrame = {
+      require(splits.nonEmpty && splits.forall(_._2 > 0),
+        "splitCorpus needs at least one split with positive basis points")
+      require(splits.map(_._1).distinct.size == splits.size,
+        "split names must be distinct")
+      require(splits.map(_._2).sum == 10000L,
+        s"split basis points must sum to 10000, got ${splits.map(_._2).sum}")
+      val bucket = pmod(
+        graft.functions.TextFunctions.seededHash(lit(seed), col(id).cast("string")),
+        lit(10000L))
+      // cumulative thresholds: bucket < c_k → split k; the final
+      // otherwise arm catches bucket = 9999 exactly (sums to 10000)
+      val cums = splits.scanLeft(0L)(_ + _._2).tail
+      val label = splits.init.zip(cums.init)
+        .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
+          Some(acc.fold(when(bucket < lit(c), name))(_.when(bucket < lit(c), name)))
+        }
+        .fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+      left.withColumn("split", label)
+    }
+
     /** Train/eval contamination pairs (the generalized q58): distinct
       * word n-gram hashes per document on both sides, inverted-index
       * join on the gram hash (candidates only form where an actual

@@ -168,6 +168,22 @@ object Pipeline {
       .select(col("doc_id"), col("shard"), col("shard_pos"))
       .orderBy(col("shard"), col("shard_pos"))
 
+  /** q74: **deterministic train/val/test split**
+    * ([[graft.api.Ops]].splitCorpus) — 90/5/5 by seeded hash bucket,
+    * reported as per-(source, split) counts. The assignment is pure
+    * map-side integer arithmetic on (seed, doc_id), so the oracle
+    * replays it bit-for-bit and the held-out set is provably stable
+    * under corpus growth (the property q58's decontamination check
+    * depends on).
+    */
+  def q74(t: Tables): DataFrame =
+    t.documents
+      .splitCorpus("doc_id",
+        Seq(("train", 9000L), ("val", 500L), ("test", 500L)), seed = 11L)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+
   /** q58: **train/eval decontamination** — find training documents
     * that leak benchmark content, the check every serious training
     * corpus runs before a model ships. Shape: distinct 8-gram hashes

@@ -347,6 +347,36 @@ class OpsApiSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("splitCorpus: covering seeded split, stable under corpus growth") {
+    import spark.implicits._
+    val splits = Seq(("train", 9000L), ("val", 500L), ("test", 500L))
+    val docs = (1L to 10000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = docs.splitCorpus("doc_id", splits, seed = 11L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 10000, "every row gets exactly one label")
+    val byLabel = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // binomial tolerance: 9000±~90, 500±~65 at n=10000 (>4σ margins)
+    assert(math.abs(byLabel("train") - 9000) < 300, s"train share off: $byLabel")
+    assert(math.abs(byLabel("val") - 500) < 150 && math.abs(byLabel("test") - 500) < 150,
+      s"val/test share off: $byLabel")
+    // STABILITY: splitting a subset assigns exactly what the full
+    // corpus assigned — the held-out set can't migrate as data grows
+    val subset = docs.filter($"doc_id" <= 2000)
+      .splitCorpus("doc_id", splits, seed = 11L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset == out.view.filterKeys(_ <= 2000L).toMap)
+    // a different seed reassigns; identical seed replays exactly
+    val reseeded = docs.splitCorpus("doc_id", splits, seed = 12L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reseeded != out)
+    assert(docs.repartition(7).splitCorpus("doc_id", splits, seed = 11L)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap == out)
+    intercept[IllegalArgumentException](docs.splitCorpus("doc_id", Seq(("a", 5000L))))
+    intercept[IllegalArgumentException](
+      docs.splitCorpus("doc_id", Seq(("a", 5000L), ("a", 5000L))))
+  }
+
   test("capTokensPerCategory: under-budget keeps all, over-budget lands near the budget") {
     import spark.implicits._
     val docs = ((1L to 50L).map(i => (i, "A", 10L)) ++
