@@ -94,6 +94,7 @@ object SparkEntry {
     "q72_shuffle_shards"  -> q(Pipeline.q72),
     "q73_lm_score"        -> q(TextAnalysis.q73),
     "q74_split"           -> q(Pipeline.q74),
+    "q75_nfc"             -> q(TextAnalysis.q75),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1239,5 +1240,26 @@ object SparkEntry {
         |FROM b
         |GROUP BY 1, 2
         |ORDER BY source, split""".stripMargin,
+
+    // NFC replay: DuckDB's utf8proc and the JVM implement the same
+    // Unicode normalization spec (verified codepoint-identical on all
+    // planted cases); suffixes built with chr() so the SQL stays ASCII
+    // (chr(769)=U+0301 combining acute, chr(8491)=U+212B Angstrom,
+    // chr(808)=U+0328 ogonek)
+    "q75_nfc" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text || CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN ' cafe' || chr(769)
+        |      WHEN 1 THEN ' ' || chr(8491)
+        |      ELSE ' e' || chr(808) || chr(769) END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+        |  raw <> nfc_normalize(raw) AS changed,
+        |  md5(nfc_normalize(raw)) AS h
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -236,6 +236,23 @@ object Ops {
       left.withColumn(textCol,
         graft.functions.TextFunctions.stripMarkup(col(textCol)))
 
+    /** Unicode normalization (the generalized q75) — canonicalize a
+      * text column in place via the native
+      * [[graft.functions.UnicodeNormalize]] codegen expression, so
+      * composed (U+00E9) and decomposed (e+U+0301) spellings of the
+      * same text hash identically in every downstream dedup stage
+      * (q29/q31/q32/q33). Run it BEFORE fingerprinting — two crawls
+      * of one page routinely differ only in normalization form.
+      * Stateless map-side column work: zero shuffle, streams
+      * unchanged; pure-ASCII rows take an allocation-free fast path.
+      * `form` ∈ NFC (default), NFD, NFKC, NFKD.
+      */
+    def normalizeUnicode(textCol: String, form: String = "NFC"): DataFrame = {
+      graft.functions.GraftFunctions.register(left.sparkSession)
+      left.withColumn(textCol,
+        call_function("unicode_normalize", col(textCol), lit(form)))
+    }
+
     /** As-of join: for each left row, the most recent right row with
       * rightTime ≤ leftTime and matching key. One shuffle on the key:
       * tag + union + running last_value(ignoreNulls) window. `carry`

@@ -68,6 +68,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * can use `GraftExtensions` with spark.sql.extensions instead.
   */
 object GraftFunctions {
+  /** unicode_normalize(col[, 'NFC'|'NFD'|'NFKC'|'NFKD']) — form
+    * defaults to NFC and must be a string literal (it selects the
+    * compiled code path).
+    */
+  private[functions] def buildUnicodeNormalize(exprs: Seq[Expression]): Expression = {
+    if (exprs.isEmpty || exprs.length > 2)
+      throw new IllegalArgumentException(
+        s"unicode_normalize(col[, form]) requires 1 or 2 arguments, got ${exprs.length}")
+    val form = if (exprs.length == 1) "NFC" else {
+      val f = exprs(1)
+      if (!f.foldable)
+        throw new IllegalArgumentException(
+          s"unicode_normalize form must be a string literal, got expression ${f.sql}")
+      val name = String.valueOf(f.eval(null)).toUpperCase
+      if (!UnicodeNormalize.forms(name))
+        throw new IllegalArgumentException(
+          s"unicode_normalize form must be one of ${UnicodeNormalize.forms.mkString(", ")}, got $name")
+      name
+    }
+    UnicodeNormalize(exprs.head, form)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => {
@@ -93,6 +115,9 @@ object GraftFunctions {
         }
         TopKSketch(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "cap"))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize", exprs => GraftFunctions.buildUnicodeNormalize(exprs),
+      "built-in")
     // Spark ships distributed bloom-filter expressions for its own
     // runtime row-level filtering (InjectRuntimeFilter) but leaves
     // them out of the public function registry; surfacing them gives
@@ -163,6 +188,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (exprs: Seq[Expression]) =>
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
             exprs.head, exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[UnicodeNormalize].getName, "unicode_normalize"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildUnicodeNormalize(exprs)))
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -229,4 +229,33 @@ object TextAnalysis {
       .lmScore("doc_id", "text")
       .orderBy(col("doc_id"))
   }
+
+  /** q75: Unicode NFC normalization via the native
+    * [[graft.functions.UnicodeNormalize]] codegen expression — the
+    * canonicalization every hash-based dedup stage needs (composed
+    * U+00E9 vs decomposed e+U+0301 are the same text but different
+    * bytes). The test corpus is ASCII, so each doc gets a
+    * deterministic decomposed suffix keyed by doc_id mod 3 (combining
+    * acute; the U+212B Angstrom singleton — same length after NFC,
+    * different bytes; a double-combining cluster that composes
+    * partially); the oracle replays with DuckDB's `nfc_normalize`
+    * (both sides implement the same Unicode spec — verified
+    * codepoint-identical on all planted cases).
+    */
+  def q75(t: Tables): DataFrame = {
+    graft.functions.GraftFunctions.register(t.spark)
+    val m = pmod(col("doc_id"), lit(3))
+    val suffix = when(m === 0, lit(" cafe\u0301")) // e + combining acute
+      .when(m === 1, lit(" \u212B"))                 // Angstrom sign
+      .otherwise(lit(" e\u0328\u0301"))             // e + ogonek + acute
+    t.documents
+      .withColumn("__raw", concat(col("text"), suffix))
+      .withColumn("__nfc", call_function("unicode_normalize", col("__raw")))
+      .select(col("doc_id"),
+        length(col("__raw")).cast("long").as("n_raw"),
+        length(col("__nfc")).cast("long").as("n_nfc"),
+        (col("__raw") =!= col("__nfc")).as("changed"),
+        md5(col("__nfc").cast("binary")).as("h"))
+      .orderBy(col("doc_id"))
+  }
 }
