@@ -336,4 +336,75 @@ class StreamingSpec extends AnyFunSuite {
         "streaming redact+chunk+repetitionStats differ from batch")
     } finally query.stop()
   }
+
+  test("stateless splitCorpus + normalizeUnicode apply to a stream and match batch") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    // both ops are pure map-side column work — the same fluent calls
+    // run on the streaming frame unchanged (ingest-time shape: docs
+    // get canonicalized and split-labeled as they arrive, and the
+    // seeded-hash split means arrival order can never change a label)
+    val docs = (1L to 300L).map(i => (i, s"doc $i cafe\u0301 body")).toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    def pipelineOf(df: org.apache.spark.sql.DataFrame) =
+      df.normalizeUnicode("text")
+        .splitCorpus("doc_id",
+          Seq(("train", 9000L), ("val", 500L), ("test", 500L)), seed = 11L)
+    val query = pipelineOf(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("split_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("split_out")
+      val batch = pipelineOf(docs.toDF("doc_id", "text"))
+      assert(streamed.count() == 300)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+        "streaming normalize+split differ from batch")
+      assert(streamed.filter(col("text").contains("caf\u00e9")).count() == 300,
+        "NFC must have composed the decomposed accent on the stream")
+    } finally query.stop()
+  }
+
+  test("classifier scores a stream per micro-batch against static weights, matching batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 1 << 12
+    val labeled = ((1L to 20L).map(i => (i, s"doc $i excellent wonderful prose", 1)) ++
+      (21L to 40L).map(i => (i, s"doc $i terrible awful spam", 0)))
+      .toDF("doc_id", "text", "label")
+    val weights = graft.operators.Classifier
+      .trainTextClassifier(labeled, "doc_id", "text", "label", dim = dim, iters = 8, lr = 1.0)
+      .cache() // static side, reused across micro-batches
+    val incoming = (100L to 140L).map(i =>
+      (i, if (i % 2 == 0) s"new $i excellent wonderful" else s"new $i terrible awful")).toSeq
+    val stream = MemoryStream[(Long, String)]
+    // two triggers: scoring must be per-batch independent (it
+    // aggregates per doc, so it runs inside foreachBatch — the same
+    // pattern as the streaming catalog dedup)
+    stream.addData(incoming.take(20))
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Classifier
+          .scoreTextClassifier(batch, weights, "doc_id", "text", dim = dim)
+          .write.mode("append").saveAsTable("score_out")
+      }.start()
+    try {
+      query.processAllAvailable()
+      stream.addData(incoming.drop(20))
+      query.processAllAvailable()
+      val streamed = spark.table("score_out")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = graft.operators.Classifier
+        .scoreTextClassifier(incoming.toDF("doc_id", "text"), weights,
+          "doc_id", "text", dim = dim)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == batch, "per-batch stream scores must equal batch scores")
+      assert(incoming.forall { case (i, _) => (streamed(i) > 0.5) == (i % 2 == 0) },
+        "stream scores must land on the right side of 0.5")
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS score_out")
+    }
+  }
 }
