@@ -95,6 +95,7 @@ object SparkEntry {
     "q73_lm_score"        -> q(TextAnalysis.q73),
     "q74_split"           -> q(Pipeline.q74),
     "q75_nfc"             -> q(TextAnalysis.q75),
+    "q76_skew_stats"      -> q(Extended.q76),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1261,5 +1262,19 @@ object SparkEntry {
         |  md5(nfc_normalize(raw)) AS h
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+
+    // exact census + deterministic top-k (ties break by key) +
+    // integer basis-point shares — all integer arithmetic, hash-safe
+    "q76_skew_stats" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+        |SELECT
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
+        |  user_id, cnt,
+        |  cnt * 10000 // total AS share_bp
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -608,6 +608,33 @@ object Ops {
         .drop("__h", "__shard")
     }
 
+    /** Key-distribution skew diagnostics (the generalized q76) — the
+      * probe to run BEFORE shuffling 100 TB on a key: top-k heaviest
+      * keys with exact counts and basis-point share of all rows. A
+      * key at 2000+ bp means one reducer gets a fifth of the corpus
+      * (→ salt it, q32's lesson); the `saltedCount`/AQE-skew-join
+      * machinery here exists precisely for what this surfaces.
+      *
+      * Scale shape: one map-combinable groupBy(key) census; top-k is
+      * Spark's TakeOrderedAndProject (per-partition heaps, k rows to
+      * the driver stage — never a global sort); the 1-row total joins
+      * onto the K-ROW top-k frame (q48's nested-loop shape, pinned by
+      * spec); the rank window orders ≤ k rows. Deterministic: ties
+      * break by key, shares are integer basis points.
+      */
+    def skewStats(key: String, k: Int = 20): DataFrame = {
+      require(k > 0, "k must be positive")
+      val counts = left.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("__total"))
+      counts
+        .orderBy(col("cnt").desc, col(key)).limit(k)
+        .join(broadcast(total))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col(key))).cast("long"))
+        .withColumn("share_bp", expr("cnt * 10000L div __total"))
+        .select(col("rank"), col(key), col("cnt"), col("share_bp"))
+    }
+
     /** Deterministic train/val/test corpus split (the generalized
       * q74) — every row gets a `split` label from its seeded hash
       * bucket (`seededHash(seed, id) mod 10000`) against cumulative

@@ -178,4 +178,18 @@ object Extended {
       .orderBy(col("zval"), col("o_orderkey"))
       .limit(1000)
   }
+
+  /** q76: key-skew diagnostics ([[graft.api.Ops]].skewStats) — the
+    * top-20 heaviest event users with exact counts and basis-point
+    * shares: what an engineer probes before shuffling on a key (a
+    * hot key here is the q32-style straggler in waiting). Census +
+    * TakeOrderedAndProject + a k-row rank; deterministic tie-break
+    * by key.
+    */
+  def q76(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events
+      .skewStats("user_id", k = 20)
+      .orderBy(col("rank"))
+  }
 }

@@ -347,6 +347,26 @@ class OpsApiSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("skewStats: exact counts, basis-point shares, deterministic tie-break") {
+    import spark.implicits._
+    // planted Zipf-ish distribution: key 1 → 500 rows, key 2 → 300,
+    // key 3 → 100, keys 4..13 → 10 each
+    val rows = Seq.fill(500)(1L) ++ Seq.fill(300)(2L) ++ Seq.fill(100)(3L) ++
+      (4L to 13L).flatMap(k => Seq.fill(10)(k))
+    val df = rows.map(Tuple1(_)).toDF("key").repartition(8)
+    val out = df.skewStats("key", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 5)
+    assert(out(0) == ((1L, 1L, 500L, 5000L)), s"head key wrong: ${out(0)}") // 500/1000
+    assert(out(1) == ((2L, 2L, 300L, 3000L)))
+    assert(out(2) == ((3L, 3L, 100L, 1000L)))
+    // the 10-row keys tie → rank by key ascending, deterministically
+    assert(out(3) == ((4L, 4L, 10L, 100L)) && out(4) == ((5L, 5L, 10L, 100L)))
+    // k larger than the distinct-key count returns them all
+    assert(df.skewStats("key", k = 100).count() == 13)
+    intercept[IllegalArgumentException](df.skewStats("key", k = 0))
+  }
+
   test("splitCorpus: covering seeded split, stable under corpus growth") {
     import spark.implicits._
     val splits = Seq(("train", 9000L), ("val", 500L), ("test", 500L))

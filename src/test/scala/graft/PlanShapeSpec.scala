@@ -29,9 +29,12 @@ class PlanShapeSpec extends AnyFunSuite {
   // the ONLY one. q73's keyless join of the 1-row vocabulary-size
   // aggregate onto the vocab-sized prefix frame is the same shape and
   // gets the same dedicated pin.
+  // q76's keyless join of the 1-row total onto the k-row top-k frame
+  // is the same 1-row-broadcast shape; its dedicated pin is below.
   private val locked =
     Bench.headline.filterNot(Set(
-      "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score"))
+      "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
+      "q76_skew_stats"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -72,6 +75,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nlj == 1, s"expected exactly the keyless 1-row V join in q73, got $nlj:\n$plan")
     // the bigram and prefix joins themselves must stay hash joins
     assert(plan.contains("HashJoin"), s"expected hash joins on the gram keys in q73:\n$plan")
+  }
+
+  test("q76's only nested-loop is the 1-row total onto the k-row top-k, and top-k never globally sorts") {
+    val plan = physicalPlan("q76_skew_stats")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q76:\n$plan")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"expected exactly the keyless 1-row total join in q76, got $nlj:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition-heap top-k, not a global sort, in q76:\n$plan")
   }
 
   test("q35 stays a single broadcast pass (no shuffled cartesian)") {
