@@ -52,8 +52,15 @@ object ScaleProbe {
         col("label"))
     }.reduce(_ unionByName _)
     embs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events: replica k shifts event ids, keeps users — the per-user
+    // row counts (what q76's census scans) genuinely grow REPL×
+    val evs = (0 until repl).map { k =>
+      spark.read.parquet(s"$base/events.parquet")
+        .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
+    }.reduce(_ unionByName _)
+    evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
     // remaining tables: symlink-equivalent copies for Tables loaders
-    for (n <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"))
+    for (n <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
       spark.read.parquet(s"$base/$n.parquet").write.mode("overwrite").parquet(s"$dir/$n.parquet")
 
     val tN = Tables(spark, dir)
@@ -101,7 +108,9 @@ object ScaleProbe {
       "q71_rm_spans"  -> (t => Dedup.q71(t)),
       "q72_shuffle"   -> Pipeline.q72,
       "q73_lm_score"  -> (t => operators.TextAnalysis.q73(t)),
-      "q74_split"     -> Pipeline.q74)
+      "q74_split"     -> Pipeline.q74,
+      "q75_nfc"       -> (t => operators.TextAnalysis.q75(t)),
+      "q76_skew"      -> (t => operators.Extended.q76(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the
