@@ -608,6 +608,27 @@ object Ops {
         .drop("__h", "__shard")
     }
 
+    /** Learned quality gate — keep only documents the trained
+      * classifier ([[graft.operators.Classifier]]) scores at or above
+      * `minScore`. The heuristic gate is `curate`'s `qualityScore`
+      * Column; this is its learned sibling for when a seed-labeled
+      * model beats hand-tuned thresholds. Scoring joins the hashed
+      * features against the vocab-sized weights FRAME (never a dense
+      * broadcast), then a left-semi join keeps the surviving rows
+      * with all their columns. Two passes over `left` (featurize +
+      * semi-join) — both key-partitioned, nothing driver-side.
+      */
+    def classifierGate(weights: DataFrame, id: String, text: String,
+                       minScore: Double, dim: Int = 1 << 18): DataFrame = {
+      require(minScore >= 0.0 && minScore <= 1.0,
+        s"minScore must be a probability, got $minScore")
+      val kept = graft.operators.Classifier
+        .scoreTextClassifier(left, weights, id, text, dim)
+        .filter(col("score") >= minScore)
+        .select(col(id))
+      left.join(kept, Seq(id), "left_semi")
+    }
+
     /** Key-distribution skew diagnostics (the generalized q76) — the
       * probe to run BEFORE shuffling 100 TB on a key: top-k heaviest
       * keys with exact counts and basis-point share of all rows. A

@@ -67,6 +67,20 @@ class ClassifierSpec extends AnyFunSuite {
     assert(scored > 0.5, s"all-positive corpus must score positive, got min $scored")
   }
 
+  test("classifierGate keeps exactly the above-threshold docs with all columns") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val w = Classifier.trainTextClassifier(labeled, "doc_id", "text", "label",
+      dim = dim, iters = 15, lr = 1.0)
+    val corpus = labeled.withColumn("extra", col("doc_id") * 2)
+    val kept = corpus.classifierGate(w, "doc_id", "text", minScore = 0.5, dim = dim)
+    assert(kept.columns.toSeq == corpus.columns.toSeq, "gate must preserve the schema")
+    assert(kept.select("doc_id").as[Long].collect().toSet == (1L to 30L).toSet,
+      "exactly the quality class survives the learned gate")
+    intercept[IllegalArgumentException](
+      corpus.classifierGate(w, "doc_id", "text", minScore = 1.5))
+  }
+
   test("scale shape: weights stay a frame, the score plan joins on idx with no nested loop") {
     val w = Classifier.trainTextClassifier(labeled, "doc_id", "text", "label",
       dim = dim, iters = 1, lr = 1.0)
