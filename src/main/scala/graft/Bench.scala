@@ -44,7 +44,8 @@ object Bench {
     "q63_mixture_sample", "q64_repetition_filter", "q65_bloom_semijoin",
     "q66_zorder", "q67_token_cap", "q68_chunk", "q69_dup_spans",
     "q70_strip_markup", "q71_remove_spans", "q72_shuffle_shards",
-    "q73_lm_score", "q74_split", "q75_nfc", "q76_skew_stats")
+    "q73_lm_score", "q74_split", "q75_nfc", "q76_skew_stats",
+    "q77_collocations")
 
   private val childMarker = "##BENCHQ##"
 

@@ -96,6 +96,7 @@ object SparkEntry {
     "q74_split"           -> q(Pipeline.q74),
     "q75_nfc"             -> q(TextAnalysis.q75),
     "q76_skew_stats"      -> q(Extended.q76),
+    "q77_collocations"    -> q(TextAnalysis.q77),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1276,5 +1277,36 @@ object SparkEntry {
         |FROM c CROSS JOIN t
         |ORDER BY cnt DESC, user_id
         |LIMIT 20""".stripMargin,
+
+    // PMI replay: exact integer censuses; the factors cast to double
+    // in the SAME left-assoc order as the Spark expression (IEEE
+    // mult/div is fully specified — only ln needs the 4-decimal round)
+    "q77_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.w, COUNT(*) AS c
+        |  FROM toks, unnest(t) AS u(w) GROUP BY u.w),
+        |bg AS (
+        |  SELECT t[u.i] AS w1, t[u.i + 1] AS w2, COUNT(*) AS n
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 20),
+        |tot AS (
+        |  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS t,
+        |         (SELECT CAST(SUM(n) AS BIGINT) FROM bg) AS b)
+        |SELECT bg.w1, bg.w2, bg.n,
+        |  round(ln(CAST(bg.n AS DOUBLE) * CAST(tot.t AS DOUBLE) * CAST(tot.t AS DOUBLE) /
+        |    (CAST(tot.b AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+        |FROM bg
+        |CROSS JOIN tot
+        |JOIN uni u1 ON bg.w1 = u1.w
+        |JOIN uni u2 ON bg.w2 = u2.w
+        |ORDER BY pmi DESC, bg.w1, bg.w2
+        |LIMIT 100""".stripMargin,
   )
 }

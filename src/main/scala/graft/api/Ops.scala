@@ -966,6 +966,59 @@ object Ops {
         .withColumn("ppl", round(exp(-col("avg_logp")), 2))
     }
 
+    /** PMI collocations (the generalized q77) — the phrase-mining
+      * pass a tokenizer-vocabulary build runs over the corpus:
+      * pointwise mutual information of adjacent token pairs,
+      * PMI(w₁,w₂) = ln( (c₂/B) / ((c(w₁)/T)·(c(w₂)/T)) ), where c₂
+      * is the bigram count, B total bigrams, c unigram counts, T
+      * total tokens. High-PMI pairs ("machine learning", "new york")
+      * are multi-word units worth single vocabulary slots; the
+      * `minCount` floor kills the noisy log of rare pairs.
+      *
+      * Scale shape: one tokenize of the corpus (lineage-broken — the
+      * unigram and bigram censuses both read it), two map-combinable
+      * censuses, totals reduced into ONE 1-row frame (a 1×1 keyless
+      * join of two scalar aggregates) broadcast onto the VOCAB-sized
+      * bigram frame, then gram-keyed hash joins for the unigram
+      * counts — never doc×vocab. Counts are exact integers; the one
+      * ln rounds to 4 decimals so DuckDB replays the hash exactly.
+      */
+    def collocations(id: String, text: String, minCount: Long = 20L,
+                     checkpointDir: Option[String] = None): DataFrame = {
+      require(minCount >= 1, "minCount must be positive")
+      val toks = tokens(col(text))
+      val stream = lineageBreaker(checkpointDir)(
+        floorPartitions(left.select(col(id), col(text)))
+          .withColumn("__toks", toks)
+          .select(col(id), col("__toks")))
+      val uni = stream
+        .select(explode(col("__toks")).as("__w"))
+        .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      val pairs = zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val bg = stream
+        .filter(size(col("__toks")) >= 2)
+        .select(explode(pairs).as("__bg"))
+        .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+      val totals = uni.agg(sum(col("__c")).as("__t"))
+        .join(bg.agg(sum(col("n")).as("__b"))) // 1×1 keyless join
+      bg.join(broadcast(totals))
+        .join(uni.select(col("__w").as("w1"), col("__c").as("__c1")), Seq("w1"))
+        .join(uni.select(col("__w").as("w2"), col("__c").as("__c2")), Seq("w2"))
+        .withColumn("pmi", round(
+          // each factor cast to double BEFORE multiplying: T² at a
+          // 10¹³-token corpus overflows Long but is exact-enough in
+          // IEEE doubles (identical bit-for-bit in DuckDB — double
+          // mult/div is fully specified; only ln needs the rounding)
+          log(col("n").cast("double") * col("__t").cast("double") * col("__t").cast("double") /
+            (col("__b").cast("double") * col("__c1").cast("double") * col("__c2").cast("double"))), 4))
+        .select(col("w1"), col("w2"), col("n"), col("pmi"))
+    }
+
     /** Per-document repetition statistics — the Gopher-style quality
       * signals that catch degenerate machine-generated text: the
       * share of the document taken by its single most frequent token

@@ -230,6 +230,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q77: PMI collocations ([[graft.api.Ops]].collocations) — the
+    * phrase-mining pass of a tokenizer-vocabulary build: top-100
+    * adjacent pairs by pointwise mutual information (min count 20,
+    * PMI rounded to 4 decimals, ties broken by pair) — multi-word
+    * units worth single vocabulary slots.
+    */
+  def q77(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.documents
+      .collocations("doc_id", "text", minCount = 20L)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
   /** q75: Unicode NFC normalization via the native
     * [[graft.functions.UnicodeNormalize]] codegen expression — the
     * canonicalization every hash-based dedup stage needs (composed

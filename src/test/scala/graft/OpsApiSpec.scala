@@ -347,6 +347,28 @@ class OpsApiSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("collocations: planted phrase tops PMI, minCount floors, partitioning-proof") {
+    import spark.implicits._
+    // "quantum flux" always adjacent (a true collocation); "common"
+    // and "word" frequent but independently distributed
+    val docs = (1L to 40L).map { i =>
+      (i, s"common word quantum flux common word and word common filler$i")
+    }.toDF("doc_id", "text")
+    val byPair = docs.collocations("doc_id", "text", minCount = 20L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(byPair.contains(("quantum", "flux")), s"planted pair missing: ${byPair.keys}")
+    val pmiOf = byPair.view.mapValues(_._2).toMap
+    assert(pmiOf(("quantum", "flux")) == pmiOf.values.max,
+      "the always-adjacent pair must carry the highest PMI")
+    assert(byPair(("quantum", "flux"))._1 == 40L)
+    // rare pairs (each filler appears once) never pass the floor
+    assert(byPair.keys.forall { case (a, b) => !a.startsWith("filler") && !b.startsWith("filler") })
+    val repart = docs.repartition(7).collocations("doc_id", "text", minCount = 20L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(repart == byPair, "PMI must be bit-identical under any partitioning")
+    intercept[IllegalArgumentException](docs.collocations("doc_id", "text", minCount = 0L))
+  }
+
   test("skewStats: exact counts, basis-point shares, deterministic tie-break") {
     import spark.implicits._
     // planted Zipf-ish distribution: key 1 → 500 rows, key 2 → 300,

@@ -34,7 +34,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val locked =
     Bench.headline.filterNot(Set(
       "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
-      "q76_skew_stats"))
+      "q76_skew_stats", "q77_collocations"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -84,6 +84,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nlj == 1, s"expected exactly the keyless 1-row total join in q76, got $nlj:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected per-partition-heap top-k, not a global sort, in q76:\n$plan")
+  }
+
+  test("q77's only nested-loop is the 1-row totals broadcast; unigram joins stay hash joins") {
+    val plan = physicalPlan("q77_collocations")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q77:\n$plan")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    // two keyless joins collapse into the totals frame: 1×1 (t×b) and
+    // totals onto the vocab-sized bigram frame
+    assert(nlj <= 2, s"expected at most the two 1-row totals joins in q77, got $nlj:\n$plan")
+    assert(plan.contains("HashJoin"), s"expected hash joins on the unigram keys in q77:\n$plan")
   }
 
   test("q35 stays a single broadcast pass (no shuffled cartesian)") {
