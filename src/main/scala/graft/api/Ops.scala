@@ -116,6 +116,66 @@ object Ops {
     PreparedCatalog(fp, sh, banded, id, perms, bands)
   }
 
+  /** A bigram LM trained once and reused — the production shape of
+    * [[GraftDataFrameOps.lmScore]]: train on a reference corpus,
+    * score anything (new batches, a live stream) against it without
+    * re-running the census. `bigrams`/`prefixes` are the
+    * checkpointed vocab-sized census frames; `vocab` (V) is a single
+    * scalar collected at prepare time (one number, not data).
+    */
+  final case class PreparedLm private[graft] (
+    bigrams: DataFrame, prefixes: DataFrame, vocab: Long, addK: Int)
+
+  private[graft] def bigramStream(df: DataFrame, cols: Seq[Column], text: String) = {
+    import graft.functions.TextFunctions._
+    val pairs = zip_with(
+      slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+      slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    df.withColumn("__toks", tokens(col(text)))
+      .filter(size(col("__toks")) >= 2)
+      .select((cols :+ explode(pairs).as("__bg")): _*)
+      .select((cols :+ col("__bg.w1").as("__w1") :+ col("__bg.w2").as("__w2")): _*)
+  }
+
+  /** Build a [[PreparedLm]] from a reference corpus (same census and
+    * smoothing as `lmScore` — scoring the training corpus itself
+    * against the prepared LM reproduces `lmScore` bit-for-bit, which
+    * the spec asserts).
+    */
+  def prepareLm(corpus: DataFrame, text: String, addK: Int = 1,
+                checkpointDir: Option[String] = None): PreparedLm = {
+    require(addK >= 1, "addK must be a positive integer (add-k smoothing)")
+    val ckp = lineageBreaker(checkpointDir)
+    val bg = bigramStream(floorPartitions(corpus.select(col(text))), Seq.empty, text)
+    val c2 = ckp(bg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2")))
+    val c1 = ckp(c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1")))
+    val v = c2.select(countDistinct(col("__w2"))).collect()(0).getLong(0)
+    PreparedLm(c2, c1, v, addK)
+  }
+
+  /** Score docs against a prepared LM — the shared core of the batch
+    * fluent form and the streaming foreachBatch form. Unseen bigrams
+    * and prefixes fall back to the add-k floor (0+k)/(0+k·V) = 1/V,
+    * so out-of-distribution text scores ≈ −ln V per bigram — maximal
+    * perplexity, exactly what the filter should flag.
+    */
+  private[graft] def scoreAgainstLm(docs: DataFrame, id: String, text: String,
+                                    lm: PreparedLm): DataFrame = {
+    val bg = bigramStream(floorPartitions(docs.select(col(id), col(text))),
+      Seq(col(id)), text)
+    val k = lm.addK.toLong
+    val logp = log(
+      (coalesce(col("__c2"), lit(0L)) + lit(k)).cast("double") /
+        (coalesce(col("__c1"), lit(0L)) + lit(k) * lit(lm.vocab)).cast("double"))
+    bg.join(lm.bigrams, Seq("__w1", "__w2"), "left")
+      .join(lm.prefixes, Seq("__w1"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(logp), 4).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 2))
+  }
+
   /** Incremental dedup of `left` against a prepared catalog — the
     * shared core of the batch and streaming forms (see
     * [[GraftDataFrameOps.dedupAgainstCatalog]] for semantics).
@@ -965,6 +1025,17 @@ object Ops {
           round(avg(logp), 4).as("avg_logp"))
         .withColumn("ppl", round(exp(-col("avg_logp")), 2))
     }
+
+    /** Score this frame against a once-trained [[PreparedLm]] — the
+      * rolling-ingest shape of [[lmScore]]: the census never re-runs,
+      * each batch pays only its own bigram explode plus vocab-sized
+      * hash joins. Unseen bigrams hit the add-k floor (≈ −ln V per
+      * bigram), so out-of-distribution text surfaces as maximal
+      * perplexity. Streaming form:
+      * [[graft.streaming.Streams.lmScoreStream]].
+      */
+    def lmScoreAgainst(lm: PreparedLm, id: String, text: String): DataFrame =
+      scoreAgainstLm(left, id, text, lm)
 
     /** PMI collocations (the generalized q77) — the phrase-mining
       * pass a tokenizer-vocabulary build runs over the corpus:

@@ -143,6 +143,22 @@ object Streams {
       .outputMode("update")
       .start()
 
+  /** Perplexity-score a document stream against a once-trained LM
+    * ([[graft.api.Ops.prepareLm]]) — per-doc aggregation means
+    * foreachBatch (the dedupAgainstCatalogStream shape): each trigger
+    * pays its own bigram explode + vocab-sized hash joins against the
+    * cached census frames, never a corpus rescan.
+    */
+  def lmScoreStream(docs: DataFrame, id: String, text: String,
+                    lm: graft.api.Ops.PreparedLm,
+                    sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.scoreAgainstLm(batch, id, text, lm))
+      }
+      .outputMode("update")
+      .start()
+
   final case class Doc(doc_id: Long, n_tokens: Long)
   final case class PackedDoc(doc_id: Long, shard: Long, start_offset: Long, pack_id: Long)
 

@@ -347,6 +347,28 @@ class OpsApiSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("prepareLm + lmScoreAgainst: reproduces lmScore on the training corpus; OOV floor") {
+    import spark.implicits._
+    val docs = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat and the dog sat here")) :+
+      ((99L, "zq xv jk wp qm zn xr vt"))).toDF("doc_id", "text")
+    val lm = graft.api.Ops.prepareLm(docs, "text")
+    val self = docs.lmScoreAgainst(lm, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val direct = docs.lmScore("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(self == direct, "prepared-LM self-scoring must reproduce lmScore bit-for-bit")
+    // fully out-of-distribution text: every bigram unseen, every
+    // prefix unseen → each bigram scores the add-k floor ln(1/V)
+    val oov = Seq((500L, "totally novel unseen gibberish words")).toDF("doc_id", "text")
+    val out = oov.lmScoreAgainst(lm, "doc_id", "text").collect()(0)
+    val expected = BigDecimal(math.log(1.0 / lm.vocab))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(2) == expected,
+      s"OOV doc must score the add-k floor -ln(V): got ${out.getDouble(2)}, want $expected")
+    assert(out.getDouble(2) < direct(1L)._2,
+      "OOV text must score strictly worse than in-distribution text")
+  }
+
   test("collocations: planted phrase tops PMI, minCount floors, partitioning-proof") {
     import spark.implicits._
     // "quantum flux" always adjacent (a true collocation); "common"

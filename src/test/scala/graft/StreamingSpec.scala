@@ -366,6 +366,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("lmScoreStream scores triggers against the once-trained LM, matching batch") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 30L).map(i => (i, "the cat sat on the mat and the dog ran"))
+      .toDF("doc_id", "text")
+    val lm = graft.api.Ops.prepareLm(corpus, "text")
+    val incoming = (100L to 119L).map(i =>
+      (i, if (i % 2 == 0) s"the cat sat on the mat" else s"zq xv jk wp qm zn")).toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming.take(10))
+    val query = Streams.lmScoreStream(stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", lm,
+      batch => batch.write.mode("append").saveAsTable("lm_out"))
+    try {
+      query.processAllAvailable()
+      stream.addData(incoming.drop(10))
+      query.processAllAvailable()
+      val streamed = spark.table("lm_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val batch = incoming.toDF("doc_id", "text")
+        .lmScoreAgainst(lm, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(streamed == batch, "per-trigger LM scores must equal the batch scorer")
+      // in-distribution triggers out-score the gibberish ones
+      val even = streamed.filter(_._1 % 2 == 0).values.map(_._2).min
+      val odd = streamed.filter(_._1 % 2 == 1).values.map(_._2).max
+      assert(even > odd, s"in-distribution must out-score gibberish: $even vs $odd")
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS lm_out")
+    }
+  }
+
   test("classifier scores a stream per micro-batch against static weights, matching batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
