@@ -97,6 +97,7 @@ object SparkEntry {
     "q75_nfc"             -> q(TextAnalysis.q75),
     "q76_skew_stats"      -> q(Extended.q76),
     "q77_collocations"    -> q(TextAnalysis.q77),
+    "q78_histogram"       -> q(Extended.q78),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1308,5 +1309,23 @@ object SparkEntry {
         |JOIN uni u2 ON bg.w2 = u2.w
         |ORDER BY pmi DESC, bg.w1, bg.w2
         |LIMIT 100""".stripMargin,
+
+    // histogram replay: exact integer cents (positive doubles round
+    // identically in both engines), ceil-width integer bucketing
+    "q78_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi,
+        |              (MAX(v) - MIN(v) + 32) // 32 AS width FROM v),
+        |b AS (SELECT (v.v - mm.lo) // mm.width AS bin, mm.lo, mm.hi, mm.width
+        |      FROM v CROSS JOIN mm)
+        |SELECT bin,
+        |  lo + bin * width AS bin_lo,
+        |  least(lo + (bin + 1) * width - 1, hi) AS bin_hi,
+        |  COUNT(*) AS cnt
+        |FROM b
+        |GROUP BY bin, lo, hi, width
+        |ORDER BY bin""".stripMargin,
   )
 }

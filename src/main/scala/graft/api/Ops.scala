@@ -689,6 +689,40 @@ object Ops {
       left.join(kept, Seq(id), "left_semi")
     }
 
+    /** Equi-width histogram over an integer-valued column (the
+      * generalized q78) — the one-pass distribution profile for
+      * numeric columns (pair with [[profile]]'s nulls/distincts and
+      * [[skewStats]]' heavy keys). Bucketing is pure integer
+      * arithmetic with a CEIL bin width, `width = ⌈span/bins⌉`, so
+      * no term exceeds the span itself (a `(v−lo)·bins` formulation
+      * overflows Long once span > 2⁶³/bins; here only a span that
+      * itself overflows Long — hi−lo ≥ 2⁶³, both extremes near the
+      * Long limits — is unsupported) and the oracle replays every
+      * boundary exactly. Trailing bins beyond
+      * the data maximum simply stay empty; empty bins are not
+      * emitted (counts are sparse). Nulls are dropped.
+      *
+      * Scale shape: one min/max aggregate (1-row frame broadcast onto
+      * the stream — the q48 shape), map-side bucket assignment, then
+      * a ≤bins-row groupBy. Two corpus passes (min/max + bucket),
+      * both full scans a histogram inherently needs.
+      */
+    def histogram(value: Column, bins: Int): DataFrame = {
+      require(bins > 0, "bins must be positive")
+      val vals = left.select(value.cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
+      val mm = vals.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      vals.join(broadcast(mm))
+        .withColumn("__width", expr(s"(__hi - __lo + ${bins}L) div ${bins}L"))
+        .withColumn("bin", expr("(__v - __lo) div __width"))
+        .groupBy(col("bin"), col("__lo"), col("__hi"), col("__width"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("bin"),
+          expr("__lo + bin * __width").as("bin_lo"),
+          least(expr("__lo + (bin + 1) * __width - 1"), col("__hi")).as("bin_hi"),
+          col("cnt"))
+    }
+
     /** Key-distribution skew diagnostics (the generalized q76) — the
       * probe to run BEFORE shuffling 100 TB on a key: top-k heaviest
       * keys with exact counts and basis-point share of all rows. A

@@ -192,4 +192,16 @@ object Extended {
       .skewStats("user_id", k = 20)
       .orderBy(col("rank"))
   }
+
+  /** q78: equi-width histogram ([[graft.api.Ops]].histogram) — the
+    * price distribution of lineitem in 32 bins over exact integer
+    * cents (doubles scaled+rounded first; the bucket arithmetic is
+    * then pure integer and oracle-exact).
+    */
+  def q78(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.lineitem
+      .histogram(round(col("l_extendedprice") * 100).cast("long"), bins = 32)
+      .orderBy(col("bin"))
+  }
 }

@@ -347,6 +347,27 @@ class OpsApiSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("histogram: exact integer bucketing, degenerate range, nulls dropped") {
+    import spark.implicits._
+    // values 0..99 into 10 bins of ceil-width 10 → 10 counts each
+    val df = ((0L to 99L).map(Some(_)) ++ Seq(None, None)).toDF("v")
+    val out = df.histogram(col("v"), bins = 10).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    assert(out(0) == ((0L, 0L, 9L, 10L)) && out(9) == ((9L, 90L, 99L, 10L)),
+      s"uniform 0..99 must land 10 per bin: ${out.toSeq}")
+    assert(out.map(_._4).sum == 100L, "nulls must not be counted")
+    // all-equal column degrades to one bin covering the single value
+    val const = Seq(7L, 7L, 7L).toDF("v").histogram(col("v"), bins = 32).collect()
+    assert(const.length == 1 &&
+      const(0).getLong(1) == 7L && const(0).getLong(2) == 7L && const(0).getLong(3) == 3L)
+    // negative-to-positive span stays exact
+    val neg = Seq(-10L, -1L, 0L, 9L).toDF("v").histogram(col("v"), bins = 2)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(neg.toSeq == Seq((0L, -10L, -1L, 2L), (1L, 0L, 9L, 2L)), s"got ${neg.toSeq}")
+    intercept[IllegalArgumentException](df.histogram(col("v"), bins = 0))
+  }
+
   test("prepareLm + lmScoreAgainst: reproduces lmScore on the training corpus; OOV floor") {
     import spark.implicits._
     val docs = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat and the dog sat here")) :+

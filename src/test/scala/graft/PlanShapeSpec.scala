@@ -34,7 +34,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val locked =
     Bench.headline.filterNot(Set(
       "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
-      "q76_skew_stats", "q77_collocations"))
+      "q76_skew_stats", "q77_collocations", "q78_histogram"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -94,6 +94,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // totals onto the vocab-sized bigram frame
     assert(nlj <= 2, s"expected at most the two 1-row totals joins in q77, got $nlj:\n$plan")
     assert(plan.contains("HashJoin"), s"expected hash joins on the unigram keys in q77:\n$plan")
+  }
+
+  test("q78's only nested-loop is the 1-row min/max broadcast") {
+    val plan = physicalPlan("q78_histogram")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q78:\n$plan")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"expected exactly the keyless 1-row min/max join in q78, got $nlj:\n$plan")
   }
 
   test("q35 stays a single broadcast pass (no shuffled cartesian)") {
