@@ -227,10 +227,10 @@ object Ops {
     * already-checkpointed frame, correct at any scale. Rounds needed
     * = component diameter + 1 (the confirming round); near-dup
     * clusters are shallow in practice, so diameter-bound rounds beat
-    * the constant-factor overhead of the O(log d) large-star/
-    * small-star contraction (Kiveris et al., "Connected Components in
-    * MapReduce") — switch to that shape if a workload's components
-    * ever run deep; the per-round checkpoint structure is the same.
+    * the constant-factor overhead of the large-star/small-star
+    * contraction — for deep components use the implemented
+    * alternative, [[connectedComponentsStarWithRounds]], whose round
+    * count is O(log² n) regardless of topology.
     * Returns (vertex, component) for every endpoint; also the round
     * count for diagnostics. Vertex ids must be integral (the min
     * label and the sum probe rely on numeric ordering).
@@ -264,6 +264,89 @@ object Ops {
     (labels.select(col("vertex"), col("component")), round)
   }
 
+  /** Alternating large-star / small-star connected components
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the diameter-independent alternative to
+    * [[connectedComponentsWithRounds]]. Each round rewires every
+    * vertex's strictly-larger neighbors (large-star) then its
+    * not-larger neighbors (small-star) onto the neighborhood minimum;
+    * the edge set contracts to per-component stars rooted at the
+    * component minimum in O(log² n) rounds REGARDLESS of topology, so
+    * a pathological chain that costs the BSP loop diameter+1 rounds
+    * costs this one ~log n. Per round: two grouped-min censuses and
+    * two gram-keyed hash joins over the (shrinking) edge list — no
+    * step ever materializes a neighborhood list, so one hub vertex
+    * with 10⁹ neighbors is a big GROUP BY key, not a big row.
+    * Convergence probe = one 4-field aggregate (count / endpoint sums
+    * / xxhash64 sum) per round on the already-checkpointed frame, the
+    * same collect-a-scalar discipline as the BSP loop. Output contract
+    * is identical to the BSP variant: (vertex, component) for every
+    * endpoint of the input, component = min vertex id, self-loop-only
+    * vertices keep their own label.
+    */
+  private[graft] def connectedComponentsStarWithRounds(
+      edges: DataFrame, src: String, dst: String,
+      maxRounds: Int, checkpointDir: Option[String]): (DataFrame, Int) = {
+    val ck = lineageBreaker(checkpointDir)
+    val raw = edges.select(col(src).cast("long").as("__u"), col(dst).cast("long").as("__v"))
+    val verts = ck(raw.select(col("__u").as("vertex"))
+      .unionByName(raw.select(col("__v").as("vertex"))).distinct())
+    // canonical undirected edge list, self-loops dropped (isolated
+    // vertices rejoin from `verts` at the end)
+    var e = ck(raw
+      .select(greatest(col("__u"), col("__v")).as("__u"),
+        least(col("__u"), col("__v")).as("__v"))
+      .where(col("__u") =!= col("__v")).distinct())
+    def sym(d: DataFrame): DataFrame =
+      d.select(col("__u").as("a"), col("__v").as("b"))
+        .unionByName(d.select(col("__v").as("a"), col("__u").as("b")))
+    // order-independent, overflow-free fixpoint probe: count plus two
+    // independent xxhash64 folds under bit_xor (ANSI-mode sum() on
+    // uniform 64-bit hashes would overflow on the second row)
+    def signature(d: DataFrame): (Long, Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        bit_xor(xxhash64(col("__u"), col("__v"))),
+        bit_xor(xxhash64(col("__v"), col("__u"), lit(7L)))).collect().head
+      def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (g(0), g(1), g(2))
+    }
+    var prevSig: (Long, Long, Long) = null
+    var round = 0
+    var converged = signature(e)._1 == 0L // edgeless input
+    while (!converged && round < maxRounds) {
+      round += 1
+      // large-star: every b ∈ Γ(a) with b > a rewires to
+      // m(a) = min(Γ(a) ∪ {a}); emitted pairs always have b > m.
+      val nl = sym(e)
+      val minsL = nl.groupBy(col("a"))
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      e = ck(nl.join(minsL, "a").where(col("b") > col("a"))
+        .select(col("b").as("__u"), col("m").as("__v"))
+        .where(col("__u") =!= col("__v")).distinct())
+      // small-star: every b ∈ Γ(a) with b < a, plus a itself, rewires
+      // to m(a) = min of that not-larger neighborhood.
+      val ns = sym(e)
+      val small = ns.where(col("b") < col("a"))
+      val minsS = small.groupBy(col("a")).agg(min(col("b")).as("m"))
+      e = ck(small.join(minsS, "a")
+        .select(col("b").as("__x"), col("m"))
+        .unionByName(minsS.select(col("a").as("__x"), col("m")))
+        .where(col("__x") =!= col("m"))
+        .select(greatest(col("__x"), col("m")).as("__u"),
+          least(col("__x"), col("m")).as("__v"))
+        .distinct())
+      val sig = signature(e)
+      converged = sig == prevSig
+      prevSig = sig
+    }
+    // stars: __u points at its component root __v; roots and isolated
+    // vertices label themselves.
+    val pointed = e.select(col("__u").as("vertex"), col("__v").as("component"))
+    val selfLabeled = verts.join(pointed, Seq("vertex"), "left_anti")
+      .select(col("vertex"), col("vertex").as("component"))
+    (pointed.unionByName(selfLabeled), round)
+  }
+
   implicit final class GraftDataFrameOps(private val left: DataFrame) extends AnyVal {
 
     /** Connected components of this edge-list frame — see
@@ -273,6 +356,18 @@ object Ops {
     def connectedComponents(src: String, dst: String, maxRounds: Int = 50,
                             checkpointDir: Option[String] = None): DataFrame =
       connectedComponentsWithRounds(left, src, dst, maxRounds, checkpointDir)._1
+
+    /** Diameter-independent connected components — the large-star /
+      * small-star contraction of [[Ops.connectedComponentsStarWithRounds]].
+      * Same (vertex, component) contract as [[connectedComponents]];
+      * O(log² n) rounds on ANY topology, so prefer it when components
+      * may be deep (long chains, web graphs); the BSP variant's
+      * diameter+1 rounds win on the shallow clusters near-dup dedup
+      * actually produces.
+      */
+    def connectedComponentsStar(src: String, dst: String, maxRounds: Int = 50,
+                                checkpointDir: Option[String] = None): DataFrame =
+      connectedComponentsStarWithRounds(left, src, dst, maxRounds, checkpointDir)._1
 
     /** PII redaction — the scrub pass a training-data pipeline runs
       * before anything else sees the text: each (regex, token) rule

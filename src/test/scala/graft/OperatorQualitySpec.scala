@@ -273,4 +273,44 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(starLabels.collect().forall(_.getLong(1) == 0L))
     assert(starRounds == 2, s"star must converge in 2 rounds, got $starRounds")
   }
+
+  test("connectedComponentsStar matches BSP and is diameter-independent") {
+    import spark.implicits._
+    import graft.api.Ops
+    // the 256-node path that costs BSP min-label 257 rounds: the
+    // large-star/small-star contraction must land the same labels in
+    // O(log² n) rounds — the whole point of the variant
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Ops.connectedComponentsStarWithRounds(
+      chain, "src", "dst", maxRounds = 30, checkpointDir = None)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 256 && got.forall(_._2 == 0L),
+      s"all 256 chain vertices must collapse to component 0: ${got.take(5).toSeq}…")
+    assert(rounds <= 12,
+      s"star contraction must be diameter-independent on the 256-chain (≤12 rounds), got $rounds")
+
+    // seeded multi-component random graph + a self-loop-only vertex
+    // + an isolated pair: label-for-label equal to the BSP variant
+    val rnd = new scala.util.Random(42)
+    val randomEdges = Seq.tabulate(300)(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      Seq((500L, 500L), (600L, 601L))
+    val edges = randomEdges.toDF("src", "dst")
+    val bsp = Ops.connectedComponentsWithRounds(
+      edges, "src", "dst", maxRounds = 60, checkpointDir = None)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = Ops.connectedComponentsStarWithRounds(
+      edges, "src", "dst", maxRounds = 30, checkpointDir = None)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == bsp,
+      s"star labels must equal BSP labels (diff: ${(star diff bsp).take(5)} / ${(bsp diff star).take(5)})")
+
+    // edgeless input: every vertex labels itself in zero rounds
+    val loops = Seq((7L, 7L), (9L, 9L)).toDF("src", "dst")
+    val (selfLabels, zeroRounds) = Ops.connectedComponentsStarWithRounds(
+      loops, "src", "dst", maxRounds = 5, checkpointDir = None)
+    assert(selfLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 7L), (9L, 9L)))
+    assert(zeroRounds == 0, s"self-loop-only input must converge in 0 rounds, got $zeroRounds")
+  }
 }
