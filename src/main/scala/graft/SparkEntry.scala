@@ -98,6 +98,7 @@ object SparkEntry {
     "q76_skew_stats"      -> q(Extended.q76),
     "q77_collocations"    -> q(TextAnalysis.q77),
     "q78_histogram"       -> q(Extended.q78),
+    "q79_sample_group"    -> q(Pipeline.q79),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1327,5 +1328,22 @@ object SparkEntry {
         |FROM b
         |GROUP BY bin, lo, hi, width
         |ORDER BY bin""".stripMargin,
+
+    // exact-k per-group sampling: the staged Spark plan is
+    // output-identical to this one-window rank (sub-sharding never
+    // drops a global top-k row), so the oracle replays the plain
+    // seeded md5 rank
+    "q79_sample_group" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) AS sample_rank
+        |  FROM h)
+        |SELECT doc_id, source, sample_rank
+        |FROM r WHERE sample_rank <= 5
+        |ORDER BY source, sample_rank""".stripMargin,
   )
 }

@@ -763,6 +763,42 @@ object Ops {
         .drop("__h", "__shard")
     }
 
+    /** Exact-k deterministic per-group sampling — take exactly
+      * min(k, |group|) rows from every group, chosen by seeded
+      * portable hash rank, for balanced eval subsets and per-domain
+      * doc caps ([[capTokensPerCategory]] budgets tokens by rate;
+      * this deals exact row counts). Deterministic on any engine,
+      * any partitioning, and STABLE: a row's (hash, id) sort key
+      * never moves as the corpus grows, so a group's sample only
+      * changes where new rows out-rank old ones. Two-stage rank so
+      * no reducer ever sorts a whole group (a language-sized group
+      * in a 100 TB corpus would otherwise land on one task): stage 1
+      * ranks within (group, hash-sub-shard) and keeps k — any
+      * globally-top-k row is top-k in its own sub-shard, so this
+      * never drops a winner — stage 2 ranks the surviving
+      * ≤ k·subShards rows per group. Output = `left`'s columns plus
+      * `sample_rank` (1-based within group). `id` must be unique
+      * (it is the tie-break that makes the order total).
+      */
+    def samplePerGroup(groupCol: String, id: String, k: Int,
+                       seed: Long = 0L, subShards: Int = 64): DataFrame = {
+      require(k > 0, "k must be positive")
+      require(subShards > 0, "subShards must be positive")
+      require(k.toLong * subShards < Int.MaxValue, "k * subShards must stay an int")
+      val w1 = Window.partitionBy(col(groupCol), col("__sub"))
+        .orderBy(col("__h"), col(id))
+      val w2 = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(id))
+      left
+        .withColumn("__h",
+          graft.functions.TextFunctions.seededHash(lit(seed), col(id).cast("string")))
+        .withColumn("__sub", pmod(col("__h"), lit(subShards.toLong)))
+        .withColumn("__r1", row_number().over(w1))
+        .filter(col("__r1") <= k)
+        .withColumn("sample_rank", row_number().over(w2).cast("long"))
+        .filter(col("sample_rank") <= k)
+        .drop("__h", "__sub", "__r1")
+    }
+
     /** Learned quality gate — keep only documents the trained
       * classifier ([[graft.operators.Classifier]]) scores at or above
       * `minScore`. The heuristic gate is `curate`'s `qualityScore`

@@ -184,6 +184,21 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("split"))
 
+  /** q79: **exact-k per-group sampling**
+    * ([[graft.api.Ops]].samplePerGroup) — exactly 5 documents from
+    * every source by seeded portable hash rank: the balanced-subset
+    * deal (per-domain caps, eval panels) that rate-based q49 can't
+    * express. The two-stage rank keeps every reducer's sort bounded
+    * (never a whole group on one task); the oracle replays the
+    * md5 rank directly — the staged plan is output-identical to the
+    * one-window spec by the top-k-survives-sub-sharding argument.
+    */
+  def q79(t: Tables): DataFrame =
+    t.documents
+      .samplePerGroup("source", "doc_id", k = 5, seed = 13L)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+
   /** q58: **train/eval decontamination** — find training documents
     * that leak benchmark content, the check every serious training
     * corpus runs before a model ships. Shape: distinct 8-gram hashes

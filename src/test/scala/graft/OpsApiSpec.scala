@@ -324,6 +324,40 @@ class OpsApiSpec extends AnyFunSuite {
     assert(reseeded != out.map(x => (x._1, x._2)).toSet)
   }
 
+  test("samplePerGroup: exact-k deal, staged ≡ one-window, partitioning-proof") {
+    import spark.implicits._
+    // 3 groups of very different sizes, one smaller than k
+    val rows = spark.range(900).select($"id".as("doc_id"),
+      when($"id" < 600, "big").when($"id" < 897, "mid").otherwise("tiny").as("grp"))
+    val out = rows.samplePerGroup("grp", "doc_id", k = 10, seed = 3L, subShards = 4)
+      .select("grp", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGrp = out.groupBy(_._1)
+    // exactly min(k, |group|) rows, ranks contiguous 1..n
+    assert(byGrp("big").length == 10 && byGrp("mid").length == 10 && byGrp("tiny").length == 3)
+    byGrp.foreach { case (g, xs) =>
+      assert(xs.map(_._3).sorted.toSeq == (1L to xs.length).toSeq,
+        s"group $g ranks not contiguous")
+    }
+    // the sub-sharded two-stage plan is output-identical to the plain
+    // one-window rank (subShards = 1): the top-k-survives argument
+    val plain = rows.samplePerGroup("grp", "doc_id", k = 10, seed = 3L, subShards = 1)
+      .select("grp", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(plain.toSet == out.toSet, "staged sample differs from one-window rank")
+    // deterministic under any input partitioning
+    val again = rows.repartition(11).samplePerGroup("grp", "doc_id", k = 10, seed = 3L, subShards = 4)
+      .select("grp", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+    // a different seed picks a different panel
+    val reseeded = rows.samplePerGroup("grp", "doc_id", k = 10, seed = 4L, subShards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reseeded != out.map(_._2).toSet)
+    intercept[IllegalArgumentException](rows.samplePerGroup("grp", "doc_id", k = 0))
+    intercept[IllegalArgumentException](rows.samplePerGroup("grp", "doc_id", k = 5, subShards = 0))
+  }
+
   test("lmScore: in-distribution text scores better than gibberish, short docs drop") {
     import spark.implicits._
     // 20 docs of the same predictable pattern + 1 gibberish outlier

@@ -44,6 +44,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the cumsum window partitioned by the shard column in q57:\n$plan")
   }
 
+  test("q79's rank windows are group-partitioned, never a global ordering") {
+    val plan = physicalPlan("q79_sample_group")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, s"expected rank windows in q79:\n$plan")
+    assert(windowLines.forall(_.contains("windowspecdefinition(source")),
+      s"every q79 window must partition by the group column, never globally:\n$plan")
+  }
+
   test("q72's rank window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q72_shuffle_shards")
     val windowLine = plan.linesIterator.find(_.contains("Window ["))
