@@ -111,7 +111,8 @@ object ScaleProbe {
       "q74_split"     -> Pipeline.q74,
       "q75_nfc"       -> (t => operators.TextAnalysis.q75(t)),
       "q76_skew"      -> (t => operators.Extended.q76(t)),
-      "q77_colloc"    -> (t => operators.TextAnalysis.q77(t)))
+      "q77_colloc"    -> (t => operators.TextAnalysis.q77(t)),
+      "q79_sample"    -> Pipeline.q79)
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the
