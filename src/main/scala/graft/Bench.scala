@@ -86,6 +86,12 @@ object Bench {
   private def benchRuns: Int =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
 
+  // per-child wall budget: warm-up + runs for ONE query. 900s is ~30×
+  // the slowest sf0.1 query; larger scale factors override it
+  // (ADVICE r7: a hardcoded cap would silently fall back in-process)
+  private def childTimeoutSec: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_TIMEOUT_S", "900").toLong.max(60L)
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.length % 2 == 1) s(s.length / 2)
@@ -133,7 +139,7 @@ object Bench {
       })
       reader.setDaemon(true)
       reader.start()
-      val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+      val done = proc.waitFor(childTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { proc.destroyForcibly(); System.err.println(s"[bench] $name: child timeout"); return None }
       reader.join(10000)
       marked.map { l =>
@@ -181,26 +187,36 @@ object Bench {
       s
     }
 
-    val results: Seq[(String, Seq[Double])] = selected.map { name =>
+    // per-query fork/fallback outcome travels into the artifact: a
+    // query whose child timed out or crashed is labeled, not silently
+    // mixed in with isolated numbers (ADVICE r7)
+    val results: Seq[(String, Seq[Double], Boolean)] = selected.map { name =>
       val forked = if (canFork) forkQuery(name, javaBin, jvmArgs, classpath) else None
-      name -> forked.getOrElse {
-        System.err.println(s"[bench] $name: timing in-process (fork unavailable)")
-        (1 to benchRuns).map(_ => timeOnce(fallbackSpark, sfDir, name)).filter(_ >= 0)
+      forked match {
+        case Some(ts) => (name, ts, true)
+        case None =>
+          System.err.println(s"[bench] $name: timing in-process (fork unavailable)")
+          (name, (1 to benchRuns).map(_ => timeOnce(fallbackSpark, sfDir, name)).filter(_ >= 0), false)
       }
     }
 
     def med(ts: Seq[Double]): Double = if (ts.isEmpty) -1.0 else median(ts)
-    val qs = results.map { case (k, ts) => "\"" + k + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, ts, _) => "\"" + k + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
     // raw per-run times alongside the medians: two artifacts that
     // differ on identical binaries are then self-diagnosing — wide
     // runs, stable median = environment skew, not a plan change
-    val runsJson = results.map { case (k, ts) =>
+    val runsJson = results.map { case (k, ts, _) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(r => med(r._2)).filter(_ >= 0).sum
     val sf = sfDir.split("/").last.stripPrefix("sf")
-    val iso = if (canFork) "jvm-per-query" else "in-process"
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sf","isolation":"$iso"}""")
+    val inProc = results.filter(!_._3).map(_._1)
+    val iso =
+      if (!canFork) "in-process"
+      else if (inProc.isEmpty) "jvm-per-query"
+      else "mixed"
+    val fallbackJson = inProc.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sf","isolation":"$iso","in_process_queries":$fallbackJson}""")
     if (fellBack) fallbackSpark.stop()
   }
 }

@@ -124,7 +124,8 @@ object Ops {
     * scalar collected at prepare time (one number, not data).
     */
   final case class PreparedLm private[graft] (
-    bigrams: DataFrame, prefixes: DataFrame, vocab: Long, addK: Int)
+    bigrams: DataFrame, prefixes: DataFrame, vocab: Long, addK: Int,
+    reliable: Boolean)
 
   private[graft] def bigramStream(df: DataFrame, cols: Seq[Column], text: String) = {
     import graft.functions.TextFunctions._
@@ -142,6 +143,16 @@ object Ops {
     * smoothing as `lmScore` — scoring the training corpus itself
     * against the prepared LM reproduces `lmScore` bit-for-bit, which
     * the spec asserts).
+    *
+    * `checkpointDir` decides how long the prepared frames stay valid:
+    * the default (`None`) pins them via `localCheckpoint` — executor-
+    * local blocks that die with any executor, fine for a batch job
+    * that scores right after preparing. A PreparedLm held across a
+    * LONG-LIVED job (the [[graft.streaming.Streams.lmScoreStream]]
+    * case: one executor loss would fail every later trigger) must be
+    * prepared with a reliable `checkpointDir` (HDFS/S3 on a cluster);
+    * the streaming entry point enforces this via [[PreparedLm.reliable]]
+    * (ADVICE r7).
     */
   def prepareLm(corpus: DataFrame, text: String, addK: Int = 1,
                 checkpointDir: Option[String] = None): PreparedLm = {
@@ -151,7 +162,7 @@ object Ops {
     val c2 = ckp(bg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2")))
     val c1 = ckp(c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1")))
     val v = c2.select(countDistinct(col("__w2"))).collect()(0).getLong(0)
-    PreparedLm(c2, c1, v, addK)
+    PreparedLm(c2, c1, v, addK, reliable = checkpointDir.isDefined)
   }
 
   /** Score docs against a prepared LM — the shared core of the batch
@@ -261,6 +272,14 @@ object Ops {
       converged = s == prevSum
       prevSum = s
     }
+    // partial labels are silently WRONG (a component deeper than
+    // maxRounds keeps fragmented labels), so exhausting the budget is
+    // an error, never a result (ADVICE r7). Deep graphs: raise
+    // maxRounds or use the diameter-independent star variant.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds: " +
+        "a component is deeper than the round budget; raise maxRounds or " +
+        "use connectedComponentsStar (O(log² n) rounds on any topology)")
     (labels.select(col("vertex"), col("component")), round)
   }
 
@@ -311,6 +330,7 @@ object Ops {
       (g(0), g(1), g(2))
     }
     var prevSig: (Long, Long, Long) = null
+    var prevE: DataFrame = null
     var round = 0
     var converged = signature(e)._1 == 0L // edgeless input
     while (!converged && round < maxRounds) {
@@ -335,10 +355,20 @@ object Ops {
         .select(greatest(col("__x"), col("m")).as("__u"),
           least(col("__x"), col("m")).as("__v"))
         .distinct())
+      // fast probabilistic probe first; on a signature match, CONFIRM
+      // exactly before stopping (ADVICE r7): both frames are distinct
+      // sets with equal counts (count is part of the signature), so
+      // one empty except proves set equality. The exact job runs only
+      // at the convergence round (or on a ~2^-128 collision, where it
+      // correctly keeps the loop going).
       val sig = signature(e)
-      converged = sig == prevSig
+      converged = sig == prevSig && e.except(prevE).isEmpty
       prevSig = sig
+      prevE = e
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxRounds rounds " +
+        s"(needs O(log² n); raise maxRounds)")
     // stars: __u points at its component root __v; roots and isolated
     // vertices label themselves.
     val pointed = e.select(col("__u").as("vertex"), col("__v").as("component"))

@@ -148,16 +148,27 @@ object Streams {
     * foreachBatch (the dedupAgainstCatalogStream shape): each trigger
     * pays its own bigram explode + vocab-sized hash joins against the
     * cached census frames, never a corpus rescan.
+    *
+    * The LM must be prepared with a reliable `checkpointDir`
+    * (ADVICE r7): a localCheckpoint-pinned census lives in executor-
+    * local blocks, so one executor loss mid-stream would fail every
+    * subsequent trigger with no way to recompute — the require turns
+    * that latent production outage into an immediate setup error.
     */
   def lmScoreStream(docs: DataFrame, id: String, text: String,
                     lm: graft.api.Ops.PreparedLm,
-                    sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                    sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(lm.reliable,
+      "lmScoreStream needs a PreparedLm built with a reliable checkpointDir " +
+        "(prepareLm(..., checkpointDir = Some(dir))): localCheckpoint blocks " +
+        "do not survive executor loss across a long-lived streaming job")
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.api.Ops.scoreAgainstLm(batch, id, text, lm))
       }
       .outputMode("update")
       .start()
+  }
 
   final case class Doc(doc_id: Long, n_tokens: Long)
   final case class PackedDoc(doc_id: Long, shard: Long, start_offset: Long, pack_id: Long)

@@ -272,6 +272,20 @@ class OperatorQualitySpec extends AnyFunSuite {
       star, "src", "dst", maxRounds = 60, checkpointDir = None)
     assert(starLabels.collect().forall(_.getLong(1) == 0L))
     assert(starRounds == 2, s"star must converge in 2 rounds, got $starRounds")
+
+    // an exhausted round budget is an ERROR, not a result (ADVICE r7):
+    // partial labels fragment any component deeper than maxRounds, and
+    // silently returning them is wrong-answer territory
+    val tooDeep = intercept[IllegalStateException] {
+      Ops.connectedComponentsWithRounds(chain, "src", "dst",
+        maxRounds = 5, checkpointDir = None)
+    }
+    assert(tooDeep.getMessage.contains("did not converge"))
+    val tooDeepStar = intercept[IllegalStateException] {
+      Ops.connectedComponentsStarWithRounds(chain, "src", "dst",
+        maxRounds = 2, checkpointDir = None)
+    }
+    assert(tooDeepStar.getMessage.contains("did not converge"))
   }
 
   test("connectedComponentsStar matches BSP and is diameter-independent") {

@@ -372,7 +372,16 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val corpus = (1L to 30L).map(i => (i, "the cat sat on the mat and the dog ran"))
       .toDF("doc_id", "text")
-    val lm = graft.api.Ops.prepareLm(corpus, "text")
+    // streaming requires a RELIABLY-checkpointed LM (ADVICE r7): the
+    // default localCheckpoint census would not survive executor loss
+    // across a long-lived job, so lmScoreStream rejects it up front
+    val unreliable = graft.api.Ops.prepareLm(corpus, "text")
+    val rejected = intercept[IllegalArgumentException] {
+      Streams.lmScoreStream(corpus, "doc_id", "text", unreliable, _ => ())
+    }
+    assert(rejected.getMessage.contains("checkpointDir"))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_lm_ck").toString
+    val lm = graft.api.Ops.prepareLm(corpus, "text", checkpointDir = Some(ckDir))
     val incoming = (100L to 119L).map(i =>
       (i, if (i % 2 == 0) s"the cat sat on the mat" else s"zq xv jk wp qm zn")).toSeq
     val stream = MemoryStream[(Long, String)]
