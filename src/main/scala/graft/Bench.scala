@@ -45,7 +45,8 @@ object Bench {
     "q66_zorder", "q67_token_cap", "q68_chunk", "q69_dup_spans",
     "q70_strip_markup", "q71_remove_spans", "q72_shuffle_shards",
     "q73_lm_score", "q74_split", "q75_nfc", "q76_skew_stats",
-    "q77_collocations", "q78_histogram", "q79_sample_group")
+    "q77_collocations", "q78_histogram", "q79_sample_group",
+    "q80_semantic_dedup")
 
   private val childMarker = "##BENCHQ##"
 

@@ -99,6 +99,7 @@ object SparkEntry {
     "q77_collocations"    -> q(TextAnalysis.q77),
     "q78_histogram"       -> q(Extended.q78),
     "q79_sample_group"    -> q(Pipeline.q79),
+    "q80_semantic_dedup"  -> q(Dedup.q80),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1345,5 +1346,36 @@ object SparkEntry {
         |SELECT doc_id, source, sample_rank
         |FROM r WHERE sample_rank <= 5
         |ORDER BY source, sample_rank""".stripMargin,
+
+    // SemDeDup replay: same doubles in both engines (float→double
+    // cast, +0.01 shift), sequential-fold cosines (cosine_sim ==
+    // list_cosine_similarity bit-for-bit), argmax ties to the lower
+    // centroid id, keep rule = no ≥τ lower-id cluster-mate
+    "q80_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(emb, v -> v + 0.01)
+        |  FROM base WHERE vec_id < 50),
+        |cents AS (SELECT vec_id AS cid, emb AS ce FROM base WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT c.vec_id, ct.cid, list_cosine_similarity(c.emb, ct.ce) AS cs
+        |  FROM corpus c CROSS JOIN cents ct),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id AS vid
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN corpus ea ON ea.vec_id = a.vec_id
+        |  JOIN corpus eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.92)
+        |SELECT asg.vec_id, cluster,
+        |  asg.vec_id NOT IN (SELECT vid FROM dropped) AS kept
+        |FROM asg ORDER BY vec_id""".stripMargin,
   )
 }

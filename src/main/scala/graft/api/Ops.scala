@@ -708,6 +708,65 @@ object Ops {
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     }
 
+    /** Semantic deduplication (q80) — the SemDeDup recipe (Abbas et
+      * al. 2023, arXiv:2303.09540): cluster the embedding space, then
+      * compare pairs only WITHIN a cluster and drop every vector whose
+      * cosine to a lower-id cluster-mate reaches `threshold`. Where
+      * [[embeddingNearDups]] catches near-copies via random-hyperplane
+      * codes, this catches the broader "same content, different
+      * words" band that LSH misses, at the cost of supplying a
+      * centroid set (train with [[graft.operators.Vectors]]'
+      * k-means, or pass any fixed quantizer).
+      *
+      * Scale shape: centroids collect to a k×dim literal (driver-tiny,
+      * the ivfTopK pattern), so cluster assignment is pure map-side
+      * codegen — the corpus shuffles ONCE, on the cluster key, for the
+      * within-cluster pair join. Parallelism = cluster count and
+      * per-reducer work is cluster_size², so k is the scale knob:
+      * SemDeDup at production scale runs ~10⁵ clusters for 10⁸ docs;
+      * size k so the expected cluster is 10³-10⁴ rows (and use
+      * [[embeddingNearDups]] instead when no quantizer fits the
+      * corpus). Everything is IEEE-deterministic (the codegen cosine
+      * accumulates in array order, matching DuckDB bit-for-bit), so
+      * the kept set replays exactly in SQL.
+      *
+      * Returns (id, cluster, kept): every input row with its cluster
+      * id and whether it survives (kept=false ⟺ a lower-id same-
+      * cluster vector is ≥ threshold similar).
+      */
+    def semanticDedup(id: String, emb: String, centroids: DataFrame,
+                      centroidId: String, centroidEmb: String,
+                      threshold: Double,
+                      checkpointDir: Option[String] = None): DataFrame = {
+      graft.functions.GraftFunctions.register(left.sparkSession)
+      val cents = centroids
+        .select(col(centroidId).cast("long").as("cid"),
+          col(centroidEmb).cast("array<double>").as("ce"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      require(cents.nonEmpty, "semanticDedup: empty centroid set")
+      val centLit = array(cents.map { case (cid, ce) =>
+        struct(lit(cid).as("cid"), array(ce.map(lit): _*).as("ce")) }: _*)
+      // argmax-cosine centroid, ties to the lower centroid id: sort k
+      // (−score, cid) structs per row — no join, no shuffle
+      val ranked = sort_array(transform(centLit, ct => struct(
+        (lit(-1.0) * call_function("cosine_sim", col("__e"), ct.getField("ce"))).as("negscore"),
+        ct.getField("cid").as("cid"))))
+      // materialized once: both sides of the pair self-join and the
+      // final projection read the assignment
+      val asg = lineageBreaker(checkpointDir)(
+        floorPartitions(left.select(col(id), col(emb).cast("array<double>").as("__e")))
+          .withColumn("cluster", element_at(ranked, 1).getField("cid")))
+      val a = asg.select(col("cluster"), col(id).as("__ia"), col("__e").as("__ea"))
+      val b = asg.select(col("cluster"), col(id).as("__ib"), col("__e").as("__eb"))
+      val dropped = a.join(b, Seq("cluster"))
+        .filter(col("__ia") < col("__ib"))
+        .filter(call_function("cosine_sim", col("__ea"), col("__eb")) >= threshold)
+        .select(col("__ib").as(id)).distinct()
+      asg.select(col(id), col("cluster"))
+        .join(dropped.withColumn("__d", lit(true)), Seq(id), "left")
+        .select(col(id), col("cluster"), col("__d").isNull.as("kept"))
+    }
+
     /** End-to-end curation (the generalized q55): quality gate by a
       * caller-supplied score column, exact dedup (fingerprint window,
       * keep min id), near-dup removal (drop the larger id of every

@@ -218,4 +218,22 @@ object Dedup {
     spanCorpus(t)
       .removeDuplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20, maxDf = 100L)
       .orderBy(col("doc_id"))
+
+  /** q80: semantic deduplication
+    * ([[graft.api.Ops.GraftDataFrameOps.semanticDedup]]) on the q53
+    * corpus (embeddings plus +0.01-shifted copies of the first 50 —
+    * guaranteed same-cluster near-dups at every SF). Quantizer = the
+    * embeddings of the 8 smallest vec_ids: a fixed, engine-portable
+    * centroid set (production would pass k-means output; the oracle
+    * replays assignment, within-cluster pairs and the keep rule
+    * bit-for-bit on the same doubles).
+    */
+  def q80(t: Tables): DataFrame = {
+    val centroids = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    q53Corpus(t)
+      .semanticDedup("vec_id", "emb", centroids, "vec_id", "embedding",
+        threshold = 0.92)
+      .orderBy(col("vec_id"))
+  }
 }

@@ -267,6 +267,41 @@ class OpsApiSpec extends AnyFunSuite {
       "every pair blocked together on 8 sign bits must also block together on 4")
   }
 
+  test("semanticDedup: planted near-copies drop, originals keep, clusters come from the quantizer") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = t.embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val planted = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("emb"), v => v + lit(0.005)).as("emb"))
+    val centroids = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    val out = base.unionByName(planted)
+      .semanticDedup("vec_id", "emb", centroids, "vec_id", "embedding",
+        threshold = 0.95)
+      .cache()
+    val rows = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows.size == 530, s"every input row must come back, got ${rows.size}")
+    // each planted copy shares its original's cluster (a +0.005 shift
+    // cannot flip an argmax at this data's centroid separation) and is
+    // dropped as the higher id of a ≥0.95 pair
+    for (i <- 0L until 30L) {
+      assert(rows(i + 100000)._1 == rows(i)._1,
+        s"planted copy of $i landed in cluster ${rows(i + 100000)._1}, original in ${rows(i)._1}")
+      assert(!rows(i + 100000)._2, s"planted copy of $i must be dropped")
+      assert(rows(i)._2, s"original $i must be kept (it is the lower id)")
+    }
+    // cluster ids are exactly the quantizer's ids
+    val clusters = out.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.subsetOf((0L until 8L).toSet), s"unexpected clusters: $clusters")
+    // raising the threshold past the planted similarity keeps everything
+    val strict = base.unionByName(planted)
+      .semanticDedup("vec_id", "emb", centroids, "vec_id", "embedding",
+        threshold = 0.999999)
+      .filter(!col("kept")).count()
+    assert(strict == 0, "no pair reaches 0.999999 — nothing may drop")
+  }
+
   test("mixtureSample: binding class keeps all rows, mixture balances, absent class drops") {
     val parts = Seq("en" -> 1L, "de" -> 1L, "fr" -> 1L) // es/zh absent → dropped
     val out = t.documents.mixtureSample("lang", "doc_id", parts)
