@@ -100,6 +100,7 @@ object SparkEntry {
     "q78_histogram"       -> q(Extended.q78),
     "q79_sample_group"    -> q(Pipeline.q79),
     "q80_semantic_dedup"  -> q(Dedup.q80),
+    "q81_cap_vocab"       -> q(TextAnalysis.q81),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1377,5 +1378,30 @@ object SparkEntry {
         |SELECT asg.vec_id, cluster,
         |  asg.vec_id NOT IN (SELECT vid FROM dropped) AS kept
         |FROM asg ORDER BY vec_id""".stripMargin,
+
+    // vocab-cap replay: integer census, keep set, ordered reassembly —
+    // string_agg ORDER BY pos mirrors the sorted-collect transform
+    "q81_cap_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |census AS (
+        |  SELECT u.w, COUNT(*) AS c
+        |  FROM toks, unnest(t) AS u(w) GROUP BY u.w),
+        |keep AS (SELECT w FROM census WHERE c >= 500),
+        |pos AS (
+        |  SELECT doc_id, u.i AS pos, t[u.i] AS w
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        |rep AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN w IN (SELECT w FROM keep) THEN w ELSE '<unk>' END AS w2,
+        |    w NOT IN (SELECT w FROM keep) AS is_unk
+        |  FROM pos)
+        |SELECT doc_id,
+        |  string_agg(w2, ' ' ORDER BY pos) AS capped_text,
+        |  CAST(COUNT(*) FILTER (is_unk) AS BIGINT) AS n_unk
+        |FROM rep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1148,6 +1148,52 @@ object Ops {
           (size(col("__toks")) - size(col("__kept"))).cast("long").as("removed_tokens"))
     }
 
+    /** Vocabulary capping (q81) — the classic LM-preprocessing rewrite:
+      * every normalized token whose CORPUS-WIDE frequency is below
+      * `minCount` becomes `unk`, bounding the model vocabulary and
+      * pooling the long tail into one symbol. Shape: one map-side-
+      * combinable token census, the kept vocab as a join frame (at
+      * 100 TB the kept side is vocab-sized — frequent tokens only —
+      * so AQE broadcasts it; the long TAIL never builds a frame at
+      * all, it falls out of the left join as null), then ordered
+      * reassembly via a per-document sorted collect. The reassembly
+      * shuffles (id, pos, token) rows — corpus-volume, inherent to
+      * rewriting against a global census, and partitioned by doc so
+      * no reducer sees more than a document. Docs whose every token
+      * survives pass through byte-identical.
+      *
+      * Returns (id, capped_text, n_unk) over the NORMALIZED token
+      * stream (the vocab domain — same normalization the census
+      * counts).
+      */
+    def capVocab(id: String, text: String, minCount: Long,
+                 unk: String = "<unk>",
+                 checkpointDir: Option[String] = None): DataFrame = {
+      require(minCount >= 1, "minCount must be positive")
+      // materialized once: the census and the join-back probe both
+      // read the exploded tokens (the duplicateSpans double-census
+      // class — without the break the tokenizer+explode runs twice)
+      val toks = lineageBreaker(checkpointDir)(
+        floorPartitions(left.select(col(id), col(text)))
+          .withColumn("__toks", tokens(col(text)))
+          .select(col(id), posexplode(col("__toks")))
+          .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__w"))
+      val kept = toks.groupBy(col("__w"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= minCount)
+        .select(col("__w"), lit(true).as("__keep"))
+      toks.join(kept, Seq("__w"), "left")
+        .select(col(id), col("__pos"),
+          when(col("__keep").isNotNull, col("__w")).otherwise(lit(unk)).as("__w2"),
+          col("__keep").isNull.as("__unk"))
+        .groupBy(col(id))
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("__pos"), col("__w2")))),
+            s => s.getField("__w2"))).as("capped_text"),
+          sum(col("__unk").cast("long")).as("n_unk"))
+    }
+
     /** Deterministic mixture sampling — reshape a corpus so category
       * shares match the target integer `parts` (the "data mixture"
       * step of a training pipeline: balance languages, cap a crawl

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.api.Ops._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
@@ -272,4 +273,16 @@ object TextAnalysis {
         md5(col("__nfc").cast("binary")).as("h"))
       .orderBy(col("doc_id"))
   }
+
+  /** q81: vocabulary capping
+    * ([[graft.api.Ops.GraftDataFrameOps.capVocab]]) — tokens below
+    * corpus frequency 500 rewrite to `<unk>`; each doc returns as its
+    * capped normalized token stream with the replacement count. The
+    * oracle replays census, keep set and ordered reassembly exactly
+    * (all integer counts and string equality — no float anywhere).
+    */
+  def q81(t: Tables): DataFrame =
+    t.documents
+      .capVocab("doc_id", "text", minCount = 500L)
+      .orderBy(col("doc_id"))
 }

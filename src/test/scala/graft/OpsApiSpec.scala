@@ -302,6 +302,30 @@ class OpsApiSpec extends AnyFunSuite {
     assert(strict == 0, "no pair reaches 0.999999 — nothing may drop")
   }
 
+  test("capVocab: rare tokens become <unk> in place, frequent docs pass through untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat near the cat"),
+      (3L, "the cat and the dog sat"),
+      (4L, "a zyxwv the cat sat")).toDF("doc_id", "text")
+    val out = docs.capVocab("doc_id", "text", minCount = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // census: the=7 cat=4 sat=4 dog=2 on=1 mat=1 near=1 and=1 a=1 zyxwv=1
+    assert(out(1L) == ("the cat sat <unk> the <unk>", 2L))
+    assert(out(2L) == ("the <unk> sat <unk> the cat", 2L))
+    assert(out(3L) == ("the cat <unk> the <unk> sat", 2L))
+    assert(out(4L) == ("<unk> <unk> the cat sat", 2L))
+    // minCount 1 keeps everything: byte-identical normalized stream
+    val all = docs.capVocab("doc_id", "text", minCount = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "the cat sat on the mat" && all.values.forall(!_.contains("<unk>")))
+    // custom unk symbol
+    val custom = docs.capVocab("doc_id", "text", minCount = 3L, unk = "¤")
+      .collect().map(r => r.getString(1)).mkString(" ")
+    assert(custom.contains("¤") && !custom.contains("<unk>"))
+  }
+
   test("mixtureSample: binding class keeps all rows, mixture balances, absent class drops") {
     val parts = Seq("en" -> 1L, "de" -> 1L, "fr" -> 1L) // es/zh absent → dropped
     val out = t.documents.mixtureSample("lang", "doc_id", parts)
