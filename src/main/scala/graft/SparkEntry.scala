@@ -101,6 +101,7 @@ object SparkEntry {
     "q79_sample_group"    -> q(Pipeline.q79),
     "q80_semantic_dedup"  -> q(Dedup.q80),
     "q81_cap_vocab"       -> q(TextAnalysis.q81),
+    "q82_ngram_coverage"  -> q(Pipeline.q82),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1403,5 +1404,31 @@ object SparkEntry {
         |  string_agg(w2, ' ' ORDER BY pos) AS capped_text,
         |  CAST(COUNT(*) FILTER (is_unk) AS BIGINT) AS n_unk
         |FROM rep GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // coverage replay: q58's gram hashing, the reference collapsed to
+    // its distinct gram set, integer basis points
+    "q82_ngram_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT))) AS gs
+        |  FROM toks WHERE len(t) >= 8),
+        |ref AS (
+        |  SELECT DISTINCT u.g FROM grams, unnest(gs) AS u(g)
+        |  WHERE source NOT IN ('src0', 'src1')),
+        |dg AS (
+        |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, u.g
+        |  FROM grams, unnest(gs) AS u(g)
+        |  WHERE source IN ('src0', 'src1') AND len(gs) > 0)
+        |SELECT doc_id, n_grams,
+        |  CAST(COUNT(*) FILTER (g IN (SELECT g FROM ref)) AS BIGINT) AS n_matched,
+        |  COUNT(*) FILTER (g IN (SELECT g FROM ref)) * 10000 // n_grams AS coverage_bp
+        |FROM dg GROUP BY doc_id, n_grams
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1043,6 +1043,45 @@ object Ops {
           col("eval_ngrams"), col("overlap_frac"))
     }
 
+    /** Per-document n-gram coverage against a reference corpus (q82)
+      * — where [[contaminationPairs]] asks "WHICH eval doc does this
+      * train doc overlap", this asks the per-doc aggregate question:
+      * what fraction of a document's distinct n-grams exist ANYWHERE
+      * in the reference? High coverage ⇒ memorized/boilerplate/
+      * benchmark-contaminated text; low ⇒ novel. The standard scoring
+      * pass before deciding what newly-crawled data adds over the
+      * corpus you already have.
+      *
+      * Shape: the reference collapses to its distinct gram-hash set
+      * (an inverted index with no postings — one distinct agg, grams
+      * only, never documents²); each doc's distinct grams explode
+      * with the doc total riding along (the contaminationPairs
+      * single-subtree trick) and left-join the index; coverage is an
+      * integral basis-point ratio, so the whole result replays
+      * bit-for-bit in SQL. Docs with fewer than n tokens have no
+      * grams and are dropped (coverage is undefined, not zero).
+      *
+      * Returns (id, n_grams, n_matched, coverage_bp).
+      */
+    def ngramCoverage(ref: DataFrame, id: String, text: String,
+                      refText: String, n: Int = 8): DataFrame = {
+      val refGrams = floorPartitions(ref.select(col(refText)))
+        .withColumn("__toks", tokens(col(refText)))
+        .select(explode(ngramHashes(col("__toks"), n)).as("__g"))
+        .distinct()
+      val docGrams = floorPartitions(left.select(col(id), col(text)))
+        .withColumn("__toks", tokens(col(text)))
+        .select(col(id), ngramHashes(col("__toks"), n).as("__gs"))
+        .filter(size(col("__gs")) > 0)
+        .select(col(id), size(col("__gs")).cast("long").as("n_grams"),
+          explode(col("__gs")).as("__g"))
+      docGrams.join(refGrams.withColumn("__hit", lit(true)), Seq("__g"), "left")
+        .groupBy(col(id), col("n_grams"))
+        .agg(count(col("__hit")).as("n_matched"))
+        .withColumn("coverage_bp", expr("n_matched * 10000L div n_grams"))
+        .select(col(id), col("n_grams"), col("n_matched"), col("coverage_bp"))
+    }
+
     /** Duplicated-span detection (substring-level exact dedup, q69):
       * find maximal verbatim token spans of ≥ `minSpanTokens` shared
       * BETWEEN documents — the boilerplate / license-header / quoted-

@@ -220,4 +220,20 @@ object Pipeline {
         evalId = "eval_id", evalText = "text", n = 8, minShared = 5L)
       .orderBy(col("train_id"), col("eval_id"))
   }
+
+  /** q82: **per-doc n-gram coverage**
+    * ([[graft.api.Ops.GraftDataFrameOps.ngramCoverage]]) — score the
+    * src0/src1 slice against everything else: what fraction of each
+    * candidate doc's distinct 8-grams already exists in the held
+    * corpus (novelty/memorization triage — the aggregate complement
+    * of q58's pairwise decontamination). All-integer output (counts
+    * + basis points), replayed exactly by the oracle.
+    */
+  def q82(t: Tables): DataFrame = {
+    val docs = t.documents
+    docs.filter(col("source").isin("src0", "src1"))
+      .ngramCoverage(docs.filter(!col("source").isin("src0", "src1")),
+        id = "doc_id", text = "text", refText = "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -302,6 +302,27 @@ class OpsApiSpec extends AnyFunSuite {
     assert(strict == 0, "no pair reaches 0.999999 — nothing may drop")
   }
 
+  test("ngramCoverage: copied text scores 10000bp, novel text 0, a half-copy in between") {
+    import spark.implicits._
+    val refText = (1 to 40).map(i => s"ref$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"new$i").mkString(" ")
+    val half = (1 to 20).map(i => s"ref$i").mkString(" ") + " " +
+      (1 to 20).map(i => s"own$i").mkString(" ")
+    val ref = Seq((100L, refText)).toDF("rid", "rtext")
+    val docs = Seq((1L, refText), (2L, novel), (3L, half), (4L, "too short"))
+      .toDF("doc_id", "text")
+    val out = docs.ngramCoverage(ref, "doc_id", "text", "rtext", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(4L), "docs below n tokens have no coverage row")
+    assert(out(1L) == ((33L, 33L, 10000L)), s"full copy must cover 10000bp: ${out(1L)}")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0L, s"novel text must cover 0bp: ${out(2L)}")
+    // half doc: grams 1..13 (windows fully inside the ref prefix)
+    // match, the rest straddle into own* tokens and miss
+    assert(out(3L)._1 == 33L && out(3L)._2 == 13L,
+      s"half-copy must match exactly the 13 all-ref windows: ${out(3L)}")
+    assert(out(3L)._3 == 13L * 10000L / 33L, s"basis points off: ${out(3L)}")
+  }
+
   test("capVocab: rare tokens become <unk> in place, frequent docs pass through untouched") {
     import spark.implicits._
     val docs = Seq(
