@@ -46,7 +46,8 @@ object Bench {
     "q70_strip_markup", "q71_remove_spans", "q72_shuffle_shards",
     "q73_lm_score", "q74_split", "q75_nfc", "q76_skew_stats",
     "q77_collocations", "q78_histogram", "q79_sample_group",
-    "q80_semantic_dedup", "q81_cap_vocab", "q82_ngram_coverage")
+    "q80_semantic_dedup", "q81_cap_vocab", "q82_ngram_coverage",
+    "q83_quality_buckets")
 
   private val childMarker = "##BENCHQ##"
 

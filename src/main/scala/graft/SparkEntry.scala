@@ -102,6 +102,7 @@ object SparkEntry {
     "q80_semantic_dedup"  -> q(Dedup.q80),
     "q81_cap_vocab"       -> q(TextAnalysis.q81),
     "q82_ngram_coverage"  -> q(Pipeline.q82),
+    "q83_quality_buckets" -> q(Extended.q83),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1430,5 +1431,30 @@ object SparkEntry {
         |  COUNT(*) FILTER (g IN (SELECT g FROM ref)) * 10000 // n_grams AS coverage_bp
         |FROM dg GROUP BY doc_id, n_grams
         |ORDER BY doc_id""".stripMargin,
+
+    // decile replay: q40's score in basis points (positive doubles
+    // round identically), then the census-window bucket rule —
+    // bucket = rows_strictly_below * 10 div total, all integers
+    "q83_quality_buckets" ->
+      """WITH s AS (
+        |  SELECT CAST(round((
+        |    0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |                 / CAST(length(text) AS DOUBLE))
+        |    + 0.2 * (CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |                  x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |             / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE))
+        |  ) * 10000, 0) AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (SELECT v, COUNT(*) AS cnt FROM s WHERE v IS NOT NULL GROUP BY v),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        |b AS (
+        |  SELECT v, cnt,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM c)
+        |SELECT before * 10 // total AS bucket,
+        |  MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(cnt) AS BIGINT) AS n_rows
+        |FROM b CROSS JOIN t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

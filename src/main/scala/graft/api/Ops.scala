@@ -1187,6 +1187,41 @@ object Ops {
           (size(col("__toks")) - size(col("__kept"))).cast("long").as("removed_tokens"))
     }
 
+    /** Exact equal-frequency bucketing (q83) — assign every row of an
+      * integer-valued, BOUNDED-CARDINALITY column (basis-point scores,
+      * star ratings, binned token counts — domains of ≤ ~10⁶ distinct
+      * values, NOT raw prices/timestamps) to one of `buckets`
+      * quantile buckets, exactly and deterministically: bucket =
+      * rows_strictly_below × buckets div total, so ties share a
+      * bucket and the split replays bit-for-bit in SQL — unlike
+      * ntile() (global row window: one reducer sorts the corpus) or
+      * approx_percentile (nondeterministic across engines).
+      *
+      * Shape: one map-side-combinable value census, then ALL ordering
+      * work happens on the census — a window over distinct VALUES,
+      * bounded by the domain, not the corpus — plus the q78-style
+      * 1-row total join. The corpus itself is never globally sorted;
+      * at 100 TB the census is the only shuffle. Returns one row per
+      * non-empty bucket: (bucket, lo, hi, n_rows); null values are
+      * excluded (no rank).
+      */
+    def quantileBuckets(valueCol: String, buckets: Int): DataFrame = {
+      require(buckets >= 2, "quantileBuckets needs at least 2 buckets")
+      val census = left.select(col(valueCol).cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = census.agg(sum(col("__c")).as("__total"))
+      census
+        .withColumn("__before", coalesce(sum(col("__c")).over(w), lit(0L)))
+        .join(tot)
+        .withColumn("bucket", expr(s"__before * ${buckets}L div __total"))
+        .groupBy(col("bucket"))
+        .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+          sum(col("__c")).as("n_rows"))
+    }
+
     /** Vocabulary capping (q81) — the classic LM-preprocessing rewrite:
       * every normalized token whose CORPUS-WIDE frequency is below
       * `minCount` becomes `unk`, bounding the model vocabulary and

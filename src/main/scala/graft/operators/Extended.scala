@@ -204,4 +204,30 @@ object Extended {
       .histogram(round(col("l_extendedprice") * 100).cast("long"), bins = 32)
       .orderBy(col("bin"))
   }
+
+  /** q83: exact quality deciles
+    * ([[graft.api.Ops.GraftDataFrameOps.quantileBuckets]]) — the
+    * corpus split by q40's composite quality score in integer basis
+    * points (a bounded 0..10000 domain, which is what makes the
+    * census-window formulation scale-exact): the curriculum /
+    * quality-mixing cut ("train on the top 3 deciles, sample the
+    * middle, drop the bottom"). Bucket boundaries and counts are all
+    * integers, replayed exactly by the oracle.
+    */
+  def q83(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(col("__toks")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val nStop = size(filter(col("__toks"), x => x.isin("the", "a", "of", "and"))).cast("double")
+    val score =
+      lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / nChars) +
+      lit(0.2) * (nStop / nTokens)
+    t.documents
+      .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      .withColumn("score_bp", round(score * lit(10000), 0).cast("long"))
+      .quantileBuckets("score_bp", buckets = 10)
+      .orderBy(col("bucket"))
+  }
 }

@@ -302,6 +302,30 @@ class OpsApiSpec extends AnyFunSuite {
     assert(strict == 0, "no pair reaches 0.999999 — nothing may drop")
   }
 
+  test("quantileBuckets: exact cumulative-rank buckets, ties share a bucket, counts conserve") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 1L, 2L, 3L, 4L).toDF("v")
+    val out = df.quantileBuckets("v", buckets = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // before(1)=0 → bucket 0; before(2)=3, before(3)=4, before(4)=5 → bucket 1
+    assert(out == Map(0L -> ((1L, 1L, 3L)), 1L -> ((2L, 4L, 3L))), s"got $out")
+    // ties never split: 10 copies of one value land in ONE bucket even
+    // with 5 requested
+    val tied = (Seq.fill(10)(7L) ++ Seq(9L)).toDF("v").quantileBuckets("v", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(tied == Map(0L -> 10L, 4L -> 1L), s"got $tied")
+    // uniform 0..999 into deciles: equal counts, contiguous boundaries
+    val uni = (0L until 1000L).toDF("v").quantileBuckets("v", 10)
+      .collect().sortBy(_.getLong(0))
+    assert(uni.length == 10 && uni.forall(_.getLong(3) == 100L))
+    assert(uni.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      (0 until 10).map(i => (i * 100L, i * 100L + 99L)))
+    // nulls are excluded, not ranked
+    val withNulls = Seq(Some(1L), None, Some(2L)).toDF("v").quantileBuckets("v", 2)
+      .agg(sum("n_rows")).collect()(0).getLong(0)
+    assert(withNulls == 2L)
+  }
+
   test("ngramCoverage: copied text scores 10000bp, novel text 0, a half-copy in between") {
     import spark.implicits._
     val refText = (1 to 40).map(i => s"ref$i").mkString(" ")
