@@ -103,6 +103,7 @@ object SparkEntry {
     "q81_cap_vocab"       -> q(TextAnalysis.q81),
     "q82_ngram_coverage"  -> q(Pipeline.q82),
     "q83_quality_buckets" -> q(Extended.q83),
+    "q84_char_entropy"    -> q(TextAnalysis.q84),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1456,5 +1457,21 @@ object SparkEntry {
         |  MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(cnt) AS BIGINT) AS n_rows
         |FROM b CROSS JOIN t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // entropy replay: exact char census, H = ln L − (Σ c·ln c)/L,
+    // 4-decimal round (the q73 float-agg discipline)
+    "q84_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, u.c
+        |  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+        |       unnest(cs) AS u(c)),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c)
+        |SELECT doc_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_chars,
+        |  COUNT(*) AS n_distinct,
+        |  round(ln(CAST(SUM(n) AS DOUBLE))
+        |    - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) / CAST(SUM(n) AS DOUBLE),
+        |    4) AS char_entropy
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

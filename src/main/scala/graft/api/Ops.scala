@@ -1187,6 +1187,36 @@ object Ops {
           (size(col("__toks")) - size(col("__kept"))).cast("long").as("removed_tokens"))
     }
 
+    /** Per-document character-distribution entropy (q84) — the
+      * cheap gibberish detector: natural language sits in a narrow
+      * entropy band (≈2.5–4.5 bits ≈ 1.7–3.1 nats for English-like
+      * text), while base64/hex blobs, minified code and key-mash
+      * score far outside it. Computed as H = ln L − (Σ c·ln c)/L over
+      * the per-doc char census — the identity avoids a second pass
+      * for L. Shape: one char explode into a map-side-combinable
+      * (doc, char) census (census rows ≤ docs × alphabet, far smaller
+      * than the text itself), then a per-doc agg; no corpus-wide
+      * state at all, so it runs at any scale. Entropy rounds to 4
+      * decimals (the q73 discipline — summation-order ulps vanish at
+      * 4dp). Empty docs have no census rows and drop out.
+      *
+      * Returns (id, n_chars, n_distinct, char_entropy) in nats.
+      */
+    def charEntropy(id: String, text: String): DataFrame = {
+      val census = floorPartitions(left.select(col(id), col(text)))
+        .select(col(id), explode(split(col(text), "")).as("__ch"))
+        .groupBy(col(id), col("__ch"))
+        .agg(count(lit(1)).as("__c"))
+      val L = sum(col("__c")).cast("double")
+      census.groupBy(col(id))
+        .agg(
+          sum(col("__c")).as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          round(log(L) -
+            sum(col("__c").cast("double") * log(col("__c").cast("double"))) / L,
+            4).as("char_entropy"))
+    }
+
     /** Exact equal-frequency bucketing (q83) — assign every row of an
       * integer-valued, BOUNDED-CARDINALITY column (basis-point scores,
       * star ratings, binned token counts — domains of ≤ ~10⁶ distinct

@@ -285,4 +285,15 @@ object TextAnalysis {
     t.documents
       .capVocab("doc_id", "text", minCount = 500L)
       .orderBy(col("doc_id"))
+
+  /** q84: character-distribution entropy
+    * ([[graft.api.Ops.GraftDataFrameOps.charEntropy]]) — the
+    * gibberish/blob detector over raw text; one char census, per-doc
+    * aggregate, oracle-replayed (integer counts exactly, entropy at
+    * the 4-decimal q73 discipline).
+    */
+  def q84(t: Tables): DataFrame =
+    t.documents
+      .charEntropy("doc_id", "text")
+      .orderBy(col("doc_id"))
 }

@@ -302,6 +302,25 @@ class OpsApiSpec extends AnyFunSuite {
     assert(strict == 0, "no pair reaches 0.999999 — nothing may drop")
   }
 
+  test("charEntropy: zero for one symbol, ln k for uniform k, gibberish outside the text band") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa"),                       // degenerate: H = 0
+      (2L, "abcdabcdabcdabcd"),               // uniform 4: H = ln 4
+      (3L, "the cat sat on the warm mat near the door"),
+      (4L, "aB3+/xQ9zK2%wM7#pL5@nV1$")).toDF("doc_id", "text")
+    val out = docs.charEntropy("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((8L, 1L, 0.0)), s"single-symbol entropy must be 0: ${out(1L)}")
+    assert(out(2L)._3 == math.rint(math.log(4.0) * 1e4) / 1e4,
+      s"uniform-4 entropy must be ln 4: ${out(2L)}")
+    assert(out(2L)._2 == 4L)
+    // english-like text sits in the natural band; uniform key-mash
+    // scores ABOVE it (every char near-unique → H ≈ ln L)
+    assert(out(3L)._3 > 1.7 && out(3L)._3 < 3.1, s"text band: ${out(3L)}")
+    assert(out(4L)._3 > out(3L)._3, s"key-mash must out-entropy text: ${out(4L)} vs ${out(3L)}")
+  }
+
   test("quantileBuckets: exact cumulative-rank buckets, ties share a bucket, counts conserve") {
     import spark.implicits._
     val df = Seq(1L, 1L, 1L, 2L, 3L, 4L).toDF("v")
