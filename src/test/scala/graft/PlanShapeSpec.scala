@@ -34,7 +34,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private val locked =
     Bench.headline.filterNot(Set(
       "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
-      "q76_skew_stats", "q77_collocations", "q78_histogram"))
+      "q76_skew_stats", "q77_collocations", "q78_histogram",
+      "q83_quality_buckets"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -102,6 +103,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // totals onto the vocab-sized bigram frame
     assert(nlj <= 2, s"expected at most the two 1-row totals joins in q77, got $nlj:\n$plan")
     assert(plan.contains("HashJoin"), s"expected hash joins on the unigram keys in q77:\n$plan")
+  }
+
+  test("q83's only nested-loop is the 1-row total onto the value census") {
+    val plan = physicalPlan("q83_quality_buckets")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q83:\n$plan")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"expected exactly the keyless 1-row total join in q83, got $nlj:\n$plan")
   }
 
   test("q78's only nested-loop is the 1-row min/max broadcast") {
