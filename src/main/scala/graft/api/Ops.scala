@@ -187,6 +187,98 @@ object Ops {
       .withColumn("ppl", round(exp(-col("avg_logp")), 2))
   }
 
+  /** A vocabulary prepared ONCE for repeated capping — the production
+    * shape of [[GraftDataFrameOps.capVocab]]: census the reference
+    * corpus once, rewrite anything (new batches, a live stream)
+    * against the frozen kept set without re-counting. `kept` is the
+    * checkpointed frequent-token frame (vocab-sized).
+    */
+  final case class PreparedVocab private[graft] (
+    kept: DataFrame, minCount: Long, unk: String, reliable: Boolean)
+
+  /** Build a [[PreparedVocab]]; capping the census corpus itself
+    * against it reproduces `capVocab` bit-for-bit (spec-pinned). As
+    * with [[prepareLm]], streaming use requires a reliable
+    * `checkpointDir`.
+    */
+  def prepareVocab(corpus: DataFrame, text: String, minCount: Long,
+                   unk: String = "<unk>",
+                   checkpointDir: Option[String] = None): PreparedVocab = {
+    require(minCount >= 1, "minCount must be positive")
+    val ckp = lineageBreaker(checkpointDir)
+    val kept = ckp(floorPartitions(corpus.select(col(text)))
+      .withColumn("__toks", tokens(col(text)))
+      .select(explode(col("__toks")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__w")))
+    PreparedVocab(kept, minCount, unk, checkpointDir.isDefined)
+  }
+
+  /** Join-and-reassemble core shared by [[GraftDataFrameOps.capVocab]]
+    * (kept set from the input's own census) and the prepared forms
+    * (frozen kept set): positional tokens left-join the kept vocab,
+    * misses rewrite to `unk`, docs reassemble via per-doc sorted
+    * collect.
+    */
+  private[graft] def capToksAgainstKept(toks: DataFrame, id: String,
+                                        kept: DataFrame, unk: String): DataFrame =
+    toks.join(kept.withColumn("__keep", lit(true)), Seq("__w"), "left")
+      .select(col(id), col("__pos"),
+        when(col("__keep").isNotNull, col("__w")).otherwise(lit(unk)).as("__w2"),
+        col("__keep").isNull.as("__unk"))
+      .groupBy(col(id))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w2")))),
+          s => s.getField("__w2"))).as("capped_text"),
+        sum(col("__unk").cast("long")).as("n_unk"))
+
+  private[graft] def posToks(docs: DataFrame, id: String, text: String): DataFrame =
+    floorPartitions(docs.select(col(id), col(text)))
+      .withColumn("__toks", tokens(col(text)))
+      .select(col(id), posexplode(col("__toks")))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__w")
+
+  /** A reference n-gram index prepared ONCE for repeated coverage
+    * scoring — the production shape of
+    * [[GraftDataFrameOps.ngramCoverage]]: hash the held corpus's
+    * distinct grams once, score anything against the frozen index.
+    */
+  final case class PreparedGramIndex private[graft] (
+    grams: DataFrame, n: Int, reliable: Boolean)
+
+  /** Build a [[PreparedGramIndex]] (distinct gram hashes only — an
+    * inverted index with no postings). Streaming use requires a
+    * reliable `checkpointDir`, as with [[prepareLm]].
+    */
+  def prepareGramIndex(ref: DataFrame, text: String, n: Int = 8,
+                       checkpointDir: Option[String] = None): PreparedGramIndex = {
+    require(n >= 2, "prepareGramIndex needs n >= 2")
+    val ckp = lineageBreaker(checkpointDir)
+    val g = ckp(floorPartitions(ref.select(col(text)))
+      .withColumn("__toks", tokens(col(text)))
+      .select(explode(ngramHashes(col("__toks"), n)).as("__g"))
+      .distinct())
+    PreparedGramIndex(g, n, checkpointDir.isDefined)
+  }
+
+  /** Coverage core shared by the inline and prepared forms. */
+  private[graft] def coverageAgainstIndex(docs: DataFrame, id: String, text: String,
+                                          idx: PreparedGramIndex): DataFrame = {
+    val docGrams = floorPartitions(docs.select(col(id), col(text)))
+      .withColumn("__toks", tokens(col(text)))
+      .select(col(id), ngramHashes(col("__toks"), idx.n).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .select(col(id), size(col("__gs")).cast("long").as("n_grams"),
+        explode(col("__gs")).as("__g"))
+    docGrams.join(idx.grams.withColumn("__hit", lit(true)), Seq("__g"), "left")
+      .groupBy(col(id), col("n_grams"))
+      .agg(count(col("__hit")).as("n_matched"))
+      .withColumn("coverage_bp", expr("n_matched * 10000L div n_grams"))
+      .select(col(id), col("n_grams"), col("n_matched"), col("coverage_bp"))
+  }
+
   /** Incremental dedup of `left` against a prepared catalog — the
     * shared core of the batch and streaming forms (see
     * [[GraftDataFrameOps.dedupAgainstCatalog]] for semantics).
@@ -1069,17 +1161,8 @@ object Ops {
         .withColumn("__toks", tokens(col(refText)))
         .select(explode(ngramHashes(col("__toks"), n)).as("__g"))
         .distinct()
-      val docGrams = floorPartitions(left.select(col(id), col(text)))
-        .withColumn("__toks", tokens(col(text)))
-        .select(col(id), ngramHashes(col("__toks"), n).as("__gs"))
-        .filter(size(col("__gs")) > 0)
-        .select(col(id), size(col("__gs")).cast("long").as("n_grams"),
-          explode(col("__gs")).as("__g"))
-      docGrams.join(refGrams.withColumn("__hit", lit(true)), Seq("__g"), "left")
-        .groupBy(col(id), col("n_grams"))
-        .agg(count(col("__hit")).as("n_matched"))
-        .withColumn("coverage_bp", expr("n_matched * 10000L div n_grams"))
-        .select(col(id), col("n_grams"), col("n_matched"), col("coverage_bp"))
+      coverageAgainstIndex(left, id, text,
+        PreparedGramIndex(refGrams, n, reliable = false))
     }
 
     /** Duplicated-span detection (substring-level exact dedup, q69):
@@ -1277,26 +1360,33 @@ object Ops {
       // materialized once: the census and the join-back probe both
       // read the exploded tokens (the duplicateSpans double-census
       // class — without the break the tokenizer+explode runs twice)
-      val toks = lineageBreaker(checkpointDir)(
-        floorPartitions(left.select(col(id), col(text)))
-          .withColumn("__toks", tokens(col(text)))
-          .select(col(id), posexplode(col("__toks")))
-          .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__w"))
+      val toks = lineageBreaker(checkpointDir)(posToks(left, id, text))
       val kept = toks.groupBy(col("__w"))
         .agg(count(lit(1)).as("__c"))
         .filter(col("__c") >= minCount)
-        .select(col("__w"), lit(true).as("__keep"))
-      toks.join(kept, Seq("__w"), "left")
-        .select(col(id), col("__pos"),
-          when(col("__keep").isNotNull, col("__w")).otherwise(lit(unk)).as("__w2"),
-          col("__keep").isNull.as("__unk"))
-        .groupBy(col(id))
-        .agg(
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("__pos"), col("__w2")))),
-            s => s.getField("__w2"))).as("capped_text"),
-          sum(col("__unk").cast("long")).as("n_unk"))
+        .select(col("__w"))
+      capToksAgainstKept(toks, id, kept, unk)
     }
+
+    /** Rewrite against a ONCE-prepared vocabulary
+      * ([[Ops.prepareVocab]]) — the rolling-ingest form of
+      * [[capVocab]]: new batches (or a stream, via
+      * [[graft.streaming.Streams.capVocabStream]]) cap against the
+      * frozen kept set without re-censusing the reference corpus.
+      * Capping the census corpus itself reproduces `capVocab`
+      * bit-for-bit.
+      */
+    def capVocabAgainst(vocab: PreparedVocab, id: String, text: String): DataFrame =
+      capToksAgainstKept(posToks(left, id, text), id, vocab.kept, vocab.unk)
+
+    /** Coverage against a ONCE-prepared gram index
+      * ([[Ops.prepareGramIndex]]) — the rolling-ingest form of
+      * [[ngramCoverage]]: score new batches (or a stream, via
+      * [[graft.streaming.Streams.ngramCoverageStream]]) against the
+      * frozen reference without re-hashing it.
+      */
+    def ngramCoverageAgainst(index: PreparedGramIndex, id: String, text: String): DataFrame =
+      coverageAgainstIndex(left, id, text, index)
 
     /** Deterministic mixture sampling — reshape a corpus so category
       * shares match the target integer `parts` (the "data mixture"

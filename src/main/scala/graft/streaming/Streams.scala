@@ -170,6 +170,45 @@ object Streams {
       .start()
   }
 
+  /** Cap a document stream against a once-prepared vocabulary
+    * ([[graft.api.Ops.prepareVocab]]) — per-trigger cost is the
+    * trigger's own token explode + the kept-vocab hash join; the
+    * reference corpus is never re-censused. Reliable prep required,
+    * same reasoning as [[lmScoreStream]].
+    */
+  def capVocabStream(docs: DataFrame, id: String, text: String,
+                     vocab: graft.api.Ops.PreparedVocab,
+                     sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(vocab.reliable,
+      "capVocabStream needs a PreparedVocab built with a reliable checkpointDir " +
+        "(prepareVocab(..., checkpointDir = Some(dir)))")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(new graft.api.Ops.GraftDataFrameOps(batch).capVocabAgainst(vocab, id, text))
+      }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Coverage-score a document stream against a once-prepared gram
+    * index ([[graft.api.Ops.prepareGramIndex]]) — per-trigger cost is
+    * the trigger's gram hashing + the index join; the reference is
+    * never re-hashed. Reliable prep required.
+    */
+  def ngramCoverageStream(docs: DataFrame, id: String, text: String,
+                          index: graft.api.Ops.PreparedGramIndex,
+                          sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(index.reliable,
+      "ngramCoverageStream needs a PreparedGramIndex built with a reliable " +
+        "checkpointDir (prepareGramIndex(..., checkpointDir = Some(dir)))")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(new graft.api.Ops.GraftDataFrameOps(batch).ngramCoverageAgainst(index, id, text))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   final case class Doc(doc_id: Long, n_tokens: Long)
   final case class PackedDoc(doc_id: Long, shard: Long, start_offset: Long, pack_id: Long)
 

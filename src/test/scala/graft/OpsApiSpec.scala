@@ -366,6 +366,24 @@ class OpsApiSpec extends AnyFunSuite {
     assert(out(3L)._3 == 13L * 10000L / 33L, s"basis points off: ${out(3L)}")
   }
 
+  test("prepared vocab / gram index reproduce the inline forms on their own corpus") {
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    // capVocabAgainst(self-census) ≡ capVocab
+    val vocab = graft.api.Ops.prepareVocab(docs, "text", minCount = 500L)
+    val against = docs.capVocabAgainst(vocab, "doc_id", "text")
+    val inline = docs.capVocab("doc_id", "text", minCount = 500L)
+    assert(against.except(inline).isEmpty && inline.except(against).isEmpty,
+      "capVocabAgainst on the census corpus must equal capVocab")
+    // ngramCoverageAgainst(prepared ref) ≡ ngramCoverage(ref)
+    val ref = t.documents.filter(!col("source").isin("src0", "src1"))
+    val idx = graft.api.Ops.prepareGramIndex(ref, "text", n = 8)
+    val candidates = t.documents.filter(col("source").isin("src0", "src1"))
+    val covAgainst = candidates.ngramCoverageAgainst(idx, "doc_id", "text")
+    val covInline = candidates.ngramCoverage(ref, "doc_id", "text", "text", n = 8)
+    assert(covAgainst.except(covInline).isEmpty && covInline.except(covAgainst).isEmpty,
+      "ngramCoverageAgainst must equal the inline form")
+  }
+
   test("capVocab: rare tokens become <unk> in place, frequent docs pass through untouched") {
     import spark.implicits._
     val docs = Seq(

@@ -409,6 +409,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("capVocabStream and ngramCoverageStream run triggers against frozen prep, matching batch") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 30L).map(i =>
+      (i, "the cat sat on the mat and the dog ran past the old barn door today"))
+      .toDF("doc_id", "text")
+    // unreliable prep is rejected up front (the lmScoreStream contract)
+    intercept[IllegalArgumentException] {
+      Streams.capVocabStream(corpus, "doc_id", "text",
+        graft.api.Ops.prepareVocab(corpus, "text", 5L), _ => ())
+    }
+    intercept[IllegalArgumentException] {
+      Streams.ngramCoverageStream(corpus, "doc_id", "text",
+        graft.api.Ops.prepareGramIndex(corpus, "text"), _ => ())
+    }
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_pv_ck").toString
+    val vocab = graft.api.Ops.prepareVocab(corpus, "text", minCount = 5L,
+      checkpointDir = Some(ckDir))
+    val idx = graft.api.Ops.prepareGramIndex(corpus, "text", n = 8,
+      checkpointDir = Some(ckDir))
+    val incoming = (100L to 109L).map(i =>
+      (i, if (i % 2 == 0) "the cat sat on the mat and the dog ran zebra"
+          else "qq ww ee rr tt yy uu ii oo pp")).toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming.take(5))
+    val qv = Streams.capVocabStream(stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", vocab,
+      b => b.write.mode("append").saveAsTable("pv_out"))
+    val qc = Streams.ngramCoverageStream(stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx,
+      b => b.write.mode("append").saveAsTable("pc_out"))
+    try {
+      qv.processAllAvailable(); qc.processAllAvailable()
+      stream.addData(incoming.drop(5))
+      qv.processAllAvailable(); qc.processAllAvailable()
+      val inDf = incoming.toDF("doc_id", "text")
+      val vStream = spark.table("pv_out")
+      val vBatch = inDf.capVocabAgainst(vocab, "doc_id", "text")
+      assert(vStream.except(vBatch).isEmpty && vBatch.except(vStream).isEmpty,
+        "per-trigger capping must equal the batch form")
+      // the zebra token is OOV for the prepared vocab
+      val capped = vStream.filter(col("doc_id") === 100L).collect()(0)
+      assert(capped.getString(1).endsWith("<unk>") && capped.getLong(2) == 1L)
+      val cStream = spark.table("pc_out")
+      val cBatch = inDf.ngramCoverageAgainst(idx, "doc_id", "text")
+      assert(cStream.except(cBatch).isEmpty && cBatch.except(cStream).isEmpty,
+        "per-trigger coverage must equal the batch form")
+      // gibberish triggers cover 0bp against the prepared reference
+      assert(cStream.filter(col("doc_id") % 2 === 1)
+        .agg(max(col("coverage_bp"))).collect()(0).getLong(0) == 0L)
+    } finally {
+      qv.stop(); qc.stop()
+      spark.sql("DROP TABLE IF EXISTS pv_out")
+      spark.sql("DROP TABLE IF EXISTS pc_out")
+    }
+  }
+
   test("classifier scores a stream per micro-batch against static weights, matching batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
