@@ -104,6 +104,7 @@ object SparkEntry {
     "q82_ngram_coverage"  -> q(Pipeline.q82),
     "q83_quality_buckets" -> q(Extended.q83),
     "q84_char_entropy"    -> q(TextAnalysis.q84),
+    "q85_containment"     -> q(Dedup.q85),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1473,5 +1474,48 @@ object SparkEntry {
         |    - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) / CAST(SUM(n) AS DOUBLE),
         |    4) AS char_entropy
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // containment replay: q32's shingles on the q69 corpus, df-pruned
+    // postings (count(*) == count(DISTINCT doc) — shingle sets are
+    // distinct), ≥3 shared pruned shingles, exact verify on FULL sets
+    // with the unrounded filter, smaller-side containment
+    "q85_containment" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 600000 + a.doc_id, a.text || ' ' || b.text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id < 10),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                      x -> x <> '') AS t
+        |        FROM aug)
+        |  WHERE len(t) >= 3),
+        |post AS (SELECT doc_id, u.g FROM sh, unnest(s) AS u(g) WHERE len(s) > 0),
+        |keep AS (
+        |  SELECT g FROM (SELECT g, COUNT(*) AS df FROM post GROUP BY g)
+        |  WHERE df <= 100),
+        |pr AS (SELECT doc_id, g FROM post WHERE g IN (SELECT g FROM keep)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pr a JOIN pr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |v AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+        |    CAST(len(sa.s) AS DOUBLE) AS na, CAST(len(sb.s) AS DOUBLE) AS nb
+        |  FROM cand
+        |  JOIN sh sa ON sa.doc_id = cand.doc_a
+        |  JOIN sh sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b,
+        |  round(inter / least(na, nb), 6) AS containment,
+        |  round(inter / (na + nb - inter), 6) AS jaccard
+        |FROM v
+        |WHERE inter / least(na, nb) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

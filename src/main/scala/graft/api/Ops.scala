@@ -669,6 +669,67 @@ object Ops {
           greatest(col("__ida"), col("__idb")).as("doc_b"), col("jaccard"))
     }
 
+    /** Asymmetric containment pairs (q85) — the near-dup class both
+      * Jaccard operators miss BY CONSTRUCTION: a document wholly
+      * contained in a much larger one (quoted article, aggregated
+      * page, doc+boilerplate) has Jaccard ≈ |A|/|B| → far below any
+      * sane threshold, and MinHash approximates Jaccard so LSH misses
+      * it too. Containment |A∩B| / min(|A|,|B|) (Broder's measure,
+      * smaller-side form so either direction of nesting scores 1.0)
+      * is the right detector.
+      *
+      * Candidates cannot come from q32's min-shingle blocks either (a
+      * contained doc's min shingle need not be the container's), so
+      * this uses the pruned inverted-index skeleton (the q69 shape):
+      * shingle postings, stop-shingles with df > `maxDf` dropped
+      * (bounding every posting list — a pair sharing ONLY ultra-
+      * common shingles is not findable, the documented guard), pairs
+      * form where ≥ `minShared` pruned shingles collide, then exact
+      * verification on the FULL shingle sets. Per-shingle fan-out is
+      * ≤ maxDf², so no reducer ever sees a Zipfian head.
+      *
+      * Returns (doc_a, doc_b, containment, jaccard), doc_a < doc_b —
+      * jaccard rides along to show WHY symmetric dedup missed the
+      * pair.
+      */
+    def containmentPairs(id: String, text: String, threshold: Double,
+                         maxDf: Long = 100L, minShared: Long = 3L,
+                         checkpointDir: Option[String] = None): DataFrame = {
+      require(threshold > 0 && threshold <= 1.0, "threshold must be in (0, 1]")
+      val ckp = lineageBreaker(checkpointDir)
+      // shingles feed the postings AND both verify joins
+      val sh = ckp(floorPartitions(left.select(col(id), col(text)))
+        .withColumn("__toks", tokens(col(text)))
+        .select(col(id), shingles3(col("__toks")).as("__s"))
+        .filter(size(col("__s")) > 0))
+      val postings = sh.select(col(id).as("__pid"), explode(col("__s")).as("__sh"))
+      val keep = postings.groupBy(col("__sh"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .select(col("__sh"))
+      // materialized once: both sides of the pair self-join read the
+      // pruned postings (the duplicateSpans double-census class)
+      val pruned = ckp(postings.join(keep, Seq("__sh")))
+      val cand = pruned.select(col("__sh"), col("__pid").as("__ida"))
+        .join(pruned.select(col("__sh"), col("__pid").as("__idb")), Seq("__sh"))
+        .filter(col("__ida") < col("__idb"))
+        .groupBy(col("__ida"), col("__idb"))
+        .agg(count(lit(1)).as("__shared"))
+        .filter(col("__shared") >= minShared)
+      val inter = size(array_intersect(col("__sa"), col("__sb")))
+      cand
+        .join(sh.select(col(id).as("__ida"), col("__s").as("__sa")), Seq("__ida"))
+        .join(sh.select(col(id).as("__idb"), col("__s").as("__sb")), Seq("__idb"))
+        .withColumn("__cont",
+          inter.cast("double") / least(size(col("__sa")), size(col("__sb"))).cast("double"))
+        .filter(col("__cont") >= threshold)
+        .withColumn("__jac", inter.cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - inter).cast("double"))
+        .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"),
+          round(col("__cont"), 6).as("containment"),
+          round(col("__jac"), 6).as("jaccard"))
+    }
+
     /** MinHash + LSH banding near-dup pairs — the production-scale
       * formulation: banding carries only (id, band, bucket), candidate
       * pairs form inside a (band, bucket) — band buckets are

@@ -219,6 +219,19 @@ object Dedup {
       .removeDuplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20, maxDf = 100L)
       .orderBy(col("doc_id"))
 
+  /** q85: asymmetric containment pairs
+    * ([[graft.api.Ops.GraftDataFrameOps.containmentPairs]]) on the
+    * q69 corpus — the composites CONTAIN their source docs
+    * (containment 1.0 at Jaccard ≈ 0.5, exactly the pair q32/q33
+    * cannot see). Pruned inverted-index candidates, exact
+    * verification on full shingle sets, oracle-replayed end to end.
+    */
+  def q85(t: Tables): DataFrame =
+    spanCorpus(t)
+      .containmentPairs("doc_id", "text", threshold = 0.9,
+        maxDf = 100L, minShared = 3L)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** q80: semantic deduplication
     * ([[graft.api.Ops.GraftDataFrameOps.semanticDedup]]) on the q53
     * corpus (embeddings plus +0.01-shifted copies of the first 50 —

@@ -366,6 +366,31 @@ class OpsApiSpec extends AnyFunSuite {
     assert(out(3L)._3 == 13L * 10000L / 33L, s"basis points off: ${out(3L)}")
   }
 
+  test("containmentPairs finds a nested doc that LSH misses; guards honored") {
+    import spark.implicits._
+    val small = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val bigger = small + " " + (1 to 90).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),              // fully contained in 2
+      (2L, bigger),
+      (3L, (1 to 40).map(i => s"gamma$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = docs.containmentPairs("doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L,
+      s"exactly the nested pair must surface: ${pairs.toSeq}")
+    assert(pairs(0)._3 == 1.0, s"full nesting must score containment 1.0: ${pairs(0)}")
+    assert(pairs(0)._4 < 0.25, s"the same pair's Jaccard is tiny: ${pairs(0)}")
+    // ...which is exactly why the symmetric detectors cannot see it
+    val lsh = docs.minhashLshPairs("doc_id", "text", threshold = 0.5).count()
+    assert(lsh == 0, "Jaccard-based LSH must miss the nested pair at any sane threshold")
+    // threshold guard: a 50%-overlap pair stays below 0.9
+    val halfA = ((1 to 20).map(i => s"p$i") ++ (1 to 20).map(i => s"q$i")).mkString(" ")
+    val halfB = ((1 to 20).map(i => s"p$i") ++ (1 to 20).map(i => s"r$i")).mkString(" ")
+    val none = Seq((1L, halfA), (2L, halfB)).toDF("doc_id", "text")
+      .containmentPairs("doc_id", "text", threshold = 0.9).count()
+    assert(none == 0, "a 50% overlap must not pass a 0.9 containment threshold")
+  }
+
   test("prepared vocab / gram index reproduce the inline forms on their own corpus") {
     val docs = t.documents.select(col("doc_id"), col("text"))
     // capVocabAgainst(self-census) ≡ capVocab
