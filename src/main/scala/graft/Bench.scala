@@ -47,7 +47,8 @@ object Bench {
     "q73_lm_score", "q74_split", "q75_nfc", "q76_skew_stats",
     "q77_collocations", "q78_histogram", "q79_sample_group",
     "q80_semantic_dedup", "q81_cap_vocab", "q82_ngram_coverage",
-    "q83_quality_buckets", "q84_char_entropy", "q85_containment")
+    "q83_quality_buckets", "q84_char_entropy", "q85_containment",
+    "q86_keep_best")
 
   private val childMarker = "##BENCHQ##"
 

@@ -112,7 +112,26 @@ object ScaleProbe {
       "q75_nfc"       -> (t => operators.TextAnalysis.q75(t)),
       "q76_skew"      -> (t => operators.Extended.q76(t)),
       "q77_colloc"    -> (t => operators.TextAnalysis.q77(t)),
-      "q79_sample"    -> Pipeline.q79)
+      "q79_sample"    -> Pipeline.q79,
+      // SemDeDup's scale knob is the cluster count: k grows with N so
+      // the expected cluster stays ~625 vectors and per-reducer work
+      // is constant — THIS is what the op's scaladoc prescribes, so
+      // the probe exercises it (a fixed k would show cluster_size²
+      // growth by construction, not an operator defect)
+      "q80_semantic"  -> (t => {
+        import graft.api.Ops._
+        val k = math.max(8L, t.embeddings.count() / 625L)
+        val cents = t.embeddings.filter(col("vec_id") < k)
+          .select(col("vec_id"), col("embedding"))
+        t.embeddings.select(col("vec_id"), col("embedding"))
+          .semanticDedup("vec_id", "embedding", cents, "vec_id", "embedding",
+            threshold = 0.92)
+      }),
+      "q81_cap_vocab" -> (t => operators.TextAnalysis.q81(t)),
+      "q82_coverage"  -> Pipeline.q82,
+      "q83_buckets"   -> (t => operators.Extended.q83(t)),
+      "q84_entropy"   -> (t => operators.TextAnalysis.q84(t)),
+      "q85_contain"   -> (t => Dedup.q85(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

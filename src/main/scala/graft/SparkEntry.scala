@@ -105,6 +105,7 @@ object SparkEntry {
     "q83_quality_buckets" -> q(Extended.q83),
     "q84_char_entropy"    -> q(TextAnalysis.q84),
     "q85_containment"     -> q(Dedup.q85),
+    "q86_keep_best"       -> q(Dedup.q86),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1517,5 +1518,42 @@ object SparkEntry {
         |FROM v
         |WHERE inter / least(na, nb) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // keep-best replay: q46's pair graph + transitive closure, q55's
+    // rounded score, per-cluster argmax (score DESC, id) — singletons
+    // (docs in no pair) are their own cluster and keep themselves
+    "q86_keep_best" -> {
+      val pairSql =
+        s"""WITH RECURSIVE ${minhashPairCtes("documents")},
+           |sym AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
+           |        UNION ALL SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5),""".stripMargin
+      pairSql +
+        """
+          |reach AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM sym
+          |  UNION
+          |  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON r.b = s.doc_a)
+          |, lab AS (
+          |  SELECT a AS doc_id, least(MIN(b), a) AS cluster_id
+          |  FROM reach GROUP BY a),
+          |scored AS (
+          |  SELECT doc_id,
+          |    round(0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          |      + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+          |                   / CAST(length(text) AS DOUBLE))
+          |      + 0.2 * (CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+          |                    x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+          |               / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)),
+          |      6) AS quality
+          |  FROM documents)
+          |SELECT s.doc_id,
+          |  COALESCE(l.cluster_id, s.doc_id) AS cluster_id,
+          |  s.quality,
+          |  row_number() OVER (
+          |    PARTITION BY COALESCE(l.cluster_id, s.doc_id)
+          |    ORDER BY s.quality DESC, s.doc_id) = 1 AS kept
+          |FROM scored s LEFT JOIN lab l USING (doc_id)
+          |ORDER BY s.doc_id""".stripMargin
+    },
   )
 }

@@ -920,6 +920,43 @@ object Ops {
         .select(col(id), col("cluster"), col("__d").isNull.as("kept"))
     }
 
+    /** Keep-BEST near-dup dedup (q86) — the production dedup ACTION:
+      * where [[curate]] and q46 keep the minimum id of every near-dup
+      * cluster, a real pipeline keeps the highest-QUALITY member (the
+      * canonical page, not whichever mirror crawled first).
+      * Composition of the proven parts: MinHash-LSH pair graph
+      * ([[minhashLshPairs]] — the skew-proof banding path) →
+      * transitive closure ([[Ops.connectedComponentsWithRounds]]) →
+      * per-cluster argmax(quality, tie → lower id) via a window
+      * PARTITIONED by cluster (thousands of small partitions, no
+      * global ordering). Docs in no pair are their own singleton
+      * cluster and keep themselves.
+      *
+      * `quality` must be an engine-portable expression (integer
+      * arithmetic or rounded doubles, the q40/q55 score discipline)
+      * for the kept set to be bit-reproducible. Returns (id,
+      * cluster_id, quality, kept) for EVERY input row — filter on
+      * `kept` for the survivors, or audit the dropped members
+      * directly.
+      */
+    def dedupKeepBest(id: String, text: String, quality: Column,
+                      threshold: Double = 0.5, maxRounds: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame = {
+      val pairs = left.minhashLshPairs(id, text, threshold,
+        checkpointDir = checkpointDir)
+      val labels = connectedComponentsWithRounds(
+        pairs.select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b", maxRounds, checkpointDir)._1
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col(id))
+      left
+        .select(col(id), quality.as("quality"))
+        .join(labels, col(id).cast("long") === col("vertex"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col(id).cast("long")))
+        .withColumn("kept", row_number().over(w) === 1)
+        .select(col(id), col("cluster_id"), col("quality"), col("kept"))
+    }
+
     /** End-to-end curation (the generalized q55): quality gate by a
       * caller-supplied score column, exact dedup (fingerprint window,
       * keep min id), near-dup removal (drop the larger id of every

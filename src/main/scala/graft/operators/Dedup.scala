@@ -219,6 +219,30 @@ object Dedup {
       .removeDuplicateSpans("doc_id", "text", n = 8, minSpanTokens = 20, maxDf = 100L)
       .orderBy(col("doc_id"))
 
+  /** q86: keep-best near-dup dedup
+    * ([[graft.api.Ops.GraftDataFrameOps.dedupKeepBest]]) — every
+    * document labeled with its LSH-pair cluster and whether it is
+    * the cluster's highest-quality member (q55's composite score,
+    * rounded — engine-portable ranking). Singletons keep themselves.
+    * The oracle rebuilds the pair graph (q46's CTEs), closes it
+    * transitively, and replays the argmax.
+    */
+  def q86(t: Tables): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(col("__toks")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val nStop = size(filter(col("__toks"), x => x.isin("the", "a", "of", "and"))).cast("double")
+    val score =
+      lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / nChars) +
+      lit(0.2) * (nStop / nTokens)
+    t.documents
+      .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      .withColumn("__q", round(score, 6))
+      .dedupKeepBest("doc_id", "text", col("__q"), threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   /** q85: asymmetric containment pairs
     * ([[graft.api.Ops.GraftDataFrameOps.containmentPairs]]) on the
     * q69 corpus — the composites CONTAIN their source docs

@@ -366,6 +366,30 @@ class OpsApiSpec extends AnyFunSuite {
     assert(out(3L)._3 == 13L * 10000L / 33L, s"basis points off: ${out(3L)}")
   }
 
+  test("dedupKeepBest keeps the highest-quality cluster member, not the lowest id") {
+    import spark.implicits._
+    // docs 1/2/3 are near-dups (one token differs); doc 3 has the
+    // best quality — keep-best must choose it where min-id keeps 1.
+    // doc 9 is unrelated (singleton, keeps itself).
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " alpha", 10L),
+      (2L, base + " beta", 20L),
+      (3L, base + " gamma", 30L),
+      (9L, (1 to 40).map(i => s"z$i").mkString(" "), 5L)).toDF("doc_id", "text", "q")
+    val out = docs.dedupKeepBest("doc_id", "text", col("q"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, false)),
+      s"lower-quality cluster members must drop: $out")
+    assert(out(3L) == ((1L, true)), s"the best member keeps, regardless of id: $out")
+    assert(out(9L) == ((9L, true)), s"singletons keep themselves: $out")
+    // deterministic tie-break: equal quality → lowest id survives
+    val tied = Seq((5L, base + " x", 7L), (6L, base + " y", 7L)).toDF("doc_id", "text", "q")
+      .dedupKeepBest("doc_id", "text", col("q"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(tied == Map(5L -> true, 6L -> false), s"tie must break to the lower id: $tied")
+  }
+
   test("containmentPairs finds a nested doc that LSH misses; guards honored") {
     import spark.implicits._
     val small = (1 to 30).map(i => s"alpha$i").mkString(" ")

@@ -21,6 +21,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   // q46 omitted: its plan is materialized per-round via checkpoints
   // (already audited as the BSP shape); building it runs the full loop.
+  // q86 omitted for the same reason (dedupKeepBest runs the BSP
+  // closure over the LSH pair graph at plan-build time).
   // q35 is the brute-force ANN *baseline*: its broadcast nested-loop
   // (bounded query set broadcast against one corpus scan) is the
   // intended plan — the scale path is q36's IVF cell join.
@@ -35,7 +37,7 @@ class PlanShapeSpec extends AnyFunSuite {
     Bench.headline.filterNot(Set(
       "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
       "q76_skew_stats", "q77_collocations", "q78_histogram",
-      "q83_quality_buckets"))
+      "q83_quality_buckets", "q86_keep_best"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
