@@ -131,7 +131,8 @@ object ScaleProbe {
       "q82_coverage"  -> Pipeline.q82,
       "q83_buckets"   -> (t => operators.Extended.q83(t)),
       "q84_entropy"   -> (t => operators.TextAnalysis.q84(t)),
-      "q85_contain"   -> (t => Dedup.q85(t)))
+      "q85_contain"   -> (t => Dedup.q85(t)),
+      "q86_keep_best" -> (t => Dedup.q86(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the
