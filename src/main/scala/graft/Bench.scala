@@ -48,7 +48,7 @@ object Bench {
     "q77_collocations", "q78_histogram", "q79_sample_group",
     "q80_semantic_dedup", "q81_cap_vocab", "q82_ngram_coverage",
     "q83_quality_buckets", "q84_char_entropy", "q85_containment",
-    "q86_keep_best")
+    "q86_keep_best", "q87_edit_pairs")
 
   private val childMarker = "##BENCHQ##"
 
@@ -205,7 +205,7 @@ object Bench {
 
     def med(ts: Seq[Double]): Double = if (ts.isEmpty) -1.0 else median(ts)
     val qs = results.map { case (k, ts, _) => "\"" + k + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
-    // raw per-run times alongside the medians: two artifacts that
+    // raw per-run times on their OWN marked line: two artifacts that
     // differ on identical binaries are then self-diagnosing — wide
     // runs, stable median = environment skew, not a plan change
     val runsJson = results.map { case (k, ts, _) =>
@@ -219,7 +219,12 @@ object Bench {
       else if (inProc.isEmpty) "jvm-per-query"
       else "mixed"
     val fallbackJson = inProc.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sf","isolation":"$iso","in_process_queries":$fallbackJson}""")
     if (fellBack) fallbackSpark.stop()
+    // the consumer keeps only the LAST ~2000 chars of output and
+    // parses the JSON line out of that window, so the final line must
+    // stay compact: medians only (53 queries ≈ 1.6 kB), with the raw
+    // runs map emitted just above it under its own marker
+    println(s"""##BENCHRUNS## {"runs":$runsJson}""")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sf","isolation":"$iso","in_process_queries":$fallbackJson}""")
   }
 }

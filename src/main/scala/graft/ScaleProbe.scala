@@ -59,8 +59,20 @@ object ScaleProbe {
         .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
     }.reduce(_ unionByName _)
     evs.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // customer: replica k regenerates the name from the shifted key —
+    // "Customer#000001234" vs "Customer#100001234" is ONE digit apart,
+    // so every base name gains repl-1 true distance-1 neighbors (the
+    // adversarial case for q87's deletion-neighborhood index, same
+    // spirit as the near-dup document replicas)
+    val cust = (0 until repl).map { k =>
+      val t = spark.read.parquet(s"$base/customer.parquet")
+      if (k == 0) t
+      else t.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * 100000000L))
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+    }.reduce(_ unionByName _)
+    cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
     // remaining tables: symlink-equivalent copies for Tables loaders
-    for (n <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
+    for (n <- Seq("region", "nation", "supplier", "part", "orders", "lineitem"))
       spark.read.parquet(s"$base/$n.parquet").write.mode("overwrite").parquet(s"$dir/$n.parquet")
 
     val tN = Tables(spark, dir)
@@ -132,7 +144,8 @@ object ScaleProbe {
       "q83_buckets"   -> (t => operators.Extended.q83(t)),
       "q84_entropy"   -> (t => operators.TextAnalysis.q84(t)),
       "q85_contain"   -> (t => Dedup.q85(t)),
-      "q86_keep_best" -> (t => Dedup.q86(t)))
+      "q86_keep_best" -> (t => Dedup.q86(t)),
+      "q87_edit_pairs" -> (t => Dedup.q87(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -106,6 +106,7 @@ object SparkEntry {
     "q84_char_entropy"    -> q(TextAnalysis.q84),
     "q85_containment"     -> q(Dedup.q85),
     "q86_keep_best"       -> q(Dedup.q86),
+    "q87_edit_pairs"      -> q(Dedup.q87),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1555,5 +1556,15 @@ object SparkEntry {
           |FROM scored s LEFT JOIN lab l USING (doc_id)
           |ORDER BY s.doc_id""".stripMargin
     },
+
+    // edit-distance pairs: the oracle is the exact O(n²) answer —
+    // completeness of the Spark-side deletion-neighborhood index is
+    // checked pair-for-pair against the full cross join
+    "q87_edit_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -730,6 +730,88 @@ object Ops {
           round(col("__jac"), 6).as("jaccard"))
     }
 
+    /** Character-level edit-distance pairs (q87) — the record-linkage
+      * class NO token-set operator can express: "Customer#000000123"
+      * vs "Customer#000000128" is one substitution apart yet shares
+      * no token shingle, so q32/q33/q85 are all blind to the pair by
+      * construction. Entity names, titles, and near-identical IDs
+      * need Levenshtein, and an O(n²) cross join doesn't scale.
+      *
+      * Candidates come from the deletion neighborhood (the SymSpell
+      * family): if ed(A,B) ≤ d, an optimal alignment has i inserts +
+      * e deletes + s substitutions with i+e+s ≤ d; deleting the
+      * substituted/deleted positions from A (≤ d deletions) and the
+      * substituted/inserted positions from B (≤ d deletions) leaves
+      * exactly the aligned-equal characters of both — the SAME
+      * string. So self-joining every ≤d-deletion variant is
+      * EXACT-complete (no pair within distance d is ever missed) at
+      * ~Lᵈ keys per value instead of n² comparisons.
+      *
+      * Skew safety is q32's, because sequential ID-like values make
+      * some variant keys hot (every "Customer#00000012_" collapses
+      * to one key): keys are counted first, singleton keys pruned
+      * (never a pair), hot keys split into deterministic hash
+      * sub-blocks joined as a TRIANGLE of cells — every unordered
+      * pair in exactly one cell of one key, ≤ ~cap² rows per reducer
+      * — and pairs colliding under several variants are deduped
+      * before the exact codegen `levenshtein` verify (threshold form:
+      * abandons the DP row once d is exceeded).
+      *
+      * Returns (id_a, id_b, distance ≤ maxDistance), id_a < id_b;
+      * distance 0 = byte-identical values under distinct ids. Exact
+      * byte semantics (no normalization) — compose with
+      * `normalizeUnicode`/`stripMarkup` upstream when wanted.
+      */
+    def editDistancePairs(id: String, text: String, maxDistance: Int = 1,
+                          blockCap: Int = 512,
+                          checkpointDir: Option[String] = None): DataFrame = {
+      require(maxDistance >= 1 && maxDistance <= 2,
+        s"maxDistance must be 1 or 2 (got $maxDistance): the deletion " +
+          "neighborhood grows as L^d and verification cost follows")
+      require(blockCap > 0, "blockCap must be positive")
+      val ckp = lineageBreaker(checkpointDir)
+      // all ≤1-deletion variants of s (plus s itself, = 0 deletions);
+      // guarded: sequence(1, 0) would DESCEND, not produce empty
+      def withDels(arr: Column): Column = array_distinct(concat(arr,
+        flatten(transform(arr, s =>
+          when(length(s) > 0,
+            transform(sequence(lit(1), length(s)), i =>
+              concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
+            .otherwise(array().cast("array<string>"))))))
+      val keys0 = withDels(array(col(text)))
+      val keysCol = if (maxDistance == 1) keys0 else withDels(keys0)
+      // base is read three times (key explode + both verify legs)
+      val base = ckp(floorPartitions(
+        left.select(col(id), col(text)).filter(col(text).isNotNull)))
+      val keyed = base.select(col(id), explode(keysCol).as("__k"))
+      val counts = keyed.groupBy(col("__k"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > 1) // a singleton key cannot form a pair
+      val sub = ckp(keyed.join(counts, Seq("__k"))
+        .withColumn("__nsub", ceil(col("__bn").cast("double") / blockCap).cast("int"))
+        .withColumn("__sub", pmod(graft.util.Portable.portableHash64(col(id).cast("string")),
+          col("__nsub").cast("long")).cast("int")))
+      val a = sub.select(col("__k"), col("__sub").as("__p"),
+        explode(sequence(col("__sub"), col("__nsub") - 1)).as("__q"),
+        col(id).as("__ida"))
+      val b = sub.select(col("__k"),
+        explode(sequence(lit(0), col("__sub"))).as("__p"), col("__sub").as("__q"),
+        col(id).as("__idb"))
+      val cand = a.join(b, Seq("__k", "__p", "__q"))
+        // diagonal cells order by id; off-diagonal cells cross
+        // disjoint subsets (ids normalized below)
+        .filter(col("__p") < col("__q") || col("__ida") < col("__idb"))
+        .select(least(col("__ida"), col("__idb")).as("id_a"),
+          greatest(col("__ida"), col("__idb")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      cand
+        .join(base.select(col(id).as("id_a"), col(text).as("__ta")), Seq("id_a"))
+        .join(base.select(col(id).as("id_b"), col(text).as("__tb")), Seq("id_b"))
+        .withColumn("distance", levenshtein(col("__ta"), col("__tb"), maxDistance))
+        .filter(col("distance") >= 0) // threshold form returns -1 past d
+        .select(col("id_a"), col("id_b"), col("distance"))
+    }
+
     /** MinHash + LSH banding near-dup pairs — the production-scale
       * formulation: banding carries only (id, band, bucket), candidate
       * pairs form inside a (band, bucket) — band buckets are

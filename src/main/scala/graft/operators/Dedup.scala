@@ -256,6 +256,21 @@ object Dedup {
         maxDf = 100L, minShared = 3L)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** q87: character-level edit-distance pairs
+    * ([[graft.api.Ops.GraftDataFrameOps.editDistancePairs]]) on
+    * customer names — sequential "Customer#000000NNN" values form a
+    * dense distance-1 substitution graph AND make deletion-variant
+    * keys hot (every name sharing 17 of 18 characters), exactly the
+    * adversarial shape the singleton-prune + triangle-split guards
+    * exist for. Oracle = the exact O(n²) cross-join levenshtein in
+    * DuckDB, so completeness of the deletion-neighborhood index is
+    * verified pair-for-pair.
+    */
+  def q87(t: Tables): DataFrame =
+    t.customer.select(col("c_custkey"), col("c_name"))
+      .editDistancePairs("c_custkey", "c_name", maxDistance = 1)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** q80: semantic deduplication
     * ([[graft.api.Ops.GraftDataFrameOps.semanticDedup]]) on the q53
     * corpus (embeddings plus +0.01-shifted copies of the first 50 —

@@ -872,4 +872,41 @@ class OpsApiSpec extends AnyFunSuite {
     assert(t3(1L) == ((d1.mkString(" "), 0L)))
     assert(t3(2L) == (("", 40L)) && t3(3L) == (("", 40L)))
   }
+
+  test("editDistancePairs: complete vs brute force, all edit kinds, triangle split") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "kitten",   // 2: sub vs 3 (sitten? no: see below)
+      2L -> "mitten",   // sub of 1 (k->m), d=1
+      3L -> "kitte",    // deletion of 1, d=1
+      4L -> "kittens",  // insertion into 1, d=1
+      5L -> "kitten",   // exact dup of 1 under a distinct id, d=0
+      6L -> "smitten",  // insertion into 2, d=1; d=2 from 1
+      7L -> "xyzzy")    // unrelated
+    val df = rows.toDF("id", "s")
+    def brute(d: Int) = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+      .withColumn("distance", levenshtein($"a.s", $"b.s"))
+      .filter($"distance" <= d)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"distance")
+    for (d <- Seq(1, 2)) {
+      val api = df.editDistancePairs("id", "s", maxDistance = d)
+      val ref = brute(d)
+      assert(api.except(ref).isEmpty && ref.except(api).isEmpty,
+        s"d=$d: deletion-neighborhood result differs from brute force")
+    }
+    // hot-key triangle split (blockCap=1 forces sub-blocks everywhere)
+    // must be output-identical to the monolithic join
+    val split = df.editDistancePairs("id", "s", maxDistance = 1, blockCap = 1)
+    assert(split.except(brute(1)).isEmpty && brute(1).except(split).isEmpty,
+      "blockCap=1 triangle split changed the output")
+    // distance-0 pair (ids 1,5) must be reported with distance 0
+    val d0 = df.editDistancePairs("id", "s").filter($"distance" === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d0 == Seq((1L, 5L)), s"expected the exact-dup pair, got $d0")
+    // empty and null strings: no crash, empty==empty is a 0-distance pair
+    val weird = Seq(1L -> "", 2L -> "", 3L -> "a", 4L -> (null: String)).toDF("id", "s")
+    val w = weird.editDistancePairs("id", "s", maxDistance = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(w == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)), s"got $w")
+  }
 }
