@@ -1026,9 +1026,28 @@ object Ops {
                       checkpointDir: Option[String] = None): DataFrame = {
       val pairs = left.minhashLshPairs(id, text, threshold,
         checkpointDir = checkpointDir)
+      left.keepBestAmong(id, quality, pairs, "doc_a", "doc_b",
+        maxRounds, checkpointDir)
+    }
+
+    /** Keep-best reduction over an EXPLICIT near-dup edge list — the
+      * action stage of [[dedupKeepBest]] decoupled from its pair
+      * producer, so the same cluster-and-keep rule composes with ANY
+      * pair family: [[containmentPairs]] (the asymmetric class),
+      * [[editDistancePairs]] (the character-level class),
+      * `simhashNearDups`, or an externally-supplied graph. `edges`
+      * rows are undirected (edgeA, edgeB) id pairs over `left`'s
+      * `id` column; rows of `left` absent from every edge form
+      * singleton clusters and are always kept. Same output contract
+      * as [[dedupKeepBest]]: (id, cluster_id, quality, kept) for
+      * EVERY input row, keep = max quality (id ascending tiebreak).
+      */
+    def keepBestAmong(id: String, quality: Column, edges: DataFrame,
+                      edgeA: String, edgeB: String, maxRounds: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame = {
       val labels = connectedComponentsWithRounds(
-        pairs.select(col("doc_a"), col("doc_b")),
-        "doc_a", "doc_b", maxRounds, checkpointDir)._1
+        edges.select(col(edgeA), col(edgeB)),
+        edgeA, edgeB, maxRounds, checkpointDir)._1
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality").desc, col(id))
       left

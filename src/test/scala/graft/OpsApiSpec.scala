@@ -873,6 +873,33 @@ class OpsApiSpec extends AnyFunSuite {
     assert(t3(2L) == (("", 40L)) && t3(3L) == (("", 40L)))
   }
 
+  test("keepBestAmong composes the keep rule with any pair producer") {
+    import spark.implicits._
+    // edit-distance edges: 1-2-3 chain one substitution apart (NOT
+    // transitively: lev(1,3)=2, the cluster exists only through 2);
+    // 9 unrelated
+    val rows = Seq(
+      (1L, "alpha", 10L), (2L, "alphb", 30L), (3L, "alhhb", 20L),
+      (9L, "omega", 5L)).toDF("id", "s", "q")
+    val edges = rows.editDistancePairs("id", "s", maxDistance = 1)
+    val out = rows.keepBestAmong("id", col("q"), edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, false)) && out(3L) == ((1L, false)),
+      s"chain members below max quality must drop: $out")
+    assert(out(2L) == ((1L, true)), s"max-quality member keeps: $out")
+    assert(out(9L) == ((9L, true)), s"edge-less rows are singletons: $out")
+    // the LSH-producer form is literally dedupKeepBest
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " alpha", 10L), (2L, base + " beta", 20L),
+      (9L, (1 to 40).map(i => s"z$i").mkString(" "), 5L)).toDF("doc_id", "text", "q")
+    val viaEdges = docs.keepBestAmong("doc_id", col("q"),
+      docs.minhashLshPairs("doc_id", "text", 0.5), "doc_a", "doc_b")
+    val direct = docs.dedupKeepBest("doc_id", "text", col("q"), threshold = 0.5)
+    assert(viaEdges.except(direct).isEmpty && direct.except(viaEdges).isEmpty,
+      "keepBestAmong(minhashLshPairs) must equal dedupKeepBest")
+  }
+
   test("editDistancePairs: complete vs brute force, all edit kinds, triangle split") {
     import spark.implicits._
     val rows = Seq(
