@@ -215,6 +215,82 @@ object Ops {
     PreparedVocab(kept, minCount, unk, checkpointDir.isDefined)
   }
 
+  /** All ≤`maxDistance`-deletion variants of `text` (plus the value
+    * itself = 0 deletions), the candidate keys of the SymSpell-style
+    * edit-distance index ([[GraftDataFrameOps.editDistancePairs]],
+    * [[prepareEditIndex]]). Guarded for the empty string:
+    * `sequence(1, 0)` would DESCEND, not produce an empty array.
+    */
+  private[graft] def deletionVariantKeys(text: Column, maxDistance: Int): Column = {
+    def withDels(arr: Column): Column = array_distinct(concat(arr,
+      flatten(transform(arr, s =>
+        when(length(s) > 0,
+          transform(sequence(lit(1), length(s)), i =>
+            concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
+          .otherwise(array().cast("array<string>"))))))
+    val keys0 = withDels(array(text))
+    if (maxDistance == 1) keys0 else withDels(keys0)
+  }
+
+  /** An edit-distance index prepared ONCE over a reference catalog —
+    * the record-linkage analogue of [[PreparedCatalog]]: deletion-
+    * variant keys and (id, value) rows are checkpointed at prepare
+    * time, so matching any increment (a new batch, a live stream)
+    * against the catalog costs the increment's own variant explode +
+    * a key hash join + threshold-Levenshtein verify — the catalog is
+    * never rescanned.
+    */
+  final case class PreparedEditIndex private[graft] (
+    keys: DataFrame, base: DataFrame, id: String, text: String,
+    maxDistance: Int, reliable: Boolean)
+
+  /** Build a [[PreparedEditIndex]]; as with [[prepareLm]], streaming
+    * use requires a reliable `checkpointDir`. Unlike the within-corpus
+    * self-join there is no singleton-key prune (a key unique in the
+    * catalog can still collide with an increment value).
+    */
+  def prepareEditIndex(catalog: DataFrame, id: String, text: String,
+                       maxDistance: Int = 1,
+                       checkpointDir: Option[String] = None): PreparedEditIndex = {
+    require(maxDistance >= 1 && maxDistance <= 2,
+      s"maxDistance must be 1 or 2 (got $maxDistance)")
+    val ckp = lineageBreaker(checkpointDir)
+    val base = ckp(floorPartitions(
+      catalog.select(col(id), col(text)).filter(col(text).isNotNull)))
+    val keys = ckp(base.select(col(id),
+      explode(deletionVariantKeys(col(text), maxDistance)).as("__k")))
+    PreparedEditIndex(keys, base, id, text, maxDistance, checkpointDir.isDefined)
+  }
+
+  /** Edit-distance matches of `left` against a prepared catalog index
+    * — the shared core of the batch and streaming forms. Returns
+    * (id, catalog_id, distance ≤ maxDistance) for every increment row
+    * within distance of a catalog row; cross-side candidates come
+    * from the deletion-variant key join (exact-complete, see
+    * [[GraftDataFrameOps.editDistancePairs]]), hot keys are a plain
+    * two-sided equi-join (AQE skew splits apply — the n² self-join
+    * triangle machinery is not needed across disjoint sides).
+    */
+  private[graft] def editPairsAgainstPrepared(left: DataFrame, id: String, text: String,
+                                              prepared: PreparedEditIndex,
+                                              ckp: DataFrame => DataFrame = identity): DataFrame = {
+    val base = ckp(floorPartitions(
+      left.select(col(id), col(text)).filter(col(text).isNotNull)))
+    val keyed = base.select(col(id),
+      explode(deletionVariantKeys(col(text), prepared.maxDistance)).as("__k"))
+    val cand = keyed.join(
+        prepared.keys.select(col("__k"), col(prepared.id).as("__cid")), Seq("__k"))
+      .select(col(id), col("__cid"))
+      .dropDuplicates(id, "__cid")
+    cand
+      .join(base.select(col(id), col(text).as("__ta")), Seq(id))
+      .join(prepared.base.select(col(prepared.id).as("__cid"),
+        col(prepared.text).as("__tb")), Seq("__cid"))
+      .withColumn("distance", levenshtein(col("__ta"), col("__tb"), prepared.maxDistance))
+      .filter(col("distance") >= 0)
+      .select(col(id), col("__cid").as("catalog_id"), col("distance"))
+  }
+
   /** Join-and-reassemble core shared by [[GraftDataFrameOps.capVocab]]
     * (kept set from the input's own census) and the prepared forms
     * (frozen kept set): positional tokens left-join the kept vocab,
@@ -770,16 +846,7 @@ object Ops {
           "neighborhood grows as L^d and verification cost follows")
       require(blockCap > 0, "blockCap must be positive")
       val ckp = lineageBreaker(checkpointDir)
-      // all ≤1-deletion variants of s (plus s itself, = 0 deletions);
-      // guarded: sequence(1, 0) would DESCEND, not produce empty
-      def withDels(arr: Column): Column = array_distinct(concat(arr,
-        flatten(transform(arr, s =>
-          when(length(s) > 0,
-            transform(sequence(lit(1), length(s)), i =>
-              concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))))
-            .otherwise(array().cast("array<string>"))))))
-      val keys0 = withDels(array(col(text)))
-      val keysCol = if (maxDistance == 1) keys0 else withDels(keys0)
+      val keysCol = deletionVariantKeys(col(text), maxDistance)
       // base is read three times (key explode + both verify legs)
       val base = ckp(floorPartitions(
         left.select(col(id), col(text)).filter(col(text).isNotNull)))
