@@ -21,19 +21,25 @@ final class Tables(val spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; it is read as raw nanos (the `nanosAsLong` legacy
-    * flag — set at session construction by GraftSession/Verify/Bench,
-    * NOT here: loaders are side-effect-free) and surfaced as a
-    * microsecond timestamp column (the generator writes µs precision,
-    * so `div 1000` is lossless and matches DuckDB).
+  /** `events.ts` has shipped in three physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as raw nanos under the
+    * `nanosAsLong` legacy flag — set at session construction by
+    * GraftSession/Verify/Bench, NOT here: loaders are side-effect-free),
+    * TIMESTAMP(MICROS) without UTC adjustment (Spark: TIMESTAMP_NTZ),
+    * and plain TIMESTAMP. All three carry µs-precision instants, so the
+    * loader branches on the OBSERVED type and surfaces one stable
+    * `timestamp` column (session timezone is pinned UTC, making the
+    * NTZ cast instant-preserving and DuckDB-identical).
     */
   def events: DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (GraftSession does)")
-    table("events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = table("events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast("timestamp")
+      case _                => col("ts")
+    }
+    raw.withColumn("ts", ts)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }
