@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON; sbt's
+// default LoggedOutput decorates every forked-process line with
+// "[info] ", which breaks that parse (BENCH_r08 "parsed": null).
+// StdoutOutput passes child stdout through byte-for-byte.
+// (runMain's forkOptions read the run-scoped setting, verified: the
+// bench JSON line prints bare under `sbt "runMain graft.Bench"`)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -56,12 +56,21 @@ object Similarity {
     * with [[Vectors.kmeansCentroids]] (train the quantizer, then
     * search its cells). Scale shape:
     *
-    *  - **cell assignment is pure map-side**: the centroids are
-    *    collected (k × dim doubles — driver-tiny) and embedded as a
-    *    literal array, so the per-row nearest-cells ranking is a
-    *    codegen'd sort over k structs — no join, no shuffle, for both
-    *    the corpus and the query side (vs the window-over-crossjoin
-    *    formulation, which shuffles n×k rows);
+    *  - **cell assignment follows k** (the semanticDedup pattern): at
+    *    or below `maxLiteralCentroids` the centroids are collected
+    *    (k × dim doubles — driver-tiny) and embedded as a literal
+    *    array, so the per-row nearest-cells ranking is a codegen'd
+    *    sort over k structs — no join, no shuffle, for both the
+    *    corpus and the query side; ABOVE it (the k ∝ N quantizer
+    *    regime) a 10⁵-cell literal would make the plan itself the
+    *    bottleneck, so the centroid FRAME is broadcast-joined: the
+    *    corpus's 1 home cell is a map-combinable min over (−score,
+    *    cid) structs (shuffle carries corpus-sized data, never
+    *    corpus×k), and the QUERY side's nprobe cells rank in a
+    *    per-qid window — n×k rows shuffle there, fine because the
+    *    query set is small by contract (it is broadcast below). Both
+    *    paths use the same (negscore, cid) ordering, so cell
+    *    assignment is bit-identical (spec-pinned);
     *  - candidates live in their 1 home cell, queries probe their
     *    `nprobe` nearest cells (the standard recall lever);
     *  - the search joins the partitioned corpus against the broadcast
@@ -69,23 +78,45 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               id: String, emb: String, centroidId: String, centroidEmb: String,
-              k: Int = 5, nprobe: Int = 2): DataFrame = {
+              k: Int = 5, nprobe: Int = 2,
+              maxLiteralCentroids: Int = 4096): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val cents = centroids
+    val cdf = centroids
       .select(col(centroidId).cast("long").as("cid"),
         col(centroidEmb).cast("array<double>").as("ce"))
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(cents.nonEmpty, "ivfTopK: empty centroid set")
-    val centLit = array(cents.map { case (cid, ce) =>
-      struct(lit(cid).as("cid"), array(ce.map(lit): _*).as("ce")) }: _*)
-    // per-row cell ranking: sort k (−score, cid) structs — ties break
-    // on the lower centroid id, matching the window formulation
+    val nCents = cdf.count()
+    require(nCents > 0, "ivfTopK: empty centroid set")
+    def negscore(embCol: String, ce: Column) =
+      lit(-1.0) * call_function("cosine_sim", col(embCol), ce)
+    // per-row cell ranking: (−score, cid) ordering — ties break on
+    // the lower centroid id, identical in both assignment paths
     def withCells(df: DataFrame, n: Int, outId: String, outEmb: String): DataFrame = {
-      val ranked = sort_array(transform(centLit, ct => struct(
-        (lit(-1.0) * call_function("cosine_sim", col(outEmb), ct.getField("ce"))).as("negscore"),
-        ct.getField("cid").as("cid"))))
-      df.select(col(id).as(outId), col(emb).cast("array<double>").as(outEmb))
-        .withColumn("cell", explode(transform(slice(ranked, 1, n), s => s.getField("cid"))))
+      val base = df.select(col(id).as(outId), col(emb).cast("array<double>").as(outEmb))
+      if (nCents <= maxLiteralCentroids) {
+        val cents = cdf.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        val centLit = array(cents.map { case (cid, ce) =>
+          struct(lit(cid).as("cid"), array(ce.map(lit): _*).as("ce")) }: _*)
+        val ranked = sort_array(transform(centLit, ct => struct(
+          negscore(outEmb, ct.getField("ce")).as("negscore"),
+          ct.getField("cid").as("cid"))))
+        base.withColumn("cell", explode(transform(slice(ranked, 1, n), s => s.getField("cid"))))
+      } else if (n == 1) {
+        base.crossJoin(broadcast(cdf))
+          .select(col(outId), col(outEmb),
+            struct(negscore(outEmb, col("ce")).as("negscore"), col("cid")).as("__sc"))
+          .groupBy(col(outId))
+          .agg(first(col(outEmb)).as(outEmb), min(col("__sc")).as("__best"))
+          .select(col(outId), col(outEmb), col("__best").getField("cid").as("cell"))
+      } else {
+        val cw = Window.partitionBy(col(outId))
+          .orderBy(col("__sc.negscore"), col("__sc.cid"))
+        base.crossJoin(broadcast(cdf))
+          .select(col(outId), col(outEmb),
+            struct(negscore(outEmb, col("ce")).as("negscore"), col("cid")).as("__sc"))
+          .withColumn("__r", row_number().over(cw))
+          .filter(col("__r") <= n)
+          .select(col(outId), col(outEmb), col("__sc").getField("cid").as("cell"))
+      }
     }
     val c = withCells(corpus, 1, "vid", "c_emb")
     val q = withCells(queries, nprobe, "qid", "q_emb")

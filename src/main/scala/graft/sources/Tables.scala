@@ -32,12 +32,22 @@ final class Tables(val spark: SparkSession, dir: String) {
     * NTZ cast instant-preserving and DuckDB-identical).
     */
   def events: DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table("events")
     val ts = raw.schema("ts").dataType match {
       case LongType         => expr("timestamp_micros(ts div 1000)")
-      case TimestampNTZType => col("ts").cast("timestamp")
-      case _                => col("ts")
+      case TimestampNTZType =>
+        // instant-preserving ONLY under a UTC session; this is a public
+        // loader, so assert the precondition instead of silently
+        // shifting every instant in a non-UTC session (ADVICE r8)
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events: TIMESTAMP_NTZ ts requires spark.sql.session.timeZone=UTC " +
+            s"(got ${spark.conf.get("spark.sql.session.timeZone")})")
+        col("ts").cast("timestamp")
+      case TimestampType    => col("ts")
+      case other            => sys.error(
+        s"Tables.events: unsupported physical type for ts: $other " +
+          "(expected LONG nanos, TIMESTAMP_NTZ micros, or TIMESTAMP)")
     }
     raw.withColumn("ts", ts)
       .select(col("event_id"), col("ts"), col("user_id"),

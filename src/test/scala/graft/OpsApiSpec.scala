@@ -936,4 +936,121 @@ class OpsApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(w == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)), s"got $w")
   }
+
+  test("editDistancePairs enforces its short-string contract via maxLength") {
+    import spark.implicits._
+    // VERDICT r8 #7: pointing this operator at document text used to
+    // silently start an L²-key explosion; now it fails the run with
+    // the offending id before any key explodes
+    val long = Seq(1L -> ("a" * 600), 2L -> "abc").toDF("id", "s")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "|" + msgs(t.getCause)
+    val e = intercept[Exception] { long.editDistancePairs("id", "s").count() }
+    assert(msgs(e).contains("maxLength"), s"expected the maxLength error, got: ${msgs(e).take(400)}")
+    assert(msgs(e).contains("id=1"), s"the offending id must be named: ${msgs(e).take(400)}")
+    // raising the cap (or short values) passes untouched
+    val ok = long.editDistancePairs("id", "s", maxLength = 1000)
+    assert(ok.count() == 0)
+  }
+
+  test("connectedComponents and keepBestAmong work on STRING ids (no silent all-singletons)") {
+    import spark.implicits._
+    // VERDICT r8 #2: string ids used to cast("long") to null, every
+    // label join missed, and the operator returned everything as its
+    // own kept singleton — "no duplicates found", silently.
+    val rows = Seq(
+      ("docA", 10L), ("docB", 30L), ("docC", 20L), ("lonely", 5L)).toDF("id", "q")
+    val edges = Seq(("docA", "docB"), ("docB", "docC")).toDF("a", "b")
+    val out = rows.keepBestAmong("id", col("q"), edges, "a", "b")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(3)))).toMap
+    assert(Set(out("docA")._1, out("docB")._1, out("docC")._1).size == 1,
+      s"the chain must be ONE cluster: $out")
+    assert(out("docB")._2 && !out("docA")._2 && !out("docC")._2,
+      s"max-quality docB keeps, the rest drop: $out")
+    assert(out("lonely") == (("lonely", true)), s"singletons keep their own id: $out")
+    // both CC engines label string graphs in ORIGINAL id space, with
+    // the same deterministic canonical representative
+    val bsp = edges.connectedComponents("a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bsp.keySet == Set("docA", "docB", "docC") && bsp.values.toSet.size == 1,
+      s"BSP labels: $bsp")
+    val star = edges.connectedComponentsStar("a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star == bsp, s"star must agree with BSP on string graphs: $star vs $bsp")
+    // the LSH-producer path composes end-to-end on string doc ids
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("d-one", base + " alpha", 10L), ("d-two", base + " beta", 20L),
+      ("d-zzz", (1 to 40).map(i => s"z$i").mkString(" "), 5L)).toDF("doc_id", "text", "q")
+    val kb = docs.dedupKeepBest("doc_id", "text", col("q"), threshold = 0.5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(kb == Map("d-one" -> false, "d-two" -> true, "d-zzz" -> true),
+      s"string-id dedupKeepBest must find the near-dup pair: $kb")
+  }
+
+  test("semanticDedup large-k broadcast path is bit-identical to the literal path") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = t.embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val planted = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("emb"), v => v + lit(0.005)).as("emb"))
+    val corpus = base.unionByName(planted)
+    val centroids = t.embeddings.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"))
+    def run(cutoff: Int) = corpus.semanticDedup("vec_id", "emb", centroids,
+      "vec_id", "embedding", threshold = 0.95, maxLiteralCentroids = cutoff)
+    val viaLiteral = run(4096)   // k=64 ≤ cutoff → plan-literal argmax
+    val viaJoin = run(1)         // k=64 > cutoff → broadcast-join argmax
+    assert(viaLiteral.except(viaJoin).isEmpty && viaJoin.except(viaLiteral).isEmpty,
+      "assignment paths must agree bit-for-bit on (id, cluster, kept)")
+    assert(viaJoin.filter(!col("kept")).count() > 0,
+      "sanity: the planted copies must drop on the join path too")
+  }
+
+  test("ivfTopK large-k broadcast path matches the literal path") {
+    import graft.operators.Similarity
+    val centroids = t.embeddings
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    def run(cutoff: Int) = Similarity.ivfTopK(
+      t.embeddings, t.embeddings.filter(col("vec_id") < 10), centroids,
+      id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      k = 5, nprobe = 2, maxLiteralCentroids = cutoff)
+      .select(col("qid"), col("rank"), col("vid"))
+    val viaLiteral = run(4096)  // 8 ≤ cutoff → literal cell ranking
+    val viaJoin = run(1)        // 8 > cutoff → broadcast join + min/window
+    assert(viaLiteral.except(viaJoin).isEmpty && viaJoin.except(viaLiteral).isEmpty,
+      "cell assignment paths must produce identical search results")
+  }
+
+  test("curate keepBest mode keeps the max-quality near-dup cluster member") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val zText = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " alpha", 10L),  // near-dup cluster {1,2,3}
+      (2L, base + " beta", 20L),
+      (3L, base + " gamma", 30L),  // best quality in the cluster
+      (9L, zText, 5L),             // unrelated
+      (10L, zText, 50L),           // exact dup of 9 (exact stage keeps min id)
+      (11L, "low quality", 0L)     // gated out
+    ).toDF("doc_id", "text", "q")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // default action: drop the larger id of every verified pair
+    val minId = docs.curate("doc_id", "text", col("q"), minQuality = 1.0)
+    assert(ids(minId) == Set(1L, 9L), s"min-id action: ${ids(minId)}")
+    // keep-best action: cluster transitively, keep max quality
+    val best = docs.curate("doc_id", "text", col("q"), minQuality = 1.0,
+      keepBest = Some(col("q")))
+    assert(ids(best) == Set(3L, 9L), s"keep-best action: ${ids(best)}")
+    // ≡ the dedupKeepBest composition over the exact-dedup survivors
+    val exactKept = docs.filter(col("q") >= 1.0).filter(col("doc_id") =!= 10L)
+    val composed = exactKept.dedupKeepBest("doc_id", "text", col("q"), threshold = 0.5)
+      .filter(col("kept")).select("doc_id")
+    assert(ids(best) == composed.collect().map(_.getLong(0)).toSet,
+      "curate(keepBest) must equal the dedupKeepBest composition")
+  }
 }
