@@ -81,6 +81,10 @@ object AvroSchemas {
       case INT =>
         Some(s.getLogicalType match {
           case _: LogicalTypes.Date => DateType
+          // time-millis: Spark has no TIME type — millis-since-midnight
+          // int passthrough, marked in field metadata (see
+          // unrepresentableLogical)
+          case _: LogicalTypes.TimeMillis => IntegerType
           case _                    => IntegerType
         })
       case LONG =>
@@ -88,15 +92,23 @@ object AvroSchemas {
           case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros => TimestampType
           case _: LogicalTypes.LocalTimestampMicros | _: LogicalTypes.LocalTimestampMillis =>
             TimestampNTZType
+          // time-micros: micros-since-midnight long passthrough (no
+          // Spark TIME type), marked in field metadata
+          case _: LogicalTypes.TimeMicros => LongType
           case _ => LongType
         })
       case FLOAT  => Some(FloatType)
       case DOUBLE => Some(DoubleType)
+      // uuid logical type rides on string; the value IS the canonical
+      // string form, so StringType is lossless (marked in metadata)
       case STRING => Some(StringType)
       case ENUM   => Some(StringType)
       case BYTES | FIXED =>
         Some(s.getLogicalType match {
           case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+          // duration: the raw months/days/millis fixed(12) passes
+          // through as 12 opaque bytes (no Spark interval maps to the
+          // calendar-dependent avro duration), marked in metadata
           case _                       => BinaryType
         })
       case ARRAY =>
@@ -124,11 +136,46 @@ object AvroSchemas {
           val inner = seen.updated(name, depth + 1)
           val fields = s.getFields.asScala.flatMap { f =>
             convert(f.schema(), inner, maxDepth).map { dt =>
-              StructField(f.name(), dt, nullable = nullable(f.schema()) || f.hasDefaultValue)
+              StructField(f.name(), dt,
+                nullable = nullable(f.schema()) || f.hasDefaultValue,
+                metadata = logicalMarker(f.schema()))
             }
           }.toSeq
           Some(StructType(fields))
         }
+    }
+  }
+
+  /** Logical types with NO native Spark representation map to their
+    * underlying storage type deliberately — `time-millis` →
+    * int-millis-since-midnight, `time-micros` → long-micros, `uuid` →
+    * canonical string, `duration` → the raw months/days/millis 12-byte
+    * fixed — and the semantic is recorded in the Spark field's
+    * metadata under `avro.logicalType`, so the mapping is visible to
+    * callers (not a silent fallback) and [[toAvroSchema]] can
+    * reconstruct the logical type on the unfold direction.
+    */
+  val LogicalTypeKey = "avro.logicalType"
+
+  private val markedLogicals = Set("time-millis", "time-micros", "uuid", "duration")
+
+  private def logicalMarker(fieldSchema: Schema): Metadata = {
+    // unwrap a [null, T] nullable union to the payload type
+    val inner = fieldSchema.getType match {
+      case Schema.Type.UNION =>
+        fieldSchema.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq match {
+          case Seq(only) => only
+          case _         => return Metadata.empty
+        }
+      case _ => fieldSchema
+    }
+    // duration predates avro-java's LogicalType parsing in some
+    // writers — honor the raw prop too
+    val name = Option(inner.getLogicalType).map(_.getName)
+      .orElse(Option(inner.getProp("logicalType")))
+    name.filter(markedLogicals) match {
+      case Some(n) => new MetadataBuilder().putString(LogicalTypeKey, n).build()
+      case None    => Metadata.empty
     }
   }
 
@@ -165,7 +212,8 @@ object AvroSchemas {
       case StructType(fields) =>
         val rec = Schema.createRecord(path, null, namespace, false)
         rec.setFields(fields.map { f =>
-          new Schema.Field(f.name, optional(go(f.dataType, path + "_" + f.name), f.nullable),
+          val base = marked(f).getOrElse(go(f.dataType, path + "_" + f.name))
+          new Schema.Field(f.name, optional(base, f.nullable),
             null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
         }.toList.asJava)
         rec
@@ -176,6 +224,25 @@ object AvroSchemas {
       if (isNullable && s.getType != Schema.Type.NULL)
         Schema.createUnion(Schema.create(Schema.Type.NULL), s)
       else s
+    // reconstruct a no-native-Spark-type logical from the field
+    // metadata [[logicalMarker]] recorded on the fold direction; the
+    // underlying Spark type must still match the storage type, so a
+    // stray/forged marker fails loudly instead of mis-encoding
+    def marked(f: StructField): Option[Schema] =
+      if (!f.metadata.contains(LogicalTypeKey)) None
+      else Some((f.metadata.getString(LogicalTypeKey), f.dataType) match {
+        case ("time-millis", IntegerType) =>
+          LogicalTypes.timeMillis().addToSchema(Schema.create(Schema.Type.INT))
+        case ("time-micros", LongType) =>
+          LogicalTypes.timeMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case ("uuid", StringType) =>
+          LogicalTypes.uuid().addToSchema(Schema.create(Schema.Type.STRING))
+        case ("duration", BinaryType) =>
+          LogicalTypes.duration().addToSchema(
+            Schema.createFixed(name + "_" + f.name + "_duration", null, namespace, 12))
+        case (lt, dt) => throw new IllegalArgumentException(
+          s"field ${f.name}: avro.logicalType '$lt' does not ride on Spark type $dt")
+      })
     go(dt, name)
   }
 

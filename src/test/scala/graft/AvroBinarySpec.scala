@@ -124,6 +124,43 @@ class AvroBinarySpec extends AnyFunSuite {
     assert(attrs.map { case (k, v) => k.toString -> v }.toMap == Map("z" -> -1))
   }
 
+  test("time/uuid/duration logical datums roundtrip through binary Avro and cross-read") {
+    import org.apache.spark.sql.Row
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
+    import org.apache.avro.io.DecoderFactory
+    val schemaJson =
+      """{"type": "record", "name": "LT", "namespace": "t", "fields": [
+        |  {"name": "t_ms", "type": {"type": "int", "logicalType": "time-millis"}},
+        |  {"name": "t_us", "type": ["null", {"type": "long", "logicalType": "time-micros"}], "default": null},
+        |  {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
+        |  {"name": "dur", "type": {"type": "fixed", "name": "Dur", "size": 12, "logicalType": "duration"}}]}""".stripMargin
+    val st = graft.data.AvroSchemas.toSparkType(
+      graft.data.AvroSchemas.parse(schemaJson)).asInstanceOf[org.apache.spark.sql.types.StructType]
+    // duration fixed(12): 3 little-endian uints (months, days, millis)
+    val dur = Array[Byte](1, 0, 0, 0, 2, 0, 0, 0, -24, 3, 0, 0) // 1mo 2d 1000ms
+    val rows = Seq(
+      Row(45000000, 81234567890L, "123e4567-e89b-12d3-a456-426614174000", dur),
+      Row(0, null, "00000000-0000-0000-0000-000000000000", Array.fill[Byte](12)(0)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
+    val enc = AvroBinary.encodeAs(df, schemaJson)
+    val back = AvroBinary.decode(enc, "avro_bin", schemaJson).orderBy(desc("t_ms")).collect()
+    assert(back(0).getInt(0) == 45000000 && back(0).getLong(1) == 81234567890L)
+    assert(back(0).getString(2) == "123e4567-e89b-12d3-a456-426614174000")
+    assert(back(0).getAs[Array[Byte]](3).toSeq == dur.toSeq,
+      "duration bytes must pass through untouched")
+    assert(back(1).isNullAt(1), "nullable time-micros union holds null")
+    // cross-read by plain avro-core proves the wire encoding is the
+    // real logical-typed one (fixed 12 bytes, string uuid, int/long times)
+    val schema = new Schema.Parser().parse(schemaJson)
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val rec = reader.read(null, DecoderFactory.get().binaryDecoder(
+      enc.collect().map(_.getAs[Array[Byte]](0)).head, null))
+    assert(rec.get("t_ms") == 45000000)
+    assert(rec.get("uid").toString == "123e4567-e89b-12d3-a456-426614174000")
+    assert(rec.get("dur").asInstanceOf[GenericData.Fixed].bytes().toSeq == dur.toSeq)
+  }
+
   test("binary encode validates enum symbols and fixed lengths") {
     import org.apache.spark.sql.Row
     val st = adtDf.schema
