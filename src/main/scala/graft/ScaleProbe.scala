@@ -139,6 +139,21 @@ object ScaleProbe {
           .semanticDedup("vec_id", "embedding", cents, "vec_id", "embedding",
             threshold = 0.92)
       }),
+      // large-k assignment probe (VERDICT r8 #1): k = N/2 puts the
+      // 10x run in the 10⁴-centroid class, ABOVE maxLiteralCentroids
+      // — the broadcast-join argmax path a k ∝ N quantizer actually
+      // runs at corpus scale (1x stays under the cutoff on the
+      // literal path, so the row also spans the transition). Clusters
+      // average 2 members, so the timing isolates ASSIGNMENT cost —
+      // the thing the centroid literal used to bottleneck.
+      "q80_bigk"      -> (t => {
+        import graft.api.Ops._
+        val cents = t.embeddings.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("embedding"))
+        t.embeddings.select(col("vec_id"), col("embedding"))
+          .semanticDedup("vec_id", "embedding", cents, "vec_id", "embedding",
+            threshold = 0.92)
+      }),
       "q81_cap_vocab" -> (t => operators.TextAnalysis.q81(t)),
       "q82_coverage"  -> Pipeline.q82,
       "q83_buckets"   -> (t => operators.Extended.q83(t)),

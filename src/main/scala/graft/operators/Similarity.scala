@@ -63,14 +63,15 @@ object Similarity {
     *    sort over k structs — no join, no shuffle, for both the
     *    corpus and the query side; ABOVE it (the k ∝ N quantizer
     *    regime) a 10⁵-cell literal would make the plan itself the
-    *    bottleneck, so the centroid FRAME is broadcast-joined: the
-    *    corpus's 1 home cell is a map-combinable min over (−score,
-    *    cid) structs (shuffle carries corpus-sized data, never
-    *    corpus×k), and the QUERY side's nprobe cells rank in a
-    *    per-qid window — n×k rows shuffle there, fine because the
-    *    query set is small by contract (it is broadcast below). Both
-    *    paths use the same (negscore, cid) ordering, so cell
-    *    assignment is bit-identical (spec-pinned);
+    *    bottleneck, so the centroids collapse to ONE row holding the
+    *    (cid, ce) struct array, broadcast keyless onto both sides
+    *    (the q48/q83 1-row-NLJ shape) and ranked by the SAME
+    *    sort_array fold — identical per-row compute, centroid-free
+    *    plan, no aggregation or extra shuffle. Both paths use the
+    *    same (negscore, cid) ordering, so cell assignment is
+    *    bit-identical (spec-pinned). Past ~10⁵ cells × large dim the
+    *    array row approaches broadcast limits: go two-level
+    *    (coarse literal + per-cell fine);
     *  - candidates live in their 1 home cell, queries probe their
     *    `nprobe` nearest cells (the standard recall lever);
     *  - the search joins the partitioned corpus against the broadcast
@@ -92,30 +93,21 @@ object Similarity {
     // the lower centroid id, identical in both assignment paths
     def withCells(df: DataFrame, n: Int, outId: String, outEmb: String): DataFrame = {
       val base = df.select(col(id).as(outId), col(emb).cast("array<double>").as(outEmb))
+      def rankedOver(cents: Column) = sort_array(transform(cents, ct => struct(
+        negscore(outEmb, ct.getField("ce")).as("negscore"),
+        ct.getField("cid").as("cid"))))
+      def cells(ranked: Column) =
+        explode(transform(slice(ranked, 1, n), s => s.getField("cid"))).as("cell")
       if (nCents <= maxLiteralCentroids) {
         val cents = cdf.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
         val centLit = array(cents.map { case (cid, ce) =>
           struct(lit(cid).as("cid"), array(ce.map(lit): _*).as("ce")) }: _*)
-        val ranked = sort_array(transform(centLit, ct => struct(
-          negscore(outEmb, ct.getField("ce")).as("negscore"),
-          ct.getField("cid").as("cid"))))
-        base.withColumn("cell", explode(transform(slice(ranked, 1, n), s => s.getField("cid"))))
-      } else if (n == 1) {
-        base.crossJoin(broadcast(cdf))
-          .select(col(outId), col(outEmb),
-            struct(negscore(outEmb, col("ce")).as("negscore"), col("cid")).as("__sc"))
-          .groupBy(col(outId))
-          .agg(first(col(outEmb)).as(outEmb), min(col("__sc")).as("__best"))
-          .select(col(outId), col(outEmb), col("__best").getField("cid").as("cell"))
+        base.withColumn("cell", cells(rankedOver(centLit)))
       } else {
-        val cw = Window.partitionBy(col(outId))
-          .orderBy(col("__sc.negscore"), col("__sc.cid"))
-        base.crossJoin(broadcast(cdf))
-          .select(col(outId), col(outEmb),
-            struct(negscore(outEmb, col("ce")).as("negscore"), col("cid")).as("__sc"))
-          .withColumn("__r", row_number().over(cw))
-          .filter(col("__r") <= n)
-          .select(col(outId), col(outEmb), col("__sc").getField("cid").as("cell"))
+        val centsArr = cdf.agg(collect_list(struct(col("cid"), col("ce"))).as("__cents"))
+        base.join(broadcast(centsArr))
+          .withColumn("cell", cells(rankedOver(col("__cents"))))
+          .drop("__cents")
       }
     }
     val c = withCells(corpus, 1, "vid", "c_emb")
