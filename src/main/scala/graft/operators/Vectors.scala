@@ -44,10 +44,16 @@ object Vectors {
     * coarse quantizer an IVF ANN index needs (q36 searches fixed
     * cells; this learns them). Scale shape per iteration:
     *
-    *  - **assignment is pure map-side**: the k centroids are collected
-    *    (k × dim doubles — driver-tiny, like q46's convergence probe)
-    *    and embedded as a literal array, so the argmin is a codegen'd
-    *    expression over the streaming corpus scan — zero shuffle;
+    *  - **assignment is pure map-side and follows k** (the
+    *    semanticDedup/ivfTopK pattern): at or below
+    *    `maxLiteralCentroids` the k centroids embed as a plan
+    *    literal, so the argmin is a codegen'd expression over the
+    *    streaming corpus scan — zero shuffle; above it (the k ∝ N
+    *    quantizer regime, and this cost repeats × iters) the same
+    *    centroid array ships as ONE broadcast row joined keyless
+    *    onto the corpus (the q48/q83 1-row-NLJ shape) and the SAME
+    *    argmin fold reads it from the column — identical compute and
+    *    output, centroid-free plan;
     *  - **re-centering is one (cid, dim) shuffle** with decimal
     *    accumulation, so reducer order can't perturb the means and the
     *    result is identical under any partitioning;
@@ -62,24 +68,41 @@ object Vectors {
     */
   def kmeansCentroids(df: DataFrame, idCol: String, embCol: String,
                       k: Int, iters: Int,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None,
+                      maxLiteralCentroids: Int = 4096): DataFrame = {
     require(k > 0 && iters > 0, s"k=$k, iters=$iters must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val ckp = graft.api.Ops.lineageBreaker(checkpointDir)
     val vecs = ckp(df.select(col(embCol).cast("array<double>").as("v")))
     var cents: Seq[(Int, Seq[Double])] = df
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .orderBy(col("id")).limit(k).collect().toSeq
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    val centsRowType = StructType(Seq(StructField("__cents", ArrayType(StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false)))),
+      nullable = false)))
     var result: DataFrame = null
     for (_ <- 1 to iters) {
-      val centArr = array(cents.map { case (cid, c) =>
-        struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c")) }: _*)
-      val best = array_min(transform(centArr, ct => struct(
-        aggregate(zip_with(col("v"), ct.getField("c"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, e) => acc + e).as("d2"),
-        ct.getField("cid").as("cid"))))
-      result = vecs
-        .select(best.getField("cid").as("cid"), col("v"))
+      def bestOver(cents: org.apache.spark.sql.Column) =
+        array_min(transform(cents, ct => struct(
+          aggregate(zip_with(col("v"), ct.getField("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, e) => acc + e).as("d2"),
+          ct.getField("cid").as("cid"))))
+      val assigned =
+        if (cents.length <= maxLiteralCentroids) {
+          val centArr = array(cents.map { case (cid, c) =>
+            struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c")) }: _*)
+          vecs.select(bestOver(centArr).getField("cid").as("cid"), col("v"))
+        } else {
+          val centsDf = df.sparkSession.createDataFrame(
+            java.util.Collections.singletonList(
+              Row(cents.map { case (cid, c) => Row(cid, c) })), centsRowType)
+          vecs.join(broadcast(centsDf))
+            .select(bestOver(col("__cents")).getField("cid").as("cid"), col("v"))
+        }
+      result = assigned
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("col").cast("decimal(27,12)")).cast("double") / count(lit(1))).as("m"),

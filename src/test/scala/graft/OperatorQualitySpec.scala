@@ -151,6 +151,18 @@ class OperatorQualitySpec extends AnyFunSuite {
       s"inertia must not increase: $js")
   }
 
+  test("kmeansCentroids large-k broadcast assignment is bit-identical to the literal path") {
+    import graft.operators.Vectors
+    // k=32 forced down both paths (cutoff 4096 vs 1): same seeds, same
+    // argmin fold, so the trained centroids must match bit-for-bit
+    def run(cutoff: Int): Seq[(Int, Seq[Double], Long)] =
+      Vectors.kmeansCentroids(t.embeddings, "vec_id", "embedding",
+        k = 32, iters = 3, maxLiteralCentroids = cutoff)
+        .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2)))
+    assert(run(4096) == run(1),
+      "assignment paths must train identical centroids")
+  }
+
   test("trained k-means centroids compose with ivfTopK and lift recall") {
     import graft.operators.{Similarity, Vectors}
     def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
