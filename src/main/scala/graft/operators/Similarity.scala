@@ -112,6 +112,14 @@ object Similarity {
     }
     val c = withCells(corpus, 1, "vid", "c_emb")
     val q = withCells(queries, nprobe, "qid", "q_emb")
+    searchCells(c, q, k)
+  }
+
+  /** The shared search tail: join the partitioned, cell-assigned
+    * corpus against the broadcast cell-assigned query set, exact
+    * cosine within matched cells, per-query top-k window.
+    */
+  private def searchCells(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
     c.join(broadcast(q), Seq("cell"))
       .filter(col("vid") =!= col("qid"))
@@ -119,5 +127,99 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vid"), col("score"))
+  }
+
+  /** Two-level (coarse/fine) IVF top-k — the quantizer regime PAST
+    * what a single centroid table can serve (~10⁵ fine cells × large
+    * dim approaches broadcast limits, and the per-row O(k·dim) fold
+    * dominates): route every vector through ~√k COARSE cells first,
+    * then rank only the fine centroids OF that coarse cell. Per-row
+    * assignment cost drops from O(k·dim) to O((√k + k/√k)·dim) — at
+    * k=10⁵ that is ~300× less work — and no structure larger than the
+    * grouped fine-centroid arrays (k·dim total, hash-partitioned by
+    * coarse cell in a broadcast table) ever ships.
+    *
+    * Train `coarse` with [[Vectors.kmeansCentroids]] over the FINE
+    * centroid set (or any fixed √k-sized quantizer). Plan shape:
+    *
+    *  - fine → coarse assignment: literal fold over the coarse array
+    *    (coarse must fit the literal budget — it is √k by design);
+    *  - per-coarse-cell fine arrays: one groupBy(√k cells) collect;
+    *  - corpus: coarse literal fold (map-side) → broadcast HASH join
+    *    on the coarse cell (equi key, not NLJ) → fold over that
+    *    cell's fine array — joined rows are consumed by the
+    *    projection in place, nothing aggregates, nothing sorts;
+    *  - queries (small by contract): explode `coarseProbe` coarse
+    *    cells, rank all fine candidates in a per-qid window, keep
+    *    `nprobe` fine cells; the search tail is [[ivfTopK]]'s.
+    *
+    * APPROXIMATE in the standard IVF sense: corpus and queries use
+    * the SAME two-level assignment function, so cells are consistent;
+    * recall loss comes only from coarse routing (a query's true
+    * nearest fine cell can live in an unprobed coarse cell — raise
+    * `coarseProbe`/`nprobe` to trade time for recall). With coarse =
+    * fine and coarseProbe ≥ nprobe the routing is exact and the
+    * result EQUALS single-level [[ivfTopK]] (spec-pinned).
+    * Deterministic: every fold ranks by (−score, id) like the whole
+    * engine.
+    */
+  def ivfTopKTwoLevel(corpus: DataFrame, queries: DataFrame,
+                      fine: DataFrame, coarse: DataFrame,
+                      id: String, emb: String,
+                      centroidId: String, centroidEmb: String,
+                      coarseId: String, coarseEmb: String,
+                      k: Int = 5, nprobe: Int = 2, coarseProbe: Int = 2,
+                      maxLiteralCentroids: Int = 4096): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val coarseCents = coarse
+      .select(col(coarseId).cast("long").as("gcid"),
+        col(coarseEmb).cast("array<double>").as("gce"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(coarseCents.nonEmpty, "ivfTopKTwoLevel: empty coarse set")
+    require(coarseCents.length <= maxLiteralCentroids,
+      s"ivfTopKTwoLevel: ${coarseCents.length} coarse cells exceed the literal " +
+        s"budget ($maxLiteralCentroids) — the coarse level should be ~sqrt(k); " +
+        "train fewer coarse cells (or nest another level)")
+    val coarseLit = array(coarseCents.map { case (gcid, gce) =>
+      struct(lit(gcid).as("gcid"), array(gce.map(lit): _*).as("gce")) }: _*)
+    // ranked coarse cells for an embedding column: (−score, gcid) asc
+    def coarseRanked(embCol: String) = sort_array(transform(coarseLit, ct => struct(
+      (lit(-1.0) * call_function("cosine_sim", col(embCol), ct.getField("gce"))).as("negscore"),
+      ct.getField("gcid").as("gcid"))))
+    // fine centroids grouped by their home coarse cell — the broadcast
+    // routing table: √k rows, each holding that cell's (cid, ce) array
+    val fineCells = fine
+      .select(col(centroidId).cast("long").as("cid"),
+        col(centroidEmb).cast("array<double>").as("ce"))
+      .withColumn("gcell", element_at(coarseRanked("ce"), 1).getField("gcid"))
+      .groupBy(col("gcell"))
+      .agg(collect_list(struct(col("cid"), col("ce"))).as("__fines"))
+    // rank a row's fine candidates within one joined coarse cell
+    def fineRanked(embCol: String) = sort_array(transform(col("__fines"), ct => struct(
+      (lit(-1.0) * call_function("cosine_sim", col(embCol), ct.getField("ce"))).as("negscore"),
+      ct.getField("cid").as("cid"))))
+    // corpus: home coarse cell → hash join its fine array → home fine cell
+    val c = corpus
+      .select(col(id).as("vid"), col(emb).cast("array<double>").as("c_emb"))
+      .withColumn("gcell", element_at(coarseRanked("c_emb"), 1).getField("gcid"))
+      .join(broadcast(fineCells), Seq("gcell"))
+      .withColumn("cell", element_at(fineRanked("c_emb"), 1).getField("cid"))
+      .select(col("vid"), col("c_emb"), col("cell"))
+    // queries: probe coarseProbe coarse cells, rank ALL their fine
+    // candidates per query, keep the nprobe best fine cells
+    val qw = Window.partitionBy(col("qid")).orderBy(col("negscore"), col("cell"))
+    val q = queries
+      .select(col(id).as("qid"), col(emb).cast("array<double>").as("q_emb"))
+      .withColumn("gcell",
+        explode(transform(slice(coarseRanked("q_emb"), 1, coarseProbe), s => s.getField("gcid"))))
+      .join(broadcast(fineCells), Seq("gcell"))
+      .select(col("qid"), col("q_emb"),
+        explode(fineRanked("q_emb")).as("__f"))
+      .select(col("qid"), col("q_emb"),
+        col("__f").getField("negscore").as("negscore"), col("__f").getField("cid").as("cell"))
+      .withColumn("__r", row_number().over(qw))
+      .filter(col("__r") <= nprobe)
+      .select(col("qid"), col("q_emb"), col("cell"))
+    searchCells(c, q, k)
   }
 }

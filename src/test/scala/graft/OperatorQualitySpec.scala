@@ -181,6 +181,53 @@ class OperatorQualitySpec extends AnyFunSuite {
       s"trained quantizer should not lose to arbitrary fixed vectors ($trainedRecall vs $fixedRecall)")
   }
 
+  test("ivfTopKTwoLevel: coarse=fine is exactly single-level; trained coarse keeps recall") {
+    import graft.operators.{Similarity, Vectors}
+    val corpus = t.embeddings
+    val queries = t.embeddings.filter(col("vec_id") < 10)
+    val fine = t.embeddings.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val single = Similarity.ivfTopK(corpus, queries, fine,
+      id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb", k = 5, nprobe = 2)
+    // degenerate coarse = fine with coarseProbe ≥ nprobe: every fine
+    // cell is its own singleton coarse cell, so two-level routing is
+    // exact and the result must EQUAL single-level bit-for-bit
+    val degenerate = Similarity.ivfTopKTwoLevel(corpus, queries, fine,
+      fine.select(col("centroid_id").as("gid"), col("cent_emb").as("gemb")),
+      id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      coarseId = "gid", coarseEmb = "gemb", k = 5, nprobe = 2, coarseProbe = 2)
+    assert(single.except(degenerate).isEmpty && degenerate.except(single).isEmpty,
+      "coarse=fine two-level must equal single-level ivfTopK")
+    // a REAL trained coarse level (k-means over the fine centroids)
+    // stays a useful index: nonzero recall vs the exact baseline,
+    // within approximation slack of single-level
+    def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topPairs(Similarity.q35(t))
+    val coarse = Vectors.kmeansCentroids(fine, "centroid_id", "cent_emb", k = 3, iters = 2)
+    val trained = Similarity.ivfTopKTwoLevel(corpus, queries, fine, coarse,
+      id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      coarseId = "cid", coarseEmb = "centroid", k = 5, nprobe = 2, coarseProbe = 2)
+    val twoRecall = (exact & topPairs(trained)).size.toDouble / exact.size
+    val oneRecall = (exact & topPairs(Similarity.q36(t))).size.toDouble / exact.size
+    info(s"recall vs exact: single-level=$oneRecall two-level-trained=$twoRecall")
+    assert(twoRecall > 0.0, "trained two-level index must find true neighbors")
+    assert(twoRecall >= oneRecall - 0.25,
+      s"two-level routing may cost bounded recall, not collapse ($twoRecall vs $oneRecall)")
+    // oversized coarse set is rejected loudly (coarse must be ~sqrt k)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKTwoLevel(corpus, queries, fine,
+        fine.select(col("centroid_id").as("gid"), col("cent_emb").as("gemb")),
+        id = "vec_id", emb = "embedding",
+        centroidId = "centroid_id", centroidEmb = "cent_emb",
+        coarseId = "gid", coarseEmb = "gemb", maxLiteralCentroids = 4)
+    }
+    assert(e.getMessage.contains("coarse"))
+  }
+
   test("HLL sketch tables: merged estimate ≈ exact cross-shard distinct") {
     import graft.operators.Sketches
     val sketches = Sketches.eventUserSketches(t)

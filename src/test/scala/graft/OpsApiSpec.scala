@@ -1020,9 +1020,20 @@ class OpsApiSpec extends AnyFunSuite {
       k = 5, nprobe = 2, maxLiteralCentroids = cutoff)
       .select(col("qid"), col("rank"), col("vid"))
     val viaLiteral = run(4096)  // 8 ≤ cutoff → literal cell ranking
-    val viaJoin = run(1)        // 8 > cutoff → broadcast join + min/window
+    val viaJoin = run(1)        // 8 > cutoff → 1-row broadcast array join
     assert(viaLiteral.except(viaJoin).isEmpty && viaJoin.except(viaLiteral).isEmpty,
       "cell assignment paths must produce identical search results")
+    // plan pin for the large-k shape (ivfTopK is checkpoint-free, so
+    // the assignment subtree is visible end-to-end): the centroid
+    // array arrives via keyless 1-row broadcast NLJ — q48/q83's shape
+    // — and there is NO sort-based aggregation anywhere (the
+    // groupBy-argmin formulation degenerated to SortAggregate over
+    // corpus×k and OOMed; this pin keeps it out)
+    val plan = viaJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "large-k cell assignment must be a broadcast NLJ")
+    assert(!plan.contains("SortAggregate"),
+      s"no sort-based aggregation may appear in the large-k plan")
   }
 
   test("curate keepBest mode keeps the max-quality near-dup cluster member") {
