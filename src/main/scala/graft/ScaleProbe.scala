@@ -160,7 +160,11 @@ object ScaleProbe {
       "q84_entropy"   -> (t => operators.TextAnalysis.q84(t)),
       "q85_contain"   -> (t => Dedup.q85(t)),
       "q86_keep_best" -> (t => Dedup.q86(t)),
-      "q87_edit_pairs" -> (t => Dedup.q87(t)))
+      "q87_edit_pairs" -> (t => Dedup.q87(t)),
+      // the replicated embeddings grow BOTH sides: catalog 10× and
+      // increment 10× (near + novel per replica) — the two-sided
+      // banded join must stay code-block-bound
+      "q88_vec_incr"  -> (t => Dedup.q88(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -107,6 +107,7 @@ object SparkEntry {
     "q85_containment"     -> q(Dedup.q85),
     "q86_keep_best"       -> q(Dedup.q86),
     "q87_edit_pairs"      -> q(Dedup.q87),
+    "q88_vec_dedup_incr"  -> q(Dedup.q88),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -201,6 +202,43 @@ object SparkEntry {
        |  JOIN corpus eb ON eb.vec_id = cand.vec_b)
        |WHERE c >= 0.92
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** q88's oracle: the q53 hyperplane machinery, two-sided — the SAME
+    * seeded codes over the catalog (embeddings) and the increment
+    * (shifted + negated copies), candidates only where a code block
+    * matches across the boundary, cosine verify, survivors =
+    * increment rows with no qualifying catalog hit.
+    */
+  private def q88OracleSql: String = {
+    val w = graft.functions.Hyperplanes.weights(tables = 4, bits = 8, dim = 64, seed = "graft-hp")
+    def codes(src: String) = w.indices.map(l =>
+      s"  SELECT vec_id, $l AS tbl, ${graft.functions.Hyperplanes.blockCodeSql("emb", w(l))} AS block FROM $src")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |inc AS (
+       |  SELECT vec_id + 200000 AS vec_id, list_transform(emb, v -> v + 0.005) AS emb
+       |  FROM base WHERE vec_id < 30
+       |  UNION ALL
+       |  SELECT vec_id + 300000, list_transform(emb, v -> v * -1.0)
+       |  FROM base WHERE vec_id >= 30 AND vec_id < 60),
+       |icodes AS (
+       |${codes("inc")}),
+       |ccodes AS (
+       |${codes("base")}),
+       |cand AS (
+       |  SELECT DISTINCT i.vec_id AS ivid, c.vec_id AS cvid
+       |  FROM icodes i JOIN ccodes c ON i.tbl = c.tbl AND i.block = c.block),
+       |hits AS (
+       |  SELECT DISTINCT cand.ivid
+       |  FROM cand
+       |  JOIN inc ON inc.vec_id = cand.ivid
+       |  JOIN base ON base.vec_id = cand.cvid
+       |  WHERE list_cosine_similarity(inc.emb, base.emb) >= 0.92)
+       |SELECT i.vec_id FROM inc i LEFT JOIN hits h ON i.vec_id = h.ivid
+       |WHERE h.ivid IS NULL
+       |ORDER BY i.vec_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -781,6 +819,8 @@ object SparkEntry {
         |ORDER BY user_id, event_type""".stripMargin,
 
     "q53_embed_neardup" -> q53OracleSql,
+
+    "q88_vec_dedup_incr" -> q88OracleSql,
 
     "q54_token_count" ->
       """SELECT doc_id,

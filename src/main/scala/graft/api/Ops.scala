@@ -389,6 +389,66 @@ object Ops {
     exactKept.join(nearDropped, Seq(id), "left_anti")
   }
 
+  /** A vector catalog prepared once for incremental embedding dedup —
+    * the vector-modality analogue of [[PreparedCatalog]]: the
+    * catalog's 4-table hyperplane sign codes and (id, vector) frames
+    * are computed and pinned at preparation, so each increment (or
+    * each streaming trigger) pays only its own coding plus the banded
+    * code joins against the cached frames — never a catalog rescan,
+    * never increment × catalog. `reliable` records checkpoint mode;
+    * the streaming entry requires it (the PreparedLm contract:
+    * localCheckpoint blocks don't survive executor loss mid-stream).
+    */
+  final case class PreparedVecCatalog private[graft] (
+    codes: DataFrame, vectors: DataFrame, id: String,
+    dim: Int, signBits: Int, tables: Int, seed: String, reliable: Boolean)
+
+  /** Build a [[PreparedVecCatalog]]; `checkpointDir` selects reliable
+    * checkpoints (cluster/streaming mode) for the cached frames.
+    */
+  def prepareVecCatalog(catalog: DataFrame, id: String, emb: String,
+                        dim: Int, signBits: Int = 8, tables: Int = 4,
+                        seed: String = "graft-hp",
+                        checkpointDir: Option[String] = None): PreparedVecCatalog = {
+    val ckp = lineageBreaker(checkpointDir)
+    val w = Hyperplanes.weights(tables, signBits, dim, seed)
+    val base = ckp(catalog.select(col(id).as("__cid"),
+      col(emb).cast("array<double>").as("__ce")))
+    val codes = ckp(base
+      .select(col("__cid"), posexplode(array(
+        (0 until tables).map(l => Hyperplanes.blockCode(col("__ce"), w(l))): _*)))
+      .withColumnRenamed("pos", "__tbl").withColumnRenamed("col", "__block"))
+    PreparedVecCatalog(codes, base, id, dim, signBits, tables, seed, checkpointDir.isDefined)
+  }
+
+  /** Incremental vector dedup of `left` against a prepared catalog —
+    * the shared core of the batch and streaming forms (see
+    * [[GraftDataFrameOps.vecDedupAgainstCatalog]] for semantics).
+    */
+  private[graft] def vecDedupAgainstPrepared(left: DataFrame, id: String, emb: String,
+                                             prepared: PreparedVecCatalog,
+                                             threshold: Double,
+                                             ckp: DataFrame => DataFrame = identity): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    val w = Hyperplanes.weights(prepared.tables, prepared.signBits, prepared.dim, prepared.seed)
+    // increment-side lineage break: the batch form checkpoints (codes
+    // + verify both read it); streaming passes identity — a trigger
+    // is small and a 2× map recompute beats checkpoint I/O
+    val base = ckp(left.select(col(id), col(emb).cast("array<double>").as("__e")))
+    val coded = base.select(col(id), posexplode(array(
+      (0 until prepared.tables).map(l => Hyperplanes.blockCode(col("__e"), w(l))): _*)))
+      .withColumnRenamed("pos", "__tbl").withColumnRenamed("col", "__block")
+    val cand = coded.join(prepared.codes, Seq("__tbl", "__block"))
+      .select(col(id), col("__cid"))
+      .dropDuplicates(id, "__cid")
+    val dropped = cand
+      .join(base, Seq(id))
+      .join(prepared.vectors, Seq("__cid"))
+      .filter(call_function("cosine_sim", col("__e"), col("__ce")) >= threshold)
+      .select(col(id)).distinct()
+    left.join(dropped, Seq(id), "left_anti")
+  }
+
   /** Portable ASCII PII patterns — character classes and bounded
     * quantifiers only, so Java regex (Spark codegen) and RE2 (the
     * DuckDB oracle) match identically. Emails and IPv4 addresses;
@@ -1103,6 +1163,32 @@ object Ops {
         .withColumn("cosine", call_function("cosine_sim", col("__ea"), col("__eb")))
         .filter(col("cosine") >= threshold)
         .select(col("vec_a"), col("vec_b"), col("cosine"))
+    }
+
+    /** Incremental embedding dedup against a vector CATALOG (q88) —
+      * [[dedupAgainstCatalog]]'s shape for the vector modality: drop
+      * incoming vectors whose cosine to some CATALOG vector reaches
+      * `threshold`. Candidates only form where an increment hyperplane
+      * sign code equals a catalog code in one of the independent
+      * tables ([[embeddingNearDups]]'s 4-table blocking, two-sided) —
+      * never increment × catalog — and the catalog is coded ONCE
+      * ([[Ops.prepareVecCatalog]] pins codes + vectors for rolling
+      * batches and the streaming form). Near-dups WITHIN the
+      * increment are untouched ([[embeddingNearDups]]'s job), and the
+      * catalog is never re-deduped: per-increment cost scales with
+      * the increment plus the banded joins — at 100 TB you re-score
+      * the day's embeddings, not the corpus. Returns the surviving
+      * rows of `left` with all columns.
+      */
+    def vecDedupAgainstCatalog(catalog: DataFrame, id: String, emb: String,
+                               threshold: Double, dim: Int,
+                               signBits: Int = 8, tables: Int = 4,
+                               seed: String = "graft-hp",
+                               checkpointDir: Option[String] = None): DataFrame = {
+      val prepared = prepareVecCatalog(catalog, id, emb, dim, signBits, tables,
+        seed, checkpointDir)
+      vecDedupAgainstPrepared(left, id, emb, prepared, threshold,
+        lineageBreaker(checkpointDir))
     }
 
     /** Semantic deduplication (q80) — the SemDeDup recipe (Abbas et

@@ -271,6 +271,33 @@ object Dedup {
       .editDistancePairs("c_custkey", "c_name", maxDistance = 1)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q88: incremental embedding dedup against a vector catalog
+    * ([[graft.api.Ops.GraftDataFrameOps.vecDedupAgainstCatalog]]) —
+    * q62's rolling-ingest shape for the vector modality. Catalog =
+    * the embeddings table; increment = +0.005-shifted copies of the
+    * first 30 vectors (true near-dups of catalog members — should
+    * drop wherever a sign-code table blocks them with their original)
+    * plus negated copies of the next 30 (novel directions — survive).
+    * The oracle regenerates the same seeded hyperplanes and replays
+    * coding, two-sided candidate formation, and the cosine verify
+    * bit-for-bit (the q53 machinery, two-sided).
+    */
+  def q88(t: Tables): DataFrame = {
+    val base = t.embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val incNear = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("emb"), v => v + lit(0.005)).as("emb"))
+    val incNovel = base.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+      .select((col("vec_id") + 300000).as("vec_id"),
+        transform(col("emb"), v => v * lit(-1.0)).as("emb"))
+    incNear.unionByName(incNovel)
+      .vecDedupAgainstCatalog(base, "vec_id", "emb",
+        threshold = 0.92, dim = 64)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** q80: semantic deduplication
     * ([[graft.api.Ops.GraftDataFrameOps.semanticDedup]]) on the q53
     * corpus (embeddings plus +0.01-shifted copies of the first 50 —

@@ -143,6 +143,32 @@ object Streams {
       .outputMode("update")
       .start()
 
+  /** Incremental embedding dedup of a vector stream against a static,
+    * once-prepared catalog ([[graft.api.Ops.prepareVecCatalog]]) —
+    * [[dedupAgainstCatalogStream]]'s vector-modality sibling: each
+    * trigger codes its own vectors and joins the cached catalog
+    * code/vector frames (foreachBatch for the same reason — a per-row
+    * "no candidate matched" decision is an aggregation over
+    * stream-derived joins). Reliable prep REQUIRED: a
+    * localCheckpoint-pinned catalog dies with any executor mid-stream
+    * (the PreparedLm contract).
+    */
+  def vecDedupAgainstCatalogStream(vecs: DataFrame, id: String, emb: String,
+                                   prepared: graft.api.Ops.PreparedVecCatalog,
+                                   threshold: Double,
+                                   sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "vecDedupAgainstCatalogStream needs a PreparedVecCatalog built with a " +
+        "reliable checkpointDir (prepareVecCatalog(..., checkpointDir = Some(dir))): " +
+        "localCheckpoint blocks do not survive executor loss across a long-lived stream")
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.vecDedupAgainstPrepared(batch, id, emb, prepared, threshold))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Perplexity-score a document stream against a once-trained LM
     * ([[graft.api.Ops.prepareLm]]) — per-doc aggregation means
     * foreachBatch (the dedupAgainstCatalogStream shape): each trigger

@@ -1036,6 +1036,44 @@ class OpsApiSpec extends AnyFunSuite {
       s"no sort-based aggregation may appear in the large-k plan")
   }
 
+  test("vecDedupAgainstCatalog drops planted near-dup vectors, keeps novel directions") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = t.embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val incNear = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("emb"), v => v + lit(0.005)).as("emb"))
+    val incNovel = base.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+      .select((col("vec_id") + 300000).as("vec_id"),
+        transform(col("emb"), v => v * lit(-1.0)).as("emb"))
+    val inc = incNear.unionByName(incNovel)
+    val kept = inc.vecDedupAgainstCatalog(base, "vec_id", "emb",
+      threshold = 0.92, dim = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val nearKept = kept.count(_ < 300000)
+    assert(nearKept <= 30 * 2 / 10,
+      s"≥80% of +0.005-shifted near-dups must be caught by the 4-table blocking, $nearKept survived")
+    assert(kept.count(_ >= 300000) == 30,
+      s"negated (novel-direction) vectors must all survive: ${kept.count(_ >= 300000)}")
+    // prepared-once reuse ≡ the one-shot form (the rolling-batch contract)
+    val prepared = graft.api.Ops.prepareVecCatalog(base, "vec_id", "emb", dim = 64)
+    val viaPrepared = graft.api.Ops.vecDedupAgainstPrepared(inc, "vec_id", "emb",
+      prepared, threshold = 0.92)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaPrepared == kept, "prepared reuse must equal the one-shot form")
+    // duplicates WITHIN the increment are untouched (catalog-only
+    // contract, same as dedupAgainstCatalog): two identical novel
+    // vectors under distinct ids both survive
+    val twins = incNovel.filter(col("vec_id") === 300030)
+      .select((col("vec_id") + 300000).as("vec_id"), col("emb"))
+      .unionByName(incNovel.filter(col("vec_id") === 300030)
+        .select((col("vec_id") + 300001).as("vec_id"), col("emb")))
+    val twinsKept = twins.vecDedupAgainstCatalog(base, "vec_id", "emb",
+      threshold = 0.92, dim = 64).count()
+    assert(twinsKept == 2,
+      s"identical increment-internal twins must BOTH survive (got $twinsKept)")
+  }
+
   test("curate keepBest mode keeps the max-quality near-dup cluster member") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")

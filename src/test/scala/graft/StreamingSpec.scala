@@ -305,6 +305,56 @@ class StreamingSpec extends AnyFunSuite {
       "the corpus must exercise both kept and dropped rows")
   }
 
+  test("streaming vector catalog dedup (prepared + foreachBatch) equals the batch operator") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val t = Tables(spark, sfDir)
+    val base = t.embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val incDf = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("emb"), v => v + lit(0.005)).as("emb"))
+      .unionByName(base.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+        .select((col("vec_id") + 300000).as("vec_id"),
+          transform(col("emb"), v => v * lit(-1.0)).as("emb")))
+    val incRows = incDf.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_vec_ck").toString
+    val prepared = graft.api.Ops.prepareVecCatalog(base, "vec_id", "emb",
+      dim = 64, checkpointDir = Some(ckDir))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Streams.vecDedupAgainstCatalogStream(
+      stream.toDF().toDF("vec_id", "emb"), "vec_id", "emb", prepared,
+      threshold = 0.92,
+      sink = b => got.synchronized { got ++= b.select("vec_id").collect().map(_.getLong(0)) })
+    try {
+      // each row is judged against the CATALOG only, so the trigger
+      // split must not change the kept set
+      stream.addData(incRows.take(incRows.size / 2))
+      q.processAllAvailable()
+      stream.addData(incRows.drop(incRows.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchKept = incDf.vecDedupAgainstCatalog(base, "vec_id", "emb",
+      threshold = 0.92, dim = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == got.toSet.size, "a vec id surfaced in two triggers")
+    assert(got.toSet == batchKept,
+      s"streaming kept ${got.size} vectors, batch kept ${batchKept.size}")
+    assert(batchKept.nonEmpty && batchKept.size < incRows.size,
+      "the corpus must exercise both kept and dropped rows")
+    // a localCheckpoint-only prep is rejected up front
+    val unreliable = graft.api.Ops.prepareVecCatalog(base, "vec_id", "emb", dim = 64)
+    val e = intercept[IllegalArgumentException] {
+      Streams.vecDedupAgainstCatalogStream(
+        stream.toDF().toDF("vec_id", "emb"), "vec_id", "emb", unreliable,
+        threshold = 0.92, sink = _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+  }
+
   test("stateless curation ops (stripMarkup, redact, repetitionStats) apply to a stream and match batch") {
     import spark.implicits._
     import graft.api.Ops._
