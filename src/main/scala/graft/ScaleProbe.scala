@@ -154,6 +154,27 @@ object ScaleProbe {
           .semanticDedup("vec_id", "embedding", cents, "vec_id", "embedding",
             threshold = 0.92)
       }),
+      // flat vs two-level IVF at the same fine-cell count (k = N/2:
+      // 10⁴ cells at 10×) — the two-level row should hold its time as
+      // the flat row's O(k·dim) per-row fold grows with k
+      "ivf_flat_bigk" -> (t => {
+        val fine = t.embeddings.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        operators.Similarity.ivfTopK(
+          t.embeddings, t.embeddings.filter(col("vec_id") < 10), fine,
+          id = "vec_id", emb = "embedding", centroidId = "cid", centroidEmb = "ce",
+          k = 5, nprobe = 2)
+      }),
+      "ivf_two_bigk"  -> (t => {
+        val fine = t.embeddings.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val coarse = t.embeddings.filter(col("vec_id") % 200 === 0)
+          .select(col("vec_id").as("gid"), col("embedding").as("gce"))
+        operators.Similarity.ivfTopKTwoLevel(
+          t.embeddings, t.embeddings.filter(col("vec_id") < 10), fine, coarse,
+          id = "vec_id", emb = "embedding", centroidId = "cid", centroidEmb = "ce",
+          coarseId = "gid", coarseEmb = "gce", k = 5, nprobe = 2, coarseProbe = 2)
+      }),
       "q81_cap_vocab" -> (t => operators.TextAnalysis.q81(t)),
       "q82_coverage"  -> Pipeline.q82,
       "q83_buckets"   -> (t => operators.Extended.q83(t)),
