@@ -1328,6 +1328,18 @@ object Ops {
     def keepBestAmong(id: String, quality: Column, edges: DataFrame,
                       edgeA: String, edgeB: String, maxRounds: Int = 50,
                       checkpointDir: Option[String] = None): DataFrame = {
+      val integral = integralIdType(left.schema(id).dataType)
+      // the label join below can only line up when the edge endpoints
+      // live in the same type class as the id column — a string edge
+      // list against a long id (or vice versa) would cast to null and
+      // silently return all-singletons, the exact failure class the
+      // r9 id generalization removed
+      require(integral == (integralIdType(edges.schema(edgeA).dataType) &&
+          integralIdType(edges.schema(edgeB).dataType)),
+        s"keepBestAmong: id column '$id' (${left.schema(id).dataType}) and edge " +
+          s"columns '$edgeA'/'$edgeB' (${edges.schema(edgeA).dataType}/" +
+          s"${edges.schema(edgeB).dataType}) must be in the same type class " +
+          "(both integral or both not)")
       val labels = connectedComponentsWithRounds(
         edges.select(col(edgeA), col(edgeB)),
         edgeA, edgeB, maxRounds, checkpointDir)._1
@@ -1337,8 +1349,7 @@ object Ops {
       // fallback follow the id column's own type: a string-id corpus
       // now clusters correctly instead of null-casting every join key
       // and returning all-singletons (VERDICT r8 "What's wrong" #2).
-      val idKey =
-        if (integralIdType(left.schema(id).dataType)) col(id).cast("long") else col(id)
+      val idKey = if (integral) col(id).cast("long") else col(id)
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality").desc, col(id))
       left

@@ -986,6 +986,13 @@ class OpsApiSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
     assert(kb == Map("d-one" -> false, "d-two" -> true, "d-zzz" -> true),
       s"string-id dedupKeepBest must find the near-dup pair: $kb")
+    // MIXED type classes (long ids, string edges) can never line up —
+    // rejected loudly instead of silently all-singleton
+    val longRows = Seq((1L, 10L), (2L, 20L)).toDF("id", "q")
+    val e = intercept[IllegalArgumentException] {
+      longRows.keepBestAmong("id", col("q"), edges, "a", "b")
+    }
+    assert(e.getMessage.contains("same type class"))
   }
 
   test("semanticDedup large-k broadcast path is bit-identical to the literal path") {
