@@ -48,7 +48,8 @@ object Bench {
     "q77_collocations", "q78_histogram", "q79_sample_group",
     "q80_semantic_dedup", "q81_cap_vocab", "q82_ngram_coverage",
     "q83_quality_buckets", "q84_char_entropy", "q85_containment",
-    "q86_keep_best", "q87_edit_pairs", "q88_vec_dedup_incr")
+    "q86_keep_best", "q87_edit_pairs", "q88_vec_dedup_incr",
+    "q89_paragraph_dedup")
 
   private val childMarker = "##BENCHQ##"
 

@@ -108,6 +108,7 @@ object SparkEntry {
     "q86_keep_best"       -> q(Dedup.q86),
     "q87_edit_pairs"      -> q(Dedup.q87),
     "q88_vec_dedup_incr"  -> q(Dedup.q88),
+    "q89_paragraph_dedup" -> q(Dedup.q89),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1606,5 +1607,40 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // paragraph-dedup replay: the same synthetic line structure
+    // (10-word wrap + banner + per-source footer), a distinct
+    // (doc, paragraph) document-frequency census, df >= 5 common set,
+    // ordered reassembly — string_agg ORDER BY pos mirrors the
+    // sorted-collect transform; both engines' list slices are 1-based
+    // and clamp at the end
+    "q89_paragraph_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |aug AS (
+        |  SELECT doc_id,
+        |    'subscribe to our newsletter today' || chr(10) ||
+        |    array_to_string(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        |      i -> array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ')), chr(10)) ||
+        |    chr(10) || 'all rights reserved ' || source AS text
+        |  FROM w),
+        |paras AS (
+        |  SELECT doc_id, u.i AS pos, ps[u.i] AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM aug),
+        |       unnest(range(1, len(ps) + 1)) AS u(i)),
+        |census AS (
+        |  SELECT para, COUNT(DISTINCT doc_id) AS df FROM paras GROUP BY para),
+        |common AS (SELECT para FROM census WHERE df >= 5),
+        |flagged AS (
+        |  SELECT doc_id, pos, para,
+        |    para IN (SELECT para FROM common) AS is_common
+        |  FROM paras)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(para, chr(10) ORDER BY pos) FILTER (NOT is_common), '') AS clean_text,
+        |  CAST(COUNT(*) FILTER (NOT is_common) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) FILTER (is_common) AS BIGINT) AS n_removed
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1788,6 +1788,64 @@ object Ops {
           (size(col("__toks")) - size(col("__kept"))).cast("long").as("removed_tokens"))
     }
 
+    /** Corpus-wide PARAGRAPH dedup (q89) — the CCNet/RefinedWeb
+      * "line-level dedup" pass: any paragraph (a `sep`-delimited
+      * segment, byte-exact) that occurs in at least `minDf` DISTINCT
+      * documents is boilerplate (nav bars, cookie banners, copyright
+      * footers, subscribe prompts) and is removed from EVERY document
+      * that carries it; the surviving paragraphs reassemble in their
+      * original order. This is the granularity between whole-document
+      * dedup (q31 — blind to shared fragments inside distinct docs)
+      * and token-gram span dedup (q69/q71 — which needs a span to
+      * repeat ≥ minSpanTokens verbatim and keeps its FIRST
+      * occurrence; boilerplate must be dropped from all occurrences,
+      * including the first).
+      *
+      * Shape: paragraphs explode once (lineage-broken — the census
+      * and the flag join both read them); the document-frequency
+      * census first distincts (paragraph, id) PAIRS — the shuffle key
+      * includes the id, so a corpus-wide hot paragraph (an empty
+      * line, a universal footer) spreads across reducers instead of
+      * concentrating on one — then counts per paragraph, where the
+      * hot key's row count is already capped at the distinct-doc df,
+      * not the occurrence count. Both census stages are
+      * map-side-combinable. The common set (df ≥ minDf) is bounded
+      * by total_paragraphs / minDf and joins back as a flag (AQE
+      * broadcasts it when small); reassembly is one per-document
+      * sorted collect, partitioned by id so no reducer sees more
+      * than a document. No window, no corpus-wide sort — at 100 TB
+      * the census and the per-doc reassembly are the only shuffles.
+      *
+      * Returns (id, clean_text, n_kept, n_removed); a document whose
+      * every paragraph is common comes back with an empty
+      * clean_text, so drops stay auditable.
+      */
+    def dedupParagraphs(id: String, text: String, minDf: Long,
+                        sep: String = "\n",
+                        checkpointDir: Option[String] = None): DataFrame = {
+      require(minDf >= 2, "dedupParagraphs: minDf must be >= 2")
+      require(sep.nonEmpty, "dedupParagraphs: sep must be non-empty")
+      val paras = lineageBreaker(checkpointDir)(
+        floorPartitions(left.select(col(id), col(text)))
+          .select(col(id),
+            posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
+          .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__para"))
+      val common = paras.select(col("__para"), col(id)).distinct()
+        .groupBy(col("__para")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDf)
+        .select(col("__para"), lit(true).as("__common"))
+      paras.join(common, Seq("__para"), "left")
+        .withColumn("__keep", col("__common").isNull)
+        .groupBy(col(id))
+        .agg(
+          concat_ws(sep, transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__pos"), col("__para"))))),
+            s => s.getField("__para"))).as("clean_text"),
+          sum(col("__keep").cast("long")).as("n_kept"),
+          sum((!col("__keep")).cast("long")).as("n_removed"))
+    }
+
     /** Per-document character-distribution entropy (q84) — the
       * cheap gibberish detector: natural language sits in a narrow
       * entropy band (≈2.5–4.5 bits ≈ 1.7–3.1 nats for English-like

@@ -298,6 +298,32 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** q89: corpus-wide paragraph (line-level) dedup
+    * ([[graft.api.Ops.GraftDataFrameOps.dedupParagraphs]]) — the
+    * CCNet/RefinedWeb boilerplate pass. The testdata text carries no
+    * newlines, so the query synthesizes the line structure every web
+    * corpus has: the body re-wraps at 10 words per line, a universal
+    * subscribe banner heads every document and a per-source copyright
+    * footer closes it. minDf = 5 then removes the banner (df = all
+    * docs) and every source footer (df = docs per source) from every
+    * document while the ~unique body lines survive — exactly the
+    * boilerplate/content split, replayed line-for-line in SQL.
+    */
+  def q89(t: Tables): DataFrame = {
+    val ws = filter(split(col("text"), " "), x => x =!= "")
+    val nl = ceil(size(col("__ws")).cast("double") / lit(10.0)).cast("long")
+    val lines = transform(sequence(lit(0L), nl - 1),
+      i => concat_ws(" ", slice(col("__ws"), (i * 10 + 1).cast("int"), lit(10))))
+    t.documents
+      .withColumn("__ws", ws)
+      .select(col("doc_id"),
+        concat(lit("subscribe to our newsletter today\n"),
+          array_join(lines, "\n"),
+          lit("\nall rights reserved "), col("source")).as("text"))
+      .dedupParagraphs("doc_id", "text", minDf = 5L)
+      .orderBy(col("doc_id"))
+  }
+
   /** q80: semantic deduplication
     * ([[graft.api.Ops.GraftDataFrameOps.semanticDedup]]) on the q53
     * corpus (embeddings plus +0.01-shifted copies of the first 50 —

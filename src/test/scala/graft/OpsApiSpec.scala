@@ -873,6 +873,40 @@ class OpsApiSpec extends AnyFunSuite {
     assert(t3(2L) == (("", 40L)) && t3(3L) == (("", 40L)))
   }
 
+  test("dedupParagraphs drops corpus-common paragraphs from EVERY doc, keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common header\nalpha beta\ncommon footer"),
+      (2L, "common header\ngamma delta\ncommon footer"),
+      (3L, "common header\nepsilon\ncommon footer"),
+      (4L, "common header\nzeta\nrare line"),
+      (5L, "rare line\ncommon header"),
+      (6L, "common header\ncommon footer")).toDF("id", "text")
+    val out = docs.dedupParagraphs("id", "text", minDf = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // header df=6 and footer df=4 are common; "rare line" df=2 < 3 survives
+    assert(out(1L) == (("alpha beta", 1L, 2L)), s"got $out")
+    assert(out(4L) == (("zeta\nrare line", 2L, 1L)), s"got $out")
+    assert(out(5L) == (("rare line", 1L, 1L)),
+      s"paragraph order must be preserved, first occurrences removed too: $out")
+    assert(out(6L) == (("", 0L, 2L)),
+      s"all-boilerplate docs come back empty but auditable: $out")
+    // empty paragraphs (consecutive separators) census like any other
+    val blanks = Seq(
+      (1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf")).toDF("id", "text")
+    val b = blanks.dedupParagraphs("id", "text", minDf = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(1L) == "a\nb", s"common empty paragraph must dedup: $b")
+    // minDf is a strict document-frequency bound: a paragraph repeated
+    // many times INSIDE one doc is not corpus-common
+    val intra = Seq(
+      (1L, "x\nx\nx\nx\nbody"), (2L, "other"), (3L, "lines")).toDF("id", "text")
+    val i = intra.dedupParagraphs("id", "text", minDf = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(i(1L) == "x\nx\nx\nx\nbody",
+      s"df counts DISTINCT docs, not occurrences: $i")
+  }
+
   test("keepBestAmong composes the keep rule with any pair producer") {
     import spark.implicits._
     // edit-distance edges: 1-2-3 chain one substitution apart (NOT
