@@ -109,6 +109,7 @@ object SparkEntry {
     "q87_edit_pairs"      -> q(Dedup.q87),
     "q88_vec_dedup_incr"  -> q(Dedup.q88),
     "q89_paragraph_dedup" -> q(Dedup.q89),
+    "q90_bm25"            -> q(TextAnalysis.q90),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1642,5 +1643,56 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (NOT is_common) AS BIGINT) AS n_kept,
         |  CAST(COUNT(*) FILTER (is_common) AS BIGINT) AS n_removed
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25 replay: tf/df/dl censuses over the shared tokenizer, the
+    // Okapi formula with the identical double arithmetic shape
+    // ((1.2+1) and (1-0.75) mirror the Scala k1+1.0 / 1.0-b adds),
+    // round(.,4) before ranking (the q73 float-agg discipline — the
+    // per-(query,doc) sum has <= |query| terms), rank by
+    // (score DESC, doc_id) — the staged shard top-k must equal this
+    // one-window rank
+    "q90_bm25" ->
+      """WITH q(query_id, qtext) AS (
+        |  VALUES (1, 'spark query'), (2, 'customer value table'), (3, 'window sort merge')),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, u.w AS w, COUNT(*) AS tf
+        |  FROM toks, unnest(t) AS u(w) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qt AS (
+        |  SELECT query_id, u.w AS w
+        |  FROM (SELECT query_id,
+        |          list_distinct(list_filter(
+        |            string_split(trim(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |            x -> x <> '')) AS qs
+        |        FROM q), unnest(qs) AS u(w)),
+        |sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln(1.0 + (CAST(tot.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+        |             / (CAST(dft.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1))
+        |      / (CAST(tf.tf AS DOUBLE)
+        |         + 1.2 * ((1 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / tot.avgdl)) AS contrib
+        |  FROM tf
+        |  JOIN qt ON tf.w = qt.w
+        |  JOIN dft ON dft.w = tf.w
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN tot),
+        |agg AS (
+        |  SELECT query_id, doc_id, round(SUM(contrib), 4) AS score
+        |  FROM sc GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM agg)
+        |SELECT query_id, rank, doc_id, score
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

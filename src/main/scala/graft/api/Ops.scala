@@ -215,6 +215,82 @@ object Ops {
     PreparedVocab(kept, minCount, unk, checkpointDir.isDefined)
   }
 
+  /** A BM25 inverted index prepared ONCE for repeated ranked
+    * retrieval — the production shape of a search engine over a
+    * corpus: build postings once, serve any number of query batches
+    * (or a query stream) against the frozen index. `postings` is
+    * DENORMALIZED — one row per (term, doc) carrying tf, the doc
+    * length AND the term's document frequency — so query-time scoring
+    * is a single broadcast join of the (tiny) query-term frame onto
+    * the postings, with no further joins at all: the classic
+    * norms-in-the-postings-list layout, which is what makes the
+    * query path output-bound at 100 TB. `nDocs`/`avgdl` are the two
+    * corpus scalars of the BM25 formula, collected at prepare time.
+    */
+  final case class PreparedBm25 private[graft] (
+    postings: DataFrame, nDocs: Long, avgdl: Double,
+    idCol: String, reliable: Boolean)
+
+  /** Build a [[PreparedBm25]] over the normalized token stream (the
+    * same tokenizer as every text operator). Streaming query batches
+    * require a reliable `checkpointDir`, as with [[prepareLm]].
+    */
+  def prepareBm25(corpus: DataFrame, id: String, text: String,
+                  checkpointDir: Option[String] = None): PreparedBm25 = {
+    val ckp = lineageBreaker(checkpointDir)
+    val tf = ckp(floorPartitions(corpus.select(col(id), col(text)))
+      .withColumn("__toks", tokens(col(text)))
+      .select(col(id), explode(col("__toks")).as("__w"))
+      .groupBy(col(id), col("__w")).agg(count(lit(1)).as("__tf")))
+    val dl = tf.groupBy(col(id)).agg(sum(col("__tf")).as("__dl"))
+    val dfF = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val postings = ckp(tf.join(dl, Seq(id)).join(dfF, Seq("__w")))
+    val row = dl.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl")).collect()(0)
+    PreparedBm25(postings, row.getLong(0), row.getDouble(1), id,
+      reliable = checkpointDir.isDefined)
+  }
+
+  /** Okapi BM25 scoring of a query frame against a prepared index —
+    * the shared core of the one-shot fluent form and the
+    * index-once/query-many form. Scores round to 4 decimals (the q73
+    * float-agg discipline: a query's matched-term sum is tiny, so
+    * summation-order ulps vanish at 4dp) and rank deterministically
+    * by (score DESC, doc id). The top-k is STAGED — a per-(query,
+    * doc-hash-shard) row_number prunes to k×shards rows before the
+    * per-query window — so no single reducer ever sorts a query's
+    * full match list (the q79 discipline; a hot query matching half
+    * the corpus would otherwise serialize on one task).
+    */
+  private[graft] def bm25Against(queries: DataFrame, queryId: String, queryText: String,
+                                 idx: PreparedBm25, k: Int,
+                                 k1: Double, b: Double): DataFrame = {
+    require(k >= 1, "bm25: k must be positive")
+    require(k1 > 0 && b >= 0 && b <= 1, "bm25: need k1 > 0 and 0 <= b <= 1")
+    val id = idx.idCol
+    val qterms = queries.select(col(queryId),
+      explode(array_distinct(tokens(col(queryText)))).as("__w"))
+    val dfD = col("__df").cast("double")
+    val idf = log(lit(1.0) +
+      (lit(idx.nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val denom = col("__tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / lit(idx.avgdl))
+    val contrib = idf * (col("__tf").cast("double") * lit(k1 + 1.0)) / denom
+    val scored = idx.postings.join(broadcast(qterms), Seq("__w"))
+      .groupBy(col(queryId), col(id))
+      .agg(round(sum(contrib), 4).as("score"))
+    val w1 = Window.partitionBy(col(queryId), col("__shard"))
+      .orderBy(col("score").desc, col(id))
+    val w2 = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(id))
+    scored
+      .withColumn("__shard", pmod(xxhash64(col(id).cast("string")), lit(64)))
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col("rank"), col(id), col("score"))
+  }
+
   /** All ≤`maxDistance`-deletion variants of `text` (plus the value
     * itself = 0 deletions), the candidate keys of the SymSpell-style
     * edit-distance index ([[GraftDataFrameOps.editDistancePairs]],
@@ -2106,6 +2182,36 @@ object Ops {
       */
     def lmScoreAgainst(lm: PreparedLm, id: String, text: String): DataFrame =
       scoreAgainstLm(left, id, text, lm)
+
+    /** Okapi BM25 ranked retrieval (q90) — full-text search over the
+      * corpus: for each row of `queries`, the top-k documents by
+      * BM25(k1, b) over the normalized token stream. This is the
+      * RANKED retrieval the pipeline's set-based text ops don't
+      * express: decontamination (q58) and coverage (q82) ask "does
+      * this text overlap the reference"; BM25 answers "which
+      * documents best match this query" — the retrieval primitive
+      * behind eval-set mining, prompt-source attribution, and
+      * corpus exploration. One-shot form: builds the index inline
+      * ([[Ops.prepareBm25]]) and scores against it; production uses
+      * `prepareBm25` + [[bm25TopKAgainst]] to index once and serve
+      * many query batches. Returns (queryId, rank, id, score),
+      * rank 1..k by (score DESC, id).
+      */
+    def bm25TopK(queries: DataFrame, queryId: String, queryText: String,
+                 id: String, text: String, k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 checkpointDir: Option[String] = None): DataFrame =
+      bm25Against(queries, queryId, queryText,
+        prepareBm25(left, id, text, checkpointDir), k, k1, b)
+
+    /** Ranked retrieval against a ONCE-prepared BM25 index
+      * ([[Ops.prepareBm25]]) — `left` is the QUERY frame here: the
+      * index-once/query-many form (and the foreachBatch core of
+      * [[graft.streaming.Streams.bm25TopKStream]]).
+      */
+    def bm25TopKAgainst(index: PreparedBm25, queryId: String, queryText: String,
+                        k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      bm25Against(left, queryId, queryText, index, k, k1, b)
 
     /** PMI collocations (the generalized q77) — the phrase-mining
       * pass a tokenizer-vocabulary build runs over the corpus:

@@ -296,4 +296,25 @@ object TextAnalysis {
     t.documents
       .charEntropy("doc_id", "text")
       .orderBy(col("doc_id"))
+
+  /** q90: BM25 ranked retrieval
+    * ([[graft.api.Ops.GraftDataFrameOps.bm25TopK]]) — three
+    * vocabulary-word queries against the documents corpus, top-10
+    * each. The oracle replays the whole thing — tf/df/doc-length
+    * censuses, the Okapi formula on the same doubles, 4-decimal
+    * rounding, (score DESC, doc_id) ranking — so the staged
+    * shard-then-global top-k is checked against the plain one-window
+    * rank it must equal.
+    */
+  def q90(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val queries = Seq(
+      (1, "spark query"),
+      (2, "customer value table"),
+      (3, "window sort merge")).toDF("query_id", "qtext")
+    t.documents.select(col("doc_id"), col("text"))
+      .bm25TopK(queries, "query_id", "qtext", "doc_id", "text", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -235,6 +235,29 @@ object Streams {
       .start()
   }
 
+  /** BM25-rank a QUERY stream against a once-prepared corpus index
+    * ([[graft.api.Ops.prepareBm25]]) — the live-search shape:
+    * per-trigger cost is the trigger's own query-term explode
+    * broadcast onto the frozen postings; the corpus is never
+    * re-indexed. Reliable prep required, same reasoning as
+    * [[lmScoreStream]].
+    */
+  def bm25TopKStream(queries: DataFrame, queryId: String, queryText: String,
+                     index: graft.api.Ops.PreparedBm25, k: Int = 10,
+                     k1: Double = 1.2, b: Double = 0.75)(
+                     sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(index.reliable,
+      "bm25TopKStream needs a PreparedBm25 built with a reliable checkpointDir " +
+        "(prepareBm25(..., checkpointDir = Some(dir)))")
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(new graft.api.Ops.GraftDataFrameOps(batch)
+          .bm25TopKAgainst(index, queryId, queryText, k, k1, b))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   final case class Doc(doc_id: Long, n_tokens: Long)
   final case class PackedDoc(doc_id: Long, shard: Long, start_offset: Long, pack_id: Long)
 

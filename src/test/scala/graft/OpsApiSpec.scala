@@ -907,6 +907,43 @@ class OpsApiSpec extends AnyFunSuite {
       s"df counts DISTINCT docs, not occurrences: $i")
   }
 
+  test("bm25TopK ranks matches by Okapi score; prepared index form is identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple apple"),
+      (2L, "apple banana cherry date"),
+      (3L, "banana banana banana banana banana banana banana banana"),
+      (4L, "cherry date elderberry fig"),
+      (5L, "apple")).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple"), (20L, "banana nosuchterm")).toDF("qid", "qtext")
+    val out = docs.bm25TopK(queries, "qid", "qtext", "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // only term-matching docs appear, ranked tf-heavy > short-pure > diluted
+    assert(out.keys.count(_._1 == 10L) == 3, s"apple matches exactly 3 docs: $out")
+    assert(out((10L, 1L)) == 1L && out((10L, 2L)) == 5L && out((10L, 3L)) == 2L,
+      s"rank must follow tf and length normalization: $out")
+    // absent query terms contribute nothing (no NaN, no crash)
+    assert(out.keys.count(_._1 == 20L) == 3, s"banana matches exactly 3 docs: $out")
+    assert(!out.contains((20L, 4L)), "a doc with no query term never matches")
+    // k caps the ranking
+    val top1 = docs.bm25TopK(queries, "qid", "qtext", "doc_id", "text", k = 1)
+    assert(top1.count() == 2 && top1.agg(max(col("rank"))).collect()(0).getLong(0) == 1L)
+    // index-once/query-many form is identical to the one-shot
+    val idx = graft.api.Ops.prepareBm25(docs, "doc_id", "text")
+    val viaIdx = queries.bm25TopKAgainst(idx, "qid", "qtext", k = 10)
+    val oneShot = docs.bm25TopK(queries, "qid", "qtext", "doc_id", "text", k = 10)
+    assert(viaIdx.except(oneShot).isEmpty && oneShot.except(viaIdx).isEmpty,
+      "bm25TopKAgainst(prepareBm25) must equal bm25TopK")
+    // idf: with equal tf and dl, the rarer term outranks the common one
+    val corp = (1L to 20L).map(i => (i, if (i <= 2) "rare filler" else "common filler"))
+      .toDF("doc_id", "text")
+    val rq = Seq((1L, "rare"), (2L, "common")).toDF("qid", "qtext")
+    val scores = corp.bm25TopK(rq, "qid", "qtext", "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1L) > scores(2L),
+      s"rarer term must carry higher idf at equal tf/dl: $scores")
+  }
+
   test("keepBestAmong composes the keep rule with any pair producer") {
     import spark.implicits._
     // edit-distance edges: 1-2-3 chain one substitution apart (NOT

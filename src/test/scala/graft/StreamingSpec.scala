@@ -459,6 +459,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopKStream ranks query triggers against the frozen index, matching batch") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "apple banana apple apple"),
+      (2L, "apple banana cherry date"),
+      (3L, "banana banana banana banana banana banana"),
+      (4L, "cherry date elderberry fig"),
+      (5L, "apple")).toDF("doc_id", "text")
+    val unreliable = graft.api.Ops.prepareBm25(corpus, "doc_id", "text")
+    val rejected = intercept[IllegalArgumentException] {
+      Streams.bm25TopKStream(corpus.toDF("qid", "qtext"), "qid", "qtext", unreliable)(_ => ())
+    }
+    assert(rejected.getMessage.contains("checkpointDir"))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_bm25_ck").toString
+    val idx = graft.api.Ops.prepareBm25(corpus, "doc_id", "text",
+      checkpointDir = Some(ckDir))
+    val incoming = Seq((10L, "apple"), (20L, "banana cherry"), (30L, "fig"), (40L, "date"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(incoming.take(2))
+    val query = Streams.bm25TopKStream(stream.toDF().toDF("qid", "qtext"),
+      "qid", "qtext", idx, k = 3)(
+      batch => batch.write.mode("append").saveAsTable("bm25_out"))
+    try {
+      query.processAllAvailable()
+      stream.addData(incoming.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("bm25_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val batch = incoming.toDF("qid", "qtext")
+        .bm25TopKAgainst(idx, "qid", "qtext", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed == batch,
+        "per-trigger BM25 rankings must equal the batch scorer against the same index")
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS bm25_out")
+    }
+  }
+
   test("capVocabStream and ngramCoverageStream run triggers against frozen prep, matching batch") {
     import spark.implicits._
     import graft.api.Ops._
