@@ -110,6 +110,7 @@ object SparkEntry {
     "q88_vec_dedup_incr"  -> q(Dedup.q88),
     "q89_paragraph_dedup" -> q(Dedup.q89),
     "q90_bm25"            -> q(TextAnalysis.q90),
+    "q91_pq_adc"          -> q(Similarity.q91),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1694,5 +1695,53 @@ object SparkEntry {
         |SELECT query_id, rank, doc_id, score
         |FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // PQ replay: regenerate the seeded-md5 grid codebooks, encode the
+    // corpus (argmin of sequential-fold sqdists, ties to the lower
+    // entry), build each query's m x ks distance table, fold ADC in
+    // subspace order — list_reduce's no-init fold agrees bitwise with
+    // the Spark 0.0-init fold (0.0 + x == x), so encode, tables and
+    // ADC are the same doubles and the rank is exact
+    "q91_pq_adc" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cb AS (
+        |  SELECT s.s, j.j, d.d,
+        |    (CAST(('0x' || substr(md5('pq:7:' || s.s || ':' || j.j || ':' || d.d), 1, 15)) AS BIGINT) % 5 - 2) / 2.0 * 0.125 AS w
+        |  FROM range(0, 8) s(s), range(0, 16) j(j), range(0, 8) d(d)),
+        |cbv AS (SELECT s, j, list(w ORDER BY d) AS wv FROM cb GROUP BY s, j),
+        |sub AS (
+        |  SELECT vec_id, t.s, list_slice(emb, t.s * 8 + 1, t.s * 8 + 8) AS sv
+        |  FROM v, range(0, 8) t(s)),
+        |dist AS (
+        |  SELECT vec_id, sub.s, cbv.j,
+        |    list_reduce(list_transform(range(1, 9), i -> (sv[i] - wv[i]) * (sv[i] - wv[i])),
+        |                (a, b) -> a + b) AS dd
+        |  FROM sub JOIN cbv ON cbv.s = sub.s),
+        |code AS (
+        |  SELECT vec_id, s, j AS c FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, j) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |codesl AS (SELECT vec_id, list(c ORDER BY s) AS cl FROM code GROUP BY vec_id),
+        |qd AS (
+        |  SELECT q.vec_id AS qid, cbv.s, cbv.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |                i -> (q.emb[cbv.s * 8 + i] - wv[i]) * (q.emb[cbv.s * 8 + i] - wv[i])),
+        |                (a, b) -> a + b) AS dt
+        |  FROM (SELECT vec_id, emb FROM v WHERE vec_id < 5) q, cbv),
+        |qdl AS (SELECT qid, s, list(dt ORDER BY j) AS dts FROM qd GROUP BY qid, s),
+        |qdt AS (SELECT qid, list(dts ORDER BY s) AS dtt FROM qdl GROUP BY qid),
+        |pairs AS (
+        |  SELECT qdt.qid, c.vec_id AS vid,
+        |    list_reduce(list_transform(range(1, 9), s -> dtt[s][cl[s] + 1]),
+        |                (a, b) -> a + b) AS adc
+        |  FROM qdt CROSS JOIN codesl c WHERE c.vec_id <> qdt.qid),
+        |ranked AS (
+        |  SELECT qid, vid, adc,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS BIGINT) AS rank
+        |  FROM pairs)
+        |SELECT qid, rank, vid, round(adc, 4) AS adc_dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -2452,5 +2452,89 @@ object Ops {
         .filter(col("rank") <= k)
         .select(col("qid"), col("rank"), col("vid"), col("score"))
     }
+
+    /** Product-quantization encode (q91) — compress the embedding
+      * column to `m` code bytes per vector
+      * ([[graft.functions.ProductQuantizer]]: 64-float × m=8 → 32×
+      * smaller) while keeping ADC distance ranking. Pure map-side
+      * codegen (dim·ks multiplications per row, zero shuffle); the
+      * coded frame is the PREPARED index of [[pqTopKAgainst]] —
+      * encode the corpus once, serve query batches against the
+      * codes. Default codebooks are the portable seeded grid scaled
+      * by `scale` (≈ one coordinate σ; 1/√dim for unit vectors);
+      * production passes trained per-subspace k-means codebooks via
+      * `codebooks` (the operator is codebook-agnostic, as ivfTopK is
+      * centroid-agnostic). Returns (id, pq_code array<int> length m).
+      */
+    def pqEncode(id: String, emb: String, dim: Int,
+                 m: Int = 8, ks: Int = 16, seed: String = "7",
+                 scale: Double = 0.125,
+                 codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      require(m >= 1 && dim % m == 0, s"pqEncode: dim=$dim must divide into m=$m subspaces")
+      require(ks >= 2 && ks <= 256, "pqEncode: ks must be in [2, 256] (code bytes)")
+      val cbs = codebooks.getOrElse(
+        graft.functions.ProductQuantizer.codebooks(m, ks, dim / m, seed, scale))
+      require(cbs.length == m && cbs.forall(e => e.length == ks && e.forall(_.length == dim / m)),
+        s"pqEncode: codebooks must be m=$m × ks=$ks × subDim=${dim / m}")
+      left.select(col(id),
+        graft.functions.ProductQuantizer.encode(col(emb).cast("array<double>"), cbs)
+          .as("pq_code"))
+    }
+
+    /** PQ asymmetric-distance top-k (q91) — rank the corpus for each
+      * query by ADC over the coded vectors: the query computes one
+      * m×ks distance table, every corpus vector costs m lookups + m
+      * adds (independent of dim). One-shot form: encodes `left`
+      * inline and scans the codes with the (tiny) query frame
+      * broadcast — the corpus never shuffles, the scan is
+      * output-bound, and per-query ranking is STAGED
+      * (per-doc-hash-shard then global, the q79/bm25 discipline).
+      * The exact-vs-ADC quality trade is spec territory
+      * (PqSpec recall vs cosineTopK); at 100 TB the point is the
+      * codes table is 32× smaller than the embeddings — it fits
+      * where the raw vectors don't, and composes with IVF routing
+      * (encode within cells) for the standard IVF-PQ layout.
+      * Returns (qid, rank, vid, adc_dist), rank 1..k by
+      * (adc_dist ASC, vid), self-pairs (vid == qid) excluded as in
+      * [[cosineTopK]].
+      */
+    def pqTopK(queries: DataFrame, queryId: String, queryEmb: String,
+               id: String, emb: String, dim: Int,
+               m: Int = 8, ks: Int = 16, k: Int = 10,
+               seed: String = "7", scale: Double = 0.125,
+               codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame =
+      new GraftDataFrameOps(pqEncode(id, emb, dim, m, ks, seed, scale, codebooks))
+        .pqTopKAgainst(queries, queryId, queryEmb, id, dim, m, ks, k, seed, scale, codebooks)
+
+    /** ADC top-k against a ONCE-encoded corpus ([[pqEncode]]) —
+      * `left` is the (id, pq_code) frame here: the encode-once/
+      * query-many form. The codebooks regenerate from (seed, dim,
+      * m, ks), so only the codes ship.
+      */
+    def pqTopKAgainst(queries: DataFrame, queryId: String, queryEmb: String,
+                      id: String, dim: Int, m: Int = 8, ks: Int = 16,
+                      k: Int = 10, seed: String = "7", scale: Double = 0.125,
+                      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      require(m >= 1 && dim % m == 0, s"pqTopKAgainst: dim=$dim must divide into m=$m subspaces")
+      require(k >= 1, "pqTopKAgainst: k must be positive")
+      val cbs = codebooks.getOrElse(
+        graft.functions.ProductQuantizer.codebooks(m, ks, dim / m, seed, scale))
+      val q = queries.select(col(queryId).as("qid"),
+        graft.functions.ProductQuantizer
+          .distanceTable(col(queryEmb).cast("array<double>"), cbs).as("__dt"))
+      val scored = left.select(col(id).as("vid"), col("pq_code"))
+        .join(broadcast(q), col("vid") =!= col("qid"))
+        .withColumn("adc_dist",
+          graft.functions.ProductQuantizer.adc(col("pq_code"), col("__dt")))
+      val w1 = Window.partitionBy(col("qid"), col("__shard"))
+        .orderBy(col("adc_dist"), col("vid"))
+      val w2 = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vid"))
+      scored
+        .withColumn("__shard", pmod(xxhash64(col("vid").cast("string")), lit(64)))
+        .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= k)
+        .withColumn("rank", row_number().over(w2).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("vid"), col("adc_dist"))
+    }
   }
 }

@@ -222,4 +222,23 @@ object Similarity {
       .select(col("qid"), col("q_emb"), col("cell"))
     searchCells(c, q, k)
   }
+
+  /** q91: product-quantized ADC search
+    * ([[graft.api.Ops.GraftDataFrameOps.pqTopK]]) — the first 5
+    * vectors query the full corpus through its 8-byte PQ codes
+    * (64 floats → 8 codes, 32×). The codebooks are seeded-md5 grid
+    * vectors and every distance a sequential fold, so the oracle
+    * regenerates codebooks, encodes the corpus, builds each query's
+    * distance table and replays the ADC ranking bit-for-bit in SQL;
+    * PqSpec holds the recall-vs-exact line.
+    */
+  def q91(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.embeddings
+      .pqTopK(t.embeddings.filter(col("vec_id") < 5),
+        queryId = "vec_id", queryEmb = "embedding",
+        id = "vec_id", emb = "embedding", dim = 64, m = 8, ks = 16, k = 10)
+      .select(col("qid"), col("rank"), col("vid"), round(col("adc_dist"), 4).as("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

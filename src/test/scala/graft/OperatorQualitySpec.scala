@@ -163,6 +163,43 @@ class OperatorQualitySpec extends AnyFunSuite {
       "assignment paths must train identical centroids")
   }
 
+  test("q91 PQ ADC ranking tracks exact L2; a coded duplicate of the query ranks first") {
+    import graft.api.Ops._
+    import org.apache.spark.sql.expressions.Window
+    val emb = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("e").as("qe"))
+    val exact = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("qe"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.q91(t)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & adc).size.toDouble / exact.size
+    info(s"PQ ADC recall@10 vs exact L2: $recall")
+    // 64 floats → 8 bytes on NEAR-RANDOM unit vectors is the hardest
+    // possible corpus for PQ (nothing to quantize toward — measured:
+    // σ-scaled grid 0.22, trained per-subspace k-means 0.26, both far
+    // above the 0.02 random-rank baseline; real corpora cluster and
+    // recall rises accordingly). The bit-exact ADC arithmetic itself
+    // is oracle-checked; this line holds the semantic floor.
+    assert(recall >= 0.15, s"PQ ADC recall $recall vs exact L2 too low")
+    // an exact copy of the query vector quantizes to the per-subspace
+    // argmin codes, so its ADC distance is the sum of the table's
+    // per-subspace minima — the global minimum: it must rank first
+    val dup = emb.filter(col("vec_id") === 2)
+      .select((col("vec_id") + 100000).as("vec_id"), col("e"))
+    val corpus = emb.unionByName(dup)
+    val top = corpus.pqTopK(emb.filter(col("vec_id") === 2),
+        queryId = "vec_id", queryEmb = "e", id = "vec_id", emb = "e",
+        dim = 64, m = 8, ks = 16, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(top(0).getLong(2) == 100002L,
+      s"the coded duplicate must be the ADC nearest neighbor: ${top.mkString(", ")}")
+  }
+
   test("trained k-means centroids compose with ivfTopK and lift recall") {
     import graft.operators.{Similarity, Vectors}
     def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
