@@ -185,7 +185,22 @@ object ScaleProbe {
       // the replicated embeddings grow BOTH sides: catalog 10× and
       // increment 10× (near + novel per replica) — the two-sided
       // banded join must stay code-block-bound
-      "q88_vec_incr"  -> (t => Dedup.q88(t)))
+      "q88_vec_incr"  -> (t => Dedup.q88(t)),
+      // replica markers give every synthesized footer/banner paragraph
+      // repl× the distinct-doc df — the common set grows, posting
+      // lists stay df-bounded by the distinct-pair census
+      "q89_paragraph" -> (t => Dedup.q89(t)),
+      // postings grow with the corpus; the query side is fixed, so
+      // cost must track the matched postings (output-bound broadcast
+      // join), never corpus × queries
+      "q90_bm25"      -> (t => operators.TextAnalysis.q90(t)),
+      // encode is map-side linear; the ADC scan is a broadcast of the
+      // fixed query frame over repl× codes — linear, no shuffle growth
+      "q91_pq_adc"    -> (t => operators.Similarity.q91(t)),
+      // cell routing cuts the ADC scan to the probed nprobe/8 of the
+      // corpus — growth should track the probed cells' share, and the
+      // equi cell join must stay hash (never NLJ)
+      "q92_ivf_pq"    -> (t => operators.Similarity.q92(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

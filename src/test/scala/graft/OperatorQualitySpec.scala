@@ -423,4 +423,57 @@ class OperatorQualitySpec extends AnyFunSuite {
       Set((7L, 7L), (9L, 9L)))
     assert(zeroRounds == 0, s"self-loop-only input must converge in 0 rounds, got $zeroRounds")
   }
+
+  test("q92 IVF-PQ: exhaustive probing equals the flat PQ scan; prepared ≡ one-shot; routing restricts candidates") {
+    import graft.api.Ops._
+    val corpus = t.embeddings
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+    val cents = t.embeddings.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    // nprobe = nCells ⇒ every cell probed: routing is exhaustive and
+    // the composition must EQUAL the flat ADC scan bit-for-bit (cell
+    // assignment only partitions the candidate set, never the math)
+    val exhaustive = Similarity.ivfPqTopK(corpus, queries, cents,
+      id = "vec_id", emb = "embedding", queryId = "vec_id", queryEmb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 64, m = 8, ks = 16, k = 10, nprobe = 8)
+    val flat = corpus.pqTopK(queries,
+      queryId = "vec_id", queryEmb = "embedding",
+      id = "vec_id", emb = "embedding", dim = 64, m = 8, ks = 16, k = 10)
+    assert(exhaustive.except(flat).isEmpty && flat.except(exhaustive).isEmpty,
+      "nprobe = nCells IVF-PQ must equal the flat PQ ADC scan")
+    // prepared index ≡ one-shot at the headline nprobe
+    val prepared = Similarity.prepareIvfPq(corpus, cents,
+      id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb", dim = 64)
+    val viaIndex = Similarity.ivfPqTopKAgainst(prepared, queries, cents,
+      id = "vec_id", queryId = "vec_id", queryEmb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 64, k = 10, nprobe = 2)
+    val oneShot = Similarity.q92(t)
+    val viaIndexR = viaIndex
+      .select(col("qid"), col("rank"), col("vid"), round(col("adc_dist"), 4).as("adc_dist"))
+    assert(viaIndexR.except(oneShot).isEmpty && oneShot.except(viaIndexR).isEmpty,
+      "once-prepared IVF-PQ index must serve identical rankings")
+    // routing really restricts: every returned vid's home cell is one
+    // of its query's nprobe=2 probed cells (recomputed through the
+    // SAME assigner the operator uses)
+    val homes = prepared.select(col("vec_id").as("vid"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Similarity.cellAssigner(cents, "centroid_id", "cent_emb")(
+        queries, "vec_id", "embedding", 2, "qid", "__qe")
+      .select("qid", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val got = viaIndex.select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty, "IVF-PQ must return rankings")
+    assert(got.forall { case (qid, vid) => probed(qid).contains(homes(vid)) },
+      "every ranked candidate must live in one of its query's probed cells")
+    // ADC overlap with the flat scan stays meaningful under routing
+    val flatTop = flat.select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.count(flatTop.contains).toDouble / got.length
+    info(s"IVF-PQ nprobe=2 overlap with flat ADC top-10: $overlap")
+    assert(overlap > 0.0, "cell-routed ADC must retain flat-scan neighbors")
+  }
 }

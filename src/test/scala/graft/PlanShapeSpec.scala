@@ -33,11 +33,15 @@ class PlanShapeSpec extends AnyFunSuite {
   // gets the same dedicated pin.
   // q76's keyless join of the 1-row total onto the k-row top-k frame
   // is the same 1-row-broadcast shape; its dedicated pin is below.
+  // q91 is the flat ADC *baseline* (the PQ analogue of q35): the
+  // bounded query frame broadcasts non-equi onto one scan of the
+  // codes — the intended plan; the scale path is q92's equi cell
+  // join, which stays in the locked set. Its dedicated pin is below.
   private val locked =
     Bench.headline.filterNot(Set(
       "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
       "q76_skew_stats", "q77_collocations", "q78_histogram",
-      "q83_quality_buckets", "q86_keep_best"))
+      "q83_quality_buckets", "q86_keep_best", "q91_pq_adc"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -124,6 +128,18 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q35 stays a single broadcast pass (no shuffled cartesian)") {
     val plan = physicalPlan("q35_cosine_topk")
     assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q35:\n$plan")
+  }
+
+  test("q91's only nested-loop is the broadcast query frame; q92's cell join is hash") {
+    val plan91 = physicalPlan("q91_pq_adc")
+    assert(!plan91.contains("CartesianProduct"), s"CartesianProduct in q91:\n$plan91")
+    val nlj = plan91.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1, s"expected exactly the broadcast query-frame join in q91, got $nlj:\n$plan91")
+    // the IVF-PQ composition routes by cell: the candidate join must
+    // be an EQUI hash join, never the flat scan's nested loop
+    val plan92 = physicalPlan("q92_ivf_pq")
+    assert(plan92.contains("BroadcastHashJoin"),
+      s"expected the broadcast hash join on cell in q92:\n$plan92")
   }
 
   test("q02 pushes its filters into the parquet scan") {
