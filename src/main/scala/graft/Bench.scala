@@ -49,7 +49,8 @@ object Bench {
     "q80_semantic_dedup", "q81_cap_vocab", "q82_ngram_coverage",
     "q83_quality_buckets", "q84_char_entropy", "q85_containment",
     "q86_keep_best", "q87_edit_pairs", "q88_vec_dedup_incr",
-    "q89_paragraph_dedup", "q90_bm25", "q91_pq_adc", "q92_ivf_pq")
+    "q89_paragraph_dedup", "q90_bm25", "q91_pq_adc", "q92_ivf_pq",
+    "q93_resample")
 
   private val childMarker = "##BENCHQ##"
 

@@ -200,7 +200,11 @@ object ScaleProbe {
       // cell routing cuts the ADC scan to the probed nprobe/8 of the
       // corpus — growth should track the probed cells' share, and the
       // equi cell join must stay hash (never NLJ)
-      "q92_ivf_pq"    -> (t => operators.Similarity.q92(t)))
+      "q92_ivf_pq"    -> (t => operators.Similarity.q92(t)),
+      // replicated events keep users and span: the (user, bucket) agg
+      // absorbs the 10× rows map-side, the grid/windows stay constant
+      // — cost must track input, output must not grow
+      "q93_resample"  -> (t => operators.Temporal.q93(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -112,6 +112,7 @@ object SparkEntry {
     "q90_bm25"            -> q(TextAnalysis.q90),
     "q91_pq_adc"          -> q(Similarity.q91),
     "q92_ivf_pq"          -> q(Similarity.q92),
+    "q93_resample"        -> q(Temporal.q93),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1804,5 +1805,27 @@ object SparkEntry {
         |SELECT qid, rank, vid, round(adc, 4) AS adc_dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // the oracle materializes the full per-user grid (bounds +
+    // generate_series + left join) — a DIFFERENT formulation than the
+    // engine's lag-gap synthesis, so the gap rows themselves are
+    // cross-checked, not just replayed; sums share the exact decimal
+    // view, LOCF is last_value(IGNORE NULLS) in both engines
+    "q93_resample" ->
+      s"""WITH obs AS (
+         |  SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+         |    COUNT(*) AS n_events, ${dSum("value")} AS total_value
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM bounds),
+         |j AS (SELECT g.user_id, g.b, o.n_events, o.total_value
+         |      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b)
+         |SELECT user_id, make_timestamp(b * 3600000000) AS bucket_start,
+         |  COALESCE(n_events, 0) AS n_events, total_value,
+         |  last_value(total_value IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+         |  CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+         |FROM j ORDER BY user_id, b""".stripMargin,
   )
 }

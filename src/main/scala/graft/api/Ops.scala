@@ -868,6 +868,55 @@ object Ops {
         .drop("__b")
     }
 
+    /** Regular-grid resample with forward fill (q93): align an
+      * irregular event series onto fixed `stepUs`-wide event-time
+      * buckets per key — every bucket from the key's first to its
+      * last observation exists in the output, empty buckets carry
+      * the last observed value forward (LOCF) and are flagged. The
+      * alignment primitive between q23 (buckets that EXIST get a
+      * row) and q21 (as-of against another table): feature
+      * pipelines, rate normalization, and gap detection all need
+      * the missing buckets materialized.
+      *
+      * Scale shape: one map-combinable (key, bucket) aggregation,
+      * then key-partitioned windows — gap buckets are synthesized
+      * from each observation's lag-gap via `sequence()` (never a
+      * per-key bounds join, never a global calendar cross join), so
+      * the only data-sized shuffles are the agg and the per-key
+      * window sort, and a key's cost is its own span/step. Sums go
+      * through the exact decimal view ([[graft.util.Portable]]).
+      * Returns (key, bucket_start, n_events, total_value — null on
+      * gaps, filled_value — LOCF, is_gap).
+      */
+    def resampleLocf(key: String, time: String, value: Column,
+                     stepUs: Long): DataFrame = {
+      require(stepUs > 0, s"resampleLocf: stepUs must be positive (got $stepUs)")
+      val obs = left
+        .withColumn("__b", expr(s"unix_micros($time) div $stepUs"))
+        .groupBy(col(key), col("__b"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.util.Portable.decSum(value).as("total_value"))
+      // synthesize ONLY the gap buckets between consecutive
+      // observations: bounded by each key's own span, no join
+      val wl = Window.partitionBy(col(key)).orderBy(col("__b"))
+      val gaps = obs
+        .withColumn("__prev", lag(col("__b"), 1).over(wl))
+        .filter(col("__prev").isNotNull && col("__b") > col("__prev") + 1)
+        .select(col(key),
+          explode(sequence(col("__prev") + 1, col("__b") - 1)).as("__b"),
+          lit(null).cast("long").as("n_events"),
+          lit(null).cast("double").as("total_value"))
+      val wf = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      obs.unionByName(gaps)
+        .withColumn("filled_value",
+          last(col("total_value"), ignoreNulls = true).over(wf))
+        .select(col(key),
+          expr(s"timestamp_micros(__b * ${stepUs}L)").as("bucket_start"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("total_value"), col("filled_value"),
+          when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"))
+    }
+
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
       * hot key over `buckets` reducers, then combine. Two shuffles,
       * but the first is uniform — the pattern for power-law keys.

@@ -85,6 +85,19 @@ object Temporal {
     * streaming pipeline in graft.streaming). Bucketing is pure
     * arithmetic on µs-since-epoch → map-side, then one agg shuffle.
     */
+  /** q93: hourly regular-grid resample of the event series per user
+    * with forward fill ([[graft.api.Ops.GraftDataFrameOps.resampleLocf]])
+    * — every hour from a user's first to last event exists in the
+    * output, empty hours carry the last observed hourly total forward
+    * and are flagged `is_gap`. The alignment primitive q23's
+    * existing-buckets-only aggregation can't express.
+    */
+  def q93(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.resampleLocf("user_id", "ts", col("value"), 3600000000L)
+      .orderBy(col("user_id"), col("bucket_start"))
+  }
+
   def q23(t: Tables): DataFrame =
     t.events
       .withColumn("bucket_start",

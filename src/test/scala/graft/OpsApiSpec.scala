@@ -1180,4 +1180,49 @@ class OpsApiSpec extends AnyFunSuite {
     assert(ids(best) == composed.collect().map(_.getLong(0)).toSet,
       "curate(keepBest) must equal the dedupKeepBest composition")
   }
+
+  test("resampleLocf: complete per-key grid, LOCF semantics, observed rows untouched") {
+    import spark.implicits._
+    // user 1: observations in hour-buckets 0, 3 (value 2.0 then 5.0)
+    // user 2: single observation (no gaps, grid = 1 bucket)
+    val h = 3600000000L
+    val ev = Seq(
+      (1L, 0L * h + 5L, 2.0), (1L, 0L * h + 9L, 1.0),   // bucket 0, two events
+      (1L, 3L * h + 1L, 5.0),                            // bucket 3
+      (2L, 7L * h + 2L, 9.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"), col("value"))
+    val out = ev.resampleLocf("user_id", "ts", col("value"), h)
+      .orderBy("user_id", "bucket_start").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.length == 4, s"user 1 must get buckets 0..3: ${u1.mkString(", ")}")
+    // observed buckets: own totals, is_gap=0
+    assert(u1(0).getLong(2) == 2L && u1(0).getDouble(3) == 3.0 &&
+      u1(0).getDouble(4) == 3.0 && u1(0).getLong(5) == 0L)
+    // gap buckets 1,2: zero events, null total, LOCF carries 3.0
+    for (i <- Seq(1, 2)) {
+      assert(u1(i).getLong(2) == 0L && u1(i).isNullAt(3) &&
+        u1(i).getDouble(4) == 3.0 && u1(i).getLong(5) == 1L,
+        s"gap bucket $i: ${u1(i)}")
+    }
+    assert(u1(3).getDouble(3) == 5.0 && u1(3).getDouble(4) == 5.0 && u1(3).getLong(5) == 0L)
+    // single-observation key: exactly one row, no gaps
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getLong(5) == 0L && u2(0).getDouble(4) == 9.0)
+    // grid completeness on the real table: per user, rows = max-min+1
+    // buckets and gap-count consistency
+    val real = Temporal.q93(t)
+    val chk = real.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (max(expr("unix_micros(bucket_start)")) - min(expr("unix_micros(bucket_start)"))).as("span"),
+        sum(col("is_gap")).as("gaps"))
+      .withColumn("expected", col("span") / h + 1)
+      .filter(col("n") =!= col("expected"))
+    assert(chk.isEmpty, s"per-user grid must be complete: ${chk.take(3).mkString}")
+    // invalid step rejected
+    val e = intercept[IllegalArgumentException] {
+      ev.resampleLocf("user_id", "ts", col("value"), 0L)
+    }
+    assert(e.getMessage.contains("stepUs"))
+  }
 }
