@@ -204,7 +204,11 @@ object ScaleProbe {
       // replicated events keep users and span: the (user, bucket) agg
       // absorbs the 10× rows map-side, the grid/windows stay constant
       // — cost must track input, output must not grow
-      "q93_resample"  -> (t => operators.Temporal.q93(t)))
+      "q93_resample"  -> (t => operators.Temporal.q93(t)),
+      // both sides grow 10× and the regenerated replica names make
+      // variant keys hot (q87's adversarial corpus) — the two-sided
+      // key join must stay AQE-bound, output tracks true matches
+      "q94_edit_join" -> (t => Dedup.q94(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -113,6 +113,7 @@ object SparkEntry {
     "q91_pq_adc"          -> q(Similarity.q91),
     "q92_ivf_pq"          -> q(Similarity.q92),
     "q93_resample"        -> q(Temporal.q93),
+    "q94_edit_join"       -> q(Dedup.q94),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1827,5 +1828,18 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
          |  CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
          |FROM j ORDER BY user_id, b""".stripMargin,
+
+    // cross-table record linkage: the oracle is the exact O(n²)
+    // dirty×master cross join (the q87 discipline — completeness of
+    // the deletion-variant key join is checked pair-for-pair)
+    "q94_edit_join" ->
+      """WITH q AS (
+        |  SELECT c_custkey + 1000000 AS qid,
+        |    substr(c_name, 1, length(c_name) - 1) || 'x' AS qname
+        |  FROM customer WHERE c_custkey % 10 = 3)
+        |SELECT q.qid, c.c_custkey AS catalog_id,
+        |  CAST(levenshtein(q.qname, c.c_name) AS INT) AS distance
+        |FROM q JOIN customer c ON levenshtein(q.qname, c.c_name) <= 1
+        |ORDER BY qid, catalog_id""".stripMargin,
   )
 }

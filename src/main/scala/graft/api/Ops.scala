@@ -320,6 +320,21 @@ object Ops {
     keys: DataFrame, base: DataFrame, id: String, text: String,
     maxDistance: Int, reliable: Boolean)
 
+  /** The q87 short-string contract enforced IN the job (see
+    * [[GraftDataFrameOps.editDistancePairs]]): any value longer than
+    * `maxLength` fails the run map-side with the offending id —
+    * never a silent Lᵈ-key explosion on document text.
+    */
+  private[graft] def lengthGuarded(id: Column, text: Column, maxLength: Int,
+                                   op: String): Column =
+    when(length(text) > maxLength, raise_error(concat(
+      lit(s"$op: value exceeds maxLength=$maxLength chars ("),
+      length(text).cast("string"), lit(" chars, id="), id.cast("string"),
+      lit("): the deletion neighborhood grows as L^d — this operator is " +
+        "for short record-linkage strings; truncate upstream or use the " +
+        "banded near-dup families for document text"))))
+      .otherwise(text)
+
   /** Build a [[PreparedEditIndex]]; as with [[prepareLm]], streaming
     * use requires a reliable `checkpointDir`. Unlike the within-corpus
     * self-join there is no singleton-key prune (a key unique in the
@@ -327,12 +342,16 @@ object Ops {
     */
   def prepareEditIndex(catalog: DataFrame, id: String, text: String,
                        maxDistance: Int = 1,
-                       checkpointDir: Option[String] = None): PreparedEditIndex = {
+                       checkpointDir: Option[String] = None,
+                       maxLength: Int = 512): PreparedEditIndex = {
     require(maxDistance >= 1 && maxDistance <= 2,
       s"maxDistance must be 1 or 2 (got $maxDistance)")
+    require(maxLength > 0, "maxLength must be positive")
     val ckp = lineageBreaker(checkpointDir)
     val base = ckp(floorPartitions(
-      catalog.select(col(id), col(text)).filter(col(text).isNotNull)))
+      catalog.select(col(id),
+        lengthGuarded(col(id), col(text), maxLength, "prepareEditIndex").as(text))
+        .filter(col(text).isNotNull)))
     val keys = ckp(base.select(col(id),
       explode(deletionVariantKeys(col(text), maxDistance)).as("__k")))
     PreparedEditIndex(keys, base, id, text, maxDistance, checkpointDir.isDefined)
@@ -349,9 +368,12 @@ object Ops {
     */
   private[graft] def editPairsAgainstPrepared(left: DataFrame, id: String, text: String,
                                               prepared: PreparedEditIndex,
-                                              ckp: DataFrame => DataFrame = identity): DataFrame = {
+                                              ckp: DataFrame => DataFrame = identity,
+                                              maxLength: Int = 512): DataFrame = {
     val base = ckp(floorPartitions(
-      left.select(col(id), col(text)).filter(col(text).isNotNull)))
+      left.select(col(id),
+        lengthGuarded(col(id), col(text), maxLength, "editMatches").as(text))
+        .filter(col(text).isNotNull)))
     val keyed = base.select(col(id),
       explode(deletionVariantKeys(col(text), prepared.maxDistance)).as("__k"))
     val cand = keyed.join(
@@ -1119,13 +1141,7 @@ object Ops {
       val ckp = lineageBreaker(checkpointDir)
       // executes map-side during base's checkpoint materialization, so
       // an over-long value kills the run before any key explodes
-      val guarded = when(length(col(text)) > maxLength, raise_error(concat(
-        lit(s"editDistancePairs: value exceeds maxLength=$maxLength chars ("),
-        length(col(text)).cast("string"), lit(" chars, id="), col(id).cast("string"),
-        lit("): the deletion neighborhood grows as L^d — this operator is " +
-          "for short record-linkage strings; truncate upstream or use the " +
-          "banded near-dup families for document text"))))
-        .otherwise(col(text))
+      val guarded = lengthGuarded(col(id), col(text), maxLength, "editDistancePairs")
       val keysCol = deletionVariantKeys(col(text), maxDistance)
       // base is read three times (key explode + both verify legs)
       val base = ckp(floorPartitions(
@@ -1158,6 +1174,48 @@ object Ops {
         .filter(col("distance") >= 0) // threshold form returns -1 past d
         .select(col("id_a"), col("id_b"), col("distance"))
     }
+
+    /** Cross-table edit-distance join (q94) — match every `left`
+      * value against a reference CATALOG within `maxDistance` edits:
+      * the two-table record-linkage form of [[editDistancePairs]]
+      * (dirty feed vs master list, query log vs entity table,
+      * yesterday's names vs today's). Candidates come from the same
+      * EXACT-complete deletion-variant keys, joined ACROSS the two
+      * sides (a key unique in the catalog can still collide with a
+      * left value, so there is no singleton prune; the sides are
+      * disjoint, so no triangle split either — hot keys are a plain
+      * two-sided equi-join under AQE skew handling), then the
+      * threshold-Levenshtein verify. Both sides enforce the q87
+      * short-string contract (`maxLength`, map-side raise_error).
+      *
+      * One-shot form; for rolling batches/streams build the index
+      * once with [[Ops.prepareEditIndex]] and use
+      * [[editMatchesAgainst]] /
+      * [[graft.streaming.Streams.editMatchStream]] — per-increment
+      * cost is the increment's own variant explode + key join, the
+      * catalog is never rescanned. Returns (id, catalog_id,
+      * distance ≤ maxDistance); left rows with no match are absent
+      * (filter-side semantics — anti-join the result to get them).
+      */
+    def editMatches(catalog: DataFrame, id: String, text: String,
+                    catalogId: String, catalogText: String,
+                    maxDistance: Int = 1,
+                    checkpointDir: Option[String] = None,
+                    maxLength: Int = 512): DataFrame = {
+      val prepared = prepareEditIndex(catalog, catalogId, catalogText,
+        maxDistance, checkpointDir, maxLength)
+      editMatchesAgainst(prepared, id, text, checkpointDir, maxLength)
+    }
+
+    /** Edit-distance matches against a ONCE-prepared catalog index
+      * ([[Ops.prepareEditIndex]]) — the rolling-ingest form of
+      * [[editMatches]].
+      */
+    def editMatchesAgainst(prepared: PreparedEditIndex, id: String, text: String,
+                           checkpointDir: Option[String] = None,
+                           maxLength: Int = 512): DataFrame =
+      editPairsAgainstPrepared(left, id, text, prepared,
+        lineageBreaker(checkpointDir), maxLength)
 
     /** MinHash + LSH banding near-dup pairs — the production-scale
       * formulation: banding carries only (id, band, bucket), candidate

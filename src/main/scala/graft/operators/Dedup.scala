@@ -298,6 +298,28 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** q94: cross-table edit-distance join
+    * ([[graft.api.Ops.GraftDataFrameOps.editMatches]]) — record
+    * linkage of a DIRTY feed against a master catalog, the two-table
+    * form of q87. The query synthesizes the dirty feed from the
+    * customer master itself: every 10th name's last character is
+    * corrupted to 'x' (one substitution), so each dirty value matches
+    * its own master row at distance 1 AND every master row differing
+    * only in that same last digit — the dense linkage structure real
+    * ID-like corpora have. The oracle is the exact O(n²) cross join,
+    * so cross-side completeness is checked pair-for-pair.
+    */
+  def q94(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val dirty = t.customer.filter(col("c_custkey") % 10 === 3)
+      .select((col("c_custkey") + 1000000L).as("qid"),
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("x")).as("qname"))
+    dirty.editMatches(t.customer.select(col("c_custkey"), col("c_name")),
+        id = "qid", text = "qname", catalogId = "c_custkey", catalogText = "c_name",
+        maxDistance = 1)
+      .orderBy(col("qid"), col("catalog_id"))
+  }
+
   /** q89: corpus-wide paragraph (line-level) dedup
     * ([[graft.api.Ops.GraftDataFrameOps.dedupParagraphs]]) — the
     * CCNet/RefinedWeb boilerplate pass. The testdata text carries no

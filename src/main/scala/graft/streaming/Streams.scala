@@ -169,6 +169,30 @@ object Streams {
       .start()
   }
 
+  /** Match a live value stream against a once-prepared edit-distance
+    * catalog index ([[graft.api.Ops.prepareEditIndex]]) — q94's
+    * ingest form (dirty feed vs master list as records arrive): each
+    * trigger pays its own deletion-variant explode + key hash join +
+    * threshold-Levenshtein verify against the pinned catalog frames,
+    * never a catalog rescan. Reliable prep REQUIRED (the PreparedLm
+    * contract: localCheckpoint blocks do not survive executor loss
+    * across a long-lived stream).
+    */
+  def editMatchStream(values: DataFrame, id: String, text: String,
+                      prepared: graft.api.Ops.PreparedEditIndex,
+                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "editMatchStream needs a PreparedEditIndex built with a reliable " +
+        "checkpointDir (prepareEditIndex(..., checkpointDir = Some(dir))): " +
+        "localCheckpoint blocks do not survive executor loss across a long-lived stream")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.editPairsAgainstPrepared(batch, id, text, prepared))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Perplexity-score a document stream against a once-trained LM
     * ([[graft.api.Ops.prepareLm]]) — per-doc aggregation means
     * foreachBatch (the dedupAgainstCatalogStream shape): each trigger

@@ -1225,4 +1225,42 @@ class OpsApiSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("stepUs"))
   }
+
+  test("editMatches ≡ brute-force cross join for d=1,2; prepared ≡ one-shot; maxLength guard") {
+    import spark.implicits._
+    // all edit kinds across the two sides: substitution, deletion,
+    // insertion, exact copy, and far-away values on both sides
+    val catalog = Seq((1L, "abcd"), (2L, "abce"), (3L, "xyz"), (4L, "q"), (5L, ""))
+      .toDF("cid", "cname")
+    val dirty = Seq((11L, "abxd"), (12L, "abd"), (13L, "abcde"),
+      (14L, "abcd"), (15L, "zzz"), (16L, "x"))
+      .toDF("qid", "qname")
+    def brute(d: Int): Set[(Long, Long, Int)] =
+      dirty.crossJoin(catalog)
+        .withColumn("dist", levenshtein(col("qname"), col("cname")))
+        .filter(col("dist") <= d)
+        .select("qid", "cid", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (d <- Seq(1, 2)) {
+      val got = dirty.editMatches(catalog, "qid", "qname", "cid", "cname", maxDistance = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(d),
+        s"d=$d: got ${got.toSeq.sorted}, brute ${brute(d).toSeq.sorted}")
+    }
+    // prepared index serves the identical match set
+    val prepared = graft.api.Ops.prepareEditIndex(catalog, "cid", "cname", maxDistance = 1)
+    val viaPrep = dirty.editMatchesAgainst(prepared, "qid", "qname")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaPrep == brute(1), "prepared form must equal the one-shot matches")
+    // the q87 short-string contract holds on BOTH sides
+    val long = Seq((99L, "x" * 600)).toDF("qid", "qname")
+    val eLeft = intercept[Exception] {
+      long.editMatches(catalog, "qid", "qname", "cid", "cname").collect()
+    }
+    assert(eLeft.getMessage.contains("maxLength"), eLeft.getMessage)
+    val eCat = intercept[Exception] {
+      dirty.editMatches(long.toDF("cid", "cname"), "qid", "qname", "cid", "cname").collect()
+    }
+    assert(eCat.getMessage.contains("maxLength"), eCat.getMessage)
+  }
 }

@@ -355,6 +355,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reliable"))
   }
 
+  test("editMatchStream matches a value stream against the frozen catalog index, equal to batch") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = Tables(spark, sfDir).customer
+      .select(col("c_custkey"), col("c_name")).limit(500)
+    val dirtyDf = catalog
+      .select((col("c_custkey") + 1000000L).as("qid"),
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("x")).as("qname"))
+    val dirtyRows = dirtyDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_edit_ck").toString
+    val prepared = graft.api.Ops.prepareEditIndex(catalog, "c_custkey", "c_name",
+      maxDistance = 1, checkpointDir = Some(ckDir))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val q = Streams.editMatchStream(
+      stream.toDF().toDF("qid", "qname"), "qid", "qname", prepared,
+      sink = b => got.synchronized {
+        got ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      })
+    try {
+      // matches are against the CATALOG only — the trigger split must
+      // not change the match set
+      stream.addData(dirtyRows.take(dirtyRows.size / 2))
+      q.processAllAvailable()
+      stream.addData(dirtyRows.drop(dirtyRows.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = dirtyDf.editMatchesAgainst(prepared, "qid", "qname")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.size == got.toSet.size, "a match surfaced in two triggers")
+    assert(got.toSet == batch,
+      s"streaming found ${got.size} matches, batch found ${batch.size}")
+    assert(batch.nonEmpty, "the corrupted feed must produce matches")
+    // a localCheckpoint-only prep is rejected up front
+    val unreliable = graft.api.Ops.prepareEditIndex(catalog, "c_custkey", "c_name")
+    val e = intercept[IllegalArgumentException] {
+      Streams.editMatchStream(
+        stream.toDF().toDF("qid", "qname"), "qid", "qname", unreliable, sink = _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+  }
+
   test("stateless curation ops (stripMarkup, redact, repetitionStats) apply to a stream and match batch") {
     import spark.implicits._
     import graft.api.Ops._
