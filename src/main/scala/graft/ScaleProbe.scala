@@ -208,7 +208,10 @@ object ScaleProbe {
       // both sides grow 10× and the regenerated replica names make
       // variant keys hot (q87's adversarial corpus) — the two-sided
       // key join must stay AQE-bound, output tracks true matches
-      "q94_edit_join" -> (t => Dedup.q94(t)))
+      "q94_edit_join" -> (t => Dedup.q94(t)),
+      // the race key is map-side arithmetic; the staged windows keep
+      // every reducer at ≤ k·subShards rows however the corpus grows
+      "q95_weighted"  -> (t => Pipeline.q95(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

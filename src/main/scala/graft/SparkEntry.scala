@@ -114,6 +114,7 @@ object SparkEntry {
     "q92_ivf_pq"          -> q(Similarity.q92),
     "q93_resample"        -> q(Temporal.q93),
     "q94_edit_join"       -> q(Dedup.q94),
+    "q95_weighted_sample" -> q(Pipeline.q95),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1841,5 +1842,26 @@ object SparkEntry {
         |  CAST(levenshtein(q.qname, c.c_name) AS INT) AS distance
         |FROM q JOIN customer c ON levenshtein(q.qname, c.c_name) <= 1
         |ORDER BY qid, catalog_id""".stripMargin,
+
+    // Efraimidis–Spirakis replay: u from the same seeded md5, the
+    // long +1 BEFORE the double division, one ln per row — both
+    // engines rank the identical exponential keys (ln agreement
+    // verified by the hash gate itself), ties to the lower doc_id
+    "q95_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    -ln((hh + 1) / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS sk
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS BIGINT) AS sample_rank
+        |  FROM k)
+        |SELECT doc_id, source, n_chars, sample_rank
+        |FROM r WHERE sample_rank <= 50
+        |ORDER BY source, sample_rank""".stripMargin,
   )
 }

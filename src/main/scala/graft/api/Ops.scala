@@ -1681,6 +1681,55 @@ object Ops {
         .drop("__h", "__sub", "__r1")
     }
 
+    /** WEIGHTED exact-k per-group sampling without replacement —
+      * [[samplePerGroup]]'s uniform draw biased by a weight column:
+      * a row's inclusion probability follows its weight share (long
+      * docs for token-budget-proportional subsets, quality scores
+      * for quality-tilted eval picks). The Efraimidis–Spirakis
+      * exponential-key race (IPL 2006 — public result): each row
+      * draws u from its seeded portable hash and keys as
+      * −ln(u)/w ~ Exp(w); ranking a group by the key ascending IS
+      * the sequential weighted draw without replacement, in one
+      * pass. Deterministic in (seed, id) on any engine and any
+      * partitioning — the one libm call (`ln`) lands on the same
+      * IEEE double both engines produce for these hash-derived
+      * inputs (oracle-checked bit-for-bit, the q73 discipline
+      * applies to the ROUNDED display key only). Same two-stage
+      * rank as [[samplePerGroup]] — no reducer ever sorts a whole
+      * group. Non-positive weights fail the run map-side with the
+      * offending id (a weight of 0 has no defined draw — pre-filter
+      * upstream if exclusion is intended). Output = `left`'s columns
+      * plus `sample_rank`.
+      */
+    def weightedSamplePerGroup(groupCol: String, id: String, weight: Column,
+                               k: Int, seed: Long = 0L,
+                               subShards: Int = 64): DataFrame = {
+      require(k > 0, "k must be positive")
+      require(subShards > 0, "subShards must be positive")
+      require(k.toLong * subShards < Int.MaxValue, "k * subShards must stay an int")
+      val guardedW = when(weight.cast("double") <= 0.0 || weight.isNull,
+        raise_error(concat(lit("weightedSamplePerGroup: non-positive weight ("),
+          weight.cast("string"), lit(") at id="), col(id).cast("string"),
+          lit(" — the exponential race is undefined; pre-filter or fix the weight"))))
+        .otherwise(weight.cast("double"))
+      val h = graft.functions.TextFunctions.seededHash(lit(seed), col(id).cast("string"))
+      val w1 = Window.partitionBy(col(groupCol), col("__sub"))
+        .orderBy(col("__sk"), col(id))
+      val w2 = Window.partitionBy(col(groupCol)).orderBy(col("__sk"), col(id))
+      left
+        .withColumn("__h", h)
+        // u ∈ (0, 1]: (h + 1) / 2^60 on the 60-bit positive hash;
+        // the long add happens BEFORE the double cast in both engines
+        .withColumn("__sk",
+          -log((col("__h") + lit(1L)).cast("double") / lit(1.152921504606846976e18)) / guardedW)
+        .withColumn("__sub", pmod(col("__h"), lit(subShards.toLong)))
+        .withColumn("__r1", row_number().over(w1))
+        .filter(col("__r1") <= k)
+        .withColumn("sample_rank", row_number().over(w2).cast("long"))
+        .filter(col("sample_rank") <= k)
+        .drop("__h", "__sk", "__sub", "__r1")
+    }
+
     /** Learned quality gate — keep only documents the trained
       * classifier ([[graft.operators.Classifier]]) scores at or above
       * `minScore`. The heuristic gate is `curate`'s `qualityScore`

@@ -199,6 +199,19 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("sample_rank"))
       .orderBy(col("source"), col("sample_rank"))
 
+  /** q95: WEIGHTED exact-k per-source sampling
+    * ([[graft.api.Ops.GraftDataFrameOps.weightedSamplePerGroup]]) —
+    * 50 docs per source drawn ∝ n_chars (the token-budget-
+    * proportional subset q79's uniform draw can't express). The
+    * exponential keys are pure md5 + ln arithmetic, so the oracle
+    * recomputes every key and replays the race rank-for-rank.
+    */
+  def q95(t: Tables): DataFrame =
+    t.documents
+      .weightedSamplePerGroup("source", "doc_id", col("n_chars"), k = 50, seed = 17L)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+
   /** q58: **train/eval decontamination** — find training documents
     * that leak benchmark content, the check every serious training
     * corpus runs before a model ships. Shape: distinct 8-gram hashes

@@ -1263,4 +1263,44 @@ class OpsApiSpec extends AnyFunSuite {
     }
     assert(eCat.getMessage.contains("maxLength"), eCat.getMessage)
   }
+
+  test("weightedSamplePerGroup: exact-k, partitioning-invariant, weight-biased, guards w<=0") {
+    import spark.implicits._
+    // exact-k and invariance on the real corpus
+    def run(parts: Int) = t.documents.repartition(parts)
+      .weightedSamplePerGroup("source", "doc_id", col("n_chars"), k = 7, seed = 17L)
+      .select("doc_id", "source", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val a = run(3)
+    assert(a == run(7), "the weighted draw must not depend on partitioning")
+    val perGroup = a.groupBy(_._2).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ == 7), s"exact k per source: $perGroup")
+    // weight bias: 100 heavy (w=1000) vs 100 light (w=1) rows, k=50 —
+    // the exponential race must overwhelmingly pick heavy rows
+    // (deterministic given the seed; expected light picks ≈ 50/1000)
+    val planted = (0 until 100).map(i => (i.toLong, "g", 1000.0)) ++
+      (100 until 200).map(i => (i.toLong, "g", 1.0))
+    val picked = planted.toDF("id", "g", "w")
+      .weightedSamplePerGroup("g", "id", col("w"), k = 50, seed = 1L)
+      .select("id").collect().map(_.getLong(0))
+    assert(picked.length == 50)
+    val heavy = picked.count(_ < 100)
+    assert(heavy >= 45, s"w=1000 rows must dominate the k=50 draw, got $heavy/50")
+    // a smaller k is a PREFIX of a larger k's ranking (the race order
+    // is fixed; k only truncates)
+    val top10 = planted.toDF("id", "g", "w")
+      .weightedSamplePerGroup("g", "id", col("w"), k = 10, seed = 1L)
+      .orderBy("sample_rank").select("id").collect().map(_.getLong(0)).toSeq
+    val top50 = planted.toDF("id", "g", "w")
+      .weightedSamplePerGroup("g", "id", col("w"), k = 50, seed = 1L)
+      .orderBy("sample_rank").select("id").collect().map(_.getLong(0)).toSeq
+    assert(top50.take(10) == top10, "k must only truncate the fixed race order")
+    // non-positive weight fails loudly with the offending id
+    val bad = Seq((1L, "g", 5.0), (2L, "g", 0.0)).toDF("id", "g", "w")
+    val e = intercept[Exception] {
+      bad.weightedSamplePerGroup("g", "id", col("w"), k = 1).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") && e.getMessage.contains("id=2"),
+      e.getMessage)
+  }
 }
