@@ -50,7 +50,8 @@ object Bench {
     "q83_quality_buckets", "q84_char_entropy", "q85_containment",
     "q86_keep_best", "q87_edit_pairs", "q88_vec_dedup_incr",
     "q89_paragraph_dedup", "q90_bm25", "q91_pq_adc", "q92_ivf_pq",
-    "q93_resample", "q94_edit_join", "q95_weighted_sample")
+    "q93_resample", "q94_edit_join", "q95_weighted_sample",
+    "q96_pagerank")
 
   private val childMarker = "##BENCHQ##"
 

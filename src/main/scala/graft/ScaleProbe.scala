@@ -211,7 +211,10 @@ object ScaleProbe {
       "q94_edit_join" -> (t => Dedup.q94(t)),
       // the race key is map-side arithmetic; the staged windows keep
       // every reducer at ≤ k·subShards rows however the corpus grows
-      "q95_weighted"  -> (t => Pipeline.q95(t)))
+      "q95_weighted"  -> (t => Pipeline.q95(t)),
+      // per-iteration cost is one node-keyed join + one map-combinable
+      // dst agg over the (fixed-here) edge list — linear in edges
+      "q96_pagerank"  -> (t => operators.Extended.q96(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -115,6 +115,7 @@ object SparkEntry {
     "q93_resample"        -> q(Temporal.q93),
     "q94_edit_join"       -> q(Dedup.q94),
     "q95_weighted_sample" -> q(Pipeline.q95),
+    "q96_pagerank"        -> q(Extended.q96),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1863,5 +1864,34 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars, sample_rank
         |FROM r WHERE sample_rank <= 50
         |ORDER BY source, sample_rank""".stripMargin,
+
+    // all-integer PageRank: the three iterations unroll as CTE
+    // triples (give → receive → damp), every transfer a BIGINT floor
+    // division — the ranks match the Spark loop exactly (DuckDB
+    // SUM(BIGINT) is HUGEINT, hence the CAST per the q24 discipline)
+    "q96_pagerank" -> {
+      val iterate = (1 to 3).map { i =>
+        s"""g$i AS (SELECT r.node AS src, r.rank // od.od AS c
+           |        FROM r${i - 1} r JOIN od ON od.node = r.node),
+           |in$i AS (SELECT e.dst AS node, CAST(SUM(c) AS BIGINT) AS cin
+           |         FROM e JOIN g$i ON e.src = g$i.src GROUP BY 1),
+           |r$i AS (SELECT nodes.node,
+           |          (SELECT ((1000000000000 // n) * 1500) // 10000 FROM sc)
+           |          + (COALESCE(cin, 0) * 8500) // 10000 AS rank
+           |        FROM nodes LEFT JOIN in$i ON in$i.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ol AS (
+         |  SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT cust AS src, supp AS dst FROM ol
+         |      UNION ALL SELECT supp, cust FROM ol),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |sc AS (SELECT COUNT(*) AS n FROM nodes),
+         |od AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY 1),
+         |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM sc) AS rank FROM nodes),
+         |$iterate
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
   )
 }

@@ -681,6 +681,70 @@ object Ops {
     }
   }
 
+  /** Integer PageRank over an edge list — the link-graph QUALITY
+    * signal web-corpus curation pipelines compute for seed selection
+    * and crawl prioritization (the public CCNet/RefinedWeb recipes
+    * filter by domain-graph centrality), and the second graph
+    * primitive beside the connected-components family. Edges are
+    * DIRECTED as given (symmetrize at the call site for the
+    * undirected co-occurrence form — that also eliminates dangling
+    * nodes); multi-edges act as weights.
+    *
+    * ALL-INTEGER formulation, deliberately: ranks are longs summing
+    * to ~`totalMass`, every transfer a floor `div` — bit-identical
+    * on any engine and any partitioning (the engine's determinism
+    * discipline; a floating PageRank would make the hash oracle
+    * order-sensitive). Costs accepted and documented: floor leakage
+    * (each transfer loses < 1 unit per participating edge — with
+    * totalMass 10¹² and web-scale node counts, relative error
+    * < 10⁻³ per iteration) and dangling-node drop (a node with no
+    * out-edges receives but never redistributes).
+    *
+    * Scale shape per iteration: rank/outdeg is a node-keyed hash
+    * join, contributions aggregate MAP-COMBINABLY by dst (a hub's
+    * in-edges partial-sum in every mapper — a 10⁹-degree node is a
+    * hot GROUP BY key, not a hot row), the damping arithmetic is
+    * map-side, and the rank frame checkpoints (the q46 lineage
+    * discipline). `iters` is a FIXED budget, not a fixpoint probe —
+    * centrality RANKINGS stabilize in a few hops and a fixed budget
+    * keeps cost predictable.
+    * Returns (node, rank) for every edge endpoint.
+    */
+  def pageRank(edges: DataFrame, src: String, dst: String, iters: Int = 3,
+               dampingBp: Long = 8500L, totalMass: Long = 1000000000000L,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0 && iters <= 20, s"iters must be in [0, 20] (got $iters)")
+    require(dampingBp >= 0L && dampingBp <= 10000L,
+      s"dampingBp is basis points in [0, 10000] (got $dampingBp)")
+    // totalMass * dampingBp must stay far from Long overflow (ANSI
+    // mode would throw mid-job; this require makes it a setup error)
+    require(totalMass > 0L && totalMass <= 1000000000000000L,
+      s"totalMass must be in (0, 1e15] (got $totalMass)")
+    val ck = lineageBreaker(checkpointDir)
+    val e = ck(edges.select(
+      col(src).cast("long").as("__src"), col(dst).cast("long").as("__dst")))
+    val nodes = ck(e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list")
+    val r0 = totalMass / n
+    val base = (r0 * (10000L - dampingBp)) / 10000L
+    val outdeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("__od"))
+    var ranks = ck(nodes.withColumn("rank", lit(r0)))
+    for (_ <- 1 to iters) {
+      val give = ranks.join(outdeg, Seq("node"))
+        .select(col("node").as("__src"), expr("rank div __od").as("__c"))
+      val recv = e.join(give, Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = ck(nodes.join(recv, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"coalesce(__in, CAST(0 AS BIGINT)) * $dampingBp div 10000"))
+            .as("rank")))
+    }
+    ranks
+  }
+
   /** Alternating large-star / small-star connected components
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the diameter-independent alternative to

@@ -230,4 +230,23 @@ object Extended {
       .quantileBuckets("score_bp", buckets = 10)
       .orderBy(col("bucket"))
   }
+
+  /** q96: integer PageRank ([[graft.api.Ops.pageRank]]) over the
+    * symmetrized customer↔supplier co-purchase graph (orders ⨝
+    * lineitem; supplier ids offset into their own node range;
+    * multi-edges weight by purchase count). 3 iterations, damping
+    * 0.85 — the link-centrality quality signal, all-integer so the
+    * oracle unrolls the same three iterations in SQL and every rank
+    * matches exactly.
+    */
+  def q96(t: Tables): DataFrame = {
+    val ol = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+    val edges = ol.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(ol.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.api.Ops.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy(col("node"))
+  }
 }

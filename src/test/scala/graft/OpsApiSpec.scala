@@ -1303,4 +1303,31 @@ class OpsApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-positive weight") && e.getMessage.contains("id=2"),
       e.getMessage)
   }
+
+  test("pageRank: hub dominance, partitioning invariance, iters=0 uniform, mass bound") {
+    import spark.implicits._
+    // star: hub 0 ↔ leaves 1..20 (symmetrized) — the hub must
+    // out-rank every leaf, and all leaves tie by symmetry
+    val star = (1 to 20).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+    def ranksOf(df: org.apache.spark.sql.DataFrame, iters: Int = 3): Map[Long, Long] =
+      graft.api.Ops.pageRank(df, "src", "dst", iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = ranksOf(star.toDF("src", "dst"))
+    assert(r(0L) > r(1L) * 5, s"hub must dominate: hub=${r(0L)} leaf=${r(1L)}")
+    assert((1 to 20).map(i => r(i.toLong)).toSet.size == 1, "leaves must tie exactly")
+    // integer arithmetic ⇒ bit-identical under any partitioning
+    assert(ranksOf(star.toDF("src", "dst").repartition(7)) == r)
+    // total mass stays within the documented floor-leak bound
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total > 900000000000L,
+      s"mass must be ≤ totalMass and leak < 10%: $total")
+    // iters = 0 → uniform totalMass/N
+    val u = ranksOf(star.toDF("src", "dst"), iters = 0)
+    assert(u.values.toSet == Set(1000000000000L / 21), s"uniform start: ${u.values.toSet}")
+    // empty edge list rejected
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Ops.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
 }
