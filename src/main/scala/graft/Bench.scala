@@ -51,7 +51,7 @@ object Bench {
     "q86_keep_best", "q87_edit_pairs", "q88_vec_dedup_incr",
     "q89_paragraph_dedup", "q90_bm25", "q91_pq_adc", "q92_ivf_pq",
     "q93_resample", "q94_edit_join", "q95_weighted_sample",
-    "q96_pagerank")
+    "q96_pagerank", "q97_funnel")
 
   private val childMarker = "##BENCHQ##"
 

@@ -71,8 +71,25 @@ object ScaleProbe {
         .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
     }.reduce(_ unionByName _)
     cust.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // orders/lineitem: replica k shifts order keys consistently (and
+    // cust/supp keys into the same ranges customer replication uses),
+    // so the q65 bloom build, the q66 z-order input and the q96
+    // co-purchase graph all genuinely grow repl× — before round 9
+    // these copied 1:1 and any op reading them probed a flat corpus
+    val ords = (0 until repl).map { k =>
+      spark.read.parquet(s"$base/orders.parquet")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+    ords.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = (0 until repl).map { k =>
+      spark.read.parquet(s"$base/lineitem.parquet")
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 1000000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k.toLong * 100000L))
+    }.reduce(_ unionByName _)
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     // remaining tables: symlink-equivalent copies for Tables loaders
-    for (n <- Seq("region", "nation", "supplier", "part", "orders", "lineitem"))
+    for (n <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$base/$n.parquet").write.mode("overwrite").parquet(s"$dir/$n.parquet")
 
     val tN = Tables(spark, dir)
@@ -214,7 +231,10 @@ object ScaleProbe {
       "q95_weighted"  -> (t => Pipeline.q95(t)),
       // per-iteration cost is one node-keyed join + one map-combinable
       // dst agg over the (fixed-here) edge list — linear in edges
-      "q96_pagerank"  -> (t => operators.Extended.q96(t)))
+      "q96_pagerank"  -> (t => operators.Extended.q96(t)),
+      // per-step filtered min-aggs + key joins: linear in events, and
+      // replicated events keep users so the per-step frames are flat
+      "q97_funnel"    -> (t => operators.Temporal.q97(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -116,6 +116,7 @@ object SparkEntry {
     "q94_edit_join"       -> q(Dedup.q94),
     "q95_weighted_sample" -> q(Pipeline.q95),
     "q96_pagerank"        -> q(Extended.q96),
+    "q97_funnel"          -> q(Temporal.q97),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1893,5 +1894,30 @@ object SparkEntry {
          |$iterate
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
     },
+
+    // greedy-earliest funnel replay: each step's frame is the
+    // key-wise min event time strictly after the previous step's
+    "q97_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s3 ON s3.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4)
+        |ORDER BY step""".stripMargin,
   )
 }

@@ -938,6 +938,44 @@ object Ops {
       left.withColumn("session_id", sum(brk).over(wc).cast("int"))
     }
 
+    /** Ordered-sequence funnel (q97): how many keys progress through
+      * `steps` IN ORDER — the conversion primitive (signup → view →
+      * click → purchase) the windowed/sessionized family doesn't
+      * express. Reachability is computed greedily on EARLIEST
+      * completion: t₁ = the key's first step-1 event, tᵢ = its first
+      * step-i event strictly after tᵢ₋₁ — greedy-earliest is optimal
+      * for unconstrained ordering (picking any later tᵢ can only
+      * shrink what remains for step i+1), so "reaches step i" is
+      * exact, not a heuristic. Shape: one filtered min-agg per step
+      * joined key-wise onto the previous step's frame — |steps|
+      * bounded (≤ 8 enforced), each join key-partitioned, no window
+      * over raw events, no per-key event lists. Returns one row per
+      * step: (step 1-based, event_type, n_users).
+      */
+    def funnel(key: String, time: String, typeCol: String,
+               steps: Seq[String]): DataFrame = {
+      require(steps.nonEmpty && steps.size <= 8,
+        s"funnel needs 1..8 steps (got ${steps.size})")
+      require(steps.distinct.size == steps.size,
+        "funnel steps must be distinct event types (a repeated type is " +
+          "ambiguous under earliest-completion semantics)")
+      val first = left.filter(col(typeCol) === steps.head)
+        .groupBy(col(key)).agg(min(col(time)).as("__t"))
+      val frames = steps.tail.scanLeft(first) { (prev, st) =>
+        left.filter(col(typeCol) === st)
+          .join(prev.select(col(key), col("__t").as("__pt")), Seq(key))
+          .filter(col(time) > col("__pt"))
+          .groupBy(col(key)).agg(min(col(time)).as("__t"))
+      }
+      frames.zip(steps).zipWithIndex
+        .map { case ((df, st), i) =>
+          df.select(lit((i + 1).toLong).as("step"), lit(st).as("event_type"), col(key))
+        }
+        .reduce(_ unionByName _)
+        .groupBy(col("step"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+    }
+
     /** Range join on |leftTime - rightTime| <= tolerance (no equi
       * key): bucket both sides to the tolerance width, explode the
       * right side into its 3 candidate buckets, hash-join, refine.

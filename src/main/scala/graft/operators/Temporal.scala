@@ -98,6 +98,19 @@ object Temporal {
       .orderBy(col("user_id"), col("bucket_start"))
   }
 
+  /** q97: conversion funnel ([[graft.api.Ops.GraftDataFrameOps.funnel]])
+    * — users progressing signup → view → click → purchase in order,
+    * greedy-earliest completion per step. One filtered min-agg per
+    * step, key-partitioned joins, no event-list materialization.
+    */
+  def q97(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events
+      .funnel("user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("step"))
+  }
+
   def q23(t: Tables): DataFrame =
     t.events
       .withColumn("bucket_start",

@@ -1330,4 +1330,36 @@ class OpsApiSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("empty"))
   }
+
+  test("funnel: ordered reachability with strict inequality and greedy-earliest optimality") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes the whole funnel in order
+      (1L, 1L, "signup"), (1L, 2L, "view"), (1L, 3L, "click"), (1L, 4L, "purchase"),
+      // user 2's view precedes their signup → stops at step 1
+      (2L, 1L, "view"), (2L, 2L, "signup"), (2L, 3L, "click"),
+      // user 3 skips view → click/purchase can't count
+      (3L, 5L, "signup"), (3L, 6L, "purchase"),
+      // user 4: view at the SAME instant as signup — strict > excludes
+      (4L, 1L, "signup"), (4L, 1L, "view"),
+      // user 5: greedy-earliest view (@2, not @10) lets click@5 count —
+      // a latest-match heuristic would miss this user at step 3
+      (5L, 1L, "signup"), (5L, 10L, "view"), (5L, 2L, "view"), (5L, 5L, "click"))
+      .map { case (u, s, ty) => (u, s, ty) }
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"), col("event_type"))
+    val got = ev.funnel("user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "signup", 5L), (2L, "view", 2L),
+      (3L, "click", 2L), (4L, "purchase", 1L)), got.toString)
+    // repeated step types rejected; step-count budget enforced
+    assert(intercept[IllegalArgumentException] {
+      ev.funnel("user_id", "ts", "event_type", Seq("view", "view"))
+    }.getMessage.contains("distinct"))
+    assert(intercept[IllegalArgumentException] {
+      ev.funnel("user_id", "ts", "event_type", Seq.fill(9)("x").zipWithIndex.map(_.toString))
+    }.getMessage.contains("1..8"))
+  }
 }
