@@ -51,7 +51,8 @@ object Bench {
     "q86_keep_best", "q87_edit_pairs", "q88_vec_dedup_incr",
     "q89_paragraph_dedup", "q90_bm25", "q91_pq_adc", "q92_ivf_pq",
     "q93_resample", "q94_edit_join", "q95_weighted_sample",
-    "q96_pagerank", "q97_funnel")
+    "q96_pagerank", "q97_funnel", "q98_trailing_window",
+    "q99_snapshot_diff")
 
   private val childMarker = "##BENCHQ##"
 

@@ -234,7 +234,12 @@ object ScaleProbe {
       "q96_pagerank"  -> (t => operators.Extended.q96(t)),
       // per-step filtered min-aggs + key joins: linear in events, and
       // replicated events keep users so the per-step frames are flat
-      "q97_funnel"    -> (t => operators.Temporal.q97(t)))
+      "q97_funnel"    -> (t => operators.Temporal.q97(t)),
+      // one key-partitioned window; per-user rows grow 10× so the
+      // trailing frames genuinely widen — cost must stay near-linear
+      "q98_trailing"  -> (t => operators.WindowSuite.q98(t)),
+      // one full-outer join over the 10× snapshots — linear
+      "q99_snapshot"  -> (t => operators.Relational.q99(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

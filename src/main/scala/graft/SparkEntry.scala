@@ -117,6 +117,8 @@ object SparkEntry {
     "q95_weighted_sample" -> q(Pipeline.q95),
     "q96_pagerank"        -> q(Extended.q96),
     "q97_funnel"          -> q(Temporal.q97),
+    "q98_trailing_window" -> q(WindowSuite.q98),
+    "q99_snapshot_diff"   -> q(Relational.q99),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1919,5 +1921,38 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
         |  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4)
         |ORDER BY step""".stripMargin,
+
+    // RANGE frames are value-defined, so both engines build the same
+    // trailing-hour frame for every row (ties share a frame); the
+    // sum is the exact decimal view cast to double
+    "q98_trailing_window" ->
+      s"""SELECT event_id, user_id, ts,
+         |  COUNT(*) OVER w AS n_1h,
+         |  CAST(SUM(${d2("value")}) OVER w AS DOUBLE) AS sum_1h
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    // full-outer change classification; IS DISTINCT FROM mirrors the
+    // engine's null-safe struct comparison
+    "q99_snapshot_diff" ->
+      """WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |newer AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM old WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, c_name, c_acctbal FROM old WHERE c_custkey < 50),
+        |d AS (
+        |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+        |         WHEN n.c_custkey IS NULL THEN 'deleted'
+        |         WHEN (o.c_name IS DISTINCT FROM n.c_name)
+        |           OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal) THEN 'changed'
+        |    END AS change
+        |  FROM old o FULL OUTER JOIN newer n ON o.c_custkey = n.c_custkey)
+        |SELECT c_custkey, change FROM d WHERE change IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

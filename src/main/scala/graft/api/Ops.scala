@@ -1041,6 +1041,32 @@ object Ops {
           when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"))
     }
 
+    /** Snapshot diff (q99) — the change set between `left` (the OLD
+      * snapshot) and `newer` over a key: which keys were inserted,
+      * deleted, or changed in the compared columns. The
+      * data-engineering primitive behind incremental loads, SCD
+      * maintenance and drift audits — "what happened between
+      * yesterday's table and today's" as one declarative query.
+      * Shape: ONE key-partitioned full-outer join of the two
+      * column-pruned sides (only `key` + `cols` are read — the scan
+      * prunes), change classification is a map-side null-safe struct
+      * comparison, unchanged keys drop out. Returns (key, change ∈
+      * inserted | deleted | changed). `key` must be unique per
+      * snapshot (it is the join identity; enforce upstream).
+      */
+    def snapshotDiff(newer: DataFrame, key: String, cols: Seq[String]): DataFrame = {
+      require(cols.nonEmpty, "snapshotDiff needs at least one compared column")
+      val o = left.select(col(key), struct(cols.map(col): _*).as("__o"))
+      val n = newer.select(col(key), struct(cols.map(col): _*).as("__n"))
+      o.join(n, Seq(key), "full_outer")
+        .select(col(key),
+          when(col("__o").isNull, lit("inserted"))
+            .when(col("__n").isNull, lit("deleted"))
+            .when(!(col("__o") <=> col("__n")), lit("changed"))
+            .as("change"))
+        .filter(col("change").isNotNull)
+    }
+
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
       * hot key over `buckets` reducers, then combine. Two shuffles,
       * but the first is uniform — the pattern for power-law keys.

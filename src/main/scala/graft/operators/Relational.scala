@@ -310,4 +310,27 @@ object Relational {
       .select(col("op"), col("o_custkey").as("custkey"))
       .orderBy(col("op"), col("custkey"))
   }
+
+  /** q99: snapshot diff ([[graft.api.Ops.GraftDataFrameOps.snapshotDiff]])
+    * — the change set between two table versions. The "new" snapshot
+    * is synthesized from the customer master: every 7th key dropped
+    * (deleted), every 5th surviving account balance bumped (changed),
+    * and a fresh key range appended (inserted) — so all three change
+    * classes exist at every SF and the oracle replays the full-outer
+    * classification exactly.
+    */
+  def q99(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val old = t.customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val newer = old
+      .filter(col("c_custkey") % 7 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + lit(1.0))
+          .otherwise(col("c_acctbal")))
+      .unionByName(old.filter(col("c_custkey") < 50)
+        .select((col("c_custkey") + 9000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal")))
+    old.snapshotDiff(newer, "c_custkey", Seq("c_name", "c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
 }

@@ -73,4 +73,28 @@ object WindowSuite {
         length(replace(col("p_name"), lit(" "), lit(""))).cast("long").as("compact_len"),
         when(col("p_name").like("%gold%"), 1).otherwise(0).cast("long").as("has_gold"))
       .orderBy(col("p_partkey"))
+
+  /** q98: trailing RANGE-frame features per event — at every event,
+    * the same user's event count and exact-decimal value sum over the
+    * trailing hour (frame bounds are event-TIME µs, not row counts —
+    * the feature-engineering primitive q44's row frames can't
+    * express: "activity in the last hour" is a value frame however
+    * many rows it spans). One key-partitioned window over µs — ties
+    * (equal timestamps) share a frame by RANGE semantics, so the
+    * result is partitioning- and sort-stable; no self-join, no
+    * event-list materialization. 100 TB shape: partition by user,
+    * sort within user — the same single-exchange window discipline
+    * as q08/q22.
+    */
+  def q98(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-3599999999L, 0L)
+    t.events
+      .withColumn("__us", unix_micros(col("ts")))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
 }

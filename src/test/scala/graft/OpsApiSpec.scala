@@ -1362,4 +1362,30 @@ class OpsApiSpec extends AnyFunSuite {
       ev.funnel("user_id", "ts", "event_type", Seq.fill(9)("x").zipWithIndex.map(_.toString))
     }.getMessage.contains("1..8"))
   }
+
+  test("snapshotDiff: change classes, null-safe comparison, unchanged keys absent") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), Some(1.0)),  // unchanged
+      (2L, Some("b"), Some(2.0)),  // value changes
+      (3L, Some("c"), None),       // null → value = changed
+      (4L, None, None),            // both null, stays null = unchanged
+      (5L, Some("e"), Some(5.0)))  // deleted
+      .toDF("k", "name", "bal")
+    val newer = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), Some(2.5)),
+      (3L, Some("c"), Some(3.0)),
+      (4L, None, None),
+      (6L, Some("f"), Some(6.0)))  // inserted
+      .toDF("k", "name", "bal")
+    val got = old.snapshotDiff(newer, "k", Seq("name", "bal"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed", 5L -> "deleted", 6L -> "inserted"),
+      got.toString)
+    // empty compare list rejected
+    assert(intercept[IllegalArgumentException] {
+      old.snapshotDiff(newer, "k", Seq.empty)
+    }.getMessage.contains("at least one"))
+  }
 }
