@@ -239,7 +239,9 @@ object ScaleProbe {
       // trailing frames genuinely widen — cost must stay near-linear
       "q98_trailing"  -> (t => operators.WindowSuite.q98(t)),
       // one full-outer join over the 10× snapshots — linear
-      "q99_snapshot"  -> (t => operators.Relational.q99(t)))
+      "q99_snapshot"  -> (t => operators.Relational.q99(t)),
+      // one map-combinable moment agg + one stats join — linear
+      "q100_zscore"   -> (t => operators.Relational.q100(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

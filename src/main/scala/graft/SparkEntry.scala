@@ -119,6 +119,7 @@ object SparkEntry {
     "q97_funnel"          -> q(Temporal.q97),
     "q98_trailing_window" -> q(WindowSuite.q98),
     "q99_snapshot_diff"   -> q(Relational.q99),
+    "q100_zscore"         -> q(Relational.q100),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1954,5 +1955,23 @@ object SparkEntry {
         |  FROM old o FULL OUTER JOIN newer n ON o.c_custkey = n.c_custkey)
         |SELECT c_custkey, change FROM d WHERE change IS NOT NULL
         |ORDER BY c_custkey""".stripMargin,
+
+    // z-score replay: exact decimal moments, then the SAME expression
+    // shape — m = S/n, v = SS/n − m·m, z = (x − m)/sqrt(v) — so every
+    // intermediate double is the identical IEEE value (sqrt is
+    // correctly rounded on both engines)
+    "q100_zscore" ->
+      s"""WITH stats AS (
+         |  SELECT o_orderstatus, COUNT(*) AS n,
+         |    SUM(${d2("o_totalprice")}) AS s,
+         |    SUM(${d2("o_totalprice")} * ${d2("o_totalprice")}) AS ss
+         |  FROM orders GROUP BY 1)
+         |SELECT o.o_orderkey, o.o_orderstatus,
+         |  round(CASE WHEN (CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
+         |    THEN (o.o_totalprice - CAST(s AS DOUBLE) / n)
+         |         / sqrt(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+         |    END, 6) AS z
+         |FROM orders o JOIN stats USING (o_orderstatus)
+         |ORDER BY o_orderkey""".stripMargin,
   )
 }

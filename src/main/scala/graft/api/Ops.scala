@@ -1041,6 +1041,36 @@ object Ops {
           when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"))
     }
 
+    /** Group-wise z-score standardization (q100) — rescale a value
+      * column to zero-mean/unit-variance WITHIN each group: the
+      * normalization pass quality scores and per-source features get
+      * before cross-group thresholding (a 0.7 quality score means
+      * different things in different crawls; z-scores compare). The
+      * determinism discipline: moments aggregate on the EXACT decimal
+      * view (order-independent on any partitioning), the mean /
+      * variance / z arithmetic is a FIXED expression shape over those
+      * exact aggregates (identical IEEE ops on identical doubles),
+      * and sqrt is IEEE-correctly-rounded on every engine — so the
+      * z-scores are bit-reproducible, no stddev_samp (whose double
+      * summation is order-dependent) anywhere. Population variance;
+      * a zero-variance group yields null z (no defined scale).
+      * One map-combinable moment aggregation + one broadcast-friendly
+      * stats join back — two shuffles, both on the group key.
+      * Adds `<out>` (the z column) to `left`'s rows.
+      */
+    def zscorePerGroup(group: String, value: Column, out: String = "z"): DataFrame = {
+      val stats = left.groupBy(col(group)).agg(
+        count(lit(1)).as("__n"),
+        sum(graft.util.Portable.dec(value)).as("__s"),
+        sum(graft.util.Portable.dec(value) * graft.util.Portable.dec(value)).as("__ss"))
+      val m = col("__s").cast("double") / col("__n")
+      val v = col("__ss").cast("double") / col("__n") - m * m
+      left.join(stats, Seq(group))
+        .withColumn(out,
+          when(v > 0.0, (value.cast("double") - m) / sqrt(v)))
+        .drop("__n", "__s", "__ss")
+    }
+
     /** Snapshot diff (q99) — the change set between `left` (the OLD
       * snapshot) and `newer` over a key: which keys were inserted,
       * deleted, or changed in the compared columns. The

@@ -333,4 +333,19 @@ object Relational {
     old.snapshotDiff(newer, "c_custkey", Seq("c_name", "c_acctbal"))
       .orderBy(col("c_custkey"))
   }
+
+  /** q100: group-wise z-score standardization
+    * ([[graft.api.Ops.GraftDataFrameOps.zscorePerGroup]]) — order
+    * totals standardized within their order status; exact-decimal
+    * moments + fixed IEEE expression shape + correctly-rounded sqrt
+    * make every z bit-reproducible, replayed term-for-term in SQL.
+    */
+  def q100(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders
+      .zscorePerGroup("o_orderstatus", col("o_totalprice"), out = "z")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -1388,4 +1388,29 @@ class OpsApiSpec extends AnyFunSuite {
       old.snapshotDiff(newer, "k", Seq.empty)
     }.getMessage.contains("at least one"))
   }
+
+  test("zscorePerGroup: exact moments, zero-variance null, partitioning-invariant") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0)).toDF("g", "x")
+    def zs(parts: Int): Map[(String, Double), Option[Double]] =
+      df.repartition(parts).zscorePerGroup("g", col("x"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val z = zs(2)
+    // group a: mean 2, population var 2/3 → z = ±sqrt(3/2), 0
+    val s = math.sqrt(2.0 / 3.0)
+    assert(math.abs(z(("a", 1.0)).get - (-1.0 / s)) < 1e-12)
+    assert(math.abs(z(("a", 2.0)).get) < 1e-12)
+    assert(math.abs(z(("a", 3.0)).get - (1.0 / s)) < 1e-12)
+    // zero-variance group has no defined scale → null
+    assert(z(("b", 5.0)).isEmpty)
+    // decimal moments ⇒ bit-identical under any partitioning
+    assert(zs(5) == z)
+    // standardized column re-centers: per-group z mean ~ 0 on real data
+    val recenter = t.orders.zscorePerGroup("o_orderstatus", col("o_totalprice"))
+      .groupBy("o_orderstatus").agg(avg(col("z")).as("m"))
+      .collect().map(_.getDouble(1))
+    assert(recenter.forall(m => math.abs(m) < 1e-9), recenter.mkString(", "))
+  }
 }
