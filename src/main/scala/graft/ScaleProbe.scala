@@ -241,7 +241,10 @@ object ScaleProbe {
       // one full-outer join over the 10× snapshots — linear
       "q99_snapshot"  -> (t => operators.Relational.q99(t)),
       // one map-combinable moment agg + one stats join — linear
-      "q100_zscore"   -> (t => operators.Relational.q100(t)))
+      "q100_zscore"   -> (t => operators.Relational.q100(t)),
+      // the corpus pays ONE word count; every merge round after that
+      // is a vocab-sized job — 10× docs must cost ~the census scan
+      "q101_bpe"      -> (t => operators.Bpe.q101(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

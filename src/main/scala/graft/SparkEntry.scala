@@ -120,6 +120,9 @@ object SparkEntry {
     "q98_trailing_window" -> q(WindowSuite.q98),
     "q99_snapshot_diff"   -> q(Relational.q99),
     "q100_zscore"         -> q(Relational.q100),
+    // rows-only by declared design (Bpe.scala object doc): the
+    // rank-ordered merge loop has no single-query DuckDB replay
+    "q101_bpe"            -> q(Bpe.q101),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----

@@ -37,13 +37,14 @@ class PlanShapeSpec extends AnyFunSuite {
   // bounded query frame broadcasts non-equi onto one scan of the
   // codes — the intended plan; the scale path is q92's equi cell
   // join, which stays in the locked set. Its dedicated pin is below.
-  // q96 omitted like q46/q86: its rank frame is materialized
+  // q96/q101 omitted like q46/q86: their frames are materialized
   // per-iteration via checkpoints, so building the plan runs the loop.
   private val locked =
     Bench.headline.filterNot(Set(
       "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
       "q76_skew_stats", "q77_collocations", "q78_histogram",
-      "q83_quality_buckets", "q86_keep_best", "q91_pq_adc", "q96_pagerank"))
+      "q83_quality_buckets", "q86_keep_best", "q91_pq_adc", "q96_pagerank",
+      "q101_bpe"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
