@@ -52,7 +52,8 @@ object Bench {
     "q89_paragraph_dedup", "q90_bm25", "q91_pq_adc", "q92_ivf_pq",
     "q93_resample", "q94_edit_join", "q95_weighted_sample",
     "q96_pagerank", "q97_funnel", "q98_trailing_window",
-    "q99_snapshot_diff", "q100_zscore", "q101_bpe")
+    "q99_snapshot_diff", "q100_zscore", "q101_bpe",
+    "q102_interval_join")
 
   private val childMarker = "##BENCHQ##"
 

@@ -244,7 +244,12 @@ object ScaleProbe {
       "q100_zscore"   -> (t => operators.Relational.q100(t)),
       // the corpus pays ONE word count; every merge round after that
       // is a vocab-sized job — 10× docs must cost ~the census scan
-      "q101_bpe"      -> (t => operators.Bpe.q101(t)))
+      "q101_bpe"      -> (t => operators.Bpe.q101(t)),
+      // replicated events duplicate (user, ts) rows: the sessionize
+      // stage scans 10× events but collapses to the SAME windows, so
+      // pair work is flat — cost must track the event scan, and the
+      // bucketed join must never multiply across the duplicates
+      "q102_interval" -> (t => operators.Temporal.q102(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -123,6 +123,7 @@ object SparkEntry {
     // rows-only by declared design (Bpe.scala object doc): the
     // rank-ordered merge loop has no single-query DuckDB replay
     "q101_bpe"            -> q(Bpe.q101),
+    "q102_interval_join"  -> q(Temporal.q102),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1958,6 +1959,34 @@ object SparkEntry {
         |  FROM old o FULL OUTER JOIN newer n ON o.c_custkey = n.c_custkey)
         |SELECT c_custkey, change FROM d WHERE change IS NOT NULL
         |ORDER BY c_custkey""".stripMargin,
+
+    // interval-overlap replay: the q22 session CTEs build the padded
+    // windows, then DuckDB's inequality join applies the SAME closed
+    // overlap predicate; overlap_us from the identical µs arithmetic
+    "q102_interval_join" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM x),
+        |s AS (
+        |  SELECT user_id * 100000 + session_id AS wid,
+        |    epoch_us(MIN(ts)) AS ws,
+        |    epoch_us(MAX(ts)) + 1800000000 AS we
+        |  FROM y GROUP BY user_id, session_id)
+        |SELECT a.wid AS a_id, b.wid AS b_id,
+        |  least(a.we, b.we) - greatest(a.ws, b.ws) AS overlap_us
+        |FROM s a JOIN s b
+        |  ON greatest(a.ws, b.ws) <= least(a.we, b.we)
+        | AND a.wid // 100000 < b.wid // 100000
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // z-score replay: exact decimal moments, then the SAME expression
     // shape — m = S/n, v = SS/n − m·m, z = (x − m)/sqrt(v) — so every

@@ -414,6 +414,60 @@ object Ops {
       .select(col(id), posexplode(col("__toks")))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__w")
 
+  /** Paragraph explode shared by the one-shot and prepared boilerplate
+    * forms: (id, __pos, __para) with the separator split quoted.
+    */
+  private[graft] def explodeParas(docs: DataFrame, id: String, text: String,
+                                  sep: String): DataFrame =
+    floorPartitions(docs.select(col(id), col(text)))
+      .select(col(id),
+        posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__para")
+
+  /** The removal tail shared by [[GraftDataFrameOps.dedupParagraphs]]
+    * and [[GraftDataFrameOps.stripBoilerplateAgainst]]: drop every
+    * paragraph in `common`, reassemble survivors in order.
+    */
+  private[graft] def stripParasAgainstCommon(paras: DataFrame, id: String,
+                                             common: DataFrame, sep: String): DataFrame =
+    paras.join(common.withColumn("__common", lit(true)), Seq("__para"), "left")
+      .withColumn("__keep", col("__common").isNull)
+      .groupBy(col(id))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("__pos"), col("__para"))))),
+          s => s.getField("__para"))).as("clean_text"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        sum((!col("__keep")).cast("long")).as("n_removed"))
+
+  /** A corpus-wide common-paragraph (boilerplate) set prepared ONCE —
+    * the production shape of paragraph dedup: census the reference
+    * corpus once, strip any increment or stream against the frozen
+    * set. Streaming use requires a reliable `checkpointDir`, as with
+    * [[prepareLm]].
+    */
+  final case class PreparedBoilerplate private[graft] (
+    common: DataFrame, sep: String, reliable: Boolean)
+
+  /** Build a [[PreparedBoilerplate]]: paragraphs occurring in ≥
+    * `minDf` DISTINCT documents of `corpus`. The census distincts
+    * (paragraph, doc) pairs first — the q89 skew discipline.
+    */
+  def prepareBoilerplate(corpus: DataFrame, id: String, text: String,
+                         minDf: Long, sep: String = "\n",
+                         checkpointDir: Option[String] = None): PreparedBoilerplate = {
+    require(minDf >= 2, "prepareBoilerplate: minDf must be >= 2")
+    require(sep.nonEmpty, "prepareBoilerplate: sep must be non-empty")
+    val ck = lineageBreaker(checkpointDir)
+    val paras = ck(explodeParas(corpus, id, text, sep))
+    val common = ck(paras.select(col("__para"), col(id)).distinct()
+      .groupBy(col("__para")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__para")))
+    PreparedBoilerplate(common, sep, checkpointDir.isDefined)
+  }
+
   /** A reference n-gram index prepared ONCE for repeated coverage
     * scoring — the production shape of
     * [[GraftDataFrameOps.ngramCoverage]]: hash the held corpus's
@@ -1095,6 +1149,60 @@ object Ops {
             .when(!(col("__o") <=> col("__n")), lit("changed"))
             .as("change"))
         .filter(col("change").isNotNull)
+    }
+
+    /** Interval-overlap join (q102) — all pairs of intervals that
+      * OVERLAP in time: concurrency analysis, co-occurring sessions,
+      * conflicting reservations — the INTERVAL×INTERVAL sibling of
+      * [[rangeJoin]]'s point-distance join, and another join Spark
+      * would otherwise plan as a nested loop. Scalable shape: both
+      * sides explode to their covered `bucketUs`-wide buckets, pairs
+      * form ONLY inside an equi-bucket hash join (two overlapping
+      * intervals both cover the bucket containing max(starts), so no
+      * pair is missed), the exact overlap predicate refines, and
+      * bucket-duplicated pairs dedup on the id pair. Pick bucketUs
+      * near the typical interval length; an interval spanning more
+      * than `maxBucketsPerInterval` buckets fails the run with its id
+      * (a degenerate months-long interval would otherwise explode its
+      * row count silently). Ids must be unique per side. Returns
+      * (a_id, b_id, overlap_us ≥ 0), one row per overlapping pair —
+      * self-pairs (same id) excluded; for a SELF join filter
+      * `a_id < b_id` to keep each unordered pair once.
+      */
+    def intervalJoin(right: DataFrame, id: String, start: String, end: String,
+                     rightId: String, rightStart: String, rightEnd: String,
+                     bucketUs: Long,
+                     maxBucketsPerInterval: Int = 10000): DataFrame = {
+      require(bucketUs > 0, "intervalJoin: bucketUs must be positive")
+      require(maxBucketsPerInterval > 0, "intervalJoin: maxBucketsPerInterval must be positive")
+      def side(df: DataFrame, idc: String, s: String, e: String,
+               outId: String, outS: String, outE: String): DataFrame = {
+        val sUs = unix_micros(col(s)); val eUs = unix_micros(col(e))
+        // the guard lives INSIDE the start column (not a dropped
+        // side column Catalyst would prune away), so a bad interval
+        // fails map-side before its buckets ever explode
+        val guardedS =
+          when(eUs < sUs, raise_error(concat(
+            lit("intervalJoin: end before start at id="), col(idc).cast("string"))))
+          .when((eUs - sUs) / lit(bucketUs) >= maxBucketsPerInterval,
+            raise_error(concat(
+              lit(s"intervalJoin: interval spans >= $maxBucketsPerInterval buckets at id="),
+              col(idc).cast("string"),
+              lit(" — raise bucketUs or split the interval upstream"))))
+          .otherwise(sUs)
+        df.select(col(idc).as(outId), guardedS.as(outS), eUs.as(outE))
+          .withColumn("__b", explode(sequence(
+            expr(s"$outS div $bucketUs"), expr(s"$outE div $bucketUs"))))
+      }
+      val a = side(left, id, start, end, "a_id", "__as", "__ae")
+      val b = side(right, rightId, rightStart, rightEnd, "b_id", "__bs", "__be")
+      a.join(b, Seq("__b"))
+        .filter(col("a_id") =!= col("b_id"))
+        .filter(greatest(col("__as"), col("__bs")) <= least(col("__ae"), col("__be")))
+        .select(col("a_id"), col("b_id"),
+          (least(col("__ae"), col("__be")) - greatest(col("__as"), col("__bs")))
+            .as("overlap_us"))
+        .dropDuplicates("a_id", "b_id")
     }
 
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
@@ -2215,26 +2323,26 @@ object Ops {
                         checkpointDir: Option[String] = None): DataFrame = {
       require(minDf >= 2, "dedupParagraphs: minDf must be >= 2")
       require(sep.nonEmpty, "dedupParagraphs: sep must be non-empty")
-      val paras = lineageBreaker(checkpointDir)(
-        floorPartitions(left.select(col(id), col(text)))
-          .select(col(id),
-            posexplode(split(col(text), java.util.regex.Pattern.quote(sep))))
-          .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__para"))
+      val paras = lineageBreaker(checkpointDir)(explodeParas(left, id, text, sep))
       val common = paras.select(col("__para"), col(id)).distinct()
         .groupBy(col("__para")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") >= minDf)
-        .select(col("__para"), lit(true).as("__common"))
-      paras.join(common, Seq("__para"), "left")
-        .withColumn("__keep", col("__common").isNull)
-        .groupBy(col(id))
-        .agg(
-          concat_ws(sep, transform(
-            array_sort(collect_list(
-              when(col("__keep"), struct(col("__pos"), col("__para"))))),
-            s => s.getField("__para"))).as("clean_text"),
-          sum(col("__keep").cast("long")).as("n_kept"),
-          sum((!col("__keep")).cast("long")).as("n_removed"))
+        .select(col("__para"))
+      stripParasAgainstCommon(paras, id, common, sep)
     }
+
+    /** Strip a once-prepared boilerplate set ([[Ops.prepareBoilerplate]])
+      * from any batch — the rolling-ingest form of [[dedupParagraphs]]:
+      * the corpus-wide df census runs ONCE at prepare time, and each
+      * increment (a new batch, a live stream via
+      * [[graft.streaming.Streams.stripBoilerplateStream]]) pays only
+      * its own paragraph explode + one hash join against the frozen
+      * common set. Same output contract as [[dedupParagraphs]].
+      */
+    def stripBoilerplateAgainst(prepared: PreparedBoilerplate,
+                                id: String, text: String): DataFrame =
+      stripParasAgainstCommon(explodeParas(left, id, text, prepared.sep),
+        id, prepared.common, prepared.sep)
 
     /** Per-document character-distribution entropy (q84) — the
       * cheap gibberish detector: natural language sits in a narrow

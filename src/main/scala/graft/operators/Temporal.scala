@@ -111,6 +111,26 @@ object Temporal {
       .orderBy(col("step"))
   }
 
+  /** q102: interval-overlap join
+    * ([[graft.api.Ops.GraftDataFrameOps.intervalJoin]]) — which users'
+    * activity windows were CONCURRENT: q22's sessions padded by 30
+    * minutes, self-joined on time overlap across DIFFERENT users
+    * (wid = user·10⁵ + session, so the cross-user filter is a key
+    * comparison). Bucketed equi-join + exact refine + pair dedup —
+    * never the nested loop a naive overlap predicate plans.
+    */
+  def q102(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val win = q22(t).select(
+      (col("user_id") * 100000L + col("session_id")).as("wid"),
+      col("session_start").as("ws"),
+      (col("session_end") + expr("INTERVAL 30 MINUTES")).as("we"))
+    win.intervalJoin(win, "wid", "ws", "we", "wid", "ws", "we",
+        bucketUs = 1800000000L)
+      .filter(expr("a_id div 100000 < b_id div 100000"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def q23(t: Tables): DataFrame =
     t.events
       .withColumn("bucket_start",

@@ -169,6 +169,29 @@ object Streams {
       .start()
   }
 
+  /** Strip a once-prepared boilerplate set
+    * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
+    * q89's ingest form: the corpus-wide df census ran once; each
+    * trigger pays its own paragraph explode + one hash join against
+    * the frozen common set. Per-doc reassembly means foreachBatch
+    * (the dedupAgainstCatalogStream shape). Reliable prep REQUIRED.
+    */
+  def stripBoilerplateStream(docs: DataFrame, id: String, text: String,
+                             prepared: graft.api.Ops.PreparedBoilerplate,
+                             sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "stripBoilerplateStream needs a PreparedBoilerplate built with a reliable " +
+        "checkpointDir (prepareBoilerplate(..., checkpointDir = Some(dir))): " +
+        "localCheckpoint blocks do not survive executor loss across a long-lived stream")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.api.Ops._
+        sink(batch.stripBoilerplateAgainst(prepared, id, text))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Match a live value stream against a once-prepared edit-distance
     * catalog index ([[graft.api.Ops.prepareEditIndex]]) — q94's
     * ingest form (dirty feed vs master list as records arrive): each

@@ -1389,6 +1389,62 @@ class OpsApiSpec extends AnyFunSuite {
     }.getMessage.contains("at least one"))
   }
 
+  test("intervalJoin ≡ brute-force overlap; self/degenerate guards") {
+    import spark.implicits._
+    def iv(rows: Seq[(Long, Long, Long)]) = rows.toDF("id", "s_us", "e_us")
+      .select(col("id"), expr("timestamp_micros(s_us)").as("s"),
+        expr("timestamp_micros(e_us)").as("e"))
+    val H = 3600000000L
+    val a = iv(Seq((1L, 0L, 2 * H), (2L, 3 * H, 4 * H), (3L, 10 * H, 10 * H)))
+    val b = iv(Seq((11L, H, 3 * H), (12L, 4 * H, 5 * H), (13L, 20 * H, 21 * H)))
+    val got = a.intervalJoin(b, "id", "s", "e", "id", "s", "e", bucketUs = H)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: closed-interval overlap pairs with their lengths
+    val brute = Set((1L, 11L, H),        // [0,2h] ∩ [1h,3h] = 1h
+      (2L, 11L, 0L),                     // touch at 3h → overlap 0 (closed)
+      (2L, 12L, 0L))                     // touch at 4h
+    assert(got == brute, s"got $got")
+    // self-join: symmetric pairs dedup via a_id < b_id, instants overlap themselves' twins
+    val selfGot = a.intervalJoin(a, "id", "s", "e", "id", "s", "e", bucketUs = H)
+      .filter(col("a_id") < col("b_id")).collect()
+    assert(selfGot.isEmpty, "disjoint self corpus must produce no pairs")
+    // end-before-start fails loudly with the id
+    val bad = iv(Seq((7L, 5L, 1L)))
+    val e1 = intercept[Exception] {
+      bad.intervalJoin(b, "id", "s", "e", "id", "s", "e", bucketUs = H).collect()
+    }
+    assert(e1.getMessage.contains("end before start") && e1.getMessage.contains("7"))
+    // bucket-span budget enforced
+    val wide = iv(Seq((8L, 0L, 100L * H)))
+    val e2 = intercept[Exception] {
+      wide.intervalJoin(b, "id", "s", "e", "id", "s", "e",
+        bucketUs = H, maxBucketsPerInterval = 10).collect()
+    }
+    assert(e2.getMessage.contains("buckets"), e2.getMessage)
+  }
+
+  test("prepareBoilerplate + stripBoilerplateAgainst ≡ one-shot dedupParagraphs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "BANNER\nunique one\nFOOTER"),
+      (2L, "BANNER\nunique two\nFOOTER"),
+      (3L, "BANNER\nonly content\nhere\nFOOTER"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val oneShot = rows(docs.dedupParagraphs("doc_id", "text", minDf = 3))
+    val prepared = graft.api.Ops.prepareBoilerplate(docs, "doc_id", "text", minDf = 3)
+    val viaPrep = rows(docs.stripBoilerplateAgainst(prepared, "doc_id", "text"))
+    assert(oneShot == viaPrep, s"$oneShot vs $viaPrep")
+    assert(oneShot.head._2 == "unique one", oneShot.toString)
+    // an UNSEEN increment strips against the frozen set without
+    // contributing to the census
+    val inc = Seq((9L, "BANNER\nnovel paragraph")).toDF("doc_id", "text")
+    val incRows = rows(inc.stripBoilerplateAgainst(prepared, "doc_id", "text"))
+    assert(incRows == Seq((9L, "novel paragraph", 1L, 1L)), incRows.toString)
+  }
+
   test("zscorePerGroup: exact moments, zero-variance null, partitioning-invariant") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),

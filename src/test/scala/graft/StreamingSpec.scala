@@ -355,6 +355,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reliable"))
   }
 
+  test("stripBoilerplateStream strips a doc stream against the frozen common set, equal to batch") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: a universal banner + per-doc unique lines (q89's shape)
+    val corpus = (1L to 40L).map(i => (i, s"SUBSCRIBE NOW\nunique line $i\nCOPYRIGHT"))
+      .toDF("doc_id", "text")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_bp_ck").toString
+    val prepared = graft.api.Ops.prepareBoilerplate(corpus, "doc_id", "text",
+      minDf = 5, checkpointDir = Some(ckDir))
+    val incRows = (101L to 120L).map(i => (i, s"SUBSCRIBE NOW\nfresh $i\nCOPYRIGHT"))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    val q = Streams.stripBoilerplateStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", prepared,
+      sink = b => got.synchronized {
+        got ++= b.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      })
+    try {
+      stream.addData(incRows.take(10))
+      q.processAllAvailable()
+      stream.addData(incRows.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = incRows.toDF("doc_id", "text")
+      .stripBoilerplateAgainst(prepared, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.size == got.toSet.size && got.toSet == batch,
+      s"streaming stripped ${got.size} docs, batch ${batch.size}")
+    assert(batch.forall(_._2.startsWith("fresh")), "banner/footer must strip on every doc")
+    // a localCheckpoint-only prep is rejected up front
+    val unreliable = graft.api.Ops.prepareBoilerplate(corpus, "doc_id", "text", minDf = 5)
+    val e = intercept[IllegalArgumentException] {
+      Streams.stripBoilerplateStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text", unreliable, sink = _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+  }
+
   test("editMatchStream matches a value stream against the frozen catalog index, equal to batch") {
     import spark.implicits._
     import graft.api.Ops._
