@@ -249,7 +249,11 @@ object ScaleProbe {
       // stage scans 10× events but collapses to the SAME windows, so
       // pair work is flat — cost must track the event scan, and the
       // bucketed join must never multiply across the duplicates
-      "q102_interval" -> (t => operators.Temporal.q102(t)))
+      "q102_interval" -> (t => operators.Temporal.q102(t)),
+      // map-side window explode (2 windows/event) + map-combinable agg
+      "q103_hopping"  -> (t => operators.Temporal.q103(t)),
+      // two aggs + one user-keyed join — linear in events
+      "q104_cohort"   -> (t => operators.Temporal.q104(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -124,6 +124,8 @@ object SparkEntry {
     // rank-ordered merge loop has no single-query DuckDB replay
     "q101_bpe"            -> q(Bpe.q101),
     "q102_interval_join"  -> q(Temporal.q102),
+    "q103_hopping_window" -> q(Temporal.q103),
+    "q104_cohort_retention" -> q(Temporal.q104),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -1987,6 +1989,40 @@ object SparkEntry {
         |  ON greatest(a.ws, b.ws) <= least(a.we, b.we)
         | AND a.wid // 100000 < b.wid // 100000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // hopping windows: every event covers exactly windowSize/hop = 2
+    // epoch-aligned windows — unnest the two window indices and
+    // replay the census
+    "q103_hopping_window" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value, epoch_us(ts) // 300000000 AS b
+         |  FROM events),
+         |w AS (
+         |  SELECT event_type, value,
+         |    unnest([b, b - 1]) AS wi
+         |  FROM e)
+         |SELECT make_timestamp(wi * 300000000) AS window_start,
+         |  make_timestamp((wi + 2) * 300000000) AS window_end,
+         |  event_type, COUNT(*) AS n_events, ${dSum("value")} AS total_value
+         |FROM w
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    // cohort retention: first-activity week per user, distinct active
+    // (user, week), exact µs week offsets (both sides week-truncated
+    // in UTC, so the division is exact)
+    "q104_cohort_retention" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |aw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        |SELECT fw.cohort_week,
+        |  (epoch_us(aw.week) - epoch_us(fw.cohort_week)) // 604800000000 AS week_offset,
+        |  COUNT(DISTINCT aw.user_id) AS n_users
+        |FROM aw JOIN fw ON fw.user_id = aw.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // z-score replay: exact decimal moments, then the SAME expression
     // shape — m = S/n, v = SS/n − m·m, z = (x − m)/sqrt(v) — so every

@@ -1199,10 +1199,15 @@ object Ops {
       a.join(b, Seq("__b"))
         .filter(col("a_id") =!= col("b_id"))
         .filter(greatest(col("__as"), col("__bs")) <= least(col("__ae"), col("__be")))
+        // OWNER-BUCKET dedup: a pair surfaces once per shared covered
+        // bucket, but the bucket holding max(starts) is covered by
+        // both sides of every overlapping pair and is unique — so
+        // keeping only that bucket's row dedups MAP-SIDE, instead of
+        // shuffling the whole pair stream through dropDuplicates
+        .filter(col("__b") === expr(s"greatest(__as, __bs) div $bucketUs"))
         .select(col("a_id"), col("b_id"),
           (least(col("__ae"), col("__be")) - greatest(col("__as"), col("__bs")))
             .as("overlap_us"))
-        .dropDuplicates("a_id", "b_id")
     }
 
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a

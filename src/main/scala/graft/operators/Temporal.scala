@@ -62,7 +62,14 @@ object Temporal {
   /** q22: gap-based sessionization (30-min inactivity gap) via
     * lag → break flag → running sum; one shuffle on user_id.
     */
-  def q22(t: Tables): DataFrame = {
+  def q22(t: Tables): DataFrame =
+    sessions(t).orderBy(col("user_id"), col("session_id"))
+
+  /** q22's session frame WITHOUT the presentation sort — the form
+    * composing operators (q102) consume, so they never inherit a
+    * wasted global ordering exchange.
+    */
+  private[graft] def sessions(t: Tables): DataFrame = {
     val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev = lag(col("ts"), 1).over(w)
@@ -78,7 +85,6 @@ object Temporal {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         decSum(col("value")).as("total_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** q23: 5-minute tumbling event-time buckets (batch mirror of the
@@ -121,7 +127,7 @@ object Temporal {
     */
   def q102(t: Tables): DataFrame = {
     import graft.api.Ops._
-    val win = q22(t).select(
+    val win = sessions(t).select(
       (col("user_id") * 100000L + col("session_id")).as("wid"),
       col("session_start").as("ws"),
       (col("session_end") + expr("INTERVAL 30 MINUTES")).as("we"))
@@ -129,6 +135,41 @@ object Temporal {
         bucketUs = 1800000000L)
       .filter(expr("a_id div 100000 < b_id div 100000"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q103: HOPPING (sliding) event-time windows — 10-minute windows
+    * every 5 minutes via Spark's native `window()` generator (each
+    * event lands in windowSize/hop = 2 windows; the explode is
+    * map-side, the agg map-combinable — q23's tumbling shape with
+    * overlap). The batch mirror of the streaming hopping-window agg.
+    */
+  def q103(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "600 seconds", "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** q104: cohort retention — users grouped by first-activity week,
+    * distinct active users per (cohort, week offset): THE
+    * retention-matrix query of product analytics. Two aggs (first
+    * activity per user, distinct (user, week)) + one map-side offset
+    * computation — no window over raw events, no per-user lists.
+    */
+  def q104(t: Tables): DataFrame = {
+    val firstWeek = t.events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = t.events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(firstWeek, Seq("user_id"))
+      .withColumn("week_offset",
+        expr("(unix_micros(week) - unix_micros(cohort_week)) div 604800000000"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
   }
 
   def q23(t: Tables): DataFrame =
