@@ -120,8 +120,6 @@ object SparkEntry {
     "q98_trailing_window" -> q(WindowSuite.q98),
     "q99_snapshot_diff"   -> q(Relational.q99),
     "q100_zscore"         -> q(Relational.q100),
-    // rows-only by declared design (Bpe.scala object doc): the
-    // rank-ordered merge loop has no single-query DuckDB replay
     "q101_bpe"            -> q(Bpe.q101),
     "q102_interval_join"  -> q(Temporal.q102),
     "q103_hopping_window" -> q(Temporal.q103),
@@ -2041,5 +2039,45 @@ object SparkEntry {
          |    END, 6) AS z
          |FROM orders o JOIN stats USING (o_orderstatus)
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q101_bpe" -> bpeOracleSql(12),
   )
+
+  /** q101's oracle: the 12 BPE merge rounds unrolled as chained CTEs
+    * (the q96 unrolled-iteration precedent). Symbol sequences are
+    * `|`-wrapped delimited strings exactly as in Bpe.scala, so one
+    * merge round is pair census → argmax (freq desc, pair asc) →
+    * one left-to-right `replace` rewrite. `AS MATERIALIZED` is
+    * load-bearing: c(i−1) is referenced twice per round and DuckDB
+    * inlines plain CTEs, which doubles the plan every round (2¹²
+    * blow-up without it).
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val tok = "list_filter(string_split(trim(regexp_replace(lower(text), " +
+      "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT u.p[1] AS l, u.p[2] AS r, t.f
+         |  FROM (SELECT string_split(trim(s, '|'), '||') AS ss, f FROM c${i - 1}) t,
+         |       UNNEST(list_zip(t.ss[1:len(t.ss)-1], t.ss[2:len(t.ss)])) AS u(p)),
+         |a$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(f) AS BIGINT) AS pf FROM p$i
+         |  GROUP BY l, r HAVING SUM(f) >= 2
+         |  ORDER BY pf DESC, l, r LIMIT 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT replace(c.s, '|' || a.l || '||' || a.r || '|', '|' || a.l || a.r || '|') AS s, c.f
+         |  FROM c${i - 1} c, a$i a)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to numMerges).map { i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right", pf AS pair_freq FROM a$i"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT u.w AS w FROM documents, UNNEST($tok) AS u(w)),
+       |c0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, COUNT(*) AS f
+       |  FROM w0 GROUP BY 1),
+       |$rounds
+       |SELECT * FROM (
+       |$out) ORDER BY rank""".stripMargin
+  }
 }

@@ -18,15 +18,26 @@ import graft.sources.Tables
   * vocab-sized table (10⁴–10⁶ rows regardless of corpus size), so a
   * 100 TB corpus pays ONE corpus-wide word count (map-combinable)
   * and every merge iteration after that is a small vocab-sized job:
-  * adjacent-pair explode → weighted pair census (map-combinable) →
-  * argmax (freq desc, pair asc — deterministic) → one codegen'd fold
-  * rewriting the symbol arrays, checkpointed per round. Overlapping
-  * pairs count every adjacency (the reference implementation's
-  * counting); merge application is LEFT-TO-RIGHT non-overlapping,
-  * expressed as a fold that merges when the accumulator's last
-  * symbol equals `left` and the current equals `right` — equivalent
-  * to the sequential scan because a just-merged symbol `left+right`
-  * can never equal `left` (right is non-empty).
+  * adjacent-pair split → weighted pair census (map-combinable) →
+  * argmax (freq desc, pair asc — deterministic) → one codegen'd
+  * string rewrite, checkpointed per round. Overlapping pairs count
+  * every adjacency (the reference implementation's counting); merge
+  * application is LEFT-TO-RIGHT non-overlapping.
+  *
+  * Symbol sequences are carried as a DELIMITED STRING, not an array:
+  * every symbol is wrapped in `|` (so "abc" starts as `|a||b||c|`).
+  * Tokens are strictly [a-z0-9]+ (TextFunctions.normText), so `|`
+  * can never occur inside a symbol and the wrapping is unambiguous.
+  * One merge of (l, r) is then a single codegen'd string replace of
+  * `|l||r|` with `|lr|` — replace scans left-to-right and resumes
+  * AFTER each replacement, which is exactly BPE's greedy
+  * non-overlapping merge rule; the merged symbol `lr` can never
+  * re-match as the `l` of the same pattern within the pass because
+  * `r` is non-empty, so one replace ≡ the sequential scan. The same
+  * replace exists verbatim in DuckDB, which is what makes a SQL
+  * oracle tractable: each merge round is three chained CTEs (pair
+  * census → argmax → replace rewrite), unrolled per round in
+  * `SparkEntry` (the q96 unrolled-iteration precedent).
   *
   * Encoding applies the ranked merges to the corpus through the same
   * distinct-word frame: apply merges once per distinct word, join
@@ -34,67 +45,117 @@ import graft.sources.Tables
   * corpus-side cost is one explode + one vocab hash join, never
   * per-document merge scans.
   *
-  * No SQL oracle by declared design (the rank-ordered merge loop has
-  * no tractable single-query DuckDB replay — the argmax of round r
-  * depends on the rewrite of round r−1); BpeSpec pins hand-computed
-  * merge sequences, tie-breaks, the overlap rule, early stopping,
-  * partitioning invariance, and the encode-concat roundtrip on real
-  * corpus text.
+  * BpeSpec pins hand-computed merge sequences, tie-breaks, the
+  * overlap rule, early stopping, partitioning invariance, batched ≡
+  * sequential training on corpora where the batch window is valid,
+  * and the encode-concat roundtrip on real corpus text.
   */
 object Bpe {
 
-  /** Characters of a word as the initial symbol array. */
-  private def chars(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
-
-  /** One merge application: left-to-right non-overlapping rewrite of
-    * adjacent (left, right) into left+right — the fold described in
-    * the object doc. try_element_at returns null on the empty
-    * accumulator (never a merge), keeping the expression ANSI-safe.
+  /** A word as its wrapped initial symbol string: each character
+    * becomes `|c|`, so "abc" → `|a||b||c|`.
     */
-  private def mergeFold(syms: Column, left: String, right: String): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, s) =>
-      when(try_element_at(acc, lit(-1)) === lit(left) && s === lit(right),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
-        .otherwise(concat(acc, array(s))))
+  private def wrapChars(w: Column): Column =
+    regexp_replace(w, "(.)", "|$1|")
+
+  /** Wrapped symbol string back to the symbol array. */
+  private def symsOf(s: Column): Column =
+    split(trim(s, "|"), "\\|\\|")
+
+  /** One merge application on the wrapped string: left-to-right
+    * non-overlapping rewrite of adjacent (left, right) into
+    * left+right (see object doc for why replace is exactly the BPE
+    * greedy rule).
+    */
+  private def mergeReplace(s: Column, left: String, right: String): Column =
+    replace(s, lit("|" + left + "||" + right + "|"), lit("|" + left + right + "|"))
+
+  /** Weighted adjacent-pair census of a (__f, __s) census frame:
+    * (__l, __r, __pf) with __pf = sum of word frequencies over every
+    * adjacency (overlaps counted).
+    */
+  private def pairCensus(census: DataFrame): DataFrame =
+    census
+      .select(col("__f"), symsOf(col("__s")).as("__syms"))
+      .select(col("__f"), explode(zip_with(
+        slice(col("__syms"), lit(1), size(col("__syms")) - 1),
+        slice(col("__syms"), lit(2), size(col("__syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+      .agg(sum(col("__f")).as("__pf"))
 
   /** Train `numMerges` BPE merges over the corpus' word census.
     * Stops early when no adjacent pair reaches `minFreq` (weighted
     * by word frequency). Returns (rank 1-based, left, right,
     * pair_freq) in merge order.
+    *
+    * `batchSize` = 1 (default) is EXACT sequential BPE: one argmax +
+    * one rewrite per driver round-trip, capped at 400 merges because
+    * round-trip cost grows linearly. `batchSize` > 1 is the scalable
+    * batched mode for production vocab sizes (30k–50k merges): per
+    * round, the top-`batchSize` census pairs are taken in (freq desc,
+    * pair asc) order for as long as each is SYMBOL-DISJOINT from all
+    * pairs already taken this round (shares no left/right symbol and
+    * no earlier concatenation equals one of its symbols), then all
+    * applied in one chained-replace pass. Disjoint merges provably
+    * cannot interact in one left-to-right pass (merging (l₁,r₁) only
+    * consumes l₁/r₁ occurrences and only creates adjacencies
+    * involving l₁r₁, so a disjoint (l₂,r₂)'s adjacency count is
+    * untouched), so the batch applies exactly as the sequential loop
+    * would. The one divergence from strict sequential BPE — shared by
+    * every published distributed-BPE batching — is selection order:
+    * if a pair CREATED by an earlier merge in the batch would have
+    * out-ranked a later batched pair, sequential BPE would pick it
+    * first. Created pairs are bounded by their creator's frequency,
+    * so this matters only near frequency ties; BpeSpec pins batched ≡
+    * sequential on corpora where the window is valid and the
+    * merge-validity properties on real text.
     */
   def trainBpe(docs: DataFrame, text: String, numMerges: Int,
                minFreq: Long = 2L,
+               batchSize: Int = 1,
                checkpointDir: Option[String] = None): DataFrame = {
-    require(numMerges >= 1 && numMerges <= 200,
-      s"numMerges must be in [1, 200] (got $numMerges): each merge is one " +
-        "vocab-sized job; plan-depth and round-trip costs grow linearly")
+    require(batchSize >= 1, s"batchSize must be at least 1 (got $batchSize)")
+    val maxRounds = 400
+    require(numMerges >= 1 && (numMerges + batchSize - 1) / batchSize <= maxRounds,
+      s"numMerges=$numMerges with batchSize=$batchSize needs " +
+        s"${(numMerges + batchSize - 1) / batchSize} rounds (cap $maxRounds): " +
+        "each round is one vocab-sized job + driver round-trip; raise batchSize " +
+        "to train production vocab sizes in bounded rounds")
     require(minFreq >= 1L, "minFreq must be at least 1")
     val spark = docs.sparkSession
     val ck = graft.api.Ops.lineageBreaker(checkpointDir)
     var census = ck(docs
       .select(explode(tokens(col(text))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
-      .select(col("__f"), chars(col("__w")).as("__syms")))
+      .select(col("__f"), wrapChars(col("__w")).as("__s")))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
-      val top = census
-        .select(col("__f"), explode(zip_with(
-          slice(col("__syms"), lit(1), size(col("__syms")) - 1),
-          slice(col("__syms"), lit(2), size(col("__syms")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
-        .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
-        .agg(sum(col("__f")).as("__pf"))
+      val want = math.min(batchSize, numMerges - merges.size)
+      val top = pairCensus(census)
         .filter(col("__pf") >= minFreq)
         .orderBy(col("__pf").desc, col("__l"), col("__r"))
-        .limit(1).collect()
+        .limit(want).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((l, r, pf))
-        census = ck(census.select(col("__f"),
-          mergeFold(col("__syms"), l, r).as("__syms")))
+        // Greedy prefix of the ranked snapshot that stays mutually
+        // symbol-disjoint (see scaladoc); always includes the argmax.
+        val batch = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val used = scala.collection.mutable.Set[String]()
+        var open = true
+        top.foreach { row =>
+          val (l, r, pf) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (open && batch.isEmpty) { batch += ((l, r, pf)); used += l; used += r; used += (l + r) }
+          else if (open && !used(l) && !used(r) && !used(l + r)) {
+            batch += ((l, r, pf)); used += l; used += r; used += (l + r)
+          } else open = false
+        }
+        merges ++= batch
+        val rewritten = batch.foldLeft(col("__s")) { case (c, (l, r, _)) =>
+          mergeReplace(c, l, r)
+        }
+        census = ck(census.select(col("__f"), rewritten.as("__s")))
       }
     }
     import spark.implicits._
@@ -105,28 +166,29 @@ object Bpe {
 
   /** Encode the corpus with a trained merge list: every document's
     * words rewrite through the ranked merges. Merges apply on the
-    * DISTINCT-WORD frame (vocab-sized) with a checkpoint every
-    * `foldBatch` merges so expression depth stays bounded, then the
-    * word → symbols mapping joins back to the exploded corpus and
-    * documents reassemble in word order. Returns (id, bpe_tokens
-    * array<string>, n_bpe_tokens).
+    * DISTINCT-WORD frame (vocab-sized) as chained string replaces
+    * with a checkpoint every `foldBatch` merges so expression depth
+    * stays bounded, then the word → symbols mapping joins back to the
+    * exploded corpus and documents reassemble in word order. Returns
+    * (id, bpe_tokens array<string>, n_bpe_tokens).
     */
   def applyBpe(docs: DataFrame, id: String, text: String,
-               merges: Seq[(String, String)], foldBatch: Int = 8,
+               merges: Seq[(String, String)], foldBatch: Int = 32,
                checkpointDir: Option[String] = None): DataFrame = {
     require(foldBatch >= 1, "foldBatch must be positive")
     val ck = graft.api.Ops.lineageBreaker(checkpointDir)
     val words = docs
       .select(col(id), posexplode(tokens(col(text))).as(Seq("__pos", "__w")))
     var vocab = ck(words.select(col("__w")).distinct()
-      .select(col("__w"), chars(col("__w")).as("__syms")))
+      .select(col("__w"), wrapChars(col("__w")).as("__s")))
     merges.grouped(foldBatch).foreach { batch =>
-      val folded = batch.foldLeft(col("__syms")) { case (c, (l, r)) =>
-        mergeFold(c, l, r)
+      val folded = batch.foldLeft(col("__s")) { case (c, (l, r)) =>
+        mergeReplace(c, l, r)
       }
-      vocab = ck(vocab.select(col("__w"), folded.as("__syms")))
+      vocab = ck(vocab.select(col("__w"), folded.as("__s")))
     }
-    words.join(vocab, Seq("__w"))
+    val symsVocab = vocab.select(col("__w"), symsOf(col("__s")).as("__syms"))
+    words.join(symsVocab, Seq("__w"))
       .groupBy(col(id))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__pos"), col("__syms")))),
@@ -137,8 +199,9 @@ object Bpe {
 
   /** q101: 12 BPE merges trained on the documents corpus — the merge
     * table itself is the output (rank, left, right, pair_freq).
-    * Rows-only in the driver gate by declared design (see object
-    * doc); BpeSpec carries the correctness load.
+    * Oracle: the 12 merge rounds unrolled as chained DuckDB CTEs
+    * (pair census → argmax → replace rewrite per round) — see
+    * `SparkEntry.bpeOracleSql`.
     */
   def q101(t: Tables): DataFrame =
     trainBpe(t.documents, "text", numMerges = 12)

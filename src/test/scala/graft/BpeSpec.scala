@@ -6,10 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Bpe
 import graft.sources.Tables
 
-/** BPE trainer/encoder correctness (no SQL oracle by declared design
-  * — Bpe.scala object doc): hand-computed merge sequences, the
-  * deterministic tie-break, the left-to-right overlap rule, early
-  * stopping, partitioning invariance, and the encode roundtrip.
+/** BPE trainer/encoder correctness beyond the q101 oracle (which
+  * replays the 12 corpus merge rounds in DuckDB): hand-computed merge
+  * sequences, the deterministic tie-break, the left-to-right overlap
+  * rule, early stopping, batched ≡ sequential training, partitioning
+  * invariance, and the encode roundtrip.
   */
 class BpeSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -57,6 +58,50 @@ class BpeSpec extends AnyFunSuite {
     val enc = Bpe.applyBpe(docs, "doc_id", "text", Seq(("a", "a")))
       .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
     assert(enc(1L) == Seq("aa", "a", "aa", "a"), enc(1L).toString)
+  }
+
+  test("batched training ≡ sequential where the disjoint window is valid") {
+    import spark.implicits._
+    // planted: three mutually symbol-disjoint pairs with distinct
+    // frequencies — one batched round of 3 must replay the three
+    // sequential rounds exactly, counts included
+    val docs = Seq((1L, "ab ab ab ab cd cd cd ef ef")).toDF("doc_id", "text")
+    val seqM = mergeRows(Bpe.trainBpe(docs, "text", numMerges = 3))
+    val batM = mergeRows(Bpe.trainBpe(docs, "text", numMerges = 3, batchSize = 3))
+    assert(seqM == Seq((1, "a", "b", 4L), (2, "c", "d", 3L), (3, "e", "f", 2L)))
+    assert(batM == seqM, "one batched round must equal three sequential rounds")
+    // real corpus: the prefix rule closes the window at the first
+    // symbol collision, so batched stays equal to sequential here too
+    val corpus = t.documents.select(col("doc_id"), col("text")).limit(300)
+    assert(mergeRows(Bpe.trainBpe(corpus, "text", numMerges = 8, batchSize = 4)) ==
+      mergeRows(Bpe.trainBpe(corpus, "text", numMerges = 8)),
+      "batched merge sequence diverged from sequential on the corpus")
+  }
+
+  test("the window closes at the first symbol collision (prefix rule)") {
+    import spark.implicits._
+    // (a,b)=4 then (b,c)=3 share symbol b: round 1 must take ONLY
+    // (a,b); (b,c)'s census count would change after the rewrite
+    // (every "abc" occurrence consumes its b), so batching it would
+    // report a stale frequency
+    val docs = Seq((1L, "abc abc abc ab")).toDF("doc_id", "text")
+    val m = mergeRows(Bpe.trainBpe(docs, "text", numMerges = 2, batchSize = 4))
+    assert(m == mergeRows(Bpe.trainBpe(docs, "text", numMerges = 2)), m.toString)
+    assert(m.head == ((1, "a", "b", 4L)), m.toString)
+  }
+
+  test("round cap scales with batchSize; over-cap numMerges is rejected fast") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    // 401 sequential rounds exceeds the 400-round cap
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainBpe(docs, "text", numMerges = 401)
+    }
+    assert(e.getMessage.contains("rounds"))
+    // production vocab size fits under the cap with batching; the
+    // tiny corpus exhausts after one merge so this stays cheap
+    assert(mergeRows(Bpe.trainBpe(docs, "text", numMerges = 2000,
+      batchSize = 8, minFreq = 1L)) == Seq((1, "a", "b", 1L)))
   }
 
   test("training is partitioning-invariant; encode concat reproduces the normalized words") {
