@@ -18,9 +18,19 @@ import graft.sources.Tables
   *  - JPEG's variable-offset SOF marker needs a scan → a pure-JVM
   *    marker walk ([[jpegDims]]) in the typed path (no codec libs).
   *
-  * Only the pixel/sample *content* decode remains a deterministic
-  * STUB (`stubDecode` — no image/audio codec libraries in this
-  * container); swap it for a real codec on a cluster that has them.
+  * Content decode is REAL for the codec-free formats — they are pure
+  * fixed-offset byte arithmetic, no codec library needed:
+  *
+  *  - WAV 16-bit PCM: RIFF chunk walk → true sample statistics
+  *    ([[wavSamples]]);
+  *  - BMP 24bpp uncompressed: header + bottom-up padded rows → true
+  *    pixel statistics ([[bmpPixels]]);
+  *  - PPM P6: ASCII header + raw RGB triples ([[ppmPixels]]).
+  *
+  * Only compressed-content formats (PNG deflate, JPEG DCT, GIF LZW)
+  * keep the deterministic STUB (`stubDecode` — no codec libraries in
+  * this container); swap it for a real codec on a cluster that has
+  * them.
   */
 object Multimodal {
 
@@ -70,13 +80,90 @@ object Multimodal {
         "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
           "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(h /* channels */) ++
           le32(w /* sample rate */) ++ le32(w * h * 2) ++ le16(h * 2) ++ le16(16)
+      case "bmp" =>
+        // 24bpp uncompressed BITMAPINFOHEADER; pixel rows appended by
+        // bmpBytes (this header alone is what mediaMeta parses)
+        val rowSize = (3 * w + 3) / 4 * 4
+        "BM".getBytes ++ le32(54 + rowSize * h) ++ le32(0) ++ le32(54) ++
+          le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+          le32(0) ++ le32(rowSize * h) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
       case other => throw new IllegalArgumentException(s"unknown media format: $other")
     }
   }
 
+  /** Complete little-endian 16-bit PCM WAV file bytes: RIFF + fmt +
+    * data chunk carrying `samples` (all channels interleaved).
+    */
+  def wavBytes(sampleRate: Int, channels: Int,
+               samples: Array[Short]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = samples(i).toByte
+      data(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * channels * 2) ++
+      le16(channels * 2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  /** Complete 24bpp uncompressed BMP bytes: header + bottom-up rows
+    * padded to 4 bytes, pixels from `rgb(x, y)` with y=0 the TOP row
+    * (the synthesizer handles the bottom-up flip).
+    */
+  def bmpBytes(w: Int, h: Int,
+               rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = (3 * w + 3) / 4 * 4
+    val body = new Array[Byte](rowSize * h)
+    var y = 0
+    while (y < h) {
+      val rowBase = (h - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        body(rowBase + 3 * x) = b.toByte     // BGR order
+        body(rowBase + 3 * x + 1) = g.toByte
+        body(rowBase + 3 * x + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    mediaHeader("bmp", w, h) ++ body
+  }
+
+  /** Complete binary PPM (P6) bytes: ASCII header + raw RGB triples
+    * row-major top-down.
+    */
+  def ppmBytes(w: Int, h: Int,
+               rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val body = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        val base = 3 * (y * w + x)
+        body(base) = r.toByte; body(base + 1) = g.toByte; body(base + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ body
+  }
+
   /** Attach a binary payload (REAL container header + body) + typed
-    * metadata to each document. Kinds: image (PNG or JPEG), audio
-    * (WAV — width=sample rate, height=channels), video (GIF).
+    * metadata to each document. Kinds: image (PNG, JPEG, or BMP —
+    * BMP carries true 24bpp pixel content and small true dims), audio
+    * (WAV — width=sample rate, height=channels, true 16-bit PCM
+    * content), video (GIF). WAV and BMP payloads are complete,
+    * decodable files (plus the doc text as trailing bytes, which the
+    * chunk/offset walks ignore); PNG/JPEG/GIF remain header + opaque
+    * body since their content would need a real codec.
     */
   def attachMedia(t: Tables): Dataset[MediaRecord] = {
     val spark = t.spark
@@ -90,15 +177,32 @@ object Multimodal {
           case _ => "video"
         }
         val fmt = kind match {
-          case "image" => if (docId % 2 == 0) "png" else "jpeg"
+          case "image" => (docId / 3 % 3) match {
+            case 0 => "png"
+            case 1 => "jpeg"
+            case _ => "bmp"
+          }
           case "audio" => "wav"
           case _       => "gif"
         }
-        val (w, h) = kind match {
-          case "audio" => (8000 + (docId % 4).toInt * 8000, 1 + (docId % 2).toInt)
-          case _       => ((docId % 4).toInt * 160 + 320, (docId % 3).toInt * 120 + 240)
+        val (w, h) = fmt match {
+          case "wav" => (8000 + (docId % 4).toInt * 8000, 1 + (docId % 2).toInt)
+          case "bmp" => (8 + (docId % 4).toInt * 4, 6 + (docId % 5).toInt * 2)
+          case _     => ((docId % 4).toInt * 160 + 320, (docId % 3).toInt * 120 + 240)
         }
-        MediaRecord(docId, mediaHeader(fmt, w, h) ++ text.getBytes("UTF-8"), kind, w, h)
+        val head = fmt match {
+          case "wav" =>
+            val n = 120 + (docId % 4).toInt * 40
+            wavBytes(w, h, Array.tabulate(n)(i =>
+              ((docId * 31 + i * 17) % 4096 - 2048).toShort))
+          case "bmp" =>
+            bmpBytes(w, h, (x, y) => (
+              ((docId + x * 7 + y * 13) % 256).toInt,
+              ((docId * 3 + x * 11 + y) % 256).toInt,
+              ((docId * 5 + x + y * 17) % 256).toInt))
+          case other => mediaHeader(other, w, h)
+        }
+        MediaRecord(docId, head ++ text.getBytes("UTF-8"), kind, w, h)
       }
   }
 
@@ -119,13 +223,16 @@ object Multimodal {
     val isGif  = hex(expr(s"substring($binCol, 1, 6)")) === hex(lit("GIF89a"))
     val isWav  = hex(expr(s"substring($binCol, 1, 4)")) === hex(lit("RIFF")) &&
       hex(expr(s"substring($binCol, 9, 4)")) === hex(lit("WAVE"))
+    val isBmp  = hex(expr(s"substring($binCol, 1, 2)")) === hex(lit("BM"))
     df.withColumn("media_format",
         when(isPng, "png").when(isJpeg, "jpeg").when(isGif, "gif")
-          .when(isWav, "wav").otherwise("unknown"))
+          .when(isWav, "wav").when(isBmp, "bmp").otherwise("unknown"))
       .withColumn("parsed_width",
-        when(isPng, be(17, 4)).when(isGif, le16(7)).otherwise(lit(null).cast("long")))
+        when(isPng, be(17, 4)).when(isGif, le16(7)).when(isBmp, le32(19))
+          .otherwise(lit(null).cast("long")))
       .withColumn("parsed_height",
-        when(isPng, be(21, 4)).when(isGif, le16(9)).otherwise(lit(null).cast("long")))
+        when(isPng, be(21, 4)).when(isGif, le16(9)).when(isBmp, le32(23))
+          .otherwise(lit(null).cast("long")))
       .withColumn("sample_rate", when(isWav, le32(25)).otherwise(lit(null).cast("long")))
       .withColumn("channels", when(isWav, le16(23)).otherwise(lit(null).cast("long")))
   }
@@ -147,25 +254,193 @@ object Multimodal {
     None
   }
 
+  private def leS16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) | (b(i + 1) << 8)).toShort.toInt
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** REAL WAV decode — RIFF chunk walk, no codec library: returns
+    * (sample_rate, channels, 16-bit PCM samples all channels
+    * interleaved), or None when the payload is not uncompressed
+    * 16-bit PCM WAV (wrong magic, fmt != 1, bits != 16, or no data
+    * chunk).
+    */
+  def wavSamples(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b.length < 44 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    var rate = -1; var channels = -1; var ok = false
+    var data: Array[Short] = null
+    var i = 12
+    while (i + 8 <= b.length && (data == null || !ok)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = leU32(b, i + 4).toInt
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        ok = leU16(b, i + 8) == 1 && leU16(b, i + 8 + 14) == 16 // PCM, 16-bit
+        channels = leU16(b, i + 8 + 2)
+        rate = leU32(b, i + 8 + 4).toInt
+      } else if (id == "data" && i + 8 + size <= b.length) {
+        data = Array.tabulate(size / 2)(s => leS16(b, i + 8 + 2 * s).toShort)
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (ok && data != null) Some((rate, channels, data)) else None
+  }
+
+  /** REAL BMP decode — fixed-offset header + bottom-up padded rows,
+    * no codec library: returns (width, height, RGB triples row-major
+    * TOP-DOWN), or None when not 24bpp uncompressed bottom-up BMP.
+    */
+  def bmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOffset = leU32(b, 10).toInt
+    val w = leU32(b, 18).toInt
+    val h = leU32(b, 22).toInt // positive = bottom-up (the only layout we emit)
+    val bpp = leU16(b, 28)
+    val compression = leU32(b, 30)
+    val rowSize = (3 * w + 3) / 4 * 4
+    if (bpp != 24 || compression != 0L || w <= 0 || h <= 0 ||
+      dataOffset + rowSize * h > b.length) return None
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val rowBase = dataOffset + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        rgb(3 * (y * w + x)) = b(rowBase + 3 * x + 2)     // R (stored BGR)
+        rgb(3 * (y * w + x) + 1) = b(rowBase + 3 * x + 1) // G
+        rgb(3 * (y * w + x) + 2) = b(rowBase + 3 * x)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** REAL PPM (P6) decode — ASCII header (with # comments) + raw RGB
+    * triples: returns (width, height, RGB row-major top-down), or
+    * None when not a maxval-255 binary PPM.
+    */
+  def ppmPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def nextInt(): Int = {
+      // skip whitespace and # comments
+      var going = true
+      while (going && i < b.length) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r') i += 1
+        else going = false
+      }
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    i += 1 // single whitespace after maxval
+    if (w <= 0 || h <= 0 || maxval != 255 || i + 3 * w * h > b.length) return None
+    Some((w, h, java.util.Arrays.copyOfRange(b, i, i + 3 * w * h)))
+  }
+
+  /** Audio feature vector from true PCM samples: [n_samples, mean,
+    * rms, min, max, zero_crossings, per-segment RMS × (dim−6)].
+    */
+  def audioFeatures(samples: Array[Short], dim: Int): Array[Float] = {
+    val n = samples.length
+    val out = new Array[Float](dim)
+    if (n == 0) return out
+    var sum = 0.0; var sq = 0.0; var mn = Int.MaxValue; var mx = Int.MinValue; var zc = 0
+    var i = 0
+    while (i < n) {
+      val s = samples(i).toInt
+      sum += s; sq += s.toDouble * s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      if (i > 0 && ((samples(i - 1) < 0) != (s < 0))) zc += 1
+      i += 1
+    }
+    out(0) = n.toFloat
+    out(1) = (sum / n).toFloat
+    out(2) = math.sqrt(sq / n).toFloat
+    out(3) = mn.toFloat
+    out(4) = mx.toFloat
+    out(5) = zc.toFloat
+    val segs = dim - 6
+    var k = 0
+    while (k < segs) {
+      val from = (n.toLong * k / segs).toInt
+      val until = (n.toLong * (k + 1) / segs).toInt
+      var ss = 0.0; var j = from
+      while (j < until) { ss += samples(j).toDouble * samples(j); j += 1 }
+      out(6 + k) = if (until > from) math.sqrt(ss / (until - from)).toFloat else 0f
+      k += 1
+    }
+    out
+  }
+
+  /** Image feature vector from true RGB pixels: [width, height,
+    * mean R/255, mean G/255, mean B/255, mean luma/255, normalized
+    * gray histogram × (dim−6)] (Rec.601 integer luma).
+    */
+  def imageFeatures(w: Int, h: Int, rgb: Array[Byte], dim: Int): Array[Float] = {
+    val n = w * h
+    val out = new Array[Float](dim)
+    out(0) = w.toFloat; out(1) = h.toFloat
+    if (n == 0) return out
+    val bins = dim - 6
+    val hist = new Array[Int](math.max(bins, 1))
+    var sr = 0L; var sg = 0L; var sb = 0L; var sy = 0L
+    var i = 0
+    while (i < n) {
+      val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
+      val y = (299 * r + 587 * g + 114 * b) / 1000
+      sr += r; sg += g; sb += b; sy += y
+      if (bins > 0) hist(y * bins / 256) += 1
+      i += 1
+    }
+    out(2) = (sr.toDouble / n / 255.0).toFloat
+    out(3) = (sg.toDouble / n / 255.0).toFloat
+    out(4) = (sb.toDouble / n / 255.0).toFloat
+    out(5) = (sy.toDouble / n / 255.0).toFloat
+    var k = 0
+    while (k < bins) { out(6 + k) = (hist(k).toDouble / n).toFloat; k += 1 }
+    out
+  }
+
+  /** Content features for one payload: REAL statistics for the
+    * codec-free formats (WAV PCM / BMP / PPM), the deterministic stub
+    * for compressed-content formats (PNG/JPEG/GIF).
+    */
+  private[operators] def contentFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+    wavSamples(payload).map { case (_, _, samples) => audioFeatures(samples, dim) }
+      .orElse(bmpPixels(payload).map { case (w, h, rgb) => imageFeatures(w, h, rgb, dim) })
+      .orElse(ppmPixels(payload).map { case (w, h, rgb) => imageFeatures(w, h, rgb, dim) })
+      .getOrElse(stubDecode(payload, dim))
+
   /** Feature extraction over binary payloads. Partition-preserving
     * mapPartitions (one decoder init per partition — the shape a real
-    * codec needs); fixed `dim`-float feature vector per record.
+    * codec needs); fixed `dim`-float feature vector per record. WAV /
+    * BMP / PPM payloads decode for REAL (see [[contentFeatures]]);
+    * compressed formats use the stub.
     */
   def decodeFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // >>> STUB DECODER <<< a real implementation would initialize the
-      // codec (e.g. libjpeg/ffmpeg bindings) once per partition here.
+      // a real compressed-format codec (libjpeg/ffmpeg bindings) would
+      // initialize once per partition here; the codec-free decoders
+      // above are allocation-only
       it.map { r =>
-        val feats = stubDecode(r.payload, dim)
+        val feats = contentFeatures(r.payload, dim)
         MediaFeatures(r.doc_id, r.kind, feats)
       }
     }
   }
 
-  /** Deterministic stand-in for a media decoder: derives `dim` floats
-    * from the payload bytes. Replace with a real codec on-cluster.
+  /** Deterministic stand-in for a compressed-content decoder: derives
+    * `dim` floats from the payload bytes. Replace with a real codec
+    * on-cluster.
     */
   private def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(payload)

@@ -107,12 +107,12 @@ class OperatorQualitySpec extends AnyFunSuite {
       val kind = r.getAs[String]("kind")
       val fmt = r.getAs[String]("media_format")
       kind match {
-        case "image" => assert(fmt == "png" || fmt == "jpeg", s"image parsed as $fmt")
+        case "image" => assert(fmt == "png" || fmt == "jpeg" || fmt == "bmp", s"image parsed as $fmt")
         case "audio" => assert(fmt == "wav")
         case "video" => assert(fmt == "gif")
       }
       fmt match {
-        case "png" | "gif" =>
+        case "png" | "gif" | "bmp" =>
           assert(r.getAs[Long]("parsed_width") == r.getAs[Int]("width").toLong, s"width in $fmt")
           assert(r.getAs[Long]("parsed_height") == r.getAs[Int]("height").toLong)
         case "wav" =>
@@ -122,6 +122,86 @@ class OperatorQualitySpec extends AnyFunSuite {
           // variable-offset SOF: parsed by the JVM marker walk instead
           val (h, w) = Multimodal.jpegDims(r.getAs[Array[Byte]]("payload")).get
           assert(w == r.getAs[Int]("width") && h == r.getAs[Int]("height"))
+      }
+    }
+  }
+
+  test("WAV content decode is real and bit-exact on planted PCM") {
+    // 20 planted samples: roundtrip through full RIFF bytes, then the
+    // feature vector against independently-computed statistics
+    val samples = Array.tabulate(20)(i => ((i - 10) * 300).toShort) // -3000 … +2700
+    val wav = Multimodal.wavBytes(16000, 2, samples)
+    val (rate, ch, got) = Multimodal.wavSamples(wav).get
+    assert(rate == 16000 && ch == 2 && got.toSeq == samples.toSeq)
+    val f = Multimodal.audioFeatures(samples, 16)
+    val ints = samples.map(_.toInt)
+    assert(f(0) == 20f && f(3) == -3000f && f(4) == 2700f)
+    assert(f(1) == (ints.sum.toDouble / 20).toFloat)
+    assert(f(2) == math.sqrt(ints.map(s => s.toDouble * s).sum / 20).toFloat)
+    // sign changes only at the -300 → 0 → +300 boundary: 0 is
+    // non-negative, so exactly one crossing
+    assert(f(5) == 1f, f(5).toString)
+    // 10 segments of 2: each segment's RMS, exact
+    (0 until 10).foreach { k =>
+      val seg = ints.slice(2 * k, 2 * k + 2)
+      assert(f(6 + k) == math.sqrt(seg.map(s => s.toDouble * s).sum / 2).toFloat, s"segment $k")
+    }
+    // trailing garbage after the data chunk is ignored (attachMedia
+    // appends the doc text)
+    assert(Multimodal.wavSamples(wav ++ "trailing".getBytes).get._3.toSeq == samples.toSeq)
+    // non-PCM / truncated payloads refuse instead of mis-decoding
+    assert(Multimodal.wavSamples("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("BMP and PPM content decode are real and bit-exact on planted pixels") {
+    val pix = Map((0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60),
+      (0, 1) -> (70, 80, 90), (1, 1) -> (200, 210, 220))
+    def rgb(x: Int, y: Int) = pix((x, y))
+    // BMP: bottom-up padded storage must read back top-down row-major
+    val bmp = Multimodal.bmpBytes(2, 2, rgb _)
+    val (bw, bh, brgb) = Multimodal.bmpPixels(bmp ++ "tail".getBytes).get
+    assert(bw == 2 && bh == 2)
+    assert(brgb.map(_ & 0xff).toSeq ==
+      Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220))
+    // PPM: same pixels, same decode result (header comments included)
+    val ppm = Multimodal.ppmBytes(2, 2, rgb _)
+    val (pw, ph, prgb) = Multimodal.ppmPixels(ppm).get
+    assert(pw == 2 && ph == 2 && prgb.toSeq == brgb.toSeq)
+    val withComment = ("P6\n# a comment line\n2 2\n255\n").getBytes("US-ASCII") ++
+      prgb
+    assert(Multimodal.ppmPixels(withComment).get._3.toSeq == prgb.toSeq)
+    // feature vector: exact means and a gray histogram that sums to 1
+    val f = Multimodal.imageFeatures(bw, bh, brgb, 16)
+    assert(f(0) == 2f && f(1) == 2f)
+    assert(f(2) == ((10 + 40 + 70 + 200) / 4.0 / 255.0).toFloat)
+    assert(f(3) == ((20 + 50 + 80 + 210) / 4.0 / 255.0).toFloat)
+    assert(f(4) == ((30 + 60 + 90 + 220) / 4.0 / 255.0).toFloat)
+    val lumas = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220))
+      .map { case (r, g, b) => (299 * r + 587 * g + 114 * b) / 1000 }
+    assert(f(5) == (lumas.sum / 4.0 / 255.0).toFloat)
+    assert(math.abs((6 until 16).map(i => f(i)).sum - 1.0f) < 1e-6)
+    // 8bpp/compressed BMPs refuse instead of mis-decoding
+    assert(Multimodal.bmpPixels("BMxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx".getBytes).isEmpty)
+  }
+
+  test("decodeFeatures routes codec-free payloads to the real decoders") {
+    val media = Multimodal.attachMedia(t)
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.doc_id -> r.features).toMap
+    val byId = media.collect().map(r => r.doc_id -> r).toMap
+    byId.values.foreach { r =>
+      val f = feats(r.doc_id)
+      if (r.kind == "audio") {
+        // real PCM statistics: feature 0 is the planted sample count
+        val n = 120 + (r.doc_id % 4).toInt * 40
+        assert(f(0) == n.toFloat, s"doc ${r.doc_id}: expected $n samples, got ${f(0)}")
+        assert(Multimodal.wavSamples(r.payload).get._3.length == n)
+      } else if (Multimodal.bmpPixels(r.payload).isDefined) {
+        // real pixel statistics: features 0/1 are the true dims
+        assert(f(0) == r.width.toFloat && f(1) == r.height.toFloat)
+      } else {
+        // compressed formats stay on the deterministic stub ∈ [0,1]
+        assert(f.forall(v => v >= 0f && v <= 1f))
       }
     }
   }
