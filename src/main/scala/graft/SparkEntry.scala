@@ -124,6 +124,8 @@ object SparkEntry {
     "q102_interval_join"  -> q(Temporal.q102),
     "q103_hopping_window" -> q(Temporal.q103),
     "q104_cohort_retention" -> q(Temporal.q104),
+    "q105_funnel_windowed" -> q(Temporal.q105),
+    "q106_pagerank_dangling" -> q(Extended.q106),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2041,6 +2043,62 @@ object SparkEntry {
          |ORDER BY o_orderkey""".stripMargin,
 
     "q101_bpe" -> bpeOracleSql(12),
+
+    // anchored replay of the bounded chain: every signup anchors its
+    // own deadline (epoch_us both sides — µs precision like Spark)
+    "q105_funnel_windowed" ->
+      """WITH a1 AS (
+        |  SELECT user_id, ts AS t1 FROM events WHERE event_type = 'signup'),
+        |c2 AS (
+        |  SELECT e.user_id, a.t1, MIN(e.ts) AS t FROM events e
+        |  JOIN a1 a ON a.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > a.t1
+        |    AND epoch_us(e.ts) <= epoch_us(a.t1) + 3600000000 GROUP BY 1, 2),
+        |c3 AS (
+        |  SELECT e.user_id, c.t1, MIN(e.ts) AS t FROM events e
+        |  JOIN c2 c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > c.t
+        |    AND epoch_us(e.ts) <= epoch_us(c.t1) + 3600000000 GROUP BY 1, 2),
+        |c4 AS (
+        |  SELECT e.user_id, c.t1, MIN(e.ts) AS t FROM events e
+        |  JOIN c3 c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t
+        |    AND epoch_us(e.ts) <= epoch_us(c.t1) + 3600000000 GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |         (SELECT COUNT(DISTINCT user_id) FROM a1) AS n_users
+        |  UNION ALL SELECT 2, 'view', (SELECT COUNT(DISTINCT user_id) FROM c2)
+        |  UNION ALL SELECT 3, 'click', (SELECT COUNT(DISTINCT user_id) FROM c3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(DISTINCT user_id) FROM c4))
+        |ORDER BY step""".stripMargin,
+
+    // the q96 unrolled-iteration replay, on the DIRECTED graph, plus
+    // the per-round dangling total (anti-join) folded back uniformly
+    "q106_pagerank_dangling" -> {
+      val iterate = (1 to 3).map { i =>
+        s"""g$i AS (SELECT r.node AS src, r.rank // od.od AS c
+           |        FROM r${i - 1} r JOIN od ON od.node = r.node),
+           |in$i AS (SELECT e.dst AS node, CAST(SUM(c) AS BIGINT) AS cin
+           |         FROM e JOIN g$i ON e.src = g$i.src GROUP BY 1),
+           |d$i AS (SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS d
+           |        FROM r${i - 1} r ANTI JOIN od ON od.node = r.node),
+           |r$i AS MATERIALIZED (SELECT nodes.node,
+           |          (SELECT ((1000000000000 // n) * 1500) // 10000 FROM sc)
+           |          + ((COALESCE(cin, 0) + (SELECT d FROM d$i) // (SELECT n FROM sc))
+           |             * 8500) // 10000 AS rank
+           |        FROM nodes LEFT JOIN in$i ON in$i.node = nodes.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |sc AS (SELECT COUNT(*) AS n FROM nodes),
+         |od AS (SELECT src AS node, COUNT(*) AS od FROM e GROUP BY 1),
+         |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM sc) AS rank FROM nodes),
+         |$iterate
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
   )
 
   /** q101's oracle: the 12 BPE merge rounds unrolled as chained CTEs

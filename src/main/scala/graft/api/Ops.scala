@@ -228,8 +228,17 @@ object Ops {
     * corpus scalars of the BM25 formula, collected at prepare time.
     */
   final case class PreparedBm25 private[graft] (
-    postings: DataFrame, nDocs: Long, avgdl: Double,
-    idCol: String, reliable: Boolean)
+    postings: DataFrame, nDocs: Long, sumDl: Long, avgdl: Double,
+    idCol: String, reliable: Boolean) {
+    /** Absorb an increment of NEW documents (ids disjoint from the
+      * indexed corpus — enforced) without re-tokenizing the corpus:
+      * `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)` row-for-row, see
+      * [[Ops.absorbBm25]].
+      */
+    def absorb(increment: DataFrame, text: String,
+               checkpointDir: Option[String] = None): PreparedBm25 =
+      absorbBm25(this, increment, text, checkpointDir)
+  }
 
   /** Build a [[PreparedBm25]] over the normalized token stream (the
     * same tokenizer as every text operator). Streaming query batches
@@ -246,9 +255,62 @@ object Ops {
     val dfF = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
     val postings = ckp(tf.join(dl, Seq(id)).join(dfF, Seq("__w")))
     val row = dl.agg(count(lit(1)).as("__n"),
-      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl")).collect()(0)
-    PreparedBm25(postings, row.getLong(0), row.getDouble(1), id,
+      coalesce(sum(col("__dl")), lit(0L)).as("__sum")).collect()(0)
+    val (n, sumDl) = (row.getLong(0), row.getLong(1))
+    PreparedBm25(postings, n, sumDl,
+      if (n == 0) 0.0 else sumDl.toDouble / n.toDouble, id,
       reliable = checkpointDir.isDefined)
+  }
+
+  /** Absorb an increment into a [[PreparedBm25]] — the rolling-corpus
+    * maintenance path: `prepare(A).absorb(B)` equals `prepare(A ∪ B)`
+    * row-for-row and scalar-for-scalar WITHOUT re-tokenizing or
+    * re-aggregating A. Costs: the increment's own census (tf/dl/df),
+    * one broadcast-join pass over the old postings to bump the
+    * denormalized per-term df for terms the increment touches (the
+    * price of the norms-in-postings layout — map-side, no shuffle),
+    * and one disjointness-guard pass (increment doc ids must be NEW:
+    * absorbing a re-submitted doc would double-count df/dl, so it
+    * fails fast instead). `nDocs`/`sumDl` add exactly (both Longs);
+    * `avgdl` recomposes from them bit-for-bit with prepare's own
+    * division.
+    */
+  def absorbBm25(idx: PreparedBm25, increment: DataFrame, text: String,
+                 checkpointDir: Option[String] = None): PreparedBm25 = {
+    val ckp = lineageBreaker(checkpointDir)
+    val id = idx.idCol
+    val tfB = ckp(floorPartitions(increment.select(col(id), col(text)))
+      .withColumn("__toks", tokens(col(text)))
+      .select(col(id), explode(col("__toks")).as("__w"))
+      .groupBy(col(id), col("__w")).agg(count(lit(1)).as("__tf")))
+    val dlB = tfB.groupBy(col(id)).agg(sum(col("__tf")).as("__dl"))
+    val dfB = tfB.groupBy(col("__w")).agg(count(lit(1)).as("__dfb"))
+    val clash = idx.postings.select(col(id)).distinct()
+      .join(broadcast(dlB.select(col(id))), Seq(id), "left_semi").limit(1).count()
+    require(clash == 0L,
+      "absorbBm25: increment contains doc ids already in the index — " +
+        "absorb models corpus growth; re-prepare to replace documents")
+    // old postings: bump df where the increment re-uses a term
+    val updatedOld = idx.postings.join(broadcast(dfB), Seq("__w"), "left")
+      .withColumn("__df", col("__df") + coalesce(col("__dfb"), lit(0L)))
+      .drop("__dfb")
+    // increment postings: df = increment df + old df (terms ∩ index)
+    val dfAforB = idx.postings
+      .join(broadcast(dfB.select(col("__w"))), Seq("__w"), "left_semi")
+      .select(col("__w"), col("__df").as("__dfa")).distinct()
+    val newRows = tfB.join(dlB, Seq(id))
+      .join(broadcast(dfB), Seq("__w"))
+      .join(broadcast(dfAforB), Seq("__w"), "left")
+      .withColumn("__df", col("__dfb") + coalesce(col("__dfa"), lit(0L)))
+      .select(idx.postings.columns.map(col): _*)
+    val postings = updatedOld.select(idx.postings.columns.map(col): _*)
+      .unionByName(newRows)
+    val rowB = dlB.agg(count(lit(1)), coalesce(sum(col("__dl")), lit(0L))).collect()(0)
+    val n = idx.nDocs + rowB.getLong(0)
+    val sumDl = idx.sumDl + rowB.getLong(1)
+    PreparedBm25(postings, n, sumDl,
+      if (n == 0) 0.0 else sumDl.toDouble / n.toDouble, id,
+      reliable = idx.reliable && checkpointDir.isDefined)
   }
 
   /** Okapi BM25 scoring of a query frame against a prepared index —
@@ -318,7 +380,27 @@ object Ops {
     */
   final case class PreparedEditIndex private[graft] (
     keys: DataFrame, base: DataFrame, id: String, text: String,
-    maxDistance: Int, reliable: Boolean)
+    maxDistance: Int, reliable: Boolean) {
+    /** Absorb a catalog increment: `prepare(A).absorb(B)` ≡
+      * `prepare(A ∪ B)` row-for-row. The index artifacts (deletion-
+      * variant keys, guarded base rows) are PER-ROW, so absorption is
+      * the increment's own compute plus a union — the old frames are
+      * never rescanned. Repeated absorbs stack shallow union nodes
+      * over checkpointed legs, so lineage stays flat.
+      */
+    def absorb(increment: DataFrame, checkpointDir: Option[String] = None,
+               maxLength: Int = 512): PreparedEditIndex = {
+      val ckp = lineageBreaker(checkpointDir)
+      val baseB = ckp(floorPartitions(
+        increment.select(col(id),
+          lengthGuarded(col(id), col(text), maxLength, "absorbEditIndex").as(text))
+          .filter(col(text).isNotNull)))
+      val keysB = ckp(baseB.select(col(id),
+        explode(deletionVariantKeys(col(text), maxDistance)).as("__k")))
+      PreparedEditIndex(keys.unionByName(keysB), base.unionByName(baseB),
+        id, text, maxDistance, reliable && checkpointDir.isDefined)
+    }
+  }
 
   /** The q87 short-string contract enforced IN the job (see
     * [[GraftDataFrameOps.editDistancePairs]]): any value longer than
@@ -448,7 +530,29 @@ object Ops {
     * [[prepareLm]].
     */
   final case class PreparedBoilerplate private[graft] (
-    common: DataFrame, sep: String, reliable: Boolean)
+    common: DataFrame, census: DataFrame, sep: String, minDf: Long,
+    reliable: Boolean) {
+    /** Absorb a corpus increment (doc ids disjoint from the prepared
+      * corpus): `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)` row-for-row.
+      * The UNFILTERED df census is what makes this possible — a
+      * paragraph below `minDf` in A alone can cross the threshold
+      * once B's documents are counted, so `common` by itself could
+      * never absorb. The merge is paragraph-census-sized (old census ∪
+      * increment census → sum), never a re-explode of the old corpus.
+      */
+    def absorb(increment: DataFrame, id: String, text: String,
+               checkpointDir: Option[String] = None): PreparedBoilerplate = {
+      val ckp = lineageBreaker(checkpointDir)
+      val parasB = explodeParas(increment, id, text, sep)
+      val censusB = parasB.select(col("__para"), col(id)).distinct()
+        .groupBy(col("__para")).agg(count(lit(1)).as("__df"))
+      val merged = ckp(census.unionByName(censusB)
+        .groupBy(col("__para")).agg(sum(col("__df")).as("__df")))
+      PreparedBoilerplate(
+        merged.filter(col("__df") >= minDf).select(col("__para")),
+        merged, sep, minDf, reliable && checkpointDir.isDefined)
+    }
+  }
 
   /** Build a [[PreparedBoilerplate]]: paragraphs occurring in ≥
     * `minDf` DISTINCT documents of `corpus`. The census distincts
@@ -461,11 +565,13 @@ object Ops {
     require(sep.nonEmpty, "prepareBoilerplate: sep must be non-empty")
     val ck = lineageBreaker(checkpointDir)
     val paras = ck(explodeParas(corpus, id, text, sep))
-    val common = ck(paras.select(col("__para"), col(id)).distinct()
-      .groupBy(col("__para")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf)
-      .select(col("__para")))
-    PreparedBoilerplate(common, sep, checkpointDir.isDefined)
+    // the UNFILTERED census is retained for absorb (see
+    // [[PreparedBoilerplate.absorb]]); `common` is a cheap filter view
+    // over the checkpointed census
+    val census = ck(paras.select(col("__para"), col(id)).distinct()
+      .groupBy(col("__para")).agg(count(lit(1)).as("__df")))
+    val common = census.filter(col("__df") >= minDf).select(col("__para"))
+    PreparedBoilerplate(common, census, sep, minDf, checkpointDir.isDefined)
   }
 
   /** A reference n-gram index prepared ONCE for repeated coverage
@@ -553,7 +659,27 @@ object Ops {
     */
   final case class PreparedVecCatalog private[graft] (
     codes: DataFrame, vectors: DataFrame, id: String,
-    dim: Int, signBits: Int, tables: Int, seed: String, reliable: Boolean)
+    dim: Int, signBits: Int, tables: Int, seed: String, reliable: Boolean) {
+    /** Absorb a catalog increment: `prepare(A).absorb(B)` ≡
+      * `prepare(A ∪ B)` row-for-row — the hyperplane family is fixed
+      * by (tables, signBits, dim, seed) stored at prepare time, so
+      * the increment codes under the SAME weights and the artifacts
+      * union per-row; the old frames are never rescanned.
+      */
+    def absorb(increment: DataFrame, emb: String,
+               checkpointDir: Option[String] = None): PreparedVecCatalog = {
+      val ckp = lineageBreaker(checkpointDir)
+      val w = Hyperplanes.weights(tables, signBits, dim, seed)
+      val baseB = ckp(increment.select(col(id).as("__cid"),
+        col(emb).cast("array<double>").as("__ce")))
+      val codesB = ckp(baseB
+        .select(col("__cid"), posexplode(array(
+          (0 until tables).map(l => Hyperplanes.blockCode(col("__ce"), w(l))): _*)))
+        .withColumnRenamed("pos", "__tbl").withColumnRenamed("col", "__block"))
+      PreparedVecCatalog(codes.unionByName(codesB), vectors.unionByName(baseB),
+        id, dim, signBits, tables, seed, reliable && checkpointDir.isDefined)
+    }
+  }
 
   /** Build a [[PreparedVecCatalog]]; `checkpointDir` selects reliable
     * checkpoints (cluster/streaming mode) for the cached frames.
@@ -751,8 +877,15 @@ object Ops {
     * order-sensitive). Costs accepted and documented: floor leakage
     * (each transfer loses < 1 unit per participating edge — with
     * totalMass 10¹² and web-scale node counts, relative error
-    * < 10⁻³ per iteration) and dangling-node drop (a node with no
-    * out-edges receives but never redistributes).
+    * < 10⁻³ per iteration). Dangling nodes (no out-edges) DROP their
+    * mass by default; `redistributeDangling = true` folds it back
+    * uniformly each iteration — the standard web-graph treatment,
+    * still exact-integer: the dangling total is one 1-row aggregate
+    * per iteration shipped as a broadcast (the q48 scalar shape,
+    * never a driver collect), each node gains `danglingMass div n`
+    * inside the damped term, and total mass is conserved to floor
+    * leakage (PageRankSpec pins the bound) instead of draining
+    * through sinks.
     *
     * Scale shape per iteration: rank/outdeg is a node-keyed hash
     * join, contributions aggregate MAP-COMBINABLY by dst (a hub's
@@ -766,6 +899,7 @@ object Ops {
     */
   def pageRank(edges: DataFrame, src: String, dst: String, iters: Int = 3,
                dampingBp: Long = 8500L, totalMass: Long = 1000000000000L,
+               redistributeDangling: Boolean = false,
                checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0 && iters <= 20, s"iters must be in [0, 20] (got $iters)")
     require(dampingBp >= 0L && dampingBp <= 10000L,
@@ -791,10 +925,22 @@ object Ops {
       val recv = e.join(give, Seq("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__c")).as("__in"))
-      ranks = ck(nodes.join(recv, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"coalesce(__in, CAST(0 AS BIGINT)) * $dampingBp div 10000"))
-            .as("rank")))
+      val damped =
+        if (!redistributeDangling)
+          expr(s"coalesce(__in, CAST(0 AS BIGINT)) * $dampingBp div 10000")
+        else {
+          // this round's dangling total as a broadcast 1-row frame;
+          // every node gains its uniform share inside the damped term
+          expr(s"(coalesce(__in, CAST(0 AS BIGINT)) + __dang div $n) * $dampingBp div 10000")
+        }
+      val received =
+        if (!redistributeDangling) nodes.join(recv, Seq("node"), "left")
+        else {
+          val dangling = ranks.join(outdeg, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
+          nodes.join(recv, Seq("node"), "left").join(broadcast(dangling))
+        }
+      ranks = ck(received.select(col("node"), (lit(base) + damped).as("rank")))
     }
     ranks
   }
@@ -992,42 +1138,81 @@ object Ops {
       left.withColumn("session_id", sum(brk).over(wc).cast("int"))
     }
 
-    /** Ordered-sequence funnel (q97): how many keys progress through
-      * `steps` IN ORDER — the conversion primitive (signup → view →
-      * click → purchase) the windowed/sessionized family doesn't
-      * express. Reachability is computed greedily on EARLIEST
-      * completion: t₁ = the key's first step-1 event, tᵢ = its first
-      * step-i event strictly after tᵢ₋₁ — greedy-earliest is optimal
-      * for unconstrained ordering (picking any later tᵢ can only
-      * shrink what remains for step i+1), so "reaches step i" is
-      * exact, not a heuristic. Shape: one filtered min-agg per step
-      * joined key-wise onto the previous step's frame — |steps|
-      * bounded (≤ 8 enforced), each join key-partitioned, no window
-      * over raw events, no per-key event lists. Returns one row per
-      * step: (step 1-based, event_type, n_users).
+    /** Ordered-sequence funnel (q97/q105): how many keys progress
+      * through `steps` IN ORDER — the conversion primitive (signup →
+      * view → click → purchase) the windowed/sessionized family
+      * doesn't express. Returns one row per step, ALWAYS — a step no
+      * key reaches still yields (step, event_type, 0).
+      *
+      * Unbounded (`withinUs = None`): reachability is computed
+      * greedily on EARLIEST completion: t₁ = the key's first step-1
+      * event, tᵢ = its first step-i event strictly after tᵢ₋₁ —
+      * greedy-earliest is optimal for unconstrained ordering (picking
+      * any later tᵢ can only shrink what remains for step i+1), so
+      * "reaches step i" is exact, not a heuristic. Shape: one
+      * filtered min-agg per step joined key-wise onto the previous
+      * step's frame — |steps| bounded (≤ 8 enforced), each join
+      * key-partitioned, no window over raw events, no per-key event
+      * lists.
+      *
+      * Bounded (`withinUs = Some(T)`): the product-analytics form —
+      * every step must land within T microseconds of the step-1
+      * ANCHOR. The earliest step-1 event is no longer a safe anchor
+      * (a later anchor starts a later deadline that may convert where
+      * the earliest fails), so EVERY step-1 event anchors a candidate
+      * chain: a key reaches step i iff SOME anchor's greedy chain
+      * does (greedy stays optimal once the anchor — hence the
+      * deadline — is fixed). Frames are (key, anchor)-grained, so the
+      * per-key cost scales with its step-1 event count — the exact-
+      * semantics price; joins stay key-partitioned.
       */
     def funnel(key: String, time: String, typeCol: String,
-               steps: Seq[String]): DataFrame = {
+               steps: Seq[String], withinUs: Option[Long] = None): DataFrame = {
       require(steps.nonEmpty && steps.size <= 8,
         s"funnel needs 1..8 steps (got ${steps.size})")
       require(steps.distinct.size == steps.size,
         "funnel steps must be distinct event types (a repeated type is " +
           "ambiguous under earliest-completion semantics)")
-      val first = left.filter(col(typeCol) === steps.head)
-        .groupBy(col(key)).agg(min(col(time)).as("__t"))
-      val frames = steps.tail.scanLeft(first) { (prev, st) =>
-        left.filter(col(typeCol) === st)
-          .join(prev.select(col(key), col("__t").as("__pt")), Seq(key))
-          .filter(col(time) > col("__pt"))
-          .groupBy(col(key)).agg(min(col(time)).as("__t"))
+      require(withinUs.forall(_ > 0), "funnel: withinUs must be positive")
+      val reached: Seq[DataFrame] = withinUs match {
+        case None =>
+          val first = left.filter(col(typeCol) === steps.head)
+            .groupBy(col(key)).agg(min(col(time)).as("__t"))
+          steps.tail.scanLeft(first) { (prev, st) =>
+            left.filter(col(typeCol) === st)
+              .join(prev.select(col(key), col("__t").as("__pt")), Seq(key))
+              .filter(col(time) > col("__pt"))
+              .groupBy(col(key)).agg(min(col(time)).as("__t"))
+          }.map(_.select(col(key)))
+        case Some(t) =>
+          val anchors = left.filter(col(typeCol) === steps.head)
+            .select(col(key), col(time).as("__t1")).distinct()
+            .withColumn("__t", col("__t1"))
+          steps.tail.scanLeft(anchors) { (prev, st) =>
+            left.filter(col(typeCol) === st)
+              .join(prev.select(col(key), col("__t1"), col("__t").as("__pt")), Seq(key))
+              .filter(col(time) > col("__pt") &&
+                unix_micros(col(time)) <= unix_micros(col("__t1")) + t)
+              .groupBy(col(key), col("__t1")).agg(min(col(time)).as("__t"))
+          }.map(_.select(col(key)).distinct())
       }
-      frames.zip(steps).zipWithIndex
+      val counts = reached.zip(steps).zipWithIndex
         .map { case ((df, st), i) =>
           df.select(lit((i + 1).toLong).as("step"), lit(st).as("event_type"), col(key))
         }
         .reduce(_ unionByName _)
         .groupBy(col("step"), col("event_type"))
         .agg(count(lit(1)).as("n_users"))
+      // one row per step even when empty (a 1-row-derived literal
+      // frame, so the join is trivially broadcast)
+      val stepsDf = left.sparkSession.range(1)
+        .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+          struct(lit((i + 1).toLong).as("step"), lit(st).as("event_type"))
+        }: _*)).as("__s"))
+        .select(col("__s.step").as("step"), col("__s.event_type").as("event_type"))
+      stepsDf.join(counts, Seq("step", "event_type"), "left")
+        .select(col("step"), col("event_type"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
     }
 
     /** Range join on |leftTime - rightTime| <= tolerance (no equi
@@ -1113,16 +1298,21 @@ object Ops {
       * Adds `<out>` (the z column) to `left`'s rows.
       */
     def zscorePerGroup(group: String, value: Column, out: String = "z"): DataFrame = {
+      // moments count only non-null values (a null value must not
+      // dilute the mean its decimal sum skipped), and the join back
+      // is NULL-SAFE on the group key — groupBy already forms a null
+      // group, so null-keyed rows keep their row and score against it
+      // instead of silently dropping (ADVICE r9)
       val stats = left.groupBy(col(group)).agg(
-        count(lit(1)).as("__n"),
+        count(value).as("__n"),
         sum(graft.util.Portable.dec(value)).as("__s"),
         sum(graft.util.Portable.dec(value) * graft.util.Portable.dec(value)).as("__ss"))
       val m = col("__s").cast("double") / col("__n")
       val v = col("__ss").cast("double") / col("__n") - m * m
-      left.join(stats, Seq(group))
+      left.join(stats.withColumnRenamed(group, "__g"), col(group) <=> col("__g"), "left")
         .withColumn(out,
           when(v > 0.0, (value.cast("double") - m) / sqrt(v)))
-        .drop("__n", "__s", "__ss")
+        .drop("__g", "__n", "__s", "__ss")
     }
 
     /** Snapshot diff (q99) — the change set between `left` (the OLD
@@ -1155,16 +1345,29 @@ object Ops {
       * OVERLAP in time: concurrency analysis, co-occurring sessions,
       * conflicting reservations — the INTERVAL×INTERVAL sibling of
       * [[rangeJoin]]'s point-distance join, and another join Spark
-      * would otherwise plan as a nested loop. Scalable shape: both
-      * sides explode to their covered `bucketUs`-wide buckets, pairs
-      * form ONLY inside an equi-bucket hash join (two overlapping
-      * intervals both cover the bucket containing max(starts), so no
-      * pair is missed), the exact overlap predicate refines, and
-      * bucket-duplicated pairs dedup on the id pair. Pick bucketUs
-      * near the typical interval length; an interval spanning more
-      * than `maxBucketsPerInterval` buckets fails the run with its id
-      * (a degenerate months-long interval would otherwise explode its
-      * row count silently). Ids must be unique per side. Returns
+      * would otherwise plan as a nested loop.
+      *
+      * Scalable shape — candidates form only at each pair's OWNER
+      * bucket, on BOTH sides: every overlapping pair is covered by
+      * both intervals at the bucket holding max(starts), and that
+      * bucket is one side's START bucket. So instead of joining
+      * all-covered-buckets × all-covered-buckets and filtering to the
+      * owner bucket afterwards, the join runs twice with one side
+      * collapsed to its single start-bucket row — (A-start ⋈
+      * B-covered, kept where A starts last) ∪ (A-covered ⋈ B-start,
+      * kept where B starts strictly last) — and each overlapping pair
+      * surfaces EXACTLY once with zero post-join work. Candidate
+      * volume drops from Σ_b |A(b)|·|B(b)| to Σ_b |A₁(b)|·|B(b)| +
+      * |A(b)|·|B₁(b)| (start frames carry one row per interval),
+      * which keeps the refine ratio near 1 even when intervals span
+      * many buckets.
+      *
+      * Pick `bucketUs` near the p95 interval span — [[intervalStats]]
+      * measures exactly this. An interval COVERING more than
+      * `maxBucketsPerInterval` buckets fails the run with its id (a
+      * degenerate months-long interval would otherwise explode its
+      * row count silently); the guard counts actual covered buckets,
+      * alignment included. Ids must be unique per side. Returns
       * (a_id, b_id, overlap_us ≥ 0), one row per overlapping pair —
       * self-pairs (same id) excluded; for a SELF join filter
       * `a_id < b_id` to keep each unordered pair once.
@@ -1178,36 +1381,66 @@ object Ops {
       def side(df: DataFrame, idc: String, s: String, e: String,
                outId: String, outS: String, outE: String): DataFrame = {
         val sUs = unix_micros(col(s)); val eUs = unix_micros(col(e))
-        // the guard lives INSIDE the start column (not a dropped
+        // the guards live INSIDE the start column (not a dropped
         // side column Catalyst would prune away), so a bad interval
-        // fails map-side before its buckets ever explode
-        val guardedS =
-          when(eUs < sUs, raise_error(concat(
-            lit("intervalJoin: end before start at id="), col(idc).cast("string"))))
-          .when((eUs - sUs) / lit(bucketUs) >= maxBucketsPerInterval,
-            raise_error(concat(
-              lit(s"intervalJoin: interval spans >= $maxBucketsPerInterval buckets at id="),
-              col(idc).cast("string"),
-              lit(" — raise bucketUs or split the interval upstream"))))
-          .otherwise(sUs)
-        df.select(col(idc).as(outId), guardedS.as(outS), eUs.as(outE))
-          .withColumn("__b", explode(sequence(
-            expr(s"$outS div $bucketUs"), expr(s"$outE div $bucketUs"))))
+        // fails map-side before its buckets ever explode. The span
+        // guard counts COVERED buckets (end div − start div + 1 >
+        // max), not span/bucketUs: a span of n·bucketUs−1 µs can
+        // still straddle n+1 buckets depending on alignment
+        df.select(col(idc).as(outId), sUs.as(outS), eUs.as(outE))
+          .select(col(outId),
+            when(col(outE) < col(outS), raise_error(concat(
+              lit("intervalJoin: end before start at id="), col(outId).cast("string"))))
+            .when(expr(s"$outE div $bucketUs - $outS div $bucketUs") >= maxBucketsPerInterval,
+              raise_error(concat(
+                lit(s"intervalJoin: interval covers > $maxBucketsPerInterval buckets at id="),
+                col(outId).cast("string"),
+                lit(" — raise bucketUs or split the interval upstream"))))
+            .otherwise(col(outS)).as(outS),
+            col(outE))
       }
-      val a = side(left, id, start, end, "a_id", "__as", "__ae")
-      val b = side(right, rightId, rightStart, rightEnd, "b_id", "__bs", "__be")
-      a.join(b, Seq("__b"))
+      val aBase = side(left, id, start, end, "a_id", "__as", "__ae")
+      val bBase = side(right, rightId, rightStart, rightEnd, "b_id", "__bs", "__be")
+      def covered(base: DataFrame, s: String, e: String) =
+        base.withColumn("__b", explode(sequence(
+          expr(s"$s div $bucketUs"), expr(s"$e div $bucketUs"))))
+      def startOnly(base: DataFrame, s: String) =
+        base.withColumn("__b", expr(s"$s div $bucketUs"))
+      val overlapping =
+        greatest(col("__as"), col("__bs")) <= least(col("__ae"), col("__be"))
+      val j1 = startOnly(aBase, "__as").join(covered(bBase, "__bs", "__be"), Seq("__b"))
         .filter(col("a_id") =!= col("b_id"))
-        .filter(greatest(col("__as"), col("__bs")) <= least(col("__ae"), col("__be")))
-        // OWNER-BUCKET dedup: a pair surfaces once per shared covered
-        // bucket, but the bucket holding max(starts) is covered by
-        // both sides of every overlapping pair and is unique — so
-        // keeping only that bucket's row dedups MAP-SIDE, instead of
-        // shuffling the whole pair stream through dropDuplicates
-        .filter(col("__b") === expr(s"greatest(__as, __bs) div $bucketUs"))
+        .filter(col("__as") >= col("__bs")) // A starts last → A's start bucket owns
+        .filter(overlapping)
+      val j2 = covered(aBase, "__as", "__ae").join(startOnly(bBase, "__bs"), Seq("__b"))
+        .filter(col("a_id") =!= col("b_id"))
+        .filter(col("__bs") > col("__as")) // strictly — disjoint from j1 on ties
+        .filter(overlapping)
+      j1.unionByName(j2)
         .select(col("a_id"), col("b_id"),
           (least(col("__ae"), col("__be")) - greatest(col("__as"), col("__bs")))
             .as("overlap_us"))
+    }
+
+    /** Interval-span census feeding [[intervalJoin]]'s `bucketUs`
+      * choice: one map-combinable aggregate over the interval frame
+      * returning (n_intervals, min/p50/p95/max span µs, and
+      * `suggested_bucket_us` = the p95 span clamped to ≥ 1). Rule of
+      * thumb the suggestion encodes: at bucketUs ≈ p95, ≥95% of
+      * intervals cover ≤ 2 buckets, so the covered-bucket explode
+      * stays ~2× the input while pairs still co-bucket. Percentiles
+      * are `approx_percentile` at accuracy 10⁴ — a census that feeds
+      * a knob does not need an exact distributed sort.
+      */
+    def intervalStats(start: String, end: String): DataFrame = {
+      val span = unix_micros(col(end)) - unix_micros(col(start))
+      left.agg(
+          count(lit(1)).as("n_intervals"),
+          min(span).as("min_span_us"),
+          percentile_approx(span, lit(0.5), lit(10000)).as("p50_span_us"),
+          percentile_approx(span, lit(0.95), lit(10000)).as("p95_span_us"),
+          max(span).as("max_span_us"))
+        .withColumn("suggested_bucket_us", greatest(col("p95_span_us"), lit(1L)))
     }
 
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
@@ -1961,11 +2194,15 @@ object Ops {
       * draws u from its seeded portable hash and keys as
       * −ln(u)/w ~ Exp(w); ranking a group by the key ascending IS
       * the sequential weighted draw without replacement, in one
-      * pass. Deterministic in (seed, id) on any engine and any
-      * partitioning — the one libm call (`ln`) lands on the same
-      * IEEE double both engines produce for these hash-derived
-      * inputs (oracle-checked bit-for-bit, the q73 discipline
-      * applies to the ROUNDED display key only). Same two-stage
+      * pass. Deterministic in (seed, id) under any PARTITIONING —
+      * the key derives from the seeded hash alone. Across ENGINES
+      * the guarantee is empirical, not absolute: libm `ln` is only
+      * specified to ~1 ulp, so a platform pair could in principle
+      * rank a near-tied key pair differently — the per-round oracle
+      * gate (q95 replays the race rank-for-rank in DuckDB) is what
+      * certifies agreement on this platform, and would surface any
+      * such flip as a hash mismatch rather than silent divergence.
+      * Same two-stage
       * rank as [[samplePerGroup]] — no reducer ever sorts a whole
       * group. Non-positive weights fail the run map-side with the
       * offending id (a weight of 0 has no defined draw — pre-filter

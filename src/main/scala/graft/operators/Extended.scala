@@ -249,4 +249,23 @@ object Extended {
     graft.api.Ops.pageRank(edges, "src", "dst", iters = 3)
       .orderBy(col("node"))
   }
+
+  /** q106: PageRank with DANGLING-MASS redistribution over the
+    * DIRECTED customer → supplier purchase graph — every supplier is
+    * a sink (receives, never gives), so without redistribution the
+    * graph drains through its sinks within an iteration or two; with
+    * `redistributeDangling = true` the sink mass folds back uniformly
+    * each round (one 1-row aggregate broadcast — see
+    * [[graft.api.Ops.pageRank]]), still exact-integer and replayed
+    * iteration-for-iteration by the oracle.
+    */
+  def q106(t: Tables): DataFrame = {
+    val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    graft.api.Ops.pageRank(edges, "src", "dst", iters = 3,
+        redistributeDangling = true)
+      .orderBy(col("node"))
+  }
 }

@@ -117,6 +117,23 @@ object Temporal {
       .orderBy(col("step"))
   }
 
+  /** q105: TIME-BOUNDED conversion funnel — the product-analytics
+    * form of q97: every step must land within ONE HOUR of its step-1
+    * anchor. The earliest signup is no longer a safe anchor (a later
+    * signup starts a later deadline), so every signup anchors a
+    * candidate chain — see [[graft.api.Ops.GraftDataFrameOps.funnel]].
+    * The one-hour bound leaves the purchase step EMPTY at this SF,
+    * exercising the always-emit-every-step contract (n_users = 0)
+    * through the oracle gate.
+    */
+  def q105(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events
+      .funnel("user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), withinUs = Some(3600000000L))
+      .orderBy(col("step"))
+  }
+
   /** q102: interval-overlap join
     * ([[graft.api.Ops.GraftDataFrameOps.intervalJoin]]) — which users'
     * activity windows were CONCURRENT: q22's sessions padded by 30

@@ -49,11 +49,15 @@ object Vectors {
     *    `maxLiteralCentroids` the k centroids embed as a plan
     *    literal, so the argmin is a codegen'd expression over the
     *    streaming corpus scan — zero shuffle; above it (the k ∝ N
-    *    quantizer regime, and this cost repeats × iters) the same
-    *    centroid array ships as ONE broadcast row joined keyless
-    *    onto the corpus (the q48/q83 1-row-NLJ shape) and the SAME
-    *    argmin fold reads it from the column — identical compute and
-    *    output, centroid-free plan;
+    *    quantizer regime, and this cost repeats × iters) the round's
+    *    centroid FRAME folds to one `collect_list` row IN-FRAME and
+    *    ships as a broadcast joined keyless onto the corpus (the
+    *    cellAssigner shape) with the SAME argmin fold reading it from
+    *    the column — identical compute and output, and the driver
+    *    NEVER materializes a centroid in this regime (at k=10⁵ ×
+    *    dim=512 a per-iteration driver collect would move ~400 MB ×
+    *    iters through one process; here centroids flow executor →
+    *    broadcast → executor);
     *  - **re-centering is one (cid, dim) shuffle** with decimal
     *    accumulation, so reducer order can't perturb the means and the
     *    result is identical under any partitioning;
@@ -71,35 +75,38 @@ object Vectors {
                       checkpointDir: Option[String] = None,
                       maxLiteralCentroids: Int = 4096): DataFrame = {
     require(k > 0 && iters > 0, s"k=$k, iters=$iters must be positive")
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
     val ckp = graft.api.Ops.lineageBreaker(checkpointDir)
     val vecs = ckp(df.select(col(embCol).cast("array<double>").as("v")))
-    var cents: Seq[(Int, Seq[Double])] = df
+    // seeds: the k lowest-id vectors, cid = rank in id order — built
+    // in-frame (the unpartitioned window runs over k rows, not the
+    // corpus)
+    var cents: DataFrame = ckp(df
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
-      .orderBy(col("id")).limit(k).collect().toSeq
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
-    val centsRowType = StructType(Seq(StructField("__cents", ArrayType(StructType(Seq(
-      StructField("cid", IntegerType, nullable = false),
-      StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false)))),
-      nullable = false)))
+      .orderBy(col("id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"),
+        col("v").as("c")))
     var result: DataFrame = null
     for (_ <- 1 to iters) {
-      def bestOver(cents: org.apache.spark.sql.Column) =
-        array_min(transform(cents, ct => struct(
+      def bestOver(cs: org.apache.spark.sql.Column) =
+        array_min(transform(cs, ct => struct(
           aggregate(zip_with(col("v"), ct.getField("c"), (x, y) => (x - y) * (x - y)),
             lit(0.0), (acc, e) => acc + e).as("d2"),
           ct.getField("cid").as("cid"))))
       val assigned =
-        if (cents.length <= maxLiteralCentroids) {
-          val centArr = array(cents.map { case (cid, c) =>
+        if (k <= maxLiteralCentroids) {
+          // literal regime: the bounded collect is the point — the
+          // argmin becomes a codegen'd constant fold
+          val cl = cents.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+          val centArr = array(cl.map { case (cid, c) =>
             struct(lit(cid).as("cid"), array(c.map(lit): _*).as("c")) }: _*)
           vecs.select(bestOver(centArr).getField("cid").as("cid"), col("v"))
         } else {
-          val centsDf = df.sparkSession.createDataFrame(
-            java.util.Collections.singletonList(
-              Row(cents.map { case (cid, c) => Row(cid, c) })), centsRowType)
-          vecs.join(broadcast(centsDf))
+          // quantizer regime: centroid frame → one collect_list row →
+          // broadcast — centroid-free on the driver (array_min is
+          // order-independent, so collect_list order is immaterial)
+          val centsArr = cents.agg(collect_list(struct(col("cid"), col("c"))).as("__cents"))
+          vecs.join(broadcast(centsArr))
             .select(bestOver(col("__cents")).getField("cid").as("cid"), col("v"))
         }
       result = assigned
@@ -112,8 +119,7 @@ object Vectors {
           s => s("m")).as("centroid"),
           max(col("n")).as("cluster_size"))
       result = ckp(result)
-      cents = result.collect().toSeq.map(r =>
-        (r.getInt(0), r.getSeq[Double](1)))
+      cents = result.select(col("cid"), col("centroid").as("c"))
     }
     result.orderBy(col("cid"))
   }

@@ -1331,6 +1331,37 @@ class OpsApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("pageRank redistributeDangling conserves mass through sinks") {
+    import spark.implicits._
+    // pure sink graph: 1..4 all point at 5, which has no out-edges —
+    // without redistribution the graph drains through node 5; with it
+    // total mass holds to floor leakage every iteration
+    val sink = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    def total(redist: Boolean, iters: Int): Long =
+      graft.api.Ops.pageRank(sink, "src", "dst", iters = iters,
+          redistributeDangling = redist)
+        .agg(sum(col("rank"))).collect()(0).getLong(0)
+    val mass = 1000000000000L
+    // drained: after one round only the damped base + node 5's intake
+    // survive; after three rounds most mass is gone
+    assert(total(redist = false, iters = 3) < mass / 2,
+      s"sink graph must drain without redistribution: ${total(redist = false, iters = 3)}")
+    // conserved: every round loses at most n floors per transfer
+    // step (div per giver, div of the dangling share, damping div) —
+    // bound generously at 100 units per node per iteration
+    val kept = total(redist = true, iters = 3)
+    assert(kept > mass - 3L * 5 * 100 && kept <= mass,
+      s"redistribution must conserve mass to floor leakage: $kept")
+    // determinism: bit-identical under partitioning, like the default
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.api.Ops.pageRank(df, "src", "dst", iters = 3, redistributeDangling = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranksOf(sink) == ranksOf(sink.repartition(7)))
+    // sinks still end up richer than sources (they receive everything)
+    val r = ranksOf(sink)
+    assert(r(5L) > r(1L), s"the sink must out-rank its feeders: $r")
+  }
+
   test("funnel: ordered reachability with strict inequality and greedy-earliest optimality") {
     import spark.implicits._
     val ev = Seq(
@@ -1361,6 +1392,69 @@ class OpsApiSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       ev.funnel("user_id", "ts", "event_type", Seq.fill(9)("x").zipWithIndex.map(_.toString))
     }.getMessage.contains("1..8"))
+  }
+
+  test("funnel: every step emits a row even when no key reaches it") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, "signup"), (2L, 2L, "signup"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"), col("event_type"))
+    val got = ev.funnel("user_id", "ts", "event_type", Seq("signup", "view", "click"))
+      .orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "signup", 2L), (2L, "view", 0L), (3L, "click", 0L)),
+      s"empty steps must still yield n_users=0 rows: $got")
+  }
+
+  test("funnel withinUs: bounded chains, and a later anchor converting where the earliest fails") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 converts fast: everything inside 10 µs of signup@1
+      (1L, 1L, "signup"), (1L, 3L, "view"), (1L, 5L, "click"),
+      // user 2 converts too slowly: view lands after the deadline
+      (2L, 1L, "signup"), (2L, 100L, "view"), (2L, 101L, "click"),
+      // user 3: the EARLIEST signup@1 can't reach view@50 within 10,
+      // but the later signup@45 anchors a deadline that can — the
+      // anchored semantics must count user 3, single-anchor would not
+      (3L, 1L, "signup"), (3L, 45L, "signup"), (3L, 50L, "view"), (3L, 52L, "click"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"), col("event_type"))
+    val got = ev.funnel("user_id", "ts", "event_type",
+        Seq("signup", "view", "click"), withinUs = Some(10L))
+      .orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "signup", 3L), (2L, "view", 2L), (3L, "click", 2L)),
+      s"bounded funnel must count users 1 and 3 only past step 1: $got")
+    // the bound is inclusive of t1 + withinUs and strict after prev
+    val edge = Seq((9L, 0L, "signup"), (9L, 10L, "view"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"), col("event_type"))
+    val e = edge.funnel("user_id", "ts", "event_type", Seq("signup", "view"),
+        withinUs = Some(10L)).orderBy("step")
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(e == Seq(1L, 1L), s"view exactly at the deadline counts: $e")
+    assert(intercept[IllegalArgumentException] {
+      ev.funnel("user_id", "ts", "event_type", Seq("signup"), withinUs = Some(0L))
+    }.getMessage.contains("positive"))
+  }
+
+  test("intervalStats measures the span distribution that picks bucketUs") {
+    import spark.implicits._
+    // 100 one-hour intervals and 2 day-long stragglers
+    val H = 3600000000L
+    val ivs = ((1 to 100).map(i => (i.toLong, 0L, H)) ++
+      Seq((101L, 0L, 24 * H), (102L, 0L, 24 * H)))
+      .toDF("id", "s_us", "e_us")
+      .select(col("id"), expr("timestamp_micros(s_us)").as("s"),
+        expr("timestamp_micros(e_us)").as("e"))
+    val r = ivs.intervalStats("s", "e").collect()(0)
+    assert(r.getAs[Long]("n_intervals") == 102L)
+    assert(r.getAs[Long]("min_span_us") == H && r.getAs[Long]("max_span_us") == 24 * H)
+    assert(r.getAs[Long]("p50_span_us") == H)
+    // p95 lands on the dominant span, not the stragglers — the
+    // suggested bucket keeps the explode ~2 rows per typical interval
+    assert(r.getAs[Long]("suggested_bucket_us") == r.getAs[Long]("p95_span_us"))
+    assert(r.getAs[Long]("p95_span_us") == H, r.toString)
   }
 
   test("snapshotDiff: change classes, null-safe comparison, unchanged keys absent") {
