@@ -53,7 +53,8 @@ object Bench {
     "q93_resample", "q94_edit_join", "q95_weighted_sample",
     "q96_pagerank", "q97_funnel", "q98_trailing_window",
     "q99_snapshot_diff", "q100_zscore", "q101_bpe",
-    "q102_interval_join", "q103_hopping_window", "q104_cohort_retention")
+    "q102_interval_join", "q103_hopping_window", "q104_cohort_retention",
+    "q105_funnel_windowed", "q106_pagerank_dangling")
 
   private val childMarker = "##BENCHQ##"
 

@@ -192,6 +192,17 @@ object ScaleProbe {
           id = "vec_id", emb = "embedding", centroidId = "cid", centroidEmb = "ce",
           coarseId = "gid", coarseEmb = "gce", k = 5, nprobe = 2, coarseProbe = 2)
       }),
+      // Lloyd's at quantizer scale: k = N/2 puts the 10x run in the
+      // 10⁴-centroid class, above maxLiteralCentroids — one iteration
+      // through the centroid-free broadcast argmin (r10). The row
+      // spans the literal→broadcast transition (1x stays under the
+      // cutoff) and exercises the path where the driver never
+      // materializes the centroid frame.
+      "kmeans_bigk"   -> (t => {
+        val k = (t.embeddings.count() / 2L).toInt
+        Vectors.kmeansCentroids(t.embeddings, "vec_id", "embedding",
+          k = k, iters = 1)
+      }),
       "q81_cap_vocab" -> (t => operators.TextAnalysis.q81(t)),
       "q82_coverage"  -> Pipeline.q82,
       "q83_buckets"   -> (t => operators.Extended.q83(t)),
@@ -253,7 +264,14 @@ object ScaleProbe {
       // map-side window explode (2 windows/event) + map-combinable agg
       "q103_hopping"  -> (t => operators.Temporal.q103(t)),
       // two aggs + one user-keyed join — linear in events
-      "q104_cohort"   -> (t => operators.Temporal.q104(t)))
+      "q104_cohort"   -> (t => operators.Temporal.q104(t)),
+      // bounded funnel: anchors are the signup events (grow 10×) and
+      // frames are (key, anchor)-grained — cost tracks anchor × step
+      // candidates, never per-user event lists
+      "q105_funnelw"  -> (t => operators.Temporal.q105(t)),
+      // dangling redistribution adds one 1-row broadcast aggregate
+      // per iteration — the row must stay in the q96 class
+      "q106_dangling" -> (t => operators.Extended.q106(t)))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the

@@ -139,8 +139,12 @@ object Temporal {
     * activity windows were CONCURRENT: q22's sessions padded by 30
     * minutes, self-joined on time overlap across DIFFERENT users
     * (wid = user·10⁵ + session, so the cross-user filter is a key
-    * comparison). Bucketed equi-join + exact refine + pair dedup —
-    * never the nested loop a naive overlap predicate plans.
+    * comparison). Two-sided owner-bucket equi-join + exact refine —
+    * never the nested loop a naive overlap predicate plans. The
+    * 30-minute bucketUs is exactly what `Ops.intervalStats` suggests
+    * for these windows (p95 span = the 30-minute pad — most sessions
+    * are single-event), so the remaining cost is true output volume,
+    * not bucketing.
     */
   def q102(t: Tables): DataFrame = {
     import graft.api.Ops._
