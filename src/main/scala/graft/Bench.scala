@@ -54,7 +54,8 @@ object Bench {
     "q96_pagerank", "q97_funnel", "q98_trailing_window",
     "q99_snapshot_diff", "q100_zscore", "q101_bpe",
     "q102_interval_join", "q103_hopping_window", "q104_cohort_retention",
-    "q105_funnel_windowed", "q106_pagerank_dangling")
+    "q105_funnel_windowed", "q106_pagerank_dangling", "q43_hll_distinct",
+    "q107_bpe_encode")
 
   private val childMarker = "##BENCHQ##"
 

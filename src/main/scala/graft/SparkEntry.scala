@@ -126,6 +126,7 @@ object SparkEntry {
     "q104_cohort_retention" -> q(Temporal.q104),
     "q105_funnel_windowed" -> q(Temporal.q105),
     "q106_pagerank_dangling" -> q(Extended.q106),
+    "q107_bpe_encode"     -> q(Bpe.q107),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2043,6 +2044,18 @@ object SparkEntry {
          |ORDER BY o_orderkey""".stripMargin,
 
     "q101_bpe" -> bpeOracleSql(12),
+    "q107_bpe_encode" -> bpeEncodeOracleSql(12),
+
+    // portable register-based HLL (Ops.hllDistinct): seeded-md5 hash,
+    // bin()-counted rho, exact-integer harmonic sum — replayed verbatim
+    "q43_hll_distinct" -> {
+      s"""WITH ${hllOracleCtes("p", "l_partkey", "approx_parts")},
+         |${hllOracleCtes("o", "l_orderkey", "approx_orders")},
+         |n AS (SELECT l_returnflag AS g, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
+         |SELECT n.g AS l_returnflag, pout.approx_parts, oout.approx_orders, n.n_rows
+         |FROM n JOIN pout ON pout.g = n.g JOIN oout ON oout.g = n.g
+         |ORDER BY l_returnflag""".stripMargin
+    },
 
     // anchored replay of the bounded chain: every signup anchors its
     // own deadline (epoch_us both sides — µs precision like Spark)
@@ -2101,18 +2114,57 @@ object SparkEntry {
     },
   )
 
-  /** q101's oracle: the 12 BPE merge rounds unrolled as chained CTEs
-    * (the q96 unrolled-iteration precedent). Symbol sequences are
-    * `|`-wrapped delimited strings exactly as in Bpe.scala, so one
-    * merge round is pair census → argmax (freq desc, pair asc) →
-    * one left-to-right `replace` rewrite. `AS MATERIALIZED` is
-    * load-bearing: c(i−1) is referenced twice per round and DuckDB
-    * inlines plain CTEs, which doubles the plan every round (2¹²
-    * blow-up without it).
+  /** One measure's CTE chain for the q43 portable-HLL oracle —
+    * mirrors `Ops.hllDistinct` (p=12) step for step: 60-bit seeded-md5
+    * hash, bucket/ρ split, register max, exact-integer harmonic sum,
+    * αm²·2⁴⁹/S with the linear-counting branch. The numerator embeds
+    * as one 17-significant-digit double literal (round-trips to the
+    * identical IEEE double Spark's `lit` carries). Ends in a CTE
+    * named `<pre>out(g, <outName>)`.
     */
-  private def bpeOracleSql(numMerges: Int): String = {
-    val tok = "list_filter(string_split(trim(regexp_replace(lower(text), " +
-      "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+  private def hllOracleCtes(pre: String, valueCol: String, outName: String): String = {
+    val m = 4096; val scale = 49
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = alpha * m.toDouble * m.toDouble * math.pow(2.0, scale)
+    val numerLit = String.format(java.util.Locale.ROOT, "%.17g", Double.box(numer))
+    s"""${pre}h AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST('0x' || substr(md5('hll:' || CAST($valueCol AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM lineitem WHERE $valueCol IS NOT NULL),
+       |${pre}rho AS (
+       |  SELECT g, h % $m AS bkt,
+       |    CASE WHEN h // $m = 0 THEN $scale ELSE $scale - length(bin(h // $m)) END AS rho
+       |  FROM ${pre}h),
+       |${pre}reg AS (SELECT g, bkt, MAX(rho) AS reg FROM ${pre}rho GROUP BY 1, 2),
+       |${pre}agg AS (
+       |  SELECT g, COUNT(*) AS present,
+       |    CAST(SUM(CAST(1 AS BIGINT) << ($scale - reg)) AS BIGINT) AS sp
+       |  FROM ${pre}reg GROUP BY 1),
+       |${pre}out AS (
+       |  SELECT g,
+       |    CASE WHEN $numerLit / CAST(sp + ($m - present) * (CAST(1 AS BIGINT) << $scale) AS DOUBLE) <= ${2.5 * m}
+       |           AND $m - present > 0
+       |      THEN CAST(round($m.0 * ln($m.0 / CAST($m - present AS DOUBLE))) AS BIGINT)
+       |      ELSE CAST(round($numerLit / CAST(sp + ($m - present) * (CAST(1 AS BIGINT) << $scale) AS DOUBLE)) AS BIGINT)
+       |    END AS $outName
+       |  FROM ${pre}agg)""".stripMargin
+  }
+
+  private val duckTokens = "list_filter(string_split(trim(regexp_replace(lower(text), " +
+    "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+
+  /** The BPE training CTE chain shared by the q101 and q107 oracles:
+    * the merge rounds unrolled as chained CTEs (the q96
+    * unrolled-iteration precedent). Symbol sequences are `|`-wrapped
+    * delimited strings exactly as in Bpe.scala, so one merge round is
+    * pair census → argmax (freq desc, pair asc) → one left-to-right
+    * `replace` rewrite. `AS MATERIALIZED` is load-bearing: c(i−1) is
+    * referenced twice per round and DuckDB inlines plain CTEs, which
+    * doubles the plan every round (2¹² blow-up without it). Yields
+    * CTEs `a1..aN` (the ranked merges) and `cN` (the final
+    * word-census symbol strings, word recoverable by stripping `|`).
+    */
+  private def bpeTrainCtes(numMerges: Int): String = {
     val rounds = (1 to numMerges).map { i =>
       s"""p$i AS (
          |  SELECT u.p[1] AS l, u.p[2] AS r, t.f
@@ -2126,16 +2178,42 @@ object SparkEntry {
          |  SELECT replace(c.s, '|' || a.l || '||' || a.r || '|', '|' || a.l || a.r || '|') AS s, c.f
          |  FROM c${i - 1} c, a$i a)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to numMerges).map { i =>
-      s"""SELECT $i AS rank, l AS "left", r AS "right", pf AS pair_freq FROM a$i"""
-    }.mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT u.w AS w FROM documents, UNNEST($tok) AS u(w)),
+    s"""w0 AS (
+       |  SELECT u.w AS w FROM documents, UNNEST($duckTokens) AS u(w)),
        |c0 AS MATERIALIZED (
        |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, COUNT(*) AS f
        |  FROM w0 GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(numMerges: Int): String = {
+    val out = (1 to numMerges).map { i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right", pf AS pair_freq FROM a$i"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeTrainCtes(numMerges)}
        |SELECT * FROM (
        |$out) ORDER BY rank""".stripMargin
   }
+
+  /** q107's oracle: encode the corpus with the q101-trained merges.
+    * The final census CTE c12 already holds every distinct word's
+    * merged symbol string (the word itself recovers by stripping the
+    * `|` wrappers), so encoding is one vocab join back onto the
+    * position-exploded corpus and an ordered per-doc reassembly —
+    * exactly `Bpe.applyBpe`'s shape.
+    */
+  private def bpeEncodeOracleSql(numMerges: Int): String =
+    s"""WITH ${bpeTrainCtes(numMerges)},
+       |vmap AS (
+       |  SELECT replace(s, '|', '') AS w, string_split(trim(s, '|'), '||') AS syms
+       |  FROM c$numMerges),
+       |dw AS (
+       |  SELECT d.doc_id, u.p[1] AS w, CAST(u.p[2] AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, $duckTokens AS t FROM documents) d,
+       |       UNNEST(list_zip(d.t, range(1, len(d.t)+1))) AS u(p)),
+       |enc AS (SELECT doc_id, pos, syms FROM dw JOIN vmap USING (w))
+       |SELECT doc_id,
+       |  array_to_string(flatten(list(syms ORDER BY pos)), ' ') AS bpe_text,
+       |  CAST(len(flatten(list(syms ORDER BY pos))) AS BIGINT) AS n_bpe_tokens
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -1443,6 +1443,72 @@ object Ops {
         .withColumn("suggested_bucket_us", greatest(col("p95_span_us"), lit(1L)))
     }
 
+    /** PORTABLE HyperLogLog distinct-count estimate per group
+      * (Flajolet et al. 2007, the public algorithm) — unlike Spark's
+      * built-in `approx_count_distinct` (whose HLL++ registers and
+      * bias tables are implementation-private, so no other engine can
+      * reproduce its numbers), every step here is engine-portable
+      * arithmetic, which is what lets q43 carry a full hash-checked
+      * oracle:
+      *
+      *  - hash: the seeded-md5 60-bit family every sketch in this
+      *    engine uses — identical in DuckDB by construction;
+      *  - bucket = h mod 2^p, ρ = leading zeros of the remaining
+      *    (60−p)-bit word + 1, counted via `length(bin(w))` (exact
+      *    integer, no libm);
+      *  - registers: one (group, bucket) max — map-combinable, the
+      *    classic distributed-HLL shuffle shape; absent buckets are
+      *    register 0;
+      *  - harmonic sum: EXACT integers — Σ 2^((61−p)−reg) as shifted
+      *    longs (≤ 2^61, order-independent — a double sum here would
+      *    be partial-order-dependent and break the hash gate);
+      *  - estimate: αₘ·m²·2^(61−p) / S with the standard
+      *    linear-counting branch (E ≤ 2.5m and empty buckets exist →
+      *    m·ln(m/V₀)). The one libm call (`ln`) follows the q95
+      *    discipline: cross-engine agreement is empirical (within
+      *    1 ulp), certified per-round by the oracle gate.
+      *
+      * Standard error ≈ 1.04/√m (~1.6% at the default p=12). Null
+      * values are ignored (COUNT DISTINCT semantics). Returns the
+      * group columns + `out` (BIGINT estimate).
+      */
+    def hllDistinct(group: Seq[String], value: Column, out: String,
+                    p: Int = 12): DataFrame = {
+      require(p >= 4 && p <= 16, s"hllDistinct: p must be in [4, 16] (got $p)")
+      val m = 1 << p
+      val kBits = 60 - p           // width of the ρ word
+      val scale = kBits + 1        // max ρ; harmonic terms scale by 2^scale
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      // the numerator constant embeds as ONE double literal computed
+      // here and formatted into the oracle SQL with full precision —
+      // both engines then perform the same single division
+      val numer = alpha * m.toDouble * m.toDouble * math.pow(2.0, scale)
+      val gcols = group.map(col)
+      val regs = left
+        .filter(value.isNotNull)
+        .select((gcols :+ graft.functions.TextFunctions
+          .seededHash(lit("hll"), value.cast("string")).as("__h")): _*)
+        .select((gcols :+ expr(s"__h % $m").as("__bkt")
+          :+ expr(s"__h div $m").as("__w")): _*)
+        .withColumn("__rho",
+          when(col("__w") === 0L, lit(scale))
+            .otherwise(lit(scale) - length(bin(col("__w")))))
+        .groupBy((gcols :+ col("__bkt")): _*)
+        .agg(max(col("__rho")).as("__reg"))
+      regs.groupBy(gcols: _*)
+        .agg(count(lit(1)).as("__present"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - __reg)")).as("__sp"))
+        .withColumn("__s",
+          col("__sp") + (lit(m.toLong) - col("__present")) * lit(1L << scale))
+        .withColumn("__v0", lit(m.toLong) - col("__present"))
+        .withColumn("__e", lit(numer) / col("__s").cast("double"))
+        .withColumn(out,
+          when(col("__e") <= lit(2.5 * m) && col("__v0") > 0L,
+            round(lit(m.toDouble) * log(lit(m.toDouble) / col("__v0").cast("double"))))
+            .otherwise(round(col("__e"))).cast("long"))
+        .select((gcols :+ col(out)): _*)
+    }
+
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
       * hot key over `buckets` reducers, then combine. Two shuffles,
       * but the first is uniform — the pattern for power-law keys.

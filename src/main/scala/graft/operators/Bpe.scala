@@ -197,6 +197,38 @@ object Bpe {
         size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"))
   }
 
+  /** A trained merge list frozen for repeated encoding — the
+    * TOKENIZER-ARTIFACT shape: train once on the reference corpus,
+    * encode any batch (or a live stream) against the fixed ranked
+    * merges. Unlike the frame-backed prepared indexes, the merges ARE
+    * the whole model — a vocab-sized driver-held list (30k–50k pairs
+    * in production, the PreparedLm-scalar situation at larger n), so
+    * there is no checkpoint-reliability contract to enforce: the
+    * artifact survives anything the driver survives.
+    */
+  final case class PreparedBpe(merges: Seq[(String, String)], foldBatch: Int = 32)
+
+  /** Train and freeze a merge list (see [[trainBpe]] for the training
+    * semantics and the batchSize scaling knob).
+    */
+  def prepareBpe(docs: DataFrame, text: String, numMerges: Int,
+                 minFreq: Long = 2L, batchSize: Int = 1,
+                 checkpointDir: Option[String] = None): PreparedBpe =
+    PreparedBpe(
+      trainBpe(docs, text, numMerges, minFreq, batchSize, checkpointDir)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Encode a corpus against a frozen merge list ([[applyBpe]] with
+    * the prepared artifact) — the batch core the streaming form
+    * ([[graft.streaming.Streams.bpeEncodeStream]]) replays per
+    * trigger.
+    */
+  def encodeWith(docs: DataFrame, id: String, text: String,
+                 prepared: PreparedBpe,
+                 checkpointDir: Option[String] = None): DataFrame =
+    applyBpe(docs, id, text, prepared.merges, prepared.foldBatch, checkpointDir)
+
   /** q101: 12 BPE merges trained on the documents corpus — the merge
     * table itself is the output (rank, left, right, pair_freq).
     * Oracle: the 12 merge rounds unrolled as chained DuckDB CTEs
@@ -206,4 +238,20 @@ object Bpe {
   def q101(t: Tables): DataFrame =
     trainBpe(t.documents, "text", numMerges = 12)
       .orderBy(col("rank"))
+
+  /** q107: ENCODE the corpus with the q101-trained merges — the apply
+    * half of the tokenizer pipeline, oracle-checked end to end (train
+    * CTEs shared with q101, then one vocab join back onto the
+    * position-exploded corpus). `bpe_text` is the space-joined symbol
+    * stream (tokens are [a-z0-9]+, so the join is unambiguous and the
+    * driver's scalar hash compare applies).
+    */
+  def q107(t: Tables): DataFrame = {
+    val bpe = prepareBpe(t.documents, "text", numMerges = 12)
+    applyBpe(t.documents, "doc_id", "text", bpe.merges)
+      .select(col("doc_id"),
+        concat_ws(" ", col("bpe_tokens")).as("bpe_text"),
+        col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -124,16 +124,23 @@ object Vectors {
     result.orderBy(col("cid"))
   }
 
-  /** q43: HyperLogLog approximate distinct counts (Spark-native HLL++;
-    * rows-only — DuckDB's approx algorithm differs — with the spec
-    * asserting <5% relative error vs exact).
+  /** q43: HyperLogLog approximate distinct counts — built on the
+    * PORTABLE register-based HLL
+    * ([[graft.api.Ops.GraftDataFrameOps.hllDistinct]], p=12) instead
+    * of Spark's `approx_count_distinct`, precisely so the estimate is
+    * engine-reproducible: the seeded-md5 hash, the register maxes and
+    * the exact-integer harmonic sum replay verbatim in DuckDB, which
+    * upgraded this query from rows-only to a full hash-checked oracle
+    * row (r10). The spec additionally asserts <5% relative error vs
+    * exact distinct counts.
     */
-  def q43(t: Tables): DataFrame =
-    t.lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        count(lit(1)).as("n_rows"))
+  def q43(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val li = t.lineitem
+    val parts = li.hllDistinct(Seq("l_returnflag"), col("l_partkey"), "approx_parts")
+    val orders = li.hllDistinct(Seq("l_returnflag"), col("l_orderkey"), "approx_orders")
+    val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+    parts.join(orders, Seq("l_returnflag")).join(n, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
+  }
 }

@@ -192,6 +192,25 @@ object Streams {
       .start()
   }
 
+  /** BPE-encode a document stream against a once-trained frozen merge
+    * list ([[graft.operators.Bpe.prepareBpe]]) — the production
+    * tokenizer ingest shape: training's corpus-wide word census ran
+    * once; each trigger pays only its OWN distinct-word rewrite
+    * (chained codegen'd replaces) + one vocab join + per-doc
+    * reassembly. No reliable-checkpoint requirement, deliberately:
+    * unlike the frame-backed prepared indexes, the merge list is a
+    * driver-held artifact with no executor-resident state to lose.
+    */
+  def bpeEncodeStream(docs: DataFrame, id: String, text: String,
+                      prepared: graft.operators.Bpe.PreparedBpe,
+                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Bpe.encodeWith(batch, id, text, prepared))
+      }
+      .outputMode("update")
+      .start()
+
   /** Match a live value stream against a once-prepared edit-distance
     * catalog index ([[graft.api.Ops.prepareEditIndex]]) — q94's
     * ingest form (dirty feed vs master list as records arrive): each

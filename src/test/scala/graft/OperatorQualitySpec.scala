@@ -79,6 +79,37 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("hllDistinct: partitioning-invariant, null-blind, exact-duplicate-blind") {
+    import graft.api.Ops._
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 7, (i % 1000).toLong))
+      .toDF("g", "v")
+    def est(d: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      d.hllDistinct(Seq("g"), col("v"), "e").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val e = est(df)
+    // registers are maxes over a deterministic hash → identical under
+    // any partitioning, and duplicates can't move an estimate
+    assert(est(df.repartition(13)) == e)
+    assert(est(df.unionByName(df)) == e, "exact duplicates must not change the estimate")
+    // nulls are ignored (COUNT DISTINCT semantics)
+    val withNulls = df.unionByName(
+      Seq((0, null.asInstanceOf[java.lang.Long])).toDF("g", "v"))
+    assert(est(withNulls) == e)
+    // accuracy sanity at the documented ~1.6% sigma: every group holds
+    // ~1000/7 reused values → true distinct ≈ 142-143 per group... but
+    // v = i % 1000 spread over g = i % 7: distinct per group is the
+    // values hitting that residue — assert within 5% of the exact
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("x")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, x) =>
+      assert(math.abs(e(g) - x).toDouble / x < 0.05, s"group $g: est=${e(g)} exact=$x")
+    }
+    assert(intercept[IllegalArgumentException] {
+      df.hllDistinct(Seq("g"), col("v"), "e", p = 3)
+    }.getMessage.contains("[4, 16]"))
+  }
+
   test("multimodal pipeline: schema, determinism, fixed feature shape") {
     val feats = Multimodal.featurePipeline(spark, sfDir)
     assert(feats.schema.fieldNames.toSeq == Seq("doc_id", "kind", "features"))

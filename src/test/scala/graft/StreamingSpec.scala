@@ -395,6 +395,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reliable"))
   }
 
+  test("bpeEncodeStream encodes a doc stream with the frozen merges, equal to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    // train on a reference corpus, encode an unseen stream (new words
+    // still encode — unmatched merges leave characters intact)
+    val corpus = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).limit(200)
+    val prepared = Bpe.prepareBpe(corpus, "text", numMerges = 8)
+    assert(prepared.merges.size == 8)
+    val incRows = (1001L to 1020L).map(i => (i, s"the quick brown fox $i jumps"))
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Seq[String], Long)]()
+    val q = Streams.bpeEncodeStream(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", prepared,
+      sink = b => got.synchronized {
+        got ++= b.collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+      })
+    try {
+      stream.addData(incRows.take(10))
+      q.processAllAvailable()
+      stream.addData(incRows.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Bpe.encodeWith(incRows.toDF("doc_id", "text"), "doc_id", "text", prepared)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2))).toSet
+    assert(got.size == got.toSet.size && got.toSet == batch,
+      s"streaming encoded ${got.size} docs, batch ${batch.size}")
+    // the encode is a real regrouping: concatenating reproduces words
+    assert(batch.forall { case (id, toks, n) =>
+      n == toks.size && toks.mkString("") == s"the quick brown fox $id jumps".replace(" ", "")
+    })
+  }
+
   test("editMatchStream matches a value stream against the frozen catalog index, equal to batch") {
     import spark.implicits._
     import graft.api.Ops._
