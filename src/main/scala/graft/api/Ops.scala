@@ -99,7 +99,27 @@ object Ops {
     */
   final case class PreparedCatalog private[graft] (
     fingerprints: DataFrame, shingles: DataFrame, bands: DataFrame,
-    id: String, perms: Int, lshBands: Int)
+    id: String, perms: Int, lshBands: Int) {
+    /** Absorb a catalog increment (doc ids disjoint from the prepared
+      * catalog): `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)`
+      * row-for-row. Shingle sets and LSH bands are per-doc artifacts
+      * (plain union); fingerprints re-distinct across the union (the
+      * same normalized text can occur in both halves) — a
+      * fingerprint-sized shuffle, never a corpus re-scan.
+      */
+    def absorb(increment: DataFrame, text: String,
+               checkpointDir: Option[String] = None): PreparedCatalog = {
+      val ckp = lineageBreaker(checkpointDir)
+      import graft.functions.TextFunctions._
+      val fpB = increment.select(
+        md5(normText(col(text)).cast("binary")).as("__fp")).distinct()
+      val (shB, bandB) = shingleBands(increment, id, text, perms, lshBands, ckp)
+      PreparedCatalog(
+        ckp(fingerprints.unionByName(fpB).distinct()),
+        shingles.unionByName(shB), bands.unionByName(bandB),
+        id, perms, lshBands)
+    }
+  }
 
   /** Build a [[PreparedCatalog]]; `checkpointDir` selects reliable
     * checkpoints (cluster mode) for the cached frames.
@@ -125,7 +145,26 @@ object Ops {
     */
   final case class PreparedLm private[graft] (
     bigrams: DataFrame, prefixes: DataFrame, vocab: Long, addK: Int,
-    reliable: Boolean)
+    reliable: Boolean) {
+    /** Absorb a corpus increment: `prepare(A).absorb(B)` ≡
+      * `prepare(A ∪ B)` — the censuses merge by SUM (vocab-sized
+      * shuffle over old census ∪ increment census, never a re-census
+      * of A's corpus), prefixes re-derive from the merged bigram
+      * census exactly as prepare does, and V recounts over it (one
+      * vocab-sized aggregate).
+      */
+    def absorb(increment: DataFrame, text: String,
+               checkpointDir: Option[String] = None): PreparedLm = {
+      val ckp = lineageBreaker(checkpointDir)
+      val bgB = bigramStream(floorPartitions(increment.select(col(text))), Seq.empty, text)
+      val c2B = bgB.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
+      val c2 = ckp(bigrams.unionByName(c2B)
+        .groupBy(col("__w1"), col("__w2")).agg(sum(col("__c2")).as("__c2")))
+      val c1 = ckp(c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1")))
+      val v = c2.select(countDistinct(col("__w2"))).collect()(0).getLong(0)
+      PreparedLm(c2, c1, v, addK, reliable && checkpointDir.isDefined)
+    }
+  }
 
   private[graft] def bigramStream(df: DataFrame, cols: Seq[Column], text: String) = {
     import graft.functions.TextFunctions._
@@ -194,25 +233,47 @@ object Ops {
     * checkpointed frequent-token frame (vocab-sized).
     */
   final case class PreparedVocab private[graft] (
-    kept: DataFrame, minCount: Long, unk: String, reliable: Boolean)
+    kept: DataFrame, census: DataFrame, minCount: Long, unk: String,
+    reliable: Boolean) {
+    /** Absorb a corpus increment: `prepare(A).absorb(B)` ≡
+      * `prepare(A ∪ B)` row-for-row. The UNFILTERED token census is
+      * what makes this possible (the PreparedBoilerplate argument): a
+      * token below `minCount` in A alone can cross the threshold with
+      * B's occurrences, so `kept` by itself could never absorb. The
+      * merge is vocab-sized, never a re-census of A's corpus.
+      */
+    def absorb(increment: DataFrame, text: String,
+               checkpointDir: Option[String] = None): PreparedVocab = {
+      val ckp = lineageBreaker(checkpointDir)
+      val censusB = floorPartitions(increment.select(col(text)))
+        .withColumn("__toks", tokens(col(text)))
+        .select(explode(col("__toks")).as("__w"))
+        .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      val merged = ckp(census.unionByName(censusB)
+        .groupBy(col("__w")).agg(sum(col("__c")).as("__c")))
+      PreparedVocab(
+        merged.filter(col("__c") >= minCount).select(col("__w")),
+        merged, minCount, unk, reliable && checkpointDir.isDefined)
+    }
+  }
 
   /** Build a [[PreparedVocab]]; capping the census corpus itself
     * against it reproduces `capVocab` bit-for-bit (spec-pinned). As
     * with [[prepareLm]], streaming use requires a reliable
-    * `checkpointDir`.
+    * `checkpointDir`. The unfiltered census is retained for
+    * [[PreparedVocab.absorb]]; `kept` is a cheap filter view over it.
     */
   def prepareVocab(corpus: DataFrame, text: String, minCount: Long,
                    unk: String = "<unk>",
                    checkpointDir: Option[String] = None): PreparedVocab = {
     require(minCount >= 1, "minCount must be positive")
     val ckp = lineageBreaker(checkpointDir)
-    val kept = ckp(floorPartitions(corpus.select(col(text)))
+    val census = ckp(floorPartitions(corpus.select(col(text)))
       .withColumn("__toks", tokens(col(text)))
       .select(explode(col("__toks")).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount)
-      .select(col("__w")))
-    PreparedVocab(kept, minCount, unk, checkpointDir.isDefined)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c")))
+    val kept = census.filter(col("__c") >= minCount).select(col("__w"))
+    PreparedVocab(kept, census, minCount, unk, checkpointDir.isDefined)
   }
 
   /** A BM25 inverted index prepared ONCE for repeated ranked
@@ -580,7 +641,24 @@ object Ops {
     * distinct grams once, score anything against the frozen index.
     */
   final case class PreparedGramIndex private[graft] (
-    grams: DataFrame, n: Int, reliable: Boolean)
+    grams: DataFrame, n: Int, reliable: Boolean) {
+    /** Absorb a reference-corpus increment: `prepare(A).absorb(B)` ≡
+      * `prepare(A ∪ B)` row-for-row — the index is a distinct gram
+      * set, so absorption is the increment's own gram hashing plus a
+      * distinct over the union (gram-set-sized, never a re-scan of
+      * A's corpus).
+      */
+    def absorb(increment: DataFrame, text: String,
+               checkpointDir: Option[String] = None): PreparedGramIndex = {
+      val ckp = lineageBreaker(checkpointDir)
+      val gB = floorPartitions(increment.select(col(text)))
+        .withColumn("__toks", tokens(col(text)))
+        .select(explode(ngramHashes(col("__toks"), n)).as("__g"))
+        .distinct()
+      PreparedGramIndex(ckp(grams.unionByName(gB).distinct()), n,
+        reliable && checkpointDir.isDefined)
+    }
+  }
 
   /** Build a [[PreparedGramIndex]] (distinct gram hashes only — an
     * inverted index with no postings). Streaming use requires a

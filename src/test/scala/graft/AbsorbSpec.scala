@@ -83,6 +83,72 @@ class AbsorbSpec extends AnyFunSuite {
       "vec dedup against catalog")
   }
 
+  test("PreparedCatalog.absorb ≡ prepareCatalog over the union; overlapping fingerprints stay distinct") {
+    import spark.implicits._
+    val full = Ops.prepareCatalog(corpus, "doc_id", "text")
+    val absorbed = Ops.prepareCatalog(partA, "doc_id", "text").absorb(partB, "text")
+    assertSameRows(absorbed.fingerprints, full.fingerprints, "catalog fingerprints")
+    assertSameRows(absorbed.shingles, full.shingles, "catalog shingles")
+    assertSameRows(absorbed.bands, full.bands, "catalog LSH bands")
+    // a text present in BOTH halves must not duplicate its fingerprint
+    val dup = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    val a = dup.filter(col("doc_id") === 1L); val b = dup.filter(col("doc_id") === 2L)
+    val ab = Ops.prepareCatalog(a, "doc_id", "text").absorb(b, "text")
+    assert(ab.fingerprints.count() == 1L,
+      "absorb must re-distinct fingerprints across the halves")
+    // and the incremental-dedup consumer sees identical results
+    val inc = corpus.limit(30)
+    assertSameRows(
+      Ops.dedupAgainstPrepared(inc, "doc_id", "text", absorbed, threshold = 0.5),
+      Ops.dedupAgainstPrepared(inc, "doc_id", "text", full, threshold = 0.5),
+      "dedup against catalog")
+  }
+
+  test("PreparedLm.absorb ≡ prepareLm over the union: censuses, V, and scores") {
+    val full = Ops.prepareLm(corpus, "text")
+    val absorbed = Ops.prepareLm(partA, "text").absorb(partB, "text")
+    assert(absorbed.vocab == full.vocab, "V must recount over the merged census")
+    assertSameRows(absorbed.bigrams, full.bigrams, "bigram census")
+    assertSameRows(absorbed.prefixes, full.prefixes, "prefix census")
+    val inc = corpus.limit(20)
+    assertSameRows(
+      Ops.scoreAgainstLm(inc, "doc_id", "text", absorbed),
+      Ops.scoreAgainstLm(inc, "doc_id", "text", full),
+      "LM scores")
+  }
+
+  test("PreparedVocab.absorb ≡ prepareVocab over the union (threshold-crossing included)") {
+    import spark.implicits._
+    // planted: 'borderline' occurs once per half — kept only on the
+    // union at minCount=2, the case the unfiltered census exists for
+    val a = Seq((1L, "common common borderline")).toDF("doc_id", "text")
+    val b = Seq((2L, "common borderline other other")).toDF("doc_id", "text")
+    val full = Ops.prepareVocab(a.unionByName(b), "text", minCount = 2L)
+    val absorbed = Ops.prepareVocab(a, "text", minCount = 2L).absorb(b, "text")
+    assertSameRows(absorbed.census, full.census, "vocab census")
+    assertSameRows(absorbed.kept, full.kept, "kept set")
+    assert(absorbed.kept.collect().map(_.getString(0)).toSet ==
+      Set("common", "borderline", "other"))
+    assert(!Ops.prepareVocab(a, "text", minCount = 2L).kept
+      .collect().map(_.getString(0)).contains("borderline"),
+      "…and 'borderline' must NOT be kept on either half alone")
+    // corpus-scale equality too
+    val fullC = Ops.prepareVocab(corpus, "text", minCount = 5L)
+    val absC = Ops.prepareVocab(partA, "text", minCount = 5L).absorb(partB, "text")
+    assertSameRows(absC.kept, fullC.kept, "corpus kept set")
+  }
+
+  test("PreparedGramIndex.absorb ≡ prepareGramIndex over the union") {
+    val full = Ops.prepareGramIndex(corpus, "text", n = 5)
+    val absorbed = Ops.prepareGramIndex(partA, "text", n = 5).absorb(partB, "text")
+    assertSameRows(absorbed.grams, full.grams, "gram index")
+    val inc = corpus.limit(20)
+    assertSameRows(
+      Ops.coverageAgainstIndex(inc, "doc_id", "text", absorbed),
+      Ops.coverageAgainstIndex(inc, "doc_id", "text", full),
+      "coverage scores")
+  }
+
   test("PreparedBoilerplate.absorb ≡ prepareBoilerplate over the union (threshold-crossing included)") {
     import spark.implicits._
     // planted: the boilerplate line sits at df=2 in EACH half — below
