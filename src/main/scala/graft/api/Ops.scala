@@ -939,6 +939,75 @@ object Ops {
     }
   }
 
+  /** Portable-HLL register table: one row per (group, bucket) with
+    * the register max — the frame half of
+    * [[GraftDataFrameOps.hllDistinct]], exposed because registers are
+    * a MERGEABLE sketch: max-merging two register tables yields
+    * EXACTLY the register table of the union corpus (max of maxes),
+    * so sketch-table absorption ([[hllMergeRegisters]]) carries no
+    * additional error at all — the merged estimate is identical to
+    * re-sketching the union, which the spec pins as equality, not
+    * tolerance. One map-combinable (group, bucket) shuffle; absent
+    * buckets (register 0) stay implicit.
+    */
+  def hllRegisters(df: DataFrame, group: Seq[String], value: Column,
+                   p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllRegisters: p must be in [4, 16] (got $p)")
+    val m = 1 << p
+    val scale = 60 - p + 1
+    val gcols = group.map(col)
+    df.filter(value.isNotNull)
+      .select((gcols :+ graft.functions.TextFunctions
+        .seededHash(lit("hll"), value.cast("string")).as("__h")): _*)
+      .select((gcols :+ expr(s"__h % $m").as("__bkt")
+        :+ expr(s"__h div $m").as("__w")): _*)
+      .withColumn("__rho",
+        when(col("__w") === 0L, lit(scale))
+          .otherwise(lit(scale) - length(bin(col("__w")))))
+      .groupBy((gcols :+ col("__bkt")): _*)
+      .agg(max(col("__rho")).as("__reg"))
+  }
+
+  /** Max-merge register tables ([[hllRegisters]]) — the EXACT sketch
+    * union: `merge(registers(A), registers(B))` equals
+    * `registers(A ∪ B)` row-for-row.
+    */
+  def hllMergeRegisters(group: Seq[String], tables: DataFrame*): DataFrame = {
+    require(tables.nonEmpty, "hllMergeRegisters: need at least one register table")
+    tables.reduce(_ unionByName _)
+      .groupBy((group.map(col) :+ col("__bkt")): _*)
+      .agg(max(col("__reg")).as("__reg"))
+  }
+
+  /** The estimate half of [[GraftDataFrameOps.hllDistinct]]: harmonic
+    * sum as exact shifted longs, αm²·2^(61−p)/S with the standard
+    * linear-counting branch (see hllDistinct's scaladoc for the
+    * portability argument).
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, group: Seq[String],
+                               out: String, p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllEstimateFromRegisters: p must be in [4, 16] (got $p)")
+    val m = 1 << p
+    val scale = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // ONE double literal computed here and mirrored at full precision
+    // into the oracle SQL — both engines perform the same division
+    val numer = alpha * m.toDouble * m.toDouble * math.pow(2.0, scale)
+    val gcols = group.map(col)
+    regs.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - __reg)")).as("__sp"))
+      .withColumn("__s",
+        col("__sp") + (lit(m.toLong) - col("__present")) * lit(1L << scale))
+      .withColumn("__v0", lit(m.toLong) - col("__present"))
+      .withColumn("__e", lit(numer) / col("__s").cast("double"))
+      .withColumn(out,
+        when(col("__e") <= lit(2.5 * m) && col("__v0") > 0L,
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("__v0").cast("double"))))
+          .otherwise(round(col("__e"))).cast("long"))
+      .select((gcols :+ col(out)): _*)
+  }
+
   /** Integer PageRank over an edge list — the link-graph QUALITY
     * signal web-corpus curation pipelines compute for seed selection
     * and crawl prioritization (the public CCNet/RefinedWeb recipes
@@ -1551,41 +1620,9 @@ object Ops {
       * group columns + `out` (BIGINT estimate).
       */
     def hllDistinct(group: Seq[String], value: Column, out: String,
-                    p: Int = 12): DataFrame = {
-      require(p >= 4 && p <= 16, s"hllDistinct: p must be in [4, 16] (got $p)")
-      val m = 1 << p
-      val kBits = 60 - p           // width of the ρ word
-      val scale = kBits + 1        // max ρ; harmonic terms scale by 2^scale
-      val alpha = 0.7213 / (1.0 + 1.079 / m)
-      // the numerator constant embeds as ONE double literal computed
-      // here and formatted into the oracle SQL with full precision —
-      // both engines then perform the same single division
-      val numer = alpha * m.toDouble * m.toDouble * math.pow(2.0, scale)
-      val gcols = group.map(col)
-      val regs = left
-        .filter(value.isNotNull)
-        .select((gcols :+ graft.functions.TextFunctions
-          .seededHash(lit("hll"), value.cast("string")).as("__h")): _*)
-        .select((gcols :+ expr(s"__h % $m").as("__bkt")
-          :+ expr(s"__h div $m").as("__w")): _*)
-        .withColumn("__rho",
-          when(col("__w") === 0L, lit(scale))
-            .otherwise(lit(scale) - length(bin(col("__w")))))
-        .groupBy((gcols :+ col("__bkt")): _*)
-        .agg(max(col("__rho")).as("__reg"))
-      regs.groupBy(gcols: _*)
-        .agg(count(lit(1)).as("__present"),
-          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - __reg)")).as("__sp"))
-        .withColumn("__s",
-          col("__sp") + (lit(m.toLong) - col("__present")) * lit(1L << scale))
-        .withColumn("__v0", lit(m.toLong) - col("__present"))
-        .withColumn("__e", lit(numer) / col("__s").cast("double"))
-        .withColumn(out,
-          when(col("__e") <= lit(2.5 * m) && col("__v0") > 0L,
-            round(lit(m.toDouble) * log(lit(m.toDouble) / col("__v0").cast("double"))))
-            .otherwise(round(col("__e"))).cast("long"))
-        .select((gcols :+ col(out)): _*)
-    }
+                    p: Int = 12): DataFrame =
+      hllEstimateFromRegisters(
+        hllRegisters(left, group, value, p), group, out, p)
 
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
       * hot key over `buckets` reducers, then combine. Two shuffles,

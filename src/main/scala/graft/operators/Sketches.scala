@@ -42,4 +42,25 @@ object Sketches {
     */
   def eventUserSketches(t: Tables): DataFrame =
     hllShardSketches(t.events, "event_type", "user_id")
+
+  /** The PORTABLE-register sibling of the byte sketches
+    * ([[graft.api.Ops.hllRegisters]]): the sketch is a (shard,
+    * bucket, register) frame instead of opaque bytes, so it is
+    * engine-reproducible (the q43 oracle discipline), absorbs new
+    * shards by max-merge with ZERO additional error (merge(reg(A),
+    * reg(B)) ≡ reg(A ∪ B) exactly — spec-pinned as equality), and
+    * estimates through the same portable formula q43 verifies against
+    * DuckDB every round.
+    */
+  def portableShardSketches(df: DataFrame, shardCol: String, valueCol: String,
+                            p: Int = 12): DataFrame =
+    graft.api.Ops.hllRegisters(df, Seq(shardCol), col(valueCol), p)
+
+  /** Cross-shard distinct estimate from portable register tables
+    * alone — collapse the shard key, max-merge, estimate.
+    */
+  def portableMergedDistinct(sketches: DataFrame, p: Int = 12): DataFrame =
+    graft.api.Ops.hllEstimateFromRegisters(
+      sketches.groupBy(col("__bkt")).agg(max(col("__reg")).as("__reg")),
+      Seq.empty, "distinct_estimate", p)
 }

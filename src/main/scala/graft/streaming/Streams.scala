@@ -378,6 +378,81 @@ object Streams {
       }
   }
 
+  /** One live anchored funnel chain (public: encoder codegen
+    * constructs it): anchor time, steps completed so far, and the
+    * last completed step's time (µs).
+    */
+  final case class FunnelChain(t1: Long, reached: Int, tLast: Long)
+
+  /** Per-user funnel state: the live chains plus the best step ever
+    * emitted (output rows are monotone per user).
+    */
+  final case class FunnelState(chains: Seq[FunnelChain], best: Int)
+
+  final case class FunnelReach(user_id: Long, step: Int)
+
+  /** REAL-TIME bounded conversion funnel — the streaming analogue of
+    * batch `funnel(withinUs = Some(T))` (q105), as custom state:
+    * every step-1 event opens an anchor chain; a chain at step j
+    * advances on the first step-(j+1) event strictly after its last
+    * step and within T of its anchor (greedy per chain = the batch
+    * semantics, exact under event-time-ordered arrival — the
+    * packStream arrival-order contract applies across triggers). A
+    * row (user, step) emits the FIRST time the user reaches a step,
+    * so `count by step` over the output is the live funnel table.
+    *
+    * State per user is the LIVE chains only: a chain is dropped the
+    * moment it completes all steps or its deadline passes the
+    * observed event time, so state is bounded by each user's step-1
+    * arrivals inside one window length — the window is what makes
+    * the state finite, exactly as it is what makes the batch
+    * anchored join finite.
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   withinUs: Long): Dataset[FunnelReach] = {
+    require(steps.nonEmpty && steps.size <= 8, "funnelStream needs 1..8 steps")
+    require(steps.distinct.size == steps.size, "funnelStream steps must be distinct")
+    require(withinUs > 0, "funnelStream: withinUs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(Seq.empty, 0))
+          var chains = st.chains.toBuffer
+          var best = st.best
+          val out = Seq.newBuilder[FunnelReach]
+          def raiseTo(r: Int): Unit =
+            while (best < r) { best += 1; out += FunnelReach(uid, best) }
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            // expire chains whose deadline has passed the event clock
+            chains = chains.filter(c => c.t1 + withinUs >= t)
+            if (e.event_type == steps.head) {
+              chains += FunnelChain(t, 1, t)
+              raiseTo(1)
+            }
+            var i = 0
+            while (i < chains.length) {
+              val c = chains(i)
+              if (c.reached < k && e.event_type == steps(c.reached) &&
+                t > c.tLast && t <= c.t1 + withinUs) {
+                val adv = FunnelChain(c.t1, c.reached + 1, t)
+                raiseTo(adv.reached)
+                if (adv.reached == k) chains.remove(i)
+                else { chains(i) = adv; i += 1 }
+              } else i += 1
+            }
+          }
+          state.update(FunnelState(chains.toSeq, best))
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization (30-minute inactivity) as custom
     * streaming state: one `OpenSession` per user in the state store,
     * closed sessions emitted as soon as the gap is observed. State is

@@ -110,6 +110,39 @@ class OperatorQualitySpec extends AnyFunSuite {
     }.getMessage.contains("[4, 16]"))
   }
 
+  test("portable HLL register sketches: max-merge IS the union sketch, exactly") {
+    import graft.api.Ops
+    import spark.implicits._
+    val ev = Tables(spark, sfDir).events
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 === 1)
+    val group = Seq("event_type")
+    val regsU = Ops.hllRegisters(ev, group, col("user_id"))
+    val merged = Ops.hllMergeRegisters(group,
+      Ops.hllRegisters(a, group, col("user_id")),
+      Ops.hllRegisters(b, group, col("user_id")))
+    // EXACT equality — registers are maxes, so merging halves loses
+    // nothing: this is what makes sketch-table absorption error-free
+    assert(merged.except(regsU).isEmpty && regsU.except(merged).isEmpty,
+      "max-merged registers must equal the union registers row-for-row")
+    // and therefore the merged estimate equals the union estimate
+    def est(r: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Ops.hllEstimateFromRegisters(r, group, "e").collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(est(merged) == est(regsU))
+    // the shard-table demo path agrees with the one-shot hllDistinct
+    val viaSketches = graft.operators.Sketches
+      .portableMergedDistinct(graft.operators.Sketches
+        .portableShardSketches(ev, "event_type", "user_id"))
+      .collect()(0).getLong(0)
+    val oneShot = {
+      import graft.api.Ops._
+      ev.hllDistinct(Seq.empty, col("user_id"), "e").collect()(0).getLong(0)
+    }
+    assert(viaSketches == oneShot,
+      s"sketch-table path $viaSketches must equal one-shot $oneShot")
+  }
+
   test("multimodal pipeline: schema, determinism, fixed feature shape") {
     val feats = Multimodal.featurePipeline(spark, sfDir)
     assert(feats.schema.fieldNames.toSeq == Seq("doc_id", "kind", "features"))

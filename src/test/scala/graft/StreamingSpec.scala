@@ -271,6 +271,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming bounded funnel equals the batch anchored funnel per step") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "view", "click", "purchase")
+    val withinUs = 3600000000L // q105's one-hour bound
+    // time-ordered feed split across two triggers (the documented
+    // arrival-order contract); chains must survive the trigger split
+    val ordered = eventSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    val stream = MemoryStream[Event]
+    val query = Streams.funnelStream(stream.toDS(), steps, withinUs)
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      stream.addData(b1)
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      val streamed = spark.table("funnel_out")
+        .groupBy(col("step")).agg(countDistinct(col("user_id")).as("n_users"))
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+      val batch = Tables(spark, sfDir).events
+        .funnel("user_id", "ts", "event_type", steps, withinUs = Some(withinUs))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // a (user, step) row emits at most once → countDistinct == count
+      assert(spark.table("funnel_out").count() ==
+        spark.table("funnel_out").distinct().count(), "reach rows must be unique")
+      (1 to steps.size).foreach { s =>
+        assert(streamed.getOrElse(s.toLong, 0L) == batch(s.toLong),
+          s"step $s: streamed=${streamed.get(s.toLong)} batch=${batch(s.toLong)}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming catalog dedup (prepared catalog + foreachBatch) equals the batch operator") {
     import spark.implicits._
     import graft.api.Ops._
