@@ -39,12 +39,14 @@ class PlanShapeSpec extends AnyFunSuite {
   // join, which stays in the locked set. Its dedicated pin is below.
   // q96/q101 omitted like q46/q86: their frames are materialized
   // per-iteration via checkpoints, so building the plan runs the loop.
+  // q106 (pageRank loop) and q107 (BPE train + encode checkpoints) are
+  // the same shape — their executed plan is a checkpoint-RDD scan.
   private val locked =
     Bench.headline.filterNot(Set(
       "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
       "q76_skew_stats", "q77_collocations", "q78_histogram",
       "q83_quality_buckets", "q86_keep_best", "q91_pq_adc", "q96_pagerank",
-      "q101_bpe"))
+      "q101_bpe", "q106_pagerank_dangling", "q107_bpe_encode"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -143,6 +145,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan92 = physicalPlan("q92_ivf_pq")
     assert(plan92.contains("BroadcastHashJoin"),
       s"expected the broadcast hash join on cell in q92:\n$plan92")
+  }
+
+  test("q105's anchored-funnel joins are all key-partitioned; the zero-fill join broadcasts") {
+    val plan = physicalPlan("q105_funnel_windowed")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q105:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"BroadcastNestedLoopJoin in q105 (every join has equi keys):\n$plan")
+    // the anchor-chain joins must stay hash/sort-merge on the user key
+    assert(plan.contains("Join"), s"expected the chain joins in q105:\n$plan")
+  }
+
+  test("q43's portable-HLL registers aggregate map-combinably (partial_max before the exchange)") {
+    val plan = physicalPlan("q43_hll_distinct")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in q43:\n$plan")
+    // the register census must partial-aggregate before shuffling —
+    // the distributed-HLL contract (a hot group never ships raw rows)
+    assert(plan.contains("partial_max") || plan.contains("max#"),
+      s"expected a partial register max in q43:\n$plan")
   }
 
   test("q02 pushes its filters into the parquet scan") {
