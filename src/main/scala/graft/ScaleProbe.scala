@@ -194,10 +194,11 @@ object ScaleProbe {
       }),
       // Lloyd's at quantizer scale: k = N/2 puts the 10x run in the
       // 10⁴-centroid class, above maxLiteralCentroids — one iteration
-      // through the centroid-free broadcast argmin (r10). The row
-      // spans the literal→broadcast transition (1x stays under the
-      // cutoff) and exercises the path where the driver never
-      // materializes the centroid frame.
+      // through the in-frame broadcast argmin (r10). The row spans
+      // the literal→broadcast transition (1x stays under the cutoff)
+      // and exercises the path where centroids transit the driver
+      // only as the broadcast's packed row, never as a decoded
+      // per-iteration collect.
       "kmeans_bigk"   -> (t => {
         val k = (t.embeddings.count() / 2L).toInt
         Vectors.kmeansCentroids(t.embeddings, "vec_id", "embedding",

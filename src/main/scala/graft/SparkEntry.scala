@@ -2029,9 +2029,13 @@ object SparkEntry {
     // shape — m = S/n, v = SS/n − m·m, z = (x − m)/sqrt(v) — so every
     // intermediate double is the identical IEEE value (sqrt is
     // correctly rounded on both engines)
+    // lockstep with zscorePerGroup's r10 null semantics: moments count
+    // non-null values only, and the join back is NULL-SAFE on the
+    // group key (no-op on orders' non-null columns, but the oracle
+    // must mirror the operator, not the dataset)
     "q100_zscore" ->
       s"""WITH stats AS (
-         |  SELECT o_orderstatus, COUNT(*) AS n,
+         |  SELECT o_orderstatus AS g, COUNT(o_totalprice) AS n,
          |    SUM(${d2("o_totalprice")}) AS s,
          |    SUM(${d2("o_totalprice")} * ${d2("o_totalprice")}) AS ss
          |  FROM orders GROUP BY 1)
@@ -2040,7 +2044,7 @@ object SparkEntry {
          |    THEN (o.o_totalprice - CAST(s AS DOUBLE) / n)
          |         / sqrt(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
          |    END, 6) AS z
-         |FROM orders o JOIN stats USING (o_orderstatus)
+         |FROM orders o LEFT JOIN stats ON o.o_orderstatus IS NOT DISTINCT FROM stats.g
          |ORDER BY o_orderkey""".stripMargin,
 
     "q101_bpe" -> bpeOracleSql(12),
@@ -2160,9 +2164,15 @@ object SparkEntry {
     * pair census → argmax (freq desc, pair asc) → one left-to-right
     * `replace` rewrite. `AS MATERIALIZED` is load-bearing: c(i−1) is
     * referenced twice per round and DuckDB inlines plain CTEs, which
-    * doubles the plan every round (2¹² blow-up without it). Yields
-    * CTEs `a1..aN` (the ranked merges) and `cN` (the final
-    * word-census symbol strings, word recoverable by stripping `|`).
+    * doubles the plan every round (2¹² blow-up without it). The
+    * rewrite is a LEFT JOIN ON TRUE against the 0-or-1-row argmax so
+    * an EXHAUSTED round carries the census through unchanged — a
+    * cross join would empty every later round and q107's encode
+    * would spuriously mismatch on a corpus that stops early (q101
+    * merely loses its vanished rows, matching Spark's early stop
+    * either way). Yields CTEs `a1..aN` (the ranked merges) and `cN`
+    * (the final word-census symbol strings, word recoverable by
+    * stripping `|`).
     */
   private def bpeTrainCtes(numMerges: Int): String = {
     val rounds = (1 to numMerges).map { i =>
@@ -2175,8 +2185,10 @@ object SparkEntry {
          |  GROUP BY l, r HAVING SUM(f) >= 2
          |  ORDER BY pf DESC, l, r LIMIT 1),
          |c$i AS MATERIALIZED (
-         |  SELECT replace(c.s, '|' || a.l || '||' || a.r || '|', '|' || a.l || a.r || '|') AS s, c.f
-         |  FROM c${i - 1} c, a$i a)""".stripMargin
+         |  SELECT CASE WHEN a.l IS NULL THEN c.s
+         |              ELSE replace(c.s, '|' || a.l || '||' || a.r || '|', '|' || a.l || a.r || '|')
+         |         END AS s, c.f
+         |  FROM c${i - 1} c LEFT JOIN a$i a ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""w0 AS (
        |  SELECT u.w AS w FROM documents, UNNEST($duckTokens) AS u(w)),

@@ -101,7 +101,9 @@ object Ops {
     fingerprints: DataFrame, shingles: DataFrame, bands: DataFrame,
     id: String, perms: Int, lshBands: Int) {
     /** Absorb a catalog increment (doc ids disjoint from the prepared
-      * catalog): `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)`
+      * catalog — enforced: a re-submitted id would duplicate its
+      * shingle and band rows and silently diverge from the full
+      * re-prepare): `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)`
       * row-for-row. Shingle sets and LSH bands are per-doc artifacts
       * (plain union); fingerprints re-distinct across the union (the
       * same normalized text can occur in both halves) — a
@@ -111,6 +113,12 @@ object Ops {
                checkpointDir: Option[String] = None): PreparedCatalog = {
       val ckp = lineageBreaker(checkpointDir)
       import graft.functions.TextFunctions._
+      val clash = shingles.select(col(id)).distinct()
+        .join(broadcast(increment.select(col(id)).distinct()), Seq(id), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "PreparedCatalog.absorb: increment contains doc ids already in the " +
+          "catalog — absorb models catalog growth; re-prepare to replace docs")
       val fpB = increment.select(
         md5(normText(col(text)).cast("binary")).as("__fp")).distinct()
       val (shB, bandB) = shingleBands(increment, id, text, perms, lshBands, ckp)
@@ -441,17 +449,27 @@ object Ops {
     */
   final case class PreparedEditIndex private[graft] (
     keys: DataFrame, base: DataFrame, id: String, text: String,
-    maxDistance: Int, reliable: Boolean) {
-    /** Absorb a catalog increment: `prepare(A).absorb(B)` ≡
-      * `prepare(A ∪ B)` row-for-row. The index artifacts (deletion-
-      * variant keys, guarded base rows) are PER-ROW, so absorption is
-      * the increment's own compute plus a union — the old frames are
-      * never rescanned. Repeated absorbs stack shallow union nodes
-      * over checkpointed legs, so lineage stays flat.
+    maxDistance: Int, maxLength: Int, reliable: Boolean) {
+    /** Absorb a catalog increment (ids disjoint from the indexed
+      * catalog — enforced): `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)`
+      * row-for-row. The index artifacts (deletion-variant keys,
+      * guarded base rows) are PER-ROW, so absorption is the
+      * increment's own compute plus a union — the old frames are
+      * never rescanned; repeated absorbs stack shallow union nodes
+      * over checkpointed legs. The increment is guarded with the
+      * SAME `maxLength` the index was prepared with (stored in the
+      * artifact — an absorb-time default would silently index a
+      * value the full re-prepare would reject).
       */
-    def absorb(increment: DataFrame, checkpointDir: Option[String] = None,
-               maxLength: Int = 512): PreparedEditIndex = {
+    def absorb(increment: DataFrame,
+               checkpointDir: Option[String] = None): PreparedEditIndex = {
       val ckp = lineageBreaker(checkpointDir)
+      val clash = base.select(col(id)).distinct()
+        .join(broadcast(increment.select(col(id)).distinct()), Seq(id), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "PreparedEditIndex.absorb: increment contains ids already in the " +
+          "index — absorb models catalog growth; re-prepare to replace rows")
       val baseB = ckp(floorPartitions(
         increment.select(col(id),
           lengthGuarded(col(id), col(text), maxLength, "absorbEditIndex").as(text))
@@ -459,7 +477,7 @@ object Ops {
       val keysB = ckp(baseB.select(col(id),
         explode(deletionVariantKeys(col(text), maxDistance)).as("__k")))
       PreparedEditIndex(keys.unionByName(keysB), base.unionByName(baseB),
-        id, text, maxDistance, reliable && checkpointDir.isDefined)
+        id, text, maxDistance, maxLength, reliable && checkpointDir.isDefined)
     }
   }
 
@@ -497,7 +515,8 @@ object Ops {
         .filter(col(text).isNotNull)))
     val keys = ckp(base.select(col(id),
       explode(deletionVariantKeys(col(text), maxDistance)).as("__k")))
-    PreparedEditIndex(keys, base, id, text, maxDistance, checkpointDir.isDefined)
+    PreparedEditIndex(keys, base, id, text, maxDistance, maxLength,
+      checkpointDir.isDefined)
   }
 
   /** Edit-distance matches of `left` against a prepared catalog index
@@ -593,9 +612,13 @@ object Ops {
   final case class PreparedBoilerplate private[graft] (
     common: DataFrame, census: DataFrame, sep: String, minDf: Long,
     reliable: Boolean) {
-    /** Absorb a corpus increment (doc ids disjoint from the prepared
-      * corpus): `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)` row-for-row.
-      * The UNFILTERED df census is what makes this possible — a
+    /** Absorb a corpus increment. PRECONDITION (uncheckable from the
+      * artifact — the census is paragraph → df and carries no doc
+      * ids): increment doc ids must be NEW; re-submitting a document
+      * would double-count its paragraphs' df, which the full
+      * re-prepare's per-(paragraph, doc) distinct would not. Under
+      * that precondition `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)`
+      * row-for-row. The UNFILTERED df census is what makes this possible — a
       * paragraph below `minDf` in A alone can cross the threshold
       * once B's documents are counted, so `common` by itself could
       * never absorb. The merge is paragraph-census-sized (old census ∪
@@ -738,15 +761,24 @@ object Ops {
   final case class PreparedVecCatalog private[graft] (
     codes: DataFrame, vectors: DataFrame, id: String,
     dim: Int, signBits: Int, tables: Int, seed: String, reliable: Boolean) {
-    /** Absorb a catalog increment: `prepare(A).absorb(B)` ≡
-      * `prepare(A ∪ B)` row-for-row — the hyperplane family is fixed
-      * by (tables, signBits, dim, seed) stored at prepare time, so
-      * the increment codes under the SAME weights and the artifacts
-      * union per-row; the old frames are never rescanned.
+    /** Absorb a catalog increment (ids disjoint from the prepared
+      * catalog — enforced: a re-submitted id would duplicate its code
+      * and vector rows): `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)`
+      * row-for-row — the hyperplane family is fixed by (tables,
+      * signBits, dim, seed) stored at prepare time, so the increment
+      * codes under the SAME weights and the artifacts union per-row;
+      * the old frames are never rescanned.
       */
     def absorb(increment: DataFrame, emb: String,
                checkpointDir: Option[String] = None): PreparedVecCatalog = {
       val ckp = lineageBreaker(checkpointDir)
+      val clash = vectors.select(col("__cid"))
+        .join(broadcast(increment.select(col(id).as("__cid")).distinct()),
+          Seq("__cid"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "PreparedVecCatalog.absorb: increment contains ids already in the " +
+          "catalog — absorb models catalog growth; re-prepare to replace rows")
       val w = Hyperplanes.weights(tables, signBits, dim, seed)
       val baseB = ckp(increment.select(col(id).as("__cid"),
         col(emb).cast("array<double>").as("__ce")))
@@ -994,9 +1026,13 @@ object Ops {
     // into the oracle SQL — both engines perform the same division
     val numer = alpha * m.toDouble * m.toDouble * math.pow(2.0, scale)
     val gcols = group.map(col)
+    // coalesce: a global (group-less) estimate over an EMPTY register
+    // table yields one row with a null sum — it must read as "all m
+    // buckets empty" (estimate 0 via linear counting), not null
     regs.groupBy(gcols: _*)
       .agg(count(lit(1)).as("__present"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - __reg)")).as("__sp"))
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - __reg)")), lit(0L))
+          .as("__sp"))
       .withColumn("__s",
         col("__sp") + (lit(m.toLong) - col("__present")) * lit(1L << scale))
       .withColumn("__v0", lit(m.toLong) - col("__present"))

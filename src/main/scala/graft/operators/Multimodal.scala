@@ -272,16 +272,23 @@ object Multimodal {
       new String(b, 8, 4, "US-ASCII") != "WAVE") return None
     var rate = -1; var channels = -1; var ok = false
     var data: Array[Short] = null
-    var i = 12
+    // the walk cursor and chunk sizes stay LONG and unsigned: a
+    // corrupt 32-bit size like 0xFFFFFFF8 truncated to Int (-8) would
+    // otherwise advance the cursor by zero and spin the executor task
+    // forever (adversarial-payload review, r10) — here it just walks
+    // past the end and the decode refuses
+    var i = 12L
     while (i + 8 <= b.length && (data == null || !ok)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = leU32(b, i + 4).toInt
+      val id = new String(b, i.toInt, 4, "US-ASCII")
+      val size = leU32(b, i.toInt + 4) // unsigned, 0 … 2^32−1
       if (id == "fmt " && i + 8 + 16 <= b.length) {
-        ok = leU16(b, i + 8) == 1 && leU16(b, i + 8 + 14) == 16 // PCM, 16-bit
-        channels = leU16(b, i + 8 + 2)
-        rate = leU32(b, i + 8 + 4).toInt
+        val o = i.toInt + 8
+        ok = leU16(b, o) == 1 && leU16(b, o + 14) == 16 // PCM, 16-bit
+        channels = leU16(b, o + 2)
+        rate = leU32(b, o + 4).toInt
       } else if (id == "data" && i + 8 + size <= b.length) {
-        data = Array.tabulate(size / 2)(s => leS16(b, i + 8 + 2 * s).toShort)
+        val o = i.toInt + 8
+        data = Array.tabulate((size / 2).toInt)(s => leS16(b, o + 2 * s).toShort)
       }
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
@@ -294,18 +301,26 @@ object Multimodal {
     */
   def bmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
-    val dataOffset = leU32(b, 10).toInt
-    val w = leU32(b, 18).toInt
-    val h = leU32(b, 22).toInt // positive = bottom-up (the only layout we emit)
+    // all header fields validated as LONGS before any Int use: a
+    // corrupt dataOffset/width ≥ 2^31 truncated to a negative Int
+    // would pass an Int-arithmetic bounds guard and then index out of
+    // bounds (adversarial-payload review, r10)
+    val dataOffsetL = leU32(b, 10)
+    val wL = leU32(b, 18)
+    val hL = leU32(b, 22) // positive = bottom-up (the only layout we emit)
     val bpp = leU16(b, 28)
     val compression = leU32(b, 30)
-    val rowSize = (3 * w + 3) / 4 * 4
-    if (bpp != 24 || compression != 0L || w <= 0 || h <= 0 ||
-      dataOffset + rowSize * h > b.length) return None
+    if (bpp != 24 || compression != 0L ||
+      wL <= 0L || hL <= 0L || wL > b.length || hL > b.length ||
+      dataOffsetL < 54L || dataOffsetL > b.length) return None
+    val w = wL.toInt; val h = hL.toInt; val dataOffset = dataOffsetL.toInt
+    val rowSize = (3L * w + 3) / 4 * 4
+    if (dataOffsetL + rowSize * h > b.length) return None
+    val rowSizeI = rowSize.toInt // ≤ b.length by the guard above
     val rgb = new Array[Byte](3 * w * h)
     var y = 0
     while (y < h) {
-      val rowBase = dataOffset + (h - 1 - y) * rowSize
+      val rowBase = dataOffset + (h - 1 - y) * rowSizeI
       var x = 0
       while (x < w) {
         rgb(3 * (y * w + x)) = b(rowBase + 3 * x + 2)     // R (stored BGR)
@@ -339,7 +354,9 @@ object Multimodal {
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     i += 1 // single whitespace after maxval
-    if (w <= 0 || h <= 0 || maxval != 255 || i + 3 * w * h > b.length) return None
+    // Long guard: 3*w*h in Int could overflow for adversarial headers
+    if (w <= 0 || h <= 0 || maxval != 255 ||
+      i.toLong + 3L * w * h > b.length) return None
     Some((w, h, java.util.Arrays.copyOfRange(b, i, i + 3 * w * h)))
   }
 
@@ -425,6 +442,10 @@ object Multimodal {
     * compressed formats use the stub.
     */
   def decodeFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
+    require(dim >= 6,
+      s"decodeFeatures: dim must be at least 6 (got $dim) — the real " +
+        "decoders lay out 6 fixed statistics before the per-segment/" +
+        "histogram tail")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>

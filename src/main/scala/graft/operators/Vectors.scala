@@ -53,11 +53,15 @@ object Vectors {
     *    centroid FRAME folds to one `collect_list` row IN-FRAME and
     *    ships as a broadcast joined keyless onto the corpus (the
     *    cellAssigner shape) with the SAME argmin fold reading it from
-    *    the column — identical compute and output, and the driver
-    *    NEVER materializes a centroid in this regime (at k=10⁵ ×
-    *    dim=512 a per-iteration driver collect would move ~400 MB ×
-    *    iters through one process; here centroids flow executor →
-    *    broadcast → executor);
+    *    the column — identical compute and output. Honest accounting
+    *    of the driver's role (r10 review): Spark's BroadcastExchange
+    *    still stages the broadcast VALUE through the driver, so the
+    *    centroids transit it once per iteration as ONE packed unsafe
+    *    row; what the rewrite removes is the old path's per-iteration
+    *    `collect()` into decoded JVM objects (boxed doubles, several×
+    *    the packed size) plus rebuilding and re-shipping them as a
+    *    local Row — the driver now holds one transient packed copy
+    *    instead of a decoded working set per iteration;
     *  - **re-centering is one (cid, dim) shuffle** with decimal
     *    accumulation, so reducer order can't perturb the means and the
     *    result is identical under any partitioning;
@@ -103,8 +107,8 @@ object Vectors {
           vecs.select(bestOver(centArr).getField("cid").as("cid"), col("v"))
         } else {
           // quantizer regime: centroid frame → one collect_list row →
-          // broadcast — centroid-free on the driver (array_min is
-          // order-independent, so collect_list order is immaterial)
+          // broadcast — no decoded driver materialization (array_min
+          // is order-independent, so collect_list order is immaterial)
           val centsArr = cents.agg(collect_list(struct(col("cid"), col("c"))).as("__cents"))
           vecs.join(broadcast(centsArr))
             .select(bestOver(col("__cents")).getField("cid").as("cid"), col("v"))

@@ -65,6 +65,16 @@ class AbsorbSpec extends AnyFunSuite {
       dirty.editMatchesAgainst(absorbed, "qid", "qname"),
       dirty.editMatchesAgainst(full, "qid", "qname"),
       "edit matches")
+    // the absorb guards the increment with the PREPARED maxLength, not
+    // a default — an absorb-time 512 would silently index a value the
+    // full re-prepare rejects (r10 review)
+    val tight = Ops.prepareEditIndex(a, "cid", "cname", maxDistance = 1, maxLength = 8)
+    val long = Seq((999L, "muchlongerthaneight")).toDF("cid", "cname")
+    val e2 = intercept[Exception] { tight.absorb(long).base.count() }
+    assert(e2.getMessage.contains("maxLength=8"), e2.getMessage)
+    // re-submitted ids fail fast instead of duplicating index rows
+    val e3 = intercept[IllegalArgumentException] { full.absorb(a.limit(1)) }
+    assert(e3.getMessage.contains("already in the index"))
   }
 
   test("PreparedVecCatalog.absorb ≡ prepareVecCatalog over the union") {
@@ -81,6 +91,9 @@ class AbsorbSpec extends AnyFunSuite {
       Ops.vecDedupAgainstPrepared(inc, "vec_id", "emb", absorbed, threshold = 0.95),
       Ops.vecDedupAgainstPrepared(inc, "vec_id", "emb", full, threshold = 0.95),
       "vec dedup against catalog")
+    // re-submitted ids fail fast instead of duplicating code rows
+    val e = intercept[IllegalArgumentException] { full.absorb(a.limit(1), "emb") }
+    assert(e.getMessage.contains("already in the catalog"))
   }
 
   test("PreparedCatalog.absorb ≡ prepareCatalog over the union; overlapping fingerprints stay distinct") {
@@ -96,6 +109,12 @@ class AbsorbSpec extends AnyFunSuite {
     val ab = Ops.prepareCatalog(a, "doc_id", "text").absorb(b, "text")
     assert(ab.fingerprints.count() == 1L,
       "absorb must re-distinct fingerprints across the halves")
+    // re-submitted doc ids fail fast (shingle/band rows would
+    // duplicate and diverge from the full re-prepare — r10 review)
+    val e = intercept[IllegalArgumentException] {
+      Ops.prepareCatalog(corpus, "doc_id", "text").absorb(partA.limit(1), "text")
+    }
+    assert(e.getMessage.contains("already in the catalog"))
     // and the incremental-dedup consumer sees identical results
     val inc = corpus.limit(30)
     assertSameRows(

@@ -108,6 +108,10 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       df.hllDistinct(Seq("g"), col("v"), "e", p = 3)
     }.getMessage.contains("[4, 16]"))
+    // a group-less estimate over an EMPTY input is 0, not null (the
+    // zero-row sum coalesces — r10 review)
+    val empty = df.filter(col("g") < -1)
+    assert(empty.hllDistinct(Seq.empty, col("v"), "e").collect()(0).getLong(0) == 0L)
   }
 
   test("portable HLL register sketches: max-merge IS the union sketch, exactly") {
@@ -215,6 +219,13 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(Multimodal.wavSamples(wav ++ "trailing".getBytes).get._3.toSeq == samples.toSeq)
     // non-PCM / truncated payloads refuse instead of mis-decoding
     assert(Multimodal.wavSamples("RIFFxxxxWAVE".getBytes).isEmpty)
+    // adversarial chunk size 0xFFFFFFF8 (negative as Int) must refuse
+    // and TERMINATE — an Int-truncated size advanced the walk cursor
+    // by zero and spun the task forever (r10 review)
+    val evil = "RIFF".getBytes ++ Array[Byte](36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      new Array[Byte](32)
+    assert(Multimodal.wavSamples(evil).isEmpty)
   }
 
   test("BMP and PPM content decode are real and bit-exact on planted pixels") {
@@ -246,6 +257,21 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(math.abs((6 until 16).map(i => f(i)).sum - 1.0f) < 1e-6)
     // 8bpp/compressed BMPs refuse instead of mis-decoding
     assert(Multimodal.bmpPixels("BMxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx".getBytes).isEmpty)
+    // corrupt headers whose offset/dims overflow Int must refuse, not
+    // crash: dataOffset = 0x80000000, width = 0x40000000 (r10 review)
+    val evil = Multimodal.bmpBytes(2, 2, (_, _) => (1, 2, 3))
+    val badOffset = evil.clone(); badOffset(10) = 0; badOffset(13) = 0x80.toByte
+    assert(Multimodal.bmpPixels(badOffset).isEmpty)
+    val badWidth = evil.clone(); badWidth(21) = 0x40.toByte
+    assert(Multimodal.bmpPixels(badWidth).isEmpty)
+    // same for a PPM whose 3*w*h overflows Int
+    val hugePpm = "P6\n50000 50000\n255\n".getBytes("US-ASCII") ++ new Array[Byte](16)
+    assert(Multimodal.ppmPixels(hugePpm).isEmpty)
+    // the fixed 6-stat feature layout rejects narrower dims up front
+    val media = Multimodal.attachMedia(t)
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.decodeFeatures(media, dim = 4)
+    }.getMessage.contains("at least 6"))
   }
 
   test("decodeFeatures routes codec-free payloads to the real decoders") {
