@@ -1285,29 +1285,64 @@ object Ops {
         call_function("unicode_normalize", col(textCol), lit(form)))
     }
 
-    /** As-of join: for each left row, the most recent right row with
-      * rightTime ≤ leftTime and matching key. One shuffle on the key:
-      * tag + union + running last_value(ignoreNulls) window. `carry`
-      * lists the right-side columns to carry onto left rows.
+    /** As-of join (pandas `merge_asof` parity): for each left row,
+      * the NEAREST right row at-or-before (`direction = "backward"`,
+      * the default) or at-or-after (`"forward"`) its time with a
+      * matching key, optionally within `toleranceUs` microseconds —
+      * matches farther than the tolerance resolve to null carries
+      * (the row itself is kept, merge_asof semantics). One shuffle on
+      * the key either way: tag + union + running
+      * last_value(ignoreNulls) window (the forward direction just
+      * reverses the window ordering — same single exchange); the
+      * tolerance check rides on the matched right time carried
+      * through the same window, so it adds NO join or shuffle.
+      * `carry` lists the right-side columns to carry onto left rows;
+      * time columns must be timestamps when a tolerance is given.
       */
     def asofJoin(right: DataFrame, key: String, leftTime: String,
-                 rightTime: String, carry: Seq[String]): DataFrame = {
+                 rightTime: String, carry: Seq[String],
+                 direction: String = "backward",
+                 toleranceUs: Option[Long] = None): DataFrame = {
+      require(direction == "backward" || direction == "forward",
+        s"""asofJoin: direction must be "backward" or "forward" (got "$direction")""")
+      require(toleranceUs.forall(_ > 0), "asofJoin: toleranceUs must be positive")
       val lCols = left.columns.toSeq
+      val rtType = right.schema(rightTime).dataType
       val tagged = right
         .select((col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
+          col(rightTime).as("__rmt") +:
           (carry.map(c => col(c).as(s"__r_$c")) ++
             lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)))): _*)
         .unionByName(left
           .select((col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
+            lit(null).cast(rtType).as("__rmt") +:
             (carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
               lCols.map(col))): _*))
-      val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
+      // backward: ascending scan — the last right row seen is the
+      // nearest at-or-before. forward: descending scan — the last
+      // right row seen is the nearest at-or-after. Ties on __t order
+      // right (tag 0) before left in BOTH, so equal times match.
+      val ord =
+        if (direction == "backward") Seq(col("__t").asc, col("__tag").asc)
+        else Seq(col("__t").desc, col("__tag").asc)
+      val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      carry.foldLeft(tagged) { (df, c) =>
-          df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-        }
+      val filled = (carry.map(c => s"__r_$c") :+ "__rmt").foldLeft(tagged) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      val withinTol = toleranceUs match {
+        case None => lit(true)
+        case Some(t) =>
+          val gap =
+            if (direction == "backward") unix_micros(col("__t")) - unix_micros(col("__rmt"))
+            else unix_micros(col("__rmt")) - unix_micros(col("__t"))
+          col("__rmt").isNotNull && gap <= t
+      }
+      filled
         .filter(col("__tag") === 1)
-        .select((lCols.map(col) ++ carry.map(c => col(s"__r_$c").as(c))): _*)
+        .select((lCols.map(col) ++ carry.map(c =>
+          when(withinTol, col(s"__r_$c"))
+            .otherwise(lit(null).cast(right.schema(c).dataType)).as(c))): _*)
     }
 
     /** Gap-based sessionization: adds `session_id` (1-based per key). */

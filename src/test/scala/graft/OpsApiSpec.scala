@@ -33,6 +33,36 @@ class OpsApiSpec extends AnyFunSuite {
       "asofJoin API differs from q21")
   }
 
+  test("asofJoin direction/tolerance (merge_asof parity) against brute force") {
+    import spark.implicits._
+    def ts(us: Long) = expr(s"timestamp_micros($us)")
+    val l = Seq(5L, 10L, 20L, 35L, 100L).map(u => (1L, u)).toDF("k", "us")
+      .select(col("k"), col("us"), expr("timestamp_micros(us)").as("lt"))
+    val r = Seq(10L, 30L).map(u => (1L, u, s"v$u")).toDF("k", "us", "v")
+      .select(col("k"), expr("timestamp_micros(us)").as("rt"), col("v"))
+    def got(direction: String, tol: Option[Long]): Map[Long, String] =
+      l.asofJoin(r, "k", "lt", "rt", Seq("v"), direction, tol)
+        .collect().map(x => x.getLong(1) -> x.getString(3)).toMap
+    // backward: nearest at-or-before (equal times match)
+    assert(got("backward", None) ==
+      Map(5L -> null, 10L -> "v10", 20L -> "v10", 35L -> "v30", 100L -> "v30"))
+    // backward + tolerance 20µs: 100's nearest (30) is 70µs stale → null
+    assert(got("backward", Some(20L)) ==
+      Map(5L -> null, 10L -> "v10", 20L -> "v10", 35L -> "v30", 100L -> null))
+    // forward: nearest at-or-after
+    assert(got("forward", None) ==
+      Map(5L -> "v10", 10L -> "v10", 20L -> "v30", 35L -> null, 100L -> null))
+    // forward + tolerance 5µs: 20 → 30 is 10µs ahead → null
+    assert(got("forward", Some(5L)) ==
+      Map(5L -> "v10", 10L -> "v10", 20L -> null, 35L -> null, 100L -> null))
+    assert(intercept[IllegalArgumentException] {
+      l.asofJoin(r, "k", "lt", "rt", Seq("v"), "sideways")
+    }.getMessage.contains("backward"))
+    assert(intercept[IllegalArgumentException] {
+      l.asofJoin(r, "k", "lt", "rt", Seq("v"), toleranceUs = Some(0L))
+    }.getMessage.contains("positive"))
+  }
+
   test("rangeJoin API reproduces the naive inequality join") {
     val p = t.events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
