@@ -1698,10 +1698,23 @@ object Ops {
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
       * hot key over `buckets` reducers, then combine. Two shuffles,
       * but the first is uniform — the pattern for power-law keys.
+      *
+      * Salt choice (VERDICT r9 nit): pass `saltBy = Some(uniqueCol)`
+      * to salt by a SEEDED HASH of a unique column — fully
+      * deterministic like the rest of the engine, and identical rows
+      * under a hot key still spread because the salt source is
+      * unique. Without it the salt falls back to
+      * partition-id + row-position arithmetic: spreading is equally
+      * uniform but the (key, salt) partials depend on the input
+      * partitioning (the combined `cnt` is identical either way —
+      * only the intermediate is partitioning-sensitive).
       */
-    def saltedCount(key: String, buckets: Int): DataFrame =
+    def saltedCount(key: String, buckets: Int,
+                    saltBy: Option[Column] = None): DataFrame =
       left
-        .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+        .withColumn("__salt", saltBy
+          .map(c => pmod(xxhash64(lit("salt"), c), lit(buckets.toLong)))
+          .getOrElse(pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))))
         .groupBy(col(key), col("__salt"))
         .agg(count(lit(1)).as("__partial"))
         .groupBy(col(key))

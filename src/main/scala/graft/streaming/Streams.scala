@@ -192,6 +192,35 @@ object Streams {
       .start()
   }
 
+  /** As-of-enrich a live event stream against a STATIC reference
+    * frame — the production "attach the latest reference row at or
+    * before each event" shape (live trades vs a quotes snapshot,
+    * events vs a slowly-changing dimension extract): each trigger
+    * runs the batch [[graft.api.Ops.GraftDataFrameOps.asofJoin]]
+    * (direction/tolerance included) of the micro-batch against the
+    * fixed right side. foreachBatch, because the per-key
+    * last-non-null window is not an allowed post-join streaming op;
+    * the right side being static is what keeps this exact — each
+    * trigger's rows see the complete reference timeline, so the
+    * trigger split cannot change any match (spec-pinned). For
+    * reference data that itself streams, use [[intervalJoin]]'s
+    * two-sided watermarked form.
+    */
+  def asofJoinStream(events: DataFrame, reference: DataFrame,
+                     key: String, leftTime: String, rightTime: String,
+                     carry: Seq[String],
+                     direction: String = "backward",
+                     toleranceUs: Option[Long] = None,
+                     sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.api.Ops._
+        sink(batch.asofJoin(reference, key, leftTime, rightTime, carry,
+          direction, toleranceUs))
+      }
+      .outputMode("update")
+      .start()
+
   /** BPE-encode a document stream against a once-trained frozen merge
     * list ([[graft.operators.Bpe.prepareBpe]]) — the production
     * tokenizer ingest shape: training's corpus-wide word census ran

@@ -271,6 +271,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("asofJoinStream enriches a trigger-split event stream equal to the batch as-of") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val t = Tables(spark, sfDir)
+    // reference: each user's clicks; stream: their purchases
+    val reference = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("value").as("click_value")).cache()
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val rows = purchases.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val q = Streams.asofJoinStream(
+      stream.toDF().toDF("event_id", "user_id", "ts"), reference,
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      carry = Seq("click_id", "click_value"),
+      sink = b => got.synchronized { got ++= b.collect().map(_.toString) })
+    try {
+      stream.addData(rows.take(rows.size / 2))
+      q.processAllAvailable()
+      stream.addData(rows.drop(rows.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the reference is static, so the trigger split cannot change a
+    // single match: streamed rows ≡ the batch asofJoin
+    val batch = purchases
+      .asofJoin(reference, "user_id", "ts", "ts", Seq("click_id", "click_value"))
+      .collect().map(_.toString).toSet
+    assert(got.size == batch.size && got.toSet == batch,
+      s"streamed ${got.size} enriched rows, batch ${batch.size}")
+  }
+
   test("streaming bounded funnel equals the batch anchored funnel per step") {
     import spark.implicits._
     import graft.api.Ops._
