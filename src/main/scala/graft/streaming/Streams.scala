@@ -192,6 +192,36 @@ object Streams {
       .start()
   }
 
+  /** Continuous distinct-count estimation over a stream via the
+    * PORTABLE register-based HLL ([[graft.api.Ops.hllRegisters]]):
+    * each trigger sketches its own batch and max-merges into the
+    * running register table (constant-size state: ≤ group_count × 2^p
+    * rows, lineage broken per trigger), then emits the CURRENT
+    * estimate per group. Because register max-merge is EXACTLY the
+    * union sketch, the emitted estimate after any trigger split
+    * equals the batch estimate over everything seen — not
+    * approximately, row-for-row (spec-pinned) — the streaming form
+    * of the Sketches shard-table pattern.
+    */
+  def hllDistinctStream(rows: DataFrame, group: Seq[String], value: String,
+                        sink: DataFrame => Unit, p: Int = 12,
+                        checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ck = graft.api.Ops.lineageBreaker(checkpointDir)
+    var state: Option[DataFrame] = None
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regsB = graft.api.Ops.hllRegisters(batch, group, col(value), p)
+        val merged = ck(state match {
+          case None     => regsB
+          case Some(st) => graft.api.Ops.hllMergeRegisters(group, st, regsB)
+        })
+        state = Some(merged)
+        sink(graft.api.Ops.hllEstimateFromRegisters(merged, group, "distinct_estimate", p))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** As-of-enrich a live event stream against a STATIC reference
     * frame — the production "attach the latest reference row at or
     * before each event" shape (live trades vs a quotes snapshot,

@@ -271,6 +271,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("hllDistinctStream: the running estimate equals the batch estimate EXACTLY after each trigger") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val all = eventSeq
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val stream = MemoryStream[Event]
+    val emitted = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    val q = Streams.hllDistinctStream(
+      stream.toDF(), Seq("event_type"), "user_id",
+      sink = b => emitted.synchronized {
+        emitted += b.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      })
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    def batchEst(rows: Seq[Event]): Map[String, Long] =
+      rows.toDF().hllDistinct(Seq("event_type"), col("user_id"), "e")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // register max-merge IS the union sketch, so the running estimate
+    // is EXACTLY the batch estimate over everything seen — after the
+    // first trigger and after the second
+    assert(emitted.size == 2)
+    assert(emitted(0) == batchEst(b1), "first-trigger estimate must equal batch over b1")
+    assert(emitted(1) == batchEst(all), "running estimate must equal batch over the union")
+  }
+
   test("asofJoinStream enriches a trigger-split event stream equal to the batch as-of") {
     import spark.implicits._
     import graft.api.Ops._
