@@ -1305,19 +1305,31 @@ object Ops {
                  toleranceUs: Option[Long] = None): DataFrame = {
       require(direction == "backward" || direction == "forward",
         s"""asofJoin: direction must be "backward" or "forward" (got "$direction")""")
-      require(toleranceUs.forall(_ > 0), "asofJoin: toleranceUs must be positive")
+      require(toleranceUs.forall(_ >= 0),
+        "asofJoin: toleranceUs must be non-negative (0 = equal-time matches only)")
       val lCols = left.columns.toSeq
-      val rtType = right.schema(rightTime).dataType
+      import org.apache.spark.sql.types.{StructField, StructType}
+      // the matched right ROW travels as ONE struct, filled by ONE
+      // last(ignoreNulls) — per-carry-column fills would skip a
+      // GENUINE null in one carry and pull that column's value from a
+      // farther row (r10 review: right (t=5, v="a"), (t=10, v=null),
+      // left t=12 must carry t=10's null, not t=5's "a"); the struct
+      // stays non-null when its fields are null, so the nearest row
+      // wins as a unit and the tolerance below judges exactly the row
+      // the values came from
+      val rowType = StructType(
+        StructField("__rmt", right.schema(rightTime).dataType) +:
+          carry.map(c => StructField(c, right.schema(c).dataType)))
+      val rRow = struct((col(rightTime).as("__rmt") +:
+        carry.map(c => col(c).as(c))): _*)
       val tagged = right
         .select((col(key).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
-          col(rightTime).as("__rmt") +:
-          (carry.map(c => col(c).as(s"__r_$c")) ++
-            lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)))): _*)
+          rRow.as("__rrow") +:
+          lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
         .unionByName(left
           .select((col(key).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
-            lit(null).cast(rtType).as("__rmt") +:
-            (carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
-              lCols.map(col))): _*))
+            lit(null).cast(rowType).as("__rrow") +:
+            lCols.map(col)): _*))
       // backward: ascending scan — the last right row seen is the
       // nearest at-or-before. forward: descending scan — the last
       // right row seen is the nearest at-or-after. Ties on __t order
@@ -1327,21 +1339,21 @@ object Ops {
         else Seq(col("__t").desc, col("__tag").asc)
       val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val filled = (carry.map(c => s"__r_$c") :+ "__rmt").foldLeft(tagged) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+      val filled = tagged
+        .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
+      val rmt = col("__rrow.__rmt")
       val withinTol = toleranceUs match {
-        case None => lit(true)
+        case None => col("__rrow").isNotNull
         case Some(t) =>
           val gap =
-            if (direction == "backward") unix_micros(col("__t")) - unix_micros(col("__rmt"))
-            else unix_micros(col("__rmt")) - unix_micros(col("__t"))
-          col("__rmt").isNotNull && gap <= t
+            if (direction == "backward") unix_micros(col("__t")) - unix_micros(rmt)
+            else unix_micros(rmt) - unix_micros(col("__t"))
+          col("__rrow").isNotNull && gap <= t
       }
       filled
         .filter(col("__tag") === 1)
         .select((lCols.map(col) ++ carry.map(c =>
-          when(withinTol, col(s"__r_$c"))
+          when(withinTol, col(s"__rrow.$c"))
             .otherwise(lit(null).cast(right.schema(c).dataType)).as(c))): _*)
     }
 

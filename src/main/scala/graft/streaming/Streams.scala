@@ -196,27 +196,55 @@ object Streams {
     * PORTABLE register-based HLL ([[graft.api.Ops.hllRegisters]]):
     * each trigger sketches its own batch and max-merges into the
     * running register table (constant-size state: ≤ group_count × 2^p
-    * rows, lineage broken per trigger), then emits the CURRENT
-    * estimate per group. Because register max-merge is EXACTLY the
-    * union sketch, the emitted estimate after any trigger split
-    * equals the batch estimate over everything seen — not
-    * approximately, row-for-row (spec-pinned) — the streaming form
-    * of the Sketches shard-table pattern.
+    * rows), then emits the CURRENT estimate per group. Because
+    * register max-merge is EXACTLY the union sketch, the emitted
+    * estimate after any trigger split equals the batch estimate over
+    * everything seen — not approximately, row-for-row (spec-pinned)
+    * — the streaming form of the Sketches shard-table pattern.
+    *
+    * State durability (r10 review): the running registers are
+    * STREAM-LIFETIME state that cannot be recomputed from a resumable
+    * source (committed offsets skip the already-counted data), so
+    * `stateDir` is REQUIRED and each trigger persists the merged
+    * table as `state_<batchId>` parquet — a restarted query resumes
+    * from the latest COMPLETE snapshot (`_SUCCESS`-marked; a crash
+    * mid-write is ignored), and snapshots older than the previous one
+    * are deleted each trigger, so the directory holds ≤ 2 snapshots
+    * regardless of stream lifetime. Replayed batches are harmless by
+    * construction: max-merging a batch into state that already
+    * absorbed it is IDEMPOTENT.
     */
   def hllDistinctStream(rows: DataFrame, group: Seq[String], value: String,
-                        sink: DataFrame => Unit, p: Int = 12,
-                        checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ck = graft.api.Ops.lineageBreaker(checkpointDir)
+                        stateDir: String,
+                        sink: DataFrame => Unit, p: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stateDir.nonEmpty, "hllDistinctStream: stateDir is required")
+    val spark = rows.sparkSession
+    import org.apache.hadoop.fs.Path
+    val dirPath = new Path(stateDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapshotIds(): Seq[Long] =
+      if (!fs.exists(dirPath)) Seq.empty
+      else fs.listStatus(dirPath).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("state_"))
+        .filter(n => fs.exists(new Path(dirPath, s"$n/_SUCCESS")))
+        .map(_.stripPrefix("state_").toLong).sorted
     var state: Option[DataFrame] = None
     rows.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = state.orElse(
+          snapshotIds().lastOption.map(id =>
+            spark.read.parquet(s"$stateDir/state_$id")))
         val regsB = graft.api.Ops.hllRegisters(batch, group, col(value), p)
-        val merged = ck(state match {
+        val merged = prev match {
           case None     => regsB
           case Some(st) => graft.api.Ops.hllMergeRegisters(group, st, regsB)
-        })
-        state = Some(merged)
-        sink(graft.api.Ops.hllEstimateFromRegisters(merged, group, "distinct_estimate", p))
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
+        val persisted = spark.read.parquet(s"$stateDir/state_$batchId")
+        state = Some(persisted)
+        snapshotIds().filter(_ < batchId - 1).foreach(id =>
+          fs.delete(new Path(dirPath, s"state_$id"), true))
+        sink(graft.api.Ops.hllEstimateFromRegisters(persisted, group, "distinct_estimate", p))
       }
       .outputMode("update")
       .start()
@@ -232,24 +260,31 @@ object Streams {
     * last-non-null window is not an allowed post-join streaming op;
     * the right side being static is what keeps this exact — each
     * trigger's rows see the complete reference timeline, so the
-    * trigger split cannot change any match (spec-pinned). For
-    * reference data that itself streams, use [[intervalJoin]]'s
-    * two-sided watermarked form.
+    * trigger split cannot change any match (spec-pinned). The
+    * reference is CACHED here (not lineage-broken): it materializes
+    * once at the first trigger instead of re-running its plan every
+    * 10 seconds, and — unlike a localCheckpoint — an executor loss
+    * just recomputes the lost blocks from lineage rather than failing
+    * the stream, so no reliability contract is needed. For reference
+    * data that itself streams, use [[intervalJoin]]'s two-sided
+    * watermarked form.
     */
   def asofJoinStream(events: DataFrame, reference: DataFrame,
                      key: String, leftTime: String, rightTime: String,
                      carry: Seq[String],
                      direction: String = "backward",
                      toleranceUs: Option[Long] = None,
-                     sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                     sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = reference.cache()
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import graft.api.Ops._
-        sink(batch.asofJoin(reference, key, leftTime, rightTime, carry,
+        sink(batch.asofJoin(ref, key, leftTime, rightTime, carry,
           direction, toleranceUs))
       }
       .outputMode("update")
       .start()
+  }
 
   /** BPE-encode a document stream against a once-trained frozen merge
     * list ([[graft.operators.Bpe.prepareBpe]]) — the production

@@ -35,32 +35,65 @@ class OpsApiSpec extends AnyFunSuite {
 
   test("asofJoin direction/tolerance (merge_asof parity) against brute force") {
     import spark.implicits._
-    def ts(us: Long) = expr(s"timestamp_micros($us)")
-    val l = Seq(5L, 10L, 20L, 35L, 100L).map(u => (1L, u)).toDF("k", "us")
-      .select(col("k"), col("us"), expr("timestamp_micros(us)").as("lt"))
-    val r = Seq(10L, 30L).map(u => (1L, u, s"v$u")).toDF("k", "us", "v")
+    // seeded random multi-key corpus WITH genuine nulls in the carry
+    // column — nulls must carry from the MATCHED row, never an older
+    // one (r10 review: the per-column ignoreNulls fill mixed rows)
+    val rnd = new scala.util.Random(42)
+    val lRows = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    // right times deduped PER KEY: the match among equal-time right
+    // rows is undefined in both engines, so the fixture avoids ties
+    val rRows = (1 to 120).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong,
+        if (rnd.nextInt(4) == 0) null else s"v$i")
+    }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = lRows.toDF("k", "us", "lid")
+      .select(col("k"), col("us"), col("lid"), expr("timestamp_micros(us)").as("lt"))
+    val r = rRows.toDF("k", "rus", "v")
+      .select(col("k"), col("rus"), expr("timestamp_micros(rus)").as("rt"), col("v"))
+    def brute(direction: String, tol: Option[Long]): Map[Long, Option[String]] =
+      lRows.map { case (k, lu, lid) =>
+        val cand = rRows.filter(_._1 == k).filter { case (_, ru, _) =>
+          if (direction == "backward") ru <= lu else ru >= lu
+        }
+        val nearest =
+          if (cand.isEmpty) None
+          else Some(if (direction == "backward") cand.maxBy(_._2) else cand.minBy(_._2))
+        val within = nearest.filter { case (_, ru, _) =>
+          tol.forall(t => (if (direction == "backward") lu - ru else ru - lu) <= t)
+        }
+        lid -> within.map(_._3).flatMap(Option(_)) // matched row's value, null stays null
+      }.toMap
+    for (direction <- Seq("backward", "forward");
+         tol <- Seq(None, Some(0L), Some(50L), Some(200L))) {
+      val got = l.asofJoin(r, "k", "lt", "rt", Seq("v"), direction, tol)
+        .collect().map(x => x.getLong(2) -> Option(x.getString(4))).toMap
+      assert(got == brute(direction, tol), s"direction=$direction tol=$tol")
+    }
+    // pinpoint fixture for the matched-row-null case: right (5, "a"),
+    // (10, null); left t=12 backward tol=3 matches t=10 → null carry
+    // (the mixed-column fill would emit the 7µs-stale "a")
+    val lf = Seq((1L, 12L)).toDF("k", "us")
+      .select(col("k"), expr("timestamp_micros(us)").as("lt"))
+    val rf = Seq((1L, 5L, "a"), (1L, 10L, null)).toDF("k", "us", "v")
       .select(col("k"), expr("timestamp_micros(us)").as("rt"), col("v"))
-    def got(direction: String, tol: Option[Long]): Map[Long, String] =
-      l.asofJoin(r, "k", "lt", "rt", Seq("v"), direction, tol)
-        .collect().map(x => x.getLong(1) -> x.getString(3)).toMap
-    // backward: nearest at-or-before (equal times match)
-    assert(got("backward", None) ==
-      Map(5L -> null, 10L -> "v10", 20L -> "v10", 35L -> "v30", 100L -> "v30"))
-    // backward + tolerance 20µs: 100's nearest (30) is 70µs stale → null
-    assert(got("backward", Some(20L)) ==
-      Map(5L -> null, 10L -> "v10", 20L -> "v10", 35L -> "v30", 100L -> null))
-    // forward: nearest at-or-after
-    assert(got("forward", None) ==
-      Map(5L -> "v10", 10L -> "v10", 20L -> "v30", 35L -> null, 100L -> null))
-    // forward + tolerance 5µs: 20 → 30 is 10µs ahead → null
-    assert(got("forward", Some(5L)) ==
-      Map(5L -> "v10", 10L -> "v10", 20L -> null, 35L -> null, 100L -> null))
+    val pin = lf.asofJoin(rf, "k", "lt", "rt", Seq("v"), "backward", Some(3L)).collect()
+    assert(pin.length == 1 && pin(0).isNullAt(2),
+      s"the matched row's genuine null must carry: ${pin.mkString}")
+    // tolerance 0 = equal-time matches only (pandas Timedelta(0))
+    val rEq = Seq((1L, 5L, "a"), (1L, 10L, "b")).toDF("k", "us", "v")
+      .select(col("k"), expr("timestamp_micros(us)").as("rt"), col("v"))
+    def at(lu: Long): Array[org.apache.spark.sql.Row] =
+      Seq((1L, lu)).toDF("k", "us")
+        .select(col("k"), expr("timestamp_micros(us)").as("lt"))
+        .asofJoin(rEq, "k", "lt", "rt", Seq("v"), "backward", Some(0L)).collect()
+    assert(at(10L)(0).getString(2) == "b", "equal-time match passes tolerance 0")
+    assert(at(12L)(0).isNullAt(2), "any gap fails tolerance 0")
     assert(intercept[IllegalArgumentException] {
-      l.asofJoin(r, "k", "lt", "rt", Seq("v"), "sideways")
+      lf.asofJoin(rf, "k", "lt", "rt", Seq("v"), "sideways")
     }.getMessage.contains("backward"))
     assert(intercept[IllegalArgumentException] {
-      l.asofJoin(r, "k", "lt", "rt", Seq("v"), toleranceUs = Some(0L))
-    }.getMessage.contains("positive"))
+      lf.asofJoin(rf, "k", "lt", "rt", Seq("v"), toleranceUs = Some(-1L))
+    }.getMessage.contains("non-negative"))
   }
 
   test("rangeJoin API reproduces the naive inequality join") {

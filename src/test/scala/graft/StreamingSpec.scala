@@ -277,28 +277,37 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val all = eventSeq
     val (b1, b2) = all.splitAt(all.size / 2)
-    val stream = MemoryStream[Event]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_hll_state").toString
     val emitted = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
-    val q = Streams.hllDistinctStream(
-      stream.toDF(), Seq("event_type"), "user_id",
-      sink = b => emitted.synchronized {
-        emitted += b.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      })
-    try {
-      stream.addData(b1)
-      q.processAllAvailable()
-      stream.addData(b2)
-      q.processAllAvailable()
-    } finally q.stop()
+    def run(data: Seq[Event]): Unit = {
+      val stream = MemoryStream[Event]
+      val q = Streams.hllDistinctStream(
+        stream.toDF(), Seq("event_type"), "user_id", stateDir,
+        sink = b => emitted.synchronized {
+          emitted += b.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        })
+      try {
+        stream.addData(data)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(b1)
+    // RESTART: a brand-new query resumes from the persisted register
+    // snapshot — the already-counted distincts survive (r10 review)
+    run(b2)
     def batchEst(rows: Seq[Event]): Map[String, Long] =
       rows.toDF().hllDistinct(Seq("event_type"), col("user_id"), "e")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // register max-merge IS the union sketch, so the running estimate
     // is EXACTLY the batch estimate over everything seen — after the
-    // first trigger and after the second
+    // first trigger AND across the restart
     assert(emitted.size == 2)
     assert(emitted(0) == batchEst(b1), "first-trigger estimate must equal batch over b1")
-    assert(emitted(1) == batchEst(all), "running estimate must equal batch over the union")
+    assert(emitted(1) == batchEst(all),
+      "the restarted query's estimate must equal batch over the union")
+    // the state dir stays bounded: at most the current + previous snapshot
+    val snaps = new java.io.File(stateDir).list().count(_.startsWith("state_"))
+    assert(snaps <= 2, s"state snapshots must be pruned, found $snaps")
   }
 
   test("asofJoinStream enriches a trigger-split event stream equal to the batch as-of") {
