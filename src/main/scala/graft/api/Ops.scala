@@ -1307,6 +1307,8 @@ object Ops {
         s"""asofJoin: direction must be "backward" or "forward" (got "$direction")""")
       require(toleranceUs.forall(_ >= 0),
         "asofJoin: toleranceUs must be non-negative (0 = equal-time matches only)")
+      require(!carry.contains("__rmt"),
+        "asofJoin: \"__rmt\" is reserved for the matched right time")
       val lCols = left.columns.toSeq
       import org.apache.spark.sql.types.{StructField, StructType}
       // the matched right ROW travels as ONE struct, filled by ONE
