@@ -1309,6 +1309,8 @@ object Ops {
         "asofJoin: toleranceUs must be non-negative (0 = equal-time matches only)")
       require(!carry.contains("__rmt"),
         "asofJoin: \"__rmt\" is reserved for the matched right time")
+      require(!carry.contains("__rrow") && !left.columns.contains("__rrow"),
+        "asofJoin: \"__rrow\" is reserved for the matched-row struct")
       val lCols = left.columns.toSeq
       import org.apache.spark.sql.types.{StructField, StructType}
       // the matched right ROW travels as ONE struct, filled by ONE
@@ -1343,7 +1345,9 @@ object Ops {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val filled = tagged
         .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
-      val rmt = col("__rrow.__rmt")
+      // getField, not a dotted path string: a carry column named
+      // "bid.price" is legal (backticks) and must read as ONE field
+      val rmt = col("__rrow").getField("__rmt")
       val withinTol = toleranceUs match {
         case None => col("__rrow").isNotNull
         case Some(t) =>
@@ -1355,7 +1359,7 @@ object Ops {
       filled
         .filter(col("__tag") === 1)
         .select((lCols.map(col) ++ carry.map(c =>
-          when(withinTol, col(s"__rrow.$c"))
+          when(withinTol, col("__rrow").getField(c))
             .otherwise(lit(null).cast(right.schema(c).dataType)).as(c))): _*)
     }
 

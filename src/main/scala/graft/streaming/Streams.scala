@@ -202,52 +202,70 @@ object Streams {
     * everything seen — not approximately, row-for-row (spec-pinned)
     * — the streaming form of the Sketches shard-table pattern.
     *
-    * State durability (r10 review): the running registers are
-    * STREAM-LIFETIME state that cannot be recomputed from a resumable
-    * source (committed offsets skip the already-counted data), so
-    * `stateDir` is REQUIRED and each trigger persists the merged
-    * table as `state_<batchId>` parquet — a restarted query resumes
-    * from the latest COMPLETE snapshot (`_SUCCESS`-marked; a crash
-    * mid-write is ignored), and snapshots older than the previous one
-    * are deleted each trigger, so the directory holds ≤ 2 snapshots
-    * regardless of stream lifetime. Replayed batches are harmless by
-    * construction: max-merging a batch into state that already
-    * absorbed it is IDEMPOTENT.
+    * State durability (r10 review, twice-hardened): the running
+    * registers are STREAM-LIFETIME state that cannot be recomputed
+    * from a resumable source, so `stateDir` is REQUIRED and each
+    * trigger persists the merged table as a `state_<n>` parquet
+    * snapshot. `n` is the helper's OWN monotonic counter, seeded past
+    * the newest complete snapshot at query start — Spark's batchIds
+    * RENUMBER from 0 on every restart without a durable checkpoint,
+    * so naming snapshots by batchId would make "max id" resume a
+    * STALE snapshot after the second restart. A restarted query
+    * resumes from the latest `_SUCCESS`-complete snapshot; after each
+    * successful write EVERY older `state_*` dir is deleted — complete
+    * or crash-left-incomplete — so the directory holds the current
+    * snapshot (plus at most one transient predecessor mid-trigger).
+    * Replayed or re-tried batches are harmless by construction:
+    * max-merging data the state already absorbed is IDEMPOTENT.
+    *
+    * `checkpointLocation` (recommended in production) is passed to
+    * the streaming query so SOURCE OFFSETS are durable too: without
+    * it a restart against e.g. a latest-offsets Kafka source silently
+    * skips the crash-to-restart gap — idempotent merges protect
+    * replays, not gaps.
     */
   def hllDistinctStream(rows: DataFrame, group: Seq[String], value: String,
                         stateDir: String,
-                        sink: DataFrame => Unit, p: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+                        sink: DataFrame => Unit, p: Int = 12,
+                        checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(stateDir.nonEmpty, "hllDistinctStream: stateDir is required")
     val spark = rows.sparkSession
     import org.apache.hadoop.fs.Path
     val dirPath = new Path(stateDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def snapshotIds(): Seq[Long] =
+    def snapshots(completeOnly: Boolean): Seq[Long] =
       if (!fs.exists(dirPath)) Seq.empty
       else fs.listStatus(dirPath).toSeq
         .map(_.getPath.getName).filter(_.startsWith("state_"))
-        .filter(n => fs.exists(new Path(dirPath, s"$n/_SUCCESS")))
-        .map(_.stripPrefix("state_").toLong).sorted
+        .filter(n => !completeOnly || fs.exists(new Path(dirPath, s"$n/_SUCCESS")))
+        .flatMap(n => scala.util.Try(n.stripPrefix("state_").toLong).toOption)
+        .sorted
+    val nextId = new java.util.concurrent.atomic.AtomicLong(
+      snapshots(completeOnly = false).lastOption.getOrElse(-1L) + 1L)
     var state: Option[DataFrame] = None
-    rows.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    val writer = rows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val prev = state.orElse(
-          snapshotIds().lastOption.map(id =>
+          snapshots(completeOnly = true).lastOption.map(id =>
             spark.read.parquet(s"$stateDir/state_$id")))
         val regsB = graft.api.Ops.hllRegisters(batch, group, col(value), p)
         val merged = prev match {
           case None     => regsB
           case Some(st) => graft.api.Ops.hllMergeRegisters(group, st, regsB)
         }
-        merged.write.mode("overwrite").parquet(s"$stateDir/state_$batchId")
-        val persisted = spark.read.parquet(s"$stateDir/state_$batchId")
+        val id = nextId.getAndIncrement()
+        merged.write.mode("overwrite").parquet(s"$stateDir/state_$id")
+        val persisted = spark.read.parquet(s"$stateDir/state_$id")
         state = Some(persisted)
-        snapshotIds().filter(_ < batchId - 1).foreach(id =>
-          fs.delete(new Path(dirPath, s"state_$id"), true))
+        // the new snapshot is complete → everything older (including
+        // crash-left incomplete dirs) is garbage
+        snapshots(completeOnly = false).filter(_ < id).foreach(old =>
+          fs.delete(new Path(dirPath, s"state_$old"), true))
         sink(graft.api.Ops.hllEstimateFromRegisters(persisted, group, "distinct_estimate", p))
       }
       .outputMode("update")
-      .start()
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
   }
 
   /** As-of-enrich a live event stream against a STATIC reference
@@ -265,9 +283,11 @@ object Streams {
     * once at the first trigger instead of re-running its plan every
     * 10 seconds, and — unlike a localCheckpoint — an executor loss
     * just recomputes the lost blocks from lineage rather than failing
-    * the stream, so no reliability contract is needed. For reference
-    * data that itself streams, use [[intervalJoin]]'s two-sided
-    * watermarked form.
+    * the stream, so no reliability contract is needed; the cached
+    * blocks unpersist automatically when THIS query terminates (a
+    * listener keyed on the query id — repeated start/stop cycles
+    * don't accumulate pinned copies). For reference data that itself
+    * streams, use [[intervalJoin]]'s two-sided watermarked form.
     */
   def asofJoinStream(events: DataFrame, reference: DataFrame,
                      key: String, leftTime: String, rightTime: String,
@@ -276,7 +296,7 @@ object Streams {
                      toleranceUs: Option[Long] = None,
                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val ref = reference.cache()
-    events.writeStream
+    val q = events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import graft.api.Ops._
         sink(batch.asofJoin(ref, key, leftTime, rightTime, carry,
@@ -284,6 +304,22 @@ object Streams {
       }
       .outputMode("update")
       .start()
+    val streams = events.sparkSession.streams
+    val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            ref.unpersist()
+            streams.removeListener(this)
+          }
+      }
+    streams.addListener(listener)
+    q
   }
 
   /** BPE-encode a document stream against a once-trained frozen merge

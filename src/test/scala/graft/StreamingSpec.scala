@@ -276,36 +276,43 @@ class StreamingSpec extends AnyFunSuite {
     import graft.api.Ops._
     implicit val sqlCtx = spark.sqlContext
     val all = eventSeq
-    val (b1, b2) = all.splitAt(all.size / 2)
+    val chunks = all.grouped(math.max(all.size / 4, 1)).toSeq // ≥ 4 triggers total
     val stateDir = java.nio.file.Files.createTempDirectory("graft_hll_state").toString
     val emitted = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
-    def run(data: Seq[Event]): Unit = {
+    def run(batches: Seq[Seq[Event]]): Unit = {
       val stream = MemoryStream[Event]
       val q = Streams.hllDistinctStream(
         stream.toDF(), Seq("event_type"), "user_id", stateDir,
         sink = b => emitted.synchronized {
           emitted += b.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         })
-      try {
+      try batches.foreach { data =>
         stream.addData(data)
-        q.processAllAvailable()
+        q.processAllAvailable() // one trigger per chunk
       } finally q.stop()
     }
-    run(b1)
-    // RESTART: a brand-new query resumes from the persisted register
-    // snapshot — the already-counted distincts survive (r10 review)
-    run(b2)
+    // run 1 processes MULTIPLE triggers (so pruning actually runs),
+    // then TWO restarts follow — Spark renumbers batchIds from 0 on
+    // each restart, which is exactly why snapshot ids come from the
+    // helper's own monotonic counter (r10 review: max-batchId resume
+    // picked a stale snapshot after the second restart)
+    run(chunks.dropRight(2))
+    run(Seq(chunks(chunks.size - 2)))
+    run(Seq(chunks.last))
     def batchEst(rows: Seq[Event]): Map[String, Long] =
       rows.toDF().hllDistinct(Seq("event_type"), col("user_id"), "e")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // register max-merge IS the union sketch, so the running estimate
-    // is EXACTLY the batch estimate over everything seen — after the
-    // first trigger AND across the restart
-    assert(emitted.size == 2)
-    assert(emitted(0) == batchEst(b1), "first-trigger estimate must equal batch over b1")
-    assert(emitted(1) == batchEst(all),
-      "the restarted query's estimate must equal batch over the union")
-    // the state dir stays bounded: at most the current + previous snapshot
+    // register max-merge IS the union sketch, so every emitted
+    // estimate — across triggers AND restarts — is EXACTLY the batch
+    // estimate over everything seen so far
+    assert(emitted.size == chunks.size)
+    val prefixes = chunks.inits.toSeq.reverse.drop(1) // chunks(0..i) per i
+    prefixes.zipWithIndex.foreach { case (pre, i) =>
+      assert(emitted(i) == batchEst(pre.flatten),
+        s"estimate after trigger ${i + 1} must equal batch over the first ${i + 1} chunks")
+    }
+    // the state dir stays bounded: the current snapshot (+ at most
+    // one transient predecessor), never one per trigger
     val snaps = new java.io.File(stateDir).list().count(_.startsWith("state_"))
     assert(snaps <= 2, s"state snapshots must be pruned, found $snaps")
   }
