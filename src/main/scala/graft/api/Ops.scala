@@ -3290,7 +3290,12 @@ object Ops {
               s => concat(s.getField("item"), lit(":"), s.getField("cnt"))))
           case _ => lit(null).cast("string")
         }
-        Seq(count(c).as(s"__nn_$i"), approx_count_distinct(c).as(s"__ad_$i"),
+        // the PORTABLE HLL aggregate (r10), not approx_count_distinct:
+        // same single-Aggregate plan, but the estimates are the
+        // engine-reproducible q43 numbers instead of Spark-private
+        // HLL++ internals
+        Seq(count(c).as(s"__nn_$i"),
+          call_function("portable_hll", c.cast("string"), lit(12)).as(s"__ad_$i"),
           mn.as(s"__mn_$i"), mx.as(s"__mx_$i"), tk.as(s"__tk_$i"))
       } :+ count(lit(1)).as("__rows")
       renamed.agg(aggs.head, aggs.tail: _*)

@@ -90,6 +90,23 @@ object GraftFunctions {
     UnicodeNormalize(exprs.head, form)
   }
 
+  private[functions] def buildPortableHll(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"portable_hll(string_col, p) requires 2 arguments, got ${exprs.length}")
+    val p = {
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          s"portable_hll p must be an int literal, got expression ${exprs(1).sql}")
+      exprs(1).eval(null) match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"portable_hll p must be an int literal, got $other")
+      }
+    }
+    PortableHll(exprs.head, p)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => {
@@ -118,6 +135,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unicode_normalize", exprs => GraftFunctions.buildUnicodeNormalize(exprs),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "portable_hll", exprs => GraftFunctions.buildPortableHll(exprs), "built-in")
     // Spark ships distributed bloom-filter expressions for its own
     // runtime row-level filtering (InjectRuntimeFilter) but leaves
     // them out of the public function registry; surfacing them gives
@@ -188,6 +207,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (exprs: Seq[Expression]) =>
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
             exprs.head, exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("portable_hll"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[PortableHll].getName, "portable_hll"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildPortableHll(exprs)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_normalize"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -112,6 +112,16 @@ class OperatorQualitySpec extends AnyFunSuite {
     // zero-row sum coalesces — r10 review)
     val empty = df.filter(col("g") < -1)
     assert(empty.hllDistinct(Seq.empty, col("v"), "e").collect()(0).getLong(0) == 0L)
+    // the native typed aggregate (portable_hll) computes the SAME
+    // hash, registers and estimate — exactly equal to the frame form,
+    // grouped and global, so the q43 oracle semantics extend into any
+    // single-pass Aggregate (profile()'s contract)
+    graft.functions.GraftFunctions.register(spark)
+    val viaAgg = df.groupBy(col("g"))
+      .agg(expr("portable_hll(CAST(v AS STRING), 12)").as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaAgg == e, "portable_hll aggregate must equal hllDistinct exactly")
+    assert(empty.agg(expr("portable_hll(CAST(v AS STRING), 12)")).collect()(0).getLong(0) == 0L)
   }
 
   test("portable HLL register sketches: max-merge IS the union sketch, exactly") {
