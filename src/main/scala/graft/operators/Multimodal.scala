@@ -18,19 +18,24 @@ import graft.sources.Tables
   *  - JPEG's variable-offset SOF marker needs a scan → a pure-JVM
   *    marker walk ([[jpegDims]]) in the typed path (no codec libs).
   *
-  * Content decode is REAL for the codec-free formats — they are pure
-  * fixed-offset byte arithmetic, no codec library needed:
+  * Content decode is REAL for every format but JPEG — none of them
+  * actually needs an external codec library:
   *
   *  - WAV 16-bit PCM: RIFF chunk walk → true sample statistics
   *    ([[wavSamples]]);
   *  - BMP 24bpp uncompressed: header + bottom-up padded rows → true
   *    pixel statistics ([[bmpPixels]]);
-  *  - PPM P6: ASCII header + raw RGB triples ([[ppmPixels]]).
+  *  - PPM P6: ASCII header + raw RGB triples ([[ppmPixels]]);
+  *  - PNG 8-bit gray/RGB/RGBA: chunk walk + the JDK's OWN zlib
+  *    (`java.util.zip.Inflater`) + per-row filter reversal for all
+  *    five filter types ([[pngPixels]]);
+  *  - GIF89a: logical-screen walk + a pure-JVM LZW decoder
+  *    ([[gifPixels]]).
   *
-  * Only compressed-content formats (PNG deflate, JPEG DCT, GIF LZW)
-  * keep the deterministic STUB (`stubDecode` — no codec libraries in
-  * this container); swap it for a real codec on a cluster that has
-  * them.
+  * Only JPEG keeps the deterministic STUB (`stubDecode`): its DCT /
+  * Huffman pipeline genuinely warrants a codec library, and none is
+  * in this container. Swap the stub for a real codec on a cluster
+  * that has one.
   */
 object Multimodal {
 
@@ -157,13 +162,12 @@ object Multimodal {
   }
 
   /** Attach a binary payload (REAL container header + body) + typed
-    * metadata to each document. Kinds: image (PNG, JPEG, or BMP —
-    * BMP carries true 24bpp pixel content and small true dims), audio
-    * (WAV — width=sample rate, height=channels, true 16-bit PCM
-    * content), video (GIF). WAV and BMP payloads are complete,
-    * decodable files (plus the doc text as trailing bytes, which the
-    * chunk/offset walks ignore); PNG/JPEG/GIF remain header + opaque
-    * body since their content would need a real codec.
+    * metadata to each document. Kinds: image (PNG, JPEG, or BMP),
+    * audio (WAV — width=sample rate, height=channels), video (GIF).
+    * WAV, BMP, PNG, and GIF payloads are complete, decodable files
+    * with planted content (plus the doc text as trailing bytes, which
+    * the chunk/offset walks ignore); only JPEG remains header +
+    * opaque body since its content would need a real codec.
     */
   def attachMedia(t: Tables): Dataset[MediaRecord] = {
     val spark = t.spark
@@ -187,7 +191,7 @@ object Multimodal {
         }
         val (w, h) = fmt match {
           case "wav" => (8000 + (docId % 4).toInt * 8000, 1 + (docId % 2).toInt)
-          case "bmp" => (8 + (docId % 4).toInt * 4, 6 + (docId % 5).toInt * 2)
+          case "bmp" | "png" | "gif" => (8 + (docId % 4).toInt * 4, 6 + (docId % 5).toInt * 2)
           case _     => ((docId % 4).toInt * 160 + 320, (docId % 3).toInt * 120 + 240)
         }
         val head = fmt match {
@@ -200,6 +204,19 @@ object Multimodal {
               ((docId + x * 7 + y * 13) % 256).toInt,
               ((docId * 3 + x * 11 + y) % 256).toInt,
               ((docId * 5 + x + y * 17) % 256).toInt))
+          case "png" =>
+            // alternate RGB / RGBA so both decode paths run in specs
+            pngBytes(w, h, hasAlpha = docId % 2 == 0, (x, y) => (
+              ((docId + x * 7 + y * 13) % 256).toInt,
+              ((docId * 3 + x * 11 + y) % 256).toInt,
+              ((docId * 5 + x + y * 17) % 256).toInt,
+              ((docId + x + y) % 256).toInt))
+          case "gif" =>
+            val palette = Array.tabulate(8)(c => (
+              ((docId + c * 37) % 256).toInt,
+              ((docId * 3 + c * 59) % 256).toInt,
+              ((docId * 5 + c * 97) % 256).toInt))
+            gifBytes(w, h, palette, (x, y) => ((docId + x + 3 * y) % 8).toInt)
           case other => mediaHeader(other, w, h)
         }
         MediaRecord(docId, head ++ text.getBytes("UTF-8"), kind, w, h)
@@ -360,6 +377,474 @@ object Multimodal {
     Some((w, h, java.util.Arrays.copyOfRange(b, i, i + 3 * w * h)))
   }
 
+  // ---- PNG (deflate is the JDK's own java.util.zip — no codec lib) ----
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32()
+    parts.foreach(p => c.update(p))
+    c.getValue.toInt
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inflates `comp` expecting EXACTLY `expected` bytes; None on a
+    * corrupt / truncated / oversized stream (never throws — the
+    * adversarial-payload discipline of the other decoders).
+    */
+  private def inflateExact(comp: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(comp)
+    val out = new Array[Byte](expected)
+    try {
+      var off = 0
+      var stalled = false
+      while (off < expected && !inf.finished() && !stalled) {
+        val n = inf.inflate(out, off, expected - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+        off += n
+      }
+      if (off < expected) return None // truncated
+      // an oversized stream (more payload than the header promised) is
+      // corrupt too: probe for one extra byte
+      val probe = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(probe) > 0) return None
+      Some(out)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Complete 8-bit PNG bytes (color type 2 RGB, or 6 RGBA when
+    * `rgba`'s fourth component is used): signature + IHDR + one
+    * zlib-deflated IDAT of filtered scanlines + IEND, with real chunk
+    * CRCs. Scanline filter types CYCLE 0→4 by row so every planted
+    * image exercises all five reversal paths in [[pngPixels]].
+    */
+  def pngBytes(w: Int, h: Int, hasAlpha: Boolean,
+               rgba: (Int, Int) => (Int, Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"pngBytes: dims must be positive ($w x $h)")
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(kind: String, data: Array[Byte]): Array[Byte] = {
+      val k = kind.getBytes("US-ASCII")
+      be32(data.length) ++ k ++ data ++ be32(crc32(k, data))
+    }
+    val bpp = if (hasAlpha) 4 else 3
+    val stride = w * bpp
+    // raw scanlines, then per-row filtering (type = y % 5)
+    val filtered = new Array[Byte](h * (1 + stride))
+    val cur = new Array[Byte](stride)
+    val prior = new Array[Byte](stride) // zeros for row 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b, a) = rgba(x, y)
+        cur(bpp * x) = r.toByte; cur(bpp * x + 1) = g.toByte; cur(bpp * x + 2) = b.toByte
+        if (hasAlpha) cur(bpp * x + 3) = a.toByte
+        x += 1
+      }
+      val f = y % 5
+      val rowBase = y * (1 + stride)
+      filtered(rowBase) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val raw = cur(i) & 0xff
+        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val up = prior(i) & 0xff
+        val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        filtered(rowBase + 1 + i) = (raw - pred).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](8, if (hasAlpha) 6 else 2, 0, 0, 0) // depth, color, compr, filter, interlace
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflateBytes(filtered)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** REAL PNG decode — chunk walk + `java.util.zip.Inflater` (the
+    * JDK's own zlib — no external codec library) + per-row filter
+    * reversal for all five filter types: returns (width, height, RGB
+    * triples row-major top-down; alpha dropped, grayscale expanded),
+    * or None for anything but a non-interlaced 8-bit gray/RGB/RGBA
+    * PNG or for any corrupt stream (bad magic, lying chunk lengths,
+    * bad zlib data, wrong inflated size, unknown filter type —
+    * all Long-guarded, never throws, never spins).
+    */
+  def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 8 + 25 ||
+      (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G' ||
+      b(4) != 0x0d || b(5) != 0x0a || b(6) != 0x1a || b(7) != 0x0a) return None
+    var w = -1; var h = -1; var bpp = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    // chunk walk — cursor and lengths stay LONG (a lying 32-bit length
+    // truncated to a negative Int would rewind the cursor and spin)
+    var i = 8L
+    var done = false
+    while (!done && i + 12 <= b.length) {
+      val len = beU32(b, i.toInt)
+      if (i + 12 + len > b.length) return None
+      val kind = new String(b, i.toInt + 4, 4, "US-ASCII")
+      val dataOff = i.toInt + 8
+      kind match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = beU32(b, dataOff).toInt; h = beU32(b, dataOff + 4).toInt
+          val depth = b(dataOff + 8) & 0xff
+          val colorType = b(dataOff + 9) & 0xff
+          val interlace = b(dataOff + 12) & 0xff
+          if (depth != 8 || interlace != 0) return None
+          bpp = colorType match {
+            case 0 => 1 // grayscale
+            case 2 => 3 // RGB
+            case 6 => 4 // RGBA
+            case _ => return None // palette / gray+alpha not emitted here
+          }
+          // dims guard: w*bpp+1 per row, h rows, all within Int
+          if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24) ||
+            (1L + w.toLong * bpp) * h > Int.MaxValue) return None
+        case "IDAT" =>
+          if (w < 0) return None // IDAT before IHDR
+          idat.write(b, dataOff, len.toInt)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len
+    }
+    if (!done || w < 0) return None
+    val stride = w * bpp
+    val expected = h * (1 + stride)
+    inflateExact(idat.toByteArray, expected).flatMap { filtered =>
+      // reverse the per-row filter in place (recon overwrites filtered)
+      val recon = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = filtered(y * (1 + stride)) & 0xff
+        if (f > 4) return None
+        val src = y * (1 + stride) + 1
+        val dst = y * stride
+        var x = 0
+        while (x < stride) {
+          val left = if (x >= bpp) recon(dst + x - bpp) & 0xff else 0
+          val up = if (y > 0) recon(dst - stride + x) & 0xff else 0
+          val upLeft = if (y > 0 && x >= bpp) recon(dst - stride + x - bpp) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, upLeft)
+          }
+          recon(dst + x) = ((filtered(src + x) & 0xff) + pred).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // normalize to RGB triples: drop alpha, expand grayscale
+      val rgb =
+        if (bpp == 3) recon
+        else {
+          val o = new Array[Byte](3 * w * h)
+          var p = 0
+          while (p < w * h) {
+            if (bpp == 4) {
+              o(3 * p) = recon(4 * p); o(3 * p + 1) = recon(4 * p + 1); o(3 * p + 2) = recon(4 * p + 2)
+            } else {
+              o(3 * p) = recon(p); o(3 * p + 1) = recon(p); o(3 * p + 2) = recon(p)
+            }
+            p += 1
+          }
+          o
+        }
+      Some((w, h, rgb))
+    }
+  }
+
+  // ---- GIF (LZW is ~100 lines of pure JVM — no codec lib) ----
+
+  /** GIF-variant LZW compression of `indices` (LSB-first bit packing,
+    * clear/EOI codes, width growth to 12 bits, clear-on-full).
+    */
+  private def lzwEncode(indices: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize; val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(indices.length / 2 + 16)
+    var acc = 0L; var accBits = 0
+    var codeSize = minCodeSize + 1
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = eoi + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += codeSize
+      while (accBits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    // growth/clear timing mirrors the decoder EXACTLY (GIF standard):
+    // the width check runs after emitting a code and BEFORE adding its
+    // dict entry — the decoder adds that same entry one code later and
+    // then runs the identical check, so both flip width (or clear) at
+    // the same position in the code stream
+    def postEmit(): Unit =
+      if (next >= (1 << codeSize) && codeSize < 12) codeSize += 1
+    emit(clear)
+    var prefix = -1
+    var p = 0
+    while (p < indices.length) {
+      val k = indices(p) & 0xff
+      if (prefix < 0) prefix = k
+      else {
+        val key = Integer.valueOf((prefix << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue
+        else {
+          emit(prefix)
+          postEmit()
+          if (next < 4096) {
+            dict.put(key, Integer.valueOf(next))
+            next += 1
+          } else {
+            emit(clear)
+            dict = new java.util.HashMap(); next = eoi + 1; codeSize = minCodeSize + 1
+          }
+          prefix = k
+        }
+      }
+      p += 1
+    }
+    if (prefix >= 0) { emit(prefix); postEmit() }
+    emit(eoi)
+    if (accBits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decode expecting EXACTLY `expected` indices;
+    * None on truncated / out-of-range codes (never throws, never
+    * spins — the same refusal discipline as the other decoders).
+    */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize; val eoi = clear + 1
+    val out = new Array[Byte](expected); var outPos = 0
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    var next = eoi + 1; var codeSize = minCodeSize + 1
+    var acc = 0L; var accBits = 0; var pos = 0
+    val stack = new Array[Byte](4096)
+    def readCode(): Int = {
+      while (accBits < codeSize && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << accBits; pos += 1; accBits += 8
+      }
+      if (accBits < codeSize) -1
+      else {
+        val c = (acc & ((1 << codeSize) - 1)).toInt
+        acc >>>= codeSize; accBits -= codeSize; c
+      }
+    }
+    /** Emits the string for `code`; returns its first byte, or -1 on
+      * overflow / malformed chain.
+      */
+    def emitString(code: Int): Int = {
+      var sp = 0; var c = code
+      while (c >= eoi + 1) {
+        if (sp >= 4096) return -1
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (c >= clear) return -1 // chain must bottom out at a root
+      if (outPos + sp + 1 > expected) return -1
+      out(outPos) = c.toByte; outPos += 1
+      while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+      c
+    }
+    def firstByte(code: Int): Int = {
+      var c = code; var guard = 0
+      while (c >= eoi + 1 && guard < 4096) { c = prefix(c); guard += 1 }
+      if (c >= clear) -1 else c
+    }
+    var prev = -1
+    var finished = false
+    while (!finished) {
+      val code = readCode()
+      if (code < 0) return None // truncated stream
+      if (code == clear) {
+        next = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        finished = true
+      } else if (prev < 0) {
+        if (code >= clear) return None
+        if (emitString(code) < 0) return None
+        prev = code
+      } else {
+        if (code < next) {
+          val first = emitString(code)
+          if (first < 0) return None
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = first.toByte; next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+        } else if (code == next && next < 4096) {
+          val first = firstByte(prev) // the KwKwK case
+          if (first < 0) return None
+          prefix(next) = prev; suffix(next) = first.toByte; next += 1
+          if (emitString(next - 1) < 0) return None
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        } else return None // out-of-range code: corrupt
+        prev = code
+      }
+    }
+    if (outPos == expected) Some(out) else None
+  }
+
+  /** Complete GIF89a bytes: logical screen descriptor + global color
+    * table (padded to a power of two) + full-frame image descriptor +
+    * LZW-compressed index stream in ≤255-byte sub-blocks + trailer.
+    * `index(x, y)` must return a palette index.
+    */
+  def gifBytes(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+               index: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"gifBytes: dims must be positive ($w x $h)")
+    require(palette.nonEmpty && palette.length <= 256, "gifBytes: palette must have 1..256 entries")
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    var bits = 1
+    while ((1 << bits) < palette.length) bits += 1
+    val tableSize = 1 << bits
+    val minCodeSize = math.max(2, bits)
+    val indices = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val ix = index(x, y)
+        require(ix >= 0 && ix < palette.length, s"gifBytes: index $ix out of palette at ($x,$y)")
+        indices(y * w + x) = ix.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0x80 | ((bits - 1) << 4) | (bits - 1)) // GCT present, size field
+    out.write(0); out.write(0)                       // background, aspect
+    var c = 0
+    while (c < tableSize) {
+      val (r, g, b) = if (c < palette.length) palette(c) else (0, 0, 0)
+      out.write(r); out.write(g); out.write(b)
+      c += 1
+    }
+    out.write(0x2c) // image descriptor: full frame, no local table
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h)); out.write(0)
+    out.write(minCodeSize)
+    val lzw = lzwEncode(indices, minCodeSize)
+    var o = 0
+    while (o < lzw.length) {
+      val n = math.min(255, lzw.length - o)
+      out.write(n); out.write(lzw, o, n)
+      o += n
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF decode — logical-screen + color-table walk + pure-JVM
+    * LZW (~100 lines, no codec library): returns (width, height, RGB
+    * row-major top-down) for the first full-frame non-interlaced
+    * image, or None for anything else / any corrupt stream (bad
+    * magic, missing color table, lying sub-block lengths, bad LZW
+    * codes — all bounds-guarded, never throws, never spins).
+    */
+  def gifPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 13) return None
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF89a" && magic != "GIF87a") return None
+    val w = leU16(b, 6); val h = leU16(b, 8)
+    val flags = b(10) & 0xff
+    if ((flags & 0x80) == 0) return None // no global color table
+    val gctSize = 1 << ((flags & 7) + 1)
+    var i = 13L
+    if (i + 3L * gctSize > b.length) return None
+    val gctOff = i.toInt
+    i += 3L * gctSize
+    if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) return None
+    // block walk to the first image descriptor
+    while (i < b.length) {
+      (b(i.toInt) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          var sub = if (i < b.length) b(i.toInt) & 0xff else -1
+          while (sub > 0) {
+            i += 1 + sub
+            sub = if (i < b.length) b(i.toInt) & 0xff else -1
+          }
+          if (sub < 0) return None
+          i += 1 // 0 terminator
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val left = leU16(b, i.toInt + 1); val top = leU16(b, i.toInt + 3)
+          val iw = leU16(b, i.toInt + 5); val ih = leU16(b, i.toInt + 7)
+          val iFlags = b(i.toInt + 9) & 0xff
+          // full-frame, non-interlaced, global-table images only (all
+          // this engine emits); anything else refuses rather than
+          // mis-decoding
+          if (left != 0 || top != 0 || iw != w || ih != h ||
+            (iFlags & 0x80) != 0 || (iFlags & 0x40) != 0) return None
+          i += 10
+          if (i >= b.length) return None
+          val minCodeSize = b(i.toInt) & 0xff
+          i += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          var sub = if (i < b.length) b(i.toInt) & 0xff else -1
+          while (sub > 0) {
+            if (i + 1 + sub > b.length) return None
+            lzw.write(b, i.toInt + 1, sub)
+            i += 1 + sub
+            sub = if (i < b.length) b(i.toInt) & 0xff else -1
+          }
+          if (sub < 0) return None
+          return lzwDecode(lzw.toByteArray, minCodeSize, w * h).flatMap { idx =>
+            val rgb = new Array[Byte](3 * w * h)
+            var p = 0
+            while (p < w * h) {
+              val ci = idx(p) & 0xff
+              if (ci >= gctSize) return None
+              rgb(3 * p) = b(gctOff + 3 * ci)
+              rgb(3 * p + 1) = b(gctOff + 3 * ci + 1)
+              rgb(3 * p + 2) = b(gctOff + 3 * ci + 2)
+              p += 1
+            }
+            Some((w, h, rgb))
+          }
+        case 0x3b => return None // trailer before any image
+        case _ => return None    // unknown block: corrupt
+      }
+    }
+    None
+  }
+
   /** Audio feature vector from true PCM samples: [n_samples, mean,
     * rms, min, max, zero_crossings, per-segment RMS × (dim−6)].
     */
@@ -425,21 +910,22 @@ object Multimodal {
     out
   }
 
-  /** Content features for one payload: REAL statistics for the
-    * codec-free formats (WAV PCM / BMP / PPM), the deterministic stub
-    * for compressed-content formats (PNG/JPEG/GIF).
+  /** Content features for one payload: REAL statistics for WAV PCM /
+    * BMP / PPM / PNG / GIF, the deterministic stub only for JPEG.
     */
   private[operators] def contentFeatures(payload: Array[Byte], dim: Int): Array[Float] =
     wavSamples(payload).map { case (_, _, samples) => audioFeatures(samples, dim) }
       .orElse(bmpPixels(payload).map { case (w, h, rgb) => imageFeatures(w, h, rgb, dim) })
       .orElse(ppmPixels(payload).map { case (w, h, rgb) => imageFeatures(w, h, rgb, dim) })
+      .orElse(pngPixels(payload).map { case (w, h, rgb) => imageFeatures(w, h, rgb, dim) })
+      .orElse(gifPixels(payload).map { case (w, h, rgb) => imageFeatures(w, h, rgb, dim) })
       .getOrElse(stubDecode(payload, dim))
 
   /** Feature extraction over binary payloads. Partition-preserving
     * mapPartitions (one decoder init per partition — the shape a real
     * codec needs); fixed `dim`-float feature vector per record. WAV /
-    * BMP / PPM payloads decode for REAL (see [[contentFeatures]]);
-    * compressed formats use the stub.
+    * BMP / PPM / PNG / GIF payloads decode for REAL (see
+    * [[contentFeatures]]); only JPEG uses the stub.
     */
   def decodeFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     require(dim >= 6,
@@ -459,7 +945,8 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for a compressed-content decoder: derives
+  /** Deterministic stand-in for a JPEG decoder (the one format whose
+    * DCT/Huffman pipeline genuinely needs a codec library): derives
     * `dim` floats from the payload bytes. Replace with a real codec
     * on-cluster.
     */

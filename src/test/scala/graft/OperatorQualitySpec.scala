@@ -284,6 +284,80 @@ class OperatorQualitySpec extends AnyFunSuite {
     }.getMessage.contains("at least 6"))
   }
 
+  test("PNG content decode is real and bit-exact on planted pixels (JDK Inflater)") {
+    // 5x7 forces every scanline filter type 0..4 through the reversal
+    // path (pngBytes cycles the filter by row); planted bytes must
+    // survive filter → deflate → inflate → unfilter EXACTLY
+    def rgba(x: Int, y: Int) = ((x * 40 + y) % 256, (y * 35 + x) % 256, (x * 11 + y * 23) % 256, (x + y * 50) % 256)
+    val rgbPng = Multimodal.pngBytes(5, 7, hasAlpha = false, rgba _)
+    val (w1, h1, p1) = Multimodal.pngPixels(rgbPng).get
+    assert(w1 == 5 && h1 == 7)
+    val expected = for (y <- 0 until 7; x <- 0 until 5; c <- 0 until 3)
+      yield Seq(rgba(x, y)._1, rgba(x, y)._2, rgba(x, y)._3)(c)
+    assert(p1.map(_ & 0xff).toSeq == expected)
+    // RGBA: same RGB planes read back, alpha plane dropped
+    val rgbaPng = Multimodal.pngBytes(5, 7, hasAlpha = true, rgba _)
+    val (_, _, p2) = Multimodal.pngPixels(rgbaPng).get
+    assert(p2.toSeq == p1.toSeq)
+    // trailing garbage after IEND is ignored (attachMedia appends text)
+    assert(Multimodal.pngPixels(rgbPng ++ "trailing doc text".getBytes).get._3.toSeq == p1.toSeq)
+    // corrupt streams refuse instead of mis-decoding or throwing:
+    assert(Multimodal.pngPixels("notapng".getBytes).isEmpty)
+    val badMagic = rgbPng.clone(); badMagic(1) = 'Q'
+    assert(Multimodal.pngPixels(badMagic).isEmpty)
+    // flip a byte inside the IDAT zlib body → DataFormatException path
+    val badZlib = rgbPng.clone(); badZlib(8 + 25 + 8 + 4) = (badZlib(8 + 25 + 8 + 4) ^ 0x55).toByte
+    assert(Multimodal.pngPixels(badZlib).isEmpty)
+    // truncated mid-IDAT → stalled-inflater path
+    assert(Multimodal.pngPixels(rgbPng.take(rgbPng.length - 20)).isEmpty)
+    // lying chunk length (0x7FFFFFFF) → Long-guarded walk refuses
+    val badLen = rgbPng.clone(); badLen(8 + 25) = 0x7f.toByte
+    assert(Multimodal.pngPixels(badLen).isEmpty)
+    // 16-bit depth / palette color / interlace all refuse up front
+    val deep = rgbPng.clone(); deep(8 + 8 + 8) = 16
+    assert(Multimodal.pngPixels(deep).isEmpty)
+  }
+
+  test("GIF content decode is real: LZW round-trip, KwKwK, dict reset") {
+    val palette = Array((10, 20, 30), (40, 50, 60), (200, 210, 220), (5, 6, 7))
+    // pattern with immediate repeats → exercises the KwKwK decode case
+    def idx(x: Int, y: Int) = (x / 2 + y) % 4
+    val gif = Multimodal.gifBytes(9, 6, palette, idx _)
+    val (w, h, rgb) = Multimodal.gifPixels(gif).get
+    assert(w == 9 && h == 6)
+    for (y <- 0 until 6; x <- 0 until 9) {
+      val (r, g, b) = palette(idx(x, y))
+      val base = 3 * (y * 9 + x)
+      assert((rgb(base) & 0xff) == r && (rgb(base + 1) & 0xff) == g && (rgb(base + 2) & 0xff) == b,
+        s"pixel ($x,$y)")
+    }
+    // a noisy 128x128 image over 8 colors: >4096 distinct strings →
+    // the 12-bit dict fills, the encoder emits CLEAR mid-stream and
+    // both sides must reset in lockstep
+    val pal8 = Array.tabulate(8)(c => (c * 30, 255 - c * 30, c * 13))
+    def noisy(x: Int, y: Int) = ((x * 2654435761L + y * 40503L) >>> 13).toInt % 8
+    val big = Multimodal.gifBytes(128, 128, pal8, noisy _)
+    val (bw, bh, brgb) = Multimodal.gifPixels(big).get
+    assert(bw == 128 && bh == 128)
+    for (p <- Seq(0, 5000, 16383)) {
+      val (r, g, b) = pal8(noisy(p % 128, p / 128))
+      assert((brgb(3 * p) & 0xff, brgb(3 * p + 1) & 0xff, brgb(3 * p + 2) & 0xff) == ((r, g, b)), s"pixel $p")
+    }
+    // trailing doc text after the trailer is ignored
+    assert(Multimodal.gifPixels(gif ++ "tail".getBytes).get._3.toSeq == rgb.toSeq)
+    // corrupt streams refuse: bad magic, missing color table,
+    // truncated sub-blocks, out-of-range LZW codes
+    assert(Multimodal.gifPixels("GIF90a".getBytes ++ gif.drop(6)).isEmpty)
+    val noGct = gif.clone(); noGct(10) = (noGct(10) & 0x7f).toByte
+    assert(Multimodal.gifPixels(noGct).isEmpty)
+    assert(Multimodal.gifPixels(gif.take(gif.length - 6)).isEmpty)
+    val badLzw = gif.clone()
+    // all-ones byte mid-LZW-stream produces out-of-range codes
+    badLzw(13 + 12 + 10 + 1 + 1 + 2) = 0xff.toByte
+    assert(Multimodal.gifPixels(badLzw).isEmpty ||
+      Multimodal.gifPixels(badLzw).get._3.length == 3 * 9 * 6) // either refused or still structurally sound
+  }
+
   test("decodeFeatures routes codec-free payloads to the real decoders") {
     val media = Multimodal.attachMedia(t)
     val feats = Multimodal.decodeFeatures(media).collect()
@@ -296,11 +370,14 @@ class OperatorQualitySpec extends AnyFunSuite {
         val n = 120 + (r.doc_id % 4).toInt * 40
         assert(f(0) == n.toFloat, s"doc ${r.doc_id}: expected $n samples, got ${f(0)}")
         assert(Multimodal.wavSamples(r.payload).get._3.length == n)
-      } else if (Multimodal.bmpPixels(r.payload).isDefined) {
-        // real pixel statistics: features 0/1 are the true dims
+      } else if (Multimodal.bmpPixels(r.payload).isDefined ||
+        Multimodal.pngPixels(r.payload).isDefined ||
+        Multimodal.gifPixels(r.payload).isDefined) {
+        // real pixel statistics (BMP, PNG, GIF all decode for real):
+        // features 0/1 are the true dims
         assert(f(0) == r.width.toFloat && f(1) == r.height.toFloat)
       } else {
-        // compressed formats stay on the deterministic stub ∈ [0,1]
+        // JPEG stays on the deterministic stub ∈ [0,1]
         assert(f.forall(v => v >= 0f && v <= 1f))
       }
     }
