@@ -335,9 +335,11 @@ object Ops {
     * maintenance path: `prepare(A).absorb(B)` equals `prepare(A ∪ B)`
     * row-for-row and scalar-for-scalar WITHOUT re-tokenizing or
     * re-aggregating A. Costs: the increment's own census (tf/dl/df),
-    * one broadcast-join pass over the old postings to bump the
-    * denormalized per-term df for terms the increment touches (the
-    * price of the norms-in-postings layout — map-side, no shuffle),
+    * one join pass over the old postings to bump the denormalized
+    * per-term df for terms the increment touches (the price of the
+    * norms-in-postings layout; the df frame is vocabulary-sized so
+    * it carries no broadcast hint — AQE picks broadcast only when
+    * the increment's vocabulary is actually small),
     * and one disjointness-guard pass (increment doc ids must be NEW:
     * absorbing a re-submitted doc would double-count df/dl, so it
     * fails fast instead). `nDocs`/`sumDl` add exactly (both Longs);
@@ -359,21 +361,30 @@ object Ops {
     require(clash == 0L,
       "absorbBm25: increment contains doc ids already in the index — " +
         "absorb models corpus growth; re-prepare to replace documents")
-    // old postings: bump df where the increment re-uses a term
-    val updatedOld = idx.postings.join(broadcast(dfB), Seq("__w"), "left")
+    // old postings: bump df where the increment re-uses a term.
+    // dfB/dfAforB are VOCABULARY-sized (a bulk absorb's term census
+    // approaches the full corpus vocabulary), so they carry NO
+    // broadcast hint — AQE decides, exactly the q48 df-table rule
+    // (a forced hint OOMs at corpus scale)
+    val updatedOld = idx.postings.join(dfB, Seq("__w"), "left")
       .withColumn("__df", col("__df") + coalesce(col("__dfb"), lit(0L)))
       .drop("__dfb")
     // increment postings: df = increment df + old df (terms ∩ index)
     val dfAforB = idx.postings
-      .join(broadcast(dfB.select(col("__w"))), Seq("__w"), "left_semi")
+      .join(dfB.select(col("__w")), Seq("__w"), "left_semi")
       .select(col("__w"), col("__df").as("__dfa")).distinct()
     val newRows = tfB.join(dlB, Seq(id))
-      .join(broadcast(dfB), Seq("__w"))
-      .join(broadcast(dfAforB), Seq("__w"), "left")
+      .join(dfB, Seq("__w"))
+      .join(dfAforB, Seq("__w"), "left")
       .withColumn("__df", col("__dfb") + coalesce(col("__dfa"), lit(0L)))
       .select(idx.postings.columns.map(col): _*)
-    val postings = updatedOld.select(idx.postings.columns.map(col): _*)
-      .unionByName(newRows)
+    // lineage break on the MERGED postings (not just the increment
+    // legs): absorb rewrites the old postings in place via a join, so
+    // chained absorbs — the rolling-corpus use case — would otherwise
+    // stack a join layer per round, the exact failure mode the
+    // iterative-lineage rule (q46) exists to prevent
+    val postings = ckp(updatedOld.select(idx.postings.columns.map(col): _*)
+      .unionByName(newRows))
     val rowB = dlB.agg(count(lit(1)), coalesce(sum(col("__dl")), lit(0L))).collect()(0)
     val n = idx.nDocs + rowB.getLong(0)
     val sumDl = idx.sumDl + rowB.getLong(1)

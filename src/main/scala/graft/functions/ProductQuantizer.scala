@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * hash both engines compute), and every distance is a sequential
   * left fold from 0.0 — the [[Hyperplanes]] discipline — so encode,
   * distance tables and ADC folds are bit-identical on any IEEE
-  * engine, which is what lets q91 stay hash-oracle-checked. A
-  * production deployment would train the codebooks with k-means per
-  * subspace ([[graft.operators.Vectors.kmeansCentroids]] on sliced
-  * columns) exactly as it trains the IVF quantizer; the operator is
-  * codebook-agnostic.
+  * engine, which is what lets q91 stay hash-oracle-checked. For
+  * production quality, train the codebooks IN-ENGINE with
+  * [[graft.operators.Vectors.trainPqCodebooks]] (per-subspace
+  * Lloyd's k-means, all m subspaces in one corpus scan per
+  * iteration) and pass them through the `codebooks` parameter —
+  * the operator is codebook-agnostic.
   */
 object ProductQuantizer {
 

@@ -315,6 +315,84 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vid"), col("adc_dist"))
   }
 
+  /** The IVF-PQ index as a standard prepared artifact (the
+    * PreparedBm25/PreparedVecCatalog discipline): the coded frame
+    * plus EVERYTHING that pins the coding — the centroid set
+    * (checkpointed, so cell assignment can never drift between
+    * prepare, absorb and search) and the codebooks — with the
+    * `reliable` flag the streaming entry requires.
+    *
+    * Rolling vector corpora are the use case for a 32×-compressed
+    * index: [[absorb]] encodes ONLY the increment (per-row codes —
+    * no cross-row state, so absorb = encode + union, the cheapest
+    * absorb in the engine) and `prepare(A).absorb(B)` ≡
+    * `prepare(A ∪ B)` row-for-row (spec-pinned in AbsorbSpec).
+    */
+  final case class PreparedIvfPq private[graft] (
+      codes: DataFrame, centroids: DataFrame, id: String,
+      dim: Int, m: Int, ks: Int, seed: String, scale: Double,
+      codebooks: Array[Array[Array[Double]]],
+      maxLiteralCentroids: Int, reliable: Boolean) {
+
+    /** Absorb a corpus increment (ids disjoint from the index —
+      * enforced: a re-submitted id would duplicate its code row):
+      * the increment encodes under the SAME pinned centroids and
+      * codebooks, its code leg is lineage-broken, and the frames
+      * union per-row — the existing codes are never rescanned.
+      */
+    def absorb(increment: DataFrame, emb: String,
+               checkpointDir: Option[String] = None): PreparedIvfPq = {
+      val ckp = graft.api.Ops.lineageBreaker(checkpointDir)
+      val clash = codes.select(col(id))
+        .join(broadcast(increment.select(col(id)).distinct()), Seq(id), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "PreparedIvfPq.absorb: increment contains ids already in the index — " +
+          "absorb models corpus growth; re-prepare to replace rows")
+      val incCodes = ckp(prepareIvfPq(increment, centroids, id, emb, "cid", "ce",
+        dim, m, ks, seed, scale, Some(codebooks), maxLiteralCentroids))
+      copy(codes = codes.unionByName(incCodes),
+        reliable = reliable && checkpointDir.isDefined)
+    }
+
+    /** ADC top-k for a query frame against this index —
+      * [[ivfPqTopKAgainst]] under the pinned centroids/codebooks.
+      * Returns (qid, rank, vid, adc_dist).
+      */
+    def topK(queries: DataFrame, queryId: String, queryEmb: String,
+             k: Int = 10, nprobe: Int = 2): DataFrame =
+      ivfPqTopKAgainst(codes, queries, centroids, id, queryId, queryEmb,
+        "cid", "ce", dim, m, ks, k, nprobe, seed, scale, Some(codebooks),
+        maxLiteralCentroids)
+  }
+
+  /** Build a [[PreparedIvfPq]]; `checkpointDir` selects reliable
+    * checkpoints (cluster/streaming mode) for the coded frame and the
+    * pinned centroid set. Pass `codebooks =
+    * Some(Vectors.trainPqCodebooks(...))` for trained quantization;
+    * the default is the portable σ-scaled grid.
+    */
+  def prepareIvfPqIndex(corpus: DataFrame, centroids: DataFrame,
+                        id: String, emb: String,
+                        centroidId: String, centroidEmb: String,
+                        dim: Int, m: Int = 8, ks: Int = 16,
+                        seed: String = "7", scale: Double = 0.125,
+                        codebooks: Option[Array[Array[Array[Double]]]] = None,
+                        maxLiteralCentroids: Int = 4096,
+                        checkpointDir: Option[String] = None): PreparedIvfPq = {
+    require(m >= 1 && dim % m == 0, s"prepareIvfPqIndex: dim=$dim must divide into m=$m subspaces")
+    val ckp = graft.api.Ops.lineageBreaker(checkpointDir)
+    val cdf = ckp(centroids
+      .select(col(centroidId).cast("long").as("cid"),
+        col(centroidEmb).cast("array<double>").as("ce")))
+    val cbs = codebooks.getOrElse(
+      graft.functions.ProductQuantizer.codebooks(m, ks, dim / m, seed, scale))
+    val codes = ckp(prepareIvfPq(corpus, cdf, id, emb, "cid", "ce",
+      dim, m, ks, seed, scale, Some(cbs), maxLiteralCentroids))
+    PreparedIvfPq(codes, cdf, id, dim, m, ks, seed, scale, cbs,
+      maxLiteralCentroids, checkpointDir.isDefined)
+  }
+
   /** One-shot IVF-PQ: prepare the index inline and search it —
     * [[prepareIvfPq]] + [[ivfPqTopKAgainst]].
     */

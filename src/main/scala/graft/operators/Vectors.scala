@@ -128,6 +128,88 @@ object Vectors {
     result.orderBy(col("cid"))
   }
 
+  /** In-engine PQ codebook trainer — per-subspace Lloyd's k-means,
+    * ALL m subspaces trained in ONE corpus scan per iteration (not m
+    * separate jobs): each vector explodes into its m (subspace,
+    * sub-vector) slices, assignment is a codegen'd literal argmin
+    * over that subspace's current centroids (`element_at` into an
+    * m-entry nested literal — map-side, zero shuffle), and
+    * re-centering is one (s, cid, pos) map-combinable shuffle with
+    * decimal accumulation, so the trained codebooks are identical
+    * under any partitioning. Driver traffic per iteration is the
+    * m·ks centroid rows (bounded: production 8×256 = 2048 rows —
+    * the kmeansCentroids literal-regime discipline; the literal
+    * budget guard keeps m·ks ≤ `maxLiteralCentroids`).
+    *
+    * Seeds are the slices of the ks lowest-id vectors (deterministic,
+    * like [[kmeansCentroids]]); an empty cluster keeps its previous
+    * centroid so every subspace always has EXACTLY ks entries —
+    * PQ codes are indices 0..ks−1 and must stay dense.
+    *
+    * Returns codebooks(s)(j)(d) in the exact shape
+    * [[graft.functions.ProductQuantizer.encode]] /
+    * [[Similarity.prepareIvfPq]] / `pqTopK` accept, closing the loop
+    * ProductQuantizer.scala documents ("production would train the
+    * codebooks with k-means per subspace").
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, embCol: String,
+                       dim: Int, m: Int, ks: Int, iters: Int = 5,
+                       checkpointDir: Option[String] = None,
+                       maxLiteralCentroids: Int = 4096): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"trainPqCodebooks: dim=$dim must divide into m=$m subspaces")
+    require(ks >= 1 && iters >= 1, s"trainPqCodebooks: ks=$ks, iters=$iters must be positive")
+    require(m * ks <= maxLiteralCentroids,
+      s"trainPqCodebooks: m*ks=${m * ks} exceeds the literal budget " +
+        s"($maxLiteralCentroids) — the assignment literal would bloat the plan; " +
+        "lower ks or train subspaces in batches")
+    val subDim = dim / m
+    val ckp = graft.api.Ops.lineageBreaker(checkpointDir)
+    // ONE exploded frame reused every iteration: (s, sub-vector)
+    val subs = ckp(corpus
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+      .select(posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * subDim + 1, subDim)): _*)).as(Seq("s", "sub"))))
+    // seeds: the ks lowest-id vectors, sliced per subspace (bounded
+    // collect — ks rows)
+    val seedRows = corpus
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(ks)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(seedRows.nonEmpty, "trainPqCodebooks: empty corpus")
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m, ks) { (s, j) =>
+      // fewer corpus rows than ks: cycle the seeds (clusters collapse
+      // but the codebook stays dense)
+      val v = seedRows(j % seedRows.length)
+      java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim)
+    }
+    for (_ <- 1 to iters) {
+      // nested literal: centLit(s+1) = that subspace's (cid, c) array
+      val centLit = array((0 until m).map(s => array((0 until ks).map(j =>
+        struct(lit(j).as("cid"), array(cents(s)(j).map(lit): _*).as("c"))): _*)): _*)
+      // per-row argmin over the row's OWN subspace; ties break on cid
+      // (array_min orders structs field-by-field) — the kmeansCentroids
+      // fold exactly
+      val best = array_min(transform(element_at(centLit, col("s") + 1), ct => struct(
+        aggregate(zip_with(col("sub"), ct.getField("c"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e).as("d2"),
+        ct.getField("cid").as("cid"))))
+      val updated = subs
+        .select(col("s"), best.getField("cid").as("cid"), posexplode(col("sub")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,12)")).cast("double") / count(lit(1))).as("mn"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          e => e("mn")).as("c"))
+        .collect() // bounded: ≤ m·ks rows ≤ maxLiteralCentroids
+      updated.foreach { r =>
+        cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      // clusters absent from `updated` (emptied this round) keep their
+      // previous centroid — the codebook stays dense
+    }
+    cents
+  }
+
   /** q43: HyperLogLog approximate distinct counts — built on the
     * PORTABLE register-based HLL
     * ([[graft.api.Ops.GraftDataFrameOps.hllDistinct]], p=12) instead

@@ -454,6 +454,30 @@ object Streams {
       .start()
   }
 
+  /** ADC-rank a QUERY stream of embeddings against a once-prepared
+    * IVF-PQ index ([[graft.operators.Similarity.prepareIvfPqIndex]])
+    * — live semantic search over the 32×-compressed codes, the
+    * [[bm25TopKStream]] shape: per-trigger cost is the trigger's own
+    * cell routing + distance tables broadcast onto the frozen coded
+    * frame (equi join on `cell` — the corpus side never reshuffles,
+    * never re-encodes). Reliable prep required, same reasoning as
+    * [[bm25TopKStream]]: the index outlives any one executor.
+    */
+  def ivfPqTopKStream(queries: DataFrame, queryId: String, queryEmb: String,
+                      index: graft.operators.Similarity.PreparedIvfPq,
+                      k: Int = 10, nprobe: Int = 2)(
+                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(index.reliable,
+      "ivfPqTopKStream needs a PreparedIvfPq built with a reliable checkpointDir " +
+        "(prepareIvfPqIndex(..., checkpointDir = Some(dir)))")
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(index.topK(batch, queryId, queryEmb, k, nprobe))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   final case class Doc(doc_id: Long, n_tokens: Long)
   final case class PackedDoc(doc_id: Long, shard: Long, start_offset: Long, pack_id: Long)
 

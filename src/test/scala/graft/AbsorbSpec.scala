@@ -50,6 +50,23 @@ class AbsorbSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already in the index"))
   }
 
+  test("chained absorbBm25 keeps the postings plan flat (lineage broken per round)") {
+    // the rolling-corpus use case: without the merged-postings lineage
+    // break every absorb would stack one more join layer on the plan
+    val parts = (0 to 3).map(r => corpus.filter(col("doc_id") % 4 === r))
+    var idx = Ops.prepareBm25(parts(0), "doc_id", "text")
+    val depths = (1 to 3).map { r =>
+      idx = idx.absorb(parts(r), "text")
+      idx.postings.queryExecution.optimizedPlan.treeString.linesIterator.size
+    }
+    assert(depths.distinct.size == 1,
+      s"postings plan must not grow across chained absorbs: $depths")
+    // and the chain still equals the one-shot prepare
+    val full = Ops.prepareBm25(corpus, "doc_id", "text")
+    assertSameRows(idx.postings, full.postings, "chained bm25 postings")
+    assert(idx.nDocs == full.nDocs && idx.sumDl == full.sumDl && idx.avgdl == full.avgdl)
+  }
+
   test("PreparedEditIndex.absorb ≡ prepareEditIndex over the union") {
     import spark.implicits._
     val mk = (r: Range, tag: String) =>
@@ -94,6 +111,32 @@ class AbsorbSpec extends AnyFunSuite {
     // re-submitted ids fail fast instead of duplicating code rows
     val e = intercept[IllegalArgumentException] { full.absorb(a.limit(1), "emb") }
     assert(e.getMessage.contains("already in the catalog"))
+  }
+
+  test("PreparedIvfPq.absorb ≡ prepareIvfPqIndex over the union") {
+    import graft.operators.Similarity
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding").as("emb")).limit(200).cache()
+    val a = vecs.filter(col("vec_id") % 2 === 0)
+    val b = vecs.filter(col("vec_id") % 2 === 1)
+    val centroids = t.embeddings
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    def prep(df: DataFrame) = Similarity.prepareIvfPqIndex(df, centroids,
+      id = "vec_id", emb = "emb", centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 64, m = 8, ks = 16)
+    val full = prep(vecs)
+    val absorbed = prep(a).absorb(b, "emb")
+    assertSameRows(absorbed.codes, full.codes, "ivf-pq codes")
+    // downstream search equality: same queries, same rankings
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid2"), col("embedding").as("qemb"))
+    assertSameRows(
+      absorbed.topK(queries, "qid2", "qemb", k = 10, nprobe = 2),
+      full.topK(queries, "qid2", "qemb", k = 10, nprobe = 2),
+      "ivf-pq top-k")
+    // re-submitted ids fail fast instead of duplicating code rows
+    val e = intercept[IllegalArgumentException] { full.absorb(a.limit(1), "emb") }
+    assert(e.getMessage.contains("already in the index"))
   }
 
   test("PreparedCatalog.absorb ≡ prepareCatalog over the union; overlapping fingerprints stay distinct") {

@@ -732,6 +732,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopKStream ranks embedding-query triggers against the frozen coded index, matching batch") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // tiny deterministic corpus: dim 8, two loose clusters
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 7 + d * 3).abs + (if (seed % 2 == 0) 1.0 else 0.0))
+    val corpus = (0L until 30L).map(i => (i, vec(i.toInt))).toDF("vec_id", "emb")
+    val centroids = Seq((100L, vec(0)), (101L, vec(1)))
+      .toDF("centroid_id", "cent_emb")
+    val unreliable = Similarity.prepareIvfPqIndex(corpus, centroids,
+      id = "vec_id", emb = "emb", centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 8, m = 4, ks = 4)
+    val rejected = intercept[IllegalArgumentException] {
+      Streams.ivfPqTopKStream(corpus.toDF("qid", "qemb"), "qid", "qemb", unreliable)(_ => ())
+    }
+    assert(rejected.getMessage.contains("checkpointDir"))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ck").toString
+    val idx = Similarity.prepareIvfPqIndex(corpus, centroids,
+      id = "vec_id", emb = "emb", centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 8, m = 4, ks = 4, checkpointDir = Some(ckDir))
+    val incoming = (50L until 54L).map(i => (i, vec(i.toInt)))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    stream.addData(incoming.take(2))
+    val query = Streams.ivfPqTopKStream(stream.toDF().toDF("qid", "qemb"),
+      "qid", "qemb", idx, k = 5, nprobe = 2)(
+      batch => batch.write.mode("append").saveAsTable("ivfpq_out"))
+    try {
+      query.processAllAvailable()
+      stream.addData(incoming.drop(2))
+      query.processAllAvailable()
+      val streamed = spark.table("ivfpq_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      val batch = idx.topK(incoming.toDF("qid", "qemb"), "qid", "qemb", k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed == batch,
+        "per-trigger IVF-PQ rankings must equal the batch search against the same index")
+      assert(streamed.nonEmpty)
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS ivfpq_out")
+    }
+  }
+
   test("capVocabStream and ngramCoverageStream run triggers against frozen prep, matching batch") {
     import spark.implicits._
     import graft.api.Ops._
