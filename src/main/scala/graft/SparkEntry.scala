@@ -127,6 +127,7 @@ object SparkEntry {
     "q105_funnel_windowed" -> q(Temporal.q105),
     "q106_pagerank_dangling" -> q(Extended.q106),
     "q107_bpe_encode"     -> q(Bpe.q107),
+    "q108_quantile_sketch" -> q(Extended.q108),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2115,6 +2116,38 @@ object SparkEntry {
          |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM sc) AS rank FROM nodes),
          |$iterate
          |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // the q108 quantile-sketch replay: fixed-width integer-bucket
+    // census (floor of an IEEE double division — exact in both
+    // engines), per-group cumulative, nearest-rank ceil(q·n) pick,
+    // bucket-midpoint estimate. The quantile literals CAST to DOUBLE:
+    // DuckDB parses 0.95 as DECIMAL and decimal·n would round
+    // differently from Spark's double product at ceil boundaries.
+    "q108_quantile_sketch" -> {
+      def census(pre: String, valueCol: String, width: String) =
+        s"""${pre}r AS (
+           |  SELECT l_returnflag AS g,
+           |         CAST(floor(CAST($valueCol AS DOUBLE) / $width) AS BIGINT) AS b,
+           |         COUNT(*) AS n
+           |  FROM lineitem GROUP BY 1, 2),
+           |${pre}c AS (
+           |  SELECT g, b, SUM(n) OVER (PARTITION BY g ORDER BY b) AS cum,
+           |         SUM(n) OVER (PARTITION BY g) AS tot FROM ${pre}r),
+           |${pre}q AS (
+           |  SELECT g,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b50,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.95 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b95
+           |  FROM ${pre}c GROUP BY g)""".stripMargin
+      s"""WITH ${census("q", "l_quantity", "1.0")},
+         |${census("p", "l_extendedprice", "64.0")}
+         |SELECT qq.g AS l_returnflag,
+         |  (CAST(qq.b50 AS DOUBLE) + 0.5) * 1.0 AS p50_qty,
+         |  (CAST(qq.b95 AS DOUBLE) + 0.5) * 1.0 AS p95_qty,
+         |  (CAST(pq.b50 AS DOUBLE) + 0.5) * 64.0 AS p50_price,
+         |  (CAST(pq.b95 AS DOUBLE) + 0.5) * 64.0 AS p95_price
+         |FROM qq JOIN pq ON pq.g = qq.g
+         |ORDER BY 1""".stripMargin
     },
   )
 

@@ -1055,6 +1055,73 @@ object Ops {
       .select((gcols :+ col(out)): _*)
   }
 
+  /** Portable quantile-sketch register table — the PERCENTILE sibling
+    * of [[hllRegisters]]: one row per (group, bucket) with the
+    * bucket's row count, bucket = floor(value / bucketWidth). Counts
+    * ADD where HLL registers max, so the merge ([[
+    * quantileMergeRegisters]] — union + sum) yields EXACTLY the
+    * register table of the union corpus, row-for-row: sketch-table
+    * absorption carries no additional error at all (spec-pinned as
+    * equality). The census arithmetic is one IEEE division + floor —
+    * both exactly specified, so the registers replay bit-for-bit in
+    * any engine (q108's DuckDB oracle does); pick a `bucketWidth`
+    * exactly representable as a double (powers of two ideally) so
+    * the division itself is exact scaling. One map-combinable
+    * (group, bucket) shuffle; memory per group = occupied buckets =
+    * value range / bucketWidth — the resolution knob.
+    */
+  def quantileRegisters(df: DataFrame, group: Seq[String], value: Column,
+                        bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0 && java.lang.Double.isFinite(bucketWidth),
+      s"quantileRegisters: bucketWidth must be positive and finite (got $bucketWidth)")
+    val gcols = group.map(col)
+    df.filter(value.isNotNull)
+      .select((gcols :+ floor(value.cast("double") / lit(bucketWidth))
+        .cast("long").as("__qbkt")): _*)
+      .groupBy((gcols :+ col("__qbkt")): _*)
+      .agg(count(lit(1)).as("__qn"))
+  }
+
+  /** Sum-merge register tables ([[quantileRegisters]]) — the EXACT
+    * sketch union: `merge(registers(A), registers(B))` equals
+    * `registers(A ∪ B)` row-for-row (counts are additive).
+    */
+  def quantileMergeRegisters(group: Seq[String], tables: DataFrame*): DataFrame = {
+    require(tables.nonEmpty, "quantileMergeRegisters: need at least one register table")
+    tables.reduce(_ unionByName _)
+      .groupBy((group.map(col) :+ col("__qbkt")): _*)
+      .agg(sum(col("__qn")).as("__qn"))
+  }
+
+  /** The estimate half: nearest-rank quantiles off the bucket census.
+    * For each requested (name, q) the estimate is the MIDPOINT of the
+    * first bucket whose cumulative count reaches ceil(q·n) — within
+    * bucketWidth/2 of the exact nearest-rank quantile by
+    * construction (spec-pinned bound). The per-group cumulative
+    * window sorts only that group's occupied buckets (≤ range/width
+    * rows — resolution-bounded, never corpus-bounded), and every
+    * step (ceil on a double product, long compares, the midpoint
+    * arithmetic) replays identically in the oracle.
+    */
+  def quantileFromRegisters(regs: DataFrame, group: Seq[String],
+                            bucketWidth: Double,
+                            quantiles: Seq[(String, Double)]): DataFrame = {
+    require(quantiles.nonEmpty, "quantileFromRegisters: need at least one quantile")
+    quantiles.foreach { case (n, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantileFromRegisters: $n=$q must be in (0, 1]") }
+    val gcols = group.map(col)
+    val cumW = Window.partitionBy(gcols: _*).orderBy(col("__qbkt"))
+    val totW = Window.partitionBy(gcols: _*)
+    val cum = regs
+      .withColumn("__cum", sum(col("__qn")).over(cumW))
+      .withColumn("__tot", sum(col("__qn")).over(totW))
+    val aggs = quantiles.map { case (name, q) =>
+      ((min(when(col("__cum") >= ceil(lit(q) * col("__tot")), col("__qbkt")))
+        .cast("double") + lit(0.5)) * lit(bucketWidth)).as(name)
+    }
+    cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Integer PageRank over an edge list — the link-graph QUALITY
     * signal web-corpus curation pipelines compute for seed selection
     * and crawl prioritization (the public CCNet/RefinedWeb recipes
@@ -1716,13 +1783,36 @@ object Ops {
       *    1 ulp), certified per-round by the oracle gate.
       *
       * Standard error ≈ 1.04/√m (~1.6% at the default p=12). Null
-      * values are ignored (COUNT DISTINCT semantics). Returns the
-      * group columns + `out` (BIGINT estimate).
+      * values are ignored (COUNT DISTINCT semantics) — and therefore
+      * a group whose values are ALL null has no registers and is
+      * OMITTED from the output entirely (ADVICE r10: where SQL's
+      * `COUNT(DISTINCT v) GROUP BY g` would return (g, 0)). That is
+      * this engine's convention — q43's inner joins and the sketch
+      * tables share it; left-join the estimates onto your own
+      * distinct-group frame with `coalesce(est, 0)` where the
+      * zero rows matter.
       */
     def hllDistinct(group: Seq[String], value: Column, out: String,
                     p: Int = 12): DataFrame =
       hllEstimateFromRegisters(
         hllRegisters(left, group, value, p), group, out, p)
+
+    /** PORTABLE quantile sketch per group ([[quantileRegisters]] +
+      * [[quantileFromRegisters]]): nearest-rank quantile estimates
+      * off a fixed-width integer-bucket census, each within
+      * bucketWidth/2 of the exact nearest-rank value. The registers
+      * are a MERGEABLE sketch (counts add — merge ≡ re-sketching the
+      * union EXACTLY), and every arithmetic step replays in the
+      * oracle, so q108 carries a full hash-checked row. Null values
+      * are ignored. Returns the group columns + one double column
+      * per requested quantile.
+      */
+    def quantileSketch(group: Seq[String], value: Column,
+                       bucketWidth: Double,
+                       quantiles: Seq[(String, Double)]): DataFrame =
+      quantileFromRegisters(
+        quantileRegisters(left, group, value, bucketWidth),
+        group, bucketWidth, quantiles)
 
     /** Skew-safe aggregation: pre-aggregate on (key, salt) to spread a
       * hot key over `buckets` reducers, then combine. Two shuffles,
@@ -3266,7 +3356,10 @@ object Ops {
     }
 
     /** Per-column data profile — row count, null count, approximate
-      * distinct (HLL), min/max rendered as strings, and for string
+      * distinct (HLL), min/max rendered as strings, for numeric
+      * columns deterministic p50/p95 sketches (the
+      * `portable_quantiles` adaptive power-of-two census —
+      * partitioning-invariant, ~range/4096 resolution), and for string
       * columns the exact-below-cap top-`topK` values with counts
       * ("item:cnt", comma-joined; the Misra–Gries [[topkSketch]]
       * aggregate, bounded memory) — the census a pipeline runs before
@@ -3301,13 +3394,23 @@ object Ops {
               s => concat(s.getField("item"), lit(":"), s.getField("cnt"))))
           case _ => lit(null).cast("string")
         }
+        // numeric columns additionally sketch p50/p95 through the
+        // deterministic portable_quantiles census (r11) — still the
+        // one Aggregate, adaptive power-of-two resolution so no
+        // per-column width knob is needed
+        val pq = f.dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            call_function("portable_quantiles", c.cast("double"), lit(0.5), lit(0.95))
+          case _ => lit(null).cast("array<double>")
+        }
         // the PORTABLE HLL aggregate (r10), not approx_count_distinct:
         // same single-Aggregate plan, but the estimates are the
         // engine-reproducible q43 numbers instead of Spark-private
         // HLL++ internals
         Seq(count(c).as(s"__nn_$i"),
           call_function("portable_hll", c.cast("string"), lit(12)).as(s"__ad_$i"),
-          mn.as(s"__mn_$i"), mx.as(s"__mx_$i"), tk.as(s"__tk_$i"))
+          mn.as(s"__mn_$i"), mx.as(s"__mx_$i"), tk.as(s"__tk_$i"),
+          pq.as(s"__pq_$i"))
       } :+ count(lit(1)).as("__rows")
       renamed.agg(aggs.head, aggs.tail: _*)
         .select(col("__rows"), explode(array(fields.zipWithIndex.map { case (f, i) => struct(
@@ -3317,12 +3420,14 @@ object Ops {
           col(s"__ad_$i").as("approx_distinct"),
           col(s"__mn_$i").as("min"),
           col(s"__mx_$i").as("max"),
-          col(s"__tk_$i").as("top_values")) }: _*)).as("__c"))
+          col(s"__tk_$i").as("top_values"),
+          col(s"__pq_$i").getItem(0).as("p50"),
+          col(s"__pq_$i").getItem(1).as("p95")) }: _*)).as("__c"))
         .select(col("__c.column"), col("__c.type"),
           col("__rows").as("n_rows"), col("__c.non_null"),
           (col("__rows") - col("__c.non_null")).as("n_null"),
           col("__c.approx_distinct"), col("__c.min"), col("__c.max"),
-          col("__c.top_values"))
+          col("__c.top_values"), col("__c.p50"), col("__c.p95"))
     }
 
     /** Token-window chunking — split each document into

@@ -107,6 +107,23 @@ object GraftFunctions {
     PortableHll(exprs.head, p)
   }
 
+  private[functions] def buildPortableQuantiles(exprs: Seq[Expression]): Expression = {
+    if (exprs.length < 2)
+      throw new IllegalArgumentException(
+        s"portable_quantiles(double_col, q1[, q2, ...]) requires at least 2 arguments, got ${exprs.length}")
+    val qs = exprs.tail.map { e =>
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"portable_quantiles quantiles must be double literals, got expression ${e.sql}")
+      e.eval(null) match {
+        case d: Double => d
+        case other => throw new IllegalArgumentException(
+          s"portable_quantiles quantiles must be double literals, got $other")
+      }
+    }
+    PortableQuantiles(exprs.head, qs)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => {
@@ -137,6 +154,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "portable_hll", exprs => GraftFunctions.buildPortableHll(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "portable_quantiles", exprs => GraftFunctions.buildPortableQuantiles(exprs), "built-in")
     // Spark ships distributed bloom-filter expressions for its own
     // runtime row-level filtering (InjectRuntimeFilter) but leaves
     // them out of the public function registry; surfacing them gives
@@ -212,6 +231,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[PortableHll].getName, "portable_hll"),
         (exprs: Seq[Expression]) => GraftFunctions.buildPortableHll(exprs)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("portable_quantiles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[PortableQuantiles].getName, "portable_quantiles"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildPortableQuantiles(exprs)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_normalize"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

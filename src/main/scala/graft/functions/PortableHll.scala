@@ -40,6 +40,22 @@ case class PortableHll(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
+  /** The documented cast-upstream contract, ENFORCED (ADVICE r10): a
+    * non-string child would hash `toString` of the INTERNAL
+    * representation (a date's epoch-day Int, a decimal's unscaled
+    * form), silently breaking the "exactly equals hllDistinct /
+    * DuckDB-reproducible" guarantee for SQL callers who skip the
+    * cast — fail analysis instead.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"portable_hll requires a STRING child (cast upstream so the hashed " +
+          s"text is unambiguous); got ${child.dataType.sql}")
+    }
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   /** The 60-bit seeded hash, bit-identical to

@@ -268,4 +268,27 @@ object Extended {
         redistributeDangling = true)
       .orderBy(col("node"))
   }
+
+  /** q108: portable mergeable quantile sketch
+    * ([[graft.api.Ops.GraftDataFrameOps.quantileSketch]]) — per-flag
+    * p50/p95 of lineitem quantity (width 1) and extended price
+    * (width 64, a power of two so the bucket division is exact
+    * scaling). The registers the estimates read are an ADDITIVE
+    * sketch: merging per-shard censuses IS the union census exactly
+    * (PropertySpec pins row equality; the estimate error bound vs
+    * exact nearest-rank is ≤ width/2). Every census/estimate step —
+    * floor(v/w), cumulative counts, ceil(q·n), bucket midpoint —
+    * replays bit-for-bit in the DuckDB oracle.
+    */
+  def q108(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val qty = t.lineitem.quantileSketch(Seq("l_returnflag"),
+      col("l_quantity"), bucketWidth = 1.0,
+      Seq("p50_qty" -> 0.5, "p95_qty" -> 0.95))
+    val price = t.lineitem.quantileSketch(Seq("l_returnflag"),
+      col("l_extendedprice"), bucketWidth = 64.0,
+      Seq("p50_price" -> 0.5, "p95_price" -> 0.95))
+    qty.join(price, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -157,6 +157,61 @@ class OperatorQualitySpec extends AnyFunSuite {
       s"sketch-table path $viaSketches must equal one-shot $oneShot")
   }
 
+  test("portable quantile registers: sum-merge IS the union census; estimates within width/2") {
+    import graft.api.Ops
+    val li = t.lineitem.select(col("l_returnflag"), col("l_quantity"))
+    val a = li.filter(col("l_quantity") <= 25)
+    val b = li.filter(col("l_quantity") > 25)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Ops.quantileRegisters(df, Seq("l_returnflag"), col("l_quantity"), 1.0)
+    val full = regs(li).collect().map(_.toString).sorted.toSeq
+    val merged = Ops.quantileMergeRegisters(Seq("l_returnflag"), regs(a), regs(b))
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == merged, "sum-merged shard censuses must equal the union census row-for-row")
+    // estimates vs the exact nearest-rank quantile: within width/2
+    val sketch = Ops.quantileFromRegisters(
+      Ops.quantileRegisters(li, Seq("l_returnflag"), col("l_quantity"), 1.0),
+      Seq("l_returnflag"), 1.0, Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val byFlag = li.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byFlag.foreach { case (flag, vs) =>
+      val exact50 = vs(math.ceil(0.5 * vs.length).toInt - 1)
+      val exact95 = vs(math.ceil(0.95 * vs.length).toInt - 1)
+      assert(math.abs(sketch(flag)._1 - exact50) <= 0.5, s"$flag p50")
+      assert(math.abs(sketch(flag)._2 - exact95) <= 0.5, s"$flag p95")
+    }
+  }
+
+  test("portable_quantiles aggregate: partitioning-invariant, tracks nearest-rank, magnitude-safe") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    def run(parts: Int): Seq[Double] =
+      df.repartition(parts)
+        .agg(call_function("portable_quantiles", col("v"), lit(0.5), lit(0.95)))
+        .head().getSeq[Double](0)
+    val one = run(1)
+    // deterministic final resolution ⇒ bit-identical under ANY split
+    assert(one == run(13) && one == run(32))
+    // range 99 → final width 2^-5: estimates within one bucket width
+    assert(math.abs(one(0) - 50.0) <= 0.0625, s"p50 ${one(0)}")
+    assert(math.abs(one(1) - 95.0) <= 0.0625, s"p95 ${one(1)}")
+    // huge magnitudes collapse resolution instead of overflowing
+    val wide = Seq(1e300, -1e300, 5.0).toDF("v")
+    val w = wide.agg(call_function("portable_quantiles", col("v"), lit(0.5))).head().getSeq[Double](0)
+    assert(java.lang.Double.isFinite(w(0)))
+    // all-null input yields null, NaN/Inf are ignored like nulls
+    val nn = Seq(Some(Double.NaN), None, Some(Double.PositiveInfinity), Some(2.0))
+      .toDF("v")
+      .agg(call_function("portable_quantiles", col("v"), lit(1.0))).head()
+    assert(math.abs(nn.getSeq[Double](0)(0) - 2.0) < 1e-5,
+      "non-finite values must be ignored, leaving the finite census")
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+      .agg(call_function("portable_quantiles", col("v"), lit(0.5))).head()
+    assert(allNull.isNullAt(0))
+  }
+
   test("multimodal pipeline: schema, determinism, fixed feature shape") {
     val feats = Multimodal.featurePipeline(spark, sfDir)
     assert(feats.schema.fieldNames.toSeq == Seq("doc_id", "kind", "features"))

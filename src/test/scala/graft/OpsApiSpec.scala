@@ -803,6 +803,15 @@ class OpsApiSpec extends AnyFunSuite {
     // string columns carry exact-below-cap top-k values, others null
     assert(rows("s").getAs[String]("top_values") == "a:2,b:1")
     assert(rows("v").getAs[String]("top_values") == null)
+    // numeric columns carry the portable_quantiles p50/p95 sketches:
+    // v = [0.5, 1.5, 2.5, 2.5] → nearest-rank p50 = 1.5, p95 = 2.5,
+    // each within the sketch's adaptive resolution (~range/4096 ≈
+    // 1e-3 for these tiny ranges); strings null
+    assert(math.abs(rows("v").getAs[Double]("p50") - 1.5) < 1e-3)
+    assert(math.abs(rows("v").getAs[Double]("p95") - 2.5) < 1e-3)
+    assert(math.abs(rows("id").getAs[Double]("p50") - 2.0) < 1e-3)
+    assert(math.abs(rows("id").getAs[Double]("p95") - 4.0) < 1e-3)
+    assert(rows("s").isNullAt(rows("s").fieldIndex("p50")))
     // ONE aggregate pass: exactly one pair of HashAggregates (partial
     // + final), no per-column job loop
     val plan = p.queryExecution.executedPlan.toString

@@ -386,6 +386,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("funnelStream maxLatenessUs: tolerated late events still advance, too-late events drop counted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tUs: Long, typ: String) =
+      Streams.Event(id, new java.sql.Timestamp(tUs / 1000), 1L, typ, 0.0)
+    val steps = Seq("a", "b", "c")
+    val acc = spark.sparkContext.longAccumulator("funnel_late_drops_test")
+    val stream = MemoryStream[Streams.Event]
+    val query = Streams.funnelStream(stream.toDS(), steps, withinUs = 100000000L,
+      maxLatenessUs = Some(6000000L), lateDrops = Some(acc))
+      .writeStream.format("memory").queryName("funnel_late_out").outputMode("append").start()
+    try {
+      // trigger 1: the anchor plus a high-water-mark raiser at t=10s
+      stream.addData(Seq(ev(1, 1000000L, "a"), ev(2, 10000000L, "x")))
+      query.processAllAvailable()
+      // trigger 2: b@t=5s is 5s behind the 10s mark — within the 6s
+      // tolerance, must still advance the chain; c@t=2s is 8s behind
+      // — beyond tolerance, must be dropped AND counted
+      stream.addData(Seq(ev(3, 5000000L, "b"), ev(4, 2000000L, "c")))
+      query.processAllAvailable()
+      val reached = spark.table("funnel_late_out")
+        .collect().map(_.getInt(1)).toSet
+      assert(reached == Set(1, 2),
+        s"late-but-tolerated b must advance to step 2, too-late c must not reach 3 (got $reached)")
+      assert(acc.value == 1L, s"exactly the too-late event must be counted (got ${acc.value})")
+      // a fresh in-tolerance c (after b) completes the funnel
+      stream.addData(Seq(ev(5, 11000000L, "c")))
+      query.processAllAvailable()
+      assert(spark.table("funnel_late_out").collect().map(_.getInt(1)).toSet == Set(1, 2, 3))
+    } finally query.stop()
+  }
+
   test("streaming catalog dedup (prepared catalog + foreachBatch) equals the batch operator") {
     import spark.implicits._
     import graft.api.Ops._
