@@ -272,7 +272,37 @@ object ScaleProbe {
       "q105_funnelw"  -> (t => operators.Temporal.q105(t)),
       // dangling redistribution adds one 1-row broadcast aggregate
       // per iteration — the row must stay in the q96 class
-      "q106_dangling" -> (t => operators.Extended.q106(t)))
+      "q106_dangling" -> (t => operators.Extended.q106(t)),
+      // the census shuffle absorbs 10× rows map-combinably; the
+      // estimate windows run over OCCUPIED BUCKETS (resolution-bound,
+      // unchanged by replication) — cost must track the scan
+      "q108_quantile" -> (t => operators.Extended.q108(t)),
+      // per-subspace trainer: one exploded corpus scan per iteration
+      // (m× rows map-side), assignment a literal fold, re-centering a
+      // (s,cid,pos) map-combinable shuffle, driver traffic m·ks rows
+      // — 10× vectors must cost ~the scan; the returned codebook is
+      // constant-size so the op is timed through a 1-row witness
+      "pq_train"      -> (t => {
+        val cbs = Vectors.trainPqCodebooks(t.embeddings, "vec_id", "embedding",
+          dim = 64, m = 8, ks = 16, iters = 2)
+        val spark = t.spark
+        import spark.implicits._
+        Seq(cbs.map(_.map(_.sum).sum).sum).toDF("codebook_checksum")
+      }),
+      // absorb = clash guard (semi join on ids) + increment encode +
+      // union of checkpointed legs: cost must track the INCREMENT,
+      // with the existing codes never rescanned (both sides grow
+      // 10× here, so the row bounds the bulk-absorb worst case)
+      "ivfpq_absorb"  -> (t => {
+        val cents = t.embeddings.filter(col("vec_id") % 200 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val a = t.embeddings.filter(col("vec_id") % 2 === 0)
+        val b = t.embeddings.filter(col("vec_id") % 2 =!= 0)
+        operators.Similarity.prepareIvfPqIndex(a, cents,
+          id = "vec_id", emb = "embedding", centroidId = "cid", centroidEmb = "ce",
+          dim = 64, m = 8, ks = 16)
+          .absorb(b, "embedding").codes
+      }))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
       // the timed 1x (which would bias every scaling ratio DOWN — the
