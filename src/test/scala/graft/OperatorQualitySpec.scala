@@ -413,6 +413,75 @@ class OperatorQualitySpec extends AnyFunSuite {
       Multimodal.gifPixels(badLzw).get._3.length == 3 * 9 * 6) // either refused or still structurally sound
   }
 
+  test("JPEG content decode is real via the JDK's own reader (lossy-bounded)") {
+    // solid color: DCT quantization barely moves a constant block, so
+    // the decoded means must sit within a few units of the plant
+    val jpeg = Multimodal.jpegBytes(16, 12, (_, _) => (200, 100, 50))
+    val (w, h, rgb) = Multimodal.jpegPixels(jpeg).get
+    assert(w == 16 && h == 12)
+    val n = w * h
+    val means = (0 until 3).map(c =>
+      (0 until n).map(p => rgb(3 * p + c) & 0xff).sum.toDouble / n)
+    assert(math.abs(means(0) - 200) < 6 && math.abs(means(1) - 100) < 6 &&
+      math.abs(means(2) - 50) < 6, s"decoded means $means drifted from (200,100,50)")
+    // trailing doc text after EOI is ignored (the attachMedia shape)
+    assert(Multimodal.jpegPixels(jpeg ++ "trailing doc text".getBytes).isDefined)
+    // the marker walk reads true dims from the REAL encoder's SOF
+    assert(Multimodal.jpegDims(jpeg).contains((12, 16)))
+    // non-JPEG magic and corrupt streams refuse instead of throwing
+    assert(Multimodal.jpegPixels("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.jpegPixels(jpeg.take(30)).isEmpty)
+    val corrupt = jpeg.clone(); java.util.Arrays.fill(corrupt, 20, jpeg.length - 2, 0x11.toByte)
+    // either refused or decoded to SOME image — never an exception
+    Multimodal.jpegPixels(corrupt)
+  }
+
+  test("hand-rolled PNG/GIF decoders cross-validate against ImageIO's independent encoders") {
+    // the JDK's ImageIO writers are INDEPENDENT implementations of
+    // both formats: decoding their output with the hand-rolled
+    // decoders (and comparing against ImageIO's own read-back) rules
+    // out complementary encode/decode bugs that a self-round-trip
+    // cannot see
+    def plant(img: java.awt.image.BufferedImage): Unit =
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        img.setRGB(x, y, ((x * 23 % 256) << 16) | ((y * 31 % 256) << 8) | ((x + y) * 7 % 256))
+    def write(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    def rgbOf(img: java.awt.image.BufferedImage): Seq[Int] =
+      (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth;
+            c <- Seq(16, 8, 0)) yield (img.getRGB(x, y) >> c) & 0xff)
+    // PNG RGB (ImageIO writes color type 2, 8-bit, non-interlaced)
+    val rgbImg = new java.awt.image.BufferedImage(19, 11, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    plant(rgbImg)
+    val (pw, ph, prgb) = Multimodal.pngPixels(write(rgbImg, "png")).get
+    assert(pw == 19 && ph == 11)
+    assert(prgb.map(_ & 0xff).toSeq == rgbOf(rgbImg), "PNG RGB decode vs ImageIO plant")
+    // PNG RGBA (color type 6) — alpha plane dropped by contract
+    val argbImg = new java.awt.image.BufferedImage(9, 7, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    plant(argbImg)
+    val (_, _, argb) = Multimodal.pngPixels(write(argbImg, "png")).get
+    assert(argb.map(_ & 0xff).toSeq == rgbOf(argbImg), "PNG RGBA decode vs ImageIO plant")
+    // GIF: indexed source so the palette round-trips exactly
+    val gifImg = new java.awt.image.BufferedImage(14, 9, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 9; x <- 0 until 14)
+      gifImg.setRGB(x, y, if ((x + y) % 2 == 0) 0xff0000 else 0x0000ff)
+    val gifBytes = write(gifImg, "gif")
+    Multimodal.gifPixels(gifBytes) match {
+      case Some((gw, gh, grgb)) =>
+        assert(gw == 14 && gh == 9)
+        val viaImageIo = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gifBytes))
+        assert(grgb.map(_ & 0xff).toSeq == rgbOf(viaImageIo),
+          "GIF LZW decode vs ImageIO's own read-back")
+      case None =>
+        // this JDK's GIF writer emits global-table non-interlaced
+        // output (probed), so a refusal here is a decoder defect
+        fail(s"gifPixels refused ImageIO's GIF (screen flags=${gifBytes(10) & 0xff})")
+    }
+  }
+
   test("decodeFeatures routes codec-free payloads to the real decoders") {
     val media = Multimodal.attachMedia(t)
     val feats = Multimodal.decodeFeatures(media).collect()
@@ -425,15 +494,12 @@ class OperatorQualitySpec extends AnyFunSuite {
         val n = 120 + (r.doc_id % 4).toInt * 40
         assert(f(0) == n.toFloat, s"doc ${r.doc_id}: expected $n samples, got ${f(0)}")
         assert(Multimodal.wavSamples(r.payload).get._3.length == n)
-      } else if (Multimodal.bmpPixels(r.payload).isDefined ||
-        Multimodal.pngPixels(r.payload).isDefined ||
-        Multimodal.gifPixels(r.payload).isDefined) {
-        // real pixel statistics (BMP, PNG, GIF all decode for real):
-        // features 0/1 are the true dims
-        assert(f(0) == r.width.toFloat && f(1) == r.height.toFloat)
       } else {
-        // JPEG stays on the deterministic stub ∈ [0,1]
-        assert(f.forall(v => v >= 0f && v <= 1f))
+        // real pixel statistics — EVERY image/video format decodes
+        // for real now (BMP/PNG/GIF bit-exact, JPEG via the JDK
+        // reader): features 0/1 are the true dims
+        assert(f(0) == r.width.toFloat && f(1) == r.height.toFloat,
+          s"doc ${r.doc_id} (${r.kind}): dims (${f(0)}, ${f(1)}) vs (${r.width}, ${r.height})")
       }
     }
   }
