@@ -277,6 +277,10 @@ object ScaleProbe {
       // estimate windows run over OCCUPIED BUCKETS (resolution-bound,
       // unchanged by replication) — cost must track the scan
       "q108_quantile" -> (t => operators.Extended.q108(t)),
+      // one id-keyed shuffle reused by every window/agg; the calendar
+      // stays 4 rows however the dimension grows — cost must track
+      // the snapshot-series scan (replicated customers grow it 10×)
+      "q109_scd2"     -> (t => operators.Relational.q109(t)),
       // per-subspace trainer: one exploded corpus scan per iteration
       // (m× rows map-side), assignment a literal fold, re-centering a
       // (s,cid,pos) map-combinable shuffle, driver traffic m·ks rows

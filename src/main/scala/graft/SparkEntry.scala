@@ -128,6 +128,7 @@ object SparkEntry {
     "q106_pagerank_dangling" -> q(Extended.q106),
     "q107_bpe_encode"     -> q(Bpe.q107),
     "q108_quantile_sketch" -> q(Extended.q108),
+    "q109_scd2_history"   -> q(Relational.q109),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2148,6 +2149,72 @@ object SparkEntry {
          |  (CAST(pq.b95 AS DOUBLE) + 0.5) * 64.0 AS p95_price
          |FROM qq JOIN pq ON pq.g = qq.g
          |ORDER BY 1""".stripMargin
+    },
+
+    // the q109 SCD2 replay: rebuild the same 4-extract snapshot
+    // series (presence/drift/insert rules mirrored literally — the
+    // drift CASE keeps Spark's when-chain shape so the double
+    // arithmetic is identical), then the same calendar-successor +
+    // boundary-lag + running-version windows
+    "q109_scd2_history" -> {
+      val snapSelects = (0 until 4).map { k =>
+        val ts = s"TIMESTAMP '2024-0${k + 1}-01 00:00:00'"
+        val presence =
+          if (k >= 2) "id % 7 <> 0"
+          else if (k == 1) "id % 11 <> 0"
+          else "TRUE"
+        val drift1 = s"CAST($k AS DOUBLE)"
+        val drift2 = if (k >= 2) "1.0" else "0.0"
+        val main =
+          s"""SELECT id, c_name,
+             |  c_acctbal + CASE WHEN id % 5 = 0 THEN $drift1
+             |                   WHEN id % 5 = 1 THEN $drift2
+             |                   ELSE 0.0 END AS c_acctbal,
+             |  c_mktsegment, $ts AS snap_ts
+             |FROM base WHERE $presence""".stripMargin
+        val inserts =
+          if (k >= 2)
+            s"""
+               |UNION ALL
+               |SELECT id + 9000000 AS id, c_name, c_acctbal, c_mktsegment,
+               |  $ts AS snap_ts
+               |FROM base WHERE id < 50""".stripMargin
+          else ""
+        main + inserts
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT c_custkey AS id, c_name, c_acctbal, c_mktsegment FROM customer),
+         |snaps AS (
+         |$snapSelects),
+         |cal AS (
+         |  SELECT snap_ts, lead(snap_ts) OVER (ORDER BY snap_ts) AS next_ts
+         |  FROM (SELECT DISTINCT snap_ts FROM snaps)),
+         |r AS (
+         |  SELECT s.id, s.c_name, s.c_acctbal, s.c_mktsegment, s.snap_ts, cal.next_ts,
+         |         lag(s.snap_ts) OVER w AS prev_ts,
+         |         lag(cal.next_ts) OVER w AS prev_next,
+         |         lag(s.c_name) OVER w AS p_name,
+         |         lag(s.c_acctbal) OVER w AS p_bal,
+         |         lag(s.c_mktsegment) OVER w AS p_seg
+         |  FROM snaps s JOIN cal USING (snap_ts)
+         |  WINDOW w AS (PARTITION BY s.id ORDER BY s.snap_ts)),
+         |v AS (
+         |  SELECT *, CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR p_name IS DISTINCT FROM c_name
+         |      OR p_bal IS DISTINCT FROM c_acctbal
+         |      OR p_seg IS DISTINCT FROM c_mktsegment
+         |      OR prev_next <> snap_ts
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY snap_ts) AS BIGINT) AS version
+         |  FROM r),
+         |g AS (
+         |  SELECT id, version, MIN(snap_ts) AS valid_from, MAX(snap_ts) AS last_ts,
+         |         MAX(c_name) AS c_name, MAX(c_acctbal) AS c_acctbal,
+         |         MAX(c_mktsegment) AS c_mktsegment
+         |  FROM v GROUP BY 1, 2)
+         |SELECT g.id, g.c_name, g.c_acctbal, g.c_mktsegment, g.valid_from,
+         |       cal.next_ts AS valid_to, cal.next_ts IS NULL AS is_current
+         |FROM g JOIN cal ON cal.snap_ts = g.last_ts
+         |ORDER BY g.id, g.valid_from""".stripMargin
     },
   )
 

@@ -1655,6 +1655,73 @@ object Ops {
         .filter(col("change").isNotNull)
     }
 
+    /** SCD Type-2 history from a SNAPSHOT SERIES (q109) — the
+      * dimension-history builder next to [[snapshotDiff]]'s two-way
+      * diff: `left` holds one full keyed extract per `snapCol`
+      * timestamp (one row per (snapshot, id) — the standard periodic
+      * dimension dump), and the result is one row per VERSION:
+      * (id, attrs…, valid_from, valid_to, is_current), where
+      * valid_from is the snapshot that first observed the version and
+      * valid_to the snapshot that observed its end — an attribute
+      * CHANGE, or a DELETION (the id absent from the next snapshot;
+      * re-insertion later opens a NEW version even if the attributes
+      * came back identical — the id was genuinely gone in between).
+      * The last version of a still-present id has valid_to = null and
+      * is_current = true. Attribute comparison is null-safe (`<=>`),
+      * so a null attribute is a value, not a wildcard.
+      *
+      * The mechanics collapse to one elegant invariant: EVERY closed
+      * version's valid_to is the global calendar successor of its
+      * last sighting — for a change, that successor is exactly the
+      * next version's valid_from; for a deletion it is the snapshot
+      * whose absence closed the row; and the final snapshot has no
+      * successor, which is precisely the open-version case.
+      *
+      * Scale shape: the snapshot CALENDAR (distinct timestamps +
+      * calendar successor) is bounded by the number of extracts —
+      * thousands for years of dailies — so its unpartitioned lead()
+      * window and both its joins are broadcast-sized (the q48 scalar
+      * discipline); the corpus pays ONE hash shuffle by id, which the
+      * boundary lag-window, the running version sum, the (id,
+      * version) aggregate AND the final per-id window all reuse
+      * (id ⊂ every later key — no further exchange). Per-attr `max`
+      * inside the version aggregate is safe because attributes are
+      * constant within a version BY CONSTRUCTION of the boundaries.
+      * Every step (lag/lead, null-safe struct compare, running sum,
+      * calendar joins) replays verbatim in the oracle.
+      */
+    def scd2History(snapCol: String, id: String, attrs: Seq[String]): DataFrame = {
+      require(attrs.nonEmpty, "scd2History needs at least one tracked attribute")
+      val calendar = left.select(col(snapCol)).distinct()
+        .withColumn("__next", lead(col(snapCol), 1).over(Window.orderBy(col(snapCol))))
+      val w = Window.partitionBy(col(id)).orderBy(col(snapCol))
+      val a = struct(attrs.map(col): _*)
+      val rows = left
+        .join(broadcast(calendar), Seq(snapCol))
+        .withColumn("__prev_ts", lag(col(snapCol), 1).over(w))
+        .withColumn("__prev_a", lag(a, 1).over(w))
+        // the prev row's calendar successor: equal to this row's
+        // snapshot ⇔ the id was present in the immediately preceding
+        // extract (no deletion gap)
+        .withColumn("__prev_next", lag(col("__next"), 1).over(w))
+        .withColumn("__bnd",
+          (col("__prev_ts").isNull ||
+            !(col("__prev_a") <=> a) ||
+            col("__prev_next") =!= col(snapCol)).cast("int"))
+        .withColumn("__version", sum(col("__bnd")).over(w))
+      val versions = rows.groupBy(col(id), col("__version"))
+        .agg(min(col(snapCol)).as("valid_from"),
+          (Seq(max(col(snapCol)).as("__last")) ++
+            attrs.map(c => max(col(c)).as(c))): _*)
+      versions
+        .join(broadcast(calendar.select(col(snapCol).as("__last"), col("__next"))),
+          Seq("__last"))
+        .select((Seq(col(id)) ++ attrs.map(col) ++ Seq(
+          col("valid_from"),
+          col("__next").as("valid_to"),
+          col("__next").isNull.as("is_current"))): _*)
+    }
+
     /** Interval-overlap join (q102) — all pairs of intervals that
       * OVERLAP in time: concurrency analysis, co-occurring sessions,
       * conflicting reservations — the INTERVAL×INTERVAL sibling of

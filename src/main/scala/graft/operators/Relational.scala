@@ -334,6 +334,45 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** q109: SCD Type-2 dimension history
+    * ([[graft.api.Ops.GraftDataFrameOps.scd2History]]) from a
+    * 4-extract snapshot series synthesized deterministically off the
+    * customer table — the rules exercise every versioning path:
+    * per-snapshot balance drift (id%5==0 changes every extract,
+    * id%5==1 once), deletions (id%7==0 vanishes from snapshot 2 on —
+    * closed intervals), a one-snapshot GAP (id%11==0 absent only
+    * from snapshot 1 — re-insertion must open a NEW version even
+    * with identical attributes), and late inserts (id<50 clones
+    * appear from snapshot 2). All arithmetic is exact (double +
+    * small int), timestamps are UTC literals, and the history logic
+    * is lag/lead/running-sum windows — the oracle replays the same
+    * series and the same windows verbatim.
+    */
+  def q109(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val base = t.customer.select(col("c_custkey").as("id"),
+      col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val snaps = (0 until 4).map { k =>
+      val present = !(col("id") % 7 === 0 && lit(k) >= 2) &&
+        !(col("id") % 11 === 0 && lit(k) === 1)
+      val drift = when(col("id") % 5 === 0, lit(k.toDouble))
+        .when(col("id") % 5 === 1 && lit(k) >= 2, lit(1.0))
+        .otherwise(lit(0.0))
+      val snap = base.filter(present)
+        .withColumn("c_acctbal", col("c_acctbal") + drift)
+      val withInserts =
+        if (k >= 2) snap.unionByName(
+          base.filter(col("id") < 50)
+            .select((col("id") + 9000000L).as("id"), col("c_name"),
+              col("c_acctbal"), col("c_mktsegment")))
+        else snap
+      withInserts.withColumn("snap_ts",
+        to_timestamp(lit(s"2024-0${k + 1}-01 00:00:00")))
+    }.reduce(_ unionByName _)
+    snaps.scd2History("snap_ts", "id", Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .orderBy(col("id"), col("valid_from"))
+  }
+
   /** q100: group-wise z-score standardization
     * ([[graft.api.Ops.GraftDataFrameOps.zscorePerGroup]]) — order
     * totals standardized within their order status; exact-decimal

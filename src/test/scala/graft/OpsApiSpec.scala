@@ -1535,6 +1535,54 @@ class OpsApiSpec extends AnyFunSuite {
     assert(r.getAs[Long]("p95_span_us") == H, r.toString)
   }
 
+  test("scd2History: change/deletion/gap-reinsert/late-insert versioning on a planted series") {
+    import spark.implicits._
+    def ts(k: Int) = java.sql.Timestamp.valueOf(s"2024-0$k-01 00:00:00")
+    // id 1: constant throughout → ONE open version
+    // id 2: value changes at t3 → v1 closes AT t3, v2 open
+    // id 3: present t1-t2 only → closed at t3 (deletion)
+    // id 4: present t1, absent t2, back t3-t4 with IDENTICAL value →
+    //       TWO versions (the gap means it was genuinely gone)
+    // id 5: appears at t2 (late insert) → open from t2
+    // id 6: null value throughout → null is a value, one version
+    val rows = Seq(
+      (1L, Some("x"), ts(1)), (1L, Some("x"), ts(2)), (1L, Some("x"), ts(3)), (1L, Some("x"), ts(4)),
+      (2L, Some("a"), ts(1)), (2L, Some("a"), ts(2)), (2L, Some("b"), ts(3)), (2L, Some("b"), ts(4)),
+      (3L, Some("c"), ts(1)), (3L, Some("c"), ts(2)),
+      (4L, Some("d"), ts(1)), (4L, Some("d"), ts(3)), (4L, Some("d"), ts(4)),
+      (5L, Some("e"), ts(2)), (5L, Some("e"), ts(3)), (5L, Some("e"), ts(4)),
+      (6L, None, ts(1)), (6L, None, ts(2)), (6L, None, ts(3)), (6L, None, ts(4))
+    ).toDF("id", "v", "snap_ts")
+    val got = rows.scd2History("snap_ts", "id", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (Option(r.getString(1)), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getBoolean(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2.getTime).toSeq).toMap
+    assert(got(1L) == Seq((Some("x"), ts(1), None, true)))
+    assert(got(2L) == Seq(
+      (Some("a"), ts(1), Some(ts(3)), false),
+      (Some("b"), ts(3), None, true)))
+    assert(got(3L) == Seq((Some("c"), ts(1), Some(ts(3)), false)))
+    assert(got(4L) == Seq(
+      (Some("d"), ts(1), Some(ts(2)), false), // deletion observed at t2
+      (Some("d"), ts(3), None, true)))        // reinsertion = NEW version
+    assert(got(5L) == Seq((Some("e"), ts(2), None, true)))
+    assert(got(6L) == Seq((None, ts(1), None, true)))
+    // versions must tile: each closed valid_to equals either the next
+    // version's valid_from (change) or a snapshot with no row (delete)
+    assert(got.values.flatten.count(!_._4) == 3) // exactly 3 closed versions
+    // partitioning invariance (one shuffle by id; windows reuse it)
+    val again = rows.repartition(7).scd2History("snap_ts", "id", Seq("v"))
+      .collect().map(_.toString).sorted.toSeq
+    val once = rows.scd2History("snap_ts", "id", Seq("v"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == once)
+    assert(intercept[IllegalArgumentException] {
+      rows.scd2History("snap_ts", "id", Seq.empty)
+    }.getMessage.contains("at least one"))
+  }
+
   test("snapshotDiff: change classes, null-safe comparison, unchanged keys absent") {
     import spark.implicits._
     val old = Seq(

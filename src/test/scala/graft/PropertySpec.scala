@@ -130,6 +130,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("portable_quantiles: partitioning-invariant and resolution-bounded on random corpora") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // mixed-magnitude finite doubles: negative, fractional, large
+    val genVal: Gen[Double] = Gen.frequency(
+      5 -> Gen.choose(-1000.0, 1000.0),
+      2 -> Gen.choose(-1.0, 1.0),
+      2 -> Gen.choose(-1.0e9, 1.0e9),
+      1 -> Gen.oneOf(0.0, -0.0, 1.0, -1.0, 123456.789))
+    val genCorpus: Gen[List[Double]] =
+      Gen.choose(1, 400).flatMap(n => Gen.listOfN(n, genVal))
+    for ((vs, caseIdx) <- samples(genCorpus, 12).zipWithIndex) {
+      val df = vs.toDF("v")
+      def run(parts: Int): Seq[Double] =
+        df.repartition(parts)
+          .agg(call_function("portable_quantiles", col("v"), lit(0.25), lit(0.5), lit(0.9)))
+          .head().getSeq[Double](0)
+      val a = run(1); val b = run(7); val c = run(31)
+      assert(a == b && a == c,
+        s"case $caseIdx: sketch must be identical under any partitioning ($a vs $b vs $c)")
+      // resolution bound: the final bucket width is the smallest 2^k
+      // whose span over [min, max] fits the 4096 cap — each estimate
+      // must sit within one width of the exact nearest-rank value
+      val mn = vs.min; val mx = vs.max
+      var k = -20
+      def spanAt(k: Int): Long =
+        (math.floor(Math.scalb(mx, -k)).toLong - math.floor(Math.scalb(mn, -k)).toLong) + 1L
+      while (math.abs(mx) >= Math.scalb(1.0, 61 + k) ||
+        math.abs(mn) >= Math.scalb(1.0, 61 + k) || spanAt(k) > 4096) k += 1
+      val width = Math.scalb(1.0, k)
+      val sorted = vs.sorted
+      for (((q, est), j) <- Seq(0.25, 0.5, 0.9).zip(a).zipWithIndex) {
+        val exact = sorted(math.ceil(q * vs.length).toInt - 1)
+        assert(math.abs(est - exact) <= width,
+          s"case $caseIdx q$j: |$est - $exact| > width $width (n=${vs.length})")
+      }
+    }
+  }
+
   test("seeded portable hash is deterministic and seed-sensitive") {
     import spark.implicits._
     import graft.functions.TextFunctions.seededHash
