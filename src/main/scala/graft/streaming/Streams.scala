@@ -276,6 +276,99 @@ object Streams {
     writer.start()
   }
 
+  /** CONTINUOUS quantile tracking — the streaming form of the q108
+    * portable quantile sketch, and the additive sibling of
+    * [[hllDistinctStream]]: per trigger, census the batch into
+    * fixed-width integer buckets ([[graft.api.Ops.quantileRegisters]])
+    * and SUM-merge into the running register state, then emit the
+    * current per-group nearest-rank estimates. Because the merge is
+    * the EXACT union census, every emitted estimate equals the batch
+    * `quantileSketch` over everything seen so far — not approximately
+    * (spec-pinned).
+    *
+    * The crucial difference from the HLL stream: counts ADD, so a
+    * replayed trigger would DOUBLE-COUNT where a replayed max-merge
+    * is harmlessly idempotent. Two consequences, both enforced:
+    *
+    *  - every snapshot records the batchId it merged
+    *    (`state_<counter>_<batchId>`); a foreachBatch retry
+    *    redelivers the SAME batchId, so `batchId <= lastMerged` is
+    *    skipped — the current estimates re-emit, nothing re-merges;
+    *  - `checkpointLocation` is REQUIRED (not optional as in the HLL
+    *    stream): without it Spark RENUMBERS batchIds from 0 on
+    *    restart, which would make genuinely new post-restart data
+    *    indistinguishable from a replay — the skip guard would drop
+    *    it. With durable offsets, batchIds continue monotonically
+    *    and the guard is exact.
+    *
+    * Snapshot durability machinery is [[hllDistinctStream]]'s:
+    * `_SUCCESS`-gated parquet snapshots under the helper's own
+    * monotonic counter, resume from the latest complete one, older
+    * dirs pruned after each successful write. Same sink contract
+    * too: consume eagerly within the trigger; `stateDir` exclusive
+    * to one query.
+    */
+  def quantileSketchStream(rows: DataFrame, group: Seq[String], value: String,
+                           bucketWidth: Double,
+                           quantiles: Seq[(String, Double)],
+                           stateDir: String,
+                           checkpointLocation: String,
+                           sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stateDir.nonEmpty, "quantileSketchStream: stateDir is required")
+    require(checkpointLocation.nonEmpty,
+      "quantileSketchStream: checkpointLocation is required — sum-merged counts " +
+        "need durable monotone batchIds to tell a replay from new data (see scaladoc)")
+    val spark = rows.sparkSession
+    import org.apache.hadoop.fs.Path
+    val dirPath = new Path(stateDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapshots(completeOnly: Boolean): Seq[(Long, Long, String)] =
+      if (!fs.exists(dirPath)) Seq.empty
+      else fs.listStatus(dirPath).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("state_"))
+        .filter(n => !completeOnly || fs.exists(new Path(dirPath, s"$n/_SUCCESS")))
+        .flatMap { n =>
+          n.stripPrefix("state_").split("_") match {
+            case Array(c, b) => scala.util.Try((c.toLong, b.toLong, n)).toOption
+            case _ => None
+          }
+        }.sortBy(_._1)
+    val nextId = new java.util.concurrent.atomic.AtomicLong(
+      snapshots(completeOnly = false).map(_._1).maxOption.getOrElse(-1L) + 1L)
+    var state: Option[(DataFrame, Long)] = None
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = state.orElse(
+          snapshots(completeOnly = true).lastOption.map { case (_, b, name) =>
+            (spark.read.parquet(s"$stateDir/$name"), b)
+          })
+        prev match {
+          case Some((st, lastB)) if batchId <= lastB =>
+            // replayed trigger: a re-merge would double-count — emit
+            // the current estimates untouched
+            sink(graft.api.Ops.quantileFromRegisters(st, group, bucketWidth, quantiles))
+          case _ =>
+            val regsB = graft.api.Ops.quantileRegisters(batch, group, col(value), bucketWidth)
+            val merged = prev match {
+              case None          => regsB
+              case Some((st, _)) => graft.api.Ops.quantileMergeRegisters(group, st, regsB)
+            }
+            val id = nextId.getAndIncrement()
+            val name = s"state_${id}_$batchId"
+            merged.write.mode("overwrite").parquet(s"$stateDir/$name")
+            val persisted = spark.read.parquet(s"$stateDir/$name")
+            state = Some((persisted, batchId))
+            snapshots(completeOnly = false).filter(_._1 < id).foreach { case (_, _, old) =>
+              fs.delete(new Path(dirPath, old), true)
+            }
+            sink(graft.api.Ops.quantileFromRegisters(persisted, group, bucketWidth, quantiles))
+        }
+      }
+      .outputMode("update")
+      .option("checkpointLocation", checkpointLocation)
+      .start()
+  }
+
   /** As-of-enrich a live event stream against a STATIC reference
     * frame — the production "attach the latest reference row at or
     * before each event" shape (live trades vs a quotes snapshot,

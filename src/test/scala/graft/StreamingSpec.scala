@@ -317,6 +317,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(snaps <= 2, s"state snapshots must be pruned, found $snaps")
   }
 
+  test("quantileSketchStream: running estimates equal the batch sketch EXACTLY, across restarts") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val all = eventSeq
+    val chunks = all.grouped(math.max(all.size / 4, 1)).toSeq
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_qsk_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qsk_ckpt").toString
+    val qs = Seq("p50" -> 0.5, "p95" -> 0.95)
+    val emitted = scala.collection.mutable.ArrayBuffer[Map[String, (Double, Double)]]()
+    // ONE MemoryStream across restarts + the shared checkpoint: the
+    // restarted query resumes offsets AND batchIds monotonically —
+    // the contract sum-merge requires
+    val stream = MemoryStream[Event]
+    def run(batches: Seq[Seq[Event]]): Unit = {
+      val q = Streams.quantileSketchStream(
+        stream.toDF(), Seq("event_type"), "value", bucketWidth = 0.5, qs,
+        stateDir, ckpt,
+        sink = b => emitted.synchronized {
+          emitted += b.collect()
+            .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+        })
+      try batches.foreach { data =>
+        stream.addData(data)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(chunks.dropRight(2))
+    run(Seq(chunks(chunks.size - 2))) // restart 1
+    run(Seq(chunks.last))             // restart 2
+    def batchSketch(rows: Seq[Event]): Map[String, (Double, Double)] =
+      rows.toDF().quantileSketch(Seq("event_type"), col("value"), 0.5, qs)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(emitted.size == chunks.size)
+    val prefixes = chunks.inits.toSeq.reverse.drop(1)
+    prefixes.zipWithIndex.foreach { case (pre, i) =>
+      assert(emitted(i) == batchSketch(pre.flatten),
+        s"estimates after trigger ${i + 1} must equal the batch sketch over the first ${i + 1} chunks")
+    }
+    // snapshots pruned to the current one (+ ≤1 transient)
+    val snaps = new java.io.File(stateDir).list().count(_.startsWith("state_"))
+    assert(snaps <= 2, s"state snapshots must be pruned, found $snaps")
+    // missing checkpointLocation fails fast (sum-merge contract)
+    assert(intercept[IllegalArgumentException] {
+      Streams.quantileSketchStream(stream.toDF(), Seq("event_type"), "value",
+        0.5, qs, stateDir, "", _ => ())
+    }.getMessage.contains("checkpointLocation"))
+  }
+
   test("asofJoinStream enriches a trigger-split event stream equal to the batch as-of") {
     import spark.implicits._
     import graft.api.Ops._
