@@ -1075,8 +1075,15 @@ object Ops {
     require(bucketWidth > 0 && java.lang.Double.isFinite(bucketWidth),
       s"quantileRegisters: bucketWidth must be positive and finite (got $bucketWidth)")
     val gcols = group.map(col)
-    df.filter(value.isNotNull)
-      .select((gcols :+ floor(value.cast("double") / lit(bucketWidth))
+    // non-finite values are ignored like nulls (the portable_quantiles
+    // aggregate's convention): a NaN would otherwise land SILENTLY in
+    // bucket 0 (Spark's floor-cast) while DuckDB's CAST(NaN AS BIGINT)
+    // throws — a cross-engine divergence waiting for dirty data. The
+    // between() filter drops NaN and ±Infinity in one predicate (NaN
+    // compares false; infinities sit outside ±MaxValue).
+    df.select((gcols :+ value.cast("double").as("__qv")): _*)
+      .filter(col("__qv").between(-Double.MaxValue, Double.MaxValue))
+      .select((gcols :+ floor(col("__qv") / lit(bucketWidth))
         .cast("long").as("__qbkt")): _*)
       .groupBy((gcols :+ col("__qbkt")): _*)
       .agg(count(lit(1)).as("__qn"))
@@ -1677,11 +1684,17 @@ object Ops {
       * whose absence closed the row; and the final snapshot has no
       * successor, which is precisely the open-version case.
       *
+      * Caller contract: ONE row per (snapshot, id) — a duplicate
+      * makes version boundaries undefined (dedupe upstream where
+      * ingestion can violate it; an always-on guard would be a
+      * second full-corpus aggregate per call).
+      *
       * Scale shape: the snapshot CALENDAR (distinct timestamps +
       * calendar successor) is bounded by the number of extracts —
       * thousands for years of dailies — so its unpartitioned lead()
       * window and both its joins are broadcast-sized (the q48 scalar
-      * discipline); the corpus pays ONE hash shuffle by id, which the
+      * discipline); deriving it is a distinct over snapCol, which a
+      * snapshot-partitioned layout answers from partition metadata; the corpus pays ONE hash shuffle by id, which the
       * boundary lag-window, the running version sum, the (id,
       * version) aggregate AND the final per-id window all reuse
       * (id ⊂ every later key — no further exchange). Per-attr `max`

@@ -181,6 +181,16 @@ class OperatorQualitySpec extends AnyFunSuite {
       assert(math.abs(sketch(flag)._1 - exact50) <= 0.5, s"$flag p50")
       assert(math.abs(sketch(flag)._2 - exact95) <= 0.5, s"$flag p95")
     }
+    // non-finite values are IGNORED like nulls (the aggregate's
+    // convention): without the filter a NaN lands silently in Spark's
+    // bucket 0 while DuckDB's CAST(NaN AS BIGINT) throws — the census
+    // must never depend on that divergence
+    import spark.implicits._
+    val dirty = Seq(("g", 1.0), ("g", Double.NaN), ("g", Double.PositiveInfinity),
+      ("g", Double.NegativeInfinity), ("g", 3.0)).toDF("g", "v")
+    val clean = Ops.quantileRegisters(dirty, Seq("g"), col("v"), 1.0)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(clean == Map(1L -> 1L, 3L -> 1L), s"non-finite rows must vanish: $clean")
   }
 
   test("portable_quantiles aggregate: partitioning-invariant, tracks nearest-rank, magnitude-safe") {
