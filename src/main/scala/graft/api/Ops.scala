@@ -1075,14 +1075,18 @@ object Ops {
     require(bucketWidth > 0 && java.lang.Double.isFinite(bucketWidth),
       s"quantileRegisters: bucketWidth must be positive and finite (got $bucketWidth)")
     val gcols = group.map(col)
-    // non-finite values are ignored like nulls (the portable_quantiles
-    // aggregate's convention): a NaN would otherwise land SILENTLY in
-    // bucket 0 (Spark's floor-cast) while DuckDB's CAST(NaN AS BIGINT)
-    // throws — a cross-engine divergence waiting for dirty data. The
-    // between() filter drops NaN and ±Infinity in one predicate (NaN
-    // compares false; infinities sit outside ±MaxValue).
+    // values whose bucket is unrepresentable are ignored like nulls
+    // (the portable_quantiles aggregate's convention): a NaN would
+    // otherwise land SILENTLY in Spark's bucket 0 and a 1e19-scale
+    // outlier would saturate to the Long.MaxValue bucket, while
+    // DuckDB's BIGINT cast THROWS on both — a cross-engine divergence
+    // waiting for dirty data (r11 review, twice). ONE between() on
+    // the scaled value drops all of it: NaN and ±Inf compare false,
+    // and finite values land outside ±2^62 exactly when their bucket
+    // would overflow the census's Long key space.
+    val bound = Math.scalb(1.0, 62)
     df.select((gcols :+ value.cast("double").as("__qv")): _*)
-      .filter(col("__qv").between(-Double.MaxValue, Double.MaxValue))
+      .filter((col("__qv") / lit(bucketWidth)).between(-bound, bound))
       .select((gcols :+ floor(col("__qv") / lit(bucketWidth))
         .cast("long").as("__qbkt")): _*)
       .groupBy((gcols :+ col("__qbkt")): _*)

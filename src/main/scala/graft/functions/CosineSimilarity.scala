@@ -114,11 +114,19 @@ object GraftFunctions {
     val qs = exprs.tail.map { e =>
       if (!e.foldable)
         throw new IllegalArgumentException(
-          s"portable_quantiles quantiles must be double literals, got expression ${e.sql}")
+          s"portable_quantiles quantiles must be numeric literals, got expression ${e.sql}")
+      // SQL parses 0.95 as DECIMAL and 1 as INT — accept every
+      // numeric literal form a SQL caller naturally writes (r11
+      // review: requiring the 0.95D suffix made the registered SQL
+      // surface unusable)
       e.eval(null) match {
         case d: Double => d
+        case f: Float => f.toDouble
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
         case other => throw new IllegalArgumentException(
-          s"portable_quantiles quantiles must be double literals, got $other")
+          s"portable_quantiles quantiles must be numeric literals, got $other")
       }
     }
     PortableQuantiles(exprs.head, qs)

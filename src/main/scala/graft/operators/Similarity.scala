@@ -281,7 +281,15 @@ object Similarity {
     * exhaustive and the result EQUALS the flat PQ scan
     * ([[graft.api.Ops.GraftDataFrameOps.pqTopK]]) — spec-pinned.
     * Returns (qid, rank, vid, adc_dist), rank 1..k by (adc_dist,
-    * vid), self-pairs excluded.
+    * vid). `excludeSelf` (default true — the corpus-queries-corpus
+    * convention every batch top-k in this engine shares) drops rows
+    * where vid equals qid; it is only meaningful when query ids LIVE
+    * IN the corpus id space — for external query streams (request
+    * ids, session ids) pass false, or a coincidentally colliding id
+    * silently loses its best match (and a TYPE-mismatched id pair
+    * compares null, dropping everything) — r11 review;
+    * [[graft.streaming.Streams.ivfPqTopKStream]] defaults to false
+    * for exactly that reason.
     */
   def ivfPqTopKAgainst(index: DataFrame, queries: DataFrame, centroids: DataFrame,
                        id: String, queryId: String, queryEmb: String,
@@ -290,7 +298,8 @@ object Similarity {
                        k: Int = 10, nprobe: Int = 2,
                        seed: String = "7", scale: Double = 0.125,
                        codebooks: Option[Array[Array[Array[Double]]]] = None,
-                       maxLiteralCentroids: Int = 4096): DataFrame = {
+                       maxLiteralCentroids: Int = 4096,
+                       excludeSelf: Boolean = true): DataFrame = {
     require(m >= 1 && dim % m == 0, s"ivfPqTopKAgainst: dim=$dim must divide into m=$m subspaces")
     require(k >= 1 && nprobe >= 1, "ivfPqTopKAgainst: k and nprobe must be positive")
     val cbs = codebooks.getOrElse(
@@ -299,9 +308,9 @@ object Similarity {
     val q = assign(queries, queryId, queryEmb, nprobe, "qid", "__qe")
       .select(col("qid"), col("cell"),
         graft.functions.ProductQuantizer.distanceTable(col("__qe"), cbs).as("__dt"))
-    val scored = index.select(col(id).as("vid"), col("cell"), col("pq_code"))
+    val joined = index.select(col(id).as("vid"), col("cell"), col("pq_code"))
       .join(broadcast(q), Seq("cell"))
-      .filter(col("vid") =!= col("qid"))
+    val scored = (if (excludeSelf) joined.filter(col("vid") =!= col("qid")) else joined)
       .withColumn("adc_dist",
         graft.functions.ProductQuantizer.adc(col("pq_code"), col("__dt")))
     val w1 = Window.partitionBy(col("qid"), col("__shard"))
@@ -343,8 +352,13 @@ object Similarity {
     def absorb(increment: DataFrame, emb: String,
                checkpointDir: Option[String] = None): PreparedIvfPq = {
       val ckp = graft.api.Ops.lineageBreaker(checkpointDir)
+      // the increment's id set carries NO broadcast hint: absorb
+      // models corpus growth, so a bulk increment's ids are
+      // corpus-scale — AQE picks broadcast only when they are
+      // actually small (the q48 rule this engine applies to every
+      // potentially-unbounded join side; r11 review)
       val clash = codes.select(col(id))
-        .join(broadcast(increment.select(col(id)).distinct()), Seq(id), "left_semi")
+        .join(increment.select(col(id)).distinct(), Seq(id), "left_semi")
         .limit(1).count()
       require(clash == 0L,
         "PreparedIvfPq.absorb: increment contains ids already in the index — " +
@@ -357,13 +371,15 @@ object Similarity {
 
     /** ADC top-k for a query frame against this index —
       * [[ivfPqTopKAgainst]] under the pinned centroids/codebooks.
-      * Returns (qid, rank, vid, adc_dist).
+      * Returns (qid, rank, vid, adc_dist); see `excludeSelf` there
+      * (pass false for query ids outside the corpus id space).
       */
     def topK(queries: DataFrame, queryId: String, queryEmb: String,
-             k: Int = 10, nprobe: Int = 2): DataFrame =
+             k: Int = 10, nprobe: Int = 2,
+             excludeSelf: Boolean = true): DataFrame =
       ivfPqTopKAgainst(codes, queries, centroids, id, queryId, queryEmb,
         "cid", "ce", dim, m, ks, k, nprobe, seed, scale, Some(codebooks),
-        maxLiteralCentroids)
+        maxLiteralCentroids, excludeSelf)
   }
 
   /** Build a [[PreparedIvfPq]]; `checkpointDir` selects reliable

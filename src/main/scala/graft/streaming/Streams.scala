@@ -192,6 +192,88 @@ object Streams {
       .start()
   }
 
+  /** ONE copy of the durable-snapshot protocol both sketch streams
+    * ([[hllDistinctStream]], [[quantileSketchStream]]) persist their
+    * running state through — the machinery is durability-critical
+    * (the r10 batchId-renumbering bug lived here), so it must not
+    * exist twice (r11 review).
+    *
+    * Snapshot dirs are `state_<counter>_<batchId>_<fingerprint>`:
+    *  - `counter` is the store's OWN monotonic id, seeded past the
+    *    newest dir at open — Spark batchIds RENUMBER from 0 on every
+    *    restart without a durable checkpoint, so "max batchId" resume
+    *    picks a STALE snapshot after the second restart (the r10 bug);
+    *  - `batchId` is the trigger that produced the snapshot, for
+    *    sketches whose merge is NOT replay-idempotent (sum-merged
+    *    counts) to tell a retry from new data;
+    *  - `fingerprint` encodes the sketch parameters (HLL p, quantile
+    *    bucketWidth): resuming a stateDir written under DIFFERENT
+    *    parameters fails fast at open — mixed-parameter registers
+    *    would merge into structurally valid but semantically corrupt
+    *    state with no error (r11 review).
+    *
+    * A restarted stream resumes from the newest `_SUCCESS`-complete
+    * snapshot; after each successful write every older dir — complete
+    * or crash-left-incomplete — is deleted, so the directory holds
+    * the current snapshot (plus at most one transient predecessor
+    * mid-trigger).
+    */
+  private final class SnapshotStore(spark: org.apache.spark.sql.SparkSession,
+                                    stateDir: String, fingerprint: String) {
+    import org.apache.hadoop.fs.Path
+    require(stateDir.nonEmpty, "SnapshotStore: stateDir is required")
+    require(!fingerprint.contains("_"), s"fingerprint must be _-free: $fingerprint")
+    private val dirPath = new Path(stateDir)
+    private val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** (counter, batchId, fingerprint, dirName), counter-ascending. */
+    private def list(completeOnly: Boolean): Seq[(Long, Long, String, String)] =
+      if (!fs.exists(dirPath)) Seq.empty
+      else fs.listStatus(dirPath).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("state_"))
+        .filter(n => !completeOnly || fs.exists(new Path(dirPath, s"$n/_SUCCESS")))
+        .flatMap { n =>
+          n.stripPrefix("state_").split("_", 3) match {
+            case Array(c, b, fp) =>
+              scala.util.Try((c.toLong, b.toLong, fp, n)).toOption
+            case _ => None
+          }
+        }.sortBy(_._1)
+
+    // parameter-mismatch fail-fast runs at OPEN, before any trigger
+    list(completeOnly = false).foreach { case (_, _, fp, name) =>
+      if (fp != fingerprint) throw new IllegalStateException(
+        s"SnapshotStore: $stateDir holds snapshot '$name' written under sketch " +
+          s"parameters '$fp' but this stream runs '$fingerprint' — merging " +
+          "mixed-parameter registers silently corrupts the state; use a fresh " +
+          "stateDir (or restart with the original parameters)")
+    }
+
+    private val nextId = new java.util.concurrent.atomic.AtomicLong(
+      list(completeOnly = false).map(_._1).maxOption.getOrElse(-1L) + 1L)
+
+    /** Newest complete snapshot: (frame, batchId it merged). */
+    def latestComplete(): Option[(org.apache.spark.sql.DataFrame, Long)] =
+      list(completeOnly = true).lastOption.map { case (_, b, _, name) =>
+        (spark.read.parquet(s"$stateDir/$name"), b)
+      }
+
+    /** Persist the merged state for `batchId`, prune everything
+      * older, and return the PERSISTED frame (re-read, so the sink
+      * never holds lineage onto pruned files).
+      */
+    def write(df: org.apache.spark.sql.DataFrame, batchId: Long): org.apache.spark.sql.DataFrame = {
+      val id = nextId.getAndIncrement()
+      val name = s"state_${id}_${batchId}_$fingerprint"
+      df.write.mode("overwrite").parquet(s"$stateDir/$name")
+      val persisted = spark.read.parquet(s"$stateDir/$name")
+      list(completeOnly = false).filter(_._1 < id).foreach { case (_, _, _, old) =>
+        fs.delete(new Path(dirPath, old), true)
+      }
+      persisted
+    }
+  }
+
   /** Continuous distinct-count estimation over a stream via the
     * PORTABLE register-based HLL ([[graft.api.Ops.hllRegisters]]):
     * each trigger sketches its own batch and max-merges into the
@@ -202,21 +284,15 @@ object Streams {
     * everything seen — not approximately, row-for-row (spec-pinned)
     * — the streaming form of the Sketches shard-table pattern.
     *
-    * State durability (r10 review, twice-hardened): the running
-    * registers are STREAM-LIFETIME state that cannot be recomputed
-    * from a resumable source, so `stateDir` is REQUIRED and each
-    * trigger persists the merged table as a `state_<n>` parquet
-    * snapshot. `n` is the helper's OWN monotonic counter, seeded past
-    * the newest complete snapshot at query start — Spark's batchIds
-    * RENUMBER from 0 on every restart without a durable checkpoint,
-    * so naming snapshots by batchId would make "max id" resume a
-    * STALE snapshot after the second restart. A restarted query
-    * resumes from the latest `_SUCCESS`-complete snapshot; after each
-    * successful write EVERY older `state_*` dir is deleted — complete
-    * or crash-left-incomplete — so the directory holds the current
-    * snapshot (plus at most one transient predecessor mid-trigger).
-    * Replayed or re-tried batches are harmless by construction:
-    * max-merging data the state already absorbed is IDEMPOTENT.
+    * State durability (r10 review, twice-hardened; machinery now the
+    * shared [[SnapshotStore]] — see its scaladoc for the counter /
+    * `_SUCCESS` / prune protocol and the r11 parameter-fingerprint
+    * guard, which fails fast when a stateDir written under a
+    * different `p` is resumed): the running registers are
+    * STREAM-LIFETIME state that cannot be recomputed from a
+    * resumable source, so `stateDir` is REQUIRED. Replayed or
+    * re-tried batches are harmless by construction: max-merging data
+    * the state already absorbed is IDEMPOTENT.
     *
     * `checkpointLocation` (recommended in production) is passed to
     * the streaming query so SOURCE OFFSETS are durable too: without
@@ -238,37 +314,21 @@ object Streams {
                         checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(stateDir.nonEmpty, "hllDistinctStream: stateDir is required")
     val spark = rows.sparkSession
-    import org.apache.hadoop.fs.Path
-    val dirPath = new Path(stateDir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def snapshots(completeOnly: Boolean): Seq[Long] =
-      if (!fs.exists(dirPath)) Seq.empty
-      else fs.listStatus(dirPath).toSeq
-        .map(_.getPath.getName).filter(_.startsWith("state_"))
-        .filter(n => !completeOnly || fs.exists(new Path(dirPath, s"$n/_SUCCESS")))
-        .flatMap(n => scala.util.Try(n.stripPrefix("state_").toLong).toOption)
-        .sorted
-    val nextId = new java.util.concurrent.atomic.AtomicLong(
-      snapshots(completeOnly = false).lastOption.getOrElse(-1L) + 1L)
+    val store = new SnapshotStore(spark, stateDir, s"p$p")
     var state: Option[DataFrame] = None
     val writer = rows.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prev = state.orElse(
-          snapshots(completeOnly = true).lastOption.map(id =>
-            spark.read.parquet(s"$stateDir/state_$id")))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // no replay guard needed here: max-merging data the state
+        // already absorbed is IDEMPOTENT (unlike the sum-merged
+        // quantile stream)
+        val prev = state.orElse(store.latestComplete().map(_._1))
         val regsB = graft.api.Ops.hllRegisters(batch, group, col(value), p)
         val merged = prev match {
           case None     => regsB
           case Some(st) => graft.api.Ops.hllMergeRegisters(group, st, regsB)
         }
-        val id = nextId.getAndIncrement()
-        merged.write.mode("overwrite").parquet(s"$stateDir/state_$id")
-        val persisted = spark.read.parquet(s"$stateDir/state_$id")
+        val persisted = store.write(merged, batchId)
         state = Some(persisted)
-        // the new snapshot is complete → everything older (including
-        // crash-left incomplete dirs) is garbage
-        snapshots(completeOnly = false).filter(_ < id).foreach(old =>
-          fs.delete(new Path(dirPath, s"state_$old"), true))
         sink(graft.api.Ops.hllEstimateFromRegisters(persisted, group, "distinct_estimate", p))
       }
       .outputMode("update")
@@ -290,23 +350,25 @@ object Streams {
     * replayed trigger would DOUBLE-COUNT where a replayed max-merge
     * is harmlessly idempotent. Two consequences, both enforced:
     *
-    *  - every snapshot records the batchId it merged
-    *    (`state_<counter>_<batchId>`); a foreachBatch retry
-    *    redelivers the SAME batchId, so `batchId <= lastMerged` is
+    *  - every snapshot records the batchId it merged; a foreachBatch
+    *    RETRY redelivers exactly the last merged batchId and is
     *    skipped — the current estimates re-emit, nothing re-merges;
+    *  - a batchId STRICTLY BELOW the last merged one is never a
+    *    legitimate retry: it means the checkpoint was wiped or
+    *    swapped while stateDir was kept (batchIds renumbered from 0)
+    *    — silently treating that new data as replays would drop it
+    *    forever, so the stream FAILS LOUDLY instead (r11 review);
     *  - `checkpointLocation` is REQUIRED (not optional as in the HLL
-    *    stream): without it Spark RENUMBERS batchIds from 0 on
-    *    restart, which would make genuinely new post-restart data
-    *    indistinguishable from a replay — the skip guard would drop
-    *    it. With durable offsets, batchIds continue monotonically
-    *    and the guard is exact.
+    *    stream): durable offsets are what make batchIds monotone
+    *    across restarts, which both guards above rely on.
     *
-    * Snapshot durability machinery is [[hllDistinctStream]]'s:
-    * `_SUCCESS`-gated parquet snapshots under the helper's own
-    * monotonic counter, resume from the latest complete one, older
-    * dirs pruned after each successful write. Same sink contract
-    * too: consume eagerly within the trigger; `stateDir` exclusive
-    * to one query.
+    * Snapshot durability machinery is the shared [[SnapshotStore]]
+    * (counter / `_SUCCESS` / prune protocol, plus the parameter
+    * fingerprint: resuming a stateDir written under a DIFFERENT
+    * bucketWidth fails fast — mixed-width registers would sum into
+    * structurally valid, semantically corrupt state). Same sink
+    * contract as the HLL stream: consume eagerly within the trigger;
+    * `stateDir` exclusive to one query.
     */
   def quantileSketchStream(rows: DataFrame, group: Seq[String], value: String,
                            bucketWidth: Double,
@@ -319,48 +381,38 @@ object Streams {
       "quantileSketchStream: checkpointLocation is required — sum-merged counts " +
         "need durable monotone batchIds to tell a replay from new data (see scaladoc)")
     val spark = rows.sparkSession
-    import org.apache.hadoop.fs.Path
-    val dirPath = new Path(stateDir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def snapshots(completeOnly: Boolean): Seq[(Long, Long, String)] =
-      if (!fs.exists(dirPath)) Seq.empty
-      else fs.listStatus(dirPath).toSeq
-        .map(_.getPath.getName).filter(_.startsWith("state_"))
-        .filter(n => !completeOnly || fs.exists(new Path(dirPath, s"$n/_SUCCESS")))
-        .flatMap { n =>
-          n.stripPrefix("state_").split("_") match {
-            case Array(c, b) => scala.util.Try((c.toLong, b.toLong, n)).toOption
-            case _ => None
-          }
-        }.sortBy(_._1)
-    val nextId = new java.util.concurrent.atomic.AtomicLong(
-      snapshots(completeOnly = false).map(_._1).maxOption.getOrElse(-1L) + 1L)
+    val store = new SnapshotStore(spark, stateDir,
+      "w" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(bucketWidth)))
     var state: Option[(DataFrame, Long)] = None
     rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = state.orElse(
-          snapshots(completeOnly = true).lastOption.map { case (_, b, name) =>
-            (spark.read.parquet(s"$stateDir/$name"), b)
-          })
+        val prev = state.orElse(store.latestComplete())
         prev match {
-          case Some((st, lastB)) if batchId <= lastB =>
-            // replayed trigger: a re-merge would double-count — emit
-            // the current estimates untouched
+          case Some((st, lastB)) if batchId == lastB =>
+            // a foreachBatch RETRY redelivers exactly the last merged
+            // batchId: a re-merge would double-count — emit the
+            // current estimates untouched
             sink(graft.api.Ops.quantileFromRegisters(st, group, bucketWidth, quantiles))
+          case Some((_, lastB)) if batchId < lastB =>
+            // a batchId STRICTLY below the last merged one is never a
+            // legitimate retry (Spark re-runs at most the last
+            // uncommitted batch) — it means the checkpointLocation was
+            // wiped or swapped while stateDir was kept, renumbering
+            // batchIds from 0; silently treating new data as replays
+            // would drop it forever (r11 review), so fail loudly
+            throw new IllegalStateException(
+              s"quantileSketchStream: trigger batchId $batchId is below the state's " +
+                s"last merged batchId $lastB — the checkpointLocation does not match " +
+                "this stateDir (wiped/changed checkpoint?); state and checkpoint must " +
+                "move together, or start from a fresh stateDir")
           case _ =>
             val regsB = graft.api.Ops.quantileRegisters(batch, group, col(value), bucketWidth)
             val merged = prev match {
               case None          => regsB
               case Some((st, _)) => graft.api.Ops.quantileMergeRegisters(group, st, regsB)
             }
-            val id = nextId.getAndIncrement()
-            val name = s"state_${id}_$batchId"
-            merged.write.mode("overwrite").parquet(s"$stateDir/$name")
-            val persisted = spark.read.parquet(s"$stateDir/$name")
+            val persisted = store.write(merged, batchId)
             state = Some((persisted, batchId))
-            snapshots(completeOnly = false).filter(_._1 < id).foreach { case (_, _, old) =>
-              fs.delete(new Path(dirPath, old), true)
-            }
             sink(graft.api.Ops.quantileFromRegisters(persisted, group, bucketWidth, quantiles))
         }
       }
@@ -584,17 +636,23 @@ object Streams {
     * frame (equi join on `cell` — the corpus side never reshuffles,
     * never re-encodes). Reliable prep required, same reasoning as
     * [[bm25TopKStream]]: the index outlives any one executor.
+    * `excludeSelf` defaults to FALSE here — the OPPOSITE of the
+    * batch form: live query ids are request/session ids OUTSIDE the
+    * corpus id space, where the batch convention's vid ≠ qid filter
+    * would silently drop a coincidentally colliding id's best match
+    * — or, type-mismatched, every result (r11 review).
     */
   def ivfPqTopKStream(queries: DataFrame, queryId: String, queryEmb: String,
                       index: graft.operators.Similarity.PreparedIvfPq,
-                      k: Int = 10, nprobe: Int = 2)(
+                      k: Int = 10, nprobe: Int = 2,
+                      excludeSelf: Boolean = false)(
                       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(index.reliable,
       "ivfPqTopKStream needs a PreparedIvfPq built with a reliable checkpointDir " +
         "(prepareIvfPqIndex(..., checkpointDir = Some(dir)))")
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(index.topK(batch, queryId, queryEmb, k, nprobe))
+        sink(index.topK(batch, queryId, queryEmb, k, nprobe, excludeSelf))
       }
       .outputMode("update")
       .start()
@@ -704,6 +762,11 @@ object Streams {
     * legitimately extends. Accumulator counts are observability, not
     * exactness — Spark re-tries can overcount them, like any
     * accumulator.
+    *
+    * State-schema note: `maxTs` joined [[FunnelState]] in r11, so a
+    * checkpoint written by the pre-r11 2-field state does NOT restart
+    * under this version (Spark's state-store schema check rejects
+    * it); drain or wipe such checkpoints when upgrading.
     */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
                    withinUs: Long,

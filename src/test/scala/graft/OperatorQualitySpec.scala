@@ -191,6 +191,50 @@ class OperatorQualitySpec extends AnyFunSuite {
     val clean = Ops.quantileRegisters(dirty, Seq("g"), col("v"), 1.0)
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(clean == Map(1L -> 1L, 3L -> 1L), s"non-finite rows must vanish: $clean")
+    // ...and so must finite values whose bucket would SATURATE the
+    // Long key space (Spark floor-casts 1e19 to Long.MaxValue while
+    // DuckDB's BIGINT cast throws — the same divergence class)
+    val huge = Seq(("g", 1.0), ("g", 1.0e19), ("g", -1.0e19)).toDF("g", "v")
+    val hugeCensus = Ops.quantileRegisters(huge, Seq("g"), col("v"), 1.0)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(hugeCensus == Map(1L -> 1L), s"bucket-overflow rows must vanish: $hugeCensus")
+  }
+
+  test("portable_quantiles is callable from plain SQL (decimal/int literals coerce)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    (1 to 100).map(_.toDouble).toDF("v").createOrReplaceTempView("pq_sql_probe")
+    // 0.5 parses as DECIMAL and 1 as INT in SQL — both must coerce
+    val r = spark.sql(
+      "SELECT portable_quantiles(CAST(v AS DOUBLE), 0.5, 1) FROM pq_sql_probe").head().getSeq[Double](0)
+    assert(math.abs(r(0) - 50.0) <= 0.0625 && math.abs(r(1) - 100.0) <= 0.0625, r.toString)
+    spark.catalog.dropTempView("pq_sql_probe")
+  }
+
+  test("ivfPqTopK excludeSelf: corpus-id collisions drop under the batch convention, rank under the stream's") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.cos(seed * 13 + d * 5).abs + 0.1)
+    val corpus = (0L until 20L).map(i => (i, vec(i.toInt))).toDF("vec_id", "emb")
+    val centroids = Seq((100L, vec(1)), (101L, vec(2))).toDF("centroid_id", "cent_emb")
+    val idx = Similarity.prepareIvfPqIndex(corpus, centroids,
+      id = "vec_id", emb = "emb", centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 8, m = 4, ks = 4)
+    // the query's id COLLIDES with corpus vector 5 and its embedding
+    // is vector 5's exact duplicate — the nearest match by any metric
+    val q = Seq((5L, vec(5))).toDF("qid2", "qemb")
+    val withSelf = idx.topK(q, "qid2", "qemb", k = 3, nprobe = 2, excludeSelf = false)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    // the coded duplicate carries the minimum ADC distance — it must
+    // appear (at coarse m·ks other vectors can TIE its code, so rank
+    // breaks on vid; containment is the semantic under test)
+    assert(withSelf.map(_._2).contains(5L),
+      s"excludeSelf=false must surface the coded duplicate: $withSelf")
+    val without = idx.topK(q, "qid2", "qemb", k = 3, nprobe = 2)
+      .collect().map(r => r.getLong(2)).toList
+    assert(!without.contains(5L),
+      s"the batch convention must drop the colliding id: $without")
   }
 
   test("portable_quantiles aggregate: partitioning-invariant, tracks nearest-rank, magnitude-safe") {

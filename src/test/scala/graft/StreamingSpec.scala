@@ -364,6 +364,49 @@ class StreamingSpec extends AnyFunSuite {
       Streams.quantileSketchStream(stream.toDF(), Seq("event_type"), "value",
         0.5, qs, stateDir, "", _ => ())
     }.getMessage.contains("checkpointLocation"))
+    // resuming the stateDir under a DIFFERENT bucketWidth fails fast
+    // at open — mixed-width registers would sum into structurally
+    // valid, semantically corrupt state (r11 review)
+    val widthClash = intercept[IllegalStateException] {
+      Streams.quantileSketchStream(stream.toDF(), Seq("event_type"), "value",
+        1.0, qs, stateDir, ckpt, _ => ())
+    }
+    assert(widthClash.getMessage.contains("parameters"), widthClash.getMessage)
+    // a WIPED/SWAPPED checkpoint against the kept stateDir renumbers
+    // batchIds from 0 — the stream must fail loudly instead of
+    // silently treating all new data as replays (r11 review)
+    val freshCkpt = java.nio.file.Files.createTempDirectory("graft_qsk_ckpt2").toString
+    val stream2 = MemoryStream[Event]
+    @volatile var streamErr: Throwable = null
+    val q2 = Streams.quantileSketchStream(stream2.toDF(), Seq("event_type"), "value",
+      0.5, qs, stateDir, freshCkpt, _ => ())
+    try {
+      stream2.addData(chunks.head)
+      intercept[Exception] { q2.processAllAvailable() }
+      streamErr = q2.exception.orNull
+    } finally q2.stop()
+    val errText = Option(streamErr).map(e =>
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")).getOrElse("")
+    assert(errText.contains("does not match"),
+      s"renumbered batchIds must fail loudly, got: $streamErr")
+  }
+
+  test("hllDistinctStream rejects a stateDir written under a different p") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_hll_p").toString
+    val stream = MemoryStream[Event]
+    val q = Streams.hllDistinctStream(stream.toDF(), Seq("event_type"), "user_id",
+      stateDir, _ => (), p = 12)
+    try {
+      stream.addData(eventSeq.take(50))
+      q.processAllAvailable()
+    } finally q.stop()
+    val clash = intercept[IllegalStateException] {
+      Streams.hllDistinctStream(stream.toDF(), Seq("event_type"), "user_id",
+        stateDir, _ => (), p = 10)
+    }
+    assert(clash.getMessage.contains("parameters"), clash.getMessage)
   }
 
   test("asofJoinStream enriches a trigger-split event stream equal to the batch as-of") {
