@@ -55,7 +55,8 @@ object Bench {
     "q99_snapshot_diff", "q100_zscore", "q101_bpe",
     "q102_interval_join", "q103_hopping_window", "q104_cohort_retention",
     "q105_funnel_windowed", "q106_pagerank_dangling", "q43_hll_distinct",
-    "q107_bpe_encode", "q108_quantile_sketch", "q109_scd2_history")
+    "q107_bpe_encode", "q108_quantile_sketch", "q109_scd2_history",
+    "q110_heavy_hitters")
 
   private val childMarker = "##BENCHQ##"
 

@@ -129,6 +129,7 @@ object SparkEntry {
     "q107_bpe_encode"     -> q(Bpe.q107),
     "q108_quantile_sketch" -> q(Extended.q108),
     "q109_scd2_history"   -> q(Relational.q109),
+    "q110_heavy_hitters"  -> q(Extended.q110),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2216,6 +2217,22 @@ object SparkEntry {
          |FROM g JOIN cal ON cal.snap_ts = g.last_ts
          |ORDER BY g.id, g.valid_from""".stripMargin
     },
+
+    // the q110 heavy-hitters replay: below cap the Misra–Gries sketch
+    // is exact with a deterministic (count DESC, item) order, so the
+    // oracle is a plain census + rank
+    "q110_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT lang, source AS item, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, item, cnt,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY lang ORDER BY cnt DESC, item) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT lang, rank, item, cnt FROM r
+        |WHERE rank <= 5
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —

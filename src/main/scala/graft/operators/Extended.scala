@@ -291,4 +291,27 @@ object Extended {
     qty.join(price, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q110: per-group heavy hitters via the Misra–Gries
+    * [[graft.functions.TopKSketch]] typed aggregate — the sketch that
+    * was spec-only until r11 now carries a full oracle: below its
+    * `cap` the sketch is EXACT (every distinct value holds a true
+    * count — here a handful of corpus sources against a 4096 cap),
+    * and its output order is deterministic (count DESC, item), so
+    * DuckDB replays it as a plain census + rank. The query IS the
+    * census a curation pipeline runs per drop — top sources per
+    * language — as one map-combinable aggregate with BOUNDED state
+    * per group; above cap the same query degrades gracefully to the
+    * ±n/cap Misra–Gries guarantee (spec territory).
+    */
+  def q110(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    graft.functions.GraftFunctions.register(t.spark)
+    t.documents.groupBy(col("lang"))
+      .agg(topkSketch(col("source"), 5).as("__tk"))
+      .select(col("lang"), posexplode(col("__tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("item"), col("col.cnt").as("cnt"))
+      .orderBy(col("lang"), col("rank"))
+  }
 }
