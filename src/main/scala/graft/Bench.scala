@@ -56,7 +56,7 @@ object Bench {
     "q102_interval_join", "q103_hopping_window", "q104_cohort_retention",
     "q105_funnel_windowed", "q106_pagerank_dangling", "q43_hll_distinct",
     "q107_bpe_encode", "q108_quantile_sketch", "q109_scd2_history",
-    "q110_heavy_hitters")
+    "q110_heavy_hitters", "q111_kmeans")
 
   private val childMarker = "##BENCHQ##"
 

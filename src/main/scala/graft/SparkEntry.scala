@@ -130,6 +130,7 @@ object SparkEntry {
     "q108_quantile_sketch" -> q(Extended.q108),
     "q109_scd2_history"   -> q(Relational.q109),
     "q110_heavy_hitters"  -> q(Extended.q110),
+    "q111_kmeans"         -> q(Vectors.q111),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2233,6 +2234,47 @@ object SparkEntry {
         |SELECT lang, rank, item, cnt FROM r
         |WHERE rank <= 5
         |ORDER BY 1, 2""".stripMargin,
+
+    // the q111 Lloyd's replay: 2 unrolled iterations — assignment =
+    // q91's sequential squared-distance fold + (d2, cid) row_number,
+    // re-centering = q42's decimal means re-assembled by pos. Each
+    // round's CTEs are MATERIALIZED (assignment references the
+    // previous centroids k times — plain CTEs would inline and the
+    // plan doubles per round, the q101 lesson).
+    "q111_kmeans" -> {
+      def iterate(i: Int): String = {
+        val prev = s"c${i - 1}"
+        s"""a$i AS MATERIALIZED (
+           |  SELECT vec_id, emb, cid FROM (
+           |    SELECT v.vec_id, v.emb, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        list_reduce(list_transform(range(1, 65),
+           |          i -> (v.emb[i] - c.c[i]) * (v.emb[i] - c.c[i])), (a, b) -> a + b),
+           |        c.cid) AS rn
+           |    FROM v CROSS JOIN $prev c) WHERE rn = 1),
+           |m$i AS (
+           |  SELECT cid, pos, CAST(SUM(x) AS DOUBLE) / COUNT(x) AS m, COUNT(x) AS n
+           |  FROM (
+           |    SELECT cid, generate_subscripts(emb, 1) - 1 AS pos,
+           |           CAST(unnest(emb) AS DECIMAL(27,12)) AS x
+           |    FROM a$i)
+           |  GROUP BY cid, pos),
+           |c$i AS MATERIALIZED (
+           |  SELECT cid, list(m ORDER BY pos) AS c, MAX(n) AS n
+           |  FROM m$i GROUP BY cid)""".stripMargin
+      }
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS c
+         |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 4)),
+         |${iterate(1)},
+         |${iterate(2)}
+         |SELECT cid,
+         |  list_aggregate(list_transform(c,
+         |    x -> CAST(CAST(x AS DECIMAL(18,3)) AS VARCHAR)), 'string_agg', ',') AS centroid,
+         |  n AS cluster_size
+         |FROM c2 ORDER BY cid""".stripMargin
+    },
   )
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —

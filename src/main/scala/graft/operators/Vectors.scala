@@ -210,6 +210,27 @@ object Vectors {
     cents
   }
 
+  /** q111: the Lloyd's k-means trainer itself ([[kmeansCentroids]])
+    * under a FULL oracle — 2 unrolled iterations replayed in DuckDB
+    * (k = 4 over the embeddings, seeds = the 4 lowest ids): every
+    * piece was already proven portable elsewhere, and this row
+    * composes them — the squared-distance sequential fold (q91's
+    * list_reduce ≡ aggregate-from-0.0), the argmin tie-break on cid
+    * (row_number ≡ the array_min struct order), the decimal
+    * re-centering (q42's exact sums), and the list re-assembly by
+    * pos. Centroids render as q42's comma-joined DECIMAL(18,3)
+    * strings (the driver compare can't hash array cells). The
+    * trainer that feeds every IVF index is thereby hash-checked
+    * end-to-end, not just property-specced.
+    */
+  def q111(t: Tables): DataFrame =
+    kmeansCentroids(t.embeddings, "vec_id", "embedding", k = 4, iters = 2)
+      .select(col("cid"),
+        concat_ws(",", transform(col("centroid"),
+          c => c.cast("decimal(18,3)").cast("string"))).as("centroid"),
+        col("cluster_size"))
+      .orderBy(col("cid"))
+
   /** q43: HyperLogLog approximate distinct counts — built on the
     * PORTABLE register-based HLL
     * ([[graft.api.Ops.GraftDataFrameOps.hllDistinct]], p=12) instead
