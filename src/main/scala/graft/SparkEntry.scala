@@ -2127,13 +2127,21 @@ object SparkEntry {
     // bucket-midpoint estimate. The quantile literals CAST to DOUBLE:
     // DuckDB parses 0.95 as DECIMAL and decimal·n would round
     // differently from Spark's double product at ceil boundaries.
+    // The ±2^62 scaled-value range predicate mirrors
+    // quantileRegisters' unrepresentable-bucket guard EXACTLY (r11
+    // second review: Spark dropping a 5e18-scale outlier that the
+    // oracle still counts would silently diverge the census).
     "q108_quantile_sketch" -> {
       def census(pre: String, valueCol: String, width: String) =
         s"""${pre}r AS (
            |  SELECT l_returnflag AS g,
            |         CAST(floor(CAST($valueCol AS DOUBLE) / $width) AS BIGINT) AS b,
            |         COUNT(*) AS n
-           |  FROM lineitem GROUP BY 1, 2),
+           |  FROM lineitem
+           |  WHERE CAST($valueCol AS DOUBLE) / $width
+           |    BETWEEN -CAST(4611686018427387904 AS DOUBLE)
+           |        AND CAST(4611686018427387904 AS DOUBLE)
+           |  GROUP BY 1, 2),
            |${pre}c AS (
            |  SELECT g, b, SUM(n) OVER (PARTITION BY g ORDER BY b) AS cum,
            |         SUM(n) OVER (PARTITION BY g) AS tot FROM ${pre}r),
@@ -2225,7 +2233,9 @@ object SparkEntry {
     "q110_heavy_hitters" ->
       """WITH c AS (
         |  SELECT lang, source AS item, COUNT(*) AS cnt
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
         |r AS (
         |  SELECT lang, item, cnt,
         |         CAST(row_number() OVER (

@@ -42,11 +42,21 @@ case class TopKSketch(
     buf.get(item) match {
       case Some(c) => buf.update(item, c + n)
       case None if buf.size < cap => buf.update(item, n)
-      case None => // Misra–Gries decrement step
-        val dec = n
+      case None =>
+        // batched Misra–Gries decrement (Agarwal et al., "Mergeable
+        // Summaries", PODS 2012 — the published generalization for
+        // weighted arrivals/merges): INSERT the item, then subtract
+        // the smallest of the cap+1 counts from everything and drop
+        // the zeros. The r11 pre-fix version decremented by the FULL
+        // incoming weight and discarded the item — a heavyweight
+        // arrival wiped the buffer AND itself, far beyond the n/cap
+        // bound the scaladoc promises; this form keeps the bound
+        // under weighted merges too (second review).
+        buf.update(item, n)
+        val m = buf.values.min
         val dead = mutable.ArrayBuffer.empty[String]
         for ((key, c) <- buf) {
-          if (c <= dec) dead += key else buf.update(key, c - dec)
+          if (c <= m) dead += key else buf.update(key, c - m)
         }
         dead.foreach(buf.remove)
     }

@@ -307,7 +307,14 @@ object Extended {
   def q110(t: Tables): DataFrame = {
     import graft.api.Ops._
     graft.functions.GraftFunctions.register(t.spark)
-    t.documents.groupBy(col("lang"))
+    // null keys/items are EXCLUDED explicitly on both sides: the
+    // sketch already skips null items (so an implicit oracle
+    // COUNT(*) over them would diverge), and a null group would sort
+    // NULLS FIRST in Spark vs LAST in DuckDB (r11 second review) —
+    // the filters make the contract visible instead of data-dependent
+    t.documents
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy(col("lang"))
       .agg(topkSketch(col("source"), 5).as("__tk"))
       .select(col("lang"), posexplode(col("__tk")))
       .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),

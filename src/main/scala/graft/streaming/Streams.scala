@@ -226,22 +226,33 @@ object Streams {
     private val dirPath = new Path(stateDir)
     private val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    /** (counter, batchId, fingerprint, dirName), counter-ascending. */
+    /** (counter, batchId, fingerprint, dirName), counter-ascending.
+      * A `state_*` dir that does NOT parse is an ERROR, never a skip
+      * (r11 second review): silently ignoring it — e.g. a pre-r11
+      * `state_<n>` dir — would resume the stream with EMPTY registers
+      * and lose all absorbed stream-lifetime state without a sound.
+      */
     private def list(completeOnly: Boolean): Seq[(Long, Long, String, String)] =
       if (!fs.exists(dirPath)) Seq.empty
       else fs.listStatus(dirPath).toSeq
         .map(_.getPath.getName).filter(_.startsWith("state_"))
         .filter(n => !completeOnly || fs.exists(new Path(dirPath, s"$n/_SUCCESS")))
-        .flatMap { n =>
+        .map { n =>
           n.stripPrefix("state_").split("_", 3) match {
-            case Array(c, b, fp) =>
-              scala.util.Try((c.toLong, b.toLong, fp, n)).toOption
-            case _ => None
+            case Array(c, b, fp) if scala.util.Try(c.toLong).isSuccess &&
+              scala.util.Try(b.toLong).isSuccess =>
+              (c.toLong, b.toLong, fp, n)
+            case _ => throw new IllegalStateException(
+              s"SnapshotStore: $stateDir holds snapshot dir '$n' in an " +
+                "incompatible (pre-r11?) naming scheme — resuming would " +
+                "silently discard its state; migrate or drain it explicitly")
           }
         }.sortBy(_._1)
 
-    // parameter-mismatch fail-fast runs at OPEN, before any trigger
-    list(completeOnly = false).foreach { case (_, _, fp, name) =>
+    // ONE open-time listing serves the parameter fail-fast AND the
+    // counter seed (remote filesystems pay per listing round-trip)
+    private val atOpen = list(completeOnly = false)
+    atOpen.foreach { case (_, _, fp, name) =>
       if (fp != fingerprint) throw new IllegalStateException(
         s"SnapshotStore: $stateDir holds snapshot '$name' written under sketch " +
           s"parameters '$fp' but this stream runs '$fingerprint' — merging " +
@@ -250,7 +261,7 @@ object Streams {
     }
 
     private val nextId = new java.util.concurrent.atomic.AtomicLong(
-      list(completeOnly = false).map(_._1).maxOption.getOrElse(-1L) + 1L)
+      atOpen.map(_._1).maxOption.getOrElse(-1L) + 1L)
 
     /** Newest complete snapshot: (frame, batchId it merged). */
     def latestComplete(): Option[(org.apache.spark.sql.DataFrame, Long)] =
@@ -405,6 +416,18 @@ object Streams {
                 s"last merged batchId $lastB — the checkpointLocation does not match " +
                 "this stateDir (wiped/changed checkpoint?); state and checkpoint must " +
                 "move together, or start from a fresh stateDir")
+          case None if batchId > 0 =>
+            // the MIRROR mismatch (r11 second review): only batch 0
+            // can ever legitimately see empty state — a later batchId
+            // against an empty stateDir means the STATE side was
+            // wiped or swapped while the checkpoint was kept, and
+            // quietly re-seeding from this batch alone would silently
+            // forget every previously absorbed count
+            throw new IllegalStateException(
+              s"quantileSketchStream: trigger batchId $batchId arrived with NO " +
+                "state snapshot — the stateDir does not match this " +
+                "checkpointLocation (wiped/changed stateDir?); state and checkpoint " +
+                "must move together, or start from a fresh checkpointLocation")
           case _ =>
             val regsB = graft.api.Ops.quantileRegisters(batch, group, col(value), bucketWidth)
             val merged = prev match {

@@ -169,6 +169,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("topk_sketch above-cap merge keeps heavy hitters (batched Misra–Gries)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // the pre-fix merge decremented a full buffer by the ENTIRE
+    // incoming weight and dropped the incoming item — merging a
+    // 100-weight hitter into a full {b:1, c:1} buffer yielded {}.
+    // Batched MG (Agarwal et al. 2012) must keep it at ~99.
+    val sk = graft.functions.TopKSketch(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.StringType, nullable = true), 2, 2)
+    def row(s: String) = InternalRow(UTF8String.fromString(s))
+    val heavy = sk.createAggregationBuffer()
+    (1 to 100).foreach(_ => sk.update(heavy, row("a")))
+    val full = sk.createAggregationBuffer()
+    sk.update(full, row("b")); sk.update(full, row("c"))
+    val merged = sk.merge(full, heavy) // heavy partial arrives at a full buffer
+    assert(merged.get("a").exists(_ >= 98L),
+      s"the heavy hitter must survive the merge with ~its count: $merged")
+    // below-cap exactness is untouched (the q110/profile contract)
+    val exact = sk.createAggregationBuffer()
+    Seq("x", "y", "x").foreach(s => sk.update(exact, row(s)))
+    assert(exact == scala.collection.mutable.HashMap("x" -> 2L, "y" -> 1L))
+  }
+
   test("seeded portable hash is deterministic and seed-sensitive") {
     import spark.implicits._
     import graft.functions.TextFunctions.seededHash

@@ -407,6 +407,49 @@ class StreamingSpec extends AnyFunSuite {
         stateDir, _ => (), p = 10)
     }
     assert(clash.getMessage.contains("parameters"), clash.getMessage)
+    // an INCOMPATIBLE (pre-r11-style) snapshot dir is an ERROR at
+    // open, never a silent skip — skipping it would resume with empty
+    // registers and lose all absorbed state (r11 second review)
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft_hll_legacy")
+    java.nio.file.Files.createDirectory(legacyDir.resolve("state_5"))
+    val legacy = intercept[IllegalStateException] {
+      Streams.hllDistinctStream(stream.toDF(), Seq("event_type"), "user_id",
+        legacyDir.toString, _ => (), p = 12)
+    }
+    assert(legacy.getMessage.contains("incompatible"), legacy.getMessage)
+  }
+
+  test("quantileSketchStream fails loudly when the stateDir was wiped but the checkpoint kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_qsk_wipe_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qsk_wipe_ckpt").toString
+    val qs = Seq("p50" -> 0.5)
+    val stream = MemoryStream[Event]
+    val q1 = Streams.quantileSketchStream(stream.toDF(), Seq("event_type"), "value",
+      0.5, qs, stateDir, ckpt, _ => ())
+    try {
+      stream.addData(eventSeq.take(40))
+      q1.processAllAvailable()
+      stream.addData(eventSeq.slice(40, 80))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // wipe the state side only — batchIds continue from the kept
+    // checkpoint, so the next trigger sees batchId > 0 with NO state:
+    // re-seeding silently would forget everything absorbed so far
+    val dir = new java.io.File(stateDir)
+    dir.listFiles().foreach { f =>
+      if (f.isDirectory) { f.listFiles().foreach(_.delete()); f.delete() } else f.delete()
+    }
+    val q2 = Streams.quantileSketchStream(stream.toDF(), Seq("event_type"), "value",
+      0.5, qs, stateDir, ckpt, _ => ())
+    try {
+      stream.addData(eventSeq.slice(80, 120))
+      intercept[Exception] { q2.processAllAvailable() }
+      val err = Option(q2.exception.orNull).map(e =>
+        e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")).getOrElse("")
+      assert(err.contains("NO state snapshot"), s"wiped stateDir must fail loudly: $err")
+    } finally q2.stop()
   }
 
   test("asofJoinStream enriches a trigger-split event stream equal to the batch as-of") {
