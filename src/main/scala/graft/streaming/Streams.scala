@@ -444,6 +444,102 @@ object Streams {
       .start()
   }
 
+  /** CONTINUOUS per-group heavy hitters — the third sketch stream
+    * (after [[hllDistinctStream]] and [[quantileSketchStream]]),
+    * q110's census kept live: per trigger, the batch's (group, item)
+    * counts sum-merge into running state, the state COLLAPSES to at
+    * most `cap` items per group by the batched Misra–Gries rule
+    * (subtract the (cap+1)-th largest count, keep positives — the
+    * same published step [[graft.functions.TopKSketch]] applies,
+    * Agarwal et al. 2012), and the current top-`k` per group emits.
+    * Below `cap` distinct items per group nothing ever collapses, so
+    * every emitted ranking EQUALS the batch census over everything
+    * seen (spec-pinned, restarts included); above cap the classic
+    * n/cap bound applies.
+    *
+    * State is ≤ cap rows per group BY CONSTRUCTION — the collapse is
+    * what makes "top sources over an unbounded ingest" a
+    * constant-space question. The collapse threshold is a per-group
+    * row_number over the ≤ cap + trigger-distinct candidate rows
+    * (state + trigger bounded, never corpus-bounded). Null group
+    * keys and items are excluded (the q110 convention). Counts ADD, so the
+    * replay discipline is [[quantileSketchStream]]'s, enforced by
+    * the same shared [[SnapshotStore]]: batchId-recorded snapshots
+    * (retries re-emit, never re-merge), REQUIRED checkpointLocation,
+    * loud failure on either direction of checkpoint/state mismatch,
+    * cap recorded in the parameter fingerprint.
+    */
+  def heavyHittersStream(rows: DataFrame, group: Seq[String], item: String,
+                         k: Int, cap: Int,
+                         stateDir: String,
+                         checkpointLocation: String,
+                         sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 1 && cap >= k, s"heavyHittersStream: need 1 <= k <= cap (got k=$k, cap=$cap)")
+    require(stateDir.nonEmpty, "heavyHittersStream: stateDir is required")
+    require(checkpointLocation.nonEmpty,
+      "heavyHittersStream: checkpointLocation is required — sum-merged counts " +
+        "need durable monotone batchIds to tell a replay from new data")
+    val spark = rows.sparkSession
+    val store = new SnapshotStore(spark, stateDir, s"cap$cap")
+    val gcols = group.map(col)
+    import org.apache.spark.sql.expressions.Window
+    def topK(st: DataFrame): DataFrame = {
+      val w = Window.partitionBy(gcols: _*).orderBy(col("__hn").desc, col("__hi"))
+      st.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select((gcols :+ col("rank") :+ col("__hi").as(item) :+ col("__hn").as("cnt")): _*)
+    }
+    var state: Option[(DataFrame, Long)] = None
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = state.orElse(store.latestComplete())
+        prev match {
+          case Some((st, lastB)) if batchId == lastB =>
+            sink(topK(st))
+          case Some((_, lastB)) if batchId < lastB =>
+            throw new IllegalStateException(
+              s"heavyHittersStream: trigger batchId $batchId is below the state's " +
+                s"last merged batchId $lastB — the checkpointLocation does not match " +
+                "this stateDir; state and checkpoint must move together")
+          case None if batchId > 0 =>
+            throw new IllegalStateException(
+              s"heavyHittersStream: trigger batchId $batchId arrived with NO state " +
+                "snapshot — the stateDir does not match this checkpointLocation; " +
+                "state and checkpoint must move together")
+          case _ =>
+            val census = batch
+              .filter(gcols.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true)) &&
+                col(item).isNotNull)
+              .groupBy((gcols :+ col(item).as("__hi")): _*)
+              .agg(count(lit(1)).as("__hn"))
+            val summed = prev match {
+              case None => census
+              case Some((st, _)) =>
+                st.unionByName(census)
+                  .groupBy((gcols :+ col("__hi")): _*)
+                  .agg(sum(col("__hn")).as("__hn"))
+            }
+            // batched Misra–Gries collapse: m = the (cap+1)-th largest
+            // count per group (0 when the group fits), subtract, keep
+            // positives — at most cap rows per group survive
+            val rw = Window.partitionBy(gcols: _*).orderBy(col("__hn").desc, col("__hi"))
+            val mW = Window.partitionBy(gcols: _*)
+            val collapsed = summed
+              .withColumn("__rn", row_number().over(rw))
+              .withColumn("__m", max(when(col("__rn") === cap + 1, col("__hn"))).over(mW))
+              .withColumn("__hn", col("__hn") - coalesce(col("__m"), lit(0L)))
+              .filter(col("__hn") > 0)
+              .select((gcols :+ col("__hi") :+ col("__hn")): _*)
+            val persisted = store.write(collapsed, batchId)
+            state = Some((persisted, batchId))
+            sink(topK(persisted))
+        }
+      }
+      .outputMode("update")
+      .option("checkpointLocation", checkpointLocation)
+      .start()
+  }
+
   /** As-of-enrich a live event stream against a STATIC reference
     * frame — the production "attach the latest reference row at or
     * before each event" shape (live trades vs a quotes snapshot,

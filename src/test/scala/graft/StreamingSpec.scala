@@ -419,6 +419,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(legacy.getMessage.contains("incompatible"), legacy.getMessage)
   }
 
+  test("heavyHittersStream: below-cap rankings equal the batch census after every trigger, across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = eventSeq
+    val chunks = all.grouped(math.max(all.size / 3, 1)).toSeq
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_hh_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_ckpt").toString
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[(String, Long, Long, Long)]]()
+    val stream = MemoryStream[Event]
+    def run(batches: Seq[Seq[Event]]): Unit = {
+      // cap 64 >> distinct user_ids per event_type → EXACT regime
+      val q = Streams.heavyHittersStream(stream.toDF(), Seq("event_type"), "user_id",
+        k = 3, cap = 64, stateDir, ckpt,
+        sink = b => emitted.synchronized {
+          emitted += b.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        })
+      try batches.foreach { data =>
+        stream.addData(data)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(chunks.dropRight(1))
+    run(Seq(chunks.last)) // restart from the shared checkpoint
+    def batchTop(rows: Seq[Event]): Set[(String, Long, Long, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("user_id"))
+      rows.toDF().groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(emitted.size == chunks.size)
+    val prefixes = chunks.inits.toSeq.reverse.drop(1)
+    prefixes.zipWithIndex.foreach { case (pre, i) =>
+      assert(emitted(i) == batchTop(pre.flatten),
+        s"rankings after trigger ${i + 1} must equal the batch census over the first ${i + 1} chunks")
+    }
+    // above-cap: state stays <= cap rows per group by construction
+    val tight = java.nio.file.Files.createTempDirectory("graft_hh_tight").toString
+    val tightCk = java.nio.file.Files.createTempDirectory("graft_hh_tightck").toString
+    val stream2 = MemoryStream[Event]
+    var lastState = 0L
+    val q2 = Streams.heavyHittersStream(stream2.toDF(), Seq("event_type"), "user_id",
+      k = 2, cap = 4, tight, tightCk, _ => ())
+    try {
+      stream2.addData(all)
+      q2.processAllAvailable()
+      val snap = new java.io.File(tight).listFiles().filter(_.getName.startsWith("state_")).head
+      lastState = spark.read.parquet(snap.toString)
+        .groupBy(col("event_type")).count().agg(max("count")).head().getLong(0)
+    } finally q2.stop()
+    assert(lastState <= 4, s"collapsed state must hold <= cap rows per group, got $lastState")
+  }
+
   test("quantileSketchStream fails loudly when the stateDir was wiped but the checkpoint kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
