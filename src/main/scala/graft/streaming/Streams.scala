@@ -218,11 +218,24 @@ object Streams {
     * the current snapshot (plus at most one transient predecessor
     * mid-trigger).
     */
+  /** Path-safe parameter fingerprint: the human-readable `params`
+    * tag plus a hash of the COLUMN IDENTITIES feeding the sketch —
+    * resuming a stateDir with a different value/item/group column
+    * would otherwise sum counts of unrelated quantities into
+    * structurally valid, semantically corrupt state with no error
+    * (r11 third review: the anonymous state columns make a column
+    * swap invisible to schema checks).
+    */
+  private def sketchFingerprint(params: String, cols: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(cols.mkString(" ").getBytes("UTF-8"))
+    params + "-" + md.take(6).map("%02x".format(_)).mkString
+  }
+
   private final class SnapshotStore(spark: org.apache.spark.sql.SparkSession,
                                     stateDir: String, fingerprint: String) {
     import org.apache.hadoop.fs.Path
     require(stateDir.nonEmpty, "SnapshotStore: stateDir is required")
-    require(!fingerprint.contains("_"), s"fingerprint must be _-free: $fingerprint")
     private val dirPath = new Path(stateDir)
     private val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -268,6 +281,51 @@ object Streams {
       list(completeOnly = true).lastOption.map { case (_, b, _, name) =>
         (spark.read.parquet(s"$stateDir/$name"), b)
       }
+
+    /** The replay-guard state machine for SUM-MERGED sketches (counts
+      * add, so replays and mismatches are never harmless — max-merge
+      * streams skip this and merge unconditionally). ONE copy, used
+      * by every sum-merge stream (r11 third review: the
+      * quantile/heavy-hitter copies had drifted test coverage and
+      * BOTH missed a direction). Returns:
+      *
+      *  - `Left(state)` — this batchId is the just-merged one (a
+      *    foreachBatch RETRY): emit from `state`, do NOT re-merge;
+      *  - `Right(prev)` — genuinely new data: merge onto `prev`
+      *    (None only for the very first batch).
+      *
+      * and FAILS LOUDLY on all three mismatch geometries, each of
+      * which silently loses data if ignored:
+      *
+      *  - batchId < lastMerged — checkpoint wiped/swapped, stateDir
+      *    kept: renumbered new batches would all read as replays;
+      *  - batchId > lastMerged + 1 — stateDir restored from a STALE
+      *    backup while the checkpoint is current: the gap batches are
+      *    committed at the source and will never be redelivered
+      *    (legitimate operation only produces lastB or lastB + 1);
+      *  - batchId > 0 with NO snapshot — stateDir wiped/swapped,
+      *    checkpoint kept: re-seeding forgets everything absorbed.
+      */
+    def resolve(cached: Option[(org.apache.spark.sql.DataFrame, Long)], batchId: Long,
+                stream: String): Either[org.apache.spark.sql.DataFrame, Option[org.apache.spark.sql.DataFrame]] = {
+      def mismatch(what: String): Nothing = throw new IllegalStateException(
+        s"$stream: trigger batchId $batchId $what — the checkpointLocation and " +
+          "stateDir do not match; they must move together (or start both fresh)")
+      cached.orElse(latestComplete()) match {
+        case Some((st, lastB)) if batchId == lastB => Left(st)
+        case Some((_, lastB)) if batchId < lastB =>
+          mismatch(s"is below the state's last merged batchId $lastB " +
+            "(wiped/changed checkpoint? new data would silently read as replays)")
+        case Some((_, lastB)) if batchId > lastB + 1 =>
+          mismatch(s"skips past the state's last merged batchId $lastB " +
+            "(stale stateDir backup? the gap batches are checkpoint-committed " +
+            "and will never be redelivered)")
+        case None if batchId > 0 =>
+          mismatch("arrived with NO state snapshot " +
+            "(wiped/changed stateDir? re-seeding would forget absorbed state)")
+        case other => Right(other.map(_._1))
+      }
+    }
 
     /** Persist the merged state for `batchId`, prune everything
       * older, and return the PERSISTED frame (re-read, so the sink
@@ -325,7 +383,8 @@ object Streams {
                         checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(stateDir.nonEmpty, "hllDistinctStream: stateDir is required")
     val spark = rows.sparkSession
-    val store = new SnapshotStore(spark, stateDir, s"p$p")
+    val store = new SnapshotStore(spark, stateDir,
+      sketchFingerprint(s"p$p", group :+ value))
     var state: Option[DataFrame] = None
     val writer = rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -392,47 +451,22 @@ object Streams {
       "quantileSketchStream: checkpointLocation is required — sum-merged counts " +
         "need durable monotone batchIds to tell a replay from new data (see scaladoc)")
     val spark = rows.sparkSession
-    val store = new SnapshotStore(spark, stateDir,
-      "w" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(bucketWidth)))
+    val store = new SnapshotStore(spark, stateDir, sketchFingerprint(
+      "w" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(bucketWidth)),
+      group :+ value))
     var state: Option[(DataFrame, Long)] = None
     rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = state.orElse(store.latestComplete())
-        prev match {
-          case Some((st, lastB)) if batchId == lastB =>
-            // a foreachBatch RETRY redelivers exactly the last merged
-            // batchId: a re-merge would double-count — emit the
-            // current estimates untouched
+        // the shared sum-merge replay-guard state machine — see
+        // SnapshotStore.resolve for the three loud mismatch cases
+        store.resolve(state, batchId, "quantileSketchStream") match {
+          case Left(st) =>
             sink(graft.api.Ops.quantileFromRegisters(st, group, bucketWidth, quantiles))
-          case Some((_, lastB)) if batchId < lastB =>
-            // a batchId STRICTLY below the last merged one is never a
-            // legitimate retry (Spark re-runs at most the last
-            // uncommitted batch) — it means the checkpointLocation was
-            // wiped or swapped while stateDir was kept, renumbering
-            // batchIds from 0; silently treating new data as replays
-            // would drop it forever (r11 review), so fail loudly
-            throw new IllegalStateException(
-              s"quantileSketchStream: trigger batchId $batchId is below the state's " +
-                s"last merged batchId $lastB — the checkpointLocation does not match " +
-                "this stateDir (wiped/changed checkpoint?); state and checkpoint must " +
-                "move together, or start from a fresh stateDir")
-          case None if batchId > 0 =>
-            // the MIRROR mismatch (r11 second review): only batch 0
-            // can ever legitimately see empty state — a later batchId
-            // against an empty stateDir means the STATE side was
-            // wiped or swapped while the checkpoint was kept, and
-            // quietly re-seeding from this batch alone would silently
-            // forget every previously absorbed count
-            throw new IllegalStateException(
-              s"quantileSketchStream: trigger batchId $batchId arrived with NO " +
-                "state snapshot — the stateDir does not match this " +
-                "checkpointLocation (wiped/changed stateDir?); state and checkpoint " +
-                "must move together, or start from a fresh checkpointLocation")
-          case _ =>
+          case Right(prev) =>
             val regsB = graft.api.Ops.quantileRegisters(batch, group, col(value), bucketWidth)
             val merged = prev match {
-              case None          => regsB
-              case Some((st, _)) => graft.api.Ops.quantileMergeRegisters(group, st, regsB)
+              case None     => regsB
+              case Some(st) => graft.api.Ops.quantileMergeRegisters(group, st, regsB)
             }
             val persisted = store.write(merged, batchId)
             state = Some((persisted, batchId))
@@ -479,8 +513,14 @@ object Streams {
     require(checkpointLocation.nonEmpty,
       "heavyHittersStream: checkpointLocation is required — sum-merged counts " +
         "need durable monotone batchIds to tell a replay from new data")
+    // the emit frame adds `rank` and `cnt` next to the caller's own
+    // columns — collisions would yield duplicate/ambiguous output
+    // names, so they fail loudly up front (r11 third review)
+    (group :+ item).foreach(c => require(c != "rank" && c != "cnt",
+      s"heavyHittersStream: column '$c' collides with the output's rank/cnt columns"))
     val spark = rows.sparkSession
-    val store = new SnapshotStore(spark, stateDir, s"cap$cap")
+    val store = new SnapshotStore(spark, stateDir,
+      sketchFingerprint(s"cap$cap", group :+ item))
     val gcols = group.map(col)
     import org.apache.spark.sql.expressions.Window
     def topK(st: DataFrame): DataFrame = {
@@ -492,21 +532,12 @@ object Streams {
     var state: Option[(DataFrame, Long)] = None
     rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = state.orElse(store.latestComplete())
-        prev match {
-          case Some((st, lastB)) if batchId == lastB =>
+        // the shared sum-merge replay-guard state machine — see
+        // SnapshotStore.resolve for the three loud mismatch cases
+        store.resolve(state, batchId, "heavyHittersStream") match {
+          case Left(st) =>
             sink(topK(st))
-          case Some((_, lastB)) if batchId < lastB =>
-            throw new IllegalStateException(
-              s"heavyHittersStream: trigger batchId $batchId is below the state's " +
-                s"last merged batchId $lastB — the checkpointLocation does not match " +
-                "this stateDir; state and checkpoint must move together")
-          case None if batchId > 0 =>
-            throw new IllegalStateException(
-              s"heavyHittersStream: trigger batchId $batchId arrived with NO state " +
-                "snapshot — the stateDir does not match this checkpointLocation; " +
-                "state and checkpoint must move together")
-          case _ =>
+          case Right(prev) =>
             val census = batch
               .filter(gcols.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true)) &&
                 col(item).isNotNull)
@@ -514,7 +545,7 @@ object Streams {
               .agg(count(lit(1)).as("__hn"))
             val summed = prev match {
               case None => census
-              case Some((st, _)) =>
+              case Some(st) =>
                 st.unionByName(census)
                   .groupBy((gcols :+ col("__hi")): _*)
                   .agg(sum(col("__hn")).as("__hn"))

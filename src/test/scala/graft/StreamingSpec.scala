@@ -387,7 +387,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
     val errText = Option(streamErr).map(e =>
       e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")).getOrElse("")
-    assert(errText.contains("does not match"),
+    assert(errText.contains("do not match"),
       s"renumbered batchIds must fail loudly, got: $streamErr")
   }
 
@@ -474,6 +474,43 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(col("event_type")).count().agg(max("count")).head().getLong(0)
     } finally q2.stop()
     assert(lastState <= 4, s"collapsed state must hold <= cap rows per group, got $lastState")
+  }
+
+  test("heavyHittersStream fails loudly on a STALE stateDir backup (batchId gap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_hh_gap_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_gap_ckpt").toString
+    val stream = MemoryStream[Event]
+    val q1 = Streams.heavyHittersStream(stream.toDF(), Seq("event_type"), "user_id",
+      k = 2, cap = 16, stateDir, ckpt, _ => ())
+    try {
+      stream.addData(eventSeq.take(30)); q1.processAllAvailable()
+      stream.addData(eventSeq.slice(30, 60)); q1.processAllAvailable()
+      stream.addData(eventSeq.slice(60, 90)); q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate restoring the state side from an OLD backup: rewind the
+    // snapshot's recorded batchId to 0 while the checkpoint has
+    // committed through batch 2 — the gap batches will never be
+    // redelivered, so silently merging forward loses them
+    val dir = new java.io.File(stateDir)
+    val snap = dir.listFiles().filter(_.getName.startsWith("state_")).head
+    val parts = snap.getName.stripPrefix("state_").split("_", 3)
+    assert(snap.renameTo(new java.io.File(dir, s"state_${parts(0)}_0_${parts(2)}")))
+    val q2 = Streams.heavyHittersStream(stream.toDF(), Seq("event_type"), "user_id",
+      k = 2, cap = 16, stateDir, ckpt, _ => ())
+    try {
+      stream.addData(eventSeq.slice(90, 120))
+      intercept[Exception] { q2.processAllAvailable() }
+      val err = Option(q2.exception.orNull).map(e =>
+        e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")).getOrElse("")
+      assert(err.contains("skips past"), s"a stale state backup must fail loudly: $err")
+    } finally q2.stop()
+    // reserved output names fail fast
+    assert(intercept[IllegalArgumentException] {
+      Streams.heavyHittersStream(stream.toDF().withColumnRenamed("event_type", "cnt"),
+        Seq("cnt"), "user_id", 2, 16, stateDir, ckpt, _ => ())
+    }.getMessage.contains("collides"))
   }
 
   test("quantileSketchStream fails loudly when the stateDir was wiped but the checkpoint kept") {
