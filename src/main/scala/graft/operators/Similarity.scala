@@ -380,6 +380,54 @@ object Similarity {
       ivfPqTopKAgainst(codes, queries, centroids, id, queryId, queryEmb,
         "cid", "ce", dim, m, ks, k, nprobe, seed, scale, Some(codebooks),
         maxLiteralCentroids, excludeSelf)
+
+    /** Persist the ENTIRE index durably — the encode-once / serve-
+      * for-weeks production loop needs the artifact to outlive the
+      * driver session that built it (checkpoint blocks are a cache,
+      * not a format). Layout under `path`: `codes/` and `centroids/`
+      * as parquet, `codebooks/` as exact (s, j, d, w) double rows
+      * (parquet doubles are lossless — a JSON rendering would round),
+      * and `meta/` as one row of the scalar config. [[loadIvfPqIndex]]
+      * reconstructs a PreparedIvfPq that is `reliable` by
+      * construction (parquet is durable) and serves/absorbs
+      * identically (spec-pinned round-trip).
+      */
+    def save(path: String): Unit = {
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+      val cbRows = for {
+        s <- codebooks.indices
+        j <- codebooks(s).indices
+        d <- codebooks(s)(j).indices
+      } yield (s, j, d, codebooks(s)(j)(d))
+      cbRows.toDF("s", "j", "d", "w").write.mode("overwrite").parquet(s"$path/codebooks")
+      Seq((id, dim, m, ks, seed, scale, maxLiteralCentroids))
+        .toDF("id", "dim", "m", "ks", "seed", "scale", "maxLiteralCentroids")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  /** Load a [[PreparedIvfPq]] persisted by [[PreparedIvfPq.save]].
+    * The loaded index is `reliable` (parquet outlives executors) and
+    * bit-identical in behavior: codes, centroids, codebooks and the
+    * scalar config all round-trip exactly.
+    */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PreparedIvfPq = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val m = meta.getAs[Int]("m"); val ks = meta.getAs[Int]("ks")
+    val dim = meta.getAs[Int]("dim")
+    val cbs = Array.fill(m, ks, dim / m)(0.0)
+    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
+      cbs(r.getAs[Int]("s"))(r.getAs[Int]("j"))(r.getAs[Int]("d")) = r.getAs[Double]("w")
+    }
+    PreparedIvfPq(
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/centroids"),
+      meta.getAs[String]("id"), dim, m, ks,
+      meta.getAs[String]("seed"), meta.getAs[Double]("scale"),
+      cbs, meta.getAs[Int]("maxLiteralCentroids"), reliable = true)
   }
 
   /** Build a [[PreparedIvfPq]]; `checkpointDir` selects reliable

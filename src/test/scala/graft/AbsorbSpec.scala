@@ -137,6 +137,26 @@ class AbsorbSpec extends AnyFunSuite {
     // re-submitted ids fail fast instead of duplicating code rows
     val e = intercept[IllegalArgumentException] { full.absorb(a.limit(1), "emb") }
     assert(e.getMessage.contains("already in the index"))
+    // save → load round-trips the whole artifact: the loaded index is
+    // reliable (parquet is durable), serves the identical rankings,
+    // and keeps absorbing — the encode-once/serve-for-weeks loop
+    val saveDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_save").toString
+    full.save(saveDir)
+    val loaded = Similarity.loadIvfPqIndex(spark, saveDir)
+    assert(loaded.reliable, "a persisted index is reliable by construction")
+    assert(loaded.dim == full.dim && loaded.m == full.m && loaded.ks == full.ks &&
+      loaded.codebooks.flatten.flatten.toSeq == full.codebooks.flatten.flatten.toSeq)
+    assertSameRows(loaded.codes, full.codes, "persisted codes")
+    assertSameRows(
+      loaded.topK(queries, "qid2", "qemb", k = 10, nprobe = 2),
+      full.topK(queries, "qid2", "qemb", k = 10, nprobe = 2),
+      "persisted-index top-k")
+    // and it still absorbs: load(save(prep(A))).absorb(B) ≡ prep(A ∪ B)
+    val savedA = java.nio.file.Files.createTempDirectory("graft_ivfpq_saveA").toString
+    prep(a).save(savedA)
+    assertSameRows(
+      Similarity.loadIvfPqIndex(spark, savedA).absorb(b, "emb").codes,
+      full.codes, "absorb after load")
   }
 
   test("PreparedCatalog.absorb ≡ prepareCatalog over the union; overlapping fingerprints stay distinct") {
