@@ -281,6 +281,9 @@ object ScaleProbe {
       // stays 4 rows however the dimension grows — cost must track
       // the snapshot-series scan (replicated customers grow it 10×)
       "q109_scd2"     -> (t => operators.Relational.q109(t)),
+      // one map-combinable aggregate with ≤ cap counters per group —
+      // 10× documents must cost ~the scan, state never grows
+      "q110_hh"       -> (t => operators.Extended.q110(t)),
       // per-subspace trainer: one exploded corpus scan per iteration
       // (m× rows map-side), assignment a literal fold, re-centering a
       // (s,cid,pos) map-combinable shuffle, driver traffic m·ks rows
