@@ -212,7 +212,7 @@ object Bench {
     }
 
     def med(ts: Seq[Double]): Double = if (ts.isEmpty) -1.0 else median(ts)
-    val qs = results.map { case (k, ts, _) => "\"" + k + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, ts, _) => "\"" + k + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
     // raw per-run times on their OWN marked line: two artifacts that
     // differ on identical binaries are then self-diagnosing — wide
     // runs, stable median = environment skew, not a plan change
@@ -229,10 +229,25 @@ object Bench {
     val fallbackJson = inProc.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (fellBack) fallbackSpark.stop()
     // the consumer keeps only the LAST ~2000 chars of output and
-    // parses the JSON line out of that window, so the final line must
-    // stay compact: medians only (53 queries ≈ 1.6 kB), with the raw
-    // runs map emitted just above it under its own marker
+    // parses the JSON line out of that window. At 78 headline queries
+    // a full-name medians map is ~2.3 kB and the line no longer fits
+    // (r11 artifact: parsed=null — VERDICT r11 #3). The final line now
+    // keys medians by each query's unique qNN prefix (~1.1 kB — fits
+    // with headroom as the set grows), while the FULL-NAME medians,
+    // raws, and isolation labels are (a) printed on their own marked
+    // lines just above and (b) written whole to bench_full.json in the
+    // working directory so the complete artifact always parses.
+    val shortKey = (k: String) => k.takeWhile(_ != '_')
+    val qsShort = results.map { case (k, ts, _) =>
+      "\"" + shortKey(k) + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
+    val fullJson =
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qsFull,"runs":$runsJson,"sf":"$sf","isolation":"$iso","in_process_queries":$fallbackJson}"""
+    try {
+      val wtr = new java.io.PrintWriter("bench_full.json", "UTF-8")
+      try wtr.println(fullJson) finally wtr.close()
+    } catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
     println(s"""##BENCHRUNS## {"runs":$runsJson}""")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sf","isolation":"$iso","in_process_queries":$fallbackJson}""")
+    println(s"""##BENCHMEDS## {"queries":$qsFull,"isolation":"$iso","in_process_queries":$fallbackJson}""")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qsShort,"sf":"$sf","isolation":"$iso","full":"bench_full.json"}""")
   }
 }

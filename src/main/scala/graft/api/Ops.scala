@@ -35,6 +35,19 @@ object Ops {
       case None => df => df.localCheckpoint(eager = true)
     }
 
+  /** The absorb-guard probe shared by every prepared artifact's id-
+    * disjointness check: one left-semi of the existing ids against
+    * the increment ids, limited to a single witness row. Deliberately
+    * hint-free — absorb models corpus growth, so a BULK increment's
+    * id set approaches corpus scale; AQE broadcasts genuinely small
+    * increments on its own (the q48 forced-hint rule, VERDICT r11).
+    * Exposed `private[graft]` so AbsorbSpec can pin the hint-free
+    * plan shape.
+    */
+  private[graft] def clashProbe(existingIds: DataFrame, incrementIds: DataFrame,
+                                id: String): DataFrame =
+    existingIds.join(incrementIds, Seq(id), "left_semi").limit(1)
+
   /** Parallelization floor for expression-heavy map stages (md5
     * shingling, minhash signatures, n-gram hashing): a small input —
     * one or two file partitions at test scale — would run all of that
@@ -113,9 +126,8 @@ object Ops {
                checkpointDir: Option[String] = None): PreparedCatalog = {
       val ckp = lineageBreaker(checkpointDir)
       import graft.functions.TextFunctions._
-      val clash = shingles.select(col(id)).distinct()
-        .join(broadcast(increment.select(col(id)).distinct()), Seq(id), "left_semi")
-        .limit(1).count()
+      val clash = clashProbe(shingles.select(col(id)).distinct(),
+        increment.select(col(id)).distinct(), id).count()
       require(clash == 0L,
         "PreparedCatalog.absorb: increment contains doc ids already in the " +
           "catalog — absorb models catalog growth; re-prepare to replace docs")
@@ -356,8 +368,8 @@ object Ops {
       .groupBy(col(id), col("__w")).agg(count(lit(1)).as("__tf")))
     val dlB = tfB.groupBy(col(id)).agg(sum(col("__tf")).as("__dl"))
     val dfB = tfB.groupBy(col("__w")).agg(count(lit(1)).as("__dfb"))
-    val clash = idx.postings.select(col(id)).distinct()
-      .join(broadcast(dlB.select(col(id))), Seq(id), "left_semi").limit(1).count()
+    val clash = clashProbe(idx.postings.select(col(id)).distinct(),
+      dlB.select(col(id)), id).count()
     require(clash == 0L,
       "absorbBm25: increment contains doc ids already in the index — " +
         "absorb models corpus growth; re-prepare to replace documents")
@@ -475,9 +487,8 @@ object Ops {
     def absorb(increment: DataFrame,
                checkpointDir: Option[String] = None): PreparedEditIndex = {
       val ckp = lineageBreaker(checkpointDir)
-      val clash = base.select(col(id)).distinct()
-        .join(broadcast(increment.select(col(id)).distinct()), Seq(id), "left_semi")
-        .limit(1).count()
+      val clash = clashProbe(base.select(col(id)).distinct(),
+        increment.select(col(id)).distinct(), id).count()
       require(clash == 0L,
         "PreparedEditIndex.absorb: increment contains ids already in the " +
           "index — absorb models catalog growth; re-prepare to replace rows")
@@ -783,10 +794,8 @@ object Ops {
     def absorb(increment: DataFrame, emb: String,
                checkpointDir: Option[String] = None): PreparedVecCatalog = {
       val ckp = lineageBreaker(checkpointDir)
-      val clash = vectors.select(col("__cid"))
-        .join(broadcast(increment.select(col(id).as("__cid")).distinct()),
-          Seq("__cid"), "left_semi")
-        .limit(1).count()
+      val clash = clashProbe(vectors.select(col("__cid")),
+        increment.select(col(id).as("__cid")).distinct(), "__cid").count()
       require(clash == 0L,
         "PreparedVecCatalog.absorb: increment contains ids already in the " +
           "catalog — absorb models catalog growth; re-prepare to replace rows")

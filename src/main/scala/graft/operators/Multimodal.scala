@@ -912,6 +912,17 @@ object Multimodal {
     */
   def jpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    // pre-validate the SOF dimensions BEFORE handing the stream to
+    // ImageIO: a payload with JPEG magic and lying SOF dims (e.g.
+    // 65500×65500) would allocate a multi-GB BufferedImage inside the
+    // reader, and the resulting OutOfMemoryError is an Error — it
+    // would escape the Exception catch below and break this method's
+    // never-throws contract (ADVICE r11). Same 3L*w*h bound as every
+    // hand-rolled decoder; unparseable dims refuse here too.
+    jpegDims(b) match {
+      case Some((h, w)) if h > 0 && w > 0 && 3L * w * h <= Int.MaxValue => ()
+      case _ => return None
+    }
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null) return None

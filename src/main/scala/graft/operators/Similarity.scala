@@ -352,14 +352,12 @@ object Similarity {
     def absorb(increment: DataFrame, emb: String,
                checkpointDir: Option[String] = None): PreparedIvfPq = {
       val ckp = graft.api.Ops.lineageBreaker(checkpointDir)
-      // the increment's id set carries NO broadcast hint: absorb
-      // models corpus growth, so a bulk increment's ids are
-      // corpus-scale — AQE picks broadcast only when they are
-      // actually small (the q48 rule this engine applies to every
-      // potentially-unbounded join side; r11 review)
-      val clash = codes.select(col(id))
-        .join(increment.select(col(id)).distinct(), Seq(id), "left_semi")
-        .limit(1).count()
+      // hint-free guard — see [[graft.api.Ops.clashProbe]] (the q48
+      // rule this engine applies to every potentially-unbounded join
+      // side; r11 review made this site hint-free first, r12 shares
+      // the probe across all five absorb guards)
+      val clash = graft.api.Ops.clashProbe(codes.select(col(id)),
+        increment.select(col(id)).distinct(), id).count()
       require(clash == 0L,
         "PreparedIvfPq.absorb: increment contains ids already in the index — " +
           "absorb models corpus growth; re-prepare to replace rows")

@@ -228,7 +228,7 @@ object Streams {
     */
   private def sketchFingerprint(params: String, cols: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(cols.mkString(" ").getBytes("UTF-8"))
+      .digest(cols.mkString("\u0000").getBytes("UTF-8"))
     params + "-" + md.take(6).map("%02x".format(_)).mkString
   }
 
@@ -946,9 +946,19 @@ object Streams {
           for (e <- sorted) {
             val t = micros(e.ts)
             // the late-drop gate: beyond tolerance behind the user's
-            // high-water mark → counted drop, never a silent miss
-            // (subtraction form avoids maxTs - L underflow)
-            val tooLate = maxLatenessUs.exists(l => maxTs != Long.MinValue && maxTs - t > l)
+            // high-water mark → counted drop, never a silent miss.
+            // The subtraction runs only when t < maxTs (so the true
+            // difference is positive), and a wrapped-negative result
+            // means the true difference exceeded Long.MaxValue — an
+            // absurdly-ancient timestamp, which is MORE than l late
+            // (ADVICE r11: the old form let maxTs - t overflow for
+            // extreme negative t and pass the event as on-time)
+            val tooLate = maxLatenessUs.exists { l =>
+              maxTs != Long.MinValue && t < maxTs && {
+                val d = maxTs - t
+                d > l || d < 0
+              }
+            }
             if (tooLate) {
               lateDrops.foreach(_.add(1L))
             } else {

@@ -67,6 +67,22 @@ class AbsorbSpec extends AnyFunSuite {
     assert(idx.nDocs == full.nDocs && idx.sumDl == full.sumDl && idx.avgdl == full.avgdl)
   }
 
+  test("absorb disjointness guards carry no forced broadcast hint (AQE decides)") {
+    // VERDICT r11: a forced broadcast(increment ids) OOMs the BULK-
+    // absorb case where the increment approaches corpus scale. Every
+    // absorb guard routes through Ops.clashProbe; its optimized plan
+    // must show a plain hint-free left-semi — AQE still broadcasts a
+    // genuinely small increment at runtime, which is the point.
+    val probe = Ops.clashProbe(
+      partA.select(col("doc_id")).distinct(),
+      partB.select(col("doc_id")).distinct(), "doc_id")
+    val plan = probe.queryExecution.optimizedPlan.treeString
+    assert(plan.contains("LeftSemi"), s"guard must stay a left-semi join:\n$plan")
+    assert(!plan.contains("strategy=broadcast"),
+      s"guard plan must carry no forced broadcast hint:\n$plan")
+    assert(probe.count() >= 0L)
+  }
+
   test("PreparedEditIndex.absorb ≡ prepareEditIndex over the union") {
     import spark.implicits._
     val mk = (r: Range, tag: String) =>
