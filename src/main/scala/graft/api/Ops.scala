@@ -139,6 +139,32 @@ object Ops {
         shingles.unionByName(shB), bands.unionByName(bandB),
         id, perms, lshBands)
     }
+
+    /** Persist the catalog durably ([[ArtifactIO]] layout: the three
+      * frames as parquet + a kind-tagged meta table); [[Ops.loadCatalog]]
+      * reconstructs an identically-serving artifact.
+      */
+    def save(path: String): Unit = {
+      fingerprints.write.mode("overwrite").parquet(s"$path/fingerprints")
+      shingles.write.mode("overwrite").parquet(s"$path/shingles")
+      bands.write.mode("overwrite").parquet(s"$path/bands")
+      ArtifactIO.writeMeta(fingerprints.sparkSession, path, "catalog",
+        Seq("id" -> id, "perms" -> perms.toString, "lshBands" -> lshBands.toString))
+    }
+  }
+
+  /** Load a [[PreparedCatalog]] persisted by its `save`. Parquet
+    * frames are durable, so the loaded catalog serves streams without
+    * a checkpointDir; a non-catalog path fails fast by kind.
+    */
+  def loadCatalog(spark: org.apache.spark.sql.SparkSession, path: String): PreparedCatalog = {
+    val m = ArtifactIO.readMeta(spark, path, "catalog")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    PreparedCatalog(
+      spark.read.parquet(s"$path/fingerprints"),
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/bands"),
+      f("id"), f("perms").toInt, f("lshBands").toInt)
   }
 
   /** Build a [[PreparedCatalog]]; `checkpointDir` selects reliable
@@ -184,6 +210,30 @@ object Ops {
       val v = c2.select(countDistinct(col("__w2"))).collect()(0).getLong(0)
       PreparedLm(c2, c1, v, addK, reliable && checkpointDir.isDefined)
     }
+
+    /** Persist the LM durably (census frames as parquet + kind-tagged
+      * meta); [[Ops.loadLm]] reconstructs an identically-scoring LM
+      * that is `reliable` by construction (parquet outlives both
+      * executors and the driver session).
+      */
+    def save(path: String): Unit = {
+      bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+      prefixes.write.mode("overwrite").parquet(s"$path/prefixes")
+      ArtifactIO.writeMeta(bigrams.sparkSession, path, "lm",
+        Seq("vocab" -> vocab.toString, "addK" -> addK.toString))
+    }
+  }
+
+  /** Load a [[PreparedLm]] persisted by its `save`; fails fast on a
+    * non-lm path.
+    */
+  def loadLm(spark: org.apache.spark.sql.SparkSession, path: String): PreparedLm = {
+    val m = ArtifactIO.readMeta(spark, path, "lm")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    PreparedLm(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/prefixes"),
+      f("vocab").toLong, f("addK").toInt, reliable = true)
   }
 
   private[graft] def bigramStream(df: DataFrame, cols: Seq[Column], text: String) = {
@@ -275,6 +325,30 @@ object Ops {
         merged.filter(col("__c") >= minCount).select(col("__w")),
         merged, minCount, unk, reliable && checkpointDir.isDefined)
     }
+
+    /** Persist the vocabulary durably. Only the UNFILTERED census is
+      * written — `kept` is a filter view over it by construction
+      * (exactly how prepare derives it), so [[Ops.loadVocab]] rebuilds
+      * both frames from one table with zero duplication.
+      */
+    def save(path: String): Unit = {
+      census.write.mode("overwrite").parquet(s"$path/census")
+      ArtifactIO.writeMeta(census.sparkSession, path, "vocab",
+        Seq("minCount" -> minCount.toString, "unk" -> unk))
+    }
+  }
+
+  /** Load a [[PreparedVocab]] persisted by its `save`; fails fast on
+    * a non-vocab path.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): PreparedVocab = {
+    val m = ArtifactIO.readMeta(spark, path, "vocab")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    val census = spark.read.parquet(s"$path/census")
+    val minCount = f("minCount").toLong
+    PreparedVocab(
+      census.filter(col("__c") >= minCount).select(col("__w")),
+      census, minCount, f("unk"), reliable = true)
   }
 
   /** Build a [[PreparedVocab]]; capping the census corpus itself
@@ -319,6 +393,30 @@ object Ops {
     def absorb(increment: DataFrame, text: String,
                checkpointDir: Option[String] = None): PreparedBm25 =
       absorbBm25(this, increment, text, checkpointDir)
+
+    /** Persist the index durably (postings as parquet + kind-tagged
+      * meta). Only the two Long scalars are stored — [[Ops.loadBm25]]
+      * recomposes `avgdl` with prepare's own division, so the loaded
+      * index scores bit-for-bit.
+      */
+    def save(path: String): Unit = {
+      postings.write.mode("overwrite").parquet(s"$path/postings")
+      ArtifactIO.writeMeta(postings.sparkSession, path, "bm25",
+        Seq("nDocs" -> nDocs.toString, "sumDl" -> sumDl.toString, "idCol" -> idCol))
+    }
+  }
+
+  /** Load a [[PreparedBm25]] persisted by its `save`; fails fast on a
+    * non-bm25 path.
+    */
+  def loadBm25(spark: org.apache.spark.sql.SparkSession, path: String): PreparedBm25 = {
+    val m = ArtifactIO.readMeta(spark, path, "bm25")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    val n = f("nDocs").toLong; val sumDl = f("sumDl").toLong
+    PreparedBm25(
+      spark.read.parquet(s"$path/postings"), n, sumDl,
+      if (n == 0) 0.0 else sumDl.toDouble / n.toDouble,
+      f("idCol"), reliable = true)
   }
 
   /** Build a [[PreparedBm25]] over the normalized token stream (the
@@ -501,6 +599,32 @@ object Ops {
       PreparedEditIndex(keys.unionByName(keysB), base.unionByName(baseB),
         id, text, maxDistance, maxLength, reliable && checkpointDir.isDefined)
     }
+
+    /** Persist the index durably (deletion-variant keys + guarded
+      * base rows as parquet, the guard parameters in the meta table —
+      * so an absorb after load still enforces the PREPARED maxLength,
+      * not a default).
+      */
+    def save(path: String): Unit = {
+      keys.write.mode("overwrite").parquet(s"$path/keys")
+      base.write.mode("overwrite").parquet(s"$path/base")
+      ArtifactIO.writeMeta(keys.sparkSession, path, "editindex",
+        Seq("id" -> id, "text" -> text,
+          "maxDistance" -> maxDistance.toString, "maxLength" -> maxLength.toString))
+    }
+  }
+
+  /** Load a [[PreparedEditIndex]] persisted by its `save`; fails fast
+    * on a non-editindex path.
+    */
+  def loadEditIndex(spark: org.apache.spark.sql.SparkSession, path: String): PreparedEditIndex = {
+    val m = ArtifactIO.readMeta(spark, path, "editindex")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    PreparedEditIndex(
+      spark.read.parquet(s"$path/keys"),
+      spark.read.parquet(s"$path/base"),
+      f("id"), f("text"), f("maxDistance").toInt, f("maxLength").toInt,
+      reliable = true)
   }
 
   /** The q87 short-string contract enforced IN the job (see
@@ -658,6 +782,29 @@ object Ops {
         merged.filter(col("__df") >= minDf).select(col("__para")),
         merged, sep, minDf, reliable && checkpointDir.isDefined)
     }
+
+    /** Persist durably. Only the UNFILTERED df census is written —
+      * `common` is a filter view over it by construction (the
+      * [[PreparedVocab.save]] argument).
+      */
+    def save(path: String): Unit = {
+      census.write.mode("overwrite").parquet(s"$path/census")
+      ArtifactIO.writeMeta(census.sparkSession, path, "boilerplate",
+        Seq("sep" -> sep, "minDf" -> minDf.toString))
+    }
+  }
+
+  /** Load a [[PreparedBoilerplate]] persisted by its `save`; fails
+    * fast on a non-boilerplate path.
+    */
+  def loadBoilerplate(spark: org.apache.spark.sql.SparkSession, path: String): PreparedBoilerplate = {
+    val m = ArtifactIO.readMeta(spark, path, "boilerplate")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    val census = spark.read.parquet(s"$path/census")
+    val minDf = f("minDf").toLong
+    PreparedBoilerplate(
+      census.filter(col("__df") >= minDf).select(col("__para")),
+      census, f("sep"), minDf, reliable = true)
   }
 
   /** Build a [[PreparedBoilerplate]]: paragraphs occurring in ≥
@@ -703,6 +850,23 @@ object Ops {
       PreparedGramIndex(ckp(grams.unionByName(gB).distinct()), n,
         reliable && checkpointDir.isDefined)
     }
+
+    /** Persist the gram set durably. */
+    def save(path: String): Unit = {
+      grams.write.mode("overwrite").parquet(s"$path/grams")
+      ArtifactIO.writeMeta(grams.sparkSession, path, "gramindex",
+        Seq("n" -> n.toString))
+    }
+  }
+
+  /** Load a [[PreparedGramIndex]] persisted by its `save`; fails fast
+    * on a non-gramindex path.
+    */
+  def loadGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): PreparedGramIndex = {
+    val m = ArtifactIO.readMeta(spark, path, "gramindex")
+    PreparedGramIndex(
+      spark.read.parquet(s"$path/grams"),
+      ArtifactIO.field(m, path, "n").toInt, reliable = true)
   }
 
   /** Build a [[PreparedGramIndex]] (distinct gram hashes only — an
@@ -809,6 +973,32 @@ object Ops {
       PreparedVecCatalog(codes.unionByName(codesB), vectors.unionByName(baseB),
         id, dim, signBits, tables, seed, reliable && checkpointDir.isDefined)
     }
+
+    /** Persist the vector catalog durably. The hyperplane family is
+      * fully determined by (tables, signBits, dim, seed) in the meta
+      * table, so [[Ops.loadVecCatalog]] re-derives identical weights
+      * — no floating-point matrix needs serializing.
+      */
+    def save(path: String): Unit = {
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      vectors.write.mode("overwrite").parquet(s"$path/vectors")
+      ArtifactIO.writeMeta(codes.sparkSession, path, "veccatalog",
+        Seq("id" -> id, "dim" -> dim.toString, "signBits" -> signBits.toString,
+          "tables" -> tables.toString, "seed" -> seed))
+    }
+  }
+
+  /** Load a [[PreparedVecCatalog]] persisted by its `save`; fails
+    * fast on a non-veccatalog path.
+    */
+  def loadVecCatalog(spark: org.apache.spark.sql.SparkSession, path: String): PreparedVecCatalog = {
+    val m = ArtifactIO.readMeta(spark, path, "veccatalog")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    PreparedVecCatalog(
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/vectors"),
+      f("id"), f("dim").toInt, f("signBits").toInt, f("tables").toInt,
+      f("seed"), reliable = true)
   }
 
   /** Build a [[PreparedVecCatalog]]; `checkpointDir` selects reliable

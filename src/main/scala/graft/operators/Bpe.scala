@@ -206,7 +206,40 @@ object Bpe {
     * there is no checkpoint-reliability contract to enforce: the
     * artifact survives anything the driver survives.
     */
-  final case class PreparedBpe(merges: Seq[(String, String)], foldBatch: Int = 32)
+  final case class PreparedBpe(merges: Seq[(String, String)], foldBatch: Int = 32) {
+
+    /** Persist the tokenizer durably — rank-ordered merge rows as
+      * parquet plus the kind-tagged meta table (the
+      * [[graft.api.ArtifactIO]] layout every prepared artifact
+      * shares). A tokenizer trained once is reused across MONTHS of
+      * encode jobs; [[Bpe.loadBpe]] reconstructs the identical ranked
+      * list, so encodings match token-for-token.
+      */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      import spark.implicits._
+      merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "l", "r")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+      graft.api.ArtifactIO.writeMeta(spark, path, "bpe",
+        Seq("foldBatch" -> foldBatch.toString, "numMerges" -> merges.size.toString))
+    }
+  }
+
+  /** Load a [[PreparedBpe]] persisted by its `save`; fails fast on a
+    * non-bpe path or a merge table whose row count disagrees with the
+    * meta (a partially-written artifact).
+    */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession, path: String): PreparedBpe = {
+    val m = graft.api.ArtifactIO.readMeta(spark, path, "bpe")
+    def f(k: String) = graft.api.ArtifactIO.field(m, path, k)
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    require(merges.size == f("numMerges").toInt,
+      s"loadBpe: merge table at $path has ${merges.size} rows but meta " +
+        s"records ${f("numMerges")} — partially-written artifact")
+    PreparedBpe(merges, f("foldBatch").toInt)
+  }
 
   /** Train and freeze a merge list (see [[trainBpe]] for the training
     * semantics and the batchSize scaling knob).

@@ -401,9 +401,15 @@ object Similarity {
         d <- codebooks(s)(j).indices
       } yield (s, j, d, codebooks(s)(j)(d))
       cbRows.toDF("s", "j", "d", "w").write.mode("overwrite").parquet(s"$path/codebooks")
-      Seq((id, dim, m, ks, seed, scale, maxLiteralCentroids))
-        .toDF("id", "dim", "m", "ks", "seed", "scale", "maxLiteralCentroids")
-        .write.mode("overwrite").parquet(s"$path/meta")
+      // scalars go through the shared kind-tagged (k, v) meta table
+      // (r12: every prepared artifact persists through ArtifactIO, so
+      // loading the wrong artifact type fails fast by kind). `scale`
+      // round-trips exactly: Double.toString is the shortest
+      // representation that parses back to the same IEEE bits.
+      graft.api.ArtifactIO.writeMeta(spark, path, "ivfpq",
+        Seq("id" -> id, "dim" -> dim.toString, "m" -> m.toString,
+          "ks" -> ks.toString, "seed" -> seed, "scale" -> scale.toString,
+          "maxLiteralCentroids" -> maxLiteralCentroids.toString))
     }
   }
 
@@ -413,9 +419,10 @@ object Similarity {
     * scalar config all round-trip exactly.
     */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PreparedIvfPq = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val m = meta.getAs[Int]("m"); val ks = meta.getAs[Int]("ks")
-    val dim = meta.getAs[Int]("dim")
+    import graft.api.ArtifactIO
+    val meta = ArtifactIO.readMeta(spark, path, "ivfpq")
+    def f(k: String) = ArtifactIO.field(meta, path, k)
+    val m = f("m").toInt; val ks = f("ks").toInt; val dim = f("dim").toInt
     val cbs = Array.fill(m, ks, dim / m)(0.0)
     spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
       cbs(r.getAs[Int]("s"))(r.getAs[Int]("j"))(r.getAs[Int]("d")) = r.getAs[Double]("w")
@@ -423,9 +430,8 @@ object Similarity {
     PreparedIvfPq(
       spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/centroids"),
-      meta.getAs[String]("id"), dim, m, ks,
-      meta.getAs[String]("seed"), meta.getAs[Double]("scale"),
-      cbs, meta.getAs[Int]("maxLiteralCentroids"), reliable = true)
+      f("id"), dim, m, ks, f("seed"), f("scale").toDouble,
+      cbs, f("maxLiteralCentroids").toInt, reliable = true)
   }
 
   /** Build a [[PreparedIvfPq]]; `checkpointDir` selects reliable

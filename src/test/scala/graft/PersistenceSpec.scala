@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Ops
+import graft.api.Ops._
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/** Durable artifact persistence (VERDICT r11 #1): for EVERY prepared
+  * artifact, `load(save(prepare(A)))` must equal `prepare(A)` —
+  * artifact frames row-for-row, scalars exactly, downstream queries
+  * identically — and `load(save(prepare(A))).absorb(B)` must equal
+  * the full `prepare(A ∪ B)`, so the prepare-once / absorb-increments
+  * / serve-for-weeks loop survives the driver session that built the
+  * index. Loaded artifacts are `reliable` by construction (parquet is
+  * durable), and loading a path that holds a DIFFERENT artifact kind
+  * fails fast (the SnapshotStore discipline applied at rest).
+  * PreparedIvfPq's round-trip lives in AbsorbSpec (it predates this
+  * suite); this suite covers the other eight plus PreparedBpe.
+  */
+class PersistenceSpec extends AnyFunSuite {
+  import SparkTestSession._
+  private lazy val t = Tables(spark, sfDir)
+
+  private lazy val corpus = t.documents.select(col("doc_id"), col("text")).limit(300).cache()
+  private lazy val partA = corpus.filter(col("doc_id") % 2 === 0)
+  private lazy val partB = corpus.filter(col("doc_id") % 2 === 1)
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_persist_$tag").toString
+
+  private def rows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.map(col).toSeq
+    df.select(cols: _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(rows(a) == rows(b), s"$what diverged across save/load")
+
+  test("PreparedCatalog save → load round-trips frames, serving, and absorb") {
+    val full = Ops.prepareCatalog(corpus, "doc_id", "text")
+    val dir = tmp("catalog")
+    full.save(dir)
+    val loaded = Ops.loadCatalog(spark, dir)
+    assert(loaded.id == full.id && loaded.perms == full.perms &&
+      loaded.lshBands == full.lshBands)
+    assertSameRows(loaded.fingerprints, full.fingerprints, "catalog fingerprints")
+    assertSameRows(loaded.shingles, full.shingles, "catalog shingles")
+    assertSameRows(loaded.bands, full.bands, "catalog bands")
+    val inc = corpus.limit(30)
+    assertSameRows(
+      Ops.dedupAgainstPrepared(inc, "doc_id", "text", loaded, threshold = 0.5),
+      Ops.dedupAgainstPrepared(inc, "doc_id", "text", full, threshold = 0.5),
+      "catalog incremental dedup")
+    // absorb after load ≡ full re-prepare over the union
+    val dirA = tmp("catalogA")
+    Ops.prepareCatalog(partA, "doc_id", "text").save(dirA)
+    val grown = Ops.loadCatalog(spark, dirA).absorb(partB, "text")
+    val union = Ops.prepareCatalog(corpus, "doc_id", "text")
+    assertSameRows(grown.shingles, union.shingles, "absorb-after-load shingles")
+    assertSameRows(grown.bands, union.bands, "absorb-after-load bands")
+    assertSameRows(grown.fingerprints, union.fingerprints, "absorb-after-load fingerprints")
+  }
+
+  test("PreparedLm save → load round-trips census, scalars, scoring, and absorb") {
+    val full = Ops.prepareLm(corpus, "text")
+    val dir = tmp("lm")
+    full.save(dir)
+    val loaded = Ops.loadLm(spark, dir)
+    assert(loaded.reliable, "a persisted LM is reliable by construction")
+    assert(loaded.vocab == full.vocab && loaded.addK == full.addK)
+    assertSameRows(loaded.bigrams, full.bigrams, "lm bigrams")
+    assertSameRows(loaded.prefixes, full.prefixes, "lm prefixes")
+    val probe = corpus.limit(20)
+    assertSameRows(
+      probe.lmScoreAgainst(loaded, "doc_id", "text"),
+      probe.lmScoreAgainst(full, "doc_id", "text"),
+      "lm scoring")
+    val dirA = tmp("lmA")
+    Ops.prepareLm(partA, "text").save(dirA)
+    val grown = Ops.loadLm(spark, dirA).absorb(partB, "text")
+    assert(grown.vocab == full.vocab)
+    assertSameRows(grown.bigrams, full.bigrams, "absorb-after-load lm census")
+  }
+
+  test("PreparedVocab save → load rebuilds kept as the census filter view; absorbs") {
+    val full = Ops.prepareVocab(corpus, "text", minCount = 5L)
+    val dir = tmp("vocab")
+    full.save(dir)
+    val loaded = Ops.loadVocab(spark, dir)
+    assert(loaded.reliable && loaded.minCount == full.minCount && loaded.unk == full.unk)
+    assertSameRows(loaded.census, full.census, "vocab census")
+    assertSameRows(loaded.kept, full.kept, "vocab kept view")
+    val probe = corpus.limit(20)
+    assertSameRows(
+      probe.capVocabAgainst(loaded, "doc_id", "text"),
+      probe.capVocabAgainst(full, "doc_id", "text"),
+      "vocab capping")
+    // threshold-crossing absorb still works from the persisted census
+    val dirA = tmp("vocabA")
+    Ops.prepareVocab(partA, "text", minCount = 5L).save(dirA)
+    val grown = Ops.loadVocab(spark, dirA).absorb(partB, "text")
+    assertSameRows(grown.kept, full.kept, "absorb-after-load vocab kept")
+  }
+
+  test("PreparedBm25 save → load recomposes avgdl bit-for-bit; serves and absorbs") {
+    val full = Ops.prepareBm25(corpus, "doc_id", "text")
+    val dir = tmp("bm25")
+    full.save(dir)
+    val loaded = Ops.loadBm25(spark, dir)
+    assert(loaded.reliable && loaded.idCol == full.idCol)
+    assert(loaded.nDocs == full.nDocs && loaded.sumDl == full.sumDl)
+    assert(loaded.avgdl == full.avgdl, "avgdl must recompose bit-for-bit from the stored Longs")
+    assertSameRows(loaded.postings, full.postings, "bm25 postings")
+    val queries = corpus.limit(10)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+    assertSameRows(
+      queries.bm25TopKAgainst(loaded, "qid", "qtext", k = 3),
+      queries.bm25TopKAgainst(full, "qid", "qtext", k = 3),
+      "bm25 top-k")
+    val dirA = tmp("bm25A")
+    Ops.prepareBm25(partA, "doc_id", "text").save(dirA)
+    val grown = Ops.loadBm25(spark, dirA).absorb(partB, "text")
+    assert(grown.nDocs == full.nDocs && grown.sumDl == full.sumDl && grown.avgdl == full.avgdl)
+    assertSameRows(grown.postings, full.postings, "absorb-after-load bm25 postings")
+  }
+
+  test("PreparedEditIndex save → load keeps the prepared guard params; serves and absorbs") {
+    import spark.implicits._
+    val mk = (r: Range, tag: String) =>
+      r.map(i => (i.toLong, s"name$tag$i")).toDF("cid", "cname")
+    val a = mk(1 to 40, "x"); val b = mk(41 to 60, "y")
+    val full = Ops.prepareEditIndex(a.unionByName(b), "cid", "cname", maxDistance = 1)
+    val dir = tmp("edit")
+    full.save(dir)
+    val loaded = Ops.loadEditIndex(spark, dir)
+    assert(loaded.reliable && loaded.id == full.id && loaded.text == full.text &&
+      loaded.maxDistance == full.maxDistance && loaded.maxLength == full.maxLength)
+    assertSameRows(loaded.keys, full.keys, "edit keys")
+    assertSameRows(loaded.base, full.base, "edit base")
+    val dirty = Seq((100L, "namex7"), (101L, "namey55X")).toDF("qid", "qname")
+    assertSameRows(
+      dirty.editMatchesAgainst(loaded, "qid", "qname"),
+      dirty.editMatchesAgainst(full, "qid", "qname"),
+      "edit matches")
+    val dirA = tmp("editA")
+    Ops.prepareEditIndex(a, "cid", "cname", maxDistance = 1).save(dirA)
+    val grown = Ops.loadEditIndex(spark, dirA).absorb(b)
+    assertSameRows(grown.keys, full.keys, "absorb-after-load edit keys")
+    // the loaded index still enforces ITS OWN maxLength on absorb
+    val dirT = tmp("editTight")
+    Ops.prepareEditIndex(a, "cid", "cname", maxDistance = 1, maxLength = 8).save(dirT)
+    val long = Seq((999L, "muchlongerthaneight")).toDF("cid", "cname")
+    val e = intercept[Exception] {
+      Ops.loadEditIndex(spark, dirT).absorb(long).base.count()
+    }
+    assert(e.getMessage.contains("maxLength=8"))
+  }
+
+  test("PreparedBoilerplate save → load rebuilds common from the census; absorbs across the threshold") {
+    val full = Ops.prepareBoilerplate(corpus, "doc_id", "text", minDf = 3L)
+    val dir = tmp("boiler")
+    full.save(dir)
+    val loaded = Ops.loadBoilerplate(spark, dir)
+    assert(loaded.reliable && loaded.sep == full.sep && loaded.minDf == full.minDf)
+    assertSameRows(loaded.census, full.census, "boilerplate census")
+    assertSameRows(loaded.common, full.common, "boilerplate common view")
+    val probe = corpus.limit(20)
+    assertSameRows(
+      probe.stripBoilerplateAgainst(loaded, "doc_id", "text"),
+      probe.stripBoilerplateAgainst(full, "doc_id", "text"),
+      "boilerplate stripping")
+    val dirA = tmp("boilerA")
+    Ops.prepareBoilerplate(partA, "doc_id", "text", minDf = 3L).save(dirA)
+    val grown = Ops.loadBoilerplate(spark, dirA).absorb(partB, "doc_id", "text")
+    assertSameRows(grown.common, full.common, "absorb-after-load boilerplate common")
+  }
+
+  test("PreparedGramIndex save → load round-trips the gram set; serves and absorbs") {
+    val full = Ops.prepareGramIndex(corpus, "text", n = 8)
+    val dir = tmp("gram")
+    full.save(dir)
+    val loaded = Ops.loadGramIndex(spark, dir)
+    assert(loaded.reliable && loaded.n == full.n)
+    assertSameRows(loaded.grams, full.grams, "gram set")
+    val probe = corpus.limit(20)
+    assertSameRows(
+      probe.ngramCoverageAgainst(loaded, "doc_id", "text"),
+      probe.ngramCoverageAgainst(full, "doc_id", "text"),
+      "gram coverage")
+    val dirA = tmp("gramA")
+    Ops.prepareGramIndex(partA, "text", n = 8).save(dirA)
+    val grown = Ops.loadGramIndex(spark, dirA).absorb(partB, "text")
+    assertSameRows(grown.grams, full.grams, "absorb-after-load gram set")
+  }
+
+  test("PreparedVecCatalog save → load re-derives hyperplanes from meta; serves and absorbs") {
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding").as("emb")).limit(200).cache()
+    val a = vecs.filter(col("vec_id") % 2 === 0)
+    val b = vecs.filter(col("vec_id") % 2 === 1)
+    val full = Ops.prepareVecCatalog(vecs, "vec_id", "emb", dim = 64)
+    val dir = tmp("veccat")
+    full.save(dir)
+    val loaded = Ops.loadVecCatalog(spark, dir)
+    assert(loaded.reliable && loaded.id == full.id && loaded.dim == full.dim &&
+      loaded.signBits == full.signBits && loaded.tables == full.tables &&
+      loaded.seed == full.seed)
+    assertSameRows(loaded.codes, full.codes, "vec codes")
+    assertSameRows(loaded.vectors, full.vectors, "vec base")
+    val inc = vecs.limit(30)
+    assertSameRows(
+      Ops.vecDedupAgainstPrepared(inc, "vec_id", "emb", loaded, threshold = 0.95),
+      Ops.vecDedupAgainstPrepared(inc, "vec_id", "emb", full, threshold = 0.95),
+      "vec dedup")
+    val dirA = tmp("veccatA")
+    Ops.prepareVecCatalog(a, "vec_id", "emb", dim = 64).save(dirA)
+    val grown = Ops.loadVecCatalog(spark, dirA).absorb(b, "emb")
+    assertSameRows(grown.codes, full.codes, "absorb-after-load vec codes")
+  }
+
+  test("PreparedBpe save → load reconstructs the identical ranked merge list") {
+    val full = Bpe.prepareBpe(corpus, "text", numMerges = 12)
+    val dir = tmp("bpe")
+    full.save(spark, dir)
+    val loaded = Bpe.loadBpe(spark, dir)
+    assert(loaded.merges == full.merges, "merge list must round-trip rank-for-rank")
+    assert(loaded.foldBatch == full.foldBatch)
+    val probe = corpus.limit(20)
+    assertSameRows(
+      Bpe.encodeWith(probe, "doc_id", "text", loaded),
+      Bpe.encodeWith(probe, "doc_id", "text", full),
+      "bpe encodings")
+  }
+
+  test("loading the wrong artifact kind — or a missing meta — fails fast") {
+    val dir = tmp("kindclash")
+    Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)
+    val e = intercept[IllegalArgumentException] { Ops.loadLm(spark, dir) }
+    assert(e.getMessage.contains("kind 'gramindex', expected 'lm'"),
+      s"kind mismatch must name both kinds: ${e.getMessage}")
+    // same discipline across packages: the vector index refuses too
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.loadIvfPqIndex(spark, dir)
+    }
+    assert(e2.getMessage.contains("expected 'ivfpq'"))
+    // a path with no meta at all is an error, not an empty artifact
+    intercept[Exception] { Ops.loadBm25(spark, tmp("empty")) }
+  }
+}
