@@ -1047,6 +1047,63 @@ object Ops {
     left.join(dropped, Seq(id), "left_anti")
   }
 
+  /** Image-modality near-dup pairs (r12 — the LAION-recipe image
+    * dedup step the real pixel decoders exist to feed): dHash every
+    * payload ([[graft.operators.Multimodal.imageHashes]]), keep only
+    * rows whose pixels truly decoded (stub hashes are md5 noise —
+    * the `decoded_real` observability rule), and band the 64-bit
+    * hashes into candidate buckets
+    * ([[GraftDataFrameOps.phashNearDups]] — exact for the default
+    * maxHamming=6 < bands=8 by pigeonhole). Returns (doc_a, doc_b,
+    * hamming ≤ maxHamming). A brightness-shifted or slightly-cropped
+    * re-encode of an image pairs with its original across FORMATS
+    * too (the hash reads decoded pixels, not bytes).
+    *
+    * Scale shape: decode is partition-preserving map work; the pair
+    * stage carries only (id, 64-bit hash) through one banded
+    * self-join — never pixels, never all-pairs.
+    */
+  def imageNearDups(media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                    maxHamming: Int = 6, bands: Int = 8): DataFrame =
+    graft.operators.Multimodal.imageHashes(media)
+      .filter(col("decoded_real"))
+      .phashNearDups("doc_id", "phash", maxHamming, bands)
+
+  /** Incremental image dedup against a pinned hash catalog — the
+    * [[GraftDataFrameOps.dedupAgainstCatalog]] discipline for the
+    * image modality: `catalogHashes` is the persisted output of
+    * [[graft.operators.Multimodal.imageHashes]] (a plain parquet
+    * frame — durable by nature, no artifact wrapper needed), and
+    * each increment pays only its own decode + the banded cross-side
+    * candidate join — never a catalog rescan, never increment ×
+    * catalog. Returns the increment's hash rows KEPT (no catalog
+    * image within `maxHamming`); rows whose pixels did NOT decode
+    * are kept too but carry `decoded_real = false` — quarantine or
+    * route them by that flag (they cannot be judged against the
+    * catalog, and silently dropping them would make corrupt bytes a
+    * data-loss vector).
+    */
+  def imageDedupAgainstCatalog(media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                               catalogHashes: DataFrame,
+                               maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    val chunk = 64 / bands
+    val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
+    def banded(df: DataFrame, idOut: String, phOut: String): DataFrame =
+      df.select(col("doc_id").as(idOut), col("phash").cast("long").as(phOut))
+        .select(col(idOut), col(phOut),
+          posexplode(array((0 until bands).map(b =>
+            shiftrightunsigned(col(phOut), b * chunk).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")
+    val inc = graft.operators.Multimodal.imageHashes(media).localCheckpoint(true)
+    val dropped = banded(inc.filter(col("decoded_real")), "__nid", "__pa")
+      .join(banded(catalogHashes.filter(col("decoded_real")), "__cid", "__pb"),
+        Seq("__band", "__chunk"))
+      .filter(bit_count(col("__pa").bitwiseXOR(col("__pb"))) <= maxHamming)
+      .select(col("__nid").as("doc_id")).distinct()
+    inc.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Portable ASCII PII patterns — character classes and bounded
     * quantifiers only, so Java regex (Spark codegen) and RE2 (the
     * DuckDB oracle) match identically. Emails and IPv4 addresses;
@@ -2473,6 +2530,48 @@ object Ops {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
+        .filter(col("hamming") <= maxHamming)
+    }
+
+    /** Near-dup pairs over a 64-BIT PERCEPTUAL HASH column (r12 —
+      * the image-modality sibling of [[simhashNearDups]], which
+      * covers text at 60 bits): all (id_a < id_b) pairs whose hashes
+      * differ in at most `maxHamming` of 64 bits. Candidates form
+      * ONLY inside hash-band buckets (`bands` chunks of 64/bands
+      * bits; two hashes within hamming ≤ bands−1 MUST agree on some
+      * band by pigeonhole, so the default maxHamming=6 < bands=8 is
+      * EXACT — zero recall loss; raising maxHamming past bands−1
+      * degrades gracefully to approximate recall). The band join
+      * carries only (id, hash); never an all-pairs comparison. Band
+      * extraction is an UNSIGNED shift + mask (the hash uses all 64
+      * bits, so an arithmetic shift would smear the sign across the
+      * top band's bucket values).
+      *
+      * The hash column comes from
+      * [[graft.operators.Multimodal.imageHashes]] (dHash over truly-
+      * decoded pixels) or any other 64-bit LSB-packed fingerprint;
+      * feed only `decoded_real` rows — stub hashes are md5 noise and
+      * would pair arbitrarily ([[imageNearDups]] enforces this).
+      */
+    def phashNearDups(id: String, phash: String,
+                      maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+      require(bands > 0 && 64 % bands == 0, s"bands ($bands) must divide 64")
+      require(maxHamming >= 0, "maxHamming must be non-negative")
+      val chunk = 64 / bands
+      val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
+      val hs = left.select(col(id), col(phash).cast("long").as("__ph"))
+        .localCheckpoint(true) // both banding legs reuse the hashes
+      val banded = hs.select(col(id), col("__ph"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("__ph"), b * chunk).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")
+      val a = banded.select(col("__band"), col("__chunk"), col(id).as("doc_a"), col("__ph").as("__pa"))
+      val b = banded.select(col("__band"), col("__chunk"), col(id).as("doc_b"), col("__ph").as("__pb"))
+      a.join(b, Seq("__band", "__chunk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("__pa").bitwiseXOR(col("__pb"))).cast("long").as("hamming"))
         .dropDuplicates("doc_a", "doc_b")
         .filter(col("hamming") <= maxHamming)
     }

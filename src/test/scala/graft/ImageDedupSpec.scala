@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Ops
+import graft.api.Ops._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+
+/** Image-modality near-dup dedup (VERDICT r11 next #2) and the r12
+  * decode upgrades that feed it: palette (colorType 3) PNG decode,
+  * the observable `decoded_real`/decoder tag on media features, the
+  * 64-bit dHash, and the banded pair/catalog operators. The
+  * perceptual-hash family is spec-gated (not oracle-gated): decode
+  * runs on binary payloads the SQL oracle cannot replay — stated in
+  * the SURVEY §2 rows.
+  */
+class ImageDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // a blocky 64×64 test pattern: 8×8 blocks of distinct flat values
+  // (dHash reads a 9×8 box-mean grid, so block-level structure is
+  // what the hash actually sees); values stay ≤ 200 so a +30
+  // brightness shift is strictly monotone (no clamping)
+  private def blockPixel(x: Int, y: Int): Int =
+    ((x / 8) * 23 + (y / 8) * 31) % 200
+  private def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] =
+    Multimodal.pngBytes(w, h, hasAlpha = false,
+      (x, y) => { val v = f(x, y); (v, v, v, 255) })
+
+  test("palette PNG decodes bit-exact through PLTE and cross-validates vs ImageIO") {
+    // 6 colors exercising all three channels; 21×13 cycles all five
+    // row filters at bpp = 1
+    val pal = Array((0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (200, 150, 100), (17, 34, 51))
+    val idx = (x: Int, y: Int) => (x * 7 + y * 5) % pal.length
+    val bytes = Multimodal.pngBytesPalette(21, 13, pal, idx)
+    val (w, h, rgb) = Multimodal.pngPixels(bytes).get
+    assert(w == 21 && h == 13)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pal(idx(x, y))
+      val p = 3 * (y * w + x)
+      assert((rgb(p) & 0xff) == r && (rgb(p + 1) & 0xff) == g && (rgb(p + 2) & 0xff) == b,
+        s"palette pixel ($x, $y)")
+    }
+    // cross-validation against the JDK's own INDEPENDENT PNG reader:
+    // complementary encoder/decoder bugs can't survive a third party
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 21 && img.getHeight == 13)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val base = 3 * (y * w + x)
+      assert(((p >> 16) & 0xff) == (rgb(base) & 0xff) &&
+        ((p >> 8) & 0xff) == (rgb(base + 1) & 0xff) &&
+        (p & 0xff) == (rgb(base + 2) & 0xff),
+        s"ImageIO cross-validation at ($x, $y)")
+    }
+    // corrupt palette streams refuse instead of throwing: index past
+    // the palette, PLTE missing, PLTE with a non-multiple-of-3 length
+    val past = Multimodal.pngBytesPalette(4, 4, pal.take(2), (_, _) => 1)
+    // rewrite every index byte is overkill — instead shrink PLTE to 1
+    // entry by hand: find "PLTE", set its length from 6 to 3 and fix
+    // nothing else (CRC now wrong → whole-chunk refusal is also fine)
+    assert(Multimodal.pngPixels(past).isDefined, "baseline sanity")
+    val noPlte = {
+      val b = Multimodal.pngBytesPalette(4, 4, pal, (x, y) => (x + y) % pal.length)
+      // drop the PLTE chunk (12 + 18 bytes after the 33-byte sig+IHDR)
+      val plteStart = 8 + 25
+      val plteLen = 12 + 3 * pal.length
+      b.take(plteStart) ++ b.drop(plteStart + plteLen)
+    }
+    assert(Multimodal.pngPixels(noPlte).isEmpty, "palette PNG without PLTE must refuse")
+    // an index ≥ palette size: craft via a 2-entry palette then patch
+    // PLTE length down to 1 entry is CRC-fragile; instead decode a
+    // stream whose indices legitimately exceed a SHRUNK palette by
+    // re-encoding with a bigger palette and splicing the small PLTE in
+    val big = Multimodal.pngBytesPalette(4, 4, pal, (_, _) => 5)
+    val small = Multimodal.pngBytesPalette(4, 4, pal.take(2), (_, _) => 0)
+    val plteStart = 8 + 25
+    val bigPlteLen = 12 + 3 * pal.length
+    val smallPlteLen = 12 + 3 * 2
+    val spliced = big.take(plteStart) ++
+      small.slice(plteStart, plteStart + smallPlteLen) ++
+      big.drop(plteStart + bigPlteLen)
+    assert(Multimodal.pngPixels(spliced).isEmpty,
+      "an index past the palette is corruption, not a clamp")
+  }
+
+  test("decodeFeatures tags every row with its decoder; stub fallback is observable") {
+    import spark.implicits._
+    val palPng = Multimodal.pngBytesPalette(16, 16,
+      Array((10, 20, 30), (200, 100, 50)), (x, y) => (x + y) % 2)
+    val recs = Seq(
+      MediaRecord(1L, png(blockPixel), "image", 64, 64),
+      MediaRecord(2L, palPng, "image", 16, 16),
+      MediaRecord(3L, "not an image at all".getBytes("UTF-8"), "image", 0, 0),
+      MediaRecord(4L, Multimodal.wavBytes(8000, 1,
+        Array.tabulate(100)(i => (i * 3).toShort)), "audio", 8000, 1)
+    ).toDS()
+    val out = Multimodal.decodeFeatures(recs).collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).decoder == "png" && out(1L).decoded_real)
+    assert(out(2L).decoder == "png" && out(2L).decoded_real,
+      "palette PNGs must decode for real now (r12), not fall to the stub")
+    assert(out(3L).decoder == "stub" && !out(3L).decoded_real,
+      "corrupt payloads must be OBSERVABLE as stub rows")
+    assert(out(4L).decoder == "wav" && out(4L).decoded_real)
+  }
+
+  test("dHash: brightness-invariant, crop-stable, format-independent, corrupt-aware") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = png(blockPixel)
+    val (w0, h0, rgb0) = Multimodal.pngPixels(base).get
+    val hBase = Multimodal.dHash(w0, h0, rgb0)
+    // brightness shift: every luma moves by +30 monotonically → every
+    // gradient comparison keeps its sign → IDENTICAL hash
+    val bright = png((x, y) => blockPixel(x, y) + 30)
+    val (w1, h1, rgb1) = Multimodal.pngPixels(bright).get
+    assert(ham(hBase, Multimodal.dHash(w1, h1, rgb1)) == 0,
+      "a monotone brightness shift must not move a single dHash bit")
+    // 1-px crop: only boxes straddling the shifted edges can flip
+    val crop = png((x, y) => blockPixel(x + 1, y), w = 63, h = 64)
+    val (w2, h2, rgb2) = Multimodal.pngPixels(crop).get
+    assert(ham(hBase, Multimodal.dHash(w2, h2, rgb2)) <= 6,
+      "a 1-px crop is a near-dup, not a new image")
+    // cross-format: the SAME pixels through BMP bytes hash identically
+    // (the hash reads decoded pixels, not container bytes)
+    val bmp = Multimodal.bmpBytes(64, 64,
+      (x, y) => { val v = blockPixel(x, y); (v, v, v) })
+    val (w3, h3, rgb3) = Multimodal.bmpPixels(bmp).get
+    assert(Multimodal.dHash(w3, h3, rgb3) == hBase,
+      "PNG and BMP encodes of the same pixels must hash identically")
+    // a structurally different image is far away
+    val other = png((x, y) => ((x / 8) * 57 + (y / 8) * 13 + 101) % 200)
+    val (w4, h4, rgb4) = Multimodal.pngPixels(other).get
+    assert(ham(hBase, Multimodal.dHash(w4, h4, rgb4)) > 12,
+      "distinct block patterns must not collide")
+  }
+
+  test("phashNearDups: exact below bands−1 by pigeonhole; recall ≥ 0.8 above; sign-safe") {
+    import spark.implicits._
+    // synthetic 64-bit hashes with CONTROLLED hamming distances,
+    // including negative Longs (bit 63 set) — the top band must
+    // bucket correctly through the UNSIGNED shift
+    val rnd = new scala.util.Random(7)
+    def flip(h: Long, k: Int): Long = {
+      var out = h; val bits = rnd.shuffle((0 until 64).toList).take(k)
+      bits.foreach(b => out ^= (1L << b)); out
+    }
+    val anchors = Seq(0x8000F00DDEADBEEFL, 0x0123456789ABCDEFL, -1L, 42L)
+    val hashes = anchors.zipWithIndex.flatMap { case (a, i) =>
+      (0 to 12).map(k => (i * 100L + k, flip(a, k)))
+    }
+    val df = hashes.toDF("doc_id", "phash")
+    def brute(maxHam: Int): Set[(Long, Long)] = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= maxHam
+    } yield (ia, ib)).toSet
+    def banded(maxHam: Int): Set[(Long, Long)] =
+      df.phashNearDups("doc_id", "phash", maxHamming = maxHam).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxHamming = 6 < bands = 8 ⇒ pigeonhole-complete: EQUALITY
+    assert(banded(6) == brute(6), "banding must be exact below bands−1")
+    // maxHamming = 12 ≥ bands ⇒ approximate; the spec bar is recall ≥ 0.8
+    val bf = brute(12); val bd = banded(12)
+    assert(bd.subsetOf(bf), "banding must never invent pairs")
+    assert(bd.size.toDouble / bf.size >= 0.8,
+      s"banded recall ${bd.size}/${bf.size} below the 0.8 bar")
+  }
+
+  test("imageNearDups pairs perturbed re-encodes, skips stubs; catalog form absorbs increments") {
+    import spark.implicits._
+    val crop = png((x, y) => blockPixel(x + 1, y), w = 63, h = 64)
+    val bright = png((x, y) => blockPixel(x, y) + 30)
+    val other = png((x, y) => ((x / 8) * 57 + (y / 8) * 13 + 101) % 200)
+    val third = png((x, y) => ((x / 8) * 91 + (y / 8) * 47 + 55) % 200)
+    val recs = Seq(
+      MediaRecord(1L, png(blockPixel), "image", 64, 64),
+      MediaRecord(2L, bright, "image", 64, 64),
+      MediaRecord(3L, crop, "image", 63, 64),
+      MediaRecord(4L, other, "image", 64, 64),
+      MediaRecord(5L, "garbage bytes".getBytes("UTF-8"), "image", 0, 0)
+    ).toDS()
+    val pairs = Ops.imageNearDups(recs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "brightness-shifted re-encode must pair")
+    assert(pairs.contains((1L, 3L)), "1-px-cropped re-encode must pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "a distinct image must not pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "stub rows are hash noise and must be excluded from pairing")
+    // incremental form: catalog = {base, other}; increment = {bright
+    // (dup of base), third (novel), garbage (undecodable)}
+    val catalog = Multimodal.imageHashes(Seq(
+      MediaRecord(1L, png(blockPixel), "image", 64, 64),
+      MediaRecord(4L, other, "image", 64, 64)).toDS())
+    val inc = Seq(
+      MediaRecord(20L, bright, "image", 64, 64),
+      MediaRecord(21L, third, "image", 64, 64),
+      MediaRecord(22L, "garbage bytes".getBytes("UTF-8"), "image", 0, 0)).toDS()
+    val kept = Ops.imageDedupAgainstCatalog(inc, catalog)
+    val keptRows = kept.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!keptRows.contains(20L), "a catalog near-dup must be dropped")
+    assert(keptRows.get(21L).contains(true), "a novel image survives, decoded_real")
+    assert(keptRows.get(22L).contains(false),
+      "an undecodable row is KEPT but flagged — quarantine, not silent loss")
+  }
+}
