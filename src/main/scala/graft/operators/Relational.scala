@@ -348,11 +348,15 @@ object Relational {
     * is lag/lead/running-sum windows — the oracle replays the same
     * series and the same windows verbatim.
     */
-  def q109(t: Tables): DataFrame = {
-    import graft.api.Ops._
+  /** q109's synthetic extract series as SEPARATE per-snapshot frames
+    * — reused by the incremental-SCD2 spec (r12), which replays the
+    * series one extract at a time through `PreparedScd2.absorb` and
+    * must land on the same history the one-shot builder computes.
+    */
+  def scd2Series(t: Tables): Seq[DataFrame] = {
     val base = t.customer.select(col("c_custkey").as("id"),
       col("c_name"), col("c_acctbal"), col("c_mktsegment"))
-    val snaps = (0 until 4).map { k =>
+    (0 until 4).map { k =>
       val present = !(col("id") % 7 === 0 && lit(k) >= 2) &&
         !(col("id") % 11 === 0 && lit(k) === 1)
       val drift = when(col("id") % 5 === 0, lit(k.toDouble))
@@ -368,8 +372,13 @@ object Relational {
         else snap
       withInserts.withColumn("snap_ts",
         to_timestamp(lit(s"2024-0${k + 1}-01 00:00:00")))
-    }.reduce(_ unionByName _)
-    snaps.scd2History("snap_ts", "id", Seq("c_name", "c_acctbal", "c_mktsegment"))
+    }
+  }
+
+  def q109(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    scd2Series(t).reduce(_ unionByName _)
+      .scd2History("snap_ts", "id", Seq("c_name", "c_acctbal", "c_mktsegment"))
       .orderBy(col("id"), col("valid_from"))
   }
 

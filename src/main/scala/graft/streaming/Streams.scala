@@ -917,24 +917,54 @@ object Streams {
     * checkpoint written by the pre-r11 2-field state does NOT restart
     * under this version (Spark's state-store schema check rejects
     * it); drain or wipe such checkpoints when upgrading.
+    *
+    * `releaseConvertedAfterUs` (r12 — the VERDICT r11 state-bound
+    * item) BOUNDS the per-user residency the paragraph above
+    * documents: a FULLY-CONVERTED user with no live chains needs no
+    * further state except to keep output monotone, so with this set
+    * the user's state row is released `releaseConvertedAfterUs` of
+    * EVENT TIME after their last event (event-time timeout — requires
+    * a watermark on `events`; Spark rejects the query otherwise).
+    * Only converted-idle users release — a user mid-funnel keeps
+    * state until their chains expire and they convert or the query
+    * ends. Trade-off, stated plainly: if a released user reappears
+    * even later, their reach rows re-emit from step 1 (the monotone
+    * guard left with the state) — pick the release horizon beyond
+    * any plausible re-engagement window, exactly as you pick a
+    * watermark.
     */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
                    withinUs: Long,
                    maxLatenessUs: Option[Long] = None,
-                   lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+                   lateDrops: Option[org.apache.spark.util.LongAccumulator] = None,
+                   releaseConvertedAfterUs: Option[Long] = None)
       : Dataset[FunnelReach] = {
     require(steps.nonEmpty && steps.size <= 8, "funnelStream needs 1..8 steps")
     require(steps.distinct.size == steps.size, "funnelStream steps must be distinct")
     require(withinUs > 0, "funnelStream: withinUs must be positive")
     maxLatenessUs.foreach(l => require(l >= 0, "funnelStream: maxLatenessUs must be >= 0"))
+    releaseConvertedAfterUs.foreach(r =>
+      require(r > 0, "funnelStream: releaseConvertedAfterUs must be positive"))
     val spark = events.sparkSession
     import spark.implicits._
     val k = steps.size
+    val timeoutConf =
+      if (releaseConvertedAfterUs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelReach](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // the timeout only ever arms below, for a converted user
+            // with no live chains; events since could have re-armed
+            // chains, so re-check before releasing (an armed timeout
+            // cannot be disarmed, only survived)
+            val stt = state.getOption
+            if (stt.exists(s => s.best == k && s.chains.isEmpty)) state.remove()
+            Iterator.empty
+          } else {
           val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(FunnelState(Seq.empty, 0))
           var chains = st.chains.toBuffer
@@ -983,7 +1013,14 @@ object Streams {
             }
           }
           state.update(FunnelState(chains.toSeq, best, maxTs))
+          // arm the converted-idle release: state exists only to keep
+          // output monotone from here on, so it may expire
+          releaseConvertedAfterUs.foreach { r =>
+            if (best == k && chains.isEmpty && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs / 1000L + r / 1000L)
+          }
           out.result().iterator
+          }
       }
   }
 

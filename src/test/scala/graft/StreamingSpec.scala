@@ -647,6 +647,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("funnelStream releaseConvertedAfterUs: converted-idle state releases, mid-funnel state stays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, tUs: Long, typ: String) =
+      Streams.Event(id, new java.sql.Timestamp(tUs / 1000), uid, typ, 0.0)
+    val steps = Seq("a", "b", "c")
+    val stream = MemoryStream[Streams.Event]
+    // event-time timeout requires a watermark on the input
+    val query = Streams.funnelStream(
+      stream.toDS().withWatermark("ts", "0 seconds"), steps,
+      withinUs = 3600000000L, releaseConvertedAfterUs = Some(5000000L))
+      .writeStream.format("memory").queryName("funnel_release_out")
+      .outputMode("append").start()
+    def stateRows: Long =
+      query.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // users 1 and 3 fully convert (chains drain on completion);
+      // user 2 stalls mid-funnel at step 1
+      stream.addData(Seq(
+        ev(1, 1L, 1000000L, "a"), ev(2, 1L, 2000000L, "b"), ev(3, 1L, 3000000L, "c"),
+        ev(4, 3L, 1000000L, "a"), ev(5, 3L, 2000000L, "b"), ev(6, 3L, 3000000L, "c"),
+        ev(7, 2L, 1000000L, "a")))
+      query.processAllAvailable()
+      val before = stateRows
+      assert(before == 3L, s"users 1, 2, 3 should hold state (got $before)")
+      // watermark advances past the converted users' release point
+      // (3s + 5s); the watermark-advance no-data batch processes the
+      // armed timeouts: converted-idle 1 and 3 release, mid-funnel 2
+      // and non-participant 99 stay
+      stream.addData(Seq(ev(8, 99L, 20000000L, "x")))
+      query.processAllAvailable()
+      val after = stateRows
+      assert(after == 2L,
+        s"converted users' state must release after the event-time timeout (got $after)")
+      // reach rows are untouched by the release
+      val reached = spark.table("funnel_release_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(reached == Set((1L, 1), (1L, 2), (1L, 3),
+        (3L, 1), (3L, 2), (3L, 3), (2L, 1)),
+        s"release must not change emitted rows (got $reached)")
+    } finally query.stop()
+  }
+
   test("streaming catalog dedup (prepared catalog + foreachBatch) equals the batch operator") {
     import spark.implicits._
     import graft.api.Ops._
