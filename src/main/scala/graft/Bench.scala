@@ -56,7 +56,8 @@ object Bench {
     "q102_interval_join", "q103_hopping_window", "q104_cohort_retention",
     "q105_funnel_windowed", "q106_pagerank_dangling", "q43_hll_distinct",
     "q107_bpe_encode", "q108_quantile_sketch", "q109_scd2_history",
-    "q110_heavy_hitters", "q111_kmeans")
+    "q110_heavy_hitters", "q111_kmeans", "q112_image_neardup",
+    "q113_scd2_asof")
 
   private val childMarker = "##BENCHQ##"
 

@@ -131,6 +131,8 @@ object SparkEntry {
     "q109_scd2_history"   -> q(Relational.q109),
     "q110_heavy_hitters"  -> q(Extended.q110),
     "q111_kmeans"         -> q(Vectors.q111),
+    "q112_image_neardup"  -> q(Multimodal.q112),
+    "q113_scd2_asof"      -> q(Relational.q113),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2166,7 +2168,24 @@ object SparkEntry {
     // drift CASE keeps Spark's when-chain shape so the double
     // arithmetic is identical), then the same calendar-successor +
     // boundary-lag + running-version windows
-    "q109_scd2_history" -> {
+    "q109_scd2_history" -> s"$scd2HistorySqlNoOrder\nORDER BY id, valid_from",
+
+    // the q113 as-of replay: q109's history wrapped in the covering-
+    // interval filter — [valid_from, valid_to) with open versions
+    // unbounded, interval columns dropped (the as-of read IS the
+    // reconstructed snapshot)
+    "q113_scd2_asof" ->
+      s"""SELECT id, c_name, c_acctbal, c_mktsegment
+         |FROM ($scd2HistorySqlNoOrder) h
+         |WHERE valid_from <= TIMESTAMP '2024-02-15 00:00:00'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-02-15 00:00:00')
+         |ORDER BY id""".stripMargin,
+  ) ++ oracleSqlTail
+
+  /** q109's oracle body without the final ORDER BY — shared verbatim
+    * by the q113 as-of wrapper so both replays agree by construction.
+    */
+  private lazy val scd2HistorySqlNoOrder: String = {
       val snapSelects = (0 until 4).map { k =>
         val ts = s"TIMESTAMP '2024-0${k + 1}-01 00:00:00'"
         val presence =
@@ -2223,10 +2242,10 @@ object SparkEntry {
          |  FROM v GROUP BY 1, 2)
          |SELECT g.id, g.c_name, g.c_acctbal, g.c_mktsegment, g.valid_from,
          |       cal.next_ts AS valid_to, cal.next_ts IS NULL AS is_current
-         |FROM g JOIN cal ON cal.snap_ts = g.last_ts
-         |ORDER BY g.id, g.valid_from""".stripMargin
-    },
+         |FROM g JOIN cal ON cal.snap_ts = g.last_ts""".stripMargin
+  }
 
+  private lazy val oracleSqlTail: Map[String, String] = Map(
     // the q110 heavy-hitters replay: below cap the Misra–Gries sketch
     // is exact with a deterministic (count DESC, item) order, so the
     // oracle is a plain census + rank

@@ -2111,6 +2111,29 @@ object Ops {
           col("__next").isNull.as("is_current"))): _*)
     }
 
+    /** Point-in-time dimension read over an SCD2 HISTORY frame (r12,
+      * q113) — the query every star-schema fact join needs: the
+      * dimension exactly AS OF `ts`, one row per id whose version
+      * interval covers the instant ([valid_from, valid_to), open
+      * versions unbounded). The interval columns drop from the
+      * output — an as-of read IS the reconstructed snapshot, not the
+      * history. Works on [[scd2History]]'s output, a loaded
+      * [[Ops.PreparedScd2]] history, or any frame with the same
+      * interval contract.
+      *
+      * Scale shape: a pure map-side filter over the history — no
+      * shuffle, no join; at 100 TB the history scan prunes further if
+      * the history is stored partitioned by valid_from range.
+      */
+    def scd2AsOf(ts: String, validFrom: String = "valid_from",
+                 validTo: String = "valid_to",
+                 isCurrent: String = "is_current"): DataFrame = {
+      val at = to_timestamp(lit(ts))
+      left.filter(col(validFrom) <= at &&
+          (col(validTo).isNull || col(validTo) > at))
+        .drop(validFrom, validTo, isCurrent)
+    }
+
     /** Interval-overlap join (q102) — all pairs of intervals that
       * OVERLAP in time: concurrency analysis, co-occurring sessions,
       * conflicting reservations — the INTERVAL×INTERVAL sibling of

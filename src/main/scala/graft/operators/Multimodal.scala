@@ -1281,6 +1281,37 @@ object Multimodal {
     }
   }
 
+  /** q112: image perceptual-hash near-dup pairs
+    * ([[graft.api.Ops.imageNearDups]]) over the attached media corpus
+    * PLUS planted cross-format clones: every decodable image with
+    * doc_id < 120 re-encodes its exact pixels as BMP under
+    * doc_id + 700000, so each clone pairs with its original at
+    * hamming 0 (the hash reads decoded pixels, not container bytes)
+    * alongside the corpus's natural near-dups. ROWS-ONLY correctness
+    * entry by declared design: the pipeline decodes synthesized
+    * binary payloads, which the SQL oracle cannot replay — every
+    * stage is deterministic (byte synthesis, decode, integer dHash),
+    * so the row set is still stable run-to-run.
+    */
+  def q112(t: Tables): DataFrame = {
+    val media = attachMedia(t)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val clones = media
+      .filter(r => r.kind == "image" && r.doc_id < 120)
+      .mapPartitions(_.flatMap { r =>
+        contentPixels(r.payload).map { case (w, h, rgb) =>
+          MediaRecord(r.doc_id + 700000L,
+            bmpBytes(w, h, (x, y) => {
+              val p = 3 * (y * w + x)
+              (rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff)
+            }), "image", w, h)
+        }
+      })
+    graft.api.Ops.imageNearDups(media.union(clones))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Demo pipeline wiring used by the spec: attach → decode → shape. */
   def featurePipeline(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

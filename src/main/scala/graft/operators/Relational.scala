@@ -382,6 +382,23 @@ object Relational {
       .orderBy(col("id"), col("valid_from"))
   }
 
+  /** q113: point-in-time dimension read
+    * ([[graft.api.Ops.GraftDataFrameOps.scd2AsOf]]) — the q109
+    * history reconstructed AS OF 2024-02-15, an instant chosen to
+    * exercise every interval case at once: mid-gap ids (id%11==0,
+    * absent only from the February extract) must NOT appear, drifted
+    * ids carry their February values, late inserts (arriving March 1)
+    * are absent, and not-yet-deleted ids are present. The oracle is
+    * q109's replay wrapped in the covering-interval filter.
+    */
+  def q113(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    scd2Series(t).reduce(_ unionByName _)
+      .scd2History("snap_ts", "id", Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .scd2AsOf("2024-02-15 00:00:00")
+      .orderBy(col("id"))
+  }
+
   /** q100: group-wise z-score standardization
     * ([[graft.api.Ops.GraftDataFrameOps.zscorePerGroup]]) — order
     * totals standardized within their order status; exact-decimal
