@@ -309,6 +309,26 @@ object ScaleProbe {
           id = "vec_id", emb = "embedding", centroidId = "cid", centroidEmb = "ce",
           dim = 64, m = 8, ks = 16)
           .absorb(b, "embedding").codes
+      }),
+      // r12: decode (partition-preserving map) + banded 64-bit pair
+      // join — cost is decode-linear plus OUTPUT pairs; the replica
+      // corpus multiplies the synthetic dup classes, so pair volume
+      // grows quadratically IN CLASS SIZE by construction (an output
+      // property shared with q32's pair producer, not a plan defect)
+      "q112_image"    -> (t => operators.Multimodal.q112(t)),
+      // r12: pure map-side covering-interval filter over the q109
+      // history — must track the history build (ONE id shuffle), the
+      // as-of read itself adds no exchange
+      "q113_asof"     -> (t => operators.Relational.q113(t)),
+      // r12: incremental SCD2 — prepare on the first 3 extracts, then
+      // absorb the 4th: cost must track ONE open-frame ⋈ extract join
+      // plus the linear closed-history rewrite, never a series rescan
+      "scd2_absorb"   -> (t => {
+        val s = operators.Relational.scd2Series(t)
+        val attrs = Seq("c_name", "c_acctbal", "c_mktsegment")
+        graft.api.Ops.prepareScd2(
+            s.take(3).reduce(_ unionByName _), "snap_ts", "id", attrs)
+          .absorb(s(3)).history
       }))
     for ((name, op) <- ops if onlyOps.forall(_.contains(name))) {
       // untimed 1x pass first: codegen/JIT compile lands here, not in
