@@ -1158,8 +1158,12 @@ object Ops {
       val oA = struct(attrs.map(a => col(s"__o_$a")): _*)
       val nA = struct(attrs.map(a => col(s"__n_$a")): _*)
       // the same null-safe struct compare the one-shot builder uses:
-      // a null attribute is a value, not a wildcard
-      val same = col("__in_n").isNotNull && (oA <=> nA)
+      // a null attribute is a value, not a wildcard. BOTH presence
+      // markers gate the compare: a NEW id whose attributes are all
+      // null would otherwise match the absent open row's all-null
+      // struct (null <=> null is true field-wise) and get NO version
+      // at all (r12 second review)
+      val same = col("__in_o").isNotNull && col("__in_n").isNotNull && (oA <=> nA)
       val j = o.join(n, Seq(id), "full_outer")
       // surviving/closing versions (one output row per open version):
       // unchanged → stays open; changed or deleted → closes at the
@@ -3105,9 +3109,16 @@ object Ops {
           .getOrElse(throw new IllegalStateException(
             s"writeShards: empty-shard filler produced no part file under $eTmp"))
       }
-      // clear any previous materialization, then move every shard's
-      // single part file to its deterministic name
+      // clear any previous materialization FIRST — the marker, then
+      // EVERY stale shard file (a re-run with a smaller shard count
+      // would otherwise leave the old run's higher-numbered files in
+      // place and a directory read-back would mix the two deals —
+      // r12 second review)
       fs.delete(new Path(root, "_SUCCESS"), false)
+      if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.startsWith("shard-") && p.getName.endsWith(".parquet"))
+          .foreach(fs.delete(_, false))
       (0 until shards).foreach { s =>
         val target = new Path(root, f"shard-$s%05d.parquet")
         fs.delete(target, false)

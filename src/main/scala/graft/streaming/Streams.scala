@@ -1014,10 +1014,16 @@ object Streams {
           }
           state.update(FunnelState(chains.toSeq, best, maxTs))
           // arm the converted-idle release: state exists only to keep
-          // output monotone from here on, so it may expire
+          // output monotone from here on, so it may expire. The target
+          // clamps ABOVE the current watermark — Spark rejects a
+          // timeout at-or-behind it, and a converted user touched by a
+          // tolerated-late event can compute exactly that (maxTs stays
+          // behind a watermark that already passed maxTs + r; r12
+          // second review: the unclamped form crashed the query)
           releaseConvertedAfterUs.foreach { r =>
             if (best == k && chains.isEmpty && maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(maxTs / 1000L + r / 1000L)
+              state.setTimeoutTimestamp(
+                math.max(maxTs / 1000L + r / 1000L, state.getCurrentWatermarkMs() + 1L))
           }
           out.result().iterator
           }

@@ -95,6 +95,21 @@ class AbsorbSpec extends AnyFunSuite {
       dim.absorb(series(0).unionByName(series(1)))
     }
     assert(e2.getMessage.contains("exactly one"))
+    // a NEW id with ALL-NULL attributes must still open a version:
+    // the absorb-time struct compare gates on BOTH presence markers,
+    // because null <=> null is true field-wise and an ungated compare
+    // silently drops the row (r12 second review)
+    import spark.implicits._
+    def ext(ts: String, rows: Seq[(Long, Option[String])]) =
+      rows.toDF("id", "attr")
+        .withColumn("snap_ts", to_timestamp(lit(ts)))
+    val x1 = ext("2024-01-01 00:00:00", Seq((1L, Some("x"))))
+    val x2 = ext("2024-02-01 00:00:00", Seq((1L, Some("x")), (2L, None)))
+    val nullOneShot = x1.unionByName(x2).scd2History("snap_ts", "id", Seq("attr"))
+    val nullAbsorbed = Ops.prepareScd2(x1, "snap_ts", "id", Seq("attr")).absorb(x2)
+    assertSameRows(nullAbsorbed.history, nullOneShot, "all-null-attr new id")
+    assert(nullAbsorbed.history.filter(col("id") === 2L).count() == 1L,
+      "the all-null insert must hold exactly one open version")
     // save → load → absorb continues the chain identically
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
     var fromDisk = Ops.prepareScd2(series.head, "snap_ts", "id", attrs)

@@ -687,6 +687,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(reached == Set((1L, 1), (1L, 2), (1L, 3),
         (3L, 1), (3L, 2), (3L, 3), (2L, 1)),
         s"release must not change emitted rows (got $reached)")
+      // a VERY-late full conversion arriving after the user's release
+      // re-creates state and re-emits (the documented trade-off) —
+      // and its re-armed timeout lands BEHIND the watermark, which
+      // must clamp above it instead of crashing the query (r12
+      // second review: setTimeoutTimestamp rejects a past timestamp)
+      stream.addData(Seq(
+        ev(9, 1L, 2500000L, "a"), ev(10, 1L, 2600000L, "b"), ev(11, 1L, 2700000L, "c")))
+      query.processAllAvailable()
+      assert(query.exception.isEmpty,
+        s"late re-conversion must not crash the armed timeout: ${query.exception}")
+      // and the re-created state releases again on the next tick
+      stream.addData(Seq(ev(12, 99L, 22000000L, "x")))
+      query.processAllAvailable()
+      assert(stateRows == 2L,
+        s"the re-created converted state must release again (got $stateRows)")
     } finally query.stop()
   }
 

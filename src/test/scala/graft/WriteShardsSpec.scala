@@ -69,5 +69,12 @@ class WriteShardsSpec extends AnyFunSuite {
     assert(names.size == 64, s"expected 64 files, got ${names.size}")
     val total = spark.read.parquet(dir).count()
     assert(total == 3L, "empty filler files must add no rows")
+    // re-materializing with a SMALLER shard count must clean the old
+    // run's higher-numbered files — a directory read-back would
+    // otherwise mix two deals (r12 second review)
+    corpus.limit(3).writeShards("doc_id", shards = 16, path = dir, seed = 1L)
+    assert(fileBytes(dir).keySet == (0 until 16).map(s => f"shard-$s%05d.parquet").toSet,
+      "stale shard files from the larger previous run must be deleted")
+    assert(spark.read.parquet(dir).count() == 3L)
   }
 }
