@@ -1104,6 +1104,69 @@ object Ops {
     inc.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** An image-hash catalog prepared ONCE for repeated incremental
+    * image dedup (r12) — the image-modality member of the prepared-
+    * artifact family: the catalog's payloads decode and dHash once
+    * at preparation, each increment (or each streaming trigger via
+    * [[graft.streaming.Streams.imageDedupStream]]) pays only its own
+    * decode plus the banded cross-side candidate join against the
+    * pinned hash frame — never a catalog re-decode, never increment
+    * × catalog. `reliable` follows the PreparedLm contract
+    * (localCheckpoint blocks don't survive executor loss mid-stream).
+    */
+  final case class PreparedImageCatalog private[graft] (
+      hashes: DataFrame, reliable: Boolean) {
+
+    /** Absorb a catalog increment (doc ids disjoint — enforced: a
+      * re-submitted id would duplicate its hash row): the increment
+      * decodes and hashes under the SAME deterministic dHash, and
+      * the frames union per-row — the cheapest absorb in the engine,
+      * the PreparedIvfPq shape.
+      */
+    def absorb(increment: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+               checkpointDir: Option[String] = None): PreparedImageCatalog = {
+      val ckp = lineageBreaker(checkpointDir)
+      val incHashes = ckp(graft.operators.Multimodal.imageHashes(increment))
+      val clash = clashProbe(hashes.select(col("doc_id")),
+        incHashes.select(col("doc_id")), "doc_id").count()
+      require(clash == 0L,
+        "PreparedImageCatalog.absorb: increment contains doc ids already in " +
+          "the catalog — absorb models catalog growth; re-prepare to replace rows")
+      copy(hashes.unionByName(incHashes), reliable && checkpointDir.isDefined)
+    }
+
+    /** Dedup an increment against this catalog —
+      * [[Ops.imageDedupAgainstCatalog]] with the pinned hashes.
+      */
+    def dedup(increment: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+              maxHamming: Int = 6, bands: Int = 8): DataFrame =
+      imageDedupAgainstCatalog(increment, hashes, maxHamming, bands)
+
+    /** Persist durably ([[ArtifactIO]] layout). */
+    def save(path: String): Unit = {
+      hashes.write.mode("overwrite").parquet(s"$path/hashes")
+      ArtifactIO.writeMeta(hashes.sparkSession, path, "imagecatalog", Seq.empty)
+    }
+  }
+
+  /** Build a [[PreparedImageCatalog]]; `checkpointDir` selects
+    * reliable checkpoints (cluster/streaming mode) for the hash frame.
+    */
+  def prepareImageCatalog(catalog: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                          checkpointDir: Option[String] = None): PreparedImageCatalog = {
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedImageCatalog(
+      ckp(graft.operators.Multimodal.imageHashes(catalog)), checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedImageCatalog]] persisted by its `save`; fails
+    * fast on a non-imagecatalog path.
+    */
+  def loadImageCatalog(spark: org.apache.spark.sql.SparkSession, path: String): PreparedImageCatalog = {
+    ArtifactIO.readMeta(spark, path, "imagecatalog")
+    PreparedImageCatalog(spark.read.parquet(s"$path/hashes"), reliable = true)
+  }
+
   /** A rolling SCD Type-2 dimension prepared ONCE and maintained per
     * extract (r12 — VERDICT r11 missing #4): the prepared-artifact
     * discipline applied to [[GraftDataFrameOps.scd2History]]. The

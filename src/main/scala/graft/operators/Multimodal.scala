@@ -496,40 +496,49 @@ object Multimodal {
       chunk("IEND", Array.emptyByteArray)
   }
 
-  /** Synthesize a PALETTE (colorType 3, depth 8) PNG — the indexed-
-    * color variant of [[pngBytes]] for spec plants: signature + IHDR
-    * + PLTE + one deflated IDAT of filtered index scanlines + IEND,
-    * real CRCs, filter types cycling 0→4 by row so palette decode
-    * exercises every reversal path at bpp = 1.
+  /** Synthesize a PALETTE (colorType 3) PNG at depth 8 or the
+    * sub-byte depths 1/2/4 — the indexed-color variant of
+    * [[pngBytes]] for spec plants: signature + IHDR + PLTE + one
+    * deflated IDAT of filtered scanlines (indices packed MSB-first
+    * at sub-byte depths) + IEND, real CRCs, filter types cycling 0→4
+    * by row so palette decode exercises every reversal path at the
+    * one-byte filter distance.
     */
   def pngBytesPalette(w: Int, h: Int, palette: Array[(Int, Int, Int)],
-                      index: (Int, Int) => Int): Array[Byte] = {
+                      index: (Int, Int) => Int, depth: Int = 8): Array[Byte] = {
     require(w > 0 && h > 0, s"pngBytesPalette: dims must be positive ($w x $h)")
-    require(palette.nonEmpty && palette.length <= 256,
-      s"pngBytesPalette: palette must hold 1..256 entries (got ${palette.length})")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      s"pngBytesPalette: depth must be 1/2/4/8 (got $depth)")
+    require(palette.nonEmpty && palette.length <= (1 << depth) && palette.length <= 256,
+      s"pngBytesPalette: palette must hold 1..min(256, 2^depth) entries " +
+        s"(got ${palette.length} at depth $depth)")
     def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
     def chunk(kind: String, data: Array[Byte]): Array[Byte] = {
       val k = kind.getBytes("US-ASCII")
       be32(data.length) ++ k ++ data ++ be32(crc32(k, data))
     }
-    val filtered = new Array[Byte](h * (1 + w))
-    val cur = new Array[Byte](w)
-    val prior = new Array[Byte](w)
+    val stride = (w * depth + 7) / 8
+    val filtered = new Array[Byte](h * (1 + stride))
+    val cur = new Array[Byte](stride)
+    val prior = new Array[Byte](stride)
     var y = 0
     while (y < h) {
+      java.util.Arrays.fill(cur, 0.toByte)
       var x = 0
       while (x < w) {
         val idx = index(x, y)
         require(idx >= 0 && idx < palette.length,
           s"pngBytesPalette: index $idx out of palette at ($x, $y)")
-        cur(x) = idx.toByte
+        val bitOff = x * depth
+        val shift = 8 - depth - (bitOff & 7)
+        cur(bitOff >> 3) = (cur(bitOff >> 3) | (idx << shift)).toByte
         x += 1
       }
       val f = y % 5
-      val rowBase = y * (1 + w)
+      val rowBase = y * (1 + stride)
       filtered(rowBase) = f.toByte
       var i = 0
-      while (i < w) {
+      while (i < stride) {
         val raw = cur(i) & 0xff
         val left = if (i >= 1) cur(i - 1) & 0xff else 0
         val up = prior(i) & 0xff
@@ -544,7 +553,7 @@ object Multimodal {
         filtered(rowBase + 1 + i) = (raw - pred).toByte
         i += 1
       }
-      System.arraycopy(cur, 0, prior, 0, w)
+      System.arraycopy(cur, 0, prior, 0, stride)
       y += 1
     }
     val plte = new Array[Byte](3 * palette.length)
@@ -554,7 +563,7 @@ object Multimodal {
       plte(3 * i + 2) = palette(i)._3.toByte
     }
     val ihdr = be32(w) ++ be32(h) ++
-      Array[Byte](8, 3, 0, 0, 0) // depth 8, colorType 3 (palette)
+      Array[Byte](depth.toByte, 3, 0, 0, 0) // colorType 3 (palette)
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       chunk("IHDR", ihdr) ++
       chunk("PLTE", plte) ++
@@ -582,7 +591,7 @@ object Multimodal {
     if (b.length < 8 + 25 ||
       (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G' ||
       b(4) != 0x0d || b(5) != 0x0a || b(6) != 0x1a || b(7) != 0x0a) return None
-    var w = -1; var h = -1; var bpp = -1
+    var w = -1; var h = -1; var bpp = -1; var depth = -1
     var paletted = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -599,10 +608,15 @@ object Multimodal {
         case "IHDR" =>
           if (len != 13) return None
           w = beU32(b, dataOff).toInt; h = beU32(b, dataOff + 4).toInt
-          val depth = b(dataOff + 8) & 0xff
+          depth = b(dataOff + 8) & 0xff
           val colorType = b(dataOff + 9) & 0xff
           val interlace = b(dataOff + 12) & 0xff
-          if (depth != 8 || interlace != 0) return None
+          if (interlace != 0) return None
+          // depth 8 everywhere; palette images additionally at the
+          // sub-byte depths the spec allows (1/2/4 — favicon- and
+          // web-corpus-common), handled by the bit unpack below
+          if (depth != 8 &&
+            !(colorType == 3 && (depth == 1 || depth == 2 || depth == 4))) return None
           bpp = colorType match {
             case 0 => 1 // grayscale
             case 2 => 3 // RGB
@@ -610,7 +624,7 @@ object Multimodal {
             case 6 => 4 // RGBA
             case _ => return None // gray+alpha / 16-bit not emitted here
           }
-          // dims guard: w*bpp+1 per row, h rows, all within Int
+          // dims guard: rowBytes+1 per row, h rows, all within Int
           if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24) ||
             (1L + w.toLong * bpp) * h > Int.MaxValue ||
             3L * w * h > Int.MaxValue) return None
@@ -629,7 +643,11 @@ object Multimodal {
     }
     if (!done || w < 0) return None
     if (paletted && palette == null) return None
-    val stride = w * bpp
+    // scanline geometry: sub-byte palette rows pack depth-bit indices
+    // MSB-first into ceil(w·depth/8) bytes; the filter's "left"
+    // reference distance is ONE byte for any sub-byte depth (PNG
+    // spec: bpp rounds UP to one byte) — which bpp = 1 already is
+    val stride = if (paletted) ((w.toLong * depth + 7) / 8).toInt else w * bpp
     val expected = h * (1 + stride)
     inflateExact(idat.toByteArray, expected).flatMap { filtered =>
       // reverse the per-row filter in place (recon overwrites filtered)
@@ -667,7 +685,12 @@ object Multimodal {
           val o = new Array[Byte](3 * w * h)
           var p = 0
           while (p < w * h) {
-            val idx = recon(p) & 0xff
+            val x = p % w; val y2 = p / w
+            // MSB-first bit unpack; depth 8 reduces to the plain byte
+            val bitOff = x * depth
+            val byte = recon(y2 * stride + (bitOff >> 3)) & 0xff
+            val shift = 8 - depth - (bitOff & 7)
+            val idx = (byte >> shift) & ((1 << depth) - 1)
             if (idx >= n) return None
             o(3 * p) = palette(3 * idx)
             o(3 * p + 1) = palette(3 * idx + 1)

@@ -169,6 +169,37 @@ object Streams {
       .start()
   }
 
+  /** Incremental IMAGE dedup of a media stream against a once-
+    * prepared hash catalog ([[graft.api.Ops.prepareImageCatalog]] /
+    * loaded via `loadImageCatalog`) — r12, the image-modality member
+    * of the catalog-dedup stream family: the catalog decoded and
+    * dHashed once at preparation; each trigger pays only its OWN
+    * decode plus the banded cross-side hash join. The sink receives
+    * each trigger's surviving hash rows (kept = no catalog image
+    * within maxHamming; undecodable rows kept but flagged
+    * `decoded_real = false` — the quarantine contract of the batch
+    * form). Reliable prep REQUIRED, the PreparedLm rule.
+    */
+  def imageDedupStream(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                       prepared: graft.api.Ops.PreparedImageCatalog,
+                       sink: DataFrame => Unit,
+                       maxHamming: Int = 6, bands: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "imageDedupStream needs a PreparedImageCatalog built with a reliable " +
+        "checkpointDir (prepareImageCatalog(..., checkpointDir = Some(dir))) " +
+        "or loaded from a persisted catalog: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.toDF.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(prepared.dedup(
+          batch.as[graft.operators.Multimodal.MediaRecord], maxHamming, bands))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

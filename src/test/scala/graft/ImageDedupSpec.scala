@@ -88,6 +88,52 @@ class ImageDedupSpec extends AnyFunSuite {
       "an index past the palette is corruption, not a clamp")
   }
 
+  test("sub-byte palette PNGs (depth 1/2/4) decode bit-exact and cross-validate vs ImageIO") {
+    // depths 4/2/1 at widths that do NOT divide 8 evenly, so the last
+    // byte of each row carries padding bits the unpack must ignore;
+    // 13 rows cycle all five filters at the one-byte filter distance
+    val pal16 = Array.tabulate(16)(i => (i * 16, 255 - i * 16, (i * 37) % 256))
+    val pal4 = Array.tabulate(4)(i => (i * 80, i * 60, 255 - i * 70))
+    val pal2 = Array((10, 200, 30), (240, 20, 120))
+    for ((depth, pal) <- Seq((4, pal16), (2, pal4), (1, pal2))) {
+      val idx = (x: Int, y: Int) => (x * 3 + y * 5) % pal.length
+      val bytes = Multimodal.pngBytesPalette(21, 13, pal, idx, depth)
+      val decoded = Multimodal.pngPixels(bytes)
+      assert(decoded.isDefined, s"depth-$depth palette PNG must decode")
+      val (w, h, rgb) = decoded.get
+      assert(w == 21 && h == 13)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pal(idx(x, y))
+        val p = 3 * (y * w + x)
+        assert((rgb(p) & 0xff) == r && (rgb(p + 1) & 0xff) == g && (rgb(p + 2) & 0xff) == b,
+          s"depth $depth pixel ($x, $y)")
+      }
+      // the JDK's independent reader agrees byte-for-byte
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must accept the depth-$depth stream")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y); val base = 3 * (y * w + x)
+        assert(((p >> 16) & 0xff) == (rgb(base) & 0xff) &&
+          ((p >> 8) & 0xff) == (rgb(base + 1) & 0xff) &&
+          (p & 0xff) == (rgb(base + 2) & 0xff),
+          s"ImageIO cross-validation depth $depth at ($x, $y)")
+      }
+      // an index past the palette refuses at sub-byte depths too:
+      // depth-2 stream carrying index 3 against a 3-entry palette
+      if (depth == 2) {
+        val small = pal4.take(3)
+        val bad = Multimodal.pngBytesPalette(4, 4, pal4, (_, _) => 3, depth)
+        val plteStart = 8 + 25
+        val shrunk = bad.take(plteStart) ++
+          Multimodal.pngBytesPalette(4, 4, small, (_, _) => 0, depth)
+            .slice(plteStart, plteStart + 12 + 9) ++
+          bad.drop(plteStart + 12 + 12)
+        assert(Multimodal.pngPixels(shrunk).isEmpty,
+          "sub-byte index past the palette must refuse")
+      }
+    }
+  }
+
   test("decodeFeatures tags every row with its decoder; stub fallback is observable") {
     import spark.implicits._
     val palPng = Multimodal.pngBytesPalette(16, 16,

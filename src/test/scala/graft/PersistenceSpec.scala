@@ -235,6 +235,25 @@ class PersistenceSpec extends AnyFunSuite {
       "bpe encodings")
   }
 
+  test("PreparedImageCatalog save → load round-trips hashes; serves and absorbs") {
+    import graft.operators.Multimodal
+    val media = Multimodal.attachMedia(t).filter(_.doc_id < 400).cache()
+    val a = media.filter(_.doc_id % 2 == 0)
+    val b = media.filter(_.doc_id % 2 == 1)
+    val full = Ops.prepareImageCatalog(media)
+    val dir = tmp("imagecat")
+    full.save(dir)
+    val loaded = Ops.loadImageCatalog(spark, dir)
+    assert(loaded.reliable, "a persisted image catalog is reliable by construction")
+    assertSameRows(loaded.hashes, full.hashes, "image-catalog hashes")
+    val inc = Multimodal.attachMedia(t).filter(r => r.doc_id >= 400 && r.doc_id < 500)
+    assertSameRows(loaded.dedup(inc), full.dedup(inc), "image dedup after load")
+    val dirA = tmp("imagecatA")
+    Ops.prepareImageCatalog(a).save(dirA)
+    val grown = Ops.loadImageCatalog(spark, dirA).absorb(b)
+    assertSameRows(grown.hashes, full.hashes, "absorb-after-load image hashes")
+  }
+
   test("loading the wrong artifact kind — or a missing meta — fails fast") {
     val dir = tmp("kindclash")
     Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)

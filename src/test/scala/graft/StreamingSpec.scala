@@ -705,6 +705,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming image dedup (prepared hash catalog + foreachBatch) equals the batch operator") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    implicit val sqlCtx = spark.sqlContext
+    val t = Tables(spark, sfDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_imgstream_ckpt").toString
+    val catalog = Multimodal.attachMedia(t).filter(_.doc_id < 300)
+    val prepared = graft.api.Ops.prepareImageCatalog(catalog, Some(ckpt))
+    // unreliable prep refuses up front (the PreparedLm contract)
+    val unreliable = graft.api.Ops.prepareImageCatalog(catalog)
+    val stream0 = MemoryStream[MediaRecord]
+    val e = intercept[IllegalArgumentException] {
+      Streams.imageDedupStream(stream0.toDS(), unreliable, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    // increment: later docs (novel + natural near-dups of the catalog)
+    val incRows = Multimodal.attachMedia(t)
+      .filter(r => r.doc_id >= 300 && r.doc_id < 400).collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val stream = MemoryStream[MediaRecord]
+    val q = Streams.imageDedupStream(stream.toDS(), prepared,
+      batch => got.synchronized { got ++= batch.collect().map(_.toString) })
+    try {
+      stream.addData(incRows.take(incRows.size / 2))
+      q.processAllAvailable()
+      stream.addData(incRows.drop(incRows.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchKept = prepared.dedup(
+      spark.createDataset(incRows)).collect().map(_.toString)
+    assert(got.sorted.toSeq == batchKept.sorted.toSeq,
+      s"streamed ${got.size} kept rows, batch ${batchKept.size}")
+  }
+
   test("streaming catalog dedup (prepared catalog + foreachBatch) equals the batch operator") {
     import spark.implicits._
     import graft.api.Ops._
