@@ -133,6 +133,8 @@ object SparkEntry {
     "q111_kmeans"         -> q(Vectors.q111),
     "q112_image_neardup"  -> q(Multimodal.q112),
     "q113_scd2_asof"      -> q(Relational.q113),
+    "q114_ann_two_level"  -> q(Similarity.q114),
+    "q115_audio_neardup"  -> q(Multimodal.q115),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2304,6 +2306,57 @@ object SparkEntry {
          |  n AS cluster_size
          |FROM c2 ORDER BY cid""".stripMargin
     },
+
+    // the q114 two-level IVF replay: fine centroids home into coarse
+    // cells, corpus rows route coarse-then-fine, queries probe their
+    // 2 best coarse cells and keep their 2 best fine cells across the
+    // probed union — every ranking is (cosine DESC, id), every cosine
+    // is list_cosine_similarity (≡ the codegen cosine_sim, proven by
+    // q35), so the whole two-level routing replays bit-for-bit.
+    "q114_ann_two_level" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |coarse AS (SELECT vec_id AS gcid, emb AS gce FROM v WHERE vec_id >= 200 AND vec_id < 204),
+        |fine AS (SELECT vec_id AS cid, emb AS ce FROM v WHERE vec_id >= 100 AND vec_id < 116),
+        |fine_home AS (
+        |  SELECT cid, ce, gcid FROM (
+        |    SELECT f.cid, f.ce, c.gcid,
+        |      row_number() OVER (PARTITION BY f.cid
+        |        ORDER BY list_cosine_similarity(f.ce, c.gce) DESC, c.gcid) AS rn
+        |    FROM fine f CROSS JOIN coarse c) WHERE rn = 1),
+        |corpus_g AS (
+        |  SELECT vid, c_emb, gcid FROM (
+        |    SELECT v.vec_id AS vid, v.emb AS c_emb, c.gcid,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(v.emb, c.gce) DESC, c.gcid) AS rn
+        |    FROM v CROSS JOIN coarse c) WHERE rn = 1),
+        |corpus AS (
+        |  SELECT vid, c_emb, cell FROM (
+        |    SELECT g.vid, g.c_emb, f.cid AS cell,
+        |      row_number() OVER (PARTITION BY g.vid
+        |        ORDER BY list_cosine_similarity(g.c_emb, f.ce) DESC, f.cid) AS rn
+        |    FROM corpus_g g JOIN fine_home f ON f.gcid = g.gcid) WHERE rn = 1),
+        |qg AS (
+        |  SELECT qid, q_emb, gcid FROM (
+        |    SELECT v.vec_id AS qid, v.emb AS q_emb, c.gcid,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(v.emb, c.gce) DESC, c.gcid) AS rn
+        |    FROM v CROSS JOIN coarse c WHERE v.vec_id < 10) WHERE rn <= 2),
+        |queries AS (
+        |  SELECT qid, q_emb, cell FROM (
+        |    SELECT g.qid, g.q_emb, f.cid AS cell,
+        |      row_number() OVER (PARTITION BY g.qid
+        |        ORDER BY list_cosine_similarity(g.q_emb, f.ce) DESC, f.cid) AS rn
+        |    FROM qg g JOIN fine_home f ON f.gcid = g.gcid) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT q.qid, c.vid, list_cosine_similarity(q.q_emb, c.c_emb) AS raw
+        |  FROM corpus c JOIN queries q ON c.cell = q.cell AND c.vid <> q.qid),
+        |ranked AS (
+        |  SELECT qid, vid, raw,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS BIGINT) AS rank
+        |  FROM cand)
+        |SELECT qid, rank, vid, round(raw, 4) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
   )
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —

@@ -1085,17 +1085,32 @@ object Ops {
     */
   def imageDedupAgainstCatalog(media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
                                catalogHashes: DataFrame,
-                               maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+                               maxHamming: Int = 6, bands: Int = 8): DataFrame =
+    hashDedupAgainstCatalog(graft.operators.Multimodal.imageHashes(media),
+      catalogHashes, "phash", maxHamming, bands)
+
+  /** The shared banded-hamming catalog-dedup tail both media
+    * modalities run (image `phash`, audio `ahash` — r12): increment
+    * hash rows survive when no catalog hash within `maxHamming`
+    * shares a band chunk with them; undecodable rows (`decoded_real
+    * = false`) are KEPT but never judged — the quarantine contract.
+    * One cross-side band join carrying only (id, 64-bit hash); the
+    * increment hashes are pinned once (both the banding leg and the
+    * anti-join consume them).
+    */
+  private def hashDedupAgainstCatalog(incHashes: DataFrame, catalogHashes: DataFrame,
+                                      hashCol: String,
+                                      maxHamming: Int, bands: Int): DataFrame = {
     require(bands > 0 && 64 % bands == 0, s"bands ($bands) must divide 64")
     val chunk = 64 / bands
     val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
     def banded(df: DataFrame, idOut: String, phOut: String): DataFrame =
-      df.select(col("doc_id").as(idOut), col("phash").cast("long").as(phOut))
+      df.select(col("doc_id").as(idOut), col(hashCol).cast("long").as(phOut))
         .select(col(idOut), col(phOut),
           posexplode(array((0 until bands).map(b =>
             shiftrightunsigned(col(phOut), b * chunk).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")
-    val inc = graft.operators.Multimodal.imageHashes(media).localCheckpoint(true)
+    val inc = incHashes.localCheckpoint(true)
     val dropped = banded(inc.filter(col("decoded_real")), "__nid", "__pa")
       .join(banded(catalogHashes.filter(col("decoded_real")), "__cid", "__pb"),
         Seq("__band", "__chunk"))
@@ -1103,6 +1118,36 @@ object Ops {
       .select(col("__nid").as("doc_id")).distinct()
     inc.join(dropped, Seq("doc_id"), "left_anti")
   }
+
+  /** Audio-modality near-dup pairs (r12 — [[imageNearDups]]' audio
+    * sibling over the real WAV decoder): fingerprint every payload
+    * ([[graft.operators.Multimodal.audioHashes]] — 64-bit energy-
+    * gradient hash over decoded PCM), keep only rows whose samples
+    * truly decoded, and band the hashes into candidate buckets
+    * ([[GraftDataFrameOps.phashNearDups]] — pigeonhole-exact at the
+    * default maxHamming=6 < bands=8). An amplitude-scaled or
+    * container-re-encoded copy pairs its original at hamming 0 (the
+    * hash reads decoded samples, not bytes; positive gain preserves
+    * every energy-gradient sign). Same scale shape as the image
+    * path: decode is partition-preserving map work, the pair stage
+    * carries only (id, hash) through one banded self-join.
+    */
+  def audioNearDups(media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                    maxHamming: Int = 6, bands: Int = 8): DataFrame =
+    graft.operators.Multimodal.audioHashes(media)
+      .filter(col("decoded_real"))
+      .phashNearDups("doc_id", "ahash", maxHamming, bands)
+
+  /** Incremental audio dedup against a pinned fingerprint catalog —
+    * [[imageDedupAgainstCatalog]] for the audio modality: same
+    * banded tail, same quarantine contract for rows whose PCM did
+    * not decode.
+    */
+  def audioDedupAgainstCatalog(media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                               catalogHashes: DataFrame,
+                               maxHamming: Int = 6, bands: Int = 8): DataFrame =
+    hashDedupAgainstCatalog(graft.operators.Multimodal.audioHashes(media),
+      catalogHashes, "ahash", maxHamming, bands)
 
   /** An image-hash catalog prepared ONCE for repeated incremental
     * image dedup (r12) — the image-modality member of the prepared-
@@ -1165,6 +1210,64 @@ object Ops {
   def loadImageCatalog(spark: org.apache.spark.sql.SparkSession, path: String): PreparedImageCatalog = {
     ArtifactIO.readMeta(spark, path, "imagecatalog")
     PreparedImageCatalog(spark.read.parquet(s"$path/hashes"), reliable = true)
+  }
+
+  /** An audio-fingerprint catalog prepared ONCE for repeated
+    * incremental audio dedup (r12) — [[PreparedImageCatalog]]'s
+    * audio-modality twin: the catalog's payloads decode and hash
+    * once at preparation ([[graft.operators.Multimodal.audioHashes]]),
+    * each increment (or each streaming trigger via
+    * [[graft.streaming.Streams.audioDedupStream]]) pays only its own
+    * decode plus the banded cross-side candidate join.
+    */
+  final case class PreparedAudioCatalog private[graft] (
+      hashes: DataFrame, reliable: Boolean) {
+
+    /** Absorb a catalog increment (doc ids disjoint — enforced):
+      * encode + clash-guarded union, the cheapest absorb shape.
+      */
+    def absorb(increment: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+               checkpointDir: Option[String] = None): PreparedAudioCatalog = {
+      val ckp = lineageBreaker(checkpointDir)
+      val incHashes = ckp(graft.operators.Multimodal.audioHashes(increment))
+      val clash = clashProbe(hashes.select(col("doc_id")),
+        incHashes.select(col("doc_id")), "doc_id").count()
+      require(clash == 0L,
+        "PreparedAudioCatalog.absorb: increment contains doc ids already in " +
+          "the catalog — absorb models catalog growth; re-prepare to replace rows")
+      copy(hashes.unionByName(incHashes), reliable && checkpointDir.isDefined)
+    }
+
+    /** Dedup an increment against this catalog —
+      * [[Ops.audioDedupAgainstCatalog]] with the pinned hashes.
+      */
+    def dedup(increment: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+              maxHamming: Int = 6, bands: Int = 8): DataFrame =
+      audioDedupAgainstCatalog(increment, hashes, maxHamming, bands)
+
+    /** Persist durably ([[ArtifactIO]] layout). */
+    def save(path: String): Unit = {
+      hashes.write.mode("overwrite").parquet(s"$path/hashes")
+      ArtifactIO.writeMeta(hashes.sparkSession, path, "audiocatalog", Seq.empty)
+    }
+  }
+
+  /** Build a [[PreparedAudioCatalog]]; `checkpointDir` selects
+    * reliable checkpoints (cluster/streaming mode) for the hash frame.
+    */
+  def prepareAudioCatalog(catalog: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                          checkpointDir: Option[String] = None): PreparedAudioCatalog = {
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedAudioCatalog(
+      ckp(graft.operators.Multimodal.audioHashes(catalog)), checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedAudioCatalog]] persisted by its `save`; fails
+    * fast on a non-audiocatalog path.
+    */
+  def loadAudioCatalog(spark: org.apache.spark.sql.SparkSession, path: String): PreparedAudioCatalog = {
+    ArtifactIO.readMeta(spark, path, "audiocatalog")
+    PreparedAudioCatalog(spark.read.parquet(s"$path/hashes"), reliable = true)
   }
 
   /** A rolling SCD Type-2 dimension prepared ONCE and maintained per

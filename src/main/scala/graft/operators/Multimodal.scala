@@ -1233,6 +1233,67 @@ object Multimodal {
     }.toDF("doc_id", "phash", "decoded_real")
   }
 
+  /** 64-bit audio fingerprint — the dHash recipe carried to the
+    * audio modality (r12): partition the decoded PCM into 65 equal
+    * segments by the standard `floor(k·n/65)` edges (the
+    * [[lumaGrid]] box partition in one dimension; a tiny clip
+    * degenerates to ≥1-sample segments), take each segment's MEAN
+    * SQUARE energy, and emit one bit per consecutive-energy
+    * comparison. Energy-GRADIENT signs survive amplitude scaling
+    * (any positive gain multiplies every segment energy by the same
+    * c², preserving every strict inequality — the brightness
+    * argument, in decibels) and are CONTAINER-independent (the hash
+    * reads decoded samples, not bytes — a re-encode at a different
+    * header layout hashes identically). IEEE double accumulation is
+    * deterministic on any JVM; an empty data chunk hashes to 0.
+    */
+  def audioHash(samples: Array[Short]): Long = {
+    val segs = 65
+    val n = samples.length
+    if (n == 0) return 0L
+    val e = new Array[Double](segs)
+    var k = 0
+    while (k < segs) {
+      val from = (k.toLong * n / segs).toInt
+      val until = math.max(((k + 1).toLong * n / segs).toInt, from + 1)
+      var ss = 0.0; var i = from
+      while (i < until) { val s = samples(i).toDouble; ss += s * s; i += 1 }
+      e(k) = ss / (until - from)
+      k += 1
+    }
+    var hash = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (e(bit) < e(bit + 1)) hash |= (1L << bit)
+      bit += 1
+    }
+    hash
+  }
+
+  /** Audio fingerprints over binary payloads: (doc_id, ahash,
+    * decoded_real) — [[audioHash]] over truly-decoded PCM where
+    * [[wavSamples]] recognizes the payload; rows that fall back to
+    * the md5 stub carry `decoded_real = false` (the same
+    * observability contract as [[imageHashes]] — stub hashes are
+    * byte noise, consumers exclude them rather than cluster on
+    * them). Partition-preserving map work.
+    */
+  def audioHashes(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        wavSamples(r.payload) match {
+          case Some((_, _, samples)) => (r.doc_id, audioHash(samples), true)
+          case None =>
+            val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+            val stub = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (md(i) & 0xffL))
+            (r.doc_id, stub, false)
+        }
+      }
+    }.toDF("doc_id", "ahash", "decoded_real")
+  }
+
   /** Content features for one payload, TAGGED with the decoder that
     * produced them: REAL statistics for every recognized format (WAV
     * PCM / BMP / PPM / PNG / GIF bit-exact; JPEG via the JDK reader,
@@ -1332,6 +1393,36 @@ object Multimodal {
         }
       })
     graft.api.Ops.imageNearDups(media.union(clones))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q115: audio fingerprint near-dup pairs
+    * ([[graft.api.Ops.audioNearDups]]) over the attached media corpus
+    * PLUS planted amplitude-doubled clones: every decodable audio
+    * payload with doc_id < 240 re-encodes its exact PCM at 2× gain
+    * under doc_id + 800000 (the planted samples live in [−2048,
+    * 2048), so 2× stays inside 16-bit range — no clipping, the
+    * scaling is EXACT), and each clone pairs its original at hamming
+    * 0 because a uniform positive gain preserves every energy-
+    * gradient sign ([[audioHash]]). ROWS-ONLY correctness entry by
+    * declared design, like q112: the pipeline decodes synthesized
+    * binary payloads the SQL oracle cannot replay; every stage is
+    * deterministic, so the row set is stable.
+    */
+  def q115(t: Tables): DataFrame = {
+    val media = attachMedia(t)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val clones = media
+      .filter(r => r.kind == "audio" && r.doc_id < 240)
+      .mapPartitions(_.flatMap { r =>
+        wavSamples(r.payload).map { case (rate, channels, samples) =>
+          MediaRecord(r.doc_id + 800000L,
+            wavBytes(rate, channels, samples.map(s => (s * 2).toShort)),
+            "audio", rate, channels)
+        }
+      })
+    graft.api.Ops.audioNearDups(media.union(clones))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -52,6 +52,34 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q114: two-level (coarse/fine) IVF ANN — the quantizer regime
+    * past a single centroid table ([[ivfTopKTwoLevel]]), promoted
+    * from spec-only to ORACLE-gated: 16 fixed fine centroids
+    * (vectors 100..115) routed through 4 fixed coarse cells
+    * (vectors 200..203), so every stage — fine→coarse homing,
+    * corpus two-level assignment, query coarse probing, per-query
+    * fine-cell ranking, in-cell exact cosine top-k — replays in SQL
+    * with `list_cosine_similarity` (bit-identical to the codegen
+    * `cosine_sim`, proven by q35) and deterministic (score DESC, id)
+    * tie-breaks end-to-end.
+    */
+  def q114(t: Tables): DataFrame = {
+    val fine = t.embeddings
+      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val coarse = t.embeddings
+      .filter(col("vec_id") >= 200 && col("vec_id") < 204)
+      .select(col("vec_id").as("coarse_id"), col("embedding").as("coarse_emb"))
+    ivfTopKTwoLevel(t.embeddings, t.embeddings.filter(col("vec_id") < 10),
+      fine, coarse,
+      id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      coarseId = "coarse_id", coarseEmb = "coarse_emb",
+      k = 5, nprobe = 2, coarseProbe = 2)
+      .select(col("qid"), col("rank"), col("vid"), round(col("score"), 4).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Generalized IVF top-k search over ANY centroid set — composes
     * with [[Vectors.kmeansCentroids]] (train the quantizer, then
     * search its cells). Scale shape:

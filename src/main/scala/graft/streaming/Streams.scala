@@ -200,6 +200,93 @@ object Streams {
       .start()
   }
 
+  /** Incremental AUDIO dedup of a media stream against a once-
+    * prepared fingerprint catalog
+    * ([[graft.api.Ops.prepareAudioCatalog]] / loaded via
+    * `loadAudioCatalog`) — r12, [[imageDedupStream]]'s audio-
+    * modality twin: the catalog decoded and fingerprinted once; each
+    * trigger pays only its OWN decode plus the banded cross-side
+    * hash join. Same quarantine contract (undecodable rows kept,
+    * flagged). Reliable prep REQUIRED, the PreparedLm rule.
+    */
+  def audioDedupStream(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                       prepared: graft.api.Ops.PreparedAudioCatalog,
+                       sink: DataFrame => Unit,
+                       maxHamming: Int = 6, bands: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "audioDedupStream needs a PreparedAudioCatalog built with a reliable " +
+        "checkpointDir (prepareAudioCatalog(..., checkpointDir = Some(dir))) " +
+        "or loaded from a persisted catalog: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.toDF.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(prepared.dedup(
+          batch.as[graft.operators.Multimodal.MediaRecord], maxHamming, bands))
+      }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Streaming SCD2 dimension maintenance (r12) — the streaming
+    * member of the SCD2 quartet (one-shot `scd2History`, incremental
+    * `PreparedScd2.absorb`, durable `save`/`loadScd2`, and this): a
+    * live feed of keyed dimension EXTRACTS absorbed into the running
+    * Type-2 history as they arrive. Each trigger may carry one or
+    * more complete extracts (catch-up); they absorb in snapshot
+    * order within the trigger. The caller contract is the absorb
+    * contract made continuous: every distinct `snapCol` timestamp
+    * must arrive WHOLE within one trigger (the one-extract-per-file
+    * ingest pattern — a file source with `maxFilesPerTrigger` honors
+    * it by construction), and extracts must arrive in snapshot
+    * order across triggers — an out-of-order or torn extract fails
+    * the query loudly through absorb's own guards rather than
+    * writing an undefined version chain.
+    *
+    * `sink` receives the updated [[graft.api.Ops.PreparedScd2]]
+    * after each trigger that absorbed at least one extract — persist
+    * it (`.save`) or serve `scd2AsOf` reads from `.history`.
+    * Reliable prep REQUIRED (the PreparedLm rule), and every absorb
+    * checkpoints through `checkpointDir` so the history's plan stays
+    * flat across an unbounded trigger count (the chained-absorb
+    * discipline).
+    *
+    * Scale shape: per trigger, ONE id-hash full-outer of the open-
+    * version frame against that trigger's extract (the absorb
+    * shape); closed history is never rejoined. The per-trigger
+    * distinct-timestamp collect is bounded by extracts-per-trigger
+    * (file-sized, not row-sized).
+    */
+  def scd2Stream(extracts: DataFrame,
+                 prepared: graft.api.Ops.PreparedScd2,
+                 checkpointDir: String,
+                 sink: graft.api.Ops.PreparedScd2 => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "scd2Stream needs a PreparedScd2 built with a reliable checkpointDir " +
+        "(prepareScd2(..., checkpointDir = Some(dir))) or loaded from a " +
+        "persisted artifact: localCheckpoint blocks do not survive executor " +
+        "loss across a long-lived stream")
+    val state = new java.util.concurrent.atomic.AtomicReference(prepared)
+    val snapCol = prepared.snapCol
+    extracts.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snaps = batch.select(col(snapCol)).distinct()
+          .orderBy(col(snapCol)).collect().map(_.getTimestamp(0))
+        if (snaps.nonEmpty) {
+          var dim = state.get()
+          snaps.foreach { ts =>
+            dim = dim.absorb(batch.filter(col(snapCol) === lit(ts)),
+              Some(checkpointDir))
+          }
+          state.set(dim)
+          sink(dim)
+        }
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

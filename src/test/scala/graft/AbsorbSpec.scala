@@ -136,6 +136,22 @@ class AbsorbSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already in"))
   }
 
+  test("PreparedAudioCatalog.absorb ≡ prepareAudioCatalog over the union") {
+    import graft.operators.Multimodal
+    val media = Multimodal.attachMedia(t).filter(_.doc_id < 400).cache()
+    val a = media.filter(_.doc_id % 2 == 0)
+    val b = media.filter(_.doc_id % 2 == 1)
+    val full = Ops.prepareAudioCatalog(media)
+    val absorbed = Ops.prepareAudioCatalog(a).absorb(b)
+    assertSameRows(absorbed.hashes, full.hashes, "audio-catalog hashes")
+    // the dedup consumer sees identical results through either
+    val inc = Multimodal.attachMedia(t).filter(r => r.doc_id >= 400 && r.doc_id < 500)
+    assertSameRows(absorbed.dedup(inc), full.dedup(inc), "audio dedup")
+    // re-submitted doc ids fail fast instead of duplicating hash rows
+    val e = intercept[IllegalArgumentException] { full.absorb(a.limit(1)) }
+    assert(e.getMessage.contains("already in"))
+  }
+
   test("absorb disjointness guards carry no forced broadcast hint (AQE decides)") {
     // VERDICT r11: a forced broadcast(increment ids) OOMs the BULK-
     // absorb case where the increment approaches corpus scale. Every

@@ -254,6 +254,25 @@ class PersistenceSpec extends AnyFunSuite {
     assertSameRows(grown.hashes, full.hashes, "absorb-after-load image hashes")
   }
 
+  test("PreparedAudioCatalog save → load round-trips hashes; serves and absorbs") {
+    import graft.operators.Multimodal
+    val media = Multimodal.attachMedia(t).filter(_.doc_id < 400).cache()
+    val a = media.filter(_.doc_id % 2 == 0)
+    val b = media.filter(_.doc_id % 2 == 1)
+    val full = Ops.prepareAudioCatalog(media)
+    val dir = tmp("audiocat")
+    full.save(dir)
+    val loaded = Ops.loadAudioCatalog(spark, dir)
+    assert(loaded.reliable, "a persisted audio catalog is reliable by construction")
+    assertSameRows(loaded.hashes, full.hashes, "audio-catalog hashes")
+    val inc = Multimodal.attachMedia(t).filter(r => r.doc_id >= 400 && r.doc_id < 500)
+    assertSameRows(loaded.dedup(inc), full.dedup(inc), "audio dedup after load")
+    val dirA = tmp("audiocatA")
+    Ops.prepareAudioCatalog(a).save(dirA)
+    val grown = Ops.loadAudioCatalog(spark, dirA).absorb(b)
+    assertSameRows(grown.hashes, full.hashes, "absorb-after-load audio hashes")
+  }
+
   test("loading the wrong artifact kind — or a missing meta — fails fast") {
     val dir = tmp("kindclash")
     Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)

@@ -740,6 +740,92 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${got.size} kept rows, batch ${batchKept.size}")
   }
 
+  test("streaming audio dedup (prepared fingerprint catalog + foreachBatch) equals the batch operator") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    implicit val sqlCtx = spark.sqlContext
+    val t = Tables(spark, sfDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_audstream_ckpt").toString
+    val catalog = Multimodal.attachMedia(t).filter(_.doc_id < 300)
+    val prepared = graft.api.Ops.prepareAudioCatalog(catalog, Some(ckpt))
+    // unreliable prep refuses up front (the PreparedLm contract)
+    val unreliable = graft.api.Ops.prepareAudioCatalog(catalog)
+    val stream0 = MemoryStream[MediaRecord]
+    val e = intercept[IllegalArgumentException] {
+      Streams.audioDedupStream(stream0.toDS(), unreliable, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    val incRows = Multimodal.attachMedia(t)
+      .filter(r => r.doc_id >= 300 && r.doc_id < 400).collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val stream = MemoryStream[MediaRecord]
+    val q = Streams.audioDedupStream(stream.toDS(), prepared,
+      batch => got.synchronized { got ++= batch.collect().map(_.toString) })
+    try {
+      stream.addData(incRows.take(incRows.size / 2))
+      q.processAllAvailable()
+      stream.addData(incRows.drop(incRows.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchKept = prepared.dedup(
+      spark.createDataset(incRows)).collect().map(_.toString)
+    assert(got.sorted.toSeq == batchKept.sorted.toSeq,
+      s"streamed ${got.size} kept rows, batch ${batchKept.size}")
+  }
+
+  test("streaming SCD2 maintenance (foreachBatch absorb) equals the one-shot history") {
+    import spark.implicits._
+    import graft.operators.Relational
+    implicit val sqlCtx = spark.sqlContext
+    val t = Tables(spark, sfDir)
+    val series = Relational.scd2Series(t)
+    val attrs = Seq("c_name", "c_acctbal", "c_mktsegment")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2stream_ckpt").toString
+    val prepared = graft.api.Ops.prepareScd2(series.head, "snap_ts", "id", attrs, Some(ckpt))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Double, String, java.sql.Timestamp)] =
+      df.select(col("id"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), col("snap_ts"))
+        .as[(Long, String, Double, String, java.sql.Timestamp)].collect().toSeq
+    def asExtracts(s: MemoryStream[(Long, String, Double, String, java.sql.Timestamp)]) =
+      s.toDS().toDF("id", "c_name", "c_acctbal", "c_mktsegment", "snap_ts")
+    // unreliable prep refuses up front
+    val stream0 = MemoryStream[(Long, String, Double, String, java.sql.Timestamp)]
+    val e = intercept[IllegalArgumentException] {
+      Streams.scd2Stream(asExtracts(stream0),
+        graft.api.Ops.prepareScd2(series.head, "snap_ts", "id", attrs), ckpt, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    val stream = MemoryStream[(Long, String, Double, String, java.sql.Timestamp)]
+    @volatile var last: Option[graft.api.Ops.PreparedScd2] = None
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Streams.scd2Stream(asExtracts(stream), prepared, ckpt,
+      dim => { last = Some(dim); ticks.incrementAndGet(); () })
+    try {
+      // trigger 1: one complete extract
+      stream.addData(rows(series(1)))
+      q.processAllAvailable()
+      assert(ticks.get == 1, "one absorbing trigger so far")
+      import graft.api.Ops._
+      val prefix = series.take(2).reduce(_ unionByName _)
+        .scd2History("snap_ts", "id", attrs)
+      assert(last.get.history.collect().map(_.toString).sorted.toSeq ==
+        prefix.collect().map(_.toString).sorted.toSeq,
+        "mid-stream history must equal the two-extract one-shot")
+      // trigger 2 is a CATCH-UP batch: TWO complete extracts arrive
+      // together and absorb in snapshot order within the trigger
+      stream.addData(rows(series(2)) ++ rows(series(3)))
+      q.processAllAvailable()
+      assert(ticks.get == 2, "the catch-up batch is one trigger, one sink call")
+    } finally q.stop()
+    import graft.api.Ops._
+    val oneShot = series.reduce(_ unionByName _).scd2History("snap_ts", "id", attrs)
+    assert(last.get.history.collect().map(_.toString).sorted.toSeq ==
+      oneShot.collect().map(_.toString).sorted.toSeq,
+      "streamed SCD2 history must equal the one-shot builder over the full series")
+    assert(last.get.reliable, "every stream absorb checkpoints reliably")
+  }
+
   test("streaming catalog dedup (prepared catalog + foreachBatch) equals the batch operator") {
     import spark.implicits._
     import graft.api.Ops._
