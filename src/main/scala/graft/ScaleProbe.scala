@@ -320,6 +320,17 @@ object ScaleProbe {
       // history — must track the history build (ONE id shuffle), the
       // as-of read itself adds no exchange
       "q113_asof"     -> (t => operators.Relational.q113(t)),
+      // r12: two-level routing at FIXED quantizer size (the q114
+      // oracle shape — 16 fine / 4 coarse): per-row assignment cost
+      // is constant in N, so 10× corpus must cost ~the scan plus the
+      // probed cells' candidate growth
+      "q114_two_level" -> (t => operators.Similarity.q114(t)),
+      // r12: the audio sibling of q112 — decode is partition-
+      // preserving map work, the pair stage one banded join over
+      // (id, 64-bit hash); replica corpora multiply the synthetic
+      // dup classes, so pair output is quadratic in class size (the
+      // q32 output-bound contract, not a plan defect)
+      "q115_audio"    -> (t => operators.Multimodal.q115(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan
