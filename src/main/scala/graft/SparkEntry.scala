@@ -135,6 +135,7 @@ object SparkEntry {
     "q113_scd2_asof"      -> q(Relational.q113),
     "q114_ann_two_level"  -> q(Similarity.q114),
     "q115_audio_neardup"  -> q(Multimodal.q115),
+    "q116_video_neardup"  -> q(Multimodal.q116),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----

@@ -1169,15 +1169,25 @@ object Ops {
       * the PreparedIvfPq shape.
       */
     def absorb(increment: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
-               checkpointDir: Option[String] = None): PreparedImageCatalog = {
+               checkpointDir: Option[String] = None): PreparedImageCatalog =
+      absorbHashRows(graft.operators.Multimodal.imageHashes(increment),
+        checkpointDir)
+
+    /** Absorb PRE-COMPUTED hash rows (the `dedup` output shape) —
+      * the ingest-loop fast path: a trigger's survivors were already
+      * decoded by the dedup stage, so absorbing their hash rows
+      * directly skips the second decode. Same clash guard.
+      */
+    private[graft] def absorbHashRows(incHashes: DataFrame,
+                                      checkpointDir: Option[String]): PreparedImageCatalog = {
       val ckp = lineageBreaker(checkpointDir)
-      val incHashes = ckp(graft.operators.Multimodal.imageHashes(increment))
+      val h = ckp(incHashes.select(col("doc_id"), col("phash"), col("decoded_real")))
       val clash = clashProbe(hashes.select(col("doc_id")),
-        incHashes.select(col("doc_id")), "doc_id").count()
+        h.select(col("doc_id")), "doc_id").count()
       require(clash == 0L,
         "PreparedImageCatalog.absorb: increment contains doc ids already in " +
           "the catalog — absorb models catalog growth; re-prepare to replace rows")
-      copy(hashes.unionByName(incHashes), reliable && checkpointDir.isDefined)
+      copy(hashes.unionByName(h), reliable && checkpointDir.isDefined)
     }
 
     /** Dedup an increment against this catalog —
@@ -1227,15 +1237,24 @@ object Ops {
       * encode + clash-guarded union, the cheapest absorb shape.
       */
     def absorb(increment: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
-               checkpointDir: Option[String] = None): PreparedAudioCatalog = {
+               checkpointDir: Option[String] = None): PreparedAudioCatalog =
+      absorbHashRows(graft.operators.Multimodal.audioHashes(increment),
+        checkpointDir)
+
+    /** Absorb PRE-COMPUTED fingerprint rows (the `dedup` output
+      * shape) — the ingest-loop fast path, see
+      * [[PreparedImageCatalog.absorbHashRows]].
+      */
+    private[graft] def absorbHashRows(incHashes: DataFrame,
+                                      checkpointDir: Option[String]): PreparedAudioCatalog = {
       val ckp = lineageBreaker(checkpointDir)
-      val incHashes = ckp(graft.operators.Multimodal.audioHashes(increment))
+      val h = ckp(incHashes.select(col("doc_id"), col("ahash"), col("decoded_real")))
       val clash = clashProbe(hashes.select(col("doc_id")),
-        incHashes.select(col("doc_id")), "doc_id").count()
+        h.select(col("doc_id")), "doc_id").count()
       require(clash == 0L,
         "PreparedAudioCatalog.absorb: increment contains doc ids already in " +
           "the catalog — absorb models catalog growth; re-prepare to replace rows")
-      copy(hashes.unionByName(incHashes), reliable && checkpointDir.isDefined)
+      copy(hashes.unionByName(h), reliable && checkpointDir.isDefined)
     }
 
     /** Dedup an increment against this catalog —
@@ -1268,6 +1287,188 @@ object Ops {
   def loadAudioCatalog(spark: org.apache.spark.sql.SparkSession, path: String): PreparedAudioCatalog = {
     ArtifactIO.readMeta(spark, path, "audiocatalog")
     PreparedAudioCatalog(spark.read.parquet(s"$path/hashes"), reliable = true)
+  }
+
+  /** Explode 64-bit frame hashes into (band, chunk) bucket rows —
+    * the q112 banding applied at FRAME grain (r12 video dedup).
+    */
+  private def bandFrameHashes(fh: DataFrame, bands: Int,
+                              idOut: String, kOut: String, hOut: String,
+                              nOut: String): DataFrame = {
+    val chunk = 64 / bands
+    val mask = if (chunk == 64) -1L else (1L << chunk) - 1L
+    fh.select(col("doc_id").as(idOut), col("frame_idx").as(kOut),
+      col("fhash").cast("long").as(hOut), col("n_frames").as(nOut))
+      .select(col(idOut), col(kOut), col(hOut), col(nOut),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col(hOut), b * chunk).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__chunk")
+  }
+
+  /** Video near-dup pairs (r12 — the THIRD media dedup modality,
+    * over the real all-frames GIF decoder): the standard frame-level
+    * recipe — sample ≤ `maxFrames` frames per video
+    * ([[graft.operators.Multimodal.videoFrameHashes]]), dHash each,
+    * band the hashes into candidate buckets (pigeonhole-exact per
+    * FRAME pair at maxHamming < bands), verify candidates by
+    * hamming, then keep video pairs where the matched-frame fraction
+    * of EITHER side reaches `minFrameMatch` (containment semantics —
+    * a short clip embedded in a longer one still pairs). A
+    * frame-doubled or container-re-encoded copy pairs its original
+    * at fraction 1 (timeline sampling lands on the duplicated
+    * originals; the hash reads decoded pixels, not bytes). Stub rows
+    * (decoded_real = false) never pair.
+    *
+    * Scale shape: decode is partition-preserving map work; the pair
+    * stage carries only (id, frame ordinal, 64-bit hash) — per-video
+    * volume bounded by maxFrames whatever the clip length — through
+    * one banded self-join; the per-pair aggregate is map-combinable
+    * over matched frame pairs. Never pixels, never all-pairs.
+    */
+  def videoNearDups(media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                    maxHamming: Int = 6, bands: Int = 8,
+                    minFrameMatch: Double = 0.5, maxFrames: Int = 16): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    require(minFrameMatch > 0.0 && minFrameMatch <= 1.0,
+      s"minFrameMatch ($minFrameMatch) must be in (0, 1]")
+    val fh = graft.operators.Multimodal.videoFrameHashes(media, maxFrames)
+      .filter(col("decoded_real")).localCheckpoint(true)
+    val banded = bandFrameHashes(fh, bands, "doc_id", "__k", "__h", "__n")
+    val a = banded.select(col("__band"), col("__chunk"), col("doc_id").as("doc_a"),
+      col("__k").as("__ka"), col("__h").as("__ha"), col("__n").as("__na"))
+    val b = banded.select(col("__band"), col("__chunk"), col("doc_id").as("doc_b"),
+      col("__k").as("__kb"), col("__h").as("__hb"), col("__n").as("__nb"))
+    a.join(b, Seq("__band", "__chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "__ka", "doc_b", "__kb")
+      .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"), col("__nb"))
+      .agg(countDistinct(col("__ka")).as("matched_a"),
+        countDistinct(col("__kb")).as("matched_b"))
+      .filter(greatest(
+        col("matched_a").cast("double") / col("__na").cast("double"),
+        col("matched_b").cast("double") / col("__nb").cast("double")) >= minFrameMatch)
+      .select(col("doc_a"), col("doc_b"), col("matched_a"),
+        col("__na").as("frames_a"), col("matched_b"), col("__nb").as("frames_b"))
+  }
+
+  /** The video-modality catalog-dedup tail (r12): increment frame-
+    * hash rows survive when no catalog video reaches `minFrameMatch`
+    * matched-frame fraction against them; undecodable rows are KEPT
+    * flagged — the quarantine contract. Kept output is the absorb-
+    * ready frame-hash shape (every frame row of surviving videos).
+    */
+  private def videoDedupHashRows(incFh0: DataFrame, catalogFrameHashes: DataFrame,
+                                 maxHamming: Int, bands: Int,
+                                 minFrameMatch: Double): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    val incFh = incFh0.localCheckpoint(true)
+    val a = bandFrameHashes(incFh.filter(col("decoded_real")), bands,
+      "__nid", "__ka", "__ha", "__na")
+    val b = bandFrameHashes(catalogFrameHashes.filter(col("decoded_real")), bands,
+      "__cid", "__kb", "__hb", "__nb")
+    val dropped = a.join(b, Seq("__band", "__chunk"))
+      .dropDuplicates("__nid", "__ka", "__cid", "__kb")
+      .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
+      .groupBy(col("__nid"), col("__cid"), col("__na"), col("__nb"))
+      .agg(countDistinct(col("__ka")).as("__ma"), countDistinct(col("__kb")).as("__mb"))
+      .filter(greatest(
+        col("__ma").cast("double") / col("__na").cast("double"),
+        col("__mb").cast("double") / col("__nb").cast("double")) >= minFrameMatch)
+      .select(col("__nid").as("doc_id")).distinct()
+    incFh.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Incremental video dedup against a pinned frame-hash catalog
+    * ([[graft.operators.Multimodal.videoFrameHashes]] output) —
+    * [[imageDedupAgainstCatalog]] at frame grain. The increment MUST
+    * hash under the same `maxFrames` the catalog used (the sampling
+    * geometry is part of the fingerprint — [[PreparedVideoCatalog]]
+    * pins it).
+    */
+  def videoDedupAgainstCatalog(media: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                               catalogFrameHashes: DataFrame,
+                               maxHamming: Int = 6, bands: Int = 8,
+                               minFrameMatch: Double = 0.5, maxFrames: Int = 16): DataFrame =
+    videoDedupHashRows(
+      graft.operators.Multimodal.videoFrameHashes(media, maxFrames),
+      catalogFrameHashes, maxHamming, bands, minFrameMatch)
+
+  /** A video frame-hash catalog prepared ONCE for repeated
+    * incremental video dedup (r12) — the THIRTEENTH prepared
+    * artifact, completing the media trio: catalog payloads decode
+    * and frame-hash once at preparation; each increment (or
+    * streaming trigger) pays only its own decode plus the banded
+    * cross-side frame join. `maxFrames` is pinned at prepare time —
+    * the sampling geometry is part of the fingerprint, so increments
+    * hash commensurably by construction.
+    */
+  final case class PreparedVideoCatalog private[graft] (
+      frameHashes: DataFrame, maxFrames: Int, reliable: Boolean) {
+
+    /** Absorb a catalog increment (doc ids disjoint — enforced):
+      * decode + clash-guarded union under the pinned maxFrames.
+      */
+    def absorb(increment: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+               checkpointDir: Option[String] = None): PreparedVideoCatalog =
+      absorbHashRows(
+        graft.operators.Multimodal.videoFrameHashes(increment, maxFrames),
+        checkpointDir)
+
+    /** Absorb PRE-COMPUTED frame-hash rows (the `dedup` output
+      * shape) — the ingest-loop fast path, see
+      * [[PreparedImageCatalog.absorbHashRows]].
+      */
+    private[graft] def absorbHashRows(incFh: DataFrame,
+                                      checkpointDir: Option[String]): PreparedVideoCatalog = {
+      val ckp = lineageBreaker(checkpointDir)
+      val h = ckp(incFh.select(col("doc_id"), col("frame_idx"), col("fhash"),
+        col("n_frames"), col("decoded_real")))
+      val clash = clashProbe(frameHashes.select(col("doc_id")).distinct(),
+        h.select(col("doc_id")).distinct(), "doc_id").count()
+      require(clash == 0L,
+        "PreparedVideoCatalog.absorb: increment contains doc ids already in " +
+          "the catalog — absorb models catalog growth; re-prepare to replace rows")
+      copy(frameHashes.unionByName(h), maxFrames,
+        reliable && checkpointDir.isDefined)
+    }
+
+    /** Dedup an increment against this catalog —
+      * [[Ops.videoDedupAgainstCatalog]] with the pinned frames.
+      */
+    def dedup(increment: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+              maxHamming: Int = 6, bands: Int = 8,
+              minFrameMatch: Double = 0.5): DataFrame =
+      videoDedupAgainstCatalog(increment, frameHashes, maxHamming, bands,
+        minFrameMatch, maxFrames)
+
+    /** Persist durably ([[ArtifactIO]] layout, maxFrames in meta). */
+    def save(path: String): Unit = {
+      frameHashes.write.mode("overwrite").parquet(s"$path/framehashes")
+      ArtifactIO.writeMeta(frameHashes.sparkSession, path, "videocatalog",
+        Seq("maxFrames" -> maxFrames.toString))
+    }
+  }
+
+  /** Build a [[PreparedVideoCatalog]]; `checkpointDir` selects
+    * reliable checkpoints (cluster/streaming mode).
+    */
+  def prepareVideoCatalog(catalog: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+                          maxFrames: Int = 16,
+                          checkpointDir: Option[String] = None): PreparedVideoCatalog = {
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedVideoCatalog(
+      ckp(graft.operators.Multimodal.videoFrameHashes(catalog, maxFrames)),
+      maxFrames, checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedVideoCatalog]] persisted by its `save`; fails
+    * fast on a non-videocatalog path or missing maxFrames.
+    */
+  def loadVideoCatalog(spark: org.apache.spark.sql.SparkSession, path: String): PreparedVideoCatalog = {
+    val m = ArtifactIO.readMeta(spark, path, "videocatalog")
+    PreparedVideoCatalog(spark.read.parquet(s"$path/framehashes"),
+      ArtifactIO.field(m, path, "maxFrames").toInt, reliable = true)
   }
 
   /** A rolling SCD Type-2 dimension prepared ONCE and maintained per

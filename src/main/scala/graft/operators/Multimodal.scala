@@ -56,6 +56,10 @@ object Multimodal {
 
   final case class MediaRecord(
       doc_id: Long, payload: Array[Byte], kind: String, width: Int, height: Int)
+  /** Explicit encoder for contexts without `spark.implicits` in scope
+    * (the ingest-stream foreachBatch lambdas). */
+  val mediaEncoder: org.apache.spark.sql.Encoder[MediaRecord] =
+    org.apache.spark.sql.Encoders.product[MediaRecord]
   final case class MediaFeatures(
       doc_id: Long, kind: String, features: Array[Float],
       decoder: String, decoded_real: Boolean)
@@ -897,17 +901,89 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** REAL GIF decode — logical-screen + color-table walk + pure-JVM
-    * LZW (~100 lines, no codec library): returns (width, height, RGB
-    * row-major top-down) for the first full-frame image — interlaced
-    * or not (the standard 4-pass row reordering; the JDK's own
-    * ImageIO writer emits interlaced GIFs, which is what the
-    * cross-validation spec decodes) — or None for anything else /
-    * any corrupt stream (bad magic, missing global color table,
-    * local color tables, lying sub-block lengths, bad LZW codes —
-    * all bounds-guarded, never throws, never spins).
+  /** Complete ANIMATED GIF89a bytes (r12 — the video-container test
+    * encoder): [[gifBytes]]' layout with a Netscape looping
+    * application extension and, per frame, a graphic-control
+    * extension (delay in centiseconds) + a full-frame image
+    * descriptor + LZW index stream. Each `frames(f)(x, y)` returns a
+    * palette index for frame f.
     */
-  def gifPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  def gifBytesAnimated(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+                       frames: Seq[(Int, Int) => Int],
+                       delayCs: Int = 4): Array[Byte] = {
+    require(w > 0 && h > 0, s"gifBytesAnimated: dims must be positive ($w x $h)")
+    require(palette.nonEmpty && palette.length <= 256,
+      "gifBytesAnimated: palette must have 1..256 entries")
+    require(frames.nonEmpty, "gifBytesAnimated: at least one frame")
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    var bits = 1
+    while ((1 << bits) < palette.length) bits += 1
+    val tableSize = 1 << bits
+    val minCodeSize = math.max(2, bits)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0x80 | ((bits - 1) << 4) | (bits - 1)) // GCT present, size field
+    out.write(0); out.write(0)                       // background, aspect
+    var c = 0
+    while (c < tableSize) {
+      val (r, g, b) = if (c < palette.length) palette(c) else (0, 0, 0)
+      out.write(r); out.write(g); out.write(b)
+      c += 1
+    }
+    // Netscape looping application extension (loop forever)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(le16(0)); out.write(0)
+    for (frame <- frames) {
+      val indices = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val ix = frame(x, y)
+          require(ix >= 0 && ix < palette.length,
+            s"gifBytesAnimated: index $ix out of palette at ($x,$y)")
+          indices(y * w + x) = ix.toByte
+          x += 1
+        }
+        y += 1
+      }
+      // graphic control: no disposal, no transparency, delayCs timing
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(le16(delayCs)); out.write(0); out.write(0)
+      out.write(0x2c) // image descriptor: full frame, no local table
+      out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h)); out.write(0)
+      out.write(minCodeSize)
+      val lzw = lzwEncode(indices, minCodeSize)
+      var o = 0
+      while (o < lzw.length) {
+        val n = math.min(255, lzw.length - o)
+        out.write(n); out.write(lzw, o, n)
+        o += n
+      }
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF decode, ALL frames (r12 — the video-modality walk):
+    * logical-screen + color-table parse + pure-JVM LZW per image,
+    * returning (width, height, one RGB row-major buffer PER full-
+    * frame image in stream order). Animated GIF89a streams — the
+    * engine's video container — decode every frame; graphic-control
+    * and application extensions (frame delays, the Netscape loop
+    * block) are metadata and skip cleanly. Interlaced frames reorder
+    * through the standard 4 passes. None for anything else / any
+    * corrupt stream (bad magic, missing global color table, local
+    * color tables, non-full-frame sub-rect images — refused rather
+    * than mis-composited, since compositing partial frames over
+    * disposal state is a rendering policy, not a decode —, lying
+    * sub-block lengths, bad LZW codes, a missing trailer; all
+    * bounds-guarded, never throws, never spins).
+    */
+  def gifFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
     if (b.length < 13) return None
     val magic = new String(b, 0, 6, "US-ASCII")
     if (magic != "GIF89a" && magic != "GIF87a") return None
@@ -920,7 +996,7 @@ object Multimodal {
     val gctOff = i.toInt
     i += 3L * gctSize
     if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) return None
-    // block walk to the first image descriptor
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     while (i < b.length) {
       (b(i.toInt) & 0xff) match {
         case 0x21 => // extension: label + sub-blocks
@@ -956,38 +1032,46 @@ object Multimodal {
             sub = if (i < b.length) b(i.toInt) & 0xff else -1
           }
           if (sub < 0) return None
-          return lzwDecode(lzw.toByteArray, minCodeSize, w * h).flatMap { idx =>
-            // interlace: stored rows arrive in the standard 4 passes
-            // (every 8th from 0, every 8th from 4, every 4th from 2,
-            // every 2nd from 1) — map stored row s → display row
-            val rowOf: Array[Int] =
-              if (!interlaced) Array.tabulate(h)(identity)
-              else {
-                val order = new Array[Int](h)
-                var s = 0
-                for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
-                     row <- start until h by step) { order(s) = row; s += 1 }
-                order
-              }
-            val rgb = new Array[Byte](3 * w * h)
-            var p = 0
-            while (p < w * h) {
-              val ci = idx(p) & 0xff
-              if (ci >= gctSize) return None
-              val disp = rowOf(p / w) * w + p % w
-              rgb(3 * disp) = b(gctOff + 3 * ci)
-              rgb(3 * disp + 1) = b(gctOff + 3 * ci + 1)
-              rgb(3 * disp + 2) = b(gctOff + 3 * ci + 2)
-              p += 1
+          i += 1 // 0 terminator
+          val idx = lzwDecode(lzw.toByteArray, minCodeSize, w * h)
+            .getOrElse(return None)
+          // interlace: stored rows arrive in the standard 4 passes
+          // (every 8th from 0, every 8th from 4, every 4th from 2,
+          // every 2nd from 1) — map stored row s → display row
+          val rowOf: Array[Int] =
+            if (!interlaced) Array.tabulate(h)(identity)
+            else {
+              val order = new Array[Int](h)
+              var s = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   row <- start until h by step) { order(s) = row; s += 1 }
+              order
             }
-            Some((w, h, rgb))
+          val rgb = new Array[Byte](3 * w * h)
+          var p = 0
+          while (p < w * h) {
+            val ci = idx(p) & 0xff
+            if (ci >= gctSize) return None
+            val disp = rowOf(p / w) * w + p % w
+            rgb(3 * disp) = b(gctOff + 3 * ci)
+            rgb(3 * disp + 1) = b(gctOff + 3 * ci + 1)
+            rgb(3 * disp + 2) = b(gctOff + 3 * ci + 2)
+            p += 1
           }
-        case 0x3b => return None // trailer before any image
-        case _ => return None    // unknown block: corrupt
+          frames += rgb
+        case 0x3b => // trailer
+          return if (frames.nonEmpty) Some((w, h, frames.toSeq)) else None
+        case _ => return None // unknown block: corrupt
       }
     }
-    None
+    None // ran off the end without a trailer: corrupt
   }
+
+  /** First-frame GIF decode — [[gifFrames]] restricted to the still-
+    * image view (what [[contentPixels]]/[[imageHashes]] consume).
+    */
+  def gifPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    gifFrames(b).map { case (w, h, fs) => (w, h, fs.head) }
 
   // ---- JPEG (the JDK's own ImageIO reader — javax.imageio ships in
   // every JDK, the same argument that gave PNG its Inflater) ----
@@ -1294,6 +1378,45 @@ object Multimodal {
     }.toDF("doc_id", "ahash", "decoded_real")
   }
 
+  /** Frame-sampled video fingerprints (r12 — the third media dedup
+    * modality, over the real all-frames GIF decoder): each decodable
+    * video contributes ≤ `maxFrames` frame rows — frames sampled
+    * EVENLY across the timeline by the standard `floor(k·n/m)` edges
+    * (m = min(n, maxFrames)), each hashed with the image [[dHash]]
+    * (per-frame perceptual hashes + fraction-matched verification is
+    * the standard video near-dup recipe — frame-level, not a single
+    * video-level code, so a clip is recognized by its CONTENT frames
+    * regardless of frame rate). A frame-DOUBLED re-encode samples the
+    * same frame set (floor(k·2n/2m) lands on the duplicated
+    * originals), so its hash set is identical — the frame-rate
+    * invariance the timeline sampling buys. Rows: (doc_id, frame_idx
+    * = sampled ordinal, fhash, n_frames = m, decoded_real);
+    * undecodable payloads contribute ONE md5-stub row flagged false
+    * (the quarantine contract). Partition-preserving map work; the
+    * per-video output is bounded by maxFrames whatever the clip
+    * length.
+    */
+  def videoFrameHashes(media: Dataset[MediaRecord], maxFrames: Int = 16): DataFrame = {
+    require(maxFrames > 0, "videoFrameHashes: maxFrames must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        gifFrames(r.payload) match {
+          case Some((w, h, fs)) =>
+            val m = math.min(fs.length, maxFrames)
+            (0 until m).map { k =>
+              (r.doc_id, k, dHash(w, h, fs((k.toLong * fs.length / m).toInt)), m, true)
+            }
+          case None =>
+            val md = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+            val stub = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (md(i) & 0xffL))
+            Seq((r.doc_id, 0, stub, 1, false))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "fhash", "n_frames", "decoded_real")
+  }
+
   /** Content features for one payload, TAGGED with the decoder that
     * produced them: REAL statistics for every recognized format (WAV
     * PCM / BMP / PPM / PNG / GIF bit-exact; JPEG via the JDK reader,
@@ -1423,6 +1546,48 @@ object Multimodal {
         }
       })
     graft.api.Ops.audioNearDups(media.union(clones))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q116: video frame-hash near-dup pairs
+    * ([[graft.api.Ops.videoNearDups]]) over the attached media corpus
+    * PLUS planted ANIMATED clips and their frame-doubled re-encodes:
+    * every video payload with doc_id < 240 contributes an 8-frame
+    * animated GIF under doc_id + 800000 (frames parameterized by
+    * doc_id) and a re-encode of the SAME clip with every frame
+    * DOUBLED (16 frames — a 2× frame-rate copy) under doc_id +
+    * 900000. The timeline sampling lands the doubled clip on exactly
+    * the original frame set, so each clone pairs its original at
+    * matched-fraction 1 — the frame-rate invariance of the recipe,
+    * exercised end-to-end. ROWS-ONLY correctness entry by declared
+    * design, like q112/q115: the pipeline decodes synthesized binary
+    * payloads the SQL oracle cannot replay; every stage is
+    * deterministic, so the row set is stable.
+    */
+  def q116(t: Tables): DataFrame = {
+    val media = attachMedia(t)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val pal = Array.tabulate(16)(g => (g * 17, g * 17, g * 17))
+    // hashed 2×2-cell noise, not a shifted gradient: distinct
+    // (doc, frame) pairs get independent content, so the planted
+    // pair structure is exactly original ↔ its frame-doubled clone
+    def frameFn(docId: Long, f: Int): (Int, Int) => Int = (x, y) => {
+      var v = (docId % 1000003L).toInt * 0x9E3779B1 + f * 0x85EBCA77 +
+        (x >> 1) * 0xC2B2AE3D + (y >> 1) * 0x27D4EB2F
+      v ^= v >>> 15; v *= 0x2545F491; v ^= v >>> 13
+      (v & 0x7fffffff) % 16
+    }
+    def plant(shift: Long, reps: Int) =
+      media.filter(r => r.kind == "video" && r.doc_id < 240)
+        .mapPartitions(_.map { r =>
+          val frames = (0 until 8).flatMap(f =>
+            Seq.fill(reps)(frameFn(r.doc_id, f)))
+          MediaRecord(r.doc_id + shift, gifBytesAnimated(16, 12, pal, frames),
+            "video", 16, 12)
+        })
+    graft.api.Ops.videoNearDups(
+      media.union(plant(800000L, 1)).union(plant(900000L, 2)))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

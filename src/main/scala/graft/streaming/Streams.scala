@@ -287,6 +287,239 @@ object Streams {
       .start()
   }
 
+  /** The shared per-trigger engine behind the four SELF-MAINTAINING
+    * ingest streams (r12): dedup the trigger against the CURRENT
+    * catalog, absorb the survivors, hand (survivors, grown catalog)
+    * to the sink. This is the production ingestion loop the static-
+    * catalog dedup streams approximate — there, a near-dup arriving
+    * two triggers after its original sails through because the
+    * catalog never learns; here the catalog grows with every trigger,
+    * so later triggers dedup against everything already ingested.
+    *
+    * Replay discipline (absorbs ADD state, so the quantile-stream
+    * rules apply, not the HLL max-merge ones): a foreachBatch RETRY
+    * of the last absorbed batchId re-runs the dedup against the
+    * PRE-absorb catalog and re-emits WITHOUT re-absorbing (absorbing
+    * twice would clash-guard-crash at best, double the catalog at
+    * worst); a batchId strictly below the last absorbed one fails
+    * loudly — that is never a legitimate retry, it means the
+    * checkpoint was wiped while the in-memory catalog survived.
+    * Across query RESTARTS the in-memory catalog dies with the
+    * driver: resume by loading the catalog the sink last persisted
+    * and a FRESH checkpoint dir; a stale checkpoint replaying an
+    * already-absorbed batch fails loudly through absorb's own id
+    * clash guard rather than double-absorbing.
+    *
+    * Within-trigger mutual near-dups BOTH survive (neither is in the
+    * catalog when the trigger arrives) — the same answer the batch
+    * fold `dedup(B); absorb(kept)` gives, which is this loop's exact
+    * equivalence contract, spec-pinned per modality.
+    */
+  private[graft] final class IngestLoop[B, C](
+      init: C,
+      dedup: (C, B) => DataFrame,
+      absorb: (C, DataFrame) => C,
+      sink: (DataFrame, C) => Unit) {
+    private var lastBatchId = -1L
+    private var before = init
+    private var current = init
+    def handle(batch: B, batchId: Long): Unit = synchronized {
+      if (batchId == lastBatchId) {
+        sink(dedup(before, batch), current)
+      } else if (batchId < lastBatchId) {
+        throw new IllegalStateException(
+          s"ingest stream: batchId $batchId arrived after $lastBatchId was " +
+            "absorbed — the checkpoint was wiped or swapped while the " +
+            "in-memory catalog survived; restart from a persisted catalog " +
+            "with a fresh checkpoint dir")
+      } else {
+        val kept = dedup(current, batch)
+        before = current
+        current = absorb(current, kept)
+        lastBatchId = batchId
+        sink(kept, current)
+      }
+    }
+  }
+
+  /** Self-maintaining TEXT dedup ingest (r12): each trigger dedups
+    * against the catalog of everything already ingested
+    * ([[graft.api.Ops.dedupAgainstCatalog]] semantics), then the
+    * survivors' fingerprints/shingles/bands ABSORB into the catalog
+    * — so a near-dup arriving any number of triggers after its
+    * original is dropped, which the frozen-catalog
+    * [[dedupAgainstCatalogStream]] cannot do. The sink receives each
+    * trigger's surviving rows (schema-intact) plus the grown
+    * [[graft.api.Ops.PreparedCatalog]] — persist the catalog
+    * (`.save`) as often as the restart story needs.
+    *
+    * Every absorb checkpoints through `checkpointDir`, so the
+    * catalog's plan stays FLAT across an unbounded trigger count
+    * (the chained-absorb discipline) and the grown frames survive
+    * executor loss. Per-trigger cost: the trigger's own shingling +
+    * banded joins against catalog frames + an artifact-sized absorb
+    * union — never a catalog rescan.
+    */
+  def dedupIngestStream(docs: DataFrame, id: String, text: String,
+                        prepared: graft.api.Ops.PreparedCatalog,
+                        threshold: Double,
+                        checkpointDir: String,
+                        sink: (DataFrame, graft.api.Ops.PreparedCatalog) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedCatalog](
+      prepared,
+      (cat, batch) => graft.api.Ops.dedupAgainstPrepared(batch, id, text, cat, threshold),
+      (cat, kept) => cat.absorb(kept, text, Some(checkpointDir)),
+      sink)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Self-maintaining VECTOR dedup ingest (r12) —
+    * [[dedupIngestStream]] for the embedding modality: survivors'
+    * hyperplane codes and vectors absorb into the
+    * [[graft.api.Ops.PreparedVecCatalog]] each trigger. Reliable
+    * prep REQUIRED (the PreparedLm rule).
+    */
+  def vecDedupIngestStream(vecs: DataFrame, id: String, emb: String,
+                           prepared: graft.api.Ops.PreparedVecCatalog,
+                           threshold: Double,
+                           checkpointDir: String,
+                           sink: (DataFrame, graft.api.Ops.PreparedVecCatalog) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "vecDedupIngestStream needs a PreparedVecCatalog built with a reliable " +
+        "checkpointDir (prepareVecCatalog(..., checkpointDir = Some(dir))) " +
+        "or loaded from a persisted catalog: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedVecCatalog](
+      prepared,
+      (cat, batch) => graft.api.Ops.vecDedupAgainstPrepared(batch, id, emb, cat, threshold),
+      (cat, kept) => cat.absorb(kept, emb, Some(checkpointDir)),
+      sink)
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Self-maintaining IMAGE dedup ingest (r12) — the catalog learns
+    * every surviving image's dHash as it ingests; survivors absorb as
+    * their ALREADY-COMPUTED hash rows (the dedup stage decoded the
+    * trigger once — absorb does not decode again). Quarantined rows
+    * (decoded_real = false) survive dedup by contract and absorb
+    * with the same flag, exactly as a batch prepare over the union
+    * would record them. Reliable prep REQUIRED.
+    */
+  def imageDedupIngestStream(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                             prepared: graft.api.Ops.PreparedImageCatalog,
+                             checkpointDir: String,
+                             sink: (DataFrame, graft.api.Ops.PreparedImageCatalog) => Unit,
+                             maxHamming: Int = 6, bands: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "imageDedupIngestStream needs a PreparedImageCatalog built with a " +
+        "reliable checkpointDir (prepareImageCatalog(..., checkpointDir = " +
+        "Some(dir))) or loaded from a persisted catalog: localCheckpoint " +
+        "blocks do not survive executor loss across a long-lived stream")
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedImageCatalog](
+      prepared,
+      (cat, batch) => cat.dedup(
+        batch.as[graft.operators.Multimodal.MediaRecord](
+          graft.operators.Multimodal.mediaEncoder), maxHamming, bands),
+      (cat, kept) => cat.absorbHashRows(kept, Some(checkpointDir)),
+      sink)
+    media.toDF.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Self-maintaining AUDIO dedup ingest (r12) —
+    * [[imageDedupIngestStream]]'s audio twin over the energy-gradient
+    * fingerprints. Reliable prep REQUIRED.
+    */
+  def audioDedupIngestStream(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                             prepared: graft.api.Ops.PreparedAudioCatalog,
+                             checkpointDir: String,
+                             sink: (DataFrame, graft.api.Ops.PreparedAudioCatalog) => Unit,
+                             maxHamming: Int = 6, bands: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "audioDedupIngestStream needs a PreparedAudioCatalog built with a " +
+        "reliable checkpointDir (prepareAudioCatalog(..., checkpointDir = " +
+        "Some(dir))) or loaded from a persisted catalog: localCheckpoint " +
+        "blocks do not survive executor loss across a long-lived stream")
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedAudioCatalog](
+      prepared,
+      (cat, batch) => cat.dedup(
+        batch.as[graft.operators.Multimodal.MediaRecord](
+          graft.operators.Multimodal.mediaEncoder), maxHamming, bands),
+      (cat, kept) => cat.absorbHashRows(kept, Some(checkpointDir)),
+      sink)
+    media.toDF.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Incremental VIDEO dedup of a media stream against a once-
+    * prepared frame-hash catalog
+    * ([[graft.api.Ops.prepareVideoCatalog]] / loaded via
+    * `loadVideoCatalog`) — r12, the third media member of the
+    * catalog-dedup stream family: the catalog decoded and
+    * frame-hashed once; each trigger pays only its own decode plus
+    * the banded cross-side frame join under the catalog's pinned
+    * maxFrames. Same quarantine contract. Reliable prep REQUIRED.
+    */
+  def videoDedupStream(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                       prepared: graft.api.Ops.PreparedVideoCatalog,
+                       sink: DataFrame => Unit,
+                       maxHamming: Int = 6, bands: Int = 8,
+                       minFrameMatch: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "videoDedupStream needs a PreparedVideoCatalog built with a reliable " +
+        "checkpointDir (prepareVideoCatalog(..., checkpointDir = Some(dir))) " +
+        "or loaded from a persisted catalog: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
+    media.toDF.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(prepared.dedup(
+          batch.as[graft.operators.Multimodal.MediaRecord](
+            graft.operators.Multimodal.mediaEncoder),
+          maxHamming, bands, minFrameMatch))
+      }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Self-maintaining VIDEO dedup ingest (r12) — the third media
+    * member of the ingest family: survivors absorb as their already-
+    * computed frame-hash rows (one decode per trigger), under the
+    * catalog's pinned maxFrames. Reliable prep REQUIRED.
+    */
+  def videoDedupIngestStream(media: Dataset[graft.operators.Multimodal.MediaRecord],
+                             prepared: graft.api.Ops.PreparedVideoCatalog,
+                             checkpointDir: String,
+                             sink: (DataFrame, graft.api.Ops.PreparedVideoCatalog) => Unit,
+                             maxHamming: Int = 6, bands: Int = 8,
+                             minFrameMatch: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "videoDedupIngestStream needs a PreparedVideoCatalog built with a " +
+        "reliable checkpointDir (prepareVideoCatalog(..., checkpointDir = " +
+        "Some(dir))) or loaded from a persisted catalog: localCheckpoint " +
+        "blocks do not survive executor loss across a long-lived stream")
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedVideoCatalog](
+      prepared,
+      (cat, batch) => cat.dedup(
+        batch.as[graft.operators.Multimodal.MediaRecord](
+          graft.operators.Multimodal.mediaEncoder), maxHamming, bands, minFrameMatch),
+      (cat, kept) => cat.absorbHashRows(kept, Some(checkpointDir)),
+      sink)
+    media.toDF.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

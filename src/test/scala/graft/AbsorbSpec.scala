@@ -152,6 +152,23 @@ class AbsorbSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already in"))
   }
 
+  test("PreparedVideoCatalog.absorb ≡ prepareVideoCatalog over the union") {
+    import graft.operators.Multimodal
+    val media = Multimodal.attachMedia(t).filter(_.doc_id < 400).cache()
+    val a = media.filter(_.doc_id % 2 == 0)
+    val b = media.filter(_.doc_id % 2 == 1)
+    val full = Ops.prepareVideoCatalog(media)
+    val absorbed = Ops.prepareVideoCatalog(a).absorb(b)
+    assert(absorbed.maxFrames == full.maxFrames)
+    assertSameRows(absorbed.frameHashes, full.frameHashes, "video-catalog frame hashes")
+    // the dedup consumer sees identical results through either
+    val inc = Multimodal.attachMedia(t).filter(r => r.doc_id >= 400 && r.doc_id < 500)
+    assertSameRows(absorbed.dedup(inc), full.dedup(inc), "video dedup")
+    // re-submitted doc ids fail fast instead of duplicating frame rows
+    val e = intercept[IllegalArgumentException] { full.absorb(a.limit(1)) }
+    assert(e.getMessage.contains("already in"))
+  }
+
   test("absorb disjointness guards carry no forced broadcast hint (AQE decides)") {
     // VERDICT r11: a forced broadcast(increment ids) OOMs the BULK-
     // absorb case where the increment approaches corpus scale. Every

@@ -273,6 +273,26 @@ class PersistenceSpec extends AnyFunSuite {
     assertSameRows(grown.hashes, full.hashes, "absorb-after-load audio hashes")
   }
 
+  test("PreparedVideoCatalog save → load round-trips frame hashes + maxFrames; serves and absorbs") {
+    import graft.operators.Multimodal
+    val media = Multimodal.attachMedia(t).filter(_.doc_id < 400).cache()
+    val a = media.filter(_.doc_id % 2 == 0)
+    val b = media.filter(_.doc_id % 2 == 1)
+    val full = Ops.prepareVideoCatalog(media, maxFrames = 8)
+    val dir = tmp("videocat")
+    full.save(dir)
+    val loaded = Ops.loadVideoCatalog(spark, dir)
+    assert(loaded.reliable, "a persisted video catalog is reliable by construction")
+    assert(loaded.maxFrames == 8, "the sampling geometry is part of the artifact")
+    assertSameRows(loaded.frameHashes, full.frameHashes, "video-catalog frame hashes")
+    val inc = Multimodal.attachMedia(t).filter(r => r.doc_id >= 400 && r.doc_id < 500)
+    assertSameRows(loaded.dedup(inc), full.dedup(inc), "video dedup after load")
+    val dirA = tmp("videocatA")
+    Ops.prepareVideoCatalog(a, maxFrames = 8).save(dirA)
+    val grown = Ops.loadVideoCatalog(spark, dirA).absorb(b)
+    assertSameRows(grown.frameHashes, full.frameHashes, "absorb-after-load video hashes")
+  }
+
   test("loading the wrong artifact kind — or a missing meta — fails fast") {
     val dir = tmp("kindclash")
     Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)

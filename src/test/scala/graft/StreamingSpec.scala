@@ -774,6 +774,39 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${got.size} kept rows, batch ${batchKept.size}")
   }
 
+  test("streaming video dedup (prepared frame-hash catalog + foreachBatch) equals the batch operator") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    implicit val sqlCtx = spark.sqlContext
+    val t = Tables(spark, sfDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vidstream_ckpt").toString
+    val catalog = Multimodal.attachMedia(t).filter(_.doc_id < 300)
+    val prepared = graft.api.Ops.prepareVideoCatalog(catalog, checkpointDir = Some(ckpt))
+    val unreliable = graft.api.Ops.prepareVideoCatalog(catalog)
+    val stream0 = MemoryStream[MediaRecord]
+    val e = intercept[IllegalArgumentException] {
+      Streams.videoDedupStream(stream0.toDS(), unreliable, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    val incRows = Multimodal.attachMedia(t)
+      .filter(r => r.doc_id >= 300 && r.doc_id < 400).collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val stream = MemoryStream[MediaRecord]
+    val q = Streams.videoDedupStream(stream.toDS(), prepared,
+      batch => got.synchronized { got ++= batch.collect().map(_.toString) })
+    try {
+      stream.addData(incRows.take(incRows.size / 2))
+      q.processAllAvailable()
+      stream.addData(incRows.drop(incRows.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchKept = prepared.dedup(
+      spark.createDataset(incRows)).collect().map(_.toString)
+    assert(got.sorted.toSeq == batchKept.sorted.toSeq,
+      s"streamed ${got.size} kept rows, batch ${batchKept.size}")
+  }
+
   test("streaming SCD2 maintenance (foreachBatch absorb) equals the one-shot history") {
     import spark.implicits._
     import graft.operators.Relational
