@@ -57,7 +57,8 @@ object Bench {
     "q105_funnel_windowed", "q106_pagerank_dangling", "q43_hll_distinct",
     "q107_bpe_encode", "q108_quantile_sketch", "q109_scd2_history",
     "q110_heavy_hitters", "q111_kmeans", "q112_image_neardup",
-    "q113_scd2_asof", "q114_ann_two_level", "q115_audio_neardup")
+    "q113_scd2_asof", "q114_ann_two_level", "q115_audio_neardup",
+    "q116_video_neardup")
 
   private val childMarker = "##BENCHQ##"
 

@@ -331,6 +331,10 @@ object ScaleProbe {
       // dup classes, so pair output is quadratic in class size (the
       // q32 output-bound contract, not a plan defect)
       "q115_audio"    -> (t => operators.Multimodal.q115(t)),
+      // r12: the video sibling — decode + ≤maxFrames frame hashes per
+      // clip, banded frame candidates, map-combinable per-pair
+      // matched-fraction aggregate; output-bound like q112/q115
+      "q116_video"    -> (t => operators.Multimodal.q116(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -257,6 +257,17 @@ object Streams {
     * shape); closed history is never rejoined. The per-trigger
     * distinct-timestamp collect is bounded by extracts-per-trigger
     * (file-sized, not row-sized).
+    *
+    * Replay discipline (absorbs ADD state — the [[IngestLoop]]
+    * rules): a foreachBatch RETRY of the last absorbed batchId
+    * re-absorbs from the retained PRE-absorb dimension (absorb is
+    * deterministic, so the rebuilt history is identical) and
+    * re-emits, instead of tripping the snapshot-order guard; a
+    * batchId strictly below it fails loudly. Across query restarts
+    * the in-memory dimension dies with the driver: resume from the
+    * sink's last persisted artifact + a fresh checkpoint — a stale
+    * checkpoint replaying an absorbed extract fails loudly through
+    * absorb's own order guard.
     */
   def scd2Stream(extracts: DataFrame,
                  prepared: graft.api.Ops.PreparedScd2,
@@ -267,24 +278,49 @@ object Streams {
         "(prepareScd2(..., checkpointDir = Some(dir))) or loaded from a " +
         "persisted artifact: localCheckpoint blocks do not survive executor " +
         "loss across a long-lived stream")
-    val state = new java.util.concurrent.atomic.AtomicReference(prepared)
-    val snapCol = prepared.snapCol
+    val loop = new Scd2Loop(prepared, checkpointDir, sink)
     extracts.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val snaps = batch.select(col(snapCol)).distinct()
-          .orderBy(col(snapCol)).collect().map(_.getTimestamp(0))
-        if (snaps.nonEmpty) {
-          var dim = state.get()
-          snaps.foreach { ts =>
-            dim = dim.absorb(batch.filter(col(snapCol) === lit(ts)),
-              Some(checkpointDir))
-          }
-          state.set(dim)
-          sink(dim)
-        }
-      }
+      .foreachBatch { (batch: DataFrame, batchId: Long) => loop.handle(batch, batchId) }
       .outputMode("update")
       .start()
+  }
+
+  /** [[scd2Stream]]'s per-trigger engine, factored for direct spec
+    * coverage of the replay geometries (like [[IngestLoop]]).
+    */
+  private[graft] final class Scd2Loop(
+      init: graft.api.Ops.PreparedScd2,
+      checkpointDir: String,
+      sink: graft.api.Ops.PreparedScd2 => Unit) {
+    private val snapCol = init.snapCol
+    private var lastBatchId = -1L
+    private var before = init
+    private var current = init
+    def handle(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId < lastBatchId)
+        throw new IllegalStateException(
+          s"scd2Stream: batchId $batchId arrived after $lastBatchId was " +
+            "absorbed — the checkpoint was wiped or swapped while the " +
+            "in-memory dimension survived; restart from a persisted " +
+            "artifact with a fresh checkpoint dir")
+      val snaps = batch.select(col(snapCol)).distinct()
+        .orderBy(col(snapCol)).collect().map(_.getTimestamp(0))
+      if (snaps.nonEmpty) {
+        // a retry of the absorbed batch re-absorbs from the PRE-absorb
+        // dimension — absorb is deterministic, so the rebuilt history
+        // is identical and the order guard stays satisfied; state
+        // advances BEFORE the absorbs so a mid-absorb crash retries
+        // from `before` cleanly
+        var dim = if (batchId == lastBatchId) before else current
+        if (batchId > lastBatchId) { before = current; lastBatchId = batchId }
+        snaps.foreach { ts =>
+          dim = dim.absorb(batch.filter(col(snapCol) === lit(ts)),
+            Some(checkpointDir))
+        }
+        current = dim
+        sink(dim)
+      }
+    }
   }
 
   /** The shared per-trigger engine behind the four SELF-MAINTAINING

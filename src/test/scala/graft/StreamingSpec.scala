@@ -859,6 +859,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.get.reliable, "every stream absorb checkpoints reliably")
   }
 
+  test("scd2Stream replay: a retried trigger re-absorbs from the pre-absorb dimension; batchId regression fails") {
+    import graft.operators.Relational
+    val t = Tables(spark, sfDir)
+    val series = Relational.scd2Series(t)
+    val attrs = Seq("c_name", "c_acctbal", "c_mktsegment")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2loop_ckpt").toString
+    val prepared = graft.api.Ops.prepareScd2(series.head, "snap_ts", "id", attrs, Some(ckpt))
+    val sunk = scala.collection.mutable.ArrayBuffer[graft.api.Ops.PreparedScd2]()
+    val loop = new Streams.Scd2Loop(prepared, ckpt, dim => sunk += dim)
+    loop.handle(series(1), 0L)
+    val first = sunk.last.history.collect().map(_.toString).sorted.toSeq
+    // a foreachBatch RETRY re-absorbs the SAME extract from the
+    // retained pre-absorb dimension instead of tripping the
+    // snapshot-order guard — and rebuilds the identical history
+    loop.handle(series(1), 0L)
+    assert(sunk.size == 2, "the retry re-emits")
+    assert(sunk.last.history.collect().map(_.toString).sorted.toSeq == first,
+      "the retried absorb must rebuild the identical history")
+    loop.handle(series(2), 1L)
+    // a batchId BELOW the absorbed one is never a legitimate retry
+    val e = intercept[IllegalStateException] { loop.handle(series(1), 0L) }
+    assert(e.getMessage.contains("wiped"))
+    // the surviving chain still equals the one-shot builder
+    import graft.api.Ops._
+    val oneShot = series.take(3).reduce(_ unionByName _)
+      .scd2History("snap_ts", "id", attrs)
+    assert(sunk.last.history.collect().map(_.toString).sorted.toSeq ==
+      oneShot.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("streaming catalog dedup (prepared catalog + foreachBatch) equals the batch operator") {
     import spark.implicits._
     import graft.api.Ops._
