@@ -109,10 +109,14 @@ object Ops {
     * ([[graft.streaming.Streams.dedupAgainstCatalogStream]]) builds it
     * at query start and reuses it across every micro-batch — the
     * catalog is scanned once per query lifetime, not once per trigger.
+    * `reliable` follows the PreparedLm contract (r12 — the text
+    * catalog was the last artifact without the flag): localCheckpoint
+    * blocks don't survive executor loss mid-stream, so the streaming
+    * entries require a checkpointDir-built or loaded catalog.
     */
   final case class PreparedCatalog private[graft] (
     fingerprints: DataFrame, shingles: DataFrame, bands: DataFrame,
-    id: String, perms: Int, lshBands: Int) {
+    id: String, perms: Int, lshBands: Int, reliable: Boolean) {
     /** Absorb a catalog increment (doc ids disjoint from the prepared
       * catalog — enforced: a re-submitted id would duplicate its
       * shingle and band rows and silently diverge from the full
@@ -137,7 +141,7 @@ object Ops {
       PreparedCatalog(
         ckp(fingerprints.unionByName(fpB).distinct()),
         shingles.unionByName(shB), bands.unionByName(bandB),
-        id, perms, lshBands)
+        id, perms, lshBands, reliable && checkpointDir.isDefined)
     }
 
     /** Persist the catalog durably ([[ArtifactIO]] layout: the three
@@ -164,7 +168,7 @@ object Ops {
       spark.read.parquet(s"$path/fingerprints"),
       spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/bands"),
-      f("id"), f("perms").toInt, f("lshBands").toInt)
+      f("id"), f("perms").toInt, f("lshBands").toInt, reliable = true)
   }
 
   /** Build a [[PreparedCatalog]]; `checkpointDir` selects reliable
@@ -179,7 +183,7 @@ object Ops {
     val fp = ckp(catalog.select(
       md5(normText(col(text)).cast("binary")).as("__fp")).distinct())
     val (sh, banded) = shingleBands(catalog, id, text, perms, bands, ckp)
-    PreparedCatalog(fp, sh, banded, id, perms, bands)
+    PreparedCatalog(fp, sh, banded, id, perms, bands, checkpointDir.isDefined)
   }
 
   /** A bigram LM trained once and reused — the production shape of

@@ -135,13 +135,19 @@ object Streams {
   def dedupAgainstCatalogStream(docs: DataFrame, id: String, text: String,
                                 prepared: graft.api.Ops.PreparedCatalog,
                                 threshold: Double,
-                                sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+                                sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "dedupAgainstCatalogStream needs a PreparedCatalog built with a reliable " +
+        "checkpointDir (prepareCatalog(..., checkpointDir = Some(dir))) or " +
+        "loaded from a persisted catalog: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.api.Ops.dedupAgainstPrepared(batch, id, text, prepared, threshold))
       }
       .outputMode("update")
       .start()
+  }
 
   /** Incremental embedding dedup of a vector stream against a static,
     * once-prepared catalog ([[graft.api.Ops.prepareVecCatalog]]) —
@@ -401,6 +407,11 @@ object Streams {
                         threshold: Double,
                         checkpointDir: String,
                         sink: (DataFrame, graft.api.Ops.PreparedCatalog) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "dedupIngestStream needs a PreparedCatalog built with a reliable " +
+        "checkpointDir (prepareCatalog(..., checkpointDir = Some(dir))) or " +
+        "loaded from a persisted catalog: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
     val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedCatalog](
       prepared,
       (cat, batch) => graft.api.Ops.dedupAgainstPrepared(batch, id, text, cat, threshold),

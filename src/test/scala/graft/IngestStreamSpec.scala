@@ -62,7 +62,17 @@ class IngestStreamSpec extends AnyFunSuite {
       docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val dir = ckpt("text")
-    val prepared = graft.api.Ops.prepareCatalog(seed, "doc_id", "text")
+    val prepared = graft.api.Ops.prepareCatalog(seed, "doc_id", "text",
+      checkpointDir = Some(dir))
+    // unreliable prep refuses up front (r12 — PreparedCatalog joined
+    // the reliable-flag contract, the last artifact without it)
+    val e = intercept[IllegalArgumentException] {
+      Streams.dedupIngestStream(MemoryStream[(Long, String)].toDF()
+        .toDF("doc_id", "text"), "doc_id", "text",
+        graft.api.Ops.prepareCatalog(seed, "doc_id", "text"),
+        0.5, dir, (_, _) => ())
+    }
+    assert(e.getMessage.contains("reliable"))
     val keptPerTrigger = scala.collection.mutable.ArrayBuffer[Set[Long]]()
     @volatile var lastCat: Option[graft.api.Ops.PreparedCatalog] = None
     val stream = MemoryStream[(Long, String)]

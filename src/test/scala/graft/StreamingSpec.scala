@@ -899,7 +899,18 @@ class StreamingSpec extends AnyFunSuite {
       .unionByName(t.documents.filter(col("doc_id") < 20)
         .select((col("doc_id") + 200000).as("doc_id"), col("text")))
     val incRows = incDf.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    val prepared = graft.api.Ops.prepareCatalog(catalog, "doc_id", "text")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_catstream_ckpt").toString
+    val prepared = graft.api.Ops.prepareCatalog(catalog, "doc_id", "text",
+      checkpointDir = Some(ckpt))
+    // unreliable prep refuses up front (r12 — the text catalog joined
+    // the reliable-flag contract)
+    val e = intercept[IllegalArgumentException] {
+      Streams.dedupAgainstCatalogStream(
+        MemoryStream[(Long, String)].toDF().toDF("doc_id", "text"),
+        "doc_id", "text",
+        graft.api.Ops.prepareCatalog(catalog, "doc_id", "text"), 0.5, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
     val stream = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.ArrayBuffer[Long]()
     val q = Streams.dedupAgainstCatalogStream(
