@@ -489,6 +489,38 @@ object Similarity {
       maxLiteralCentroids, checkpointDir.isDefined)
   }
 
+  /** Train a FULLY in-engine IVF-PQ index in one call (r12 — the
+    * production entry that composes the whole ANN loop): Lloyd's
+    * k-means for the cell quantizer
+    * ([[graft.operators.Vectors.kmeansCentroids]]), per-subspace
+    * Lloyd's for the PQ codebooks
+    * ([[graft.operators.Vectors.trainPqCodebooks]]), then
+    * [[prepareIvfPqIndex]] under both — everything derived from the
+    * corpus itself, nothing hand-picked. The returned artifact
+    * absorbs increments, persists (`save`/[[loadIvfPqIndex]]), and
+    * serves batch `topK` or [[graft.streaming.Streams.ivfPqTopKStream]].
+    * Cost: cellIters + pqIters corpus scans (each map-side assignment
+    * + one map-combinable decimal shuffle) + one encode pass — all
+    * three stages reuse the engine's literal/broadcast assignment
+    * discipline, so k ∝ N quantizers never bloat the plan.
+    */
+  def trainIvfPqIndex(corpus: DataFrame, id: String, emb: String, dim: Int,
+                      nCells: Int, m: Int = 8, ks: Int = 16,
+                      cellIters: Int = 5, pqIters: Int = 3,
+                      seed: String = "7", scale: Double = 0.125,
+                      maxLiteralCentroids: Int = 4096,
+                      checkpointDir: Option[String] = None): PreparedIvfPq = {
+    val cents = graft.operators.Vectors.kmeansCentroids(corpus, id, emb,
+      k = nCells, iters = cellIters, checkpointDir = checkpointDir,
+      maxLiteralCentroids = maxLiteralCentroids)
+      .select(col("cid"), col("centroid"))
+    val cbs = graft.operators.Vectors.trainPqCodebooks(corpus, id, emb,
+      dim, m, ks, pqIters, checkpointDir, maxLiteralCentroids)
+    prepareIvfPqIndex(corpus, cents, id, emb, "cid", "centroid", dim, m, ks,
+      seed, scale, codebooks = Some(cbs),
+      maxLiteralCentroids = maxLiteralCentroids, checkpointDir = checkpointDir)
+  }
+
   /** One-shot IVF-PQ: prepare the index inline and search it —
     * [[prepareIvfPq]] + [[ivfPqTopKAgainst]].
     */

@@ -567,6 +567,45 @@ object Streams {
       .start()
   }
 
+  /** Rolling-corpus IVF-PQ index maintenance (r12 — the absorb-only
+    * member of the ingest family): each trigger's vectors ENCODE
+    * under the index's pinned centroids/codebooks and union in
+    * (`PreparedIvfPq.absorb` — per-row codes, the cheapest absorb in
+    * the engine), and the sink receives the grown index after every
+    * trigger — persist it (`.save`) or serve `topK`/
+    * [[ivfPqTopKStream]] reads from it. This is the production shape
+    * of the "rolling vector corpora are the use case for a
+    * 32×-compressed index" claim: the index grows with the feed, the
+    * existing codes are never rescanned, and every absorb checkpoints
+    * through `checkpointDir` so the code frame's plan stays flat over
+    * an unbounded trigger count. Replay discipline via the shared
+    * [[IngestLoop]] (dedup = passthrough): a retry of the absorbed
+    * batchId re-emits the current index WITHOUT re-absorbing (a
+    * second absorb would clash-guard-crash); a batchId below it fails
+    * loudly; across restarts resume from the last persisted index —
+    * a stale checkpoint replaying an absorbed batch fails loudly
+    * through absorb's own id clash guard. Reliable prep REQUIRED.
+    */
+  def ivfPqIngestStream(vecs: DataFrame, emb: String,
+                        prepared: graft.operators.Similarity.PreparedIvfPq,
+                        checkpointDir: String,
+                        sink: graft.operators.Similarity.PreparedIvfPq => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "ivfPqIngestStream needs a PreparedIvfPq built with a reliable " +
+        "checkpointDir (prepareIvfPqIndex(..., checkpointDir = Some(dir))) " +
+        "or loaded from a persisted index: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
+    val loop = new IngestLoop[DataFrame, graft.operators.Similarity.PreparedIvfPq](
+      prepared,
+      (_, batch) => batch,
+      (idx, batch) => idx.absorb(batch, emb, Some(checkpointDir)),
+      (_, idx) => sink(idx))
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

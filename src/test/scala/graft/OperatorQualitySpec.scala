@@ -681,6 +681,33 @@ class OperatorQualitySpec extends AnyFunSuite {
     }.getMessage.contains("literal budget"))
   }
 
+  test("trainIvfPqIndex: the one-call trained index ≡ its composed parts and serves end-to-end") {
+    import graft.operators.{Similarity, Vectors}
+    val idx = Similarity.trainIvfPqIndex(t.embeddings, "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 8, ks = 16, cellIters = 2, pqIters = 2)
+    // composition contract: exactly kmeansCentroids + trainPqCodebooks
+    // + prepareIvfPqIndex — every stage deterministic, so the one-call
+    // index is row-for-row the manual composition
+    val cents = Vectors.kmeansCentroids(t.embeddings, "vec_id", "embedding",
+      k = 8, iters = 2).select(col("cid"), col("centroid"))
+    val cbs = Vectors.trainPqCodebooks(t.embeddings, "vec_id", "embedding",
+      dim = 64, m = 8, ks = 16, iters = 2)
+    val manual = Similarity.prepareIvfPqIndex(t.embeddings, cents,
+      id = "vec_id", emb = "embedding", centroidId = "cid", centroidEmb = "centroid",
+      dim = 64, m = 8, ks = 16, codebooks = Some(cbs))
+    assert(idx.codebooks.flatten.flatten.toSeq == manual.codebooks.flatten.flatten.toSeq)
+    assert(idx.codes.collect().map(_.toString).sorted.toSeq ==
+      manual.codes.collect().map(_.toString).sorted.toSeq,
+      "the one-call index must equal the manual composition row-for-row")
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val served = idx.topK(queries, "qid", "qe", k = 10, nprobe = 3)
+    assert(served.collect().map(_.toString).sorted.toSeq ==
+      manual.topK(queries, "qid", "qe", k = 10, nprobe = 3)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(served.count() > 0, "the trained index must serve results")
+  }
+
   test("trained k-means centroids compose with ivfTopK and lift recall") {
     import graft.operators.{Similarity, Vectors}
     def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

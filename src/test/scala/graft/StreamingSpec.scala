@@ -1290,6 +1290,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqIngestStream absorbs triggers into the rolling index, matching the batch chain") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 7 + d * 3).abs + (if (seed % 2 == 0) 1.0 else 0.0))
+    val all = (0L until 30L).map(i => (i, vec(i.toInt)))
+    val base = all.take(10).toDF("vec_id", "emb")
+    val centroids = Seq((100L, vec(0)), (101L, vec(1)))
+      .toDF("centroid_id", "cent_emb")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ing").toString
+    val idx0 = Similarity.prepareIvfPqIndex(base, centroids,
+      id = "vec_id", emb = "emb", centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 8, m = 4, ks = 4, checkpointDir = Some(ckDir))
+    // unreliable prep refused up front
+    val unreliable = Similarity.prepareIvfPqIndex(base, centroids,
+      id = "vec_id", emb = "emb", centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 8, m = 4, ks = 4)
+    val e = intercept[IllegalArgumentException] {
+      Streams.ivfPqIngestStream(MemoryStream[(Long, Seq[Double])].toDF()
+        .toDF("vec_id", "emb"), "emb", unreliable, ckDir, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    @volatile var last: Option[Similarity.PreparedIvfPq] = None
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfPqIngestStream(stream.toDF().toDF("vec_id", "emb"),
+      "emb", idx0, ckDir, idx => { last = Some(idx); ticks.incrementAndGet(); () })
+    try {
+      stream.addData(all.slice(10, 20)); q.processAllAvailable()
+      stream.addData(all.slice(20, 30)); q.processAllAvailable()
+    } finally q.stop()
+    assert(ticks.get == 2, "one sink call per absorbing trigger")
+    assert(last.get.reliable, "every stream absorb checkpoints reliably")
+    // the rolling index equals a one-shot prepare over everything seen
+    val oneShot = Similarity.prepareIvfPqIndex(all.toDF("vec_id", "emb"), centroids,
+      id = "vec_id", emb = "emb", centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 8, m = 4, ks = 4, checkpointDir = Some(ckDir))
+    assert(last.get.codes.collect().map(_.toString).sorted.toSeq ==
+      oneShot.codes.collect().map(_.toString).sorted.toSeq,
+      "streamed absorbs must equal the one-shot index row-for-row")
+    val queries = (50L until 53L).map(i => (i, vec(i.toInt))).toDF("qid", "qemb")
+    assert(last.get.topK(queries, "qid", "qemb", k = 5).collect().map(_.toString).sorted.toSeq ==
+      oneShot.topK(queries, "qid", "qemb", k = 5).collect().map(_.toString).sorted.toSeq,
+      "the grown index must serve identically to the one-shot")
+  }
+
   test("capVocabStream and ngramCoverageStream run triggers against frozen prep, matching batch") {
     import spark.implicits._
     import graft.api.Ops._
