@@ -335,6 +335,13 @@ object ScaleProbe {
       // clip, banded frame candidates, map-combinable per-pair
       // matched-fraction aggregate; output-bound like q112/q115
       "q116_video"    -> (t => operators.Multimodal.q116(t)),
+      // r12: one key-partitioned window sort shared by all 16 lag
+      // terms — replicated events grow per-user rows 10×, cost must
+      // track the sort, never lags × corpus
+      "q117_ewma"     -> (t => operators.Temporal.q117(t)),
+      // r12: one map-combinable groupBy; per-key state is the key's
+      // own event list (10× rows → 10× list length, cost ~linear)
+      "q118_paths"    -> (t => operators.Temporal.q118(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

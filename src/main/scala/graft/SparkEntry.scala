@@ -136,6 +136,12 @@ object SparkEntry {
     "q114_ann_two_level"  -> q(Similarity.q114),
     "q115_audio_neardup"  -> q(Multimodal.q115),
     "q116_video_neardup"  -> q(Multimodal.q116),
+    "q117_ewma"           -> q(Temporal.q117),
+    "q118_event_paths"    -> q(Temporal.q118),
+    "q119_regression"     -> q(Extended.q119),
+    "q120_twap"           -> q(Temporal.q120),
+    "q121_transitions"    -> q(Temporal.q121),
+    "q122_streaks"        -> q(Temporal.q122),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2358,6 +2364,123 @@ object SparkEntry {
         |  FROM cand)
         |SELECT qid, rank, vid, round(raw, 4) AS score
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // q117: every lag term and weight is generated from the SAME
+    // Scala constants the operator uses — ℓ weighs 2^(lags−1−ℓ),
+    // value enters as exact decimal cents, all arithmetic BIGINT, so
+    // the smoothed series replays bit-for-bit; `//` = Spark's `div`
+    // for the non-negative sums here
+    "q117_ewma" -> {
+      val lags = 16
+      val terms = (0 until lags).map { l =>
+        val w = 1L << (lags - 1 - l)
+        val c = if (l == 0) "c" else s"lag(c, $l) OVER w"
+        (s"COALESCE($c, 0) * $w", s"CASE WHEN $c IS NULL THEN 0 ELSE $w END")
+      }
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+         |l AS (SELECT event_id, user_id,
+         |  ${terms.map(_._1).mkString(" + ")} AS ewma_num,
+         |  ${terms.map(_._2).mkString(" + ")} AS ewma_denom
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+         |SELECT event_id, user_id, ewma_num, ewma_denom,
+         |  (ewma_num * 1000) // ewma_denom AS ewma_millicents
+         |FROM l ORDER BY event_id""".stripMargin
+    },
+
+    // q119: the five moment sums are exact decimals (order-free), the
+    // slope/intercept/r scalars a FIXED double expression shape
+    // replayed term-for-term (the q100 discipline) — round(6) on
+    // bit-identical doubles
+    "q119_regression" -> {
+      val n   = "CAST(n AS DOUBLE)"
+      val sx  = "CAST(sx AS DOUBLE)";  val sy  = "CAST(sy AS DOUBLE)"
+      val sxx = "CAST(sxx AS DOUBLE)"; val syy = "CAST(syy AS DOUBLE)"
+      val sxy = "CAST(sxy AS DOUBLE)"
+      val covN  = s"($n * $sxy - $sx * $sy)"
+      val varXN = s"($n * $sxx - $sx * $sx)"
+      val varYN = s"($n * $syy - $sy * $sy)"
+      s"""WITH m AS (
+         |  SELECT s_nationkey, COUNT(*) AS n,
+         |    SUM(${d2("l_quantity")}) AS sx,
+         |    SUM(${d2("l_extendedprice")}) AS sy,
+         |    SUM(${d2("l_quantity")} * ${d2("l_quantity")}) AS sxx,
+         |    SUM(${d2("l_extendedprice")} * ${d2("l_extendedprice")}) AS syy,
+         |    SUM(${d2("l_quantity")} * ${d2("l_extendedprice")}) AS sxy
+         |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT s_nationkey, n,
+         |  round(CASE WHEN $varXN > 0 THEN $covN / $varXN END, 6) AS slope,
+         |  round(CASE WHEN $varXN > 0 THEN ($sy - ($covN / $varXN) * $sx) / $n END, 6) AS intercept,
+         |  round(CASE WHEN $varXN > 0 AND $varYN > 0 THEN $covN / sqrt($varXN * $varYN) END, 6) AS r
+         |FROM m ORDER BY s_nationkey""".stripMargin
+    },
+
+    // q120: exact BIGINT num/denom; millicents via the division
+    // identity (q div + remainder scale) so the ×1000 never overflows
+    // — `//`/`%` ≡ Spark `div`/`%` on the non-negative values here
+    "q120_twap" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT user_id, c,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS delta
+        |  FROM e),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(COALESCE(SUM(c * delta), 0) AS BIGINT) AS twap_num,
+        |    CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS twap_denom
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n_events, twap_num, twap_denom,
+        |  CASE WHEN twap_denom > 0
+        |    THEN (twap_num // twap_denom) * 1000 + ((twap_num % twap_denom) * 1000) // twap_denom
+        |  END AS twap_millicents
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    // q121: consecutive-pair census over the same (us, event_id)
+    // window order as q117/q118; exact-integer probabilities
+    "q121_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IS NOT NULL),
+        |p AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst
+        |  FROM e),
+        |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, dst, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY src) AS BIGINT) AS src_total
+        |  FROM c)
+        |SELECT src, dst, cnt, src_total, (cnt * 1000) // src_total AS prob_millis
+        |FROM t ORDER BY src, dst""".stripMargin,
+
+    // q122: the date − row_number island invariant on exact DATE
+    // arithmetic; longest-streak start resolves ties to the EARLIEST
+    // start via the window-max + conditional-min pair — deterministic
+    "q122_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |s AS (SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, min(d) AS start
+        |  FROM s GROUP BY 1, 2),
+        |mx AS (SELECT user_id, len, start, max(len) OVER (PARTITION BY user_id) AS m FROM st)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  max(len) AS longest_streak,
+        |  min(CASE WHEN len = m THEN start END) AS longest_streak_start
+        |FROM mx GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q118: ordered string_agg IS the engine's array_sort(struct)
+    // path re-assembly; the regex sticks to the RE2-safe subset so
+    // Java (Spark rlike) and RE2 (DuckDB) agree
+    "q118_event_paths" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, path,
+        |  regexp_matches(path, '(^|>)signup(>[a-z]+)*>purchase(>|$)') AS matched
+        |FROM p ORDER BY user_id""".stripMargin,
   )
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —

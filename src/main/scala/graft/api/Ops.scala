@@ -2323,6 +2323,213 @@ object Ops {
       * Returns (key, bucket_start, n_events, total_value — null on
       * gaps, filled_value — LOCF, is_gap).
       */
+    /** Exact trailing EWMA (r12 — time-series smoothing under the
+      * engine's integer-exactness discipline): per key, the
+      * α = 1/2 exponentially-weighted mean TRUNCATED at `lags` terms,
+      * computed entirely in BIGINT so it replays bit-for-bit in any
+      * engine. Value enters as exact cents (the [[graft.util.Portable]]
+      * DECIMAL(18,2) view × 100); term ℓ weighs 2^(lags−1−ℓ), so
+      * `ewma_num = Σ cents_{t−ℓ}·2^(lags−1−ℓ)` and `ewma_denom` sums
+      * the weights actually present (partial windows at a key's head
+      * normalize correctly). `ewma_millicents = num·1000 div denom` —
+      * integer division, portable for the non-negative values this
+      * engine's money columns hold; num/denom are the exact rational
+      * either way. Power-of-two weights are WHY α = 1/2: every weight
+      * is an exact Long, no float ever enters.
+      *
+      * Scale shape: ONE key-partitioned window sort (the q98 shape);
+      * the `lags` lag() calls share that single sort — cost is the
+      * shuffle plus O(lags) per row, state bounded by the frame.
+      * Ordering must be total: `tieBreak` (a unique id) breaks
+      * equal-timestamp ties deterministically.
+      */
+    def ewmaTrailing(key: String, time: String, tieBreak: String,
+                     value: Column, lags: Int = 16): DataFrame = {
+      require(lags >= 1 && lags <= 32, s"ewmaTrailing: lags ($lags) must be in 1..32")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(key)).orderBy(col("__ew_us"), col(tieBreak))
+      def cAt(l: Int): Column =
+        if (l == 0) col("__ew_c") else lag(col("__ew_c"), l).over(w)
+      val num = (0 until lags).map(l =>
+        coalesce(cAt(l), lit(0L)) * lit(1L << (lags - 1 - l))).reduce(_ + _)
+      val den = (0 until lags).map(l =>
+        when(cAt(l).isNotNull, lit(1L << (lags - 1 - l))).otherwise(lit(0L))).reduce(_ + _)
+      left
+        .withColumn("__ew_us", unix_micros(col(time)))
+        .withColumn("__ew_c", (graft.util.Portable.dec(value) * 100).cast("long"))
+        .withColumn("ewma_num", num)
+        .withColumn("ewma_denom", den)
+        .withColumn("ewma_millicents", expr("(ewma_num * 1000) div ewma_denom"))
+        .drop("__ew_us", "__ew_c")
+    }
+
+    /** Ordered per-key event paths + pattern gate (r12 — journey
+      * analytics, the MATCH_RECOGNIZE-lite the funnel family doesn't
+      * cover): each key's events collapse to ONE `>`-joined string in
+      * strict (time, tieBreak) order, and `pattern` (a regex over the
+      * path string — keep to the RE2-safe subset so any engine
+      * replays it) gates a `matched` flag. Arbitrary sequence
+      * questions — "error immediately after purchase", "three views
+      * before any click" — become one regex instead of a bespoke
+      * join chain.
+      *
+      * Determinism: the path is built by the array_sort(struct(us,
+      * tieBreak, type)) trick (the kmeans re-assembly idiom), so
+      * collect order can never leak in. Scale shape: ONE
+      * map-combinable groupBy per key; per-key state is that key's
+      * own event list (the per-user-session bound every sessionizer
+      * already accepts — paths are capped by upstream sessionization
+      * at real scale).
+      */
+    def eventPaths(key: String, time: String, tieBreak: String,
+                   typeCol: String, pattern: String): DataFrame = {
+      val sorted = array_sort(collect_list(struct(
+        unix_micros(col(time)).as("us"),
+        col(tieBreak).as("tb"), col(typeCol).as("et"))))
+      left.groupBy(col(key))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(">", transform(sorted, x => x("et"))).as("path"))
+        .withColumn("matched", col("path").rlike(pattern))
+    }
+
+    /** Exact per-group simple linear regression + Pearson correlation
+      * (r12 — completes the summary-statistics family q100 opened):
+      * ONE map-combinable aggregate collects the five exact decimal
+      * moment sums (Σx, Σy, Σx², Σy², Σxy over the lossless
+      * DECIMAL(18,2) view — order-independent under any partitioning),
+      * then slope / intercept / r are a FIXED double expression shape
+      * over those exact sums (identical IEEE ops on identical doubles,
+      * the q100 discipline), rounded at 6 digits — bit-reproducible on
+      * any engine; no `covar_samp`/`corr` (order-dependent double
+      * accumulation) anywhere. Rows with a null x or y are excluded
+      * up front (a null must not dilute the moments); a zero-variance
+      * x yields null slope/intercept, zero variance on either axis
+      * yields null r. Scale shape: one shuffle, partial-aggregated
+      * map-side; output is one row per group.
+      */
+    def regressionByGroup(group: String, x: Column, y: Column): DataFrame = {
+      val dx = graft.util.Portable.dec(x)
+      val dy = graft.util.Portable.dec(y)
+      val agg = left
+        .filter(x.isNotNull && y.isNotNull)
+        .groupBy(col(group))
+        .agg(count(lit(1)).as("n"),
+          sum(dx).as("__sx"), sum(dy).as("__sy"),
+          sum(dx * dx).as("__sxx"), sum(dy * dy).as("__syy"),
+          sum(dx * dy).as("__sxy"))
+      val nD  = col("n").cast("double")
+      val sx  = col("__sx").cast("double");  val sy  = col("__sy").cast("double")
+      val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+      val sxy = col("__sxy").cast("double")
+      val covN  = nD * sxy - sx * sy // n²·cov(x,y)
+      val varXN = nD * sxx - sx * sx // n²·var(x)
+      val varYN = nD * syy - sy * sy // n²·var(y)
+      agg
+        .withColumn("slope", round(when(varXN > 0.0, covN / varXN), 6))
+        .withColumn("intercept",
+          round(when(varXN > 0.0, (sy - (covN / varXN) * sx) / nD), 6))
+        .withColumn("r",
+          round(when(varXN > 0.0 && varYN > 0.0, covN / sqrt(varXN * varYN)), 6))
+        .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+    }
+
+    /** Exact time-weighted average per key (r12 — the irregular-series
+      * mean `ewmaTrailing` doesn't give): each observation holds its
+      * value until the key's NEXT observation, so it weighs by that
+      * interval in µs — `twap_num = Σ centsᵢ·Δusᵢ`, `twap_denom =
+      * Σ Δusᵢ` (the key's last observation has no interval and weighs
+      * zero — both engines' null-skipping SUM drops its pair). All
+      * arithmetic BIGINT: value enters as exact cents, weights are
+      * exact µs, and the display `twap_millicents = ⌊num·1000/denom⌋`
+      * is computed as `(num div denom)·1000 + ((num mod denom)·1000)
+      * div denom` — the exact same integer by the division identity,
+      * WITHOUT the ×1000 overflow (num alone must fit a Long:
+      * max_cents × key-time-span-µs — at 5·10⁴ cents that bounds the
+      * span at ~58 years; Spark's ANSI mode fails loudly past it, it
+      * cannot return wrong numbers). Rows with a null value are
+      * excluded up front (they mark no priced observation); keys with
+      * a single observation yield null millicents (denom 0). Scale
+      * shape: ONE key-partitioned window sort (the q98 shape) + one
+      * map-combinable groupBy on the same key.
+      */
+    def twapPerKey(key: String, time: String, tieBreak: String,
+                   value: Column): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col("__tw_us"), col(tieBreak))
+      left
+        .filter(value.isNotNull)
+        .withColumn("__tw_us", unix_micros(col(time)))
+        .withColumn("__tw_c", (graft.util.Portable.dec(value) * 100).cast("long"))
+        .withColumn("__tw_d", lead(col("__tw_us"), 1).over(w) - col("__tw_us"))
+        .groupBy(col(key))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("__tw_c") * col("__tw_d")), lit(0L)).as("twap_num"),
+          coalesce(sum(col("__tw_d")), lit(0L)).as("twap_denom"))
+        .withColumn("twap_millicents",
+          when(col("twap_denom") > 0,
+            expr("(twap_num div twap_denom) * 1000 + ((twap_num % twap_denom) * 1000) div twap_denom")))
+    }
+
+    /** First-order Markov transition matrix over per-key event
+      * sequences (r12 — the aggregate view of the q118 paths): for
+      * every observed (src → dst) pair of CONSECUTIVE events within a
+      * key (strict (time, tieBreak) order, sequences never cross
+      * keys), the global count, the src's total outgoing transitions,
+      * and the exact-integer probability `prob_millis = ⌊cnt·1000 /
+      * src_total⌋`. Null-typed events are excluded up front (the
+      * contract is visible, not data-dependent — the q110 rule); a
+      * key's last event emits no pair. Scale shape: ONE
+      * key-partitioned window sort + one map-combinable (src, dst)
+      * groupBy; the totals window runs on the |types|² pair frame,
+      * not the corpus.
+      */
+    def transitionMatrix(key: String, time: String, tieBreak: String,
+                         typeCol: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col("__tm_us"), col(tieBreak))
+      val pairs = left
+        .filter(col(typeCol).isNotNull)
+        .withColumn("__tm_us", unix_micros(col(time)))
+        .withColumn("__tm_dst", lead(col(typeCol), 1).over(w))
+        .filter(col("__tm_dst").isNotNull)
+        .groupBy(col(typeCol).as("src"), col("__tm_dst").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      pairs
+        .withColumn("src_total",
+          sum(col("cnt")).over(Window.partitionBy(col("src"))))
+        .withColumn("prob_millis", expr("(cnt * 1000) div src_total"))
+    }
+
+    /** Calendar-day activity streaks per key (r12 — gaps-and-islands
+      * over DISTINCT active dates; q22's time-gap sessions answer a
+      * different question): per key, the number of distinct active
+      * days, the number of maximal consecutive-day runs, the longest
+      * run, and that run's start date (ties on length resolve to the
+      * EARLIEST start — deterministic). The island key is the classic
+      * `date − row_number()` invariant: consecutive dates share it,
+      * any gap breaks it; both engines compute it identically on
+      * exact DATE arithmetic. Scale shape: one distinct-collapse
+      * shuffle on (key, day) — per-key state is active DAYS, far
+      * smaller than events — then one key-partitioned window sort of
+      * that collapsed frame and two map-combinable aggregates.
+      */
+    def activityStreaks(key: String, time: String): DataFrame = {
+      val days = left
+        .select(col(key), to_date(col(time)).as("__d"))
+        .distinct()
+      val w = Window.partitionBy(col(key)).orderBy(col("__d"))
+      val streaks = days
+        .withColumn("__grp", date_sub(col("__d"), row_number().over(w)))
+        .groupBy(col(key), col("__grp"))
+        .agg(count(lit(1)).as("__len"), min(col("__d")).as("__start"))
+      streaks
+        .withColumn("__mx", max(col("__len")).over(Window.partitionBy(col(key))))
+        .groupBy(col(key))
+        .agg(sum(col("__len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("__len")).as("longest_streak"),
+          min(when(col("__len") === col("__mx"), col("__start")))
+            .as("longest_streak_start"))
+    }
+
     def resampleLocf(key: String, time: String, value: Column,
                      stepUs: Long): DataFrame = {
       require(stepUs > 0, s"resampleLocf: stepUs must be positive (got $stepUs)")

@@ -321,4 +321,22 @@ object Extended {
         col("col.item").as("item"), col("col.cnt").as("cnt"))
       .orderBy(col("lang"), col("rank"))
   }
+
+  /** q119: exact per-nation price-on-quantity regression
+    * ([[graft.api.Ops.GraftDataFrameOps.regressionByGroup]]) —
+    * slope / intercept / Pearson r of l_extendedprice on l_quantity
+    * per supplier nation. The dimension side broadcasts (the q05
+    * discipline); the moments are exact decimal sums and the scalar
+    * shapes fixed doubles, so the statistics replay bit-for-bit in
+    * the oracle — no `corr`/`regr_slope` (order-dependent double
+    * accumulation) anywhere.
+    */
+  def q119(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.lineitem
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .regressionByGroup("s_nationkey", col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("s_nationkey"))
+  }
 }

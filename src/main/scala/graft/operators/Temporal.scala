@@ -193,6 +193,74 @@ object Temporal {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** q117: exact trailing EWMA over each user's event values
+    * ([[graft.api.Ops.GraftDataFrameOps.ewmaTrailing]]) — the
+    * time-series smoothing operator under the integer-exactness
+    * discipline: α = 1/2 truncated at 16 terms, all arithmetic in
+    * BIGINT (power-of-two weights), so the smoothed series replays
+    * bit-for-bit in the oracle. One key-partitioned window sort.
+    */
+  def q117(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.ewmaTrailing("user_id", "ts", "event_id", col("value"), lags = 16)
+      .select(col("event_id"), col("user_id"),
+        col("ewma_num"), col("ewma_denom"), col("ewma_millicents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q118: per-user ordered event paths + regex pattern gate
+    * ([[graft.api.Ops.GraftDataFrameOps.eventPaths]]) — journey
+    * analytics: every user's full event-type sequence as one
+    * `>`-joined string in strict (ts, event_id) order, gated by a
+    * signup-then-eventually-purchase pattern. The path build is the
+    * deterministic array_sort(struct) re-assembly; the oracle
+    * replays it with ordered string_agg.
+    */
+  def q118(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.eventPaths("user_id", "ts", "event_id", "event_type",
+      "(^|>)signup(>[a-z]+)*>purchase(>|$)")
+      .orderBy(col("user_id"))
+  }
+
+  /** q120: exact time-weighted average value per user
+    * ([[graft.api.Ops.GraftDataFrameOps.twapPerKey]]) — each event's
+    * value holds until the user's next event and weighs by that
+    * interval in µs; num/denom are exact BIGINT sums, millicents the
+    * exact floor quotient via the overflow-free division identity.
+    * One window sort + one groupBy, both on user_id.
+    */
+  def q120(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.twapPerKey("user_id", "ts", "event_id", col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q121: first-order Markov transition matrix over user event
+    * sequences ([[graft.api.Ops.GraftDataFrameOps.transitionMatrix]])
+    * — global (src → dst) consecutive-pair counts, per-src totals and
+    * exact-integer probabilities. The aggregate view of q118's paths:
+    * one key-partitioned window sort + one map-combinable pair
+    * groupBy; the totals window runs on the |types|² pair frame.
+    */
+  def q121(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.transitionMatrix("user_id", "ts", "event_id", "event_type")
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** q122: calendar-day activity streaks per user
+    * ([[graft.api.Ops.GraftDataFrameOps.activityStreaks]]) — distinct
+    * active days, maximal consecutive-day runs, the longest run and
+    * its (earliest, deterministic) start date, by the date−row_number
+    * island invariant on exact DATE arithmetic.
+    */
+  def q122(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.activityStreaks("user_id", "ts")
+      .orderBy(col("user_id"))
+  }
+
   def q23(t: Tables): DataFrame =
     t.events
       .withColumn("bucket_start",

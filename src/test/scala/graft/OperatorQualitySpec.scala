@@ -708,6 +708,151 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(served.count() > 0, "the trained index must serve results")
   }
 
+  test("ewmaTrailing: exact integer weights, partial-window head, partitioning invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 1.00),
+      (1L, 11L, "2024-01-01 00:01:00", 2.00),
+      (1L, 12L, "2024-01-01 00:02:00", 4.00),
+      (2L, 20L, "2024-01-01 00:00:00", 3.00))
+      .toDF("k", "id", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.ewmaTrailing("k", "ts", "id", col("v"), lags = 4)
+      .select("id", "ewma_num", "ewma_denom", "ewma_millicents")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // weights 8,4,2,1 (lags=4); cents 100, 200, 400
+    assert(out(10L) == ((100L * 8, 8L, 100L * 1000)),
+      "a key's first row sees only its own weight — the partial head normalizes")
+    assert(out(11L) == ((200L * 8 + 100L * 4, 12L, (2000000L / 12))))
+    assert(out(12L) == ((400L * 8 + 200L * 4 + 100L * 2, 14L, (4200000L / 14))))
+    assert(out(20L) == ((300L * 8, 8L, 300L * 1000)), "keys never mix")
+    // bit-identical under any partitioning (window sort owns the order)
+    val again = df.repartition(7).ewmaTrailing("k", "ts", "id", col("v"), lags = 4)
+      .select("id", "ewma_num", "ewma_denom", "ewma_millicents")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == out)
+  }
+
+  test("eventPaths: strict-order path assembly, tie-break determinism, regex gate") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(
+      (1L, 3L, "2024-01-01 00:02:00", "purchase"),
+      (1L, 1L, "2024-01-01 00:00:00", "signup"),
+      (1L, 2L, "2024-01-01 00:01:00", "view"),
+      // user 2: equal timestamps — the tie-break id must decide
+      (2L, 5L, "2024-01-01 00:00:00", "view"),
+      (2L, 4L, "2024-01-01 00:00:00", "signup"))
+      .toDF("k", "id", "tss", "et")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.eventPaths("k", "ts", "id", "et",
+      "(^|>)signup(>[a-z]+)*>purchase(>|$)")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, "signup>view>purchase", true)))
+    assert(out(2L) == ((2L, "signup>view", false)),
+      "equal timestamps must order by the tie-break id")
+    val again = df.repartition(5).eventPaths("k", "ts", "id", "et",
+      "(^|>)signup(>[a-z]+)*>purchase(>|$)")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(again == out, "collect order must never leak into the path")
+  }
+
+  test("regressionByGroup: exact fit, degenerate axes, null exclusion") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(
+      // group a: exact y = 2x → slope 2, intercept 0, r 1
+      ("a", Some(1.0), Some(2.0)), ("a", Some(2.0), Some(4.0)), ("a", Some(3.0), Some(6.0)),
+      // group b: constant y → slope 0, intercept 5, r null (no y variance)
+      ("b", Some(1.0), Some(5.0)), ("b", Some(2.0), Some(5.0)), ("b", Some(3.0), Some(5.0)),
+      // group c: single point → no x variance, everything null
+      ("c", Some(2.0), Some(3.0)),
+      // group a again: a null on either axis must not dilute the moments
+      ("a", None, Some(9.0)), ("a", Some(9.0), None))
+      .toDF("g", "x", "y")
+    val out = df.regressionByGroup("g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out("a") == ((3L, Some(2.0), Some(0.0), Some(1.0))))
+    assert(out("b") == ((3L, Some(0.0), Some(5.0), None)),
+      "zero y-variance: defined line, undefined correlation")
+    assert(out("c") == ((1L, None, None, None)), "one point fits no line")
+    val again = df.repartition(7).regressionByGroup("g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(again == out, "decimal moments make the fit partitioning-invariant")
+  }
+
+  test("twapPerKey: interval weights, last-event zero weight, division identity") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", Some(1.00)),
+      (1L, 11L, "2024-01-01 00:00:10", Some(2.00)),
+      (1L, 12L, "2024-01-01 00:00:40", Some(4.00)),
+      (2L, 20L, "2024-01-01 00:00:00", Some(3.00)),
+      // a null-valued row marks no priced observation — excluded
+      (1L, 13L, "2024-01-01 00:00:20", None))
+      .toDF("k", "id", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.twapPerKey("k", "ts", "id", col("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4))))).toMap
+    // key 1: 100c×10s + 200c×30s over 40s → 175.000 cents
+    assert(out(1L) == ((3L, 100L * 10000000L + 200L * 30000000L, 40000000L,
+      Some(175000L))))
+    assert(out(2L) == ((1L, 0L, 0L, None)),
+      "a single observation spans no interval — no defined TWAP")
+    val again = df.repartition(5).twapPerKey("k", "ts", "id", col("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4))))).toMap
+    assert(again == out)
+  }
+
+  test("transitionMatrix: consecutive pairs, per-src totals, keys never mix") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", "a"), (1L, 2L, "2024-01-01 00:01:00", "b"),
+      (1L, 3L, "2024-01-01 00:02:00", "a"), (1L, 4L, "2024-01-01 00:03:00", "b"),
+      (2L, 5L, "2024-01-01 00:00:00", "a"), (2L, 6L, "2024-01-01 00:01:00", "c"))
+      .toDF("k", "id", "tss", "et")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.transitionMatrix("k", "ts", "id", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 3L, 666L)),
+      ("a", "c") -> ((1L, 3L, 333L)),
+      ("b", "a") -> ((1L, 1L, 1000L))),
+      "user 1's trailing b and user 2's boundary must emit no cross-key pair")
+  }
+
+  test("activityStreaks: island invariant, earliest-start tie break, day collapse") {
+    import spark.implicits._
+    import graft.api.Ops._
+    def t(d: Int, h: Int) = f"2024-01-$d%02d $h%02d:00:00"
+    val df = Seq(
+      // user 1: Jan 1-2-3 (two events on Jan 2 collapse), Jan 5-6, Jan 10
+      (1L, t(1, 9)), (1L, t(2, 9)), (1L, t(2, 21)), (1L, t(3, 9)),
+      (1L, t(5, 9)), (1L, t(6, 9)), (1L, t(10, 9)),
+      // user 2: two length-2 streaks — the tie resolves to the EARLIEST
+      (2L, t(1, 9)), (2L, t(2, 9)), (2L, t(5, 9)), (2L, t(6, 9)))
+      .toDF("k", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.activityStreaks("k", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDate(4).toString))).toMap
+    assert(out(1L) == ((6L, 3L, 3L, "2024-01-01")))
+    assert(out(2L) == ((4L, 2L, 2L, "2024-01-01")),
+      "equal-length streaks must resolve to the earliest start")
+    val again = df.repartition(3).activityStreaks("k", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDate(4).toString))).toMap
+    assert(again == out)
+  }
+
   test("trained k-means centroids compose with ivfTopK and lift recall") {
     import graft.operators.{Similarity, Vectors}
     def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
