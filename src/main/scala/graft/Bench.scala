@@ -58,7 +58,8 @@ object Bench {
     "q107_bpe_encode", "q108_quantile_sketch", "q109_scd2_history",
     "q110_heavy_hitters", "q111_kmeans", "q112_image_neardup",
     "q113_scd2_asof", "q114_ann_two_level", "q115_audio_neardup",
-    "q116_video_neardup", "q117_ewma", "q118_event_paths")
+    "q116_video_neardup", "q117_ewma", "q118_event_paths",
+    "q119_regression", "q120_twap", "q121_transitions", "q122_streaks")
 
   private val childMarker = "##BENCHQ##"
 

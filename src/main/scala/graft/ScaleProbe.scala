@@ -342,6 +342,18 @@ object ScaleProbe {
       // r12: one map-combinable groupBy; per-key state is the key's
       // own event list (10× rows → 10× list length, cost ~linear)
       "q118_paths"    -> (t => operators.Temporal.q118(t)),
+      // r12: one map-combinable moment aggregate over the replicated
+      // lineitem — 10× rows through the same 5-sum partial shuffle
+      "q119_regression" -> (t => operators.Extended.q119(t)),
+      // r12: one key-partitioned window sort + one groupBy on the same
+      // key — 10× per-user rows cost ~the sort delta (the q117 shape)
+      "q120_twap"     -> (t => operators.Temporal.q120(t)),
+      // r12: window sort + map-combinable (src, dst) census whose
+      // output is |types|² however large the corpus
+      "q121_transitions" -> (t => operators.Temporal.q121(t)),
+      // r12: the distinct (key, day) collapse absorbs the replica
+      // growth up front — islands and aggregates run on active DAYS
+      "q122_streaks"  -> (t => operators.Temporal.q122(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan
