@@ -1467,6 +1467,183 @@ object Streams {
       }
   }
 
+  /** Exact cents of an exact-2-decimal double — the streaming mirror
+    * of the batch `Portable.dec(value) * 100` cast (Spark's
+    * double→DECIMAL(18,2) cast is HALF_UP at scale 2, replicated here
+    * verbatim so stream ≡ batch bit-for-bit).
+    */
+  private def centsOf(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+
+  final case class EwmaOut(event_id: Long, user_id: Long,
+      ewma_num: Long, ewma_denom: Long, ewma_millicents: Long)
+
+  /** Per-user EWMA state (public: encoder codegen constructs it):
+    * newest-first cents of the last `lags−1` in-order observations +
+    * the (ts, id) high-water mark for the in-order contract.
+    */
+  final case class EwmaState(recent: Seq[Long], maxTs: Long, maxId: Long)
+
+  /** Continuous exact trailing EWMA — the streaming member of the
+    * q117 family ([[graft.api.Ops.GraftDataFrameOps.ewmaTrailing]]):
+    * every arriving event emits its α = 1/2, `lags`-term smoothed
+    * value with the SAME power-of-two Long weights as batch, so an
+    * in-order feed reproduces the batch series row-for-row however
+    * the events split across triggers. State is O(keys × lags) Longs
+    * — constant per key, watermark-free. The in-order contract:
+    * events at-or-behind a key's (ts, id) high-water mark cannot be
+    * retro-inserted into an already-emitted smoothed series, so they
+    * are counted into `lateDrops` and skipped (the funnelStream
+    * late-gate discipline) — never a silent wrong emit; within one
+    * trigger arrival order is irrelevant (events sort first).
+    */
+  def ewmaStream(events: Dataset[Event], lags: Int = 16,
+                 lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[EwmaOut] = {
+    require(lags >= 1 && lags <= 32, s"ewmaStream: lags ($lags) must be in 1..32")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(EwmaState(Seq.empty, Long.MinValue, Long.MinValue))
+          var recent = st.recent.toList
+          var maxTs = st.maxTs; var maxId = st.maxId
+          val out = Seq.newBuilder[EwmaOut]
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            if (t < maxTs || (t == maxTs && e.event_id <= maxId)) {
+              lateDrops.foreach(_.add(1L))
+            } else {
+              val terms = (centsOf(e.value) :: recent).take(lags)
+              var num = 0L; var den = 0L; var l = 0
+              for (c <- terms) {
+                val w = 1L << (lags - 1 - l)
+                num += c * w; den += w; l += 1
+              }
+              out += EwmaOut(e.event_id, uid, num, den, num * 1000L / den)
+              recent = terms.take(lags - 1)
+              maxTs = t; maxId = e.event_id
+            }
+          }
+          state.update(EwmaState(recent, maxTs, maxId))
+          out.result().iterator
+      }
+  }
+
+  final case class TwapOut(user_id: Long, n_events: Long, twap_num: Long,
+      twap_denom: Long, twap_millicents: Option[Long])
+
+  /** Per-user TWAP state: the last in-order observation + running
+    * exact sums (public: encoder codegen constructs it).
+    */
+  final case class TwapState(lastUs: Long, lastId: Long, lastCents: Long,
+      num: Long, denom: Long, n: Long)
+
+  /** Continuous exact time-weighted average — the streaming member of
+    * the q120 family ([[graft.api.Ops.GraftDataFrameOps.twapPerKey]]):
+    * each trigger advances every touched key's exact BIGINT
+    * (num, denom) by the newly-closed intervals and emits the key's
+    * CURRENT snapshot row, so after any trigger the latest row per
+    * key equals the batch `twapPerKey` over everything in-order so
+    * far (the open interval to the key's newest observation weighs
+    * zero in both, by construction). State is O(keys) — six Longs per
+    * key. Same in-order contract and `lateDrops` accounting as
+    * [[ewmaStream]]; millicents uses the same overflow-free division
+    * identity as batch.
+    */
+  def twapStream(events: Dataset[Event],
+                 lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[TwapOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwapState, TwapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[TwapState]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          var touched = false
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            if (st != null &&
+              (t < st.lastUs || (t == st.lastUs && e.event_id <= st.lastId))) {
+              lateDrops.foreach(_.add(1L))
+            } else {
+              st =
+                if (st == null) TwapState(t, e.event_id, centsOf(e.value), 0L, 0L, 1L)
+                else TwapState(t, e.event_id, centsOf(e.value),
+                  st.num + st.lastCents * (t - st.lastUs),
+                  st.denom + (t - st.lastUs), st.n + 1L)
+              touched = true
+            }
+          }
+          if (st != null) state.update(st)
+          if (!touched || st == null) Iterator.empty
+          else {
+            val mc =
+              if (st.denom > 0)
+                Some((st.num / st.denom) * 1000L + ((st.num % st.denom) * 1000L) / st.denom)
+              else None
+            Iterator.single(TwapOut(uid, st.n, st.num, st.denom, mc))
+          }
+      }
+  }
+
+  final case class TransitionPair(user_id: Long, src: String, dst: String)
+
+  /** Per-user last-event state for the transition bridge (public:
+    * encoder codegen constructs it).
+    */
+  final case class LastEvent(us: Long, id: Long, et: String)
+
+  /** Continuous first-order transition pairs — the streaming member
+    * of the q121 family
+    * ([[graft.api.Ops.GraftDataFrameOps.transitionMatrix]]): every
+    * consecutive (src → dst) pair within a key's in-order sequence is
+    * emitted exactly once, INCLUDING the pair that bridges a trigger
+    * boundary (the per-key last event is the whole state — O(keys)).
+    * The running census `groupBy(src, dst).count()` over this
+    * append stream is the live transition matrix; emitting pairs
+    * rather than counts keeps the operator append-mode composable
+    * (the q121 totals/probabilities are one aggregation away, exactly
+    * as batch). Same in-order contract and `lateDrops` accounting as
+    * [[ewmaStream]].
+    */
+  def transitionPairsStream(events: Dataset[Event],
+                            lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[TransitionPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[TransitionPair]
+          // null-typed events are excluded up front, mirroring batch
+          // q121's visible contract
+          for (e <- sorted if e.event_type != null) {
+            val t = micros(e.ts)
+            if (last != null &&
+              (t < last.us || (t == last.us && e.event_id <= last.id))) {
+              lateDrops.foreach(_.add(1L))
+            } else {
+              if (last != null) out += TransitionPair(uid, last.et, e.event_type)
+              last = LastEvent(t, e.event_id, e.event_type)
+            }
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization (30-minute inactivity) as custom
     * streaming state: one `OpenSession` per user in the state store,
     * closed sessions emitted as soon as the gap is observed. State is

@@ -1436,4 +1436,113 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS score_out")
     }
   }
+
+  test("ewmaStream reproduces the batch q117 series across a trigger split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = eventSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    val stream = MemoryStream[Event]
+    val query = Streams.ewmaStream(stream.toDS(), lags = 16)
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val streamed = spark.table("ewma_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val batch = Temporal.q117(Tables(spark, sfDir))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed.size == batch.size,
+        s"every event must emit exactly once (stream ${streamed.size} vs batch ${batch.size})")
+      assert(streamed == batch,
+        "the streamed smoothed series must equal batch q117 row-for-row")
+    } finally query.stop()
+  }
+
+  test("ewmaStream in-order gate: a cross-trigger retro event drops counted, series unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tUs: Long, v: Double) =
+      Streams.Event(id, new java.sql.Timestamp(tUs / 1000), 1L, "x", v)
+    val acc = spark.sparkContext.longAccumulator("ewma_late_test")
+    val stream = MemoryStream[Streams.Event]
+    val query = Streams.ewmaStream(stream.toDS(), lags = 4, lateDrops = Some(acc))
+      .writeStream.format("memory").queryName("ewma_late_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, 10000000L, 1.00), ev(2, 20000000L, 2.00)))
+      query.processAllAvailable()
+      // t=15s is behind the key's 20s high-water mark: it cannot be
+      // retro-inserted into the already-emitted series
+      stream.addData(Seq(ev(3, 15000000L, 4.00)))
+      query.processAllAvailable()
+      val rows = spark.table("ewma_late_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // weights 8,4 of lags=4: head row 100*8/8, second 200*8+100*4 over 12
+      assert(rows == Map(1L -> ((800L, 8L)), 2L -> ((2000L, 12L))),
+        s"the late event must emit nothing (got $rows)")
+      assert(acc.value == 1L, s"the late event must be counted (got ${acc.value})")
+    } finally query.stop()
+  }
+
+  test("twapStream: latest snapshot per key equals batch q120 at each trigger boundary") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = eventSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    val stream = MemoryStream[Event]
+    val query = Streams.twapStream(stream.toDS())
+      .writeStream.format("memory").queryName("twap_out").outputMode("append").start()
+    def latest(): Map[Long, (Long, Long, Long, Option[Long])] =
+      spark.table("twap_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+    def batchOf(events: Seq[Event]): Map[Long, (Long, Long, Long, Option[Long])] =
+      events.toDS().toDF().twapPerKey("user_id", "ts", "event_id", col("value"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      assert(latest() == batchOf(b1),
+        "mid-stream snapshots must equal batch TWAP over the prefix")
+      stream.addData(b2); query.processAllAvailable()
+      assert(latest() == batchOf(ordered),
+        "final snapshots must equal batch q120 over the whole corpus")
+    } finally query.stop()
+  }
+
+  test("transitionPairsStream: census equals batch across the trigger bridge; late drops counted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = eventSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    val acc = spark.sparkContext.longAccumulator("transition_late_test")
+    val stream = MemoryStream[Event]
+    val query = Streams.transitionPairsStream(stream.toDS(), lateDrops = Some(acc))
+      .writeStream.format("memory").queryName("trans_out").outputMode("append").start()
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .groupBy(col("src"), col("dst")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = Temporal.q121(Tables(spark, sfDir))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        "pair census incl. trigger-bridge pairs must equal batch q121 counts")
+      assert(acc.value == 0L)
+      // a retro event behind some user's high-water mark: find the
+      // corpus's last event and replay one 1us earlier for that user
+      val lastE = ordered.last
+      stream.addData(Seq(lastE.copy(event_id = lastE.event_id + 1000000000L,
+        ts = new java.sql.Timestamp(lastE.ts.getTime - 1000))))
+      query.processAllAvailable()
+      assert(acc.value == 1L, s"the retro event must be counted (got ${acc.value})")
+      val after = spark.table("trans_out")
+        .groupBy(col("src"), col("dst")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(after == batch, "a dropped retro event must not perturb the census")
+    } finally query.stop()
+  }
 }
