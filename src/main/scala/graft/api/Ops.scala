@@ -300,6 +300,115 @@ object Ops {
       .withColumn("ppl", round(exp(-col("avg_logp")), 2))
   }
 
+  /** The five exact decimal moment sums + count per group — the
+    * shared census behind [[GraftDataFrameOps.regressionByGroup]] and
+    * [[PreparedMoments]]. Sums are cast to FIXED wide decimals
+    * (38,2)/(38,4) so prepare, absorb-merge and load all carry the
+    * same schema (a merge of sums must not silently re-widen).
+    */
+  private[graft] def momentsOf(df: DataFrame, group: String,
+                               x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dx = graft.util.Portable.dec(x)
+    val dy = graft.util.Portable.dec(y)
+    df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast(DecimalType(38, 2)).as("__sx"),
+        sum(dy).cast(DecimalType(38, 2)).as("__sy"),
+        sum(dx * dx).cast(DecimalType(38, 4)).as("__sxx"),
+        sum(dy * dy).cast(DecimalType(38, 4)).as("__syy"),
+        sum(dx * dy).cast(DecimalType(38, 4)).as("__sxy"))
+  }
+
+  /** The q119 scalar shape over a moments frame: slope / intercept /
+    * Pearson r as a FIXED double expression over the exact sums
+    * (identical IEEE ops on identical doubles — the q100 discipline),
+    * round(6). Degenerate axes yield nulls.
+    */
+  private[graft] def regressionFromMoments(m: DataFrame): DataFrame = {
+    val nD  = col("n").cast("double")
+    val sx  = col("__sx").cast("double");  val sy  = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val covN  = nD * sxy - sx * sy // n²·cov(x,y)
+    val varXN = nD * sxx - sx * sx // n²·var(x)
+    val varYN = nD * syy - sy * sy // n²·var(y)
+    m.withColumn("slope", round(when(varXN > 0.0, covN / varXN), 6))
+      .withColumn("intercept",
+        round(when(varXN > 0.0, (sy - (covN / varXN) * sx) / nD), 6))
+      .withColumn("r",
+        round(when(varXN > 0.0 && varYN > 0.0, covN / sqrt(varXN * varYN)), 6))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
+  /** Per-group regression moments prepared ONCE for incremental
+    * maintenance — the prepared-artifact form of
+    * [[GraftDataFrameOps.regressionByGroup]] (r12): the five decimal
+    * moment sums are EXACT and ASSOCIATIVE, so an increment merges by
+    * pure addition — `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)`
+    * bit-for-bit with NO approximation and no corpus rescan (the only
+    * artifact whose absorb is mathematically lossless by algebra
+    * alone; no id-disjointness contract either — observations are
+    * unkeyed, so double-absorbing the same rows is the caller's
+    * semantic choice, exactly as re-running a batch aggregate).
+    * `regression` serves the q119 output from the stored sums at any
+    * point. Merge cost is groups-sized, never data-sized.
+    */
+  final case class PreparedMoments private[graft] (
+    moments: DataFrame, groupCol: String, reliable: Boolean) {
+
+    /** Merge an increment's moments by exact decimal addition; pass
+      * the SAME x/y measures prepare used (the absorbVocab
+      * discipline — the measure definition lives at the call site).
+      */
+    def absorb(increment: DataFrame, x: Column, y: Column,
+               checkpointDir: Option[String] = None): PreparedMoments = {
+      import org.apache.spark.sql.types.DecimalType
+      val ckp = lineageBreaker(checkpointDir)
+      val merged = ckp(moments.unionByName(momentsOf(increment, groupCol, x, y))
+        .groupBy(col(groupCol))
+        .agg(sum(col("n")).as("n"),
+          sum(col("__sx")).cast(DecimalType(38, 2)).as("__sx"),
+          sum(col("__sy")).cast(DecimalType(38, 2)).as("__sy"),
+          sum(col("__sxx")).cast(DecimalType(38, 4)).as("__sxx"),
+          sum(col("__syy")).cast(DecimalType(38, 4)).as("__syy"),
+          sum(col("__sxy")).cast(DecimalType(38, 4)).as("__sxy")))
+      PreparedMoments(merged, groupCol, reliable && checkpointDir.isDefined)
+    }
+
+    /** The q119 regression surface over the current sums. */
+    def regression: DataFrame = regressionFromMoments(moments)
+
+    /** Persist durably (one groups-sized frame + kind-tagged meta). */
+    def save(path: String): Unit = {
+      moments.write.mode("overwrite").parquet(s"$path/moments")
+      ArtifactIO.writeMeta(moments.sparkSession, path, "moments",
+        Seq("groupCol" -> groupCol))
+    }
+  }
+
+  /** Build a [[PreparedMoments]]; `regression` on it reproduces
+    * `regressionByGroup` bit-for-bit (same census, same scalar shape
+    * — shared code, spec-pinned). Streaming/serving use wants a
+    * reliable `checkpointDir`, as with every artifact.
+    */
+  def prepareMoments(corpus: DataFrame, group: String, x: Column, y: Column,
+                     checkpointDir: Option[String] = None): PreparedMoments = {
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedMoments(ckp(momentsOf(corpus, group, x, y)), group,
+      checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedMoments]] persisted by its `save`; fails fast
+    * on a non-moments path.
+    */
+  def loadMoments(spark: org.apache.spark.sql.SparkSession, path: String): PreparedMoments = {
+    val m = ArtifactIO.readMeta(spark, path, "moments")
+    PreparedMoments(spark.read.parquet(s"$path/moments"),
+      ArtifactIO.field(m, path, "groupCol"), reliable = true)
+  }
+
   /** A vocabulary prepared ONCE for repeated capping — the production
     * shape of [[GraftDataFrameOps.capVocab]]: census the reference
     * corpus once, rewrite anything (new batches, a live stream)
@@ -2407,31 +2516,8 @@ object Ops {
       * yields null r. Scale shape: one shuffle, partial-aggregated
       * map-side; output is one row per group.
       */
-    def regressionByGroup(group: String, x: Column, y: Column): DataFrame = {
-      val dx = graft.util.Portable.dec(x)
-      val dy = graft.util.Portable.dec(y)
-      val agg = left
-        .filter(x.isNotNull && y.isNotNull)
-        .groupBy(col(group))
-        .agg(count(lit(1)).as("n"),
-          sum(dx).as("__sx"), sum(dy).as("__sy"),
-          sum(dx * dx).as("__sxx"), sum(dy * dy).as("__syy"),
-          sum(dx * dy).as("__sxy"))
-      val nD  = col("n").cast("double")
-      val sx  = col("__sx").cast("double");  val sy  = col("__sy").cast("double")
-      val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
-      val sxy = col("__sxy").cast("double")
-      val covN  = nD * sxy - sx * sy // n²·cov(x,y)
-      val varXN = nD * sxx - sx * sx // n²·var(x)
-      val varYN = nD * syy - sy * sy // n²·var(y)
-      agg
-        .withColumn("slope", round(when(varXN > 0.0, covN / varXN), 6))
-        .withColumn("intercept",
-          round(when(varXN > 0.0, (sy - (covN / varXN) * sx) / nD), 6))
-        .withColumn("r",
-          round(when(varXN > 0.0 && varYN > 0.0, covN / sqrt(varXN * varYN)), 6))
-        .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
-    }
+    def regressionByGroup(group: String, x: Column, y: Column): DataFrame =
+      regressionFromMoments(momentsOf(left, group, x, y))
 
     /** Exact time-weighted average per key (r12 — the irregular-series
       * mean `ewmaTrailing` doesn't give): each observation holds its

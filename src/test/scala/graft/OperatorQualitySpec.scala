@@ -784,6 +784,32 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out, "decimal moments make the fit partitioning-invariant")
   }
 
+  test("PreparedMoments: regression ≡ regressionByGroup; absorb ≡ re-prepare; groups on one side survive") {
+    import spark.implicits._
+    import graft.api.Ops
+    import graft.api.Ops._
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("b", 1.0, 5.0), ("b", 2.0, 7.0),
+      ("c", 2.0, 3.0)).toDF("g", "x", "y")
+    val whole = df.regressionByGroup("g", col("x"), col("y"))
+      .collect().map(_.toString).sorted.toSeq
+    val prepared = Ops.prepareMoments(df, "g", col("x"), col("y"))
+      .regression.collect().map(_.toString).sorted.toSeq
+    assert(prepared == whole, "prepared regression must equal the fluent operator")
+    // split so group c lives ONLY in the increment — union semantics
+    val partA = df.filter(col("g") =!= "c" && col("x") < 3.0)
+    val partB = df.filter(col("g") === "c" || col("x") >= 3.0)
+    val absorbed = Ops.prepareMoments(partA, "g", col("x"), col("y"))
+      .absorb(partB, col("x"), col("y"))
+    assert(absorbed.regression.collect().map(_.toString).sorted.toSeq == whole,
+      "absorb must equal the one-shot prepare — exact decimal algebra")
+    assert(absorbed.moments.collect().map(_.toString).sorted.toSeq ==
+      Ops.prepareMoments(df, "g", col("x"), col("y"))
+        .moments.collect().map(_.toString).sorted.toSeq,
+      "the merged sums themselves must match the one-shot census")
+  }
+
   test("twapPerKey: interval weights, last-event zero weight, division identity") {
     import spark.implicits._
     import graft.api.Ops._

@@ -293,6 +293,30 @@ class PersistenceSpec extends AnyFunSuite {
     assertSameRows(grown.frameHashes, full.frameHashes, "absorb-after-load video hashes")
   }
 
+  test("PreparedMoments save → load round-trips sums; absorb is exact algebra") {
+    val li = t.lineitem.join(
+      broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+      col("l_suppkey") === col("s_suppkey"))
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val full = Ops.prepareMoments(li, "s_nationkey", x, y)
+    val dir = tmp("moments")
+    full.save(dir)
+    val loaded = Ops.loadMoments(spark, dir)
+    assert(loaded.groupCol == full.groupCol && loaded.reliable)
+    assertSameRows(loaded.moments, full.moments, "moments sums")
+    assertSameRows(loaded.regression, full.regression, "regression from loaded sums")
+    // absorb after load ≡ full re-prepare over the union: the decimal
+    // sums are associative, so this equality is exact algebra, not an
+    // approximation contract
+    val dirA = tmp("momentsA")
+    Ops.prepareMoments(a, "s_nationkey", x, y).save(dirA)
+    val absorbed = Ops.loadMoments(spark, dirA).absorb(b, x, y)
+    assertSameRows(absorbed.moments, full.moments, "absorb-after-load moments")
+    assertSameRows(absorbed.regression, full.regression, "absorb-after-load regression")
+  }
+
   test("loading the wrong artifact kind — or a missing meta — fails fast") {
     val dir = tmp("kindclash")
     Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)
