@@ -59,7 +59,9 @@ object Bench {
     "q110_heavy_hitters", "q111_kmeans", "q112_image_neardup",
     "q113_scd2_asof", "q114_ann_two_level", "q115_audio_neardup",
     "q116_video_neardup", "q117_ewma", "q118_event_paths",
-    "q119_regression", "q120_twap", "q121_transitions", "q122_streaks")
+    "q119_regression", "q120_twap", "q121_transitions", "q122_streaks",
+    "q123_dq_checks", "q124_cdc_apply", "q125_winsorize",
+    "q126_triangles")
 
   private val childMarker = "##BENCHQ##"
 

@@ -354,6 +354,19 @@ object ScaleProbe {
       // r12: the distinct (key, day) collapse absorbs the replica
       // growth up front — islands and aggregates run on active DAYS
       "q122_streaks"  -> (t => operators.Temporal.q122(t)),
+      // r12: one aggregate pass (scalar + unique checks fold into a
+      // single scan) + one distinct-key anti join per FK
+      "q123_dq"       -> (t => operators.Extended.q123(t)),
+      // r12: feed-sized latest-wins window + ONE key anti join +
+      // union — both sides replicate 10×, cost must track the joins
+      "q124_cdc"      -> (t => operators.Relational.q124(t)),
+      // r12: one group-window sort over the non-null values + a
+      // groups-sized bounds join back
+      "q125_winsorize" -> (t => operators.Extended.q125(t)),
+      // r12: per-order pair explosion (bounded by order size) + the
+      // degree-oriented wedge join (Σ d_out² = O(m^1.5) candidates —
+      // the orientation is what caps hub wedges)
+      "q126_triangles" -> (t => operators.Extended.q126(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -142,6 +142,10 @@ object SparkEntry {
     "q120_twap"           -> q(Temporal.q120),
     "q121_transitions"    -> q(Temporal.q121),
     "q122_streaks"        -> q(Temporal.q122),
+    "q123_dq_checks"      -> q(Extended.q123),
+    "q124_cdc_apply"      -> q(Relational.q124),
+    "q125_winsorize"      -> q(Extended.q125),
+    "q126_triangles"      -> q(Extended.q126),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2452,6 +2456,121 @@ object SparkEntry {
         |  FROM c)
         |SELECT src, dst, cnt, src_total, (cnt * 1000) // src_total AS prob_millis
         |FROM t ORDER BY src, dst""".stripMargin,
+
+    // q126: the same canonicalize → degree → orient → wedge → close
+    // chain, exact integers end-to-end; every triangle closes from
+    // its unique two-out-edge corner
+    "q126_triangles" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |pairs AS (
+        |  SELECT x.p AS u, y.p AS v
+        |  FROM e x JOIN e y ON x.ok = y.ok AND x.p < y.p),
+        |und AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+        |  FROM pairs WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n),
+        |orient AS (SELECT
+        |    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+        |    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b,
+        |    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS db
+        |  FROM und JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        |tri AS (SELECT w1.a AS x, w1.b AS y, w2.b AS z
+        |  FROM orient w1
+        |  JOIN orient w2 ON w1.a = w2.a
+        |    AND ((w1.db < w2.db) OR (w1.db = w2.db AND w1.b < w2.b))
+        |  JOIN orient c ON c.a = w1.b AND c.b = w2.b),
+        |corners AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
+
+    // q125: rank-selected bounds (k = max(1, ceil(p·n)) on IEEE
+    // doubles — identical bits both engines) + conditional-min
+    // selection + null-safe group join; nulls rank nowhere
+    "q125_winsorize" ->
+      """WITH nn AS (SELECT o_orderstatus AS g, o_totalprice AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM nn),
+        |k AS (SELECT g, v, rn, n,
+        |    GREATEST(CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT), 1) AS lowk
+        |  FROM r),
+        |b AS (SELECT g,
+        |    min(CASE WHEN rn = lowk THEN v END) AS lo,
+        |    min(CASE WHEN rn = n + 1 - lowk THEN v END) AS hi
+        |  FROM k GROUP BY g)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_totalprice IS NOT NULL
+        |    THEN LEAST(GREATEST(o_totalprice, lo), hi) END AS w_totalprice
+        |FROM orders LEFT JOIN b ON o_orderstatus IS NOT DISTINCT FROM b.g
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q124: the same change derivation + latest-wins window (seq
+    // DESC, op DESC — ASCII collation agrees across engines) + anti
+    // join + union; double drift uses CAST(.. AS DOUBLE) literals so
+    // both engines add the same IEEE values
+    "q124_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS id, c_name, c_acctbal, c_mktsegment FROM customer),
+        |chg AS (
+        |  SELECT id, c_name, c_acctbal + CAST(10.0 AS DOUBLE) AS c_acctbal,
+        |    c_mktsegment, 'upsert' AS op, 2 AS seq FROM base WHERE id % 5 = 0
+        |  UNION ALL SELECT id, c_name, c_acctbal + CAST(5.0 AS DOUBLE),
+        |    c_mktsegment, 'upsert', 1 FROM base WHERE id % 5 = 0
+        |  UNION ALL SELECT id, c_name, c_acctbal, c_mktsegment, 'delete', 2
+        |    FROM base WHERE id % 7 = 0
+        |  UNION ALL SELECT id + 9000000, c_name, c_acctbal, c_mktsegment, 'upsert', 1
+        |    FROM base WHERE id < 50),
+        |latest AS (SELECT * FROM (
+        |  SELECT chg.*, row_number() OVER (PARTITION BY id ORDER BY seq DESC, op DESC) AS rn
+        |  FROM chg) WHERE rn = 1)
+        |SELECT id, c_name, c_acctbal, c_mktsegment FROM (
+        |  SELECT id, c_name, c_acctbal, c_mktsegment FROM base
+        |  WHERE id NOT IN (SELECT id FROM latest)
+        |  UNION ALL
+        |  SELECT id, c_name, c_acctbal, c_mktsegment FROM latest WHERE op = 'upsert')
+        |ORDER BY id""".stripMargin,
+
+    // q123: each check's violation definition replayed as exact
+    // counts (Unique = checked − distinct keys over non-null parts;
+    // FK = NOT EXISTS; range bounds CAST AS DOUBLE per the
+    // double-vs-decimal-literal rule)
+    "q123_dq_checks" ->
+      """WITH r AS (
+        |  SELECT 'pk_unique' AS check_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS n_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+        |    - (SELECT CAST(count(*) AS BIGINT) FROM
+        |        (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |         WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'fk_orders',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |      WHERE l_orderkey IS NOT NULL
+        |        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'shipdate_notnull',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_shipdate IS NULL)
+        |  UNION ALL
+        |  SELECT 'quantity_in_1_25',
+        |    (SELECT CAST(count(l_quantity) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |      WHERE l_quantity IS NOT NULL
+        |        AND (l_quantity < CAST(1 AS DOUBLE) OR l_quantity > CAST(25 AS DOUBLE)))
+        |  UNION ALL
+        |  SELECT 'discount_in_0_10pct',
+        |    (SELECT CAST(count(l_discount) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |      WHERE l_discount IS NOT NULL
+        |        AND (l_discount < CAST(0 AS DOUBLE) OR l_discount > CAST(0.10 AS DOUBLE))))
+        |SELECT check_name, n_rows, n_violations, n_violations = 0 AS pass
+        |FROM r ORDER BY check_name""".stripMargin,
 
     // q122: the date − row_number island invariant on exact DATE
     // arithmetic; longest-streak start resolves ties to the EARLIEST

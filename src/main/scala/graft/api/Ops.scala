@@ -2025,6 +2025,55 @@ object Ops {
     * keeps cost predictable.
     * Returns (node, rank) for every edge endpoint.
     */
+  /** Per-node triangle counts over an undirected graph (r12 — the
+    * third graph primitive beside PageRank and the
+    * connected-components family; triangle participation is the
+    * clustering/cohesion signal behind community detection and spam
+    * filtering). Input edges may be directed, duplicated or reversed
+    * — they canonicalize to DISTINCT undirected pairs first
+    * (self-loops dropped, null endpoints dropped).
+    *
+    * Algorithm: degree-oriented node-iterator ("node-iterator++").
+    * Every edge orients from its lower (degree, id) endpoint to the
+    * higher; each triangle then has exactly ONE node with two
+    * out-edges, so counting wedge (x→y, x→z with (deg,id)(y) <
+    * (deg,id)(z)) closed by oriented edge (y→z) counts every
+    * triangle exactly once. The orientation is the scale story: out-
+    * degrees are bounded by O(√m) on any graph, so the wedge join
+    * generates Σ dₒᵤₜ² = O(m^1.5) candidates — a 10⁹-degree hub
+    * generates ~√m wedges, not 10¹⁸ (the classic distributed
+    * mitigation, and all three joins are plain hash joins on node
+    * keys). Exact integers end-to-end.
+    *
+    * Returns (node, n_triangles) for every node in ≥1 triangle
+    * (triangle-free nodes emit nothing — count against the node
+    * frame if zeros are needed).
+    */
+  def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val j = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val orient = j.select(
+      when(fwd, col("u")).otherwise(col("v")).as("a"),
+      when(fwd, col("v")).otherwise(col("u")).as("b"),
+      when(fwd, col("dv")).otherwise(col("du")).as("db"))
+    val wedges = orient.select(col("a"), col("b").as("y"), col("db").as("dy"))
+      .join(orient.select(col("a"), col("b").as("z"), col("db").as("dz")), Seq("a"))
+      .filter(col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z")))
+    val tri = wedges
+      .join(orient.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      .select(col("a").as("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   def pageRank(edges: DataFrame, src: String, dst: String, iters: Int = 3,
                dampingBp: Long = 8500L, totalMass: Long = 1000000000000L,
                redistributeDangling: Boolean = false,
@@ -2499,6 +2548,90 @@ object Ops {
         .agg(count(lit(1)).as("n_events"),
           concat_ws(">", transform(sorted, x => x("et"))).as("path"))
         .withColumn("matched", col("path").rlike(pattern))
+    }
+
+    /** Declarative data-quality gate ([[graft.data.Quality]], r12):
+      * evaluate uniqueness / referential-integrity / null / range
+      * constraints as exact counts — one aggregate pass for every
+      * scalar and uniqueness check plus one anti join per foreign
+      * key. The validation a pipeline runs before spending a
+      * cluster-day on a corrupt extract.
+      */
+    def checkConstraints(constraints: Seq[graft.data.Quality.Constraint]): DataFrame =
+      graft.data.Quality.checkConstraints(left, constraints)
+
+    /** Exact per-group winsorization (r12 — the outlier-clipping
+      * pass features get before training; `quantileBuckets`' sibling
+      * with EXACT order statistics, no sketch): clip `value` to the
+      * [k-th smallest, k-th largest] within each group, where
+      * k = max(1, ⌈p·n⌉) over the group's n non-null values — a
+      * rank-based definition, so the bounds are actual data values
+      * and deterministic on any engine (the k-th smallest VALUE is
+      * well-defined regardless of how ties order; the ⌈p·n⌉ arithmetic
+      * is IEEE double, identical everywhere). Null values rank
+      * nowhere and clip to null (null ordering differs across
+      * engines — excluding them is what keeps the ranks portable).
+      * Adds `<out>`; all input rows pass through.
+      *
+      * Scale shape: one group-window sort over the non-null values +
+      * a groups-sized bounds frame joined back (broadcast-friendly) —
+      * the q07/q98 single-exchange discipline.
+      */
+    def winsorize(group: String, value: Column, p: Double,
+                  out: String = "w"): DataFrame = {
+      require(p > 0.0 && p < 0.5, s"winsorize: p ($p) must be in (0, 0.5)")
+      val wv = Window.partitionBy(col(group)).orderBy(value)
+      val wp = Window.partitionBy(col(group))
+      val ranked = left.filter(value.isNotNull)
+        .withColumn("__rn", row_number().over(wv))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .withColumn("__lowK", greatest(ceil(lit(p) * col("__n")), lit(1L)))
+      val bounds = ranked
+        .filter(col("__rn") === col("__lowK") ||
+          col("__rn") === col("__n") + 1 - col("__lowK"))
+        .groupBy(col(group))
+        .agg(min(when(col("__rn") === col("__lowK"), value)).as("__lo"),
+          min(when(col("__rn") === col("__n") + 1 - col("__lowK"), value)).as("__hi"))
+      left.join(bounds.withColumnRenamed(group, "__g"), col(group) <=> col("__g"), "left")
+        .withColumn(out,
+          when(value.isNotNull, least(greatest(value, col("__lo")), col("__hi"))))
+        .drop("__g", "__lo", "__hi")
+    }
+
+    /** SCD Type-1 CDC apply (r12 — the MERGE-shaped sibling of the
+      * Type-2 `scd2History` family and of `snapshotDiff`): fold a
+      * change feed of `upsert`/`delete` rows into the dimension —
+      * the latest change per key wins (by `seqCol` descending; an
+      * equal-seq upsert/delete pair resolves deterministically to the
+      * upsert — `opCol` descending — though callers should keep
+      * (key, seq) unique), upserts REPLACE the whole row, deletes
+      * remove the key, unchanged keys pass through untouched. Any op
+      * value other than `upsert`/`delete` fails loudly (a typo'd op
+      * silently treated as a delete would destroy rows). `changes`
+      * must carry every column of `left` plus (opCol, seqCol).
+      *
+      * Scale shape: ONE key-window over the CHANGE FEED (feed-sized,
+      * not dimension-sized) + one key-hash anti join + union — the
+      * dimension is never rewritten where it didn't change, and at
+      * 100 TB the anti join shuffles on the same key the dimension is
+      * naturally bucketed by.
+      */
+    def applyChanges(changes: DataFrame, key: String, opCol: String,
+                     seqCol: String): DataFrame = {
+      val attrs = left.columns.filterNot(_ == key).toSeq
+      val w = Window.partitionBy(col(key)).orderBy(col(seqCol).desc, col(opCol).desc)
+      val latest = changes
+        .withColumn(opCol,
+          when(col(opCol).isin("upsert", "delete"), col(opCol))
+            .otherwise(raise_error(concat(
+              lit("applyChanges: unknown op '"), col(opCol),
+              lit("' — only upsert/delete are defined")))))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val upserts = latest.filter(col(opCol) === "upsert")
+        .select(col(key) +: attrs.map(col): _*)
+      left.join(latest.select(col(key)), Seq(key), "left_anti")
+        .unionByName(upserts)
     }
 
     /** Exact per-group simple linear regression + Pearson correlation

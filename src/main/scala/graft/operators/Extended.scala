@@ -322,6 +322,64 @@ object Extended {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** q123: declarative data-quality gate over lineitem
+    * ([[graft.data.Quality.checkConstraints]]) — the validation run a
+    * pipeline fires before committing to an extract: composite-key
+    * uniqueness, referential integrity into orders, null discipline
+    * and two value ranges (one deliberately tight so the FAILING
+    * branch is exercised on real data), all as exact counts. One
+    * aggregate pass for the four scalar/unique checks + one anti
+    * join for the foreign key.
+    */
+  def q123(t: Tables): DataFrame = {
+    import graft.data.Quality._
+    checkConstraints(t.lineitem, Seq(
+      Unique(Seq("l_orderkey", "l_linenumber"), "pk_unique"),
+      ForeignKey(Seq("l_orderkey"), t.orders, Seq("o_orderkey"), "fk_orders"),
+      NotNull("l_shipdate", "shipdate_notnull"),
+      InRange("l_quantity", 1.0, 25.0, "quantity_in_1_25"),
+      InRange("l_discount", 0.0, 0.10, "discount_in_0_10pct")))
+  }
+
+  /** q126: per-part triangle counts over the basket co-occurrence
+    * graph ([[graft.api.Ops.triangleCounts]]) — parts are adjacent
+    * when some order contains both; the PART projection is the
+    * naturally SPARSE one (the supplier projection of uniform TPC-H
+    * orders is near-complete — a dense graph is the wrong demo for a
+    * triangle counter whose whole point is the √m out-degree bound).
+    * Degree-oriented node-iterator counts each triangle once;
+    * per-node participation is the basket-cohesion signal. Edge
+    * build is a per-order pair explosion bounded by order size,
+    * never an all-pairs join.
+    */
+  def q126(t: Tables): DataFrame = {
+    // one deterministic quarter of the parts: the triangle structure
+    // survives, the gated cost stays in the headline class (the probe
+    // row carries the scaling argument on the full projection)
+    val e = t.lineitem.filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+    graft.api.Ops.triangleCounts(pairs, "u", "v")
+      .orderBy(col("node"))
+  }
+
+  /** q125: exact per-status winsorization of order totals
+    * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
+    * exact 5%/95% rank bounds within each order status; the bounds
+    * are real data values selected by rank, so the result replays
+    * bit-for-bit (no interpolation, no sketch).
+    */
+  def q125(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders.winsorize("o_orderstatus", col("o_totalprice"), 0.05, out = "w_totalprice")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("w_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q119: exact per-nation price-on-quantity regression
     * ([[graft.api.Ops.GraftDataFrameOps.regressionByGroup]]) —
     * slope / intercept / Pearson r of l_extendedprice on l_quantity

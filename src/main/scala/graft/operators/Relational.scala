@@ -375,6 +375,36 @@ object Relational {
     }
   }
 
+  /** q124: SCD Type-1 CDC apply
+    * ([[graft.api.Ops.GraftDataFrameOps.applyChanges]]) — a
+    * deterministic change feed derived from customer (drifted
+    * upserts at two sequence numbers so latest-wins is exercised,
+    * deletes, new-key inserts, and the id%35 overlap producing an
+    * equal-seq upsert/delete tie that must resolve to the upsert)
+    * folded into the dimension. One feed-sized window + one key anti
+    * join + union.
+    */
+  def q124(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val base = t.customer.select(col("c_custkey").as("id"),
+      col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val updNew = base.filter(col("id") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(10.0))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(2L))
+    val updOld = base.filter(col("id") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(5.0))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+    val del = base.filter(col("id") % 7 === 0)
+      .withColumn("op", lit("delete")).withColumn("seq", lit(2L))
+    val ins = base.filter(col("id") < 50)
+      .select((col("id") + 9000000L).as("id"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+    val changes = updNew.unionByName(updOld).unionByName(del).unionByName(ins)
+    base.applyChanges(changes, "id", "op", "seq")
+      .orderBy(col("id"))
+  }
+
   def q109(t: Tables): DataFrame = {
     import graft.api.Ops._
     scd2Series(t).reduce(_ unionByName _)

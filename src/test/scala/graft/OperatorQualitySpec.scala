@@ -784,6 +784,103 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out, "decimal moments make the fit partitioning-invariant")
   }
 
+  test("triangleCounts: K4 corners, pendant exclusion, dirty-input canonicalization") {
+    import spark.implicits._
+    // K4 on 1..4 (each node in C(3,2)=3 triangles) + pendant 5 + a
+    // deliberately dirty encoding: duplicates, reversals, a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), // reversed duplicates
+      (4L, 4L),           // self-loop
+      (4L, 5L))           // pendant edge — 5 joins no triangle
+      .toDF("s", "d")
+    val out = graft.api.Ops.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"each K4 corner sits in exactly 3 triangles; the pendant emits nothing (got $out)")
+    // a wedge without its closing edge is not a triangle
+    val open = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    assert(graft.api.Ops.triangleCounts(open, "s", "d").count() == 0)
+    val again = graft.api.Ops.triangleCounts(edges.repartition(7), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
+  test("winsorize: exact rank bounds, null pass-through, single-value group, partitioning invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // group a: 10 values 1..10, p=0.2 → k=2 → clip to [2, 9]
+    val a = (1 to 10).map(i => ("a", Some(i.toDouble)))
+    val df = (a ++ Seq(("a", None), ("b", Some(7.0)))).toDF("g", "v")
+    val out = df.winsorize("g", col("v"), 0.2, out = "w")
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double])) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("a", Some(1.0))) == Some(2.0), "below the low rank bound clips up")
+    assert(out(("a", Some(10.0))) == Some(9.0), "above the high rank bound clips down")
+    assert(out(("a", Some(5.0))) == Some(5.0), "interior values pass through")
+    assert(out(("a", None)).isEmpty, "null values clip to null, not to a bound")
+    assert(out(("b", Some(7.0))) == Some(7.0), "a single-value group clips to itself")
+    val again = df.repartition(5).winsorize("g", col("v"), 0.2, out = "w")
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double])) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(again == out, "rank-selected bounds are partitioning-invariant")
+  }
+
+  test("applyChanges: latest-wins, delete, insert, equal-seq tie, unknown op fails") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (5L, "e", 5.0))
+      .toDF("id", "name", "bal")
+    val changes = Seq(
+      (1L, "a2", 10.0, "upsert", 2L), (1L, "a1", 5.0, "upsert", 1L), // latest wins
+      (2L, "b", 2.0, "delete", 1L),                                  // delete
+      (4L, "d", 4.0, "upsert", 1L),                                  // insert
+      (5L, "e5", 50.0, "upsert", 3L), (5L, "e", 5.0, "delete", 3L))  // tie → upsert
+      .toDF("id", "name", "bal", "op", "seq")
+    val out = base.applyChanges(changes, "id", "op", "seq")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      1L -> (("a2", 10.0)), 3L -> (("c", 3.0)),
+      4L -> (("d", 4.0)), 5L -> (("e5", 50.0))),
+      "superseded upsert discarded, delete applied, insert added, tie → upsert")
+    val bad = Seq((1L, "x", 0.0, "upsrt", 1L)).toDF("id", "name", "bal", "op", "seq")
+    val e = intercept[Exception](base.applyChanges(bad, "id", "op", "seq").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unknown op")),
+      s"a typo'd op must fail loudly, not silently delete (got $e)")
+  }
+
+  test("checkConstraints: all four constraint kinds count violations exactly") {
+    import spark.implicits._
+    import graft.api.Ops._
+    import graft.data.Quality._
+    val child = Seq(
+      (Some(1L), Some(1), Some(10.0)),
+      (Some(1L), Some(1), Some(30.0)), // duplicate key AND out-of-range value
+      (Some(2L), Some(1), None),       // null value
+      (Some(9L), Some(1), Some(5.0)),  // orphan foreign key
+      (None, Some(2), Some(7.0)))      // null key part: excluded from unique/fk
+      .toDF("k", "ln", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = child.checkConstraints(Seq(
+      Unique(Seq("k", "ln"), "u"),
+      ForeignKey(Seq("k"), parent, Seq("pk"), "fk"),
+      NotNull("v", "nn"),
+      InRange("v", 0.0, 20.0, "rng")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("u") == ((4L, 1L, false)),
+      "4 rows carry a full key, 3 distinct keys -> 1 surplus copy")
+    assert(out("fk") == ((4L, 1L, false)), "exactly the k=9 orphan")
+    assert(out("nn") == ((5L, 1L, false)), "all rows checked, one null")
+    assert(out("rng") == ((4L, 1L, false)),
+      "nulls are NotNull's job - 4 values checked, 30.0 out of range")
+    val pass = child.checkConstraints(Seq(InRange("v", 0.0, 100.0, "ok")))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(pass == Seq(("ok", 0L, true)), "a satisfied constraint reports pass")
+  }
+
   test("PreparedMoments: regression ≡ regressionByGroup; absorb ≡ re-prepare; groups on one side survive") {
     import spark.implicits._
     import graft.api.Ops

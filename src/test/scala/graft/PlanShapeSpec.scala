@@ -41,12 +41,17 @@ class PlanShapeSpec extends AnyFunSuite {
   // per-iteration via checkpoints, so building the plan runs the loop.
   // q106 (pageRank loop) and q107 (BPE train + encode checkpoints) are
   // the same shape — their executed plan is a checkpoint-RDD scan.
+  // q123's ForeignKey report pairs the 1-row violation count with the
+  // 1-row checked count — a keyless 1-row × 1-row join, the q48/q76
+  // scalar-broadcast shape; its dedicated pin below bounds it to
+  // exactly that one.
   private val locked =
     Bench.headline.filterNot(Set(
       "q46_dedup_clusters", "q35_cosine_topk", "q48_tfidf", "q73_lm_score",
       "q76_skew_stats", "q77_collocations", "q78_histogram",
       "q83_quality_buckets", "q86_keep_best", "q91_pq_adc", "q96_pagerank",
-      "q101_bpe", "q106_pagerank_dangling", "q107_bpe_encode"))
+      "q101_bpe", "q106_pagerank_dangling", "q107_bpe_encode",
+      "q123_dq_checks"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -77,6 +82,17 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BroadcastNestedLoopJoin in $name:\n$plan")
     }
+  }
+
+  test("q123's only keyless join is the 1-row FK scalar pair") {
+    val plan = physicalPlan("q123_dq_checks")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 1,
+      s"expected exactly the 1-row × 1-row FK report pair join in q123, got $keyless:\n$plan")
+    // the FK anti join itself must stay a HASH join on the key
+    assert(plan.contains("LeftAnti"),
+      s"expected the FK check to run as a left-anti join in q123:\n$plan")
   }
 
   test("q48's only nested-loop is the 1-row n_docs broadcast") {
