@@ -363,6 +363,12 @@ object ScaleProbe {
       // r12: one group-window sort over the non-null values + a
       // groups-sized bounds join back
       "q125_winsorize" -> (t => operators.Extended.q125(t)),
+      // r12: one (type, hour) aggregate — ≤ types×24 cells — + a
+      // broadcast-friendly join back; no window anywhere
+      "q127_seasonal" -> (t => operators.Temporal.q127(t)),
+      // r12: one key-partitioned window sort (running sum + row index
+      // share it) + a key-stats join — the q100 shape
+      "q128_cusum"    -> (t => operators.Temporal.q128(t)),
       // r12: per-order pair explosion (bounded by order size) + the
       // degree-oriented wedge join (Σ d_out² = O(m^1.5) candidates —
       // the orientation is what caps hub wedges)

@@ -146,6 +146,8 @@ object SparkEntry {
     "q124_cdc_apply"      -> q(Relational.q124),
     "q125_winsorize"      -> q(Extended.q125),
     "q126_triangles"      -> q(Extended.q126),
+    "q127_seasonal"       -> q(Temporal.q127),
+    "q128_cusum"          -> q(Temporal.q128),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2456,6 +2458,44 @@ object SparkEntry {
         |  FROM c)
         |SELECT src, dst, cnt, src_total, (cnt * 1000) // src_total AS prob_millis
         |FROM t ORDER BY src, dst""".stripMargin,
+
+    // q127: the (type, hour) cell sums replay as exact BIGINTs; the
+    // baseline and residual use the same `//` ≡ div on non-negative
+    // sums; the join is null-safe on type
+    "q127_seasonal" ->
+      """WITH e AS (SELECT event_id, event_type, hour(ts) AS h,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT event_type, h,
+        |    CAST(SUM(c) AS BIGINT) AS seasonal_num,
+        |    CAST(count(*) AS BIGINT) AS seasonal_denom
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_id, e.event_type, e.h AS hour_of_day,
+        |  seasonal_num, seasonal_denom,
+        |  (seasonal_num * 1000) // seasonal_denom AS seasonal_millicents,
+        |  c * 1000 - (seasonal_num * 1000) // seasonal_denom AS residual_millicents
+        |FROM e JOIN cells ON e.event_type IS NOT DISTINCT FROM cells.event_type
+        |  AND e.h = cells.h
+        |ORDER BY event_id""".stripMargin,
+
+    // q128: the ROWS-framed running sum + row index over the shared
+    // (us, event_id) window order; the statistic is division-free so
+    // every comparison is exact BIGINT
+    "q128_cusum" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_id, user_id, c,
+        |    CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS k
+        |  FROM e),
+        |st AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY user_id)
+        |SELECT event_id, r.user_id, k, n * s - k * t AS cusum_scaled,
+        |  abs(n * s - k * t) > 20000 * n AS flag
+        |FROM r JOIN st ON r.user_id IS NOT DISTINCT FROM st.user_id
+        |ORDER BY event_id""".stripMargin,
 
     // q126: the same canonicalize → degree → orient → wedge → close
     // chain, exact integers end-to-end; every triangle closes from

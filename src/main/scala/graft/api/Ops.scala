@@ -2717,6 +2717,73 @@ object Ops {
         .withColumn("prob_millis", expr("(cnt * 1000) div src_total"))
     }
 
+    /** Hour-of-day seasonal baseline + exact residuals (r12 — the
+      * seasonality feature/anomaly primitive): each (group,
+      * hour-of-day) cell's mean value is the baseline, held as the
+      * exact rational (seasonal_num cents-sum, seasonal_denom count)
+      * so nothing floats; per event, `seasonal_millicents =
+      * ⌊num·1000/denom⌋` and `residual_millicents = cents·1000 −
+      * seasonal_millicents` — the deviation an anomaly detector
+      * thresholds, bit-reproducible anywhere. Null values are
+      * excluded up front. Scale shape: ONE map-combinable (group,
+      * hour) aggregate — at most groups×24 cells — joined back
+      * broadcast-friendly; no window, no sort.
+      */
+    def seasonalResiduals(typeCol: String, time: String, value: Column): DataFrame = {
+      val withCell = left
+        .filter(value.isNotNull)
+        .withColumn("__sr_h", hour(col(time)).cast("long"))
+        .withColumn("__sr_c", (graft.util.Portable.dec(value) * 100).cast("long"))
+      val cells = withCell.groupBy(col(typeCol).as("__sr_t"), col("__sr_h").as("__sr_hh"))
+        .agg(sum(col("__sr_c")).as("seasonal_num"), count(lit(1)).as("seasonal_denom"))
+      withCell
+        .join(cells, col(typeCol) <=> col("__sr_t") && col("__sr_h") === col("__sr_hh"))
+        .withColumn("hour_of_day", col("__sr_h"))
+        .withColumn("seasonal_millicents",
+          expr("(seasonal_num * 1000) div seasonal_denom"))
+        .withColumn("residual_millicents",
+          col("__sr_c") * 1000 - col("seasonal_millicents"))
+        .drop("__sr_t", "__sr_hh", "__sr_h", "__sr_c")
+    }
+
+    /** Exact CUSUM change-point statistic per key (r12 — the
+      * drift/level-shift detector over an ordered series): with
+      * T = the key's total cents over its n observations, row k's
+      * statistic is `cusum_scaled = n·S_k − k·T` where S_k is the
+      * running cents sum — i.e. n·Σ_{j≤k}(x_j − mean), kept exact by
+      * scaling through n so no division ever happens; `flag` marks
+      * |cusum_scaled| > threshold_cents·n (≡ |mean-adjusted cumsum| >
+      * threshold). A key whose values drift mid-series sends the
+      * statistic to its extremum at the change point. All BIGINT
+      * (bound: n²·max_cents must fit a Long — ~4·10⁶ rows per key at
+      * 5·10⁴ cents; Spark's ANSI mode fails loudly past it). Null
+      * values excluded up front. Scale shape: ONE key-partitioned
+      * window sort (running sum + row index share it) + a key-stats
+      * join (the q100 shape).
+      */
+    def cusumPerKey(key: String, time: String, tieBreak: String,
+                    value: Column, thresholdCents: Long): DataFrame = {
+      require(thresholdCents >= 0, "cusumPerKey: thresholdCents must be >= 0")
+      val w = Window.partitionBy(col(key)).orderBy(col("__cu_us"), col(tieBreak))
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = left
+        .filter(value.isNotNull)
+        .withColumn("__cu_us", unix_micros(col(time)))
+        .withColumn("__cu_c", (graft.util.Portable.dec(value) * 100).cast("long"))
+        .withColumn("__cu_s", sum(col("__cu_c")).over(wcum))
+        .withColumn("__cu_k", row_number().over(w).cast("long"))
+      val stats = ranked.groupBy(col(key).as("__cu_g"))
+        .agg(sum(col("__cu_c")).as("__cu_t"), count(lit(1)).as("__cu_n"))
+      ranked
+        .join(stats, col(key) <=> col("__cu_g"))
+        .withColumn("cusum_scaled",
+          col("__cu_n") * col("__cu_s") - col("__cu_k") * col("__cu_t"))
+        .withColumn("flag",
+          abs(col("cusum_scaled")) > lit(thresholdCents) * col("__cu_n"))
+        .withColumn("k", col("__cu_k"))
+        .drop("__cu_g", "__cu_us", "__cu_c", "__cu_s", "__cu_k", "__cu_t", "__cu_n")
+    }
+
     /** Calendar-day activity streaks per key (r12 — gaps-and-islands
       * over DISTINCT active dates; q22's time-gap sessions answer a
       * different question): per key, the number of distinct active

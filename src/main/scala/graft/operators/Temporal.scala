@@ -261,6 +261,38 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** q127: hour-of-day seasonal baseline + exact residuals over event
+    * values ([[graft.api.Ops.GraftDataFrameOps.seasonalResiduals]]) —
+    * the per-(type, hour) mean held as an exact rational, residuals
+    * in millicents; the anomaly-detector input that replays
+    * bit-for-bit. One (type, hour) aggregate + one broadcast-friendly
+    * join back, no window.
+    */
+  def q127(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.seasonalResiduals("event_type", "ts", col("value"))
+      .select(col("event_id"), col("event_type"), col("hour_of_day"),
+        col("seasonal_num"), col("seasonal_denom"),
+        col("seasonal_millicents"), col("residual_millicents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q128: exact CUSUM change-point statistic per user
+    * ([[graft.api.Ops.GraftDataFrameOps.cusumPerKey]]) — n·(running
+    * cents sum) − k·(key total), the division-free mean-adjusted
+    * cumulative sum whose extremum marks a level shift; flagged
+    * against a $200 threshold. One key-partitioned window sort + one
+    * key-stats join.
+    */
+  def q128(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.cusumPerKey("user_id", "ts", "event_id", col("value"),
+        thresholdCents = 20000L)
+      .select(col("event_id"), col("user_id"), col("k"),
+        col("cusum_scaled"), col("flag"))
+      .orderBy(col("event_id"))
+  }
+
   def q23(t: Tables): DataFrame =
     t.events
       .withColumn("bucket_start",

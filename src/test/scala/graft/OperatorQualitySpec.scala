@@ -784,6 +784,56 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out, "decimal moments make the fit partitioning-invariant")
   }
 
+  test("seasonalResiduals: exact cell rationals, residual identity, null exclusion") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(
+      (1L, "a", "2024-01-01 09:10:00", Some(1.00)),
+      (2L, "a", "2024-01-02 09:50:00", Some(2.00)), // same (a, 9) cell
+      (3L, "a", "2024-01-01 10:10:00", Some(9.00)), // different hour
+      (4L, "b", "2024-01-01 09:20:00", Some(5.00)), // different type
+      (5L, "a", "2024-01-03 09:00:00", None))       // excluded
+      .toDF("event_id", "et", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.seasonalResiduals("et", "ts", col("v"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("seasonal_num"), r.getAs[Long]("seasonal_denom"),
+          r.getAs[Long]("seasonal_millicents"), r.getAs[Long]("residual_millicents")))).toMap
+    // cell (a, 9): cents 100 + 200 → mean 150.000
+    assert(out(1L) == ((300L, 2L, 150000L, 100L * 1000 - 150000L)))
+    assert(out(2L) == ((300L, 2L, 150000L, 200L * 1000 - 150000L)))
+    assert(out(3L) == ((900L, 1L, 900000L, 0L)), "a one-event cell is its own baseline")
+    assert(out(4L) == ((500L, 1L, 500000L, 0L)), "types never share cells")
+    assert(!out.contains(5L), "null values join no cell")
+  }
+
+  test("cusumPerKey: division-free statistic, change-point extremum, keys never mix") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // key 1: level shift after 2 rows of 1.00 to 2 rows of 3.00
+    val df = Seq(
+      (1L, 10L, "2024-01-01 00:00:00", 1.00), (1L, 11L, "2024-01-01 00:01:00", 1.00),
+      (1L, 12L, "2024-01-01 00:02:00", 3.00), (1L, 13L, "2024-01-01 00:03:00", 3.00),
+      (2L, 20L, "2024-01-01 00:00:00", 7.00))
+      .toDF("k", "id", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.cusumPerKey("k", "ts", "id", col("v"), thresholdCents = 150L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("cusum_scaled"), r.getAs[Boolean]("flag")))).toMap
+    // key 1: T = 800, n = 4; S = 100, 200, 500, 800
+    // n·S − k·T = 400−800, 800−1600, 2000−2400, 3200−3200
+    assert(out(10L) == ((1L, -400L, false)))
+    assert(out(11L) == ((2L, -800L, true)),
+      "the extremum sits at the change point; |−800| > 150·4")
+    assert(out(12L) == ((3L, -400L, false)))
+    assert(out(13L) == ((4L, 0L, false)), "the statistic closes at zero by construction")
+    assert(out(20L) == ((1L, 0L, false)), "a single-row key is its own mean")
+    val again = df.repartition(5).cusumPerKey("k", "ts", "id", col("v"), 150L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("cusum_scaled"), r.getAs[Boolean]("flag")))).toMap
+    assert(again == out)
+  }
+
   test("triangleCounts: K4 corners, pendant exclusion, dirty-input canonicalization") {
     import spark.implicits._
     // K4 on 1..4 (each node in C(3,2)=3 triangles) + pendant 5 + a
