@@ -291,6 +291,84 @@ object Streams {
       .start()
   }
 
+  /** Streaming SCD Type-1 dimension maintenance (r12 — the
+    * continuous form of [[graft.api.Ops.GraftDataFrameOps.applyChanges]],
+    * completing the Type-1 family as scd2Stream completed Type-2): a
+    * live CDC feed of upsert/delete rows folds into the running
+    * dimension per trigger; the sink receives the updated dimension
+    * after each applying trigger (persist or serve it). Within a
+    * trigger, `seqCol` orders competing changes (applyChanges'
+    * latest-wins rule); ACROSS triggers, later triggers win by
+    * arrival — the standard CDC apply-order contract, so the feed's
+    * seq should be monotone with arrival. Every applied dimension
+    * eagerly checkpoints into `checkpointDir` (reliable blocks — the
+    * chained-apply plan stays flat over unbounded triggers and
+    * survives executor loss). Replay discipline ([[Scd1Loop]], the
+    * scd2 rules): a foreachBatch retry re-applies from the PRE-apply
+    * dimension (applyChanges is deterministic — identical result); a
+    * batchId regression fails loudly.
+    */
+  def cdcApplyStream(changes: DataFrame, initial: DataFrame,
+                     key: String, opCol: String, seqCol: String,
+                     checkpointDir: String,
+                     sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val loop = new Scd1Loop(initial, key, opCol, seqCol, checkpointDir, sink)
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) => loop.handle(batch, batchId) }
+      .outputMode("update")
+      .start()
+  }
+
+  /** [[cdcApplyStream]]'s per-trigger engine, factored for direct
+    * spec coverage of the replay geometries (like [[Scd2Loop]]).
+    */
+  private[graft] final class Scd1Loop(
+      initial: DataFrame, key: String, opCol: String, seqCol: String,
+      checkpointDir: String, sink: DataFrame => Unit) {
+    private val ckp = graft.api.Ops.lineageBreaker(Some(checkpointDir))
+    private var lastBatchId = -1L
+    private var before = ckp(initial)
+    private var current = before
+    def handle(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId < lastBatchId)
+        throw new IllegalStateException(
+          s"cdcApplyStream: batchId $batchId arrived after $lastBatchId was " +
+            "applied — the checkpoint was wiped or swapped while the " +
+            "in-memory dimension survived; restart from the sink's last " +
+            "persisted dimension with a fresh checkpoint dir")
+      if (!batch.isEmpty) {
+        // a retry re-applies from the PRE-apply dimension: applyChanges
+        // is deterministic, so the rebuilt dimension is identical;
+        // state advances BEFORE the apply so a mid-apply crash retries
+        // from `before` cleanly
+        val base = if (batchId == lastBatchId) before else current
+        if (batchId > lastBatchId) { before = current; lastBatchId = batchId }
+        import graft.api.Ops._
+        current = ckp(base.applyChanges(batch, key, opCol, seqCol))
+        sink(current)
+      }
+    }
+  }
+
+  /** Per-trigger data-quality reports (r12 — [[graft.data.Quality]]
+    * run continuously, the stream_classifier_score shape): each
+    * trigger's batch evaluates the constraint suite — per-batch
+    * aggregation, so it runs inside foreachBatch — and the sink
+    * receives (report, batchId). ForeignKey parents are static
+    * frames, re-joined per trigger against the trigger's rows only.
+    * The ingest-time gate: quarantine or alert on a failing trigger
+    * BEFORE it lands in the corpus.
+    */
+  def dqStream(rows: DataFrame,
+               constraints: Seq[graft.data.Quality.Constraint],
+               sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.data.Quality.checkConstraints(batch, constraints), batchId)
+      }
+      .outputMode("update")
+      .start()
+
   /** [[scd2Stream]]'s per-trigger engine, factored for direct spec
     * coverage of the replay geometries (like [[IngestLoop]]).
     */

@@ -1545,4 +1545,88 @@ class StreamingSpec extends AnyFunSuite {
       assert(after == batch, "a dropped retro event must not perturb the census")
     } finally query.stop()
   }
+
+  test("cdcApplyStream: triggers fold into the dimension; final equals sequential batch applies") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "bal")
+    val t1 = Seq((1L, "a2", 10.0, "upsert", 2L), (2L, "b", 2.0, "delete", 1L))
+    val t2 = Seq((1L, "a3", 11.0, "upsert", 3L), (4L, "d", 4.0, "upsert", 1L))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcstream_ckpt").toString
+    val stream = MemoryStream[(Long, String, Double, String, Long)]
+    @volatile var last: Option[org.apache.spark.sql.DataFrame] = None
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = Streams.cdcApplyStream(
+      stream.toDS().toDF("id", "name", "bal", "op", "seq"),
+      base, "id", "op", "seq", ckpt,
+      dim => { last = Some(dim); ticks.incrementAndGet(); () })
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      assert(ticks.get == 1)
+      val mid = base.applyChanges(t1.toDF("id", "name", "bal", "op", "seq"), "id", "op", "seq")
+      assert(last.get.collect().map(_.toString).sorted.toSeq ==
+        mid.collect().map(_.toString).sorted.toSeq,
+        "the mid-stream dimension must equal one batch apply")
+      stream.addData(t2); q.processAllAvailable()
+      assert(ticks.get == 2)
+    } finally q.stop()
+    val expected = base
+      .applyChanges(t1.toDF("id", "name", "bal", "op", "seq"), "id", "op", "seq")
+      .applyChanges(t2.toDF("id", "name", "bal", "op", "seq"), "id", "op", "seq")
+    assert(last.get.collect().map(_.toString).sorted.toSeq ==
+      expected.collect().map(_.toString).sorted.toSeq,
+      "the final dimension must equal the sequential batch applies")
+  }
+
+  test("Scd1Loop replay: a retried trigger re-applies from the pre-apply dimension; batchId regression fails") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "bal")
+    val c0 = Seq((1L, "a2", 10.0, "upsert", 1L)).toDF("id", "name", "bal", "op", "seq")
+    val c1 = Seq((2L, "b", 2.0, "delete", 2L)).toDF("id", "name", "bal", "op", "seq")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd1loop_ckpt").toString
+    val sunk = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val loop = new Streams.Scd1Loop(base, "id", "op", "seq", ckpt, dim => sunk += dim)
+    loop.handle(c0, 0L)
+    val first = sunk.last.collect().map(_.toString).sorted.toSeq
+    // a foreachBatch RETRY re-applies from the retained pre-apply
+    // dimension - applyChanges is deterministic, identical result
+    loop.handle(c0, 0L)
+    assert(sunk.size == 2, "the retry re-emits")
+    assert(sunk.last.collect().map(_.toString).sorted.toSeq == first,
+      "the retried apply must rebuild the identical dimension")
+    loop.handle(c1, 1L)
+    val e = intercept[IllegalStateException] { loop.handle(c0, 0L) }
+    assert(e.getMessage.contains("wiped"))
+    import graft.api.Ops._
+    val expected = base.applyChanges(c0, "id", "op", "seq").applyChanges(c1, "id", "op", "seq")
+    assert(sunk.last.collect().map(_.toString).sorted.toSeq ==
+      expected.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("dqStream: each trigger's report equals batch checkConstraints of that trigger") {
+    import spark.implicits._
+    import graft.data.Quality._
+    implicit val sqlCtx = spark.sqlContext
+    val parent = Seq(1L, 2L).toDF("pk")
+    val cs = Seq(
+      NotNull("v", "nn"),
+      InRange("v", 0.0, 10.0, "rng"),
+      ForeignKey(Seq("k"), parent, Seq("pk"), "fk"))
+    val t1 = Seq((1L, Some(5.0)), (9L, Some(50.0)))  // one orphan, one out-of-range
+    val t2 = Seq((2L, None))                          // one null
+    val stream = MemoryStream[(Long, Option[Double])]
+    val reports = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = Streams.dqStream(stream.toDS().toDF("k", "v"), cs,
+      (report, id) => { reports(id) = report.collect().map(_.toString).sorted.toSeq; () })
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+    } finally q.stop()
+    def batchOf(rows: Seq[(Long, Option[Double])]): Seq[String] =
+      graft.data.Quality.checkConstraints(rows.toDF("k", "v"), cs)
+        .collect().map(_.toString).sorted.toSeq
+    assert(reports(0L) == batchOf(t1), "trigger-1 report must equal the batch gate")
+    assert(reports(1L) == batchOf(t2), "trigger-2 report must equal the batch gate")
+  }
 }
