@@ -61,7 +61,8 @@ object Bench {
     "q116_video_neardup", "q117_ewma", "q118_event_paths",
     "q119_regression", "q120_twap", "q121_transitions", "q122_streaks",
     "q123_dq_checks", "q124_cdc_apply", "q125_winsorize",
-    "q126_triangles", "q127_seasonal", "q128_cusum")
+    "q126_triangles", "q127_seasonal", "q128_cusum", "q129_assoc_rules",
+    "q130_rfm")
 
   private val childMarker = "##BENCHQ##"
 

@@ -363,6 +363,14 @@ object ScaleProbe {
       // r12: one group-window sort over the non-null values + a
       // groups-sized bounds join back
       "q125_winsorize" -> (t => operators.Extended.q125(t)),
+      // r12: per-basket pair explosion over the FIXED 25-brand
+      // vocabulary — the rule frame is ≤ 600 rows at any scale,
+      // supports grow with data
+      "q129_assoc"    -> (t => operators.Extended.q129(t)),
+      // r12: three staged global ranks (range shuffle + pid window +
+      // broadcast offsets each) over the per-customer frame + one
+      // 1-row scalar broadcast
+      "q130_rfm"      -> (t => operators.Relational.q130(t)),
       // r12: one (type, hour) aggregate — ≤ types×24 cells — + a
       // broadcast-friendly join back; no window anywhere
       "q127_seasonal" -> (t => operators.Temporal.q127(t)),

@@ -148,6 +148,8 @@ object SparkEntry {
     "q126_triangles"      -> q(Extended.q126),
     "q127_seasonal"       -> q(Temporal.q127),
     "q128_cusum"          -> q(Temporal.q128),
+    "q129_assoc_rules"    -> q(Extended.q129),
+    "q130_rfm"            -> q(Relational.q130),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2458,6 +2460,53 @@ object SparkEntry {
         |  FROM c)
         |SELECT src, dst, cnt, src_total, (cnt * 1000) // src_total AS prob_millis
         |FROM t ORDER BY src, dst""".stripMargin,
+
+    // q130: the oracle replays the SAME total-order ranks with plain
+    // global row_number (the staged globalRank is output-identical by
+    // the rank-offset argument) and the same floor-tile formula
+    "q130_rfm" ->
+      """WITH m AS (SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        |r AS (SELECT m.*,
+        |    CAST(row_number() OVER (ORDER BY last_us DESC, o_custkey) AS BIGINT) AS rr,
+        |    CAST(row_number() OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS fr,
+        |    CAST(row_number() OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS mr
+        |  FROM m)
+        |SELECT o_custkey, last_us, frequency, monetary_cents,
+        |  ((rr - 1) * 5) // n + 1 AS r_score,
+        |  ((fr - 1) * 5) // n + 1 AS f_score,
+        |  ((mr - 1) * 5) // n + 1 AS m_score,
+        |  CAST(((rr - 1) * 5) // n + 1 AS VARCHAR)
+        |    || CAST(((fr - 1) * 5) // n + 1 AS VARCHAR)
+        |    || CAST(((mr - 1) * 5) // n + 1 AS VARCHAR) AS segment
+        |FROM r CROSS JOIN n
+        |ORDER BY o_custkey""".stripMargin,
+
+    // q129: exact supports + confidence via `//` ≡ div; lift is the
+    // identical double expression tree over the exact counts
+    "q129_assoc_rules" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS it
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM e),
+        |items AS (SELECT it, CAST(count(*) AS BIGINT) AS ni FROM e GROUP BY 1),
+        |pairs AS (SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS support
+        |  FROM e x JOIN e y ON x.ok = y.ok AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        |d AS (SELECT a AS antecedent, b AS consequent, support FROM pairs
+        |  UNION ALL SELECT b, a, support FROM pairs)
+        |SELECT antecedent, consequent, support,
+        |  ia.ni AS n_antecedent, ic.ni AS n_consequent, n_baskets,
+        |  (support * 1000) // ia.ni AS confidence_millis,
+        |  round(CAST(support AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |    / (CAST(ia.ni AS DOUBLE) * CAST(ic.ni AS DOUBLE)), 6) AS lift
+        |FROM d
+        |JOIN items ia ON ia.it = d.antecedent
+        |JOIN items ic ON ic.it = d.consequent
+        |CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     // q127: the (type, hour) cell sums replay as exact BIGINTs; the
     // baseline and residual use the same `//` ≡ div on non-negative

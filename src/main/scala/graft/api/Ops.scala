@@ -2025,6 +2025,52 @@ object Ops {
     * keeps cost predictable.
     * Returns (node, rank) for every edge endpoint.
     */
+  /** Pairwise association rules over (basket, item) rows (r12 —
+    * market-basket analytics, the Apriori pair stage): for every
+    * ordered pair (antecedent → consequent) whose UNDIRECTED support
+    * reaches `minSupport` baskets, the support count, the item
+    * counts, exact-integer `confidence_millis = ⌊support·1000 /
+    * n_antecedent⌋`, and `lift = (support·N)/(n_a·n_c)` as a FIXED
+    * double expression over the exact counts rounded at 6 (the q100
+    * discipline — a scale-safe alternative to the ×N integer form,
+    * whose Long bound would break at ~3·10⁷ baskets). Input rows
+    * should be DISTINCT (basket, item) pairs; both rule directions
+    * emit.
+    *
+    * Scale shape: one per-basket self-join (pair explosion bounded by
+    * basket size — never items × items), two map-combinable censuses,
+    * the 1-row basket total broadcast keylessly (the q48 scalar
+    * shape), and item counts joined onto the support-filtered pair
+    * frame only.
+    */
+  def associationRules(baskets: DataFrame, basket: String, item: String,
+                       minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "associationRules: minSupport must be >= 1")
+    val e = baskets.select(col(basket).as("__ok"), col(item).as("__it"))
+      .filter(col("__ok").isNotNull && col("__it").isNotNull)
+    val nBaskets = e.select(countDistinct(col("__ok")).as("__nb"))
+    val items = e.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.__ok") === col("y.__ok") && col("x.__it") < col("y.__it"))
+      .groupBy(col("x.__it").as("__a"), col("y.__it").as("__b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val directed = pairs.select(col("__a").as("antecedent"), col("__b").as("consequent"), col("support"))
+      .unionByName(pairs.select(col("__b").as("antecedent"), col("__a").as("consequent"), col("support")))
+    val sD = col("support").cast("double"); val nbD = col("__nb").cast("double")
+    val naD = col("__na").cast("double");   val ncD = col("__nc").cast("double")
+    directed
+      .join(items.select(col("__it").as("antecedent"), col("__ni").as("__na")), Seq("antecedent"))
+      .join(items.select(col("__it").as("consequent"), col("__ni").as("__nc")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("n_antecedent", col("__na"))
+      .withColumn("n_consequent", col("__nc"))
+      .withColumn("n_baskets", col("__nb"))
+      .withColumn("confidence_millis", expr("(support * 1000) div n_antecedent"))
+      .withColumn("lift", round(sD * nbD / (naD * ncD), 6))
+      .drop("__na", "__nc", "__nb")
+  }
+
   /** Per-node triangle counts over an undirected graph (r12 — the
     * third graph primitive beside PageRank and the
     * connected-components family; triangle participation is the
@@ -2548,6 +2594,83 @@ object Ops {
         .agg(count(lit(1)).as("n_events"),
           concat_ws(">", transform(sorted, x => x("et"))).as("path"))
         .withColumn("matched", col("path").rlike(pattern))
+    }
+
+    /** Scalable exact total-order rank (r12 — the global `row_number`
+      * WITHOUT the single-reducer window Spark's unpartitioned
+      * Window forces, which the engine's plan discipline forbids):
+      * range-repartition on the order columns (ordered ranges land on
+      * ascending partition ids), rank WITHIN each partition, then add
+      * per-partition offsets computed on a ≤-partitions-sized frame
+      * (whose own tiny window is bounded by the partition count, not
+      * the data). The order columns MUST form a total order
+      * (append a unique tiebreak) — then the rank is deterministic
+      * regardless of where the sampled range boundaries fall.
+      * The ranked frame MATERIALIZES (checkpoint) before the offsets
+      * derive from it: range boundaries come from SAMPLING, so the
+      * offsets branch re-evaluating the exchange could see DIFFERENT
+      * boundaries than the rows it offsets — the classic
+      * nondeterministic-lineage self-join trap; freezing the frame
+      * makes both branches read the same pid assignment (and is the
+      * honest price of an exact global rank). Adds `<out>`; one
+      * range shuffle + one pid-keyed window + a broadcast-sized
+      * offsets join.
+      */
+    def globalRank(order: Seq[Column], out: String = "rank",
+                   checkpointDir: Option[String] = None): DataFrame = {
+      require(order.nonEmpty, "globalRank: order columns required")
+      val parts = left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val ranged = left.repartitionByRange(parts, order: _*)
+        .withColumn("__gr_pid", spark_partition_id())
+      val ranked = lineageBreaker(checkpointDir)(
+        ranged.withColumn("__gr_r",
+          row_number().over(Window.partitionBy(col("__gr_pid")).orderBy(order: _*)).cast("long")))
+      val wo = Window.orderBy(col("__gr_pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = ranked.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_n"))
+        .withColumn("__gr_off", sum(col("__gr_n")).over(wo) - col("__gr_n"))
+        .select(col("__gr_pid"), col("__gr_off"))
+      ranked.join(broadcast(offsets), Seq("__gr_pid"))
+        .withColumn(out, col("__gr_off") + col("__gr_r"))
+        .drop("__gr_pid", "__gr_r", "__gr_off")
+    }
+
+    /** RFM customer scoring (r12 — the classic segmentation pass):
+      * per key, Recency (latest transaction instant), Frequency
+      * (transaction count) and Monetary (exact cents total), each
+      * converted to a 1..`tiles` score by EXACT global rank (best =
+      * tile 1): `tile = ⌊(rank−1)·tiles / n⌋ + 1` over the rank of
+      * (metric best-first, key) — a total order, so scores are
+      * deterministic on any engine and partitioning. The three ranks
+      * run through [[globalRank]] (no single-reducer window); the
+      * key-count scalar joins keylessly as ONE broadcast row (the
+      * q48 shape). Returns one row per key: metrics, r/f/m scores
+      * and the concatenated `segment`.
+      */
+    def rfmScores(key: String, time: String, value: Column,
+                  tiles: Int = 5): DataFrame = {
+      require(tiles >= 2 && tiles <= 100, s"rfmScores: tiles ($tiles) must be in 2..100")
+      val m = left
+        .filter(value.isNotNull)
+        .groupBy(col(key))
+        // the cast tolerates TIMESTAMP_NTZ sources (instant-preserving
+        // under the engine's pinned-UTC session; a no-op on TIMESTAMP)
+        .agg(max(unix_micros(col(time).cast("timestamp"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum((graft.util.Portable.dec(value) * 100).cast("long")).as("monetary_cents"))
+      val n1 = m.select(count(lit(1)).as("__n"))
+      val ranked = m
+        .globalRank(Seq(col("last_us").desc, col(key)), out = "__rr")
+        .globalRank(Seq(col("frequency").desc, col(key)), out = "__fr")
+        .globalRank(Seq(col("monetary_cents").desc, col(key)), out = "__mr")
+        .crossJoin(broadcast(n1))
+      ranked
+        .withColumn("r_score", expr("((__rr - 1) * " + tiles + ") div __n") + 1L)
+        .withColumn("f_score", expr("((__fr - 1) * " + tiles + ") div __n") + 1L)
+        .withColumn("m_score", expr("((__mr - 1) * " + tiles + ") div __n") + 1L)
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+        .drop("__rr", "__fr", "__mr", "__n")
     }
 
     /** Declarative data-quality gate ([[graft.data.Quality]], r12):

@@ -366,6 +366,26 @@ object Extended {
       .orderBy(col("node"))
   }
 
+  /** q129: brand association rules over order baskets
+    * ([[graft.api.Ops.associationRules]]) — which part brands
+    * co-sell: the Apriori pair stage with exact supports, exact
+    * confidence millis and the q100-shaped double lift. The item
+    * vocabulary is the 25 brands, so the rule frame is ≤ 600 rows at
+    * ANY scale while supports keep growing with data — the shape
+    * that makes pair rules tractable at 100 TB. Part dim broadcasts.
+    */
+  def q129(t: Tables): DataFrame = {
+    val e = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("it")).distinct()
+    graft.api.Ops.associationRules(e, "ok", "it", minSupport = 10)
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_antecedent"), col("n_consequent"), col("n_baskets"),
+        col("confidence_millis"), col("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

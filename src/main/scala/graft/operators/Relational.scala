@@ -375,6 +375,23 @@ object Relational {
     }
   }
 
+  /** q130: RFM customer segmentation
+    * ([[graft.api.Ops.GraftDataFrameOps.rfmScores]]) — recency /
+    * frequency / monetary quintiles by EXACT global rank (best-first,
+    * custkey tiebreak — a total order, so scores replay bit-for-bit)
+    * over the per-customer order metrics. The ranks run through the
+    * range-partitioned globalRank, never a single-reducer window;
+    * the customer count joins as the one q48-shaped scalar row.
+    */
+  def q130(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders.rfmScores("o_custkey", "o_orderdate", col("o_totalprice"))
+      .select(col("o_custkey"), col("last_us"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** q124: SCD Type-1 CDC apply
     * ([[graft.api.Ops.GraftDataFrameOps.applyChanges]]) — a
     * deterministic change feed derived from customer (drifted

@@ -784,6 +784,59 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out, "decimal moments make the fit partitioning-invariant")
   }
 
+  test("globalRank: staged rank equals the total-order index; partitioning invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // values with deliberate duplicates — the id tiebreak totalizes
+    val rows = (1 to 100).map(i => (i.toLong, (i % 7).toDouble))
+    val df = spark.createDataset(scala.util.Random.shuffle(rows)).toDF("id", "v")
+    val out = df.globalRank(Seq(col("v"), col("id")), out = "rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = rows.sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(out == expected, "the staged rank must equal the total-order index")
+    val again = df.repartition(13).globalRank(Seq(col("v"), col("id")), out = "rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == expected, "range boundaries must never change the rank")
+  }
+
+  test("rfmScores: exact quintiles best-first, deterministic tiebreak, segment concat") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // key k: k transactions, latest at day k, value k.00 each
+    val rows = for (k <- 1 to 5; i <- 1 to k)
+      yield (k.toLong, f"2024-01-0$k%d 00:$i%02d:00", k.toDouble)
+    val df = spark.createDataset(rows).toDF("k", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.rfmScores("k", "ts", col("v"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("frequency"), r.getAs[Long]("monetary_cents"),
+          r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+          r.getAs[Long]("m_score"), r.getAs[String]("segment")))).toMap
+    (1 to 5).foreach { k =>
+      val s = (6 - k).toLong // higher k = more recent, more frequent, bigger spend
+      assert(out(k.toLong) == ((k.toLong, k.toLong * k * 100, s, s, s, s"$s$s$s")),
+        s"key $k must score $s on all three axes (got ${out(k.toLong)})")
+    }
+  }
+
+  test("associationRules: exact supports, confidence, lift, threshold and directions") {
+    import spark.implicits._
+    val e = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b")).toDF("ok", "it")
+    val out = graft.api.Ops.associationRules(e, "ok", "it", minSupport = 2)
+      .collect().map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) ->
+        ((r.getAs[Long]("support"), r.getAs[Long]("n_antecedent"),
+          r.getAs[Long]("n_baskets"), r.getAs[Long]("confidence_millis"),
+          r.getAs[Double]("lift")))).toMap
+    // n_a=3, n_b=3, n_c=2, N=4; support(a,b)=2, (a,c)=2, (b,c)=1 < 2 → cut
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")),
+      "sub-threshold pairs emit no rule; surviving pairs emit both directions")
+    assert(out(("a", "b")) == ((2L, 3L, 4L, 666L, 0.888889)))
+    assert(out(("c", "a")) == ((2L, 2L, 4L, 1000L, 1.333333)),
+      "confidence is direction-specific: c → a is certain")
+  }
+
   test("seasonalResiduals: exact cell rationals, residual identity, null exclusion") {
     import spark.implicits._
     import graft.api.Ops._

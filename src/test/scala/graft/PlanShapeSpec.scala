@@ -51,7 +51,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q76_skew_stats", "q77_collocations", "q78_histogram",
       "q83_quality_buckets", "q86_keep_best", "q91_pq_adc", "q96_pagerank",
       "q101_bpe", "q106_pagerank_dangling", "q107_bpe_encode",
-      "q123_dq_checks"))
+      "q123_dq_checks", "q129_assoc_rules", "q130_rfm"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -93,6 +93,28 @@ class PlanShapeSpec extends AnyFunSuite {
     // the FK anti join itself must stay a HASH join on the key
     assert(plan.contains("LeftAnti"),
       s"expected the FK check to run as a left-anti join in q123:\n$plan")
+  }
+
+  test("q129's only keyless join is the 1-row basket-total broadcast") {
+    val plan = physicalPlan("q129_assoc_rules")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 1,
+      s"expected exactly the 1-row n_baskets broadcast in q129, got $keyless:\n$plan")
+  }
+
+  test("q130's only keyless join is the 1-row key-count broadcast") {
+    // the staged globalRank windows sit behind their materialization
+    // barrier (the rank frame checkpoints eagerly — the visible plan
+    // scans the frozen blocks), so the no-single-reducer-window
+    // property is pinned where it is OBSERVABLE: the globalRank spec
+    // (rank ≡ total-order index under any partitioning) plus this
+    // bound on keyless joins
+    val plan = physicalPlan("q130_rfm")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 1,
+      s"expected exactly the 1-row n broadcast in q130, got $keyless:\n$plan")
   }
 
   test("q48's only nested-loop is the 1-row n_docs broadcast") {
