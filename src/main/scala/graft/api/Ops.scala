@@ -342,6 +342,98 @@ object Ops {
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 
+  /** The (type, hour-of-day) cell census behind
+    * [[GraftDataFrameOps.seasonalResiduals]] and [[PreparedSeasonal]]
+    * — exact (cents-sum, count) rationals, ≤ types×24 rows.
+    */
+  private[graft] def seasonalCells(df: DataFrame, typeCol: String,
+                                   time: String, value: Column): DataFrame =
+    df.filter(value.isNotNull)
+      .withColumn("__sr_h", hour(col(time)).cast("long"))
+      .withColumn("__sr_c", (graft.util.Portable.dec(value) * 100).cast("long"))
+      .groupBy(col(typeCol).as("__sr_t"), col("__sr_h").as("__sr_hh"))
+      .agg(sum(col("__sr_c")).as("seasonal_num"), count(lit(1)).as("seasonal_denom"))
+
+  /** Score rows against a cell census: the shared core of the fluent
+    * form (inner — every row owns its cell by construction) and the
+    * prepared/streaming form (left — a (type, hour) unseen at prepare
+    * time yields NULL baseline and residual, observable, never a
+    * fabricated score).
+    */
+  private[graft] def scoreSeasonal(rows: DataFrame, cells: DataFrame,
+                                   typeCol: String, time: String, value: Column,
+                                   inner: Boolean): DataFrame =
+    rows.filter(value.isNotNull)
+      .withColumn("__sr_h", hour(col(time)).cast("long"))
+      .withColumn("__sr_c", (graft.util.Portable.dec(value) * 100).cast("long"))
+      .join(cells, col(typeCol) <=> col("__sr_t") && col("__sr_h") === col("__sr_hh"),
+        if (inner) "inner" else "left")
+      .withColumn("hour_of_day", col("__sr_h"))
+      .withColumn("seasonal_millicents",
+        expr("(seasonal_num * 1000) div seasonal_denom"))
+      .withColumn("residual_millicents",
+        col("__sr_c") * 1000 - col("seasonal_millicents"))
+      .drop("__sr_t", "__sr_hh", "__sr_h", "__sr_c")
+
+  /** Seasonal baselines prepared ONCE for serving and incremental
+    * maintenance (r12 — the FIFTEENTH prepared artifact, the second
+    * whose absorb is lossless by pure algebra after
+    * [[PreparedMoments]]): the (type, hour) cell rationals are
+    * additive, so `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)`
+    * bit-for-bit by cell-sum addition — no corpus rescan, no
+    * disjointness contract (observations are unkeyed). `against`
+    * scores any frame (or stream trigger) versus the FROZEN cells —
+    * a (type, hour) the baseline never saw yields NULL, observable.
+    * Merge cost is ≤ types×24 rows.
+    */
+  final case class PreparedSeasonal private[graft] (
+    cells: DataFrame, typeCol: String, reliable: Boolean) {
+
+    /** Add an increment's cell sums; pass the SAME time/value
+      * measures prepare used (the absorbVocab discipline).
+      */
+    def absorb(increment: DataFrame, time: String, value: Column,
+               checkpointDir: Option[String] = None): PreparedSeasonal = {
+      val ckp = lineageBreaker(checkpointDir)
+      val merged = ckp(cells
+        .unionByName(seasonalCells(increment, typeCol, time, value))
+        .groupBy(col("__sr_t"), col("__sr_hh"))
+        .agg(sum(col("seasonal_num")).as("seasonal_num"),
+          sum(col("seasonal_denom")).as("seasonal_denom")))
+      PreparedSeasonal(merged, typeCol, reliable && checkpointDir.isDefined)
+    }
+
+    /** Residuals of `rows` against the frozen baseline. */
+    def against(rows: DataFrame, time: String, value: Column): DataFrame =
+      scoreSeasonal(rows, cells, typeCol, time, value, inner = false)
+
+    /** Persist durably (one cells frame + kind-tagged meta). */
+    def save(path: String): Unit = {
+      cells.write.mode("overwrite").parquet(s"$path/cells")
+      ArtifactIO.writeMeta(cells.sparkSession, path, "seasonal",
+        Seq("typeCol" -> typeCol))
+    }
+  }
+
+  /** Build a [[PreparedSeasonal]]; `against` the prepare corpus
+    * reproduces `seasonalResiduals` row-for-row (shared code, every
+    * row owns its cell — spec-pinned).
+    */
+  def prepareSeasonal(corpus: DataFrame, typeCol: String, time: String,
+                      value: Column,
+                      checkpointDir: Option[String] = None): PreparedSeasonal = {
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedSeasonal(ckp(seasonalCells(corpus, typeCol, time, value)),
+      typeCol, checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedSeasonal]] persisted by its `save`. */
+  def loadSeasonal(spark: org.apache.spark.sql.SparkSession, path: String): PreparedSeasonal = {
+    val m = ArtifactIO.readMeta(spark, path, "seasonal")
+    PreparedSeasonal(spark.read.parquet(s"$path/cells"),
+      ArtifactIO.field(m, path, "typeCol"), reliable = true)
+  }
+
   /** Per-group regression moments prepared ONCE for incremental
     * maintenance — the prepared-artifact form of
     * [[GraftDataFrameOps.regressionByGroup]] (r12): the five decimal
@@ -2852,22 +2944,9 @@ object Ops {
       * hour) aggregate — at most groups×24 cells — joined back
       * broadcast-friendly; no window, no sort.
       */
-    def seasonalResiduals(typeCol: String, time: String, value: Column): DataFrame = {
-      val withCell = left
-        .filter(value.isNotNull)
-        .withColumn("__sr_h", hour(col(time)).cast("long"))
-        .withColumn("__sr_c", (graft.util.Portable.dec(value) * 100).cast("long"))
-      val cells = withCell.groupBy(col(typeCol).as("__sr_t"), col("__sr_h").as("__sr_hh"))
-        .agg(sum(col("__sr_c")).as("seasonal_num"), count(lit(1)).as("seasonal_denom"))
-      withCell
-        .join(cells, col(typeCol) <=> col("__sr_t") && col("__sr_h") === col("__sr_hh"))
-        .withColumn("hour_of_day", col("__sr_h"))
-        .withColumn("seasonal_millicents",
-          expr("(seasonal_num * 1000) div seasonal_denom"))
-        .withColumn("residual_millicents",
-          col("__sr_c") * 1000 - col("seasonal_millicents"))
-        .drop("__sr_t", "__sr_hh", "__sr_h", "__sr_c")
-    }
+    def seasonalResiduals(typeCol: String, time: String, value: Column): DataFrame =
+      scoreSeasonal(left, seasonalCells(left, typeCol, time, value),
+        typeCol, time, value, inner = true)
 
     /** Exact CUSUM change-point statistic per key (r12 — the
       * drift/level-shift detector over an ordered series): with

@@ -350,6 +350,31 @@ object Streams {
     }
   }
 
+  /** Streaming seasonal-anomaly scoring (r12 — the q127 baseline
+    * served live, the stream_bm25 frozen-artifact shape): each
+    * trigger's events score against the once-prepared (type, hour)
+    * cell rationals via `PreparedSeasonal.against`; a (type, hour)
+    * the baseline never saw yields NULL residuals — observable,
+    * never fabricated. Reliable prep required (the artifact's frames
+    * must outlive executors under a long-lived stream). The sink
+    * receives (scored trigger, batchId) — route |residual| over a
+    * threshold to the alert path.
+    */
+  def seasonalScoreStream(events: DataFrame,
+                          prepared: graft.api.Ops.PreparedSeasonal,
+                          time: String, value: org.apache.spark.sql.Column,
+                          sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "seasonalScoreStream needs a PreparedSeasonal built with a reliable " +
+        "checkpointDir or loaded from a persisted artifact")
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(prepared.against(batch, time, value), batchId)
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Per-trigger data-quality reports (r12 — [[graft.data.Quality]]
     * run continuously, the stream_classifier_score shape): each
     * trigger's batch evaluates the constraint suite — per-batch

@@ -860,6 +860,37 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(!out.contains(5L), "null values join no cell")
   }
 
+  test("PreparedSeasonal: against ≡ fluent, absorb ≡ re-prepare, unseen cell yields null") {
+    import spark.implicits._
+    import graft.api.Ops
+    import graft.api.Ops._
+    val df = Seq(
+      (1L, "a", "2024-01-01 09:10:00", 1.00), (2L, "a", "2024-01-02 09:50:00", 2.00),
+      (3L, "a", "2024-01-01 10:10:00", 9.00), (4L, "b", "2024-01-01 09:20:00", 5.00))
+      .toDF("event_id", "et", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val prepared = Ops.prepareSeasonal(df, "et", "ts", col("v"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "seasonal_num", "seasonal_denom", "residual_millicents")
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(prepared.against(df, "ts", col("v"))) ==
+      rows(df.seasonalResiduals("et", "ts", col("v"))),
+      "scoring the prepare corpus against its own baseline ≡ the fluent operator")
+    // absorb ≡ one-shot by cell-sum addition, incl. a cell only in B
+    val a = df.filter(col("event_id") <= 2); val b = df.filter(col("event_id") > 2)
+    val absorbed = Ops.prepareSeasonal(a, "et", "ts", col("v")).absorb(b, "ts", col("v"))
+    assert(absorbed.cells.collect().map(_.toString).sorted.toSeq ==
+      prepared.cells.collect().map(_.toString).sorted.toSeq)
+    // an unseen (type, hour) yields NULL baseline and residual
+    val unseen = Seq((9L, "a", "2024-01-01 23:00:00", 4.00))
+      .toDF("event_id", "et", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val scored = prepared.against(unseen, "ts", col("v")).collect()
+    assert(scored.length == 1 && scored.head.isNullAt(scored.head.fieldIndex("seasonal_num"))
+      && scored.head.isNullAt(scored.head.fieldIndex("residual_millicents")),
+      "a cell the baseline never saw must score null, never a fabricated baseline")
+  }
+
   test("cusumPerKey: division-free statistic, change-point extremum, keys never mix") {
     import spark.implicits._
     import graft.api.Ops._

@@ -317,6 +317,26 @@ class PersistenceSpec extends AnyFunSuite {
     assertSameRows(absorbed.regression, full.regression, "absorb-after-load regression")
   }
 
+  test("PreparedSeasonal save → load round-trips cells; absorb is exact algebra") {
+    val ev = Tables(spark, sfDir).events
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 === 1)
+    val full = Ops.prepareSeasonal(ev, "event_type", "ts", col("value"))
+    val dir = tmp("seasonal")
+    full.save(dir)
+    val loaded = Ops.loadSeasonal(spark, dir)
+    assert(loaded.typeCol == full.typeCol && loaded.reliable)
+    assertSameRows(loaded.cells, full.cells, "seasonal cells")
+    assertSameRows(
+      loaded.against(ev.limit(200), "ts", col("value")),
+      full.against(ev.limit(200), "ts", col("value")),
+      "seasonal scoring from loaded cells")
+    val dirA = tmp("seasonalA")
+    Ops.prepareSeasonal(a, "event_type", "ts", col("value")).save(dirA)
+    val absorbed = Ops.loadSeasonal(spark, dirA).absorb(b, "ts", col("value"))
+    assertSameRows(absorbed.cells, full.cells, "absorb-after-load cells")
+  }
+
   test("loading the wrong artifact kind — or a missing meta — fails fast") {
     val dir = tmp("kindclash")
     Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)

@@ -1629,4 +1629,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(reports(0L) == batchOf(t1), "trigger-1 report must equal the batch gate")
     assert(reports(1L) == batchOf(t2), "trigger-2 report must equal the batch gate")
   }
+
+  test("seasonalScoreStream: per-trigger scoring against the frozen baseline; unreliable refused") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = Tables(spark, sfDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seasonal_ckpt").toString
+    val prepared = graft.api.Ops.prepareSeasonal(
+      t.events, "event_type", "ts", col("value"), Some(ckpt))
+    // unreliable prep refuses up front
+    val e = intercept[IllegalArgumentException] {
+      Streams.seasonalScoreStream(
+        MemoryStream[Event].toDS().toDF(), 
+        graft.api.Ops.prepareSeasonal(t.events, "event_type", "ts", col("value")),
+        "ts", col("value"), (_, _) => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    val feed = eventSeq.take(400)
+    val (b1, b2) = feed.splitAt(200)
+    val stream = MemoryStream[Event]
+    val got = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = Streams.seasonalScoreStream(stream.toDS().toDF(), prepared, "ts", col("value"),
+      (scored, id) => { got(id) = scored.select("event_id", "seasonal_num", "residual_millicents")
+        .collect().map(_.toString).sorted.toSeq; () })
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def batchOf(rows: Seq[Event]): Seq[String] =
+      prepared.against(spark.createDataset(rows).toDF(), "ts", col("value"))
+        .select("event_id", "seasonal_num", "residual_millicents")
+        .collect().map(_.toString).sorted.toSeq
+    assert(got(0L) == batchOf(b1), "trigger 1 must equal the batch scoring of its rows")
+    assert(got(1L) == batchOf(b2), "trigger 2 must equal the batch scoring of its rows")
+  }
 }
