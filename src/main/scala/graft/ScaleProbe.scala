@@ -377,6 +377,9 @@ object ScaleProbe {
       // r12: one key-partitioned window sort (running sum + row index
       // share it) + a key-stats join — the q100 shape
       "q128_cusum"    -> (t => operators.Temporal.q128(t)),
+      // r12: per round ONE degree census + two semi joins over the
+      // surviving edges, checkpointed — cost tracks edges × rounds
+      "q131_kcore"    -> (t => operators.Extended.q131(t)),
       // r12: per-order pair explosion (bounded by order size) + the
       // degree-oriented wedge join (Σ d_out² = O(m^1.5) candidates —
       // the orientation is what caps hub wedges)

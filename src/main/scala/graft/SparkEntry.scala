@@ -150,6 +150,7 @@ object SparkEntry {
     "q128_cusum"          -> q(Temporal.q128),
     "q129_assoc_rules"    -> q(Extended.q129),
     "q130_rfm"            -> q(Relational.q130),
+    "q131_kcore"          -> q(Extended.q131),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2460,6 +2461,35 @@ object SparkEntry {
         |  FROM c)
         |SELECT src, dst, cnt, src_total, (cnt * 1000) // src_total AS prob_millis
         |FROM t ORDER BY src, dst""".stripMargin,
+
+    // q131: the R peel rounds unroll as MATERIALIZED CTEs (each
+    // round's edge frame is referenced twice — the q101 inlining
+    // rule); survivor census re-filtered at k, exactly the operator's
+    // definition
+    "q131_kcore" -> {
+      val k = 4; val rounds = 4
+      val header =
+        """WITH ei AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem WHERE l_partkey % 4 = 0),
+          |e0 AS MATERIALIZED (
+          |  SELECT DISTINCT x.p AS u, y.p AS v
+          |  FROM ei x JOIN ei y ON x.ok = y.ok AND x.p < y.p)""".stripMargin
+      val roundsSql = (1 to rounds).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT n FROM (SELECT u AS n FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+           |  GROUP BY n HAVING count(*) >= $k),
+           |e$r AS MATERIALIZED (
+           |  SELECT u, v FROM e${r - 1}
+           |  WHERE u IN (SELECT n FROM d$r) AND v IN (SELECT n FROM d$r))""".stripMargin
+      }.mkString(",\n")
+      s"""$header,
+         |$roundsSql
+         |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM (SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY n HAVING count(*) >= $k
+         |ORDER BY node""".stripMargin
+    },
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

@@ -2163,6 +2163,49 @@ object Ops {
       .drop("__na", "__nc", "__nb")
   }
 
+  /** R-round k-core peel over an undirected graph (r12 — the FOURTH
+    * graph primitive: the dense-subgraph extractor behind community
+    * cores and spam-ring detection). Each round recomputes degrees
+    * over the SURVIVING edge set and drops nodes below `k`; after
+    * `rounds` rounds the survivors with their final degrees return.
+    * The round budget is the CONTRACT (the q101-BPE fixed-rounds
+    * discipline — peeling converges geometrically in practice, and a
+    * fixed budget keeps cost predictable and the result replayable);
+    * once a round removes nothing, further rounds are no-ops, so a
+    * converged result is stable under a larger budget. Input edges
+    * canonicalize exactly as [[triangleCounts]] (dirty input safe).
+    *
+    * Scale shape per round: one map-combinable degree census + two
+    * node-keyed semi joins; the edge frame checkpoints each round
+    * (the q46 lineage discipline) so the plan stays flat.
+    */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int, rounds: Int,
+            checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"kCore: k ($k) must be >= 1")
+    require(rounds >= 1 && rounds <= 32, s"kCore: rounds ($rounds) must be in 1..32")
+    val ckp = lineageBreaker(checkpointDir)
+    var e = edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .distinct()
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k)
+      e = ckp(e
+        .join(deg.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(deg.select(col("n").as("v")), Seq("v"), "left_semi"))
+    }
+    // final census over the final edge set, re-filtered at k (nodes
+    // whose degree fell below k in the LAST cut drop here — the
+    // "survivor census after R peel rounds" definition the oracle
+    // replays)
+    e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
+
   /** Per-node triangle counts over an undirected graph (r12 — the
     * third graph primitive beside PageRank and the
     * connected-components family; triangle participation is the

@@ -386,6 +386,23 @@ object Extended {
       .orderBy(col("antecedent"), col("consequent"))
   }
 
+  /** q131: 4-round 4-core peel over the part basket graph
+    * ([[graft.api.Ops.kCore]]) — the dense-subgraph extractor on the
+    * same quarter-sliced co-occurrence projection q126 counts
+    * triangles on; fixed round budget (the q101 discipline), each
+    * round one degree census + two semi joins, edges checkpointed.
+    */
+  def q131(t: Tables): DataFrame = {
+    val e = t.lineitem.filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+    graft.api.Ops.kCore(pairs, "u", "v", k = 4, rounds = 4)
+      .orderBy(col("node"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

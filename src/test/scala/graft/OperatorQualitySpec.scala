@@ -918,6 +918,34 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("kCore: cascade peeling, converged stability, dirty-input canonicalization") {
+    import spark.implicits._
+    // K4 on 1..4 (a true 3-core) + a chain 4-5-6 whose removal CASCADES:
+    // node 6 (deg 1) falls in round 1, node 5 (deg 2, then 1) needs round 2
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (2L, 1L), (3L, 3L)) // reversed dup + self-loop: canonicalization
+      .toDF("s", "d")
+    val out = graft.api.Ops.kCore(edges, "s", "d", k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"the 3-core is exactly K4 once the chain cascades away (got $out)")
+    // a path has NO 2-core, but peeling it needs the cascade: one
+    // round (plus the survivor re-filter) still leaves the middle
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("s", "d")
+    val one = graft.api.Ops.kCore(path, "s", "d", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(12L),
+      s"round 1 on the path must still hold the middle node (got $one)")
+    assert(graft.api.Ops.kCore(path, "s", "d", k = 2, rounds = 4).count() == 0,
+      "the full peel empties the path — it has no 2-core")
+    // a converged result is stable under a larger budget
+    val more = graft.api.Ops.kCore(edges, "s", "d", k = 3, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == out, "extra rounds past convergence are no-ops")
+  }
+
   test("triangleCounts: K4 corners, pendant exclusion, dirty-input canonicalization") {
     import spark.implicits._
     // K4 on 1..4 (each node in C(3,2)=3 triangles) + pendant 5 + a
