@@ -151,6 +151,7 @@ object SparkEntry {
     "q129_assoc_rules"    -> q(Extended.q129),
     "q130_rfm"            -> q(Relational.q130),
     "q131_kcore"          -> q(Extended.q131),
+    "q132_bfs_reach"      -> q(Extended.q132),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2488,6 +2489,37 @@ object SparkEntry {
          |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
          |FROM (SELECT u AS n FROM e$rounds UNION ALL SELECT v FROM e$rounds)
          |GROUP BY n HAVING count(*) >= $k
+         |ORDER BY node""".stripMargin
+    },
+
+    // q132: the oracle unrolls the 3 BFS rounds as MATERIALIZED CTEs
+    // (the q131 discipline) — each round's frontier is the adjacency
+    // neighbors of the previous frontier not yet labeled
+    "q132_bfs_reach" -> {
+      val rounds = 3
+      val header =
+        """WITH ei AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem WHERE l_partkey % 4 = 0),
+          |e0 AS MATERIALIZED (
+          |  SELECT DISTINCT x.p AS u, y.p AS v
+          |  FROM ei x JOIN ei y ON x.ok = y.ok AND x.p < y.p),
+          |adj AS MATERIALIZED (
+          |  SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+          |dist0 AS MATERIALIZED (
+          |  SELECT DISTINCT p AS node, CAST(0 AS BIGINT) AS dist
+          |  FROM ei WHERE p % 20 = 0)""".stripMargin
+      val roundsSql = (1 to rounds).map { r =>
+        s"""f$r AS MATERIALIZED (
+           |  SELECT DISTINCT a.d AS node, CAST($r AS BIGINT) AS dist
+           |  FROM adj a JOIN dist${r - 1} fr ON a.s = fr.node AND fr.dist = ${r - 1}
+           |  WHERE a.d NOT IN (SELECT node FROM dist${r - 1})),
+           |dist$r AS MATERIALIZED (
+           |  SELECT node, dist FROM dist${r - 1} UNION ALL SELECT node, dist FROM f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""$header,
+         |$roundsSql
+         |SELECT node, dist FROM dist$rounds
          |ORDER BY node""".stripMargin
     },
 

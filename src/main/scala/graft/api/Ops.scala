@@ -2206,6 +2206,59 @@ object Ops {
       .filter(col("degree") >= k)
   }
 
+  /** Multi-source BFS hop distances over an undirected graph (r12 —
+    * the FIFTH graph primitive: the reachability/blast-radius query
+    * behind "how far does an entity's influence spread" — fraud-ring
+    * proximity, recall expansion from a seed set, impact analysis).
+    * Every seed starts at distance 0; round `r` labels every
+    * yet-unlabeled neighbor of the round-`(r-1)` frontier with
+    * distance `r` — the minimum hop count from ANY seed, by
+    * induction. The round budget is the CONTRACT (the [[kCore]]
+    * fixed-rounds discipline): nodes farther than `rounds` hops stay
+    * unlabeled, and once a frontier empties further rounds are
+    * no-ops, so a converged result is stable under a larger budget.
+    * Input edges canonicalize exactly as [[triangleCounts]] (dirty
+    * input safe — duplicates, reversals and self-loops collapse);
+    * seeds deduplicate and drop nulls, and seeds absent from the
+    * edge set still label at distance 0 (they are trivially reached).
+    *
+    * Scale shape per round: the frontier joins the adjacency list on
+    * the node key (hash join, frontier-sized probe — never
+    * graph-sized), one distinct, one anti join against the labeled
+    * set; frontiers and the distance frame checkpoint each round
+    * (the q46 lineage discipline) so the plan stays flat. No step is
+    * proportional to anything but the frontier boundary and its
+    * neighborhood — exactly the property that makes frontier BFS the
+    * standard at billion-edge scale.
+    */
+  def bfsDistances(edges: DataFrame, src: String, dst: String,
+                   seeds: DataFrame, seedCol: String, rounds: Int,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"bfsDistances: rounds ($rounds) must be in 1..32")
+    val ckp = lineageBreaker(checkpointDir)
+    val und = edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .distinct()
+    // adjacency in both directions: BFS walks edges undirected
+    val adj = ckp(und.select(col("u").as("s"), col("v").as("d"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d"))))
+    var dist = ckp(seeds.select(col(seedCol).as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist.select(col("node"))
+    for (r <- 1 to rounds) {
+      val next = ckp(adj.join(frontier.withColumnRenamed("node", "s"), Seq("s"))
+        .select(col("d").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(r.toLong)))
+      dist = ckp(dist.unionByName(next))
+      frontier = next.select(col("node"))
+    }
+    dist
+  }
+
   /** Per-node triangle counts over an undirected graph (r12 — the
     * third graph primitive beside PageRank and the
     * connected-components family; triangle participation is the

@@ -403,6 +403,26 @@ object Extended {
       .orderBy(col("node"))
   }
 
+  /** q132: 3-round multi-source BFS reachability over the part basket
+    * graph ([[graft.api.Ops.bfsDistances]]) — minimum hop distance
+    * from the deterministic seed set (every part key ≡ 0 mod 20 that
+    * sells at all) across the same quarter-sliced co-occurrence
+    * projection q126/q131 analyze; the blast-radius/reach query.
+    * Fixed round budget (the q101 discipline), frontier-sized joins,
+    * per-round checkpoints.
+    */
+  def q132(t: Tables): DataFrame = {
+    val e = t.lineitem.filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+    val seeds = e.select(col("p")).filter(col("p") % 20 === 0).distinct()
+    graft.api.Ops.bfsDistances(pairs, "u", "v", seeds, "p", rounds = 3)
+      .orderBy(col("node"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -946,6 +946,39 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("bfsDistances: min-hop labels, unreached exclusion, off-graph seeds, converged stability") {
+    import spark.implicits._
+    // path 1-2-3-4-5 with a shortcut 1-4: node 4 is 1 hop (shortcut
+    // wins over the 3-hop path), node 5 is 2; node 99 is disconnected
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (98L, 99L),
+      (2L, 1L), (3L, 3L)) // reversed dup + self-loop: canonicalization
+      .toDF("s", "d")
+    val seeds = Seq(1L).toDF("n")
+    val out = graft.api.Ops.bfsDistances(edges, "s", "d", seeds, "n", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L),
+      s"min-hop from the seed; the disconnected component stays unlabeled (got $out)")
+    // a round budget below the diameter leaves the far tail unlabeled
+    val short = graft.api.Ops.bfsDistances(edges, "s", "d", seeds, "n", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(short == Map(1L -> 0L, 2L -> 1L, 4L -> 1L),
+      s"rounds=1 labels only the seed's direct neighborhood (got $short)")
+    // multi-source: nearest seed wins; an off-graph seed labels at 0
+    val multi = graft.api.Ops.bfsDistances(edges, "s", "d",
+        Seq(1L, 5L, 777L).toDF("n"), "n", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1L -> 0L, 5L -> 0L, 777L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L),
+      s"distance is min over seeds; seed 777 is trivially reached (got $multi)")
+    // a converged result is stable under a larger budget, under
+    // repartitioning, and duplicate seeds collapse
+    val more = graft.api.Ops.bfsDistances(edges.repartition(5), "s", "d",
+        Seq(1L, 1L).toDF("n"), "n", rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == out, "extra rounds past convergence are no-ops")
+  }
+
   test("triangleCounts: K4 corners, pendant exclusion, dirty-input canonicalization") {
     import spark.implicits._
     // K4 on 1..4 (each node in C(3,2)=3 triangles) + pendant 5 + a

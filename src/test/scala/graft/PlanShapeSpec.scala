@@ -52,9 +52,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q83_quality_buckets", "q86_keep_best", "q91_pq_adc", "q96_pagerank",
       "q101_bpe", "q106_pagerank_dangling", "q107_bpe_encode",
       "q123_dq_checks", "q129_assoc_rules", "q130_rfm",
-      // q131 is checkpoint-iterative like q46/q96: building the plan
-      // runs the peel loop, so its shape is spec'd behaviorally
-      "q131_kcore"))
+      // q131/q132 are checkpoint-iterative like q46/q96: building the
+      // plan runs the peel/frontier loop, so their shape is spec'd
+      // behaviorally
+      "q131_kcore", "q132_bfs_reach"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
