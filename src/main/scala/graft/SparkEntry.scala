@@ -152,6 +152,7 @@ object SparkEntry {
     "q130_rfm"            -> q(Relational.q130),
     "q131_kcore"          -> q(Extended.q131),
     "q132_bfs_reach"      -> q(Extended.q132),
+    "q134_ab_test"        -> q(Extended.q134),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2522,6 +2523,41 @@ object SparkEntry {
          |SELECT node, dist FROM dist$rounds
          |ORDER BY node""".stripMargin
     },
+
+    // q134: per-unit conversion rollup → per-arm exact counts →
+    // the identical fixed double shape for p/pool/se/z (every
+    // division and sqrt written in the same op order as the Spark
+    // column expressions; 1.96 cast to DOUBLE — DuckDB would parse
+    // the bare literal as DECIMAL)
+    "q134_ab_test" ->
+      """WITH pu AS (
+        |  SELECT c_mktsegment, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |         user_id AS u,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events JOIN customer ON c_custkey = user_id
+        |  GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT c_mktsegment, v, count(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM pu GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.c_mktsegment, a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+        |  FROM per a JOIN per b ON a.c_mktsegment = b.c_mktsegment
+        |  WHERE a.v = 'A' AND b.v = 'B'),
+        |s AS (
+        |  SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
+        |            CAST(conv_b AS DOUBLE) / n_b AS pb,
+        |            CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool
+        |  FROM j),
+        |s2 AS (
+        |  SELECT *, sqrt(pool * (CAST(1 AS DOUBLE) - pool) *
+        |                 (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS se
+        |  FROM s)
+        |SELECT c_mktsegment, n_a, conv_a, n_b, conv_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  CASE WHEN se > 0 THEN round((pa - pb) / se, 6) END AS z,
+        |  CASE WHEN se > 0 THEN abs(round((pa - pb) / se, 6)) >= CAST(1.96 AS DOUBLE)
+        |       ELSE FALSE END AS significant
+        |FROM s2 ORDER BY c_mktsegment""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

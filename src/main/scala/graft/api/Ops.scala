@@ -2963,6 +2963,53 @@ object Ops {
     def regressionByGroup(group: String, x: Column, y: Column): DataFrame =
       regressionFromMoments(momentsOf(left, group, x, y))
 
+    /** Two-proportion A/B z-test per group (r12 — the experiment
+      * readout every product analytics stack ships): each UNIT
+      * (user) counts once per arm, converted iff ANY of its rows
+      * satisfies `success`; per group the two arms' exact
+      * (units, conversions) counts feed the pooled two-proportion
+      * z statistic — a FIXED double expression over exact integers
+      * (the q100/q119 discipline: identical IEEE ops on identical
+      * doubles replay bit-for-bit on any engine), rounded at 6
+      * digits; `significant` thresholds the rounded |z| at 1.96
+      * (two-sided 5%). Groups missing either arm are dropped (one
+      * arm has no comparison); a degenerate pooled rate (0 or 1 —
+      * zero variance) yields null z and false significance. Scale
+      * shape: one (group, arm, unit)-keyed aggregate (map-side
+      * partials) + one groups-sized self-join — no window, no
+      * driver collect; at 100 TB the unit rollup shuffles once on
+      * the natural experiment key.
+      */
+    def abTest(group: String, unit: Column, variant: Column,
+               success: Column, variantA: String, variantB: String): DataFrame = {
+      require(variantA != variantB, "abTest: the two arms must differ")
+      val perUnit = left
+        .filter(unit.isNotNull && variant.isin(variantA, variantB))
+        .groupBy(col(group).as("__g"), variant.as("__v"), unit.as("__u"))
+        .agg(max(when(success, lit(1L)).otherwise(lit(0L))).as("__conv"))
+      val per = perUnit.groupBy(col("__g"), col("__v"))
+        .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__c"))
+      val a = per.filter(col("__v") === variantA)
+        .select(col("__g"), col("__n").as("n_a"), col("__c").as("conv_a"))
+      val b = per.filter(col("__v") === variantB)
+        .select(col("__g"), col("__n").as("n_b"), col("__c").as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a")
+      val pb = col("conv_b").cast("double") / col("n_b")
+      val pool = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+      a.join(b, Seq("__g"))
+        .withColumn("__pa", pa).withColumn("__pb", pb).withColumn("__pool", pool)
+        .withColumn("__se", sqrt(col("__pool") * (lit(1.0) - col("__pool")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+        .withColumn("p_a", round(col("__pa"), 6))
+        .withColumn("p_b", round(col("__pb"), 6))
+        .withColumn("z", when(col("__se") > 0.0,
+          round((col("__pa") - col("__pb")) / col("__se"), 6)))
+        .withColumn("significant", when(col("__se") > 0.0,
+          abs(col("z")) >= lit(1.96)).otherwise(lit(false)))
+        .withColumnRenamed("__g", group)
+        .drop("__pa", "__pb", "__pool", "__se")
+    }
+
     /** Exact time-weighted average per key (r12 — the irregular-series
       * mean `ewmaTrailing` doesn't give): each observation holds its
       * value until the key's NEXT observation, so it weighs by that

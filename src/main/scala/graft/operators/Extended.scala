@@ -423,6 +423,25 @@ object Extended {
       .orderBy(col("node"))
   }
 
+  /** q134: per-segment two-proportion A/B test
+    * ([[graft.api.Ops.GraftDataFrameOps.abTest]]) — users split into
+    * deterministic arms by id parity, conversion = any purchase
+    * event; exact per-arm counts, fixed-shape pooled z, rounded at 6.
+    * The user→segment dimension broadcasts (the q05 discipline).
+    */
+  def q134(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .abTest("c_mktsegment", col("user_id"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B"),
+        col("event_type") === "purchase", "A", "B")
+      .select(col("c_mktsegment"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"), col("p_a"), col("p_b"), col("z"), col("significant"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

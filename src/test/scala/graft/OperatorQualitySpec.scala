@@ -946,6 +946,35 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("abTest: unit-once counting, one-armed groups dropped, degenerate pool, z sign") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // g1: A = {u1 converted (twice — counts once), u2 not}, B = {u3, u4 both converted}
+    // g2: only arm A → dropped. g3: both arms fully converted → pool 1, se 0
+    val df = Seq(
+      ("g1", "A", 1L, true), ("g1", "A", 1L, true), ("g1", "A", 2L, false),
+      ("g1", "B", 3L, true), ("g1", "B", 4L, true),
+      ("g2", "A", 5L, true),
+      ("g3", "A", 6L, true), ("g3", "B", 7L, true),
+      ("g1", "C", 8L, true)) // an unknown arm is ignored
+      .toDF("g", "v", "u", "ok")
+    val out = df.abTest("g", col("u"), col("v"), col("ok"), "A", "B")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out.keySet == Set("g1", "g3"), "one-armed g2 and arm C drop")
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("n_a") == 2L && g1.getAs[Long]("conv_a") == 1L)
+    assert(g1.getAs[Long]("n_b") == 2L && g1.getAs[Long]("conv_b") == 2L)
+    assert(g1.getAs[Double]("p_a") == 0.5 && g1.getAs[Double]("p_b") == 1.0)
+    assert(g1.getAs[Double]("z") < 0.0, "arm A converts worse → negative z")
+    val g3 = out("g3")
+    assert(g3.isNullAt(g3.fieldIndex("z")) && !g3.getAs[Boolean]("significant"),
+      "a pooled rate of 1 has zero variance — no z, not significant")
+    // partitioning-invariant (exact integers + fixed double shape)
+    val again = df.repartition(7).abTest("g", col("u"), col("v"), col("ok"), "A", "B")
+      .collect().map(r => r.getAs[String]("g") -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("bfsDistances: min-hop labels, unreached exclusion, off-graph seeds, converged stability") {
     import spark.implicits._
     // path 1-2-3-4-5 with a shortcut 1-4: node 4 is 1 hop (shortcut
