@@ -62,7 +62,8 @@ object Bench {
     "q119_regression", "q120_twap", "q121_transitions", "q122_streaks",
     "q123_dq_checks", "q124_cdc_apply", "q125_winsorize",
     "q126_triangles", "q127_seasonal", "q128_cusum", "q129_assoc_rules",
-    "q130_rfm", "q131_kcore", "q132_bfs_reach", "q134_ab_test")
+    "q130_rfm", "q131_kcore", "q132_bfs_reach", "q134_ab_test",
+    "q135_autocorr")
 
   private val childMarker = "##BENCHQ##"
 

@@ -153,6 +153,7 @@ object SparkEntry {
     "q131_kcore"          -> q(Extended.q131),
     "q132_bfs_reach"      -> q(Extended.q132),
     "q134_ab_test"        -> q(Extended.q134),
+    "q135_autocorr"       -> q(Temporal.q135),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2558,6 +2559,41 @@ object SparkEntry {
         |  CASE WHEN se > 0 THEN abs(round((pa - pb) / se, 6)) >= CAST(1.96 AS DOUBLE)
         |       ELSE FALSE END AS significant
         |FROM s2 ORDER BY c_mktsegment""".stripMargin,
+
+    // q135: the day census lags over the same window, each lag's six
+    // exact sums feed the q119 double shape verbatim
+    "q135_autocorr" -> {
+      val n   = "CAST(n AS DOUBLE)"
+      val sx  = "CAST(sx AS DOUBLE)";  val sy  = "CAST(sy AS DOUBLE)"
+      val sxx = "CAST(sxx AS DOUBLE)"; val syy = "CAST(syy AS DOUBLE)"
+      val sxy = "CAST(sxy AS DOUBLE)"
+      val covN  = s"($n * $sxy - $sx * $sy)"
+      val varXN = s"($n * $sxx - $sx * $sx)"
+      val varYN = s"($n * $syy - $sy * $sy)"
+      val lags = (1 to 3).map { k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag_k, x, l$k AS y FROM l WHERE l$k IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, x,
+         |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+         |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+         |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3
+         |  FROM d),
+         |p AS (
+         |  $lags),
+         |m AS (
+         |  SELECT event_type, lag_k, count(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT event_type, lag_k, n,
+         |  round(CASE WHEN $varXN > 0 AND $varYN > 0 THEN $covN / sqrt($varXN * $varYN) END, 6) AS r
+         |FROM m ORDER BY event_type, lag_k""".stripMargin
+    },
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

@@ -3010,6 +3010,58 @@ object Ops {
         .drop("__pa", "__pb", "__pool", "__se")
     }
 
+    /** Exact autocorrelation function per group (r12 — the
+      * seasonality/persistence diagnostic behind lag selection for
+      * any forecasting model): Pearson r between the series and
+      * itself shifted by each lag 1..`maxLag`, over the group's
+      * observations in strict `order`. `value` must be an EXACT
+      * integer measure (a count, cents — the q119 rule: moment sums
+      * of exact longs are order-independent and overflow fails
+      * loudly under ANSI, never silently); each lag's correlation is
+      * then the q119 fixed double shape over six exact sums, rounded
+      * at 6 — bit-reproducible anywhere. `order` must be unique per
+      * group (a tie would make `lag` ill-defined); lag pairs never
+      * cross groups; a lag with fewer than 2 pairs or zero variance
+      * on either side yields null r (n still reports). Scale shape:
+      * ONE key-partitioned window sort computes ALL lags (lag(k) over
+      * the same sorted frame — no self-join), one array explode
+      * (maxLag-bounded), one map-combinable (group, lag) aggregate.
+      */
+    def acfByGroup(group: String, order: Column, value: Column,
+                   maxLag: Int): DataFrame = {
+      require(maxLag >= 1 && maxLag <= 12,
+        s"acfByGroup: maxLag ($maxLag) must be in 1..12")
+      val w = Window.partitionBy(col(group)).orderBy(order)
+      val base = left.filter(value.isNotNull).withColumn("__x", value.cast("long"))
+      val lagged = (1 to maxLag).foldLeft(base) { (df, k) =>
+        df.withColumn(s"__l$k", lag(col("__x"), k).over(w))
+      }
+      val pairs = lagged
+        .withColumn("__p", array((1 to maxLag).map(k =>
+          struct(lit(k.toLong).as("lag_k"), col("__x").as("x"),
+            col(s"__l$k").as("y"))): _*))
+        .select(col(group), explode(col("__p")).as("__e"))
+        .filter(col("__e.y").isNotNull)
+        .select(col(group), col("__e.lag_k").as("lag_k"),
+          col("__e.x").as("__x"), col("__e.y").as("__y"))
+      val m = pairs.groupBy(col(group), col("lag_k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+          sum(col("__x") * col("__x")).as("__sxx"),
+          sum(col("__y") * col("__y")).as("__syy"),
+          sum(col("__x") * col("__y")).as("__sxy"))
+      val nD  = col("n").cast("double")
+      val sx  = col("__sx").cast("double");  val sy  = col("__sy").cast("double")
+      val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+      val sxy = col("__sxy").cast("double")
+      val covN  = nD * sxy - sx * sy
+      val varXN = nD * sxx - sx * sx
+      val varYN = nD * syy - sy * sy
+      m.withColumn("r",
+          round(when(varXN > 0.0 && varYN > 0.0, covN / sqrt(varXN * varYN)), 6))
+        .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+    }
+
     /** Exact time-weighted average per key (r12 — the irregular-series
       * mean `ewmaTrailing` doesn't give): each observation holds its
       * value until the key's NEXT observation, so it weighs by that

@@ -293,6 +293,21 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** q135: exact autocorrelation of the daily event-count series per
+    * event type ([[graft.api.Ops.GraftDataFrameOps.acfByGroup]]) —
+    * lags 1..3 over the per-day census (exact longs in, the q119
+    * fixed double shape out). One day census + one type-partitioned
+    * window computing all three lags.
+    */
+  def q135(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .acfByGroup("event_type", col("day"), col("x"), maxLag = 3)
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
   def q23(t: Tables): DataFrame =
     t.events
       .withColumn("bucket_start",

@@ -946,6 +946,28 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("acfByGroup: alternating series signs, constant-series null, group isolation") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // g1 alternates 1,3,1,3,... → perfect anti-correlation at lag 1,
+    // perfect correlation at lag 2; g2 is constant → zero variance
+    val rows = (0 until 10).map(i => ("g1", i.toLong, if (i % 2 == 0) 1L else 3L)) ++
+      (0 until 6).map(i => ("g2", i.toLong, 5L))
+    val df = rows.toDF("g", "t", "v")
+    val out = df.acfByGroup("g", col("t"), col("v"), maxLag = 2)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("lag_k")) ->
+        ((r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("r"))))).toMap
+    assert(out(("g1", 1L)) == ((9L, Some(-1.0))), s"alternation → r = -1 at lag 1 (got $out)")
+    assert(out(("g1", 2L)) == ((8L, Some(1.0))), "period 2 → r = +1 at lag 2")
+    assert(out(("g2", 1L))._2.isEmpty && out(("g2", 2L))._2.isEmpty,
+      "a constant series has no variance — null r, n still reported")
+    // partitioning-invariant (exact sums + fixed double shape)
+    val again = df.repartition(5).acfByGroup("g", col("t"), col("v"), 2)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("lag_k")) ->
+        ((r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("r"))))).toMap
+    assert(again == out)
+  }
+
   test("abTest: unit-once counting, one-armed groups dropped, degenerate pool, z sign") {
     import spark.implicits._
     import graft.api.Ops._
