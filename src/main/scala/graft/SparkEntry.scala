@@ -154,6 +154,7 @@ object SparkEntry {
     "q132_bfs_reach"      -> q(Extended.q132),
     "q134_ab_test"        -> q(Extended.q134),
     "q135_autocorr"       -> q(Temporal.q135),
+    "q136_benford"        -> q(Extended.q136),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2593,6 +2594,45 @@ object SparkEntry {
          |SELECT event_type, lag_k, n,
          |  round(CASE WHEN $varXN > 0 AND $varYN > 0 THEN $covN / sqrt($varXN * $varYN) END, 6) AS r
          |FROM m ORDER BY event_type, lag_k""".stripMargin
+    },
+
+    // q136: the digit census replays from the same exact cents; the
+    // nine Benford constants embed as 17-sig-digit literals of the
+    // SAME Scala-computed doubles the Spark columns carry
+    "q136_benford" -> {
+      // scientific notation, NOT %.17g: DuckDB types an e-notation
+      // literal DOUBLE and parses it correctly rounded, while a bare
+      // decimal literal becomes DECIMAL(19,18) whose decimal→double
+      // conversion is 1 ulp off once the digits exceed 2^53 (found
+      // by this query's first gate run)
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+      val caseP = graft.api.Ops.benfordExpected.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN ${f(p)}" }.mkString(" ")
+      s"""WITH c AS (
+         |  SELECT o_orderpriority,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |obs AS (
+         |  SELECT o_orderpriority,
+         |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    count(*) AS obs
+         |  FROM c WHERE cents > 0 GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS n FROM obs GROUP BY 1),
+         |dig AS (
+         |  SELECT CAST(x AS BIGINT) AS digit
+         |  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) v(x)),
+         |grid AS (
+         |  SELECT t.o_orderpriority, d.digit, COALESCE(o.obs, 0) AS obs, t.n
+         |  FROM tot t CROSS JOIN dig d
+         |  LEFT JOIN obs o ON o.o_orderpriority = t.o_orderpriority AND o.digit = d.digit),
+         |s AS (
+         |  SELECT *, CASE digit $caseP END AS expected_p FROM grid)
+         |SELECT o_orderpriority, digit, obs, n, expected_p,
+         |  round((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * expected_p) *
+         |        (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * expected_p) /
+         |        (CAST(n AS DOUBLE) * expected_p), 6) AS chi2_contrib
+         |FROM s ORDER BY o_orderpriority, digit""".stripMargin
     },
 
     // q130: the oracle replays the SAME total-order ranks with plain

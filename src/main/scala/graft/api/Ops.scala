@@ -20,6 +20,16 @@ object Ops {
   def topkSketch(c: Column, k: Int, cap: Int = 4096): Column =
     call_function("topk_sketch", c, lit(k), lit(cap))
 
+  /** Benford's-law expected first-digit proportions `log₁₀(1+1/d)`,
+    * d = 1..9 — computed ONCE here and shared by
+    * [[GraftDataFrameOps.benfordDigits]] (as column literals) and the
+    * q136 oracle SQL (as 17-significant-digit literals, the q43
+    * double-embedding discipline) so both engines compare the
+    * IDENTICAL doubles.
+    */
+  val benfordExpected: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
   /** Per-round lineage break for iterative/self-joining plans: with a
     * `checkpointDir`, reliable `checkpoint` into it (HDFS/S3 on a real
     * cluster — survives executor loss, the right mode for a 100 TB
@@ -3060,6 +3070,47 @@ object Ops {
       m.withColumn("r",
           round(when(varXN > 0.0 && varYN > 0.0, covN / sqrt(varXN * varYN)), 6))
         .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+    }
+
+    /** Benford first-digit deviation per group (r12 — the
+      * fabricated-numbers screen auditors and fraud pipelines run
+      * over money amounts): census the FIRST significant digit of an
+      * exact positive integer measure (cents — digit extraction from
+      * a long's decimal string is engine-portable, unlike any
+      * double-to-string path), complete the census over all nine
+      * digits (an absent digit is evidence, not a missing row), and
+      * emit each digit's exact count beside its Benford expectation
+      * `log₁₀(1+1/d)` and chi-square contribution
+      * `(obs − n·p)²/(n·p)` — the fixed double shape over exact
+      * integers and the SHARED [[Ops.benfordExpected]] constants
+      * (computed once in Scala, embedded as 17-significant-digit
+      * literals in the oracle — the q43 discipline), rounded at 6.
+      * Non-positive and null values are excluded up front. Scale
+      * shape: one map-combinable (group, digit) census, one
+      * groups-sized rollup, one broadcast 9-row digit frame — output
+      * is exactly 9 rows per group at any data size.
+      */
+    def benfordDigits(group: String, value: Column): DataFrame = {
+      val spark = left.sparkSession
+      val obs = left.filter(value.isNotNull && value > 0)
+        .withColumn("__dig", substring(value.cast("long").cast("string"), 1, 1).cast("long"))
+        .groupBy(col(group).as("__g"), col("__dig").as("digit"))
+        .agg(count(lit(1)).as("obs"))
+      val totals = obs.groupBy(col("__g")).agg(sum(col("obs")).as("n"))
+      val digits = broadcast(spark.range(1, 10).select(col("id").as("digit")))
+      val expected = element_at(
+        array(Ops.benfordExpected.map(lit): _*), col("digit").cast("int"))
+      val obsD = col("obs").cast("double")
+      val np = col("n").cast("double") * col("expected_p")
+      totals.crossJoin(digits)
+        .join(obs, Seq("__g", "digit"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+        .withColumn("expected_p", expected)
+        .withColumn("chi2_contrib",
+          round((obsD - np) * (obsD - np) / np, 6))
+        .withColumnRenamed("__g", group)
+        .select(col(group), col("digit"), col("obs"), col("n"),
+          col("expected_p"), col("chi2_contrib"))
     }
 
     /** Exact time-weighted average per key (r12 — the irregular-series

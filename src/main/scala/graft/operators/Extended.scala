@@ -442,6 +442,20 @@ object Extended {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q136: Benford first-digit screen over order totals per priority
+    * ([[graft.api.Ops.GraftDataFrameOps.benfordDigits]]) — exact
+    * digit census (from cents, engine-portable), completed over all
+    * nine digits, with the shared log₁₀ expectations and chi-square
+    * contributions. Exactly 9 rows per priority at any scale.
+    */
+  def q136(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders
+      .withColumn("__cents", (dec(col("o_totalprice")) * 100).cast("long"))
+      .benfordDigits("o_orderpriority", col("__cents"))
+      .orderBy(col("o_orderpriority"), col("digit"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -946,6 +946,27 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("benfordDigits: census completion, first-digit extraction, non-positive exclusion") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // g1: 123 (d1), 19 (d1), 250 (d2), 9 (d9); zero/negative/null excluded
+    val df = Seq(("g1", Some(123L)), ("g1", Some(19L)), ("g1", Some(250L)),
+      ("g1", Some(9L)), ("g1", Some(0L)), ("g1", Some(-5L)), ("g1", None))
+      .toDF("g", "v")
+    val out = df.benfordDigits("g", col("v")).collect()
+      .map(r => r.getAs[Long]("digit") ->
+        ((r.getAs[Long]("obs"), r.getAs[Long]("n")))).toMap
+    assert(out.keySet == (1L to 9L).toSet, "all nine digits present")
+    assert(out(1L) == ((2L, 4L)) && out(2L) == ((1L, 4L)) && out(9L) == ((1L, 4L)))
+    assert(out(3L) == ((0L, 4L)), "an absent digit completes with obs = 0")
+    val row1 = df.benfordDigits("g", col("v")).filter(col("digit") === 1).head()
+    assert(math.abs(row1.getAs[Double]("expected_p") - math.log10(2.0)) < 1e-15)
+    // chi2 contribution: (2 - 4*log10(2))^2 / (4*log10(2))
+    val np = 4.0 * math.log10(2.0)
+    assert(math.abs(row1.getAs[Double]("chi2_contrib") -
+      BigDecimal((2.0 - np) * (2.0 - np) / np).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
   test("acfByGroup: alternating series signs, constant-series null, group isolation") {
     import spark.implicits._
     import graft.api.Ops._
