@@ -155,6 +155,7 @@ object SparkEntry {
     "q134_ab_test"        -> q(Extended.q134),
     "q135_autocorr"       -> q(Temporal.q135),
     "q136_benford"        -> q(Extended.q136),
+    "q137_mad_outliers"   -> q(Extended.q137),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2634,6 +2635,36 @@ object SparkEntry {
          |        (CAST(n AS DOUBLE) * expected_p), 6) AS chi2_contrib
          |FROM s ORDER BY o_orderpriority, digit""".stripMargin
     },
+
+    // q137: both lower medians replay by the same rank selection;
+    // everything stays BIGINT so the gate hashes exactly
+    "q137_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r1 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM c WHERE cents IS NOT NULL),
+        |med AS (
+        |  SELECT o_orderstatus, min(cents) AS med FROM r1
+        |  WHERE rn = (n + 1) // 2 GROUP BY 1),
+        |d AS (
+        |  SELECT c.o_orderkey, c.o_orderstatus, c.cents, med.med,
+        |         abs(c.cents - med.med) AS dev
+        |  FROM c LEFT JOIN med ON c.o_orderstatus = med.o_orderstatus),
+        |r2 AS (
+        |  SELECT o_orderstatus, dev, row_number() OVER (PARTITION BY o_orderstatus ORDER BY dev) AS rn2,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS n2
+        |  FROM d WHERE dev IS NOT NULL),
+        |mad AS (
+        |  SELECT o_orderstatus, min(dev) AS mad FROM r2
+        |  WHERE rn2 = (n2 + 1) // 2 GROUP BY 1)
+        |SELECT d.o_orderkey, d.o_orderstatus, d.cents, d.med, mad.mad, d.dev,
+        |  CASE WHEN d.dev IS NOT NULL THEN d.dev > 3 * mad.mad END AS outlier
+        |FROM d LEFT JOIN mad ON d.o_orderstatus = mad.o_orderstatus
+        |ORDER BY d.o_orderkey""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

@@ -2919,6 +2919,45 @@ object Ops {
         .drop("__g", "__lo", "__hi")
     }
 
+    /** Robust outlier flags by median absolute deviation (r12 — the
+      * robust sibling of q100's z-score: mean/stddev screens break on
+      * the very outliers they hunt, median/MAD does not): per group,
+      * the LOWER MEDIAN of the exact integer `value` (rank ⌊(n+1)/2⌋
+      * selected by row_number — a real data value, the q125 winsorize
+      * discipline: no interpolation, no sketch), each row's absolute
+      * deviation from it, the lower median of THOSE deviations (the
+      * MAD), and `outlier = dev > k·MAD` — all exact integers
+      * end-to-end, bit-replayable on any engine. `value` must be an
+      * exact integer measure (cents); null-valued rows pass through
+      * with null dev/outlier and do not dilute either median. A
+      * half-constant group (MAD 0) flags every deviating row — the
+      * documented MAD property, not a defect. Scale shape: two
+      * key-partitioned window sorts (value, then deviation — the q98
+      * shape, never a global sort) + two groups-sized joins back;
+      * at 100 TB both windows shuffle once on the natural group key.
+      */
+    def madOutliers(group: String, value: Column, k: Long): DataFrame = {
+      require(k >= 1, s"madOutliers: k ($k) must be >= 1")
+      val wv = Window.partitionBy(col(group)).orderBy(value)
+      val wp = Window.partitionBy(col(group))
+      val med = left.filter(value.isNotNull)
+        .withColumn("__rn", row_number().over(wv))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .groupBy(col(group).as("__g")).agg(min(value).as("med"))
+      val withDev = left.join(med, col(group) <=> col("__g"), "left")
+        .withColumn("dev", abs(value - col("med"))).drop("__g")
+      val wd = Window.partitionBy(col(group)).orderBy(col("dev"))
+      val mad = withDev.filter(col("dev").isNotNull)
+        .withColumn("__rn", row_number().over(wd))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .groupBy(col(group).as("__g")).agg(min(col("dev")).as("mad"))
+      withDev.join(mad, col(group) <=> col("__g"), "left")
+        .withColumn("outlier", when(col("dev").isNotNull, col("dev") > lit(k) * col("mad")))
+        .drop("__g")
+    }
+
     /** SCD Type-1 CDC apply (r12 — the MERGE-shaped sibling of the
       * Type-2 `scd2History` family and of `snapshotDiff`): fold a
       * change feed of `upsert`/`delete` rows into the dimension —

@@ -456,6 +456,22 @@ object Extended {
       .orderBy(col("o_orderpriority"), col("digit"))
   }
 
+  /** q137: robust outlier flags on order totals per status
+    * ([[graft.api.Ops.GraftDataFrameOps.madOutliers]]) — exact
+    * rank-selected median and MAD in cents, flag at 3×MAD; the
+    * median/MAD screen that survives the outliers a z-score chases.
+    */
+  def q137(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders
+      .withColumn("cents", (dec(col("o_totalprice")) * 100).cast("long"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"))
+      .madOutliers("o_orderstatus", col("cents"), k = 3L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("med"), col("mad"), col("dev"), col("outlier"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -946,6 +946,30 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("madOutliers: lower-median rank selection, null passthrough, flag threshold") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // g1 = [10,20,30,40,100]: med = 30 (rank 3 of 5), devs sorted
+    // [0,10,10,20,70] → mad = 10; only 100 (dev 70 > 30) flags
+    val df = Seq(("g1", 1L, Some(10L)), ("g1", 2L, Some(20L)), ("g1", 3L, Some(30L)),
+      ("g1", 4L, Some(40L)), ("g1", 5L, Some(100L)), ("g1", 6L, None),
+      ("g2", 7L, Some(4L)), ("g2", 8L, Some(6L))) // even n: lower median
+      .toDF("g", "id", "v")
+    val out = df.madOutliers("g", col("v"), k = 3L)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Long]("med") == 30L && out(1L).getAs[Long]("mad") == 10L)
+    assert((1L to 5L).map(out(_).getAs[Boolean]("outlier")) ==
+      Seq(false, false, false, false, true))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("dev")) &&
+      out(6L).isNullAt(out(6L).fieldIndex("outlier")),
+      "a null value passes through unflagged and does not dilute the medians")
+    assert(out(7L).getAs[Long]("med") == 4L, "even n selects the LOWER median")
+    // partitioning-invariant (exact integers end-to-end)
+    val again = df.repartition(5).madOutliers("g", col("v"), 3L)
+      .collect().map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+    assert(again == out.map { case (kk, r) => kk -> r.toSeq })
+  }
+
   test("benfordDigits: census completion, first-digit extraction, non-positive exclusion") {
     import spark.implicits._
     import graft.api.Ops._
