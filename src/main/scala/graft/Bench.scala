@@ -63,7 +63,8 @@ object Bench {
     "q123_dq_checks", "q124_cdc_apply", "q125_winsorize",
     "q126_triangles", "q127_seasonal", "q128_cusum", "q129_assoc_rules",
     "q130_rfm", "q131_kcore", "q132_bfs_reach", "q134_ab_test",
-    "q135_autocorr", "q136_benford", "q137_mad_outliers")
+    "q135_autocorr", "q136_benford", "q137_mad_outliers",
+    "q133_item_similarity")
 
   private val childMarker = "##BENCHQ##"
 

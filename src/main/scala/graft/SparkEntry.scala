@@ -156,6 +156,7 @@ object SparkEntry {
     "q135_autocorr"       -> q(Temporal.q135),
     "q136_benford"        -> q(Extended.q136),
     "q137_mad_outliers"   -> q(Extended.q137),
+    "q133_item_similarity" -> q(Extended.q133),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2665,6 +2666,31 @@ object SparkEntry {
         |  CASE WHEN d.dev IS NOT NULL THEN d.dev > 3 * mad.mad END AS outlier
         |FROM d LEFT JOIN mad ON d.o_orderstatus = mad.o_orderstatus
         |ORDER BY d.o_orderkey""".stripMargin,
+
+    // q133: the census replays exactly; cosine is the one double,
+    // written in the identical op order (CAST → multiply → sqrt →
+    // divide), so the rank window orders identical bits
+    "q133_item_similarity" ->
+      """WITH ei AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |icnt AS (SELECT p AS it, count(*) AS n FROM ei GROUP BY 1),
+        |pc AS (
+        |  SELECT x.p AS a, y.p AS b, count(*) AS co
+        |  FROM ei x JOIN ei y ON x.ok = y.ok AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dir AS (
+        |  SELECT a AS item, b AS other, co FROM pc
+        |  UNION ALL SELECT b AS item, a AS other, co FROM pc),
+        |j AS (
+        |  SELECT d.item, d.other, d.co, ia.n AS n_item, ib.n AS n_other,
+        |    CAST(d.co AS DOUBLE) / sqrt(CAST(ia.n * ib.n AS DOUBLE)) AS cos
+        |  FROM dir d JOIN icnt ia ON d.item = ia.it JOIN icnt ib ON d.other = ib.it),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos DESC, other) AS rnk
+        |  FROM j)
+        |SELECT item, other, co, n_item, n_other, round(cos, 6) AS cosine, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY item, rnk""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

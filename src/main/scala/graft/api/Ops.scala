@@ -444,6 +444,137 @@ object Ops {
       ArtifactIO.field(m, path, "typeCol"), reliable = true)
   }
 
+  /** The co-occurrence census behind [[itemSimilarity]] and
+    * [[PreparedCooc]]: per-item basket counts and per-pair
+    * co-occurrence counts (canonical a < b), both from ONE distinct
+    * (basket, item) frame. The pair stage explodes per basket and is
+    * bounded by basket size (the q126/q129 argument — never an
+    * all-pairs join over items).
+    */
+  private[graft] def coocCensus(baskets: DataFrame, basket: String,
+                                item: String): (DataFrame, DataFrame) = {
+    val e = baskets.select(col(basket).as("__ok"), col(item).as("__it"))
+      .filter(col("__ok").isNotNull && col("__it").isNotNull)
+      .distinct()
+    val items = e.groupBy(col("__it").as("it")).agg(count(lit(1)).as("n"))
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.__ok") === col("y.__ok") && col("x.__it") < col("y.__it"))
+      .groupBy(col("x.__it").as("a"), col("y.__it").as("b"))
+      .agg(count(lit(1)).as("co"))
+    (items, pairs)
+  }
+
+  /** Top-k serve over a co-occurrence census: cosine
+    * `co / √(n_item·n_other)` — exact long counts in, ONE fixed
+    * double expression out (product exact below 2⁵³, sqrt and divide
+    * correctly rounded IEEE → bit-identical ranks on any engine),
+    * ranked per item (cosine desc, other asc). The rank window
+    * partitions by item — never a global sort.
+    */
+  private[graft] def serveSimilarItems(items: DataFrame, pairs: DataFrame,
+                                       k: Int, minCo: Long): DataFrame = {
+    val p = pairs.filter(col("co") >= minCo)
+    val directed = p.select(col("a").as("item"), col("b").as("other"), col("co"))
+      .unionByName(p.select(col("b").as("item"), col("a").as("other"), col("co")))
+    val cos = col("co").cast("double") /
+      sqrt((col("n_item") * col("n_other")).cast("double"))
+    val w = Window.partitionBy(col("item")).orderBy(col("__cos").desc, col("other"))
+    directed
+      .join(items.select(col("it").as("item"), col("n").as("n_item")), Seq("item"))
+      .join(items.select(col("it").as("other"), col("n").as("n_other")), Seq("other"))
+      .withColumn("__cos", cos)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("item"), col("other"), col("co"), col("n_item"),
+        col("n_other"), round(col("__cos"), 6).as("cosine"), col("rnk"))
+  }
+
+  /** Item-item collaborative-filtering similarity (r12 — the
+    * "customers who bought X also bought Y" recommender primitive):
+    * top-`k` co-occurrence cosine neighbors per item over baskets.
+    * `minCo` prunes noise pairs before ranking (a 1-basket
+    * coincidence is not a signal, and the filter bounds the rank
+    * frame). Scale shape: the [[coocCensus]] pair explosion is
+    * basket-size-bounded, counts join on item keys (AQE broadcasts
+    * the items-sized count frame), the rank window partitions by
+    * item — no global sort, no all-pairs anywhere.
+    */
+  def itemSimilarity(baskets: DataFrame, basket: String, item: String,
+                     k: Int, minCo: Long): DataFrame = {
+    require(k >= 1, s"itemSimilarity: k ($k) must be >= 1")
+    require(minCo >= 1, s"itemSimilarity: minCo ($minCo) must be >= 1")
+    val (items, pairs) = coocCensus(baskets, basket, item)
+    serveSimilarItems(items, pairs, k, minCo)
+  }
+
+  /** A co-occurrence index prepared ONCE for incremental maintenance
+    * (r12 — the recommender-serving artifact): per-item and per-pair
+    * exact counts plus the basket total. Like [[PreparedMoments]],
+    * absorb is LOSSLESS BY ALGEBRA — counts are associative sums —
+    * under one explicit contract: each basket is ATOMIC to a single
+    * prepare/absorb call (a basket id split across calls would lose
+    * its cross-call pairs, and a basket id repeated across calls
+    * double-counts — the caller owns batch boundaries, exactly as a
+    * batch groupBy owns its input). `similarItems` serves the q133
+    * output from the stored counts at any point; merge cost is
+    * census-sized, never corpus-sized.
+    */
+  final case class PreparedCooc private[graft] (
+    items: DataFrame, pairs: DataFrame, nBaskets: Long, reliable: Boolean) {
+
+    /** Merge an increment's census by exact addition (basket-atomic
+      * increments — see the class contract).
+      */
+    def absorb(increment: DataFrame, basket: String, item: String,
+               checkpointDir: Option[String] = None): PreparedCooc = {
+      val ckp = lineageBreaker(checkpointDir)
+      val (itemsB, pairsB) = coocCensus(increment, basket, item)
+      val nB = increment.filter(col(basket).isNotNull && col(item).isNotNull)
+        .select(col(basket)).distinct().count()
+      val mergedItems = ckp(items.unionByName(itemsB)
+        .groupBy(col("it")).agg(sum(col("n")).as("n")))
+      val mergedPairs = ckp(pairs.unionByName(pairsB)
+        .groupBy(col("a"), col("b")).agg(sum(col("co")).as("co")))
+      PreparedCooc(mergedItems, mergedPairs, nBaskets + nB,
+        reliable && checkpointDir.isDefined)
+    }
+
+    /** The q133 top-k cosine surface over the current counts. */
+    def similarItems(k: Int, minCo: Long): DataFrame =
+      serveSimilarItems(items, pairs, k, minCo)
+
+    /** Persist durably (two census frames + kind-tagged meta). */
+    def save(path: String): Unit = {
+      items.write.mode("overwrite").parquet(s"$path/items")
+      pairs.write.mode("overwrite").parquet(s"$path/pairs")
+      ArtifactIO.writeMeta(items.sparkSession, path, "cooc",
+        Seq("nBaskets" -> nBaskets.toString))
+    }
+  }
+
+  /** Build a [[PreparedCooc]]; `similarItems` on it reproduces
+    * [[itemSimilarity]] bit-for-bit (shared census + serve code,
+    * spec-pinned).
+    */
+  def prepareCooc(baskets: DataFrame, basket: String, item: String,
+                  checkpointDir: Option[String] = None): PreparedCooc = {
+    val ckp = lineageBreaker(checkpointDir)
+    val (items, pairs) = coocCensus(baskets, basket, item)
+    val nB = baskets.filter(col(basket).isNotNull && col(item).isNotNull)
+      .select(col(basket)).distinct().count()
+    PreparedCooc(ckp(items), ckp(pairs), nB, checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedCooc]] persisted by its `save`; fails fast on
+    * a non-cooc path.
+    */
+  def loadCooc(spark: org.apache.spark.sql.SparkSession, path: String): PreparedCooc = {
+    val m = ArtifactIO.readMeta(spark, path, "cooc")
+    PreparedCooc(spark.read.parquet(s"$path/items"),
+      spark.read.parquet(s"$path/pairs"),
+      ArtifactIO.field(m, path, "nBaskets").toLong, reliable = true)
+  }
+
   /** Per-group regression moments prepared ONCE for incremental
     * maintenance — the prepared-artifact form of
     * [[GraftDataFrameOps.regressionByGroup]] (r12): the five decimal

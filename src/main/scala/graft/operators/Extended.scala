@@ -423,6 +423,19 @@ object Extended {
       .orderBy(col("node"))
   }
 
+  /** q133: item-item collaborative filtering over part baskets
+    * ([[graft.api.Ops.itemSimilarity]]) — top-5 co-occurrence cosine
+    * neighbors per part on the quarter-sliced projection, pairs below
+    * 2 shared baskets pruned. The "bought X also bought Y"
+    * recommender readout; exact counts in, one fixed double out.
+    */
+  def q133(t: Tables): DataFrame = {
+    val e = t.lineitem.filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    graft.api.Ops.itemSimilarity(e, "ok", "p", k = 5, minCo = 2L)
+      .orderBy(col("item"), col("rnk"))
+  }
+
   /** q134: per-segment two-proportion A/B test
     * ([[graft.api.Ops.GraftDataFrameOps.abTest]]) — users split into
     * deterministic arms by id parity, conversion = any purchase

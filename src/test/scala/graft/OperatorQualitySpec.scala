@@ -946,6 +946,38 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("itemSimilarity: cosine ranks, tie-break, minCo pruning; PreparedCooc ≡ batch") {
+    import spark.implicits._
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 4L),
+      (2L, 2L)) // duplicate (basket, item) row: census is distinct
+      .toDF("ok", "it")
+    val out = graft.api.Ops.itemSimilarity(baskets, "ok", "it", k = 2, minCo = 1L)
+      .collect().map(r => (r.getAs[Long]("item"), r.getAs[Long]("rnk")) ->
+        ((r.getAs[Long]("other"), r.getAs[Long]("co"), r.getAs[Double]("cosine")))).toMap
+    // item 1 (n=3): 2 at cos 3/√9 = 1.0; then 3 and 4 tie at 1/√6 → other asc
+    assert(out((1L, 1L)) == ((2L, 3L, 1.0)))
+    assert(out((1L, 2L))._1 == 3L, "equal cosines break by other ascending")
+    // item 3 (n=2): 4 at 1/√4 = 0.5 beats 1/2 at 1/√6 ≈ 0.408
+    assert(out((3L, 1L)) == ((4L, 1L, 0.5)))
+    // minCo prunes 1-basket coincidences: only the (1,2) pair survives
+    val pruned = graft.api.Ops.itemSimilarity(baskets, "ok", "it", k = 2, minCo = 2L)
+      .collect().map(r => r.getAs[Long]("item") -> r.getAs[Long]("other"))
+    assert(pruned.toSet == Set(1L -> 2L, 2L -> 1L))
+    // prepared ≡ batch, and basket-atomic absorb is exact algebra
+    val a = baskets.filter(col("ok") <= 2); val b = baskets.filter(col("ok") >= 3)
+    val prep = graft.api.Ops.prepareCooc(a, "ok", "it").absorb(b, "ok", "it")
+    val full = graft.api.Ops.prepareCooc(baskets, "ok", "it")
+    assert(prep.nBaskets == 4L && full.nBaskets == 4L)
+    def srt(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(srt(prep.similarItems(2, 1L)) == srt(full.similarItems(2, 1L)))
+    assert(srt(full.similarItems(2, 1L)) ==
+      srt(graft.api.Ops.itemSimilarity(baskets, "ok", "it", 2, 1L)))
+  }
+
   test("madOutliers: lower-median rank selection, null passthrough, flag threshold") {
     import spark.implicits._
     import graft.api.Ops._

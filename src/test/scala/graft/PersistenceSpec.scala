@@ -337,6 +337,33 @@ class PersistenceSpec extends AnyFunSuite {
     assertSameRows(absorbed.cells, full.cells, "absorb-after-load cells")
   }
 
+  test("PreparedCooc save → load round-trips censuses + basket total; absorb is exact algebra") {
+    val e = t.lineitem.filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val a = e.filter(col("ok") % 2 === 0)
+    val b = e.filter(col("ok") % 2 === 1)
+    val full = Ops.prepareCooc(e, "ok", "p")
+    val dir = tmp("cooc")
+    full.save(dir)
+    val loaded = Ops.loadCooc(spark, dir)
+    assert(loaded.nBaskets == full.nBaskets && loaded.reliable)
+    assertSameRows(loaded.items, full.items, "cooc item counts")
+    assertSameRows(loaded.pairs, full.pairs, "cooc pair counts")
+    assertSameRows(loaded.similarItems(5, 2L), full.similarItems(5, 2L),
+      "similar-items serve from loaded censuses")
+    // absorb after load ≡ full re-prepare: counts are associative
+    // sums under basket-atomic batches (orders split by parity —
+    // every basket wholly in one side)
+    val dirA = tmp("coocA")
+    Ops.prepareCooc(a, "ok", "p").save(dirA)
+    val absorbed = Ops.loadCooc(spark, dirA).absorb(b, "ok", "p")
+    assert(absorbed.nBaskets == full.nBaskets)
+    assertSameRows(absorbed.items, full.items, "absorb-after-load item counts")
+    assertSameRows(absorbed.pairs, full.pairs, "absorb-after-load pair counts")
+    assertSameRows(absorbed.similarItems(5, 2L), full.similarItems(5, 2L),
+      "absorb-after-load serve")
+  }
+
   test("loading the wrong artifact kind — or a missing meta — fails fast") {
     val dir = tmp("kindclash")
     Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)
