@@ -157,6 +157,7 @@ object SparkEntry {
     "q136_benford"        -> q(Extended.q136),
     "q137_mad_outliers"   -> q(Extended.q137),
     "q133_item_similarity" -> q(Extended.q133),
+    "q138_spatial_join"   -> q(Extended.q138),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2691,6 +2692,26 @@ object SparkEntry {
         |  FROM j)
         |SELECT item, other, co, n_item, n_other, round(cos, 6) AS cosine, rnk
         |FROM r WHERE rnk <= 5 ORDER BY item, rnk""".stripMargin,
+
+    // q138: the oracle brute-forces the exact predicate over the
+    // same hash-derived grid — the grid-bucketed candidates are
+    // output-identical by the 3x3 coverage argument
+    "q138_spatial_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST('0x' || substr(md5('cgx:' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS cx,
+        |    CAST('0x' || substr(md5('cgy:' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS cy
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CAST('0x' || substr(md5('sgx:' || CAST(s_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS sx,
+        |    CAST('0x' || substr(md5('sgy:' || CAST(s_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS sy
+        |  FROM supplier)
+        |SELECT c_custkey, s_suppkey, cx, cy, sx, sy,
+        |  (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+        |FROM c CROSS JOIN s
+        |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 16000000
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

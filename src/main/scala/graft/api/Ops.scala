@@ -2347,6 +2347,43 @@ object Ops {
       .filter(col("degree") >= k)
   }
 
+  /** 2-D radius join by grid bucketing (r12 — the spatial sibling of
+    * q39's 1-D tolerance join: "every (a, b) pair within Euclidean
+    * distance r", the geofence/proximity primitive): cell side = r,
+    * each left point owns its ONE cell, each right point explodes
+    * into its 3×3 cell neighborhood, candidates equi-join on the
+    * cell key (a plain hash join — never the O(n·m) cross join a
+    * naive distance predicate degenerates to), then the EXACT
+    * integer predicate `(ax−bx)² + (ay−by)² ≤ r²` refines. Any two
+    * points within r sit within one cell step per axis (cell width
+    * ≥ r under `div`, including the truncation-widened cell at 0),
+    * so the 3×3 neighborhood is exhaustive — and each qualifying
+    * pair matches in EXACTLY the left point's own cell, so no dedup
+    * pass is needed (the q39/q102 discipline). Coordinates must be
+    * exact longs with |coord| and r² far from Long overflow (ANSI
+    * fails loudly past it). Scale shape: one 9× explode on ONE side,
+    * one cell-keyed shuffle; a dense cell is a genuine hotspot —
+    * AQE's skew-join split handles it, or the caller shrinks r.
+    */
+  def radiusJoin(a: DataFrame, b: DataFrame, ax: String, ay: String,
+                 bx: String, by: String, radius: Long): DataFrame = {
+    require(radius >= 1, s"radiusJoin: radius ($radius) must be >= 1")
+    val ac = a.withColumn("__cx", expr(s"$ax div $radius"))
+      .withColumn("__cy", expr(s"$ay div $radius"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val bc = b.withColumn("__o", explode(offsets))
+      .withColumn("__cx", expr(s"$bx div $radius") + col("__o.dx"))
+      .withColumn("__cy", expr(s"$by div $radius") + col("__o.dy"))
+      .drop("__o")
+    val d2 = (col(ax) - col(bx)) * (col(ax) - col(bx)) +
+      (col(ay) - col(by)) * (col(ay) - col(by))
+    ac.join(bc, Seq("__cx", "__cy"))
+      .withColumn("dist2", d2)
+      .filter(col("dist2") <= radius * radius)
+      .drop("__cx", "__cy")
+  }
+
   /** Multi-source BFS hop distances over an undirected graph (r12 —
     * the FIFTH graph primitive: the reachability/blast-radius query
     * behind "how far does an entity's influence spread" — fraud-ring

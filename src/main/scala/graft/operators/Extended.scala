@@ -485,6 +485,28 @@ object Extended {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q138: grid-bucketed 2-D radius join ([[graft.api.Ops.radiusJoin]])
+    * — customers and suppliers placed on a 100k×100k integer grid by
+    * the portable seeded hash (deterministic synthetic geography —
+    * the testdata carries no coordinates), paired within Euclidean
+    * distance 4000. Cell-keyed hash join candidates, exact integer
+    * refine, zero dedup; the oracle brute-forces the same predicate.
+    */
+  def q138(t: Tables): DataFrame = {
+    import graft.functions.TextFunctions.seededHash
+    val r = 4000L
+    val c = t.customer.select(col("c_custkey"),
+      (seededHash(lit("cgx"), col("c_custkey")) % 100000).as("cx"),
+      (seededHash(lit("cgy"), col("c_custkey")) % 100000).as("cy"))
+    val s = t.supplier.select(col("s_suppkey"),
+      (seededHash(lit("sgx"), col("s_suppkey")) % 100000).as("sx"),
+      (seededHash(lit("sgy"), col("s_suppkey")) % 100000).as("sy"))
+    graft.api.Ops.radiusJoin(c, s, "cx", "cy", "sx", "sy", r)
+      .select(col("c_custkey"), col("s_suppkey"), col("cx"), col("cy"),
+        col("sx"), col("sy"), col("dist2"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -946,6 +946,37 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("radiusJoin: brute-force parity, boundary inclusion, cell-crossing pairs, negatives") {
+    import spark.implicits._
+    // deterministic pseudo-random points incl. negatives and
+    // cell-boundary straddles at radius 10
+    val pa = (0 until 40).map(i => (i.toLong, (i * 37 % 83 - 25).toLong, (i * 53 % 97 - 31).toLong))
+      .toDF("aid", "ax", "ay")
+    val pb = (0 until 30).map(i => (i.toLong, (i * 41 % 89 - 27).toLong, (i * 29 % 71 - 19).toLong))
+      .toDF("bid", "bx", "by")
+    val r = 10L
+    val got = graft.api.Ops.radiusJoin(pa, pb, "ax", "ay", "bx", "by", r)
+      .select(col("aid"), col("bid"), col("dist2"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    val brute = pa.crossJoin(pb)
+      .withColumn("dist2", (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= r * r)
+      .select(col("aid"), col("bid"), col("dist2"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(got == brute, "grid candidates must reproduce the brute-force pair set exactly")
+    assert(brute.nonEmpty, "the fixture must actually produce pairs")
+    assert(got.map(p => (p._1, p._2)).distinct.size == got.size,
+      "each qualifying pair matches exactly once — no dedup pass hides duplicates")
+    // exact boundary: distance² = r² is IN; one past is OUT
+    val onEdge = graft.api.Ops.radiusJoin(
+      Seq((1L, 0L, 0L)).toDF("aid", "ax", "ay"),
+      Seq((1L, 10L, 0L), (2L, 10L, 1L)).toDF("bid", "bx", "by"),
+      "ax", "ay", "bx", "by", r)
+      .select(col("bid")).collect().map(_.getLong(0)).toSet
+    assert(onEdge == Set(1L), "dist² = r² included, r²+1 excluded")
+  }
+
   test("itemSimilarity: cosine ranks, tie-break, minCo pruning; PreparedCooc ≡ batch") {
     import spark.implicits._
     val baskets = Seq(
