@@ -384,6 +384,30 @@ object ScaleProbe {
       // degree-oriented wedge join (Σ d_out² = O(m^1.5) candidates —
       // the orientation is what caps hub wedges)
       "q126_triangles" -> (t => operators.Extended.q126(t)),
+      // r12 wave 6: per round ONE frontier-sized adjacency join + one
+      // anti join, checkpointed — cost tracks the reached boundary,
+      // never the full graph
+      "q132_bfs"      -> (t => operators.Extended.q132(t)),
+      // r12 wave 6: basket-bounded pair census + an item-partitioned
+      // rank window on the PAIR frame (10× orders over the fixed part
+      // vocabulary → denser counts, same key space)
+      "q133_itemsim"  -> (t => operators.Extended.q133(t)),
+      // r12 wave 6: one (segment, arm, unit) rollup with map-side
+      // partials + a groups-sized arm self-join — output is one row
+      // per segment at any scale
+      "q134_abtest"   -> (t => operators.Extended.q134(t)),
+      // r12 wave 6: the day census collapses replicas up front (the
+      // q122 argument) — lags and moments run on distinct days
+      "q135_autocorr" -> (t => operators.Temporal.q135(t)),
+      // r12 wave 6: one map-combinable digit census; output is fixed
+      // 45 rows however large the corpus
+      "q136_benford"  -> (t => operators.Extended.q136(t)),
+      // r12 wave 6: two key-partitioned window sorts + two
+      // groups-sized joins back — the q125 shape twice
+      "q137_mad"      -> (t => operators.Extended.q137(t)),
+      // r12 wave 6: one 9× explode + one cell-keyed hash join; pairs
+      // are output-bound (10× customers against fixed suppliers)
+      "q138_spatial"  -> (t => operators.Extended.q138(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -709,6 +709,52 @@ object Streams {
       .start()
   }
 
+  /** Rolling co-occurrence index maintenance (r12 — the recommender
+    * member of the absorb-only ingest family, beside
+    * [[ivfPqIngestStream]]): each trigger's basket rows merge into
+    * [[graft.api.Ops.PreparedCooc]] by exact count addition
+    * (lossless by algebra), and the sink receives the grown index
+    * after every trigger — persist it (`.save`) or serve
+    * `similarItems` from it. The live "bought X also bought Y" loop:
+    * census-sized merges per trigger, never a corpus rescan.
+    *
+    * CONTRACT (beyond the artifact's own basket-atomicity rule): a
+    * basket must be atomic to ONE trigger — split a basket across
+    * triggers and its cross-trigger pairs are lost, exactly as
+    * splitting it across absorb calls. Batch the source so basket
+    * boundaries align with triggers (e.g. file-per-extract sources).
+    * Replay discipline via the shared [[IngestLoop]]: a retry of the
+    * absorbed batchId re-emits the current index WITHOUT
+    * re-absorbing (count sums are NOT replay-idempotent — a silent
+    * double-absorb would double-count, so the loop's retry guard is
+    * load-bearing here); a batchId below the absorbed one fails
+    * loudly. Across restarts resume from a persisted index WITH a
+    * fresh source checkpoint: unlike the clash-guarded catalogs,
+    * count sums carry no id memory, so a STALE checkpoint replaying
+    * an absorbed batch cannot be detected in-engine — the restart
+    * geometry is the caller's contract, stated, not silently
+    * absorbed. Reliable prep REQUIRED.
+    */
+  def coocIngestStream(baskets: DataFrame, basket: String, item: String,
+                       prepared: graft.api.Ops.PreparedCooc,
+                       checkpointDir: String,
+                       sink: graft.api.Ops.PreparedCooc => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "coocIngestStream needs a PreparedCooc built with a reliable " +
+        "checkpointDir (prepareCooc(..., checkpointDir = Some(dir))) or " +
+        "loaded from a persisted index: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedCooc](
+      prepared,
+      (_, batch) => batch,
+      (idx, batch) => idx.absorb(batch, basket, item, Some(checkpointDir)),
+      (_, idx) => sink(idx))
+    baskets.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

@@ -1337,6 +1337,47 @@ class StreamingSpec extends AnyFunSuite {
       "the grown index must serve identically to the one-shot")
   }
 
+  test("coocIngestStream absorbs basket triggers into the rolling index, matching one-shot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.Ops
+    // 12 baskets of 3 items over a 9-item vocabulary; basket-atomic
+    // trigger splits (baskets 1-8 prepare, 9-10 and 11-12 stream)
+    val all = (1L to 12L).flatMap(ok => (0 until 3).map(j => (ok, (ok + j * 2) % 9)))
+    val base = all.filter(_._1 <= 8).toDF("ok", "it")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cooc_ing").toString
+    val idx0 = Ops.prepareCooc(base, "ok", "it", checkpointDir = Some(ckDir))
+    // unreliable prep refused up front
+    val e = intercept[IllegalArgumentException] {
+      Streams.coocIngestStream(MemoryStream[(Long, Long)].toDF().toDF("ok", "it"),
+        "ok", "it", Ops.prepareCooc(base, "ok", "it"), ckDir, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    @volatile var last: Option[Ops.PreparedCooc] = None
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = MemoryStream[(Long, Long)]
+    val q = Streams.coocIngestStream(stream.toDF().toDF("ok", "it"),
+      "ok", "it", idx0, ckDir, idx => { last = Some(idx); ticks.incrementAndGet(); () })
+    try {
+      stream.addData(all.filter(p => p._1 == 9L || p._1 == 10L))
+      q.processAllAvailable()
+      stream.addData(all.filter(p => p._1 >= 11L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ticks.get == 2, "one sink call per absorbing trigger")
+    assert(last.get.reliable, "every stream absorb checkpoints reliably")
+    val oneShot = Ops.prepareCooc(all.toDF("ok", "it"), "ok", "it",
+      checkpointDir = Some(ckDir))
+    assert(last.get.nBaskets == oneShot.nBaskets)
+    def srt(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(srt(last.get.items) == srt(oneShot.items),
+      "streamed item counts must equal the one-shot census")
+    assert(srt(last.get.pairs) == srt(oneShot.pairs),
+      "streamed pair counts must equal the one-shot census")
+    assert(srt(last.get.similarItems(3, 1L)) == srt(oneShot.similarItems(3, 1L)),
+      "the grown index must serve identically to the one-shot")
+  }
+
   test("capVocabStream and ngramCoverageStream run triggers against frozen prep, matching batch") {
     import spark.implicits._
     import graft.api.Ops._
