@@ -408,6 +408,10 @@ object ScaleProbe {
       // r12 wave 6: one 9× explode + one cell-keyed hash join; pairs
       // are output-bound (10× customers against fixed suppliers)
       "q138_spatial"  -> (t => operators.Extended.q138(t)),
+      // r12 wave 6: ONE key-partitioned window sort carries the last
+      // touch (two ignore-null last_value columns, no self-join) + a
+      // channel census — the q117/q98 sort-tracking shape
+      "q139_attribution" -> (t => operators.Temporal.q139(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

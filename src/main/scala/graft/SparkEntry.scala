@@ -158,6 +158,7 @@ object SparkEntry {
     "q137_mad_outliers"   -> q(Extended.q137),
     "q133_item_similarity" -> q(Extended.q133),
     "q138_spatial_join"   -> q(Extended.q138),
+    "q139_attribution"    -> q(Temporal.q139),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2712,6 +2713,33 @@ object SparkEntry {
         |FROM c CROSS JOIN s
         |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 16000000
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    // q139: the same two ignore-null last_value carries over the same
+    // (us, event_id) window, the same 7-day gate, exact cents/µs sums
+    "q139_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_us,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_t
+        |  FROM e),
+        |conv AS (
+        |  SELECT *,
+        |    CASE WHEN lt_us IS NOT NULL AND lt_us >= us - 604800000000 THEN lt_t END AS ch
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT COALESCE(ch, 'direct') AS channel,
+        |  count(*) AS n_conversions,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |  CAST(SUM(CASE WHEN ch IS NOT NULL THEN us - lt_us END) AS BIGINT) AS latency_us_total
+        |FROM conv GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

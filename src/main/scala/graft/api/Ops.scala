@@ -3087,6 +3087,48 @@ object Ops {
         .drop("__g", "__lo", "__hi")
     }
 
+    /** Last-touch conversion attribution (r12 — the marketing
+      * analytics readout behind every channel-ROI dashboard): each
+      * conversion event credits the LATEST preceding touch event of
+      * the key within `windowUs`; conversions with no in-window touch
+      * carry a null channel (the caller's "direct" bucket —
+      * observable, never a fabricated credit). Strict per-key
+      * (time, tieBreak) order; a conversion at the exact same
+      * timestamp as a touch credits it only if the touch sorts
+      * earlier by the tiebreak (the order IS the contract). Returns
+      * the conversion rows with (channel, touch_us, touch_gap_us)
+      * appended — exact integer µs end-to-end, bit-replayable.
+      * Scale shape: ONE key-partitioned window sort computes the
+      * running last-touch carry (two ignore-null last_value columns
+      * over the same frame — no self-join, no as-of join against a
+      * touch table); cost tracks the sort, the q98/q117 shape.
+      */
+    def lastTouchAttribution(key: String, time: String, tieBreak: String,
+                             typeCol: String, convType: String,
+                             touchTypes: Seq[String],
+                             windowUs: Long): DataFrame = {
+      require(touchTypes.nonEmpty, "lastTouchAttribution: touchTypes must be non-empty")
+      require(!touchTypes.contains(convType),
+        s"lastTouchAttribution: convType '$convType' cannot also be a touch type")
+      require(windowUs > 0, s"lastTouchAttribution: windowUs ($windowUs) must be positive")
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("__at_us"), col(tieBreak))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isTouch = col(typeCol).isin(touchTypes: _*)
+      left
+        .withColumn("__at_us", unix_micros(col(time)))
+        .withColumn("__lt_us", last(when(isTouch, col("__at_us")), ignoreNulls = true).over(w))
+        .withColumn("__lt_t", last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+        .filter(col(typeCol) === convType)
+        .withColumn("channel",
+          when(col("__lt_us").isNotNull && col("__lt_us") >= col("__at_us") - windowUs,
+            col("__lt_t")))
+        .withColumn("touch_us", when(col("channel").isNotNull, col("__lt_us")))
+        .withColumn("touch_gap_us",
+          when(col("channel").isNotNull, col("__at_us") - col("__lt_us")))
+        .drop("__at_us", "__lt_us", "__lt_t")
+    }
+
     /** Robust outlier flags by median absolute deviation (r12 — the
       * robust sibling of q100's z-score: mean/stddev screens break on
       * the very outliers they hunt, median/MAD does not): per group,

@@ -308,6 +308,27 @@ object Temporal {
       .orderBy(col("event_type"), col("lag_k"))
   }
 
+  /** q139: last-touch channel attribution of purchases
+    * ([[graft.api.Ops.GraftDataFrameOps.lastTouchAttribution]]) —
+    * each purchase credits the user's latest click/view within 7
+    * days (else the "direct" bucket); the per-channel readout:
+    * conversions, exact revenue cents, total touch-to-convert
+    * latency. One per-user window sort + one map-combinable census.
+    */
+  def q139(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events
+      .lastTouchAttribution("user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        windowUs = 604800000000L)
+      .withColumn("__cents", (dec(col("value")) * 100).cast("long"))
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__cents")).as("revenue_cents"),
+        sum(col("touch_gap_us")).as("latency_us_total"))
+      .orderBy(col("channel"))
+  }
+
   def q23(t: Tables): DataFrame =
     t.events
       .withColumn("bucket_start",

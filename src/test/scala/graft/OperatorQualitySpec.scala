@@ -946,6 +946,35 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("lastTouchAttribution: latest-touch credit, window expiry, same-ts tiebreak, key isolation") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(
+      // u1: view@1, click@5 → purchase@10 credits click (gap 5)
+      (1L, 1L, "view", 1L), (1L, 2L, "click", 5L), (1L, 3L, "purchase", 10L),
+      // u1: purchase@100 — the click is 95µs old, window 50 → direct
+      (1L, 4L, "purchase", 100L),
+      // u2: touch AFTER the purchase never credits
+      (2L, 5L, "purchase", 10L), (2L, 6L, "click", 20L),
+      // u3: same-ts touch with a SMALLER tiebreak id credits
+      (3L, 7L, "view", 30L), (3L, 8L, "purchase", 30L))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = df.lastTouchAttribution("user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("click", "view"), windowUs = 50L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[String]("channel")), Option(r.getAs[java.lang.Long]("touch_gap_us")).map(_.toLong)))).toMap
+    assert(out(3L) == ((Some("click"), Some(5L))), "latest touch wins over earlier ones")
+    assert(out(4L) == ((None, None)), "an expired touch yields the null (direct) bucket")
+    assert(out(5L) == ((None, None)), "a later touch never credits an earlier conversion")
+    assert(out(8L) == ((Some("view"), Some(0L))), "same-ts touch credits via the tiebreak order")
+    assert(out.size == 4, "only conversion rows return")
+    intercept[IllegalArgumentException] {
+      df.lastTouchAttribution("user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("purchase", "view"), 50L)
+    }
+  }
+
   test("radiusJoin: brute-force parity, boundary inclusion, cell-crossing pairs, negatives") {
     import spark.implicits._
     // deterministic pseudo-random points incl. negatives and

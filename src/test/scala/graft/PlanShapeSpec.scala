@@ -55,7 +55,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // q131/q132 are checkpoint-iterative like q46/q96: building the
       // plan runs the peel/frontier loop, so their shape is spec'd
       // behaviorally
-      "q131_kcore", "q132_bfs_reach"))
+      "q131_kcore", "q132_bfs_reach",
+      // q136's census completion crosses the groups-sized totals with
+      // the broadcast 9-row digit frame — the q48/q76 bounded-frame
+      // shape; its dedicated pin below bounds it to exactly that one
+      "q136_benford"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -146,6 +150,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nlj == 1, s"expected exactly the keyless 1-row total join in q76, got $nlj:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected per-partition-heap top-k, not a global sort, in q76:\n$plan")
+  }
+
+  test("q136's only nested-loop is the 9-row digit completion; the census joins stay hash joins") {
+    val plan = physicalPlan("q136_benford")
+    assert(!plan.contains("CartesianProduct"), s"CartesianProduct in q136:\n$plan")
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 1,
+      s"expected exactly the keyless groups×9-digit completion join in q136, got $nlj:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the observed-census join back must stay a hash join in q136:\n$plan")
   }
 
   test("q77's only nested-loop is the 1-row totals broadcast; unigram joins stay hash joins") {
