@@ -444,6 +444,92 @@ object Ops {
       ArtifactIO.field(m, path, "typeCol"), reliable = true)
   }
 
+  /** The grouped-aggregate cell census behind [[PreparedRollup]]:
+    * count, exact decimal sum, min, max of `value` per key tuple —
+    * every measure associative-mergeable, the precondition for
+    * lossless incremental maintenance.
+    */
+  private[graft] def rollupCells(df: DataFrame, keys: Seq[String],
+                                 value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.filter(value.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(graft.util.Portable.dec(value)).cast(DecimalType(38, 2)).as("s"),
+        min(value).as("mn"), max(value).as("mx"))
+  }
+
+  /** A grouped-aggregate materialized view maintained incrementally
+    * (r12 — the warehouse "incremental MV" primitive: refresh a
+    * nightly rollup by absorbing the day's increment instead of
+    * rescanning the corpus): per key tuple the exact
+    * (count, decimal sum, min, max) cells, served with the
+    * deterministic average (exact sum ÷ count, one double division —
+    * the decAvg shape). Like [[PreparedMoments]], absorb is LOSSLESS
+    * BY ALGEBRA — count/sum/min/max are all associative merges — and
+    * carries the same unkeyed-observations semantics: absorbing the
+    * same rows twice is the caller's choice, exactly as re-running a
+    * batch aggregate. APPEND-ONLY by construction, stated: min/max
+    * cannot un-merge a deletion — a corrected corpus needs a
+    * re-prepare (or a [[GraftDataFrameOps.applyChanges]]-maintained
+    * base it re-prepares from). Merge cost is cells-sized, never
+    * corpus-sized.
+    */
+  final case class PreparedRollup private[graft] (
+    cells: DataFrame, keys: Seq[String], reliable: Boolean) {
+
+    /** Merge an increment's cells by exact-algebra aggregation; pass
+      * the SAME value measure prepare used (the absorbVocab
+      * discipline).
+      */
+    def absorb(increment: DataFrame, value: Column,
+               checkpointDir: Option[String] = None): PreparedRollup = {
+      import org.apache.spark.sql.types.DecimalType
+      val ckp = lineageBreaker(checkpointDir)
+      val merged = ckp(cells.unionByName(rollupCells(increment, keys, value))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("n")).as("n"),
+          sum(col("s")).cast(DecimalType(38, 2)).as("s"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx")))
+      PreparedRollup(merged, keys, reliable && checkpointDir.isDefined)
+    }
+
+    /** The rollup surface: cells + the deterministic exact-sum
+      * average (`avg = CAST(s AS DOUBLE) / n`, one double division).
+      */
+    def serve: DataFrame =
+      cells.withColumn("avg", col("s").cast("double") / col("n"))
+
+    /** Persist durably (one cells frame + kind-tagged meta). */
+    def save(path: String): Unit = {
+      cells.write.mode("overwrite").parquet(s"$path/cells")
+      ArtifactIO.writeMeta(cells.sparkSession, path, "rollup",
+        Seq("keys" -> keys.mkString(",")))
+    }
+  }
+
+  /** Build a [[PreparedRollup]]; its `serve` over the prepare corpus
+    * equals the one-shot grouped aggregate (shared census code,
+    * spec-pinned). Streaming/nightly maintenance wants a reliable
+    * `checkpointDir`, as with every artifact.
+    */
+  def prepareRollup(corpus: DataFrame, keys: Seq[String], value: Column,
+                    checkpointDir: Option[String] = None): PreparedRollup = {
+    require(keys.nonEmpty, "prepareRollup: at least one key column")
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedRollup(ckp(rollupCells(corpus, keys, value)), keys,
+      checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedRollup]] persisted by its `save`; fails fast on
+    * a non-rollup path.
+    */
+  def loadRollup(spark: org.apache.spark.sql.SparkSession, path: String): PreparedRollup = {
+    val m = ArtifactIO.readMeta(spark, path, "rollup")
+    PreparedRollup(spark.read.parquet(s"$path/cells"),
+      ArtifactIO.field(m, path, "keys").split(",").toSeq, reliable = true)
+  }
+
   /** The co-occurrence census behind [[itemSimilarity]] and
     * [[PreparedCooc]]: per-item basket counts and per-pair
     * co-occurrence counts (canonical a < b), both from ONE distinct

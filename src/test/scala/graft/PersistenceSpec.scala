@@ -364,6 +364,39 @@ class PersistenceSpec extends AnyFunSuite {
       "absorb-after-load serve")
   }
 
+  test("PreparedRollup save → load round-trips cells; absorb is exact algebra; serve ≡ one-shot") {
+    val o = t.orders
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+    val keys = Seq("o_orderstatus", "o_orderpriority")
+    val v = col("o_totalprice")
+    val full = Ops.prepareRollup(o, keys, v)
+    val dir = tmp("rollup")
+    full.save(dir)
+    val loaded = Ops.loadRollup(spark, dir)
+    assert(loaded.keys == full.keys && loaded.reliable)
+    assertSameRows(loaded.cells, full.cells, "rollup cells")
+    assertSameRows(loaded.serve, full.serve, "rollup serve from loaded cells")
+    // absorb after load ≡ full re-prepare: count/sum/min/max are all
+    // associative merges — exact algebra, not an approximation
+    val dirA = tmp("rollupA")
+    Ops.prepareRollup(a, keys, v).save(dirA)
+    val absorbed = Ops.loadRollup(spark, dirA).absorb(b, v)
+    assertSameRows(absorbed.cells, full.cells, "absorb-after-load cells")
+    assertSameRows(absorbed.serve, full.serve, "absorb-after-load serve")
+    // serve ≡ the one-shot grouped aggregate with the decAvg shape
+    val oneShot = o.filter(v.isNotNull).groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(graft.util.Portable.dec(v)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("s"),
+        min(v).as("mn"), max(v).as("mx"))
+      .withColumn("avg", col("s").cast("double") / col("n"))
+    assertSameRows(full.serve, oneShot, "serve vs one-shot aggregate")
+    // an increment introducing a NEW key tuple lands as its own cell
+    val extra = a.limit(1).withColumn("o_orderstatus", lit("ZZ_NEW"))
+    val grown = full.absorb(extra, v)
+    assert(grown.cells.filter(col("o_orderstatus") === "ZZ_NEW").count() == 1)
+  }
+
   test("loading the wrong artifact kind — or a missing meta — fails fast") {
     val dir = tmp("kindclash")
     Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)
