@@ -755,6 +755,49 @@ object Streams {
       .start()
   }
 
+  /** Rolling materialized-aggregate maintenance (r12 — the warehouse
+    * member of the absorb-only ingest family, beside
+    * [[coocIngestStream]]): each trigger's rows merge into
+    * [[graft.api.Ops.PreparedRollup]] by pure associative algebra
+    * (count/sum/min/max cells — lossless, like the cooc counts), and
+    * the sink receives the refreshed rollup after every trigger —
+    * persist it (`.save`) or serve `serve` from it. The live
+    * "incremental MV refresh" loop: a trigger costs its own census +
+    * a cells-sized merge, never a corpus rescan.
+    *
+    * CONTRACT: append-only, as the artifact states — min/max cannot
+    * un-merge a deletion, so corrections re-prepare. Replay
+    * discipline via the shared [[IngestLoop]]: a retry of the
+    * absorbed batchId re-emits the current rollup WITHOUT
+    * re-absorbing (cell sums are NOT replay-idempotent — the retry
+    * guard is load-bearing against double-counts); a batchId below
+    * the absorbed one fails loudly. Across restarts resume from a
+    * persisted rollup WITH a fresh source checkpoint: cell sums
+    * carry no id memory (the cooc geometry), so a stale checkpoint
+    * replaying an absorbed batch is UNDETECTABLE in-engine — the
+    * restart geometry is the caller's stated contract. Reliable
+    * prep REQUIRED.
+    */
+  def rollupIngestStream(rows: DataFrame, value: org.apache.spark.sql.Column,
+                         prepared: graft.api.Ops.PreparedRollup,
+                         checkpointDir: String,
+                         sink: graft.api.Ops.PreparedRollup => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "rollupIngestStream needs a PreparedRollup built with a reliable " +
+        "checkpointDir (prepareRollup(..., checkpointDir = Some(dir))) or " +
+        "loaded from a persisted rollup: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedRollup](
+      prepared,
+      (_, batch) => batch,
+      (idx, batch) => idx.absorb(batch, value, Some(checkpointDir)),
+      (_, idx) => sink(idx))
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

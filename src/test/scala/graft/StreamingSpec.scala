@@ -1378,6 +1378,47 @@ class StreamingSpec extends AnyFunSuite {
       "the grown index must serve identically to the one-shot")
   }
 
+  test("rollupIngestStream absorbs triggers into the rolling rollup, matching one-shot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.Ops
+    // 30 keyed measures; rows 1-20 prepare, 21-25 and 26-30 stream —
+    // the second trigger introduces a brand-new key tuple ("C")
+    val all = (1L to 30L).map(i =>
+      (if (i <= 25) (if (i % 2 == 0) "A" else "B") else "C", i, i.toDouble * 1.5))
+    val base = all.filter(_._2 <= 20).toDF("k", "i", "v")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_rollup_ing").toString
+    val r0 = Ops.prepareRollup(base, Seq("k"), col("v"), checkpointDir = Some(ckDir))
+    // unreliable prep refused up front
+    val e = intercept[IllegalArgumentException] {
+      Streams.rollupIngestStream(MemoryStream[(String, Long, Double)].toDF().toDF("k", "i", "v"),
+        col("v"), Ops.prepareRollup(base, Seq("k"), col("v")), ckDir, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    @volatile var last: Option[Ops.PreparedRollup] = None
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = MemoryStream[(String, Long, Double)]
+    val q = Streams.rollupIngestStream(stream.toDF().toDF("k", "i", "v"),
+      col("v"), r0, ckDir, r => { last = Some(r); ticks.incrementAndGet(); () })
+    try {
+      stream.addData(all.filter(p => p._2 >= 21 && p._2 <= 25))
+      q.processAllAvailable()
+      stream.addData(all.filter(_._2 >= 26))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ticks.get == 2, "one sink call per absorbing trigger")
+    assert(last.get.reliable, "every stream absorb checkpoints reliably")
+    val oneShot = Ops.prepareRollup(all.toDF("k", "i", "v"), Seq("k"), col("v"),
+      checkpointDir = Some(ckDir))
+    def srt(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(srt(last.get.cells) == srt(oneShot.cells),
+      "streamed cells must equal the one-shot census — exact algebra")
+    assert(srt(last.get.serve) == srt(oneShot.serve),
+      "the refreshed rollup must serve identically to the one-shot")
+    assert(last.get.cells.filter(col("k") === "C").count() == 1,
+      "a new key tuple arriving mid-stream lands as its own cell")
+  }
+
   test("capVocabStream and ngramCoverageStream run triggers against frozen prep, matching batch") {
     import spark.implicits._
     import graft.api.Ops._
