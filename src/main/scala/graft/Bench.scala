@@ -64,7 +64,8 @@ object Bench {
     "q126_triangles", "q127_seasonal", "q128_cusum", "q129_assoc_rules",
     "q130_rfm", "q131_kcore", "q132_bfs_reach", "q134_ab_test",
     "q135_autocorr", "q136_benford", "q137_mad_outliers",
-    "q133_item_similarity", "q138_spatial_join", "q139_attribution")
+    "q133_item_similarity", "q138_spatial_join", "q139_attribution",
+    "q140_sssp")
 
   private val childMarker = "##BENCHQ##"
 

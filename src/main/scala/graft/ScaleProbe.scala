@@ -412,6 +412,10 @@ object ScaleProbe {
       // touch (two ignore-null last_value columns, no self-join) + a
       // channel census — the q117/q98 sort-tracking shape
       "q139_attribution" -> (t => operators.Temporal.q139(t)),
+      // r12 wave 7: per round ONE frontier-sized adjacency join + a
+      // min census + an improvement outer join, checkpointed — the
+      // q132 boundary-tracking argument with weights
+      "q140_sssp"     -> (t => operators.Extended.q140(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -159,6 +159,7 @@ object SparkEntry {
     "q133_item_similarity" -> q(Extended.q133),
     "q138_spatial_join"   -> q(Extended.q138),
     "q139_attribution"    -> q(Temporal.q139),
+    "q140_sssp"           -> q(Extended.q140),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2523,6 +2524,41 @@ object SparkEntry {
            |  WHERE a.d NOT IN (SELECT node FROM dist${r - 1})),
            |dist$r AS MATERIALIZED (
            |  SELECT node, dist FROM dist${r - 1} UNION ALL SELECT node, dist FROM f$r)""".stripMargin
+      }.mkString(",\n")
+      s"""$header,
+         |$roundsSql
+         |SELECT node, dist FROM dist$rounds
+         |ORDER BY node""".stripMargin
+    },
+
+    // q140: the oracle unrolls the 4 Bellman-Ford rounds as
+    // MATERIALIZED CTEs in the FULL-relaxation form (every labeled
+    // node relaxes each round) — mathematically identical to the
+    // engine's frontier optimization, since both equal min-weight
+    // over paths of at most r edges after round r
+    "q140_sssp" -> {
+      val rounds = 4
+      val header =
+        """WITH ei AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem WHERE l_partkey % 4 = 0),
+          |ew AS MATERIALIZED (
+          |  SELECT u, v, 1 + (u * 3 + v) % 7 AS w FROM (
+          |    SELECT DISTINCT x.p AS u, y.p AS v
+          |    FROM ei x JOIN ei y ON x.ok = y.ok AND x.p < y.p)),
+          |adj AS MATERIALIZED (
+          |  SELECT u AS s, v AS d, w FROM ew UNION ALL SELECT v, u, w FROM ew),
+          |dist0 AS MATERIALIZED (
+          |  SELECT DISTINCT p AS node, CAST(0 AS BIGINT) AS dist
+          |  FROM ei WHERE p % 20 = 0)""".stripMargin
+      val roundsSql = (1 to rounds).map { r =>
+        s"""dist$r AS MATERIALIZED (
+           |  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist FROM dist${r - 1}
+           |    UNION ALL
+           |    SELECT a.d AS node, fr.dist + a.w AS dist
+           |    FROM adj a JOIN dist${r - 1} fr ON a.s = fr.node)
+           |  GROUP BY node)""".stripMargin
       }.mkString(",\n")
       s"""$header,
          |$roundsSql

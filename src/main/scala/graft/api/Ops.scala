@@ -2523,6 +2523,71 @@ object Ops {
     dist
   }
 
+  /** Multi-source WEIGHTED shortest-path distances — R rounds of
+    * Bellman-Ford relaxation over an undirected graph (r12 — the
+    * SIXTH graph primitive, the weighted sibling of [[bfsDistances]]:
+    * cheapest-route cost behind logistics routing, social "degrees of
+    * trust" with tie strengths, and weighted blast-radius). Seeds
+    * start at distance 0; round `r` relaxes every edge out of the
+    * nodes whose distance improved in round `r-1` (the frontier
+    * optimization — relaxing only improved nodes is exact because a
+    * value propagates at most one hop per round), so after round `r`
+    * each labeled node carries EXACTLY min-total-weight over paths of
+    * at most `r` edges — the classic Bellman-Ford ≤r-edge invariant,
+    * which IS the contract: the fixed round budget (the [[kCore]]
+    * discipline) makes the result well-defined and replayable at any
+    * budget, an emptied frontier makes further rounds no-ops, and a
+    * converged result is stable under a larger budget (spec-pinned).
+    *
+    * Dirty input canonicalizes like [[triangleCounts]] — duplicates,
+    * reversals and self-loops collapse — with parallel edges keeping
+    * their MINIMUM weight (the only weight a shortest path can use);
+    * null or NEGATIVE weights drop (negative weights on an undirected
+    * graph mean a negative cycle — shortest path is undefined).
+    * Off-graph seeds still label at 0.
+    *
+    * Scale shape per round: ONE frontier-sized adjacency hash join,
+    * one map-combinable min-census, one improvement anti/outer join
+    * against the labeled set; frontiers and the distance frame
+    * checkpoint each round (the q46 lineage discipline). Cost tracks
+    * the improving boundary, never the graph.
+    */
+  def ssspDistances(edges: DataFrame, src: String, dst: String, weight: String,
+                    seeds: DataFrame, seedCol: String, rounds: Int,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"ssspDistances: rounds ($rounds) must be in 1..32")
+    val ckp = lineageBreaker(checkpointDir)
+    val und = edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst) &&
+        col(weight).isNotNull && col(weight) >= 0)
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"),
+        col(weight).cast("long").as("w"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+    val adj = ckp(und.select(col("u").as("s"), col("v").as("d"), col("w"))
+      .unionByName(und.select(col("v").as("s"), col("u").as("d"), col("w"))))
+    var dist = ckp(seeds.select(col(seedCol).as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      // best candidate per node out of the frontier, then keep only
+      // genuine improvements (new node, or strictly shorter)
+      val cand = adj
+        .join(frontier.select(col("node").as("s"), col("dist").as("fd")), Seq("s"))
+        .select(col("d").as("node"), (col("fd") + col("w")).as("cd"))
+        .groupBy(col("node")).agg(min(col("cd")).as("cd"))
+      val improved = ckp(cand
+        .join(dist.select(col("node"), col("dist").as("od")), Seq("node"), "left_outer")
+        .filter(col("od").isNull || col("cd") < col("od"))
+        .select(col("node"), col("cd").as("dist")))
+      dist = ckp(dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+        .unionByName(improved))
+      frontier = improved
+    }
+    dist
+  }
+
   /** Per-node triangle counts over an undirected graph (r12 — the
     * third graph primitive beside PageRank and the
     * connected-components family; triangle participation is the

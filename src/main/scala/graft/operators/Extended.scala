@@ -423,6 +423,29 @@ object Extended {
       .orderBy(col("node"))
   }
 
+  /** q140: 4-round weighted shortest paths over the part basket graph
+    * ([[graft.api.Ops.ssspDistances]]) — Bellman-Ford min-cost
+    * distance from the q132 seed set across the same quarter-sliced
+    * co-occurrence projection, with a deterministic synthetic integer
+    * weight per canonical pair (testdata carries no edge costs — the
+    * q138 synthetic-input precedent). ≤4-edge Bellman-Ford semantics
+    * by the fixed round budget; frontier-sized relaxations,
+    * per-round checkpoints.
+    */
+  def q140(t: Tables): DataFrame = {
+    val e = t.lineitem.filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+      .withColumn("w",
+        lit(1L) + (col("u").cast("long") * 3L + col("v").cast("long")) % 7L)
+    val seeds = e.select(col("p")).filter(col("p") % 20 === 0).distinct()
+    graft.api.Ops.ssspDistances(pairs, "u", "v", "w", seeds, "p", rounds = 4)
+      .orderBy(col("node"))
+  }
+
   /** q133: item-item collaborative filtering over part baskets
     * ([[graft.api.Ops.itemSimilarity]]) — top-5 co-occurrence cosine
     * neighbors per part on the quarter-sliced projection, pairs below

@@ -1167,6 +1167,41 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("ssspDistances: weighted min-cost, budget refinement, parallel-edge min, converged stability") {
+    import spark.implicits._
+    // path 1-2-3-4-5 at weight 1 each, plus an EXPENSIVE shortcut
+    // 1-4 (w=10): hop-wise 4 is 1 edge away, weighted the 3-edge
+    // path (cost 3) wins — the exact case BFS gets wrong
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L), (1L, 4L, 10L),
+      (2L, 1L, 5L),  // reversed PARALLEL edge: min weight (1) must win
+      (3L, 3L, 0L),  // self-loop: dropped
+      (1L, 9L, -3L), // negative weight: dropped — 9 stays unreachable
+      (98L, 99L, 1L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("n")
+    def run(rounds: Int, sd: org.apache.spark.sql.DataFrame = seeds,
+            e: org.apache.spark.sql.DataFrame = edges) =
+      graft.api.Ops.ssspDistances(e, "s", "d", "w", sd, "n", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(4) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L),
+      s"weighted min-cost: the 3-edge path beats the w=10 shortcut (got ${run(4)})")
+    // the ≤r-edge Bellman-Ford contract: at rounds=2 node 4's best
+    // ≤2-edge path IS the shortcut (10); more budget refines it to 3
+    val r2 = run(2)
+    assert(r2(4L) == 10L && r2(5L) == 11L,
+      s"rounds=2 carries the best ≤2-edge cost — via the shortcut (got $r2)")
+    // multi-source: nearest seed wins; an off-graph seed labels at 0
+    val multi = run(4, Seq(1L, 5L, 777L).toDF("n"))
+    assert(multi == Map(1L -> 0L, 5L -> 0L, 777L -> 0L, 2L -> 1L,
+      3L -> 2L, 4L -> 1L),
+      s"cost is min over seeds — node 4 is 1 from seed 5 (got $multi)")
+    // a converged result is stable under a larger budget, under
+    // repartitioning, and duplicate seeds collapse
+    assert(run(9, Seq(1L, 1L).toDF("n"), edges.repartition(5)) == run(4),
+      "extra rounds past convergence are no-ops")
+  }
+
   test("triangleCounts: K4 corners, pendant exclusion, dirty-input canonicalization") {
     import spark.implicits._
     // K4 on 1..4 (each node in C(3,2)=3 triangles) + pendant 5 + a
