@@ -65,7 +65,8 @@ object Bench {
     "q130_rfm", "q131_kcore", "q132_bfs_reach", "q134_ab_test",
     "q135_autocorr", "q136_benford", "q137_mad_outliers",
     "q133_item_similarity", "q138_spatial_join", "q139_attribution",
-    "q140_sssp")
+    "q140_sssp", "q141_rolling_actives", "q142_chi_square",
+    "q143_concentration")
 
   private val childMarker = "##BENCHQ##"
 

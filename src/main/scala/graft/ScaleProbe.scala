@@ -416,6 +416,17 @@ object ScaleProbe {
       // min census + an improvement outer join, checkpointed — the
       // q132 boundary-tracking argument with weights
       "q140_sssp"     -> (t => operators.Extended.q140(t)),
+      // r12 wave 7: the (user, day) census collapses replicas up
+      // front (the q122 argument); the ×7 contribution explode runs
+      // on the census, never the corpus
+      "q141_rolling"  -> (t => operators.Temporal.q141(t)),
+      // r12 wave 7: three map-combinable censuses + the bounded
+      // |A|×|B| completion cross — output fixed at any corpus size
+      "q142_chisq"    -> (t => operators.Extended.q142(t)),
+      // r12 wave 7: the (group, entity) census collapses the corpus
+      // first; the rank window and moment sums run on the entity
+      // frame only
+      "q143_conc"     -> (t => operators.Extended.q143(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

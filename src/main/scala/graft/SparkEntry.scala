@@ -160,6 +160,9 @@ object SparkEntry {
     "q138_spatial_join"   -> q(Extended.q138),
     "q139_attribution"    -> q(Temporal.q139),
     "q140_sssp"           -> q(Extended.q140),
+    "q141_rolling_actives" -> q(Temporal.q141),
+    "q142_chi_square"     -> q(Extended.q142),
+    "q143_concentration"  -> q(Extended.q143),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2993,6 +2996,87 @@ object SparkEntry {
         |  max(len) AS longest_streak,
         |  min(CASE WHEN len = m THEN start END) AS longest_streak_start
         |FROM mx GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q141: the (user, day) census collapses first (the q122 rule);
+    // each census row contributes to its 7 trailing target days via a
+    // bounded range cross — exact distinct counts, observed days only
+    "q141_rolling_actives" ->
+      """WITH census AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS active_units
+        |  FROM census GROUP BY day),
+        |contrib AS (
+        |  SELECT DISTINCT u, day + CAST(t.i AS INTEGER) AS day2
+        |  FROM census, range(0, 7) AS t(i)),
+        |rolled AS (
+        |  SELECT day2 AS day, CAST(count(*) AS BIGINT) AS rolling_active_units
+        |  FROM contrib GROUP BY day2)
+        |SELECT d.day, d.active_units, r.rolling_active_units
+        |FROM daily d JOIN rolled r ON d.day = r.day
+        |ORDER BY d.day""".stripMargin,
+
+    // q142: exact contingency census completed over the |A|×|B|
+    // cross; e and contrib in the SAME double op order (na·nb
+    // multiplied in DOUBLE — a long product overflows at scale);
+    // total χ² sums the ROUNDED contribs as exact DECIMAL(38,6)
+    "q142_chi_square" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM base GROUP BY 1),
+        |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM base GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |comp AS (
+        |  SELECT ra.a, cb.b, COALESCE(cells.obs, 0) AS obs, ra.na, cb.nb, nn.n,
+        |    CAST(ra.na AS DOUBLE) * CAST(cb.nb AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+        |  FROM ra CROSS JOIN cb
+        |  LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b
+        |  CROSS JOIN nn),
+        |c2 AS (
+        |  SELECT *, round((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e, 6) AS contrib
+        |  FROM comp),
+        |tot AS (
+        |  SELECT CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS chi2,
+        |    CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof
+        |  FROM c2)
+        |SELECT a AS o_orderstatus, b AS o_orderpriority, obs, na, nb,
+        |  round(e, 6) AS expected, contrib, chi2, dof
+        |FROM c2 CROSS JOIN tot
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q143: per-entity decimal census → deterministic (value, entity)
+    // rank → exact moment sums → the two metrics in the SAME double
+    // op order, rounded at 6
+    "q143_concentration" ->
+      """WITH ent AS (
+        |  SELECT o_orderpriority AS g, o_custkey AS e,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL AND o_totalprice >= 0
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY g ORDER BY v, e)
+        |    AS DECIMAL(10,0)) AS i
+        |  FROM ent),
+        |s AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_entities,
+        |    CAST(SUM(v) AS DECIMAL(38,2)) AS total,
+        |    CAST(SUM(v * i) AS DECIMAL(38,2)) AS s_iv,
+        |    CAST(SUM(v * v) AS DECIMAL(38,4)) AS s_v2
+        |  FROM r GROUP BY g)
+        |SELECT g AS o_orderpriority, n_entities, total,
+        |  CASE WHEN total <> 0 THEN
+        |    round(CAST(s_v2 AS DOUBLE) /
+        |      (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) END AS hhi,
+        |  CASE WHEN total <> 0 THEN
+        |    round(CAST(2 AS DOUBLE) * CAST(s_iv AS DOUBLE) /
+        |      (CAST(n_entities AS DOUBLE) * CAST(total AS DOUBLE)) -
+        |      CAST(n_entities + 1 AS DOUBLE) / CAST(n_entities AS DOUBLE), 6)
+        |  END AS gini
+        |FROM s ORDER BY 1""".stripMargin,
 
     // q118: ordered string_agg IS the engine's array_sort(struct)
     // path re-assembly; the regex sticks to the RE2-safe subset so

@@ -3420,6 +3420,107 @@ object Ops {
         .drop("__pa", "__pb", "__pool", "__se")
     }
 
+    /** Chi-square test of independence between two categorical
+      * columns (r12 — the categorical sibling of [[abTest]]: does
+      * feature A's distribution depend on feature B? The screen
+      * behind segmentation sanity checks, drift detection between
+      * crawl sources, and label-leak audits). The contingency census
+      * is exact integers; each cell's expectation and contribution
+      * are ONE fixed IEEE double shape over those exact counts
+      * (`e = (na·nb)/N` multiplied in DOUBLE — never a long product,
+      * which overflows at ~1e12 marginals; `(obs−e)²/e` in the same
+      * op order both engines, the q100/q134 discipline), rounded at
+      * 6. The census COMPLETES over the observed |A|×|B| cross (the
+      * q136 rule — a structurally absent cell is evidence, its
+      * contribution still counts), and the total χ² sums the ROUNDED
+      * per-cell contributions as exact DECIMAL(38,6) — deterministic
+      * on any engine/partitioning, no order-dependent double sum.
+      * Degrees of freedom ride along.
+      *
+      * Scale shape: one map-combinable cell census + two marginal
+      * censuses + the bounded |A|×|B| completion cross joined to ONE
+      * q48-shaped scalar row — output is |A|×|B| rows at any corpus
+      * size, no window anywhere.
+      */
+    def chiSquareIndependence(a: String, b: String): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      val base = left.filter(col(a).isNotNull && col(b).isNotNull)
+        .select(col(a).as("__a"), col(b).as("__b"))
+      val cells = base.groupBy(col("__a"), col("__b"))
+        .agg(count(lit(1)).as("obs"))
+      val ra = base.groupBy(col("__a")).agg(count(lit(1)).as("na"))
+      val cb = base.groupBy(col("__b")).agg(count(lit(1)).as("nb"))
+      val n = base.agg(count(lit(1)).as("__n"))
+      val e = col("na").cast("double") * col("nb").cast("double") /
+        col("__n").cast("double")
+      val d = col("obs").cast("double") - col("__e")
+      val complete = ra.crossJoin(cb)
+        .join(cells, Seq("__a", "__b"), "left_outer")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+        .crossJoin(broadcast(n))
+        .withColumn("__e", e)
+        .withColumn("__contrib", round(d * d / col("__e"), 6))
+      val totals = complete.agg(
+        sum(col("__contrib").cast(DecimalType(38, 6))).cast(DecimalType(38, 6))
+          .as("chi2"),
+        ((countDistinct(col("__a")) - 1) * (countDistinct(col("__b")) - 1))
+          .as("dof"))
+      complete
+        .crossJoin(broadcast(totals))
+        .select(col("__a").as(a), col("__b").as(b), col("obs"),
+          col("na"), col("nb"),
+          round(col("__e"), 6).as("expected"),
+          col("__contrib").as("contrib"),
+          col("chi2"), col("dof"))
+    }
+
+    /** Market-concentration metrics per group (r12 — the
+      * Herfindahl–Hirschman index and Gini coefficient: the audit
+      * readout behind "is this segment dominated by a few entities"
+      * — vendor concentration, crawl-source dominance, whale-revenue
+      * risk). Per group over per-entity exact decimal totals:
+      * `hhi = Σ vᵢ² / T²` and the rank-form Gini
+      * `g = 2·Σ i·v₍ᵢ₎ / (n·T) − (n+1)/n` with entities sorted
+      * ascending by (value, entity) — the tiebreak makes the rank
+      * sum deterministic on any engine. All sums are EXACT decimals
+      * (v squares at DECIMAL(18,2)² — entity totals must fit 16
+      * digits of cents, stated); the two metrics are one fixed IEEE
+      * double shape over those exact sums, rounded at 6 —
+      * bit-reproducible anywhere. Negative values drop (shares are
+      * meaningless below zero, stated); an all-zero-total group
+      * yields null metrics. Scale shape: one map-combinable
+      * (group, entity) census collapses the corpus FIRST, the rank
+      * window and moment sums run on the entity frame — never the
+      * corpus; output is one row per group.
+      */
+    def concentration(group: String, entity: String,
+                      value: Column): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      val ent = left
+        .filter(col(group).isNotNull && col(entity).isNotNull &&
+          value.isNotNull && value >= 0)
+        .groupBy(col(group).as("__g"), col(entity).as("__e"))
+        .agg(sum(graft.util.Portable.dec(value)).cast(DecimalType(18, 2)).as("__v"))
+      val w = Window.partitionBy(col("__g")).orderBy(col("__v"), col("__e"))
+      val ranked = ent.withColumn("__i",
+        row_number().over(w).cast(DecimalType(10, 0)))
+      val stats = ranked.groupBy(col("__g")).agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("__v")).cast(DecimalType(38, 2)).as("total"),
+        sum(col("__v") * col("__i")).cast(DecimalType(38, 2)).as("__s_iv"),
+        sum(col("__v") * col("__v")).cast(DecimalType(38, 4)).as("__s_v2"))
+      val t = col("total").cast("double")
+      val n = col("n_entities").cast("double")
+      stats
+        .withColumn("hhi", when(col("total") =!= 0,
+          round(col("__s_v2").cast("double") / (t * t), 6)))
+        .withColumn("gini", when(col("total") =!= 0,
+          round(lit(2.0) * col("__s_iv").cast("double") / (n * t) -
+            (col("n_entities") + 1).cast("double") / n, 6)))
+        .withColumnRenamed("__g", group)
+        .drop("__s_iv", "__s_v2")
+    }
+
     /** Exact autocorrelation function per group (r12 — the
       * seasonality/persistence diagnostic behind lag selection for
       * any forecasting model): Pearson r between the series and
@@ -3662,6 +3763,42 @@ object Ops {
           max(col("__len")).as("longest_streak"),
           min(when(col("__len") === col("__mx"), col("__start")))
             .as("longest_streak_start"))
+    }
+
+    /** Rolling-window distinct active units per calendar day (r12 —
+      * the DAU/WAU/MAU readout every product dashboard leads with):
+      * for every OBSERVED day, the exact count of distinct units
+      * active that day and within the trailing `windowDays` window.
+      * Exact distinct over a sliding window is the textbook
+      * shuffle-bomb (count(DISTINCT) isn't window-able); the engine's
+      * shape inverts it: the (unit, day) census collapses the corpus
+      * FIRST (the [[activityStreaks]] argument — census size is
+      * units × days however many raw events), each census row then
+      * CONTRIBUTES to the `windowDays` target days it keeps a unit
+      * active for (a bounded ×W explode on the census, never the
+      * corpus), and one distinct + count per target day finishes.
+      * All exact integers; output is one row per observed day.
+      */
+    def rollingActives(unit: String, time: String,
+                       windowDays: Int): DataFrame = {
+      require(windowDays >= 1 && windowDays <= 370,
+        s"rollingActives: windowDays ($windowDays) must be in 1..370")
+      val census = left
+        .filter(col(unit).isNotNull && col(time).isNotNull)
+        .select(col(unit).as("__u"), to_date(col(time)).as("day"))
+        .distinct()
+      val daily = census.groupBy(col("day"))
+        .agg(count(lit(1)).as("active_units"))
+      val rolled = census
+        .select(col("__u"),
+          explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+            .as("day"))
+        .distinct()
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("rolling_active_units"))
+      // inner join restricts to OBSERVED days (every observed day has
+      // a rolled row — it contributes to itself)
+      daily.join(rolled, Seq("day"))
     }
 
     def resampleLocf(key: String, time: String, value: Column,

@@ -446,6 +446,31 @@ object Extended {
       .orderBy(col("node"))
   }
 
+  /** q142: chi-square independence between order status and priority
+    * ([[graft.api.Ops.GraftDataFrameOps.chiSquareIndependence]]) —
+    * the categorical-dependence screen: exact contingency census,
+    * q136-completed cells, fixed-double expectations/contributions,
+    * DECIMAL-summed total χ² + dof. Output is |A|×|B| rows at any
+    * corpus size.
+    */
+  def q142(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders.chiSquareIndependence("o_orderstatus", "o_orderpriority")
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** q143: customer-spend concentration per order priority
+    * ([[graft.api.Ops.GraftDataFrameOps.concentration]]) — HHI and
+    * exact-rank Gini over per-customer order totals: the
+    * whale-dominance audit. Entity census collapses orders first;
+    * the rank window runs on the entity frame only.
+    */
+  def q143(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders.concentration("o_orderpriority", "o_custkey", col("o_totalprice"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** q133: item-item collaborative filtering over part baskets
     * ([[graft.api.Ops.itemSimilarity]]) — top-5 co-occurrence cosine
     * neighbors per part on the quarter-sliced projection, pairs below

@@ -261,6 +261,18 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** q141: rolling 7-day distinct active users per calendar day
+    * ([[graft.api.Ops.GraftDataFrameOps.rollingActives]]) — DAU and
+    * trailing-WAU from one (user, day) census: the census collapses
+    * the corpus first, a bounded ×7 contribution explode and one
+    * distinct-count per target day finish. Exact integers.
+    */
+  def q141(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.rollingActives("user_id", "ts", windowDays = 7)
+      .orderBy(col("day"))
+  }
+
   /** q127: hour-of-day seasonal baseline + exact residuals over event
     * values ([[graft.api.Ops.GraftDataFrameOps.seasonalResiduals]]) —
     * the per-(type, hour) mean held as an exact rational, residuals

@@ -1167,6 +1167,98 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(more == out, "extra rounds past convergence are no-ops")
   }
 
+  test("chiSquareIndependence: hand-checked cells, census completion, decimal total, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // 2×2 with one structurally ABSENT cell: (x2, y2) never occurs.
+    // counts: (x1,y1)=4, (x1,y2)=2, (x2,y1)=2. N=8,
+    // na(x1)=6, na(x2)=2, nb(y1)=6, nb(y2)=2
+    // e(x1,y1)=4.5  contrib=(4-4.5)²/4.5 = 0.055556
+    // e(x1,y2)=1.5  contrib=(2-1.5)²/1.5 = 0.166667
+    // e(x2,y1)=1.5  contrib=(2-1.5)²/1.5 = 0.166667
+    // e(x2,y2)=0.5  contrib=(0-0.5)²/0.5 = 0.5   ← the ABSENT cell
+    // chi2 = 0.888890 (sum of the rounded contribs), dof = 1
+    val df = (Seq.fill(4)(("x1", "y1")) ++ Seq.fill(2)(("x1", "y2")) ++
+      Seq.fill(2)(("x2", "y1")) ++ Seq((null.asInstanceOf[String], "y1")))
+      .toDF("a", "b")
+    val out = df.chiSquareIndependence("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 4, "the census completes over the 2×2 cross")
+    assert(out(("x2", "y2")).getAs[Long]("obs") == 0L &&
+      out(("x2", "y2")).getAs[Double]("contrib") == 0.5,
+      "an absent cell still contributes its full expectation")
+    assert(out(("x1", "y1")).getAs[Double]("contrib") == 0.055556)
+    assert(out(("x1", "y1")).getAs[Double]("expected") == 4.5)
+    val chi2 = out(("x1", "y1")).getAs[java.math.BigDecimal]("chi2")
+    assert(chi2.compareTo(new java.math.BigDecimal("0.888890")) == 0,
+      s"decimal-summed rounded contribs (got $chi2)")
+    assert(out(("x1", "y1")).getAs[Long]("dof") == 1L)
+    // partitioning-invariant (exact census + fixed double shape)
+    val again = df.repartition(7).chiSquareIndependence("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
+  test("concentration: hand-checked HHI/Gini, degenerate groups, negative drop, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // g: v = (1, 1, 2) → T=4, HHI = 6/16 = 0.375,
+    //    rank sum = 1·1 + 1·2 + 2·3 = 9 → Gini = 18/12 − 4/3 = 0.166667
+    // eq: two equal entities → Gini = 0, HHI = 0.5
+    // m: a monopoly → Gini = 0, HHI = 1
+    // z: all-zero total → null metrics
+    // the −3.0 row is dropped (negative measure)
+    val df = Seq(
+      ("g", "a", 0.5), ("g", "a", 0.5), ("g", "b", 1.0), ("g", "c", 2.0),
+      ("eq", "a", 5.0), ("eq", "b", 5.0),
+      ("m", "a", 7.0), ("m", "b", -3.0),
+      ("z", "a", 0.0))
+      .toDF("grp", "ent", "v")
+    val out = df.concentration("grp", "ent", col("v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Long]("n_entities") == 3L)
+    assert(out("g").getAs[Double]("hhi") == 0.375)
+    assert(out("g").getAs[Double]("gini") == 0.166667)
+    assert(out("eq").getAs[Double]("gini") == 0.0 &&
+      out("eq").getAs[Double]("hhi") == 0.5)
+    assert(out("m").getAs[Long]("n_entities") == 1L &&
+      out("m").getAs[Double]("gini") == 0.0 &&
+      out("m").getAs[Double]("hhi") == 1.0,
+      "a monopoly is maximal HHI, zero Gini; the negative row dropped")
+    val z = out("z")
+    assert(z.isNullAt(z.fieldIndex("hhi")) && z.isNullAt(z.fieldIndex("gini")),
+      "an all-zero-total group yields null metrics, never NaN")
+    // partitioning-invariant (exact decimal sums + fixed double shape)
+    val again = df.repartition(7).concentration("grp", "ent", col("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
+  test("rollingActives: exact DAU + trailing distinct window, observed days only") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // u1 active d1,d2; u2 active d1 only; u3 active d4 only (a gap
+    // at d3 — unobserved days emit nothing); duplicate events on one
+    // day collapse in the census; a null user is excluded
+    val df = Seq(
+      ("u1", "2024-01-01 05:00:00"), ("u1", "2024-01-01 09:00:00"),
+      ("u2", "2024-01-01 10:00:00"), ("u1", "2024-01-02 10:00:00"),
+      ("u3", "2024-01-04 10:00:00"), (null.asInstanceOf[String], "2024-01-01 11:00:00"))
+      .toDF("u", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = df.rollingActives("u", "ts", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    // window 3: day d counts units active in {d-2, d-1, d}
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 2L)),  // u1, u2
+      "2024-01-02" -> ((1L, 2L)),  // u1 active; u1+u2 in window
+      "2024-01-04" -> ((1L, 2L))), // u3 active; u1 (d2) + u3 in window
+      s"exact daily + trailing distinct counts on observed days only (got $out)")
+    // partitioning-invariant (exact integers end-to-end)
+    val again = df.repartition(7).rollingActives("u", "ts", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   test("ssspDistances: weighted min-cost, budget refinement, parallel-edge min, converged stability") {
     import spark.implicits._
     // path 1-2-3-4-5 at weight 1 each, plus an EXPENSIVE shortcut
