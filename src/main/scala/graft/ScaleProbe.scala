@@ -427,6 +427,14 @@ object ScaleProbe {
       // first; the rank window and moment sums run on the entity
       // frame only
       "q143_conc"     -> (t => operators.Extended.q143(t)),
+      // r12 wave 7: radius-join candidates + an output-bound
+      // (dist2, id) rank window — 10× customers against fixed
+      // suppliers, pairs output-bound as q138
+      "q144_knn"      -> (t => operators.Extended.q144(t)),
+      // r12 wave 7: one hash join on the blocking key, score and
+      // flags map-side — candidate-bound; the name-digit block keeps
+      // candidates near-linear in customers
+      "q145_linkage"  -> (t => operators.Extended.q145(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

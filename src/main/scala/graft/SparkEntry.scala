@@ -163,6 +163,8 @@ object SparkEntry {
     "q141_rolling_actives" -> q(Temporal.q141),
     "q142_chi_square"     -> q(Extended.q142),
     "q143_concentration"  -> q(Extended.q143),
+    "q144_knn"            -> q(Extended.q144),
+    "q145_linkage"        -> q(Extended.q145),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2752,6 +2754,68 @@ object SparkEntry {
         |FROM c CROSS JOIN s
         |WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 16000000
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    // q144: brute-force candidates (output-identical to the grid by
+    // the q138 coverage argument) + the same (dist2, id) rank window
+    "q144_knn" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST('0x' || substr(md5('cgx:' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS cx,
+        |    CAST('0x' || substr(md5('cgy:' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS cy
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CAST('0x' || substr(md5('sgx:' || CAST(s_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS sx,
+        |    CAST('0x' || substr(md5('sgy:' || CAST(s_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS sy
+        |  FROM supplier),
+        |cand AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS dist2
+        |  FROM c CROSS JOIN s
+        |  WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 36000000),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY dist2, s_suppkey) AS BIGINT) AS rnk
+        |  FROM cand)
+        |SELECT c_custkey, s_suppkey, dist2, rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY c_custkey, rnk""".stripMargin,
+
+    // q145: the same blocked join + exact weighted-agreement sum;
+    // the dirty copy re-derives with identical string ops (upper /
+    // substr / || are portable)
+    "q145_linkage" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |l AS (
+        |  SELECT c_custkey AS a_id, c_nationkey AS nat,
+        |    substr(c_name, 10, 3) AS pfx, c_name AS name, cents,
+        |    c_mktsegment AS mkt
+        |  FROM base),
+        |r AS (
+        |  SELECT c_custkey AS b_id, c_nationkey AS nat,
+        |    substr(c_name, 10, 3) AS pfx,
+        |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN cents + 1 ELSE cents END AS cents,
+        |    c_mktsegment AS mkt
+        |  FROM base),
+        |s AS (
+        |  SELECT l.a_id, r.b_id,
+        |    l.name IS NOT NULL AND l.name = r.name AS m_l_name,
+        |    l.cents IS NOT NULL AND l.cents = r.cents AS m_l_cents,
+        |    l.mkt IS NOT NULL AND l.mkt = r.mkt AS m_l_mkt
+        |  FROM l JOIN r ON l.nat = r.nat AND l.pfx = r.pfx),
+        |sc AS (
+        |  SELECT *, CAST(
+        |    (CASE WHEN m_l_name THEN 4 ELSE 0 END) +
+        |    (CASE WHEN m_l_cents THEN 3 ELSE 0 END) +
+        |    (CASE WHEN m_l_mkt THEN 1 ELSE 0 END) AS BIGINT) AS score
+        |  FROM s)
+        |SELECT a_id, b_id, m_l_name, m_l_cents, m_l_mkt, score
+        |FROM sc WHERE score >= 4
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // q139: the same two ignore-null last_value carries over the same
     // (us, event_id) window, the same 7-day gate, exact cents/µs sums

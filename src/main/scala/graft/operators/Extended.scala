@@ -555,6 +555,59 @@ object Extended {
       .orderBy(col("c_custkey"), col("s_suppkey"))
   }
 
+  /** q144: 3 nearest suppliers within radius per customer
+    * ([[graft.api.Ops.nearestNeighbors]]) — the grid-bounded spatial
+    * kNN over the q138 synthetic coordinates: radius-join candidates
+    * + an output-bound (dist2, id) rank window. Deterministic exact
+    * integer distances.
+    */
+  def q144(t: Tables): DataFrame = {
+    import graft.functions.TextFunctions.seededHash
+    val r = 6000L
+    val c = t.customer.select(col("c_custkey"),
+      (seededHash(lit("cgx"), col("c_custkey")) % 100000).as("cx"),
+      (seededHash(lit("cgy"), col("c_custkey")) % 100000).as("cy"))
+    val s = t.supplier.select(col("s_suppkey"),
+      (seededHash(lit("sgx"), col("s_suppkey")) % 100000).as("sx"),
+      (seededHash(lit("sgy"), col("s_suppkey")) % 100000).as("sy"))
+    graft.api.Ops.nearestNeighbors(c, s, "c_custkey", "cx", "cy",
+        "s_suppkey", "sx", "sy", radius = r, k = 3)
+      .select(col("c_custkey"), col("s_suppkey"), col("dist2"), col("rnk"))
+      .orderBy(col("c_custkey"), col("rnk"))
+  }
+
+  /** q145: record linkage of customers against a deterministically
+    * dirtied copy ([[graft.api.Ops.linkageScore]]) — the
+    * entity-resolution readout: blocking on (nation, phone prefix),
+    * weighted exact-agreement over name / balance-cents / segment
+    * (testdata has no second identity source — the perturbed copy is
+    * the q138 synthetic-input precedent: every 3rd name re-cased,
+    * every 5th balance off by one cent; the blocking digits survive
+    * both perturbations).
+    */
+  def q145(t: Tables): DataFrame = {
+    val cents = (graft.util.Portable.dec(col("c_acctbal")) * 100).cast("long")
+    val l = t.customer.select(
+      col("c_custkey").as("a_id"), col("c_nationkey").as("l_nat"),
+      substring(col("c_name"), 10, 3).as("l_pfx"),
+      col("c_name").as("l_name"), cents.as("l_cents"),
+      col("c_mktsegment").as("l_mkt"))
+    val r = t.customer.select(
+      col("c_custkey").as("b_id"), col("c_nationkey").as("r_nat"),
+      substring(col("c_name"), 10, 3).as("r_pfx"),
+      when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+        .otherwise(col("c_name")).as("r_name"),
+      when(col("c_custkey") % 5 === 0, cents + 1).otherwise(cents)
+        .as("r_cents"),
+      col("c_mktsegment").as("r_mkt"))
+    graft.api.Ops.linkageScore(l, r, "a_id", "b_id",
+        block = Seq("l_nat" -> "r_nat", "l_pfx" -> "r_pfx"),
+        fields = Seq(("l_name", "r_name", 4L), ("l_cents", "r_cents", 3L),
+          ("l_mkt", "r_mkt", 1L)),
+        minScore = 4L)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -1199,6 +1199,66 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("linkageScore: blocked candidates, weighted agreement, null-never-agrees, minScore cut") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "b1", "ann", "x st", "555"),
+      (2L, "b1", "bob", null.asInstanceOf[String], "777"),
+      (3L, "b2", "ann", "x st", "555")) // same fields as 1 but another block
+      .toDF("aid", "ablk", "an", "aa", "ap")
+    val b = Seq(
+      (10L, "b1", "ann", "x st", "555"),  // full match with 1 → 4+3+2=9
+      (11L, "b1", "ann", "y st", "999"),  // name only with 1 → 4
+      (12L, "b1", "bob", null.asInstanceOf[String], "000")) // name only with 2 (null addr NEVER agrees) → 4
+      .toDF("bid", "bblk", "bn", "ba", "bp")
+    val out = graft.api.Ops.linkageScore(a, b, "aid", "bid",
+        block = Seq("ablk" -> "bblk"),
+        fields = Seq(("an", "bn", 4L), ("aa", "ba", 3L), ("ap", "bp", 2L)),
+        minScore = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("score"), r.getAs[Boolean]("m_aa"))).toMap
+    assert(out == Map(
+      (1L, 10L) -> ((9L, true)), (1L, 11L) -> ((4L, false)),
+      (2L, 12L) -> ((4L, false))),
+      s"blocked weighted agreement: row 3 pairs with nothing (other block), " +
+        s"two nulls never agree, sub-minScore pairs drop (got $out)")
+    // raising minScore keeps only the full match
+    val strict = graft.api.Ops.linkageScore(a, b, "aid", "bid",
+        Seq("ablk" -> "bblk"),
+        Seq(("an", "bn", 4L), ("aa", "ba", 3L), ("ap", "bp", 2L)), minScore = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 10L)))
+  }
+
+  test("nearestNeighbors: radius-bounded kNN, tie-break, no-neighbor exclusion, brute parity") {
+    import spark.implicits._
+    // left point L1 at (0,0): B at (3,4) d2=25, A at (5,0) d2=25 (a
+    // TIE — id order breaks it), C at (0,6) d2=36, D at (50,50) out
+    // of range; L2 at (-100,-100): nothing in range (negative
+    // coordinates exercise the widened cell at 0)
+    val a = Seq((1L, 0L, 0L), (2L, -100L, -100L)).toDF("aid", "ax", "ay")
+    val b = Seq(("A", 5L, 0L), ("B", 3L, 4L), ("C", 0L, 6L), ("D", 50L, 50L))
+      .toDF("bid", "bx", "by")
+    val out = graft.api.Ops.nearestNeighbors(a, b, "aid", "ax", "ay",
+        "bid", "bx", "by", radius = 7L, k = 2)
+      .select("aid", "bid", "dist2", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(out.toSeq == Seq((1L, "A", 25L, 1L), (1L, "B", 25L, 2L)),
+      s"two nearest within radius, equal distances break by id; L2 emits nothing (got ${out.toSeq})")
+    // brute-force parity at k covering everything in range
+    val brute = a.crossJoin(b)
+      .withColumn("dist2", (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist2") <= 49L).select("aid", "bid", "dist2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val wide = graft.api.Ops.nearestNeighbors(a, b, "aid", "ax", "ay",
+        "bid", "bx", "by", radius = 7L, k = 100)
+      .select("aid", "bid", "dist2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(wide == brute, "k past the candidate count degrades to the radius join itself")
+  }
+
   test("concentration: hand-checked HHI/Gini, degenerate groups, negative drop, invariance") {
     import spark.implicits._
     import graft.api.Ops._
