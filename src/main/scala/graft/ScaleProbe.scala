@@ -435,6 +435,9 @@ object ScaleProbe {
       // flags map-side — candidate-bound; the name-digit block keeps
       // candidates near-linear in customers
       "q145_linkage"  -> (t => operators.Extended.q145(t)),
+      // r12 wave 7: the per-user rollup collapses the corpus first;
+      // the KM windows run on the (segment, duration) census only
+      "q146_survival" -> (t => operators.Temporal.q146(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

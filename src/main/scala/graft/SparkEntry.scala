@@ -165,6 +165,7 @@ object SparkEntry {
     "q143_concentration"  -> q(Extended.q143),
     "q144_knn"            -> q(Extended.q144),
     "q145_linkage"        -> q(Extended.q145),
+    "q146_survival"       -> q(Temporal.q146),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2816,6 +2817,45 @@ object SparkEntry {
         |SELECT a_id, b_id, m_l_name, m_l_cents, m_l_mkt, score
         |FROM sc WHERE score >= 4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q146: the same census → at-risk subtraction → running
+    // exp(Σ ln((n−e)/n)) product-limit windows; ln/exp on the fixed
+    // shape (the q48/q73 portability precedent); the dead pin at 0
+    "q146_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+        |u AS (
+        |  SELECT c_mktsegment AS g, CAST(ld - fd AS BIGINT) AS duration,
+        |    ld <= mx - 7 AS ev
+        |  FROM pu JOIN customer ON c_custkey = user_id CROSS JOIN mx),
+        |census AS (
+        |  SELECT g, duration,
+        |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+        |    CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM u GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, CAST(SUM(n_event + n_censored) OVER (PARTITION BY g) -
+        |    COALESCE(SUM(n_event + n_censored) OVER (PARTITION BY g ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM census),
+        |w2 AS (
+        |  SELECT *,
+        |    CASE WHEN n_event > 0 AND n_event < n_risk
+        |      THEN ln(CAST(n_risk - n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)) END AS term,
+        |    MAX(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY duration
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM w),
+        |w3 AS (
+        |  SELECT *, CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE round(exp(COALESCE(SUM(term) OVER (PARTITION BY g ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), CAST(0.0 AS DOUBLE))), 6)
+        |  END AS survival
+        |  FROM w2)
+        |SELECT g AS c_mktsegment, duration, n_risk, n_event, n_censored, survival
+        |FROM w3 ORDER BY 1, 2""".stripMargin,
 
     // q139: the same two ignore-null last_value carries over the same
     // (us, event_id) window, the same 7-day gate, exact cents/µs sums

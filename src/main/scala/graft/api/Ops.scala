@@ -3545,6 +3545,58 @@ object Ops {
           col("chi2"), col("dof"))
     }
 
+    /** Kaplan–Meier survival curve per group (r12 — the time-to-event
+      * readout behind churn/retention analysis with RIGHT-CENSORED
+      * units: a user still active at observation end didn't "survive
+      * forever", they're censored — dropping them (naive retention)
+      * biases the curve, which is the whole point of KM). Input is
+      * one row per unit: an exact integer `duration` and an `event`
+      * flag (true = the event was observed at that duration, false =
+      * censored there). Per group and distinct duration: the at-risk
+      * count (units with duration ≥ d — derived as total minus the
+      * cumulative census BEFORE d, never a range self-join), event
+      * and censor counts, and the product-limit survival
+      * `S(d) = Π_{t≤d} (1 − eₜ/nₜ)` computed as
+      * `exp(Σ ln((n−e)/n))` over the duration-ordered running window
+      * — ln/exp on the fixed shape (the q48/q73 portability
+      * precedent), rounded at 6. A step where EVERY at-risk unit
+      * events pins survival to exactly 0 from there on (the ln(0)
+      * guard — explicit, not a NaN). Censor-only durations emit rows
+      * (the carry is visible) without moving the curve.
+      *
+      * Scale shape: one map-combinable (group, duration) census
+      * collapses units FIRST; the two windows run on the census frame
+      * (distinct durations per group), never the corpus.
+      */
+    def survivalCurve(group: String, duration: Column,
+                      event: Column): DataFrame = {
+      val census = left
+        .filter(col(group).isNotNull && duration.isNotNull && event.isNotNull)
+        .groupBy(col(group).as("__g"), duration.cast("long").as("duration"))
+        .agg(sum(when(event, 1L).otherwise(0L)).as("n_event"),
+          sum(when(event, 0L).otherwise(1L)).as("n_censored"))
+      val wAll = Window.partitionBy(col("__g"))
+      val wRun = Window.partitionBy(col("__g")).orderBy(col("duration"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBefore = Window.partitionBy(col("__g")).orderBy(col("duration"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val term = when(col("n_event") > 0 && col("n_event") < col("n_risk"),
+        log((col("n_risk") - col("n_event")).cast("double") /
+          col("n_risk").cast("double")))
+      census
+        .withColumn("n_risk", sum(col("n_event") + col("n_censored")).over(wAll) -
+          coalesce(sum(col("n_event") + col("n_censored")).over(wBefore), lit(0L)))
+        .withColumn("__term", term)
+        .withColumn("__dead",
+          max(when(col("n_event") >= col("n_risk"), 1L).otherwise(0L)).over(wRun))
+        .withColumn("survival", when(col("__dead") === 1L, lit(0.0))
+          .otherwise(round(exp(coalesce(sum(col("__term")).over(wRun), lit(0.0))), 6)))
+        .drop("__term", "__dead")
+        .withColumnRenamed("__g", group)
+        .select(col(group), col("duration"), col("n_risk"), col("n_event"),
+          col("n_censored"), col("survival"))
+    }
+
     /** Market-concentration metrics per group (r12 — the
       * Herfindahl–Hirschman index and Gini coefficient: the audit
       * readout behind "is this segment dominated by a few entities"

@@ -261,6 +261,32 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** q146: Kaplan–Meier churn curve per market segment
+    * ([[graft.api.Ops.GraftDataFrameOps.survivalCurve]]) — each
+    * user's PURCHASE-activity span in days is the duration (the
+    * all-events span is degenerate in this corpus — everyone browses
+    * to the last day; purchase spans vary); users whose last purchase
+    * sits 7+ days before the corpus's last day CHURNED (event), the
+    * rest are right-censored at observation end — the estimand naive
+    * retention curves get wrong. Segment dimension broadcasts
+    * (q134), the global max day is ONE q48-shaped scalar row.
+    */
+  def q146(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val perUser = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        max(to_date(col("ts"))).as("last_d"))
+    val mx = t.events.agg(max(to_date(col("ts"))).as("mx"))
+    perUser.crossJoin(broadcast(mx))
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .withColumn("dur", datediff(col("last_d"), col("first_d")))
+      .withColumn("ev", col("last_d") <= date_sub(col("mx"), 7))
+      .survivalCurve("c_mktsegment", col("dur"), col("ev"))
+      .orderBy(col("c_mktsegment"), col("duration"))
+  }
+
   /** q141: rolling 7-day distinct active users per calendar day
     * ([[graft.api.Ops.GraftDataFrameOps.rollingActives]]) — DAU and
     * trailing-WAU from one (user, day) census: the census collapses

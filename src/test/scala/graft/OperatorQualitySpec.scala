@@ -1199,6 +1199,39 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("survivalCurve: hand-checked KM steps, censoring carry, all-event zero pin, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // A: S(1)=4/5=0.8; censor at 2 carries; S(3)=0.8·(1/3)=0.266667
+    //    (two events with three at risk); censor at 4 carries.
+    // B: both units event together → survival pins to exactly 0.
+    // C: censor-only → the curve never moves off 1.
+    val df = Seq(
+      ("A", 1L, true), ("A", 2L, false), ("A", 3L, true), ("A", 3L, true),
+      ("A", 4L, false),
+      ("B", 5L, true), ("B", 5L, true),
+      ("C", 7L, false))
+      .toDF("g", "dur", "ev")
+    val out = df.survivalCurve("g", col("dur"), col("ev")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(("A", 1L)) == ((5L, 1L, 0L, 0.8)))
+    assert(out(("A", 2L)) == ((4L, 0L, 1L, 0.8)), "a censor-only step carries S")
+    assert(out(("A", 3L)) == ((3L, 2L, 0L, 0.266667)))
+    assert(out(("A", 4L)) == ((1L, 0L, 1L, 0.266667)))
+    assert(out(("B", 5L)) == ((2L, 2L, 0L, 0.0)),
+      "every at-risk unit eventing pins survival to exactly 0, never NaN")
+    assert(out(("C", 7L)) == ((1L, 0L, 1L, 1.0)),
+      "a censor-only group never moves off 1")
+    // partitioning-invariant (census + fixed shape over exact counts)
+    val again = df.repartition(5).survivalCurve("g", col("dur"), col("ev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(again == out.map { case (k, _) => k -> again(k) } && again.size == out.size)
+    val once = df.survivalCurve("g", col("dur"), col("ev"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(again == once)
+  }
+
   test("linkageScore: blocked candidates, weighted agreement, null-never-agrees, minScore cut") {
     import spark.implicits._
     val a = Seq(
