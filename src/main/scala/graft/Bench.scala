@@ -66,7 +66,8 @@ object Bench {
     "q135_autocorr", "q136_benford", "q137_mad_outliers",
     "q133_item_similarity", "q138_spatial_join", "q139_attribution",
     "q140_sssp", "q141_rolling_actives", "q142_chi_square",
-    "q143_concentration", "q144_knn", "q145_linkage", "q146_survival")
+    "q143_concentration", "q144_knn", "q145_linkage", "q146_survival",
+    "q147_coverage")
 
   private val childMarker = "##BENCHQ##"
 

@@ -438,6 +438,10 @@ object ScaleProbe {
       // r12 wave 7: the per-user rollup collapses the corpus first;
       // the KM windows run on the (segment, duration) census only
       "q146_survival" -> (t => operators.Temporal.q146(t)),
+      // r12 wave 7: ONE key-partitioned window sort (the q98 shape)
+      // + island aggregate + key rollup — all map-combinable after
+      // the sort
+      "q147_coverage" -> (t => operators.Temporal.q147(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

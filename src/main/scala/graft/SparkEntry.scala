@@ -166,6 +166,7 @@ object SparkEntry {
     "q144_knn"            -> q(Extended.q144),
     "q145_linkage"        -> q(Extended.q145),
     "q146_survival"       -> q(Temporal.q146),
+    "q147_coverage"       -> q(Temporal.q147),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2856,6 +2857,36 @@ object SparkEntry {
         |  FROM w2)
         |SELECT g AS c_mktsegment, duration, n_risk, n_event, n_censored, survival
         |FROM w3 ORDER BY 1, 2""".stripMargin,
+
+    // q147: the same running-max island detection over the same
+    // (start, end) sort; every measure exact integers, one fixed
+    // division for the ratio
+    "q147_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+        |  FROM events),
+        |w AS (
+        |  SELECT *, MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+        |  FROM iv),
+        |f AS (SELECT *, CASE WHEN me IS NULL OR s > me THEN 1 ELSE 0 END AS nw FROM w),
+        |g AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM f),
+        |i AS (SELECT k, isl, count(*) AS cnt, MIN(s) AS st, MAX(e) AS en
+        |  FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT k AS user_id, CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+        |    CAST(count(*) AS BIGINT) AS n_merged,
+        |    CAST(SUM(en - st) AS BIGINT) AS covered,
+        |    CAST(MAX(en) - MIN(st) AS BIGINT) AS span
+        |  FROM i GROUP BY 1)
+        |SELECT user_id, n_intervals, n_merged, covered, span,
+        |  CASE WHEN span > 0
+        |    THEN round(CAST(covered AS DOUBLE) / CAST(span AS DOUBLE), 6) END AS coverage
+        |FROM r ORDER BY user_id""".stripMargin,
 
     // q139: the same two ignore-null last_value carries over the same
     // (us, event_id) window, the same 7-day gate, exact cents/µs sums

@@ -3545,6 +3545,54 @@ object Ops {
           col("chi2"), col("dof"))
     }
 
+    /** Interval union / coverage per key (r12 — the merge-overlapping-
+      * intervals primitive behind uptime percentage, sensor coverage,
+      * billing-hours dedup and on-call overlap audits — the classic
+      * "gaps and islands" problem): per key, overlapping or TOUCHING
+      * intervals merge into islands (running max of prior ends over
+      * the (start, end)-sorted frame; a new island starts exactly when
+      * `start` exceeds every end before it), and the key rolls up to
+      * exact integers — raw/merged interval counts, covered length,
+      * observed span — plus the coverage ratio as one fixed double
+      * division, rounded at 6. Zero-length intervals count (they can
+      * bridge nothing but do occupy a merged island); rows with
+      * `end < start` or null endpoints drop (invalid, stated).
+      *
+      * Scale shape: ONE key-partitioned window sort (the q98 shape)
+      * + one (key, island) aggregate + one key rollup — all
+      * map-combinable after the sort; no self-join, no range join.
+      */
+    def intervalCoverage(key: String, start: Column,
+                         end: Column): DataFrame = {
+      val base = left
+        .filter(col(key).isNotNull && start.isNotNull && end.isNotNull &&
+          end >= start)
+        .select(col(key).as("__k"), start.cast("long").as("__s"),
+          end.cast("long").as("__e"))
+      val wBefore = Window.partitionBy(col("__k"))
+        .orderBy(col("__s"), col("__e"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("__k"))
+        .orderBy(col("__s"), col("__e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val islands = base
+        .withColumn("__me", max(col("__e")).over(wBefore))
+        .withColumn("__new",
+          when(col("__me").isNull || col("__s") > col("__me"), 1L).otherwise(0L))
+        .withColumn("__isl", sum(col("__new")).over(wRun))
+        .groupBy(col("__k"), col("__isl"))
+        .agg(count(lit(1)).as("__cnt"), min(col("__s")).as("__st"),
+          max(col("__e")).as("__en"))
+      islands.groupBy(col("__k"))
+        .agg(sum(col("__cnt")).as("n_intervals"),
+          count(lit(1)).as("n_merged"),
+          sum(col("__en") - col("__st")).as("covered"),
+          (max(col("__en")) - min(col("__st"))).as("span"))
+        .withColumn("coverage", when(col("span") > 0,
+          round(col("covered").cast("double") / col("span").cast("double"), 6)))
+        .withColumnRenamed("__k", key)
+    }
+
     /** Kaplan–Meier survival curve per group (r12 — the time-to-event
       * readout behind churn/retention analysis with RIGHT-CENSORED
       * units: a user still active at observation end didn't "survive

@@ -287,6 +287,24 @@ object Temporal {
       .orderBy(col("c_mktsegment"), col("duration"))
   }
 
+  /** q147: per-user interval coverage
+    * ([[graft.api.Ops.GraftDataFrameOps.intervalCoverage]]) — each
+    * event opens a deterministic synthetic activity interval
+    * (1..7 minutes by event-id hash — the q138 precedent; testdata
+    * carries no durations) and the user's overlapping intervals merge
+    * into islands: raw/merged counts, exact covered µs, span, and
+    * the uptime ratio. The gaps-and-islands classic as ONE window
+    * sort.
+    */
+  def q147(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("en", col("us") + (col("event_id") % 7 + 1) * 60000000L)
+      .intervalCoverage("user_id", col("us"), col("en"))
+      .orderBy(col("user_id"))
+  }
+
   /** q141: rolling 7-day distinct active users per calendar day
     * ([[graft.api.Ops.GraftDataFrameOps.rollingActives]]) — DAU and
     * trailing-WAU from one (user, day) census: the census collapses

@@ -1199,6 +1199,35 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("intervalCoverage: island merge incl. touching/contained, gaps, invalid drop, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // k1: [0,10] ∪ [5,7] (contained) ∪ [10,12] (touching → merges)
+    //     then a gap, [20,25] → islands [0,12], [20,25];
+    //     covered = 12 + 5 = 17, span = 25, coverage = 0.68
+    // k2: a zero-length [3,3] + [1,2] → 2 islands, covered 1, span 2
+    // the (9, 4) row is invalid (end < start) and drops
+    val df = Seq(
+      ("k1", 0L, 10L), ("k1", 5L, 7L), ("k1", 10L, 12L), ("k1", 20L, 25L),
+      ("k1", 9L, 4L),
+      ("k2", 3L, 3L), ("k2", 1L, 2L))
+      .toDF("k", "s", "e")
+    val out = df.intervalCoverage("k", col("s"), col("e")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+    assert(out("k1") == ((4L, 2L, 17L, 25L, 0.68)),
+      s"contained + touching merge into one island; the invalid row drops (got ${out("k1")})")
+    assert(out("k2") == ((2L, 2L, 1L, 2L, 0.5)),
+      "a zero-length interval is its own island contributing nothing")
+    // partitioning-invariant (exact integers + one fixed division)
+    val again = df.repartition(5).intervalCoverage("k", col("s"), col("e"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again.keySet == out.keySet &&
+      again == df.intervalCoverage("k", col("s"), col("e"))
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap)
+  }
+
   test("survivalCurve: hand-checked KM steps, censoring carry, all-event zero pin, invariance") {
     import spark.implicits._
     import graft.api.Ops._
