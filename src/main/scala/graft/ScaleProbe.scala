@@ -442,6 +442,10 @@ object ScaleProbe {
       // + island aggregate + key rollup — all map-combinable after
       // the sort
       "q147_coverage" -> (t => operators.Temporal.q147(t)),
+      // r12 wave 7: the (group, entity) census collapses the corpus
+      // first; the cumulative window runs on the entity frame (the
+      // q143 argument)
+      "q148_abc"      -> (t => operators.Extended.q148(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -167,6 +167,7 @@ object SparkEntry {
     "q145_linkage"        -> q(Extended.q145),
     "q146_survival"       -> q(Temporal.q146),
     "q147_coverage"       -> q(Temporal.q147),
+    "q148_abc"            -> q(Extended.q148),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2887,6 +2888,29 @@ object SparkEntry {
         |  CASE WHEN span > 0
         |    THEN round(CAST(covered AS DOUBLE) / CAST(span AS DOUBLE), 6) END AS coverage
         |FROM r ORDER BY user_id""".stripMargin,
+
+    // q148: the same desc-rank cumulative window; the A/B/C tests are
+    // pure integer comparisons on cents — no double threshold anywhere
+    "q148_abc" ->
+      """WITH ent AS (
+        |  SELECT o_orderstatus AS g, o_custkey AS e,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL AND o_totalprice >= 0
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, CAST(SUM(v) OVER (PARTITION BY g ORDER BY v DESC, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(v) OVER (PARTITION BY g) AS BIGINT) AS tot
+        |  FROM ent),
+        |c AS (SELECT *, cum - v AS bef FROM w)
+        |SELECT g AS o_orderstatus, e AS o_custkey, v AS cents,
+        |  CASE WHEN bef * 5 < tot * 4 THEN 'A'
+        |       WHEN bef * 20 < tot * 19 THEN 'B' ELSE 'C' END AS abc_class,
+        |  CASE WHEN tot > 0 THEN round(CAST(v AS DOUBLE) / CAST(tot AS DOUBLE), 6) END AS share,
+        |  CASE WHEN tot > 0 THEN round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) END AS cum_share
+        |FROM c ORDER BY 1, 2""".stripMargin,
 
     // q139: the same two ignore-null last_value carries over the same
     // (us, event_id) window, the same 7-day gate, exact cents/µs sums

@@ -3545,6 +3545,55 @@ object Ops {
           col("chi2"), col("dof"))
     }
 
+    /** ABC / Pareto classification per group (r12 — the inventory and
+      * revenue-management classic: label each entity A/B/C by where
+      * the group's cumulative value crosses 80% / 95%, "the vital few
+      * and the trivial many"). Entities order by EXACT value
+      * descending with the entity-id tiebreak; the class test is PURE
+      * INTEGER arithmetic on cents — `A` while the cumulative BEFORE
+      * this entity is under 80% of the total (`cum_before·5 <
+      * total·4`), `B` under 95% (`cum_before·20 < total·19`), else
+      * `C` — so classification is exact on any engine, no double ever
+      * compared against a threshold. Shares emit as one fixed double
+      * division each, rounded at 6, for the readout only. Negative
+      * values drop (shares are meaningless below zero — the
+      * [[concentration]] rule); an all-zero group classifies C
+      * throughout (no 80% exists to cross, stated).
+      *
+      * Scale shape: the (group, entity) census collapses the corpus
+      * FIRST; the rank/cumulative window runs on the entity frame
+      * (the q143 statement); output is one row per entity.
+      */
+    def abcClassify(group: String, entity: String,
+                    value: Column): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      val cents = (graft.util.Portable.dec(value) * 100).cast("long")
+      val ent = left
+        .filter(col(group).isNotNull && col(entity).isNotNull &&
+          value.isNotNull && value >= 0)
+        .groupBy(col(group).as("__g"), col(entity).as("__e"))
+        .agg(sum(cents).as("__v"))
+      val wRun = Window.partitionBy(col("__g"))
+        .orderBy(col("__v").desc, col("__e"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("__g"))
+      ent
+        .withColumn("__cum", sum(col("__v")).over(wRun))
+        .withColumn("__tot", sum(col("__v")).over(wAll))
+        .withColumn("__before", col("__cum") - col("__v"))
+        .withColumn("abc_class",
+          when(col("__before") * 5 < col("__tot") * 4, "A")
+            .when(col("__before") * 20 < col("__tot") * 19, "B")
+            .otherwise("C"))
+        .withColumn("share", when(col("__tot") > 0,
+          round(col("__v").cast("double") / col("__tot").cast("double"), 6)))
+        .withColumn("cum_share", when(col("__tot") > 0,
+          round(col("__cum").cast("double") / col("__tot").cast("double"), 6)))
+        .select(col("__g").as(group), col("__e").as(entity),
+          col("__v").as("cents"), col("abc_class"), col("share"),
+          col("cum_share"))
+    }
+
     /** Interval union / coverage per key (r12 — the merge-overlapping-
       * intervals primitive behind uptime percentage, sensor coverage,
       * billing-hours dedup and on-call overlap audits — the classic

@@ -608,6 +608,18 @@ object Extended {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q148: ABC classification of customer spend per order status
+    * ([[graft.api.Ops.GraftDataFrameOps.abcClassify]]) — the Pareto
+    * "vital few" labeling by pure integer threshold tests on exact
+    * cents; the census collapses orders first, the window runs on
+    * the entity frame.
+    */
+  def q148(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders.abcClassify("o_orderstatus", "o_custkey", col("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("o_custkey"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

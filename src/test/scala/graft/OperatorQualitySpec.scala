@@ -1199,6 +1199,38 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("abcClassify: exact Pareto thresholds, boundary entity, all-zero group, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // g: values 80, 15, 4, 1 (total 100) →
+    //   e1: before 0   < 80 → A;  e2: before 80, NOT < 80 → B
+    //   e3: before 95, NOT < 95 → C;  e4: before 99 → C
+    // b: values 50, 50 → e1 A (before 0), e2: before 50 < 80 → A
+    //   (the crossing entity itself still counts toward the band)
+    // z: all-zero → C (no 80% exists to cross)
+    val df = Seq(
+      ("g", "e1", 80.0), ("g", "e2", 15.0), ("g", "e3", 4.0), ("g", "e4", 1.0),
+      ("b", "e1", 50.0), ("b", "e2", 50.0),
+      ("z", "e1", 0.0))
+      .toDF("grp", "ent", "v")
+    val out = df.abcClassify("grp", "ent", col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(3)).toMap
+    assert(out == Map(
+      ("g", "e1") -> "A", ("g", "e2") -> "B", ("g", "e3") -> "C",
+      ("g", "e4") -> "C",
+      ("b", "e1") -> "A", ("b", "e2") -> "A",
+      ("z", "e1") -> "C"), s"exact integer band tests (got $out)")
+    val shares = df.abcClassify("grp", "ent", col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("share"), r.getAs[Double]("cum_share"))).toMap
+    assert(shares(("g", "e2")) == ((0.15, 0.95)))
+    // partitioning-invariant (integer census + integer tests)
+    val again = df.repartition(5).abcClassify("grp", "ent", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(again == df.abcClassify("grp", "ent", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap)
+  }
+
   test("intervalCoverage: island merge incl. touching/contained, gaps, invalid drop, invariance") {
     import spark.implicits._
     import graft.api.Ops._
