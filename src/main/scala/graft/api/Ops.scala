@@ -3531,13 +3531,20 @@ object Ops {
         .crossJoin(broadcast(n))
         .withColumn("__e", e)
         .withColumn("__contrib", round(d * d / col("__e"), 6))
-      val totals = complete.agg(
-        sum(col("__contrib").cast(DecimalType(38, 6))).cast(DecimalType(38, 6))
-          .as("chi2"),
-        ((countDistinct(col("__a")) - 1) * (countDistinct(col("__b")) - 1))
-          .as("dof"))
+      // the totals ride UNPARTITIONED windows over the completion
+      // frame — bounded at |A|×|B| rows by construction (the q136
+      // bounded-frame shape), and crucially NOT an agg + cross-join
+      // back, which would recompute the census subtree
+      val wCells = Window.partitionBy()
       complete
-        .crossJoin(broadcast(totals))
+        .withColumn("chi2",
+          sum(col("__contrib").cast(DecimalType(38, 6))).over(wCells)
+            .cast(DecimalType(38, 6)))
+        .withColumn("__da", dense_rank().over(Window.orderBy(col("__a"))))
+        .withColumn("__db", dense_rank().over(Window.orderBy(col("__b"))))
+        .withColumn("dof",
+          ((max(col("__da")).over(wCells) - 1) *
+            (max(col("__db")).over(wCells) - 1)).cast("long"))
         .select(col("__a").as(a), col("__b").as(b), col("obs"),
           col("na"), col("nb"),
           round(col("__e"), 6).as("expected"),

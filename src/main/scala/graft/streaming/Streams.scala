@@ -1726,6 +1726,77 @@ object Streams {
       }
   }
 
+  final case class AttributionOut(event_id: Long, user_id: Long,
+      channel: Option[String], touch_us: Option[Long],
+      touch_gap_us: Option[Long], cents: Long)
+
+  /** Per-user attribution state: the latest in-order touch + the
+    * (ts, id) high-water mark (public: encoder codegen constructs it).
+    */
+  final case class AttributionState(touchUs: Long, touchType: String,
+      maxTs: Long, maxId: Long)
+
+  /** Live last-touch conversion crediting — the streaming member of
+    * the q139 family
+    * ([[graft.api.Ops.GraftDataFrameOps.lastTouchAttribution]]): every
+    * arriving conversion emits its credited channel (the key's latest
+    * preceding in-window touch), exact touch timestamp/gap and the
+    * conversion's exact cents, so an in-order feed reproduces the
+    * batch per-conversion rows row-for-row however the events split
+    * across triggers. Expired or absent touches emit the observable
+    * null ("direct") channel, exactly as batch. State is O(keys) —
+    * one touch + one high-water mark per user; touches only REPLACE,
+    * so a user's state never grows with their history. Same in-order
+    * contract and `lateDrops` accounting as [[ewmaStream]]: a
+    * retro-touch behind the high-water mark could silently re-credit
+    * an already-emitted conversion, so late events count and skip —
+    * never a silent wrong credit.
+    */
+  def attributionStream(events: Dataset[Event], convType: String,
+                        touchTypes: Seq[String], windowUs: Long,
+                        lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[AttributionOut] = {
+    require(touchTypes.nonEmpty, "attributionStream: touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"attributionStream: convType '$convType' cannot also be a touch type")
+    require(windowUs > 0, s"attributionStream: windowUs ($windowUs) must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttributionState, AttributionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[AttributionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(
+            AttributionState(Long.MinValue, null, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[AttributionOut]
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            if (t < st.maxTs || (t == st.maxTs && e.event_id <= st.maxId)) {
+              lateDrops.foreach(_.add(1L))
+            } else {
+              if (touches.contains(e.event_type)) {
+                st = AttributionState(t, e.event_type, t, e.event_id)
+              } else {
+                if (e.event_type == convType) {
+                  val inWindow = st.touchType != null && st.touchUs >= t - windowUs
+                  out += AttributionOut(e.event_id, uid,
+                    if (inWindow) Some(st.touchType) else None,
+                    if (inWindow) Some(st.touchUs) else None,
+                    if (inWindow) Some(t - st.touchUs) else None,
+                    centsOf(e.value))
+                }
+                st = st.copy(maxTs = t, maxId = e.event_id)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class TwapOut(user_id: Long, n_events: Long, twap_num: Long,
       twap_denom: Long, twap_millicents: Option[Long])
 

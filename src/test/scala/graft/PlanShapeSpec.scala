@@ -59,7 +59,15 @@ class PlanShapeSpec extends AnyFunSuite {
       // q136's census completion crosses the groups-sized totals with
       // the broadcast 9-row digit frame — the q48/q76 bounded-frame
       // shape; its dedicated pin below bounds it to exactly that one
-      "q136_benford"))
+      "q136_benford",
+      // q142's |A|×|B| census completion cross + its two 1-row scalar
+      // broadcasts (N, the χ²/dof totals) are all bounded keyless
+      // joins by design — the dedicated pin below bounds them to
+      // exactly three
+      "q142_chi_square",
+      // q146's global max-day is ONE 1-row scalar broadcast (the q48
+      // shape); dedicated pin below
+      "q146_survival"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -101,6 +109,25 @@ class PlanShapeSpec extends AnyFunSuite {
     // the FK anti join itself must stay a HASH join on the key
     assert(plan.contains("LeftAnti"),
       s"expected the FK check to run as a left-anti join in q123:\n$plan")
+  }
+
+  test("q142's keyless joins are exactly the bounded completion cross + the 1-row N") {
+    val plan = physicalPlan("q142_chi_square")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 2,
+      s"expected the |A|×|B| completion cross + the 1-row N in q142, got $keyless:\n$plan")
+  }
+
+  test("q146's only keyless join is the 1-row max-day broadcast") {
+    val plan = physicalPlan("q146_survival")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 1,
+      s"expected exactly the 1-row max-day broadcast in q146, got $keyless:\n$plan")
+    // the segment dimension join must stay a hash join on the key
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected the user→segment join to run as a hash join in q146:\n$plan")
   }
 
   test("q129's only keyless join is the 1-row basket-total broadcast") {

@@ -1566,6 +1566,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("attributionStream reproduces batch last-touch credits across a trigger split") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val ordered = eventSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = ordered.splitAt(ordered.size / 2)
+    val wUs = 7L * 24 * 3600 * 1000000L
+    val stream = MemoryStream[Event]
+    val query = Streams.attributionStream(stream.toDS(), "purchase",
+        Seq("click", "view"), wUs)
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+      val streamed = spark.table("attr_out").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.toString),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      val batch = Tables(spark, sfDir).events
+        .lastTouchAttribution("user_id", "ts", "event_id", "event_type",
+          "purchase", Seq("click", "view"), wUs)
+        .select(col("event_id"), col("channel"), col("touch_us"), col("touch_gap_us"))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.toString),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(streamed.size == batch.size,
+        s"every conversion must emit exactly once (stream ${streamed.size} vs batch ${batch.size})")
+      assert(streamed == batch,
+        "streamed credits must equal the batch per-conversion rows")
+    } finally query.stop()
+  }
+
+  test("attributionStream in-order gate: a retro touch cannot re-credit, drops counted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tUs: Long, typ: String) =
+      Streams.Event(id, new java.sql.Timestamp(tUs / 1000), 1L, typ, 1.00)
+    val acc = spark.sparkContext.longAccumulator("attr_late_test")
+    val stream = MemoryStream[Streams.Event]
+    val query = Streams.attributionStream(stream.toDS(), "purchase",
+        Seq("click"), windowUs = 1000000000L, lateDrops = Some(acc))
+      .writeStream.format("memory").queryName("attr_late_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, 10000000L, "view2"), ev(2, 30000000L, "purchase")))
+      query.processAllAvailable()
+      // a retro click at t=20s lands behind the 30s high-water mark:
+      // the purchase already emitted as direct and must not re-credit
+      stream.addData(Seq(ev(3, 20000000L, "click"),
+        ev(4, 40000000L, "click"), ev(5, 50000000L, "purchase")))
+      query.processAllAvailable()
+      val rows = spark.table("attr_late_out").collect()
+        .map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString)).toMap
+      assert(rows == Map(2L -> None, 5L -> Some("click")),
+        s"the first purchase stays direct, the second credits the in-order click (got $rows)")
+      assert(acc.value == 1L, s"the retro touch must be counted (got ${acc.value})")
+    } finally query.stop()
+  }
+
   test("twapStream: latest snapshot per key equals batch q120 at each trigger boundary") {
     import spark.implicits._
     import graft.api.Ops._
