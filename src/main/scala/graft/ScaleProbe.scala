@@ -446,6 +446,9 @@ object ScaleProbe {
       // first; the cumulative window runs on the entity frame (the
       // q143 argument)
       "q148_abc"      -> (t => operators.Extended.q148(t)),
+      // r12 wave 7: the day census absorbs replica growth up front
+      // (the q135 argument); one window sort carries all shifts
+      "q149_xcorr"    -> (t => operators.Temporal.q149(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -168,6 +168,7 @@ object SparkEntry {
     "q146_survival"       -> q(Temporal.q146),
     "q147_coverage"       -> q(Temporal.q147),
     "q148_abc"            -> q(Extended.q148),
+    "q149_xcorr"          -> q(Temporal.q149),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2633,6 +2634,45 @@ object SparkEntry {
          |  FROM d),
          |p AS (
          |  $lags),
+         |m AS (
+         |  SELECT event_type, lag_k, count(*) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT event_type, lag_k, n,
+         |  round(CASE WHEN $varXN > 0 AND $varYN > 0 THEN $covN / sqrt($varXN * $varYN) END, 6) AS r
+         |FROM m ORDER BY event_type, lag_k""".stripMargin
+    },
+
+    // q149: the same day census, lag AND lead shifts over one window,
+    // the q119 r tree per (type, k)
+    "q149_xcorr" -> {
+      val n   = "CAST(n AS DOUBLE)"
+      val sx  = "CAST(sx AS DOUBLE)";  val sy  = "CAST(sy AS DOUBLE)"
+      val sxx = "CAST(sxx AS DOUBLE)"; val syy = "CAST(syy AS DOUBLE)"
+      val sxy = "CAST(sxy AS DOUBLE)"
+      val covN  = s"($n * $sxy - $sx * $sy)"
+      val varXN = s"($n * $sxx - $sx * $sx)"
+      val varYN = s"($n * $syy - $sy * $sy)"
+      val shifts = ((-2 to -1).map(k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag_k, x, lead${-k} AS y FROM l WHERE lead${-k} IS NOT NULL") ++
+        Seq("SELECT event_type, CAST(0 AS BIGINT) AS lag_k, x, y FROM l") ++
+        (1 to 2).map(k =>
+          s"SELECT event_type, CAST($k AS BIGINT) AS lag_k, x, lag$k AS y FROM l WHERE lag$k IS NOT NULL"))
+        .mkString("\n  UNION ALL ")
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS x,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, x, y,
+         |    lag(y, 1) OVER w AS lag1, lag(y, 2) OVER w AS lag2,
+         |    lead(y, 1) OVER w AS lead1, lead(y, 2) OVER w AS lead2
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |p AS (
+         |  $shifts),
          |m AS (
          |  SELECT event_type, lag_k, count(*) AS n,
          |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,

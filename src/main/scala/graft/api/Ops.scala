@@ -3800,6 +3800,70 @@ object Ops {
         .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
     }
 
+    /** Cross-correlation between two series at leads AND lags (r12 —
+      * the "does marketing spend lead conversions, and by how many
+      * days" diagnostic; [[acfByGroup]]'s two-series sibling): per
+      * group, Pearson r between `x_t` and `y_{t−k}` for every
+      * k ∈ −maxLag..maxLag over the observations in strict `order` —
+      * a peak at POSITIVE k means y LEADS x by k steps (x echoes y's
+      * past), negative k the reverse; k = 0 is plain contemporaneous
+      * correlation. Both measures must be EXACT integers (the q119
+      * rule); each lag's r is the q119 fixed double shape over six
+      * exact moment sums, rounded at 6; degenerate lags (under 2
+      * pairs, or zero variance either side) report n with null r.
+      * `order` must be unique per group (stated, as q135).
+      *
+      * Scale shape: ONE key-partitioned window sort computes every
+      * shift (lag/lead over the same sorted frame — no self-join),
+      * one (2·maxLag+1)-bounded struct explode, one map-combinable
+      * (group, k) aggregate.
+      */
+    def xcorrByGroup(group: String, order: Column, x: Column, y: Column,
+                     maxLag: Int): DataFrame = {
+      require(maxLag >= 1 && maxLag <= 12,
+        s"xcorrByGroup: maxLag ($maxLag) must be in 1..12")
+      val base = left
+        .filter(col(group).isNotNull && order.isNotNull)
+        .select(col(group), order.as("__o"),
+          x.cast("long").as("__x"), y.cast("long").as("__y"))
+      val w = Window.partitionBy(col(group)).orderBy(col("__o"))
+      val shifted = (1 to maxLag).foldLeft(base) { (d, k) =>
+        d.withColumn(s"__lag$k", lag(col("__y"), k).over(w))
+          .withColumn(s"__lead$k", lead(col("__y"), k).over(w))
+      }
+      val entries =
+        ((-maxLag to -1).map(k =>
+          struct(lit(k.toLong).as("lag_k"), col("__x").as("x"),
+            col(s"__lead${-k}").as("y"))) ++
+          Seq(struct(lit(0L).as("lag_k"), col("__x").as("x"),
+            col("__y").as("y"))) ++
+          (1 to maxLag).map(k =>
+            struct(lit(k.toLong).as("lag_k"), col("__x").as("x"),
+              col(s"__lag$k").as("y"))))
+      val pairs = shifted
+        .withColumn("__p", array(entries: _*))
+        .select(col(group), explode(col("__p")).as("__e"))
+        .filter(col("__e.x").isNotNull && col("__e.y").isNotNull)
+        .select(col(group), col("__e.lag_k").as("lag_k"),
+          col("__e.x").as("__x"), col("__e.y").as("__y"))
+      val m = pairs.groupBy(col(group), col("lag_k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+          sum(col("__x") * col("__x")).as("__sxx"),
+          sum(col("__y") * col("__y")).as("__syy"),
+          sum(col("__x") * col("__y")).as("__sxy"))
+      val nD  = col("n").cast("double")
+      val sx  = col("__sx").cast("double");  val sy  = col("__sy").cast("double")
+      val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+      val sxy = col("__sxy").cast("double")
+      val covN  = nD * sxy - sx * sy
+      val varXN = nD * sxx - sx * sx
+      val varYN = nD * syy - sy * sy
+      m.withColumn("r",
+          round(when(varXN > 0.0 && varYN > 0.0, covN / sqrt(varXN * varYN)), 6))
+        .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+    }
+
     /** Benford first-digit deviation per group (r12 — the
       * fabricated-numbers screen auditors and fraud pipelines run
       * over money amounts): census the FIRST significant digit of an

@@ -305,6 +305,23 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** q149: daily count ↔ daily spend cross-correlation per event type
+    * ([[graft.api.Ops.GraftDataFrameOps.xcorrByGroup]]) — Pearson r
+    * at leads and lags −2..2 between the day census's event count and
+    * its exact cents total: "does volume lead spend". The day census
+    * collapses the corpus first (the q135 argument); one window sort
+    * carries every shift.
+    */
+  def q149(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum((graft.util.Portable.dec(col("value")) * 100).cast("long")).as("y"))
+      .xcorrByGroup("event_type", col("day"), col("x"), col("y"), maxLag = 2)
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
   /** q141: rolling 7-day distinct active users per calendar day
     * ([[graft.api.Ops.GraftDataFrameOps.rollingActives]]) — DAU and
     * trailing-WAU from one (user, day) census: the census collapses

@@ -1199,6 +1199,42 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("xcorrByGroup: planted lead detected at +1, mirror symmetry, degenerate nulls, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // x_t = y_{t−1} exactly (y LEADS x by one step): r must be
+    // exactly 1 at k = +1 and strictly less at k = 0
+    val y = Seq(1L, 5L, 2L, 8L, 3L, 9L)
+    val x = 0L +: y.dropRight(1)
+    val df = (1 to 6).map(i => ("g", i.toLong, x(i - 1), y(i - 1)))
+      .toDF("grp", "t", "x", "y")
+    val out = df.xcorrByGroup("grp", col("t"), col("x"), col("y"), maxLag = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, 1.0)), s"x echoes y's past exactly → r = 1 at k = +1 (got $out)")
+    assert(out(0L)._1 == 6L && out(0L)._2 < 1.0, "contemporaneous r is not the planted lead")
+    assert(out(2L)._1 == 4L && out(-2L)._1 == 4L, "edge pairs drop per shift")
+    // mirror symmetry: xcorr(x, y) at k == xcorr(y, x) at −k
+    val sw = df.xcorrByGroup("grp", col("t"), col("y"), col("x"), maxLag = 2)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert((-2 to 2).forall(k => sw(-k.toLong) == out(k.toLong)._2 ||
+      (sw(-k.toLong).isNaN && out(k.toLong)._2.isNaN)),
+      s"swap-and-negate symmetry (got $sw vs $out)")
+    // a constant series has zero variance → null r, n still reported
+    val const = (1 to 4).map(i => ("c", i.toLong, 7L, i.toLong))
+      .toDF("grp", "t", "x", "y")
+      .xcorrByGroup("grp", col("t"), col("x"), col("y"), maxLag = 1)
+      .collect().map(r => r.getLong(1) -> r.isNullAt(3)).toMap
+    assert(const == Map(-1L -> true, 0L -> true, 1L -> true))
+    // partitioning-invariant
+    val again = df.repartition(5)
+      .xcorrByGroup("grp", col("t"), col("x"), col("y"), maxLag = 2)
+      .collect().map(r => r.getLong(1) -> r.toSeq).toMap
+    assert(again == df.xcorrByGroup("grp", col("t"), col("x"), col("y"), maxLag = 2)
+      .collect().map(r => r.getLong(1) -> r.toSeq).toMap)
+  }
+
   test("abcClassify: exact Pareto thresholds, boundary entity, all-zero group, invariance") {
     import spark.implicits._
     import graft.api.Ops._
