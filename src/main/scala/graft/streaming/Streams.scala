@@ -1726,6 +1726,85 @@ object Streams {
       }
   }
 
+  final case class Interval(key: Long, start_us: Long, end_us: Long)
+
+  final case class CoverageOut(key: Long, n_intervals: Long, n_merged: Long,
+      covered: Long, span: Long, coverage: Option[Double])
+
+  /** Per-key coverage state: the open island + closed accumulators
+    * (public: encoder codegen constructs it).
+    */
+  final case class CoverageState(openStart: Long, openEnd: Long,
+      closedCovered: Long, closedIslands: Long, nIntervals: Long,
+      minStart: Long, maxEnd: Long)
+
+  /** Live interval union / uptime tracking — the streaming member of
+    * the q147 family
+    * ([[graft.api.Ops.GraftDataFrameOps.intervalCoverage]]): each
+    * trigger merges its intervals into the key's running islands and
+    * emits the key's CURRENT snapshot row, so after any trigger the
+    * latest row per key equals the batch `intervalCoverage` over
+    * everything in-order so far (the [[twapStream]] snapshot model).
+    * State is O(keys): ONE open island + four exact accumulators per
+    * key — closed islands fold into sums and never persist
+    * individually. The in-order contract runs on interval STARTS: an
+    * interval starting before the key's open island could bridge
+    * islands already folded closed, so it counts into `lateDrops`
+    * and skips (equal starts are fine — merging is monotone in the
+    * end); invalid rows (`end < start`, the batch rule) skip
+    * silently exactly as batch drops them.
+    */
+  def intervalCoverageStream(intervals: Dataset[Interval],
+                             lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CoverageOut] = {
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    intervals
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CoverageState, CoverageOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[Interval], state: GroupState[CoverageState]) =>
+          val sorted = batch.toSeq.filter(iv => iv.end_us >= iv.start_us)
+            .sortBy(iv => (iv.start_us, iv.end_us))
+          var st = state.getOption.orNull
+          var touched = false
+          for (iv <- sorted) {
+            if (st != null && iv.start_us < st.openStart) {
+              lateDrops.foreach(_.add(1L))
+            } else {
+              st =
+                if (st == null)
+                  CoverageState(iv.start_us, iv.end_us, 0L, 0L, 1L,
+                    iv.start_us, iv.end_us)
+                else if (iv.start_us <= st.openEnd)
+                  // overlaps or touches the open island: extend it
+                  st.copy(openEnd = math.max(st.openEnd, iv.end_us),
+                    nIntervals = st.nIntervals + 1L,
+                    maxEnd = math.max(st.maxEnd, iv.end_us))
+                else
+                  // a gap: fold the open island closed, open a new one
+                  st.copy(openStart = iv.start_us, openEnd = iv.end_us,
+                    closedCovered = st.closedCovered + (st.openEnd - st.openStart),
+                    closedIslands = st.closedIslands + 1L,
+                    nIntervals = st.nIntervals + 1L,
+                    maxEnd = math.max(st.maxEnd, iv.end_us))
+              touched = true
+            }
+          }
+          if (st != null) state.update(st)
+          if (!touched || st == null) Iterator.empty
+          else {
+            val covered = st.closedCovered + (st.openEnd - st.openStart)
+            val span = st.maxEnd - st.minStart
+            Iterator.single(CoverageOut(key, st.nIntervals,
+              st.closedIslands + 1L, covered, span,
+              if (span > 0) Some(BigDecimal(covered.toDouble / span.toDouble)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              else None))
+          }
+      }
+  }
+
   final case class AttributionOut(event_id: Long, user_id: Long,
       channel: Option[String], touch_us: Option[Long],
       touch_gap_us: Option[Long], cents: Long)

@@ -1625,6 +1625,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("intervalCoverageStream: latest snapshot equals batch q147 at each boundary; late drops") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = Seq(Streams.Interval(1L, 0L, 10L), Streams.Interval(1L, 5L, 7L),
+      Streams.Interval(1L, 9L, 4L)) // invalid: skipped as batch drops it
+    val t2 = Seq(Streams.Interval(1L, 10L, 12L), Streams.Interval(1L, 20L, 25L),
+      Streams.Interval(2L, 100L, 101L))
+    val acc = spark.sparkContext.longAccumulator("cov_late_test")
+    val stream = MemoryStream[Streams.Interval]
+    val query = Streams.intervalCoverageStream(stream.toDS(), lateDrops = Some(acc))
+      .writeStream.format("memory").queryName("cov_out").outputMode("append").start()
+    def latest(): Map[Long, Seq[Any]] = spark.table("cov_out").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.last.toSeq }
+    def batchOf(ivs: Seq[Streams.Interval]): Map[Long, Seq[Any]] =
+      ivs.map(iv => (iv.key, iv.start_us, iv.end_us)).toDF("k", "s", "e")
+        .intervalCoverage("k", col("s"), col("e"))
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    try {
+      stream.addData(t1); query.processAllAvailable()
+      assert(latest() == batchOf(t1), "after trigger 1 the snapshot equals batch")
+      stream.addData(t2); query.processAllAvailable()
+      assert(latest() == batchOf(t1 ++ t2),
+        "after trigger 2 — touching extension + gap island — snapshot equals batch")
+      // an interval starting before k1's open island (openStart 20)
+      // could bridge folded islands: counted and skipped, no emit
+      val before = spark.table("cov_out").count()
+      stream.addData(Seq(Streams.Interval(1L, 1L, 3L)))
+      query.processAllAvailable()
+      assert(acc.value == 1L, s"the retro interval must be counted (got ${acc.value})")
+      assert(spark.table("cov_out").count() == before,
+        "a late-only trigger emits nothing — the published snapshot stands")
+    } finally query.stop()
+  }
+
   test("twapStream: latest snapshot per key equals batch q120 at each trigger boundary") {
     import spark.implicits._
     import graft.api.Ops._
