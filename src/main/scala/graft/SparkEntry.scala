@@ -169,6 +169,7 @@ object SparkEntry {
     "q147_coverage"       -> q(Temporal.q147),
     "q148_abc"            -> q(Extended.q148),
     "q149_xcorr"          -> q(Temporal.q149),
+    "q150_backtest"       -> q(Temporal.q150),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2683,6 +2684,42 @@ object SparkEntry {
          |  round(CASE WHEN $varXN > 0 AND $varYN > 0 THEN $covN / sqrt($varXN * $varYN) END, 6) AS r
          |FROM m ORDER BY event_type, lag_k""".stripMargin
     },
+
+    // q150: the same lag-7 day census; per-row ratios round at 12 and
+    // sum as exact DECIMAL(38,12) (the q142 discipline), metrics
+    // round at 6 in the same op order
+    "q150_backtest" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS a
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, a,
+        |    lag(a, 7) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM d),
+        |f AS (SELECT * FROM l WHERE p IS NOT NULL),
+        |t AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(abs(a - p)) AS BIGINT) AS sae,
+        |    CAST(SUM(p - a) AS BIGINT) AS sbias,
+        |    CAST(SUM(CASE WHEN a <> 0 THEN CAST(round(
+        |      CAST(abs(a - p) AS DOUBLE) / CAST(abs(a) AS DOUBLE), 12)
+        |      AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS sa,
+        |    CAST(count(CASE WHEN a = 0 THEN 1 END) AS BIGINT) AS n_zero_actual,
+        |    CAST(SUM(CASE WHEN abs(a) + abs(p) <> 0 THEN CAST(round(
+        |      CAST(2 AS DOUBLE) * CAST(abs(a - p) AS DOUBLE) /
+        |      CAST(abs(a) + abs(p) AS DOUBLE), 12)
+        |      AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS ss,
+        |    CAST(count(CASE WHEN abs(a) + abs(p) = 0 THEN 1 END) AS BIGINT) AS nzd
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n, n_zero_actual,
+        |  round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+        |  round(CAST(sbias AS DOUBLE) / CAST(n AS DOUBLE), 6) AS bias,
+        |  CASE WHEN n > n_zero_actual THEN
+        |    round(CAST(sa AS DOUBLE) / CAST(n - n_zero_actual AS DOUBLE), 6) END AS mape,
+        |  CASE WHEN n > nzd THEN
+        |    round(CAST(ss AS DOUBLE) / CAST(n - nzd AS DOUBLE), 6) END AS smape
+        |FROM t ORDER BY event_type""".stripMargin,
 
     // q136: the digit census replays from the same exact cents; the
     // nine Benford constants embed as 17-sig-digit literals of the

@@ -3800,6 +3800,55 @@ object Ops {
         .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
     }
 
+    /** Forecast backtest scoring per group (r12 — the model-evaluation
+      * readout closing the engine's forecasting loop: seasonal
+      * baselines train (q127), anomalies screen (q128), THIS scores
+      * how good the prediction actually was): per group over exact
+      * integer (actual, predicted) pairs — MAE and bias from exact
+      * error sums; MAPE over the rows with a non-zero actual (their
+      * count is REPORTED as `n_zero_actual`, never silently folded);
+      * sMAPE with the standard `2|a−p|/(|a|+|p|)` form over rows with
+      * a non-zero denominator. The per-row ratios are each ONE fixed
+      * double division ROUNDED at 12 and summed as exact
+      * DECIMAL(38,12) — the q142 discipline: no order-dependent
+      * double accumulation anywhere, bit-reproducible on any engine;
+      * final metrics round at 6. Scale: ONE map-combinable group
+      * aggregate over the joined pairs — no window, no collect.
+      */
+    def forecastScore(group: String, actual: Column,
+                      predicted: Column): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      val a = actual.cast("long"); val p = predicted.cast("long")
+      val ae = abs(a - p)
+      val mapeTerm = when(a =!= 0,
+        round(ae.cast("double") / abs(a).cast("double"), 12)
+          .cast(DecimalType(38, 12)))
+      val sDen = abs(a) + abs(p)
+      val smapeTerm = when(sDen =!= 0,
+        round(lit(2.0) * ae.cast("double") / sDen.cast("double"), 12)
+          .cast(DecimalType(38, 12)))
+      left
+        .filter(col(group).isNotNull && actual.isNotNull && predicted.isNotNull)
+        .groupBy(col(group))
+        .agg(count(lit(1)).as("n"),
+          sum(ae).as("__sae"), sum(p - a).as("__sbias"),
+          sum(mapeTerm).cast(DecimalType(38, 12)).as("__smape_a"),
+          count(when(a === 0, 1)).as("n_zero_actual"),
+          sum(smapeTerm).cast(DecimalType(38, 12)).as("__ssmape"),
+          count(when(sDen === 0, 1)).as("__nzd"))
+        .withColumn("mae",
+          round(col("__sae").cast("double") / col("n").cast("double"), 6))
+        .withColumn("bias",
+          round(col("__sbias").cast("double") / col("n").cast("double"), 6))
+        .withColumn("mape", when(col("n") > col("n_zero_actual"),
+          round(col("__smape_a").cast("double") /
+            (col("n") - col("n_zero_actual")).cast("double"), 6)))
+        .withColumn("smape", when(col("n") > col("__nzd"),
+          round(col("__ssmape").cast("double") /
+            (col("n") - col("__nzd")).cast("double"), 6)))
+        .drop("__sae", "__sbias", "__smape_a", "__ssmape", "__nzd")
+    }
+
     /** Cross-correlation between two series at leads AND lags (r12 —
       * the "does marketing spend lead conversions, and by how many
       * days" diagnostic; [[acfByGroup]]'s two-series sibling): per

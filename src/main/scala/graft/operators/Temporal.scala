@@ -322,6 +322,26 @@ object Temporal {
       .orderBy(col("event_type"), col("lag_k"))
   }
 
+  /** q150: seasonal-naive weekly backtest per event type
+    * ([[graft.api.Ops.GraftDataFrameOps.forecastScore]]) — predicted
+    * = the same weekday's cents total one week earlier (lag 7 over
+    * the day census), scored with MAE/bias/MAPE/sMAPE. Closes the
+    * forecasting loop: q127 trains baselines, q128 screens anomalies,
+    * q150 says how good the prediction actually was.
+    */
+  def q150(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val d = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum((graft.util.Portable.dec(col("value")) * 100).cast("long"))
+        .as("actual"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    d.withColumn("predicted", lag(col("actual"), 7).over(w))
+      .filter(col("predicted").isNotNull)
+      .forecastScore("event_type", col("actual"), col("predicted"))
+      .orderBy(col("event_type"))
+  }
+
   /** q141: rolling 7-day distinct active users per calendar day
     * ([[graft.api.Ops.GraftDataFrameOps.rollingActives]]) — DAU and
     * trailing-WAU from one (user, day) census: the census collapses

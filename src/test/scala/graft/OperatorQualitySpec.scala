@@ -1199,6 +1199,37 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("forecastScore: hand-checked MAE/bias/MAPE/sMAPE, zero-actual accounting, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // g: (a, p) = (100, 110), (200, 180), (0, 50)
+    //   MAE = (10+20+50)/3 = 26.666667; bias = (10−20+50)/3 = 13.333333
+    //   MAPE over non-zero actuals: (0.1 + 0.1)/2 = 0.1 (the a=0 row
+    //   reported, not folded); sMAPE: 2·10/210, 2·20/380, 2·50/50 →
+    //   (0.095238095238 + 0.105263157895 + 2)/3 = 0.733500
+    // z: the only pair is (0, 0) → MAPE null AND sMAPE null
+    val df = Seq(
+      ("g", 100L, 110L), ("g", 200L, 180L), ("g", 0L, 50L),
+      ("z", 0L, 0L))
+      .toDF("grp", "a", "p")
+    val out = df.forecastScore("grp", col("a"), col("p")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n") == 3L && g.getAs[Long]("n_zero_actual") == 1L)
+    assert(g.getAs[Double]("mae") == 26.666667)
+    assert(g.getAs[Double]("bias") == 13.333333)
+    assert(g.getAs[Double]("mape") == 0.1)
+    assert(g.getAs[Double]("smape") == 0.733500)
+    val z = out("z")
+    assert(z.isNullAt(z.fieldIndex("mape")) && z.isNullAt(z.fieldIndex("smape")),
+      "all-degenerate rows yield null ratios, never NaN")
+    assert(z.getAs[Double]("mae") == 0.0)
+    // partitioning-invariant (exact sums + decimal ratio sums)
+    val again = df.repartition(5).forecastScore("grp", col("a"), col("p"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("xcorrByGroup: planted lead detected at +1, mirror symmetry, degenerate nulls, invariance") {
     import spark.implicits._
     import graft.api.Ops._
