@@ -798,6 +798,34 @@ object Streams {
       .start()
   }
 
+  /** Live record linkage against a master table (r12 — the streaming
+    * member of the q145 family, [[graft.api.Ops.linkageScore]]): each
+    * trigger's records block-join the master and emit their scored
+    * candidate matches — the CRM-intake shape ("does this incoming
+    * lead match an existing customer"). Stateless per trigger (the
+    * [[stripBoilerplateStream]] model): the master is FROZEN for the
+    * stream's lifetime and must be a stable source-backed frame
+    * (re-read per trigger by Spark — a derived frame should be
+    * materialized to parquet first; `localCheckpoint` blocks die with
+    * executors, the same reliability rule the prepared catalogs
+    * enforce). Per-trigger cost is the batch's own blocked join —
+    * candidate-bound, master never rescanned into state.
+    */
+  def linkageStream(records: DataFrame, master: DataFrame,
+                    aId: String, bId: String,
+                    block: Seq[(String, String)],
+                    fields: Seq[(String, String, Long)],
+                    minScore: Long,
+                    sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.linkageScore(batch, master, aId, bId,
+          block, fields, minScore))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

@@ -1566,6 +1566,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("linkageStream scores each trigger against the frozen master, matching batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val master = Seq((10L, "b1", "ann"), (11L, "b1", "bob"), (12L, "b2", "cat"))
+      .toDF("bid", "bblk", "bn")
+    val incoming = Seq((1L, "b1", "ann"), (2L, "b1", "zed"), (3L, "b2", "cat"))
+    val stream = MemoryStream[(Long, String, String)]
+    val query = Streams.linkageStream(stream.toDF().toDF("aid", "ablk", "an"),
+      master, "aid", "bid", Seq("ablk" -> "bblk"), Seq(("an", "bn", 4L)),
+      minScore = 4L,
+      b => b.write.mode("append").saveAsTable("link_out"))
+    try {
+      stream.addData(incoming.take(2)); query.processAllAvailable()
+      stream.addData(incoming.drop(2)); query.processAllAvailable()
+      val streamed = spark.table("link_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.api.Ops.linkageScore(
+          incoming.toDF("aid", "ablk", "an"), master, "aid", "bid",
+          Seq("ablk" -> "bblk"), Seq(("an", "bn", 4L)), minScore = 4L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch && streamed == Set((1L, 10L), (3L, 12L)),
+        s"per-trigger linkage must equal batch over the union (got $streamed)")
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS link_out")
+    }
+  }
+
   test("attributionStream reproduces batch last-touch credits across a trigger split") {
     import spark.implicits._
     import graft.api.Ops._
