@@ -67,7 +67,8 @@ object Bench {
     "q133_item_similarity", "q138_spatial_join", "q139_attribution",
     "q140_sssp", "q141_rolling_actives", "q142_chi_square",
     "q143_concentration", "q144_knn", "q145_linkage", "q146_survival",
-    "q147_coverage", "q148_abc", "q149_xcorr", "q150_backtest")
+    "q147_coverage", "q148_abc", "q149_xcorr", "q150_backtest",
+    "q151_cohort_ltv")
 
   private val childMarker = "##BENCHQ##"
 

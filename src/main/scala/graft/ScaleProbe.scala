@@ -452,6 +452,9 @@ object ScaleProbe {
       // r12 wave 7: the day census collapses first; ONE group
       // aggregate scores everything — no window past the lag
       "q150_backtest" -> (t => operators.Temporal.q150(t)),
+      // r12 wave 7: two unit-keyed censuses collapse the corpus
+      // first; the running window walks the bounded cohort×age grid
+      "q151_ltv"      -> (t => operators.Temporal.q151(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -170,6 +170,7 @@ object SparkEntry {
     "q148_abc"            -> q(Extended.q148),
     "q149_xcorr"          -> q(Temporal.q149),
     "q150_backtest"       -> q(Temporal.q150),
+    "q151_cohort_ltv"     -> q(Temporal.q151),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2720,6 +2721,34 @@ object SparkEntry {
         |  CASE WHEN n > nzd THEN
         |    round(CAST(ss AS DOUBLE) / CAST(n - nzd AS DOUBLE), 6) END AS smape
         |FROM t ORDER BY event_type""".stripMargin,
+
+    // q151: the same calendar-grid buckets (floor over DOUBLE days —
+    // the q108 rule), exact cents censuses, one running window over
+    // the bounded cohort×age grid
+    "q151_cohort_ltv" ->
+      """WITH base AS (
+        |  SELECT user_id AS u,
+        |    CAST(floor(CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) / 7) AS BIGINT) AS b,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |pub AS (SELECT u, b, CAST(SUM(c) AS BIGINT) AS cents FROM base GROUP BY 1, 2),
+        |fb AS (SELECT u, MIN(b) AS fb FROM pub GROUP BY 1),
+        |grid AS (
+        |  SELECT fb.fb AS cohort, pub.b - fb.fb AS age,
+        |    CAST(count(*) AS BIGINT) AS active_units,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM pub JOIN fb ON pub.u = fb.u GROUP BY 1, 2),
+        |cs AS (SELECT fb AS cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM fb GROUP BY 1),
+        |w AS (
+        |  SELECT g.cohort, g.age, cs.cohort_size, g.active_units, g.cents,
+        |    CAST(SUM(g.cents) OVER (PARTITION BY g.cohort ORDER BY g.age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM grid g JOIN cs ON g.cohort = cs.cohort)
+        |SELECT cohort, age, cohort_size, active_units, cents, cum_cents,
+        |  round(CAST(cum_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS ltv_cents_per_unit
+        |FROM w ORDER BY cohort, age""".stripMargin,
 
     // q136: the digit census replays from the same exact cents; the
     // nine Benford constants embed as 17-sig-digit literals of the

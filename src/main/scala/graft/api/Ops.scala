@@ -3800,6 +3800,58 @@ object Ops {
         .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
     }
 
+    /** Cohort LTV curve (r12 — the growth-analytics grid behind
+      * "how much is a week-N signup worth by week N+k": acquisition
+      * payback, retention economics): units cohort by the calendar
+      * bucket of their FIRST activity (bucket = floor of days since
+      * a fixed anchor over `bucketDays` — both cohort and age come
+      * from the same calendar grid, so age = bucket − first_bucket is
+      * exact integers end-to-end); per (cohort, age): active units,
+      * exact cents, the running cumulative cents over ages, and
+      * cumulative LTV per cohort unit as one fixed double division,
+      * rounded at 6 (cohort size = the cohort's distinct units —
+      * constant down its row so curves compare). Ages with NO
+      * activity emit nothing (observable gaps — the cumulative
+      * carries at the next active age, never a fabricated zero row).
+      *
+      * Scale shape: one per-unit min-bucket census + one
+      * (unit, bucket) cents census collapse the corpus FIRST, one
+      * unit-keyed join puts ages on rows, one map-combinable
+      * (cohort, age) aggregate, and the running window walks the
+      * bounded cohort×age grid.
+      */
+    def cohortLtv(unit: String, time: String, value: Column,
+                  bucketDays: Int, anchor: String): DataFrame = {
+      require(bucketDays >= 1 && bucketDays <= 92,
+        s"cohortLtv: bucketDays ($bucketDays) must be in 1..92")
+      import org.apache.spark.sql.types.DecimalType
+      val anchorD = lit(anchor).cast("date")
+      val bucket = floor(datediff(to_date(col(time)), anchorD) / bucketDays)
+      val base = left
+        .filter(col(unit).isNotNull && col(time).isNotNull && value.isNotNull)
+        .select(col(unit).as("__u"), bucket.as("__b"),
+          (graft.util.Portable.dec(value) * 100).cast("long").as("__c"))
+      val perUnitBucket = base.groupBy(col("__u"), col("__b"))
+        .agg(sum(col("__c")).as("__cents"))
+      val firstBucket = perUnitBucket.groupBy(col("__u"))
+        .agg(min(col("__b")).as("__fb"))
+      val grid = perUnitBucket.join(firstBucket, Seq("__u"))
+        .groupBy(col("__fb").as("cohort"), (col("__b") - col("__fb")).as("age"))
+        .agg(count(lit(1)).as("active_units"), sum(col("__cents")).as("cents"))
+      val cohortSize = firstBucket.groupBy(col("__fb").as("cohort"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val wRun = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(cohortSize, Seq("cohort"))
+        .withColumn("cum_cents", sum(col("cents")).over(wRun))
+        .withColumn("ltv_cents_per_unit",
+          round(col("cum_cents").cast("double") /
+            col("cohort_size").cast("double"), 6))
+        .select(col("cohort"), col("age"), col("cohort_size"),
+          col("active_units"), col("cents"), col("cum_cents"),
+          col("ltv_cents_per_unit"))
+    }
+
     /** Forecast backtest scoring per group (r12 — the model-evaluation
       * readout closing the engine's forecasting loop: seasonal
       * baselines train (q127), anomalies screen (q128), THIS scores

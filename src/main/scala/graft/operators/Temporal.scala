@@ -342,6 +342,21 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** q151: weekly purchase-cohort LTV grid
+    * ([[graft.api.Ops.GraftDataFrameOps.cohortLtv]]) — users cohort
+    * by the week of their first purchase; per (cohort, age-week):
+    * active buyers, exact cents, cumulative cents and LTV per cohort
+    * user. The acquisition-payback readout q104's retention matrix
+    * doesn't price.
+    */
+  def q151(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.filter(col("event_type") === "purchase")
+      .cohortLtv("user_id", "ts", col("value"), bucketDays = 7,
+        anchor = "2024-01-01")
+      .orderBy(col("cohort"), col("age"))
+  }
+
   /** q141: rolling 7-day distinct active users per calendar day
     * ([[graft.api.Ops.GraftDataFrameOps.rollingActives]]) — DAU and
     * trailing-WAU from one (user, day) census: the census collapses

@@ -1199,6 +1199,39 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("cohortLtv: hand-checked grid, cumulative carry over gaps, constant cohort size, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // anchor 2024-01-01, 2-day buckets.
+    // u1 first in bucket 0 (spends 1.00 + 2.00), again bucket 2 (4.00)
+    // u2 first in bucket 0 (3.00)                 → cohort 0, size 2
+    // u3 first in bucket 1 (5.00)                 → cohort 1, size 1
+    val df = Seq(
+      ("u1", "2024-01-01 10:00:00", 1.00), ("u1", "2024-01-02 10:00:00", 2.00),
+      ("u2", "2024-01-01 11:00:00", 3.00),
+      ("u1", "2024-01-05 10:00:00", 4.00),
+      ("u3", "2024-01-03 10:00:00", 5.00))
+      .toDF("u", "s", "v").withColumn("ts", col("s").cast("timestamp"))
+    val out = df.cohortLtv("u", "ts", col("v"), bucketDays = 2,
+        anchor = "2024-01-01")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // cohort 0 @ age 0: both users, 600 cents, LTV 300 cents/user
+    assert(out((0L, 0L)) == ((2L, 2L, 600L, 600L, 300.0)), s"got $out")
+    // cohort 0 @ age 2 (age 1 is a GAP — no row): u1's 400 carries
+    // cumulative to 1000, size still 2 → 5.0
+    assert(out((0L, 2L)) == ((2L, 1L, 400L, 1000L, 500.0)))
+    assert(!out.contains((0L, 1L)), "an inactive age emits nothing")
+    assert(out((1L, 0L)) == ((1L, 1L, 500L, 500L, 500.0)))
+    // partitioning-invariant
+    val again = df.repartition(5)
+      .cohortLtv("u", "ts", col("v"), bucketDays = 2, anchor = "2024-01-01")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(again == df.cohortLtv("u", "ts", col("v"), bucketDays = 2, anchor = "2024-01-01")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap)
+  }
+
   test("forecastScore: hand-checked MAE/bias/MAPE/sMAPE, zero-actual accounting, invariance") {
     import spark.implicits._
     import graft.api.Ops._
