@@ -1833,6 +1833,79 @@ object Streams {
       }
   }
 
+  final case class WSampleIn(group: String, id: Long, weight: Double)
+  final case class WSampleOut(group: String, id: Long, sample_rank: Long)
+
+  /** Per-group reservoir state: the current k winners' (id, key)
+    * pairs (public: encoder codegen constructs it).
+    */
+  final case class WSampleState(ids: Seq[Long], keys: Seq[Double])
+
+  /** The EXACT Scala mirror of `TextFunctions.seededHash` (the first
+    * 15 hex chars of md5("seed:s") as a 60-bit long) — the streaming
+    * reservoir must race with the identical priorities batch uses.
+    */
+  private def seededHash60(seed: Long, s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Continuous weighted exact-k sampling — the streaming member of
+    * the q95 family
+    * ([[graft.api.Ops.GraftDataFrameOps.weightedSamplePerGroup]]):
+    * the Efraimidis–Spirakis exponential race with DETERMINISTIC
+    * per-id priorities (the same seeded-hash draw batch uses), so
+    * the k winners per group are a pure function of the rows seen —
+    * arrival order, trigger splits and replays are ALL irrelevant,
+    * which is why this stream needs no late gate and no replay
+    * guard: a re-sent id re-inserts idempotently (ids must be unique
+    * per group, the catalog discipline — a changed weight for a seen
+    * id is NOT absorbed, first write wins, stated). Each trigger
+    * emits the touched groups' CURRENT winners ranked; after any
+    * trigger the latest rows per group equal batch
+    * `weightedSamplePerGroup` over everything seen. State is
+    * O(groups × k) — losers are forgotten the moment they fall out.
+    * Non-positive weights fail the query loudly, exactly as batch
+    * raises map-side.
+    */
+  def weightedSampleStream(rows: Dataset[WSampleIn], k: Int,
+                           seed: Long = 0L): Dataset[WSampleOut] = {
+    require(k >= 1 && k <= 10000,
+      s"weightedSampleStream: k ($k) must be in 1..10000")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[WSampleState, WSampleOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[WSampleIn], state: GroupState[WSampleState]) =>
+          val st = state.getOption.getOrElse(WSampleState(Seq.empty, Seq.empty))
+          val cur = scala.collection.mutable.LinkedHashMap[Long, Double](
+            st.ids.zip(st.keys): _*)
+          var touched = false
+          for (r <- batch) {
+            if (!(r.weight > 0.0))
+              throw new IllegalArgumentException(
+                s"weightedSampleStream: non-positive weight (${r.weight}) at " +
+                  s"id=${r.id} — the exponential race is undefined")
+            if (!cur.contains(r.id)) {
+              val h = seededHash60(seed, r.id.toString)
+              cur(r.id) = -math.log((h + 1L).toDouble / 1.152921504606846976e18) / r.weight
+            }
+            touched = true
+          }
+          val winners = cur.toSeq.map { case (id, sk) => (sk, id) }
+            .sortBy(identity).take(k)
+          state.update(WSampleState(winners.map(_._2), winners.map(_._1)))
+          if (!touched) Iterator.empty
+          else winners.iterator.zipWithIndex.map { case ((_, id), i) =>
+            WSampleOut(g, id, i + 1L)
+          }
+      }
+  }
+
   final case class AttributionOut(event_id: Long, user_id: Long,
       channel: Option[String], touch_us: Option[Long],
       touch_gap_us: Option[Long], cents: Long)

@@ -1594,6 +1594,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSampleStream: winners equal batch q95 race; order- and replay-invariant") {
+    import spark.implicits._
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val all = (1L to 20L).map(i =>
+      Streams.WSampleIn(if (i % 2 == 0) "a" else "b", i, (i % 5 + 1).toDouble))
+    def batchWinners(rows: Seq[Streams.WSampleIn]): Set[(String, Long, Long)] =
+      rows.map(r => (r.group, r.id, r.weight)).toDF("g", "id", "w")
+        .weightedSamplePerGroup("g", "id", col("w"), k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("sample_rank"))).toSet
+    val stream = MemoryStream[Streams.WSampleIn]
+    val query = Streams.weightedSampleStream(stream.toDS(), k = 3)
+      .writeStream.format("memory").queryName("wsample_out").outputMode("append").start()
+    def latest(): Set[(String, Long, Long)] = {
+      val rows = spark.table("wsample_out").collect()
+      // the LAST emitted batch per group is its current winner set
+      rows.groupBy(_.getString(0)).flatMap { case (_, rs) =>
+        // winners re-emit whole per touched trigger; dedupe to the
+        // final rank of each id (ranks are re-stated every emit)
+        rs.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(t => (t._1, t._3)).map(_._2.last)
+      }.toSet
+    }
+    try {
+      stream.addData(all.take(10)); query.processAllAvailable()
+      assert(latest() == batchWinners(all.take(10)),
+        "after trigger 1 the winners equal the batch race")
+      stream.addData(all.drop(10)); query.processAllAvailable()
+      assert(latest() == batchWinners(all),
+        "after trigger 2 the winners equal the batch race over everything")
+      // replaying an already-absorbed trigger re-inserts idempotently
+      stream.addData(all.take(10)); query.processAllAvailable()
+      assert(latest() == batchWinners(all), "a replay changes nothing")
+    } finally query.stop()
+    // arrival order is irrelevant: reversed feed, same winners
+    val stream2 = MemoryStream[Streams.WSampleIn]
+    val q2 = Streams.weightedSampleStream(stream2.toDS(), k = 3)
+      .writeStream.format("memory").queryName("wsample_out2").outputMode("append").start()
+    try {
+      stream2.addData(all.reverse); q2.processAllAvailable()
+      val rev = spark.table("wsample_out2").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rev == batchWinners(all), "reversed arrival, identical winners")
+    } finally q2.stop()
+  }
+
   test("attributionStream reproduces batch last-touch credits across a trigger split") {
     import spark.implicits._
     import graft.api.Ops._
