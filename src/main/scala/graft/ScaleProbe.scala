@@ -455,6 +455,9 @@ object ScaleProbe {
       // r12 wave 7: two unit-keyed censuses collapse the corpus
       // first; the running window walks the bounded cohort×age grid
       "q151_ltv"      -> (t => operators.Temporal.q151(t)),
+      // r12 wave 7: the q139 window + one channel-partitioned gap
+      // sort + two channels-sized rank joins
+      "q152_latency"  -> (t => operators.Temporal.q152(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

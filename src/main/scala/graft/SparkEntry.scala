@@ -171,6 +171,7 @@ object SparkEntry {
     "q149_xcorr"          -> q(Temporal.q149),
     "q150_backtest"       -> q(Temporal.q150),
     "q151_cohort_ltv"     -> q(Temporal.q151),
+    "q152_conv_latency"   -> q(Temporal.q152),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3044,6 +3045,45 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
         |  CAST(SUM(CASE WHEN ch IS NOT NULL THEN us - lt_us END) AS BIGINT) AS latency_us_total
         |FROM conv GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // q152: the q139 carries re-read for latency; median/p90 by the
+    // same integer rank selections ((n+1) div 2, (9n+9) div 10) over
+    // the (gap, event_id) sort — real data values, no interpolation
+    "q152_conv_latency" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_us,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_t
+        |  FROM e),
+        |cr AS (
+        |  SELECT event_id, lt_t AS channel, us - lt_us AS gap
+        |  FROM w
+        |  WHERE event_type = 'purchase' AND lt_us IS NOT NULL
+        |    AND lt_us >= us - 604800000000),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY channel
+        |      ORDER BY gap, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY channel) AS BIGINT) AS n
+        |  FROM cr),
+        |agg AS (
+        |  SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |    round(CAST(SUM(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_gap_us
+        |  FROM cr GROUP BY 1),
+        |med AS (SELECT channel, CAST(gap AS BIGINT) AS median_gap_us
+        |  FROM r WHERE rn = (n + 1) // 2),
+        |p90 AS (SELECT channel, CAST(gap AS BIGINT) AS p90_gap_us
+        |  FROM r WHERE rn = (9 * n + 9) // 10)
+        |SELECT agg.channel, n_conversions, mean_gap_us, median_gap_us, p90_gap_us
+        |FROM agg JOIN med ON agg.channel = med.channel
+        |JOIN p90 ON agg.channel = p90.channel
+        |ORDER BY agg.channel""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

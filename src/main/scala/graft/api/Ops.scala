@@ -3351,6 +3351,51 @@ object Ops {
         .drop("__at_us", "__lt_us", "__lt_t")
     }
 
+    /** Conversion-latency distribution per channel (r12 — the
+      * companion readout to [[lastTouchAttribution]]: "how long after
+      * a click do purchases land, per channel" — the number that
+      * sizes attribution windows and exposes slow-burn channels).
+      * Runs the SAME last-touch crediting, keeps credited conversions
+      * only, and reports per channel: exact conversion count, mean
+      * gap (one fixed division over the exact µs sum, rounded at 6),
+      * and the EXACT median and p90 gaps by rank selection — the
+      * q125/q137 discipline: real data values at ranks ⌊(n+1)/2⌋ and
+      * ⌈0.9n⌉ (integer arithmetic `(9n+9) div 10`), gap ties broken
+      * by the tiebreak column, no interpolation, no sketch —
+      * bit-replayable on any engine. Scale: the attribution window
+      * (the q139 sort) + ONE channel-partitioned gap sort + two
+      * channels-sized rank-row joins.
+      */
+    def conversionLatency(key: String, time: String, tieBreak: String,
+                          typeCol: String, convType: String,
+                          touchTypes: Seq[String],
+                          windowUs: Long): DataFrame = {
+      val credited = lastTouchAttribution(key, time, tieBreak, typeCol,
+        convType, touchTypes, windowUs)
+        .filter(col("channel").isNotNull)
+        .select(col("channel"), col("touch_gap_us"), col(tieBreak))
+      val wRank = Window.partitionBy(col("channel"))
+        .orderBy(col("touch_gap_us"), col(tieBreak))
+      val wAll = Window.partitionBy(col("channel"))
+      val ranked = credited
+        .withColumn("__rn", row_number().over(wRank).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wAll))
+      val medians = ranked
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("channel"), col("touch_gap_us").as("median_gap_us"))
+      val p90s = ranked
+        .filter(col("__rn") === expr("(9 * __n + 9) div 10"))
+        .select(col("channel"), col("touch_gap_us").as("p90_gap_us"))
+      credited.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("touch_gap_us")).as("__sg"))
+        .withColumn("mean_gap_us", round(col("__sg").cast("double") /
+          col("n_conversions").cast("double"), 6))
+        .drop("__sg")
+        .join(medians, Seq("channel"))
+        .join(p90s, Seq("channel"))
+    }
+
     /** Robust outlier flags by median absolute deviation (r12 — the
       * robust sibling of q100's z-score: mean/stddev screens break on
       * the very outliers they hunt, median/MAD does not): per group,

@@ -357,6 +357,20 @@ object Temporal {
       .orderBy(col("cohort"), col("age"))
   }
 
+  /** q152: conversion-latency distribution per channel
+    * ([[graft.api.Ops.GraftDataFrameOps.conversionLatency]]) — the
+    * q139 crediting re-read as "how long after a click/view do
+    * purchases land": exact counts, fixed-shape mean, rank-selected
+    * exact median and p90 gaps. The number that sizes attribution
+    * windows.
+    */
+  def q152(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.conversionLatency("user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("click", "view"), windowUs = 7L * 24 * 3600 * 1000000L)
+      .orderBy(col("channel"))
+  }
+
   /** q141: rolling 7-day distinct active users per calendar day
     * ([[graft.api.Ops.GraftDataFrameOps.rollingActives]]) — DAU and
     * trailing-WAU from one (user, day) census: the census collapses

@@ -1199,6 +1199,37 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("conversionLatency: rank-selected exact median/p90, direct exclusion, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    def ev(id: Long, u: Long, tUs: Long, typ: String) =
+      (id, u, new java.sql.Timestamp(tUs / 1000), typ)
+    // user 1: click@0 then purchases at gaps 10s/20s/30s/40s (the
+    // click carries); user 2: view@0, purchase at 5s; user 3: a
+    // DIRECT purchase (no touch) — excluded from latency
+    val rows = Seq(
+      ev(1, 1, 0L, "click"),
+      ev(2, 1, 10000000L, "purchase"), ev(3, 1, 20000000L, "purchase"),
+      ev(4, 1, 30000000L, "purchase"), ev(5, 1, 40000000L, "purchase"),
+      ev(6, 2, 0L, "view"), ev(7, 2, 5000000L, "purchase"),
+      ev(8, 3, 1000000L, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = rows.conversionLatency("user_id", "ts", "event_id", "event_type",
+        "purchase", Seq("click", "view"), windowUs = 3600000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    // click: n=4, mean 25s, median rank (4+1) div 2 = 2 → 20s,
+    // p90 rank (36+9) div 10 = 4 → 40s
+    assert(out == Map(
+      "click" -> ((4L, 2.5E7, 20000000L, 40000000L)),
+      "view"  -> ((1L, 5000000.0, 5000000L, 5000000L))),
+      s"rank-selected latency stats; the direct purchase is excluded (got $out)")
+    val again = rows.repartition(5).conversionLatency("user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("click", "view"), windowUs = 3600000000L)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> again(k) } && again.size == out.size)
+  }
+
   test("cohortLtv: hand-checked grid, cumulative carry over gaps, constant cohort size, invariance") {
     import spark.implicits._
     import graft.api.Ops._
