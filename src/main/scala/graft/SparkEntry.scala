@@ -3074,7 +3074,7 @@ object SparkEntry {
         |  FROM cr),
         |agg AS (
         |  SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
-        |    round(CAST(SUM(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_gap_us
+        |    CAST(SUM(gap) // count(*) AS BIGINT) AS mean_gap_us
         |  FROM cr GROUP BY 1),
         |med AS (SELECT channel, CAST(gap AS BIGINT) AS median_gap_us
         |  FROM r WHERE rn = (n + 1) // 2),

@@ -3356,9 +3356,13 @@ object Ops {
       * a click do purchases land, per channel" — the number that
       * sizes attribution windows and exposes slow-burn channels).
       * Runs the SAME last-touch crediting, keeps credited conversions
-      * only, and reports per channel: exact conversion count, mean
-      * gap (one fixed division over the exact µs sum, rounded at 6),
-      * and the EXACT median and p90 gaps by rank selection — the
+      * only, and reports per channel: exact conversion count, the
+      * mean gap as an EXACT floor-division integer (`sum div n` — a
+      * double mean at 1e10 µs magnitudes carries ~16 significant
+      * digits where engine round() implementations differ in the last
+      * ulp, found by this query's own gate run; µs floor precision IS
+      * the latency readout), and the EXACT median and p90 gaps by
+      * rank selection — the
       * q125/q137 discipline: real data values at ranks ⌊(n+1)/2⌋ and
       * ⌈0.9n⌉ (integer arithmetic `(9n+9) div 10`), gap ties broken
       * by the tiebreak column, no interpolation, no sketch —
@@ -3389,8 +3393,7 @@ object Ops {
       credited.groupBy(col("channel"))
         .agg(count(lit(1)).as("n_conversions"),
           sum(col("touch_gap_us")).as("__sg"))
-        .withColumn("mean_gap_us", round(col("__sg").cast("double") /
-          col("n_conversions").cast("double"), 6))
+        .withColumn("mean_gap_us", expr("__sg div n_conversions"))
         .drop("__sg")
         .join(medians, Seq("channel"))
         .join(p90s, Seq("channel"))

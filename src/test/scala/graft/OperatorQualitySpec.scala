@@ -1217,12 +1217,12 @@ class OperatorQualitySpec extends AnyFunSuite {
     val out = rows.conversionLatency("user_id", "ts", "event_id", "event_type",
         "purchase", Seq("click", "view"), windowUs = 3600000000L)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
-    // click: n=4, mean 25s, median rank (4+1) div 2 = 2 → 20s,
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // click: n=4, exact floor mean 25s, median rank (4+1) div 2 = 2 → 20s,
     // p90 rank (36+9) div 10 = 4 → 40s
     assert(out == Map(
-      "click" -> ((4L, 2.5E7, 20000000L, 40000000L)),
-      "view"  -> ((1L, 5000000.0, 5000000L, 5000000L))),
+      "click" -> ((4L, 25000000L, 20000000L, 40000000L)),
+      "view"  -> ((1L, 5000000L, 5000000L, 5000000L))),
       s"rank-selected latency stats; the direct purchase is excluded (got $out)")
     val again = rows.repartition(5).conversionLatency("user_id", "ts", "event_id",
         "event_type", "purchase", Seq("click", "view"), windowUs = 3600000000L)
