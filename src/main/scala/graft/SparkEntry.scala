@@ -172,6 +172,7 @@ object SparkEntry {
     "q150_backtest"       -> q(Temporal.q150),
     "q151_cohort_ltv"     -> q(Temporal.q151),
     "q152_conv_latency"   -> q(Temporal.q152),
+    "q153_new_returning"  -> q(Temporal.q153),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3084,6 +3085,22 @@ object SparkEntry {
         |FROM agg JOIN med ON agg.channel = med.channel
         |JOIN p90 ON agg.channel = p90.channel
         |ORDER BY agg.channel""".stripMargin,
+
+    // q153: the same census → first-day min → day classification;
+    // returning share is the only double, one fixed division
+    "q153_new_returning" ->
+      """WITH census AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT u, MIN(day) AS fd FROM census GROUP BY 1),
+        |j AS (SELECT census.day, census.u, fd.fd FROM census JOIN fd ON census.u = fd.u),
+        |a AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS active_units,
+        |    CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS new_units,
+        |    CAST(SUM(CASE WHEN day <> fd THEN 1 ELSE 0 END) AS BIGINT) AS returning_units
+        |  FROM j GROUP BY 1)
+        |SELECT day, active_units, new_units, returning_units,
+        |  round(CAST(returning_units AS DOUBLE) / CAST(active_units AS DOUBLE), 6) AS returning_share
+        |FROM a ORDER BY day""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

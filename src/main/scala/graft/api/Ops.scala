@@ -4241,6 +4241,33 @@ object Ops {
       daily.join(rolled, Seq("day"))
     }
 
+    /** Daily new-vs-returning split (r12 — the acquisition/retention
+      * readout beside [[rollingActives]]: of today's actives, who is
+      * here for the FIRST time): per observed day, units whose first
+      * activity is that day vs units returning from an earlier day,
+      * plus the returning share as one fixed division rounded at 6.
+      * Same scale inversion as [[rollingActives]]: the (unit, day)
+      * census collapses the corpus FIRST, the unit's first day is one
+      * min-census, one unit-keyed join classifies, one map-combinable
+      * day aggregate finishes. Exact integers; observed days only.
+      */
+    def newVsReturning(unit: String, time: String): DataFrame = {
+      val census = left
+        .filter(col(unit).isNotNull && col(time).isNotNull)
+        .select(col(unit).as("__u"), to_date(col(time)).as("day"))
+        .distinct()
+      val firstDay = census.groupBy(col("__u"))
+        .agg(min(col("day")).as("__fd"))
+      census.join(firstDay, Seq("__u"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("active_units"),
+          sum(when(col("day") === col("__fd"), 1L).otherwise(0L)).as("new_units"),
+          sum(when(col("day") =!= col("__fd"), 1L).otherwise(0L)).as("returning_units"))
+        .withColumn("returning_share",
+          round(col("returning_units").cast("double") /
+            col("active_units").cast("double"), 6))
+    }
+
     def resampleLocf(key: String, time: String, value: Column,
                      stepUs: Long): DataFrame = {
       require(stepUs > 0, s"resampleLocf: stepUs must be positive (got $stepUs)")

@@ -371,6 +371,17 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** q153: daily new-vs-returning users
+    * ([[graft.api.Ops.GraftDataFrameOps.newVsReturning]]) — of each
+    * day's actives, first-timers vs returners and the returning
+    * share; the acquisition/retention split beside q141's actives.
+    */
+  def q153(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.newVsReturning("user_id", "ts")
+      .orderBy(col("day"))
+  }
+
   /** q141: rolling 7-day distinct active users per calendar day
     * ([[graft.api.Ops.GraftDataFrameOps.rollingActives]]) — DAU and
     * trailing-WAU from one (user, day) census: the census collapses

@@ -1199,6 +1199,28 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("newVsReturning: first-day classification, duplicate collapse, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // d1: u1, u2 both new; d2: u1 returns, u3 new (u1 twice collapses)
+    val df = Seq(
+      ("u1", "2024-01-01 05:00:00"), ("u2", "2024-01-01 09:00:00"),
+      ("u1", "2024-01-02 10:00:00"), ("u1", "2024-01-02 11:00:00"),
+      ("u3", "2024-01-02 12:00:00"))
+      .toDF("u", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = df.newVsReturning("u", "ts").collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 2L, 0L, 0.0)),
+      "2024-01-02" -> ((2L, 1L, 1L, 0.5))),
+      s"first-day classification with census collapse (got $out)")
+    val again = df.repartition(5).newVsReturning("u", "ts").collect()
+      .map(r => r.getDate(0).toString -> r.toSeq).toMap
+    assert(again == df.newVsReturning("u", "ts").collect()
+      .map(r => r.getDate(0).toString -> r.toSeq).toMap)
+  }
+
   test("conversionLatency: rank-selected exact median/p90, direct exclusion, invariance") {
     import spark.implicits._
     import graft.api.Ops._
