@@ -661,6 +661,104 @@ object Ops {
       ArtifactIO.field(m, path, "nBaskets").toLong, reliable = true)
   }
 
+  /** The distinct (unit, day) census behind [[GraftDataFrameOps.rollingActives]],
+    * [[GraftDataFrameOps.newVsReturning]] and [[PreparedActives]] —
+    * the one frame every actives readout derives from.
+    */
+  private[graft] def activesCensus(df: DataFrame, unit: String,
+                                   time: String): DataFrame =
+    df.filter(col(unit).isNotNull && col(time).isNotNull)
+      .select(col(unit).as("__u"), to_date(col(time)).as("day"))
+      .distinct()
+
+  private[graft] def serveRollingActives(census: DataFrame,
+                                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"rollingActives: windowDays ($windowDays) must be in 1..370")
+    val daily = census.groupBy(col("day"))
+      .agg(count(lit(1)).as("active_units"))
+    val rolled = census
+      .select(col("__u"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("rolling_active_units"))
+    // inner join restricts to OBSERVED days (every observed day has
+    // a rolled row — it contributes to itself)
+    daily.join(rolled, Seq("day"))
+  }
+
+  private[graft] def serveNewVsReturning(census: DataFrame): DataFrame = {
+    val firstDay = census.groupBy(col("__u"))
+      .agg(min(col("day")).as("__fd"))
+    census.join(firstDay, Seq("__u"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_units"),
+        sum(when(col("day") === col("__fd"), 1L).otherwise(0L)).as("new_units"),
+        sum(when(col("day") =!= col("__fd"), 1L).otherwise(0L)).as("returning_units"))
+      .withColumn("returning_share",
+        round(col("returning_units").cast("double") /
+          col("active_units").cast("double"), 6))
+  }
+
+  /** An incrementally-maintained activity census (r12 — the
+    * EIGHTEENTH durable artifact, and the first whose absorb is
+    * IDEMPOTENT by algebra: the census is a SET of (unit, day) pairs,
+    * so `absorb` is set union — overlapping increments, replays and
+    * double-sends are true no-ops, no replay guard even needed; the
+    * strongest absorb contract in the engine). The production
+    * dashboard loop: maintain the census by absorbing each day's
+    * events (census-sized merges — the event corpus is NEVER
+    * rescanned), serve [[GraftDataFrameOps.rollingActives]]-shaped
+    * DAU/WAU and [[GraftDataFrameOps.newVsReturning]] readouts from
+    * the stored census at any point (shared serve code — spec-pinned
+    * equal to the batch operators).
+    */
+  final case class PreparedActives private[graft] (
+    census: DataFrame, reliable: Boolean) {
+
+    /** Set-union an increment's census — idempotent, order-free. */
+    def absorb(increment: DataFrame, unit: String, time: String,
+               checkpointDir: Option[String] = None): PreparedActives = {
+      val ckp = lineageBreaker(checkpointDir)
+      PreparedActives(
+        ckp(census.unionByName(activesCensus(increment, unit, time)).distinct()),
+        reliable && checkpointDir.isDefined)
+    }
+
+    /** The q141 readout over the current census. */
+    def rollingActives(windowDays: Int): DataFrame =
+      serveRollingActives(census, windowDays)
+
+    /** The q153 readout over the current census. */
+    def newVsReturning: DataFrame = serveNewVsReturning(census)
+
+    /** Persist durably (one census frame + kind-tagged meta). */
+    def save(path: String): Unit = {
+      census.write.mode("overwrite").parquet(s"$path/census")
+      ArtifactIO.writeMeta(census.sparkSession, path, "actives", Seq.empty)
+    }
+  }
+
+  /** Build a [[PreparedActives]]; its readouts over the prepare
+    * corpus equal the batch operators (shared code, spec-pinned).
+    */
+  def prepareActives(corpus: DataFrame, unit: String, time: String,
+                     checkpointDir: Option[String] = None): PreparedActives = {
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedActives(ckp(activesCensus(corpus, unit, time)),
+      checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedActives]] persisted by its `save`; fails fast
+    * on a non-actives path.
+    */
+  def loadActives(spark: org.apache.spark.sql.SparkSession, path: String): PreparedActives = {
+    ArtifactIO.readMeta(spark, path, "actives")
+    PreparedActives(spark.read.parquet(s"$path/census"), reliable = true)
+  }
+
   /** Per-group regression moments prepared ONCE for incremental
     * maintenance — the prepared-artifact form of
     * [[GraftDataFrameOps.regressionByGroup]] (r12): the five decimal
@@ -4220,26 +4318,8 @@ object Ops {
       * All exact integers; output is one row per observed day.
       */
     def rollingActives(unit: String, time: String,
-                       windowDays: Int): DataFrame = {
-      require(windowDays >= 1 && windowDays <= 370,
-        s"rollingActives: windowDays ($windowDays) must be in 1..370")
-      val census = left
-        .filter(col(unit).isNotNull && col(time).isNotNull)
-        .select(col(unit).as("__u"), to_date(col(time)).as("day"))
-        .distinct()
-      val daily = census.groupBy(col("day"))
-        .agg(count(lit(1)).as("active_units"))
-      val rolled = census
-        .select(col("__u"),
-          explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
-            .as("day"))
-        .distinct()
-        .groupBy(col("day"))
-        .agg(count(lit(1)).as("rolling_active_units"))
-      // inner join restricts to OBSERVED days (every observed day has
-      // a rolled row — it contributes to itself)
-      daily.join(rolled, Seq("day"))
-    }
+                       windowDays: Int): DataFrame =
+      serveRollingActives(activesCensus(left, unit, time), windowDays)
 
     /** Daily new-vs-returning split (r12 — the acquisition/retention
       * readout beside [[rollingActives]]: of today's actives, who is
@@ -4251,22 +4331,8 @@ object Ops {
       * min-census, one unit-keyed join classifies, one map-combinable
       * day aggregate finishes. Exact integers; observed days only.
       */
-    def newVsReturning(unit: String, time: String): DataFrame = {
-      val census = left
-        .filter(col(unit).isNotNull && col(time).isNotNull)
-        .select(col(unit).as("__u"), to_date(col(time)).as("day"))
-        .distinct()
-      val firstDay = census.groupBy(col("__u"))
-        .agg(min(col("day")).as("__fd"))
-      census.join(firstDay, Seq("__u"))
-        .groupBy(col("day"))
-        .agg(count(lit(1)).as("active_units"),
-          sum(when(col("day") === col("__fd"), 1L).otherwise(0L)).as("new_units"),
-          sum(when(col("day") =!= col("__fd"), 1L).otherwise(0L)).as("returning_units"))
-        .withColumn("returning_share",
-          round(col("returning_units").cast("double") /
-            col("active_units").cast("double"), 6))
-    }
+    def newVsReturning(unit: String, time: String): DataFrame =
+      serveNewVsReturning(activesCensus(left, unit, time))
 
     def resampleLocf(key: String, time: String, value: Column,
                      stepUs: Long): DataFrame = {

@@ -826,6 +826,37 @@ object Streams {
       .start()
   }
 
+  /** Rolling activity-census maintenance (r12 — the dashboard member
+    * of the absorb-only ingest family): each trigger's events
+    * set-union into [[graft.api.Ops.PreparedActives]] and the sink
+    * receives the grown census every trigger (persist or serve the
+    * DAU/WAU / new-vs-returning readouts). The EASIEST replay
+    * geometry in the engine: the census absorb is IDEMPOTENT (set
+    * union), so retries, overlapping triggers and even a stale
+    * checkpoint replaying absorbed batches are all TRUE NO-OPS — the
+    * IngestLoop guard here is uniformity, not load-bearing. Reliable
+    * prep REQUIRED (the frames must survive executor loss).
+    */
+  def activesIngestStream(events: DataFrame, unit: String, time: String,
+                          prepared: graft.api.Ops.PreparedActives,
+                          checkpointDir: String,
+                          sink: graft.api.Ops.PreparedActives => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "activesIngestStream needs a PreparedActives built with a reliable " +
+        "checkpointDir (prepareActives(..., checkpointDir = Some(dir))) or " +
+        "loaded from a persisted census: localCheckpoint blocks do not " +
+        "survive executor loss across a long-lived stream")
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedActives](
+      prepared,
+      (_, batch) => batch,
+      (idx, batch) => idx.absorb(batch, unit, time, Some(checkpointDir)),
+      (_, idx) => sink(idx))
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

@@ -397,6 +397,33 @@ class PersistenceSpec extends AnyFunSuite {
     assert(grown.cells.filter(col("o_orderstatus") === "ZZ_NEW").count() == 1)
   }
 
+  test("PreparedActives round-trips; absorb is IDEMPOTENT set union; serves ≡ batch operators") {
+    import graft.api.Ops._
+    val e = t.events
+    val a = e.filter(col("event_id") % 2 === 0)
+    val b = e.filter(col("event_id") % 2 === 1)
+    val full = Ops.prepareActives(e, "user_id", "ts")
+    val dir = tmp("actives")
+    full.save(dir)
+    val loaded = Ops.loadActives(spark, dir)
+    assert(loaded.reliable)
+    assertSameRows(loaded.census, full.census, "actives census")
+    // absorb after load ≡ full re-prepare
+    val dirA = tmp("activesA")
+    Ops.prepareActives(a, "user_id", "ts").save(dirA)
+    val absorbed = Ops.loadActives(spark, dirA).absorb(b, "user_id", "ts")
+    assertSameRows(absorbed.census, full.census, "absorb-after-load census")
+    // the idempotence contract: re-absorbing an ALREADY-ABSORBED
+    // increment — or an overlapping one — is a true no-op (set union)
+    val doubled = absorbed.absorb(b, "user_id", "ts").absorb(e, "user_id", "ts")
+    assertSameRows(doubled.census, full.census, "double-absorb is a no-op")
+    // serves equal the batch operators over the same corpus
+    assertSameRows(full.rollingActives(7), e.rollingActives("user_id", "ts", 7),
+      "served rolling actives ≡ batch q141")
+    assertSameRows(full.newVsReturning, e.newVsReturning("user_id", "ts"),
+      "served new-vs-returning ≡ batch q153")
+  }
+
   test("loading the wrong artifact kind — or a missing meta — fails fast") {
     val dir = tmp("kindclash")
     Ops.prepareGramIndex(corpus, "text", n = 8).save(dir)

@@ -1378,6 +1378,43 @@ class StreamingSpec extends AnyFunSuite {
       "the grown index must serve identically to the one-shot")
   }
 
+  test("activesIngestStream set-unions triggers into the census; replay is a true no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.Ops
+    val all = (1L to 30L).map(i =>
+      ("u" + (i % 7), new java.sql.Timestamp(86400000L * (i % 5) + i * 1000)))
+    val base = all.take(10).toDF("u", "ts")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_act_ing").toString
+    val a0 = Ops.prepareActives(base, "u", "ts", checkpointDir = Some(ckDir))
+    val e = intercept[IllegalArgumentException] {
+      Streams.activesIngestStream(MemoryStream[(String, java.sql.Timestamp)].toDF().toDF("u", "ts"),
+        "u", "ts", Ops.prepareActives(base, "u", "ts"), ckDir, _ => ())
+    }
+    assert(e.getMessage.contains("reliable"))
+    @volatile var last: Option[Ops.PreparedActives] = None
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val q = Streams.activesIngestStream(stream.toDF().toDF("u", "ts"),
+      "u", "ts", a0, ckDir, a => { last = Some(a); ticks.incrementAndGet(); () })
+    try {
+      stream.addData(all.slice(10, 20))
+      q.processAllAvailable()
+      // an OVERLAPPING trigger (rows 15-30 re-send 15-20): idempotent
+      stream.addData(all.slice(15, 30))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ticks.get == 2, "one sink call per trigger")
+    assert(last.get.reliable)
+    val oneShot = Ops.prepareActives(all.toDF("u", "ts"), "u", "ts",
+      checkpointDir = Some(ckDir))
+    def srt(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(srt(last.get.census) == srt(oneShot.census),
+      "overlapping triggers set-union to exactly the one-shot census")
+    assert(srt(last.get.rollingActives(3)) == srt(oneShot.rollingActives(3)),
+      "the grown census serves identically to the one-shot")
+  }
+
   test("rollupIngestStream absorbs triggers into the rolling rollup, matching one-shot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
