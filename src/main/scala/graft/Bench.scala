@@ -68,7 +68,8 @@ object Bench {
     "q140_sssp", "q141_rolling_actives", "q142_chi_square",
     "q143_concentration", "q144_knn", "q145_linkage", "q146_survival",
     "q147_coverage", "q148_abc", "q149_xcorr", "q150_backtest",
-    "q151_cohort_ltv", "q152_conv_latency", "q153_new_returning")
+    "q151_cohort_ltv", "q152_conv_latency", "q153_new_returning",
+    "q154_dup_payments")
 
   private val childMarker = "##BENCHQ##"
 

@@ -461,6 +461,9 @@ object ScaleProbe {
       // r12 wave 7: the census collapses replicas; one min-census +
       // one unit join + one day aggregate
       "q153_newret"   -> (t => operators.Temporal.q153(t)),
+      // r12 wave 7: one 3× day explode + one (cents, day) hash
+      // shuffle — collisions are genuine suspects, output-bound
+      "q154_duppay"   -> (t => operators.Extended.q154(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -173,6 +173,7 @@ object SparkEntry {
     "q151_cohort_ltv"     -> q(Temporal.q151),
     "q152_conv_latency"   -> q(Temporal.q152),
     "q153_new_returning"  -> q(Temporal.q153),
+    "q154_dup_payments"   -> q(Extended.q154),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3101,6 +3102,23 @@ object SparkEntry {
         |SELECT day, active_units, new_units, returning_units,
         |  round(CAST(returning_units AS DOUBLE) / CAST(active_units AS DOUBLE), 6) AS returning_share
         |FROM a ORDER BY day""".stripMargin,
+
+    // q154: brute-force pair replay — output-identical to the
+    // one-owner day blocking by the q138 coverage argument; exact
+    // cents equality, oriented a < b
+    "q154_dup_payments" ->
+      """WITH base AS (
+        |  SELECT event_id AS id, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL)
+        |SELECT a.id AS a_id, b.id AS b_id, a.cents,
+        |  a.day AS a_day, b.day AS b_day
+        |FROM base a JOIN base b
+        |  ON a.cents = b.cents AND a.id < b.id
+        | AND abs(a.day - b.day) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

@@ -4321,6 +4321,41 @@ object Ops {
                        windowDays: Int): DataFrame =
       serveRollingActives(activesCensus(left, unit, time), windowDays)
 
+    /** Duplicate-payment screen (r12 — the accounts-payable fraud/
+      * error audit: two DIFFERENT records carrying the SAME exact
+      * amount within a small day window are double-entry suspects):
+      * pairs of rows with identical exact cents whose days differ by
+      * at most `dayTol`, oriented `a_id < b_id` so each suspect pair
+      * reports once. Candidates block on (cents, day) with ONE side
+      * exploding its ±dayTol day neighborhood — each qualifying pair
+      * matches on exactly one exploded day (the q138 one-owner
+      * argument in 1-D), so NO dedup pass exists; amount equality is
+      * exact integer cents, never a double compare. Scale: a
+      * (2·dayTol+1)× explode on one side + one hash shuffle on the
+      * (cents, day) key — collisions are genuine suspects, output-
+      * bound by construction.
+      */
+    def duplicatePayments(id: String, time: String, value: Column,
+                          dayTol: Int = 1): DataFrame = {
+      require(dayTol >= 0 && dayTol <= 31,
+        s"duplicatePayments: dayTol ($dayTol) must be in 0..31")
+      val cents = (graft.util.Portable.dec(value) * 100).cast("long")
+      val base = left
+        .filter(col(id).isNotNull && col(time).isNotNull && value.isNotNull)
+        .select(col(id).as("__id"), to_date(col(time)).as("__day"),
+          cents.as("cents"))
+      val a = base.select(col("__id").as("a_id"), col("__day").as("a_day"),
+        col("cents"), col("__day").as("__j"))
+      val b = base
+        .withColumn("__o", explode(array((-dayTol to dayTol).map(lit): _*)))
+        .select(col("__id").as("b_id"), col("__day").as("b_day"),
+          col("cents"), expr("date_add(__day, __o)").as("__j"))
+      a.join(b, Seq("cents", "__j"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("cents"),
+          col("a_day"), col("b_day"))
+    }
+
     /** Daily new-vs-returning split (r12 — the acquisition/retention
       * readout beside [[rollingActives]]: of today's actives, who is
       * here for the FIRST time): per observed day, units whose first

@@ -620,6 +620,20 @@ object Extended {
       .orderBy(col("o_orderstatus"), col("o_custkey"))
   }
 
+  /** q154: duplicate-charge screen over event values
+    * ([[graft.api.Ops.GraftDataFrameOps.duplicatePayments]]) — pairs
+    * of distinct events carrying the same exact cents within ±1 day;
+    * the accounts-payable double-entry audit (orders' totals are
+    * near-unique in this corpus — event values collide, the realistic
+    * suspect source). One-owner day blocking, zero dedup, exact cents
+    * equality.
+    */
+  def q154(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.duplicatePayments("event_id", "ts", col("value"), dayTol = 1)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

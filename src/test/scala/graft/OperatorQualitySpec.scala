@@ -1199,6 +1199,29 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("duplicatePayments: exact-cents + day-window pairs, one row per pair, boundary days") {
+    import spark.implicits._
+    import graft.api.Ops._
+    def r(id: Long, day: String, v: Double) = (id, day, v)
+    // 1&2: same cents, same day → pair. 1&3: same cents, +1 day →
+    // pair (boundary inclusive). 1&4: same cents, +2 days → NOT a
+    // pair. 5: different cents, same day as 1 → not a pair.
+    val df = Seq(
+      r(1, "2024-01-10", 99.99), r(2, "2024-01-10", 99.99),
+      r(3, "2024-01-11", 99.99), r(4, "2024-01-12", 99.99),
+      r(5, "2024-01-10", 99.98))
+      .toDF("id", "d", "v").withColumn("ts", col("d").cast("timestamp"))
+    val out = df.duplicatePayments("id", "ts", col("v"), dayTol = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)),
+      s"cents-exact pairs within ±1 day, oriented a < b, exactly once each (got $out)")
+    // partitioning-invariant, and each pair appears EXACTLY once
+    val rows = df.repartition(5).duplicatePayments("id", "ts", col("v"), dayTol = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size && rows.toSet == out,
+      "the one-owner day blocking emits no duplicate pair rows")
+  }
+
   test("newVsReturning: first-day classification, duplicate collapse, invariance") {
     import spark.implicits._
     import graft.api.Ops._
