@@ -464,6 +464,12 @@ object ScaleProbe {
       // r12 wave 7: one 3× day explode + one (cents, day) hash
       // shuffle — collisions are genuine suspects, output-bound
       "q154_duppay"   -> (t => operators.Extended.q154(t)),
+      // r12 wave 7: two bucket censuses + a bounded buckets frame —
+      // output fixed at any corpus size
+      "q155_psi"      -> (t => operators.Extended.q155(t)),
+      // r12 wave 7: two value censuses + distinct-value windows —
+      // cost tracks the value domain, not the corpus
+      "q156_ks"       -> (t => operators.Extended.q156(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -174,6 +174,8 @@ object SparkEntry {
     "q152_conv_latency"   -> q(Temporal.q152),
     "q153_new_returning"  -> q(Temporal.q153),
     "q154_dup_payments"   -> q(Extended.q154),
+    "q155_psi_drift"      -> q(Extended.q155),
+    "q156_ks"             -> q(Extended.q156),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3119,6 +3121,73 @@ object SparkEntry {
         |  ON a.cents = b.cents AND a.id < b.id
         | AND abs(a.day - b.day) <= 1
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q155: the same bucket censuses completed over the union,
+    // add-one-smoothed exact rationals, the same (pa−pb)·ln(pa/pb)
+    // tree rounded at 12, decimal-summed total rounded at 6
+    "q155_psi_drift" ->
+      """WITH src AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |ca AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_base FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_cur FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00'),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00'),
+        |j AS (
+        |  SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |    COALESCE(c_base, 0) AS c_base, COALESCE(c_cur, 0) AS c_cur, na.na, nb.nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+        |  CROSS JOIN na CROSS JOIN nb),
+        |p AS (
+        |  SELECT *, CAST(count(*) OVER () AS BIGINT) AS b FROM j),
+        |q AS (
+        |  SELECT bucket, c_base, c_cur,
+        |    CAST(c_base + 1 AS DOUBLE) / CAST(na + b AS DOUBLE) AS pa,
+        |    CAST(c_cur + 1 AS DOUBLE) / CAST(nb + b AS DOUBLE) AS pb
+        |  FROM p),
+        |t AS (
+        |  SELECT *, round((pa - pb) * ln(pa / pb), 12) AS term FROM q)
+        |SELECT bucket, c_base, c_cur,
+        |  round(pa, 12) AS p_base, round(pb, 12) AS p_cur, term,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER () AS DOUBLE), 6) AS psi
+        |FROM t ORDER BY bucket""".stripMargin,
+
+    // q156: the same merged value census, running CDFs, and the
+    // DECIMAL cross-multiplied argmax — no double decides the gap;
+    // one division + round(6) at the very end
+    "q156_ks" ->
+      """WITH src AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |w AS (
+        |  SELECT v, ca, cb,
+        |    CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) OVER () AS BIGINT) AS n_b,
+        |    CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |  FROM m),
+        |g AS (
+        |  SELECT *, CAST(abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0)) -
+        |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
+        |  FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY d_num DESC, v) AS rk FROM g)
+        |SELECT n_a, n_b, d_num, v AS at_value,
+        |  round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

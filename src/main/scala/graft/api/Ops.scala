@@ -661,6 +661,102 @@ object Ops {
       ArtifactIO.field(m, path, "nBaskets").toLong, reliable = true)
   }
 
+  /** Population stability index between two samples (r12 — THE drift
+    * metric ML feature monitoring runs between a training baseline
+    * and live data, and a curation pipeline runs between crawl
+    * versions): over a caller-supplied bucket column, the per-bucket
+    * census of each side completes across the UNION of observed
+    * buckets (the q136 rule — a bucket present on one side only is
+    * exactly the drift evidence PSI exists to catch) with add-one
+    * Laplace smoothing making every share strictly positive as an
+    * EXACT rational `(c+1)/(n+B)` — integer counts in, one fixed
+    * double shape out: `term = (pa − pb)·ln(pa/pb)` rounded at 12
+    * and summed as exact DECIMAL(38,12) (the q150 discipline), total
+    * rounded at 6. Emits per-bucket rows (counts, shares, term)
+    * beside the total so a reviewer sees WHERE the drift lives.
+    *
+    * Scale shape: two map-combinable bucket censuses + a bounded
+    * buckets-frame outer join + two 1-row scalar broadcasts; the
+    * total rides an unpartitioned window over the BOUNDED bucket
+    * frame (the q142 shape).
+    */
+  def psiDrift(baseline: DataFrame, current: DataFrame,
+               bucket: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def census(df: DataFrame) = df.filter(col(bucket).isNotNull)
+      .groupBy(col(bucket).as("bucket")).agg(count(lit(1)).as("c"))
+    val ca = census(baseline); val cb = census(current)
+    val na = baseline.filter(col(bucket).isNotNull).agg(count(lit(1)).as("na"))
+    val nb = current.filter(col(bucket).isNotNull).agg(count(lit(1)).as("nb"))
+    val joined = ca.withColumnRenamed("c", "c_base")
+      .join(cb.withColumnRenamed("c", "c_cur"), Seq("bucket"), "full_outer")
+      .withColumn("c_base", coalesce(col("c_base"), lit(0L)))
+      .withColumn("c_cur", coalesce(col("c_cur"), lit(0L)))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+    val wCells = Window.partitionBy()
+    val b = count(lit(1)).over(wCells)
+    val pa = (col("c_base") + 1).cast("double") / (col("na") + col("__b")).cast("double")
+    val pb = (col("c_cur") + 1).cast("double") / (col("nb") + col("__b")).cast("double")
+    joined
+      .withColumn("__b", b)
+      .withColumn("p_base", pa)
+      .withColumn("p_cur", pb)
+      .withColumn("term",
+        round((col("p_base") - col("p_cur")) * log(col("p_base") / col("p_cur")), 12))
+      .withColumn("psi",
+        sum(col("term").cast(DecimalType(38, 12))).over(wCells)
+          .cast("double"))
+      .withColumn("psi", round(col("psi"), 6))
+      .select(col("bucket"), col("c_base"), col("c_cur"),
+        round(col("p_base"), 12).as("p_base"), round(col("p_cur"), 12).as("p_cur"),
+        col("term"), col("psi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic (r12 — [[psiDrift]]'s
+    * bucket-free sibling: the max CDF gap between two samples of an
+    * exact integer measure, the distribution-drift test that needs
+    * no binning choice). The gap is located EXACTLY: at each distinct
+    * value the comparison `|cumA·nB − cumB·nA|` runs in DECIMAL(38,0)
+    * cross-multiplication — no double ever decides the argmax, so
+    * the selected gap (and its value, ties broken by the smaller
+    * value) is bit-deterministic on any engine; only the final
+    * readout divides once and rounds at 6. Returns ONE row:
+    * (n_a, n_b, d_num exact, at_value, d_stat).
+    *
+    * Scale shape: two map-combinable value censuses + a
+    * distinct-value merge; the running CDFs and the argmax rank ride
+    * unpartitioned windows over the DISTINCT-VALUE census (bounded
+    * by the value domain, not the corpus — the q130 global-order
+    * caveat applies to pathological domains; [[GraftDataFrameOps.quantileBuckets]]
+    * / `portable_quantiles` are the sketch path there).
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def census(df: DataFrame, cnt: String) = df.filter(value.isNotNull)
+      .groupBy(value.cast("long").as("v")).agg(count(lit(1)).as(cnt))
+    val m = census(a, "ca").join(census(b, "cb"), Seq("v"), "full_outer")
+      .withColumn("ca", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+    val wAll = Window.partitionBy()
+    val wRun = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d18 = DecimalType(18, 0)
+    m.withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .withColumn("__cumA", sum(col("ca")).over(wRun))
+      .withColumn("__cumB", sum(col("cb")).over(wRun))
+      .withColumn("d_num",
+        abs(col("__cumA").cast(d18) * col("n_b").cast(d18) -
+          col("__cumB").cast(d18) * col("n_a").cast(d18))
+          .cast(DecimalType(38, 0)))
+      .withColumn("__rk", row_number().over(Window.orderBy(col("d_num").desc, col("v"))))
+      .filter(col("__rk") === 1)
+      .withColumn("d_stat", round(col("d_num").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+      .select(col("n_a"), col("n_b"), col("d_num"), col("v").as("at_value"),
+        col("d_stat"))
+  }
+
   /** The distinct (unit, day) census behind [[GraftDataFrameOps.rollingActives]],
     * [[GraftDataFrameOps.newVsReturning]] and [[PreparedActives]] —
     * the one frame every actives readout derives from.

@@ -634,6 +634,41 @@ object Extended {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q155: price-distribution drift between order eras
+    * ([[graft.api.Ops.psiDrift]]) — PSI of the $50k-bucketed total
+    * distribution, orders before 1998 as the baseline vs 1998+ as
+    * current; the population-stability readout feature monitoring
+    * runs between training baselines and live data.
+    */
+  def q155(t: Tables): DataFrame = {
+    val withB = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("bkt",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val base = withB.filter(col("o_orderdate").cast("timestamp") < cut)
+    val cur = withB.filter(col("o_orderdate").cast("timestamp") >= cut)
+    graft.api.Ops.psiDrift(base, cur, "bkt")
+      .orderBy(col("bucket"))
+  }
+
+  /** q156: KS statistic between order-era price distributions
+    * ([[graft.api.Ops.ksStatistic]]) — the exact max CDF gap (decimal
+    * cross-multiplied argmax) between pre-1998 and 1998+ order totals
+    * in cents; q155's bucket-free sibling.
+    */
+  def q156(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.ksStatistic(
+      withC.filter(col("o_orderdate").cast("timestamp") < cut),
+      withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("cents"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -1199,6 +1199,53 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == out.map { case (k, r) => k -> r.toSeq })
   }
 
+  test("psiDrift: union completion, Laplace-smoothed shares, scala-replayed total, invariance") {
+    import spark.implicits._
+    // baseline x,x,x,y (n=4); current x,y,y,z (n=4); B = 3 buckets
+    val base = Seq("x", "x", "x", "y").toDF("b")
+    val cur = Seq("x", "y", "y", "z").toDF("b")
+    val out = graft.api.Ops.psiDrift(base, cur, "b").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("x", "y", "z"),
+      "the census completes over the UNION — z exists only in current")
+    assert(out("z").getAs[Long]("c_base") == 0L)
+    // replay the formula: p = (c+1)/(n+B), term = round((pa−pb)·ln(pa/pb), 12)
+    def term(cb: Long, cc: Long): BigDecimal = {
+      val pa = (cb + 1).toDouble / 7.0; val pb = (cc + 1).toDouble / 7.0
+      BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expectPsi = BigDecimal(
+      (term(3, 1) + term(1, 2) + term(0, 1)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("x").getAs[Double]("term") == term(3, 1).toDouble)
+    assert(out.values.forall(_.getAs[Double]("psi") == expectPsi),
+      s"the decimal-summed total rides every row (got ${out("x").getAs[Double]("psi")} vs $expectPsi)")
+    // partitioning-invariant
+    val again = graft.api.Ops.psiDrift(base.repartition(3), cur.repartition(5), "b")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
+  test("ksStatistic: exact decimal argmax, gap location, tie to smaller value") {
+    import spark.implicits._
+    // a = (1,2,3), b = (3,4): cross-multiplied gaps 2,4,3,0 → max 4
+    // at v=2; D = 4/(3·2) = 0.666667
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(3L, 4L).toDF("v")
+    val r = graft.api.Ops.ksStatistic(a, b, col("v")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_a") == 3L && row.getAs[Long]("n_b") == 2L)
+    assert(row.getAs[java.math.BigDecimal]("d_num").longValueExact == 4L)
+    assert(row.getAs[Long]("at_value") == 2L)
+    assert(row.getAs[Double]("d_stat") == 0.666667)
+    // identical samples → zero gap at the smallest value (the tie rule)
+    val same = graft.api.Ops.ksStatistic(a, a.repartition(3), col("v")).collect().head
+    assert(same.getAs[java.math.BigDecimal]("d_num").longValueExact == 0L &&
+      same.getAs[Long]("at_value") == 1L && same.getAs[Double]("d_stat") == 0.0)
+  }
+
   test("duplicatePayments: exact-cents + day-window pairs, one row per pair, boundary days") {
     import spark.implicits._
     import graft.api.Ops._
