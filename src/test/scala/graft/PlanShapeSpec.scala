@@ -67,7 +67,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q142_chi_square",
       // q146's global max-day is ONE 1-row scalar broadcast (the q48
       // shape); dedicated pin below
-      "q146_survival"))
+      "q146_survival",
+      // q155's two sample sizes are 1-row scalar broadcasts (the q48
+      // shape twice); dedicated pin below
+      "q155_psi_drift"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -128,6 +131,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // the segment dimension join must stay a hash join on the key
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"expected the user→segment join to run as a hash join in q146:\n$plan")
+  }
+
+  test("q155's keyless joins are exactly the two 1-row sample-size scalars") {
+    val plan = physicalPlan("q155_psi_drift")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 2,
+      s"expected exactly the 1-row nA and nB broadcasts in q155, got $keyless:\n$plan")
+    // the bucket completion itself must stay a keyed full-outer join
+    assert(plan.contains("FullOuter"),
+      s"expected the bucket completion as a keyed full-outer join in q155:\n$plan")
   }
 
   test("q129's only keyless join is the 1-row basket-total broadcast") {
