@@ -1853,8 +1853,12 @@ object Streams {
           if (st != null) state.update(st)
           if (!touched || st == null) Iterator.empty
           else {
-            val covered = st.closedCovered + (st.openEnd - st.openStart)
-            val span = st.maxEnd - st.minStart
+            // addExact/subtractExact: an interval spanning more than
+            // Long µs (corrupt endpoints) must fail loudly, exactly
+            // as batch ANSI sums throw — never a wrapped negative
+            val covered = Math.addExact(st.closedCovered,
+              Math.subtractExact(st.openEnd, st.openStart))
+            val span = Math.subtractExact(st.maxEnd, st.minStart)
             Iterator.single(CoverageOut(key, st.nIntervals,
               st.closedIslands + 1L, covered, span,
               if (span > 0) Some(BigDecimal(covered.toDouble / span.toDouble)
@@ -1992,7 +1996,12 @@ object Streams {
                 st = AttributionState(t, e.event_type, t, e.event_id)
               } else {
                 if (e.event_type == convType) {
-                  val inWindow = st.touchType != null && st.touchUs >= t - windowUs
+                  // subtractExact: a corrupt extreme timestamp must
+                  // fail the query LOUDLY, exactly as the batch ANSI
+                  // subtraction throws — a wrapped difference would
+                  // silently mis-credit (the funnel late-gate lesson)
+                  val inWindow = st.touchType != null &&
+                    st.touchUs >= Math.subtractExact(t, windowUs)
                   out += AttributionOut(e.event_id, uid,
                     if (inWindow) Some(st.touchType) else None,
                     if (inWindow) Some(st.touchUs) else None,

@@ -1771,6 +1771,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("attributionStream fails LOUDLY on a window-underflowing corrupt timestamp") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a conversion near Long.MinValue µs makes t − windowUs wrap: the
+    // batch ANSI subtraction throws, so the stream must too — a
+    // silent wrap would mis-credit (the funnel late-gate lesson)
+    val stream = MemoryStream[Streams.Event]
+    val query = Streams.attributionStream(stream.toDS(), "purchase",
+        Seq("click"), windowUs = 1000000000L)
+      .writeStream.format("memory").queryName("attr_ovf_out").outputMode("append").start()
+    try {
+      stream.addData(Seq(Streams.Event(1L,
+        new java.sql.Timestamp(Long.MinValue / 1000 + 1), 1L, "purchase", 1.0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).map(x => x +: chain(x.getCause)).getOrElse(Seq.empty)
+      assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+        s"expected the exact-subtraction overflow to surface (got $e)")
+    } finally query.stop()
+  }
+
   test("twapStream: latest snapshot per key equals batch q120 at each trigger boundary") {
     import spark.implicits._
     import graft.api.Ops._
