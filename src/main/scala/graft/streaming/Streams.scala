@@ -857,6 +857,30 @@ object Streams {
       .start()
   }
 
+  /** Live distribution-drift monitoring (r12 — the drift member of
+    * the per-trigger governance family beside [[dqStream]]): each
+    * trigger's bucket distribution scores
+    * [[graft.api.Ops.psiDrift]] against the FROZEN baseline and the
+    * sink receives the per-bucket report + total PSI — alert (or
+    * quarantine, the dqStream move) BEFORE a drifted batch lands in
+    * the corpus. Stateless per trigger (the [[stripBoilerplateStream]]
+    * model); the baseline must be a stable source-backed frame
+    * (re-read per trigger — materialize derived baselines to parquet
+    * first). Per-trigger cost is two bucket censuses + the bounded
+    * buckets join; PSI of a SMALL trigger against a large baseline is
+    * statistically noisy — size triggers (or window upstream) so the
+    * comparison means something, stated.
+    */
+  def psiDriftStream(records: DataFrame, baseline: DataFrame, bucket: String,
+                     sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.psiDrift(baseline, batch, bucket))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

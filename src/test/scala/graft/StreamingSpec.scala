@@ -1677,6 +1677,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("psiDriftStream scores each trigger against the frozen baseline, matching batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq("x", "x", "x", "y").toDF("b")
+    val t1 = Seq("x", "y"); val t2 = Seq("z", "z", "y")
+    val stream = MemoryStream[String]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    val query = Streams.psiDriftStream(stream.toDF().toDF("b"), baseline, "b",
+      r => { got += r.collect().map(x => x.getString(0) -> x.getAs[Double]("psi")).toMap; () })
+    try {
+      stream.addData(t1); query.processAllAvailable()
+      stream.addData(t2); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2, "one report per trigger")
+    def batchPsi(cur: Seq[String]): Map[String, Double] =
+      graft.api.Ops.psiDrift(baseline, cur.toDF("b"), "b")
+        .collect().map(x => x.getString(0) -> x.getAs[Double]("psi")).toMap
+    assert(got(0) == batchPsi(t1), "trigger 1 report ≡ batch psiDrift")
+    assert(got(1) == batchPsi(t2),
+      "trigger 2 — with the baseline-unseen bucket z — ≡ batch psiDrift")
+    assert(got(1).values.head > got(0).values.head,
+      "the drifted trigger scores a larger PSI")
+  }
+
   test("attributionStream reproduces batch last-touch credits across a trigger split") {
     import spark.implicits._
     import graft.api.Ops._
