@@ -751,8 +751,11 @@ object Ops {
           .cast(DecimalType(38, 0)))
       .withColumn("__rk", row_number().over(Window.orderBy(col("d_num").desc, col("v"))))
       .filter(col("__rk") === 1)
-      .withColumn("d_stat", round(col("d_num").cast("double") /
-        (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+      // an EMPTY side has no CDF to compare: d_stat is null (never a
+      // division by zero), with the counts reporting which side
+      .withColumn("d_stat", when(col("n_a") > 0 && col("n_b") > 0,
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)))
       .select(col("n_a"), col("n_b"), col("d_num"), col("v").as("at_value"),
         col("d_stat"))
   }

@@ -1244,6 +1244,11 @@ class OperatorQualitySpec extends AnyFunSuite {
     val same = graft.api.Ops.ksStatistic(a, a.repartition(3), col("v")).collect().head
     assert(same.getAs[java.math.BigDecimal]("d_num").longValueExact == 0L &&
       same.getAs[Long]("at_value") == 1L && same.getAs[Double]("d_stat") == 0.0)
+    // an empty side has no CDF: null d_stat with the counts reporting
+    // which side — never a division by zero
+    val empt = graft.api.Ops.ksStatistic(a, b.filter(col("v") < 0L), col("v"))
+      .collect().head
+    assert(empt.getAs[Long]("n_b") == 0L && empt.isNullAt(empt.fieldIndex("d_stat")))
   }
 
   test("duplicatePayments: exact-cents + day-window pairs, one row per pair, boundary days") {
