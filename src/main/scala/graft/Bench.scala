@@ -69,7 +69,7 @@ object Bench {
     "q143_concentration", "q144_knn", "q145_linkage", "q146_survival",
     "q147_coverage", "q148_abc", "q149_xcorr", "q150_backtest",
     "q151_cohort_ltv", "q152_conv_latency", "q153_new_returning",
-    "q154_dup_payments", "q155_psi_drift", "q156_ks")
+    "q154_dup_payments", "q155_psi_drift", "q156_ks", "q157_mann_whitney")
 
   private val childMarker = "##BENCHQ##"
 

@@ -470,6 +470,9 @@ object ScaleProbe {
       // r12 wave 7: two value censuses + distinct-value windows —
       // cost tracks the value domain, not the corpus
       "q156_ks"       -> (t => operators.Extended.q156(t)),
+      // r12 wave 7: the q156 census shape + ONE aggregate — cost
+      // tracks the value domain
+      "q157_mwu"      -> (t => operators.Extended.q157(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

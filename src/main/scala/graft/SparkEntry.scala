@@ -176,6 +176,7 @@ object SparkEntry {
     "q154_dup_payments"   -> q(Extended.q154),
     "q155_psi_drift"      -> q(Extended.q155),
     "q156_ks"             -> q(Extended.q156),
+    "q157_mann_whitney"   -> q(Extended.q157),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3188,6 +3189,49 @@ object SparkEntry {
         |SELECT n_a, n_b, d_num, v AS at_value,
         |  round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat
         |FROM r WHERE rk = 1""".stripMargin,
+
+    // q157: the same merged census, the same ca·(2S+m+1) double-rank
+    // identity in DECIMAL, the same tie-corrected z tree
+    "q157_mann_whitney" ->
+      """WITH src AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |w AS (
+        |  SELECT *, ca + cb AS mm,
+        |    COALESCE(CAST(SUM(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+        |  FROM m),
+        |agg AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(s * 2 + mm + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS r2a,
+        |    CAST(SUM(CAST(mm AS DECIMAL(12,0)) * CAST(mm AS DECIMAL(12,0)) *
+        |      CAST(mm AS DECIMAL(12,0)) - CAST(mm AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS tie
+        |  FROM w),
+        |f AS (
+        |  SELECT n_a, n_b,
+        |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0)) *
+        |      CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS u2,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE) *
+        |      ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE)) -
+        |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+        |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
+        |  FROM agg)
+        |SELECT n_a, n_b, u2,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
+        |    round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |      (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
+        |FROM f""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

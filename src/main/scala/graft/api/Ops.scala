@@ -760,6 +760,61 @@ object Ops {
         col("d_stat"))
   }
 
+  /** Two-sample Mann–Whitney U test (r12 — the NONPARAMETRIC sibling
+    * of [[GraftDataFrameOps.abTest]]: "is sample A stochastically
+    * larger than B" without any normality assumption — the right test
+    * for skewed latencies, ordinal scores, heavy-tailed revenue).
+    * Ranks never materialize per row: over the merged distinct-value
+    * census, a tie group of size m starting after S prior
+    * observations contributes `ca·(2S + m + 1)` to TWICE side A's
+    * rank sum — average tie ranks with NO fractions, all in
+    * DECIMAL(38,0) (the q156 discipline); `u2 = 2·U = R2 − nA(nA+1)`
+    * stays exact, and the tie-corrected normal approximation
+    * `z = (u2 − nA·nB) / (2·√var)` is one fixed double shape over the
+    * exact sums, rounded at 6 (no continuity correction, stated;
+    * degenerate inputs — an empty side, n < 2, or zero variance —
+    * yield null z with counts reporting). Returns ONE row:
+    * (n_a, n_b, u2, z).
+    *
+    * Scale shape: two map-combinable value censuses + the
+    * distinct-value merge; the prior-count window rides the census
+    * (the q156 domain-bounded statement), ONE aggregate finishes.
+    */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def census(df: DataFrame, cnt: String) = df.filter(value.isNotNull)
+      .groupBy(value.cast("long").as("v")).agg(count(lit(1)).as(cnt))
+    val m0 = census(a, "ca").join(census(b, "cb"), Seq("v"), "full_outer")
+      .withColumn("ca", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+    val wBefore = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d12 = DecimalType(12, 0); val d19 = DecimalType(19, 0)
+    val agg = m0
+      .withColumn("__m", col("ca") + col("cb"))
+      .withColumn("__s", coalesce(sum(col("__m")).over(wBefore), lit(0L)))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca").cast(d19) * (col("__s") * 2 + col("__m") + 1).cast(d19))
+          .cast(DecimalType(38, 0)).as("__r2a"),
+        sum(col("__m").cast(d12) * col("__m").cast(d12) * col("__m").cast(d12) -
+          col("__m").cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("__tie"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val varU = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - col("__tie").cast("double") / (nD * (nD - lit(1.0))))
+    agg
+      .withColumn("u2",
+        (col("__r2a") - (col("n_a").cast(d19) * (col("n_a") + 1).cast(d19))
+          .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)))
+      .withColumn("__var", varU)
+      .withColumn("z", when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("n_a") + col("n_b") >= 2 && col("__var") > 0.0,
+        round((col("u2").cast("double") - naD * nbD) /
+          (lit(2.0) * sqrt(col("__var"))), 6)))
+      .select(col("n_a"), col("n_b"), col("u2"), col("z"))
+  }
+
   /** The distinct (unit, day) census behind [[GraftDataFrameOps.rollingActives]],
     * [[GraftDataFrameOps.newVsReturning]] and [[PreparedActives]] —
     * the one frame every actives readout derives from.

@@ -669,6 +669,23 @@ object Extended {
       col("cents"))
   }
 
+  /** q157: Mann–Whitney U between order-era price distributions
+    * ([[graft.api.Ops.mannWhitneyU]]) — the nonparametric "is one era
+    * stochastically pricier" test over the same pre/post-1998 split
+    * as q155/q156; exact decimal rank sums, one fixed-shape z.
+    */
+  def q157(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.mannWhitneyU(
+      withC.filter(col("o_orderdate").cast("timestamp") < cut),
+      withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("cents"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

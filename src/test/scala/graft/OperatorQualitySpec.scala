@@ -1251,6 +1251,34 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(empt.getAs[Long]("n_b") == 0L && empt.isNullAt(empt.fieldIndex("d_stat")))
   }
 
+  test("mannWhitneyU: hand-checked tie ranks, U identity, degenerate nulls, invariance") {
+    import spark.implicits._
+    // a = (1,2), b = (2,3): ranks 1, {2,3}→2.5 tie, 4.
+    // R_a = 1 + 2.5 = 3.5 → u2 = 2R_a − nA(nA+1) = 7 − 6 = 1 (U = 0.5
+    // — exactly the half-win of the single tied pair).
+    // var = (4/12)·(5 − 6/12) = 1.5 → z = (1 − 4)/(2·√1.5) = −1.224745
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    val r = graft.api.Ops.mannWhitneyU(a, b, col("v")).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[java.math.BigDecimal]("u2").longValueExact == 1L)
+    assert(r.getAs[Double]("z") == -1.224745)
+    // all-identical values → zero variance → null z, u2 still exact
+    val c = Seq(5L, 5L).toDF("v")
+    val deg = graft.api.Ops.mannWhitneyU(c, c.repartition(2), col("v")).collect().head
+    assert(deg.isNullAt(deg.fieldIndex("z")) &&
+      deg.getAs[java.math.BigDecimal]("u2").longValueExact == 4L,
+      "zero-variance inputs yield null z (u2 = 2·(2 ties · 0.5 + 1 win... ) stays exact)")
+    // an empty side → null z with counts reporting
+    val emp = graft.api.Ops.mannWhitneyU(a, b.filter(col("v") < 0), col("v"))
+      .collect().head
+    assert(emp.getAs[Long]("n_b") == 0L && emp.isNullAt(emp.fieldIndex("z")))
+    // partitioning-invariant
+    val again = graft.api.Ops.mannWhitneyU(a.repartition(3), b.repartition(2), col("v"))
+      .collect().head
+    assert(again.toSeq == r.toSeq)
+  }
+
   test("duplicatePayments: exact-cents + day-window pairs, one row per pair, boundary days") {
     import spark.implicits._
     import graft.api.Ops._
