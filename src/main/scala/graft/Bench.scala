@@ -69,7 +69,10 @@ object Bench {
     "q143_concentration", "q144_knn", "q145_linkage", "q146_survival",
     "q147_coverage", "q148_abc", "q149_xcorr", "q150_backtest",
     "q151_cohort_ltv", "q152_conv_latency", "q153_new_returning",
-    "q154_dup_payments", "q155_psi_drift", "q156_ks", "q157_mann_whitney")
+    "q154_dup_payments", "q155_psi_drift", "q156_ks", "q157_mann_whitney",
+    "q158_ks_by_group", "q159_mwu_by_group", "q160_psi_by_group",
+    "q161_kruskal_wallis", "q162_welch_t", "q163_spearman",
+    "q164_recs_topn", "q165_link_predict")
 
   private val childMarker = "##BENCHQ##"
 
@@ -253,14 +256,30 @@ object Bench {
     val shortKey = (k: String) => k.takeWhile(_ != '_')
     val qsShort = results.map { case (k, ts, _) =>
       "\"" + shortKey(k) + f"\":${med(ts)}%.3f" }.mkString("{", ",", "}")
+    // per-query spread (max/min of the timed runs): the noise label
+    // that lets a reader separate host contention from a real plan
+    // regression WITHOUT a same-host re-sweep (r12 artifact showed 3×
+    // within-query variance presenting as 2× phantom regressions).
+    // The final size-capped line carries only the worst ratio and the
+    // noisy set; full per-query spreads ride bench_full.json + the
+    // marked line.
+    def spreadOf(ts: Seq[Double]): Double =
+      if (ts.length < 2 || ts.min <= 0.0) 1.0 else ts.max / ts.min
+    val spreads = results.map { case (k, ts, _) => (k, spreadOf(ts)) }
+    val spreadJson = spreads.map { case (k, r) =>
+      "\"" + k + f"\":$r%.2f" }.mkString("{", ",", "}")
+    val spreadMax = if (spreads.isEmpty) 1.0 else spreads.map(_._2).max
+    val noisyJson = spreads.filter(_._2 > 1.5).map { case (k, r) =>
+      "\"" + shortKey(k) + f"\":$r%.2f" }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qsFull,"runs":$runsJson,"sf":"$sf","isolation":"$iso","in_process_queries":$fallbackJson}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qsFull,"runs":$runsJson,"spread":$spreadJson,"sf":"$sf","isolation":"$iso","in_process_queries":$fallbackJson}"""
     try {
       val wtr = new java.io.PrintWriter("bench_full.json", "UTF-8")
       try wtr.println(fullJson) finally wtr.close()
     } catch { case e: Exception => System.err.println(s"[bench] bench_full.json: $e") }
     println(s"""##BENCHRUNS## {"runs":$runsJson}""")
+    println(s"""##BENCHSPREAD## {"spread":$spreadJson}""")
     println(s"""##BENCHMEDS## {"queries":$qsFull,"isolation":"$iso","in_process_queries":$fallbackJson}""")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qsShort,"sf":"$sf","isolation":"$iso","full":"bench_full.json"}""")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qsShort,"sf":"$sf","isolation":"$iso","spread_max":$spreadMax%.2f,"noisy":$noisyJson,"full":"bench_full.json"}""")
   }
 }

@@ -177,6 +177,14 @@ object SparkEntry {
     "q155_psi_drift"      -> q(Extended.q155),
     "q156_ks"             -> q(Extended.q156),
     "q157_mann_whitney"   -> q(Extended.q157),
+    "q158_ks_by_group"    -> q(Extended.q158),
+    "q159_mwu_by_group"   -> q(Extended.q159),
+    "q160_psi_by_group"   -> q(Extended.q160),
+    "q161_kruskal_wallis" -> q(Extended.q161),
+    "q162_welch_t"        -> q(Extended.q162),
+    "q163_spearman"       -> q(Extended.q163),
+    "q164_recs_topn"      -> q(Extended.q164),
+    "q165_link_predict"   -> q(Extended.q165),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3186,7 +3194,7 @@ object SparkEntry {
         |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
         |  FROM w),
         |r AS (SELECT *, row_number() OVER (ORDER BY d_num DESC, v) AS rk FROM g)
-        |SELECT n_a, n_b, d_num, v AS at_value,
+        |SELECT n_a, n_b, CAST(d_num AS DECIMAL(38,2)) AS d_num, v AS at_value,
         |  round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat
         |FROM r WHERE rk = 1""".stripMargin,
 
@@ -3227,11 +3235,346 @@ object SparkEntry {
         |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
         |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
         |  FROM agg)
-        |SELECT n_a, n_b, u2,
+        |SELECT n_a, n_b, CAST(u2 AS DECIMAL(38,2)) AS u2,
         |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
         |    round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
         |      (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
         |FROM f""".stripMargin,
+
+    // q158: the q156 replay with every census, window, and argmax
+    // keyed by o_orderpriority — one row per segment
+    "q158_ks_by_group" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |ca AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS ca FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |cb AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cb FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT COALESCE(ca.grp, cb.grp) AS grp, COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.grp = cb.grp AND ca.v = cb.v),
+        |w AS (
+        |  SELECT grp, v, ca, cb,
+        |    CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS n_b,
+        |    CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |  FROM m),
+        |g AS (
+        |  SELECT *, CAST(abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0)) -
+        |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
+        |  FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY d_num DESC, v) AS rk FROM g)
+        |SELECT grp, n_a, n_b, CAST(d_num AS DECIMAL(38,2)) AS d_num, v AS at_value,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS d_stat
+        |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin,
+
+    // q159: the q157 double-rank identities keyed by o_orderpriority
+    "q159_mwu_by_group" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |ca AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS ca FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |cb AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cb FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT COALESCE(ca.grp, cb.grp) AS grp, COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.grp = cb.grp AND ca.v = cb.v),
+        |w AS (
+        |  SELECT *, ca + cb AS mm,
+        |    COALESCE(CAST(SUM(ca + cb) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+        |  FROM m),
+        |agg AS (
+        |  SELECT grp, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(s * 2 + mm + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS r2a,
+        |    CAST(SUM(CAST(mm AS DECIMAL(12,0)) * CAST(mm AS DECIMAL(12,0)) *
+        |      CAST(mm AS DECIMAL(12,0)) - CAST(mm AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS tie
+        |  FROM w GROUP BY 1),
+        |f AS (
+        |  SELECT grp, n_a, n_b,
+        |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0)) *
+        |      CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS u2,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE) *
+        |      ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE)) -
+        |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+        |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
+        |  FROM agg)
+        |SELECT grp, n_a, n_b, CAST(u2 AS DECIMAL(38,2)) AS u2,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
+        |    round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |      (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
+        |FROM f ORDER BY grp""".stripMargin,
+
+    // q160: the q155 Laplace-smoothed census with every total and
+    // the term sum keyed by o_orderpriority — per-group totals come
+    // off the joined census (no scalar cross joins in the keyed form)
+    "q160_psi_by_group" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bkt,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |base AS (SELECT grp, bkt AS bucket, CAST(count(*) AS BIGINT) AS c_base FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |cur AS (SELECT grp, bkt AS bucket, CAST(count(*) AS BIGINT) AS c_cur FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT COALESCE(base.grp, cur.grp) AS grp,
+        |    COALESCE(base.bucket, cur.bucket) AS bucket,
+        |    COALESCE(c_base, 0) AS c_base, COALESCE(c_cur, 0) AS c_cur
+        |  FROM base FULL OUTER JOIN cur
+        |    ON base.grp = cur.grp AND base.bucket = cur.bucket),
+        |p AS (
+        |  SELECT *, CAST(SUM(c_base) OVER (PARTITION BY grp) AS BIGINT) AS na,
+        |    CAST(SUM(c_cur) OVER (PARTITION BY grp) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS b
+        |  FROM j),
+        |q AS (
+        |  SELECT grp, bucket, c_base, c_cur,
+        |    CAST(c_base + 1 AS DOUBLE) / CAST(na + b AS DOUBLE) AS pa,
+        |    CAST(c_cur + 1 AS DOUBLE) / CAST(nb + b AS DOUBLE) AS pb
+        |  FROM p),
+        |t AS (
+        |  SELECT *, round((pa - pb) * ln(pa / pb), 12) AS term FROM q)
+        |SELECT grp, bucket, c_base, c_cur,
+        |  round(pa, 12) AS p_base, round(pb, 12) AS p_cur, term,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER (PARTITION BY grp) AS DOUBLE), 6) AS psi
+        |FROM t ORDER BY grp, bucket""".stripMargin,
+
+    // q161: the q157 census/prior-count machinery with the per-group
+    // double-rank sums, the HUGEINT divmod split of Σ R²/n (exact
+    // quotient + O(1) remainder ratios — Spark's decimal divmod is
+    // value-identical), and the fixed H / tie-correction tree
+    "q161_kruskal_wallis" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |cg AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2),
+        |mv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS m FROM cg GROUP BY 1),
+        |mvs AS (
+        |  SELECT v, m, COALESCE(CAST(SUM(m) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+        |  FROM mv),
+        |per AS (
+        |  SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(s * 2 + m + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS r2
+        |  FROM cg JOIN mvs USING (v) GROUP BY 1),
+        |sc AS (
+        |  SELECT CAST(SUM(CAST(m AS DECIMAL(12,0)) * CAST(m AS DECIMAL(12,0)) *
+        |      CAST(m AS DECIMAL(12,0)) - CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie,
+        |    CAST(SUM(m) AS BIGINT) AS n_total
+        |  FROM mv),
+        |pq AS (
+        |  SELECT per.*, sc.tie, sc.n_total,
+        |    CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT) AS rsq,
+        |    CAST(n AS HUGEINT) * 4 AS den
+        |  FROM per CROSS JOIN sc),
+        |pq2 AS (SELECT *, (rsq - rsq % den) // den AS q, rsq % den AS rem FROM pq),
+        |w AS (
+        |  SELECT *, CAST(SUM(q) OVER () AS DOUBLE) AS qsum,
+        |    CAST(SUM(CAST(round(CAST(rem AS DOUBLE) / CAST(den AS DOUBLE), 12)
+        |      AS DECIMAL(38,12))) OVER () AS DOUBLE) AS fsum,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS k_groups
+        |  FROM pq2),
+        |f AS (
+        |  SELECT *,
+        |    CAST(12 AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)))
+        |      * (qsum + fsum) - CAST(3 AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)) AS hraw,
+        |    CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+        |      CAST(CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS DOUBLE) AS cc
+        |  FROM w)
+        |SELECT grp, n, CAST(r2 AS DECIMAL(38,2)) AS r2, n_total, k_groups,
+        |  round(hraw, 6) AS h,
+        |  CASE WHEN cc > 0 THEN round(hraw / cc, 6) END AS h_adj
+        |FROM f ORDER BY grp""".stripMargin,
+
+    // q162: exact decimal moments per era, the same fixed
+    // mean/variance/t/Welch-df double tree in the same op order
+    "q162_welch_t" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |f AS (
+        |  SELECT *,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE) AS vna,
+        |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
+        |  FROM a CROSS JOIN b)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+        |    round((ma - mb) / sqrt(vna + vnb), 6) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+        |    round((vna + vnb) * (vna + vnb) /
+        |      (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
+        |       vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
+        |FROM f""".stripMargin,
+
+    // q163: the doubled-average-rank identity per variable census,
+    // exact decimal rank moments, fixed Pearson-on-ranks tree
+    "q163_spearman" ->
+      """WITH src AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vx,
+        |    CAST(floor(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS DOUBLE)
+        |      / 86400000000) AS BIGINT) AS vy
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |cx AS (SELECT vx, CAST(count(*) AS BIGINT) AS m FROM src GROUP BY 1),
+        |rx AS (
+        |  SELECT vx, COALESCE(CAST(SUM(m) OVER (ORDER BY vx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) * 2
+        |    + m + 1 AS ux
+        |  FROM cx),
+        |cy AS (SELECT vy, CAST(count(*) AS BIGINT) AS m FROM src GROUP BY 1),
+        |ry AS (
+        |  SELECT vy, COALESCE(CAST(SUM(m) OVER (ORDER BY vy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) * 2
+        |    + m + 1 AS uy
+        |  FROM cy),
+        |j AS (
+        |  SELECT s.vx, s.vy, rx.ux, ry.uy FROM src s
+        |  JOIN rx ON s.vx = rx.vx JOIN ry ON s.vy = ry.vy),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS su,
+        |    CAST(SUM(CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sv,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0)) * CAST(ux AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS suu,
+        |    CAST(SUM(CAST(uy AS DECIMAL(19,0)) * CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS svv,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0)) * CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS suv
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) *
+        |           (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM agg""".stripMargin,
+
+    // q164: the q133 similarity CTEs verbatim, then basket join →
+    // exact DECIMAL(9,6) score sums → anti-join seen → per-user rank
+    "q164_recs_topn" ->
+      """WITH ei AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |icnt AS (SELECT p AS it, count(*) AS n FROM ei GROUP BY 1),
+        |pc AS (
+        |  SELECT x.p AS a, y.p AS b, count(*) AS co
+        |  FROM ei x JOIN ei y ON x.ok = y.ok AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dir AS (
+        |  SELECT a AS item, b AS other, co FROM pc
+        |  UNION ALL SELECT b AS item, a AS other, co FROM pc),
+        |sj AS (
+        |  SELECT d.item, d.other,
+        |    CAST(d.co AS DOUBLE) / sqrt(CAST(ia.n * ib.n AS DOUBLE)) AS cos
+        |  FROM dir d JOIN icnt ia ON d.item = ia.it JOIN icnt ib ON d.other = ib.it),
+        |rall AS (
+        |  SELECT item, other, round(cos, 6) AS cosine,
+        |    row_number() OVER (PARTITION BY item ORDER BY cos DESC, other) AS rnk
+        |  FROM sj),
+        |rtop AS (SELECT * FROM rall WHERE rnk <= 5),
+        |ui AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_partkey % 4 = 0),
+        |cand AS (
+        |  SELECT ui.cust, r.other AS cand,
+        |    CAST(SUM(CAST(r.cosine AS DECIMAL(9,6))) AS DECIMAL(38,6)) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_contributors
+        |  FROM ui JOIN rtop r ON ui.p = r.item
+        |  GROUP BY 1, 2),
+        |unseen AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM ui WHERE ui.cust = c.cust AND ui.p = c.cand)),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY cust ORDER BY score DESC, cand) AS BIGINT) AS rnk
+        |  FROM unseen)
+        |SELECT cust, cand AS rec_item, score, n_contributors, rnk
+        |FROM rk WHERE rnk <= 3 ORDER BY cust, rnk""".stripMargin,
+
+    // q165: distinct co-purchase edges → degree census → hub-capped
+    // wedge join → common counts → anti-join existing edges → exact
+    // Jaccard
+    "q165_link_predict" ->
+      """WITH ei AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey % 4 = 0),
+        |pr AS MATERIALIZED (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM ei x JOIN ei y ON x.ok = y.ok AND x.p < y.p),
+        |adj AS (SELECT a AS n, b AS x FROM pr UNION ALL SELECT b AS n, a AS x FROM pr),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |mids AS (
+        |  SELECT adj.x AS mid, adj.n AS leaf
+        |  FROM adj JOIN deg ON adj.x = deg.x WHERE deg.deg <= 1000),
+        |cand AS (
+        |  SELECT l.leaf AS a, r.leaf AS b, CAST(count(*) AS BIGINT) AS common
+        |  FROM mids l JOIN mids r ON l.mid = r.mid AND l.leaf < r.leaf
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |unseen AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.a = c.a AND pr.b = c.b))
+        |SELECT u.a, u.b, u.common, da.deg AS deg_a, db.deg AS deg_b,
+        |  round(CAST(u.common AS DOUBLE) /
+        |    CAST(da.deg + db.deg - u.common AS DOUBLE), 6) AS jaccard
+        |FROM unseen u JOIN deg da ON u.a = da.x JOIN deg db ON u.b = db.x
+        |ORDER BY u.a, u.b""".stripMargin,
+
+    // q112/q115/q116 (r13 hash-checked flip): the gated outputs are
+    // the planted-clone pair views, whose expected sets derive from
+    // `documents` itself — each row certifies the FULL binary path
+    // (synthesize → decode → re-encode → decode → hash → band join)
+    // landed at exact hash equality for that document
+    "q112_image_neardup" ->
+      """SELECT doc_id AS doc_a, doc_id + 700000 AS doc_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120
+        |ORDER BY doc_a""".stripMargin,
+
+    "q115_audio_neardup" ->
+      """SELECT doc_id AS doc_a, doc_id + 800000 AS doc_b,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 3 = 1 AND doc_id < 240
+        |ORDER BY doc_a""".stripMargin,
+
+    "q116_video_neardup" ->
+      """SELECT doc_id + 800000 AS doc_a, doc_id + 900000 AS doc_b,
+        |  CAST(8 AS BIGINT) AS matched_a, CAST(8 AS INTEGER) AS frames_a,
+        |  CAST(16 AS BIGINT) AS matched_b, CAST(16 AS INTEGER) AS frames_b
+        |FROM documents WHERE doc_id % 3 = 2 AND doc_id < 240
+        |ORDER BY doc_a""".stripMargin,
 
     // q130: the oracle replays the SAME total-order ranks with plain
     // global row_number (the staged globalRank is output-identical by

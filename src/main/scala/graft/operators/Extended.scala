@@ -686,6 +686,148 @@ object Extended {
       col("cents"))
   }
 
+  /** q158: per-priority KS between order eras
+    * ([[graft.api.Ops.ksStatisticByGroup]]) — q156's exact max-CDF-gap
+    * machinery run independently per `o_orderpriority` segment in one
+    * pass; the per-cohort experiment readout (r13).
+    */
+  def q158(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.ksStatisticByGroup(
+      withC.filter(col("o_orderdate").cast("timestamp") < cut),
+      withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("cents"))
+      .orderBy(col("grp"))
+  }
+
+  /** q159: per-priority Mann–Whitney U between order eras
+    * ([[graft.api.Ops.mannWhitneyUByGroup]]) — q157's exact
+    * double-rank identities keyed by `o_orderpriority`, one grouped
+    * aggregate finishing all five segments (r13).
+    */
+  def q159(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.mannWhitneyUByGroup(
+      withC.filter(col("o_orderdate").cast("timestamp") < cut),
+      withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("cents"))
+      .orderBy(col("grp"))
+  }
+
+  /** q160: per-priority PSI drift between order eras
+    * ([[graft.api.Ops.psiDriftByGroup]]) — q155's $50k-bucket
+    * stability index per `o_orderpriority` segment; per-segment
+    * model-monitoring in one pass, no scalar cross joins (r13).
+    */
+  def q160(t: Tables): DataFrame = {
+    val withB = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("bkt",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.psiDriftByGroup(
+      withB.filter(col("o_orderdate").cast("timestamp") < cut),
+      withB.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", "bkt")
+      .orderBy(col("grp"), col("bucket"))
+  }
+
+  /** q161: Kruskal–Wallis across order priorities
+    * ([[graft.api.Ops.kruskalWallis]]) — "do the five priority
+    * segments differ in price distribution AT ALL": the k-group
+    * rank test over order totals in cents, exact decimal double-rank
+    * sums per group, divmod-exact Σ R²/n, tie-corrected H (r13).
+    */
+  def q161(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    graft.api.Ops.kruskalWallis(withC, "o_orderpriority", col("cents"))
+      .orderBy(col("grp"))
+  }
+
+  /** q162: Welch's t between order eras
+    * ([[graft.api.Ops.welchT]]) — "did the MEAN price shift across
+    * 1998" with no equal-variance assumption; exact decimal moments
+    * per era, fixed-shape t and Welch–Satterthwaite df (r13).
+    */
+  def q162(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.welchT(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("o_totalprice"))
+  }
+
+  /** q163: Spearman correlation of order price vs order date
+    * ([[graft.api.Ops.spearmanCorr]]) — "do prices trend with time
+    * MONOTONICALLY": doubled average ranks from each variable's
+    * census (exact integers, ties handled), Pearson on the ranks as
+    * one fixed double shape (r13).
+    */
+  def q163(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("days",
+        // the q108 portable floor-division recipe: IEEE division +
+        // floor replays bit-for-bit in DuckDB (cast-truncate would
+        // not — DuckDB's double→int cast ROUNDS)
+        floor(unix_micros(col("o_orderdate").cast("timestamp")) /
+          lit(86400000000L)).cast("long"))
+    graft.api.Ops.spearmanCorr(o, col("cents"), col("days"))
+  }
+
+  /** q164: per-customer top-N part recommendations
+    * ([[graft.api.Ops.recommendTopN]] over the q133 similarity
+    * graph) — each customer's purchase history (the q133 part
+    * projection, customer-keyed through orders) scores unseen parts
+    * by summed item-item cosine in EXACT DECIMAL(9,6); top 3 per
+    * customer by (score desc, part) (r13).
+    */
+  def q164(t: Tables): DataFrame = {
+    val sims = graft.api.Ops.itemSimilarity(
+      t.lineitem.filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")),
+      "ok", "p", k = 5, minCo = 2L)
+    val userItems = t.lineitem.filter(col("l_partkey") % 4 === 0)
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("p"))
+    graft.api.Ops.recommendTopN(userItems, "cust", "p", sims, n = 3)
+      .orderBy(col("cust"), col("rnk"))
+  }
+
+  /** q165: common-neighbor link prediction on the part co-purchase
+    * graph ([[graft.api.Ops.linkPredict]] over the q126 projection)
+    * — unconnected part pairs sharing ≥ 3 co-purchase neighbors,
+    * with full degrees and neighborhood Jaccard; the
+    * substitute-product / "you may also like" graph signal (r13).
+    */
+  def q165(t: Tables): DataFrame = {
+    val e = t.lineitem.filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+    graft.api.Ops.linkPredict(pairs, "u", "v", maxMidDegree = 1000L,
+      minCommon = 3L)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

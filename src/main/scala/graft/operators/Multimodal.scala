@@ -983,7 +983,24 @@ object Multimodal {
     * sub-block lengths, bad LZW codes, a missing trailer; all
     * bounds-guarded, never throws, never spins).
     */
-  def gifFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+  def gifFrames(b: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] =
+    gifFramesBounded(b, Int.MaxValue)
+
+  /** Aggregate decoded-output budget for [[gifFrames]]: total RGB
+    * bytes across ALL frames (frames × 3·w·h) may not exceed this.
+    * A small hostile payload with a high LZW ratio and many
+    * full-size frames would otherwise force a multi-GB allocation
+    * (an OutOfMemoryError escaping the never-throws contract — the
+    * same class of bug the JPEG SOF pre-guard closed); past the
+    * budget the stream is refused (None), the decode never starts
+    * down an unbounded path. 256 MiB ≈ 1400 frames of 256×256 —
+    * far above any real catalog GIF, far below heap danger.
+    */
+  val GifDecodeBudgetBytes: Long = 1L << 28
+
+  private[graft] def gifFramesBounded(b: Array[Byte], maxFrames: Int,
+                                      budgetBytes: Long = GifDecodeBudgetBytes)
+      : Option[(Int, Int, Seq[Array[Byte]])] = {
     if (b.length < 13) return None
     val magic = new String(b, 0, 6, "US-ASCII")
     if (magic != "GIF89a" && magic != "GIF87a") return None
@@ -1009,6 +1026,11 @@ object Multimodal {
           if (sub < 0) return None
           i += 1 // 0 terminator
         case 0x2c => // image descriptor
+          // aggregate decode budget, checked BEFORE this frame's
+          // allocation (see [[GifDecodeBudgetBytes]]): refusing here
+          // means total decoded output can never exceed the budget
+          if ((frames.length + 1).toLong * (3L * w * h) > budgetBytes)
+            return None
           if (i + 10 > b.length) return None
           val left = leU16(b, i.toInt + 1); val top = leU16(b, i.toInt + 3)
           val iw = leU16(b, i.toInt + 5); val ih = leU16(b, i.toInt + 7)
@@ -1059,6 +1081,9 @@ object Multimodal {
             p += 1
           }
           frames += rgb
+          // early exit: caller only wants the first maxFrames
+          // (gifPixels: 1 — no all-frames walk for a still read)
+          if (frames.length >= maxFrames) return Some((w, h, frames.toSeq))
         case 0x3b => // trailer
           return if (frames.nonEmpty) Some((w, h, frames.toSeq)) else None
         case _ => return None // unknown block: corrupt
@@ -1069,9 +1094,12 @@ object Multimodal {
 
   /** First-frame GIF decode — [[gifFrames]] restricted to the still-
     * image view (what [[contentPixels]]/[[imageHashes]] consume).
+    * Stops after frame 0: a still read never pays the all-frames
+    * LZW walk of an animated stream (and never the budget refusal
+    * a long animation would trigger).
     */
   def gifPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    gifFrames(b).map { case (w, h, fs) => (w, h, fs.head) }
+    gifFramesBounded(b, 1).map { case (w, h, fs) => (w, h, fs.head) }
 
   // ---- JPEG (the JDK's own ImageIO reader — javax.imageio ships in
   // every JDK, the same argument that gave PNG its Inflater) ----
@@ -1493,12 +1521,16 @@ object Multimodal {
     * PLUS planted cross-format clones: every decodable image with
     * doc_id < 120 re-encodes its exact pixels as BMP under
     * doc_id + 700000, so each clone pairs with its original at
-    * hamming 0 (the hash reads decoded pixels, not container bytes)
-    * alongside the corpus's natural near-dups. ROWS-ONLY correctness
-    * entry by declared design: the pipeline decodes synthesized
-    * binary payloads, which the SQL oracle cannot replay — every
-    * stage is deterministic (byte synthesis, decode, integer dHash),
-    * so the row set is still stable run-to-run.
+    * hamming 0 (the hash reads decoded pixels, not container bytes).
+    * The GATED output is the planted-pair view — `doc_b − doc_a =
+    * 700000` selects exactly original ↔ its cross-format clone, a
+    * pair set a SQL oracle derives from `documents` itself (r13:
+    * flipped from rows-only to hash-checked; every planted original
+    * must decode, re-encode, decode again, and dHash to bit-equality
+    * for a row to appear — the full decode path is what the gate now
+    * verifies end-to-end). The corpus's NATURAL near-dup surface is
+    * unchanged in [[graft.api.Ops.imageNearDups]] and stays
+    * spec-covered (ImageDedupSpec).
     */
   def q112(t: Tables): DataFrame = {
     val media = attachMedia(t)
@@ -1516,6 +1548,7 @@ object Multimodal {
         }
       })
     graft.api.Ops.imageNearDups(media.union(clones))
+      .filter(col("doc_b") - col("doc_a") === 700000L)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1527,10 +1560,12 @@ object Multimodal {
     * 2048), so 2× stays inside 16-bit range — no clipping, the
     * scaling is EXACT), and each clone pairs its original at hamming
     * 0 because a uniform positive gain preserves every energy-
-    * gradient sign ([[audioHash]]). ROWS-ONLY correctness entry by
-    * declared design, like q112: the pipeline decodes synthesized
-    * binary payloads the SQL oracle cannot replay; every stage is
-    * deterministic, so the row set is stable.
+    * gradient sign ([[audioHash]]). The GATED output is the
+    * planted-pair view — `doc_b − doc_a = 800000` selects exactly
+    * original ↔ its gain-doubled clone, derivable in SQL from
+    * `documents` (r13 hash-checked flip, the q112 statement); the
+    * natural near-dup surface is unchanged in
+    * [[graft.api.Ops.audioNearDups]] and stays spec-covered.
     */
   def q115(t: Tables): DataFrame = {
     val media = attachMedia(t)
@@ -1546,6 +1581,7 @@ object Multimodal {
         }
       })
     graft.api.Ops.audioNearDups(media.union(clones))
+      .filter(col("doc_b") - col("doc_a") === 800000L)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1559,10 +1595,14 @@ object Multimodal {
     * 900000. The timeline sampling lands the doubled clip on exactly
     * the original frame set, so each clone pairs its original at
     * matched-fraction 1 — the frame-rate invariance of the recipe,
-    * exercised end-to-end. ROWS-ONLY correctness entry by declared
-    * design, like q112/q115: the pipeline decodes synthesized binary
-    * payloads the SQL oracle cannot replay; every stage is
-    * deterministic, so the row set is stable.
+    * exercised end-to-end. The GATED output is the planted-pair view
+    * — `doc_a ≥ 800000 ∧ doc_b − doc_a = 100000` selects exactly
+    * clip ↔ its frame-doubled re-encode, with the matched/frame
+    * counts (8/8 vs 16/16) fixed by the plant geometry, all
+    * derivable in SQL from `documents` (r13 hash-checked flip); the
+    * natural near-dup surface is unchanged in
+    * [[graft.api.Ops.videoNearDups]] and stays spec-covered
+    * (VideoDedupSpec).
     */
   def q116(t: Tables): DataFrame = {
     val media = attachMedia(t)
@@ -1588,6 +1628,7 @@ object Multimodal {
         })
     graft.api.Ops.videoNearDups(
       media.union(plant(800000L, 1)).union(plant(900000L, 2)))
+      .filter(col("doc_a") >= 800000L && col("doc_b") - col("doc_a") === 100000L)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -881,6 +881,47 @@ object Streams {
       .start()
   }
 
+  /** Live two-sample KS drift monitoring (r13 — VERDICT r12 next #4:
+    * [[psiDriftStream]]'s bucket-free sibling for CONTINUOUS
+    * measures): each trigger's value distribution scores
+    * [[graft.api.Ops.ksStatistic]] against the FROZEN baseline — the
+    * max-CDF-gap report (n_a, n_b, exact d_num, at_value, d_stat)
+    * lands at the sink per trigger, no binning choice to tune.
+    * Stateless per trigger; same baseline/trigger-sizing statements
+    * as [[psiDriftStream]]. Per-trigger cost: the trigger's value
+    * census + the bounded distinct-value merge against the baseline
+    * census.
+    */
+  def ksDriftStream(records: DataFrame, baseline: DataFrame,
+                    value: org.apache.spark.sql.Column,
+                    sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.ksStatistic(baseline, batch, value))
+      }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Live Mann–Whitney drift monitoring (r13 — the stochastic-order
+    * member of the drift trio: "is this trigger's distribution
+    * shifted UP or DOWN vs the baseline", with the sign of z saying
+    * which way): each trigger scores
+    * [[graft.api.Ops.mannWhitneyU]] (baseline as side A, trigger as
+    * side B) against the frozen baseline; exact u2 + tie-corrected z
+    * per trigger. Same stateless shape as [[ksDriftStream]].
+    */
+  def mwuDriftStream(records: DataFrame, baseline: DataFrame,
+                     value: org.apache.spark.sql.Column,
+                     sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.mannWhitneyU(baseline, batch, value))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

@@ -732,6 +732,21 @@ class OperatorQualitySpec extends AnyFunSuite {
       .select("id", "ewma_num", "ewma_denom", "ewma_millicents")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(again == out)
+    // null values DROP up front (r13 ADVICE): a key whose head rows
+    // are all null must not reach denom = 0 (ANSI DIVIDE_BY_ZERO) —
+    // and the surviving rows window over non-null rows only
+    val withNulls = Seq(
+      (3L, 30L, "2024-01-01 00:00:00", Option.empty[Double]),
+      (3L, 31L, "2024-01-01 00:01:00", Option.empty[Double]),
+      (3L, 32L, "2024-01-01 00:02:00", Some(5.00)))
+      .toDF("k", "id", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val nn = withNulls.ewmaTrailing("k", "ts", "id", col("v"), lags = 4)
+      .select("id", "ewma_num", "ewma_denom", "ewma_millicents")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(nn.keySet == Set(32L), "null-value rows are filtered, not emitted")
+    assert(nn(32L) == ((500L * 8, 8L, 500L * 1000)),
+      "the first non-null row is the key's window head")
   }
 
   test("eventPaths: strict-order path assembly, tie-break determinism, regex gate") {
@@ -1277,6 +1292,224 @@ class OperatorQualitySpec extends AnyFunSuite {
     val again = graft.api.Ops.mannWhitneyU(a.repartition(3), b.repartition(2), col("v"))
       .collect().head
     assert(again.toSeq == r.toSeq)
+  }
+
+  test("ksStatisticByGroup / mannWhitneyUByGroup: per-group ≡ whole-frame per segment, one-sided groups report") {
+    import spark.implicits._
+    val a = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 10L), ("y", 11L), ("z", 7L))
+      .toDF("g", "v")
+    val b = Seq(("x", 3L), ("x", 4L), ("y", 11L), ("y", 12L)).toDF("g", "v")
+    // every group's keyed row must equal the whole-frame statistic on
+    // that group's slice — the defining identity of the ByGroup family
+    for (grp <- Seq("x", "y")) {
+      val whole = graft.api.Ops.ksStatistic(
+        a.filter(col("g") === grp), b.filter(col("g") === grp), col("v"))
+        .collect().head
+      val keyedRow = graft.api.Ops.ksStatisticByGroup(a, b, "g", col("v"))
+        .filter(col("grp") === grp).collect().head
+      assert(keyedRow.toSeq.drop(1) == whole.toSeq,
+        s"ks group $grp must replay the whole-frame statistic")
+      val wholeU = graft.api.Ops.mannWhitneyU(
+        a.filter(col("g") === grp), b.filter(col("g") === grp), col("v"))
+        .collect().head
+      val keyedU = graft.api.Ops.mannWhitneyUByGroup(a, b, "g", col("v"))
+        .filter(col("grp") === grp).collect().head
+      assert(keyedU.toSeq.drop(1) == wholeU.toSeq,
+        s"mwu group $grp must replay the whole-frame statistic")
+    }
+    // group z exists only on side a: the row reports n_b = 0 with
+    // null d_stat/z — never a division crash, never a dropped group
+    val zKs = graft.api.Ops.ksStatisticByGroup(a, b, "g", col("v"))
+      .filter(col("grp") === "z").collect().head
+    assert(zKs.getAs[Long]("n_b") == 0L && zKs.isNullAt(zKs.fieldIndex("d_stat")))
+    val zU = graft.api.Ops.mannWhitneyUByGroup(a, b, "g", col("v"))
+      .filter(col("grp") === "z").collect().head
+    assert(zU.getAs[Long]("n_b") == 0L && zU.isNullAt(zU.fieldIndex("z")))
+    // partitioning-invariant
+    val k1 = graft.api.Ops.ksStatisticByGroup(a.repartition(5), b.repartition(3), "g", col("v"))
+      .collect().map(_.toSeq).toSet
+    assert(k1 == graft.api.Ops.ksStatisticByGroup(a, b, "g", col("v")).collect().map(_.toSeq).toSet)
+  }
+
+  test("kruskalWallis: hand-checked H with ties, tie correction, invariance") {
+    import spark.implicits._
+    // x = (1,2), y = (2,3): ranks 1, {2,3} tie → 2.5 each, 4.
+    // R_x = 3.5, R_y = 6.5 → Σ R²/n = (12.25 + 42.25)/2 = 27.25
+    // H = 12/(4·5)·27.25 − 3·5 = 1.35; ties: m=2 at v=2 → Σ(m³−m)=6,
+    // C = 1 − 6/60 = 0.9 → H' = 1.5
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 2L), ("y", 3L)).toDF("g", "v")
+    val out = graft.api.Ops.kruskalWallis(df, "g", col("v"))
+      .orderBy(col("grp")).collect()
+    assert(out.length == 2)
+    val x = out(0); val y = out(1)
+    assert(x.getAs[String]("grp") == "x" && x.getAs[Long]("n") == 2L)
+    assert(x.getAs[java.math.BigDecimal]("r2").longValueExact == 7L)   // 2·3.5
+    assert(y.getAs[java.math.BigDecimal]("r2").longValueExact == 13L)  // 2·6.5
+    assert(x.getAs[Long]("n_total") == 4L && x.getAs[Long]("k_groups") == 2L)
+    assert(x.getAs[Double]("h") == 1.35, s"h = ${x.getAs[Double]("h")}")
+    assert(x.getAs[Double]("h_adj") == 1.5)
+    // all-identical values: C = 0 → null h_adj, h defined
+    val deg = Seq(("x", 5L), ("y", 5L)).toDF("g", "v")
+    val d = graft.api.Ops.kruskalWallis(deg, "g", col("v")).collect().head
+    assert(d.isNullAt(d.fieldIndex("h_adj")), "zero tie-correction → null h_adj")
+    // partitioning-invariant
+    val again = graft.api.Ops.kruskalWallis(df.repartition(5), "g", col("v"))
+      .orderBy(col("grp")).collect().map(_.toSeq)
+    assert(again.toSeq == out.map(_.toSeq).toSeq)
+  }
+
+  test("welchT: hand-checked t and Welch df, degenerate guards, invariance") {
+    import spark.implicits._
+    // a = (1,2,3), b = (2,4,6): means 2 / 4, s² 1 / 4 →
+    // se² = 1/3 + 4/3 = 5/3, t = −2/√(5/3) = −1.549193,
+    // df = (5/3)² / ((1/3)²/2 + (4/3)²/2) = 2.941176
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 4.0, 6.0).toDF("v")
+    val r = graft.api.Ops.welchT(a, b, col("v")).collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 4.0)
+    assert(r.getAs[Double]("t") == -1.549193, s"t = ${r.getAs[Double]("t")}")
+    assert(r.getAs[Double]("df") == 2.941176, s"df = ${r.getAs[Double]("df")}")
+    // n < 2 on a side → null t/df with counts + means reporting
+    val one = graft.api.Ops.welchT(a, b.limit(1), col("v")).collect().head
+    assert(one.getAs[Long]("n_b") == 1L && one.isNullAt(one.fieldIndex("t")))
+    // zero variance both sides → se² = 0 → null t (never ÷0)
+    val const = Seq(3.0, 3.0).toDF("v")
+    val z = graft.api.Ops.welchT(const, const.repartition(2), col("v")).collect().head
+    assert(z.isNullAt(z.fieldIndex("t")))
+    val again = graft.api.Ops.welchT(a.repartition(3), b.repartition(2), col("v"))
+      .collect().head
+    assert(again.toSeq == r.toSeq)
+  }
+
+  test("spearmanCorr: perfect monotone ±1, ties via averaged ranks, constant side null") {
+    import spark.implicits._
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("x", "y")
+    val r1 = graft.api.Ops.spearmanCorr(up, col("x"), col("y")).collect().head
+    assert(r1.getAs[Long]("n") == 3L && r1.getAs[Double]("rho") == 1.0)
+    val down = Seq((1L, 40L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(graft.api.Ops.spearmanCorr(down, col("x"), col("y"))
+      .collect().head.getAs[Double]("rho") == -1.0)
+    // tied pairs rank-average identically on both axes → rho 1
+    val tied = Seq((1L, 5L), (2L, 7L), (2L, 7L)).toDF("x", "y")
+    assert(graft.api.Ops.spearmanCorr(tied, col("x"), col("y"))
+      .collect().head.getAs[Double]("rho") == 1.0)
+    // a constant axis has zero rank variance → null rho
+    val const = Seq((1L, 9L), (2L, 9L)).toDF("x", "y")
+    val c = graft.api.Ops.spearmanCorr(const, col("x"), col("y")).collect().head
+    assert(c.isNullAt(c.fieldIndex("rho")))
+    // partitioning-invariant
+    assert(graft.api.Ops.spearmanCorr(up.repartition(4), col("x"), col("y"))
+      .collect().head.toSeq == r1.toSeq)
+  }
+
+  test("recommendTopN: seen items excluded, exact decimal scores, rank determinism") {
+    import spark.implicits._
+    // user 1 saw items 10, 20; sims: 10↔30 (.5), 20↔30 (.25), 10↔20 (.9)
+    val seen = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("u", "it")
+    val sims = Seq(
+      (10L, 30L, 0.5), (30L, 10L, 0.5),
+      (20L, 30L, 0.25), (30L, 20L, 0.25),
+      (10L, 20L, 0.9), (20L, 10L, 0.9))
+      .toDF("item", "other", "cosine")
+    val out = graft.api.Ops.recommendTopN(seen, "u", "it", sims, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal]("score").doubleValue,
+        r.getLong(3), r.getLong(4)))
+    // user 1: candidate 30 scores .5 + .25 = .75 (2 contributors);
+    // candidate 20 is SEEN → excluded despite cosine .9
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.toSeq == Seq((1L, 30L, 0.75, 2L, 1L)), s"got ${u1.toSeq}")
+    // user 2 saw only 10: recs are 30 (.5) then 20 (.9)? no — .9 ranks
+    // first: 20 (.9, rnk 1), 30 (.5, rnk 2)
+    val u2 = out.filter(_._1 == 2L).sortBy(_._5)
+    assert(u2.map(t => (t._2, t._3, t._5)).toSeq ==
+      Seq((20L, 0.9, 1L), (30L, 0.5, 2L)), s"got ${u2.toSeq}")
+    // decimal scoring is partitioning-invariant
+    val again = graft.api.Ops.recommendTopN(seen.repartition(3), "u", "it",
+      sims.repartition(2), n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal]("score").doubleValue, r.getLong(3), r.getLong(4)))
+    assert(again.toSet == out.toSet)
+  }
+
+  test("linkPredict: wedge candidates, edge exclusion, full degrees, hub cap") {
+    import spark.implicits._
+    // triangle 1-2-3 plus 4-1, 4-2: the only unconnected pair with
+    // ≥2 common neighbors is (3,4) via mids 1 and 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L), (4L, 2L))
+      .toDF("s", "d")
+    val out = graft.api.Ops.linkPredict(edges, "s", "d",
+      maxMidDegree = 10L, minCommon = 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 4L, 2L)))
+    assert(r.getAs[Long]("deg_a") == 2L && r.getAs[Long]("deg_b") == 2L)
+    assert(r.getAs[Double]("jaccard") == 1.0) // 2/(2+2−2)
+    // existing edges never appear (1,2) has 2 common neighbors (3, 4)
+    // but IS an edge — verified by the single-row output above
+    // hub cap: mids 1 and 2 have degree 3 — capping at 2 removes
+    // every wedge
+    assert(graft.api.Ops.linkPredict(edges, "s", "d",
+      maxMidDegree = 2L, minCommon = 2L).count() == 0)
+    // direction/duplicate/self-loop insensitive
+    val messy = edges.unionByName(Seq((2L, 1L), (3L, 3L)).toDF("s", "d"))
+    assert(graft.api.Ops.linkPredict(messy, "s", "d",
+      maxMidDegree = 10L, minCommon = 2L).collect().map(_.toSeq).toSeq ==
+      out.map(_.toSeq).toSeq)
+  }
+
+  test("coarse-group guard: the exact order-statistic family fails loudly past maxExactGroupRows") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = (1 to 20).map(i => ("g1", s"e$i", i.toDouble)).toDF("g", "e", "v")
+    def msgOf(t: Throwable): String = {
+      var m = ""; var c: Throwable = t
+      while (c != null) { m += Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m
+    }
+    // winsorize: 20 rows in one group > ceiling 5 → raise_error with
+    // the routing message; acknowledged run ≡ the default-ceiling run
+    val eW = intercept[Throwable] {
+      df.winsorize("g", col("v"), 0.1, maxExactGroupRows = 5).collect()
+    }
+    assert(msgOf(eW).contains("allowCoarseGroups"), s"unexpected: ${msgOf(eW).take(300)}")
+    val ackW = df.winsorize("g", col("v"), 0.1, allowCoarseGroups = true,
+      maxExactGroupRows = 5).orderBy(col("e")).collect().map(_.toSeq)
+    assert(ackW.toSeq == df.winsorize("g", col("v"), 0.1)
+      .orderBy(col("e")).collect().map(_.toSeq).toSeq,
+      "acknowledged coarse run must equal the default run")
+    val eM = intercept[Throwable] {
+      df.madOutliers("g", col("v"), 3, maxExactGroupRows = 5).collect()
+    }
+    assert(msgOf(eM).contains("madOutliers"))
+    assert(df.madOutliers("g", col("v"), 3, allowCoarseGroups = true,
+      maxExactGroupRows = 5).count() == 20)
+    val eA = intercept[Throwable] {
+      df.abcClassify("g", "e", col("v"), maxExactGroupRows = 5).collect()
+    }
+    assert(msgOf(eA).contains("abcClassify"))
+    assert(df.abcClassify("g", "e", col("v"), allowCoarseGroups = true,
+      maxExactGroupRows = 5).count() == 20)
+    // groups under the ceiling never trip (zero-cost in the sane case)
+    assert(df.winsorize("g", col("v"), 0.1, maxExactGroupRows = 20).count() == 20)
+  }
+
+  test("psiDriftByGroup: per-group ≡ whole-frame psiDrift per segment") {
+    import spark.implicits._
+    val base = Seq(("x", 0L), ("x", 0L), ("x", 1L), ("y", 0L), ("y", 2L)).toDF("g", "b")
+    val cur = Seq(("x", 0L), ("x", 1L), ("x", 1L), ("x", 2L), ("y", 2L)).toDF("g", "b")
+    val keyed = graft.api.Ops.psiDriftByGroup(base, cur, "g", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    for (grp <- Seq("x", "y")) {
+      val whole = graft.api.Ops.psiDrift(
+        base.filter(col("g") === grp), cur.filter(col("g") === grp), "b")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      for ((bkt, rest) <- whole)
+        assert(keyed((grp, bkt)) == rest,
+          s"psi group $grp bucket $bkt must replay the whole-frame drift")
+    }
+    assert(keyed.keySet.map(_._1) == Set("x", "y"))
   }
 
   test("duplicatePayments: exact-cents + day-window pairs, one row per pair, boundary days") {

@@ -395,6 +395,18 @@ class PersistenceSpec extends AnyFunSuite {
     val extra = a.limit(1).withColumn("o_orderstatus", lit("ZZ_NEW"))
     val grown = full.absorb(extra, v)
     assert(grown.cells.filter(col("o_orderstatus") === "ZZ_NEW").count() == 1)
+    // r13 ADVICE: key names persist NUL-joined (the PreparedScd2
+    // separator) — a key column whose NAME contains a comma must
+    // round-trip intact, not silently split into two wrong keys
+    val weird = o.withColumn("status, priority",
+      concat_ws("/", col("o_orderstatus"), col("o_orderpriority")))
+    val pw = Ops.prepareRollup(weird, Seq("status, priority"), v)
+    val dirW = tmp("rollupW")
+    pw.save(dirW)
+    val loadedW = Ops.loadRollup(spark, dirW)
+    assert(loadedW.keys == Seq("status, priority"),
+      s"comma-bearing key name must survive save/load (got ${loadedW.keys})")
+    assertSameRows(loadedW.serve, pw.serve, "comma-key rollup serve")
   }
 
   test("PreparedActives round-trips; absorb is IDEMPOTENT set union; serves ≡ batch operators") {

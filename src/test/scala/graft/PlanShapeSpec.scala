@@ -70,7 +70,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q146_survival",
       // q155's two sample sizes are 1-row scalar broadcasts (the q48
       // shape twice); dedicated pin below
-      "q155_psi_drift"))
+      "q155_psi_drift",
+      // q161's tie/N scalars ride ONE 1-row broadcast onto the K-row
+      // per-group frame (the q48 shape); dedicated pin below
+      "q161_kruskal_wallis",
+      // q162 is two 1-row moment frames crossed — a 1-row × 1-row
+      // scalar pair (the q123 report shape); dedicated pin below
+      "q162_welch_t"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -131,6 +137,25 @@ class PlanShapeSpec extends AnyFunSuite {
     // the segment dimension join must stay a hash join on the key
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"expected the user→segment join to run as a hash join in q146:\n$plan")
+  }
+
+  test("q161's only keyless join is the 1-row tie/N scalar broadcast") {
+    val plan = physicalPlan("q161_kruskal_wallis")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 1,
+      s"expected exactly the 1-row tie/N broadcast in q161, got $keyless:\n$plan")
+    // the census-to-prior-count join stays keyed
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected the value-census join to run as a hash join in q161:\n$plan")
+  }
+
+  test("q162's only keyless join is the 1-row × 1-row moment pair") {
+    val plan = physicalPlan("q162_welch_t")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 1,
+      s"expected exactly the two 1-row moment frames crossed once in q162, got $keyless:\n$plan")
   }
 
   test("q155's keyless joins are exactly the two 1-row sample-size scalars") {

@@ -1701,6 +1701,50 @@ class StreamingSpec extends AnyFunSuite {
       "the drifted trigger scores a larger PSI")
   }
 
+  test("ksDriftStream / mwuDriftStream score each trigger against the frozen baseline, matching batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq(10L, 20L, 20L, 30L, 40L).toDF("v")
+    val t1 = Seq(15L, 25L); val t2 = Seq(90L, 95L, 100L) // t2 is shifted UP
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    // KS
+    val ksStream = MemoryStream[Long]
+    val ksGot = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val ksQ = Streams.ksDriftStream(ksStream.toDF().toDF("v"), baseline, col("v"),
+      r => { ksGot += rows(r); () })
+    try {
+      ksStream.addData(t1); ksQ.processAllAvailable()
+      ksStream.addData(t2); ksQ.processAllAvailable()
+    } finally ksQ.stop()
+    assert(ksGot.size == 2, "one KS report per trigger")
+    def batchKs(cur: Seq[Long]) =
+      rows(graft.api.Ops.ksStatistic(baseline, cur.toDF("v"), col("v")))
+    assert(ksGot(0) == batchKs(t1), "trigger 1 ≡ batch ksStatistic")
+    assert(ksGot(1) == batchKs(t2), "trigger 2 ≡ batch ksStatistic")
+    // the fully-disjoint shifted trigger maxes the gap: D = 1
+    assert(ksGot(1).head.last == 1.0, "disjoint trigger → d_stat 1")
+    // MWU
+    val uStream = MemoryStream[Long]
+    val uGot = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val uQ = Streams.mwuDriftStream(uStream.toDF().toDF("v"), baseline, col("v"),
+      r => { uGot += rows(r); () })
+    try {
+      uStream.addData(t1); uQ.processAllAvailable()
+      uStream.addData(t2); uQ.processAllAvailable()
+    } finally uQ.stop()
+    assert(uGot.size == 2, "one MWU report per trigger")
+    def batchU(cur: Seq[Long]) =
+      rows(graft.api.Ops.mannWhitneyU(baseline, cur.toDF("v"), col("v")))
+    assert(uGot(0) == batchU(t1), "trigger 1 ≡ batch mannWhitneyU")
+    assert(uGot(1) == batchU(t2), "trigger 2 ≡ batch mannWhitneyU")
+    // the shifted-up trigger drives z NEGATIVE for side A = baseline
+    // (baseline stochastically smaller)
+    val z2 = uGot(1).head.last.asInstanceOf[Double]
+    assert(z2 < 0.0, s"shifted-up trigger must give negative z, got $z2")
+  }
+
   test("attributionStream reproduces batch last-touch credits across a trigger split") {
     import spark.implicits._
     import graft.api.Ops._

@@ -68,6 +68,34 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(Multimodal.gifFrames("GIF89a junk".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("gifFrames: aggregate decode budget refuses hostile many-frame streams; gifPixels stops at frame 0") {
+    // r13 ADVICE: a small payload with a high LZW ratio and many
+    // full-size frames must refuse PAST the budget instead of
+    // allocating multi-GB (OutOfMemoryError would escape the
+    // never-throws contract). Exercised via the package-private
+    // budget knob so the test doesn't itself allocate 256 MiB; the
+    // production path runs the same code with GifDecodeBudgetBytes.
+    val b = clip(7, 5) // 5 frames × 3·16·12 = 2880 B decoded
+    val perFrame = 3L * 16 * 12
+    assert(Multimodal.gifFramesBounded(b, Int.MaxValue, 5 * perFrame).map(_._3.size)
+      .contains(5), "a stream exactly AT the budget decodes whole")
+    assert(Multimodal.gifFramesBounded(b, Int.MaxValue, 5 * perFrame - 1).isEmpty,
+      "one byte past the budget refuses the stream")
+    assert(Multimodal.gifFramesBounded(b, Int.MaxValue, 0L).isEmpty)
+    // the real constant admits any sane catalog GIF
+    assert(Multimodal.gifFrames(b).map(_._3.size).contains(5))
+    // gifPixels reads ONE frame — it neither walks the remaining
+    // frames nor trips a budget the full animation would: frame 0
+    // decodes even from a stream whose TAIL is corrupt
+    val cut = b.take(b.length * 2 / 5) // frame 0 complete, later frames mangled
+    assert(Multimodal.gifFrames(cut).isEmpty, "the all-frames walk still refuses")
+    val still = Multimodal.gifPixels(cut)
+    assert(still.nonEmpty, "gifPixels must stop after frame 0")
+    val Some((_, _, f0)) = Multimodal.gifPixels(b)
+    assert(java.util.Arrays.equals(still.get._3, f0),
+      "the early-stopped frame 0 is bit-identical to the full walk's")
+  }
+
   test("videoFrameHashes: timeline sampling, frame-doubling invariance, maxFrames cap, stub quarantine") {
     import spark.implicits._
     val recs = Seq(
