@@ -72,7 +72,8 @@ object Bench {
     "q154_dup_payments", "q155_psi_drift", "q156_ks", "q157_mann_whitney",
     "q158_ks_by_group", "q159_mwu_by_group", "q160_psi_by_group",
     "q161_kruskal_wallis", "q162_welch_t", "q163_spearman",
-    "q164_recs_topn", "q165_link_predict")
+    "q164_recs_topn", "q165_link_predict", "q166_changepoint",
+    "q167_weighted_median", "q168_cat_entropy", "q169_welch_by_group")
 
   private val childMarker = "##BENCHQ##"
 

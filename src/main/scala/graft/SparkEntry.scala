@@ -185,6 +185,10 @@ object SparkEntry {
     "q163_spearman"       -> q(Extended.q163),
     "q164_recs_topn"      -> q(Extended.q164),
     "q165_link_predict"   -> q(Extended.q165),
+    "q166_changepoint"    -> q(Temporal.q166),
+    "q167_weighted_median" -> q(Extended.q167),
+    "q168_cat_entropy"    -> q(Extended.q168),
+    "q169_welch_by_group" -> q(Extended.q169),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3551,6 +3555,130 @@ object SparkEntry {
         |    CAST(da.deg + db.deg - u.common AS DOUBLE), 6) AS jaccard
         |FROM unseen u JOIN deg da ON u.a = da.x JOIN deg db ON u.b = db.x
         |ORDER BY u.a, u.b""".stripMargin,
+
+    // q166: the q128 CUSUM ranked frame + per-key |stat| argmax with
+    // the earliest-index tie rule; floor-divided segment means
+    // (values non-negative — div and // agree)
+    "q166_changepoint" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT user_id, event_id, us, c,
+        |    CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS k
+        |  FROM e),
+        |st AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY user_id),
+        |j AS (SELECT r.user_id, r.us, r.k, r.s, st.n, st.t, n * s - k * t AS stat
+        |  FROM r JOIN st ON r.user_id = st.user_id),
+        |a AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY abs(stat) DESC, k) AS rk FROM j)
+        |SELECT user_id, n AS n_points, k AS cp_index, us AS cp_us,
+        |  CAST(stat AS DECIMAL(38,2)) AS stat,
+        |  (s * 1000) // k AS mean_before_millicents,
+        |  CASE WHEN n > k THEN ((t - s) * 1000) // (n - k) END AS mean_after_millicents
+        |FROM a WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    // q167: the (flag, price) weight census, integer half-total
+    // selection — the smallest price with 2·cum ≥ total
+    "q167_weighted_median" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0),
+        |cen AS (SELECT g, v, CAST(SUM(w) AS BIGINT) AS cw,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM src GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, v,
+        |    CAST(SUM(cw) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(cw) OVER (PARTITION BY g) AS BIGINT) AS tot,
+        |    CAST(SUM(cn) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM cen),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |  FROM r WHERE cum * 2 >= tot)
+        |SELECT g AS l_returnflag, n AS n_rows, tot AS total_weight_cents,
+        |  v AS w_median
+        |FROM f WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // q168: the (priority, status) census, round-12 decimal-summed
+    // −p·ln p terms, fixed normalization tree
+    "q168_cat_entropy" ->
+      """WITH cen AS (
+        |  SELECT o_orderpriority AS g, o_orderstatus AS c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g, c, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS k
+        |  FROM cen),
+        |t AS (
+        |  SELECT *, round(-((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))), 12) AS term
+        |  FROM w),
+        |a AS (
+        |  SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
+        |    CAST(max(k) AS BIGINT) AS k_categories,
+        |    SUM(CAST(term AS DECIMAL(38,12))) AS hsum
+        |  FROM t GROUP BY 1)
+        |SELECT g AS o_orderpriority, n_rows, k_categories,
+        |  round(CAST(hsum AS DOUBLE), 6) AS entropy,
+        |  CASE WHEN k_categories > 1 THEN
+        |    round(CAST(hsum AS DOUBLE) / ln(CAST(k_categories AS DOUBLE)), 6)
+        |  END AS entropy_norm
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // q169: the q162 moment trees keyed by priority through a
+    // full-outer merge
+    "q169_welch_by_group" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |b AS (
+        |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(a.grp, b.grp) AS grp,
+        |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        |    s_a, s_b, ss_a, ss_b
+        |  FROM a FULL OUTER JOIN b ON a.grp = b.grp),
+        |f AS (
+        |  SELECT *,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE) AS vna,
+        |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
+        |  FROM m)
+        |SELECT grp, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+        |    round((ma - mb) / sqrt(vna + vnb), 6) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+        |    round((vna + vnb) * (vna + vnb) /
+        |      (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
+        |       vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
+        |FROM f ORDER BY grp""".stripMargin,
 
     // q112/q115/q116 (r13 hash-checked flip): the gated outputs are
     // the planted-clone pair views, whose expected sets derive from

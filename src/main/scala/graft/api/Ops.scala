@@ -1282,6 +1282,183 @@ object Ops {
         col("jaccard"))
   }
 
+  /** Per-key changepoint location (r13 — q128's CUSUM machinery
+    * finished into a LOCATOR: not "did the level shift" but WHERE):
+    * over each key's (time, tieBreak)-ordered series the division-
+    * free statistic `n·S_k − k·T` (q128's exact-integer identity —
+    * |stat| peaks exactly where a level shift splits the series)
+    * takes its argmax with ties to the EARLIEST index (the q156
+    * discipline: an integer comparison decides, never a double), and
+    * the located split reports both segment means as exact
+    * floor-divided millicents (the q152 rule — no large-magnitude
+    * round). The last index (k = n) is a legal argmax — "no shift
+    * inside the series" — reporting a null after-mean. Returns one
+    * row per key: (key, n_points, cp_index, cp_us, stat
+    * DECIMAL(38,2), mean_before_millicents, mean_after_millicents).
+    *
+    * Exactness bound (stated): |n·S| < 2⁶³ — per-key rows × per-key
+    * cents sum below ~9·10¹⁸, far above any per-key series this
+    * engine's windows would sort anyway.
+    *
+    * Scale shape: ONE key-partitioned window sort (the q128 shape) +
+    * one key aggregate + one argmax rank over the same partitioning —
+    * cost tracks each key's own series.
+    */
+  def changepointPerKey(df: DataFrame, key: String, time: String,
+                        tieBreak: String, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(key)).orderBy(col("__cp_us"), col(tieBreak))
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df
+      .filter(col(key).isNotNull && value.isNotNull)
+      .withColumn("__cp_us", unix_micros(col(time).cast("timestamp")))
+      .withColumn("__cp_c", (graft.util.Portable.dec(value) * 100).cast("long"))
+      .withColumn("__cp_s", sum(col("__cp_c")).over(wcum))
+      .withColumn("__cp_k", row_number().over(w).cast("long"))
+    val stats = ranked.groupBy(col(key).as("__cp_g"))
+      .agg(sum(col("__cp_c")).as("__cp_t"), count(lit(1)).as("__cp_n"))
+    val stat = col("__cp_n") * col("__cp_s") - col("__cp_k") * col("__cp_t")
+    val wArg = Window.partitionBy(col(key))
+      .orderBy(abs(col("__stat")).desc, col("__cp_k"))
+    ranked
+      .join(stats, col(key) <=> col("__cp_g"))
+      .withColumn("__stat", stat)
+      .withColumn("__rk", row_number().over(wArg))
+      .filter(col("__rk") === 1)
+      .withColumn("mean_before_millicents",
+        expr("(__cp_s * 1000) div __cp_k"))
+      .withColumn("mean_after_millicents",
+        when(col("__cp_n") > col("__cp_k"),
+          expr("((__cp_t - __cp_s) * 1000) div (__cp_n - __cp_k)")))
+      .select(col(key), col("__cp_n").as("n_points"),
+        col("__cp_k").as("cp_index"), col("__cp_us").as("cp_us"),
+        col("__stat").cast(DecimalType(38, 2)).as("stat"),
+        col("mean_before_millicents"), col("mean_after_millicents"))
+  }
+
+  /** Exact weighted median per group (r13 — the weighted sibling of
+    * [[GraftDataFrameOps.madOutliers]]' rank selection: "the price
+    * at which half the VOLUME sits below" — inventory valuation,
+    * median trade price by size, latency-by-traffic): the smallest
+    * value whose cumulative weight reaches half the total —
+    * `2·cumw ≥ totw`, a PURE INTEGER comparison over exact cent
+    * weights, no interpolation, the selected median is a real data
+    * value. Non-positive and null weights drop (stated). Returns one
+    * row per group: (group, n_rows, total_weight_cents, w_median).
+    *
+    * Scale shape: the corpus collapses to a (group, value) weight
+    * census FIRST (map-combinable), the cumulative window walks the
+    * census — bounded by each group's value DOMAIN, not its rows
+    * (the q156 statement; no coarse-group gate needed, unlike the
+    * row-sorting winsorize family).
+    */
+  def weightedMedian(df: DataFrame, group: String, value: Column,
+                     weight: Column): DataFrame = {
+    val base = df.filter(col(group).isNotNull && value.isNotNull &&
+        weight.isNotNull && weight > 0)
+      .withColumn("__wm_w", (graft.util.Portable.dec(weight) * 100).cast("long"))
+    val census = base
+      .groupBy(col(group).as("__g"), value.cast("long").as("__v"))
+      .agg(sum(col("__wm_w")).as("__cw"), count(lit(1)).as("__cn"))
+    val wRun = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    census
+      .withColumn("__cum", sum(col("__cw")).over(wRun))
+      .withColumn("__tot", sum(col("__cw")).over(wAll))
+      .withColumn("__n", sum(col("__cn")).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))))
+      .filter(col("__rk") === 1)
+      .select(col("__g").as(group), col("__n").as("n_rows"),
+        col("__tot").as("total_weight_cents"), col("__v").as("w_median"))
+  }
+
+  /** Shannon entropy of a categorical column per group (r13 — the
+    * data-profiling / governance readout beside
+    * [[GraftDataFrameOps.checkConstraints]]: "how concentrated is
+    * this column per segment" — a near-zero entropy flags a
+    * constant-in-segment column, a near-max one a key-like column):
+    * over the (group, category) census, `H = −Σ p·ln p` with each
+    * O(1)-magnitude term rounded at 12 and summed as DECIMAL(38,12)
+    * (the q155 order-free discipline), rounded at 6; the normalized
+    * `H/ln(k)` reports alongside (null for single-category groups —
+    * never a division by zero). Null categories drop (stated).
+    * Returns one row per group:
+    * (group, n_rows, k_categories, entropy, entropy_norm).
+    *
+    * Scale shape: one map-combinable census + group-partitioned
+    * windows over the census + one group aggregate — cost tracks the
+    * category domain.
+    */
+  def categoryEntropy(df: DataFrame, group: String, cat: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val census = df.filter(col(group).isNotNull && cat.isNotNull)
+      .groupBy(col(group).as("__g"), cat.as("__c"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wAll = Window.partitionBy(col("__g"))
+    val p = col("__cnt").cast("double") / col("__n").cast("double")
+    val withTerms = census
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__term", round(-(p * log(p)), 12))
+    withTerms
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n_rows"), max(col("__k")).as("k_categories"),
+        sum(col("__term").cast(DecimalType(38, 12))).as("__hsum"))
+      .withColumn("entropy", round(col("__hsum").cast("double"), 6))
+      .withColumn("entropy_norm", when(col("k_categories") > 1,
+        round(col("__hsum").cast("double") /
+          log(col("k_categories").cast("double")), 6)))
+      .select(col("__g").as(group), col("n_rows"), col("k_categories"),
+        col("entropy"), col("entropy_norm"))
+  }
+
+  /** Per-group Welch t (r13 — [[welchT]] keyed by a segment column,
+    * completing the per-group experiment family beside
+    * [[ksStatisticByGroup]]/[[mannWhitneyUByGroup]]: the continuous-
+    * metric mean-shift readout per cohort): per side one grouped
+    * exact-decimal moment aggregate, a keyed full-outer merge (a
+    * group present on only one side still reports, counts saying
+    * which side is empty), and the same fixed t / Welch–Satterthwaite
+    * df tree per group. Returns one row per group:
+    * (grp, n_a, n_b, mean_a, mean_b, t, df).
+    */
+  def welchTByGroup(a: DataFrame, b: DataFrame, group: String,
+                    value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(col(group).isNotNull && value.isNotNull)
+        .groupBy(col(group).as("grp"))
+        .agg(count(lit(1)).as(s"n_$suf"),
+          sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+          sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    def vn(s: String) = v(s) / nD(s)
+    val se2 = vn("a") + vn("b")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val df_ = se2 * se2 /
+      (vn("a") * vn("a") / (nD("a") - lit(1.0)) +
+        vn("b") * vn("b") / (nD("b") - lit(1.0)))
+    side(a, "a").join(side(b, "b"), Seq("grp"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
+      .withColumn("t", when(ok && se2 > 0.0,
+        round((mean("a") - mean("b")) / sqrt(se2), 6)))
+      .withColumn("df", when(ok && se2 > 0.0, round(df_, 6)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("t"), col("df"))
+  }
+
   /** The distinct (unit, day) census behind [[GraftDataFrameOps.rollingActives]],
     * [[GraftDataFrameOps.newVsReturning]] and [[PreparedActives]] —
     * the one frame every actives readout derives from.

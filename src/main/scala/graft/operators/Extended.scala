@@ -828,6 +828,46 @@ object Extended {
       .orderBy(col("a"), col("b"))
   }
 
+  /** q167: weighted median price per return flag
+    * ([[graft.api.Ops.weightedMedian]]) — the price at which half the
+    * shipped QUANTITY sits below, per l_returnflag: exact integer
+    * cumulative-weight selection over the (flag, price) census, no
+    * interpolation (r13).
+    */
+  def q167(t: Tables): DataFrame =
+    graft.api.Ops.weightedMedian(
+      t.lineitem.withColumn("pcents",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")),
+      "l_returnflag", col("pcents"), col("l_quantity"))
+      .orderBy(col("l_returnflag"))
+
+  /** q168: order-status entropy per priority
+    * ([[graft.api.Ops.categoryEntropy]]) — how concentrated the
+    * status distribution is within each priority segment; the
+    * column-profiling governance readout (r13).
+    */
+  def q168(t: Tables): DataFrame =
+    graft.api.Ops.categoryEntropy(
+      t.orders.filter(col("o_orderstatus").isNotNull),
+      "o_orderpriority", col("o_orderstatus"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q169: per-priority Welch t between order eras
+    * ([[graft.api.Ops.welchTByGroup]]) — the continuous-metric
+    * mean-shift readout per segment, completing the per-group
+    * experiment family (q158/q159/q160 + this) (r13).
+    */
+  def q169(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.welchTByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("o_totalprice"))
+      .orderBy(col("grp"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

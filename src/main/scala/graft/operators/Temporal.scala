@@ -426,6 +426,17 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** q166: per-user spend changepoint
+    * ([[graft.api.Ops.changepointPerKey]]) — WHERE each user's event
+    * value series shifts level: q128's division-free CUSUM statistic
+    * argmax'd per key (earliest-index ties), with both segment means
+    * as exact floor-divided millicents (r13).
+    */
+  def q166(t: Tables): DataFrame =
+    graft.api.Ops.changepointPerKey(t.events, "user_id", "ts",
+        "event_id", col("value"))
+      .orderBy(col("user_id"))
+
   /** q135: exact autocorrelation of the daily event-count series per
     * event type ([[graft.api.Ops.GraftDataFrameOps.acfByGroup]]) —
     * lags 1..3 over the per-day census (exact longs in, the q119

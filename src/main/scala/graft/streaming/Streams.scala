@@ -922,6 +922,31 @@ object Streams {
       .start()
   }
 
+  /** Live per-user top-N recommendations (r13 — the SERVING stream
+    * for the recommender family: [[graft.api.Ops.PreparedCooc]]
+    * maintains the similarity graph, THIS serves it): each trigger's
+    * user-basket rows score against the FROZEN similarity frame
+    * (an [[graft.api.Ops.itemSimilarity]] /
+    * `PreparedCooc.similarItems` output — materialize it to a
+    * source-backed frame, the psiDriftStream baseline rule) through
+    * [[graft.api.Ops.recommendTopN]]; the sink receives the ranked
+    * recommendations per trigger. STATELESS per trigger: each
+    * trigger must carry a user's FULL basket (the asof-enrich
+    * model) — seen-item exclusion sees only the rows in the trigger.
+    * Per-trigger cost: one item join against the k-bounded graph +
+    * the per-user rank.
+    */
+  def recommendStream(userItems: DataFrame, user: String, item: String,
+                      sims: DataFrame, n: Int,
+                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    userItems.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.recommendTopN(batch, user, item, sims, n))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

@@ -1459,6 +1459,111 @@ class OperatorQualitySpec extends AnyFunSuite {
       out.map(_.toSeq).toSeq)
   }
 
+  test("changepointPerKey: hand-checked argmax location, earliest tie, segment means, last-index null") {
+    import spark.implicits._
+    // cents 100,100,100,500,500 → stat 5S_k − 1300k =
+    // −800, −1600, −2400, −1200, 0 → argmax |.| at k=3:
+    // before-mean 100.000, after-mean 500.000 (millicents)
+    val df = Seq(
+      ("u1", 1L, "2024-01-01 00:00:01", 1.00),
+      ("u1", 2L, "2024-01-01 00:00:02", 1.00),
+      ("u1", 3L, "2024-01-01 00:00:03", 1.00),
+      ("u1", 4L, "2024-01-01 00:00:04", 5.00),
+      ("u1", 5L, "2024-01-01 00:00:05", 5.00),
+      // a constant series: every stat is 0 → earliest tie k=1
+      ("u2", 6L, "2024-01-01 00:00:01", 2.00),
+      ("u2", 7L, "2024-01-01 00:00:02", 2.00))
+      .toDF("k", "id", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = graft.api.Ops.changepointPerKey(df, "k", "ts", "id", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u1 = out("u1")
+    assert(u1.getAs[Long]("n_points") == 5L && u1.getAs[Long]("cp_index") == 3L)
+    assert(u1.getAs[java.math.BigDecimal]("stat").longValueExact == -2400L)
+    assert(u1.getAs[Long]("mean_before_millicents") == 100000L)
+    assert(u1.getAs[Long]("mean_after_millicents") == 500000L)
+    val u2 = out("u2")
+    assert(u2.getAs[Long]("cp_index") == 1L,
+      "all-zero stats tie to the EARLIEST index")
+    assert(u2.getAs[Long]("mean_after_millicents") == 200000L)
+    // argmax at the last index → null after-mean (no shift inside)
+    val mono = Seq(("u3", 8L, "2024-01-01 00:00:01", 1.00))
+      .toDF("k", "id", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val m = graft.api.Ops.changepointPerKey(mono, "k", "ts", "id", col("v"))
+      .collect().head
+    assert(m.getAs[Long]("cp_index") == 1L &&
+      m.isNullAt(m.fieldIndex("mean_after_millicents")))
+    // partitioning-invariant
+    val again = graft.api.Ops.changepointPerKey(df.repartition(5), "k", "ts", "id", col("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
+  test("weightedMedian: volume-weighted selection, lower-median boundary, zero-weight drop") {
+    import spark.implicits._
+    // weights (in units) 1,1,10 on values 10,20,30: half of 12 units
+    // sits below 30 → median 30
+    val df = Seq(("g", 10L, 1.0), ("g", 20L, 1.0), ("g", 30L, 10.0))
+      .toDF("g", "v", "w")
+    val r = graft.api.Ops.weightedMedian(df, "g", col("v"), col("w"))
+      .collect().head
+    assert(r.getAs[Long]("w_median") == 30L)
+    assert(r.getAs[Long]("n_rows") == 3L &&
+      r.getAs[Long]("total_weight_cents") == 1200L)
+    // exact half boundary takes the LOWER value (2·cum ≥ tot)
+    val half = Seq(("g", 1L, 1.0), ("g", 2L, 1.0)).toDF("g", "v", "w")
+    assert(graft.api.Ops.weightedMedian(half, "g", col("v"), col("w"))
+      .collect().head.getAs[Long]("w_median") == 1L)
+    // zero/negative/null weights drop
+    val noisy = df.unionByName(Seq(("g", 1000L, 0.0), ("g", 2000L, -5.0))
+      .toDF("g", "v", "w"))
+    assert(graft.api.Ops.weightedMedian(noisy, "g", col("v"), col("w"))
+      .collect().head.getAs[Long]("w_median") == 30L)
+    // partitioning-invariant
+    assert(graft.api.Ops.weightedMedian(df.repartition(4), "g", col("v"), col("w"))
+      .collect().head.toSeq == r.toSeq)
+  }
+
+  test("categoryEntropy: uniform ln k, constant zero with null norm, invariance") {
+    import spark.implicits._
+    val df = Seq(("u", "a"), ("u", "b"), ("c", "x"), ("c", "x")).toDF("g", "cat")
+    val out = graft.api.Ops.categoryEntropy(df, "g", col("cat"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    assert(u.getAs[Long]("k_categories") == 2L)
+    assert(u.getAs[Double]("entropy") == 0.693147, s"got ${u.getAs[Double]("entropy")}")
+    assert(u.getAs[Double]("entropy_norm") == 1.0)
+    val c = out("c")
+    assert(c.getAs[Double]("entropy") == 0.0 &&
+      c.isNullAt(c.fieldIndex("entropy_norm")),
+      "a single-category group is zero entropy with null normalization")
+    val again = graft.api.Ops.categoryEntropy(df.repartition(3), "g", col("cat"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
+  test("welchTByGroup: per-group ≡ whole-frame welchT per segment, one-sided groups report") {
+    import spark.implicits._
+    val a = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("y", 5.0), ("y", 9.0), ("z", 1.0))
+      .toDF("g", "v")
+    val b = Seq(("x", 2.0), ("x", 4.0), ("x", 6.0), ("y", 1.0), ("y", 2.0))
+      .toDF("g", "v")
+    val keyed = graft.api.Ops.welchTByGroup(a, b, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    for (grp <- Seq("x", "y")) {
+      val whole = graft.api.Ops.welchT(
+        a.filter(col("g") === grp), b.filter(col("g") === grp), col("v"))
+        .collect().head.toSeq
+      assert(keyed(grp) == whole, s"welch group $grp must replay the whole-frame test")
+    }
+    // group z exists only on side a: n_b = 0, null t/df, mean_a reports
+    val z = graft.api.Ops.welchTByGroup(a, b, "g", col("v"))
+      .filter(col("grp") === "z").collect().head
+    assert(z.getAs[Long]("n_b") == 0L && z.isNullAt(z.fieldIndex("t")) &&
+      z.getAs[Double]("mean_a") == 1.0)
+  }
+
   test("coarse-group guard: the exact order-statistic family fails loudly past maxExactGroupRows") {
     import spark.implicits._
     import graft.api.Ops._

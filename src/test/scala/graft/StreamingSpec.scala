@@ -1745,6 +1745,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(z2 < 0.0, s"shifted-up trigger must give negative z, got $z2")
   }
 
+  test("recommendStream serves per-trigger top-N ≡ batch recommendTopN against the frozen sims") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sims = Seq(
+      (10L, 30L, 0.5), (30L, 10L, 0.5),
+      (20L, 30L, 0.25), (30L, 20L, 0.25),
+      (10L, 20L, 0.9), (20L, 10L, 0.9))
+      .toDF("item", "other", "cosine")
+    // each trigger carries FULL baskets (the stateless contract)
+    val t1 = Seq((1L, 10L), (1L, 20L))
+    val t2 = Seq((2L, 10L))
+    val stream = MemoryStream[(Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+    val query = Streams.recommendStream(stream.toDF().toDF("u", "it"),
+      "u", "it", sims, n = 2,
+      r => { got += r.collect().map(_.toSeq.toSeq).toSet; () })
+    try {
+      stream.addData(t1); query.processAllAvailable()
+      stream.addData(t2); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2, "one recommendation frame per trigger")
+    def batch(rows: Seq[(Long, Long)]): Set[Seq[Any]] =
+      graft.api.Ops.recommendTopN(rows.toDF("u", "it"), "u", "it", sims, n = 2)
+        .collect().map(_.toSeq.toSeq).toSet
+    assert(got(0) == batch(t1), "trigger 1 ≡ batch recommendTopN")
+    assert(got(1) == batch(t2), "trigger 2 ≡ batch recommendTopN")
+    assert(got(0).nonEmpty && got(1).nonEmpty)
+  }
+
   test("attributionStream reproduces batch last-touch credits across a trigger split") {
     import spark.implicits._
     import graft.api.Ops._
