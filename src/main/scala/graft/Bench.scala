@@ -73,7 +73,8 @@ object Bench {
     "q158_ks_by_group", "q159_mwu_by_group", "q160_psi_by_group",
     "q161_kruskal_wallis", "q162_welch_t", "q163_spearman",
     "q164_recs_topn", "q165_link_predict", "q166_changepoint",
-    "q167_weighted_median", "q168_cat_entropy", "q169_welch_by_group")
+    "q167_weighted_median", "q168_cat_entropy", "q169_welch_by_group",
+    "q170_profile_drift", "q171_bootstrap_ci")
 
   private val childMarker = "##BENCHQ##"
 

@@ -189,6 +189,8 @@ object SparkEntry {
     "q167_weighted_median" -> q(Extended.q167),
     "q168_cat_entropy"    -> q(Extended.q168),
     "q169_welch_by_group" -> q(Extended.q169),
+    "q170_profile_drift"  -> q(Extended.q170),
+    "q171_bootstrap_ci"   -> q(Extended.q171),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3679,6 +3681,83 @@ object SparkEntry {
         |      (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
         |       vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
         |FROM f ORDER BY grp""".stripMargin,
+
+    // q170: one aggregate per side, a 1×1 cross, per-column UNION
+    // unpivot — exact counts, fixed round-6 rates
+    "q170_profile_drift" -> {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice").sorted
+      def aggSide(suf: String, pred: String) =
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_$suf,
+           |${cols.map(c =>
+              s"    CAST(count($c) AS BIGINT) AS nn_${suf}_$c, " +
+              s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_${suf}_$c").mkString(",\n")}
+           |  FROM orders WHERE o_orderdate IS NOT NULL AND $pred""".stripMargin
+      val unions = cols.map(c =>
+        s"""SELECT '$c' AS "column", n_a, n_a - nn_a_$c AS nulls_a,
+           |  nd_a_$c AS distinct_a,
+           |  CASE WHEN n_a > 0 THEN round(CAST(n_a - nn_a_$c AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS null_rate_a,
+           |  n_b, n_b - nn_b_$c AS nulls_b, nd_b_$c AS distinct_b,
+           |  CASE WHEN n_b > 0 THEN round(CAST(n_b - nn_b_$c AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS null_rate_b,
+           |  CASE WHEN nd_a_$c > 0 THEN round(CAST(nd_b_$c AS DOUBLE) / CAST(nd_a_$c AS DOUBLE), 6) END AS distinct_ratio
+           |FROM j""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH a AS (
+         |${aggSide("a", "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")}),
+         |b AS (
+         |${aggSide("b", "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'")}),
+         |j AS (SELECT * FROM a CROSS JOIN b)
+         |$unions
+         |ORDER BY "column"""".stripMargin
+    },
+
+    // q171: the seeded-hash Poisson weights replayed exactly —
+    // cumulative-CDF constants embedded at 17 significant digits
+    // (the q136 e-notation rule), exact integer weighted sums, the
+    // same rank-selected interval
+    "q171_bootstrap_ci" -> {
+      def f(v: Double) = String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+      val whenChain = graft.api.Ops.poissonCdf1.zipWithIndex
+        .map { case (p, k) => s"WHEN u < ${f(p)} THEN $k" }.mkString(" ")
+      s"""WITH base AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+         |h AS (
+         |  SELECT id, c,
+         |    CAST('0x' || substr(md5('bs1:7:' || id), 1, 7) AS BIGINT) AS h1,
+         |    CAST('0x' || substr(md5('bs2:7:' || id), 1, 7) AS BIGINT) AS h2
+         |  FROM base),
+         |ex AS (
+         |  SELECT id, c, h1, h2, CAST(r.range AS BIGINT) AS bb
+         |  FROM h CROSS JOIN range(100) r),
+         |uw AS (
+         |  SELECT bb, c,
+         |    CAST((h1 + bb * h2) % 268435456 AS DOUBLE) / CAST(268435456 AS DOUBLE) AS u
+         |  FROM ex),
+         |ww AS (SELECT bb, c, CASE $whenChain ELSE 6 END AS w FROM uw),
+         |means AS (
+         |  SELECT bb, CAST(SUM(w * c) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+         |  FROM ww GROUP BY bb HAVING SUM(w) > 0),
+         |m2 AS (SELECT bb, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mean FROM means),
+         |r AS (
+         |  SELECT *, CAST(COUNT(*) OVER () AS BIGINT) AS eff,
+         |    GREATEST(CAST(ceil(CAST(0.025 AS DOUBLE) * CAST(COUNT(*) OVER () AS BIGINT)) AS BIGINT), 1) AS lok,
+         |    CAST(row_number() OVER (ORDER BY mean, bb) AS BIGINT) AS rk
+         |  FROM m2),
+         |ci AS (
+         |  SELECT CAST(max(eff) AS BIGINT) AS b_effective,
+         |    min(CASE WHEN rk = lok THEN mean END) AS lo,
+         |    min(CASE WHEN rk = eff + 1 - lok THEN mean END) AS hi
+         |  FROM r),
+         |fl AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS t
+         |  FROM base)
+         |SELECT n, CAST(100 AS BIGINT) AS b_resamples, b_effective,
+         |  CASE WHEN n > 0 THEN
+         |    round(CAST(t AS DOUBLE) / CAST(n * 100 AS DOUBLE), 6) END AS mean,
+         |  round(lo / CAST(100 AS DOUBLE), 6) AS ci_lo,
+         |  round(hi / CAST(100 AS DOUBLE), 6) AS ci_hi
+         |FROM fl CROSS JOIN ci""".stripMargin
+    },
 
     // q112/q115/q116 (r13 hash-checked flip): the gated outputs are
     // the planted-clone pair views, whose expected sets derive from

@@ -1415,6 +1415,150 @@ object Ops {
         col("entropy"), col("entropy_norm"))
   }
 
+  /** Column-profile drift between two frames (r13 — the schema-level
+    * governance readout beside [[GraftDataFrameOps.checkConstraints]]
+    * and q168's entropy: "which columns CHANGED SHAPE between eras /
+    * sources" — null-rate jumps and cardinality collapses are the
+    * classic silent-upstream-breakage signals): for each named
+    * column, exact row/null/distinct counts on BOTH sides plus fixed
+    * round-6 null rates and the distinct-count ratio. Returns one
+    * row per column, ordered by name:
+    * (column, n_a, nulls_a, distinct_a, null_rate_a, n_b, nulls_b,
+    * distinct_b, null_rate_b, distinct_ratio).
+    *
+    * Scale shape: ONE aggregate pass per side (all columns' counts
+    * in one map-combinable agg — exact multi-column COUNT(DISTINCT)
+    * expands the input k-fold, the inherent price of exactness;
+    * route wide profiles to the HLL sketch path when k-fold expand
+    * is too dear — stated), one 1-row × 1-row cross, one k-row
+    * unpivot. Never a per-column scan.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame,
+                   columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profileDrift: at least one column")
+    columns.foreach { c =>
+      require(a.columns.contains(c) && b.columns.contains(c),
+        s"profileDrift: column '$c' must exist on both sides")
+    }
+    val cols = columns.sorted
+    def side(df: DataFrame, suf: String): DataFrame =
+      df.agg(count(lit(1)).as(s"n_$suf"),
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"__nn_${suf}_$c"),
+          countDistinct(col(c)).as(s"__nd_${suf}_$c"))): _*)
+    val joined = side(a, "a").crossJoin(broadcast(side(b, "b")))
+    // one stack unpivot: k rows out of the single profile row
+    val stackArgs = cols.map(c =>
+      s"'$c', `__nn_a_$c`, `__nd_a_$c`, `__nn_b_$c`, `__nd_b_$c`").mkString(", ")
+    joined
+      .select(col("n_a"), col("n_b"),
+        expr(s"stack(${cols.length}, $stackArgs) AS " +
+          "(column, __nn_a, __nd_a, __nn_b, __nd_b)"))
+      .withColumn("nulls_a", col("n_a") - col("__nn_a"))
+      .withColumn("nulls_b", col("n_b") - col("__nn_b"))
+      .withColumn("null_rate_a", when(col("n_a") > 0,
+        round(col("nulls_a").cast("double") / col("n_a").cast("double"), 6)))
+      .withColumn("null_rate_b", when(col("n_b") > 0,
+        round(col("nulls_b").cast("double") / col("n_b").cast("double"), 6)))
+      .withColumn("distinct_ratio", when(col("__nd_a") > 0,
+        round(col("__nd_b").cast("double") / col("__nd_a").cast("double"), 6)))
+      .select(col("column"), col("n_a"), col("nulls_a"),
+        col("__nd_a").as("distinct_a"), col("null_rate_a"),
+        col("n_b"), col("nulls_b"), col("__nd_b").as("distinct_b"),
+        col("null_rate_b"), col("distinct_ratio"))
+  }
+
+  /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..5 — computed
+    * ONCE here and shared by [[bootstrapCiMean]] (as double literals)
+    * and its oracle SQL (as 17-significant-digit e-notation literals,
+    * the q136 embedding discipline) so both engines compare the
+    * IDENTICAL doubles. Weights cap at 6 (P(X > 6) ≈ 8·10⁻⁵ — the
+    * tail mass lands on 6, stated).
+    */
+  val poissonCdf1: IndexedSeq[Double] = {
+    var f = 1.0; var sum = 0.0
+    (0 to 5).map { k =>
+      if (k > 0) f *= k
+      sum += math.exp(-1.0) / f
+      sum
+    }
+  }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the
+    * mean (r13 — the resampling member of the statistics family:
+    * "how sure are we of this mean" WITHOUT normality, the interval
+    * q162's t cannot give for skewed metrics): each of `b` resamples
+    * weights every row by a Poisson(1) draw derived from a PORTABLE
+    * seeded hash family — two 28-bit md5 hashes per row combined
+    * affinely per resample, `u_b = ((h1 + b·h2) mod 2²⁸)/2²⁸` (the
+    * minhash-family construction) — so the "random" resampling
+    * replays bit-for-bit on any engine, any partitioning, any day,
+    * at TWO hashes per row instead of one per (row, resample). Per resample the weighted mean is one fixed double
+    * division over exact integer sums; the interval takes the
+    * ⌈α/2·B⌉-th smallest and symmetric largest resample means by
+    * EXACT rank (real resample values, no interpolation). Returns
+    * ONE row: (n, b_resamples, b_effective, mean, ci_lo, ci_hi) —
+    * b_effective counts resamples with nonzero total weight (an
+    * all-zero resample is astronomically unlikely past tiny n but
+    * reported, never silently absorbed).
+    *
+    * Scale shape: the ×B explode is MAP-SIDE and the per-resample
+    * aggregate is map-combinable, so the shuffle carries B rows of
+    * partial sums — not B× the corpus; the rank selection walks B
+    * rows. The full-data mean is one more 1-row aggregate crossed on.
+    */
+  def bootstrapCiMean(df: DataFrame, id: String, value: Column,
+                      b: Int = 100, seed: Long = 7L,
+                      alpha: Double = 0.05): DataFrame = {
+    require(b >= 4 && b <= 10000, s"bootstrapCiMean: b ($b) must be in 4..10000")
+    require(alpha > 0.0 && alpha < 0.5, s"bootstrapCiMean: alpha ($alpha) in (0, 0.5)")
+    // TWO md5s per row, not one per (row, resample): the affine
+    // family u_b = ((h1 + b·h2) mod 2²⁸)/2²⁸ over 28-bit seeded
+    // hashes (the minhashPairs trick — overflow-free under ANSI:
+    // b·h2 < 2³⁵ at b ≤ 10⁴) cuts the dominant hash cost ×B while
+    // staying bit-portable; the first gate run at ×100 md5s was
+    // 6× slower at sf0.1
+    def h28(tag: String): Column =
+      conv(substring(md5(concat(lit(s"$tag:$seed:"), col("__id"))
+        .cast("binary")), 1, 7), 16, 10).cast("long")
+    val base = df.filter(col(id).isNotNull && value.isNotNull)
+      .select(col(id).cast("string").as("__id"),
+        (graft.util.Portable.dec(value) * 100).cast("long").as("__c"))
+      .withColumn("__h1", h28("bs1"))
+      .withColumn("__h2", h28("bs2"))
+    val u = pmod(col("__h1") + col("__b") * col("__h2"), lit(268435456L))
+      .cast("double") / lit(268435456.0) // 2^28
+    val w = poissonCdf1.zipWithIndex.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (p, k)) => acc.when(u < lit(p), lit(k.toLong))
+    }.otherwise(lit(6L))
+    val means = base
+      .select(col("__id"), col("__c"), col("__h1"), col("__h2"),
+        explode(sequence(lit(0L), lit(b - 1L))).as("__b"))
+      .withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__c")).as("__num"), sum(col("__w")).as("__den"))
+      .filter(col("__den") > 0)
+      .withColumn("__mean", col("__num").cast("double") / col("__den").cast("double"))
+    val wAll = Window.partitionBy()
+    val ci = means
+      .withColumn("__eff", count(lit(1)).over(wAll))
+      .withColumn("__loK", greatest(ceil(lit(alpha / 2) * col("__eff")), lit(1L)))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__mean"), col("__b"))))
+      .agg(max(col("__eff")).as("b_effective"),
+        min(when(col("__rk") === col("__loK"), col("__mean"))).as("__lo"),
+        min(when(col("__rk") === col("__eff") + 1 - col("__loK"), col("__mean"))).as("__hi"))
+    val full = base.agg(count(lit(1)).as("n"), sum(col("__c")).as("__t"))
+    full.crossJoin(broadcast(ci))
+      .withColumn("b_resamples", lit(b.toLong))
+      .withColumn("mean", when(col("n") > 0,
+        round(col("__t").cast("double") / (col("n") * 100).cast("double"), 6)))
+      .withColumn("ci_lo", round(col("__lo") / lit(100.0), 6))
+      .withColumn("ci_hi", round(col("__hi") / lit(100.0), 6))
+      .select(col("n"), col("b_resamples"), col("b_effective"),
+        col("mean"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** Per-group Welch t (r13 — [[welchT]] keyed by a segment column,
     * completing the per-group experiment family beside
     * [[ksStatisticByGroup]]/[[mannWhitneyUByGroup]]: the continuous-

@@ -868,6 +868,33 @@ object Extended {
       .orderBy(col("grp"))
   }
 
+  /** q170: column-profile drift between order eras
+    * ([[graft.api.Ops.profileDrift]]) — exact row/null/distinct
+    * counts per column on both sides of the 1998 cut, with null
+    * rates and the distinct-count ratio; the silent-upstream-breakage
+    * detector (r13).
+    */
+  def q170(t: Tables): DataFrame = {
+    val o = t.orders.filter(col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.profileDrift(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"))
+      .orderBy(col("column"))
+  }
+
+  /** q171: deterministic Poisson-bootstrap CI for the mean order
+    * total ([[graft.api.Ops.bootstrapCiMean]]) — 100 seeded-hash
+    * resamples, exact integer weighted sums, rank-selected 95%
+    * interval; the distribution-free answer to "how sure is this
+    * mean" (r13).
+    */
+  def q171(t: Tables): DataFrame =
+    graft.api.Ops.bootstrapCiMean(
+      t.orders, "o_orderkey", col("o_totalprice"),
+      b = 100, seed = 7L, alpha = 0.05)
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

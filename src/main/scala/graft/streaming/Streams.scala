@@ -947,6 +947,25 @@ object Streams {
       .start()
   }
 
+  /** Live per-key changepoint location (r13 — the locating member of
+    * the per-trigger monitoring family beside [[ksDriftStream]]):
+    * each trigger's series locate their level shift through
+    * [[graft.api.Ops.changepointPerKey]]. STATELESS per trigger —
+    * each trigger must carry a key's FULL series (the
+    * [[recommendStream]] full-basket contract); windowed upstream
+    * aggregation is the natural feeder.
+    */
+  def changepointStream(records: DataFrame, key: String, time: String,
+                        tieBreak: String, value: org.apache.spark.sql.Column,
+                        sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.changepointPerKey(batch, key, time, tieBreak, value))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Strip a once-prepared boilerplate set
     * ([[graft.api.Ops.prepareBoilerplate]]) from a document stream —
     * q89's ingest form: the corpus-wide df census ran once; each

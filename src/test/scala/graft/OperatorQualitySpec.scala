@@ -1564,6 +1564,56 @@ class OperatorQualitySpec extends AnyFunSuite {
       z.getAs[Double]("mean_a") == 1.0)
   }
 
+  test("profileDrift: exact per-column counts, rate/ratio arithmetic, missing-column fail-fast") {
+    import spark.implicits._
+    val a = Seq((1L, Some("x")), (2L, Some("x")), (3L, None)).toDF("id", "s")
+    val b = Seq((1L, Some("y")), (1L, None), (2L, None), (3L, None)).toDF("id", "s")
+    val out = graft.api.Ops.profileDrift(a, b, Seq("s", "id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("id", "s"))
+    val s = out("s")
+    assert(s.getAs[Long]("n_a") == 3L && s.getAs[Long]("nulls_a") == 1L &&
+      s.getAs[Long]("distinct_a") == 1L)
+    assert(s.getAs[Long]("n_b") == 4L && s.getAs[Long]("nulls_b") == 3L &&
+      s.getAs[Long]("distinct_b") == 1L)
+    assert(s.getAs[Double]("null_rate_a") == 0.333333 &&
+      s.getAs[Double]("null_rate_b") == 0.75)
+    val idRow = out("id")
+    assert(idRow.getAs[Long]("distinct_a") == 3L && idRow.getAs[Long]("distinct_b") == 3L &&
+      idRow.getAs[Double]("distinct_ratio") == 1.0)
+    intercept[IllegalArgumentException] {
+      graft.api.Ops.profileDrift(a, b, Seq("nope"))
+    }
+    // partitioning-invariant
+    val again = graft.api.Ops.profileDrift(a.repartition(3), b.repartition(2), Seq("s", "id"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
+  test("bootstrapCiMean: deterministic seeded resampling, interval brackets the mean, invariance") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, (i % 50 + 1).toDouble)).toDF("id", "v")
+    val r = graft.api.Ops.bootstrapCiMean(df, "id", col("v"), b = 64, seed = 3L)
+      .collect().head
+    assert(r.getAs[Long]("n") == 200L && r.getAs[Long]("b_resamples") == 64L)
+    assert(r.getAs[Long]("b_effective") == 64L,
+      "no resample of 200 rows should be empty")
+    val (m, lo, hi) = (r.getAs[Double]("mean"), r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("ci_hi"))
+    assert(lo <= m && m <= hi, s"interval [$lo, $hi] must bracket the mean $m")
+    assert(hi - lo > 0.0 && hi - lo < 10.0,
+      s"a 200-row mean of 1..50 should have a tight interval, got [$lo, $hi]")
+    // bit-identical under repartitioning AND re-run (the seeded-hash
+    // point: "random" resampling that replays)
+    val again = graft.api.Ops.bootstrapCiMean(df.repartition(7), "id", col("v"),
+      b = 64, seed = 3L).collect().head
+    assert(again.toSeq == r.toSeq)
+    // a different seed genuinely moves the resamples
+    val other = graft.api.Ops.bootstrapCiMean(df, "id", col("v"), b = 64, seed = 4L)
+      .collect().head
+    assert(other.getAs[Double]("ci_lo") != lo || other.getAs[Double]("ci_hi") != hi)
+  }
+
   test("coarse-group guard: the exact order-statistic family fails loudly past maxExactGroupRows") {
     import spark.implicits._
     import graft.api.Ops._

@@ -76,7 +76,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q161_kruskal_wallis",
       // q162 is two 1-row moment frames crossed — a 1-row × 1-row
       // scalar pair (the q123 report shape); dedicated pin below
-      "q162_welch_t"))
+      "q162_welch_t",
+      // q170 crosses two 1-row profile aggregates (q162 shape);
+      // q171 crosses the 1-row full-data aggregate with the 1-row
+      // CI frame; dedicated pins below
+      "q170_profile_drift", "q171_bootstrap_ci"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -156,6 +160,16 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
     assert(keyless == 1,
       s"expected exactly the two 1-row moment frames crossed once in q162, got $keyless:\n$plan")
+  }
+
+  test("q170/q171's only keyless joins are their 1-row × 1-row pairs") {
+    for ((name, expected) <- Seq("q170_profile_drift" -> 1, "q171_bootstrap_ci" -> 1)) {
+      val plan = physicalPlan(name)
+      val keyless = plan.linesIterator.count(l =>
+        l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      assert(keyless == expected,
+        s"expected exactly $expected 1-row × 1-row cross in $name, got $keyless:\n$plan")
+    }
   }
 
   test("q155's keyless joins are exactly the two 1-row sample-size scalars") {

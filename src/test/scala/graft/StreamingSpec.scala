@@ -1774,6 +1774,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(0).nonEmpty && got(1).nonEmpty)
   }
 
+  test("changepointStream locates per-trigger shifts ≡ batch changepointPerKey") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // full series per trigger (the stateless contract)
+    val t1 = Seq(("u1", 1L, "2024-01-01 00:00:01", 1.00),
+      ("u1", 2L, "2024-01-01 00:00:02", 1.00),
+      ("u1", 3L, "2024-01-01 00:00:03", 9.00))
+    val t2 = t1 ++ Seq(("u1", 4L, "2024-01-01 00:00:04", 9.00))
+    val stream = MemoryStream[(String, Long, String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val query = Streams.changepointStream(
+      shape(stream.toDF().toDF("k", "id", "tss", "v")),
+      "k", "ts", "id", col("v"),
+      r => { got += r.collect().map(_.toSeq.toSeq).toSeq; () })
+    try {
+      stream.addData(t1: _*); query.processAllAvailable()
+      stream.addData(t2: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2)
+    def batch(rows: Seq[(String, Long, String, Double)]) =
+      graft.api.Ops.changepointPerKey(shape(rows.toDF("k", "id", "tss", "v")),
+        "k", "ts", "id", col("v")).collect().map(_.toSeq.toSeq).toSeq
+    assert(got(0) == batch(t1), "trigger 1 ≡ batch changepoint")
+    assert(got(1) == batch(t2), "trigger 2 ≡ batch changepoint")
+  }
+
   test("attributionStream reproduces batch last-touch credits across a trigger split") {
     import spark.implicits._
     import graft.api.Ops._
