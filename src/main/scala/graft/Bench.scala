@@ -74,7 +74,8 @@ object Bench {
     "q161_kruskal_wallis", "q162_welch_t", "q163_spearman",
     "q164_recs_topn", "q165_link_predict", "q166_changepoint",
     "q167_weighted_median", "q168_cat_entropy", "q169_welch_by_group",
-    "q170_profile_drift", "q171_bootstrap_ci")
+    "q170_profile_drift", "q171_bootstrap_ci", "q172_cuped",
+    "q173_did", "q174_pop_report")
 
   private val childMarker = "##BENCHQ##"
 

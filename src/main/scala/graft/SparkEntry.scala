@@ -191,6 +191,9 @@ object SparkEntry {
     "q169_welch_by_group" -> q(Extended.q169),
     "q170_profile_drift"  -> q(Extended.q170),
     "q171_bootstrap_ci"   -> q(Extended.q171),
+    "q172_cuped"          -> q(Extended.q172),
+    "q173_did"            -> q(Extended.q173),
+    "q174_pop_report"     -> q(Extended.q174),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3758,6 +3761,153 @@ object SparkEntry {
          |  round(hi / CAST(100 AS DOUBLE), 6) AS ci_hi
          |FROM fl CROSS JOIN ci""".stripMargin
     },
+
+    // q172: per-unit decimal period sums → per-arm exact moments →
+    // the pooled-θ CUPED tree (adjusted moments expanded
+    // algebraically — no per-row adjusted double is ever summed)
+    "q172_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS y,
+        |    COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b0 AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(CAST(y AS DECIMAL(18,2)) * 100 AS BIGINT) AS yy,
+        |    CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS xx
+        |  FROM u),
+        |pa AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(xx) AS BIGINT) AS sx, CAST(SUM(yy) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(xx AS DECIMAL(19,0)) * CAST(xx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(yy AS DECIMAL(19,0)) * CAST(yy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(xx AS DECIMAL(19,0)) * CAST(yy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
+        |  FROM b0 GROUP BY 1),
+        |j AS (
+        |  SELECT a.n AS n_a, a.sx AS sx_a, a.sy AS sy_a, a.sxx AS sxx_a,
+        |    a.syy AS syy_a, a.sxy AS sxy_a,
+        |    b.n AS n_b, b.sx AS sx_b, b.sy AS sy_b, b.sxx AS sxx_b,
+        |    b.syy AS syy_b, b.sxy AS sxy_b
+        |  FROM (SELECT * FROM pa WHERE arm = 'A') a
+        |  CROSS JOIN (SELECT * FROM pa WHERE arm = 'B') b),
+        |f AS (
+        |  SELECT *,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nt,
+        |    CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE) AS sxt,
+        |    CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE) AS syt,
+        |    CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE) AS sxxt,
+        |    CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE) AS sxyt
+        |  FROM j),
+        |g AS (
+        |  SELECT *,
+        |    CASE WHEN nt * sxxt - sxt * sxt > 0
+        |      THEN (nt * sxyt - sxt * syt) / (nt * sxxt - sxt * sxt)
+        |      ELSE CAST(0 AS DOUBLE) END AS theta0,
+        |    sxt / nt AS xbar
+        |  FROM f),
+        |h AS (
+        |  SELECT *,
+        |    CAST(sy_a AS DOUBLE) - theta0 * (CAST(sx_a AS DOUBLE) - CAST(n_a AS DOUBLE) * xbar) AS sadj_a,
+        |    CAST(syy_a AS DOUBLE) - CAST(2 AS DOUBLE) * theta0 * (CAST(sxy_a AS DOUBLE) - xbar * CAST(sy_a AS DOUBLE))
+        |      + theta0 * theta0 * (CAST(sxx_a AS DOUBLE) - CAST(2 AS DOUBLE) * xbar * CAST(sx_a AS DOUBLE)
+        |        + CAST(n_a AS DOUBLE) * xbar * xbar) AS sqadj_a,
+        |    CAST(sy_b AS DOUBLE) - theta0 * (CAST(sx_b AS DOUBLE) - CAST(n_b AS DOUBLE) * xbar) AS sadj_b,
+        |    CAST(syy_b AS DOUBLE) - CAST(2 AS DOUBLE) * theta0 * (CAST(sxy_b AS DOUBLE) - xbar * CAST(sy_b AS DOUBLE))
+        |      + theta0 * theta0 * (CAST(sxx_b AS DOUBLE) - CAST(2 AS DOUBLE) * xbar * CAST(sx_b AS DOUBLE)
+        |        + CAST(n_b AS DOUBLE) * xbar * xbar) AS sqadj_b
+        |  FROM g),
+        |i AS (
+        |  SELECT *,
+        |    sadj_a / CAST(n_a AS DOUBLE) AS ma,
+        |    sadj_b / CAST(n_b AS DOUBLE) AS mb,
+        |    ((sqadj_a - sadj_a * sadj_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE)
+        |      + ((sqadj_b - sadj_b * sadj_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS se2
+        |  FROM h)
+        |SELECT n_a, n_b, round(theta0, 6) AS theta,
+        |  round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100 AS DOUBLE), 6) AS mean_a,
+        |  round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100 AS DOUBLE), 6) AS mean_b,
+        |  round(ma / CAST(100 AS DOUBLE), 6) AS mean_adj_a,
+        |  round(mb / CAST(100 AS DOUBLE), 6) AS mean_adj_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+        |    round((ma - mb) / sqrt(se2), 6) END AS z
+        |FROM i""".stripMargin,
+
+    // q173: four exact (group × period) cells, one pivot, the fixed
+    // DiD estimate/SE tree
+    "q173_did" ->
+      """WITH cells AS (
+        |  SELECT (CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END) ||
+        |    (CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN '_post' ELSE '_pre' END) AS cell,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |agg AS (
+        |  SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ss
+        |  FROM cells GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    MAX(CASE WHEN cell = 't_pre' THEN n END) AS t_pre_n,
+        |    MAX(CASE WHEN cell = 't_pre' THEN s END) AS t_pre_s,
+        |    MAX(CASE WHEN cell = 't_pre' THEN ss END) AS t_pre_ss,
+        |    MAX(CASE WHEN cell = 't_post' THEN n END) AS t_post_n,
+        |    MAX(CASE WHEN cell = 't_post' THEN s END) AS t_post_s,
+        |    MAX(CASE WHEN cell = 't_post' THEN ss END) AS t_post_ss,
+        |    MAX(CASE WHEN cell = 'c_pre' THEN n END) AS c_pre_n,
+        |    MAX(CASE WHEN cell = 'c_pre' THEN s END) AS c_pre_s,
+        |    MAX(CASE WHEN cell = 'c_pre' THEN ss END) AS c_pre_ss,
+        |    MAX(CASE WHEN cell = 'c_post' THEN n END) AS c_post_n,
+        |    MAX(CASE WHEN cell = 'c_post' THEN s END) AS c_post_s,
+        |    MAX(CASE WHEN cell = 'c_post' THEN ss END) AS c_post_ss
+        |  FROM agg),
+        |f AS (
+        |  SELECT *,
+        |    CAST(t_post_s AS DOUBLE) / CAST(COALESCE(t_post_n, 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS m_t_post,
+        |    CAST(t_pre_s AS DOUBLE) / CAST(COALESCE(t_pre_n, 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS m_t_pre,
+        |    CAST(c_post_s AS DOUBLE) / CAST(COALESCE(c_post_n, 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS m_c_post,
+        |    CAST(c_pre_s AS DOUBLE) / CAST(COALESCE(c_pre_n, 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS m_c_pre,
+        |    ((CAST(t_pre_ss AS DOUBLE) - CAST(t_pre_s AS DOUBLE) * CAST(t_pre_s AS DOUBLE) / CAST(COALESCE(t_pre_n, 0) AS DOUBLE)) / (CAST(COALESCE(t_pre_n, 0) AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(COALESCE(t_pre_n, 0) AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |      + ((CAST(t_post_ss AS DOUBLE) - CAST(t_post_s AS DOUBLE) * CAST(t_post_s AS DOUBLE) / CAST(COALESCE(t_post_n, 0) AS DOUBLE)) / (CAST(COALESCE(t_post_n, 0) AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(COALESCE(t_post_n, 0) AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |      + ((CAST(c_pre_ss AS DOUBLE) - CAST(c_pre_s AS DOUBLE) * CAST(c_pre_s AS DOUBLE) / CAST(COALESCE(c_pre_n, 0) AS DOUBLE)) / (CAST(COALESCE(c_pre_n, 0) AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(COALESCE(c_pre_n, 0) AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |      + ((CAST(c_post_ss AS DOUBLE) - CAST(c_post_s AS DOUBLE) * CAST(c_post_s AS DOUBLE) / CAST(COALESCE(c_post_n, 0) AS DOUBLE)) / (CAST(COALESCE(c_post_n, 0) AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(COALESCE(c_post_n, 0) AS DOUBLE) / CAST(10000 AS DOUBLE) AS se2
+        |  FROM w),
+        |f2 AS (
+        |  SELECT *, (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did0,
+        |    COALESCE(t_pre_n, 0) >= 2 AND COALESCE(t_post_n, 0) >= 2 AND
+        |    COALESCE(c_pre_n, 0) >= 2 AND COALESCE(c_post_n, 0) >= 2 AS allvar
+        |  FROM f)
+        |SELECT COALESCE(t_pre_n, 0) AS n_t_pre, COALESCE(t_post_n, 0) AS n_t_post,
+        |  COALESCE(c_pre_n, 0) AS n_c_pre, COALESCE(c_post_n, 0) AS n_c_post,
+        |  CASE WHEN COALESCE(t_pre_n, 0) > 0 THEN round(m_t_pre, 6) END AS mean_t_pre,
+        |  CASE WHEN COALESCE(t_post_n, 0) > 0 THEN round(m_t_post, 6) END AS mean_t_post,
+        |  CASE WHEN COALESCE(c_pre_n, 0) > 0 THEN round(m_c_pre, 6) END AS mean_c_pre,
+        |  CASE WHEN COALESCE(c_post_n, 0) > 0 THEN round(m_c_post, 6) END AS mean_c_post,
+        |  CASE WHEN COALESCE(t_pre_n, 0) > 0 AND COALESCE(t_post_n, 0) > 0 AND
+        |    COALESCE(c_pre_n, 0) > 0 AND COALESCE(c_post_n, 0) > 0 THEN round(did0, 6) END AS did,
+        |  CASE WHEN allvar AND se2 > 0 THEN round(sqrt(se2), 6) END AS se,
+        |  CASE WHEN allvar AND se2 > 0 THEN round(did0 / sqrt(se2), 6) END AS t
+        |FROM f2""".stripMargin,
+
+    // q174: the (priority, month) cent census + one group-ordered
+    // lag window
+    "q174_pop_report" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS g, strftime(o_orderdate, '%Y-%m') AS period,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, lag(total_cents) OVER (PARTITION BY g ORDER BY period) AS prev_cents
+        |  FROM cells)
+        |SELECT g AS o_orderpriority, period, n_rows, total_cents, prev_cents,
+        |  total_cents - prev_cents AS delta_cents,
+        |  CASE WHEN prev_cents <> 0 THEN
+        |    round(CAST(total_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE), 6) END AS pct_change
+        |FROM w ORDER BY o_orderpriority, period""".stripMargin,
 
     // q112/q115/q116 (r13 hash-checked flip): the gated outputs are
     // the planted-clone pair views, whose expected sets derive from

@@ -1559,6 +1559,178 @@ object Ops {
         col("mean"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** CUPED variance-reduced A/B readout (r13 — the
+    * experimentation-platform refinement of
+    * [[GraftDataFrameOps.abTest]]/[[welchT]]: adjust each unit's
+    * metric by its PRE-experiment covariate, `y′ = y − θ(x − x̄)`
+    * with `θ = cov(x,y)/var(x)` pooled — same means, often 30–50%
+    * smaller variance, tighter z at the same traffic): everything
+    * derives from per-arm EXACT integer moment sums (n, Σx, Σy,
+    * Σx², Σy², Σxy in cents over the [[graft.util.Portable]] view) —
+    * the adjusted per-arm mean and variance EXPAND ALGEBRAICALLY in
+    * those sums (`Σy′ = Σy − θ(Σx − n·x̄)`, the quadratic likewise),
+    * so no per-row adjusted double is ever summed (an order-dependent
+    * Σy′² would break replay; the expansion is the whole trick).
+    * One fixed double tree: θ, adjusted means/variances, and the
+    * two-sample z over them, round 6; degenerate inputs (zero
+    * covariate variance → θ = 0 by convention — CUPED degrades to
+    * the plain test; n < 2 or zero SE → null z) report. Returns ONE
+    * row: (n_a, n_b, theta, mean_a, mean_b, mean_adj_a, mean_adj_b,
+    * z).
+    *
+    * Scale shape: one (arm) grouped moment aggregate — map-combinable
+    * — plus two 1-row finishing frames; nothing per-unit survives
+    * the first pass.
+    */
+  def cupedZ(units: DataFrame, arm: Column, metric: Column,
+             covariate: Column, armA: String, armB: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val base = units.filter(arm.isNotNull && metric.isNotNull && covariate.isNotNull)
+      .select(arm.cast("string").as("__arm"),
+        (graft.util.Portable.dec(metric) * 100).cast("long").as("__y"),
+        (graft.util.Portable.dec(covariate) * 100).cast("long").as("__x"))
+      .filter(col("__arm").isin(armA, armB))
+    val perArm = base.groupBy(col("__arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x").cast(d19) * col("__x").cast(d19)).cast(DecimalType(38, 0)).as("__sxx"),
+        sum(col("__y").cast(d19) * col("__y").cast(d19)).cast(DecimalType(38, 0)).as("__syy"),
+        sum(col("__x").cast(d19) * col("__y").cast(d19)).cast(DecimalType(38, 0)).as("__sxy"))
+    def armRow(a: String, suf: String) = perArm.filter(col("__arm") === a)
+      .select(col("n").as(s"n_$suf"), col("__sx").as(s"__sx_$suf"),
+        col("__sy").as(s"__sy_$suf"), col("__sxx").as(s"__sxx_$suf"),
+        col("__syy").as(s"__syy_$suf"), col("__sxy").as(s"__sxy_$suf"))
+    val j = armRow(armA, "a").crossJoin(broadcast(armRow(armB, "b")))
+    def d(c: String) = col(c).cast("double")
+    val nT = d("n_a") + d("n_b")
+    val sxT = d("__sx_a") + d("__sx_b"); val syT = d("__sy_a") + d("__sy_b")
+    val sxxT = d("__sxx_a") + d("__sxx_b"); val sxyT = d("__sxy_a") + d("__sxy_b")
+    val varXN = nT * sxxT - sxT * sxT  // n²·var(x), pooled
+    val covN = nT * sxyT - sxT * syT
+    val theta = when(varXN > 0.0, covN / varXN).otherwise(lit(0.0))
+    val xbar = sxT / nT
+    def adj(suf: String) = {
+      val n = d(s"n_$suf"); val sx = d(s"__sx_$suf"); val sy = d(s"__sy_$suf")
+      val sxx = d(s"__sxx_$suf"); val syy = d(s"__syy_$suf"); val sxy = d(s"__sxy_$suf")
+      val sAdj = sy - col("__theta") * (sx - n * col("__xbar"))
+      val sqAdj = syy - lit(2.0) * col("__theta") * (sxy - col("__xbar") * sy) +
+        col("__theta") * col("__theta") *
+          (sxx - lit(2.0) * col("__xbar") * sx + n * col("__xbar") * col("__xbar"))
+      val m = sAdj / n
+      val v = (sqAdj - sAdj * sAdj / n) / (n - lit(1.0))
+      (m, v)
+    }
+    val (ma, va) = adj("a"); val (mb, vb) = adj("b")
+    val se2 = va / d("n_a") + vb / d("n_b")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    j.withColumn("__theta", theta)
+      .withColumn("__xbar", xbar)
+      .withColumn("theta", round(col("__theta"), 6))
+      .withColumn("mean_a", round(d("__sy_a") / d("n_a") / lit(100.0), 6))
+      .withColumn("mean_b", round(d("__sy_b") / d("n_b") / lit(100.0), 6))
+      .withColumn("mean_adj_a", round(ma / lit(100.0), 6))
+      .withColumn("mean_adj_b", round(mb / lit(100.0), 6))
+      .withColumn("z", when(ok && se2 > 0.0,
+        round((ma - mb) / sqrt(se2), 6)))
+      .select(col("n_a"), col("n_b"), col("theta"), col("mean_a"),
+        col("mean_b"), col("mean_adj_a"), col("mean_adj_b"), col("z"))
+  }
+
+  /** Difference-in-differences estimator (r13 — the
+    * quasi-experimental readout for when you CANNOT randomize: a
+    * policy/price/feature hits one group at a known time, the
+    * control group's before→after drift nets out the secular trend):
+    * the four (group × period) cells aggregate exact cent sums and
+    * counts in ONE pass; the estimate
+    * `DiD = (T_post − T_pre) − (C_post − C_pre)` and its standard
+    * error `√Σ s²ᵢ/nᵢ` over the four cells' exact-moment variances
+    * are one fixed double tree, round 6 (any cell with n < 2 → null
+    * se/t, the estimate still reports when all four means exist).
+    * Returns ONE row: (n_t_pre, n_t_post, n_c_pre, n_c_post,
+    * mean_t_pre, mean_t_post, mean_c_pre, mean_c_post, did, se, t).
+    *
+    * Scale shape: one 4-cell grouped aggregate + a 4-row pivot —
+    * nothing else.
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val cells = df.filter(treated.isNotNull && post.isNotNull && value.isNotNull)
+      .select(concat(when(treated, "t").otherwise("c"),
+          when(post, "_post").otherwise("_pre")).as("__cell"),
+        (graft.util.Portable.dec(value) * 100).cast("long").as("__v"))
+      .groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v").cast(d19) * col("__v").cast(d19))
+          .cast(DecimalType(38, 0)).as("__ss"))
+    val wide = cells.groupBy()
+      .pivot("__cell", Seq("t_pre", "t_post", "c_pre", "c_post"))
+      .agg(max(col("__n")).as("n"), max(col("__s")).as("s"), max(col("__ss")).as("ss"))
+    def n(c: String) = coalesce(col(s"${c}_n"), lit(0L)).cast("double")
+    def sD(c: String) = col(s"${c}_s").cast("double")
+    def ssD(c: String) = col(s"${c}_ss").cast("double")
+    def mean(c: String) = sD(c) / n(c) / lit(100.0)
+    def vOverN(c: String) =
+      ((ssD(c) - sD(c) * sD(c) / n(c)) / (n(c) - lit(1.0))) / n(c) / lit(10000.0)
+    val cellsOk = Seq("t_pre", "t_post", "c_pre", "c_post")
+    val allPresent = cellsOk.map(c => n(c) > 0).reduce(_ && _)
+    val allVar = cellsOk.map(c => n(c) >= 2).reduce(_ && _)
+    val did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    val se2 = cellsOk.map(vOverN).reduce(_ + _)
+    wide
+      .withColumn("n_t_pre", coalesce(col("t_pre_n"), lit(0L)))
+      .withColumn("n_t_post", coalesce(col("t_post_n"), lit(0L)))
+      .withColumn("n_c_pre", coalesce(col("c_pre_n"), lit(0L)))
+      .withColumn("n_c_post", coalesce(col("c_post_n"), lit(0L)))
+      .withColumn("mean_t_pre", when(n("t_pre") > 0, round(mean("t_pre"), 6)))
+      .withColumn("mean_t_post", when(n("t_post") > 0, round(mean("t_post"), 6)))
+      .withColumn("mean_c_pre", when(n("c_pre") > 0, round(mean("c_pre"), 6)))
+      .withColumn("mean_c_post", when(n("c_post") > 0, round(mean("c_post"), 6)))
+      .withColumn("did", when(allPresent, round(did, 6)))
+      .withColumn("se", when(allVar && se2 > 0.0, round(sqrt(se2), 6)))
+      .withColumn("t", when(allVar && se2 > 0.0, round(did / sqrt(se2), 6)))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        col("mean_t_pre"), col("mean_t_post"), col("mean_c_pre"),
+        col("mean_c_post"), col("did"), col("se"), col("t"))
+  }
+
+  /** Period-over-period report (r13 — the WoW/MoM dashboard readout
+    * every revenue review opens with): per (group, calendar period)
+    * exact cent totals and row counts, each period's delta and
+    * percent change vs the group's PREVIOUS OBSERVED period (lag
+    * over the period-ordered group window — a silent gap is visible
+    * as the period ids jump; first periods report null change;
+    * a zero previous total nulls the percent, never ÷0). `periodFmt`
+    * is a date_format pattern (yyyy-MM for MoM, yyyy-'W'ww for WoW).
+    * Returns one row per (group, period):
+    * (group, period, n_rows, total_cents, prev_cents, delta_cents,
+    * pct_change).
+    *
+    * Scale shape: one map-combinable (group, period) aggregate + one
+    * group-partitioned window over the PERIOD-sized frame.
+    */
+  def periodOverPeriod(df: DataFrame, group: String, time: String,
+                       value: Column,
+                       periodFmt: String = "yyyy-MM"): DataFrame = {
+    val cells = df.filter(col(group).isNotNull && col(time).isNotNull &&
+        value.isNotNull)
+      .select(col(group).as("__g"),
+        date_format(col(time).cast("timestamp"), periodFmt).as("period"),
+        (graft.util.Portable.dec(value) * 100).cast("long").as("__c"))
+      .groupBy(col("__g"), col("period"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__c")).as("total_cents"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("period"))
+    cells
+      .withColumn("prev_cents", lag(col("total_cents"), 1).over(w))
+      .withColumn("delta_cents", col("total_cents") - col("prev_cents"))
+      .withColumn("pct_change", when(col("prev_cents") =!= 0,
+        round(col("delta_cents").cast("double") /
+          col("prev_cents").cast("double"), 6)))
+      .withColumnRenamed("__g", group)
+  }
+
   /** Per-group Welch t (r13 — [[welchT]] keyed by a segment column,
     * completing the per-group experiment family beside
     * [[ksStatisticByGroup]]/[[mannWhitneyUByGroup]]: the continuous-

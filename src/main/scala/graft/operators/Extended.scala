@@ -895,6 +895,50 @@ object Extended {
       t.orders, "o_orderkey", col("o_totalprice"),
       b = 100, seed = 7L, alpha = 0.05)
 
+  /** q172: CUPED variance-reduced A/B readout over event spend
+    * ([[graft.api.Ops.cupedZ]]) — per-user post-period spend adjusted
+    * by pre-period spend (θ from pooled exact moments), arms by user
+    * parity (the q134 convention); the tighter z at the same traffic
+    * (r13).
+    */
+  def q172(t: Tables): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dec = graft.util.Portable.dec(col("value"))
+    val units = t.events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts").cast("timestamp") >= cut, dec)), lit(0).cast("decimal(18,2)")).as("y"),
+        coalesce(sum(when(col("ts").cast("timestamp") < cut, dec)), lit(0).cast("decimal(18,2)")).as("x"))
+    graft.api.Ops.cupedZ(units,
+      when(col("user_id") % 2 === 0, "A").otherwise("B"),
+      col("y"), col("x"), "A", "B")
+  }
+
+  /** q173: difference-in-differences over event spend
+    * ([[graft.api.Ops.diffInDiff]]) — even-id users "treated" at the
+    * mid-month cut, odd-id users the control netting out the secular
+    * trend; four exact cells, one fixed estimate tree (r13).
+    */
+  def q173(t: Tables): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    graft.api.Ops.diffInDiff(t.events,
+      col("user_id") % 2 === 0,
+      col("ts").cast("timestamp") >= cut,
+      col("value"))
+  }
+
+  /** q174: month-over-month revenue report per order priority
+    * ([[graft.api.Ops.periodOverPeriod]]) — exact cent totals per
+    * (priority, month) with deltas and percent change vs the
+    * previous observed month; the dashboard opener (r13).
+    */
+  def q174(t: Tables): DataFrame =
+    graft.api.Ops.periodOverPeriod(
+      t.orders.filter(col("o_orderdate").isNotNull),
+      "o_orderpriority", "o_orderdate", col("o_totalprice"), "yyyy-MM")
+      .orderBy(col("o_orderpriority"), col("period"))
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -1614,6 +1614,85 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(other.getAs[Double]("ci_lo") != lo || other.getAs[Double]("ci_hi") != hi)
   }
 
+  test("cupedZ: hand-checked theta and adjusted means, zero-variance degrade, invariance") {
+    import spark.implicits._
+    // pooled: θ = covN/varXN = 8e6/5e6 = 1.6, x̄ = 12.50
+    // A: Σy′ = 30 − 1.6·(20 − 25) = 38 → mean_adj 19; B: 62 → 31
+    val units = Seq(("A", 10.0, 5.0), ("A", 20.0, 15.0),
+      ("B", 30.0, 10.0), ("B", 40.0, 20.0)).toDF("arm", "y", "x")
+    val r = graft.api.Ops.cupedZ(units, col("arm"), col("y"), col("x"), "A", "B")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("theta") == 1.6)
+    assert(r.getAs[Double]("mean_a") == 15.0 && r.getAs[Double]("mean_b") == 35.0)
+    assert(r.getAs[Double]("mean_adj_a") == 19.0, s"got ${r.getAs[Double]("mean_adj_a")}")
+    assert(r.getAs[Double]("mean_adj_b") == 31.0)
+    assert(!r.isNullAt(r.fieldIndex("z")))
+    // a constant covariate has zero variance: θ = 0 by convention and
+    // CUPED degrades to the plain comparison (adjusted ≡ raw means)
+    val flat = units.withColumn("x", lit(7.0))
+    val d = graft.api.Ops.cupedZ(flat, col("arm"), col("y"), col("x"), "A", "B")
+      .collect().head
+    assert(d.getAs[Double]("theta") == 0.0 &&
+      d.getAs[Double]("mean_adj_a") == d.getAs[Double]("mean_a"))
+    // partitioning-invariant
+    val again = graft.api.Ops.cupedZ(units.repartition(5), col("arm"),
+      col("y"), col("x"), "A", "B").collect().head
+    assert(again.toSeq == r.toSeq)
+  }
+
+  test("diffInDiff: hand-checked four-cell estimate, SE, missing-cell nulls") {
+    import spark.implicits._
+    // means 10/20 vs 12/15 → DiD = (20−10) − (15−12) = 7;
+    // each cell var 2 → se² = 4·(2/2) = 4 → se 2, t 3.5
+    def cell(tr: Boolean, po: Boolean, vs: Seq[Double]) =
+      vs.map(v => (tr, po, v))
+    val df = (cell(true, false, Seq(9.0, 11.0)) ++ cell(true, true, Seq(19.0, 21.0)) ++
+      cell(false, false, Seq(11.0, 13.0)) ++ cell(false, true, Seq(14.0, 16.0)))
+      .toDF("tr", "po", "v")
+    val r = graft.api.Ops.diffInDiff(df, col("tr"), col("po"), col("v"))
+      .collect().head
+    assert(r.getAs[Double]("mean_t_pre") == 10.0 && r.getAs[Double]("mean_t_post") == 20.0)
+    assert(r.getAs[Double]("mean_c_pre") == 12.0 && r.getAs[Double]("mean_c_post") == 15.0)
+    assert(r.getAs[Double]("did") == 7.0)
+    assert(r.getAs[Double]("se") == 2.0 && r.getAs[Double]("t") == 3.5)
+    // a missing cell: counts report 0, did/se/t null
+    val partial = graft.api.Ops.diffInDiff(
+      df.filter(!(col("tr") && col("po"))), col("tr"), col("po"), col("v"))
+      .collect().head
+    assert(partial.getAs[Long]("n_t_post") == 0L &&
+      partial.isNullAt(partial.fieldIndex("did")) &&
+      partial.isNullAt(partial.fieldIndex("t")))
+    val again = graft.api.Ops.diffInDiff(df.repartition(7), col("tr"), col("po"), col("v"))
+      .collect().head
+    assert(again.toSeq == r.toSeq)
+  }
+
+  test("periodOverPeriod: previous OBSERVED period semantics, first-period null, zero-prev guard") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", "2024-01-05 00:00:00", 10.0), ("g", "2024-01-20 00:00:00", 10.0),
+      ("g", "2024-02-10 00:00:00", 30.0),
+      // March absent; April compares to FEBRUARY (previous observed)
+      ("g", "2024-04-01 00:00:00", 15.0),
+      ("h", "2024-01-01 00:00:00", 5.0))
+      .toDF("g", "tss", "v").withColumn("ts", col("tss").cast("timestamp"))
+    val out = graft.api.Ops.periodOverPeriod(df, "g", "ts", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val jan = out(("g", "2024-01"))
+    assert(jan.getAs[Long]("total_cents") == 2000L &&
+      jan.isNullAt(jan.fieldIndex("pct_change")), "first period has no prior")
+    val feb = out(("g", "2024-02"))
+    assert(feb.getAs[Long]("delta_cents") == 1000L &&
+      feb.getAs[Double]("pct_change") == 0.5)
+    val apr = out(("g", "2024-04"))
+    assert(apr.getAs[Long]("prev_cents") == 3000L &&
+      apr.getAs[Double]("pct_change") == -0.5,
+      "a gap month compares to the previous OBSERVED month")
+    assert(out(("h", "2024-01")).isNullAt(jan.fieldIndex("pct_change")),
+      "groups never mix")
+  }
+
   test("coarse-group guard: the exact order-statistic family fails loudly past maxExactGroupRows") {
     import spark.implicits._
     import graft.api.Ops._

@@ -79,8 +79,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q162_welch_t",
       // q170 crosses two 1-row profile aggregates (q162 shape);
       // q171 crosses the 1-row full-data aggregate with the 1-row
-      // CI frame; dedicated pins below
-      "q170_profile_drift", "q171_bootstrap_ci"))
+      // CI frame; q172 crosses the two 1-row arm-moment frames;
+      // dedicated pins below
+      "q170_profile_drift", "q171_bootstrap_ci", "q172_cuped"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -162,8 +163,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly the two 1-row moment frames crossed once in q162, got $keyless:\n$plan")
   }
 
-  test("q170/q171's only keyless joins are their 1-row × 1-row pairs") {
-    for ((name, expected) <- Seq("q170_profile_drift" -> 1, "q171_bootstrap_ci" -> 1)) {
+  test("q170/q171/q172's only keyless joins are their 1-row × 1-row pairs") {
+    for ((name, expected) <- Seq("q170_profile_drift" -> 1, "q171_bootstrap_ci" -> 1,
+        "q172_cuped" -> 1)) {
       val plan = physicalPlan(name)
       val keyless = plan.linesIterator.count(l =>
         l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
