@@ -194,6 +194,8 @@ object SparkEntry {
     "q172_cuped"          -> q(Extended.q172),
     "q173_did"            -> q(Extended.q173),
     "q174_pop_report"     -> q(Extended.q174),
+    "q175_funnel_ab"      -> q(Temporal.q175),
+    "q176_holt_trend"     -> q(Temporal.q176),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3908,6 +3910,82 @@ object SparkEntry {
         |  CASE WHEN prev_cents <> 0 THEN
         |    round(CAST(total_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE), 6) END AS pct_change
         |FROM w ORDER BY o_orderpriority, period""".stripMargin,
+
+    // q175: the q97 earliest-completion chain marks the completers;
+    // the q134 pooled-z tree scores completion per segment
+    "q175_funnel_ab" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s3 ON s3.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1),
+        |pu AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN events.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |    events.user_id AS u,
+        |    max(CASE WHEN s4.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+        |  FROM events JOIN customer ON c_custkey = events.user_id
+        |  LEFT JOIN s4 ON s4.user_id = events.user_id
+        |  GROUP BY 1, 2, 3),
+        |per AS (
+        |  SELECT c_mktsegment, v, count(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM pu GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.c_mktsegment, a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+        |  FROM per a JOIN per b ON a.c_mktsegment = b.c_mktsegment
+        |  WHERE a.v = 'A' AND b.v = 'B'),
+        |s AS (
+        |  SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
+        |            CAST(conv_b AS DOUBLE) / n_b AS pb,
+        |            CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool
+        |  FROM j),
+        |z2 AS (
+        |  SELECT *, sqrt(pool * (CAST(1 AS DOUBLE) - pool) *
+        |                 (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS se
+        |  FROM s)
+        |SELECT c_mktsegment, n_a, conv_a, n_b, conv_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  CASE WHEN se > 0 THEN round((pa - pb) / se, 6) END AS z,
+        |  CASE WHEN se > 0 THEN abs(round((pa - pb) / se, 6)) >= CAST(1.96 AS DOUBLE)
+        |       ELSE FALSE END AS significant
+        |FROM z2 ORDER BY c_mktsegment""".stripMargin,
+
+    // q176: the q117 lag-chain replay run TWICE — pass 2 lags pass
+    // 1's exact floor-divided millicents through a second CTE layer
+    "q176_holt_trend" -> {
+      val lags = 8
+      def terms(src: String) = (0 until lags).map { l =>
+        val w = 1L << (lags - 1 - l)
+        val c = if (l == 0) src else s"lag($src, $l) OVER w"
+        (s"COALESCE($c, 0) * $w", s"CASE WHEN $c IS NULL THEN 0 ELSE $w END")
+      }
+      val t1 = terms("c"); val t2 = terms("s1")
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events WHERE value IS NOT NULL),
+         |l1 AS (SELECT event_id, user_id, us,
+         |  ((${t1.map(_._1).mkString(" + ")}) * 1000) //
+         |    (${t1.map(_._2).mkString(" + ")}) AS s1
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |l2 AS (SELECT event_id, user_id, s1,
+         |  (${t2.map(_._1).mkString(" + ")}) //
+         |    (${t2.map(_._2).mkString(" + ")}) AS s2
+         |  FROM l1 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+         |SELECT event_id, user_id, s1 AS s1_millicents, s2 AS s2_millicents,
+         |  s1 * 2 - s2 AS level_millicents, s1 - s2 AS trend_millicents,
+         |  (s1 * 2 - s2) + 3 * (s1 - s2) AS forecast_millicents
+         |FROM l2 ORDER BY event_id""".stripMargin
+    },
 
     // q112/q115/q116 (r13 hash-checked flip): the gated outputs are
     // the planted-clone pair views, whose expected sets derive from

@@ -573,9 +573,13 @@ object Ops {
     */
   private[graft] def coocCensus(baskets: DataFrame, basket: String,
                                 item: String): (DataFrame, DataFrame) = {
+    // the distinct basket-item frame feeds the item census AND both
+    // sides of the pair self-join — pinned once so the source is
+    // scanned once, not three times (the r13 q165 plan-audit rule)
     val e = baskets.select(col(basket).as("__ok"), col(item).as("__it"))
       .filter(col("__ok").isNotNull && col("__it").isNotNull)
       .distinct()
+      .localCheckpoint(true)
     val items = e.groupBy(col("__it").as("it")).agg(count(lit(1)).as("n"))
     val pairs = e.as("x").join(e.as("y"),
         col("x.__ok") === col("y.__ok") && col("x.__it") < col("y.__it"))
@@ -1257,11 +1261,18 @@ object Ops {
     val und = edges
       .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
       .select(col(src).as("__a"), col(dst).as("__b"))
+    // the canonical edge set feeds FIVE consumers (two adjacency
+    // directions, the anti-join, and — via deg — three degree
+    // lookups); without a lineage break each one re-derives it from
+    // the source (the r13 plan audit read 26 scans on the gated
+    // query). Pin it once; deg (node-sized) likewise.
     val e = und.select(least(col("__a"), col("__b")).as("__a"),
       greatest(col("__a"), col("__b")).as("__b")).distinct()
+      .localCheckpoint(true)
     val adj = e.select(col("__a").as("__n"), col("__b").as("__x"))
       .unionByName(e.select(col("__b").as("__n"), col("__a").as("__x")))
     val deg = adj.groupBy(col("__x")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
     // wedge join through NON-HUB mids: adj keyed by the mid node
     val mids = adj.select(col("__x").as("__mid"), col("__n").as("__leaf"))
       .join(deg.filter(col("__deg") <= maxMidDegree)
@@ -4279,15 +4290,23 @@ object Ops {
       * per-key cost scales with its step-1 event count — the exact-
       * semantics price; joins stay key-partitioned.
       */
-    def funnel(key: String, time: String, typeCol: String,
-               steps: Seq[String], withinUs: Option[Long] = None): DataFrame = {
+    private def funnelRequires(steps: Seq[String], withinUs: Option[Long]): Unit = {
       require(steps.nonEmpty && steps.size <= 8,
         s"funnel needs 1..8 steps (got ${steps.size})")
       require(steps.distinct.size == steps.size,
         "funnel steps must be distinct event types (a repeated type is " +
           "ambiguous under earliest-completion semantics)")
       require(withinUs.forall(_ > 0), "funnel: withinUs must be positive")
-      val reached: Seq[DataFrame] = withinUs match {
+    }
+
+    /** The per-key frames reaching each funnel step — the shared core
+      * of [[funnel]] (which counts them) and [[funnelCompleters]]
+      * (which returns the last one).
+      */
+    private def funnelReached(key: String, time: String, typeCol: String,
+                              steps: Seq[String],
+                              withinUs: Option[Long]): Seq[DataFrame] =
+      withinUs match {
         case None =>
           val first = left.filter(col(typeCol) === steps.head)
             .groupBy(col(key)).agg(min(col(time)).as("__t"))
@@ -4309,6 +4328,11 @@ object Ops {
               .groupBy(col(key), col("__t1")).agg(min(col(time)).as("__t"))
           }.map(_.select(col(key)).distinct())
       }
+
+    def funnel(key: String, time: String, typeCol: String,
+               steps: Seq[String], withinUs: Option[Long] = None): DataFrame = {
+      funnelRequires(steps, withinUs)
+      val reached = funnelReached(key, time, typeCol, steps, withinUs)
       val counts = reached.zip(steps).zipWithIndex
         .map { case ((df, st), i) =>
           df.select(lit((i + 1).toLong).as("step"), lit(st).as("event_type"), col(key))
@@ -4326,6 +4350,20 @@ object Ops {
       stepsDf.join(counts, Seq("step", "event_type"), "left")
         .select(col("step"), col("event_type"),
           coalesce(col("n_users"), lit(0L)).as("n_users"))
+    }
+
+    /** The keys that complete the WHOLE funnel (r13 — [[funnel]]'s
+      * per-key view: the counts say how many reach each step, THIS
+      * says who finished, ready to join as a conversion flag — the
+      * funnel-completion A/B readout q175 composes with
+      * [[abTest]]). Same earliest-completion / optional-deadline
+      * semantics; returns one column (`key`), distinct.
+      */
+    def funnelCompleters(key: String, time: String, typeCol: String,
+                         steps: Seq[String],
+                         withinUs: Option[Long] = None): DataFrame = {
+      funnelRequires(steps, withinUs)
+      funnelReached(key, time, typeCol, steps, withinUs).last.distinct()
     }
 
     /** Range join on |leftTime - rightTime| <= tolerance (no equi
@@ -4407,6 +4445,65 @@ object Ops {
         .withColumn("ewma_denom", den)
         .withColumn("ewma_millicents", expr("(ewma_num * 1000) div ewma_denom"))
         .drop("__ew_us", "__ew_c")
+    }
+
+    /** Brown's double exponential smoothing — exact trailing level +
+      * trend (r13 — [[ewmaTrailing]] finished into a FORECASTER: a
+      * single EWMA lags behind a trending series by construction;
+      * smoothing the smoother measures that lag, and
+      * `level = 2s₁ − s₂`, `trend = s₁ − s₂` (the α = 1/2 Brown
+      * identities) remove it — the one-step-ahead forecast
+      * `level + h·trend` is the classic short-horizon baseline):
+      * BOTH smoothing passes run the [[ewmaTrailing]] power-of-two
+      * Long-weight machinery — pass 1 over exact cents, pass 2 over
+      * pass 1's exact floor-divided millicents — so every output is
+      * an exact integer, bit-replayable anywhere. Null values drop
+      * up front (the ewmaTrailing rule). Adds
+      * (s1_millicents, s2_millicents, level_millicents,
+      * trend_millicents, forecast_millicents = level + h·trend).
+      *
+      * Scale shape: ONE key-partitioned window sort shared by BOTH
+      * lag chains (pass 2 lags a column pass 1 defined over the SAME
+      * window — Spark collapses them into one Window operator); cost
+      * is the q98/q117 single-sort shape plus O(lags) per row.
+      */
+    def holtTrailing(key: String, time: String, tieBreak: String,
+                     value: Column, lags: Int = 8,
+                     horizon: Int = 1): DataFrame = {
+      require(lags >= 1 && lags <= 32, s"holtTrailing: lags ($lags) must be in 1..32")
+      require(horizon >= 0 && horizon <= 1000,
+        s"holtTrailing: horizon ($horizon) must be in 0..1000")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(key)).orderBy(col("__hw_us"), col(tieBreak))
+      def smooth(src: String, numOut: String, denOut: String): (Column, Column) = {
+        def cAt(l: Int): Column =
+          if (l == 0) col(src) else lag(col(src), l).over(w)
+        val num = (0 until lags).map(l =>
+          coalesce(cAt(l), lit(0L)) * lit(1L << (lags - 1 - l))).reduce(_ + _)
+        val den = (0 until lags).map(l =>
+          when(cAt(l).isNotNull, lit(1L << (lags - 1 - l))).otherwise(lit(0L))).reduce(_ + _)
+        (num.as(numOut), den.as(denOut))
+      }
+      val (n1, d1) = smooth("__hw_c", "__n1", "__d1")
+      val base = left
+        .filter(value.isNotNull)
+        .withColumn("__hw_us", unix_micros(col(time).cast("timestamp")))
+        .withColumn("__hw_c", (graft.util.Portable.dec(value) * 100).cast("long"))
+        .select(col("*"), n1, d1)
+        .withColumn("s1_millicents", expr("(__n1 * 1000) div __d1"))
+      val (n2, d2) = smooth("s1_millicents", "__n2", "__d2")
+      base
+        .select(col("*"), n2, d2)
+        // pass 2 averages MILLIcents, so its num is milli·milli —
+        // divide the weight sum only (values already milli)
+        .withColumn("s2_millicents", expr("__n2 div __d2"))
+        .withColumn("level_millicents",
+          col("s1_millicents") * 2 - col("s2_millicents"))
+        .withColumn("trend_millicents",
+          col("s1_millicents") - col("s2_millicents"))
+        .withColumn("forecast_millicents",
+          col("level_millicents") + lit(horizon.toLong) * col("trend_millicents"))
+        .drop("__hw_us", "__hw_c", "__n1", "__d1", "__n2", "__d2")
     }
 
     /** Ordered per-key event paths + pattern gate (r12 — journey

@@ -437,6 +437,45 @@ object Temporal {
         "event_id", col("value"))
       .orderBy(col("user_id"))
 
+  /** q175: funnel-completion A/B test per market segment
+    * ([[graft.api.Ops.GraftDataFrameOps.funnelCompleters]] composed
+    * with [[graft.api.Ops.GraftDataFrameOps.abTest]]) — conversion =
+    * finishing the FULL signup→view→click→purchase funnel (q97's
+    * earliest-completion semantics), arms by user parity, one pooled
+    * z per segment; "did the variant move the WHOLE funnel, not just
+    * one step" (r13).
+    */
+  def q175(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val done = t.events.funnelCompleters("user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .withColumn("__done", lit(true))
+    t.events
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .join(done, Seq("user_id"), "left")
+      .abTest("c_mktsegment", col("user_id"),
+        when(col("user_id") % 2 === 0, "A").otherwise("B"),
+        coalesce(col("__done"), lit(false)), "A", "B")
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q176: Brown double-exponential level/trend forecast per user
+    * ([[graft.api.Ops.GraftDataFrameOps.holtTrailing]]) — the EWMA
+    * smoothed TWICE with the same power-of-two Long weights; level
+    * 2s₁−s₂, trend s₁−s₂, 3-step forecast — exact integers
+    * end-to-end (r13).
+    */
+  def q176(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.events.holtTrailing("user_id", "ts", "event_id", col("value"),
+        lags = 8, horizon = 3)
+      .select(col("event_id"), col("user_id"), col("s1_millicents"),
+        col("s2_millicents"), col("level_millicents"),
+        col("trend_millicents"), col("forecast_millicents"))
+      .orderBy(col("event_id"))
+  }
+
   /** q135: exact autocorrelation of the daily event-count series per
     * event type ([[graft.api.Ops.GraftDataFrameOps.acfByGroup]]) —
     * lags 1..3 over the per-day census (exact longs in, the q119

@@ -1693,6 +1693,58 @@ class OperatorQualitySpec extends AnyFunSuite {
       "groups never mix")
   }
 
+  test("funnelCompleters: the completer set matches the last funnel step count, deadline honored") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "c"), // completes
+      ("u2", 1L, "a"), ("u2", 2L, "c"),                  // skips b
+      ("u3", 5L, "a"), ("u3", 6L, "b"), ("u3", 500L, "c")) // completes (no deadline)
+      .map { case (u, s, t) => (u, new java.sql.Timestamp(s * 1000L), t) }
+      .toDF("u", "ts", "et")
+    val done = df.funnelCompleters("u", "ts", "et", Seq("a", "b", "c"))
+      .collect().map(_.getString(0)).toSet
+    assert(done == Set("u1", "u3"))
+    // completers ≡ the funnel's last-step count (shared core)
+    val lastCount = df.funnel("u", "ts", "et", Seq("a", "b", "c"))
+      .filter(col("step") === 3).collect().head.getAs[Long]("n_users")
+    assert(lastCount == done.size.toLong)
+    // a deadline drops the slow completer
+    val strict = df.funnelCompleters("u", "ts", "et", Seq("a", "b", "c"),
+      withinUs = Some(10L * 1000000L)).collect().map(_.getString(0)).toSet
+    assert(strict == Set("u1"), s"u3's c lands past the deadline, got $strict")
+  }
+
+  test("holtTrailing: hand-checked two-pass smoothing, flat series zero trend, invariance") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // lags=2 (weights 2,1), values 1.00/2.00/3.00 → s1 = 100000,
+    // 166666, 266666 millicents (floor); s2 = 100000, 144444, 233332;
+    // level 2s1−s2, trend s1−s2, forecast level + trend
+    val df = Seq((1L, "2024-01-01 00:00:01", 1.00),
+      (2L, "2024-01-01 00:00:02", 2.00), (3L, "2024-01-01 00:00:03", 3.00))
+      .map { case (i, t, v) => ("k", i, t, v) }
+      .toDF("k", "id", "tss", "v")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = df.holtTrailing("k", "ts", "id", col("v"), lags = 2, horizon = 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("s1_millicents"), r.getAs[Long]("s2_millicents"),
+          r.getAs[Long]("trend_millicents"), r.getAs[Long]("forecast_millicents")))).toMap
+    assert(out(1L) == ((100000L, 100000L, 0L, 100000L)),
+      "the first row smooths to itself on both passes")
+    assert(out(2L) == ((166666L, 144444L, 22222L, 211110L)), s"got ${out(2L)}")
+    assert(out(3L) == ((266666L, 233332L, 33334L, 333334L)), s"got ${out(3L)}")
+    // a flat series carries zero trend at every row
+    val flat = df.withColumn("v", lit(5.0))
+    assert(flat.holtTrailing("k", "ts", "id", col("v"), lags = 4)
+      .collect().forall(_.getAs[Long]("trend_millicents") == 0L))
+    // partitioning-invariant
+    val again = df.repartition(5).holtTrailing("k", "ts", "id", col("v"), lags = 2, horizon = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+    assert(again == df.holtTrailing("k", "ts", "id", col("v"), lags = 2, horizon = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.toSeq).toMap)
+  }
+
   test("coarse-group guard: the exact order-statistic family fails loudly past maxExactGroupRows") {
     import spark.implicits._
     import graft.api.Ops._
