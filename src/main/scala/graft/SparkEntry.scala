@@ -2431,8 +2431,12 @@ object SparkEntry {
         val c = if (l == 0) "c" else s"lag(c, $l) OVER w"
         (s"COALESCE($c, 0) * $w", s"CASE WHEN $c IS NULL THEN 0 ELSE $w END")
       }
+      // null-value rows DROP up front (the operator's stated
+      // semantics — a null is not an observation and must not occupy
+      // a lag slot); the oracle replays the same drop
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
-         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events
+         |  WHERE value IS NOT NULL),
          |l AS (SELECT event_id, user_id,
          |  ${terms.map(_._1).mkString(" + ")} AS ewma_num,
          |  ${terms.map(_._2).mkString(" + ")} AS ewma_denom
@@ -3205,7 +3209,7 @@ object SparkEntry {
         |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
         |  FROM w),
         |r AS (SELECT *, row_number() OVER (ORDER BY d_num DESC, v) AS rk FROM g)
-        |SELECT n_a, n_b, CAST(d_num AS DECIMAL(38,2)) AS d_num, v AS at_value,
+        |SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num, v AS at_value,
         |  round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat
         |FROM r WHERE rk = 1""".stripMargin,
 
@@ -3246,7 +3250,7 @@ object SparkEntry {
         |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
         |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
         |  FROM agg)
-        |SELECT n_a, n_b, CAST(u2 AS DECIMAL(38,2)) AS u2,
+        |SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2,
         |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
         |    round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
         |      (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
@@ -3281,7 +3285,7 @@ object SparkEntry {
         |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
         |  FROM w),
         |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY d_num DESC, v) AS rk FROM g)
-        |SELECT grp, n_a, n_b, CAST(d_num AS DECIMAL(38,2)) AS d_num, v AS at_value,
+        |SELECT grp, n_a, n_b, CAST(d_num AS BIGINT) AS d_num, v AS at_value,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
         |    round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS d_stat
         |FROM r WHERE rk = 1 ORDER BY grp""".stripMargin,
@@ -3324,7 +3328,7 @@ object SparkEntry {
         |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
         |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
         |  FROM agg)
-        |SELECT grp, n_a, n_b, CAST(u2 AS DECIMAL(38,2)) AS u2,
+        |SELECT grp, n_a, n_b, CAST(u2 AS BIGINT) AS u2,
         |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
         |    round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
         |      (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
@@ -3408,10 +3412,10 @@ object SparkEntry {
         |  SELECT *,
         |    CAST(12 AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)))
         |      * (qsum + fsum) - CAST(3 AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)) AS hraw,
-        |    CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE) /
-        |      CAST(CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS DOUBLE) AS cc
+        |    CASE WHEN n_total > 1 THEN CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+        |      CAST(CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS DOUBLE) END AS cc
         |  FROM w)
-        |SELECT grp, n, CAST(r2 AS DECIMAL(38,2)) AS r2, n_total, k_groups,
+        |SELECT grp, n, CAST(r2 AS BIGINT) AS r2, n_total, k_groups,
         |  round(hraw, 6) AS h,
         |  CASE WHEN cc > 0 THEN round(hraw / cc, 6) END AS h_adj
         |FROM f ORDER BY grp""".stripMargin,
@@ -3532,7 +3536,8 @@ object SparkEntry {
         |rk AS (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY cust ORDER BY score DESC, cand) AS BIGINT) AS rnk
         |  FROM unseen)
-        |SELECT cust, cand AS rec_item, score, n_contributors, rnk
+        |SELECT cust, cand AS rec_item,
+        |  CAST(score * 1000000 AS BIGINT) AS score_micros, n_contributors, rnk
         |FROM rk WHERE rnk <= 3 ORDER BY cust, rnk""".stripMargin,
 
     // q165: distinct co-purchase edges → degree census → hub-capped
@@ -3582,7 +3587,7 @@ object SparkEntry {
         |a AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY abs(stat) DESC, k) AS rk FROM j)
         |SELECT user_id, n AS n_points, k AS cp_index, us AS cp_us,
-        |  CAST(stat AS DECIMAL(38,2)) AS stat,
+        |  CAST(stat AS BIGINT) AS stat,
         |  (s * 1000) // k AS mean_before_millicents,
         |  CASE WHEN n > k THEN ((t - s) * 1000) // (n - k) END AS mean_after_millicents
         |FROM a WHERE rk = 1 ORDER BY user_id""".stripMargin,
@@ -4273,7 +4278,8 @@ object SparkEntry {
         |    CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof
         |  FROM c2)
         |SELECT a AS o_orderstatus, b AS o_orderpriority, obs, na, nb,
-        |  round(e, 6) AS expected, contrib, chi2, dof
+        |  round(e, 6) AS expected, contrib,
+        |  CAST(chi2 * 1000000 AS BIGINT) AS chi2_micros, dof
         |FROM c2 CROSS JOIN tot
         |ORDER BY 1, 2""".stripMargin,
 
@@ -4298,7 +4304,8 @@ object SparkEntry {
         |    CAST(SUM(v * i) AS DECIMAL(38,2)) AS s_iv,
         |    CAST(SUM(v * v) AS DECIMAL(38,4)) AS s_v2
         |  FROM r GROUP BY g)
-        |SELECT g AS o_orderpriority, n_entities, total,
+        |SELECT g AS o_orderpriority, n_entities,
+        |  CAST(total * 100 AS BIGINT) AS total_cents,
         |  CASE WHEN total <> 0 THEN
         |    round(CAST(s_v2 AS DOUBLE) /
         |      (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) END AS hhi,

@@ -537,8 +537,12 @@ object Ops {
       */
     def save(path: String): Unit = {
       cells.write.mode("overwrite").parquet(s"$path/cells")
+      // fmt=2 marks the NUL key separator (fmt-less artifacts were
+      // comma-joined; loading one by NUL-split would FUSE the key
+      // names into a single misparsed string -- load fails fast on a
+      // missing/old marker instead)
       ArtifactIO.writeMeta(cells.sparkSession, path, "rollup",
-        Seq("keys" -> keys.mkString("\u0000")))
+        Seq("keys" -> keys.mkString("\u0000"), "fmt" -> "2"))
     }
   }
 
@@ -560,6 +564,13 @@ object Ops {
     */
   def loadRollup(spark: org.apache.spark.sql.SparkSession, path: String): PreparedRollup = {
     val m = ArtifactIO.readMeta(spark, path, "rollup")
+    // fail FAST on a pre-fmt artifact rather than misparse it: a
+    // fmt-less rollup was saved with comma-joined key names, which a
+    // NUL split would fuse into one wrong key string silently
+    val fmt = m.getOrElse("fmt", "<missing>")
+    require(fmt == "2",
+      s"loadRollup: artifact at $path has format '$fmt', expected '2' " +
+        "(NUL-separated keys) -- re-save it with this engine's prepareRollup")
     PreparedRollup(spark.read.parquet(s"$path/cells"),
       ArtifactIO.field(m, path, "keys").split("\u0000").toSeq, reliable = true)
   }
@@ -794,11 +805,14 @@ object Ops {
       .withColumn("d_stat", when(col("n_a") > 0 && col("n_b") > 0,
         round(col("d_num").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6)))
-      // emitted at scale 2, NOT 0: scale-0 DECIMAL is the one decimal
-      // shape the external gate canonicalizes differently across
-      // engines (SURVEY §3 rule) — the value stays exact
+      // emitted as BIGINT, never DECIMAL: wide decimals render with
+      // engine-specific trailing-zero canonicalization in external
+      // gates (SURVEY §3 rule — no DECIMAL of precision > 18 in a
+      // gated output). d_num ≤ n_a·n_b, exact in a long while both
+      // sides stay below ~3·10⁹ rows (stated; the internal argmax
+      // stays DECIMAL(38,0) regardless)
       .select(col("n_a"), col("n_b"),
-        col("d_num").cast(DecimalType(38, 2)).as("d_num"),
+        col("d_num").cast("long").as("d_num"),
         col("v").as("at_value"), col("d_stat"))
   }
 
@@ -858,10 +872,11 @@ object Ops {
           col("n_a") + col("n_b") >= 2 && col("__var") > 0.0,
         round((col("u2").cast("double") - naD * nbD) /
           (lit(2.0) * sqrt(col("__var"))), 6)))
-      // scale-2 emission (never scale-0 DECIMAL in a gated output —
-      // SURVEY §3); exactness is unchanged, u2 is an integer
+      // BIGINT emission (no DECIMAL in a gated output — SURVEY §3);
+      // u2 ≤ 2·n_a·n_b stays exact in a long below ~2·10⁹-row sides
+      // (stated; the rank sums stay DECIMAL(38,0) internally)
       .select(col("n_a"), col("n_b"),
-        col("u2").cast(DecimalType(38, 2)).as("u2"), col("z"))
+        col("u2").cast("long").as("u2"), col("z"))
   }
 
   /** Per-group two-sample Kolmogorov–Smirnov (r13 — [[ksStatistic]]
@@ -911,7 +926,7 @@ object Ops {
         round(col("d_num").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")), 6)))
       .select(col("grp"), col("n_a"), col("n_b"),
-        col("d_num").cast(DecimalType(38, 2)).as("d_num"),
+        col("d_num").cast("long").as("d_num"),
         col("v").as("at_value"), col("d_stat"))
   }
 
@@ -967,7 +982,7 @@ object Ops {
         round((col("u2").cast("double") - naD * nbD) /
           (lit(2.0) * sqrt(col("__var"))), 6)))
       .select(col("grp"), col("n_a"), col("n_b"),
-        col("u2").cast(DecimalType(38, 2)).as("u2"), col("z"))
+        col("u2").cast("long").as("u2"), col("z"))
   }
 
   /** Per-group PSI drift (r13 — [[psiDrift]] keyed by a segment
@@ -1081,12 +1096,15 @@ object Ops {
       .withColumn("__qsum", sum(col("__q").cast(DecimalType(38, 0))).over(wAll))
       .withColumn("__fsum", sum(col("__fr").cast(DecimalType(38, 12))).over(wAll))
       .withColumn("k_groups", count(lit(1)).over(wAll))
-      .withColumn("__c",
-        lit(1.0) - col("__tie").cast("double") / n3nD.cast("double"))
+      // the tie denominator N³−N is 0 when n_total < 2 — ANSI errors
+      // even on DOUBLE division by zero, so the correction is gated
+      // (null __c → null h_adj, the same rule the MWU variance uses)
+      .withColumn("__c", when(col("n_total") > 1,
+        lit(1.0) - col("__tie").cast("double") / n3nD.cast("double")))
       .withColumn("h", round(h, 6))
       .withColumn("h_adj", when(col("__c") > 0.0, round(h / col("__c"), 6)))
       .select(col("grp"), col("n"),
-        col("__r2").cast(DecimalType(38, 2)).as("r2"),
+        col("__r2").cast("long").as("r2"),
         col("n_total"), col("k_groups"), col("h"), col("h_adj"))
   }
 
@@ -1229,8 +1247,13 @@ object Ops {
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= n)
+      // the rank orders by the exact DECIMAL score; the EMISSION is
+      // integer micros (score is an exact multiple of 10⁻⁶, so ·10⁶
+      // is lossless — no DECIMAL column leaves a gated output,
+      // SURVEY §3)
       .select(col("__u").as(user), col("__cand").as("rec_item"),
-        col("score"), col("n_contributors"), col("rnk"))
+        (col("score") * 1000000).cast("long").as("score_micros"),
+        col("n_contributors"), col("rnk"))
   }
 
   /** Common-neighbor link prediction (r13 — the graph-analytics
@@ -1343,7 +1366,7 @@ object Ops {
           expr("((__cp_t - __cp_s) * 1000) div (__cp_n - __cp_k)")))
       .select(col(key), col("__cp_n").as("n_points"),
         col("__cp_k").as("cp_index"), col("__cp_us").as("cp_us"),
-        col("__stat").cast(DecimalType(38, 2)).as("stat"),
+        col("__stat").as("stat"),
         col("mean_before_millicents"), col("mean_after_millicents"))
   }
 
@@ -4420,7 +4443,11 @@ object Ops {
       * the `lags` lag() calls share that single sort — cost is the
       * shuffle plus O(lags) per row, state bounded by the frame.
       * Ordering must be total: `tieBreak` (a unique id) breaks
-      * equal-timestamp ties deterministically.
+      * equal-timestamp ties deterministically. Null values DROP up
+      * front (stated semantics, replayed by the q117 oracle): a null
+      * is not an observation and does not occupy a lag slot — and a
+      * key whose first `lags` rows were all null would otherwise
+      * reach `num div denom` with denom = 0 under ANSI.
       */
     def ewmaTrailing(key: String, time: String, tieBreak: String,
                      value: Column, lags: Int = 16): DataFrame = {
@@ -4954,11 +4981,18 @@ object Ops {
         .withColumn("dof",
           ((max(col("__da")).over(wCells) - 1) *
             (max(col("__db")).over(wCells) - 1)).cast("long"))
+        // χ² emits as integer micros: the decimal total is an exact
+        // multiple of 10⁻⁶ (a sum of round-6 terms), so ·10⁶ is
+        // lossless — and no DECIMAL column reaches a gated output
+        // (SURVEY §3; the former DECIMAL(38,6) emission passed the
+        // external gate only while no cell's rendering ended in a
+        // zero at scale)
         .select(col("__a").as(a), col("__b").as(b), col("obs"),
           col("na"), col("nb"),
           round(col("__e"), 6).as("expected"),
           col("__contrib").as("contrib"),
-          col("chi2"), col("dof"))
+          (col("chi2") * 1000000).cast("long").as("chi2_micros"),
+          col("dof"))
     }
 
     /** ABC / Pareto classification per group (r12 — the inventory and
@@ -5160,7 +5194,11 @@ object Ops {
           round(lit(2.0) * col("__s_iv").cast("double") / (n * t) -
             (col("n_entities") + 1).cast("double") / n, 6)))
         .withColumnRenamed("__g", group)
-        .drop("__s_iv", "__s_v2")
+        // the group total emits as integer cents (exact — entity
+        // values are DECIMAL(18,2) sums): no DECIMAL column in a
+        // gated output (SURVEY §3)
+        .withColumn("total_cents", (col("total") * 100).cast("long"))
+        .drop("__s_iv", "__s_v2", "total")
     }
 
     /** Exact autocorrelation function per group (r12 — the

@@ -1204,9 +1204,9 @@ class OperatorQualitySpec extends AnyFunSuite {
       "an absent cell still contributes its full expectation")
     assert(out(("x1", "y1")).getAs[Double]("contrib") == 0.055556)
     assert(out(("x1", "y1")).getAs[Double]("expected") == 4.5)
-    val chi2 = out(("x1", "y1")).getAs[java.math.BigDecimal]("chi2")
-    assert(chi2.compareTo(new java.math.BigDecimal("0.888890")) == 0,
-      s"decimal-summed rounded contribs (got $chi2)")
+    val chi2m = out(("x1", "y1")).getAs[Long]("chi2_micros")
+    assert(chi2m == 888890L,
+      s"decimal-summed rounded contribs emit as exact micros (got $chi2m)")
     assert(out(("x1", "y1")).getAs[Long]("dof") == 1L)
     // partitioning-invariant (exact census + fixed double shape)
     val again = df.repartition(7).chiSquareIndependence("a", "b").collect()
@@ -1252,12 +1252,12 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(r.length == 1)
     val row = r.head
     assert(row.getAs[Long]("n_a") == 3L && row.getAs[Long]("n_b") == 2L)
-    assert(row.getAs[java.math.BigDecimal]("d_num").longValueExact == 4L)
+    assert(row.getAs[Long]("d_num") == 4L)
     assert(row.getAs[Long]("at_value") == 2L)
     assert(row.getAs[Double]("d_stat") == 0.666667)
     // identical samples → zero gap at the smallest value (the tie rule)
     val same = graft.api.Ops.ksStatistic(a, a.repartition(3), col("v")).collect().head
-    assert(same.getAs[java.math.BigDecimal]("d_num").longValueExact == 0L &&
+    assert(same.getAs[Long]("d_num") == 0L &&
       same.getAs[Long]("at_value") == 1L && same.getAs[Double]("d_stat") == 0.0)
     // an empty side has no CDF: null d_stat with the counts reporting
     // which side — never a division by zero
@@ -1276,13 +1276,13 @@ class OperatorQualitySpec extends AnyFunSuite {
     val b = Seq(2L, 3L).toDF("v")
     val r = graft.api.Ops.mannWhitneyU(a, b, col("v")).collect().head
     assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
-    assert(r.getAs[java.math.BigDecimal]("u2").longValueExact == 1L)
+    assert(r.getAs[Long]("u2") == 1L)
     assert(r.getAs[Double]("z") == -1.224745)
     // all-identical values → zero variance → null z, u2 still exact
     val c = Seq(5L, 5L).toDF("v")
     val deg = graft.api.Ops.mannWhitneyU(c, c.repartition(2), col("v")).collect().head
     assert(deg.isNullAt(deg.fieldIndex("z")) &&
-      deg.getAs[java.math.BigDecimal]("u2").longValueExact == 4L,
+      deg.getAs[Long]("u2") == 4L,
       "zero-variance inputs yield null z (u2 = 2·(2 ties · 0.5 + 1 win... ) stays exact)")
     // an empty side → null z with counts reporting
     val emp = graft.api.Ops.mannWhitneyU(a, b.filter(col("v") < 0), col("v"))
@@ -1343,8 +1343,8 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(out.length == 2)
     val x = out(0); val y = out(1)
     assert(x.getAs[String]("grp") == "x" && x.getAs[Long]("n") == 2L)
-    assert(x.getAs[java.math.BigDecimal]("r2").longValueExact == 7L)   // 2·3.5
-    assert(y.getAs[java.math.BigDecimal]("r2").longValueExact == 13L)  // 2·6.5
+    assert(x.getAs[Long]("r2") == 7L)   // 2·3.5
+    assert(y.getAs[Long]("r2") == 13L)  // 2·6.5
     assert(x.getAs[Long]("n_total") == 4L && x.getAs[Long]("k_groups") == 2L)
     assert(x.getAs[Double]("h") == 1.35, s"h = ${x.getAs[Double]("h")}")
     assert(x.getAs[Double]("h_adj") == 1.5)
@@ -1414,22 +1414,22 @@ class OperatorQualitySpec extends AnyFunSuite {
       .toDF("item", "other", "cosine")
     val out = graft.api.Ops.recommendTopN(seen, "u", "it", sims, n = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getAs[java.math.BigDecimal]("score").doubleValue,
+        r.getAs[Long]("score_micros"),
         r.getLong(3), r.getLong(4)))
     // user 1: candidate 30 scores .5 + .25 = .75 (2 contributors);
     // candidate 20 is SEEN → excluded despite cosine .9
     val u1 = out.filter(_._1 == 1L)
-    assert(u1.toSeq == Seq((1L, 30L, 0.75, 2L, 1L)), s"got ${u1.toSeq}")
+    assert(u1.toSeq == Seq((1L, 30L, 750000L, 2L, 1L)), s"got ${u1.toSeq}")
     // user 2 saw only 10: recs are 30 (.5) then 20 (.9)? no — .9 ranks
     // first: 20 (.9, rnk 1), 30 (.5, rnk 2)
     val u2 = out.filter(_._1 == 2L).sortBy(_._5)
     assert(u2.map(t => (t._2, t._3, t._5)).toSeq ==
-      Seq((20L, 0.9, 1L), (30L, 0.5, 2L)), s"got ${u2.toSeq}")
+      Seq((20L, 900000L, 1L), (30L, 500000L, 2L)), s"got ${u2.toSeq}")
     // decimal scoring is partitioning-invariant
     val again = graft.api.Ops.recommendTopN(seen.repartition(3), "u", "it",
       sims.repartition(2), n = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        r.getAs[java.math.BigDecimal]("score").doubleValue, r.getLong(3), r.getLong(4)))
+        r.getAs[Long]("score_micros"), r.getLong(3), r.getLong(4)))
     assert(again.toSet == out.toSet)
   }
 
@@ -1479,7 +1479,7 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r).toMap
     val u1 = out("u1")
     assert(u1.getAs[Long]("n_points") == 5L && u1.getAs[Long]("cp_index") == 3L)
-    assert(u1.getAs[java.math.BigDecimal]("stat").longValueExact == -2400L)
+    assert(u1.getAs[Long]("stat") == -2400L)
     assert(u1.getAs[Long]("mean_before_millicents") == 100000L)
     assert(u1.getAs[Long]("mean_after_millicents") == 500000L)
     val u2 = out("u2")

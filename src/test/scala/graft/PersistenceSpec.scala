@@ -407,6 +407,17 @@ class PersistenceSpec extends AnyFunSuite {
     assert(loadedW.keys == Seq("status, priority"),
       s"comma-bearing key name must survive save/load (got ${loadedW.keys})")
     assertSameRows(loadedW.serve, pw.serve, "comma-key rollup serve")
+    // r14 (r13-ADVICE): a PRE-fmt artifact (comma-joined keys, no
+    // format marker) must FAIL FAST on load, not silently fuse its
+    // key names into one misparsed string
+    val dirOld = tmp("rollupOld")
+    full.cells.write.mode("overwrite").parquet(s"$dirOld/cells")
+    import spark.implicits._
+    Seq(("kind", "rollup"), ("keys", keys.mkString(","))).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dirOld/meta")
+    val ex = intercept[IllegalArgumentException](Ops.loadRollup(spark, dirOld))
+    assert(ex.getMessage.contains("format"),
+      s"fmt-less artifact must fail fast with a format message (got ${ex.getMessage})")
   }
 
   test("PreparedActives round-trips; absorb is IDEMPOTENT set union; serves ≡ batch operators") {

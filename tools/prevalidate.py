@@ -37,11 +37,15 @@ def main():
         if only and name not in only:
             continue
         try:
-            spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-            duck_df = con.sql(sql).df()
-            spark_df = spark_df[sorted(spark_df.columns)]
-            duck_df = duck_df[sorted(duck_df.columns)]
-            status, detail = compare(spark_df, duck_df)
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            duck_rel = con.sql(sql)
+            status, detail = wide_decimal_check(spark_rel, duck_rel)
+            if status is None:
+                spark_df = spark_rel.df()
+                duck_df = duck_rel.df()
+                spark_df = spark_df[sorted(spark_df.columns)]
+                duck_df = duck_df[sorted(duck_df.columns)]
+                status, detail = compare(spark_df, duck_df)
         except Exception as e:
             status, detail = "ERROR", str(e).split("\n")[0][:300]
         if status == "PASS":
@@ -52,6 +56,27 @@ def main():
             print(f"FAIL {name}: {status} {detail}")
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
+
+def wide_decimal_check(spark_rel, duck_rel):
+    """HARD GATE: no wide-DECIMAL (precision > 18) column may reach the
+    external gate. The driver's hash canonicalizes trailing zeros of
+    HUGEINT-backed decimal renderings on one side only (VERDICT r13:
+    9/9 discriminator — a wide-decimal output fails iff any cell's
+    rendering ends in a zero at its scale), so such a column is a
+    LATENT hash failure even when every value matches locally. Emit
+    exact integers as BIGINT (micros/cents) or O(1) ratios as DOUBLE.
+    Checked on the DECLARED relation types (this duckdb's .df()
+    converts decimals to float64, hiding the class from value compare).
+    """
+    for side, rel in (("spark", spark_rel), ("duck", duck_rel)):
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ)
+            if t.startswith("DECIMAL"):
+                prec = int(t.split("(")[1].split(",")[0])
+                if prec > 18:
+                    return "DECIMAL", (f"side={side} col={col} type={t}: wide-DECIMAL "
+                                       "column in a gated output (emit BIGINT/DOUBLE)")
+    return None, None
 
 def compare(a, b):
     if list(a.columns) != list(b.columns):
