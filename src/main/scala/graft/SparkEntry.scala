@@ -196,6 +196,8 @@ object SparkEntry {
     "q174_pop_report"     -> q(Extended.q174),
     "q175_funnel_ab"      -> q(Temporal.q175),
     "q176_holt_trend"     -> q(Temporal.q176),
+    "q177_kw_by_group"    -> q(Extended.q177),
+    "q178_spearman_by_group" -> q(Extended.q178),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3496,6 +3498,97 @@ object SparkEntry {
         |           (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
         |  END AS rho
         |FROM agg""".stripMargin,
+
+    // q177: the q161 census/divmod/H machinery with every window and
+    // the tie/N scalars keyed by o_orderpriority (keyed hash join,
+    // no scalar cross joins in the keyed form)
+    "q177_kw_by_group" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS seg, o_orderstatus AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cg AS (SELECT seg, grp, v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2, 3),
+        |mv AS (SELECT seg, v, CAST(SUM(c) AS BIGINT) AS m FROM cg GROUP BY 1, 2),
+        |mvs AS (
+        |  SELECT seg, v, m, COALESCE(CAST(SUM(m) OVER (PARTITION BY seg ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+        |  FROM mv),
+        |per AS (
+        |  SELECT seg, grp, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(s * 2 + m + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS r2
+        |  FROM cg JOIN mvs USING (seg, v) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT seg, CAST(SUM(CAST(m AS DECIMAL(12,0)) * CAST(m AS DECIMAL(12,0)) *
+        |      CAST(m AS DECIMAL(12,0)) - CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie,
+        |    CAST(SUM(m) AS BIGINT) AS n_total
+        |  FROM mv GROUP BY 1),
+        |pq AS (
+        |  SELECT per.*, sc.tie, sc.n_total,
+        |    CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT) AS rsq,
+        |    CAST(n AS HUGEINT) * 4 AS den
+        |  FROM per JOIN sc USING (seg)),
+        |pq2 AS (SELECT *, (rsq - rsq % den) // den AS q, rsq % den AS rem FROM pq),
+        |w AS (
+        |  SELECT *, CAST(SUM(q) OVER (PARTITION BY seg) AS DOUBLE) AS qsum,
+        |    CAST(SUM(CAST(round(CAST(rem AS DOUBLE) / CAST(den AS DOUBLE), 12)
+        |      AS DECIMAL(38,12))) OVER (PARTITION BY seg) AS DOUBLE) AS fsum,
+        |    CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS k_groups
+        |  FROM pq2),
+        |f AS (
+        |  SELECT *,
+        |    CAST(12 AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)))
+        |      * (qsum + fsum) - CAST(3 AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)) AS hraw,
+        |    CASE WHEN n_total > 1 THEN CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+        |      CAST(CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS DOUBLE) END AS cc
+        |  FROM w)
+        |SELECT seg, grp, n, CAST(r2 AS BIGINT) AS r2, n_total, k_groups,
+        |  round(hraw, 6) AS h,
+        |  CASE WHEN cc > 0 THEN round(hraw / cc, 6) END AS h_adj
+        |FROM f ORDER BY seg, grp""".stripMargin,
+
+    // q178: the q163 doubled-rank censuses and moment sums with every
+    // window, join, and the finishing aggregate keyed by l_returnflag
+    "q178_spearman_by_group" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vx,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS vy
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT grp, vx, CAST(count(*) AS BIGINT) AS m FROM src GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT grp, vx, COALESCE(CAST(SUM(m) OVER (PARTITION BY grp ORDER BY vx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) * 2
+        |    + m + 1 AS ux
+        |  FROM cx),
+        |cy AS (SELECT grp, vy, CAST(count(*) AS BIGINT) AS m FROM src GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT grp, vy, COALESCE(CAST(SUM(m) OVER (PARTITION BY grp ORDER BY vy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) * 2
+        |    + m + 1 AS uy
+        |  FROM cy),
+        |j AS (
+        |  SELECT s.grp, rx.ux, ry.uy FROM src s
+        |  JOIN rx ON s.grp = rx.grp AND s.vx = rx.vx
+        |  JOIN ry ON s.grp = ry.grp AND s.vy = ry.vy),
+        |agg AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS su,
+        |    CAST(SUM(CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sv,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0)) * CAST(ux AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS suu,
+        |    CAST(SUM(CAST(uy AS DECIMAL(19,0)) * CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS svv,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0)) * CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS suv
+        |  FROM j GROUP BY 1)
+        |SELECT grp, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) *
+        |           (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM agg ORDER BY grp""".stripMargin,
 
     // q164: the q133 similarity CTEs verbatim, then basket join →
     // exact DECIMAL(9,6) score sums → anti-join seen → per-user rank

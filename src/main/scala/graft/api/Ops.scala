@@ -1208,6 +1208,130 @@ object Ops {
       .select(col("n"), col("rho"))
   }
 
+  /** Per-segment Kruskal–Wallis H test (r14 — [[kruskalWallis]] keyed
+    * by a segment column, completing the per-group experiment family
+    * q158/q159/q160/q169 opened: "within EACH segment, do any of the
+    * k arms' distributions differ"). Identical exact machinery — the
+    * (segment, group, value) census, the q157 double-rank identity
+    * `c·(2S+m+1)` in DECIMAL(38,0) off each segment's distinct-value
+    * census, the exact divmod split of Σ R²/n, the tie-corrected
+    * `H/C` fixed double tree (gated for n_total < 2, the ANSI ÷0
+    * rule) — with the prior-count window and the finishing windows
+    * PARTITIONED BY the segment, and the per-segment tie/N scalars
+    * arriving via a KEYED hash join (no scalar cross joins in the
+    * keyed form, the q160 statement). Returns one row per
+    * (segment, group): (seg, grp, n, r2 BIGINT) with the segment's
+    * (n_total, k_groups, h, h_adj) repeated.
+    *
+    * Scale shape: two map-combinable censuses + one segment-keyed
+    * value window + one grouped aggregate + segment-partitioned
+    * finishing windows — adding segments adds parallelism, not
+    * passes; cost tracks each segment's value domain.
+    */
+  def kruskalWallisByGroup(df: DataFrame, segment: String, group: String,
+                           value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cg = df.filter(col(segment).isNotNull && col(group).isNotNull &&
+        value.isNotNull)
+      .groupBy(col(segment).as("seg"), col(group).as("grp"),
+        value.cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val mv = cg.groupBy(col("seg"), col("v")).agg(sum(col("c")).as("m"))
+    val wBefore = Window.partitionBy(col("seg")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d12 = DecimalType(12, 0); val d19 = DecimalType(19, 0)
+    val mvS = mv.withColumn("s", coalesce(sum(col("m")).over(wBefore), lit(0L)))
+    val per = cg.join(mvS, Seq("seg", "v"))
+      .groupBy(col("seg"), col("grp"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(d19) * (col("s") * 2 + col("m") + 1).cast(d19))
+          .cast(DecimalType(38, 0)).as("__r2"))
+    // per-segment ties + N off the distinct-value census — a keyed
+    // hash join onto the per-(seg, grp) frame, never a cross join
+    val scalars = mv.groupBy(col("seg")).agg(
+      sum(col("m").cast(d12) * col("m").cast(d12) * col("m").cast(d12) -
+        col("m").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("__tie"),
+      sum(col("m")).as("n_total"))
+    val wSeg = Window.partitionBy(col("seg"))
+    val r2sq = (col("__r2") * col("__r2")).cast(DecimalType(38, 0))
+    val den = (col("n") * 4).cast(DecimalType(19, 0))
+    val nD = col("n_total").cast("double")
+    val sD = col("__qsum").cast("double") + col("__fsum").cast("double")
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) * sD - lit(3.0) * (nD + lit(1.0))
+    val n3nD = (col("n_total").cast(DecimalType(19, 0)) *
+      col("n_total").cast(d12) * col("n_total").cast(d12) -
+      col("n_total").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+    per.join(scalars, Seq("seg"))
+      .withColumn("__rsq", r2sq)
+      .withColumn("__q", (col("__rsq") - pmod(col("__rsq"), den)) / den)
+      .withColumn("__fr",
+        round(pmod(col("__rsq"), den).cast("double") / den.cast("double"), 12))
+      .withColumn("__qsum", sum(col("__q").cast(DecimalType(38, 0))).over(wSeg))
+      .withColumn("__fsum", sum(col("__fr").cast(DecimalType(38, 12))).over(wSeg))
+      .withColumn("k_groups", count(lit(1)).over(wSeg))
+      .withColumn("__c", when(col("n_total") > 1,
+        lit(1.0) - col("__tie").cast("double") / n3nD.cast("double")))
+      .withColumn("h", round(h, 6))
+      .withColumn("h_adj", when(col("__c") > 0.0, round(h / col("__c"), 6)))
+      .select(col("seg"), col("grp"), col("n"),
+        col("__r2").cast("long").as("r2"),
+        col("n_total"), col("k_groups"), col("h"), col("h_adj"))
+  }
+
+  /** Per-group Spearman rank correlation (r14 — [[spearmanCorr]]
+    * keyed by a segment column: "is the monotone association present
+    * in EVERY segment, or an aggregation artifact" — the Simpson's-
+    * paradox screen for skewed measures). Identical exact machinery —
+    * each variable's doubled average rank `2S+m+1` off its (segment,
+    * value) census (exact integers, the q157 identity), value-keyed
+    * joins back to rows, five exact DECIMAL(38,0) rank-moment sums —
+    * with the prior-count windows PARTITIONED BY the segment and ONE
+    * grouped aggregate finishing all segments; a segment with a
+    * constant axis reports null rho (n still counts). Returns one row
+    * per segment: (grp, n, rho).
+    *
+    * Scale shape: two (segment, value) censuses + their segment-keyed
+    * prior windows (domain-bounded per segment), two keyed joins back
+    * to rows, one map-combinable moment aggregate — no global sort.
+    */
+  def spearmanCorrByGroup(df: DataFrame, group: String,
+                          x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val rows = df.filter(col(group).isNotNull && x.isNotNull && y.isNotNull)
+      .select(col(group).as("__g"), x.cast("long").as("__vx"),
+        y.cast("long").as("__vy"))
+    def rankMap(name: String, out: String): DataFrame = {
+      val cen = rows.groupBy(col("__g"), col(name)).agg(count(lit(1)).as("__m"))
+      val wB = Window.partitionBy(col("__g")).orderBy(col(name))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cen.withColumn("__s", coalesce(sum(col("__m")).over(wB), lit(0L)))
+        .select(col("__g"), col(name), (col("__s") * 2 + col("__m") + 1).as(out))
+    }
+    val withRanks = rows
+      .join(rankMap("__vx", "__ux"), Seq("__g", "__vx"))
+      .join(rankMap("__vy", "__uy"), Seq("__g", "__vy"))
+    val agg = withRanks.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__ux").cast(d19)).cast(DecimalType(38, 0)).as("__su"),
+      sum(col("__uy").cast(d19)).cast(DecimalType(38, 0)).as("__sv"),
+      sum(col("__ux").cast(d19) * col("__ux").cast(d19))
+        .cast(DecimalType(38, 0)).as("__suu"),
+      sum(col("__uy").cast(d19) * col("__uy").cast(d19))
+        .cast(DecimalType(38, 0)).as("__svv"),
+      sum(col("__ux").cast(d19) * col("__uy").cast(d19))
+        .cast(DecimalType(38, 0)).as("__suv"))
+    val nD = col("n").cast("double")
+    val su = col("__su").cast("double"); val sv = col("__sv").cast("double")
+    val covN = nD * col("__suv").cast("double") - su * sv
+    val varU = nD * col("__suu").cast("double") - su * su
+    val varV = nD * col("__svv").cast("double") - sv * sv
+    agg
+      .withColumn("rho", when(varU > 0.0 && varV > 0.0,
+        round(covN / sqrt(varU * varV), 6)))
+      .select(col("__g").as("grp"), col("n"), col("rho"))
+  }
+
   /** Per-user top-N item recommendations (r13 — the SERVING step the
     * q133 item-item similarities exist for: "customers who bought
     * your basket also bought ..."): candidates come ONLY from the

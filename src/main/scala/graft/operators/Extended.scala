@@ -939,6 +939,41 @@ object Extended {
       "o_orderpriority", "o_orderdate", col("o_totalprice"), "yyyy-MM")
       .orderBy(col("o_orderpriority"), col("period"))
 
+  /** q177: per-priority Kruskal–Wallis across order statuses
+    * ([[graft.api.Ops.kruskalWallisByGroup]]) — within EACH
+    * `o_orderpriority` segment, "do the order-status arms differ in
+    * price distribution": q161's exact rank machinery keyed by the
+    * segment, per-segment tie/N scalars via a keyed hash join (r14).
+    */
+  def q177(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull &&
+        col("o_orderstatus").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    graft.api.Ops.kruskalWallisByGroup(withC, "o_orderpriority",
+      "o_orderstatus", col("cents"))
+      .orderBy(col("seg"), col("grp"))
+  }
+
+  /** q178: per-returnflag Spearman of price on quantity
+    * ([[graft.api.Ops.spearmanCorrByGroup]]) — is the monotone
+    * price↔quantity association present in every `l_returnflag`
+    * segment or an aggregation artifact: q163's exact doubled-rank
+    * censuses with every window keyed by the segment (r14).
+    */
+  def q178(t: Tables): DataFrame = {
+    val l = t.lineitem
+      .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull &&
+        col("l_extendedprice").isNotNull)
+      .withColumn("qc",
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("pc",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    graft.api.Ops.spearmanCorrByGroup(l, "l_returnflag", col("pc"), col("qc"))
+      .orderBy(col("grp"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

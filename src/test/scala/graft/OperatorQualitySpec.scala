@@ -1403,6 +1403,67 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("kruskalWallisByGroup: per-segment ≡ whole-frame per slice, keyed scalars, invariance") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "x", 1L), ("s1", "x", 2L), ("s1", "y", 2L), ("s1", "y", 3L),
+      ("s2", "x", 10L), ("s2", "y", 20L), ("s2", "z", 20L), ("s2", "z", 30L))
+      .toDF("seg", "g", "v")
+    val keyed = graft.api.Ops.kruskalWallisByGroup(df, "seg", "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    // the defining identity: each segment's rows equal the
+    // whole-frame kruskalWallis run on that segment's slice alone
+    for (seg <- Seq("s1", "s2")) {
+      val whole = graft.api.Ops.kruskalWallis(
+        df.filter(col("seg") === seg), "g", col("v"))
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      for ((g, expected) <- whole)
+        assert(keyed((seg, g)).drop(2) == expected,
+          s"seg=$seg g=$g: keyed ≡ whole-frame slice")
+    }
+    // the hand-checked s1 values ride along (the q161 spec numbers)
+    val s1x = keyed(("s1", "x"))
+    assert(s1x(3) == 7L && s1x(6) == 1.35 && s1x(7) == 1.5,
+      s"s1/x r2=7, h=1.35, h_adj=1.5 (got $s1x)")
+    // a single-row segment reports (n_total = 1): h_adj null — the
+    // gated tie correction, never an ANSI ÷0 crash
+    val tiny = Seq(("s3", "x", 5L)).toDF("seg", "g", "v")
+    val t = graft.api.Ops.kruskalWallisByGroup(tiny, "seg", "g", col("v"))
+      .collect().head
+    assert(t.isNullAt(t.fieldIndex("h_adj")))
+    // partitioning-invariant
+    val again = graft.api.Ops.kruskalWallisByGroup(df.repartition(5), "seg", "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(again == keyed)
+  }
+
+  test("spearmanCorrByGroup: per-segment ≡ whole-frame per slice, constant-axis segment null") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 40L),   // monotone up
+      ("b", 1L, 40L), ("b", 2L, 20L), ("b", 3L, 10L),   // monotone down
+      ("c", 1L, 9L), ("c", 2L, 9L))                     // constant y
+      .toDF("g", "x", "y")
+    val keyed = graft.api.Ops.spearmanCorrByGroup(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(keyed("a").getAs[Double]("rho") == 1.0 &&
+      keyed("b").getAs[Double]("rho") == -1.0)
+    assert(keyed("c").isNullAt(keyed("c").fieldIndex("rho")),
+      "a constant-axis segment reports null rho, n still counts")
+    assert(keyed("c").getAs[Long]("n") == 2L)
+    // per-segment ≡ whole-frame on each slice
+    for (g <- Seq("a", "b", "c")) {
+      val whole = graft.api.Ops.spearmanCorr(
+        df.filter(col("g") === g), col("x"), col("y")).collect().head
+      assert(keyed(g).toSeq.drop(1) == whole.toSeq,
+        s"segment $g: keyed ≡ whole-frame slice")
+    }
+    // partitioning-invariant
+    val again = graft.api.Ops.spearmanCorrByGroup(df.repartition(7), "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == keyed.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("recommendTopN: seen items excluded, exact decimal scores, rank determinism") {
     import spark.implicits._
     // user 1 saw items 10, 20; sims: 10↔30 (.5), 20↔30 (.25), 10↔20 (.9)
