@@ -76,7 +76,8 @@ object Bench {
     "q167_weighted_median", "q168_cat_entropy", "q169_welch_by_group",
     "q170_profile_drift", "q171_bootstrap_ci", "q172_cuped",
     "q173_did", "q174_pop_report", "q175_funnel_ab", "q176_holt_trend",
-    "q177_kw_by_group", "q178_spearman_by_group")
+    "q177_kw_by_group", "q178_spearman_by_group",
+    "q179_ks_sketch", "q180_wmedian_sketch")
 
   private val childMarker = "##BENCHQ##"
 

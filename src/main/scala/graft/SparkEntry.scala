@@ -198,6 +198,8 @@ object SparkEntry {
     "q176_holt_trend"     -> q(Temporal.q176),
     "q177_kw_by_group"    -> q(Extended.q177),
     "q178_spearman_by_group" -> q(Extended.q178),
+    "q179_ks_sketch"      -> q(Extended.q179),
+    "q180_wmedian_sketch" -> q(Extended.q180),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3589,6 +3591,65 @@ object SparkEntry {
         |           (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
         |  END AS rho
         |FROM agg ORDER BY grp""".stripMargin,
+
+    // q179: the q156 machinery over the $10k BUCKET census — bucket =
+    // floor(cents/1e6), the q108 portable IEEE-division recipe
+    "q179_ks_sketch" ->
+      """WITH src AS (
+        |  SELECT CAST(floor(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS BIGINT) AS v,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |w AS (
+        |  SELECT v, ca, cb,
+        |    CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) OVER () AS BIGINT) AS n_b,
+        |    CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |  FROM m),
+        |g AS (
+        |  SELECT *, CAST(abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0)) -
+        |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
+        |  FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY d_num DESC, v) AS rk FROM g)
+        |SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num, v AS at_bucket,
+        |  round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    // q180: the q167 integer half-total selection over the $1k BUCKET
+    // census, with the midpoint readout
+    "q180_wmedian_sketch" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DOUBLE) / CAST(100000 AS DOUBLE)) AS BIGINT) AS v,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0),
+        |cen AS (SELECT g, v, CAST(SUM(w) AS BIGINT) AS cw,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM src GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, v,
+        |    CAST(SUM(cw) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(cw) OVER (PARTITION BY g) AS BIGINT) AS tot,
+        |    CAST(SUM(cn) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM cen),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |  FROM r WHERE cum * 2 >= tot)
+        |SELECT g AS l_returnflag, n AS n_rows, tot AS total_weight_cents,
+        |  v AS w_median_bucket, v * 100000 + 50000 AS w_median_mid
+        |FROM f WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     // q164: the q133 similarity CTEs verbatim, then basket join →
     // exact DECIMAL(9,6) score sums → anti-join seen → per-user rank

@@ -956,6 +956,39 @@ object Extended {
       .orderBy(col("seg"), col("grp"))
   }
 
+  /** q179: bucketed KS between order eras
+    * ([[graft.api.Ops.ksStatisticSketch]]) — q156's drift test on the
+    * $10k-bucket census: the sketch path the wide-census guard routes
+    * near-unique domains to; resolution-bounded at any corpus (r14).
+    */
+  def q179(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.ksStatisticSketch(
+      withC.filter(col("o_orderdate").cast("timestamp") < cut),
+      withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("cents"), bucketWidth = 1000000L)
+  }
+
+  /** q180: bucketed weighted median of line price by quantity volume
+    * ([[graft.api.Ops.weightedMedianSketch]]) — q167's readout on the
+    * $1k-bucket census with the midpoint emission; the exact median
+    * provably sits inside the selected bucket (r14).
+    */
+  def q180(t: Tables): DataFrame = {
+    val l = t.lineitem
+      .filter(col("l_returnflag").isNotNull && col("l_extendedprice").isNotNull &&
+        col("l_quantity").isNotNull && col("l_quantity") > 0)
+      .withColumn("pc",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    graft.api.Ops.weightedMedianSketch(l, "l_returnflag", col("pc"),
+      col("l_quantity"), bucketWidth = 100000L)
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q178: per-returnflag Spearman of price on quantity
     * ([[graft.api.Ops.spearmanCorrByGroup]]) — is the monotone
     * price↔quantity association present in every `l_returnflag`

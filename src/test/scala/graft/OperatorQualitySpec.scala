@@ -1842,6 +1842,96 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(df.winsorize("g", col("v"), 0.1, maxExactGroupRows = 20).count() == 20)
   }
 
+  test("wide-census guard: the rank/CDF family fails loudly past maxExactCensusRows, ack bypasses") {
+    import spark.implicits._
+    def msgOf(t: Throwable): String = {
+      var m = ""; var c: Throwable = t
+      while (c != null) { m += Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m
+    }
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    // merged census = 6 distinct values: the boundary is EXACT —
+    // ceiling 6 passes, ceiling 5 raises with the routing message
+    val atKs = graft.api.Ops.ksStatistic(a, b, col("v"), maxExactCensusRows = 6).collect()
+    assert(atKs.length == 1)
+    val eKs = intercept[Throwable] {
+      graft.api.Ops.ksStatistic(a, b, col("v"), maxExactCensusRows = 5).collect()
+    }
+    assert(msgOf(eKs).contains("allowWideCensus") && msgOf(eKs).contains("ksStatistic"),
+      s"unexpected: ${msgOf(eKs).take(300)}")
+    // acknowledged run ≡ the default run
+    assert(graft.api.Ops.ksStatistic(a, b, col("v"), allowWideCensus = true,
+      maxExactCensusRows = 5).collect().head.toSeq == atKs.head.toSeq)
+    val eU = intercept[Throwable] {
+      graft.api.Ops.mannWhitneyU(a, b, col("v"), maxExactCensusRows = 5).collect()
+    }
+    assert(msgOf(eU).contains("mannWhitneyU"))
+    assert(graft.api.Ops.mannWhitneyU(a, b, col("v"), allowWideCensus = true,
+      maxExactCensusRows = 5).collect().head.toSeq ==
+      graft.api.Ops.mannWhitneyU(a, b, col("v")).collect().head.toSeq)
+    // kruskalWallis: the distinct-value census of the stacked frame
+    val kw = Seq(("x", 1L), ("x", 2L), ("y", 2L), ("y", 3L)).toDF("g", "v")
+    val eK = intercept[Throwable] {
+      graft.api.Ops.kruskalWallis(kw, "g", col("v"), maxExactCensusRows = 2).collect()
+    }
+    assert(msgOf(eK).contains("kruskalWallis"))
+    assert(graft.api.Ops.kruskalWallis(kw, "g", col("v"), maxExactCensusRows = 3)
+      .count() == 2, "3 distinct values at ceiling 3 pass")
+    // spearmanCorr: per-variable censuses (x has 3 distinct here)
+    val sp = Seq((1L, 10L), (2L, 20L), (3L, 40L)).toDF("x", "y")
+    val eS = intercept[Throwable] {
+      graft.api.Ops.spearmanCorr(sp, col("x"), col("y"), maxExactCensusRows = 2).collect()
+    }
+    assert(msgOf(eS).contains("spearmanCorr"))
+    assert(graft.api.Ops.spearmanCorr(sp, col("x"), col("y"), maxExactCensusRows = 3)
+      .collect().head.getAs[Double]("rho") == 1.0)
+    // weightedMedian: PER-GROUP census rows (g1 holds 4 values, g2 one)
+    val wm = Seq(("g1", 1L, 1.0), ("g1", 2L, 1.0), ("g1", 3L, 1.0),
+      ("g1", 4L, 1.0), ("g2", 9L, 1.0)).toDF("g", "v", "w")
+    val eW2 = intercept[Throwable] {
+      graft.api.Ops.weightedMedian(wm, "g", col("v"), col("w"),
+        maxExactCensusRows = 3).collect()
+    }
+    assert(msgOf(eW2).contains("weightedMedian"))
+    assert(graft.api.Ops.weightedMedian(wm, "g", col("v"), col("w"),
+      maxExactCensusRows = 4).count() == 2, "the widest group sets the bar")
+  }
+
+  test("sketch fallbacks: bucketed KS lower-bounds exact within bucket mass; median mid within width/2; width-1 ≡ exact") {
+    import spark.implicits._
+    val a = (1 to 40).map(_.toLong).toDF("v")
+    val b = (21 to 60).map(_.toLong).toDF("v")
+    val exact = graft.api.Ops.ksStatistic(a, b, col("v")).collect().head
+    val sk = graft.api.Ops.ksStatisticSketch(a, b, col("v"), bucketWidth = 10L)
+      .collect().head
+    val dE = exact.getAs[Double]("d_stat"); val dS = sk.getAs[Double]("d_stat")
+    // bucketed D is the exact KS of the bucketed distributions: a
+    // lower bound, within one bucket's probability mass (10/40 here)
+    assert(dS <= dE && dE - dS <= 0.25 + 1e-9, s"exact $dE sketch $dS")
+    assert(sk.schema.fieldNames.contains("at_bucket"))
+    // width 1 IS the exact statistic (bucket = value)
+    val sk1 = graft.api.Ops.ksStatisticSketch(a, b, col("v"), bucketWidth = 1L)
+      .collect().head
+    assert(sk1.getAs[Double]("d_stat") == dE &&
+      sk1.getAs[Long]("d_num") == exact.getAs[Long]("d_num"))
+    // weighted median: exact answer provably inside the selected bucket
+    val wm = (1 to 100).map(i => ("g", i.toLong, 1.0)).toDF("g", "v", "w")
+    val ex = graft.api.Ops.weightedMedian(wm, "g", col("v"), col("w"))
+      .collect().head.getAs[Long]("w_median")
+    val skm = graft.api.Ops.weightedMedianSketch(wm, "g", col("v"), col("w"),
+      bucketWidth = 7L).collect().head
+    val mid = skm.getAs[Long]("w_median_mid")
+    assert(math.abs(mid - ex) <= 4L,  // width/2 rounded up
+      s"midpoint $mid must sit within width/2 of the exact median $ex")
+    assert(skm.getAs[Long]("w_median_bucket") == ex / 7L,
+      "the selected bucket contains the exact median")
+    // width 1 ≡ exact selection
+    val skm1 = graft.api.Ops.weightedMedianSketch(wm, "g", col("v"), col("w"),
+      bucketWidth = 1L).collect().head
+    assert(skm1.getAs[Long]("w_median_bucket") == ex)
+  }
+
   test("psiDriftByGroup: per-group ≡ whole-frame psiDrift per segment") {
     import spark.implicits._
     val base = Seq(("x", 0L), ("x", 0L), ("x", 1L), ("y", 0L), ("y", 2L)).toDF("g", "b")
