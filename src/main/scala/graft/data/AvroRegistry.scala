@@ -80,13 +80,19 @@ object AvroRegistry {
     * instead of failing the task — mirroring [[AvroBinary.decode]].
     */
   def decodeFramed(df: DataFrame, binCol: String, provider: SchemaProvider,
-                   readerSchemaJson: String, permissive: Boolean = false): DataFrame = {
+                   readerSchemaJson: String, permissive: Boolean = false,
+                   keepCols: Seq[String] = Nil): DataFrame = {
     val base = AvroSchemas.toSparkType(
       AvroSchemas.parse(readerSchemaJson)).asInstanceOf[StructType]
+    // passthrough columns (r14 — Kafka offset/partition/timestamp
+    // metadata riding beside the decoded fields) lead the output row
+    val kept = keepCols.map(c => df.schema(df.schema.fieldIndex(c)))
+    val withKept = StructType(kept ++ base.fields)
     val outSchema =
-      if (permissive) StructType(base.fields :+ StructField("_corrupt", BooleanType, nullable = false))
-      else base
+      if (permissive) StructType(withKept.fields :+ StructField("_corrupt", BooleanType, nullable = false))
+      else withKept
     val idx = df.schema.fieldIndex(binCol)
+    val keepIdx = keepCols.map(df.schema.fieldIndex).toArray
     df.mapPartitions { rows =>
       val reader = new Schema.Parser().parse(readerSchemaJson)
       // one resolved reader per writer-schema id per partition
@@ -106,17 +112,19 @@ object AvroRegistry {
         val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
         AvroBinary.recordToRow(readerFor(id).read(null, dec), base, reader)
       }
-      val nullRow = Row.fromSeq(base.fields.toSeq.map(_ => null))
+      val nullSeq = base.fields.toSeq.map(_ => null)
       rows.map { row =>
+        val keptVals = keepIdx.toSeq.map(row.get)
         val bytes = row.getAs[Array[Byte]](idx)
         if (bytes == null) {
           // a null payload is an absent datum, not a corrupt one:
           // all-null fields in both modes (mirrors from_avro on null)
-          if (permissive) Row.fromSeq(nullRow.toSeq :+ false) else nullRow
+          if (permissive) Row.fromSeq(keptVals ++ nullSeq :+ false)
+          else Row.fromSeq(keptVals ++ nullSeq)
         } else if (permissive) {
-          try Row.fromSeq(decodeOne(bytes).toSeq :+ false)
-          catch { case _: Exception => Row.fromSeq(base.fields.toSeq.map(_ => null) :+ true) }
-        } else decodeOne(bytes)
+          try Row.fromSeq(keptVals ++ decodeOne(bytes).toSeq :+ false)
+          catch { case _: Exception => Row.fromSeq(keptVals ++ nullSeq :+ true) }
+        } else Row.fromSeq(keptVals ++ decodeOne(bytes).toSeq)
       }
     }(Encoders.row(outSchema))
   }

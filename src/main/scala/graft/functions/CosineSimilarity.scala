@@ -132,6 +132,27 @@ object GraftFunctions {
     PortableQuantiles(exprs.head, qs)
   }
 
+  private[functions] def buildPoissonBootstrap(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 4)
+      throw new IllegalArgumentException(
+        s"poisson_bootstrap(h1, h2, cents, b) requires 4 arguments, got ${exprs.length}")
+    val b = {
+      if (!exprs(3).foldable)
+        throw new IllegalArgumentException(
+          s"poisson_bootstrap b must be an int literal, got expression ${exprs(3).sql}")
+      exprs(3).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"poisson_bootstrap b must be an int literal, got $other")
+      }
+    }
+    // the CDF constants are canonical in Ops.poissonCdf1 — the one
+    // definition the column form, this aggregate, and the oracle SQL
+    // literals all share
+    PoissonBootstrap(exprs(0), exprs(1), exprs(2), b, graft.api.Ops.poissonCdf1)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => {
@@ -164,6 +185,8 @@ object GraftFunctions {
       "portable_hll", exprs => GraftFunctions.buildPortableHll(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "portable_quantiles", exprs => GraftFunctions.buildPortableQuantiles(exprs), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poisson_bootstrap", exprs => GraftFunctions.buildPoissonBootstrap(exprs), "built-in")
     // Spark ships distributed bloom-filter expressions for its own
     // runtime row-level filtering (InjectRuntimeFilter) but leaves
     // them out of the public function registry; surfacing them gives
@@ -244,6 +267,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[PortableQuantiles].getName, "portable_quantiles"),
         (exprs: Seq[Expression]) => GraftFunctions.buildPortableQuantiles(exprs)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("poisson_bootstrap"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[PoissonBootstrap].getName, "poisson_bootstrap"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildPoissonBootstrap(exprs)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_normalize"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1673,6 +1673,40 @@ class OperatorQualitySpec extends AnyFunSuite {
     val other = graft.api.Ops.bootstrapCiMean(df, "id", col("v"), b = 64, seed = 4L)
       .collect().head
     assert(other.getAs[Double]("ci_lo") != lo || other.getAs[Double]("ci_hi") != hi)
+    // r14: the single-pass poisson_bootstrap aggregate ≡ the ×B
+    // explode formulation it replaced — same hashes, same IEEE weight
+    // decisions, commutative Long sums — replayed inline bit-for-bit
+    def h28(tag: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(s"$tag:3:"), col("__id"))
+        .cast("binary")), 1, 7), 16, 10).cast("long")
+    val base = df
+      .select(col("id").cast("string").as("__id"),
+        (graft.util.Portable.dec(col("v")) * 100).cast("long").as("__c"))
+      .withColumn("__h1", h28("bs1"))
+      .withColumn("__h2", h28("bs2"))
+    val u = pmod(col("__h1") + col("__b") * col("__h2"), lit(268435456L))
+      .cast("double") / lit(268435456.0)
+    val w = graft.api.Ops.poissonCdf1.zipWithIndex.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (p, k)) => acc.when(u < lit(p), lit(k.toLong))
+    }.otherwise(lit(6L))
+    val exploded = base
+      .select(col("__id"), col("__c"), col("__h1"), col("__h2"),
+        explode(sequence(lit(0L), lit(63L))).as("__b"))
+      .withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__c")).as("num"), sum(col("__w")).as("den"))
+      .orderBy(col("__b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    graft.functions.GraftFunctions.register(spark)
+    val single = base
+      .agg(call_function("poisson_bootstrap",
+        col("__h1"), col("__h2"), col("__c"), lit(64)).as("bs"))
+      .select(explode(col("bs")).as("r"))
+      .select(col("r.b"), col("r.num"), col("r.den"))
+      .orderBy("b").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(single == exploded,
+      "single-pass aggregate ≡ the explode form, resample for resample")
   }
 
   test("cupedZ: hand-checked theta and adjusted means, zero-variance degrade, invariance") {

@@ -125,6 +125,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("kafkaAvroSource: verified option recipe; decodeKafkaAvro carries metadata, stream ≡ batch decode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.data.AvroRegistry
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    // the source recipe is a PURE option map — spec-checked without a
+    // broker; kafkaAvroSource is one .load() over it + the decode half
+    val cfg = Streams.KafkaSourceConfig("broker1:9092,broker2:9092", "events.avro",
+      startingOffsets = "earliest", maxOffsetsPerTrigger = Some(1000L),
+      extraOptions = Map("kafka.security.protocol" -> "PLAINTEXT"))
+    assert(cfg.options == Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "events.avro",
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> "1000",
+      "kafka.security.protocol" -> "PLAINTEXT"))
+    intercept[IllegalArgumentException](Streams.KafkaSourceConfig("", "t"))
+    // kafka-SHAPED stand-in (same contract columns as the source),
+    // with a mid-stream writer upgrade through the registry
+    val v1 = """{"type": "record", "name": "K", "fields": [{"name": "a", "type": "long"}]}"""
+    val v2 =
+      """{"type": "record", "name": "K", "fields": [
+        |  {"name": "a", "type": "long"},
+        |  {"name": "b", "type": "string", "default": "legacy"}]}""".stripMargin
+    val provider = AvroRegistry.InMemoryProvider(Map(1 -> v1, 2 -> v2))
+    def framed(id: Int, schemaJson: String)(fill: GenericRecord => Unit): Array[Byte] = {
+      val sch = new Schema.Parser().parse(schemaJson)
+      val rec = new GenericData.Record(sch)
+      fill(rec)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(bos, null)
+      new GenericDatumWriter[GenericRecord](sch).write(rec, enc)
+      enc.flush()
+      AvroRegistry.frameHeader(id) ++ bos.toByteArray
+    }
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (Array.empty[Byte], framed(1, v1)(_.put("a", 1L)), "events.avro", 0, 100L, ts0),
+      (Array.empty[Byte], framed(1, v1)(_.put("a", 2L)), "events.avro", 1, 200L, ts0),
+      (Array.empty[Byte], framed(2, v2) { r => r.put("a", 3L); r.put("b", "fresh") },
+        "events.avro", 0, 101L, ts0))
+    val cols = Seq("key", "value", "topic", "partition", "offset", "timestamp")
+    val stream = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp)]
+    stream.addData(rows)
+    val query = Streams.decodeKafkaAvro(stream.toDF().toDF(cols: _*), provider, v2)
+      .writeStream.format("memory").queryName("kafka_avro_out").outputMode("append").start()
+    val streamGot = try {
+      query.processAllAvailable()
+      spark.table("kafka_avro_out").orderBy("a").collect().map(_.toSeq).toSeq
+    } finally query.stop()
+    // metadata rides beside the decoded fields, upgrade decodes
+    assert(streamGot.map(s => (s(1), s(2), s(4), s(5))) == Seq(
+      (0, 100L, 1L, "legacy"), (1, 200L, 2L, "legacy"), (0, 101L, 3L, "fresh")),
+      s"got $streamGot")
+    // decode parity with the BATCH path on the identical rows — the
+    // composition adds configuration, never semantics
+    val batchGot = AvroRegistry.decodeFramed(rows.toDF(cols: _*), "value", provider, v2,
+        keepCols = Seq("topic", "partition", "offset", "timestamp"))
+      .orderBy("a").collect().map(_.toSeq).toSeq
+    assert(streamGot == batchGot, "stream decode ≡ batch decode")
+    // fail fast on a frame missing the source contract
+    val bad = intercept[IllegalArgumentException](
+      Streams.decodeKafkaAvro(rows.toDF(cols: _*).drop("offset"), provider, v2))
+    assert(bad.getMessage.contains("offset"))
+  }
+
   test("streaming pack: per-shard offsets continue across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
