@@ -200,6 +200,9 @@ object SparkEntry {
     "q178_spearman_by_group" -> q(Extended.q178),
     "q179_ks_sketch"      -> q(Extended.q179),
     "q180_wmedian_sketch" -> q(Extended.q180),
+    "q181_srm_check"      -> q(Extended.q181),
+    "q182_js_divergence"  -> q(Extended.q182),
+    "q183_mde"            -> q(Extended.q183),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3650,6 +3653,114 @@ object SparkEntry {
         |SELECT g AS l_returnflag, n AS n_rows, tot AS total_weight_cents,
         |  v AS w_median_bucket, v * 100000 + 50000 AS w_median_mid
         |FROM f WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // q181: exact arm census, declared-weight frame, (obs-Nw)^2/(Nw)
+    // fixed shape, rounded contribs decimal-summed to integer micros
+    "q181_srm_check" ->
+      """WITH cen AS (
+        |  SELECT o_orderpriority AS arm, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        |decl AS (SELECT * FROM (VALUES
+        |  ('1-URGENT', CAST(0.2 AS DOUBLE)), ('2-HIGH', CAST(0.2 AS DOUBLE)),
+        |  ('3-MEDIUM', CAST(0.2 AS DOUBLE)), ('4-NOT SPECIFIED', CAST(0.2 AS DOUBLE)),
+        |  ('5-LOW', CAST(0.2 AS DOUBLE))) AS t(arm, weight)),
+        |j AS (
+        |  SELECT COALESCE(cen.arm, decl.arm) AS arm,
+        |    COALESCE(n_obs, 0) AS n_obs, weight
+        |  FROM cen FULL OUTER JOIN decl ON cen.arm = decl.arm),
+        |w AS (
+        |  SELECT *, CAST(SUM(CASE WHEN weight IS NOT NULL THEN n_obs END)
+        |    OVER () AS DOUBLE) * weight AS e
+        |  FROM j),
+        |c AS (
+        |  SELECT *, CASE WHEN weight IS NOT NULL THEN
+        |    round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e, 6)
+        |  END AS contrib
+        |  FROM w)
+        |SELECT arm, n_obs, weight, round(e, 6) AS expected, contrib,
+        |  CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,6))) OVER () AS DECIMAL(38,6))
+        |    * 1000000 AS BIGINT) AS chi2_micros,
+        |  CAST(COUNT(weight) OVER () - 1 AS BIGINT) AS dof
+        |FROM c ORDER BY arm""".stripMargin,
+
+    // q182: the q155 bucket census WITHOUT smoothing; each bucket's
+    // half-terms gated on its own counts, round-12 decimal-summed
+    "q182_js_divergence" ->
+      """WITH src AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bkt,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |base AS (SELECT bkt AS bucket, CAST(count(*) AS BIGINT) AS c_base FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |cur AS (SELECT bkt AS bucket, CAST(count(*) AS BIGINT) AS c_cur FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(base.bucket, cur.bucket) AS bucket,
+        |    COALESCE(c_base, 0) AS c_base, COALESCE(c_cur, 0) AS c_cur
+        |  FROM base FULL OUTER JOIN cur ON base.bucket = cur.bucket),
+        |p AS (
+        |  SELECT *, CAST(SUM(c_base) OVER () AS BIGINT) AS na,
+        |    CAST(SUM(c_cur) OVER () AS BIGINT) AS nb
+        |  FROM j),
+        |q AS (
+        |  SELECT *, CAST(c_base AS DOUBLE) / CAST(na AS DOUBLE) AS pb,
+        |    CAST(c_cur AS DOUBLE) / CAST(nb AS DOUBLE) AS pc
+        |  FROM p),
+        |t2 AS (
+        |  SELECT *, round(
+        |    (CASE WHEN c_base > 0 THEN CAST(0.5 AS DOUBLE) * pb *
+        |      ln(pb / ((pb + pc) / CAST(2 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END) +
+        |    (CASE WHEN c_cur > 0 THEN CAST(0.5 AS DOUBLE) * pc *
+        |      ln(pc / ((pb + pc) / CAST(2 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END), 12) AS term
+        |  FROM q)
+        |SELECT bucket, c_base, c_cur,
+        |  round(pb, 12) AS p_base, round(pc, 12) AS p_cur, term,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER () AS DOUBLE), 6) AS js
+        |FROM t2 ORDER BY bucket""".stripMargin,
+
+    // q183: the q162 exact moments + the fixed MDE tree; the z
+    // constants embed as 17-digit e-notation literals from the SAME
+    // Scala values the operator uses (the q136 rule)
+    "q183_mde" -> {
+      val z = String.format("(CAST(%.17e AS DOUBLE) + CAST(%.17e AS DOUBLE))",
+        Double.box(graft.api.Ops.zAlpha025), Double.box(graft.api.Ops.zPower80))
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+         |b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+         |f AS (
+         |  SELECT *,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) AS va,
+         |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)) AS vb
+         |  FROM a CROSS JOIN b),
+         |g AS (
+         |  SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
+         |  FROM f)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+         |  CASE WHEN n_a >= 2 THEN round(sqrt(va), 6) END AS sd_a,
+         |  CASE WHEN n_b >= 2 THEN round(sqrt(vb), 6) END AS sd_b,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+         |    round($z * sqrt(se2), 6) END AS mde_abs,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 AND ma <> 0 THEN
+         |    round($z * sqrt(se2) / ma, 6) END AS mde_rel
+         |FROM g""".stripMargin
+    },
 
     // q164: the q133 similarity CTEs verbatim, then basket join →
     // exact DECIMAL(9,6) score sums → anti-join seen → per-user rank

@@ -1393,6 +1393,170 @@ object Ops {
       .select(col("__g").as("grp"), col("n"), col("rho"))
   }
 
+  /** Sample-ratio-mismatch check (r14 — the experimentation-platform
+    * GOVERNANCE gate that runs before any A/B readout is trusted: if
+    * the observed arm traffic does not match the declared split, the
+    * assignment mechanism is broken and every downstream statistic is
+    * invalid): a χ² goodness-of-fit of observed arm counts against
+    * the declared weights. The arm census is exact and
+    * map-combinable; a DECLARED arm with zero traffic still
+    * contributes its full expectation (the q136 absent-is-evidence
+    * rule); an arm observed but NOT declared reports its count with
+    * null weight/expected/contrib and stays OUT of the χ² (itself
+    * the loudest mismatch signal — observable, never crashing).
+    * N is the total over DECLARED arms; per-arm
+    * `contrib = (obs − N·w)²/(N·w)` is one fixed double shape
+    * rounded at 6, the total sums the ROUNDED contribs exactly and
+    * emits integer micros (the §3 rule); dof = k_declared − 1.
+    * Returns one row per arm (declared ∪ observed):
+    * (arm, n_obs, weight, expected, contrib, chi2_micros, dof).
+    *
+    * Scale shape: one map-combinable arm census + a k-row declared
+    * frame outer join + k-row finishing windows — nothing
+    * corpus-sized after the census.
+    */
+  def srmCheck(df: DataFrame, arm: Column,
+               expected: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(expected.nonEmpty, "srmCheck: declare at least one arm weight")
+    require(expected.map(_._1).distinct.length == expected.length,
+      "srmCheck: duplicate arm in expected weights")
+    expected.foreach { case (a, w) =>
+      require(w > 0.0 && w <= 1.0, s"srmCheck: weight for '$a' ($w) must be in (0, 1]") }
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"srmCheck: weights must sum to 1 (got ${expected.map(_._2).sum})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decl = expected.toDF("arm", "weight")
+    val census = df.filter(arm.isNotNull)
+      .groupBy(arm.cast("string").as("arm")).agg(count(lit(1)).as("n_obs"))
+    val joined = census.join(broadcast(decl), Seq("arm"), "full_outer")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val wAll = Window.partitionBy()
+    val e = sum(when(col("weight").isNotNull, col("n_obs"))).over(wAll)
+      .cast("double") * col("weight")
+    joined
+      .withColumn("expected", e)
+      .withColumn("contrib", when(col("weight").isNotNull,
+        round((col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) / col("expected"), 6)))
+      .withColumn("chi2_micros",
+        (sum(col("contrib").cast(DecimalType(38, 6))).over(wAll) * 1000000)
+          .cast("long"))
+      .withColumn("dof",
+        (count(col("weight")).over(wAll) - 1).cast("long"))
+      .select(col("arm"), col("n_obs"), col("weight"),
+        round(col("expected"), 6).as("expected"), col("contrib"),
+        col("chi2_micros"), col("dof"))
+  }
+
+  /** Jensen–Shannon divergence between two bucket distributions (r14
+    * — [[psiDrift]]'s SYMMETRIC, smoothing-free sibling: PSI needs
+    * Laplace smoothing because KL explodes on one-side-only buckets;
+    * JS is finite by construction — a one-side-only bucket
+    * contributes at most ln 2 — so the metric carries no smoothing
+    * parameter to tune or replay): over the union bucket census,
+    * `js = Σ ½·p·ln(p/m) + ½·q·ln(q/m)` with `m = ½(p+q)`, each
+    * bucket's term one fixed double shape ROUNDED at 12 and summed as
+    * exact DECIMAL(38,12) (the q155 order-free discipline), total
+    * rounded at 6 — nats, in [0, ln 2]. A zero-count side's half-term
+    * is exactly 0 (the p·ln p limit), gated, never NaN. Per-bucket
+    * rows emit beside the total so a reviewer sees WHERE the
+    * divergence lives (the q155 readout shape).
+    *
+    * Scale shape: two map-combinable bucket censuses + a bounded
+    * union outer join + census-sized windows — cost tracks the bucket
+    * domain, never the corpus.
+    */
+  def jsDivergence(baseline: DataFrame, current: DataFrame,
+                   bucket: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def census(df: DataFrame, cnt: String) = df.filter(col(bucket).isNotNull)
+      .groupBy(col(bucket).as("bucket")).agg(count(lit(1)).as(cnt))
+    val joined = census(baseline, "c_base")
+      .join(census(current, "c_cur"), Seq("bucket"), "full_outer")
+      .withColumn("c_base", coalesce(col("c_base"), lit(0L)))
+      .withColumn("c_cur", coalesce(col("c_cur"), lit(0L)))
+    val wAll = Window.partitionBy()
+    val p = col("c_base").cast("double") / col("__na").cast("double")
+    val q = col("c_cur").cast("double") / col("__nb").cast("double")
+    val m = (col("p_base") + col("p_cur")) / lit(2.0)
+    val halfP = when(col("c_base") > 0,
+      lit(0.5) * col("p_base") * log(col("p_base") / m)).otherwise(lit(0.0))
+    val halfQ = when(col("c_cur") > 0,
+      lit(0.5) * col("p_cur") * log(col("p_cur") / m)).otherwise(lit(0.0))
+    joined
+      .withColumn("__na", sum(col("c_base")).over(wAll))
+      .withColumn("__nb", sum(col("c_cur")).over(wAll))
+      .withColumn("p_base", p)
+      .withColumn("p_cur", q)
+      .withColumn("term", round(halfP + halfQ, 12))
+      .withColumn("js",
+        round(sum(col("term").cast(DecimalType(38, 12))).over(wAll)
+          .cast("double"), 6))
+      .select(col("bucket"), col("c_base"), col("c_cur"),
+        round(col("p_base"), 12).as("p_base"), round(col("p_cur"), 12).as("p_cur"),
+        col("term"), col("js"))
+  }
+
+  /** Two-sided z quantile at α = 0.05 (z_{0.975}) and the 80%-power
+    * z (z_{0.8}) — the standard experiment-sizing constants, defined
+    * ONCE here and embedded in the oracle SQL as 17-significant-digit
+    * e-notation literals (the q136 discipline) so both engines
+    * compute with the IDENTICAL doubles.
+    */
+  val zAlpha025: Double = 1.959963984540054
+  val zPower80: Double = 0.8416212335729143
+
+  /** Minimum-detectable-effect readout (r14 — the experiment-SIZING
+    * companion to [[welchT]]/[[cupedZ]]: "with THIS traffic and THIS
+    * variance, what mean shift could the test even see" — the number
+    * that stops teams shipping underpowered readouts): per side the
+    * q162 exact decimal moments (n, Σx, Σx² over the
+    * [[graft.util.Portable]] view), then
+    * `mde_abs = (z_{1−α/2} + z_power)·√(s_a²/n_a + s_b²/n_b)` and
+    * `mde_rel = mde_abs / mean_a` as one fixed double tree over the
+    * exact sums, round 6 ([[zAlpha025]]/[[zPower80]] by default —
+    * pass others for different α/power). Degenerate sides (n < 2,
+    * zero variance both sides, zero baseline mean for the relative
+    * form) report null with counts/means saying why. Returns ONE
+    * row: (n_a, n_b, mean_a, mean_b, sd_a, sd_b, mde_abs, mde_rel).
+    *
+    * Scale shape: two map-combinable 1-row moment aggregates + one
+    * 1×1 cross — the q162 statement.
+    */
+  def mdeReadout(a: DataFrame, b: DataFrame, value: Column,
+                 zAlpha: Double = zAlpha025,
+                 zPower: Double = zPower80): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(zAlpha > 0.0 && zPower >= 0.0, "mdeReadout: z constants must be positive")
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(value.isNotNull).agg(
+        count(lit(1)).as(s"n_$suf"),
+        sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+        sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    val se2 = v("a") / nD("a") + v("b") / nD("b")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val mde = (lit(zAlpha) + lit(zPower)) * sqrt(se2)
+    side(a, "a").crossJoin(broadcast(side(b, "b")))
+      .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
+      .withColumn("sd_a", when(col("n_a") >= 2, round(sqrt(v("a")), 6)))
+      .withColumn("sd_b", when(col("n_b") >= 2, round(sqrt(v("b")), 6)))
+      .withColumn("mde_abs", when(ok && se2 > 0.0, round(mde, 6)))
+      .withColumn("mde_rel", when(ok && se2 > 0.0 && mean("a") =!= 0.0,
+        round(mde / mean("a"), 6)))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("sd_a"), col("sd_b"), col("mde_abs"), col("mde_rel"))
+  }
+
   /** Per-user top-N item recommendations (r13 — the SERVING step the
     * q133 item-item similarities exist for: "customers who bought
     * your basket also bought ..."): candidates come ONLY from the

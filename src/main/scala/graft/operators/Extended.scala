@@ -956,6 +956,52 @@ object Extended {
       .orderBy(col("seg"), col("grp"))
   }
 
+  /** q181: sample-ratio-mismatch check over order priorities
+    * ([[graft.api.Ops.srmCheck]]) — the experimentation governance
+    * gate: do the five priority "arms" match the declared uniform
+    * 20% split; χ² goodness-of-fit, absent arms still contribute,
+    * undeclared arms report (r14).
+    */
+  def q181(t: Tables): DataFrame = {
+    val arms = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      .map(_ -> 0.2)
+    graft.api.Ops.srmCheck(t.orders, col("o_orderpriority"), arms)
+      .orderBy(col("arm"))
+  }
+
+  /** q182: Jensen–Shannon divergence between order eras
+    * ([[graft.api.Ops.jsDivergence]]) — q155's symmetric,
+    * smoothing-free drift sibling over the same $50k totalprice
+    * buckets; finite on one-side-only buckets by construction (r14).
+    */
+  def q182(t: Tables): DataFrame = {
+    val withB = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("bkt",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.jsDivergence(
+      withB.filter(col("o_orderdate").cast("timestamp") < cut),
+      withB.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "bkt")
+      .orderBy(col("bucket"))
+  }
+
+  /** q183: minimum-detectable-effect readout between order eras
+    * ([[graft.api.Ops.mdeReadout]]) — "what mean price shift could
+    * this traffic even see at α=0.05 / 80% power": the experiment-
+    * sizing companion to q162's Welch t over the same split (r14).
+    */
+  def q183(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.mdeReadout(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("o_totalprice"))
+  }
+
   /** q179: bucketed KS between order eras
     * ([[graft.api.Ops.ksStatisticSketch]]) — q156's drift test on the
     * $10k-bucket census: the sketch path the wide-census guard routes

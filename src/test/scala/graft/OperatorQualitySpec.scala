@@ -1403,6 +1403,92 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("srmCheck: hand-checked chi2, absent arm contributes, undeclared arm reports, invariance") {
+    import spark.implicits._
+    // declared 50/25/25 over A/B/C; observed A=6, B=2, C absent, D=4
+    // undeclared. N over declared = 8: e(A)=4, e(B)=2, e(C)=2.
+    // contribs: (6-4)²/4 = 1.0, (2-2)²/2 = 0, (0-2)²/2 = 2.0 → χ²=3.0
+    val df = (Seq.fill(6)("A") ++ Seq.fill(2)("B") ++ Seq.fill(4)("D")).toDF("arm")
+    val out = graft.api.Ops.srmCheck(df, col("arm"),
+      Seq("A" -> 0.5, "B" -> 0.25, "C" -> 0.25)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 4, "declared ∪ observed arms all report")
+    assert(out("A").getAs[Long]("n_obs") == 6L &&
+      out("A").getAs[Double]("contrib") == 1.0 &&
+      out("A").getAs[Double]("expected") == 4.0)
+    assert(out("C").getAs[Long]("n_obs") == 0L &&
+      out("C").getAs[Double]("contrib") == 2.0,
+      "a declared arm with zero traffic still contributes its expectation")
+    val d = out("D")
+    assert(d.getAs[Long]("n_obs") == 4L && d.isNullAt(d.fieldIndex("weight")) &&
+      d.isNullAt(d.fieldIndex("contrib")),
+      "an undeclared arm reports its count and stays out of the chi2")
+    assert(out("A").getAs[Long]("chi2_micros") == 3000000L &&
+      out("A").getAs[Long]("dof") == 2L)
+    // weight validation
+    intercept[IllegalArgumentException](
+      graft.api.Ops.srmCheck(df, col("arm"), Seq("A" -> 0.5, "B" -> 0.4)))
+    // partitioning-invariant
+    val again = graft.api.Ops.srmCheck(df.repartition(5), col("arm"),
+      Seq("A" -> 0.5, "B" -> 0.25, "C" -> 0.25)).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
+  test("jsDivergence: identical zero, disjoint ln2, one-sided buckets finite, invariance") {
+    import spark.implicits._
+    val a = Seq(0L, 0L, 1L, 1L).toDF("b")
+    // identical distributions → js = 0 exactly (every term 0)
+    val same = graft.api.Ops.jsDivergence(a, a.repartition(3), "b").collect()
+    assert(same.forall(_.getAs[Double]("js") == 0.0) &&
+      same.forall(_.getAs[Double]("term") == 0.0))
+    // fully disjoint supports → js = ln 2 (to round-6)
+    val c = Seq(2L, 2L, 3L, 3L).toDF("b")
+    val disj = graft.api.Ops.jsDivergence(a, c, "b").collect()
+    assert(disj.length == 4)
+    assert(disj.head.getAs[Double]("js") == math.rint(math.log(2.0) * 1e6) / 1e6,
+      s"disjoint JS must be ln2, got ${disj.head.getAs[Double]("js")}")
+    // a one-side-only bucket is finite (no smoothing needed): its
+    // present side's half-term is ½p·ln(2) at m = p/2
+    val mixed = graft.api.Ops.jsDivergence(a, Seq(0L, 1L, 2L, 2L).toDF("b"), "b")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(mixed(2L).getAs[Long]("c_base") == 0L &&
+      !mixed(2L).isNullAt(mixed(2L).fieldIndex("term")) &&
+      mixed(2L).getAs[Double]("term") > 0.0)
+    assert(mixed.values.head.getAs[Double]("js") > 0.0 &&
+      mixed.values.head.getAs[Double]("js") < math.log(2.0))
+    // partitioning-invariant
+    val again = graft.api.Ops.jsDivergence(a.repartition(3), c.repartition(2), "b")
+      .collect().map(_.toSeq).toSet
+    assert(again == disj.map(_.toSeq).toSet)
+  }
+
+  test("mdeReadout: hand-checked MDE from exact moments, degenerate guards, invariance") {
+    import spark.implicits._
+    // a = (1,2,3): mean 2, s² 1; b = (2,4,6): mean 4, s² 4
+    // se² = 1/3 + 4/3 = 5/3 → mde = (z975 + z80)·√(5/3)
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 4.0, 6.0).toDF("v")
+    val r = graft.api.Ops.mdeReadout(a, b, col("v")).collect().head
+    val exp = math.rint((graft.api.Ops.zAlpha025 + graft.api.Ops.zPower80) *
+      math.sqrt(5.0 / 3.0) * 1e6) / 1e6
+    assert(r.getAs[Double]("mde_abs") == exp, s"got ${r.getAs[Double]("mde_abs")}, want $exp")
+    assert(r.getAs[Double]("mde_rel") == math.rint(
+      (graft.api.Ops.zAlpha025 + graft.api.Ops.zPower80) * math.sqrt(5.0 / 3.0) / 2.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("sd_a") == 1.0 && r.getAs[Double]("sd_b") == 2.0)
+    // n < 2 on a side → null mde with counts reporting
+    val one = graft.api.Ops.mdeReadout(a, b.limit(1), col("v")).collect().head
+    assert(one.getAs[Long]("n_b") == 1L && one.isNullAt(one.fieldIndex("mde_abs")))
+    // zero variance both sides → null (never ÷0 or a zero MDE claim)
+    val const = Seq(3.0, 3.0).toDF("v")
+    val z = graft.api.Ops.mdeReadout(const, const.repartition(2), col("v")).collect().head
+    assert(z.isNullAt(z.fieldIndex("mde_abs")))
+    // partitioning-invariant
+    val again = graft.api.Ops.mdeReadout(a.repartition(3), b.repartition(2), col("v"))
+      .collect().head
+    assert(again.toSeq == r.toSeq)
+  }
+
   test("kruskalWallisByGroup: per-segment ≡ whole-frame per slice, keyed scalars, invariance") {
     import spark.implicits._
     val df = Seq(
