@@ -136,8 +136,18 @@ object Bench {
     */
   private def childMain(name: String, sfDir: String): Unit = {
     val spark = makeSession()
+    // sub-second queries need a SECOND warm-up: in a fresh child JVM
+    // the first timed runs of a ~0.3 s query are still paying JIT and
+    // classloading, which grows with the library and read as phantom
+    // round-over-round regressions (r13's q06 0.38→0.57 s mover
+    // reproduced as warm-up inflation: same-host A/B at 5 runs showed
+    // steady state 0.318 vs 0.330 s — ~4%, within spread)
+    val warm0 = System.nanoTime()
     try runOnce(spark, sfDir, name)
     catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
+    if ((System.nanoTime() - warm0) / 1e9 < 2.0) {
+      try runOnce(spark, sfDir, name) catch { case _: Throwable => }
+    }
     dropCachedBlocks(spark)
     val ts = (1 to benchRuns).map(_ => timeOnce(spark, sfDir, name)).filter(_ >= 0)
     val runsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
