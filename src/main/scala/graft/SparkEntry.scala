@@ -203,6 +203,7 @@ object SparkEntry {
     "q181_srm_check"      -> q(Extended.q181),
     "q182_js_divergence"  -> q(Extended.q182),
     "q183_mde"            -> q(Extended.q183),
+    "q184_rank_movers"    -> q(Extended.q184),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3682,6 +3683,37 @@ object SparkEntry {
         |    * 1000000 AS BIGINT) AS chi2_micros,
         |  CAST(COUNT(weight) OVER () - 1 AS BIGINT) AS dof
         |FROM c ORDER BY arm""".stripMargin,
+
+    // q184: per-era exact cent totals, within-era deterministic
+    // ranks, full-outer entity join, either-side top-N filter
+    "q184_rank_movers" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS entity,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_a_cents
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_orderdate IS NOT NULL
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey AS entity,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_b_cents
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_orderdate IS NOT NULL
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |ra AS (SELECT *, CAST(row_number() OVER (ORDER BY total_a_cents DESC, entity)
+        |  AS BIGINT) AS rank_a FROM a),
+        |rb AS (SELECT *, CAST(row_number() OVER (ORDER BY total_b_cents DESC, entity)
+        |  AS BIGINT) AS rank_b FROM b),
+        |j AS (
+        |  SELECT COALESCE(ra.entity, rb.entity) AS entity,
+        |    total_a_cents, rank_a, total_b_cents, rank_b
+        |  FROM ra FULL OUTER JOIN rb ON ra.entity = rb.entity)
+        |SELECT entity, total_a_cents, rank_a, total_b_cents, rank_b,
+        |  CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL
+        |    THEN rank_a - rank_b END AS rank_delta
+        |FROM j WHERE rank_a <= 50 OR rank_b <= 50
+        |ORDER BY entity""".stripMargin,
 
     // q182: the q155 bucket census WITHOUT smoothing; each bucket's
     // half-terms gated on its own counts, round-12 decimal-summed

@@ -944,7 +944,8 @@ object Ops {
     * passes.
     */
   def ksStatisticByGroup(a: DataFrame, b: DataFrame, group: String,
-                         value: Column): DataFrame = {
+                         value: Column, allowWideCensus: Boolean = false,
+                         maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def census(df: DataFrame, cnt: String) =
       df.filter(col(group).isNotNull && value.isNotNull)
@@ -959,12 +960,17 @@ object Ops {
     val d18 = DecimalType(18, 0)
     m.withColumn("n_a", sum(col("ca")).over(wAll))
       .withColumn("n_b", sum(col("cb")).over(wAll))
+      // per-SEGMENT census gate (the windows here are group-
+      // partitioned, so the risk is ONE segment's near-unique value
+      // domain — the weightedMedian statement): see MaxExactCensusRows
+      .withColumn("__cn", count(lit(1)).over(wAll))
       .withColumn("__cumA", sum(col("ca")).over(wRun))
       .withColumn("__cumB", sum(col("cb")).over(wRun))
-      .withColumn("d_num",
+      .withColumn("d_num", gateWideCensus(
         abs(col("__cumA").cast(d18) * col("n_b").cast(d18) -
           col("__cumB").cast(d18) * col("n_a").cast(d18))
-          .cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)),
+        col("__cn"), "ksStatisticByGroup", allowWideCensus, maxExactCensusRows))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("grp")).orderBy(col("d_num").desc, col("v"))))
       .filter(col("__rk") === 1)
@@ -988,7 +994,8 @@ object Ops {
     * Returns one row per group: (grp, n_a, n_b, u2 DECIMAL(38,2), z).
     */
   def mannWhitneyUByGroup(a: DataFrame, b: DataFrame, group: String,
-                          value: Column): DataFrame = {
+                          value: Column, allowWideCensus: Boolean = false,
+                          maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def census(df: DataFrame, cnt: String) =
       df.filter(col(group).isNotNull && value.isNotNull)
@@ -1002,7 +1009,11 @@ object Ops {
     val d12 = DecimalType(12, 0); val d19 = DecimalType(19, 0)
     val agg = m0
       .withColumn("__m", col("ca") + col("cb"))
-      .withColumn("__s", coalesce(sum(col("__m")).over(wBefore), lit(0L)))
+      // per-SEGMENT census gate: see MaxExactCensusRows
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .withColumn("__s", gateWideCensus(
+        coalesce(sum(col("__m")).over(wBefore), lit(0L)),
+        col("__cn"), "mannWhitneyUByGroup", allowWideCensus, maxExactCensusRows))
       .groupBy(col("grp"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
         sum(col("ca").cast(d19) * (col("__s") * 2 + col("__m") + 1).cast(d19))
@@ -1290,7 +1301,8 @@ object Ops {
     * passes; cost tracks each segment's value domain.
     */
   def kruskalWallisByGroup(df: DataFrame, segment: String, group: String,
-                           value: Column): DataFrame = {
+                           value: Column, allowWideCensus: Boolean = false,
+                           maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cg = df.filter(col(segment).isNotNull && col(group).isNotNull &&
         value.isNotNull)
@@ -1301,7 +1313,12 @@ object Ops {
     val wBefore = Window.partitionBy(col("seg")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val d12 = DecimalType(12, 0); val d19 = DecimalType(19, 0)
-    val mvS = mv.withColumn("s", coalesce(sum(col("m")).over(wBefore), lit(0L)))
+    // per-SEGMENT census gate: see MaxExactCensusRows
+    val mvS = mv
+      .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("seg"))))
+      .withColumn("s", gateWideCensus(
+        coalesce(sum(col("m")).over(wBefore), lit(0L)),
+        col("__cn"), "kruskalWallisByGroup", allowWideCensus, maxExactCensusRows))
     val per = cg.join(mvS, Seq("seg", "v"))
       .groupBy(col("seg"), col("grp"))
       .agg(sum(col("c")).as("n"),
@@ -1356,7 +1373,9 @@ object Ops {
     * to rows, one map-combinable moment aggregate — no global sort.
     */
   def spearmanCorrByGroup(df: DataFrame, group: String,
-                          x: Column, y: Column): DataFrame = {
+                          x: Column, y: Column,
+                          allowWideCensus: Boolean = false,
+                          maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d19 = DecimalType(19, 0)
     val rows = df.filter(col(group).isNotNull && x.isNotNull && y.isNotNull)
@@ -1366,8 +1385,13 @@ object Ops {
       val cen = rows.groupBy(col("__g"), col(name)).agg(count(lit(1)).as("__m"))
       val wB = Window.partitionBy(col("__g")).orderBy(col(name))
         .rowsBetween(Window.unboundedPreceding, -1)
-      cen.withColumn("__s", coalesce(sum(col("__m")).over(wB), lit(0L)))
-        .select(col("__g"), col(name), (col("__s") * 2 + col("__m") + 1).as(out))
+      // per-SEGMENT census gate: see MaxExactCensusRows
+      cen.withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("__g"))))
+        .withColumn("__s", coalesce(sum(col("__m")).over(wB), lit(0L)))
+        .select(col("__g"), col(name), gateWideCensus(
+          col("__s") * 2 + col("__m") + 1,
+          col("__cn"), "spearmanCorrByGroup", allowWideCensus,
+          maxExactCensusRows).as(out))
     }
     val withRanks = rows
       .join(rankMap("__vx", "__ux"), Seq("__g", "__vx"))
@@ -1497,6 +1521,47 @@ object Ops {
       .select(col("bucket"), col("c_base"), col("c_cur"),
         round(col("p_base"), 12).as("p_base"), round(col("p_cur"), 12).as("p_cur"),
         col("term"), col("js"))
+  }
+
+  /** Top-N rank movers between two eras (r14 — the BI/governance
+    * readout beside [[GraftDataFrameOps.periodOverPeriod]]: not "how
+    * did totals move" but "WHO moved up or down the league table" —
+    * vendor churn, crawl-source displacement, whale rotation): each
+    * era's exact entity totals (integer cents — the §3 BIGINT rule)
+    * rank WITHIN THEIR OWN era by (total desc, entity — the
+    * deterministic q143 tiebreak), the eras full-outer join on the
+    * entity, and entities inside either era's top `topN` report with
+    * `rank_delta = rank_a − rank_b` (positive = climbed; null when
+    * absent from one era — the appearance/disappearance signal,
+    * observable). Returns (entity, total_a_cents, rank_a,
+    * total_b_cents, rank_b, rank_delta).
+    *
+    * Scale shape: two map-combinable entity censuses collapse the
+    * corpus FIRST; the rank windows walk the ENTITY frame (the q143
+    * statement). The windows are unpartitioned by design — a league
+    * table is inherently global (the q130 caveat: entity domains at
+    * catalog scale route through segmented rankings or
+    * [[globalRank]]).
+    */
+  def rankMovers(a: DataFrame, b: DataFrame, entity: String,
+                 value: Column, topN: Int): DataFrame = {
+    require(topN >= 1, s"rankMovers: topN ($topN) must be >= 1")
+    def census(df: DataFrame, suf: String) =
+      df.filter(col(entity).isNotNull && value.isNotNull)
+        .groupBy(col(entity).as("entity"))
+        .agg((sum(graft.util.Portable.dec(value)) * 100).cast("long")
+          .as(s"total_${suf}_cents"))
+    def ranked(c: DataFrame, suf: String) = c.withColumn(s"rank_$suf",
+      row_number().over(
+        Window.orderBy(col(s"total_${suf}_cents").desc, col("entity"))).cast("long"))
+    ranked(census(a, "a"), "a")
+      .join(ranked(census(b, "b"), "b"), Seq("entity"), "full_outer")
+      .withColumn("rank_delta",
+        when(col("rank_a").isNotNull && col("rank_b").isNotNull,
+          col("rank_a") - col("rank_b")))
+      .filter(col("rank_a") <= topN || col("rank_b") <= topN)
+      .select(col("entity"), col("total_a_cents"), col("rank_a"),
+        col("total_b_cents"), col("rank_b"), col("rank_delta"))
   }
 
   /** Two-sided z quantile at α = 0.05 (z_{0.975}) and the 80%-power

@@ -956,6 +956,23 @@ object Extended {
       .orderBy(col("seg"), col("grp"))
   }
 
+  /** q184: top-50 customer rank movers between order eras
+    * ([[graft.api.Ops.rankMovers]]) — who climbed or fell the
+    * revenue league table across 1998: per-era exact cent totals,
+    * within-era deterministic ranks, appearance/disappearance
+    * reported as null ranks (r14).
+    */
+  def q184(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.rankMovers(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_custkey", col("o_totalprice"), topN = 50)
+      .orderBy(col("entity"))
+  }
+
   /** q181: sample-ratio-mismatch check over order priorities
     * ([[graft.api.Ops.srmCheck]]) — the experimentation governance
     * gate: do the five priority "arms" match the declared uniform

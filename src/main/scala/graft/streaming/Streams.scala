@@ -991,6 +991,48 @@ object Streams {
       .start()
   }
 
+  /** Live Jensen–Shannon drift monitoring (r14 — the SYMMETRIC,
+    * smoothing-free member of the drift quartet beside
+    * [[psiDriftStream]]/[[ksDriftStream]]/[[mwuDriftStream]]): each
+    * trigger's bucket distribution scores
+    * [[graft.api.Ops.jsDivergence]] against the FROZEN baseline — the
+    * per-bucket term report + the [0, ln 2] total land at the sink,
+    * finite on one-side-only buckets by construction (no smoothing
+    * parameter to tune or replay). Same stateless shape and
+    * trigger-sizing statements as [[psiDriftStream]].
+    */
+  def jsDriftStream(records: DataFrame, baseline: DataFrame, bucket: String,
+                    sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.jsDivergence(baseline, batch, bucket))
+      }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Live sample-ratio-mismatch monitoring (r14 — the GOVERNANCE
+    * stream of the experimentation family: the assignment mechanism
+    * is watched CONTINUOUSLY, not audited after the readout is
+    * already biased): each trigger's arm traffic scores
+    * [[graft.api.Ops.srmCheck]] against the declared weights — the
+    * per-arm χ² report (absent arms contributing, undeclared arms
+    * surfacing) lands at the sink per trigger. Stateless; a trigger
+    * must carry enough assignments for the χ² to mean something
+    * (size triggers or window upstream — stated, the
+    * [[psiDriftStream]] rule).
+    */
+  def srmStream(records: DataFrame, arm: org.apache.spark.sql.Column,
+                expected: Seq[(String, Double)],
+                sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.srmCheck(batch, arm, expected))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live per-user top-N recommendations (r13 — the SERVING stream
     * for the recommender family: [[graft.api.Ops.PreparedCooc]]
     * maintains the similarity graph, THIS serves it): each trigger's

@@ -1403,6 +1403,35 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("rankMovers: within-era ranks, climb/fall deltas, appearance nulls, topN either side, invariance") {
+    import spark.implicits._
+    // era A totals: e1=30, e2=20, e3=10 → ranks 1,2,3
+    // era B totals: e2=50, e1=10, e4=5 → ranks 1,2,3 (e3 disappears)
+    val a = Seq(("e1", 10.0), ("e1", 20.0), ("e2", 20.0), ("e3", 10.0)).toDF("e", "v")
+    val b = Seq(("e2", 50.0), ("e1", 10.0), ("e4", 5.0)).toDF("e", "v")
+    val out = graft.api.Ops.rankMovers(a, b, "e", col("v"), topN = 50)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 4)
+    assert(out("e1").getAs[Long]("total_a_cents") == 3000L &&
+      out("e1").getAs[Long]("rank_a") == 1L &&
+      out("e1").getAs[Long]("rank_b") == 2L &&
+      out("e1").getAs[Long]("rank_delta") == -1L, "e1 fell one place")
+    assert(out("e2").getAs[Long]("rank_delta") == 1L, "e2 climbed to the top")
+    val e3 = out("e3"); val e4 = out("e4")
+    assert(e3.isNullAt(e3.fieldIndex("rank_b")) &&
+      e3.isNullAt(e3.fieldIndex("rank_delta")), "a disappearing entity reports null")
+    assert(e4.isNullAt(e4.fieldIndex("rank_a")) &&
+      e4.getAs[Long]("rank_b") == 3L, "an appearing entity reports its new rank")
+    // topN filters on EITHER side: topN=1 keeps the union of era tops
+    val top1 = graft.api.Ops.rankMovers(a, b, "e", col("v"), topN = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(top1 == Set("e1", "e2"), s"either-side top-1 union, got $top1")
+    // partitioning-invariant (exact cent totals + deterministic ranks)
+    val again = graft.api.Ops.rankMovers(a.repartition(5), b.repartition(3),
+      "e", col("v"), topN = 50).collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("srmCheck: hand-checked chi2, absent arm contributes, undeclared arm reports, invariance") {
     import spark.implicits._
     // declared 50/25/25 over A/B/C; observed A=6, B=2, C absent, D=4
@@ -2016,6 +2045,40 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(msgOf(eW2).contains("weightedMedian"))
     assert(graft.api.Ops.weightedMedian(wm, "g", col("v"), col("w"),
       maxExactCensusRows = 4).count() == 2, "the widest group sets the bar")
+    // the by-group family gates PER SEGMENT (r14): ga holds 3 merged
+    // values, gz one — the widest segment sets the bar
+    val ga = Seq(("ga", 1L), ("ga", 2L), ("gz", 9L)).toDF("g", "v")
+    val gb = Seq(("ga", 3L), ("gz", 9L)).toDF("g", "v")
+    val eKg = intercept[Throwable] {
+      graft.api.Ops.ksStatisticByGroup(ga, gb, "g", col("v"),
+        maxExactCensusRows = 2).collect()
+    }
+    assert(msgOf(eKg).contains("ksStatisticByGroup"))
+    assert(graft.api.Ops.ksStatisticByGroup(ga, gb, "g", col("v"),
+      maxExactCensusRows = 3).count() == 2)
+    val eUg = intercept[Throwable] {
+      graft.api.Ops.mannWhitneyUByGroup(ga, gb, "g", col("v"),
+        maxExactCensusRows = 2).collect()
+    }
+    assert(msgOf(eUg).contains("mannWhitneyUByGroup"))
+    val kwg = Seq(("s1", "x", 1L), ("s1", "x", 2L), ("s1", "y", 3L),
+      ("s2", "x", 9L)).toDF("seg", "g", "v")
+    val eKWg = intercept[Throwable] {
+      graft.api.Ops.kruskalWallisByGroup(kwg, "seg", "g", col("v"),
+        maxExactCensusRows = 2).collect()
+    }
+    assert(msgOf(eKWg).contains("kruskalWallisByGroup"))
+    assert(graft.api.Ops.kruskalWallisByGroup(kwg, "seg", "g", col("v"),
+      maxExactCensusRows = 3).count() == 3)
+    val spg = Seq(("sa", 1L, 10L), ("sa", 2L, 20L), ("sa", 3L, 40L),
+      ("sb", 1L, 1L)).toDF("g", "x", "y")
+    val eSg = intercept[Throwable] {
+      graft.api.Ops.spearmanCorrByGroup(spg, "g", col("x"), col("y"),
+        maxExactCensusRows = 2).collect()
+    }
+    assert(msgOf(eSg).contains("spearmanCorrByGroup"))
+    assert(graft.api.Ops.spearmanCorrByGroup(spg, "g", col("x"), col("y"),
+      maxExactCensusRows = 3).count() == 2)
   }
 
   test("sketch fallbacks: bucketed KS lower-bounds exact within bucket mass; median mid within width/2; width-1 ≡ exact") {

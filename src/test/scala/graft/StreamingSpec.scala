@@ -1769,6 +1769,47 @@ class StreamingSpec extends AnyFunSuite {
       "the drifted trigger scores a larger PSI")
   }
 
+  test("jsDriftStream / srmStream score each trigger per batch semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    // JS: trigger 2 introduces a baseline-unseen bucket — finite by
+    // construction, no smoothing
+    val baseline = Seq("x", "x", "x", "y").toDF("b")
+    val t1 = Seq("x", "y"); val t2 = Seq("z", "z", "y")
+    val jsStream = MemoryStream[String]
+    val jsGot = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val jsQ = Streams.jsDriftStream(jsStream.toDF().toDF("b"), baseline, "b",
+      r => { jsGot += rows(r.orderBy("bucket")); () })
+    try {
+      jsStream.addData(t1); jsQ.processAllAvailable()
+      jsStream.addData(t2); jsQ.processAllAvailable()
+    } finally jsQ.stop()
+    assert(jsGot.size == 2, "one JS report per trigger")
+    def batchJs(cur: Seq[String]) =
+      rows(graft.api.Ops.jsDivergence(baseline, cur.toDF("b"), "b").orderBy("bucket"))
+    assert(jsGot(0) == batchJs(t1), "trigger 1 ≡ batch jsDivergence")
+    assert(jsGot(1) == batchJs(t2), "trigger 2 ≡ batch jsDivergence")
+    // SRM: trigger 2's traffic is skewed off the declared 50/50
+    val arms = Seq("A" -> 0.5, "B" -> 0.5)
+    val srmStream0 = MemoryStream[String]
+    val srmGot = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val srmQ = Streams.srmStream(srmStream0.toDF().toDF("arm"), col("arm"), arms,
+      r => { srmGot += rows(r.orderBy("arm")); () })
+    val s1 = Seq("A", "B", "A", "B"); val s2 = Seq("A", "A", "A", "B")
+    try {
+      srmStream0.addData(s1); srmQ.processAllAvailable()
+      srmStream0.addData(s2); srmQ.processAllAvailable()
+    } finally srmQ.stop()
+    assert(srmGot.size == 2, "one SRM report per trigger")
+    def batchSrm(cur: Seq[String]) =
+      rows(graft.api.Ops.srmCheck(cur.toDF("arm"), col("arm"), arms).orderBy("arm"))
+    assert(srmGot(0) == batchSrm(s1), "trigger 1 ≡ batch srmCheck")
+    assert(srmGot(1) == batchSrm(s2), "trigger 2 ≡ batch srmCheck")
+  }
+
   test("ksDriftStream / mwuDriftStream score each trigger against the frozen baseline, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
