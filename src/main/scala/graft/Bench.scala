@@ -78,7 +78,8 @@ object Bench {
     "q173_did", "q174_pop_report", "q175_funnel_ab", "q176_holt_trend",
     "q177_kw_by_group", "q178_spearman_by_group",
     "q179_ks_sketch", "q180_wmedian_sketch", "q181_srm_check",
-    "q182_js_divergence", "q183_mde", "q184_rank_movers")
+    "q182_js_divergence", "q183_mde", "q184_rank_movers",
+    "q185_quantile_drift")
 
   private val childMarker = "##BENCHQ##"
 

@@ -204,6 +204,7 @@ object SparkEntry {
     "q182_js_divergence"  -> q(Extended.q182),
     "q183_mde"            -> q(Extended.q183),
     "q184_rank_movers"    -> q(Extended.q184),
+    "q185_quantile_drift" -> q(Extended.q185),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3714,6 +3715,48 @@ object SparkEntry {
         |    THEN rank_a - rank_b END AS rank_delta
         |FROM j WHERE rank_a <= 50 OR rank_b <= 50
         |ORDER BY entity""".stripMargin,
+
+    // q185: the q108 census/ceil-rank/midpoint machinery per era +
+    // the per-quantile delta (quantile literals CAST to DOUBLE, the
+    // q108 rule; the ±2^62 range guard mirrored exactly)
+    "q185_quantile_drift" -> {
+      def census(pre: String, eraPred: String) =
+        s"""${pre}r AS (
+           |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 64.0) AS BIGINT) AS b,
+           |         COUNT(*) AS n
+           |  FROM orders
+           |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND $eraPred
+           |    AND CAST(o_totalprice AS DOUBLE) / 64.0
+           |      BETWEEN -CAST(4611686018427387904 AS DOUBLE)
+           |          AND CAST(4611686018427387904 AS DOUBLE)
+           |  GROUP BY 1),
+           |${pre}c AS (SELECT b, SUM(n) OVER (ORDER BY b) AS cum,
+           |            SUM(n) OVER () AS tot FROM ${pre}r),
+           |${pre}q AS (
+           |  SELECT
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.1 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b10,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b50,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.9 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b90,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.99 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b99
+           |  FROM ${pre}c)""".stripMargin
+      s"""WITH ${census("a", "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")},
+         |${census("b", "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'")}
+         |SELECT quantile, value_a, value_b, value_b - value_a AS delta FROM (
+         |  SELECT 'p10' AS quantile,
+         |    (CAST(aq.b10 AS DOUBLE) + 0.5) * 64.0 AS value_a,
+         |    (CAST(bq.b10 AS DOUBLE) + 0.5) * 64.0 AS value_b
+         |  FROM aq CROSS JOIN bq
+         |  UNION ALL SELECT 'p50',
+         |    (CAST(aq.b50 AS DOUBLE) + 0.5) * 64.0,
+         |    (CAST(bq.b50 AS DOUBLE) + 0.5) * 64.0 FROM aq CROSS JOIN bq
+         |  UNION ALL SELECT 'p90',
+         |    (CAST(aq.b90 AS DOUBLE) + 0.5) * 64.0,
+         |    (CAST(bq.b90 AS DOUBLE) + 0.5) * 64.0 FROM aq CROSS JOIN bq
+         |  UNION ALL SELECT 'p99',
+         |    (CAST(aq.b99 AS DOUBLE) + 0.5) * 64.0,
+         |    (CAST(bq.b99 AS DOUBLE) + 0.5) * 64.0 FROM aq CROSS JOIN bq)
+         |ORDER BY quantile""".stripMargin
+    },
 
     // q182: the q155 bucket census WITHOUT smoothing; each bucket's
     // half-terms gated on its own counts, round-12 decimal-summed

@@ -22,8 +22,23 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // defense at the source (r14, SURVEY §3): a wide-DECIMAL
+        // column in a gated output is a LATENT external-gate hash
+        // failure (trailing-zero canonicalization) even when every
+        // value matches — refuse loudly here so the driver's own run
+        // shows a visible error instead of a silent hash mismatch
+        val wide = df.schema.fields.filter(_.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType => d.precision > 18
+          case _ => false
+        })
+        if (wide.nonEmpty) throw new IllegalStateException(
+          s"gated output carries wide-DECIMAL column(s) " +
+            wide.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ") +
+            " — emit BIGINT or DOUBLE (SURVEY §3)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

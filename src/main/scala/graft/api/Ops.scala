@@ -1523,6 +1523,42 @@ object Ops {
         col("term"), col("js"))
   }
 
+  /** Per-quantile drift between two samples (r14 — the drift family's
+    * SHAPE readout: PSI/JS say "the distribution moved", KS says
+    * "the biggest CDF gap is here", THIS says "the p50 rose $12 and
+    * the p99 rose $400" — the number an SLO/pricing review actually
+    * quotes): each side runs the q108 portable fixed-width bucket
+    * census ([[quantileRegisters]] — one exactly-specified IEEE
+    * division + floor, so the census replays bit-for-bit) and the
+    * nearest-rank midpoint estimates ([[quantileFromRegisters]] —
+    * within width/2 of the exact nearest-rank quantile), the two
+    * 1-row frames cross, and one row per requested quantile emits
+    * (quantile, value_a, value_b, delta = b − a). All DOUBLE
+    * midpoints (the §3 rule).
+    *
+    * Scale shape: two map-combinable bucket censuses (resolution-
+    * bounded — domain/width rows, never the corpus), cumulative
+    * windows over the census, one 1×1 cross, one k-row unpivot.
+    */
+  def quantileDrift(a: DataFrame, b: DataFrame, value: Column,
+                    bucketWidth: Double,
+                    quantiles: Seq[(String, Double)]): DataFrame = {
+    require(quantiles.nonEmpty, "quantileDrift: need at least one quantile")
+    require(quantiles.map(_._1).distinct.length == quantiles.length,
+      "quantileDrift: duplicate quantile name")
+    def side(df: DataFrame, suf: String): DataFrame =
+      quantileFromRegisters(
+        quantileRegisters(df, Nil, value, bucketWidth), Nil, bucketWidth,
+        quantiles.map { case (n, q) => (s"__${n}_$suf", q) })
+    val joined = side(a, "a").crossJoin(broadcast(side(b, "b")))
+    val stackArgs = quantiles.map { case (n, _) =>
+      s"'$n', `__${n}_a`, `__${n}_b`" }.mkString(", ")
+    joined
+      .select(expr(s"stack(${quantiles.length}, $stackArgs) AS " +
+        "(quantile, value_a, value_b)"))
+      .withColumn("delta", col("value_b") - col("value_a"))
+  }
+
   /** Top-N rank movers between two eras (r14 — the BI/governance
     * readout beside [[GraftDataFrameOps.periodOverPeriod]]: not "how
     * did totals move" but "WHO moved up or down the league table" —

@@ -956,6 +956,23 @@ object Extended {
       .orderBy(col("seg"), col("grp"))
   }
 
+  /** q185: per-quantile price drift between order eras
+    * ([[graft.api.Ops.quantileDrift]]) — "the p50 moved $X, the p99
+    * moved $Y": the q108 portable bucket census per era, nearest-rank
+    * midpoints, one row per quantile with the delta (r14).
+    */
+  def q185(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.quantileDrift(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("o_totalprice"), bucketWidth = 64.0,
+      Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy(col("quantile"))
+  }
+
   /** q184: top-50 customer rank movers between order eras
     * ([[graft.api.Ops.rankMovers]]) — who climbed or fell the
     * revenue league table across 1998: per-era exact cent totals,

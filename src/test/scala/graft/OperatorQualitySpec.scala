@@ -1403,6 +1403,32 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("quantileDrift: midpoints within width/2 of exact, deltas track planted shift, invariance") {
+    import spark.implicits._
+    // era A uniform 1..100, era B uniform 51..150: every quantile
+    // shifts by exactly +50
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val b = (51 to 150).map(_.toDouble).toDF("v")
+    val out = graft.api.Ops.quantileDrift(a, b, col("v"), bucketWidth = 1.0,
+      Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3)
+    for ((name, q) <- Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9)) {
+      val exactA = math.ceil(q * 100)        // nearest-rank over 1..100
+      val va = out(name).getAs[Double]("value_a")
+      assert(math.abs(va - exactA) <= 0.5, s"$name a: $va vs $exactA")
+      assert(out(name).getAs[Double]("delta") == 50.0,
+        s"$name delta: ${out(name).getAs[Double]("delta")}")
+    }
+    // width-1 buckets on integers: midpoint = value + 0.5 exactly
+    assert(out("p50").getAs[Double]("value_a") == 50.5)
+    // partitioning-invariant (the q108 exact-census property)
+    val again = graft.api.Ops.quantileDrift(a.repartition(7), b.repartition(3),
+      col("v"), 1.0, Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("rankMovers: within-era ranks, climb/fall deltas, appearance nulls, topN either side, invariance") {
     import spark.implicits._
     // era A totals: e1=30, e2=20, e3=10 → ranks 1,2,3

@@ -76,9 +76,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q161_kruskal_wallis",
       // q162 is two 1-row moment frames crossed — a 1-row × 1-row
       // scalar pair (the q123 report shape); dedicated pin below.
-      // q183 (MDE) is the same two-moment-frame cross; its pin rides
-      // the q170/q171/q172 test below
-      "q162_welch_t", "q183_mde",
+      // q183 (MDE) and q185 (quantile drift) are the same
+      // two-1-row-frame cross; their pins ride the q170/q171/q172
+      // test below
+      "q162_welch_t", "q183_mde", "q185_quantile_drift",
       // q170 crosses two 1-row profile aggregates (q162 shape);
       // q171 crosses the 1-row full-data aggregate with the 1-row
       // CI frame; q172 crosses the two 1-row arm-moment frames;
@@ -165,9 +166,9 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly the two 1-row moment frames crossed once in q162, got $keyless:\n$plan")
   }
 
-  test("q170/q171/q172/q183's only keyless joins are their 1-row × 1-row pairs") {
+  test("q170/q171/q172/q183/q185's only keyless joins are their 1-row × 1-row pairs") {
     for ((name, expected) <- Seq("q170_profile_drift" -> 1, "q171_bootstrap_ci" -> 1,
-        "q172_cuped" -> 1, "q183_mde" -> 1)) {
+        "q172_cuped" -> 1, "q183_mde" -> 1, "q185_quantile_drift" -> 1)) {
       val plan = physicalPlan(name)
       val keyless = plan.linesIterator.count(l =>
         l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
