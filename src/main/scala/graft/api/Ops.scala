@@ -4075,6 +4075,80 @@ object Ops {
       .agg(sum(col("__qn")).as("__qn"))
   }
 
+  /** Incrementally-maintained quantile registers (r14 — the
+    * EIGHTEENTH durable artifact and the FIFTH lossless-by-algebra
+    * absorb: [[quantileMergeRegisters]] sum-merges shard censuses,
+    * which IS the union census row-for-row, so
+    * `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)` bit-for-bit with ZERO
+    * additional sketch error — no corpus rescan, no disjointness
+    * contract). The production shape: nightly increments keep living
+    * per-group percentile dashboards (latency SLOs, price bands)
+    * without ever re-reading history; `quantiles` serves the q108
+    * nearest-rank midpoint estimates off the stored census at any
+    * point. The census is resolution-bounded (domain/width rows per
+    * group), never corpus-sized.
+    */
+  final case class PreparedQuantiles private[graft] (
+    regs: DataFrame, group: Seq[String], bucketWidth: Double,
+    reliable: Boolean) {
+
+    /** Merge an increment's census by exact count addition; pass the
+      * SAME value measure prepare used (the absorbVocab discipline).
+      */
+    def absorb(increment: DataFrame, value: Column,
+               checkpointDir: Option[String] = None): PreparedQuantiles = {
+      val ckp = lineageBreaker(checkpointDir)
+      val merged = ckp(quantileMergeRegisters(group,
+        regs, quantileRegisters(increment, group, value, bucketWidth)))
+      PreparedQuantiles(merged, group, bucketWidth,
+        reliable && checkpointDir.isDefined)
+    }
+
+    /** Nearest-rank midpoint estimates off the maintained census —
+      * the q108 serve surface ([[quantileFromRegisters]]).
+      */
+    def quantiles(qs: Seq[(String, Double)]): DataFrame =
+      quantileFromRegisters(regs, group, bucketWidth, qs)
+
+    /** Persist durably (one census frame + kind-tagged meta; group
+      * names NUL-joined with the fmt marker — the PreparedRollup
+      * discipline from day one).
+      */
+    def save(path: String): Unit = {
+      regs.write.mode("overwrite").parquet(s"$path/regs")
+      ArtifactIO.writeMeta(regs.sparkSession, path, "quantiles",
+        Seq("group" -> group.mkString("\u0000"),
+          "bucketWidth" -> bucketWidth.toString, "fmt" -> "2"))
+    }
+  }
+
+  /** Build a [[PreparedQuantiles]]; its `quantiles` over the prepare
+    * corpus equals the one-shot [[GraftDataFrameOps.quantileSketch]]
+    * (shared census code, spec-pinned).
+    */
+  def prepareQuantiles(corpus: DataFrame, group: Seq[String], value: Column,
+                       bucketWidth: Double,
+                       checkpointDir: Option[String] = None): PreparedQuantiles = {
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedQuantiles(ckp(quantileRegisters(corpus, group, value, bucketWidth)),
+      group, bucketWidth, checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedQuantiles]] persisted by its `save`; fails fast
+    * on a non-quantiles path or a missing format marker.
+    */
+  def loadQuantiles(spark: org.apache.spark.sql.SparkSession,
+                    path: String): PreparedQuantiles = {
+    val m = ArtifactIO.readMeta(spark, path, "quantiles")
+    val fmt = m.getOrElse("fmt", "<missing>")
+    require(fmt == "2",
+      s"loadQuantiles: artifact at $path has format '$fmt', expected '2'")
+    val raw = ArtifactIO.field(m, path, "group")
+    val grp = if (raw.isEmpty) Nil else raw.split("\u0000").toSeq
+    PreparedQuantiles(spark.read.parquet(s"$path/regs"), grp,
+      ArtifactIO.field(m, path, "bucketWidth").toDouble, reliable = true)
+  }
+
   /** The estimate half: nearest-rank quantiles off the bucket census.
     * For each requested (name, q) the estimate is the MIDPOINT of the
     * first bucket whose cumulative count reaches ceil(q·n) — within

@@ -1033,6 +1033,28 @@ object Streams {
       .start()
   }
 
+  /** Live per-quantile drift monitoring (r14 — the drift family's
+    * SHAPE stream: each trigger's value distribution runs
+    * [[graft.api.Ops.quantileDrift]] against the FROZEN baseline —
+    * one row per requested quantile with (value_a, value_b, delta)
+    * landing at the sink per trigger: "the live p99 sits $X above
+    * the baseline", continuously. Stateless; the usual
+    * trigger-sizing statement applies.
+    */
+  def quantileDriftStream(records: DataFrame, baseline: DataFrame,
+                          value: org.apache.spark.sql.Column,
+                          bucketWidth: Double,
+                          quantiles: Seq[(String, Double)],
+                          sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.quantileDrift(baseline, batch, value,
+          bucketWidth, quantiles))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live per-user top-N recommendations (r13 — the SERVING stream
     * for the recommender family: [[graft.api.Ops.PreparedCooc]]
     * maintains the similarity graph, THIS serves it): each trigger's

@@ -420,6 +420,45 @@ class PersistenceSpec extends AnyFunSuite {
       s"fmt-less artifact must fail fast with a format message (got ${ex.getMessage})")
   }
 
+  test("PreparedQuantiles: absorb is the EXACT union census; serve ≡ one-shot sketch; round-trips") {
+    import graft.api.Ops._
+    val l = t.lineitem
+    val a = l.filter(col("l_orderkey") % 2 === 0)
+    val b = l.filter(col("l_orderkey") % 2 === 1)
+    val grp = Seq("l_returnflag")
+    val qs = Seq("p50" -> 0.5, "p95" -> 0.95)
+    val full = Ops.prepareQuantiles(l, grp, col("l_extendedprice"), 64.0)
+    // serve ≡ the one-shot quantileSketch (shared census code)
+    assertSameRows(full.quantiles(qs),
+      l.quantileSketch(grp, col("l_extendedprice"), 64.0, qs),
+      "prepared serve vs one-shot sketch")
+    // absorb ≡ one-shot over the union: register sum-merge IS the
+    // union census row-for-row — zero additional sketch error
+    val inc = Ops.prepareQuantiles(a, grp, col("l_extendedprice"), 64.0)
+      .absorb(b, col("l_extendedprice"))
+    assertSameRows(inc.regs, full.regs, "absorbed census ≡ full census")
+    assertSameRows(inc.quantiles(qs), full.quantiles(qs), "absorbed serve")
+    // durable round-trip + absorb-after-load ≡ full re-prepare
+    val dir = tmp("quantiles")
+    Ops.prepareQuantiles(a, grp, col("l_extendedprice"), 64.0).save(dir)
+    val loaded = Ops.loadQuantiles(spark, dir)
+    assert(loaded.group == grp && loaded.bucketWidth == 64.0 && loaded.reliable)
+    val grown = loaded.absorb(b, col("l_extendedprice"))
+    assertSameRows(grown.regs, full.regs, "absorb-after-load census")
+    // global (group-less) form round-trips the empty group list
+    val dirG = tmp("quantilesG")
+    Ops.prepareQuantiles(l, Nil, col("l_extendedprice"), 64.0).save(dirG)
+    assert(Ops.loadQuantiles(spark, dirG).group == Nil)
+    // a fmt-less artifact fails fast (the PreparedRollup discipline)
+    val dirOld = tmp("quantilesOld")
+    full.regs.write.mode("overwrite").parquet(s"$dirOld/regs")
+    import spark.implicits._
+    Seq(("kind", "quantiles"), ("group", "l_returnflag"), ("bucketWidth", "64.0"))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(s"$dirOld/meta")
+    val ex = intercept[IllegalArgumentException](Ops.loadQuantiles(spark, dirOld))
+    assert(ex.getMessage.contains("format"))
+  }
+
   test("PreparedActives round-trips; absorb is IDEMPOTENT set union; serves ≡ batch operators") {
     import graft.api.Ops._
     val e = t.events

@@ -1810,6 +1810,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(srmGot(1) == batchSrm(s2), "trigger 2 ≡ batch srmCheck")
   }
 
+  test("quantileDriftStream reports per-trigger quantile deltas ≡ batch quantileDrift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    val baseline = (1L to 100L).toDF("v")
+    val t1 = (1L to 50L).map(_ * 2); val t2 = (101L to 150L)  // t2 shifted up
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val stream = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val query = Streams.quantileDriftStream(stream.toDF().toDF("v"), baseline,
+      col("v"), 1.0, qs, r => { got += rows(r.orderBy("quantile")); () })
+    try {
+      stream.addData(t1); query.processAllAvailable()
+      stream.addData(t2); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2, "one report per trigger")
+    def batch(cur: Seq[Long]) =
+      rows(graft.api.Ops.quantileDrift(baseline, cur.toDF("v"), col("v"), 1.0, qs)
+        .orderBy("quantile"))
+    assert(got(0) == batch(t1), "trigger 1 ≡ batch quantileDrift")
+    assert(got(1) == batch(t2), "trigger 2 ≡ batch quantileDrift")
+  }
+
   test("ksDriftStream / mwuDriftStream score each trigger against the frozen baseline, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
