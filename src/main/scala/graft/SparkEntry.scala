@@ -205,6 +205,7 @@ object SparkEntry {
     "q183_mde"            -> q(Extended.q183),
     "q184_rank_movers"    -> q(Extended.q184),
     "q185_quantile_drift" -> q(Extended.q185),
+    "q186_dedup_yield"    -> q(Dedup.q186),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -230,6 +231,24 @@ object SparkEntry {
     * skew-prone min-shingle blocks, and their oracles recompute the
     * same derivation.
     */
+  /** The q46/q186 shared cluster map: the MinHash-LSH pair graph (the
+    * production edge path — not q32's skewable min-shingle blocks)
+    * closed transitively by the recursive CTE, ending in
+    * `clmap(doc_id, cluster_id)` — one row per CLUSTERED doc, its
+    * cluster labeled by the minimum member id.
+    */
+  private lazy val dedupClmapSql: String =
+    s"""WITH RECURSIVE ${minhashPairCtes("documents")},
+       |sym AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5),
+       |reach AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM sym
+       |  UNION
+       |  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON r.b = s.doc_a),
+       |clmap AS (
+       |  SELECT a AS doc_id, least(MIN(b), a) AS cluster_id
+       |  FROM reach GROUP BY a)""".stripMargin
+
   private def minhashPairCtes(src: String): String =
     s"""mh_toks AS (
        |  SELECT doc_id,
@@ -812,28 +831,33 @@ object SparkEntry {
         |  CAST(CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS BIGINT) AS has_gold
         |FROM part ORDER BY p_partkey""".stripMargin,
 
-    "q46_dedup_clusters" -> {
-      // the same MinHash-LSH pair graph as q33 (the production edge
-      // path — not q32's skewable min-shingle blocks), closed
-      // transitively by the recursive CTE
-      val pairSql =
-        s"""WITH RECURSIVE ${minhashPairCtes("documents")},
-           |sym AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
-           |        UNION ALL SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5),""".stripMargin
-      pairSql +
-        """
-          |reach AS (
-          |  SELECT doc_a AS a, doc_b AS b FROM sym
-          |  UNION
-          |  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON r.b = s.doc_a)
-          |SELECT cluster_id, COUNT(*) AS cluster_size,
-          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
-          |FROM (
-          |  SELECT a AS doc_id, least(MIN(b), a) AS cluster_id
-          |  FROM reach GROUP BY a)
-          |GROUP BY cluster_id
-          |ORDER BY cluster_id""".stripMargin
-    },
+    "q46_dedup_clusters" ->
+      s"""$dedupClmapSql
+         |SELECT cluster_id, COUNT(*) AS cluster_size,
+         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+         |FROM clmap
+         |GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin,
+
+    // q186: the q46 cluster map folded into the yield accounting —
+    // size histogram, corpus totals, dup mass, kept ratio
+    "q186_dedup_yield" ->
+      s"""$dedupClmapSql,
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM clmap GROUP BY 1),
+         |hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |agg AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_clustered,
+         |  CAST(SUM(n_clusters) AS BIGINT) AS ncl FROM hist)
+         |SELECT cluster_size, n_clusters, n_docs, n_docs_total,
+         |  n_clustered, n_clustered - ncl AS dup_mass,
+         |  round(CAST(n_docs_total - (n_clustered - ncl) AS DOUBLE) /
+         |    CAST(n_docs_total AS DOUBLE), 6) AS kept_ratio
+         |FROM hist CROSS JOIN tot CROSS JOIN agg
+         |ORDER BY cluster_size""".stripMargin,
 
     "q47_bigram_stats" ->
       """WITH toks AS (

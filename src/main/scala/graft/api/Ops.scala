@@ -1523,6 +1523,44 @@ object Ops {
         col("term"), col("js"))
   }
 
+  /** Dedup yield report (r14 — the pipeline-accounting readout every
+    * curation run publishes: "this corpus is N docs; the near-dup
+    * clusters hold M of them in K clusters, so dedup drops M−K and
+    * keeps R% of the corpus" — the number a data-budget review
+    * quotes, composed over any cluster labeling
+    * ([[GraftDataFrameOps.connectedComponents]] over LSH/SimHash/
+    * vector edges)): per observed cluster SIZE one row
+    * (cluster_size, n_clusters, n_docs) with the corpus totals
+    * repeated — n_docs_total, n_clustered, dup_mass = clustered −
+    * clusters (the docs a keep-one-canonical pass drops), and
+    * kept_ratio = (total − dup_mass)/total (round-6 DOUBLE, the §3
+    * rule). Labels cover only clustered docs (every vertex has an
+    * edge, so sizes ≥ 2); unclustered docs participate via the total.
+    *
+    * Scale shape: one cluster-size census + a size histogram (both
+    * bounded by cluster structure, never the corpus), histogram-sized
+    * windows, one 1-row corpus-count broadcast cross (the q48 scalar
+    * shape).
+    */
+  def dedupYield(corpus: DataFrame, id: String, labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
+    val tot = corpus.filter(col(id).isNotNull).agg(count(lit(1)).as("n_docs_total"))
+    val wAll = Window.partitionBy()
+    hist.crossJoin(broadcast(tot))
+      .withColumn("n_clustered", sum(col("n_docs")).over(wAll))
+      .withColumn("__ncl", sum(col("n_clusters")).over(wAll))
+      .withColumn("dup_mass", col("n_clustered") - col("__ncl"))
+      .withColumn("kept_ratio",
+        round((col("n_docs_total") - col("dup_mass")).cast("double") /
+          col("n_docs_total").cast("double"), 6))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_docs_total"), col("n_clustered"), col("dup_mass"),
+        col("kept_ratio"))
+  }
+
   /** Per-quantile drift between two samples (r14 — the drift family's
     * SHAPE readout: PSI/JS say "the distribution moved", KS says
     * "the biggest CDF gap is here", THIS says "the p50 rose $12 and

@@ -112,6 +112,25 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** q186: dedup yield report over the q46 cluster labeling
+    * ([[graft.api.Ops.dedupYield]]) — the curation-accounting
+    * readout: cluster-size histogram + corpus totals + dup mass +
+    * kept ratio, composed over the same LSH-banded connected
+    * components as q46 (r14).
+    */
+  def q186(t: Tables): DataFrame = q186(t, checkpointDir = None)
+
+  def q186(t: Tables, checkpointDir: Option[String]): DataFrame = {
+    val edges = t.documents
+      .minhashLshPairs("doc_id", "text", threshold = 0.5, perms = 64, bands = 16,
+        checkpointDir = checkpointDir)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = edges.connectedComponents("doc_a", "doc_b",
+      maxRounds = 50, checkpointDir = checkpointDir)
+    graft.api.Ops.dedupYield(t.documents, "doc_id", labels)
+      .orderBy(col("cluster_size"))
+  }
+
   /** q53: embedding-cosine near-duplicates — the vector-space member
     * of the dedup family. Candidate pairs only form inside one of 4
     * independent random-hyperplane sign-code tables

@@ -1403,6 +1403,35 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("dedupYield: hand-checked histogram, dup mass, kept ratio, singletons via the total") {
+    import spark.implicits._
+    // corpus: 10 docs; clusters: {1,2,3} (size 3), {4,5} and {6,7}
+    // (size 2 ×2); docs 8,9,10 unclustered.
+    // hist: size 2 → 2 clusters/4 docs; size 3 → 1 cluster/3 docs
+    // clustered 7, clusters 3 → dup_mass 4 → kept (10−4)/10 = 0.6
+    val corpus = (1L to 10L).toDF("doc_id")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 6L)).toDF("vertex", "component")
+    val out = graft.api.Ops.dedupYield(corpus, "doc_id", labels)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2)
+    assert(out(2L).getAs[Long]("n_clusters") == 2L &&
+      out(2L).getAs[Long]("n_docs") == 4L)
+    assert(out(3L).getAs[Long]("n_clusters") == 1L &&
+      out(3L).getAs[Long]("n_docs") == 3L)
+    for (r <- out.values) {
+      assert(r.getAs[Long]("n_docs_total") == 10L)
+      assert(r.getAs[Long]("n_clustered") == 7L)
+      assert(r.getAs[Long]("dup_mass") == 4L)
+      assert(r.getAs[Double]("kept_ratio") == 0.6)
+    }
+    // partitioning-invariant
+    val again = graft.api.Ops.dedupYield(corpus.repartition(5),
+      "doc_id", labels.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(again == out.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("quantileDrift: midpoints within width/2 of exact, deltas track planted shift, invariance") {
     import spark.implicits._
     // era A uniform 1..100, era B uniform 51..150: every quantile

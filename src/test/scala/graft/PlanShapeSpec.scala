@@ -54,8 +54,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q123_dq_checks", "q129_assoc_rules", "q130_rfm",
       // q131/q132 are checkpoint-iterative like q46/q96: building the
       // plan runs the peel/frontier loop, so their shape is spec'd
-      // behaviorally
-      "q131_kcore", "q132_bfs_reach",
+      // behaviorally. q186 composes the q46 loop — same exclusion.
+      "q131_kcore", "q132_bfs_reach", "q186_dedup_yield",
       // q136's census completion crosses the groups-sized totals with
       // the broadcast 9-row digit frame — the q48/q76 bounded-frame
       // shape; its dedicated pin below bounds it to exactly that one
