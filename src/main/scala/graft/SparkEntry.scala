@@ -206,6 +206,7 @@ object SparkEntry {
     "q184_rank_movers"    -> q(Extended.q184),
     "q185_quantile_drift" -> q(Extended.q185),
     "q186_dedup_yield"    -> q(Dedup.q186),
+    "q187_centroid_sep"   -> q(Vectors.q187),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -858,6 +859,29 @@ object SparkEntry {
          |    CAST(n_docs_total AS DOUBLE), 6) AS kept_ratio
          |FROM hist CROSS JOIN tot CROSS JOIN agg
          |ORDER BY cluster_size""".stripMargin,
+
+    // q187: the q42 exact-decimal centroid dims assembled per label,
+    // then list_cosine_similarity per a<b pair at round-4 (the q35
+    // cross-engine cosine parity)
+    "q187_centroid_sep" ->
+      """WITH flat AS (
+        |  SELECT label,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(27,12)) AS x
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |dims AS (
+        |  SELECT label, pos, CAST(SUM(x) AS DOUBLE) / COUNT(x) AS m,
+        |    COUNT(x) AS n
+        |  FROM flat GROUP BY label, pos),
+        |cents AS (
+        |  SELECT label, list(m ORDER BY pos) AS c,
+        |    CAST(MAX(n) AS BIGINT) AS n_docs
+        |  FROM dims GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  a.n_docs AS n_a, b.n_docs AS n_b,
+        |  round(list_cosine_similarity(a.c, b.c), 4) AS cosine
+        |FROM cents a JOIN cents b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
 
     "q47_bigram_stats" ->
       """WITH toks AS (

@@ -40,6 +40,54 @@ object Vectors {
         count(lit(1)).as("n_dims"))
       .orderBy(col("label"))
 
+  /** Inter-centroid separation report (r14 — the embedding-space
+    * GOVERNANCE readout beside q42's centroids: "which label clusters
+    * are confusable" — a near-1 centroid cosine flags labels a
+    * classifier or ANN router will mix up, the screen run before
+    * trusting label-conditioned sampling or routing): per-label
+    * centroids from EXACT DECIMAL(27,12) dimension sums (the q42
+    * discipline — bit-identical doubles on any engine/partitioning),
+    * then every label pair a < b scores ONE codegen'd cosine
+    * ([[graft.functions.CosineSimilarity]]) rounded at 4 (the q35
+    * parity discipline with DuckDB's `list_cosine_similarity`).
+    * Returns (label_a, label_b, n_a, n_b, cosine).
+    *
+    * Scale shape: one (label, dim) map-combinable decimal aggregate
+    * collapses the corpus; the k×k pair cross walks the LABEL frame
+    * (bounded by the label vocabulary — the q48 bounded-frame
+    * argument, plan-pinned).
+    */
+  def centroidSeparation(df: DataFrame, label: String,
+                         embedding: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val dims = df.filter(col(label).isNotNull && embedding.isNotNull)
+      .select(col(label).as("__l"), posexplode(embedding.cast("array<double>")))
+      .groupBy(col("__l"), col("pos"))
+      .agg((sum(col("col").cast("decimal(27,12)")).cast("double") /
+        count(col("col"))).as("__m"),
+        count(col("col")).as("__n"))
+    val cents = dims.groupBy(col("__l"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("__m")))),
+        s => s("__m")).as("__c"),
+        max(col("__n")).as("n_docs"))
+    val a = cents.select(col("__l").as("label_a"), col("__c").as("__ca"),
+      col("n_docs").as("n_a"))
+    val b = cents.select(col("__l").as("label_b"), col("__c").as("__cb"),
+      col("n_docs").as("n_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .withColumn("cosine", round(expr("cosine_sim(__ca, __cb)"), 4))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("cosine"))
+  }
+
+  /** q187: label-centroid separation over the embeddings table
+    * ([[centroidSeparation]]) — the confusability screen across the
+    * corpus labels (r14).
+    */
+  def q187(t: Tables): DataFrame =
+    centroidSeparation(t.embeddings, "label", col("embedding"))
+      .orderBy(col("label_a"), col("label_b"))
+
   /** Lloyd's k-means over an embedding column — the trainer for the
     * coarse quantizer an IVF ANN index needs (q36 searches fixed
     * cells; this learns them). Scale shape per iteration:

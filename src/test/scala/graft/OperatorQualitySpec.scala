@@ -1403,6 +1403,32 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("centroidSeparation: identical labels cosine 1, orthogonal 0, exact centroid means, invariance") {
+    import spark.implicits._
+    // a: docs along +x (mean (2,0)); b: same direction (cos 1 vs a);
+    // c: along +y (cos 0 vs a and b)
+    val df = Seq(
+      ("a", Seq(1.0, 0.0)), ("a", Seq(3.0, 0.0)),
+      ("b", Seq(5.0, 0.0)),
+      ("c", Seq(0.0, 2.0)), ("c", Seq(0.0, 4.0)))
+      .toDF("label", "emb")
+    val r = graft.operators.Vectors.centroidSeparation(df, "label", col("emb"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.size == 3)
+    assert(r(("a", "b")).getAs[Double]("cosine") == 1.0,
+      "co-directional centroids are confusable (cos 1)")
+    assert(r(("a", "c")).getAs[Double]("cosine") == 0.0 &&
+      r(("b", "c")).getAs[Double]("cosine") == 0.0,
+      "orthogonal centroids separate (cos 0)")
+    assert(r(("a", "b")).getAs[Long]("n_a") == 2L &&
+      r(("a", "b")).getAs[Long]("n_b") == 1L)
+    // partitioning-invariant (exact decimal dim sums)
+    val again = graft.operators.Vectors.centroidSeparation(
+      df.repartition(4), "label", col("emb"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.toSeq).toMap
+    assert(again == r.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("dedupYield: hand-checked histogram, dup mass, kept ratio, singletons via the total") {
     import spark.implicits._
     // corpus: 10 docs; clusters: {1,2,3} (size 3), {4,5} and {6,7}

@@ -80,6 +80,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // two-1-row-frame cross; their pins ride the q170/q171/q172
       // test below
       "q162_welch_t", "q183_mde", "q185_quantile_drift",
+      // q187's label-pair cross walks the LABEL frame (bounded by the
+      // label vocabulary — the q48 bounded-frame argument); its
+      // dedicated pin below bounds the keyless joins to exactly one
+      "q187_centroid_sep",
       // q170 crosses two 1-row profile aggregates (q162 shape);
       // q171 crosses the 1-row full-data aggregate with the 1-row
       // CI frame; q172 crosses the two 1-row arm-moment frames;
@@ -156,6 +160,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // the census-to-prior-count join stays keyed
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"expected the value-census join to run as a hash join in q161:\n$plan")
+  }
+
+  test("q187's only keyless join is the label-frame pair cross") {
+    val plan = physicalPlan("q187_centroid_sep")
+    val keyless = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless == 1,
+      s"expected exactly the bounded label-pair cross in q187, got $keyless:\n$plan")
   }
 
   test("q162's only keyless join is the 1-row × 1-row moment pair") {
