@@ -207,6 +207,7 @@ object SparkEntry {
     "q185_quantile_drift" -> q(Extended.q185),
     "q186_dedup_yield"    -> q(Dedup.q186),
     "q187_centroid_sep"   -> q(Vectors.q187),
+    "q188_mde_by_group"   -> q(Extended.q188),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -882,6 +883,54 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.c, b.c), 4) AS cosine
         |FROM cents a JOIN cents b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin,
+
+    // q188: the q183 moment/MDE tree per segment through FULL OUTER
+    // (the q169 keying), shared embedded z constants
+    "q188_mde_by_group" -> {
+      val z = String.format("(CAST(%.17e AS DOUBLE) + CAST(%.17e AS DOUBLE))",
+        Double.box(graft.api.Ops.zAlpha025), Double.box(graft.api.Ops.zPower80))
+      s"""WITH a AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |b AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |m AS (
+         |  SELECT COALESCE(a.grp, b.grp) AS grp,
+         |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |    s_a, s_b, ss_a, ss_b
+         |  FROM a FULL OUTER JOIN b ON a.grp = b.grp),
+         |f AS (
+         |  SELECT *,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) AS va,
+         |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)) AS vb
+         |  FROM m),
+         |g AS (
+         |  SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
+         |  FROM f)
+         |SELECT grp, n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+         |    round($z * sqrt(se2), 6) END AS mde_abs,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 AND ma <> 0 THEN
+         |    round($z * sqrt(se2) / ma, 6) END AS mde_rel
+         |FROM g ORDER BY grp""".stripMargin
+    },
 
     "q47_bigram_stats" ->
       """WITH toks AS (

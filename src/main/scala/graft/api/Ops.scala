@@ -2360,6 +2360,51 @@ object Ops {
         col("mean_b"), col("t"), col("df"))
   }
 
+  /** Per-segment minimum-detectable-effect readout (r14 —
+    * [[mdeReadout]] keyed by a segment column, completing the
+    * per-segment experimentation family (KS/MWU/PSI/Welch/KW/Spearman
+    * by group): real platforms SIZE per segment — a test powered on
+    * the whole only is unreadable for the cohort the launch decision
+    * actually hinges on. Same exact-decimal moments per (segment,
+    * side), a keyed full-outer merge (one-sided segments report with
+    * counts saying which side is empty), the same fixed
+    * `(z_{1−α/2}+z_power)·√(s²_a/n_a + s²_b/n_b)` tree per segment,
+    * round 6. Returns one row per segment:
+    * (grp, n_a, n_b, mean_a, mean_b, mde_abs, mde_rel).
+    */
+  def mdeReadoutByGroup(a: DataFrame, b: DataFrame, group: String,
+                        value: Column, zAlpha: Double = zAlpha025,
+                        zPower: Double = zPower80): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(zAlpha > 0.0 && zPower >= 0.0, "mdeReadoutByGroup: z constants must be positive")
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(col(group).isNotNull && value.isNotNull)
+        .groupBy(col(group).as("grp"))
+        .agg(count(lit(1)).as(s"n_$suf"),
+          sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+          sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    val se2 = v("a") / nD("a") + v("b") / nD("b")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val mde = (lit(zAlpha) + lit(zPower)) * sqrt(se2)
+    side(a, "a").join(side(b, "b"), Seq("grp"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
+      .withColumn("mde_abs", when(ok && se2 > 0.0, round(mde, 6)))
+      .withColumn("mde_rel", when(ok && se2 > 0.0 && mean("a") =!= 0.0,
+        round(mde / mean("a"), 6)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("mde_abs"), col("mde_rel"))
+  }
+
   /** The distinct (unit, day) census behind [[GraftDataFrameOps.rollingActives]],
     * [[GraftDataFrameOps.newVsReturning]] and [[PreparedActives]] —
     * the one frame every actives readout derives from.

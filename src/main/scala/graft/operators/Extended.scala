@@ -956,6 +956,22 @@ object Extended {
       .orderBy(col("seg"), col("grp"))
   }
 
+  /** q188: per-priority minimum-detectable-effect readout between
+    * order eras ([[graft.api.Ops.mdeReadoutByGroup]]) — "what mean
+    * shift could each segment's traffic even see": q183's sizing
+    * tree per `o_orderpriority` segment (r14).
+    */
+  def q188(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.mdeReadoutByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("o_totalprice"))
+      .orderBy(col("grp"))
+  }
+
   /** q185: per-quantile price drift between order eras
     * ([[graft.api.Ops.quantileDrift]]) — "the p50 moved $X, the p99
     * moved $Y": the q108 portable bucket census per era, nearest-rank

@@ -1403,6 +1403,41 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("mdeReadoutByGroup: per-segment ≡ whole-frame per slice, one-sided segments report") {
+    import spark.implicits._
+    val a = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("y", 10.0), ("y", 12.0),
+      ("z", 7.0)).toDF("g", "v")
+    val b = Seq(("x", 2.0), ("x", 4.0), ("x", 6.0), ("y", 11.0), ("y", 15.0))
+      .toDF("g", "v")
+    val keyed = graft.api.Ops.mdeReadoutByGroup(a, b, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(keyed.size == 3)
+    // the defining identity: each segment ≡ whole-frame mdeReadout on
+    // its slice (columns beyond the counts/means match too)
+    for (g <- Seq("x", "y")) {
+      val whole = graft.api.Ops.mdeReadout(
+        a.filter(col("g") === g), b.filter(col("g") === g), col("v"))
+        .collect().head
+      val k = keyed(g)
+      assert(k.getAs[Long]("n_a") == whole.getAs[Long]("n_a"))
+      assert(k.getAs[Double]("mde_abs") == whole.getAs[Double]("mde_abs"),
+        s"segment $g mde ≡ whole-frame slice")
+      assert(k.getAs[Double]("mde_rel") == whole.getAs[Double]("mde_rel"))
+    }
+    // the x segment matches the hand-checked q183 numbers (s²=1/4)
+    assert(keyed("x").getAs[Double]("mde_abs") == math.rint(
+      (graft.api.Ops.zAlpha025 + graft.api.Ops.zPower80) *
+        math.sqrt(5.0 / 3.0) * 1e6) / 1e6)
+    // a one-sided segment reports with the empty side's count 0
+    val z = keyed("z")
+    assert(z.getAs[Long]("n_b") == 0L && z.isNullAt(z.fieldIndex("mde_abs")))
+    // partitioning-invariant
+    val again = graft.api.Ops.mdeReadoutByGroup(a.repartition(5),
+      b.repartition(3), "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(again == keyed.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("centroidSeparation: identical labels cosine 1, orthogonal 0, exact centroid means, invariance") {
     import spark.implicits._
     // a: docs along +x (mean (2,0)); b: same direction (cos 1 vs a);
