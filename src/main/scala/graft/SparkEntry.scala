@@ -208,6 +208,7 @@ object SparkEntry {
     "q186_dedup_yield"    -> q(Dedup.q186),
     "q187_centroid_sep"   -> q(Vectors.q187),
     "q188_mde_by_group"   -> q(Extended.q188),
+    "q189_js_by_group"    -> q(Extended.q189),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3889,6 +3890,46 @@ object SparkEntry {
         |  round(pb, 12) AS p_base, round(pc, 12) AS p_cur, term,
         |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER () AS DOUBLE), 6) AS js
         |FROM t2 ORDER BY bucket""".stripMargin,
+
+    // q189: the q182 gated half-term tree with every census, total,
+    // and the term sum keyed by o_orderpriority (the q160 keying —
+    // no scalar cross joins in the keyed form)
+    "q189_js_by_group" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bkt,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |base AS (SELECT grp, bkt AS bucket, CAST(count(*) AS BIGINT) AS c_base FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |cur AS (SELECT grp, bkt AS bucket, CAST(count(*) AS BIGINT) AS c_cur FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT COALESCE(base.grp, cur.grp) AS grp,
+        |    COALESCE(base.bucket, cur.bucket) AS bucket,
+        |    COALESCE(c_base, 0) AS c_base, COALESCE(c_cur, 0) AS c_cur
+        |  FROM base FULL OUTER JOIN cur
+        |    ON base.grp = cur.grp AND base.bucket = cur.bucket),
+        |p AS (
+        |  SELECT *, CAST(SUM(c_base) OVER (PARTITION BY grp) AS BIGINT) AS na,
+        |    CAST(SUM(c_cur) OVER (PARTITION BY grp) AS BIGINT) AS nb
+        |  FROM j),
+        |q AS (
+        |  SELECT *, CAST(c_base AS DOUBLE) / CAST(na AS DOUBLE) AS pb,
+        |    CAST(c_cur AS DOUBLE) / CAST(nb AS DOUBLE) AS pc
+        |  FROM p),
+        |t2 AS (
+        |  SELECT *, round(
+        |    (CASE WHEN c_base > 0 THEN CAST(0.5 AS DOUBLE) * pb *
+        |      ln(pb / ((pb + pc) / CAST(2 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END) +
+        |    (CASE WHEN c_cur > 0 THEN CAST(0.5 AS DOUBLE) * pc *
+        |      ln(pc / ((pb + pc) / CAST(2 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END), 12) AS term
+        |  FROM q)
+        |SELECT grp, bucket, c_base, c_cur,
+        |  round(pb, 12) AS p_base, round(pc, 12) AS p_cur, term,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER (PARTITION BY grp) AS DOUBLE), 6) AS js
+        |FROM t2 ORDER BY grp, bucket""".stripMargin,
 
     // q183: the q162 exact moments + the fixed MDE tree; the z
     // constants embed as 17-digit e-notation literals from the SAME

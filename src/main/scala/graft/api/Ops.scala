@@ -1638,6 +1638,49 @@ object Ops {
         col("total_b_cents"), col("rank_b"), col("rank_delta"))
   }
 
+  /** Per-segment Jensen–Shannon divergence (r14 — [[jsDivergence]]
+    * keyed by a segment column, the JS member of the per-segment
+    * drift family beside [[psiDriftByGroup]]): the union (segment,
+    * bucket) census with every total and the term sum PARTITIONED BY
+    * the segment — per-segment totals come off the joined census
+    * itself (no scalar cross joins in the keyed form, the q160
+    * statement); each bucket's gated half-terms round-12 and
+    * decimal-sum per segment, total round-6 in [0, ln 2]. Returns one
+    * row per (grp, bucket) with the segment's js repeated.
+    */
+  def jsDivergenceByGroup(baseline: DataFrame, current: DataFrame,
+                          group: String, bucket: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def census(df: DataFrame, cnt: String) =
+      df.filter(col(group).isNotNull && col(bucket).isNotNull)
+        .groupBy(col(group).as("grp"), col(bucket).as("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    val joined = census(baseline, "c_base")
+      .join(census(current, "c_cur"), Seq("grp", "bucket"), "full_outer")
+      .withColumn("c_base", coalesce(col("c_base"), lit(0L)))
+      .withColumn("c_cur", coalesce(col("c_cur"), lit(0L)))
+    val wGrp = Window.partitionBy(col("grp"))
+    val p = col("c_base").cast("double") / col("__na").cast("double")
+    val q = col("c_cur").cast("double") / col("__nb").cast("double")
+    val m = (col("p_base") + col("p_cur")) / lit(2.0)
+    val halfP = when(col("c_base") > 0,
+      lit(0.5) * col("p_base") * log(col("p_base") / m)).otherwise(lit(0.0))
+    val halfQ = when(col("c_cur") > 0,
+      lit(0.5) * col("p_cur") * log(col("p_cur") / m)).otherwise(lit(0.0))
+    joined
+      .withColumn("__na", sum(col("c_base")).over(wGrp))
+      .withColumn("__nb", sum(col("c_cur")).over(wGrp))
+      .withColumn("p_base", p)
+      .withColumn("p_cur", q)
+      .withColumn("term", round(halfP + halfQ, 12))
+      .withColumn("js",
+        round(sum(col("term").cast(DecimalType(38, 12))).over(wGrp)
+          .cast("double"), 6))
+      .select(col("grp"), col("bucket"), col("c_base"), col("c_cur"),
+        round(col("p_base"), 12).as("p_base"), round(col("p_cur"), 12).as("p_cur"),
+        col("term"), col("js"))
+  }
+
   /** Two-sided z quantile at α = 0.05 (z_{0.975}) and the 80%-power
     * z (z_{0.8}) — the standard experiment-sizing constants, defined
     * ONCE here and embedded in the oracle SQL as 17-significant-digit

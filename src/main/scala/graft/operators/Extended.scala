@@ -956,6 +956,24 @@ object Extended {
       .orderBy(col("seg"), col("grp"))
   }
 
+  /** q189: per-priority Jensen–Shannon divergence between order eras
+    * ([[graft.api.Ops.jsDivergenceByGroup]]) — q182's smoothing-free
+    * drift metric per `o_orderpriority` segment over the same $50k
+    * buckets; the JS member of the per-segment drift family (r14).
+    */
+  def q189(t: Tables): DataFrame = {
+    val withB = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("bkt",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.jsDivergenceByGroup(
+      withB.filter(col("o_orderdate").cast("timestamp") < cut),
+      withB.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", "bkt")
+      .orderBy(col("grp"), col("bucket"))
+  }
+
   /** q188: per-priority minimum-detectable-effect readout between
     * order eras ([[graft.api.Ops.mdeReadoutByGroup]]) — "what mean
     * shift could each segment's traffic even see": q183's sizing

@@ -1403,6 +1403,27 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("jsDivergenceByGroup: per-segment ≡ whole-frame jsDivergence per slice") {
+    import spark.implicits._
+    val base = Seq(("x", 0L), ("x", 0L), ("x", 1L), ("y", 0L), ("y", 2L)).toDF("g", "b")
+    val cur = Seq(("x", 0L), ("x", 1L), ("x", 1L), ("x", 2L), ("y", 2L)).toDF("g", "b")
+    val keyed = graft.api.Ops.jsDivergenceByGroup(base, cur, "g", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(1)).toMap
+    for (g <- Seq("x", "y")) {
+      val whole = graft.api.Ops.jsDivergence(
+        base.filter(col("g") === g), cur.filter(col("g") === g), "b")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      for ((bkt, expected) <- whole)
+        assert(keyed((g, bkt)) == expected,
+          s"segment $g bucket $bkt: keyed ≡ whole-frame slice")
+    }
+    // partitioning-invariant
+    val again = graft.api.Ops.jsDivergenceByGroup(base.repartition(4),
+      cur.repartition(3), "g", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(1)).toMap
+    assert(again == keyed)
+  }
+
   test("mdeReadoutByGroup: per-segment ≡ whole-frame per slice, one-sided segments report") {
     import spark.implicits._
     val a = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("y", 10.0), ("y", 12.0),
