@@ -80,7 +80,7 @@ object Bench {
     "q179_ks_sketch", "q180_wmedian_sketch", "q181_srm_check",
     "q182_js_divergence", "q183_mde", "q184_rank_movers",
     "q185_quantile_drift", "q186_dedup_yield", "q187_centroid_sep",
-    "q188_mde_by_group", "q189_js_by_group")
+    "q188_mde_by_group", "q189_js_by_group", "q190_zipf")
 
   private val childMarker = "##BENCHQ##"
 

@@ -209,6 +209,7 @@ object SparkEntry {
     "q187_centroid_sep"   -> q(Vectors.q187),
     "q188_mde_by_group"   -> q(Extended.q188),
     "q189_js_by_group"    -> q(Extended.q189),
+    "q190_zipf"           -> q(TextAnalysis.q190),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -3930,6 +3931,42 @@ object SparkEntry {
         |  round(pb, 12) AS p_base, round(pc, 12) AS p_cur, term,
         |  round(CAST(SUM(CAST(term AS DECIMAL(38,12))) OVER (PARTITION BY grp) AS DOUBLE), 6) AS js
         |FROM t2 ORDER BY grp, bucket""".stripMargin,
+
+    // q190: the q47 token recipe -> exact census -> deterministic
+    // rank -> round-12 ln terms decimal-summed -> the q119 fixed
+    // least-squares tree
+    "q190_zipf" -> {
+      val n   = "CAST(fitted_ranks AS DOUBLE)"
+      val covN  = s"($n * sxy - sx * sy)"
+      val varXN = s"($n * sxx - sx * sx)"
+      val varYN = s"($n * syy - sy * sy)"
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+         |                x -> x <> '')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |cen AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens_total,
+         |  CAST(COUNT(*) AS BIGINT) AS vocab FROM cen),
+         |rk0 AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk
+         |  FROM cen),
+         |h AS (SELECT round(ln(CAST(rk AS DOUBLE)), 12) AS lx,
+         |  round(ln(CAST(c AS DOUBLE)), 12) AS ly
+         |  FROM rk0 WHERE rk <= 1000),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS fitted_ranks,
+         |  CAST(SUM(CAST(lx AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(ly AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         |  CAST(SUM(CAST(round(lx * lx, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         |  CAST(SUM(CAST(round(ly * ly, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         |  CAST(SUM(CAST(round(lx * ly, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+         |  FROM h)
+         |SELECT n_tokens_total, vocab, fitted_ranks,
+         |  CASE WHEN $varXN > 0 THEN round($covN / $varXN, 6) END AS slope,
+         |  CASE WHEN $varXN > 0 THEN
+         |    round((sy - ($covN / $varXN) * sx) / $n, 6) END AS intercept,
+         |  CASE WHEN $varXN > 0 AND $varYN > 0 THEN
+         |    round($covN / sqrt($varXN * $varYN), 6) END AS r
+         |FROM m CROSS JOIN tot""".stripMargin
+    },
 
     // q183: the q162 exact moments + the fixed MDE tree; the z
     // constants embed as 17-digit e-notation literals from the SAME

@@ -87,6 +87,70 @@ object TextAnalysis {
     * share the bigram exchange via ReuseExchange), no single-task
     * ceiling.
     */
+  /** Zipf-slope vocabulary health check (r14 — the corpus-linguistics
+    * screen a tokenizer/corpus review runs: natural text follows a
+    * power law `freq ~ rank^s` with s ~ -1; a much flatter slope
+    * flags templated/boilerplate-heavy crawl, a much steeper one a
+    * collapsed vocabulary): the exact token census ranks by
+    * (count desc, token — deterministic), the top `maxRank` head
+    * fits `ln(count) = s·ln(rank) + b` by the q119 least-squares
+    * tree — ln terms ROUNDED at 12 and decimal-summed (the q155
+    * order-free discipline; ln is the one last-ulp-risky primitive,
+    * the established round-12 treatment), slope/intercept/r one
+    * fixed double tree round-6. Returns ONE row:
+    * (n_tokens_total, vocab, fitted_ranks, slope, intercept, r).
+    *
+    * Scale shape: one map-combinable token census; the rank window
+    * walks the VOCAB frame (vocabulary-bounded, the q130 caveat
+    * stated) and the fit reads only the maxRank head; one global
+    * 1-row aggregate.
+    */
+  def zipfSlope(df: DataFrame, text: org.apache.spark.sql.Column,
+                maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 10, s"zipfSlope: maxRank ($maxRank) must be >= 10")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val cen = df.filter(text.isNotNull)
+      .select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+    val ranked = cen
+      .withColumn("n_tokens_total", sum(col("c")).over(wAll))
+      .withColumn("vocab", count(lit(1)).over(wAll))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= maxRank)
+      .withColumn("__lx", round(log(col("rk").cast("double")), 12))
+      .withColumn("__ly", round(log(col("c").cast("double")), 12))
+    val d12 = DecimalType(38, 12)
+    val agg = ranked.agg(
+      max(col("n_tokens_total")).as("n_tokens_total"),
+      max(col("vocab")).as("vocab"),
+      count(lit(1)).as("fitted_ranks"),
+      sum(col("__lx").cast(d12)).cast("double").as("__sx"),
+      sum(col("__ly").cast(d12)).cast("double").as("__sy"),
+      sum(round(col("__lx") * col("__lx"), 12).cast(d12)).cast("double").as("__sxx"),
+      sum(round(col("__ly") * col("__ly"), 12).cast(d12)).cast("double").as("__syy"),
+      sum(round(col("__lx") * col("__ly"), 12).cast(d12)).cast("double").as("__sxy"))
+    val nD = col("fitted_ranks").cast("double")
+    val covN = nD * col("__sxy") - col("__sx") * col("__sy")
+    val varXN = nD * col("__sxx") - col("__sx") * col("__sx")
+    val varYN = nD * col("__syy") - col("__sy") * col("__sy")
+    agg
+      .withColumn("slope", when(varXN > 0.0, round(covN / varXN, 6)))
+      .withColumn("intercept", when(varXN > 0.0,
+        round((col("__sy") - (covN / varXN) * col("__sx")) / nD, 6)))
+      .withColumn("r", when(varXN > 0.0 && varYN > 0.0,
+        round(covN / sqrt(varXN * varYN), 6)))
+      .select(col("n_tokens_total"), col("vocab"), col("fitted_ranks"),
+        col("slope"), col("intercept"), col("r"))
+  }
+
+  /** q190: Zipf slope of the documents vocabulary ([[zipfSlope]]) —
+    * the power-law health check over the corpus token census (r14).
+    */
+  def q190(t: Tables): DataFrame = zipfSlope(t.documents, col("text"))
+
   def q47(t: Tables): DataFrame = {
     val bigrams = t.documents
       .withColumn("toks", tokens(col("text")))

@@ -1403,6 +1403,35 @@ class OperatorQualitySpec extends AnyFunSuite {
       .collect().head.toSeq == r1.toSeq)
   }
 
+  test("zipfSlope: exact 1/rank law fits slope −1 and r −1, degenerate vocab nulls, invariance") {
+    import spark.implicits._
+    // counts ∝ 1/rank: a×12, b×6, c×4, d×3 → ln(count) = ln12 − ln(rank)
+    // EXACTLY, so the least-squares fit is slope −1, r −1
+    val text = ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim
+    val df = Seq(text).toDF("text")
+    val r = graft.operators.TextAnalysis.zipfSlope(df, col("text")).collect().head
+    assert(r.getAs[Long]("n_tokens_total") == 25L && r.getAs[Long]("vocab") == 4L &&
+      r.getAs[Long]("fitted_ranks") == 4L)
+    assert(r.getAs[Double]("slope") == -1.0, s"slope ${r.getAs[Double]("slope")}")
+    assert(r.getAs[Double]("r") == -1.0)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-5)
+    // a single-token vocabulary has zero rank variance → null fit
+    val one = graft.operators.TextAnalysis.zipfSlope(Seq("x x x").toDF("text"), col("text"))
+      .collect().head
+    assert(one.isNullAt(one.fieldIndex("slope")) && one.getAs[Long]("vocab") == 1L)
+    // maxRank bounds the fitted head without touching the totals
+    val h = graft.operators.TextAnalysis.zipfSlope(df, col("text"), maxRank = 10)
+      .collect().head
+    assert(h.toSeq == r.toSeq, "maxRank above vocab is a no-op")
+    // partitioning-invariant (census + round-12 decimal sums)
+    val multi = (1 to 12).map(_ => "a") ++ (1 to 6).map(_ => "b") ++
+      (1 to 4).map(_ => "c") ++ (1 to 3).map(_ => "d")
+    val again = graft.operators.TextAnalysis.zipfSlope(
+      multi.toDF("text").repartition(7), col("text")).collect().head
+    assert(again.toSeq == r.toSeq,
+      "one doc per token ≡ one doc with all tokens, under any partitioning")
+  }
+
   test("jsDivergenceByGroup: per-segment ≡ whole-frame jsDivergence per slice") {
     import spark.implicits._
     val base = Seq(("x", 0L), ("x", 0L), ("x", 1L), ("y", 0L), ("y", 2L)).toDF("g", "b")
