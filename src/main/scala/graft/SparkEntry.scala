@@ -3774,7 +3774,7 @@ object SparkEntry {
         |    OVER () AS DOUBLE) * weight AS e
         |  FROM j),
         |c AS (
-        |  SELECT *, CASE WHEN weight IS NOT NULL THEN
+        |  SELECT *, CASE WHEN weight IS NOT NULL AND e > 0 THEN
         |    round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e, 6)
         |  END AS contrib
         |  FROM w)
@@ -3877,8 +3877,11 @@ object SparkEntry {
         |    CAST(SUM(c_cur) OVER () AS BIGINT) AS nb
         |  FROM j),
         |q AS (
-        |  SELECT *, CAST(c_base AS DOUBLE) / CAST(na AS DOUBLE) AS pb,
-        |    CAST(c_cur AS DOUBLE) / CAST(nb AS DOUBLE) AS pc
+        |  SELECT *,
+        |    CASE WHEN na > 0 THEN CAST(c_base AS DOUBLE) / CAST(na AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS pb,
+        |    CASE WHEN nb > 0 THEN CAST(c_cur AS DOUBLE) / CAST(nb AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS pc
         |  FROM p),
         |t2 AS (
         |  SELECT *, round(
@@ -3917,8 +3920,11 @@ object SparkEntry {
         |    CAST(SUM(c_cur) OVER (PARTITION BY grp) AS BIGINT) AS nb
         |  FROM j),
         |q AS (
-        |  SELECT *, CAST(c_base AS DOUBLE) / CAST(na AS DOUBLE) AS pb,
-        |    CAST(c_cur AS DOUBLE) / CAST(nb AS DOUBLE) AS pc
+        |  SELECT *,
+        |    CASE WHEN na > 0 THEN CAST(c_base AS DOUBLE) / CAST(na AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS pb,
+        |    CASE WHEN nb > 0 THEN CAST(c_cur AS DOUBLE) / CAST(nb AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS pc
         |  FROM p),
         |t2 AS (
         |  SELECT *, round(

@@ -1432,6 +1432,9 @@ object Ops {
     * `contrib = (obs − N·w)²/(N·w)` is one fixed double shape
     * rounded at 6, the total sums the ROUNDED contribs exactly and
     * emits integer micros (the §3 rule); dof = k_declared − 1.
+    * Zero total declared traffic (an empty frame, a trigger batch
+    * with only null arms) reports null contribs and null chi2 with
+    * the zero counts saying why — gated, never a ÷0 crash (r15).
     * Returns one row per arm (declared ∪ observed):
     * (arm, n_obs, weight, expected, contrib, chi2_micros, dof).
     *
@@ -1461,7 +1464,12 @@ object Ops {
       .cast("double") * col("weight")
     joined
       .withColumn("expected", e)
-      .withColumn("contrib", when(col("weight").isNotNull,
+      // contrib is gated on expected > 0, not just the weight: with
+      // ZERO total declared traffic (empty input, or a stream trigger
+      // whose arm values are all null) expected = 0 for every arm and
+      // the 0/0 threw under ANSI — the check must stay observable
+      // (null contribs/chi2, counts reporting), never crash (r15)
+      .withColumn("contrib", when(col("weight").isNotNull && col("expected") > 0.0,
         round((col("n_obs").cast("double") - col("expected")) *
           (col("n_obs").cast("double") - col("expected")) / col("expected"), 6)))
       .withColumn("chi2_micros",
@@ -1486,7 +1494,14 @@ object Ops {
     * rounded at 6 — nats, in [0, ln 2]. A zero-count side's half-term
     * is exactly 0 (the p·ln p limit), gated, never NaN. Per-bucket
     * rows emit beside the total so a reviewer sees WHERE the
-    * divergence lives (the q155 readout shape).
+    * divergence lives (the q155 readout shape). An EMPTY side (no
+    * non-null bucket rows at all) reports zero probabilities for
+    * that side — the 0/0 probability division is gated on the side
+    * total (ANSI errors even on double ÷0, r15), so a vanished
+    * baseline or current era degrades observably (js reads ½·ln 2,
+    * the formula's value against a zero measure) instead of
+    * crashing the query or the [[graft.streaming.Streams]] drift
+    * monitor riding it.
     *
     * Scale shape: two map-combinable bucket censuses + a bounded
     * union outer join + census-sized windows — cost tracks the bucket
@@ -1502,8 +1517,16 @@ object Ops {
       .withColumn("c_base", coalesce(col("c_base"), lit(0L)))
       .withColumn("c_cur", coalesce(col("c_cur"), lit(0L)))
     val wAll = Window.partitionBy()
-    val p = col("c_base").cast("double") / col("__na").cast("double")
-    val q = col("c_cur").cast("double") / col("__nb").cast("double")
+    // the probability divisions are gated on the SIDE total, not
+    // just the bucket count: a side with zero rows overall leaves
+    // __na/__nb = 0 and the 0/0 would throw under ANSI (r15 —
+    // an era vanishing is the core drift scenario, it must report)
+    val p = when(col("__na") > 0,
+      col("c_base").cast("double") / col("__na").cast("double"))
+      .otherwise(lit(0.0))
+    val q = when(col("__nb") > 0,
+      col("c_cur").cast("double") / col("__nb").cast("double"))
+      .otherwise(lit(0.0))
     val m = (col("p_base") + col("p_cur")) / lit(2.0)
     val halfP = when(col("c_base") > 0,
       lit(0.5) * col("p_base") * log(col("p_base") / m)).otherwise(lit(0.0))
@@ -1645,7 +1668,11 @@ object Ops {
     * the segment — per-segment totals come off the joined census
     * itself (no scalar cross joins in the keyed form, the q160
     * statement); each bucket's gated half-terms round-12 and
-    * decimal-sum per segment, total round-6 in [0, ln 2]. Returns one
+    * decimal-sum per segment, total round-6 in [0, ln 2]. A segment
+    * present in only ONE era reports zero probabilities for the
+    * absent side (the division is gated on the per-segment side
+    * total, r15) — appearance/disappearance surfaces as the maximal
+    * ½·ln 2 readout, never a crash. Returns one
     * row per (grp, bucket) with the segment's js repeated.
     */
   def jsDivergenceByGroup(baseline: DataFrame, current: DataFrame,
@@ -1660,8 +1687,16 @@ object Ops {
       .withColumn("c_base", coalesce(col("c_base"), lit(0L)))
       .withColumn("c_cur", coalesce(col("c_cur"), lit(0L)))
     val wGrp = Window.partitionBy(col("grp"))
-    val p = col("c_base").cast("double") / col("__na").cast("double")
-    val q = col("c_cur").cast("double") / col("__nb").cast("double")
+    // gated on the per-SEGMENT side total: a segment present in only
+    // one era has the other side's total = 0 and the ungated 0/0
+    // threw under ANSI — segment appearance/disappearance is the
+    // core drift signal, it must REPORT, not crash (r15)
+    val p = when(col("__na") > 0,
+      col("c_base").cast("double") / col("__na").cast("double"))
+      .otherwise(lit(0.0))
+    val q = when(col("__nb") > 0,
+      col("c_cur").cast("double") / col("__nb").cast("double"))
+      .otherwise(lit(0.0))
     val m = (col("p_base") + col("p_cur")) / lit(2.0)
     val halfP = when(col("c_base") > 0,
       lit(0.5) * col("p_base") * log(col("p_base") / m)).otherwise(lit(0.0))

@@ -86,6 +86,11 @@ object AvroRegistry {
       AvroSchemas.parse(readerSchemaJson)).asInstanceOf[StructType]
     // passthrough columns (r14 — Kafka offset/partition/timestamp
     // metadata riding beside the decoded fields) lead the output row
+    val clash = base.fields.map(_.name).toSet.intersect(keepCols.toSet)
+    require(clash.isEmpty,
+      s"decodeFramed: keepCols ${clash.mkString(", ")} collide with reader-schema " +
+        "field names — the output would carry duplicate columns unselectable by " +
+        "name; rename the payload field or alias the metadata column first")
     val kept = keepCols.map(c => df.schema(df.schema.fieldIndex(c)))
     val withKept = StructType(kept ++ base.fields)
     val outSchema =

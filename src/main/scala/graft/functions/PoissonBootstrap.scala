@@ -25,7 +25,10 @@ import org.apache.spark.sql.types._
   * weights the explode formulation produced (same IEEE ops on the
   * same longs), and Long addition is commutative — so the output is
   * bit-identical to the prior form under any partitioning, and the
-  * DuckDB oracle replays unchanged.
+  * DuckDB oracle replays unchanged. Accumulation is
+  * addExact/multiplyExact (r15): past 2⁶³ total weighted cents the
+  * aggregate fails fast exactly like the ANSI sum the explode form
+  * used — never a silent wrap into wrong CI bounds.
   *
   * Output: array<struct<b long, num long, den long>>, one element per
   * resample in resample order.
@@ -80,8 +83,11 @@ case class PoissonBootstrap(
           if (u < cdfArr(k)) { w = k.toLong; found = true }
           k += 1
         }
-        buf(i) += w * lc
-        buf(b + i) += w
+        // addExact/multiplyExact: past ~2⁶³ total weighted cents the
+        // raw += silently wrapped where the replaced explode-then-sum
+        // form failed loudly under ANSI — keep the loud failure (r15)
+        buf(i) = Math.addExact(buf(i), Math.multiplyExact(w, lc))
+        buf(b + i) = Math.addExact(buf(b + i), w)
         i += 1
       }
     }
@@ -90,7 +96,7 @@ case class PoissonBootstrap(
 
   override def merge(a: Array[Long], o: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < 2 * b) { a(i) += o(i); i += 1 }
+    while (i < 2 * b) { a(i) = Math.addExact(a(i), o(i)); i += 1 }
     a
   }
 

@@ -207,4 +207,29 @@ class AvroBinarySpec extends AnyFunSuite {
       permissive = true).collect()
     assert(perm.forall(!_.getBoolean(1)), "neither datum is corrupt")
   }
+
+  test("decodeFramed rejects keepCols colliding with payload field names (r15)") {
+    import spark.implicits._
+    import graft.data.AvroRegistry
+    // a payload field named like the Kafka metadata passthrough
+    // ('timestamp' is the classic) would yield duplicate columns
+    // unselectable by name — refuse loudly at plan-build time
+    val schema =
+      """{"type":"record","name":"R","fields":[
+        |  {"name":"timestamp","type":"long"}]}""".stripMargin
+    val provider = AvroRegistry.InMemoryProvider(Map(1 -> schema))
+    val df = Seq((7L, AvroRegistry.frameHeader(1) ++ Array[Byte](2)))
+      .toDF("timestamp", "value")
+    val e = intercept[IllegalArgumentException] {
+      AvroRegistry.decodeFramed(df, "value", provider, schema,
+        keepCols = Seq("timestamp"))
+    }
+    assert(e.getMessage.contains("timestamp") && e.getMessage.contains("collide"))
+    // an aliased metadata column passes and leads the output row
+    val ok = AvroRegistry.decodeFramed(
+      df.withColumnRenamed("timestamp", "_kafka_timestamp"),
+      "value", provider, schema, keepCols = Seq("_kafka_timestamp"))
+    assert(ok.columns.toSeq == Seq("_kafka_timestamp", "timestamp"))
+    assert(ok.collect().head.getLong(1) == 1L, "payload still decodes")
+  }
 }

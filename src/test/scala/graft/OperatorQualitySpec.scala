@@ -1658,6 +1658,67 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(again == disj.map(_.toSeq).toSet)
   }
 
+  test("r15 ANSI guards: empty sides / segments / declared traffic degrade observably, never ÷0") {
+    import spark.implicits._
+    val halfLn2 = math.rint(0.5 * math.log(2.0) * 1e6) / 1e6
+    // whole-frame JS: an EMPTY baseline era reports zero p_base and
+    // the formula's ½ln2 against a zero measure — previously the
+    // ungated 0/0 probability division threw under ANSI
+    val cur = Seq(0L, 0L, 1L).toDF("b")
+    val js = graft.api.Ops.jsDivergence(Seq.empty[Long].toDF("b"), cur, "b").collect()
+    assert(js.length == 2 && js.forall(_.getAs[Double]("p_base") == 0.0))
+    assert(js.head.getAs[Double]("js") == halfLn2,
+      s"empty-side JS must read ½ln2, got ${js.head.getAs[Double]("js")}")
+    // by-group JS: a segment present in only ONE era (the core drift
+    // scenario) reports instead of crashing the whole query
+    val base = Seq(("x", 0L)).toDF("g", "b")
+    val cur2 = Seq(("x", 0L), ("z", 1L), ("z", 2L)).toDF("g", "b")
+    val keyed = graft.api.Ops.jsDivergenceByGroup(base, cur2, "g", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(keyed(("z", 1L)).getAs[Double]("p_base") == 0.0 &&
+      keyed(("z", 1L)).getAs[Double]("js") == halfLn2,
+      "an appeared segment reports the maximal ½ln2 readout")
+    assert(keyed(("x", 0L)).getAs[Double]("js") == 0.0,
+      "two-sided segments keep their exact readout beside the one-sided one")
+    // SRM: zero total DECLARED traffic (all arms undeclared, or an
+    // empty frame) reports null contribs/chi2 with counts saying why
+    val srm = graft.api.Ops.srmCheck(Seq("X", "X").toDF("arm"), col("arm"),
+      Seq("A" -> 0.5, "B" -> 0.5)).collect().map(r => r.getString(0) -> r).toMap
+    assert(srm("A").getAs[Long]("n_obs") == 0L &&
+      srm("A").isNullAt(srm("A").fieldIndex("contrib")) &&
+      srm("A").isNullAt(srm("A").fieldIndex("chi2_micros")) &&
+      srm("A").getAs[Long]("dof") == 1L)
+    assert(srm("X").getAs[Long]("n_obs") == 2L, "undeclared traffic still reports")
+    val srmEmpty = graft.api.Ops.srmCheck(Seq.empty[String].toDF("arm"), col("arm"),
+      Seq("A" -> 1.0)).collect()
+    assert(srmEmpty.length == 1 && srmEmpty.head.getAs[Long]("n_obs") == 0L &&
+      srmEmpty.head.isNullAt(srmEmpty.head.fieldIndex("contrib")))
+  }
+
+  test("poisson_bootstrap accumulation overflow fails fast (addExact), never wraps silently") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    // cdf(0) = 0.0 never matches → every resample takes the capped
+    // tail weight 6, so the weighted-cent product is deterministic
+    val agg = graft.functions.PoissonBootstrap(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true),
+      BoundReference(2, LongType, nullable = true), 1, Seq(0.0))
+    intercept[ArithmeticException] {
+      agg.update(agg.createAggregationBuffer(),
+        InternalRow(0L, 0L, Long.MaxValue / 2)) // 6·(2⁶²) overflows the product
+    }
+    val buf = agg.createAggregationBuffer()
+    agg.update(buf, InternalRow(0L, 0L, Long.MaxValue / 7)) // 6/7·2⁶³ fits
+    intercept[ArithmeticException] {
+      agg.update(buf, InternalRow(0L, 0L, Long.MaxValue / 7)) // 12/7·2⁶³ does not
+    }
+    intercept[ArithmeticException] {
+      agg.merge(Array(Long.MaxValue, 0L), Array(1L, 0L))
+    }
+  }
+
   test("mdeReadout: hand-checked MDE from exact moments, degenerate guards, invariance") {
     import spark.implicits._
     // a = (1,2,3): mean 2, s² 1; b = (2,4,6): mean 4, s² 4
