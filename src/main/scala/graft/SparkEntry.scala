@@ -210,6 +210,9 @@ object SparkEntry {
     "q188_mde_by_group"   -> q(Extended.q188),
     "q189_js_by_group"    -> q(Extended.q189),
     "q190_zipf"           -> q(TextAnalysis.q190),
+    "q191_mwu_sketch"     -> q(Extended.q191),
+    "q192_kw_sketch"      -> q(Extended.q192),
+    "q193_spearman_sketch" -> q(Extended.q193),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -4848,6 +4851,143 @@ object SparkEntry {
         |SELECT user_id, n_events, path,
         |  regexp_matches(path, '(^|>)signup(>[a-z]+)*>purchase(>|$)') AS matched
         |FROM p ORDER BY user_id""".stripMargin,
+
+    // q191: the q157 double-rank machinery over the $10k BUCKET
+    // census — v = floor(cents/1e6), the q108 portable IEEE recipe
+    "q191_mwu_sketch" ->
+      """WITH src AS (
+        |  SELECT CAST(floor(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS BIGINT) AS v,
+        |    o_orderdate AS d
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM src
+        |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM src
+        |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.v, cb.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |w AS (
+        |  SELECT *, ca + cb AS mm,
+        |    COALESCE(CAST(SUM(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+        |  FROM m),
+        |agg AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(s * 2 + mm + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS r2a,
+        |    CAST(SUM(CAST(mm AS DECIMAL(12,0)) * CAST(mm AS DECIMAL(12,0)) *
+        |      CAST(mm AS DECIMAL(12,0)) - CAST(mm AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS tie
+        |  FROM w),
+        |f AS (
+        |  SELECT n_a, n_b,
+        |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0)) *
+        |      CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS u2,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE) *
+        |      ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE)) -
+        |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+        |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
+        |  FROM agg)
+        |SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
+        |    round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |      (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
+        |FROM f""".stripMargin,
+
+    // q192: the q177 keyed census/divmod/H machinery over the $10k
+    // BUCKET census per segment
+    "q192_kw_sketch" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS seg, o_orderstatus AS grp,
+        |    CAST(floor(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cg AS (SELECT seg, grp, v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2, 3),
+        |mv AS (SELECT seg, v, CAST(SUM(c) AS BIGINT) AS m FROM cg GROUP BY 1, 2),
+        |mvs AS (
+        |  SELECT seg, v, m, COALESCE(CAST(SUM(m) OVER (PARTITION BY seg ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+        |  FROM mv),
+        |per AS (
+        |  SELECT seg, grp, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(s * 2 + m + 1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS r2
+        |  FROM cg JOIN mvs USING (seg, v) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT seg, CAST(SUM(CAST(m AS DECIMAL(12,0)) * CAST(m AS DECIMAL(12,0)) *
+        |      CAST(m AS DECIMAL(12,0)) - CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie,
+        |    CAST(SUM(m) AS BIGINT) AS n_total
+        |  FROM mv GROUP BY 1),
+        |pq AS (
+        |  SELECT per.*, sc.tie, sc.n_total,
+        |    CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT) AS rsq,
+        |    CAST(n AS HUGEINT) * 4 AS den
+        |  FROM per JOIN sc USING (seg)),
+        |pq2 AS (SELECT *, (rsq - rsq % den) // den AS q, rsq % den AS rem FROM pq),
+        |w AS (
+        |  SELECT *, CAST(SUM(q) OVER (PARTITION BY seg) AS DOUBLE) AS qsum,
+        |    CAST(SUM(CAST(round(CAST(rem AS DOUBLE) / CAST(den AS DOUBLE), 12)
+        |      AS DECIMAL(38,12))) OVER (PARTITION BY seg) AS DOUBLE) AS fsum,
+        |    CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS k_groups
+        |  FROM pq2),
+        |f AS (
+        |  SELECT *,
+        |    CAST(12 AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)))
+        |      * (qsum + fsum) - CAST(3 AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)) AS hraw,
+        |    CASE WHEN n_total > 1 THEN CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+        |      CAST(CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS DOUBLE) END AS cc
+        |  FROM w)
+        |SELECT seg, grp, n, CAST(r2 AS BIGINT) AS r2, n_total, k_groups,
+        |  round(hraw, 6) AS h,
+        |  CASE WHEN cc > 0 THEN round(hraw / cc, 6) END AS h_adj
+        |FROM f ORDER BY seg, grp""".stripMargin,
+
+    // q193: the q178 keyed doubled-rank censuses with BOTH axes
+    // bucketed (vx = floor(price cents/1e5), vy = floor(qty cents/1e2))
+    "q193_spearman_sketch" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(floor(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DOUBLE) / CAST(100000 AS DOUBLE)) AS BIGINT) AS vx,
+        |    CAST(floor(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT) AS vy
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT grp, vx, CAST(count(*) AS BIGINT) AS m FROM src GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT grp, vx, COALESCE(CAST(SUM(m) OVER (PARTITION BY grp ORDER BY vx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) * 2
+        |    + m + 1 AS ux
+        |  FROM cx),
+        |cy AS (SELECT grp, vy, CAST(count(*) AS BIGINT) AS m FROM src GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT grp, vy, COALESCE(CAST(SUM(m) OVER (PARTITION BY grp ORDER BY vy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) * 2
+        |    + m + 1 AS uy
+        |  FROM cy),
+        |j AS (
+        |  SELECT s.grp, rx.ux, ry.uy FROM src s
+        |  JOIN rx ON s.grp = rx.grp AND s.vx = rx.vx
+        |  JOIN ry ON s.grp = ry.grp AND s.vy = ry.vy),
+        |agg AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS su,
+        |    CAST(SUM(CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sv,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0)) * CAST(ux AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS suu,
+        |    CAST(SUM(CAST(uy AS DECIMAL(19,0)) * CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS svv,
+        |    CAST(SUM(CAST(ux AS DECIMAL(19,0)) * CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS suv
+        |  FROM j GROUP BY 1)
+        |SELECT grp, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0
+        |        AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0 THEN
+        |    round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)) /
+        |      sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) *
+        |           (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM agg ORDER BY grp""".stripMargin,
   )
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —

@@ -1121,6 +1121,61 @@ object Extended {
       .orderBy(col("grp"))
   }
 
+  /** q191: bucketed Mann–Whitney U between order eras
+    * ([[graft.api.Ops.mannWhitneyUSketch]]) — q157's nonparametric
+    * shift test on the $10k bucket census: the sketch path the
+    * wide-census guard routes near-unique domains to, the u2 error
+    * bounded by the within-bucket cross-pair mass (r15).
+    */
+  def q191(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.mannWhitneyUSketch(
+      withC.filter(col("o_orderdate").cast("timestamp") < cut),
+      withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("cents"), bucketWidth = 1000000L)
+  }
+
+  /** q192: per-priority bucketed Kruskal–Wallis
+    * ([[graft.api.Ops.kruskalWallisSketchByGroup]]) — q177's keyed
+    * H test on the $10k bucket census: the by-group rank-statistic
+    * shape whose near-unique per-segment census the sketch family
+    * exists to flatten (r15).
+    */
+  def q192(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull &&
+        col("o_orderstatus").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    graft.api.Ops.kruskalWallisSketchByGroup(o, "o_orderpriority", "o_orderstatus",
+      col("cents"), bucketWidth = 1000000L)
+      .orderBy(col("seg"), col("grp"))
+  }
+
+  /** q193: per-returnflag bucketed Spearman
+    * ([[graft.api.Ops.spearmanCorrSketchByGroup]]) — q178's keyed
+    * monotone-association readout with BOTH axes bucketed ($1k price,
+    * 1-unit quantity): the exact q178 census was the suite's worst
+    * scale probe (2.7× — two near-unique per-segment censuses + two
+    * row-frame joins); this is its resolution-bounded route (r15).
+    */
+  def q193(t: Tables): DataFrame = {
+    val l = t.lineitem
+      .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull &&
+        col("l_extendedprice").isNotNull)
+      .withColumn("qc",
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("pc",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    graft.api.Ops.spearmanCorrSketchByGroup(l, "l_returnflag",
+      col("pc"), col("qc"), bucketWidthX = 100000L, bucketWidthY = 100L)
+      .orderBy(col("grp"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -2342,6 +2342,84 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(skm1.getAs[Long]("w_median_bucket") == ex)
   }
 
+  test("r15 rank-statistic sketches: width-1 ≡ exact bit-for-bit; MWU error within the cross-pair bound; coarse Spearman tracks") {
+    import spark.implicits._
+    val av = (1L to 40L); val bv = (21L to 60L)
+    val a = av.toDF("v"); val b = bv.toDF("v")
+    // --- MWU: width 1 on an integer domain IS the exact statistic
+    val exU = graft.api.Ops.mannWhitneyU(a, b, col("v")).collect().head
+    val skU1 = graft.api.Ops.mannWhitneyUSketch(a, b, col("v"), 1L).collect().head
+    assert(skU1.toSeq == exU.toSeq, "width-1 MWU sketch ≡ exact, bit for bit")
+    // coarse width: |u2_sketch − u2_exact| ≤ Σ_k nA_k·nB_k (the
+    // within-bucket cross-pair mass — only same-bucket pairs move)
+    val skU = graft.api.Ops.mannWhitneyUSketch(a, b, col("v"), 10L).collect().head
+    val bound = (av.map(_ / 10) ++ bv.map(_ / 10)).distinct
+      .map(k => av.count(_ / 10 == k).toLong * bv.count(_ / 10 == k)).sum
+    assert(math.abs(skU.getAs[Long]("u2") - exU.getAs[Long]("u2")) <= bound,
+      s"sketch u2 ${skU.getAs[Long]("u2")} vs exact ${exU.getAs[Long]("u2")}, bound $bound")
+    assert(skU.getAs[Long]("n_a") == 40L && skU.getAs[Long]("n_b") == 40L,
+      "bucketing never changes the sample sizes")
+    // --- MWU by-group: width-1 identity and keyed ≡ whole-frame slice
+    val ga = Seq(("x", 1L), ("x", 2L), ("x", 3L), ("y", 10L)).toDF("g", "v")
+    val gb = Seq(("x", 2L), ("x", 4L), ("y", 30L), ("y", 40L)).toDF("g", "v")
+    val exUg = graft.api.Ops.mannWhitneyUByGroup(ga, gb, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val skUg1 = graft.api.Ops.mannWhitneyUSketchByGroup(ga, gb, "g", col("v"), 1L)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(skUg1 == exUg, "width-1 by-group MWU sketch ≡ exact")
+    // --- KW: width-1 identity, whole-frame and keyed
+    val kw = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("y", 9L), ("z", 5L))
+      .toDF("g", "v")
+    assert(graft.api.Ops.kruskalWallisSketch(kw, "g", col("v"), 1L)
+      .collect().map(_.toSeq).toSet ==
+      graft.api.Ops.kruskalWallis(kw, "g", col("v")).collect().map(_.toSeq).toSet,
+      "width-1 KW sketch ≡ exact")
+    val kwg = Seq(("s1", "x", 1L), ("s1", "x", 2L), ("s1", "y", 3L),
+      ("s2", "x", 9L), ("s2", "y", 4L)).toDF("seg", "g", "v")
+    assert(graft.api.Ops.kruskalWallisSketchByGroup(kwg, "seg", "g", col("v"), 1L)
+      .collect().map(_.toSeq).toSet ==
+      graft.api.Ops.kruskalWallisByGroup(kwg, "seg", "g", col("v"))
+        .collect().map(_.toSeq).toSet,
+      "width-1 by-group KW sketch ≡ exact")
+    // coarse KW stays a valid H over the bucket census (finite, ≥ 0)
+    val kwCoarse = graft.api.Ops.kruskalWallisSketch(
+      (1 to 60).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v"), "g", col("v"), 10L)
+      .collect()
+    assert(kwCoarse.length == 3 && kwCoarse.forall(_.getAs[Double]("h") >= 0.0))
+    // --- Spearman: width-1 identity; coarse buckets keep a perfect
+    // monotone association near 1 (coarsening only introduces ties)
+    val mono = (1 to 100).map(i => (i.toLong, i.toLong * 3)).toDF("x", "y")
+    val exS = graft.api.Ops.spearmanCorr(mono, col("x"), col("y")).collect().head
+    val skS1 = graft.api.Ops.spearmanCorrSketch(mono, col("x"), col("y"), 1L, 1L)
+      .collect().head
+    assert(skS1.toSeq == exS.toSeq, "width-1 Spearman sketch ≡ exact")
+    assert(exS.getAs[Double]("rho") == 1.0)
+    val skS = graft.api.Ops.spearmanCorrSketch(mono, col("x"), col("y"), 7L, 30L)
+      .collect().head
+    assert(skS.getAs[Double]("rho") > 0.97,
+      s"coarse monotone rho should stay near 1, got ${skS.getAs[Double]("rho")}")
+    val monoG = (1 to 50).flatMap(i =>
+      Seq(("p", i.toLong, i.toLong * 2), ("q", i.toLong, 101L - i)))
+      .toDF("g", "x", "y")
+    val exSg = graft.api.Ops.spearmanCorrByGroup(monoG, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val skSg1 = graft.api.Ops.spearmanCorrSketchByGroup(monoG, "g",
+      col("x"), col("y"), 1L, 1L)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(skSg1 == exSg, "width-1 by-group Spearman sketch ≡ exact")
+    // the sketches run UNDER the census guard that refuses their
+    // exact siblings: the bucketed census passes a ceiling the raw
+    // domain trips
+    val wide = (1L to 50L).toDF("v")
+    intercept[Throwable] {
+      graft.api.Ops.mannWhitneyU(wide, wide, col("v"),
+        maxExactCensusRows = 10).collect()
+    }
+    assert(graft.api.Ops.mannWhitneyUSketch(wide, wide, col("v"), 10L)
+      .collect().head.getAs[Long]("n_a") == 50L,
+      "the sketch path passes where the exact census refuses")
+  }
+
   test("psiDriftByGroup: per-group ≡ whole-frame psiDrift per segment") {
     import spark.implicits._
     val base = Seq(("x", 0L), ("x", 0L), ("x", 1L), ("y", 0L), ("y", 2L)).toDF("g", "b")
