@@ -81,7 +81,8 @@ object Bench {
     "q182_js_divergence", "q183_mde", "q184_rank_movers",
     "q185_quantile_drift", "q186_dedup_yield", "q187_centroid_sep",
     "q188_mde_by_group", "q189_js_by_group", "q190_zipf",
-    "q191_mwu_sketch", "q192_kw_sketch", "q193_spearman_sketch")
+    "q191_mwu_sketch", "q192_kw_sketch", "q193_spearman_sketch",
+    "q194_qdrift_by_group")
 
   private val childMarker = "##BENCHQ##"
 

@@ -213,6 +213,7 @@ object SparkEntry {
     "q191_mwu_sketch"     -> q(Extended.q191),
     "q192_kw_sketch"      -> q(Extended.q192),
     "q193_spearman_sketch" -> q(Extended.q193),
+    "q194_qdrift_by_group" -> q(Extended.q194),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -4988,6 +4989,57 @@ object SparkEntry {
         |           (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
         |  END AS rho
         |FROM agg ORDER BY grp""".stripMargin,
+
+    // q194: the q185 census/ceil-rank/midpoint machinery keyed by
+    // o_orderpriority — segment-partitioned cumulative windows, a
+    // segment-keyed full-outer era join, one row per (segment,
+    // quantile); one-sided segments read null values/delta
+    "q194_qdrift_by_group" -> {
+      def census(pre: String, eraPred: String) =
+        s"""${pre}r AS (
+           |  SELECT o_orderpriority AS grp,
+           |         CAST(floor(CAST(o_totalprice AS DOUBLE) / 64.0) AS BIGINT) AS b,
+           |         COUNT(*) AS n
+           |  FROM orders
+           |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+           |    AND o_orderpriority IS NOT NULL AND $eraPred
+           |    AND CAST(o_totalprice AS DOUBLE) / 64.0
+           |      BETWEEN -CAST(4611686018427387904 AS DOUBLE)
+           |          AND CAST(4611686018427387904 AS DOUBLE)
+           |  GROUP BY 1, 2),
+           |${pre}c AS (SELECT grp, b,
+           |            SUM(n) OVER (PARTITION BY grp ORDER BY b) AS cum,
+           |            SUM(n) OVER (PARTITION BY grp) AS tot FROM ${pre}r),
+           |${pre}q AS (
+           |  SELECT grp,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.1 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b10,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b50,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.9 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b90,
+           |    MIN(CASE WHEN cum >= CAST(ceil(CAST(0.99 AS DOUBLE) * tot) AS BIGINT) THEN b END) AS b99
+           |  FROM ${pre}c GROUP BY grp)""".stripMargin
+      s"""WITH ${census("a", "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")},
+         |${census("b", "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'")},
+         |j AS (
+         |  SELECT COALESCE(aq.grp, bq.grp) AS grp,
+         |    aq.b10 AS xa10, aq.b50 AS xa50, aq.b90 AS xa90, aq.b99 AS xa99,
+         |    bq.b10 AS xb10, bq.b50 AS xb50, bq.b90 AS xb90, bq.b99 AS xb99
+         |  FROM aq FULL OUTER JOIN bq ON aq.grp = bq.grp)
+         |SELECT grp AS o_orderpriority, quantile, value_a, value_b,
+         |  value_b - value_a AS delta FROM (
+         |  SELECT grp, 'p10' AS quantile,
+         |    (CAST(xa10 AS DOUBLE) + 0.5) * 64.0 AS value_a,
+         |    (CAST(xb10 AS DOUBLE) + 0.5) * 64.0 AS value_b FROM j
+         |  UNION ALL SELECT grp, 'p50',
+         |    (CAST(xa50 AS DOUBLE) + 0.5) * 64.0,
+         |    (CAST(xb50 AS DOUBLE) + 0.5) * 64.0 FROM j
+         |  UNION ALL SELECT grp, 'p90',
+         |    (CAST(xa90 AS DOUBLE) + 0.5) * 64.0,
+         |    (CAST(xb90 AS DOUBLE) + 0.5) * 64.0 FROM j
+         |  UNION ALL SELECT grp, 'p99',
+         |    (CAST(xa99 AS DOUBLE) + 0.5) * 64.0,
+         |    (CAST(xb99 AS DOUBLE) + 0.5) * 64.0 FROM j)
+         |ORDER BY o_orderpriority, quantile""".stripMargin
+    },
   )
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —

@@ -1625,6 +1625,46 @@ object Ops {
       .withColumn("delta", col("value_b") - col("value_a"))
   }
 
+  /** Per-segment quantile drift (r15 — [[quantileDrift]] keyed by a
+    * segment column, closing the experimentation family's last
+    * whole-frame-only member: "the p99 rose $400 — in WHICH cohort"):
+    * each side runs the SEGMENT-KEYED q108 bucket census
+    * ([[quantileRegisters]] already takes keys) and the per-segment
+    * nearest-rank midpoints, the two per-segment frames FULL-OUTER
+    * join on the segment (a keyed hash join — no scalar crosses in
+    * the keyed form, the q160 statement), and one row per
+    * (segment, quantile) emits. A segment present on only one side
+    * reports null for the absent side's value and a null delta — the
+    * appearance/disappearance signal, observable. All DOUBLE
+    * midpoints (the §3 rule).
+    *
+    * Scale shape: two map-combinable (segment, bucket) censuses
+    * (resolution-bounded per segment), segment-partitioned cumulative
+    * windows, one segment-keyed join, one k-row-per-segment unpivot —
+    * adding segments adds parallelism, not passes.
+    */
+  def quantileDriftByGroup(a: DataFrame, b: DataFrame, group: String,
+                           value: Column, bucketWidth: Double,
+                           quantiles: Seq[(String, Double)]): DataFrame = {
+    require(quantiles.nonEmpty, "quantileDriftByGroup: need at least one quantile")
+    require(quantiles.map(_._1).distinct.length == quantiles.length,
+      "quantileDriftByGroup: duplicate quantile name")
+    def side(df: DataFrame, suf: String): DataFrame =
+      quantileFromRegisters(
+        quantileRegisters(df.filter(col(group).isNotNull), Seq(group), value,
+          bucketWidth),
+        Seq(group), bucketWidth,
+        quantiles.map { case (n, q) => (s"__${n}_$suf", q) })
+    val joined = side(a, "a").join(side(b, "b"), Seq(group), "full_outer")
+    val stackArgs = quantiles.map { case (n, _) =>
+      s"'$n', `__${n}_a`, `__${n}_b`" }.mkString(", ")
+    joined
+      .select(col(group),
+        expr(s"stack(${quantiles.length}, $stackArgs) AS " +
+          "(quantile, value_a, value_b)"))
+      .withColumn("delta", col("value_b") - col("value_a"))
+  }
+
   /** Top-N rank movers between two eras (r14 — the BI/governance
     * readout beside [[GraftDataFrameOps.periodOverPeriod]]: not "how
     * did totals move" but "WHO moved up or down the league table" —

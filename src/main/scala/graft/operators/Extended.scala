@@ -1176,6 +1176,25 @@ object Extended {
       .orderBy(col("grp"))
   }
 
+  /** q194: per-priority quantile drift between order eras
+    * ([[graft.api.Ops.quantileDriftByGroup]]) — q185's "the p99 rose
+    * $400" readout keyed by o_orderpriority: segment-keyed q108
+    * bucket censuses, per-segment nearest-rank midpoints, one row
+    * per (segment, quantile) (r15).
+    */
+  def q194(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.quantileDriftByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("o_totalprice"), bucketWidth = 64.0,
+      Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy(col("o_orderpriority"), col("quantile"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

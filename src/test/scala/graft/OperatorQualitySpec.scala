@@ -2420,6 +2420,39 @@ class OperatorQualitySpec extends AnyFunSuite {
       "the sketch path passes where the exact census refuses")
   }
 
+  test("quantileDriftByGroup: per-segment ≡ whole-frame quantileDrift per slice; one-sided segments report null") {
+    import spark.implicits._
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val a = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("x", 100.0),
+      ("y", 10.0), ("y", 20.0)).toDF("g", "v")
+    val b = Seq(("x", 5.0), ("x", 6.0), ("x", 200.0),
+      ("z", 50.0), ("z", 60.0)).toDF("g", "v")
+    val keyed = graft.api.Ops.quantileDriftByGroup(a, b, "g", col("v"), 2.0, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // shared segment: keyed ≡ the whole-frame operator on the slice
+    val whole = graft.api.Ops.quantileDrift(
+      a.filter(col("g") === "x"), b.filter(col("g") === "x"), col("v"), 2.0, qs)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    for ((qn, expected) <- whole)
+      assert(keyed(("x", qn)).toSeq.drop(1) == expected,
+        s"segment x quantile $qn must replay the whole-frame drift")
+    // a segment present on ONE side reports null for the absent side
+    val gone = keyed(("y", "p50"))
+    assert(!gone.isNullAt(gone.fieldIndex("value_a")) &&
+      gone.isNullAt(gone.fieldIndex("value_b")) &&
+      gone.isNullAt(gone.fieldIndex("delta")),
+      "a disappeared segment reports (value_a, null, null)")
+    val appeared = keyed(("z", "p90"))
+    assert(appeared.isNullAt(appeared.fieldIndex("value_a")) &&
+      !appeared.isNullAt(appeared.fieldIndex("value_b")))
+    assert(keyed.size == 6, "3 segments × 2 quantiles")
+    // partitioning-invariant (exact integer censuses)
+    val again = graft.api.Ops.quantileDriftByGroup(a.repartition(4),
+      b.repartition(3), "g", col("v"), 2.0, qs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(again == keyed.map { case (k, r) => k -> r.toSeq })
+  }
+
   test("psiDriftByGroup: per-group ≡ whole-frame psiDrift per segment") {
     import spark.implicits._
     val base = Seq(("x", 0L), ("x", 0L), ("x", 1L), ("y", 0L), ("y", 2L)).toDF("g", "b")
