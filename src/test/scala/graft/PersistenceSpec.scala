@@ -459,6 +459,54 @@ class PersistenceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("format"))
   }
 
+  test("PreparedBuckets: absorb is the EXACT union census; PSI/JS/arm-weight serves ≡ row-input; round-trips") {
+    import graft.api.Ops._
+    val o = t.orders.withColumn("bkt",
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000"))
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+    val cur = o.filter(col("o_orderkey") % 3 === 0)
+    val full = Ops.prepareBuckets(o, "bkt")
+    assertSameRows(full.census, Ops.bucketCensus(o, "bkt"),
+      "prepare census ≡ bucketCensus (shared code)")
+    // serves ≡ the row-input operators (delegation, value-identical)
+    assertSameRows(full.psiVs(cur), Ops.psiDrift(o, cur, "bkt"), "psiVs ≡ psiDrift")
+    assertSameRows(full.jsVs(cur), Ops.jsDivergence(o, cur, "bkt"), "jsVs ≡ jsDivergence")
+    // absorb ≡ prepare over the union: counts add, row-for-row
+    val inc = Ops.prepareBuckets(a, "bkt").absorb(b)
+    assertSameRows(inc.census, full.census, "absorbed census ≡ full census")
+    // durable round-trip + absorb-after-load ≡ full re-prepare
+    val dir = tmp("buckets")
+    Ops.prepareBuckets(a, "bkt").save(dir)
+    val loaded = Ops.loadBuckets(spark, dir)
+    assert(loaded.bucket == "bkt" && loaded.reliable)
+    assertSameRows(loaded.absorb(b).census, full.census, "absorb-after-load census")
+    // armWeights: exact census shares — positive, in (0, 1], sum ≈ 1,
+    // and srmCheck accepts the measured split
+    val w = full.armWeights
+    assert(w.nonEmpty && w.forall { case (_, x) => x > 0.0 && x <= 1.0 })
+    assert(math.abs(w.map(_._2).sum - 1.0) < 1e-9)
+    assert(Ops.srmCheck(cur.withColumn("arm", col("bkt").cast("string")),
+      col("arm"), w).collect().nonEmpty)
+    // loading the buckets path as a DIFFERENT artifact kind fails fast
+    val exK = intercept[IllegalArgumentException](Ops.loadQuantiles(spark, dir))
+    assert(exK.getMessage.contains("kind"))
+    // quantileDriftFromPrepared ≡ quantileDrift bit-for-bit (the
+    // stored census IS the census the row-input form builds)
+    val qs = Seq("p50" -> 0.5, "p99" -> 0.99)
+    val qp = Ops.prepareQuantiles(o, Nil, col("o_totalprice"), 64.0)
+    assertSameRows(
+      Ops.quantileDriftFromPrepared(qp, cur, col("o_totalprice"), qs),
+      Ops.quantileDrift(o, cur, col("o_totalprice"), 64.0, qs),
+      "quantileDriftFromPrepared ≡ quantileDrift")
+    // a segment-keyed artifact is refused for whole-frame drift
+    val keyed = Ops.prepareQuantiles(o, Seq("o_orderpriority"),
+      col("o_totalprice"), 64.0)
+    val exG = intercept[IllegalArgumentException](
+      Ops.quantileDriftFromPrepared(keyed, cur, col("o_totalprice"), qs))
+    assert(exG.getMessage.contains("group-less"))
+  }
+
   test("PreparedActives round-trips; absorb is IDEMPOTENT set union; serves ≡ batch operators") {
     import graft.api.Ops._
     val e = t.events

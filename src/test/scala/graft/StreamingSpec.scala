@@ -1835,6 +1835,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1) == batch(t2), "trigger 2 ≡ batch quantileDrift")
   }
 
+  test("r15 durable drift baselines: a restarted stream scores the PINNED artifact, not the mutated live table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_driftbase").toString
+    // the baseline TABLE at prepare time holds the original era...
+    val srcPath = s"$tmpDir/baseline_src"
+    val originalRows = Seq("x", "x", "x", "y")
+    originalRows.toDF("b").write.mode("overwrite").parquet(srcPath)
+    graft.api.Ops.prepareBuckets(spark.read.parquet(srcPath), "b")
+      .save(s"$tmpDir/buckets")
+    graft.api.Ops.prepareQuantiles(spark.read.parquet(srcPath)
+      .select(length(col("b")).cast("long").as("v")), Nil, col("v"), 1.0)
+      .save(s"$tmpDir/quant")
+    // ...then MUTATES before the monitor restarts — the production
+    // scenario the live-frame forms silently rebase onto
+    Seq("z", "z").toDF("b").write.mode("overwrite").parquet(srcPath)
+    // "restart": load the artifacts fresh and stream against them
+    val pinned = graft.api.Ops.loadBuckets(spark, s"$tmpDir/buckets")
+    val t1 = Seq("x", "z", "y")
+    // PSI against the pinned census ≡ batch psiDrift on the ORIGINAL
+    // corpus, bit-for-bit — and ≠ the rebased live-table readout
+    val psiStream = MemoryStream[String]
+    val psiGot = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val psiQ = Streams.psiDriftStream(psiStream.toDF().toDF("b"), pinned,
+      r => { psiGot += rows(r.orderBy("bucket")); () })
+    try { psiStream.addData(t1); psiQ.processAllAvailable() } finally psiQ.stop()
+    assert(psiGot.head == rows(graft.api.Ops.psiDrift(
+      originalRows.toDF("b"), t1.toDF("b"), "b").orderBy("bucket")),
+      "pinned PSI ≡ batch psiDrift on the prepare-time corpus")
+    assert(psiGot.head != rows(graft.api.Ops.psiDrift(
+      spark.read.parquet(srcPath), t1.toDF("b"), "b").orderBy("bucket")),
+      "the pinned readout must NOT match the mutated live table")
+    // JS twin
+    val jsStream = MemoryStream[String]
+    val jsGot = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val jsQ = Streams.jsDriftStream(jsStream.toDF().toDF("b"), pinned,
+      r => { jsGot += rows(r.orderBy("bucket")); () })
+    try { jsStream.addData(t1); jsQ.processAllAvailable() } finally jsQ.stop()
+    assert(jsGot.head == rows(graft.api.Ops.jsDivergence(
+      originalRows.toDF("b"), t1.toDF("b"), "b").orderBy("bucket")),
+      "pinned JS ≡ batch jsDivergence on the prepare-time corpus")
+    // SRM: the declared split is MEASURED from the pinned census
+    // (x 3/4, y 1/4 — exact doubles) — ≡ batch srmCheck with those
+    val srmStream0 = MemoryStream[String]
+    val srmGot = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val srmQ = Streams.srmStream(srmStream0.toDF().toDF("arm"), col("arm"),
+      pinned, r => { srmGot += rows(r.orderBy("arm")); () })
+    val s1 = Seq("x", "x", "y", "w")
+    try { srmStream0.addData(s1); srmQ.processAllAvailable() } finally srmQ.stop()
+    assert(srmGot.head == rows(graft.api.Ops.srmCheck(s1.toDF("arm"), col("arm"),
+      Seq("x" -> 0.75, "y" -> 0.25)).orderBy("arm")),
+      "pinned SRM ≡ batch srmCheck with the measured split")
+    // quantile drift against the pinned registers ≡ batch
+    // quantileDrift on the prepare-time corpus (widths from the
+    // artifact, never passed)
+    val qpinned = graft.api.Ops.loadQuantiles(spark, s"$tmpDir/quant")
+    val qs = Seq("p50" -> 0.5)
+    val qStream = MemoryStream[Long]
+    val qGot = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val qQ = Streams.quantileDriftStream(qStream.toDF().toDF("v"), qpinned,
+      col("v"), qs, r => { qGot += rows(r.orderBy("quantile")); () })
+    try { qStream.addData(Seq(5L, 6L, 7L)); qQ.processAllAvailable() } finally qQ.stop()
+    val origVals = originalRows.map(_.length.toLong)
+    assert(qGot.head == rows(graft.api.Ops.quantileDrift(origVals.toDF("v"),
+      Seq(5L, 6L, 7L).toDF("v"), col("v"), 1.0, qs).orderBy("quantile")),
+      "pinned quantile drift ≡ batch quantileDrift on the prepare-time corpus")
+  }
+
   test("ksDriftStream / mwuDriftStream score each trigger against the frozen baseline, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
