@@ -50,22 +50,13 @@ object AvroRegistry {
       extends SchemaProvider {
     @transient private lazy val cache =
       scala.collection.concurrent.TrieMap.empty[Int, Option[String]]
+    // the control-plane FS surface behind ONE trait (r15 — FsOps,
+    // the reference's "Hadoop FS Ops" roadmap item); same Hadoop
+    // FileSystem resolution as before, now shared
+    private val fs = HadoopFsOps(confEntries)
     def writerSchema(id: Int): Option[String] = cache.getOrElseUpdate(id, {
-      val conf = new Configuration(true)
-      confEntries.foreach { case (k, v) => conf.set(k, v) }
-      val path = new Path(dir, s"$id.avsc")
-      val fs = path.getFileSystem(conf)
-      if (!fs.exists(path)) None
-      else {
-        val in = fs.open(path)
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](4096)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          Some(out.toString("UTF-8"))
-        } finally in.close()
-      }
+      val path = new Path(dir, s"$id.avsc").toString
+      if (!fs.exists(path)) None else Some(fs.readUtf8(path))
     })
   }
 
