@@ -84,6 +84,17 @@ object Bench {
     "q191_mwu_sketch", "q192_kw_sketch", "q193_spearman_sketch",
     "q194_qdrift_by_group")
 
+  /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
+    * same-host runs keep descending through run ~6 — first timed run
+    * 5.1–5.8 s vs steady state 4.2–4.6 s on the r12, r13 AND head
+    * trees with IDENTICAL code and plan (exchanges=7 scans=4), so
+    * three rounds of apparent q102 "creep" were warm-up maturity
+    * inside a 3-run median, not a regression. A second warm-up puts
+    * the timed runs on the flat part of the curve, same as the
+    * sub-2 s rule below does for small queries.
+    */
+  private val longTailWarm = Set("q102_interval_join")
+
   private val childMarker = "##BENCHQ##"
 
   private def makeSession(): SparkSession = {
@@ -149,7 +160,7 @@ object Bench {
     val warm0 = System.nanoTime()
     try runOnce(spark, sfDir, name)
     catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
-    if ((System.nanoTime() - warm0) / 1e9 < 2.0) {
+    if ((System.nanoTime() - warm0) / 1e9 < 2.0 || longTailWarm(name)) {
       try runOnce(spark, sfDir, name) catch { case _: Throwable => }
     }
     dropCachedBlocks(spark)
