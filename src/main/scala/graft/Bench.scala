@@ -9,21 +9,27 @@ import org.apache.spark.sql.SparkSession
   * the FULL plan executes (a bare count() lets Spark skip projections
   * and windows).
   *
-  * Isolation model (round 7): one CHILD JVM per query. A long-lived
-  * single JVM accumulates block-manager / shuffle-file / GC pressure
-  * across the 34-query sweep, and that pressure lands on whichever
+  * Isolation model (round 7, chunked round 15): a long-lived single
+  * JVM accumulates block-manager / shuffle-file / GC pressure across
+  * a long sweep, and that pressure lands on whichever
   * checkpoint-heavy query runs late (r6 artifact: q46 raw runs
   * 5.6s/183s/30.3s on one unchanged plan, vs 3.3s median isolated).
   * Blocking unpersist + System.gc() made the skew visible (raw runs
   * in the JSON) but not gone. The fix is the same isolation
-  * SPARK_GRAFT_BENCH_ONLY gives manually: the parent process forks a
-  * fresh JVM per query — reusing this JVM's own --add-opens/-Xmx/-D
+  * SPARK_GRAFT_BENCH_ONLY gives manually: the parent process forks
+  * fresh child JVMs — reusing this JVM's own --add-opens/-Xmx/-D
   * args and classpath (run/fork := true makes java.class.path the
   * real app classpath) — and aggregates the per-query JSON lines the
-  * children print. Within a child: one untimed warm-up of the query
-  * itself (JIT + codegen + FS metadata), then SPARK_GRAFT_BENCH_RUNS
+  * children print. The 2 s+ tail and queries without a committed
+  * median each get their OWN child; committed sub-2 s queries share
+  * children `chunkSize` at a time (VERDICT r14 next #6: at 157
+  * queries the sweep's wall was dominated by ~7 s JVM+session
+  * startup per child, not by timed runs). Within a child, per query:
+  * one untimed warm-up (JIT + codegen + FS metadata; a second for
+  * sub-2 s and long-JIT-tail queries), then SPARK_GRAFT_BENCH_RUNS
   * (default 3) timed runs, MEDIAN reported (a single-shot timing
-  * cannot distinguish a plan regression from JIT/AQE/GC noise).
+  * cannot distinguish a plan regression from JIT/AQE/GC noise),
+  * blocking unpersist + GC between every run.
   *
   * If forking is unavailable (classpath looks like an sbt launcher,
   * fork fails, or SPARK_GRAFT_BENCH_NOFORK is set) the parent falls
@@ -82,7 +88,8 @@ object Bench {
     "q185_quantile_drift", "q186_dedup_yield", "q187_centroid_sep",
     "q188_mde_by_group", "q189_js_by_group", "q190_zipf",
     "q191_mwu_sketch", "q192_kw_sketch", "q193_spearman_sketch",
-    "q194_qdrift_by_group")
+    "q194_qdrift_by_group", "q195_target_encode", "q196_msprt",
+    "q197_rare_collapse", "q198_cramers_v", "q199_calibration")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run
@@ -94,6 +101,64 @@ object Bench {
     * sub-2 s rule below does for small queries.
     */
   private val longTailWarm = Set("q102_interval_join")
+
+  /** Sub-2 s queries (committed BENCH_LOCAL_r14 medians), safe to
+    * time several-per-child: the r6 contamination artifact was
+    * checkpoint-heavy queries accumulating block-manager/shuffle
+    * pressure across a LONG in-process sweep — none of these
+    * checkpoint, each chunk is short (default 8), and the blocking
+    * unpersist + GC between runs stays. Everything NOT in this set —
+    * the 2 s+ tail (graph loops, BPE, LSH, dedup clusters) and any
+    * query added after r14 until its median is committed — keeps its
+    * own child JVM. Motivation (VERDICT r14 next #6): the driver
+    * sweep hit 47 min at 157 queries and most of that wall is
+    * per-child JVM + SparkSession startup (~7 s × 157), not timed
+    * runs; chunking the 125 sub-2 s queries 8-per-child removes
+    * ~110 startups (~13 min) without touching the isolation of the
+    * queries that needed it.
+    */
+  private val chunkable: Set[String] = Set(
+    "q01_pricing_summary", "q03_topk_revenue", "q05_multijoin",
+    "q06_selective_agg", "q08_running_window", "q100_zscore",
+    "q103_hopping_window", "q104_cohort_retention", "q105_funnel_windowed",
+    "q108_quantile_sketch", "q109_scd2_history", "q110_heavy_hitters",
+    "q111_kmeans", "q112_image_neardup", "q113_scd2_asof",
+    "q114_ann_two_level", "q115_audio_neardup", "q116_video_neardup",
+    "q117_ewma", "q118_event_paths", "q120_twap", "q121_transitions",
+    "q122_streaks", "q123_dq_checks", "q124_cdc_apply", "q125_winsorize",
+    "q127_seasonal", "q128_cusum", "q129_assoc_rules", "q13_outer_join",
+    "q133_item_similarity", "q134_ab_test", "q135_autocorr",
+    "q136_benford", "q137_mad_outliers", "q138_spatial_join",
+    "q139_attribution", "q141_rolling_actives", "q142_chi_square",
+    "q143_concentration", "q144_knn", "q146_survival", "q147_coverage",
+    "q148_abc", "q149_xcorr", "q150_backtest", "q151_cohort_ltv",
+    "q152_conv_latency", "q153_new_returning", "q154_dup_payments",
+    "q155_psi_drift", "q156_ks", "q157_mann_whitney", "q159_mwu_by_group",
+    "q160_psi_by_group", "q161_kruskal_wallis", "q162_welch_t",
+    "q163_spearman", "q164_recs_topn", "q166_changepoint",
+    "q168_cat_entropy", "q169_welch_by_group", "q170_profile_drift",
+    "q171_bootstrap_ci", "q172_cuped", "q173_did", "q174_pop_report",
+    "q175_funnel_ab", "q176_holt_trend", "q179_ks_sketch",
+    "q180_wmedian_sketch", "q181_srm_check", "q182_js_divergence",
+    "q183_mde", "q184_rank_movers", "q185_quantile_drift",
+    "q187_centroid_sep", "q188_mde_by_group", "q189_js_by_group",
+    "q190_zipf", "q21_asof_join", "q22_sessionize", "q23_time_bucket",
+    "q26_nested_explode", "q29_fingerprint", "q31_dedup_exact",
+    "q32_jaccard_pairs", "q35_cosine_topk", "q36_ann_ivf",
+    "q39_range_join", "q42_label_centroids", "q43_hll_distinct",
+    "q47_bigram_stats", "q48_tfidf", "q53_embed_neardup", "q57_seq_pack",
+    "q58_decontaminate", "q61_redact", "q63_mixture_sample",
+    "q65_bloom_semijoin", "q66_zorder", "q67_token_cap", "q68_chunk",
+    "q70_strip_markup", "q72_shuffle_shards", "q73_lm_score", "q74_split",
+    "q75_nfc", "q76_skew_stats", "q77_collocations", "q78_histogram",
+    "q79_sample_group", "q80_semantic_dedup", "q81_cap_vocab",
+    "q83_quality_buckets", "q84_char_entropy",
+    "q88_vec_dedup_incr", "q89_paragraph_dedup", "q90_bm25",
+    "q93_resample", "q94_edit_join", "q95_weighted_sample", "q97_funnel",
+    "q98_trailing_window", "q99_snapshot_diff")
+
+  private def chunkSize: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "8").toInt.max(1)
 
   private val childMarker = "##BENCHQ##"
 
@@ -146,75 +211,94 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
-  /** Child mode: warm + time ONE query in this fresh JVM, print a
-    * marked JSON line, exit. Startup cost is outside the timings.
+  /** Child mode: warm + time the given queries (one for the isolated
+    * 2 s+ tail, up to `chunkSize` sub-2 s ones) in this fresh JVM,
+    * print one marked JSON line per query, exit. Startup cost is
+    * outside the timings; blocking unpersist + GC between every run
+    * keeps the runs within a chunk independent.
     */
-  private def childMain(name: String, sfDir: String): Unit = {
+  private def childMain(names: Seq[String], sfDir: String): Unit = {
     val spark = makeSession()
-    // sub-second queries need a SECOND warm-up: in a fresh child JVM
-    // the first timed runs of a ~0.3 s query are still paying JIT and
-    // classloading, which grows with the library and read as phantom
-    // round-over-round regressions (r13's q06 0.38→0.57 s mover
-    // reproduced as warm-up inflation: same-host A/B at 5 runs showed
-    // steady state 0.318 vs 0.330 s — ~4%, within spread)
-    val warm0 = System.nanoTime()
-    try runOnce(spark, sfDir, name)
-    catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
-    if ((System.nanoTime() - warm0) / 1e9 < 2.0 || longTailWarm(name)) {
-      try runOnce(spark, sfDir, name) catch { case _: Throwable => }
+    names.foreach { name =>
+      // sub-second queries need a SECOND warm-up: in a fresh child JVM
+      // the first timed runs of a ~0.3 s query are still paying JIT and
+      // classloading, which grows with the library and read as phantom
+      // round-over-round regressions (r13's q06 0.38→0.57 s mover
+      // reproduced as warm-up inflation: same-host A/B at 5 runs showed
+      // steady state 0.318 vs 0.330 s — ~4%, within spread)
+      val warm0 = System.nanoTime()
+      try runOnce(spark, sfDir, name)
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
+      if ((System.nanoTime() - warm0) / 1e9 < 2.0 || longTailWarm(name)) {
+        try runOnce(spark, sfDir, name) catch { case _: Throwable => }
+      }
+      dropCachedBlocks(spark)
+      val ts = (1 to benchRuns).map(_ => timeOnce(spark, sfDir, name)).filter(_ >= 0)
+      val runsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // println goes through Spark-captured stdout untouched; the marker
+      // lets the parent find it among any stray log lines
+      println(s"""$childMarker {"query":"$name","runs":$runsJson}""")
     }
-    dropCachedBlocks(spark)
-    val ts = (1 to benchRuns).map(_ => timeOnce(spark, sfDir, name)).filter(_ >= 0)
-    val runsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-    // println goes through Spark-captured stdout untouched; the marker
-    // lets the parent find it among any stray log lines
-    println(s"""$childMarker {"query":"$name","runs":$runsJson}""")
     spark.stop()
   }
 
-  /** Fork one child JVM for `name`, parse its marked line. Returns
-    * None if the fork/parse fails (caller falls back in-process).
+  /** Fork one child JVM for a chunk of queries, parse its marked
+    * lines into per-query run lists. Returns an empty map if the
+    * fork fails outright; queries missing from the result (child
+    * crash/timeout mid-chunk) fall back in-process at the call site.
+    * The wall budget scales with the chunk size.
     */
-  private def forkQuery(name: String, javaBin: String, jvmArgs: Seq[String],
-                        classpath: String): Option[Seq[Double]] = {
+  private def forkChunk(names: Seq[String], javaBin: String, jvmArgs: Seq[String],
+                        classpath: String): Map[String, Seq[Double]] = {
     import scala.jdk.CollectionConverters._
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", classpath, "graft.Bench")).asJava
     try {
       val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", name)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", names.mkString(","))
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       // drain stdout on its own thread: a hung child would otherwise
       // block readLine forever and the timeout below would never fire
-      @volatile var marked: Option[String] = None
+      val marked = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val reader = new Thread(() => {
         val out = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream))
         var line: String = null
         try while ({ line = out.readLine(); line != null }) {
-          if (line.startsWith(childMarker)) marked = Some(line)
+          if (line.startsWith(childMarker)) marked.add(line)
         } catch { case _: java.io.IOException => }
       })
       reader.setDaemon(true)
       reader.start()
-      val done = proc.waitFor(childTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { proc.destroyForcibly(); System.err.println(s"[bench] $name: child timeout"); return None }
-      reader.join(10000)
-      marked.map { l =>
-        val runsPart = l.substring(l.indexOf("\"runs\":[") + 8, l.lastIndexOf("]"))
-        if (runsPart.trim.isEmpty) Seq.empty[Double]
-        else runsPart.split(",").toSeq.map(_.trim.toDouble)
+      val done = proc.waitFor(childTimeoutSec * names.length,
+        java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        proc.destroyForcibly()
+        System.err.println(s"[bench] ${names.mkString(",")}: child timeout")
       }
+      reader.join(10000)
+      marked.asScala.flatMap { l =>
+        val q = l.substring(l.indexOf("\"query\":\"") + 9)
+        val name = q.substring(0, q.indexOf('"'))
+        val runsPart = l.substring(l.indexOf("\"runs\":[") + 8, l.lastIndexOf("]"))
+        val runs =
+          if (runsPart.trim.isEmpty) Seq.empty[Double]
+          else runsPart.split(",").toSeq.map(_.trim.toDouble)
+        if (names.contains(name)) Some(name -> runs) else None
+      }.toMap
     } catch {
-      case e: Throwable => System.err.println(s"[bench] fork $name: $e"); None
+      case e: Throwable =>
+        System.err.println(s"[bench] fork ${names.mkString(",")}: $e"); Map.empty
     }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
-      case Some(name) => childMain(name, sfDir); return
-      case None       =>
+      case Some(names) =>
+        childMain(names.split(",").map(_.trim).filter(_.nonEmpty).toSeq, sfDir)
+        return
+      case None =>
     }
 
     // local iteration: SPARK_GRAFT_BENCH_ONLY=q53_embed_neardup,q33_minhash_lsh
@@ -245,12 +329,29 @@ object Bench {
       s
     }
 
+    // group consecutive chunkable (sub-2 s, committed-median) queries
+    // into shared children; everything else keeps its own JVM. The
+    // sweep ORDER is unchanged — only the process boundaries move.
+    val chunks: Seq[Seq[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var run = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = if (run.nonEmpty) {
+        out ++= run.grouped(chunkSize).map(_.toSeq); run.clear()
+      }
+      selected.foreach { n =>
+        if (chunkable(n)) run += n else { flush(); out += Seq(n) }
+      }
+      flush(); out.toSeq
+    }
+
     // per-query fork/fallback outcome travels into the artifact: a
     // query whose child timed out or crashed is labeled, not silently
     // mixed in with isolated numbers (ADVICE r7)
+    val forkedRuns: Map[String, Seq[Double]] =
+      if (canFork) chunks.flatMap(c => forkChunk(c, javaBin, jvmArgs, classpath)).toMap
+      else Map.empty
     val results: Seq[(String, Seq[Double], Boolean)] = selected.map { name =>
-      val forked = if (canFork) forkQuery(name, javaBin, jvmArgs, classpath) else None
-      forked match {
+      forkedRuns.get(name) match {
         case Some(ts) => (name, ts, true)
         case None =>
           System.err.println(s"[bench] $name: timing in-process (fork unavailable)")
@@ -271,8 +372,9 @@ object Bench {
     val inProc = results.filter(!_._3).map(_._1)
     val iso =
       if (!canFork) "in-process"
-      else if (inProc.isEmpty) "jvm-per-query"
-      else "mixed"
+      else if (inProc.nonEmpty) "mixed"
+      else if (chunkSize <= 1) "jvm-per-query"
+      else s"jvm-per-chunk$chunkSize"
     val fallbackJson = inProc.map("\"" + _ + "\"").mkString("[", ",", "]")
     if (fellBack) fallbackSpark.stop()
     // the consumer keeps only the LAST ~2000 chars of output and

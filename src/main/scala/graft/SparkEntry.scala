@@ -214,6 +214,11 @@ object SparkEntry {
     "q192_kw_sketch"      -> q(Extended.q192),
     "q193_spearman_sketch" -> q(Extended.q193),
     "q194_qdrift_by_group" -> q(Extended.q194),
+    "q195_target_encode"  -> q(Extended.q195),
+    "q196_msprt"          -> q(Extended.q196),
+    "q197_rare_collapse"  -> q(Extended.q197),
+    "q198_cramers_v"      -> q(Extended.q198),
+    "q199_calibration"    -> q(Extended.q199),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5040,6 +5045,168 @@ object SparkEntry {
          |    (CAST(xb99 AS DOUBLE) + 0.5) * 64.0 FROM j)
          |ORDER BY o_orderpriority, quantile""".stripMargin
     },
+
+    // q195: the (cat, fold) census, cat-keyed window totals, fold +
+    // overall scalar joins, then the m-estimate tree — every sum an
+    // exact decimal, the encoding one fixed double division
+    "q195_target_encode" ->
+      """WITH census AS (
+        |  SELECT o_custkey AS cat, CAST(o_orderkey % 4 AS BIGINT) AS fold,
+        |    CAST(count(*) AS BIGINT) AS n_cf,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_cf
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |wc AS (
+        |  SELECT *, CAST(SUM(n_cf) OVER (PARTITION BY cat) AS BIGINT) AS n_c,
+        |    CAST(SUM(s_cf) OVER (PARTITION BY cat) AS DECIMAL(38,2)) AS s_c
+        |  FROM census),
+        |pf AS (SELECT fold, CAST(SUM(n_cf) AS BIGINT) AS n_f,
+        |    CAST(SUM(s_cf) AS DECIMAL(38,2)) AS s_f FROM census GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_cf) AS BIGINT) AS n_all,
+        |    CAST(SUM(s_cf) AS DECIMAL(38,2)) AS s_all,
+        |    CAST(COUNT(DISTINCT fold) AS BIGINT) AS k_folds FROM census),
+        |f AS (
+        |  SELECT wc.*, pf.n_f, pf.s_f, tt.n_all, tt.s_all, tt.k_folds,
+        |    CAST(wc.n_c - wc.n_cf AS DOUBLE) AS n_oof_d,
+        |    CAST(wc.s_c - wc.s_cf AS DOUBLE) AS s_oof_d,
+        |    CAST(tt.s_all - pf.s_f AS DOUBLE) / CAST(tt.n_all - pf.n_f AS DOUBLE) AS prior
+        |  FROM wc JOIN pf USING (fold) CROSS JOIN tt)
+        |SELECT cat AS o_custkey, fold, n_cf AS n, n_c - n_cf AS n_oof,
+        |  CASE WHEN k_folds >= 2 THEN round(prior, 6) END AS prior_oof,
+        |  CASE WHEN k_folds >= 2 AND n_oof_d + 20.0 > 0 THEN
+        |    round((s_oof_d + 20.0 * prior) / (n_oof_d + 20.0), 6) END AS enc
+        |FROM f ORDER BY o_custkey, fold""".stripMargin,
+
+    // q196: the q183 exact moments, then the mSPRT ln-space tree —
+    // the one ln term rounded at 12, thresholds as shared literals
+    "q196_msprt" -> {
+      val thr = String.format(java.util.Locale.ROOT, "CAST(%.17e AS DOUBLE)",
+        Double.box(2.995732273553991))
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+         |b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+         |f AS (
+         |  SELECT *,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) AS va,
+         |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)) AS vb
+         |  FROM a CROSS JOIN b),
+         |g AS (
+         |  SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS vv,
+         |    mb - ma AS delta
+         |  FROM f),
+         |h AS (
+         |  SELECT *,
+         |    CAST(0.5 AS DOUBLE) * round(ln(vv / (vv + CAST(1000000 AS DOUBLE))), 12) +
+         |      delta * delta * CAST(1000000 AS DOUBLE) /
+         |        (CAST(2.0 AS DOUBLE) * vv * (vv + CAST(1000000 AS DOUBLE))) AS lnl
+         |  FROM g)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(delta, 6) END AS delta,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN round(lnl, 6) END AS ln_lambda,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN
+         |    CASE WHEN round(lnl, 6) > 0 THEN -round(lnl, 6) ELSE CAST(0.0 AS DOUBLE) END
+         |  END AS ln_p,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN
+         |    CAST(round(lnl, 6) > $thr AS BIGINT) END AS reject
+         |FROM h""".stripMargin
+    },
+
+    // q197: census + 1-row total; the keep test is the exact integer
+    // cross-multiplication n·10000 >= bp·N (never a double share)
+    "q197_rare_collapse" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+        |SELECT lang, n, (n * 10000) // t AS share_bp,
+        |  n * 10000 >= 1400 * t AS kept,
+        |  CASE WHEN n * 10000 >= 1400 * t THEN CAST(lang AS VARCHAR)
+        |    ELSE '__other__' END AS cat_out
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    // q198: the q142 contingency machinery aggregated to one row,
+    // then V = sqrt(chi2 / (n * (min(r,c) - 1)))
+    "q198_cramers_v" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs FROM base GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM base GROUP BY 1),
+        |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM base GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |comp AS (
+        |  SELECT ra.a, cb.b, na, nb, COALESCE(obs, 0) AS obs, n
+        |  FROM ra CROSS JOIN cb LEFT JOIN cells USING (a, b) CROSS JOIN nn),
+        |ct AS (SELECT *, CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |  FROM comp),
+        |cc AS (SELECT *,
+        |  round((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e, 6) AS contrib
+        |  FROM ct),
+        |agg AS (
+        |  SELECT MAX(n) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS levels_a,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS levels_b,
+        |    CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS chi2
+        |  FROM cc)
+        |SELECT n, levels_a, levels_b,
+        |  (levels_a - 1) * (levels_b - 1) AS dof,
+        |  CAST(chi2 * 1000000 AS BIGINT) AS chi2_micros,
+        |  CASE WHEN least(levels_a, levels_b) - 1 >= 1 AND n > 0 THEN
+        |    round(sqrt(CAST(chi2 AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(least(levels_a, levels_b) - 1 AS DOUBLE))), 6)
+        |  END AS v
+        |FROM agg""".stripMargin,
+
+    // q199: the q40 score recipe → exact integer micros (explicit
+    // half-up round before the BIGINT cast — Spark casts truncate,
+    // DuckDB casts round) → pure-integer binning → per-bin moments
+    "q199_calibration" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |         x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(round(round(0.5 * least(n_chars / 500.0, 1.0)
+        |      + 0.3 * (1.0 - n_punct / n_chars)
+        |      + 0.2 * (n_stop / n_tokens), 6) * 1000000.0, 0) AS BIGINT) AS sm,
+        |    CAST(lang = 'en' AS BIGINT) AS y
+        |  FROM c WHERE lang IS NOT NULL),
+        |b AS (
+        |  SELECT least(9, (sm * 10) // 1000000) AS bin, sm, y FROM s),
+        |agg AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(sm) AS BIGINT) AS ssum,
+        |    CAST(SUM(CAST((sm - y * 1000000) * (sm - y * 1000000) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS br
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_score,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+        |  round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) -
+        |    round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6), 6) AS gap,
+        |  round(CAST(br AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS brier
+        |FROM agg ORDER BY bin""".stripMargin,
   )
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —

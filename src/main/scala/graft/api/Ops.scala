@@ -1887,6 +1887,134 @@ object Ops {
         col("sd_a"), col("sd_b"), col("mde_abs"), col("mde_rel"))
   }
 
+  /** Mixture sequential probability ratio test (r15 — the
+    * ALWAYS-VALID inference member of the experimentation-governance
+    * family beside [[mdeReadout]]/[[srmCheck]]/[[welchT]]: a fixed-n
+    * t test's p-value is invalid the moment anyone peeks early, and
+    * every live dashboard peeks — the mSPRT's likelihood-ratio
+    * martingale lets the monitor read the experiment CONTINUOUSLY
+    * with the type-I error still controlled at α, the published
+    * always-valid-inference construction of Robbins' power-one tests
+    * with a normal mixing prior N(0, τ²) over the effect).
+    *
+    * Per side the q162 exact decimal moments (n, Σx, Σx² over the
+    * [[graft.util.Portable]] view — order-free under any
+    * partitioning); with Δ = mean_b − mean_a and
+    * V = s²_a/n_a + s²_b/n_b the mixture likelihood ratio is
+    * `Λ = √(V/(V+τ²)) · exp(Δ²·τ² / (2·V·(V+τ²)))`, computed and
+    * emitted in LOG space — `ln Λ = ½·ln(V/(V+τ²)) + Δ²·τ²/(2V(V+τ²))`
+    * with the one ln term rounded at 12 before the fixed tree (ln is
+    * the last-ulp-risky primitive — the q190/q73 treatment; √ and
+    * arithmetic are IEEE-exact), total round 6. The always-valid
+    * p-value is `min(1, 1/Λ)`, emitted as `ln_p = −max(0, ln Λ)`
+    * (round 6 — no exp call anywhere, so nothing non-portable leaves
+    * the plan), and the α-level decision is the INTEGER-free exact
+    * comparison `ln Λ > −ln α` against the caller-supplied
+    * `lnAlpha` literal (embed the same 17-digit literal in the
+    * oracle — the q136/q183 shared-constant rule). Degenerate sides
+    * (n < 2, zero variance both sides) report null statistics with
+    * counts saying why. Returns ONE row:
+    * (n_a, n_b, mean_a, mean_b, delta, ln_lambda, ln_p, reject).
+    *
+    * Scale shape: two map-combinable 1-row moment aggregates + one
+    * 1×1 cross (the q162 statement) — the monitor re-runs this at
+    * every peek and each run is one scan of each side.
+    */
+  def msprt(a: DataFrame, b: DataFrame, value: Column,
+            tau2: Double, lnAlpha: Double = -2.995732273553991): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau2 > 0.0, s"msprt: tau2 ($tau2) must be positive")
+    require(lnAlpha < 0.0, s"msprt: lnAlpha ($lnAlpha) must be negative (ln of α < 1)")
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(value.isNotNull).agg(
+        count(lit(1)).as(s"n_$suf"),
+        sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+        sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    val vv = v("a") / nD("a") + v("b") / nD("b")
+    val delta = mean("b") - mean("a")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val lnTerm = round(log(vv / (vv + lit(tau2))), 12)
+    val lnLambda = lit(0.5) * lnTerm +
+      delta * delta * lit(tau2) / (lit(2.0) * vv * (vv + lit(tau2)))
+    side(a, "a").crossJoin(broadcast(side(b, "b")))
+      .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
+      .withColumn("delta", when(col("n_a") > 0 && col("n_b") > 0,
+        round(delta, 6)))
+      .withColumn("ln_lambda", when(ok && vv > 0.0, round(lnLambda, 6)))
+      .withColumn("ln_p", when(ok && vv > 0.0,
+        // branch instead of -greatest(0, x): negating a non-positive
+        // statistic would emit IEEE -0.0, which engines render apart
+        when(round(lnLambda, 6) > 0.0, -round(lnLambda, 6))
+          .otherwise(lit(0.0))))
+      .withColumn("reject", when(ok && vv > 0.0,
+        round(lnLambda, 6) > lit(-lnAlpha)))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("delta"), col("ln_lambda"), col("ln_p"), col("reject"))
+  }
+
+  /** Per-segment mSPRT (r15 — [[msprt]] keyed by a segment, the
+    * always-valid member of the per-segment experimentation family
+    * q169/q188 established: a monitor that only watches the whole
+    * experiment misses the cohort where the effect (or the harm)
+    * concentrates): per (segment, side) the exact decimal moments, a
+    * keyed FULL OUTER merge (one-sided segments report with the
+    * absent side's count 0 and null statistics — the q188 shape),
+    * the same ln-space likelihood-ratio tree per segment. Returns
+    * one row per segment.
+    */
+  def msprtByGroup(a: DataFrame, b: DataFrame, group: String, value: Column,
+                   tau2: Double,
+                   lnAlpha: Double = -2.995732273553991): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau2 > 0.0, s"msprtByGroup: tau2 ($tau2) must be positive")
+    require(lnAlpha < 0.0, s"msprtByGroup: lnAlpha ($lnAlpha) must be negative")
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(value.isNotNull && col(group).isNotNull)
+        .groupBy(col(group).as("grp")).agg(
+          count(lit(1)).as(s"n_$suf"),
+          sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+          sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    val vv = v("a") / nD("a") + v("b") / nD("b")
+    val delta = mean("b") - mean("a")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val lnTerm = round(log(vv / (vv + lit(tau2))), 12)
+    val lnLambda = lit(0.5) * lnTerm +
+      delta * delta * lit(tau2) / (lit(2.0) * vv * (vv + lit(tau2)))
+    side(a, "a").join(side(b, "b"), Seq("grp"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
+      .withColumn("delta", when(col("n_a") > 0 && col("n_b") > 0,
+        round(delta, 6)))
+      .withColumn("ln_lambda", when(ok && vv > 0.0, round(lnLambda, 6)))
+      .withColumn("ln_p", when(ok && vv > 0.0,
+        // branch instead of -greatest(0, x): negating a non-positive
+        // statistic would emit IEEE -0.0, which engines render apart
+        when(round(lnLambda, 6) > 0.0, -round(lnLambda, 6))
+          .otherwise(lit(0.0))))
+      .withColumn("reject", when(ok && vv > 0.0,
+        round(lnLambda, 6) > lit(-lnAlpha)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("delta"), col("ln_lambda"), col("ln_p"),
+        col("reject"))
+  }
+
   /** Per-user top-N item recommendations (r13 — the SERVING step the
     * q133 item-item similarities exist for: "customers who bought
     * your basket also bought ..."): candidates come ONLY from the
@@ -6063,6 +6191,216 @@ object Ops {
           col("__contrib").as("contrib"),
           (col("chi2") * 1000000).cast("long").as("chi2_micros"),
           col("dof"))
+    }
+
+    /** Cramér's V (r15 — [[chiSquareIndependence]] finished into an
+      * EFFECT SIZE: χ² grows with n, so "is it significant" says
+      * nothing about "is it strong" — V = √(χ² / (n·(min(r,c)−1)))
+      * normalizes to [0, 1], the number a feature-selection or
+      * label-leak review actually compares across tables). Same
+      * exact contingency machinery: cell/marginal censuses, the
+      * |A|×|B| completion (absent cells are evidence, the q136
+      * rule), per-cell `(obs−e)²/e` round 6, χ² the exact
+      * DECIMAL(38,6) sum of rounded contributions; V is then one
+      * fixed double tree over (χ², n, level counts) — √ is
+      * IEEE-exact — round 6. A table with min(r,c) < 2 reports null
+      * v (dof 0, counts saying why). Returns ONE row:
+      * (n, levels_a, levels_b, dof, chi2_micros, v).
+      *
+      * Scale shape: the q142 statement — censuses collapse the
+      * corpus first, the completion frame is |A|×|B| rows, and the
+      * final readout is ONE aggregate over it; no window anywhere.
+      */
+    def cramersV(a: String, b: String): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      val base = left.filter(col(a).isNotNull && col(b).isNotNull)
+        .select(col(a).as("__a"), col(b).as("__b"))
+      val cells = base.groupBy(col("__a"), col("__b"))
+        .agg(count(lit(1)).as("obs"))
+      val ra = base.groupBy(col("__a")).agg(count(lit(1)).as("na"))
+      val cb = base.groupBy(col("__b")).agg(count(lit(1)).as("nb"))
+      val n = base.agg(count(lit(1)).as("__n"))
+      val e = col("na").cast("double") * col("nb").cast("double") /
+        col("__n").cast("double")
+      val d = col("obs").cast("double") - col("__e")
+      val complete = ra.crossJoin(cb)
+        .join(cells, Seq("__a", "__b"), "left_outer")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+        .crossJoin(broadcast(n))
+        .withColumn("__e", e)
+        .withColumn("__contrib", round(d * d / col("__e"), 6))
+      val agg = complete.agg(
+        max(col("__n")).as("n"),
+        countDistinct(col("__a")).as("levels_a"),
+        countDistinct(col("__b")).as("levels_b"),
+        sum(col("__contrib").cast(DecimalType(38, 6)))
+          .cast(DecimalType(38, 6)).as("__chi2"))
+      val minDim = least(col("levels_a"), col("levels_b")) - lit(1L)
+      agg
+        .withColumn("dof",
+          ((col("levels_a") - 1) * (col("levels_b") - 1)).cast("long"))
+        .withColumn("chi2_micros", (col("__chi2") * 1000000).cast("long"))
+        .withColumn("v", when(minDim >= 1 && col("n") > 0,
+          round(sqrt(col("__chi2").cast("double") /
+            (col("n").cast("double") * minDim.cast("double"))), 6)))
+        .select(col("n"), col("levels_a"), col("levels_b"), col("dof"),
+          col("chi2_micros"), col("v"))
+    }
+
+    /** Out-of-fold smoothed target encoding (r15 — the ML
+      * feature-prep classic for high-cardinality categoricals: the
+      * category's mean target with an m-estimate prior, computed for
+      * each fold WITHOUT that fold's own rows, so the feature a
+      * model trains on never leaks its own row's label — the
+      * leak-free construction every gradient-boosting pipeline
+      * ships): per (category, fold) ONE map-combinable census of
+      * (count, exact decimal target sum); per-category totals arrive
+      * via a category-keyed window OVER THE CENSUS (domain-bounded,
+      * never the corpus); per-fold and overall totals via a
+      * folds-bounded broadcast join + a 1-row scalar cross (the q48
+      * shape — no unpartitioned window over the category domain).
+      * The encoding for (c, f) is then
+      * `(Σ_oof target + m·prior_oof) / (n_oof + m)` where the oof
+      * sums subtract fold f's own census row and `prior_oof` is the
+      * overall mean excluding fold f — one fixed double tree over
+      * exact sums, round 6. A category seen ONLY in fold f encodes
+      * to the prior (n_oof = 0 — the m-estimate's design); m = 0
+      * with n_oof = 0 reports null (no information, observable);
+      * a single-fold frame reports null prior (nothing is
+      * out-of-fold, counts say why). Returns one row per
+      * (category, fold): (cat, fold, n, n_oof, prior_oof, enc).
+      *
+      * Scale shape: one (cat, fold) census collapses the corpus
+      * FIRST; everything downstream walks that bounded frame —
+      * output |cats|·|folds| rows at any corpus size.
+      */
+    def targetEncodeOOF(cat: String, target: Column, fold: Column,
+                        m: Double): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      require(m >= 0.0, s"targetEncodeOOF: smoothing m ($m) must be >= 0")
+      val d = graft.util.Portable.dec(target)
+      val census = left
+        .filter(col(cat).isNotNull && target.isNotNull && fold.isNotNull)
+        .groupBy(col(cat).as("__c"), fold.cast("long").as("__f"))
+        .agg(count(lit(1)).as("__n_cf"),
+          sum(d).cast(DecimalType(38, 2)).as("__s_cf"))
+      val wCat = Window.partitionBy(col("__c"))
+      val perFold = census.groupBy(col("__f"))
+        .agg(sum(col("__n_cf")).as("__n_f"),
+          sum(col("__s_cf")).cast(DecimalType(38, 2)).as("__s_f"))
+      val totals = census.agg(
+        sum(col("__n_cf")).as("__n_all"),
+        sum(col("__s_cf")).cast(DecimalType(38, 2)).as("__s_all"),
+        countDistinct(col("__f")).as("__k_folds"))
+      val withCat = census
+        .withColumn("__n_c", sum(col("__n_cf")).over(wCat))
+        .withColumn("__s_c",
+          sum(col("__s_cf")).over(wCat).cast(DecimalType(38, 2)))
+        .join(broadcast(perFold), Seq("__f"))
+        .crossJoin(broadcast(totals))
+      val nOof = (col("__n_c") - col("__n_cf")).cast("double")
+      val sOof = (col("__s_c") - col("__s_cf")).cast("double")
+      val nPrior = (col("__n_all") - col("__n_f")).cast("double")
+      val sPrior = (col("__s_all") - col("__s_f")).cast("double")
+      val prior = sPrior / nPrior
+      val havePrior = col("__k_folds") >= 2
+      withCat
+        .withColumn("prior_oof", when(havePrior, round(prior, 6)))
+        .withColumn("enc", when(havePrior && (nOof + lit(m)) > 0.0,
+          round((sOof + lit(m) * prior) / (nOof + lit(m)), 6)))
+        .select(col("__c").as(cat), col("__f").as("fold"),
+          col("__n_cf").as("n"), (col("__n_c") - col("__n_cf")).as("n_oof"),
+          col("prior_oof"), col("enc"))
+    }
+
+    /** Rare-category collapse (r15 — the "othering" feature-prep
+      * pass that precedes any one-hot/target encoding at scale: tail
+      * categories below a share floor fold into one bucket so the
+      * feature space stops growing with the corpus and single-row
+      * categories stop memorizing rows): over the exact category
+      * census, keep a category iff `n·10000 ≥ minShareBp·N` — an
+      * INTEGER cross-multiplication (the q156 discipline: no double
+      * share ever decides a boundary), ties at the floor keep.
+      * Returns the mapping frame, one row per observed category:
+      * (cat, n, share_bp = ⌊n·10000/N⌋, kept, cat_out) — `cat_out`
+      * is the category itself when kept, `other` when collapsed;
+      * apply it with a broadcast join at feature-build time.
+      *
+      * Scale shape: one map-combinable census + one 1-row scalar
+      * cross (the q48 shape) — output is the category domain,
+      * never the corpus.
+      */
+    def collapseRareCategories(cat: String, minShareBp: Long,
+                               other: String = "__other__"): DataFrame = {
+      require(minShareBp >= 0 && minShareBp <= 10000,
+        s"collapseRareCategories: minShareBp ($minShareBp) must be in 0..10000")
+      val census = left.filter(col(cat).isNotNull)
+        .groupBy(col(cat).as("__c")).agg(count(lit(1)).as("n"))
+      val total = census.agg(sum(col("n")).as("__t"))
+      census.crossJoin(broadcast(total))
+        // DIV, not `/`: Spark's Divide on longs returns DOUBLE — the
+        // share must stay an exact integer floor (the q152 rule)
+        .withColumn("share_bp", expr("(n * 10000L) DIV __t"))
+        .withColumn("kept", col("n") * 10000L >= lit(minShareBp) * col("__t"))
+        .withColumn("cat_out",
+          when(col("kept"), col("__c").cast("string")).otherwise(lit(other)))
+        .select(col("__c").as(cat), col("n"), col("share_bp"),
+          col("kept"), col("cat_out"))
+    }
+
+    /** Classifier calibration bins (r15 — the reliability-diagram
+      * readout an ML-data pipeline runs on any learned quality/
+      * safety/language score before trusting its thresholds: "when
+      * the model says 0.8, is it right 80% of the time"): scores
+      * arrive as EXACT integer micros in [0, 1e6] (the §3 rule — a
+      * double score would put bin boundaries on non-portable ulps);
+      * `bin = min(nBins−1, ⌊score·nBins/1e6⌋)` is pure integer
+      * arithmetic, so binning replays bit-for-bit anywhere. Per bin
+      * ONE map-combinable aggregate: n, positives, exact score sum,
+      * and the exact Brier numerator Σ(score − label·1e6)² as
+      * DECIMAL(38,0); mean score, positive rate, the calibration gap
+      * (rate − mean, the reliability-diagram vertical), and the
+      * per-bin Brier score are fixed double trees over those exact
+      * sums, round 6. Returns one row per occupied bin:
+      * (bin, n, n_pos, mean_score, pos_rate, gap, brier).
+      *
+      * Scale shape: one map-combinable aggregate, output ≤ nBins
+      * rows at any corpus size — nothing else.
+      */
+    def calibrationBins(scoreMicros: Column, label: Column,
+                        nBins: Int): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      require(nBins >= 2 && nBins <= 1000,
+        s"calibrationBins: nBins ($nBins) must be in 2..1000")
+      val s = scoreMicros.cast("long")
+      val y = label.cast("long")
+      val rows = left.filter(scoreMicros.isNotNull && label.isNotNull)
+        .select(s.as("__s"), y.as("__y"))
+        .withColumn("__chk", when(col("__s") >= 0L && col("__s") <= 1000000L &&
+          col("__y").isin(0L, 1L), lit(true))
+          .otherwise(raise_error(lit(
+            "calibrationBins: score must be micros in [0, 1e6] and label 0/1"))))
+        // DIV, not `/`: the bin index is exact integer arithmetic
+        .withColumn("bin", when(col("__chk"),
+          least(lit(nBins - 1L), expr(s"(__s * $nBins) DIV 1000000L"))))
+      val err = col("__s") - col("__y") * lit(1000000L)
+      rows.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__y")).as("n_pos"),
+          sum(col("__s")).as("__ssum"),
+          sum((err * err).cast(DecimalType(38, 0)))
+            .cast(DecimalType(38, 0)).as("__br"))
+        .withColumn("mean_score",
+          round(col("__ssum").cast("double") / col("n").cast("double") /
+            lit(1e6), 6))
+        .withColumn("pos_rate",
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+        .withColumn("gap", round(col("pos_rate") - col("mean_score"), 6))
+        .withColumn("brier",
+          round(col("__br").cast("double") / col("n").cast("double") /
+            lit(1e12), 6))
+        .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+          col("pos_rate"), col("gap"), col("brier"))
     }
 
     /** ABC / Pareto classification per group (r12 — the inventory and

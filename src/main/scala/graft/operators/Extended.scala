@@ -1195,6 +1195,89 @@ object Extended {
       .orderBy(col("o_orderpriority"), col("quantile"))
   }
 
+  /** q195: out-of-fold smoothed target encoding of customers
+    * ([[graft.api.Ops.GraftDataFrameOps.targetEncodeOOF]]) — each
+    * customer's m-estimate mean order total per fold, computed
+    * without that fold's own rows: the leak-free high-cardinality
+    * feature every gradient-boosting pipeline ships (r15).
+    */
+  def q195(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders
+      .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .targetEncodeOOF("o_custkey", col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(4)), m = 20.0)
+      .orderBy(col("o_custkey"), col("fold"))
+  }
+
+  /** q196: always-valid mSPRT between order eras
+    * ([[graft.api.Ops.msprt]]) — the likelihood-ratio martingale
+    * that lets a live experiment dashboard peek continuously with
+    * type-I error still controlled; ln-space readout, no exp in the
+    * plan (r15).
+    */
+  def q196(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.msprt(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("o_totalprice"), tau2 = 1000000.0)
+      .withColumn("reject", col("reject").cast("long"))
+  }
+
+  /** q197: rare-language collapse over the document corpus
+    * ([[graft.api.Ops.GraftDataFrameOps.collapseRareCategories]]) —
+    * languages under 14% of the corpus fold into `__other__` by an
+    * exact integer share test; the othering pass that precedes any
+    * one-hot at scale (r15).
+    */
+  def q197(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.documents.collapseRareCategories("lang", minShareBp = 1400L)
+      .orderBy(col("lang"))
+  }
+
+  /** q198: Cramér's V between order status and priority
+    * ([[graft.api.Ops.GraftDataFrameOps.cramersV]]) — q142's χ²
+    * finished into the [0, 1] effect size a feature-selection /
+    * label-leak review compares across tables (r15).
+    */
+  def q198(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.orders.cramersV("o_orderstatus", "o_orderpriority")
+  }
+
+  /** q199: calibration bins of the q40 quality score against the
+    * English-document label
+    * ([[graft.api.Ops.GraftDataFrameOps.calibrationBins]]) — the
+    * reliability-diagram readout: "when the screen says 0.8, how
+    * often is the doc actually in-class"; exact integer micros and
+    * binning, one map-combinable aggregate (r15).
+    */
+  def q199(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(col("__toks")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val nStop = size(filter(col("__toks"), x => x.isin("the", "a", "of", "and"))).cast("double")
+    val score =
+      lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / nChars) +
+      lit(0.2) * (nStop / nTokens)
+    t.documents
+      .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      // round-6 score → micros via an explicit half-up round BEFORE
+      // the long cast (Spark casts truncate, DuckDB casts round —
+      // only a pre-rounded integer double lands identically in both)
+      .withColumn("__sm",
+        round(round(score, 6) * lit(1000000.0), 0).cast("long"))
+      .withColumn("__y", (col("lang") === "en").cast("long"))
+      .calibrationBins(col("__sm"), col("__y"), nBins = 10)
+      .orderBy(col("bin"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -3363,4 +3363,176 @@ class OperatorQualitySpec extends AnyFunSuite {
     info(s"IVF-PQ nprobe=2 overlap with flat ADC top-10: $overlap")
     assert(overlap > 0.0, "cell-routed ADC must retain flat-scan neighbors")
   }
+
+  test("r15 msprt: planted shift rejects, identical samples never do; ln_p is 0 (not -0.0) at no evidence; by-group ≡ whole-frame per slice") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => (i % 40 + 10).toDouble)
+    val a = base.toDF("v")
+    val shifted = base.map(_ + 50.0).toDF("v")
+    val hit = graft.api.Ops.msprt(a, shifted, col("v"), tau2 = 100.0)
+      .collect().head
+    assert(hit.getAs[Double]("ln_lambda") > 2.995732273553991 &&
+      hit.getAs[Boolean]("reject"),
+      s"a 50-unit shift on sd~11 data must cross the alpha=0.05 boundary, " +
+        s"ln_lambda=${hit.getAs[Double]("ln_lambda")}")
+    assert(hit.getAs[Double]("ln_p") == -hit.getAs[Double]("ln_lambda"),
+      "with positive evidence ln_p = -ln_lambda")
+    // identical samples: delta = 0, ln_lambda = half the (negative)
+    // shrink term -> no rejection, p stays 1 (ln_p exactly 0.0)
+    val nul = graft.api.Ops.msprt(a, a, col("v"), tau2 = 100.0).collect().head
+    assert(!nul.getAs[Boolean]("reject") && nul.getAs[Double]("ln_lambda") < 0.0)
+    assert(nul.getAs[Double]("ln_p") == 0.0 &&
+      (1.0 / nul.getAs[Double]("ln_p")) > 0.0,  // would be -Inf on -0.0
+      "no-evidence ln_p must be +0.0, never IEEE -0.0")
+    // degenerate sides report counts with null statistics
+    val one = Seq(5.0).toDF("v")
+    val deg = graft.api.Ops.msprt(one, a, col("v"), tau2 = 100.0).collect().head
+    assert(deg.getAs[Long]("n_a") == 1L && deg.isNullAt(deg.fieldIndex("ln_lambda")))
+    // by-group ≡ whole-frame per slice (the q188 defining identity)
+    val ga = base.map(v => ("s1", v)).toDF("g", "v")
+      .unionByName(base.map(v => ("s2", v * 2)).toDF("g", "v"))
+    val gb = base.map(v => ("s1", v + 50.0)).toDF("g", "v")
+      .unionByName(base.map(v => ("s2", v * 2)).toDF("g", "v"))
+    val keyed = graft.api.Ops.msprtByGroup(ga, gb, "g", col("v"), tau2 = 100.0)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    for (s <- Seq("s1", "s2")) {
+      val whole = graft.api.Ops.msprt(
+        ga.filter(col("g") === s), gb.filter(col("g") === s), col("v"),
+        tau2 = 100.0).collect().head.toSeq
+      assert(keyed(s) == whole, s"segment $s keyed ≡ whole-frame slice")
+    }
+    // one-sided segment reports with the absent side's count 0
+    val extra = graft.api.Ops.msprtByGroup(
+      ga.unionByName(Seq(("only_a", 1.0), ("only_a", 2.0)).toDF("g", "v")),
+      gb, "g", col("v"), tau2 = 100.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(extra("only_a").getAs[Long]("n_b") == 0L &&
+      extra("only_a").isNullAt(extra("only_a").fieldIndex("ln_lambda")))
+  }
+
+  test("r15 targetEncodeOOF: hand-checked m-estimate, fold's own rows never leak, single-fold and m=0 degeneracies") {
+    import spark.implicits._
+    // cat A: fold 0 -> values 10, 20; fold 1 -> 30. cat B: fold 0 -> 100.
+    val df = Seq(("A", 0L, 10.0), ("A", 0L, 20.0), ("A", 1L, 30.0),
+      ("B", 0L, 100.0)).toDF("c", "f", "v")
+    val enc = df.filter(lit(true))
+    import graft.api.Ops._
+    val got = enc.targetEncodeOOF("c", col("v"), col("f"), m = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // overall: n=4, s=160. fold 0: n=3, s=130; fold 1: n=1, s=30.
+    // (A, 0): oof rows = A\fold0 = {30} -> n_oof 1, s_oof 30;
+    //         prior excl. fold 0 = 30/1 = 30; enc = (30+2*30)/(1+2) = 30
+    val a0 = got(("A", 0L))
+    assert(a0.getAs[Long]("n_oof") == 1L)
+    assert(a0.getAs[Double]("prior_oof") == 30.0 && a0.getAs[Double]("enc") == 30.0)
+    // (A, 1): oof = {10, 20}; prior excl. fold 1 = 130/3;
+    //         enc = (30 + 2*(130/3)) / (2+2)
+    val a1 = got(("A", 1L))
+    val prior1 = 130.0 / 3.0
+    val expA1 = BigDecimal((30.0 + 2.0 * prior1) / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a1.getAs[Double]("enc") == expA1,
+      s"hand-checked (A,1) encoding: got ${a1.getAs[Double]("enc")}, want $expA1")
+    // (B, 0): B appears ONLY in fold 0 -> n_oof 0 -> enc = the prior
+    // (the m-estimate design: no category evidence, all prior)
+    val b0 = got(("B", 0L))
+    assert(b0.getAs[Long]("n_oof") == 0L &&
+      b0.getAs[Double]("enc") == b0.getAs[Double]("prior_oof"))
+    // m = 0 with n_oof = 0: no information -> null enc, observable
+    val m0 = enc.targetEncodeOOF("c", col("v"), col("f"), m = 0.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(m0(("B", 0L)).isNullAt(m0(("B", 0L)).fieldIndex("enc")))
+    assert(!m0(("A", 0L)).isNullAt(m0(("A", 0L)).fieldIndex("enc")))
+    // single fold: nothing is out-of-fold -> null prior and enc
+    val single = Seq(("A", 0L, 10.0), ("B", 0L, 20.0)).toDF("c", "f", "v")
+      .targetEncodeOOF("c", col("v"), col("f"), m = 2.0).collect()
+    assert(single.forall(r => r.isNullAt(r.fieldIndex("prior_oof")) &&
+      r.isNullAt(r.fieldIndex("enc"))))
+    // partitioning invariance (exact decimal sums -> same encodings)
+    val rep = enc.repartition(13).targetEncodeOOF("c", col("v"), col("f"), m = 2.0)
+      .collect().map(r => r.toSeq).toSet
+    assert(rep == enc.targetEncodeOOF("c", col("v"), col("f"), m = 2.0)
+      .collect().map(r => r.toSeq).toSet)
+  }
+
+  test("r15 collapseRareCategories: integer share floor, exact-boundary keep, share_bp floor division") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // counts: a=50, b=30, c=15, d=5 over N=100
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c") ++
+      Seq.fill(5)("d")).toDF("cat")
+    val got = df.collapseRareCategories("cat", minShareBp = 1500L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Boolean]("kept") && got("b").getAs[Boolean]("kept"))
+    // c sits EXACTLY at the floor (15% == 1500 bp): ties keep
+    assert(got("c").getAs[Boolean]("kept"),
+      "a category exactly at the share floor is kept")
+    assert(!got("d").getAs[Boolean]("kept") &&
+      got("d").getAs[String]("cat_out") == "__other__")
+    assert(got("a").getAs[Long]("share_bp") == 5000L &&
+      got("d").getAs[Long]("share_bp") == 500L)
+    // floor, not rounding: 1/3 of 100 rows -> 3333 bp
+    val thirds = (Seq.fill(33)("x") ++ Seq.fill(67)("y")).toDF("cat")
+      .collapseRareCategories("cat", 0L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("share_bp")).toMap
+    assert(thirds("x") == 3300L && thirds("y") == 6700L)
+  }
+
+  test("r15 cramersV: perfect association reads 1, independence reads 0, degenerate table nulls, chi2 matches the q142 machinery") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // perfect 2x2 association: a determines b
+    val perf = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))).toDF("a", "b")
+    val vPerf = perf.cramersV("a", "b").collect().head
+    assert(vPerf.getAs[Double]("v") == 1.0 && vPerf.getAs[Long]("dof") == 1L)
+    // exact independence: every cell at its expectation -> chi2 0, v 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val vInd = ind.cramersV("a", "b").collect().head
+    assert(vInd.getAs[Long]("chi2_micros") == 0L && vInd.getAs[Double]("v") == 0.0)
+    // single-level side: no association is definable -> null v, dof 0
+    val deg = Seq(("x", "p"), ("x", "q")).toDF("a", "b").cramersV("a", "b")
+      .collect().head
+    assert(deg.isNullAt(deg.fieldIndex("v")) && deg.getAs[Long]("dof") == 0L)
+    // chi2 agrees with chiSquareIndependence (same machinery, one row)
+    val chiCells = t.orders.chiSquareIndependence("o_orderstatus", "o_orderpriority")
+      .select("chi2_micros").distinct().collect()
+    val vOrders = t.orders.cramersV("o_orderstatus", "o_orderpriority")
+      .collect().head
+    assert(chiCells.length == 1 &&
+      chiCells.head.getLong(0) == vOrders.getAs[Long]("chi2_micros"))
+  }
+
+  test("r15 calibrationBins: exact binning incl. the top edge, perfect calibration gaps 0, Brier hand-check, range guard") {
+    import spark.implicits._
+    import graft.api.Ops._
+    // scores 0, 250k, 999999, 1e6 -> bins 0, 2, 9, 9 (top edge folds in)
+    val df = Seq((0L, 0L), (250000L, 0L), (999999L, 1L), (1000000L, 1L))
+      .toDF("s", "y")
+    val bins = df.calibrationBins(col("s"), col("y"), 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(bins.keySet == Set(0L, 2L, 9L))
+    assert(bins(9L).getAs[Long]("n") == 2L && bins(9L).getAs[Long]("n_pos") == 2L)
+    // Brier for bin 0: score 0, label 0 -> 0; bin 2: (0.25-0)^2 = 0.0625
+    assert(bins(0L).getAs[Double]("brier") == 0.0)
+    assert(bins(2L).getAs[Double]("brier") == 0.0625)
+    // bin 9: ((999999-1e6)^2 + 0)/2 / 1e12 rounds to 0 at 6
+    assert(bins(9L).getAs[Double]("brier") == 0.0)
+    // perfectly calibrated data: in every bin pos_rate == mean score
+    // (200 rows at score .25 with exactly 50 positives, etc.)
+    val calib = ((1 to 200).map(i => (250000L, if (i <= 50) 1L else 0L)) ++
+      (1 to 100).map(i => (750000L, if (i <= 75) 1L else 0L))).toDF("s", "y")
+    val g = calib.calibrationBins(col("s"), col("y"), 10).collect()
+    assert(g.forall(_.getAs[Double]("gap") == 0.0),
+      "exactly calibrated bins must gap 0")
+    // out-of-range scores and non-binary labels fail loudly
+    intercept[Throwable] {
+      Seq((2000000L, 0L)).toDF("s", "y")
+        .calibrationBins(col("s"), col("y"), 10).collect()
+    }
+    intercept[Throwable] {
+      Seq((10L, 2L)).toDF("s", "y")
+        .calibrationBins(col("s"), col("y"), 10).collect()
+    }
+  }
 }
