@@ -1932,6 +1932,16 @@ object Ops {
         sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
         sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
     }
+    msprtFinish(side(a, "a").crossJoin(broadcast(side(b, "b"))), tau2, lnAlpha)
+  }
+
+  /** The shared mSPRT finishing tree over one crossed 1-row moment
+    * frame (n_a, __s_a, __ss_a, n_b, __s_b, __ss_b) — both the
+    * row-input [[msprt]] and the artifact-input [[msprtFromMoments]]
+    * end here, so the two are value-identical by shared code.
+    */
+  private def msprtFinish(sides: DataFrame, tau2: Double,
+                          lnAlpha: Double): DataFrame = {
     def nD(s: String) = col(s"n_$s").cast("double")
     def sx(s: String) = col(s"__s_$s").cast("double")
     def sxx(s: String) = col(s"__ss_$s").cast("double")
@@ -1943,7 +1953,7 @@ object Ops {
     val lnTerm = round(log(vv / (vv + lit(tau2))), 12)
     val lnLambda = lit(0.5) * lnTerm +
       delta * delta * lit(tau2) / (lit(2.0) * vv * (vv + lit(tau2)))
-    side(a, "a").crossJoin(broadcast(side(b, "b")))
+    sides
       .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
       .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
       .withColumn("delta", when(col("n_a") > 0 && col("n_b") > 0,
@@ -1958,6 +1968,35 @@ object Ops {
         round(lnLambda, 6) > lit(-lnAlpha)))
       .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
         col("delta"), col("ln_lambda"), col("ln_p"), col("reject"))
+  }
+
+  /** [[msprt]] served from a [[PreparedMoments]] artifact (r15 — the
+    * composition that makes "always-valid" actually CONTINUOUS and
+    * restart-safe: the sequential test's whole state is the two
+    * arms' moment sums, and PreparedMoments already absorbs
+    * increments losslessly and persists durably — so a monitor
+    * absorbs each trigger's rows and re-reads the test from the
+    * artifact, seeing ALL data since the experiment started, across
+    * any number of restarts, with no corpus rescan ever). Prepare
+    * with x = y = the metric and the ARM as the group; the readout
+    * is bit-for-bit [[msprt]] of the rows behind the artifact
+    * (same decimal sums, shared finishing tree — spec-pinned). An
+    * arm absent from the artifact reports n = 0 with null
+    * statistics, observable.
+    */
+  def msprtFromMoments(m: PreparedMoments, armA: String, armB: String,
+                       tau2: Double,
+                       lnAlpha: Double = -2.995732273553991): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau2 > 0.0, s"msprtFromMoments: tau2 ($tau2) must be positive")
+    require(lnAlpha < 0.0, s"msprtFromMoments: lnAlpha ($lnAlpha) must be negative")
+    def side(arm: String, suf: String): DataFrame =
+      m.moments.filter(col(m.groupCol).cast("string") === arm).agg(
+        coalesce(sum(col("n")), lit(0L)).as(s"n_$suf"),
+        sum(col("__sx")).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+        sum(col("__sxx")).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    msprtFinish(side(armA, "a").crossJoin(broadcast(side(armB, "b"))),
+      tau2, lnAlpha)
   }
 
   /** Per-segment mSPRT (r15 — [[msprt]] keyed by a segment, the

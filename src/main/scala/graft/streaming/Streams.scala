@@ -1131,6 +1131,59 @@ object Streams {
       .start()
   }
 
+  /** Live always-valid mSPRT monitoring (r15 — the CUMULATIVE member
+    * of the governance-stream family, and the stream the mSPRT
+    * exists for: the whole point of an always-valid p-value is that
+    * the monitor reads it after EVERY trigger, and the test's whole
+    * state is the two arms' moment sums — which
+    * [[graft.api.Ops.PreparedMoments]] already absorbs losslessly
+    * (exact decimal sums: absorb ≡ re-prepare over the union) and
+    * persists durably). Each trigger's (arm, metric) rows absorb
+    * into the artifact, then [[graft.api.Ops.msprtFromMoments]]
+    * re-reads the test — so after trigger k the readout is
+    * bit-for-bit the batch [[graft.api.Ops.msprt]] over ALL rows
+    * since the experiment started (spec-pinned), and a monitor
+    * restarted from a saved artifact resumes the SAME test instead
+    * of restarting the evidence at zero. The sink receives
+    * (readout, grown artifact) per trigger — persist the artifact
+    * as often as the restart story needs.
+    *
+    * Replay discipline via the shared [[IngestLoop]]: a retried
+    * batchId re-emits the current readout WITHOUT re-absorbing
+    * (moment sums are not replay-idempotent — the guard is
+    * load-bearing against double-counted evidence); an older
+    * batchId fails loudly. Prepare with x = y = the metric and the
+    * ARM column as the group; reliable prep REQUIRED (the absorb
+    * chain must survive executor loss).
+    */
+  def msprtStream(records: DataFrame, arm: org.apache.spark.sql.Column,
+                  value: org.apache.spark.sql.Column,
+                  armA: String, armB: String, tau2: Double,
+                  prepared: graft.api.Ops.PreparedMoments,
+                  checkpointDir: String,
+                  sink: (DataFrame, graft.api.Ops.PreparedMoments) => Unit,
+                  lnAlpha: Double = -2.995732273553991): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "msprtStream needs a PreparedMoments built with a reliable " +
+        "checkpointDir (prepareMoments(..., checkpointDir = Some(dir))) " +
+        "or loaded from a persisted artifact: localCheckpoint blocks do " +
+        "not survive executor loss across a long-lived stream")
+    val g = prepared.groupCol
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedMoments](
+      prepared,
+      (_, batch) => batch
+        .filter(arm.isNotNull && value.isNotNull)
+        .select(arm.cast("string").as(g), value.as("__v")),
+      (m, kept) => m.absorb(kept, org.apache.spark.sql.functions.col("__v"),
+        org.apache.spark.sql.functions.col("__v"), Some(checkpointDir)),
+      (_, m) => sink(
+        graft.api.Ops.msprtFromMoments(m, armA, armB, tau2, lnAlpha), m))
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live per-user top-N recommendations (r13 — the SERVING stream
     * for the recommender family: [[graft.api.Ops.PreparedCooc]]
     * maintains the similarity graph, THIS serves it): each trigger's

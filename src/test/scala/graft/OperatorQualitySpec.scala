@@ -3410,6 +3410,28 @@ class OperatorQualitySpec extends AnyFunSuite {
       extra("only_a").isNullAt(extra("only_a").fieldIndex("ln_lambda")))
   }
 
+  test("r15 msprtFromMoments: serves bit-for-bit the row-input msprt; absent arms report n=0 with null statistics") {
+    import spark.implicits._
+    val base = (1 to 120).map(i => (i % 30 + 5).toDouble)
+    val df = base.map(v => ("a", v)).toDF("arm", "v")
+      .unionByName(base.map(v => ("b", v + 40.0)).toDF("arm", "v"))
+    val m = graft.api.Ops.prepareMoments(df, "arm", col("v"), col("v"))
+    val viaArtifact = graft.api.Ops.msprtFromMoments(m, "a", "b", tau2 = 100.0)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.api.Ops.msprt(
+      df.filter(col("arm") === "a").select("v"),
+      df.filter(col("arm") === "b").select("v"),
+      col("v"), tau2 = 100.0).collect().map(_.toSeq).toSeq
+    assert(viaArtifact == direct,
+      "the artifact-served test must equal the row-input test bit-for-bit")
+    // an arm the artifact has never seen: n 0, statistics null
+    val absent = graft.api.Ops.msprtFromMoments(m, "a", "zzz", tau2 = 100.0)
+      .collect().head
+    assert(absent.getAs[Long]("n_b") == 0L &&
+      absent.isNullAt(absent.fieldIndex("ln_lambda")) &&
+      absent.isNullAt(absent.fieldIndex("mean_b")))
+  }
+
   test("r15 targetEncodeOOF: hand-checked m-estimate, fold's own rows never leak, single-fold and m=0 degeneracies") {
     import spark.implicits._
     // cat A: fold 0 -> values 10, 20; fold 1 -> 30. cat B: fold 0 -> 100.

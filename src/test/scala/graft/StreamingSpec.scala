@@ -1906,6 +1906,55 @@ class StreamingSpec extends AnyFunSuite {
       "pinned quantile drift ≡ batch quantileDrift on the prepare-time corpus")
   }
 
+  test("r15 msprtStream: each trigger's readout ≡ batch msprt over ALL evidence so far; a restart from the saved artifact resumes, not restarts, the test") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_msprt").toString
+    def batchOf(all: Seq[(String, Double)]): Seq[Seq[Any]] = rows(
+      graft.api.Ops.msprt(
+        all.filter(_._1 == "a").map(_._2).toDF("v"),
+        all.filter(_._1 == "b").map(_._2).toDF("v"),
+        col("v"), tau2 = 100.0))
+    val prep0 = graft.api.Ops.prepareMoments(
+      Seq.empty[(String, Double)].toDF("arm", "v"), "arm",
+      col("v"), col("v"), Some(s"$tmp/ckpt"))
+    val stream = MemoryStream[(String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    var lastM: graft.api.Ops.PreparedMoments = null
+    val q = Streams.msprtStream(stream.toDF().toDF("arm", "v"),
+      col("arm"), col("v"), "a", "b", tau2 = 100.0, prep0, s"$tmp/ckpt",
+      (r, m) => { got += rows(r); lastM = m; () })
+    val t1 = (1 to 30).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 30).map(i => ("b", (i % 10).toDouble))
+    val t2 = (1 to 30).map(i => ("b", (i % 10 + 50).toDouble)) // b shifts UP
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2, "one readout per trigger")
+    assert(got(0) == batchOf(t1), "trigger 1 ≡ batch msprt of trigger 1")
+    assert(got(1) == batchOf(t1 ++ t2),
+      "trigger 2 ≡ batch msprt over ALL rows seen — cumulative, not per-trigger")
+    // the shifted second trigger must flip the decision
+    assert(got(1).head.last == true && got(0).head.last != true,
+      "the planted shift crosses the alpha boundary only once evidence lands")
+    // restart: persist, load, continue — the evidence carries over
+    lastM.save(s"$tmp/m")
+    val loaded = graft.api.Ops.loadMoments(spark, s"$tmp/m")
+    val stream2 = MemoryStream[(String, Double)]
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q2 = Streams.msprtStream(stream2.toDF().toDF("arm", "v"),
+      col("arm"), col("v"), "a", "b", tau2 = 100.0, loaded, s"$tmp/ckpt2",
+      (r, _) => { got2 += rows(r); () })
+    val t3 = (1 to 10).map(i => ("a", (i % 10).toDouble))
+    try { stream2.addData(t3); q2.processAllAvailable() } finally q2.stop()
+    assert(got2.head == batchOf(t1 ++ t2 ++ t3),
+      "the restarted monitor resumes the SAME cumulative test from the artifact")
+  }
+
   test("ksDriftStream / mwuDriftStream score each trigger against the frozen baseline, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
