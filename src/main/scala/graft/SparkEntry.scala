@@ -219,6 +219,7 @@ object SparkEntry {
     "q197_rare_collapse"  -> q(Extended.q197),
     "q198_cramers_v"      -> q(Extended.q198),
     "q199_calibration"    -> q(Extended.q199),
+    "q200_ann_recall"     -> q(Extended.q200),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5173,6 +5174,51 @@ object SparkEntry {
         |      (CAST(n AS DOUBLE) * CAST(least(levels_a, levels_b) - 1 AS DOUBLE))), 6)
         |  END AS v
         |FROM agg""".stripMargin,
+
+    // q200: the q35 brute-force CTEs and the q36 IVF CTEs, then the
+    // per-query overlap/recall report over the two (qid, vid) sets
+    "q200_ann_recall" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |ex_scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    list_cosine_similarity(q.emb, c.emb) AS raw
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ex AS (SELECT qid, vid FROM (
+        |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS rank
+        |  FROM ex_scored) WHERE rank <= 5),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id >= 100 AND vec_id < 108),
+        |scored_cells AS (
+        |  SELECT v.vec_id, v.emb, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC, c.cid) AS rn
+        |  FROM v CROSS JOIN cents c),
+        |corpus AS (SELECT vec_id AS vid, emb AS c_emb, cid AS cell FROM scored_cells WHERE rn = 1),
+        |queries AS (SELECT vec_id AS qid, emb AS q_emb, cid AS cell
+        |            FROM scored_cells WHERE vec_id < 10 AND rn <= 2),
+        |cand AS (
+        |  SELECT q.qid, c.vid, list_cosine_similarity(q.q_emb, c.c_emb) AS raw
+        |  FROM corpus c JOIN queries q ON c.cell = q.cell AND c.vid <> q.qid),
+        |ap AS (SELECT qid, vid FROM (
+        |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS rank
+        |  FROM cand) WHERE rank <= 5),
+        |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM (SELECT DISTINCT qid, vid FROM ex) GROUP BY 1),
+        |na AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_approx
+        |  FROM (SELECT DISTINCT qid, vid FROM ap) GROUP BY 1),
+        |nov AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_overlap FROM (
+        |  (SELECT DISTINCT qid, vid FROM ex) INTERSECT
+        |  (SELECT DISTINCT qid, vid FROM ap)) GROUP BY 1)
+        |SELECT COALESCE(ne.qid, na.qid) AS qid,
+        |  COALESCE(n_exact, 0) AS n_exact,
+        |  COALESCE(n_approx, 0) AS n_approx,
+        |  COALESCE(n_overlap, 0) AS n_overlap,
+        |  CASE WHEN COALESCE(n_exact, 0) > 0 THEN
+        |    round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+        |  END AS recall
+        |FROM ne FULL OUTER JOIN na ON ne.qid = na.qid
+        |LEFT JOIN nov ON COALESCE(ne.qid, na.qid) = nov.qid
+        |ORDER BY qid""".stripMargin,
 
     // q199: the q40 score recipe → exact integer micros (explicit
     // half-up round before the BIGINT cast — Spark casts truncate,

@@ -2054,6 +2054,50 @@ object Ops {
         col("reject"))
   }
 
+  /** ANN recall report (r15 — the EVALUATION readout every
+    * approximate-nearest-neighbor deployment needs before trusting
+    * its index parameters: "at nprobe = 2, what fraction of the true
+    * top-k does the IVF path actually return, per query and where
+    * does it miss" — the number that sizes nprobe/banding, computed
+    * IN-ENGINE against the brute-force truth instead of eyeballed):
+    * both inputs are (query, item) rankings — the exact side a
+    * brute-force top-k (q35's shape), the approximate side any ANN
+    * path (IVF/IVF-PQ/two-level/LSH). Per query: distinct exact and
+    * approx sets, their keyed-join overlap, and
+    * `recall = n_overlap / n_exact` as one round-6 division. The
+    * query frames FULL OUTER join, so a query the ANN path returned
+    * NOTHING for reports n_approx = 0 / recall = 0 (the silent-miss
+    * signal — the failure mode an inner join would hide), and a
+    * query with no exact truth reports null recall. Returns one row
+    * per query: (query, n_exact, n_approx, n_overlap, recall).
+    *
+    * Scale shape: both inputs are k-bounded per query by
+    * construction (top-k frames), so every census, join and
+    * aggregate here walks queries·k rows — never the corpus; all
+    * joins are query-keyed hash joins.
+    */
+  def annRecallReport(exact: DataFrame, approx: DataFrame,
+                      query: String, item: String): DataFrame = {
+    def sets(df: DataFrame) = df
+      .filter(col(query).isNotNull && col(item).isNotNull)
+      .select(col(query).as("__q"), col(item).as("__i")).distinct()
+    val e = sets(exact); val a = sets(approx)
+    val ne = e.groupBy(col("__q")).agg(count(lit(1)).as("n_exact"))
+    val na = a.groupBy(col("__q")).agg(count(lit(1)).as("n_approx"))
+    val nov = e.join(a, Seq("__q", "__i"))
+      .groupBy(col("__q")).agg(count(lit(1)).as("n_overlap"))
+    ne.join(na, Seq("__q"), "full_outer")
+      .join(nov, Seq("__q"), "left_outer")
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+      .withColumn("n_approx", coalesce(col("n_approx"), lit(0L)))
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("recall", when(col("n_exact") > 0,
+        round(col("n_overlap").cast("double") /
+          col("n_exact").cast("double"), 6)))
+      .select(col("__q").as(query), col("n_exact"), col("n_approx"),
+        col("n_overlap"), col("recall"))
+  }
+
   /** Per-user top-N item recommendations (r13 — the SERVING step the
     * q133 item-item similarities exist for: "customers who bought
     * your basket also bought ..."): candidates come ONLY from the

@@ -1278,6 +1278,19 @@ object Extended {
       .orderBy(col("bin"))
   }
 
+  /** q200: ANN recall report of the q36 IVF path against the q35
+    * brute-force truth ([[graft.api.Ops.annRecallReport]]) — "at
+    * nprobe = 2, what fraction of the true top-5 does the IVF index
+    * return, per query" — the in-engine evaluation that sizes index
+    * parameters (r15).
+    */
+  def q200(t: Tables): DataFrame = {
+    graft.api.Ops.annRecallReport(
+      graft.operators.Similarity.q35(t), graft.operators.Similarity.q36(t),
+      "qid", "vid")
+      .orderBy(col("qid"))
+  }
+
   /** q125: exact per-status winsorization of order totals
     * ([[graft.api.Ops.GraftDataFrameOps.winsorize]]) — clip to the
     * exact 5%/95% rank bounds within each order status; the bounds

@@ -3410,6 +3410,33 @@ class OperatorQualitySpec extends AnyFunSuite {
       extra("only_a").isNullAt(extra("only_a").fieldIndex("ln_lambda")))
   }
 
+  test("r15 annRecallReport: per-query overlap arithmetic, silent-miss queries surface with recall 0, truthless queries null") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("q", "i")
+    // q1 hits 2 of 3; q2 hits none; q3 the ANN returns NOTHING for
+    // (the silent miss an inner join would hide); q4 has approx rows
+    // but no exact truth; the duplicate (1,10) must collapse
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 12L), (1L, 99L), (2L, 77L),
+      (4L, 40L)).toDF("q", "i")
+    val got = graft.api.Ops.annRecallReport(exact, approx, "q", "i")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_exact") == 3L &&
+      got(1L).getAs[Long]("n_approx") == 3L &&
+      got(1L).getAs[Long]("n_overlap") == 2L &&
+      got(1L).getAs[Double]("recall") == 0.666667)
+    assert(got(2L).getAs[Long]("n_overlap") == 0L &&
+      got(2L).getAs[Double]("recall") == 0.0)
+    assert(got(3L).getAs[Long]("n_approx") == 0L &&
+      got(3L).getAs[Double]("recall") == 0.0,
+      "a query the ANN path dropped entirely must report, not vanish")
+    assert(got(4L).getAs[Long]("n_exact") == 0L &&
+      got(4L).isNullAt(got(4L).fieldIndex("recall")))
+    // identical inputs read recall 1.0 on every query
+    val perfect = graft.api.Ops.annRecallReport(exact, exact, "q", "i").collect()
+    assert(perfect.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("r15 msprtFromMoments: serves bit-for-bit the row-input msprt; absent arms report n=0 with null statistics") {
     import spark.implicits._
     val base = (1 to 120).map(i => (i % 30 + 5).toDouble)
