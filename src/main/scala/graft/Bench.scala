@@ -90,7 +90,7 @@ object Bench {
     "q191_mwu_sketch", "q192_kw_sketch", "q193_spearman_sketch",
     "q194_qdrift_by_group", "q195_target_encode", "q196_msprt",
     "q197_rare_collapse", "q198_cramers_v", "q199_calibration",
-    "q200_ann_recall")
+    "q200_ann_recall", "q201_hits", "q202_poststrat")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

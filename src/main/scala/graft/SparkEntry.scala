@@ -220,6 +220,8 @@ object SparkEntry {
     "q198_cramers_v"      -> q(Extended.q198),
     "q199_calibration"    -> q(Extended.q199),
     "q200_ann_recall"     -> q(Extended.q200),
+    "q201_hits"           -> q(Extended.q201),
+    "q202_poststrat"      -> q(Extended.q202),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5173,6 +5175,114 @@ object SparkEntry {
         |    round(sqrt(CAST(chi2 AS DOUBLE) /
         |      (CAST(n AS DOUBLE) * CAST(least(levels_a, levels_b) - 1 AS DOUBLE))), 6)
         |  END AS v
+        |FROM agg""".stripMargin,
+
+    // q201: the two HITS iterations unrolled as CTE pairs — every
+    // normalization the exact HUGEINT floor division (raw·scale)//t,
+    // mirroring the operator's DECIMAL(38,0) divmod
+    "q201_hits" -> {
+      // one (raw, total, normalized) pass: scores of `from` flow over
+      // the edges in direction (inKey -> outKey), normalize to scale
+      def pass(pre: String, from: String, fromCol: String,
+               inKey: String, outKey: String, outCol: String) =
+        s"""${pre}r AS (
+           |  SELECT e.$outKey AS node,
+           |    CAST(SUM(CAST($fromCol AS HUGEINT)) AS HUGEINT) AS raw
+           |  FROM e JOIN $from ON $from.node = e.$inKey GROUP BY e.$outKey),
+           |${pre}t AS (SELECT CAST(SUM(raw) AS HUGEINT) AS t FROM ${pre}r),
+           |$pre AS (
+           |  SELECT nodes.node,
+           |    CASE WHEN raw IS NOT NULL AND t > 0
+           |      THEN CAST((raw * 1000000000000) // t AS BIGINT)
+           |      ELSE CAST(0 AS BIGINT) END AS $outCol
+           |  FROM nodes LEFT JOIN ${pre}r USING (node) CROSS JOIN ${pre}t)""".stripMargin
+      s"""WITH ol AS (
+         |  SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (
+         |  SELECT CAST(cust AS BIGINT) AS s, CAST(supp AS BIGINT) AS d FROM ol
+         |  UNION ALL
+         |  SELECT CAST(supp AS BIGINT) AS s, CAST(cust AS BIGINT) AS d FROM ol),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |h0 AS (SELECT node, 1000000000000 // n AS hub FROM nodes CROSS JOIN cnt),
+         |${pass("a1", "h0", "hub", "s", "d", "auth")},
+         |${pass("h1", "a1", "auth", "d", "s", "hub")},
+         |${pass("a2", "h1", "hub", "s", "d", "auth")},
+         |${pass("h2", "a2", "auth", "d", "s", "hub")}
+         |SELECT nodes.node, h2.hub, a2.auth
+         |FROM nodes JOIN h2 USING (node) JOIN a2 USING (node)
+         |ORDER BY node""".stripMargin
+    },
+
+    // q202: per-(era, priority) exact moments, FULL OUTER on the
+    // stratum, pooled weights over common strata, round-12 terms
+    // decimal-summed, the same fixed diff/se/z tree
+    "q202_poststrat" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS s, CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |b AS (
+        |  SELECT o_orderpriority AS s, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(a.s, b.s) AS s, n_a, s_a, ss_a, n_b, s_b, ss_b,
+        |    (n_a IS NOT NULL AND n_b IS NOT NULL) AS inboth
+        |  FROM a FULL OUTER JOIN b ON a.s = b.s),
+        |wj AS (
+        |  SELECT *, CAST(SUM(CASE WHEN inboth THEN n_a + n_b END) OVER () AS BIGINT) AS ncom
+        |  FROM j),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN inboth THEN CAST(n_a + n_b AS DOUBLE) / CAST(ncom AS DOUBLE) END AS w,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) AS va,
+        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)) AS vb
+        |  FROM wj),
+        |terms AS (
+        |  SELECT *,
+        |    CASE WHEN inboth THEN round(w * ma, 12) END AS ma_t,
+        |    CASE WHEN inboth THEN round(w * mb, 12) END AS mb_t,
+        |    CASE WHEN inboth AND n_a >= 2 THEN
+        |      round(w * w * va / CAST(n_a AS DOUBLE), 12) END AS va_t,
+        |    CASE WHEN inboth AND n_b >= 2 THEN
+        |      round(w * w * vb / CAST(n_b AS DOUBLE), 12) END AS vb_t
+        |  FROM t),
+        |agg AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN inboth THEN n_a END), 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(CASE WHEN inboth THEN n_b END), 0) AS BIGINT) AS n_b,
+        |    CAST(COUNT(CASE WHEN inboth THEN 1 END) AS BIGINT) AS n_strata,
+        |    CAST(COUNT(CASE WHEN n_b IS NULL THEN 1 END) AS BIGINT) AS strata_a_only,
+        |    CAST(COUNT(CASE WHEN n_a IS NULL THEN 1 END) AS BIGINT) AS strata_b_only,
+        |    CAST(SUM(CAST(ma_t AS DECIMAL(38,12))) AS DOUBLE) AS ma_d,
+        |    CAST(SUM(CAST(mb_t AS DECIMAL(38,12))) AS DOUBLE) AS mb_d,
+        |    MAX(CASE WHEN inboth AND (n_a < 2 OR n_b < 2) THEN 1 ELSE 0 END) AS degen,
+        |    CAST(SUM(CAST(va_t AS DECIMAL(38,12))) AS DOUBLE) AS va_d,
+        |    CAST(SUM(CAST(vb_t AS DECIMAL(38,12))) AS DOUBLE) AS vb_d
+        |  FROM terms)
+        |SELECT n_a, n_b, n_strata, strata_a_only, strata_b_only,
+        |  CASE WHEN n_strata > 0 THEN round(ma_d, 6) END AS mean_a_post,
+        |  CASE WHEN n_strata > 0 THEN round(mb_d, 6) END AS mean_b_post,
+        |  CASE WHEN n_strata > 0 THEN round(mb_d - ma_d, 6) END AS diff,
+        |  CASE WHEN degen = 0 AND n_strata > 0 AND va_d + vb_d > 0 THEN
+        |    round(sqrt(va_d + vb_d), 6) END AS se,
+        |  CASE WHEN degen = 0 AND n_strata > 0 AND va_d + vb_d > 0 THEN
+        |    round((mb_d - ma_d) / sqrt(va_d + vb_d), 6) END AS z
         |FROM agg""".stripMargin,
 
     // q200: the q35 brute-force CTEs and the q36 IVF CTEs, then the

@@ -2054,6 +2054,176 @@ object Ops {
         col("reject"))
   }
 
+  /** Post-stratified two-sample z readout (r15 — the variance-
+    * reduction sibling of [[cupedZ]] that needs NO pre-experiment
+    * covariate: when assignment is independent of a categorical
+    * covariate (platform, country, cohort), re-weighting each arm's
+    * per-stratum means by the POOLED stratum shares removes the
+    * between-stratum variance component — the standard
+    * post-stratified ATE every experimentation platform ships next
+    * to CUPED). Per (arm, stratum) ONE map-combinable aggregate of
+    * the q162 exact decimal moments; strata present in BOTH arms
+    * join keyed (one-sided strata are EXCLUDED from the estimator
+    * and COUNTED — `strata_a_only`/`strata_b_only` report, the
+    * observable-degradation rule), pooled weights
+    * `w_s = (n_as + n_bs) / N_common` come off the joined frame
+    * itself (no scalar crosses in the keyed part — the q160
+    * statement). The estimate is `Σ_s w_s·mean_side_s` and the
+    * variance `Σ_s w_s²·var_side_s/n_side_s` — each O(1) term
+    * rounded at 12 and summed as DECIMAL(38,12) (the q155 order-free
+    * discipline), then `diff`, `se = √(va + vb)`, `z = diff/se` as
+    * one fixed double tree, round 6. Degenerate strata (n < 2 on
+    * either side) null the variance terms, so `se`/`z` null with
+    * counts reporting. Returns ONE row: (n_a, n_b, n_strata,
+    * strata_a_only, strata_b_only, mean_a_post, mean_b_post, diff,
+    * se, z).
+    *
+    * Scale shape: two map-combinable (arm, stratum) censuses, one
+    * stratum-keyed FULL OUTER join, one strata-frame aggregate —
+    * cost tracks the stratum domain, never the corpus.
+    */
+  def postStratifiedZ(a: DataFrame, b: DataFrame, stratum: String,
+                      value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(value.isNotNull && col(stratum).isNotNull)
+        .groupBy(col(stratum).as("__s")).agg(
+          count(lit(1)).as(s"n_$suf"),
+          sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+          sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    val joined = side(a, "a").join(side(b, "b"), Seq("__s"), "full_outer")
+    val both = col("n_a").isNotNull && col("n_b").isNotNull
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    val wAll = Window.partitionBy()
+    // pooled weight over COMMON strata, off the joined frame itself
+    val nCommon = sum(when(both, col("n_a") + col("n_b"))).over(wAll)
+    val w = (col("n_a") + col("n_b")).cast("double") / nCommon.cast("double")
+    val d3812 = DecimalType(38, 12)
+    val terms = joined
+      .withColumn("__w", when(both, w))
+      .withColumn("__ma_t", when(both, round(col("__w") * mean("a"), 12)))
+      .withColumn("__mb_t", when(both, round(col("__w") * mean("b"), 12)))
+      .withColumn("__va_t", when(both && col("n_a") >= 2,
+        round(col("__w") * col("__w") * v("a") / nD("a"), 12)))
+      .withColumn("__vb_t", when(both && col("n_b") >= 2,
+        round(col("__w") * col("__w") * v("b") / nD("b"), 12)))
+    val agg = terms.agg(
+      sum(when(both, col("n_a"))).as("n_a"),
+      sum(when(both, col("n_b"))).as("n_b"),
+      count(when(both, lit(1))).as("n_strata"),
+      count(when(col("n_b").isNull, lit(1))).as("strata_a_only"),
+      count(when(col("n_a").isNull, lit(1))).as("strata_b_only"),
+      sum(col("__ma_t").cast(d3812)).as("__ma"),
+      sum(col("__mb_t").cast(d3812)).as("__mb"),
+      // a single under-2 stratum nulls the whole variance sum: a
+      // decimal SUM skips nulls, which would silently DROP that
+      // stratum's variance — the max-null flag keeps it honest
+      max(when(both && (col("n_a") < 2 || col("n_b") < 2), lit(1))
+        .otherwise(lit(0))).as("__degenerate"),
+      sum(col("__va_t").cast(d3812)).as("__va"),
+      sum(col("__vb_t").cast(d3812)).as("__vb"))
+    val se2 = col("__va").cast("double") + col("__vb").cast("double")
+    val okVar = col("__degenerate") === 0 && col("n_strata") > 0
+    agg
+      .withColumn("mean_a_post",
+        when(col("n_strata") > 0, round(col("__ma").cast("double"), 6)))
+      .withColumn("mean_b_post",
+        when(col("n_strata") > 0, round(col("__mb").cast("double"), 6)))
+      .withColumn("diff", when(col("n_strata") > 0,
+        round(col("__mb").cast("double") - col("__ma").cast("double"), 6)))
+      .withColumn("se", when(okVar && se2 > 0.0, round(sqrt(se2), 6)))
+      .withColumn("z", when(okVar && se2 > 0.0,
+        round((col("__mb").cast("double") - col("__ma").cast("double")) /
+          sqrt(se2), 6)))
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), col("n_strata"),
+        col("strata_a_only"), col("strata_b_only"),
+        col("mean_a_post"), col("mean_b_post"), col("diff"), col("se"),
+        col("z"))
+  }
+
+  /** HITS hub/authority scores (r15 — Kleinberg's link-analysis
+    * sibling of [[pageRank]], the second centrality a link-graph
+    * curation pipeline reaches for: PageRank finds globally endorsed
+    * nodes, HITS separates DIRECTORIES (hubs — pages whose outlinks
+    * aim at good content) from CONTENT (authorities — pages good
+    * hubs aim at); on a crawl graph the hub score is the
+    * seed-list/sitemap signal PageRank structurally cannot express).
+    * ALL-INTEGER like q96 — deliberately: scores are longs summing
+    * to ~`scale`, every normalization an EXACT floor division
+    * implemented as the q177 DECIMAL(38,0) divmod (quotient =
+    * (x − pmod(x, d)) / d — bit-identical on any engine or
+    * partitioning, where a floating normalize would break the hash
+    * oracle). Per iteration, in Kleinberg's order: authority pass
+    * `auth_raw(v) = Σ_{u→v} hub(u)` (multi-edges count as weight,
+    * the q96 contract), normalize to `scale`; hub pass
+    * `hub_raw(u) = Σ_{u→v} auth(v)` over the NEW authorities,
+    * normalize. Σ(raw·scale) stays ≤ ~10³³, inside DECIMAL(38,0).
+    * Documented costs: floor leakage (< 1 unit per node per
+    * normalize) and the all-sinks edge case — if every
+    * authority-carrying node has zero out-edges the hub total is 0
+    * and scores report 0 rather than dividing (observable,
+    * spec-pinned). `iters` is a fixed budget (the q96 statement).
+    *
+    * Scale shape: per iteration ONE node-keyed hash join per pass +
+    * one map-combinable dst/src aggregation (a hub is a hot GROUP BY
+    * key, never a hot row) + one 1-row total broadcast; the score
+    * frame checkpoints each iteration (the q46 lineage discipline).
+    */
+  def hitsScores(edges: DataFrame, src: String, dst: String, iters: Int = 2,
+                 scale: Long = 1000000000000L,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 0 && iters <= 10, s"hitsScores: iters must be in [0, 10] (got $iters)")
+    require(scale > 0L && scale <= 1000000000000000L,
+      s"hitsScores: scale must be in (0, 1e15] (got $scale)")
+    val ck = lineageBreaker(checkpointDir)
+    val e = ck(edges.select(
+      col(src).cast("long").as("__src"), col(dst).cast("long").as("__dst")))
+    val nodes = ck(e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "hitsScores: empty edge list")
+    require(scale >= n,
+      s"hitsScores: scale ($scale) must be >= the node count ($n) so the uniform start is nonzero")
+    val d38 = DecimalType(38, 0)
+    // exact floor division of raw·scale by the 1-row total — zeros,
+    // never divides, when a sink layer zeroes the total
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val total = raw.agg(coalesce(sum(col("__raw")), lit(0L).cast(d38)).as("__t"))
+      val x = col("__raw") * lit(scale).cast(d38)
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn(out,
+          when(col("__raw").isNotNull && col("__t") > 0,
+            ((x - pmod(x, col("__t"))) / col("__t")).cast("long"))
+            .otherwise(lit(0L)))
+        .select(col("node"), col(out))
+    }
+    var scores = ck(nodes
+      .withColumn("hub", lit(scale / n)).withColumn("auth", lit(scale / n)))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(
+          scores.select(col("node").as("__src"), col("hub")), Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("hub").cast(d38)).as("__raw"))
+      val aNew = normalized(aRaw, "auth")
+      val hRaw = e.join(
+          aNew.select(col("node").as("__dst"), col("auth")), Seq("__dst"))
+        .groupBy(col("__src").as("node"))
+        .agg(sum(col("auth").cast(d38)).as("__raw"))
+      val hNew = normalized(hRaw, "hub")
+      scores = ck(hNew.join(aNew, Seq("node")))
+    }
+    scores.select(col("node"), col("hub"), col("auth"))
+  }
+
   /** ANN recall report (r15 — the EVALUATION readout every
     * approximate-nearest-neighbor deployment needs before trusting
     * its index parameters: "at nprobe = 2, what fraction of the true

@@ -1278,6 +1278,39 @@ object Extended {
       .orderBy(col("bin"))
   }
 
+  /** q201: HITS hubs/authorities over the symmetrized customer ↔
+    * supplier co-purchase graph ([[graft.api.Ops.hitsScores]]) —
+    * q96's PageRank sibling: directories vs content, all-integer
+    * floor-divided normalizations, 2 Kleinberg-ordered iterations
+    * (r15).
+    */
+  def q201(t: Tables): DataFrame = {
+    val ol = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+    val edges = ol.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(ol.select(col("supp").as("src"), col("cust").as("dst")))
+    graft.api.Ops.hitsScores(edges, "src", "dst", iters = 2)
+      .orderBy(col("node"))
+  }
+
+  /** q202: post-stratified A/B readout between order eras with
+    * priority strata ([[graft.api.Ops.postStratifiedZ]]) — the
+    * CUPED-free variance reduction: pooled priority shares reweight
+    * each era's per-priority means (r15).
+    */
+  def q202(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.postStratifiedZ(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("o_totalprice"))
+  }
+
   /** q200: ANN recall report of the q36 IVF path against the q35
     * brute-force truth ([[graft.api.Ops.annRecallReport]]) — "at
     * nprobe = 2, what fraction of the true top-5 does the IVF index

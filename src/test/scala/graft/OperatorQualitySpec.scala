@@ -3410,6 +3410,70 @@ class OperatorQualitySpec extends AnyFunSuite {
       extra("only_a").isNullAt(extra("only_a").fieldIndex("ln_lambda")))
   }
 
+  test("r15 hitsScores: hand-checked hub/authority separation, iters=0 uniform, floor-exact under repartitioning, setup guards") {
+    import spark.implicits._
+    // a->c, b->c, c->a: c is the authority (two good hubs point at
+    // it), a and b are the hubs; scale 300 over 3 nodes starts 100
+    val e = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = graft.api.Ops.hitsScores(e, "src", "dst", iters = 1, scale = 300L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // auth pass: raw(c)=hub(a)+hub(b)=200, raw(a)=hub(c)=100, t=300
+    //   -> auth = (a 100, b 0, c 200)
+    // hub pass: raw(a)=auth(c)=200, raw(b)=auth(c)=200, raw(c)=auth(a)=100,
+    //   t=500 -> hub = (a 120, b 120, c 60)
+    assert(got(1L) == (120L, 100L) && got(2L) == (120L, 0L) &&
+      got(3L) == (60L, 200L), s"hand-checked HITS iteration: $got")
+    // iters = 0: the uniform start
+    val u = graft.api.Ops.hitsScores(e, "src", "dst", iters = 0, scale = 300L)
+      .collect()
+    assert(u.forall(r => r.getLong(1) == 100L && r.getLong(2) == 100L))
+    // bit-identical under repartitioning (integer floors everywhere)
+    val rep = graft.api.Ops.hitsScores(e.repartition(7), "src", "dst",
+      iters = 2, scale = 300L).collect().map(_.toSeq).toSet
+    assert(rep == graft.api.Ops.hitsScores(e, "src", "dst", iters = 2,
+      scale = 300L).collect().map(_.toSeq).toSet)
+    // setup guards fail loudly
+    intercept[IllegalArgumentException] {
+      graft.api.Ops.hitsScores(e.limit(0), "src", "dst")
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.Ops.hitsScores(e, "src", "dst", scale = 2L)
+    }
+  }
+
+  test("r15 postStratifiedZ: hand-checked pooled-weight estimate, one-sided strata excluded and counted, degenerate strata null the variance") {
+    import spark.implicits._
+    // X: a (1,3) mean 2 var 2 | b (5,7) mean 6 var 2
+    // Y: a (10,20) mean 15 var 50 | b (30,40) mean 35 var 50
+    // pooled weights 4/8 each -> mean_a 8.5, mean_b 20.5, diff 12,
+    // va = vb = .25*2/2 + .25*50/2 = 6.5, se = sqrt(13), z = 12/se
+    val a = Seq(("X", 1.0), ("X", 3.0), ("Y", 10.0), ("Y", 20.0)).toDF("s", "v")
+    val b = Seq(("X", 5.0), ("X", 7.0), ("Y", 30.0), ("Y", 40.0)).toDF("s", "v")
+    val r = graft.api.Ops.postStratifiedZ(a, b, "s", col("v")).collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Double]("mean_a_post") == 8.5 &&
+      r.getAs[Double]("mean_b_post") == 20.5 &&
+      r.getAs[Double]("diff") == 12.0)
+    assert(r.getAs[Double]("se") == 3.605551 &&
+      r.getAs[Double]("z") == 3.328201, s"se/z: $r")
+    // a stratum present only in one arm is EXCLUDED and counted
+    val a2 = a.unionByName(Seq(("Z", 99.0)).toDF("s", "v"))
+    val r2 = graft.api.Ops.postStratifiedZ(a2, b, "s", col("v")).collect().head
+    assert(r2.getAs[Long]("strata_a_only") == 1L &&
+      r2.getAs[Long]("n_a") == 4L,
+      "the a-only stratum must not enter the estimator")
+    assert(r2.getAs[Double]("mean_a_post") == 8.5, "estimate unchanged")
+    // a common stratum with n < 2 on one side nulls se/z, not means
+    val a3 = a.unionByName(Seq(("W", 1.0)).toDF("s", "v"))
+    val b3 = b.unionByName(Seq(("W", 2.0), ("W", 4.0)).toDF("s", "v"))
+    val r3 = graft.api.Ops.postStratifiedZ(a3, b3, "s", col("v")).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("se")) && r3.isNullAt(r3.fieldIndex("z")))
+    assert(!r3.isNullAt(r3.fieldIndex("mean_a_post")))
+    // partitioning invariance (decimal moments + decimal term sums)
+    assert(graft.api.Ops.postStratifiedZ(a.repartition(13), b.repartition(5),
+      "s", col("v")).collect().head.toSeq == r.toSeq)
+  }
+
   test("r15 annRecallReport: per-query overlap arithmetic, silent-miss queries surface with recall 0, truthless queries null") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),

@@ -88,7 +88,23 @@ class PlanShapeSpec extends AnyFunSuite {
       // q171 crosses the 1-row full-data aggregate with the 1-row
       // CI frame; q172 crosses the two 1-row arm-moment frames;
       // dedicated pins below
-      "q170_profile_drift", "q171_bootstrap_ci", "q172_cuped"))
+      "q170_profile_drift", "q171_bootstrap_ci", "q172_cuped",
+      // r15: q195 crosses the 1-row overall-totals frame onto the
+      // (cat, fold) census (the q48 scalar shape); q196 is the q162
+      // two-1-row-moment-frame cross; q197 crosses the 1-row census
+      // total onto the category frame (q48 shape); q198 is the q142
+      // census completion (|A|×|B| cross + the 1-row N); dedicated
+      // pins below bound each to exactly those
+      "q195_target_encode", "q196_msprt", "q197_rare_collapse",
+      "q198_cramers_v",
+      // q201 is checkpoint-iterative like q96/q131 (building the plan
+      // runs the HITS loop) and its per-iteration normalizations are
+      // 1-row total broadcasts by design
+      "q201_hits",
+      // q200 composes q35, whose brute-force corpus × queries
+      // broadcast is THE documented keyless-join exception; the
+      // report's own joins are all query-keyed — pin below
+      "q200_ann_recall"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -119,6 +135,34 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BroadcastNestedLoopJoin in $name:\n$plan")
     }
+  }
+
+  test("r15 scalar-cross pins: q195/q196/q197 keyless joins are exactly their 1-row scalar broadcasts; q198 is the q142 completion shape") {
+    for ((name, want, what) <- Seq(
+      ("q195_target_encode", 1, "the 1-row overall-totals cross onto the census"),
+      ("q196_msprt", 1, "the 1-row × 1-row moment-frame cross"),
+      ("q197_rare_collapse", 1, "the 1-row census-total cross onto the category frame"),
+      ("q198_cramers_v", 2, "the |A|×|B| completion cross + the 1-row N"))) {
+      val plan = physicalPlan(name)
+      val keyless = plan.linesIterator.count(l =>
+        l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      assert(keyless == want, s"expected exactly $what in $name, got $keyless:\n$plan")
+    }
+    // q195's fold-totals and per-category joins must stay KEYED
+    val p195 = physicalPlan("q195_target_encode")
+    assert(p195.contains("BroadcastHashJoin") || p195.contains("SortMergeJoin"),
+      s"expected the fold-totals join to run keyed in q195:\n$p195")
+    // q200's only keyless join is q35's brute-force broadcast (the
+    // documented exception). It renders TWICE in the plan text: the
+    // exact side feeds both the n_exact census and the overlap
+    // branch, so the q35 subtree appears under each (ReuseExchange
+    // dedupes the actual scan at execution). The recall report's own
+    // joins are all query-keyed.
+    val p200 = physicalPlan("q200_ann_recall")
+    val keyless200 = p200.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless200 == 2,
+      s"expected exactly the twice-rendered q35 brute-force broadcast in q200, got $keyless200:\n$p200")
   }
 
   test("q123's only keyless join is the 1-row FK scalar pair") {
