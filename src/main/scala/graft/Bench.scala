@@ -90,7 +90,8 @@ object Bench {
     "q191_mwu_sketch", "q192_kw_sketch", "q193_spearman_sketch",
     "q194_qdrift_by_group", "q195_target_encode", "q196_msprt",
     "q197_rare_collapse", "q198_cramers_v", "q199_calibration",
-    "q200_ann_recall", "q201_hits", "q202_poststrat")
+    "q200_ann_recall", "q201_hits", "q202_poststrat",
+    "q203_anova", "q204_anova_by_group", "q205_brown_forsythe")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

@@ -222,6 +222,9 @@ object SparkEntry {
     "q200_ann_recall"     -> q(Extended.q200),
     "q201_hits"           -> q(Extended.q201),
     "q202_poststrat"      -> q(Extended.q202),
+    "q203_anova"          -> q(Extended.q203),
+    "q204_anova_by_group" -> q(Extended.q204),
+    "q205_brown_forsythe" -> q(Extended.q205),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5284,6 +5287,123 @@ object SparkEntry {
         |  CASE WHEN degen = 0 AND n_strata > 0 AND va_d + vb_d > 0 THEN
         |    round((mb_d - ma_d) / sqrt(va_d + vb_d), 6) END AS z
         |FROM agg""".stripMargin,
+
+    // q203/q204/q205 share the ANOVA tail: per-group exact moments,
+    // round-12 S²/n terms decimal-summed, the fixed F/η² tree
+    "q203_anova" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT *,
+        |    round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) AS tb,
+        |    round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) AS tw
+        |  FROM m),
+        |agg AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(s) AS DECIMAL(38,2)) AS st,
+        |    SUM(CAST(tb AS DECIMAL(38,12))) AS sb,
+        |    SUM(CAST(tw AS DECIMAL(38,12))) AS sw
+        |  FROM t),
+        |fin AS (
+        |  SELECT n_total, k_groups,
+        |    CAST(sb AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n_total AS DOUBLE) AS ssb,
+        |    CAST(sw AS DOUBLE) AS ssw
+        |  FROM agg)
+        |SELECT n_total, k_groups,
+        |  CAST(round(ssb, 0) AS BIGINT) AS ss_between,
+        |  CAST(round(ssw, 0) AS BIGINT) AS ss_within,
+        |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssw > 0 THEN
+        |    round((ssb / CAST(k_groups - 1 AS DOUBLE)) /
+        |      (ssw / CAST(n_total - k_groups AS DOUBLE)), 6) END AS f,
+        |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssb + ssw > 0 THEN
+        |    round(ssb / (ssb + ssw), 6) END AS eta_sq
+        |FROM fin""".stripMargin,
+
+    "q204_anova_by_group" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus AS grp, o_orderpriority AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        |    AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *,
+        |    round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) AS tb,
+        |    round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) AS tw
+        |  FROM m),
+        |agg AS (
+        |  SELECT grp, CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(s) AS DECIMAL(38,2)) AS st,
+        |    SUM(CAST(tb AS DECIMAL(38,12))) AS sb,
+        |    SUM(CAST(tw AS DECIMAL(38,12))) AS sw
+        |  FROM t GROUP BY 1),
+        |fin AS (
+        |  SELECT grp, n_total, k_groups,
+        |    CAST(sb AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n_total AS DOUBLE) AS ssb,
+        |    CAST(sw AS DOUBLE) AS ssw
+        |  FROM agg)
+        |SELECT grp, n_total, k_groups,
+        |  CAST(round(ssb, 0) AS BIGINT) AS ss_between,
+        |  CAST(round(ssw, 0) AS BIGINT) AS ss_within,
+        |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssw > 0 THEN
+        |    round((ssb / CAST(k_groups - 1 AS DOUBLE)) /
+        |      (ssw / CAST(n_total - k_groups AS DOUBLE)), 6) END AS f,
+        |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssb + ssw > 0 THEN
+        |    round(ssb / (ssb + ssw), 6) END AS eta_sq
+        |FROM fin ORDER BY grp""".stripMargin,
+
+    // q205: rank-selected LOWER median per group, exact decimal
+    // |x − median| deviations, then the q203 ANOVA tail on them
+    "q205_brown_forsythe" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM src),
+        |med AS (SELECT g, MIN(v) AS med FROM r WHERE rn = (n + 1) // 2 GROUP BY g),
+        |dev AS (
+        |  SELECT src.g, CAST(abs(src.v - med.med) AS DECIMAL(18,2)) AS z
+        |  FROM src JOIN med USING (g)),
+        |m AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(z) AS DECIMAL(38,2)) AS s,
+        |    CAST(SUM(z * z) AS DECIMAL(38,4)) AS ss
+        |  FROM dev GROUP BY 1),
+        |t AS (
+        |  SELECT *,
+        |    round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) AS tb,
+        |    round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) AS tw
+        |  FROM m),
+        |agg AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS k_groups,
+        |    CAST(SUM(s) AS DECIMAL(38,2)) AS st,
+        |    SUM(CAST(tb AS DECIMAL(38,12))) AS sb,
+        |    SUM(CAST(tw AS DECIMAL(38,12))) AS sw
+        |  FROM t),
+        |fin AS (
+        |  SELECT n_total, k_groups,
+        |    CAST(sb AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n_total AS DOUBLE) AS ssb,
+        |    CAST(sw AS DOUBLE) AS ssw
+        |  FROM agg)
+        |SELECT n_total, k_groups,
+        |  CAST(round(ssb, 0) AS BIGINT) AS ss_between,
+        |  CAST(round(ssw, 0) AS BIGINT) AS ss_within,
+        |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssw > 0 THEN
+        |    round((ssb / CAST(k_groups - 1 AS DOUBLE)) /
+        |      (ssw / CAST(n_total - k_groups AS DOUBLE)), 6) END AS f,
+        |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssb + ssw > 0 THEN
+        |    round(ssb / (ssb + ssw), 6) END AS eta_sq
+        |FROM fin""".stripMargin,
 
     // q200: the q35 brute-force CTEs and the q36 IVF CTEs, then the
     // per-query overlap/recall report over the two (qid, vid) sets

@@ -2148,6 +2148,138 @@ object Ops {
         col("z"))
   }
 
+  /** The shared one-way-ANOVA finisher over a per-(keys…, group)
+    * moment frame (n, __s DECIMAL(38,2), __ss DECIMAL(38,4)): the
+    * between/within sums of squares decompose into per-group terms
+    * `S_g²/n_g` and `SS_g − S_g²/n_g` — each an O(group) double,
+    * rounded at 12 and summed as DECIMAL(38,12) (the q155 order-free
+    * discipline; term magnitude must stay under ~10²⁵, i.e. group
+    * value sums under ~10¹² — the stated bound), with the grand
+    * `S²/N` correction and F/η² one fixed double tree at the end,
+    * round 6. Keyed forms aggregate per segment.
+    */
+  private def anovaFinish(moments: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d3812 = DecimalType(38, 12)
+    def sD(c: String) = col(c).cast("double")
+    val terms = moments
+      .withColumn("__tb", round(sD("__s") * sD("__s") / sD("n"), 12))
+      .withColumn("__tw", round(sD("__ss") - sD("__s") * sD("__s") / sD("n"), 12))
+    val agg = terms.groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n_total"),
+      count(lit(1)).as("k_groups"),
+      sum(col("__s")).cast(DecimalType(38, 2)).as("__st"),
+      sum(col("__tb").cast(d3812)).as("__sb"),
+      sum(col("__tw").cast(d3812)).as("__sw"))
+    val nD = col("n_total").cast("double")
+    val ssb = col("__sb").cast("double") -
+      col("__st").cast("double") * col("__st").cast("double") / nD
+    val ssw = col("__sw").cast("double")
+    val dfb = (col("k_groups") - 1).cast("double")
+    val dfw = (col("n_total") - col("k_groups")).cast("double")
+    val ok = col("k_groups") >= 2 && col("n_total") > col("k_groups")
+    val f = (ssb / dfb) / (ssw / dfw)
+    agg
+      // the SS readouts emit as round-0 BIGINTs (value-unit², §3): a
+      // round-6 double at 10¹¹ magnitude is last-ulp-unportable
+      // (engines scale-multiply differently), while round-0 is an
+      // exact operation on the double in both
+      .withColumn("ss_between", round(ssb, 0).cast("long"))
+      .withColumn("ss_within", round(ssw, 0).cast("long"))
+      .withColumn("f", when(ok && ssw > 0.0, round(f, 6)))
+      .withColumn("eta_sq", when(ok && (ssb + ssw) > 0.0,
+        round(ssb / (ssb + ssw), 6)))
+      .select((keys.map(col) ++ Seq(col("n_total"), col("k_groups"),
+        col("ss_between"), col("ss_within"), col("f"), col("eta_sq"))): _*)
+  }
+
+  private def anovaMoments(df: DataFrame, keys: Seq[String],
+                           value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = graft.util.Portable.dec(value)
+    df.filter(value.isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        sum(d).cast(DecimalType(38, 2)).as("__s"),
+        sum(d * d).cast(DecimalType(38, 4)).as("__ss"))
+  }
+
+  /** One-way ANOVA F (r15 — the PARAMETRIC sibling of
+    * [[kruskalWallis]] and the k-group member of the q162 moment
+    * family: "do any of the k groups' MEANS differ", the first test
+    * a k-arm experiment or a segmentation review runs): per group
+    * ONE map-combinable aggregate of exact decimal moments, then the
+    * classic decomposition SSbetween = Σ S_g²/n_g − S²/N and
+    * SSwithin = Σ (SS_g − S_g²/n_g) with the per-group terms
+    * round-12 + DECIMAL(38,12)-summed (order-free — a raw double sum
+    * over groups would replay differently per partitioning),
+    * `F = (SSb/(k−1)) / (SSw/(N−k))` and η² = SSb/SStot one fixed
+    * tree, round 6. Degenerate frames (k < 2, N ≤ k, zero within-
+    * variance) null F with counts reporting. Returns ONE row:
+    * (n_total, k_groups, ss_between, ss_within, f, eta_sq).
+    *
+    * Scale shape: one map-combinable (group) census + one k-row
+    * aggregate — cost tracks the scan, output one row.
+    */
+  def anovaF(df: DataFrame, group: String, value: Column): DataFrame =
+    anovaFinish(
+      anovaMoments(df, Seq(group), value).drop(group)
+        .withColumn("__all", lit(1)),
+      Seq("__all")).drop("__all")
+
+  /** Per-segment one-way ANOVA (r15 — [[anovaF]] keyed by a segment,
+    * the parametric member of the per-segment family q177 completed
+    * for ranks): per (segment, group) moments, the same round-12
+    * term sums PARTITIONED by the segment. Returns one row per
+    * segment.
+    */
+  def anovaFByGroup(df: DataFrame, segment: String, group: String,
+                    value: Column): DataFrame =
+    anovaFinish(
+      anovaMoments(df, Seq(segment, group), value)
+        .withColumnRenamed(segment, "grp").drop(group),
+      Seq("grp"))
+
+  /** Brown–Forsythe variance-equality test (r15 — the robust Levene
+    * variant every ANOVA/t-test result should be screened with:
+    * "are the group SPREADS even comparable, or is the mean test
+    * reading a variance artifact"; deviations from the MEDIAN, not
+    * the mean, keep the test honest under skew — the published
+    * Brown–Forsythe recommendation): per group the rank-selected
+    * LOWER median (k = (n+1) div 2 — a REAL data value, deterministic
+    * on any engine exactly like [[GraftDataFrameOps.winsorize]]'s
+    * bounds; the even-n midpoint average would leave the exact
+    * decimal domain), then [[anovaF]] on |x − median| — exact decimal
+    * deviations, the same order-free term sums. Large groups
+    * concentrate the median's window sort — the winsorize
+    * coarse-group gate rides the same count window
+    * (`allowCoarseGroups` acknowledges). Returns ONE row:
+    * (n_total, k_groups, ss_between, ss_within, f, eta_sq).
+    */
+  def brownForsythe(df: DataFrame, group: String, value: Column,
+                    allowCoarseGroups: Boolean = false,
+                    maxExactGroupRows: Long = MaxExactGroupRows): DataFrame = {
+    val d = graft.util.Portable.dec(value)
+    val wv = Window.partitionBy(col(group)).orderBy(d)
+    val wp = Window.partitionBy(col(group))
+    val ranked = df.filter(value.isNotNull && col(group).isNotNull)
+      .withColumn("__v", d)
+      .withColumn("__rn", row_number().over(wv))
+      .withColumn("__n", count(lit(1)).over(wp))
+    // lower median rank: (n + 1) DIV 2 — integer arithmetic only; the
+    // coarse-group gate rides the selector every median consumes
+    // (prune-proof, the winsorize pattern)
+    val withK = ranked.withColumn("__k", gateCoarseGroups(
+      expr("(__n + 1) DIV 2"), col("__n"), "brownForsythe",
+      allowCoarseGroups, maxExactGroupRows))
+    val medians = withK.filter(col("__rn") === col("__k"))
+      .groupBy(col(group).as("__mg"))
+      .agg(min(col("__v")).as("__med"))
+    val devs = withK.join(medians, col(group) === col("__mg"))
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+    anovaF(devs, group, col("__dev"))
+  }
+
   /** HITS hub/authority scores (r15 — Kleinberg's link-analysis
     * sibling of [[pageRank]], the second centrality a link-graph
     * curation pipeline reaches for: PageRank finds globally endorsed

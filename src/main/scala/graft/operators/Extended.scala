@@ -1311,6 +1311,42 @@ object Extended {
       "o_orderpriority", col("o_totalprice"))
   }
 
+  /** q203: one-way ANOVA of order totals across priorities
+    * ([[graft.api.Ops.anovaF]]) — the parametric sibling of q161's
+    * Kruskal–Wallis: "do any priority classes differ in MEAN spend"
+    * (r15).
+    */
+  def q203(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+    graft.api.Ops.anovaF(o, "o_orderpriority", col("o_totalprice"))
+  }
+
+  /** q204: per-status one-way ANOVA
+    * ([[graft.api.Ops.anovaFByGroup]]) — q203 keyed by order status,
+    * the parametric member of the per-segment family beside q177
+    * (r15).
+    */
+  def q204(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull &&
+        col("o_orderstatus").isNotNull)
+    graft.api.Ops.anovaFByGroup(o, "o_orderstatus", "o_orderpriority",
+      col("o_totalprice"))
+      .orderBy(col("grp"))
+  }
+
+  /** q205: Brown–Forsythe variance-equality screen across priorities
+    * ([[graft.api.Ops.brownForsythe]]) — "are the group spreads even
+    * comparable": ANOVA on |x − group lower median|, the robust
+    * Levene variant (r15).
+    */
+  def q205(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+    graft.api.Ops.brownForsythe(o, "o_orderpriority", col("o_totalprice"))
+  }
+
   /** q200: ANN recall report of the q36 IVF path against the q35
     * brute-force truth ([[graft.api.Ops.annRecallReport]]) — "at
     * nprobe = 2, what fraction of the true top-5 does the IVF index

@@ -3474,6 +3474,79 @@ class OperatorQualitySpec extends AnyFunSuite {
       "s", col("v")).collect().head.toSeq == r.toSeq)
   }
 
+  test("r15 anovaF / anovaFByGroup: hand-checked F and eta-squared, identical groups read 0, degeneracies null, keyed ≡ whole-frame per slice") {
+    import spark.implicits._
+    // g1 (1,2,3), g2 (4,5,6): SSb = 13.5, SSw = 4, F = 13.5,
+    // eta² = 13.5/17.5
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 4.0), ("g2", 5.0), ("g2", 6.0)).toDF("g", "v")
+    val r = graft.api.Ops.anovaF(df, "g", col("v")).collect().head
+    assert(r.getAs[Long]("n_total") == 6L && r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Long]("ss_between") == 14L &&  // round-0 of 13.5, HALF_UP
+      r.getAs[Long]("ss_within") == 4L)
+    assert(r.getAs[Double]("f") == 13.5 &&
+      r.getAs[Double]("eta_sq") == 0.771429, s"F/eta: $r")
+    // identical group distributions: SSb exactly 0, F exactly 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    assert(graft.api.Ops.anovaF(same, "g", col("v"))
+      .collect().head.getAs[Double]("f") == 0.0)
+    // one group -> null F; all-constant values -> zero within -> null F
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(graft.api.Ops.anovaF(one, "g", col("v"))
+      .collect().head.isNullAt(4))
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    assert(graft.api.Ops.anovaF(const, "g", col("v"))
+      .collect().head.isNullAt(4))
+    // keyed ≡ whole-frame per slice (the q177 defining identity)
+    val seg = df.withColumn("s", lit("s1"))
+      .unionByName(df.withColumn("v", col("v") * 2).withColumn("s", lit("s2")))
+    val keyed = graft.api.Ops.anovaFByGroup(seg, "s", "g", col("v"))
+      .collect().map(x => x.getString(0) -> x.toSeq.drop(1)).toMap
+    for (s <- Seq("s1", "s2")) {
+      val whole = graft.api.Ops.anovaF(seg.filter(col("s") === s), "g", col("v"))
+        .collect().head.toSeq
+      assert(keyed(s) == whole, s"segment $s keyed ≡ whole-frame slice")
+    }
+    // order-free term sums: identical under repartitioning
+    assert(graft.api.Ops.anovaF(df.repartition(13), "g", col("v"))
+      .collect().head.toSeq == r.toSeq)
+  }
+
+  test("r15 brownForsythe: equal spreads read F 0, a wide group flags, lower-median selection exact, coarse-group gate fires") {
+    import spark.implicits._
+    // identical deviation profiles around different medians: F = 0
+    val eq = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val r0 = graft.api.Ops.brownForsythe(eq, "g", col("v")).collect().head
+    assert(r0.getAs[Double]("f") == 0.0,
+      s"equal spreads must read F exactly 0: $r0")
+    // one wide group: deviations (50,0,50) vs (1,0,1) — large F
+    val neq = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 0.0), ("b", 50.0), ("b", 100.0)).toDF("g", "v")
+    // devs a = (1,0,1), devs b = (50,0,50): SSb = 1600.666667,
+    // SSw = 1667.333333, F = 1600.67/(1667.33/4) = 3.840064
+    val r1 = graft.api.Ops.brownForsythe(neq, "g", col("v")).collect().head
+    assert(r1.getAs[Double]("f") == 3.840064, s"spread gap must flag: $r1")
+    // even-n group takes the LOWER median: (1,2,3,4) -> med 2,
+    // deviations (1,0,1,2) -> within-SS for that group = 2.75... the
+    // selection itself is what we pin: group b constant at its median
+    val even = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val r2 = graft.api.Ops.brownForsythe(even, "g", col("v")).collect().head
+    // devs a = (1,0,1,2) mean 1 -> SSw_a = 2; devs b = (0,0) -> SSw_b = 0
+    assert(r2.getAs[Long]("ss_within") == 2L,
+      s"lower-median deviations must be exact: $r2")
+    // the winsorize-family coarse-group gate fires on a huge group
+    intercept[Throwable] {
+      graft.api.Ops.brownForsythe(eq, "g", col("v"),
+        maxExactGroupRows = 2L).collect()
+    }
+    assert(graft.api.Ops.brownForsythe(eq, "g", col("v"),
+      allowCoarseGroups = true, maxExactGroupRows = 2L)
+      .collect().head.getAs[Double]("f") == 0.0,
+      "acknowledged run ≡ default run")
+  }
+
   test("r15 annRecallReport: per-query overlap arithmetic, silent-miss queries surface with recall 0, truthless queries null") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
