@@ -225,6 +225,8 @@ object SparkEntry {
     "q203_anova"          -> q(Extended.q203),
     "q204_anova_by_group" -> q(Extended.q204),
     "q205_brown_forsythe" -> q(Extended.q205),
+    "q206_pairwise_welch" -> q(Extended.q206),
+    "q207_corr_matrix"    -> q(Extended.q207),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5404,6 +5406,83 @@ object SparkEntry {
         |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssb + ssw > 0 THEN
         |    round(ssb / (ssb + ssw), 6) END AS eta_sq
         |FROM fin""".stripMargin,
+
+    // q206: the per-group moment census self-joined g_a < g_b, then
+    // the q162 Welch tree per pair, m_comparisons off the pair frame
+    "q206_pairwise_welch" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+        |    a.s AS s_a, b.s AS s_b, a.ss AS ss_a, b.ss AS ss_b,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m_comparisons
+        |  FROM m a JOIN m b ON a.g < b.g),
+        |f AS (
+        |  SELECT *,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) AS va,
+        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)) AS vb
+        |  FROM p),
+        |g2 AS (
+        |  SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
+        |  FROM f)
+        |SELECT g_a, g_b, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+        |    round((ma - mb) / sqrt(se2), 6) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+        |    round(se2 * se2 /
+        |      ((va / CAST(n_a AS DOUBLE)) * (va / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
+        |       (vb / CAST(n_b AS DOUBLE)) * (vb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6)
+        |  END AS df,
+        |  m_comparisons
+        |FROM g2 ORDER BY g_a, g_b""".stripMargin,
+
+    // q207: one listwise-complete scan, all six pairwise r off the
+    // single moment row — the q119 fixed shape per pair
+    "q207_corr_matrix" -> {
+      val colsQ = Seq("l_quantity" -> "cq", "l_extendedprice" -> "cep",
+        "l_discount" -> "cd", "l_tax" -> "ctx")
+      val sums = colsQ.map { case (_, a) =>
+        s"CAST(SUM($a) AS DECIMAL(38,2)) AS s_$a, CAST(SUM($a * $a) AS DECIMAL(38,4)) AS ss_$a"
+      }.mkString(",\n        |    ")
+      val pairSums = colsQ.combinations(2).map { case Seq((_, x), (_, y)) =>
+        s"CAST(SUM($x * $y) AS DECIMAL(38,4)) AS sxy_${x}_$y"
+      }.mkString(",\n        |    ")
+      val selects = colsQ.combinations(2).map { case Seq((nx, x), (ny, y)) =>
+        s"""SELECT '$nx' AS col_a, '$ny' AS col_b, n,
+           |  CASE WHEN n >= 2
+           |    AND CAST(n AS DOUBLE) * CAST(ss_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE) > 0
+           |    AND CAST(n AS DOUBLE) * CAST(ss_$y AS DOUBLE) - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE) > 0 THEN
+           |    round((CAST(n AS DOUBLE) * CAST(sxy_${x}_$y AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)) /
+           |      sqrt((CAST(n AS DOUBLE) * CAST(ss_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE)) *
+           |           (CAST(n AS DOUBLE) * CAST(ss_$y AS DOUBLE) - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))), 6)
+           |  END AS r FROM a""".stripMargin
+      }.mkString("\n        |UNION ALL\n        |")
+      s"""WITH c AS (
+         |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS cq,
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS cep,
+         |    CAST(l_discount AS DECIMAL(18,2)) AS cd,
+         |    CAST(l_tax AS DECIMAL(18,2)) AS ctx
+         |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    $sums,
+         |    $pairSums
+         |  FROM c)
+         |$selects
+         |ORDER BY col_a, col_b""".stripMargin
+    },
 
     // q200: the q35 brute-force CTEs and the q36 IVF CTEs, then the
     // per-query overlap/recall report over the two (qid, vid) sets

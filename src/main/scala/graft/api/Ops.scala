@@ -2240,6 +2240,103 @@ object Ops {
         .withColumnRenamed(segment, "grp").drop(group),
       Seq("grp"))
 
+  /** Pairwise Welch t post-hoc (r15 — the step AFTER [[anovaF]] or
+    * [[kruskalWallis]] flags "something differs": WHICH pairs —
+    * every k-arm readout ends here; emitting `m_comparisons`
+    * alongside lets the caller Bonferroni-adjust α/m without the
+    * engine needing an inverse normal): ONE map-combinable per-group
+    * moment census (k rows), a g_a < g_b self-join over it (k²/2
+    * bounded pairs — never row-level), then q162's exact Welch
+    * mean/variance/t/df tree per pair, round 6; degenerate pairs
+    * (n < 2, zero pooled SE) null t/df with counts. Returns one row
+    * per unordered pair:
+    * (g_a, g_b, n_a, n_b, mean_a, mean_b, t, df, m_comparisons).
+    *
+    * Scale shape: one census + one pairs-bounded join — cost tracks
+    * the group domain; the corpus is scanned once.
+    */
+  def pairwiseWelch(df: DataFrame, group: String, value: Column): DataFrame = {
+    val m = anovaMoments(df, Seq(group), value)
+    val a = m.select(col(group).cast("string").as("g_a"), col("n").as("n_a"),
+      col("__s").as("__s_a"), col("__ss").as("__ss_a"))
+    val b = m.select(col(group).cast("string").as("g_b"), col("n").as("n_b"),
+      col("__s").as("__s_b"), col("__ss").as("__ss_b"))
+    val pairs = a.join(b, col("g_a") < col("g_b"))
+    val wAll = Window.partitionBy()
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    def vn(s: String) = v(s) / nD(s)
+    val se2 = vn("a") + vn("b")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val df_ = se2 * se2 /
+      (vn("a") * vn("a") / (nD("a") - lit(1.0)) +
+        vn("b") * vn("b") / (nD("b") - lit(1.0)))
+    pairs
+      .withColumn("m_comparisons", count(lit(1)).over(wAll))
+      .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
+      .withColumn("t", when(ok && se2 > 0.0,
+        round((mean("a") - mean("b")) / sqrt(se2), 6)))
+      .withColumn("df", when(ok && se2 > 0.0, round(df_, 6)))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("t"), col("df"),
+        col("m_comparisons"))
+  }
+
+  /** One-pass Pearson correlation matrix (r15 — the profiling
+    * readout a feature review runs before any model: "which numeric
+    * columns are redundant / leaking"; q119's pairwise machinery
+    * widened to ALL pairs of a column list in ONE corpus scan):
+    * rows with a null in ANY listed column drop (LISTWISE complete —
+    * stated; pairwise-complete ns would make the matrix
+    * non-positive-semidefinite and the per-pair ns ambiguous), then
+    * a single map-combinable aggregate collects n, each column's
+    * exact decimal Σx and Σx², and each pair's Σxy — k(k+1)/2
+    * expressions, bounded by the required k ≤ 12. Each pair's r is
+    * the q119 fixed double shape over the exact sums, round 6;
+    * zero-variance columns null their pairs. Returns one row per
+    * unordered pair: (col_a, col_b, n, r).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(cols.length >= 2 && cols.length <= 12,
+      s"corrMatrix: need 2..12 columns (got ${cols.length})")
+    require(cols.distinct.length == cols.length, "corrMatrix: duplicate column")
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    def d(c: String) = graft.util.Portable.dec(col(c))
+    val sumExprs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(d(c)).cast(DecimalType(38, 2)).as(s"__s_$c")) ++
+      cols.map(c => sum(d(c) * d(c)).cast(DecimalType(38, 4)).as(s"__ss_$c")) ++
+      cols.combinations(2).map { case Seq(x, y) =>
+        sum(d(x) * d(y)).cast(DecimalType(38, 4)).as(s"__sxy_${x}_$y")
+      }.toSeq
+    val agg = complete.agg(sumExprs.head, sumExprs.tail: _*)
+    val nD = col("n").cast("double")
+    def rFor(x: String, y: String): Column = {
+      val sx = col(s"__s_$x").cast("double"); val sy = col(s"__s_$y").cast("double")
+      val sxx = col(s"__ss_$x").cast("double"); val syy = col(s"__ss_$y").cast("double")
+      val sxy = col(s"__sxy_${x}_$y").cast("double")
+      val covN = nD * sxy - sx * sy
+      val vxN = nD * sxx - sx * sx
+      val vyN = nD * syy - sy * sy
+      when(col("n") >= 2 && vxN > 0.0 && vyN > 0.0,
+        round(covN / sqrt(vxN * vyN), 6))
+    }
+    // one exploded struct array off the SINGLE agg row — a per-pair
+    // union would re-render (and without exchange reuse, re-run) the
+    // aggregate subtree k(k−1)/2 times
+    agg.select(explode(array(cols.combinations(2).map { case Seq(x, y) =>
+        struct(lit(x).as("col_a"), lit(y).as("col_b"),
+          col("n").as("n"), rFor(x, y).as("r"))
+      }.toSeq: _*)).as("__p"))
+      .select(col("__p.col_a").as("col_a"), col("__p.col_b").as("col_b"),
+        col("__p.n").as("n"), col("__p.r").as("r"))
+  }
+
   /** Brown–Forsythe variance-equality test (r15 — the robust Levene
     * variant every ANOVA/t-test result should be screened with:
     * "are the group SPREADS even comparable, or is the mean test

@@ -1347,6 +1347,29 @@ object Extended {
     graft.api.Ops.brownForsythe(o, "o_orderpriority", col("o_totalprice"))
   }
 
+  /** q206: pairwise Welch post-hoc across order priorities
+    * ([[graft.api.Ops.pairwiseWelch]]) — after q203's ANOVA flags
+    * "something differs", THIS says which priority pairs, with
+    * m_comparisons carried for the caller's Bonferroni (r15).
+    */
+  def q206(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+    graft.api.Ops.pairwiseWelch(o, "o_orderpriority", col("o_totalprice"))
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
+  /** q207: one-pass correlation matrix over the lineitem measures
+    * ([[graft.api.Ops.corrMatrix]]) — the redundancy/leak screen a
+    * feature review runs; all pairwise Pearson r from ONE corpus
+    * scan (r15).
+    */
+  def q207(t: Tables): DataFrame = {
+    graft.api.Ops.corrMatrix(t.lineitem,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** q200: ANN recall report of the q36 IVF path against the q35
     * brute-force truth ([[graft.api.Ops.annRecallReport]]) — "at
     * nprobe = 2, what fraction of the true top-5 does the IVF index

@@ -3547,6 +3547,63 @@ class OperatorQualitySpec extends AnyFunSuite {
       "acknowledged run ≡ default run")
   }
 
+  test("r15 pairwiseWelch: every pair ≡ the two-sample welchT, m_comparisons counts the pairs, degenerate pairs null") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 6.0), ("c", 10.0), ("c", 20.0), ("c", 30.0))
+      .toDF("g", "v")
+    val got = graft.api.Ops.pairwiseWelch(df, "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 3 &&
+      got.values.forall(_.getAs[Long]("m_comparisons") == 3L))
+    // the defining identity: each pair row IS welchT of the slices
+    for (Seq(x, y) <- Seq("a", "b", "c").combinations(2)) {
+      val w = graft.api.Ops.welchT(
+        df.filter(col("g") === x), df.filter(col("g") === y), col("v"))
+        .collect().head
+      val p = got((x, y))
+      assert(p.getAs[Long]("n_a") == w.getAs[Long]("n_a") &&
+        p.getAs[Double]("mean_a") == w.getAs[Double]("mean_a") &&
+        p.getAs[Double]("mean_b") == w.getAs[Double]("mean_b") &&
+        p.getAs[Double]("t") == w.getAs[Double]("t") &&
+        p.getAs[Double]("df") == w.getAs[Double]("df"),
+        s"pair ($x, $y) must equal welchT: $p vs $w")
+    }
+    // a single-row group nulls its pairs' t with counts reporting
+    val deg = graft.api.Ops.pairwiseWelch(
+      df.unionByName(Seq(("d", 9.0)).toDF("g", "v")), "g", col("v"))
+      .collect().filter(_.getString(1) == "d")
+    assert(deg.nonEmpty && deg.forall(r => r.isNullAt(r.fieldIndex("t")) &&
+      r.getAs[Long]("n_b") == 1L))
+  }
+
+  test("r15 corrMatrix: exact ±1/0 correlations from one scan, constant columns null, listwise-complete row drop") {
+    import spark.implicits._
+    val df = Seq((1.0, 3.0, 1.0, 5.0), (2.0, 6.0, 0.0, 5.0),
+      (3.0, 9.0, 1.0, 5.0)).toDF("x", "y2", "z", "w")
+    val got = graft.api.Ops.corrMatrix(df, Seq("x", "y2", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 6 && got.values.forall(_.getAs[Long]("n") == 3L))
+    assert(got(("x", "y2")).getAs[Double]("r") == 1.0, "y2 = 3x reads exactly 1")
+    assert(got(("x", "z")).getAs[Double]("r") == 0.0, "cov(x, z) is exactly 0")
+    assert(got(("x", "w")).isNullAt(3) && got(("z", "w")).isNullAt(3),
+      "zero-variance column nulls its pairs")
+    // a null in ANY listed column drops the row for EVERY pair
+    val withNull = df.unionByName(
+      Seq((4.0, 12.0, 1.0, Double.NaN)).toDF("x", "y2", "z", "w")
+        .withColumn("w", when(lit(false), col("w"))))
+    val n2 = graft.api.Ops.corrMatrix(withNull, Seq("x", "y2", "z", "w"))
+      .collect()
+    assert(n2.forall(_.getAs[Long]("n") == 3L), "listwise-complete drop")
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.api.Ops.corrMatrix(df, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.Ops.corrMatrix(df, Seq("x", "x"))
+    }
+  }
+
   test("r15 annRecallReport: per-query overlap arithmetic, silent-miss queries surface with recall 0, truthless queries null") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
