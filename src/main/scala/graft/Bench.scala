@@ -145,7 +145,8 @@ object Bench {
     "q180_wmedian_sketch", "q181_srm_check", "q182_js_divergence",
     "q183_mde", "q184_rank_movers", "q185_quantile_drift",
     "q187_centroid_sep", "q188_mde_by_group", "q189_js_by_group",
-    "q190_zipf", "q21_asof_join", "q22_sessionize", "q23_time_bucket",
+    "q190_zipf", "q191_mwu_sketch", "q192_kw_sketch", "q194_qdrift_by_group",
+    "q21_asof_join", "q22_sessionize", "q23_time_bucket",
     "q26_nested_explode", "q29_fingerprint", "q31_dedup_exact",
     "q32_jaccard_pairs", "q35_cosine_topk", "q36_ann_ivf",
     "q39_range_join", "q42_label_centroids", "q43_hll_distinct",

@@ -104,7 +104,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // q200 composes q35, whose brute-force corpus × queries
       // broadcast is THE documented keyless-join exception; the
       // report's own joins are all query-keyed — pin below
-      "q200_ann_recall"))
+      "q200_ann_recall",
+      // q206's g_a < g_b self-join runs over the k-row GROUP CENSUS
+      // (k²/2 pairs by design, never row-level) — the q187
+      // bounded-frame argument; pin below bounds it to exactly one
+      "q206_pairwise_welch"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -163,6 +167,12 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
     assert(keyless200 == 2,
       s"expected exactly the twice-rendered q35 brute-force broadcast in q200, got $keyless200:\n$p200")
+    // q206's only keyless join is the k-row census pair self-join
+    val p206 = physicalPlan("q206_pairwise_welch")
+    val keyless206 = p206.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless206 == 1,
+      s"expected exactly the census pair self-join in q206, got $keyless206:\n$p206")
   }
 
   test("q123's only keyless join is the 1-row FK scalar pair") {
