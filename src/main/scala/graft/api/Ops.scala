@@ -2240,6 +2240,30 @@ object Ops {
         .withColumnRenamed(segment, "grp").drop(group),
       Seq("grp"))
 
+  /** [[anovaF]] served from a [[PreparedMoments]] artifact (r15 —
+    * the k-arm member of the msprtFromMoments composition: the
+    * one-way F needs ONLY the per-arm moment sums, which the
+    * artifact absorbs losslessly and persists; prepare with
+    * x = y = the metric and the ARM as the group). Bit-for-bit the
+    * row-input [[anovaF]] of the rows behind the artifact (same
+    * decimal sums, shared finisher — spec-pinned).
+    */
+  def anovaFromMoments(m: PreparedMoments): DataFrame =
+    anovaFinish(
+      m.moments.select(col("n"), col("__sx").as("__s"), col("__sxx").as("__ss"))
+        .withColumn("__all", lit(1)),
+      Seq("__all")).drop("__all")
+
+  /** [[pairwiseWelch]] served from a [[PreparedMoments]] artifact
+    * (r15 — the post-hoc half of the k-arm battery, same artifact,
+    * same identity contract).
+    */
+  def pairwiseWelchFromMoments(m: PreparedMoments): DataFrame =
+    pairwiseWelchFinish(
+      m.moments.select(col(m.groupCol), col("n"),
+        col("__sx").as("__s"), col("__sxx").as("__ss")),
+      m.groupCol)
+
   /** Pairwise Welch t post-hoc (r15 — the step AFTER [[anovaF]] or
     * [[kruskalWallis]] flags "something differs": WHICH pairs —
     * every k-arm readout ends here; emitting `m_comparisons`
@@ -2255,8 +2279,16 @@ object Ops {
     * Scale shape: one census + one pairs-bounded join — cost tracks
     * the group domain; the corpus is scanned once.
     */
-  def pairwiseWelch(df: DataFrame, group: String, value: Column): DataFrame = {
-    val m = anovaMoments(df, Seq(group), value)
+  def pairwiseWelch(df: DataFrame, group: String, value: Column): DataFrame =
+    pairwiseWelchFinish(anovaMoments(df, Seq(group), value), group)
+
+  /** The shared pairwise-Welch finisher over a per-group moment
+    * census (group, n, __s, __ss) — both the row-input
+    * [[pairwiseWelch]] and the artifact-input
+    * [[pairwiseWelchFromMoments]] end here (value-identical by
+    * shared code).
+    */
+  private def pairwiseWelchFinish(m: DataFrame, group: String): DataFrame = {
     val a = m.select(col(group).cast("string").as("g_a"), col("n").as("n_a"),
       col("__s").as("__s_a"), col("__ss").as("__ss_a"))
     val b = m.select(col(group).cast("string").as("g_b"), col("n").as("n_b"),

@@ -1184,6 +1184,44 @@ object Streams {
       .start()
   }
 
+  /** Live k-arm experiment monitor (r15 — [[msprtStream]]'s k-arm
+    * sibling, closing the moments-served test battery: the one-way
+    * ANOVA F and the pairwise Welch post-hoc both need ONLY the
+    * per-arm moment sums, so the SAME [[graft.api.Ops
+    * .PreparedMoments]] artifact that powers the two-arm mSPRT
+    * serves the whole k-arm readout). Each trigger's (arm, metric)
+    * rows absorb into the artifact, then the sink receives
+    * ([[graft.api.Ops.anovaFromMoments]] — "do any arms differ",
+    * [[graft.api.Ops.pairwiseWelchFromMoments]] — "which pairs",
+    * the grown artifact) — each bit-for-bit the batch operator over
+    * ALL rows since the experiment started (spec-pinned), restart-
+    * safe from a saved artifact. Same [[IngestLoop]] replay guards
+    * as msprtStream (moment sums are not replay-idempotent).
+    */
+  def kArmMonitorStream(records: DataFrame, arm: org.apache.spark.sql.Column,
+                        value: org.apache.spark.sql.Column,
+                        prepared: graft.api.Ops.PreparedMoments,
+                        checkpointDir: String,
+                        sink: (DataFrame, DataFrame, graft.api.Ops.PreparedMoments) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "kArmMonitorStream needs a PreparedMoments built with a reliable " +
+        "checkpointDir or loaded from a persisted artifact")
+    val g = prepared.groupCol
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedMoments](
+      prepared,
+      (_, batch) => batch
+        .filter(arm.isNotNull && value.isNotNull)
+        .select(arm.cast("string").as(g), value.as("__v")),
+      (m, kept) => m.absorb(kept, org.apache.spark.sql.functions.col("__v"),
+        org.apache.spark.sql.functions.col("__v"), Some(checkpointDir)),
+      (_, m) => sink(graft.api.Ops.anovaFromMoments(m),
+        graft.api.Ops.pairwiseWelchFromMoments(m), m))
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live per-user top-N recommendations (r13 — the SERVING stream
     * for the recommender family: [[graft.api.Ops.PreparedCooc]]
     * maintains the similarity graph, THIS serves it): each trigger's

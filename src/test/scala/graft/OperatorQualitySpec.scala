@@ -3631,6 +3631,22 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(perfect.forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("r15 anovaFromMoments / pairwiseWelchFromMoments: the artifact serves both k-arm tests bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 6.0), ("c", 10.0), ("c", 20.0), ("c", 30.0))
+      .toDF("g", "v")
+    val m = graft.api.Ops.prepareMoments(df, "g", col("v"), col("v"))
+    assert(graft.api.Ops.anovaFromMoments(m).collect().map(_.toSeq).toSeq ==
+      graft.api.Ops.anovaF(df, "g", col("v")).collect().map(_.toSeq).toSeq,
+      "artifact-served ANOVA ≡ row-input ANOVA")
+    assert(graft.api.Ops.pairwiseWelchFromMoments(m)
+        .orderBy("g_a", "g_b").collect().map(_.toSeq).toSeq ==
+      graft.api.Ops.pairwiseWelch(df, "g", col("v"))
+        .orderBy("g_a", "g_b").collect().map(_.toSeq).toSeq,
+      "artifact-served post-hoc ≡ row-input post-hoc")
+  }
+
   test("r15 msprtFromMoments: serves bit-for-bit the row-input msprt; absent arms report n=0 with null statistics") {
     import spark.implicits._
     val base = (1 to 120).map(i => (i % 30 + 5).toDouble)

@@ -1955,6 +1955,38 @@ class StreamingSpec extends AnyFunSuite {
       "the restarted monitor resumes the SAME cumulative test from the artifact")
   }
 
+  test("r15 kArmMonitorStream: per-trigger ANOVA + post-hoc ≡ the batch operators over ALL evidence so far") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_karm").toString
+    val prep0 = graft.api.Ops.prepareMoments(
+      Seq.empty[(String, Double)].toDF("arm", "v"), "arm",
+      col("v"), col("v"), Some(s"$tmp/ckpt"))
+    val stream = MemoryStream[(String, Double)]
+    val gotA = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val gotP = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q = Streams.kArmMonitorStream(stream.toDF().toDF("arm", "v"),
+      col("arm"), col("v"), prep0, s"$tmp/ckpt",
+      (a, p, _) => { gotA += rows(a); gotP += rows(p.orderBy("g_a", "g_b")); () })
+    val t1 = (1 to 20).flatMap(i => Seq(("a", i.toDouble), ("b", i + 1.0),
+      ("c", i + 2.0)))
+    val t2 = (1 to 20).map(i => ("c", i + 50.0)) // c shifts up later
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+    } finally q.stop()
+    def all(ts: Seq[(String, Double)]) = ts.toDF("arm", "v")
+    assert(gotA(0) == rows(graft.api.Ops.anovaF(all(t1), "arm", col("v"))) &&
+      gotA(1) == rows(graft.api.Ops.anovaF(all(t1 ++ t2), "arm", col("v"))),
+      "trigger k's ANOVA ≡ batch over all rows seen")
+    assert(gotP(1) == rows(graft.api.Ops.pairwiseWelch(all(t1 ++ t2), "arm",
+        col("v")).orderBy("g_a", "g_b")),
+      "trigger k's post-hoc ≡ batch over all rows seen")
+  }
+
   test("ksDriftStream / mwuDriftStream score each trigger against the frozen baseline, matching batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
