@@ -5189,6 +5189,121 @@ object Ops {
       ArtifactIO.field(m, path, "bucketWidth").toDouble, reliable = true)
   }
 
+  /** The exact per-bin calibration census — (bin, n, n_pos, __ssum,
+    * __br) with every column additive: counts, positives, exact
+    * score-micros sums, the exact DECIMAL(38,0) Brier numerator.
+    * Shared by the one-shot [[GraftDataFrameOps.calibrationBins]]
+    * and the durable [[PreparedCalibration]] (absorb ≡
+    * prepare-of-union because all five columns add).
+    */
+  private[graft] def calibrationCensus(df: DataFrame, scoreMicros: Column,
+                                       label: Column, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nBins >= 2 && nBins <= 1000,
+      s"calibrationBins: nBins ($nBins) must be in 2..1000")
+    val s = scoreMicros.cast("long")
+    val y = label.cast("long")
+    val rows = df.filter(scoreMicros.isNotNull && label.isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+      .withColumn("__chk", when(col("__s") >= 0L && col("__s") <= 1000000L &&
+        col("__y").isin(0L, 1L), lit(true))
+        .otherwise(raise_error(lit(
+          "calibrationBins: score must be micros in [0, 1e6] and label 0/1"))))
+      // DIV, not `/`: the bin index is exact integer arithmetic
+      .withColumn("bin", when(col("__chk"),
+        least(lit(nBins - 1L), expr(s"(__s * $nBins) DIV 1000000L"))))
+    val err = col("__s") - col("__y") * lit(1000000L)
+    rows.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__s")).as("__ssum"),
+        sum((err * err).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("__br"))
+  }
+
+  /** The readout half: mean/rate/gap/Brier fixed double trees over
+    * the exact census sums, round 6.
+    */
+  private[graft] def calibrationFinish(census: DataFrame): DataFrame =
+    census
+      .withColumn("mean_score",
+        round(col("__ssum").cast("double") / col("n").cast("double") /
+          lit(1e6), 6))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+      .withColumn("gap", round(col("pos_rate") - col("mean_score"), 6))
+      .withColumn("brier",
+        round(col("__br").cast("double") / col("n").cast("double") /
+          lit(1e12), 6))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+        col("pos_rate"), col("gap"), col("brier"))
+
+  /** Incrementally-maintained calibration census (r15 — the
+    * TWENTIETH durable artifact and SEVENTH lossless-by-algebra
+    * absorb, and the MODEL-MONITORING member of the artifact family:
+    * a deployed quality/safety classifier's reliability diagram
+    * should accumulate over live traffic, not rebuild from a corpus
+    * rescan — every census column (n, positives, exact score sums,
+    * the exact Brier numerator) is ADDITIVE, so
+    * `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)` row-for-row with zero
+    * additional error). `serve` reads the reliability diagram +
+    * per-bin Brier at any point; save/load through ArtifactIO
+    * (kind-tagged + fmt + nBins — absorb and serve read the bin
+    * count FROM the artifact, so two sides cannot disagree).
+    */
+  final case class PreparedCalibration private[graft] (
+    census: DataFrame, nBins: Int, reliable: Boolean) {
+
+    /** Merge an increment's census by exact addition. */
+    def absorb(increment: DataFrame, scoreMicros: Column, label: Column,
+               checkpointDir: Option[String] = None): PreparedCalibration = {
+      import org.apache.spark.sql.types.DecimalType
+      val ckp = lineageBreaker(checkpointDir)
+      val merged = ckp(census
+        .unionByName(calibrationCensus(increment, scoreMicros, label, nBins))
+        .groupBy(col("bin"))
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+          sum(col("__ssum")).as("__ssum"),
+          sum(col("__br")).cast(DecimalType(38, 0)).as("__br")))
+      PreparedCalibration(merged, nBins, reliable && checkpointDir.isDefined)
+    }
+
+    /** The reliability diagram + Brier over everything absorbed. */
+    def serve: DataFrame = calibrationFinish(census)
+
+    /** Persist durably (census frame + kind-tagged meta). */
+    def save(path: String): Unit = {
+      census.write.mode("overwrite").parquet(s"$path/census")
+      ArtifactIO.writeMeta(census.sparkSession, path, "calibration",
+        Seq("nBins" -> nBins.toString, "fmt" -> "1"))
+    }
+  }
+
+  /** Build a [[PreparedCalibration]]; `serve` on it reproduces
+    * [[GraftDataFrameOps.calibrationBins]] bit-for-bit (shared
+    * census + finisher, spec-pinned).
+    */
+  def prepareCalibration(corpus: DataFrame, scoreMicros: Column, label: Column,
+                         nBins: Int,
+                         checkpointDir: Option[String] = None): PreparedCalibration = {
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedCalibration(ckp(calibrationCensus(corpus, scoreMicros, label, nBins)),
+      nBins, checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedCalibration]] persisted by its `save`; fails
+    * fast on a non-calibration path or missing format marker.
+    */
+  def loadCalibration(spark: org.apache.spark.sql.SparkSession,
+                      path: String): PreparedCalibration = {
+    val m = ArtifactIO.readMeta(spark, path, "calibration")
+    val fmt = m.getOrElse("fmt", "<missing>")
+    require(fmt == "1",
+      s"loadCalibration: artifact at $path has format '$fmt', expected '1'")
+    PreparedCalibration(spark.read.parquet(s"$path/census"),
+      ArtifactIO.field(m, path, "nBins").toInt, reliable = true)
+  }
+
   /** Incrementally-maintained bucket census (r15 — the NINETEENTH
     * durable artifact and the SIXTH lossless-by-algebra absorb,
     * VERDICT r14 missing #2: the drift-stream family took its
@@ -6884,37 +6999,7 @@ object Ops {
     def calibrationBins(scoreMicros: Column, label: Column,
                         nBins: Int): DataFrame = {
       import org.apache.spark.sql.types.DecimalType
-      require(nBins >= 2 && nBins <= 1000,
-        s"calibrationBins: nBins ($nBins) must be in 2..1000")
-      val s = scoreMicros.cast("long")
-      val y = label.cast("long")
-      val rows = left.filter(scoreMicros.isNotNull && label.isNotNull)
-        .select(s.as("__s"), y.as("__y"))
-        .withColumn("__chk", when(col("__s") >= 0L && col("__s") <= 1000000L &&
-          col("__y").isin(0L, 1L), lit(true))
-          .otherwise(raise_error(lit(
-            "calibrationBins: score must be micros in [0, 1e6] and label 0/1"))))
-        // DIV, not `/`: the bin index is exact integer arithmetic
-        .withColumn("bin", when(col("__chk"),
-          least(lit(nBins - 1L), expr(s"(__s * $nBins) DIV 1000000L"))))
-      val err = col("__s") - col("__y") * lit(1000000L)
-      rows.groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("__y")).as("n_pos"),
-          sum(col("__s")).as("__ssum"),
-          sum((err * err).cast(DecimalType(38, 0)))
-            .cast(DecimalType(38, 0)).as("__br"))
-        .withColumn("mean_score",
-          round(col("__ssum").cast("double") / col("n").cast("double") /
-            lit(1e6), 6))
-        .withColumn("pos_rate",
-          round(col("n_pos").cast("double") / col("n").cast("double"), 6))
-        .withColumn("gap", round(col("pos_rate") - col("mean_score"), 6))
-        .withColumn("brier",
-          round(col("__br").cast("double") / col("n").cast("double") /
-            lit(1e12), 6))
-        .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
-          col("pos_rate"), col("gap"), col("brier"))
+      calibrationFinish(calibrationCensus(left, scoreMicros, label, nBins))
     }
 
     /** ABC / Pareto classification per group (r12 — the inventory and

@@ -1184,6 +1184,40 @@ object Streams {
       .start()
   }
 
+  /** Live classifier-calibration monitor (r15 — the MODEL-MONITORING
+    * member of the cumulative-governance streams beside
+    * [[msprtStream]]/[[kArmMonitorStream]]: a deployed quality/
+    * safety score's reliability diagram should accumulate over live
+    * traffic): each trigger's (score_micros, label) rows absorb into
+    * a [[graft.api.Ops.PreparedCalibration]] (every census column
+    * additive — absorb ≡ prepare-of-union), and the sink receives
+    * (the cumulative reliability diagram via `serve`, the grown
+    * artifact) — trigger k ≡ the batch calibrationBins over ALL rows
+    * since the monitor started (spec-pinned), restart-safe from a
+    * saved artifact. The bin count reads FROM the artifact. Same
+    * [[IngestLoop]] replay guards (census sums are not
+    * replay-idempotent).
+    */
+  def calibrationStream(records: DataFrame,
+                        scoreMicros: org.apache.spark.sql.Column,
+                        label: org.apache.spark.sql.Column,
+                        prepared: graft.api.Ops.PreparedCalibration,
+                        checkpointDir: String,
+                        sink: (DataFrame, graft.api.Ops.PreparedCalibration) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "calibrationStream needs a PreparedCalibration built with a reliable " +
+        "checkpointDir or loaded from a persisted artifact")
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedCalibration](
+      prepared,
+      (_, batch) => batch,
+      (m, kept) => m.absorb(kept, scoreMicros, label, Some(checkpointDir)),
+      (_, m) => sink(m.serve, m))
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live k-arm experiment monitor (r15 — [[msprtStream]]'s k-arm
     * sibling, closing the moments-served test battery: the one-way
     * ANOVA F and the pairwise Welch post-hoc both need ONLY the

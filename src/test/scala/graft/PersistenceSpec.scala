@@ -507,6 +507,43 @@ class PersistenceSpec extends AnyFunSuite {
     assert(exG.getMessage.contains("group-less"))
   }
 
+  test("PreparedCalibration: absorb is the EXACT union census; serve ≡ one-shot calibrationBins; round-trips with nBins pinned") {
+    import graft.api.Ops._
+    import spark.implicits._
+    val o = t.orders
+      .withColumn("sm", expr(
+        "CAST(round(CAST(o_totalprice AS DOUBLE) / 600000.0 * 1000000.0, 0) AS BIGINT)"))
+      .filter(col("sm") >= 0L && col("sm") <= 1000000L)
+      .withColumn("y", (col("o_orderstatus") === "F").cast("long"))
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+    val full = Ops.prepareCalibration(o, col("sm"), col("y"), nBins = 10)
+    // serve ≡ the one-shot operator (shared census + finisher)
+    assertSameRows(full.serve, o.calibrationBins(col("sm"), col("y"), 10),
+      "serve ≡ calibrationBins")
+    // absorb ≡ prepare over the union: every census column adds
+    val inc = Ops.prepareCalibration(a, col("sm"), col("y"), 10)
+      .absorb(b, col("sm"), col("y"))
+    assertSameRows(inc.census, full.census, "absorbed census ≡ full census")
+    // durable round-trip + absorb-after-load ≡ full re-prepare
+    val dir = tmp("calibration")
+    Ops.prepareCalibration(a, col("sm"), col("y"), 10).save(dir)
+    val loaded = Ops.loadCalibration(spark, dir)
+    assert(loaded.nBins == 10 && loaded.reliable)
+    assertSameRows(loaded.absorb(b, col("sm"), col("y")).census, full.census,
+      "absorb-after-load census")
+    // wrong-kind and missing-fmt paths fail fast
+    val exK = intercept[IllegalArgumentException](Ops.loadBuckets(spark, dir))
+    assert(exK.getMessage.contains("kind"))
+    val dirOld = tmp("calib_old")
+    spark.read.parquet(s"$dir/census").write.mode("overwrite")
+      .parquet(s"$dirOld/census")
+    Seq(("kind", "calibration"), ("nBins", "10"))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(s"$dirOld/meta")
+    val exF = intercept[IllegalArgumentException](Ops.loadCalibration(spark, dirOld))
+    assert(exF.getMessage.contains("format"))
+  }
+
   test("PreparedActives round-trips; absorb is IDEMPOTENT set union; serves ≡ batch operators") {
     import graft.api.Ops._
     val e = t.events

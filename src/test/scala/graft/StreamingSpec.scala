@@ -1955,6 +1955,47 @@ class StreamingSpec extends AnyFunSuite {
       "the restarted monitor resumes the SAME cumulative test from the artifact")
   }
 
+  test("r15 calibrationStream: the cumulative reliability diagram ≡ batch calibrationBins over all traffic; restart resumes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.Ops._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_calib").toString
+    val prep0 = graft.api.Ops.prepareCalibration(
+      Seq.empty[(Long, Long)].toDF("s", "y"), col("s"), col("y"), nBins = 10,
+      Some(s"$tmp/ckpt"))
+    val stream = MemoryStream[(Long, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    var lastM: graft.api.Ops.PreparedCalibration = null
+    val q = Streams.calibrationStream(stream.toDF().toDF("s", "y"),
+      col("s"), col("y"), prep0, s"$tmp/ckpt",
+      (r, m) => { got += rows(r.orderBy("bin")); lastM = m; () })
+    val t1 = (1 to 50).map(i => ((i % 10) * 100000L, (i % 3 == 0).compareTo(false).toLong))
+    val t2 = (1 to 30).map(i => (950000L, 1L)) // a hot high-score bin later
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+    } finally q.stop()
+    def batchOf(ts: Seq[(Long, Long)]) = rows(
+      ts.toDF("s", "y").calibrationBins(col("s"), col("y"), 10).orderBy("bin"))
+    assert(got(0) == batchOf(t1) && got(1) == batchOf(t1 ++ t2),
+      "trigger k ≡ batch calibrationBins over all traffic seen")
+    // restart from the saved artifact: the diagram keeps accumulating
+    lastM.save(s"$tmp/m")
+    val loaded = graft.api.Ops.loadCalibration(spark, s"$tmp/m")
+    val s2 = MemoryStream[(Long, Long)]
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q2 = Streams.calibrationStream(s2.toDF().toDF("s", "y"),
+      col("s"), col("y"), loaded, s"$tmp/ckpt2",
+      (r, _) => { got2 += rows(r.orderBy("bin")); () })
+    val t3 = (1 to 10).map(_ => (50000L, 0L))
+    try { s2.addData(t3); q2.processAllAvailable() } finally q2.stop()
+    assert(got2.head == batchOf(t1 ++ t2 ++ t3),
+      "the restarted monitor resumes the cumulative diagram")
+  }
+
   test("r15 kArmMonitorStream: per-trigger ANOVA + post-hoc ≡ the batch operators over ALL evidence so far") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
