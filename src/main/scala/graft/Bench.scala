@@ -146,6 +146,14 @@ object Bench {
     "q183_mde", "q184_rank_movers", "q185_quantile_drift",
     "q187_centroid_sep", "q188_mde_by_group", "q189_js_by_group",
     "q190_zipf", "q191_mwu_sketch", "q192_kw_sketch", "q194_qdrift_by_group",
+    // r15 additions measured sub-2 s in this round's committed 2-run
+    // sf0.1 probes (SURVEY §2 rows carry the medians); q193 (3.2 s),
+    // q200 (composes q35+q36), q201 (6.4 s) and q207 (2.0 s) stay
+    // isolated until a full-sweep artifact pins them
+    "q195_target_encode", "q196_msprt", "q197_rare_collapse",
+    "q198_cramers_v", "q199_calibration", "q202_poststrat",
+    "q203_anova", "q204_anova_by_group", "q205_brown_forsythe",
+    "q206_pairwise_welch",
     "q21_asof_join", "q22_sessionize", "q23_time_bucket",
     "q26_nested_explode", "q29_fingerprint", "q31_dedup_exact",
     "q32_jaccard_pairs", "q35_cosine_topk", "q36_ann_ivf",
