@@ -227,6 +227,8 @@ object SparkEntry {
     "q205_brown_forsythe" -> q(Extended.q205),
     "q206_pairwise_welch" -> q(Extended.q206),
     "q207_corr_matrix"    -> q(Extended.q207),
+    "q208_msprt_by_group" -> q(Extended.q208),
+    "q209_calibration_by_group" -> q(Extended.q209),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5483,6 +5485,98 @@ object SparkEntry {
          |$selects
          |ORDER BY col_a, col_b""".stripMargin
     },
+
+    // q208: the q196 mSPRT ln-space tree with the priority key on
+    // every CTE, FULL OUTER on the segment, counts coalesced
+    "q208_msprt_by_group" -> {
+      val thr = String.format(java.util.Locale.ROOT, "CAST(%.17e AS DOUBLE)",
+        Double.box(2.995732273553991))
+      s"""WITH a AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |b AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(a.grp, b.grp) AS grp,
+         |    COALESCE(n_a, 0) AS n_a, s_a, ss_a,
+         |    COALESCE(n_b, 0) AS n_b, s_b, ss_b
+         |  FROM a FULL OUTER JOIN b ON a.grp = b.grp),
+         |f AS (
+         |  SELECT *,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) AS va,
+         |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)) AS vb
+         |  FROM j),
+         |g AS (
+         |  SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS vv,
+         |    mb - ma AS delta
+         |  FROM f),
+         |h AS (
+         |  SELECT *,
+         |    CAST(0.5 AS DOUBLE) * round(ln(vv / (vv + CAST(1000000 AS DOUBLE))), 12) +
+         |      delta * delta * CAST(1000000 AS DOUBLE) /
+         |        (CAST(2.0 AS DOUBLE) * vv * (vv + CAST(1000000 AS DOUBLE))) AS lnl
+         |  FROM g)
+         |SELECT grp, n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(delta, 6) END AS delta,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN round(lnl, 6) END AS ln_lambda,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN
+         |    CASE WHEN round(lnl, 6) > 0 THEN -round(lnl, 6) ELSE CAST(0.0 AS DOUBLE) END
+         |  END AS ln_p,
+         |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN
+         |    CAST(round(lnl, 6) > $thr AS BIGINT) END AS reject
+         |FROM h ORDER BY grp""".stripMargin
+    },
+
+    // q209: the q199 score/micros/binning recipe keyed by the crawl
+    // source, 5 bins
+    "q209_calibration_by_group" ->
+      """WITH c AS (
+        |  SELECT source, lang,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+        |         x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(round(round(0.5 * least(n_chars / 500.0, 1.0)
+        |      + 0.3 * (1.0 - n_punct / n_chars)
+        |      + 0.2 * (n_stop / n_tokens), 6) * 1000000.0, 0) AS BIGINT) AS sm,
+        |    CAST(lang = 'en' AS BIGINT) AS y
+        |  FROM c WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |b AS (
+        |  SELECT source, least(4, (sm * 5) // 1000000) AS bin, sm, y FROM s),
+        |agg AS (
+        |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(sm) AS BIGINT) AS ssum,
+        |    CAST(SUM(CAST((sm - y * 1000000) * (sm - y * 1000000) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS br
+        |  FROM b GROUP BY 1, 2)
+        |SELECT source, bin, n, n_pos,
+        |  round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_score,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+        |  round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) -
+        |    round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6), 6) AS gap,
+        |  round(CAST(br AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS brier
+        |FROM agg ORDER BY source, bin""".stripMargin,
 
     // q200: the q35 brute-force CTEs and the q36 IVF CTEs, then the
     // per-query overlap/recall report over the two (qid, vid) sets

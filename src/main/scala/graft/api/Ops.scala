@@ -5197,14 +5197,17 @@ object Ops {
     * prepare-of-union because all five columns add).
     */
   private[graft] def calibrationCensus(df: DataFrame, scoreMicros: Column,
-                                       label: Column, nBins: Int): DataFrame = {
+                                       label: Column, nBins: Int,
+                                       keys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(nBins >= 2 && nBins <= 1000,
       s"calibrationBins: nBins ($nBins) must be in 2..1000")
     val s = scoreMicros.cast("long")
     val y = label.cast("long")
-    val rows = df.filter(scoreMicros.isNotNull && label.isNotNull)
-      .select(s.as("__s"), y.as("__y"))
+    val rows = df
+      .filter(scoreMicros.isNotNull && label.isNotNull &&
+        keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+      .select((keys.map(col) ++ Seq(s.as("__s"), y.as("__y"))): _*)
       .withColumn("__chk", when(col("__s") >= 0L && col("__s") <= 1000000L &&
         col("__y").isin(0L, 1L), lit(true))
         .otherwise(raise_error(lit(
@@ -5213,7 +5216,7 @@ object Ops {
       .withColumn("bin", when(col("__chk"),
         least(lit(nBins - 1L), expr(s"(__s * $nBins) DIV 1000000L"))))
     val err = col("__s") - col("__y") * lit(1000000L)
-    rows.groupBy(col("bin"))
+    rows.groupBy((keys.map(col) :+ col("bin")): _*)
       .agg(count(lit(1)).as("n"),
         sum(col("__y")).as("n_pos"),
         sum(col("__s")).as("__ssum"),
@@ -5224,7 +5227,8 @@ object Ops {
   /** The readout half: mean/rate/gap/Brier fixed double trees over
     * the exact census sums, round 6.
     */
-  private[graft] def calibrationFinish(census: DataFrame): DataFrame =
+  private[graft] def calibrationFinish(census: DataFrame,
+                                       keys: Seq[String] = Nil): DataFrame =
     census
       .withColumn("mean_score",
         round(col("__ssum").cast("double") / col("n").cast("double") /
@@ -5235,8 +5239,8 @@ object Ops {
       .withColumn("brier",
         round(col("__br").cast("double") / col("n").cast("double") /
           lit(1e12), 6))
-      .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
-        col("pos_rate"), col("gap"), col("brier"))
+      .select((keys.map(col) ++ Seq(col("bin"), col("n"), col("n_pos"),
+        col("mean_score"), col("pos_rate"), col("gap"), col("brier"))): _*)
 
   /** Incrementally-maintained calibration census (r15 — the
     * TWENTIETH durable artifact and SEVENTH lossless-by-algebra
@@ -7001,6 +7005,21 @@ object Ops {
       import org.apache.spark.sql.types.DecimalType
       calibrationFinish(calibrationCensus(left, scoreMicros, label, nBins))
     }
+
+    /** Per-segment calibration bins (r15 — [[calibrationBins]] keyed
+      * by a segment: "which crawl SOURCES' / cohorts' scores are
+      * miscalibrated" — a model globally calibrated can be badly off
+      * inside the segment a curation decision hinges on, the same
+      * Simpson's-paradox argument as the per-segment test family):
+      * the same exact census keyed by (segment, bin), the same
+      * fixed-tree readouts per segment. Returns one row per occupied
+      * (segment, bin).
+      */
+    def calibrationBinsByGroup(group: String, scoreMicros: Column,
+                               label: Column, nBins: Int): DataFrame =
+      calibrationFinish(
+        calibrationCensus(left, scoreMicros, label, nBins, Seq(group)),
+        Seq(group))
 
     /** ABC / Pareto classification per group (r12 — the inventory and
       * revenue-management classic: label each entity A/B/C by where

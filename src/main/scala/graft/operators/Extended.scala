@@ -1370,6 +1370,52 @@ object Extended {
       .orderBy(col("col_a"), col("col_b"))
   }
 
+  /** q208: per-priority always-valid mSPRT between order eras
+    * ([[graft.api.Ops.msprtByGroup]]) — q196 keyed by the segment,
+    * closing the per-segment experimentation family's sequential
+    * member: the monitor that watches only the whole misses the
+    * cohort where the effect (or harm) concentrates (r15).
+    */
+  def q208(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.msprtByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut)
+        .withColumn("grp0", col("o_orderpriority")),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut)
+        .withColumn("grp0", col("o_orderpriority")),
+      "grp0", col("o_totalprice"), tau2 = 1000000.0)
+      .withColumn("reject", col("reject").cast("long"))
+      .orderBy(col("grp"))
+  }
+
+  /** q209: per-source calibration of the q40 quality score against
+    * the English label
+    * ([[graft.api.Ops.GraftDataFrameOps.calibrationBinsByGroup]]) —
+    * q199 keyed by the crawl source: a globally calibrated screen
+    * can be badly off inside one source (r15).
+    */
+  def q209(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(col("__toks")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+    val nStop = size(filter(col("__toks"), x => x.isin("the", "a", "of", "and"))).cast("double")
+    val score =
+      lit(0.5) * least(nChars / lit(500.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - nPunct / nChars) +
+      lit(0.2) * (nStop / nTokens)
+    t.documents
+      .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      .withColumn("__sm",
+        round(round(score, 6) * lit(1000000.0), 0).cast("long"))
+      .withColumn("__y", (col("lang") === "en").cast("long"))
+      .calibrationBinsByGroup("source", col("__sm"), col("__y"), nBins = 5)
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** q200: ANN recall report of the q36 IVF path against the q35
     * brute-force truth ([[graft.api.Ops.annRecallReport]]) — "at
     * nprobe = 2, what fraction of the true top-5 does the IVF index

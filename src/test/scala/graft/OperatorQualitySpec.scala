@@ -3762,6 +3762,30 @@ class OperatorQualitySpec extends AnyFunSuite {
       chiCells.head.getLong(0) == vOrders.getAs[Long]("chi2_micros"))
   }
 
+  test("r15 calibrationBinsByGroup: per-segment ≡ whole-frame calibrationBins per slice; null segments drop") {
+    import spark.implicits._
+    import graft.api.Ops._
+    val df = Seq(("s1", 250000L, 1L), ("s1", 250000L, 0L), ("s1", 900000L, 1L),
+      ("s2", 100000L, 0L), ("s2", 900000L, 1L), ("s2", 900000L, 0L))
+      .toDF("g", "s", "y")
+    val keyed = df.calibrationBinsByGroup("g", col("s"), col("y"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(1)).toMap
+    for (seg <- Seq("s1", "s2")) {
+      val whole = df.filter(col("g") === seg)
+        .calibrationBins(col("s"), col("y"), 10)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(whole.keySet == keyed.keySet.collect { case (g, b) if g == seg => b },
+        s"segment $seg bins")
+      whole.foreach { case (b, row) =>
+        assert(keyed((seg, b)) == row, s"segment $seg bin $b ≡ whole-frame slice") }
+    }
+    // a null segment drops (keys filter), not crashes
+    val withNull = df.unionByName(Seq((null.asInstanceOf[String], 1L, 1L))
+      .toDF("g", "s", "y"))
+    assert(withNull.calibrationBinsByGroup("g", col("s"), col("y"), 10)
+      .collect().length == keyed.size)
+  }
+
   test("r15 calibrationBins: exact binning incl. the top edge, perfect calibration gaps 0, Brier hand-check, range guard") {
     import spark.implicits._
     import graft.api.Ops._
