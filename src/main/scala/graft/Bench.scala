@@ -93,7 +93,8 @@ object Bench {
     "q200_ann_recall", "q201_hits", "q202_poststrat",
     "q203_anova", "q204_anova_by_group", "q205_brown_forsythe",
     "q206_pairwise_welch", "q207_corr_matrix",
-    "q208_msprt_by_group", "q209_calibration_by_group")
+    "q208_msprt_by_group", "q209_calibration_by_group",
+    "q210_srm_by_group")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

@@ -229,6 +229,7 @@ object SparkEntry {
     "q207_corr_matrix"    -> q(Extended.q207),
     "q208_msprt_by_group" -> q(Extended.q208),
     "q209_calibration_by_group" -> q(Extended.q209),
+    "q210_srm_by_group"   -> q(Extended.q210),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5485,6 +5486,41 @@ object SparkEntry {
          |$selects
          |ORDER BY col_a, col_b""".stripMargin
     },
+
+    // q210: the q181 SRM machinery keyed by the order year — the
+    // segments×arms completion cross + keyed windows
+    "q210_srm_by_group" ->
+      """WITH cen AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS grp,
+        |    o_orderpriority AS arm, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2),
+        |decl AS (SELECT * FROM (VALUES
+        |  ('1-URGENT', CAST(0.2 AS DOUBLE)), ('2-HIGH', CAST(0.2 AS DOUBLE)),
+        |  ('3-MEDIUM', CAST(0.2 AS DOUBLE)), ('4-NOT SPECIFIED', CAST(0.2 AS DOUBLE)),
+        |  ('5-LOW', CAST(0.2 AS DOUBLE))) AS t(arm, weight)),
+        |segs AS (SELECT DISTINCT grp FROM cen),
+        |comp AS (SELECT segs.grp, decl.arm, decl.weight FROM segs CROSS JOIN decl),
+        |j AS (
+        |  SELECT COALESCE(comp.grp, cen.grp) AS grp,
+        |    COALESCE(comp.arm, cen.arm) AS arm,
+        |    COALESCE(n_obs, 0) AS n_obs, weight
+        |  FROM comp FULL OUTER JOIN cen
+        |    ON comp.grp = cen.grp AND comp.arm = cen.arm),
+        |w AS (
+        |  SELECT *, CAST(SUM(CASE WHEN weight IS NOT NULL THEN n_obs END)
+        |    OVER (PARTITION BY grp) AS DOUBLE) * weight AS e
+        |  FROM j),
+        |c AS (
+        |  SELECT *, CASE WHEN weight IS NOT NULL AND e > 0 THEN
+        |    round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e, 6)
+        |  END AS contrib
+        |  FROM w)
+        |SELECT grp, arm, n_obs, weight, round(e, 6) AS expected, contrib,
+        |  CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,6))) OVER (PARTITION BY grp)
+        |    AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS chi2_micros,
+        |  CAST(COUNT(weight) OVER (PARTITION BY grp) - 1 AS BIGINT) AS dof
+        |FROM c ORDER BY grp, arm""".stripMargin,
 
     // q208: the q196 mSPRT ln-space tree with the priority key on
     // every CTE, FULL OUTER on the segment, counts coalesced

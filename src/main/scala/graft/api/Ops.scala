@@ -1509,6 +1509,68 @@ object Ops {
         col("chi2_micros"), col("dof"))
   }
 
+  /** Per-segment sample-ratio-mismatch check (r15 — [[srmCheck]]
+    * keyed by a segment, completing SRM's keyed form in the
+    * per-segment governance family: a whole-experiment SRM can read
+    * clean while ONE day / platform / country is badly skewed — the
+    * keyed check says WHERE and WHEN the assignment mechanism broke,
+    * the first question an SRM alert triggers): the (segment, arm)
+    * census FULL-OUTER joins the declared arms WITHIN each segment
+    * (a broadcast segments×arms completion — a declared arm missing
+    * from a segment still contributes its full expectation there,
+    * the q136 absent-is-evidence rule; an undeclared arm surfaces
+    * with null weight and stays out of that segment's χ²), per-
+    * segment totals and χ² ride segment-partitioned windows (no
+    * scalar crosses in the keyed form, the q160 statement), same
+    * round-6 contribs / decimal χ² sums / ANSI-safe expected-> 0
+    * gating as the whole-frame form. Returns one row per
+    * (segment, arm) with the segment's chi2_micros/dof repeated.
+    *
+    * Scale shape: one map-combinable census + one broadcast
+    * segments×arms completion + segment-keyed windows — adding
+    * segments adds parallelism, not passes.
+    */
+  def srmCheckByGroup(df: DataFrame, segment: String, arm: Column,
+                      expected: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(expected.nonEmpty, "srmCheckByGroup: declare at least one arm weight")
+    require(expected.map(_._1).distinct.length == expected.length,
+      "srmCheckByGroup: duplicate arm in expected weights")
+    expected.foreach { case (a, w) =>
+      require(w > 0.0 && w <= 1.0,
+        s"srmCheckByGroup: weight for '$a' ($w) must be in (0, 1]") }
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"srmCheckByGroup: weights must sum to 1 (got ${expected.map(_._2).sum})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decl = expected.toDF("arm", "weight")
+    val census = df.filter(arm.isNotNull && col(segment).isNotNull)
+      .groupBy(col(segment).as("grp"), arm.cast("string").as("arm"))
+      .agg(count(lit(1)).as("n_obs"))
+    // complete every (segment, declared arm) cell: segments frame ×
+    // broadcast arms, then the observed census joins back keyed
+    val segs = census.select(col("grp")).distinct()
+    val complete = segs.crossJoin(broadcast(decl))
+      .join(census, Seq("grp", "arm"), "full_outer")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val wSeg = Window.partitionBy(col("grp"))
+    val e = sum(when(col("weight").isNotNull, col("n_obs"))).over(wSeg)
+      .cast("double") * col("weight")
+    complete
+      .withColumn("expected", e)
+      .withColumn("contrib", when(col("weight").isNotNull && col("expected") > 0.0,
+        round((col("n_obs").cast("double") - col("expected")) *
+          (col("n_obs").cast("double") - col("expected")) / col("expected"), 6)))
+      .withColumn("chi2_micros",
+        (sum(col("contrib").cast(DecimalType(38, 6))).over(wSeg) * 1000000)
+          .cast("long"))
+      .withColumn("dof",
+        (count(col("weight")).over(wSeg) - 1).cast("long"))
+      .select(col("grp"), col("arm"), col("n_obs"), col("weight"),
+        round(col("expected"), 6).as("expected"), col("contrib"),
+        col("chi2_micros"), col("dof"))
+  }
+
   /** Jensen–Shannon divergence between two bucket distributions (r14
     * — [[psiDrift]]'s SYMMETRIC, smoothing-free sibling: PSI needs
     * Laplace smoothing because KL explodes on one-side-only buckets;

@@ -1370,6 +1370,22 @@ object Extended {
       .orderBy(col("col_a"), col("col_b"))
   }
 
+  /** q210: per-year sample-ratio-mismatch check
+    * ([[graft.api.Ops.srmCheckByGroup]]) — q181 keyed by the order
+    * year: a whole-experiment SRM can read clean while one period is
+    * badly skewed; this says WHEN the assignment mechanism broke
+    * (r15).
+    */
+  def q210(t: Tables): DataFrame = {
+    val arms = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      .map(_ -> 0.2)
+    graft.api.Ops.srmCheckByGroup(
+      t.orders.filter(col("o_orderdate").isNotNull)
+        .withColumn("yr", year(col("o_orderdate").cast("timestamp")).cast("long")),
+      "yr", col("o_orderpriority"), arms)
+      .orderBy(col("grp"), col("arm"))
+  }
+
   /** q208: per-priority always-valid mSPRT between order eras
     * ([[graft.api.Ops.msprtByGroup]]) — q196 keyed by the segment,
     * closing the per-segment experimentation family's sequential

@@ -3762,6 +3762,35 @@ class OperatorQualitySpec extends AnyFunSuite {
       chiCells.head.getLong(0) == vOrders.getAs[Long]("chi2_micros"))
   }
 
+  test("r15 srmCheckByGroup: per-segment ≡ whole-frame srmCheck per slice; declared-absent and undeclared arms handled per segment") {
+    import spark.implicits._
+    val w = Seq("x" -> 0.5, "y" -> 0.5)
+    // d1: balanced; d2: x-heavy plus an UNDECLARED arm; arm y is
+    // entirely ABSENT from d2 (its expectation must still count there)
+    val df = (Seq.fill(10)(("d1", "x")) ++ Seq.fill(10)(("d1", "y")) ++
+      Seq.fill(18)(("d2", "x")) ++ Seq.fill(2)(("d2", "w")))
+      .toDF("seg", "arm")
+    val keyed = graft.api.Ops.srmCheckByGroup(df, "seg", col("arm"), w)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    for (seg <- Seq("d1", "d2")) {
+      val whole = graft.api.Ops.srmCheck(
+        df.filter(col("seg") === seg), col("arm"), w)
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+      whole.foreach { case (a, row) =>
+        assert(keyed((seg, a)).toSeq.drop(1) == row,
+          s"segment $seg arm $a keyed ≡ whole-frame slice") }
+    }
+    // d2: y absent but declared -> n_obs 0 with its full expectation;
+    // w undeclared -> reports with null weight, out of the chi2
+    assert(keyed(("d2", "y")).getAs[Long]("n_obs") == 0L &&
+      keyed(("d2", "y")).getAs[Double]("expected") == 9.0)
+    assert(keyed(("d2", "w")).isNullAt(3) &&
+      keyed(("d2", "w")).isNullAt(keyed(("d2", "w")).fieldIndex("contrib")))
+    // d1 is perfectly balanced -> chi2 exactly 0; d2 is not
+    assert(keyed(("d1", "x")).getAs[Long]("chi2_micros") == 0L)
+    assert(keyed(("d2", "x")).getAs[Long]("chi2_micros") > 0L)
+  }
+
   test("r15 calibrationBinsByGroup: per-segment ≡ whole-frame calibrationBins per slice; null segments drop") {
     import spark.implicits._
     import graft.api.Ops._
