@@ -108,7 +108,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // q206's g_a < g_b self-join runs over the k-row GROUP CENSUS
       // (k²/2 pairs by design, never row-level) — the q187
       // bounded-frame argument; pin below bounds it to exactly one
-      "q206_pairwise_welch"))
+      "q206_pairwise_welch",
+      // q210's segments × declared-arms completion is a bounded
+      // broadcast cross by design (the q142 completion argument: a
+      // declared arm absent from a segment is evidence); pin below
+      "q210_srm_by_group"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -173,6 +177,13 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
     assert(keyless206 == 1,
       s"expected exactly the census pair self-join in q206, got $keyless206:\n$p206")
+    // q210's only keyless join is the segments × declared-arms
+    // completion cross; the observed census joins back KEYED
+    val p210 = physicalPlan("q210_srm_by_group")
+    val keyless210 = p210.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(keyless210 == 1,
+      s"expected exactly the segments×arms completion cross in q210, got $keyless210:\n$p210")
   }
 
   test("q123's only keyless join is the 1-row FK scalar pair") {
