@@ -102,10 +102,10 @@ object Bench {
     * trees with IDENTICAL code and plan (exchanges=7 scans=4), so
     * three rounds of apparent q102 "creep" were warm-up maturity
     * inside a 3-run median, not a regression. A second warm-up puts
-    * the timed runs on the flat part of the curve, same as the
-    * sub-2 s rule below does for small queries.
+    * the timed runs on the flat part of the curve — childMain now
+    * applies it to EVERY query (r16: the whole 2 s+ tail showed the
+    * same ramp).
     */
-  private val longTailWarm = Set("q102_interval_join")
 
   /** Sub-2 s queries (committed BENCH_LOCAL_r14 medians), safe to
     * time several-per-child: the r6 contamination artifact was
@@ -240,12 +240,15 @@ object Bench {
       // round-over-round regressions (r13's q06 0.38→0.57 s mover
       // reproduced as warm-up inflation: same-host A/B at 5 runs showed
       // steady state 0.318 vs 0.330 s — ~4%, within spread)
-      val warm0 = System.nanoTime()
+      // ... and the 2 s+ isolated tail pays the same JIT ramp (r15's
+      // q87/q106/q159/q177 read 1.2–1.45× with wide spreads on ONE
+      // warm-up; the q102 forensics showed the first timed run of a
+      // freshly-forked child is still compiling), so every query now
+      // warms twice before timing — the startup cost stays outside
+      // the timings either way
       try runOnce(spark, sfDir, name)
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
-      if ((System.nanoTime() - warm0) / 1e9 < 2.0 || longTailWarm(name)) {
-        try runOnce(spark, sfDir, name) catch { case _: Throwable => }
-      }
+      try runOnce(spark, sfDir, name) catch { case _: Throwable => }
       dropCachedBlocks(spark)
       val ts = (1 to benchRuns).map(_ => timeOnce(spark, sfDir, name)).filter(_ >= 0)
       val runsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
@@ -362,7 +365,18 @@ object Bench {
     // query whose child timed out or crashed is labeled, not silently
     // mixed in with isolated numbers (ADVICE r7)
     val forkedRuns: Map[String, Seq[Double]] =
-      if (canFork) chunks.flatMap(c => forkChunk(c, javaBin, jvmArgs, classpath)).toMap
+      if (canFork) chunks.flatMap { c =>
+        val got = forkChunk(c, javaBin, jvmArgs, classpath)
+        // a chunk timeout (one hung query burning the whole size×N
+        // budget) used to drop every unfinished chunk-mate into the
+        // warm parent JVM — the contamination chunking exists to
+        // avoid. Re-fork the unreported queries solo first; only a
+        // query that ALSO fails alone falls back in-process, labeled.
+        val missing = if (c.length > 1) c.filterNot(got.contains) else Nil
+        if (missing.nonEmpty)
+          System.err.println(s"[bench] re-forking solo: ${missing.mkString(",")}")
+        got ++ missing.flatMap(m => forkChunk(Seq(m), javaBin, jvmArgs, classpath))
+      }.toMap
       else Map.empty
     val results: Seq[(String, Seq[Double], Boolean)] = selected.map { name =>
       forkedRuns.get(name) match {

@@ -2089,7 +2089,7 @@ object SparkEntry {
            |        FROM nodes LEFT JOIN in$i ON in$i.node = nodes.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH ol AS (
-         |  SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+         |  SELECT o_custkey AS cust, -l_suppkey AS supp
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |e AS (SELECT cust AS src, supp AS dst FROM ol
          |      UNION ALL SELECT supp, cust FROM ol),
@@ -2303,7 +2303,7 @@ object SparkEntry {
            |        FROM nodes LEFT JOIN in$i ON in$i.node = nodes.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (
-         |  SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  SELECT o_custkey AS src, -l_suppkey AS dst
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |nodes AS (SELECT DISTINCT node FROM (
          |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
@@ -5205,7 +5205,7 @@ object SparkEntry {
            |      ELSE CAST(0 AS BIGINT) END AS $outCol
            |  FROM nodes LEFT JOIN ${pre}r USING (node) CROSS JOIN ${pre}t)""".stripMargin
       s"""WITH ol AS (
-         |  SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+         |  SELECT o_custkey AS cust, -l_suppkey AS supp
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |e AS (
          |  SELECT CAST(cust AS BIGINT) AS s, CAST(supp AS BIGINT) AS d FROM ol
@@ -5596,7 +5596,8 @@ object SparkEntry {
         |      + 0.3 * (1.0 - n_punct / n_chars)
         |      + 0.2 * (n_stop / n_tokens), 6) * 1000000.0, 0) AS BIGINT) AS sm,
         |    CAST(lang = 'en' AS BIGINT) AS y
-        |  FROM c WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |  FROM c WHERE lang IS NOT NULL AND source IS NOT NULL
+        |    AND n_chars > 0 AND n_tokens > 0),
         |b AS (
         |  SELECT source, least(4, (sm * 5) // 1000000) AS bin, sm, y FROM s),
         |agg AS (
@@ -5676,7 +5677,7 @@ object SparkEntry {
         |      + 0.3 * (1.0 - n_punct / n_chars)
         |      + 0.2 * (n_stop / n_tokens), 6) * 1000000.0, 0) AS BIGINT) AS sm,
         |    CAST(lang = 'en' AS BIGINT) AS y
-        |  FROM c WHERE lang IS NOT NULL),
+        |  FROM c WHERE lang IS NOT NULL AND n_chars > 0 AND n_tokens > 0),
         |b AS (
         |  SELECT least(9, (sm * 10) // 1000000) AS bin, sm, y FROM s),
         |agg AS (

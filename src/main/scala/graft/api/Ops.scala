@@ -2003,7 +2003,21 @@ object Ops {
     * end here, so the two are value-identical by shared code.
     */
   private def msprtFinish(sides: DataFrame, tau2: Double,
-                          lnAlpha: Double): DataFrame = {
+                          lnAlpha: Double): DataFrame =
+    msprtFinishCols(sides, tau2, lnAlpha, keyCols = Nil)
+
+  /** The per-row mSPRT likelihood-ratio finishing expressions over a
+    * frame carrying (n_a, __s_a, __ss_a, n_b, __s_b, __ss_b), with
+    * optional leading key columns carried through — the ONE place
+    * the ln-space tree lives, applied by the 1-row forms ([[msprt]]
+    * / [[msprtFromMoments]]) after their scalar cross and by the
+    * keyed [[msprtByGroup]] after its FULL OUTER merge, so a future
+    * edit (rounding, guards, thresholds) can never silently diverge
+    * the keyed form from the whole-frame form and its oracle.
+    */
+  private def msprtFinishCols(sides: DataFrame, tau2: Double,
+                              lnAlpha: Double,
+                              keyCols: Seq[String]): DataFrame = {
     def nD(s: String) = col(s"n_$s").cast("double")
     def sx(s: String) = col(s"__s_$s").cast("double")
     def sxx(s: String) = col(s"__ss_$s").cast("double")
@@ -2028,8 +2042,9 @@ object Ops {
           .otherwise(lit(0.0))))
       .withColumn("reject", when(ok && vv > 0.0,
         round(lnLambda, 6) > lit(-lnAlpha)))
-      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
-        col("delta"), col("ln_lambda"), col("ln_p"), col("reject"))
+      .select(keyCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("delta"), col("ln_lambda"),
+        col("ln_p"), col("reject")): _*)
   }
 
   /** [[msprt]] served from a [[PreparedMoments]] artifact (r15 — the
@@ -2085,35 +2100,11 @@ object Ops {
           sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
           sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
     }
-    def nD(s: String) = col(s"n_$s").cast("double")
-    def sx(s: String) = col(s"__s_$s").cast("double")
-    def sxx(s: String) = col(s"__ss_$s").cast("double")
-    def mean(s: String) = sx(s) / nD(s)
-    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
-    val vv = v("a") / nD("a") + v("b") / nD("b")
-    val delta = mean("b") - mean("a")
-    val ok = col("n_a") >= 2 && col("n_b") >= 2
-    val lnTerm = round(log(vv / (vv + lit(tau2))), 12)
-    val lnLambda = lit(0.5) * lnTerm +
-      delta * delta * lit(tau2) / (lit(2.0) * vv * (vv + lit(tau2)))
-    side(a, "a").join(side(b, "b"), Seq("grp"), "full_outer")
-      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
-      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
-      .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
-      .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
-      .withColumn("delta", when(col("n_a") > 0 && col("n_b") > 0,
-        round(delta, 6)))
-      .withColumn("ln_lambda", when(ok && vv > 0.0, round(lnLambda, 6)))
-      .withColumn("ln_p", when(ok && vv > 0.0,
-        // branch instead of -greatest(0, x): negating a non-positive
-        // statistic would emit IEEE -0.0, which engines render apart
-        when(round(lnLambda, 6) > 0.0, -round(lnLambda, 6))
-          .otherwise(lit(0.0))))
-      .withColumn("reject", when(ok && vv > 0.0,
-        round(lnLambda, 6) > lit(-lnAlpha)))
-      .select(col("grp"), col("n_a"), col("n_b"), col("mean_a"),
-        col("mean_b"), col("delta"), col("ln_lambda"), col("ln_p"),
-        col("reject"))
+    msprtFinishCols(
+      side(a, "a").join(side(b, "b"), Seq("grp"), "full_outer")
+        .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+        .withColumn("n_b", coalesce(col("n_b"), lit(0L))),
+      tau2, lnAlpha, keyCols = Seq("grp"))
   }
 
   /** Post-stratified two-sample z readout (r15 — the variance-

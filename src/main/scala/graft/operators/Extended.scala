@@ -233,7 +233,7 @@ object Extended {
 
   /** q96: integer PageRank ([[graft.api.Ops.pageRank]]) over the
     * symmetrized customer↔supplier co-purchase graph (orders ⨝
-    * lineitem; supplier ids offset into their own node range;
+    * lineitem; supplier ids NEGATED into their own node range (collision-free at any custkey scale);
     * multi-edges weight by purchase count). 3 iterations, damping
     * 0.85 — the link-centrality quality signal, all-integer so the
     * oracle unrolls the same three iterations in SQL and every rank
@@ -243,7 +243,7 @@ object Extended {
     val ol = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+      .select(col("o_custkey").as("cust"), (-col("l_suppkey")).as("supp"))
     val edges = ol.select(col("cust").as("src"), col("supp").as("dst"))
       .unionByName(ol.select(col("supp").as("src"), col("cust").as("dst")))
     graft.api.Ops.pageRank(edges, "src", "dst", iters = 3)
@@ -263,7 +263,7 @@ object Extended {
     val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
     graft.api.Ops.pageRank(edges, "src", "dst", iters = 3,
         redistributeDangling = true)
       .orderBy(col("node"))
@@ -1268,6 +1268,11 @@ object Extended {
       lit(0.2) * (nStop / nTokens)
     t.documents
       .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      // degenerate text (0 chars or 0 tokens) would make the score
+      // 0/0 = NaN, which Spark's long cast silently turns into 0
+      // while DuckDB diverges — exclude it before scoring (the
+      // oracle SQL carries the identical guard)
+      .filter(length(col("text")) > 0 && size(col("__toks")) > 0)
       // round-6 score → micros via an explicit half-up round BEFORE
       // the long cast (Spark casts truncate, DuckDB casts round —
       // only a pre-rounded integer double lands identically in both)
@@ -1288,7 +1293,7 @@ object Extended {
     val ol = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+      .select(col("o_custkey").as("cust"), (-col("l_suppkey")).as("supp"))
     val edges = ol.select(col("cust").as("src"), col("supp").as("dst"))
       .unionByName(ol.select(col("supp").as("src"), col("cust").as("dst")))
     graft.api.Ops.hitsScores(edges, "src", "dst", iters = 2)
@@ -1425,6 +1430,8 @@ object Extended {
       lit(0.2) * (nStop / nTokens)
     t.documents
       .withColumn("__toks", filter(split(col("text"), " "), x => x =!= ""))
+      // same degenerate-text guard as q199 (0/0 = NaN hazard)
+      .filter(length(col("text")) > 0 && size(col("__toks")) > 0)
       .withColumn("__sm",
         round(round(score, 6) * lit(1000000.0), 0).cast("long"))
       .withColumn("__y", (col("lang") === "en").cast("long"))
