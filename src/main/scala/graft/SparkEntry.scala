@@ -230,6 +230,8 @@ object SparkEntry {
     "q208_msprt_by_group" -> q(Extended.q208),
     "q209_calibration_by_group" -> q(Extended.q209),
     "q210_srm_by_group"   -> q(Extended.q210),
+    "q211_srm_fdr"        -> q(Extended.q211),
+    "q212_welch_fdr"      -> q(Extended.q212),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5693,7 +5695,283 @@ object SparkEntry {
         |    round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6), 6) AS gap,
         |  round(CAST(br AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS brier
         |FROM agg ORDER BY bin""".stripMargin,
+
+    // q211: the q210 chain reduced to one row per segment, then the
+    // portable chi-square p (fixed-N incomplete-gamma series — see
+    // pvChiSqCtes) and the BH windows (see pvBhCtes)
+    "q211_srm_fdr" -> {
+      s"""WITH cen AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS grp,
+         |    o_orderpriority AS arm, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+         |  GROUP BY 1, 2),
+         |decl AS (SELECT * FROM (VALUES
+         |  ('1-URGENT', CAST(0.2 AS DOUBLE)), ('2-HIGH', CAST(0.2 AS DOUBLE)),
+         |  ('3-MEDIUM', CAST(0.2 AS DOUBLE)), ('4-NOT SPECIFIED', CAST(0.2 AS DOUBLE)),
+         |  ('5-LOW', CAST(0.2 AS DOUBLE))) AS t(arm, weight)),
+         |segs AS (SELECT DISTINCT grp FROM cen),
+         |comp AS (SELECT segs.grp, decl.arm, decl.weight FROM segs CROSS JOIN decl),
+         |j AS (
+         |  SELECT COALESCE(comp.grp, cen.grp) AS grp,
+         |    COALESCE(comp.arm, cen.arm) AS arm,
+         |    COALESCE(n_obs, 0) AS n_obs, weight
+         |  FROM comp FULL OUTER JOIN cen
+         |    ON comp.grp = cen.grp AND comp.arm = cen.arm),
+         |w AS (
+         |  SELECT *, CAST(SUM(CASE WHEN weight IS NOT NULL THEN n_obs END)
+         |    OVER (PARTITION BY grp) AS DOUBLE) * weight AS e
+         |  FROM j),
+         |c AS (
+         |  SELECT *, CASE WHEN weight IS NOT NULL AND e > 0 THEN
+         |    round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e, 6)
+         |  END AS contrib
+         |  FROM w),
+         |seg0 AS (
+         |  SELECT DISTINCT grp,
+         |    CAST(CAST(SUM(CAST(contrib AS DECIMAL(38,6))) OVER (PARTITION BY grp)
+         |      AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS chi2_micros,
+         |    CAST(COUNT(weight) OVER (PARTITION BY grp) - 1 AS BIGINT) AS dof
+         |  FROM c),
+         |pvin AS (
+         |  SELECT grp AS g, grp, chi2_micros, dof,
+         |    CAST(chi2_micros AS DOUBLE) / 1000000.0 AS x,
+         |    CAST(dof AS DOUBLE) AS k
+         |  FROM seg0),
+         |${pvChiSqCtes("pvin")},
+         |bhin AS (SELECT grp, chi2_micros, dof, p, g FROM pvfin),
+         |${pvBhCtes("bhin", "g")}
+         |SELECT grp, chi2_micros, dof, p, bh_rank, m_tests, p_adj,
+         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject
+         |FROM bh3 ORDER BY grp""".stripMargin
+    },
+
+    // q212: the q169 Welch chain, then the portable two-sided t p
+    // (fixed-N incomplete-beta series, both branches — see
+    // pvBetaTCtes) and the BH windows
+    "q212_welch_fdr" -> {
+      s"""WITH a AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |b AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |m AS (
+         |  SELECT COALESCE(a.grp, b.grp) AS grp,
+         |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |    s_a, s_b, ss_a, ss_b
+         |  FROM a FULL OUTER JOIN b ON a.grp = b.grp),
+         |f AS (
+         |  SELECT *,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE) AS vna,
+         |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
+         |  FROM m),
+         |welch AS (
+         |  SELECT grp, n_a, n_b,
+         |    CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+         |    CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+         |      round((ma - mb) / sqrt(vna + vnb), 6) END AS t,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+         |      round((vna + vnb) * (vna + vnb) /
+         |        (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
+         |         vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
+         |  FROM f),
+         |pvin AS (
+         |  SELECT grp AS g, grp, n_a, n_b, mean_a, mean_b, t, df,
+         |    CAST(t AS DOUBLE) AS tv, CAST(df AS DOUBLE) AS nu
+         |  FROM welch),
+         |${pvBetaTCtes("pvin")},
+         |bhin AS (SELECT grp, n_a, n_b, mean_a, mean_b, t, df, p, g FROM pvfin),
+         |${pvBhCtes("bhin", "g")}
+         |SELECT grp, n_a, n_b, mean_a, mean_b, t, df, p, bh_rank, m_tests,
+         |  p_adj, CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject
+         |FROM bh3 ORDER BY grp""".stripMargin
+    },
   )
+
+  private def pvLit(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17g", Double.box(d))
+
+  /** The Lanczos ln Γ expression mirrored from `PValues.lnGammaCol` —
+    * same coefficients (17-significant-digit literals that round-trip
+    * to the identical IEEE doubles Spark's `lit` carries), same
+    * left-associated op order, same two round-12 sites on the ln
+    * outputs. `a` is substituted textually, so pass a parenthesized
+    * expression.
+    */
+  private def lnGammaSql(a: String): String = {
+    val c = Seq(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    val aSum = c.zipWithIndex.map {
+      case (c0, 0) => pvLit(c0)
+      case (ci, i) => s"${pvLit(ci)} / ($a + ${pvLit(i - 1.0)})"
+    }.mkString(" + ")
+    s"(${pvLit(0.5 * math.log(2.0 * math.Pi))} + ($a - 0.5) * round(ln($a + 6.5), 12)" +
+      s" - ($a + 6.5) + round(ln($aSum), 12))"
+  }
+
+  /** The shared fixed-N series core mirrored from
+    * `PValues.seriesLnSum`: explode n = 0..2047, DECIMAL(38,12)
+    * ordered cumulative log (exact — associative in any window-
+    * aggregation order), max-normalized round-12 exp terms summed as
+    * DECIMAL(38,14). Expects a CTE `pvpar(g, lnx, ra, rb, ...)` and
+    * ends in `pvagg(g, ml, sv)`.
+    */
+  private def pvSeriesCtes: String =
+    s"""pvidx AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd
+       |          FROM generate_series(0, 2047) AS gs(n)),
+       |pvex AS (SELECT pvpar.g, pvpar.lnx, pvpar.ra, pvpar.rb, pvidx.n, pvidx.nd
+       |         FROM pvpar CROSS JOIN pvidx),
+       |pvcum AS (
+       |  SELECT g, n, SUM(CAST(CASE WHEN n = 0 THEN 0.0
+       |      ELSE lnx + CASE WHEN ra >= 0.0 THEN round(ln(ra + nd), 12) ELSE 0.0 END
+       |        - round(ln(rb + nd), 12) END AS DECIMAL(38,12)))
+       |    OVER (PARTITION BY g ORDER BY n
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+       |  FROM pvex),
+       |pvmx AS (SELECT *, MAX(l) OVER (PARTITION BY g) AS ml FROM pvcum),
+       |pvagg AS (
+       |  SELECT g, MAX(ml) AS ml,
+       |    SUM(CAST(round(exp(CAST(l AS DOUBLE) - CAST(ml AS DOUBLE)), 12)
+       |      AS DECIMAL(38,14))) AS sv
+       |  FROM pvmx GROUP BY g)""".stripMargin
+
+  /** The portable chi-square p mirrored from `PValues.pValueChiSq`:
+    * expects `<in>(g, x, k, ...)` (x = statistic, k = dof, both
+    * DOUBLE), ends in `pvfin` = the input columns + `p`. Same
+    * guards, same sanitized stand-ins, same branch order.
+    */
+  private def pvChiSqCtes(in: String): String =
+    s"""pvg0 AS (
+       |  SELECT *, (x IS NOT NULL AND k IS NOT NULL AND k >= 1.0
+       |    AND x >= 0.0 AND k <= 1200.0) AS okb
+       |  FROM $in),
+       |pvg1 AS (
+       |  SELECT *, (okb AND x > 2.0 * k + 60.0) AS clamp0,
+       |    (okb AND x <= 0.0) AS triv1
+       |  FROM pvg0),
+       |pvg2 AS (
+       |  SELECT *, (okb AND NOT clamp0 AND x > 0.0) AS run FROM pvg1),
+       |pvpar AS (
+       |  SELECT *,
+       |    round(ln(CASE WHEN run THEN x / 2.0 ELSE 1.0 END), 12) AS lnx,
+       |    -1.0 AS ra,
+       |    CASE WHEN run THEN k / 2.0 ELSE 1.0 END AS rb,
+       |    CASE WHEN run THEN k / 2.0 ELSE 1.0 END AS a2,
+       |    CASE WHEN run THEN x / 2.0 ELSE 1.0 END AS z2
+       |  FROM pvg2),
+       |$pvSeriesCtes,
+       |pvf0 AS (
+       |  SELECT pvpar.*,
+       |    CAST(pvagg.ml AS DOUBLE) + round(ln(CAST(pvagg.sv AS DOUBLE)), 12) AS lnS
+       |  FROM pvpar JOIN pvagg USING (g)),
+       |pvf1 AS (
+       |  SELECT *, 1.0 - exp(a2 * round(ln(z2), 12) - z2
+       |    - ${lnGammaSql("(a2 + 1.0)")} + lnS) AS praw
+       |  FROM pvf0),
+       |pvfin AS (
+       |  SELECT *, CASE WHEN NOT okb THEN NULL
+       |    WHEN clamp0 THEN 0.0
+       |    WHEN triv1 THEN 1.0
+       |    ELSE CASE WHEN praw > 0.0 THEN round(praw, 6) ELSE 0.0 END
+       |  END AS p
+       |  FROM pvf1)""".stripMargin
+
+  /** The portable two-sided t p mirrored from `PValues.pValueT`:
+    * expects `<in>(g, tv, nu, ...)` (tv = t statistic, nu = dof,
+    * both DOUBLE), ends in `pvfin` = the input columns + `p`. Same
+    * branch split (t² ≥ ν direct / complement), same clamp, same
+    * sanitized stand-ins, same branch order.
+    */
+  private def pvBetaTCtes(in: String): String =
+    s"""pvg0 AS (
+       |  SELECT *, (tv IS NOT NULL AND nu IS NOT NULL AND nu >= 1.0) AS okb,
+       |    tv * tv AS t2
+       |  FROM $in),
+       |pvg1 AS (
+       |  SELECT *, (okb AND t2 <= 0.0) AS triv1, (t2 >= nu) AS ba FROM pvg0),
+       |pvg2 AS (
+       |  SELECT *, (okb AND NOT ba AND t2 >= 60.0) AS clamp0 FROM pvg1),
+       |pvg3 AS (
+       |  SELECT *, (okb AND NOT clamp0 AND t2 > 0.0) AS run FROM pvg2),
+       |pvg4 AS (
+       |  SELECT *, CASE WHEN run THEN t2 ELSE 1.0 END AS t2s,
+       |    CASE WHEN run THEN nu ELSE 4.0 END AS nvs
+       |  FROM pvg3),
+       |pvg5 AS (
+       |  SELECT *, nvs / (nvs + t2s) AS xa, t2s / (nvs + t2s) AS xb FROM pvg4),
+       |pvg6 AS (
+       |  SELECT *,
+       |    CASE WHEN ba THEN nvs / 2.0 ELSE 0.5 END AS ap,
+       |    CASE WHEN ba THEN 0.5 ELSE nvs / 2.0 END AS bp,
+       |    CASE WHEN ba THEN xa ELSE xb END AS xp,
+       |    CASE WHEN ba THEN xb ELSE xa END AS xc
+       |  FROM pvg5),
+       |pvpar AS (
+       |  SELECT *, round(ln(xp), 12) AS lnx, ap + bp - 1.0 AS ra, ap AS rb
+       |  FROM pvg6),
+       |$pvSeriesCtes,
+       |pvf0 AS (
+       |  SELECT pvpar.*,
+       |    CAST(pvagg.ml AS DOUBLE) + round(ln(CAST(pvagg.sv AS DOUBLE)), 12) AS lnS
+       |  FROM pvpar JOIN pvagg USING (g)),
+       |pvf1 AS (
+       |  SELECT *, exp(ap * round(ln(xp), 12) + bp * round(ln(xc), 12)
+       |    + ${lnGammaSql("(ap + bp)")} - ${lnGammaSql("(ap + 1.0)")}
+       |    - ${lnGammaSql("(bp)")} + lnS) AS pinc
+       |  FROM pvf0),
+       |pvf2 AS (
+       |  SELECT *, CASE WHEN ba THEN pinc ELSE 1.0 - pinc END AS praw FROM pvf1),
+       |pvfin AS (
+       |  SELECT *, CASE WHEN NOT okb THEN NULL
+       |    WHEN triv1 THEN 1.0
+       |    WHEN clamp0 THEN 0.0
+       |    ELSE CASE WHEN praw >= 1.0 THEN 1.0
+       |      WHEN praw > 0.0 THEN round(praw, 6) ELSE 0.0 END
+       |  END AS p
+       |  FROM pvf2)""".stripMargin
+
+  /** The BH adjustment mirrored from `PValues.fdrAdjust`: expects a
+    * CTE `<in>` carrying `p` and the unique tiebreak key `<key>`,
+    * ends in `bh3` = the input columns + m_tests, bh_rank, braw,
+    * p_adj. Null-p rows sort via the 2.0 sentinel in BOTH
+    * directions, exactly as the engine does.
+    */
+  private def pvBhCtes(in: String, key: String): String =
+    s"""bh1 AS (
+       |  SELECT *,
+       |    CAST(COUNT(CASE WHEN p IS NOT NULL THEN 1 END) OVER () AS BIGINT) AS m_tests,
+       |    CASE WHEN p IS NOT NULL THEN
+       |      CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(p, 2.0) ASC, $key ASC) AS BIGINT)
+       |    END AS bh_rank
+       |  FROM $in),
+       |bh2 AS (
+       |  SELECT *, CASE WHEN p IS NOT NULL THEN
+       |    round(CAST(m_tests AS DOUBLE) * p / CAST(bh_rank AS DOUBLE), 12)
+       |  END AS braw
+       |  FROM bh1),
+       |bh3 AS (
+       |  SELECT *, CASE WHEN p IS NOT NULL THEN
+       |    round(LEAST(1.0, MIN(braw) OVER (ORDER BY COALESCE(p, 2.0) DESC, $key DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       |  END AS p_adj
+       |  FROM bh2)""".stripMargin
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —
     * mirrors `Ops.hllDistinct` (p=12) step for step: 60-bit seeded-md5

@@ -1,0 +1,368 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Portable p-value finishers and multiple-testing control (r16 —
+  * VERDICT r15 next #1: the 13-family keyed governance battery
+  * computes χ²/F/t/H statistics; this module makes them DECIDABLE by
+  * finishing each statistic into a p-value and adjusting the keyed
+  * battery with Benjamini–Hochberg, all under the §3 oracle-replay
+  * discipline).
+  *
+  * Every finisher is a fixed-iteration series the oracle replays
+  * step-for-step in SQL (the q196 log-space statement): the
+  * regularized incomplete gamma (χ², and the χ²-limit H) and the
+  * regularized incomplete beta (t, F) are evaluated as
+  *
+  *   - an exploded index frame `n = 0..N-1` (N = 2048, fixed),
+  *   - per-row log-increments `round(ln·, 12) ∓ round(ln·, 12)`
+  *     cumulatively summed as EXACT DECIMAL(38,12) ordered by n —
+  *     decimal, not double, so the running sum is associative and
+  *     identical regardless of how an engine's window aggregator
+  *     trees the additions (DuckDB segment-trees windowed sums;
+  *     a double cumsum would drift at the last ulp),
+  *   - max-normalized terms `round(exp(ℓ_n − M), 12)` summed as
+  *     exact DECIMAL(38,14) (each term ≤ 1 — no overflow at any
+  *     statistic magnitude, the reason the normalization exists),
+  *   - one final fixed double tree combining the log-prefactor
+  *     (Lanczos ln Γ — see [[lnGammaCol]]), M, and ln S, rounded
+  *     at 6.
+  *
+  * Fixed-N series need DOMAIN GUARDS, and each is explicit, branch-
+  * deterministic on round-6 inputs (both engines see identical
+  * doubles, so both take identical branches), and documented at the
+  * finisher: statistics large enough that p < 5e-7 (rounds to
+  * 0.000000) short-circuit to 0 via proven tail bounds BEFORE the
+  * series would need more terms than N; degenerate inputs (stat 0)
+  * short-circuit to 1; parameters outside the guaranteed-convergence
+  * domain (χ² dof > 1200, F numerator dof > 100) yield NULL — the
+  * observable-degradation rule, never a silently wrong p.
+  *
+  * Scale shape: each finisher is one explode (N rows per test row —
+  * test outputs are census-sized, segments × 2048 rows is nothing),
+  * two key-partitioned windows and one keyed re-aggregation on the
+  * SAME key (one exchange, reused). Adding segments adds
+  * parallelism, not passes.
+  */
+object PValues {
+
+  /** Fixed series length. Convergence margins at the documented
+    * domain guards are derived in each finisher's scaladoc; all land
+    * under 2048 with ≥ 40 halvings to spare.
+    */
+  val SeriesN = 2048
+
+  /** Lanczos g = 7, 9-term ln Γ(a) for a ≥ 0.5 as a pure column
+    * expression (the classic public coefficient set). Only the O(1)-
+    * magnitude transcendental OUTPUTS (`ln t`, `ln A`) are rounded
+    * at 12 — every other op is IEEE +/·/÷ on identical doubles,
+    * which both engines round identically, so the whole expression
+    * is bit-deterministic across Spark and DuckDB even at
+    * a ~ 5·10⁵ where ln Γ itself is ~10⁶ (rounding THAT at 12 would
+    * be sub-ulp noise). Accuracy ~1e-13 relative; a shared ε between
+    * engine and oracle cancels in the compare, and ε shifts p by
+    * ~1e-13 relative — invisible at round 6.
+    */
+  def lnGammaCol(a: Column): Column = {
+    val g = 7.0
+    val c = Seq(
+      0.99999999999980993,
+      676.5203681218851,
+      -1259.1392167224028,
+      771.32342877765313,
+      -176.61502916214059,
+      12.507343278686905,
+      -0.13857109526572012,
+      9.9843695780195716e-6,
+      1.5056327351493116e-7)
+    val t = a + lit(g - 0.5)
+    val aSum = c.zipWithIndex.map {
+      case (c0, 0) => lit(c0)
+      case (ci, i) => lit(ci) / (a + lit(i - 1.0))
+    }.reduce(_ + _)
+    lit(0.5 * math.log(2.0 * math.Pi)) +
+      (a - lit(0.5)) * round(log(t), 12) - t + round(log(aSum), 12)
+  }
+
+  /** Shared series core: given a one-row-per-key frame carrying the
+    * sanitized per-key columns `__lnx` (ln of the ratio's constant
+    * factor, already round-12), `__ra` and `__rb` such that the
+    * term ratio T_n/T_{n-1} (n ≥ 1) is
+    * `exp(__lnx + round(ln(__ra + n), 12) − round(ln(__rb + n), 12))`
+    * (pass __ra = null-free sentinel and the caller's convention
+    * `__ra < 0` meaning "no numerator factor"), returns one row per
+    * key with all carried columns plus `__lnS` = ln Σ_{n<N} T_n
+    * (T_0 = 1) as a double.
+    *
+    * keyCols must uniquely identify rows (test outputs are keyed);
+    * with no keys the frame is 1-row census-scalar and the windows
+    * are 1-row.
+    */
+  private def seriesLnSum(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = if (keyCols.nonEmpty) keyCols else Seq("__onekey")
+    val base = if (keyCols.nonEmpty) df else df.withColumn("__onekey", lit(1))
+    val carried = base.columns.filterNot(keys.contains).toSeq
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("__n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val incr =
+      when(col("__n") === 0, lit(0.0)).otherwise(
+        col("__lnx") +
+          when(col("__ra") >= 0.0, round(log(col("__ra") + col("__n")), 12))
+            .otherwise(lit(0.0)) -
+          round(log(col("__rb") + col("__n")), 12))
+    val out = base
+      .withColumn("__n", explode(sequence(lit(0), lit(SeriesN - 1))))
+      .withColumn("__n", col("__n").cast("double"))
+      // exact decimal cumulative log: associative, so identical in
+      // any engine's window-aggregation order
+      .withColumn("__l", sum(incr.cast(DecimalType(38, 12))).over(wCum))
+      .withColumn("__m", max(col("__l")).over(wKey))
+      // subtract as DOUBLES: Spark demotes decimal(38,12) −
+      // decimal(38,12) to scale 11 (precision-cap rule) while DuckDB
+      // keeps 12 — two exact decimal→double casts + one IEEE
+      // subtraction are identical in both engines
+      .withColumn("__term",
+        round(exp(col("__l").cast("double") - col("__m").cast("double")), 12)
+          .cast(DecimalType(38, 14)))
+    out.groupBy(keys.map(col): _*)
+      .agg(first(col("__m")).as("__mx"),
+        sum(col("__term")).as("__s") +: carried.map(c => first(col(c)).as(c)): _*)
+      .withColumn("__lnS",
+        col("__mx").cast("double") + round(log(col("__s").cast("double")), 12))
+      .drop("__mx", "__s")
+      .drop(if (keyCols.nonEmpty) "__nonexistent" else "__onekey")
+  }
+
+  /** χ² (and Kruskal–Wallis H, whose null is the same χ²) upper-tail
+    * p-value: p = Q(k/2, x/2), the regularized upper incomplete
+    * gamma, finished portably per the module contract.
+    *
+    * Series: Q = 1 − P with P(a, z) = exp(a ln z − z − ln Γ(a+1)) ·
+    * Σ_{n≥0} T_n, T_0 = 1, T_n/T_{n-1} = z/(a+n) — factorially
+    * convergent past n ≈ z − a.
+    *
+    * Domain guards (a = k/2, z = x/2):
+    *   - x ≤ 0 → p = 1 (and no ln(0) is ever taken);
+    *   - x > 2k + 60 → p = 0: the Chernoff bound
+    *     P(χ²_k ≥ x) ≤ ((x/k)·e^{1−x/k})^{k/2} is < 5e-7 for every
+    *     k ≥ 1 at x = 2k + 60 (k=1: e^{-18}; k=10: 2e-11; k=100:
+    *     e^{-32}), so the true p rounds to 0.000000 anyway;
+    *   - k > 1200 → p NULL (observable): un-clamped z ≤ k + 30
+    *     needs terms past the ratio-½ point 2z − a ≤ 1.5k + 60;
+    *     k = 1200 → 1860 + 40 halvings ≤ 2048 = N. Larger dof would
+    *     silently truncate — refuse instead.
+    *
+    * Inputs are the battery's round-6 doubles, so both engines take
+    * identical branches. Output round 6; the 1 − P subtraction is
+    * branch-guarded against IEEE −0.0.
+    */
+  def pValueChiSq(df: DataFrame, stat: String, dof: String,
+                  keyCols: Seq[String], out: String = "p"): DataFrame = {
+    val x = col(stat).cast("double")
+    val k = col(dof).cast("double")
+    val okBase = x.isNotNull && k.isNotNull && k >= 1.0 && x >= 0.0 && k <= 1200.0
+    val clamp0 = okBase && x > lit(2.0) * k + lit(60.0)
+    val triv1 = okBase && x <= 0.0
+    val run = okBase && !clamp0 && x > 0.0
+    // sanitized params: every non-series row computes on benign
+    // stand-ins (ANSI-safe: no ln(0), no 0/0) and is masked at the end
+    val aS = when(run, k / lit(2.0)).otherwise(lit(1.0))
+    val zS = when(run, x / lit(2.0)).otherwise(lit(1.0))
+    val prepared = df
+      .withColumn("__lnx", round(log(zS), 12))
+      .withColumn("__ra", lit(-1.0))
+      .withColumn("__rb", aS)
+      .withColumn("__lnpre",
+        aS * round(log(zS), 12) - zS - lnGammaCol(aS + lit(1.0)))
+    val praw = lit(1.0) - exp(col("__lnpre") + col("__lnS"))
+    seriesLnSum(prepared, keyCols)
+      .withColumn(out,
+        when(!okBase, lit(null).cast("double"))
+          .when(clamp0, lit(0.0))
+          .when(triv1, lit(1.0))
+          // branch, don't clamp: round(−ε, 6) would emit IEEE −0.0
+          .otherwise(when(praw > 0.0, round(praw, 6)).otherwise(lit(0.0))))
+      .drop("__lnx", "__ra", "__rb", "__lnpre", "__lnS")
+  }
+
+  /** Two-sided Student/Welch t p-value: p = P(|T_ν| > t) =
+    * I_x(ν/2, ½) with x = ν/(ν + t²), the regularized incomplete
+    * beta, finished portably per the module contract. ν is the
+    * battery's (real, Welch–Satterthwaite) round-6 dof.
+    *
+    * Series: I_X(A, B) = exp(A ln X + B ln X' + ln Γ(A+B) −
+    * ln Γ(A+1) − ln Γ(B)) · Σ_{n≥0} U_n with U_0 = 1 and
+    * U_n/U_{n-1} = X·(A+B+n−1)/(A+n) (the ₂F₁(A+B, 1; A+1; X)
+    * form); X' is the complement computed as its OWN division
+    * (t²/(ν+t²), never 1 − X) so engine and oracle round
+    * identically.
+    *
+    * Branches (on identical round-6 inputs → identical in both
+    * engines):
+    *   - t = 0 → p = 1;
+    *   - t² ≥ ν ("branch A"): direct series at X = ν/(ν+t²) ≤ ½,
+    *     A = ν/2, B = ½ — the ratio is < X ≤ ½ from n = 0 (the
+    *     numerator factor A+B+n−1 < A+n when B < 1), geometric
+    *     immediately, ANY ν: the heavy small-ν tails that defeat
+    *     clamping live exactly here and converge in < 60 terms;
+    *   - t² < ν and t² ≥ 60 → p = 0: within this branch ν > 60, and
+    *     P(|T_ν| > t) ≤ (1 + t²/ν)^{−(ν−1)/2} ≤ e^{−0.34·t²·(1−1/ν)}
+    *     < 1e-8 at t² = 60 — rounds to 0;
+    *   - else ("branch B"): p = 1 − I_Y(½, ν/2) at Y = t²/(ν+t²)
+    *     < ½ — term growth peaks near n ≈ Y·(ν+1)/2·(1−Y)⁻¹ ≤ 2t²
+    *     ≤ 120 and the ratio is ≤ ¾ past n ≈ 2t², hundreds of
+    *     spare halvings under N.
+    */
+  def pValueT(df: DataFrame, t: String, nu: String,
+              keyCols: Seq[String], out: String = "p"): DataFrame = {
+    val tv = col(t).cast("double")
+    val nv = col(nu).cast("double")
+    val okBase = tv.isNotNull && nv.isNotNull && nv >= 1.0
+    val t2 = tv * tv
+    val triv1 = okBase && t2 <= 0.0
+    val branchA = t2 >= nv
+    val clamp0 = okBase && !branchA && t2 >= 60.0
+    val run = okBase && !clamp0 && t2 > 0.0
+    val t2S = when(run, t2).otherwise(lit(1.0))
+    val nvS = when(run, nv).otherwise(lit(4.0))
+    val xa = nvS / (nvS + t2S)
+    val xb = t2S / (nvS + t2S)
+    val aP = when(branchA, nvS / lit(2.0)).otherwise(lit(0.5))
+    val bP = when(branchA, lit(0.5)).otherwise(nvS / lit(2.0))
+    val xP = when(branchA, xa).otherwise(xb)
+    val xC = when(branchA, xb).otherwise(xa)
+    val prepared = df
+      .withColumn("__lnx", round(log(xP), 12))
+      .withColumn("__ra", aP + bP - lit(1.0))
+      .withColumn("__rb", aP)
+      .withColumn("__lnpre",
+        aP * round(log(xP), 12) + bP * round(log(xC), 12) +
+          lnGammaCol(aP + bP) - lnGammaCol(aP + lit(1.0)) - lnGammaCol(bP))
+      .withColumn("__bA", branchA)
+    val inc = exp(col("__lnpre") + col("__lnS"))
+    val praw = when(col("__bA"), inc).otherwise(lit(1.0) - inc)
+    seriesLnSum(prepared, keyCols)
+      .withColumn(out,
+        when(!okBase, lit(null).cast("double"))
+          .when(triv1, lit(1.0))
+          .when(clamp0, lit(0.0))
+          .otherwise(
+            when(praw >= 1.0, lit(1.0))
+              .when(praw > 0.0, round(praw, 6))
+              .otherwise(lit(0.0))))
+      .drop("__lnx", "__ra", "__rb", "__lnpre", "__lnS", "__bA")
+  }
+
+  /** F upper-tail p-value: p = P(F_{d1,d2} > f) = I_X(d2/2, d1/2)
+    * with X = d2/(d2 + d1·f) — same incomplete-beta series as
+    * [[pValueT]] (identical machinery, X' again its own division
+    * d1·f/(d2 + d1·f)).
+    *
+    * Branches and guards:
+    *   - f ≤ 0 → p = 1; d1 > 100 → NULL (numerator dof is a group
+    *     count — an ANOVA with >100 arms is outside the guaranteed
+    *     series domain; observable, never truncated);
+    *   - d2 ≤ 2000: fully exact, branch on X ≤ ½ (direct, A = d2/2,
+    *     B = d1/2 ≤ 50: growth ≤ B terms then geometric) vs X > ½
+    *     (complement at Y = d1f/(d2+d1f) < ½, A = d1/2, B = d2/2:
+    *     growth peaks ≤ B − A ≤ 1000, ratio ≤ ¾ past ~B and
+    *     monotonically falling toward Y — e^{-300} of margin at N);
+    *   - d2 > 2000 and d1·f ≥ 2·d1 + 80 → p = 0: split the event on
+    *     the denominator χ²_{d2}/d2 ≥ ¾ —
+    *     P ≤ P(χ²_{d1} ≥ ¾·s) + P(χ²_{d2} ≤ ¾·d2); at s = 2d1+80,
+    *     d1 ≤ 100 the first is ≤ (3e^{-2})^{d1/2} · margin < 2e-8
+    *     and the second ≤ (¾·e^{¼})^{d2/2} ≤ 0.963^{1000} < 5e-17;
+    *   - d2 > 2000 otherwise: complement branch with s < 2d1 + 80 ≤
+    *     280 → Y < 0.13, growth ≤ 165 terms, ratio ≤ ¾ past ~240.
+    */
+  def pValueF(df: DataFrame, f: String, d1: String, d2: String,
+              keyCols: Seq[String], out: String = "p"): DataFrame = {
+    val fv = col(f).cast("double")
+    val k1 = col(d1).cast("double")
+    val k2 = col(d2).cast("double")
+    val okBase = fv.isNotNull && k1.isNotNull && k2.isNotNull &&
+      fv >= 0.0 && k1 >= 1.0 && k2 >= 1.0 && k1 <= 100.0
+    val triv1 = okBase && fv <= 0.0
+    val s = k1 * fv
+    val clamp0 = okBase && k2 > 2000.0 && s >= lit(2.0) * k1 + lit(80.0)
+    val run = okBase && !clamp0 && fv > 0.0
+    val fS = when(run, fv).otherwise(lit(1.0))
+    val k1S = when(run, k1).otherwise(lit(1.0))
+    val k2S = when(run, k2).otherwise(lit(4.0))
+    val sS = k1S * fS
+    val xa = k2S / (k2S + sS)
+    val xb = sS / (k2S + sS)
+    val branchA = xa <= 0.5
+    val aP = when(branchA, k2S / lit(2.0)).otherwise(k1S / lit(2.0))
+    val bP = when(branchA, k1S / lit(2.0)).otherwise(k2S / lit(2.0))
+    val xP = when(branchA, xa).otherwise(xb)
+    val xC = when(branchA, xb).otherwise(xa)
+    val prepared = df
+      .withColumn("__lnx", round(log(xP), 12))
+      .withColumn("__ra", aP + bP - lit(1.0))
+      .withColumn("__rb", aP)
+      .withColumn("__lnpre",
+        aP * round(log(xP), 12) + bP * round(log(xC), 12) +
+          lnGammaCol(aP + bP) - lnGammaCol(aP + lit(1.0)) - lnGammaCol(bP))
+      .withColumn("__bA", branchA)
+    val inc = exp(col("__lnpre") + col("__lnS"))
+    val praw = when(col("__bA"), inc).otherwise(lit(1.0) - inc)
+    seriesLnSum(prepared, keyCols)
+      .withColumn(out,
+        when(!okBase, lit(null).cast("double"))
+          .when(triv1, lit(1.0))
+          .when(clamp0, lit(0.0))
+          .otherwise(
+            when(praw >= 1.0, lit(1.0))
+              .when(praw > 0.0, round(praw, 6))
+              .otherwise(lit(0.0))))
+      .drop("__lnx", "__ra", "__rb", "__lnpre", "__lnS", "__bA")
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a keyed test battery:
+    * given one p-value per hypothesis (segment), emits
+    * `bh_rank` (1-based rank by ascending p, keys as tiebreak),
+    * `m_tests` (the non-null hypothesis count), and `out` =
+    * min(1, min_{j ≥ rank} m·p_j/j) rounded at 6 — the adjusted
+    * p the battery is actually decided on.
+    *
+    * The ranks and the reverse running min ride UNPARTITIONED
+    * ordered windows — BH is a rank procedure over the HYPOTHESES,
+    * whose count is the segment domain (bounded by construction,
+    * the league-table pattern), never the corpus. Null-p rows sort
+    * via a sentinel ABOVE the p range (engines disagree on default
+    * null ordering) and pass through with null rank/adjusted-p;
+    * both engines' running MIN skips nulls identically.
+    *
+    * keyCols must order rows totally (unique keys) so both engines
+    * rank ties identically.
+    */
+  def fdrAdjust(df: DataFrame, pCol: String, keyCols: Seq[String],
+                out: String = "p_adj"): DataFrame = {
+    require(keyCols.nonEmpty, "fdrAdjust: keyCols must order the hypotheses")
+    val p = col(pCol).cast("double")
+    val pOrd = coalesce(p, lit(2.0))
+    val ascCols = pOrd.asc +: keyCols.map(col(_).asc)
+    val descCols = pOrd.desc +: keyCols.map(col(_).desc)
+    val wAll = Window.partitionBy()
+    val wAsc = Window.orderBy(ascCols: _*)
+    val wDesc = Window.orderBy(descCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("m_tests", count(when(p.isNotNull, lit(1))).over(wAll))
+      .withColumn("bh_rank",
+        when(p.isNotNull, row_number().over(wAsc).cast("long")))
+      .withColumn("__raw",
+        when(p.isNotNull,
+          round(col("m_tests").cast("double") * p /
+            col("bh_rank").cast("double"), 12)))
+      .withColumn(out,
+        when(p.isNotNull,
+          round(least(lit(1.0), min(col("__raw")).over(wDesc)), 6)))
+      .drop("__raw")
+  }
+}

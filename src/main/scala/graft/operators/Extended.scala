@@ -1483,4 +1483,55 @@ object Extended {
       .regressionByGroup("s_nationkey", col("l_quantity"), col("l_extendedprice"))
       .orderBy(col("s_nationkey"))
   }
+
+  /** q211: the q210 per-segment SRM battery made DECIDABLE
+    * ([[graft.api.PValues.pValueChiSq]] +
+    * [[graft.api.PValues.fdrAdjust]], r16) — each segment's χ² is
+    * finished into a portable p-value (fixed-iteration regularized
+    * incomplete gamma, oracle-replayed step for step) and the
+    * battery is Benjamini–Hochberg-adjusted across segments, the
+    * multiple-testing control a per-segment alert actually fires on.
+    */
+  def q211(t: Tables): DataFrame = {
+    import graft.api.PValues
+    val arms = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      .map(_ -> 0.2)
+    val seg = graft.api.Ops.srmCheckByGroup(
+        t.orders.filter(col("o_orderdate").isNotNull)
+          .withColumn("yr", year(col("o_orderdate").cast("timestamp")).cast("long")),
+        "yr", col("o_orderpriority"), arms)
+      .select(col("grp"), col("chi2_micros"), col("dof")).distinct()
+      .withColumn("chi2", col("chi2_micros").cast("double") / lit(1000000.0))
+    PValues.fdrAdjust(
+        PValues.pValueChiSq(seg, "chi2", "dof", Seq("grp")), "p", Seq("grp"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .select(col("grp"), col("chi2_micros"), col("dof"), col("p"),
+        col("bh_rank"), col("m_tests"), col("p_adj"), col("reject"))
+      .orderBy(col("grp"))
+  }
+
+  /** q212: the q169 per-segment Welch battery made decidable
+    * ([[graft.api.PValues.pValueT]] +
+    * [[graft.api.PValues.fdrAdjust]], r16) — each priority's Welch t
+    * with its real Satterthwaite dof is finished into a two-sided
+    * p (fixed-iteration regularized incomplete beta, both branches
+    * oracle-replayed) and BH-adjusted across the battery.
+    */
+  def q212(t: Tables): DataFrame = {
+    import graft.api.PValues
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val w = graft.api.Ops.welchTByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("o_totalprice"))
+    PValues.fdrAdjust(
+        PValues.pValueT(w, "t", "df", Seq("grp")), "p", Seq("grp"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("t"), col("df"), col("p"), col("bh_rank"),
+        col("m_tests"), col("p_adj"), col("reject"))
+      .orderBy(col("grp"))
+  }
 }
