@@ -232,6 +232,8 @@ object SparkEntry {
     "q210_srm_by_group"   -> q(Extended.q210),
     "q211_srm_fdr"        -> q(Extended.q211),
     "q212_welch_fdr"      -> q(Extended.q212),
+    "q213_mde_proportions" -> q(Extended.q213),
+    "q214_msprt_horizon"  -> q(Extended.q214),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5800,6 +5802,92 @@ object SparkEntry {
          |SELECT grp, n_a, n_b, mean_a, mean_b, t, df, p, bh_rank, m_tests,
          |  p_adj, CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject
          |FROM bh3 ORDER BY grp""".stripMargin
+    },
+
+    // q213: exact integer (n, successes) per era, one 1x1 cross, the
+    // pooled-variance two-proportion sizing tree with the shared
+    // 17-digit z literals
+    "q213_mde_proportions" -> {
+      val z = String.format(java.util.Locale.ROOT,
+        "(CAST(%.17e AS DOUBLE) + CAST(%.17e AS DOUBLE))",
+        Double.box(graft.api.Ops.zAlpha025), Double.box(graft.api.Ops.zPower80))
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS x_a
+         |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+         |b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS x_b
+         |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+         |f AS (
+         |  SELECT *,
+         |    (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE)) /
+         |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+         |  FROM a CROSS JOIN b),
+         |g AS (
+         |  SELECT *, pool * (1.0 - pool) *
+         |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS se2
+         |  FROM f)
+         |SELECT n_a, n_b, x_a, x_b,
+         |  CASE WHEN n_a > 0 THEN
+         |    round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS p_a,
+         |  CASE WHEN n_b > 0 THEN
+         |    round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS p_b,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN round(pool, 6) END AS p_pool,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1 AND se2 > 0 THEN
+         |    round($z * sqrt(se2), 6) END AS mde_abs,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1 AND se2 > 0 AND CAST(x_a AS DOUBLE) > 0 THEN
+         |    round($z * sqrt(se2) /
+         |      (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)), 6) END AS mde_rel
+         |FROM g""".stripMargin
+    },
+
+    // q214: the moment census, the pure-integer three-tier candidate
+    // grid, the q196 ln-space boundary at delta=100 / tau2=1e6, MIN
+    // crossing
+    "q214_msprt_horizon" -> {
+      val thr = String.format(java.util.Locale.ROOT, "CAST(%.17e AS DOUBLE)",
+        Double.box(2.995732273553991))
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_src,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |f AS (
+         |  SELECT *,
+         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |      / CAST(n_src AS DOUBLE)) / (CAST(n_src AS DOUBLE) - 1.0) AS v
+         |  FROM m),
+         |fok AS (
+         |  SELECT *, (n_src >= 2 AND v > 0.0) AS okv,
+         |    CASE WHEN n_src >= 2 AND v > 0.0 THEN v ELSE 1.0 END AS vs
+         |  FROM f),
+         |grid AS (
+         |  SELECT CAST(n AS BIGINT) AS n_try FROM generate_series(1, 65536) AS g1(n)
+         |  UNION ALL
+         |  SELECT CAST(n AS BIGINT) FROM generate_series(66560, 67108864, 1024) AS g2(n)
+         |  UNION ALL
+         |  SELECT CAST(n AS BIGINT) FROM generate_series(67174400, 1073741824, 65536) AS g3(n)),
+         |ex AS (
+         |  SELECT fok.*, grid.n_try,
+         |    2.0 * vs / CAST(n_try AS DOUBLE) AS vv
+         |  FROM fok CROSS JOIN grid),
+         |ln1 AS (
+         |  SELECT *, 0.5 * round(ln(vv / (vv + CAST(1000000.0 AS DOUBLE))), 12) +
+         |    CAST(10000.0 AS DOUBLE) * CAST(1000000.0 AS DOUBLE) /
+         |      (2.0 * vv * (vv + CAST(1000000.0 AS DOUBLE))) AS lnl
+         |  FROM ex)
+         |SELECT MAX(n_src) AS n_src,
+         |  MAX(CASE WHEN okv THEN round(v, 6) END) AS sigma2,
+         |  CAST(100.0 AS DOUBLE) AS delta,
+         |  CAST(1000000.0 AS DOUBLE) AS tau2,
+         |  MIN(CASE WHEN okv AND lnl > $thr THEN n_try END) AS horizon_n
+         |FROM ln1""".stripMargin
     },
   )
 

@@ -1949,6 +1949,119 @@ object Ops {
         col("sd_a"), col("sd_b"), col("mde_abs"), col("mde_rel"))
   }
 
+  /** Two-proportion minimum-detectable-effect readout (r16 — VERDICT
+    * r15 next #2, the PROPORTIONS half of [[mdeReadout]] and the
+    * before-launch companion of the q134 two-proportion z world:
+    * "with this traffic split, what conversion-rate lift could the
+    * test even see"): per side ONE map-combinable aggregate of the
+    * exact integer (n, successes) census — no doubles touch the
+    * corpus — then the standard pooled-variance sizing tree
+    * `mde_abs = (z_{1−α/2} + z_power)·√(p̂(1−p̂)(1/n_a + 1/n_b))`
+    * with `p̂ = (x_a+x_b)/(n_a+n_b)` as one fixed double shape over
+    * the exact counts, round 6. A degenerate pool (p̂ ∈ {0, 1} — no
+    * variance to size against) or an empty side reports null with
+    * the counts saying why. `success` must be a BOOLEAN column.
+    * Returns ONE row: (n_a, n_b, x_a, x_b, p_a, p_b, p_pool,
+    * mde_abs, mde_rel).
+    *
+    * Scale shape: two map-combinable 1-row integer aggregates + one
+    * 1×1 cross — the q162/q183 census-scalar statement.
+    */
+  def mdeProportions(a: DataFrame, b: DataFrame, success: Column,
+                     zAlpha: Double = zAlpha025,
+                     zPower: Double = zPower80): DataFrame = {
+    require(zAlpha > 0.0 && zPower >= 0.0,
+      "mdeProportions: z constants must be positive")
+    def side(df: DataFrame, suf: String): DataFrame =
+      df.filter(success.isNotNull).agg(
+        count(lit(1)).as(s"n_$suf"),
+        coalesce(sum(when(success, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as(s"x_$suf"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def xD(s: String) = col(s"x_$s").cast("double")
+    val ok = col("n_a") >= 1 && col("n_b") >= 1
+    val pool = (xD("a") + xD("b")) / (nD("a") + nD("b"))
+    val se2 = pool * (lit(1.0) - pool) *
+      (lit(1.0) / nD("a") + lit(1.0) / nD("b"))
+    val mde = (lit(zAlpha) + lit(zPower)) * sqrt(se2)
+    side(a, "a").crossJoin(broadcast(side(b, "b")))
+      .withColumn("p_a", when(col("n_a") > 0, round(xD("a") / nD("a"), 6)))
+      .withColumn("p_b", when(col("n_b") > 0, round(xD("b") / nD("b"), 6)))
+      .withColumn("p_pool", when(ok, round(pool, 6)))
+      .withColumn("mde_abs", when(ok && se2 > 0.0, round(mde, 6)))
+      .withColumn("mde_rel", when(ok && se2 > 0.0 && xD("a") > 0.0,
+        round(mde / (xD("a") / nD("a")), 6)))
+      .select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        col("p_a"), col("p_b"), col("p_pool"), col("mde_abs"),
+        col("mde_rel"))
+  }
+
+  /** mSPRT decision-horizon readout (r16 — VERDICT r15 next #2, the
+    * before-launch half of [[msprt]]: "at effect δ under mixing
+    * variance τ², how many samples per arm until the always-valid
+    * boundary would fire" — the sequential analogue of
+    * [[mdeReadout]]'s fixed-n sizing): the metric's variance σ²
+    * comes from ONE map-combinable exact-decimal moment aggregate of
+    * the supplied frame (the pre-experiment traffic), and the
+    * deterministic expected path with equal allocation n per arm has
+    * V(n) = 2σ²/n and
+    * `ln Λ(n) = ½·ln(V/(V+τ²)) + δ²τ²/(2V(V+τ²))` (the
+    * [[msprtFinish]] tree with Δ pinned at δ). The horizon is the
+    * SMALLEST n on a fixed integer grid with ln Λ(n) > −ln α.
+    *
+    * The grid is pure integer arithmetic — three stepped ranges
+    * (1..2¹⁶ step 1, then step 2¹⁰ to 2²⁶, then step 2¹⁶ to 2³⁰ ≈
+    * 10⁹) — so engine and oracle enumerate IDENTICAL candidates with
+    * no exp/pow anywhere (a geometric grid would hang the candidate
+    * values off `exp`'s last ulp); resolution is ≤1.6% of n
+    * everywhere past the exact range. ln Λ is the usual fixed tree
+    * with its one ln rounded at 12. No crossing on the grid (δ too
+    * small, or beyond 2³⁰) → null horizon, observable; degenerate
+    * variance (n < 2 or σ² ≤ 0) → null with counts reporting.
+    * Returns ONE row: (n_src, sigma2, delta, tau2, horizon_n).
+    *
+    * Scale shape: one map-combinable 1-row moment aggregate, one
+    * ~147k-row generated grid off that single row, one 1-row
+    * re-aggregation — corpus cost is the one scan.
+    */
+  def msprtHorizon(df: DataFrame, value: Column, delta: Double,
+                   tau2: Double,
+                   lnAlpha: Double = -2.995732273553991): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau2 > 0.0, s"msprtHorizon: tau2 ($tau2) must be positive")
+    require(lnAlpha < 0.0, s"msprtHorizon: lnAlpha ($lnAlpha) must be negative")
+    val d = graft.util.Portable.dec(value)
+    val m = df.filter(value.isNotNull).agg(
+      count(lit(1)).as("n_src"),
+      sum(d).cast(DecimalType(38, 2)).as("__s"),
+      sum(d * d).cast(DecimalType(38, 4)).as("__ss"))
+    val nD = col("n_src").cast("double")
+    val v = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) /
+      (nD - lit(1.0))
+    val okv = col("n_src") >= 2
+    val vS = when(okv && v > 0.0, v).otherwise(lit(1.0))
+    val grid = concat(
+      sequence(lit(1L), lit(65536L)),
+      sequence(lit(66560L), lit(67108864L), lit(1024L)),
+      sequence(lit(67174400L), lit(1073741824L), lit(65536L)))
+    val vv = lit(2.0) * vS / col("__n_try").cast("double")
+    val lnLam = lit(0.5) * round(log(vv / (vv + lit(tau2))), 12) +
+      lit(delta * delta) * lit(tau2) /
+        (lit(2.0) * vv * (vv + lit(tau2)))
+    m.withColumn("__ok", okv && v > 0.0)
+      .withColumn("__n_try", explode(grid))
+      .withColumn("__cross", col("__ok") && lnLam > lit(-lnAlpha))
+      .groupBy()
+      .agg(first(col("n_src")).as("n_src"),
+        first(when(col("__ok"), round(v, 6))).as("sigma2"),
+        min(when(col("__cross"), col("__n_try"))).as("horizon_n"))
+      .withColumn("delta", lit(delta))
+      .withColumn("tau2", lit(tau2))
+      .select(col("n_src"), col("sigma2"), col("delta"), col("tau2"),
+        col("horizon_n"))
+  }
+
   /** Mixture sequential probability ratio test (r15 — the
     * ALWAYS-VALID inference member of the experimentation-governance
     * family beside [[mdeReadout]]/[[srmCheck]]/[[welchT]]: a fixed-n

@@ -1534,4 +1534,31 @@ object Extended {
         col("m_tests"), col("p_adj"), col("reject"))
       .orderBy(col("grp"))
   }
+
+  /** q213: two-proportion MDE between order eras
+    * ([[graft.api.Ops.mdeProportions]]) — "what completed-order-rate
+    * shift could a test across the 1998 cut even see": exact integer
+    * success censuses per side, the pooled-variance sizing tree,
+    * round 6 (r16).
+    */
+  def q213(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_orderdate").isNotNull && col("o_orderstatus").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.mdeProportions(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("o_orderstatus") === "F")
+  }
+
+  /** q214: mSPRT decision horizon for order totals
+    * ([[graft.api.Ops.msprtHorizon]]) — "at a $100 effect under the
+    * q196 mixing variance, how many samples per arm until the
+    * always-valid monitor would fire": one exact moment census, a
+    * pure-integer candidate grid, the q196 ln-space boundary (r16).
+    */
+  def q214(t: Tables): DataFrame =
+    graft.api.Ops.msprtHorizon(
+      t.orders.filter(col("o_totalprice").isNotNull), col("o_totalprice"),
+      delta = 100.0, tau2 = 1000000.0)
 }
