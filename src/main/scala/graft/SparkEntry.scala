@@ -234,6 +234,7 @@ object SparkEntry {
     "q212_welch_fdr"      -> q(Extended.q212),
     "q213_mde_proportions" -> q(Extended.q213),
     "q214_msprt_horizon"  -> q(Extended.q214),
+    "q215_ann_recall_by_group" -> q(Extended.q215),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5621,48 +5622,35 @@ object SparkEntry {
 
     // q200: the q35 brute-force CTEs and the q36 IVF CTEs, then the
     // per-query overlap/recall report over the two (qid, vid) sets
+    // (chain shared with q215 via annPerQueryCtes)
     "q200_ann_recall" ->
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |           FROM embeddings),
-        |ex_scored AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS vid,
-        |    list_cosine_similarity(q.emb, c.emb) AS raw
-        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-        |ex AS (SELECT qid, vid FROM (
-        |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS rank
-        |  FROM ex_scored) WHERE rank <= 5),
-        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id >= 100 AND vec_id < 108),
-        |scored_cells AS (
-        |  SELECT v.vec_id, v.emb, c.cid,
-        |    row_number() OVER (PARTITION BY v.vec_id
-        |      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC, c.cid) AS rn
-        |  FROM v CROSS JOIN cents c),
-        |corpus AS (SELECT vec_id AS vid, emb AS c_emb, cid AS cell FROM scored_cells WHERE rn = 1),
-        |queries AS (SELECT vec_id AS qid, emb AS q_emb, cid AS cell
-        |            FROM scored_cells WHERE vec_id < 10 AND rn <= 2),
-        |cand AS (
-        |  SELECT q.qid, c.vid, list_cosine_similarity(q.q_emb, c.c_emb) AS raw
-        |  FROM corpus c JOIN queries q ON c.cell = q.cell AND c.vid <> q.qid),
-        |ap AS (SELECT qid, vid FROM (
-        |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS rank
-        |  FROM cand) WHERE rank <= 5),
-        |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
-        |  FROM (SELECT DISTINCT qid, vid FROM ex) GROUP BY 1),
-        |na AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_approx
-        |  FROM (SELECT DISTINCT qid, vid FROM ap) GROUP BY 1),
-        |nov AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_overlap FROM (
-        |  (SELECT DISTINCT qid, vid FROM ex) INTERSECT
-        |  (SELECT DISTINCT qid, vid FROM ap)) GROUP BY 1)
-        |SELECT COALESCE(ne.qid, na.qid) AS qid,
-        |  COALESCE(n_exact, 0) AS n_exact,
-        |  COALESCE(n_approx, 0) AS n_approx,
-        |  COALESCE(n_overlap, 0) AS n_overlap,
-        |  CASE WHEN COALESCE(n_exact, 0) > 0 THEN
-        |    round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
-        |  END AS recall
-        |FROM ne FULL OUTER JOIN na ON ne.qid = na.qid
-        |LEFT JOIN nov ON COALESCE(ne.qid, na.qid) = nov.qid
-        |ORDER BY qid""".stripMargin,
+      s"""WITH $annPerQueryCtes
+        |SELECT qid, n_exact, n_approx, n_overlap, recall
+        |FROM per ORDER BY qid""".stripMargin,
+
+    // q215: the q200 per-query report LEFT-joined to the embedding
+    // labels (unmapped queries keyed __unsegmented__), rolled up per
+    // label with the silent-miss count and the micro recall
+    "q215_ann_recall_by_group" ->
+      s"""WITH $annPerQueryCtes,
+        |lab AS (
+        |  SELECT DISTINCT vec_id AS qid, CAST(label AS VARCHAR) AS seg
+        |  FROM embeddings WHERE vec_id IS NOT NULL),
+        |jl AS (
+        |  SELECT per.*, COALESCE(lab.seg, '__unsegmented__') AS grp
+        |  FROM per LEFT JOIN lab USING (qid))
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(CASE WHEN n_approx = 0 AND n_exact > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_silent_miss,
+        |  CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+        |  CAST(SUM(n_approx) AS BIGINT) AS n_approx,
+        |  CAST(SUM(n_overlap) AS BIGINT) AS n_overlap,
+        |  CASE WHEN CAST(SUM(n_exact) AS BIGINT) > 0 THEN
+        |    round(CAST(CAST(SUM(n_overlap) AS BIGINT) AS DOUBLE) /
+        |      CAST(CAST(SUM(n_exact) AS BIGINT) AS DOUBLE), 6) END AS recall
+        |FROM jl GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // (q200/q215 shared per-query chain lives in annPerQueryCtes below)
 
     // q199: the q40 score recipe → exact integer micros (explicit
     // half-up round before the BIGINT cast — Spark casts truncate,
@@ -5890,6 +5878,54 @@ object SparkEntry {
          |FROM ln1""".stripMargin
     },
   )
+
+  /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER
+    * overlap/recall report, shared by the q200 (whole-frame) and
+    * q215 (per-label) oracles. Ends in `per(qid, n_exact, n_approx,
+    * n_overlap, recall)`.
+    */
+  private val annPerQueryCtes: String =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |           FROM embeddings),
+      |ex_scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+      |    list_cosine_similarity(q.emb, c.emb) AS raw
+      |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |ex AS (SELECT qid, vid FROM (
+      |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS rank
+      |  FROM ex_scored) WHERE rank <= 5),
+      |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id >= 100 AND vec_id < 108),
+      |scored_cells AS (
+      |  SELECT v.vec_id, v.emb, c.cid,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC, c.cid) AS rn
+      |  FROM v CROSS JOIN cents c),
+      |corpus AS (SELECT vec_id AS vid, emb AS c_emb, cid AS cell FROM scored_cells WHERE rn = 1),
+      |queries AS (SELECT vec_id AS qid, emb AS q_emb, cid AS cell
+      |            FROM scored_cells WHERE vec_id < 10 AND rn <= 2),
+      |cand AS (
+      |  SELECT q.qid, c.vid, list_cosine_similarity(q.q_emb, c.c_emb) AS raw
+      |  FROM corpus c JOIN queries q ON c.cell = q.cell AND c.vid <> q.qid),
+      |ap AS (SELECT qid, vid FROM (
+      |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS rank
+      |  FROM cand) WHERE rank <= 5),
+      |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM (SELECT DISTINCT qid, vid FROM ex) GROUP BY 1),
+      |na AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_approx
+      |  FROM (SELECT DISTINCT qid, vid FROM ap) GROUP BY 1),
+      |nov AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_overlap FROM (
+      |  (SELECT DISTINCT qid, vid FROM ex) INTERSECT
+      |  (SELECT DISTINCT qid, vid FROM ap)) GROUP BY 1),
+      |per AS (
+      |  SELECT COALESCE(ne.qid, na.qid) AS qid,
+      |    COALESCE(n_exact, 0) AS n_exact,
+      |    COALESCE(n_approx, 0) AS n_approx,
+      |    COALESCE(n_overlap, 0) AS n_overlap,
+      |    CASE WHEN COALESCE(n_exact, 0) > 0 THEN
+      |      round(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)
+      |    END AS recall
+      |  FROM ne FULL OUTER JOIN na ON ne.qid = na.qid
+      |  LEFT JOIN nov ON COALESCE(ne.qid, na.qid) = nov.qid)""".stripMargin
 
   private def pvLit(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.17g", Double.box(d))

@@ -2695,6 +2695,53 @@ object Ops {
         col("n_overlap"), col("recall"))
   }
 
+  /** Per-segment ANN recall (r16 — VERDICT r15 next #7:
+    * [[annRecallReport]] keyed by a query segment, the governance
+    * family's pattern applied to the one readout that was still
+    * whole-frame: a whole-corpus recall of 0.93 can hide a segment
+    * at 0.40, and recall BY language/source/label is how an ANN
+    * regression is actually localized): the per-query FULL OUTER
+    * report (silent misses included — the semantics that make the
+    * readout honest) LEFT-joins the per-query segment mapping (a
+    * query without a mapping reports under `__unsegmented__`,
+    * observable, never dropped), then one map-combinable roll-up
+    * per segment: query/miss counts, the summed exact/approx/overlap
+    * censuses, and the micro recall Σoverlap/Σexact, round 6.
+    * `segments` must map each query to at most ONE segment (it is
+    * distinct-ed on the pair; a multi-labeled query would
+    * double-count).
+    * Returns one row per segment: (grp, n_queries, n_silent_miss,
+    * n_exact, n_approx, n_overlap, recall).
+    *
+    * Scale shape: the per-query report is queries×k-bounded; one
+    * keyed (broadcastable) mapping join + one map-combinable
+    * aggregate on top — adding segments adds parallelism, not
+    * passes.
+    */
+  def annRecallReportByGroup(exact: DataFrame, approx: DataFrame,
+                             query: String, item: String,
+                             segments: DataFrame,
+                             segment: String): DataFrame = {
+    val per = annRecallReport(exact, approx, query, item)
+    val seg = segments.filter(col(query).isNotNull)
+      .select(col(query), col(segment).cast("string").as("__seg"))
+      .distinct()
+    per.join(seg, Seq(query), "left_outer")
+      .withColumn("grp", coalesce(col("__seg"), lit("__unsegmented__")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("n_approx") === 0 && col("n_exact") > 0, lit(1L))
+          .otherwise(lit(0L))).as("n_silent_miss"),
+        sum(col("n_exact")).as("n_exact"),
+        sum(col("n_approx")).as("n_approx"),
+        sum(col("n_overlap")).as("n_overlap"))
+      .withColumn("recall", when(col("n_exact") > 0,
+        round(col("n_overlap").cast("double") /
+          col("n_exact").cast("double"), 6)))
+      .select(col("grp"), col("n_queries"), col("n_silent_miss"),
+        col("n_exact"), col("n_approx"), col("n_overlap"), col("recall"))
+  }
+
   /** Per-user top-N item recommendations (r13 — the SERVING step the
     * q133 item-item similarities exist for: "customers who bought
     * your basket also bought ..."): candidates come ONLY from the

@@ -1561,4 +1561,15 @@ object Extended {
     graft.api.Ops.msprtHorizon(
       t.orders.filter(col("o_totalprice").isNotNull), col("o_totalprice"),
       delta = 100.0, tau2 = 1000000.0)
+
+  /** q215: per-label ANN recall ([[graft.api.Ops.annRecallReportByGroup]])
+    * — q200 keyed by the query's embedding label, the readout that
+    * localizes an ANN regression to the segment it lives in (r16).
+    */
+  def q215(t: Tables): DataFrame =
+    graft.api.Ops.annRecallReportByGroup(
+      graft.operators.Similarity.q35(t), graft.operators.Similarity.q36(t),
+      "qid", "vid",
+      t.embeddings.select(col("vec_id").as("qid"), col("label")), "label")
+      .orderBy(col("grp"))
 }
