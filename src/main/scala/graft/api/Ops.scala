@@ -2635,7 +2635,7 @@ object Ops {
     }
     var scores = ck(nodes
       .withColumn("hub", lit(scale / n)).withColumn("auth", lit(scale / n)))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val aRaw = e.join(
           scores.select(col("node").as("__src"), col("hub")), Seq("__src"))
         .groupBy(col("__dst").as("node"))
@@ -2646,7 +2646,14 @@ object Ops {
         .groupBy(col("__src").as("node"))
         .agg(sum(col("auth").cast(d38)).as("__raw"))
       val hNew = normalized(hRaw, "hub")
-      scores = ck(hNew.join(aNew, Seq("node")))
+      val next = hNew.join(aNew, Seq("node"))
+      // checkpoint every 2nd iteration and at the end, not every one
+      // (VERDICT r15 #5: at sf0.1 the wall was checkpoint-dominated):
+      // the fixed iteration budget has no convergence probe to serve,
+      // and one un-broken iteration doubles plan size once (aNew
+      // renders under both consumers, ReuseExchange dedupes
+      // execution) — bounded, and spec-pinned by the flat-plan test
+      scores = if (i % 2 == 0 || i == iters) ck(next) else next
     }
     scores.select(col("node"), col("hub"), col("auth"))
   }
@@ -6057,7 +6064,7 @@ object Ops {
     val base = (r0 * (10000L - dampingBp)) / 10000L
     val outdeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("__od"))
     var ranks = ck(nodes.withColumn("rank", lit(r0)))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val give = ranks.join(outdeg, Seq("node"))
         .select(col("node").as("__src"), expr("rank div __od").as("__c"))
       val recv = e.join(give, Seq("__src"))
@@ -6078,7 +6085,13 @@ object Ops {
             .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
           nodes.join(recv, Seq("node"), "left").join(broadcast(dangling))
         }
-      ranks = ck(received.select(col("node"), (lit(base) + damped).as("rank")))
+      val next = received.select(col("node"), (lit(base) + damped).as("rank"))
+      // every-2nd-iteration cadence (VERDICT r15 #5): the fixed
+      // budget has no per-round probe, so a checkpoint per iteration
+      // bought nothing but materialization wall; one un-broken
+      // iteration keeps lineage at two joins (the dangling 1-row
+      // aggregate rides the same plan, recomputed not re-collected)
+      ranks = if (i % 2 == 0 || i == iters) ck(next) else next
     }
     ranks
   }
