@@ -2605,7 +2605,8 @@ object Ops {
     */
   def hitsScores(edges: DataFrame, src: String, dst: String, iters: Int = 2,
                  scale: Long = 1000000000000L,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 saltHotDegree: Long = 0L, saltK: Int = 8): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(iters >= 0 && iters <= 10, s"hitsScores: iters must be in [0, 10] (got $iters)")
     require(scale > 0L && scale <= 1000000000000000L,
@@ -2633,16 +2634,30 @@ object Ops {
             .otherwise(lit(0L)))
         .select(col("node"), col(out))
     }
+    // hot sets for the two per-iteration vertex joins (out-degree
+    // for the __src hub join, in-degree for the __dst authority
+    // join); saltHotDegree = 0 → off, materialized once when on
+    val (hotOut, hotIn) =
+      if (saltHotDegree > 0L)
+        (Some(ck(hotVertices(e, "__src", saltHotDegree))),
+          Some(ck(hotVertices(e, "__dst", saltHotDegree))))
+      else (None, None)
     var scores = ck(nodes
       .withColumn("hub", lit(scale / n)).withColumn("auth", lit(scale / n)))
     for (i <- 1 to iters) {
-      val aRaw = e.join(
-          scores.select(col("node").as("__src"), col("hub")), Seq("__src"))
+      val hubIn = scores.select(col("node").as("__src"), col("hub"))
+      val aRaw = (hotOut match {
+          case Some(h) => saltedVertexJoin(e, hubIn, "__src", col("__dst"), h, saltK)
+          case None => e.join(hubIn, Seq("__src"))
+        })
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("hub").cast(d38)).as("__raw"))
       val aNew = normalized(aRaw, "auth")
-      val hRaw = e.join(
-          aNew.select(col("node").as("__dst"), col("auth")), Seq("__dst"))
+      val authIn = aNew.select(col("node").as("__dst"), col("auth"))
+      val hRaw = (hotIn match {
+          case Some(h) => saltedVertexJoin(e, authIn, "__dst", col("__src"), h, saltK)
+          case None => e.join(authIn, Seq("__dst"))
+        })
         .groupBy(col("__src").as("node"))
         .agg(sum(col("auth").cast(d38)).as("__raw"))
       val hNew = normalized(hRaw, "hub")
@@ -5163,12 +5178,19 @@ object Ops {
     */
   private[graft] def connectedComponentsWithRounds(
       edges: DataFrame, src: String, dst: String,
-      maxRounds: Int, checkpointDir: Option[String]): (DataFrame, Int) = {
+      maxRounds: Int, checkpointDir: Option[String],
+      saltHotDegree: Long = 0L, saltK: Int = 8): (DataFrame, Int) = {
     val ck = lineageBreaker(checkpointDir)
     withLongVertexIds(edges, src, dst, ck) { e =>
     val sym = ck(e.unionByName(
       e.select(col("__dst").as("__src"), col("__src").as("__dst"))))
     val verts = sym.select(col("__src").as("vertex")).distinct()
+    // hot-vertex set for the per-round edge ⨝ labels join
+    // (saltHotDegree = 0 → off), materialized once
+    val hotSrc =
+      if (saltHotDegree > 0L)
+        Some(ck(hotVertices(sym, "__src", saltHotDegree)))
+      else None
     var labels = ck(verts.withColumn("component", col("vertex")))
     def signature(d: DataFrame): (Long, Long, Long) = {
       val r = d.agg(count(lit(1)),
@@ -5183,8 +5205,11 @@ object Ops {
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val viaNeighbors = sym
-        .join(labels, col("__src") === col("vertex"))
+      val lbl = labels.select(col("vertex").as("__src"), col("component"))
+      val viaNeighbors = (hotSrc match {
+          case Some(h) => saltedVertexJoin(sym, lbl, "__src", col("__dst"), h, saltK)
+          case None => sym.join(lbl, Seq("__src"))
+        })
         .select(col("__dst").as("vertex"), col("component"))
       labels = ck(labels.select(col("vertex"), col("component"))
         .unionByName(viaNeighbors)
@@ -6042,10 +6067,66 @@ object Ops {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** The hot-vertex set a [[saltedVertexJoin]] salts: vertices whose
+    * degree in `vertex`'s column meets `minDegree` — the declared
+    * bound that keeps the set broadcastable (|hot| ≤ |E|/minDegree
+    * by counting). Feed the threshold from a
+    * [[GraftDataFrameOps.skewStats]] read of the edge frame: the
+    * share table says whether a key is hot enough to matter and the
+    * count column calibrates `minDegree`.
+    */
+  def hotVertices(edges: DataFrame, vertex: String,
+                  minDegree: Long): DataFrame = {
+    require(minDegree >= 1L, s"hotVertices: minDegree ($minDegree) must be >= 1")
+    edges.filter(col(vertex).isNotNull)
+      .groupBy(col(vertex)).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minDegree)
+      .select(col(vertex))
+  }
+
+  /** Salted vertex-keyed join (r16 — VERDICT r15 next #6, the one
+    * 100 TB hazard the BSP audit had left: every iteration of
+    * PageRank/HITS/CC hash-partitions the edge frame by vertex id to
+    * meet the per-vertex score/label frame, and on a power-law graph
+    * ONE celebrity vertex's 10⁸ edges land on one reducer — the join
+    * is correct and the cluster still stalls on a single task):
+    * edges carrying a declared-hot key take a deterministic salt
+    * `xxhash64(other endpoint) mod k` spreading them over k
+    * partitions; the (small by construction — see [[hotVertices]])
+    * per-vertex side replicates its hot rows k ways so every salted
+    * edge still meets exactly ONE per-vertex row; cold keys keep
+    * salt 0 and exactly one replica. The joined multiset is
+    * therefore IDENTICAL to the unsalted join row-for-row — the
+    * equivalence PropertySpec pins on a planted-skew graph — and
+    * every downstream aggregate is unchanged by construction.
+    *
+    * Scale shape: one broadcast hot-set tag on each side + the same
+    * keyed hash join on (key, salt) — the hot key's rows now spread
+    * over k tasks instead of one; nothing new shuffles.
+    */
+  private[graft] def saltedVertexJoin(e: DataFrame, perVertex: DataFrame,
+                                      key: String, saltSource: Column,
+                                      hot: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1024, s"saltedVertexJoin: k ($k) must be in [2, 1024]")
+    val hotSet = broadcast(
+      hot.select(col(key)).distinct().withColumn("__is_hot", lit(1)))
+    val eS = e.join(hotSet, Seq(key), "left")
+      .withColumn("__salt", when(col("__is_hot").isNotNull,
+        pmod(xxhash64(saltSource), lit(k.toLong))).otherwise(lit(0L)))
+      .drop("__is_hot")
+    val pvS = perVertex.join(hotSet, Seq(key), "left")
+      .withColumn("__salt", explode(
+        when(col("__is_hot").isNotNull, sequence(lit(0L), lit(k.toLong - 1L)))
+          .otherwise(sequence(lit(0L), lit(0L)))))
+      .drop("__is_hot")
+    eS.join(pvS, Seq(key, "__salt")).drop("__salt")
+  }
+
   def pageRank(edges: DataFrame, src: String, dst: String, iters: Int = 3,
                dampingBp: Long = 8500L, totalMass: Long = 1000000000000L,
                redistributeDangling: Boolean = false,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               saltHotDegree: Long = 0L, saltK: Int = 8): DataFrame = {
     require(iters >= 0 && iters <= 20, s"iters must be in [0, 20] (got $iters)")
     require(dampingBp >= 0L && dampingBp <= 10000L,
       s"dampingBp is basis points in [0, 10000] (got $dampingBp)")
@@ -6063,11 +6144,22 @@ object Ops {
     val r0 = totalMass / n
     val base = (r0 * (10000L - dampingBp)) / 10000L
     val outdeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("__od"))
+    // hot-source set for the per-iteration edge ⨝ contributions join
+    // (saltHotDegree = 0 → off): materialized ONCE so the broadcast
+    // doesn't re-census the edges every iteration
+    val hotSrc =
+      if (saltHotDegree > 0L)
+        Some(ck(hotVertices(e, "__src", saltHotDegree)))
+      else None
     var ranks = ck(nodes.withColumn("rank", lit(r0)))
     for (i <- 1 to iters) {
       val give = ranks.join(outdeg, Seq("node"))
         .select(col("node").as("__src"), expr("rank div __od").as("__c"))
-      val recv = e.join(give, Seq("__src"))
+      val joined = hotSrc match {
+        case Some(h) => saltedVertexJoin(e, give, "__src", col("__dst"), h, saltK)
+        case None => e.join(give, Seq("__src"))
+      }
+      val recv = joined
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__c")).as("__in"))
       val damped =
@@ -6199,8 +6291,11 @@ object Ops {
       * the scale notes. Returns (vertex, component).
       */
     def connectedComponents(src: String, dst: String, maxRounds: Int = 50,
-                            checkpointDir: Option[String] = None): DataFrame =
-      connectedComponentsWithRounds(left, src, dst, maxRounds, checkpointDir)._1
+                            checkpointDir: Option[String] = None,
+                            saltHotDegree: Long = 0L,
+                            saltK: Int = 8): DataFrame =
+      connectedComponentsWithRounds(left, src, dst, maxRounds, checkpointDir,
+        saltHotDegree, saltK)._1
 
     /** Diameter-independent connected components — the large-star /
       * small-star contraction of [[Ops.connectedComponentsStarWithRounds]].
