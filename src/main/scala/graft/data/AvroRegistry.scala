@@ -64,6 +64,59 @@ object AvroRegistry {
   def frameHeader(schemaId: Int): Array[Byte] =
     java.nio.ByteBuffer.allocate(5).put(0: Byte).putInt(schemaId).array()
 
+  /** Encode rows as FRAMED Avro datums (r16 — VERDICT r15 next #3,
+    * the inverse of [[decodeFramed]] and the produce half of the
+    * reference's Kafka roadmap item): each row is written with the
+    * PROVIDER'S writer schema for `schemaId` and framed
+    * `magic 0x00 + BE schema id + binary datum`, so the id on the
+    * wire can never disagree with the bytes behind it — the schema
+    * is looked up through the same [[SchemaProvider]] the consumer
+    * resolves against, making decode ∘ encode an identity by
+    * construction (spec-pinned, including a reader on an UPGRADED
+    * schema taking defaults for added fields).
+    *
+    * The frame's payload fields are taken from the input BY NAME in
+    * writer-schema order (extra input columns are ignored unless
+    * listed in `keepCols`, which ride beside the framed bytes — the
+    * Kafka key / partition-affinity path). Output:
+    * keepCols ++ (`avro_framed` BINARY).
+    */
+  def encodeFramed(df: DataFrame, schemaId: Int, provider: SchemaProvider,
+                   keepCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.avro.generic.GenericDatumWriter
+    import org.apache.avro.io.EncoderFactory
+    val writerJson = provider.writerSchema(schemaId).getOrElse(
+      throw new IllegalArgumentException(
+        s"encodeFramed: SchemaProvider has no writer schema for id $schemaId"))
+    val st = AvroSchemas.toSparkType(
+      AvroSchemas.parse(writerJson)).asInstanceOf[StructType]
+    require(!keepCols.contains("avro_framed"),
+      "encodeFramed: keepCols may not claim the output column avro_framed")
+    val projected = df.select(
+      (keepCols ++ st.fields.map(_.name)).map(org.apache.spark.sql.functions.col): _*)
+    val header = frameHeader(schemaId)
+    val kept = keepCols.map(c => projected.schema(projected.schema.fieldIndex(c)))
+    val outSchema = StructType(
+      kept :+ StructField("avro_framed", BinaryType, nullable = false))
+    val nKeep = keepCols.length
+    val payloadLen = st.fields.length
+    projected.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(writerJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val bos = new java.io.ByteArrayOutputStream()
+      val encoder = EncoderFactory.get().binaryEncoder(bos, null)
+      rows.map { row =>
+        bos.reset()
+        bos.write(header, 0, header.length)
+        val enc = EncoderFactory.get().binaryEncoder(bos, encoder)
+        val payload = Row.fromSeq((nKeep until nKeep + payloadLen).map(row.get))
+        writer.write(AvroBinary.rowToRecord(payload, st, schema), enc)
+        enc.flush()
+        Row.fromSeq((0 until nKeep).map(row.get) :+ bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Decode framed Avro datums (batch or streaming DataFrame) against
     * `readerSchemaJson`, resolving each datum's writer schema through
     * the provider. `permissive = true` nulls undecodable datums (bad

