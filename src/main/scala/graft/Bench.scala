@@ -94,7 +94,9 @@ object Bench {
     "q203_anova", "q204_anova_by_group", "q205_brown_forsythe",
     "q206_pairwise_welch", "q207_corr_matrix",
     "q208_msprt_by_group", "q209_calibration_by_group",
-    "q210_srm_by_group")
+    "q210_srm_by_group", "q211_srm_fdr", "q212_welch_fdr",
+    "q213_mde_proportions", "q214_msprt_horizon",
+    "q215_ann_recall_by_group")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

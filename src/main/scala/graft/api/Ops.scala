@@ -1669,10 +1669,15 @@ object Ops {
     val hist = sizes.groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
     val tot = corpus.filter(col(id).isNotNull).agg(count(lit(1)).as("n_docs_total"))
-    val wAll = Window.partitionBy()
+    // histogram totals as a 1-row aggregate broadcast cross (the q181
+    // scalar shape) rather than an unpartitioned window — same values
+    // (the histogram is domain-bounded either way), strictly safer
+    // plan (VERDICT r15 nit #3, the last undocumented whole-frame
+    // window outside the league-table cases)
+    val histTotals = hist.agg(sum(col("n_docs")).as("n_clustered"),
+      sum(col("n_clusters")).as("__ncl"))
     hist.crossJoin(broadcast(tot))
-      .withColumn("n_clustered", sum(col("n_docs")).over(wAll))
-      .withColumn("__ncl", sum(col("n_clusters")).over(wAll))
+      .crossJoin(broadcast(histTotals))
       .withColumn("dup_mass", col("n_clustered") - col("__ncl"))
       .withColumn("kept_ratio",
         round((col("n_docs_total") - col("dup_mass")).cast("double") /

@@ -112,7 +112,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // q210's segments × declared-arms completion is a bounded
       // broadcast cross by design (the q142 completion argument: a
       // declared arm absent from a segment is evidence); pin below
-      "q210_srm_by_group"))
+      "q210_srm_by_group",
+      // r16: q211 composes q210's completion cross (the p-value /
+      // BH finishing on top adds windows and an explode, no joins);
+      // q213 is the q162 two-1-row-frame cross; q215 composes q35's
+      // documented brute-force broadcast (twice-rendered, like
+      // q200); dedicated pins below bound each to exactly those
+      "q211_srm_fdr", "q213_mde_proportions",
+      "q215_ann_recall_by_group"))
 
   test("q57's packing window is shard-partitioned, never a global ordering") {
     val plan = physicalPlan("q57_seq_pack")
@@ -184,6 +191,20 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
     assert(keyless210 == 1,
       s"expected exactly the segments×arms completion cross in q210, got $keyless210:\n$p210")
+    // r16 pins: q211 inherits q210's one completion cross (the
+    // series explode, its windows, and the BH windows add NO joins);
+    // q213 is the q162/q183 1-row × 1-row census-scalar pair; q215
+    // composes q35's twice-rendered brute-force broadcast exactly as
+    // q200 does, with the label roll-up join KEYED
+    for ((name, want, what) <- Seq(
+      ("q211_srm_fdr", 1, "q210's segments×arms completion cross"),
+      ("q213_mde_proportions", 1, "the 1-row × 1-row proportion-census cross"),
+      ("q215_ann_recall_by_group", 2, "q35's twice-rendered brute-force broadcast"))) {
+      val plan = physicalPlan(name)
+      val keyless = plan.linesIterator.count(l =>
+        l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      assert(keyless == want, s"expected exactly $what in $name, got $keyless:\n$plan")
+    }
   }
 
   test("q123's only keyless join is the 1-row FK scalar pair") {
