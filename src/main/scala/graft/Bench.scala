@@ -96,7 +96,10 @@ object Bench {
     "q208_msprt_by_group", "q209_calibration_by_group",
     "q210_srm_by_group", "q211_srm_fdr", "q212_welch_fdr",
     "q213_mde_proportions", "q214_msprt_horizon",
-    "q215_ann_recall_by_group")
+    "q215_ann_recall_by_group",
+    "q216_anova_fdr", "q217_kw_fdr", "q218_mwu_fdr",
+    "q219_spearman_fdr", "q220_ks_fdr", "q221_governance_battery",
+    "q222_mde_prop_by_group", "q223_horizon_by_group")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

@@ -473,6 +473,21 @@ object ScaleProbe {
       // r12 wave 7: the q156 census shape + ONE aggregate — cost
       // tracks the value domain
       "q157_mwu"      -> (t => operators.Extended.q157(t)),
+      // r16: decidable batteries — each is its gated census chain
+      // (collapses the corpus first) + the fixed-N p-value series on
+      // the segment frame + the league-table BH windows; cost must
+      // track the census, the series work is constant
+      "q216_anova"    -> (t => operators.Extended.q216(t)),
+      "q217_kw"       -> (t => operators.Extended.q217(t)),
+      "q218_mwu"      -> (t => operators.Extended.q218(t)),
+      "q219_spearman" -> (t => operators.Extended.q219(t)),
+      "q220_ks"       -> (t => operators.Extended.q220(t)),
+      // r16 capstone: three census batteries + a 15-row union + BH
+      "q221_gov"      -> (t => operators.Extended.q221(t)),
+      // r16: keyed sizing readouts — integer censuses / moment
+      // censuses collapse the corpus; the grid is segment-bounded
+      "q222_mde_prop" -> (t => operators.Extended.q222(t)),
+      "q223_horizon"  -> (t => operators.Extended.q223(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

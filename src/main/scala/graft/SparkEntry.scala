@@ -235,6 +235,14 @@ object SparkEntry {
     "q213_mde_proportions" -> q(Extended.q213),
     "q214_msprt_horizon"  -> q(Extended.q214),
     "q215_ann_recall_by_group" -> q(Extended.q215),
+    "q216_anova_fdr"      -> q(Extended.q216),
+    "q217_kw_fdr"         -> q(Extended.q217),
+    "q218_mwu_fdr"        -> q(Extended.q218),
+    "q219_spearman_fdr"   -> q(Extended.q219),
+    "q220_ks_fdr"         -> q(Extended.q220),
+    "q221_governance_battery" -> q(Extended.q221),
+    "q222_mde_prop_by_group" -> q(Extended.q222),
+    "q223_horizon_by_group" -> q(Extended.q223),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -5871,11 +5879,527 @@ object SparkEntry {
          |      (2.0 * vv * (vv + CAST(1000000.0 AS DOUBLE))) AS lnl
          |  FROM ex)
          |SELECT MAX(n_src) AS n_src,
-         |  MAX(CASE WHEN okv THEN round(v, 6) END) AS sigma2,
+         |  MAX(CASE WHEN okv THEN CAST(round(v, 0) AS BIGINT) END) AS sigma2,
          |  CAST(100.0 AS DOUBLE) AS delta,
          |  CAST(1000000.0 AS DOUBLE) AS tau2,
          |  MIN(CASE WHEN okv AND lnl > $thr THEN n_try END) AS horizon_n
          |FROM ln1""".stripMargin
+    },
+
+    // q216: the q204 ANOVA chain per status, then the portable F p
+    // (fixed-N incomplete-beta series at d1 = k−1, d2 = N−k — see
+    // pvFCtes) and the BH windows
+    "q216_anova_fdr" -> {
+      s"""WITH m AS (
+         |  SELECT o_orderstatus AS grp, o_orderpriority AS g,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+         |    AND o_orderstatus IS NOT NULL
+         |  GROUP BY 1, 2),
+         |t AS (
+         |  SELECT *,
+         |    round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) AS tb,
+         |    round(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 12) AS tw
+         |  FROM m),
+         |agg AS (
+         |  SELECT grp, CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS k_groups,
+         |    CAST(SUM(s) AS DECIMAL(38,2)) AS st,
+         |    SUM(CAST(tb AS DECIMAL(38,12))) AS sb,
+         |    SUM(CAST(tw AS DECIMAL(38,12))) AS sw
+         |  FROM t GROUP BY 1),
+         |fin AS (
+         |  SELECT grp, n_total, k_groups,
+         |    CAST(sb AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n_total AS DOUBLE) AS ssb,
+         |    CAST(sw AS DOUBLE) AS ssw
+         |  FROM agg),
+         |an AS (
+         |  SELECT grp, n_total, k_groups,
+         |    CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssw > 0 THEN
+         |      round((ssb / CAST(k_groups - 1 AS DOUBLE)) /
+         |        (ssw / CAST(n_total - k_groups AS DOUBLE)), 6) END AS f,
+         |    CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssb + ssw > 0 THEN
+         |      round(ssb / (ssb + ssw), 6) END AS eta_sq
+         |  FROM fin),
+         |pvin AS (
+         |  SELECT grp AS g, grp, n_total, k_groups, f, eta_sq,
+         |    CAST(f AS DOUBLE) AS fv, CAST(k_groups - 1 AS DOUBLE) AS k1,
+         |    CAST(n_total - k_groups AS DOUBLE) AS k2
+         |  FROM an),
+         |${pvFCtes("pvin")},
+         |bhin AS (SELECT grp, n_total, k_groups, f, eta_sq, p, g FROM pvfin),
+         |${pvBhCtes("bhin", "g")}
+         |SELECT grp, n_total, k_groups, f, eta_sq, p, bh_rank, m_tests, p_adj,
+         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject
+         |FROM bh3 ORDER BY grp""".stripMargin
+    },
+
+    // q217: the q177 Kruskal–Wallis chain reduced to one row per
+    // segment, then the portable chi-square p at the χ²(k−1) null
+    // (H's tie-corrected h_adj) and the BH windows
+    "q217_kw_fdr" -> {
+      s"""WITH src AS (
+         |  SELECT o_orderpriority AS seg, o_orderstatus AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+         |cg AS (SELECT seg, grp, v, CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2, 3),
+         |mv AS (SELECT seg, v, CAST(SUM(c) AS BIGINT) AS m FROM cg GROUP BY 1, 2),
+         |mvs AS (
+         |  SELECT seg, v, m, COALESCE(CAST(SUM(m) OVER (PARTITION BY seg ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+         |  FROM mv),
+         |per AS (
+         |  SELECT seg, grp, CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(s * 2 + m + 1 AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS r2
+         |  FROM cg JOIN mvs USING (seg, v) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT seg, CAST(SUM(CAST(m AS DECIMAL(12,0)) * CAST(m AS DECIMAL(12,0)) *
+         |      CAST(m AS DECIMAL(12,0)) - CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie,
+         |    CAST(SUM(m) AS BIGINT) AS n_total
+         |  FROM mv GROUP BY 1),
+         |pq AS (
+         |  SELECT per.*, sc.tie, sc.n_total,
+         |    CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT) AS rsq,
+         |    CAST(n AS HUGEINT) * 4 AS den
+         |  FROM per JOIN sc USING (seg)),
+         |pq2 AS (SELECT *, (rsq - rsq % den) // den AS q, rsq % den AS rem FROM pq),
+         |w AS (
+         |  SELECT *, CAST(SUM(q) OVER (PARTITION BY seg) AS DOUBLE) AS qsum,
+         |    CAST(SUM(CAST(round(CAST(rem AS DOUBLE) / CAST(den AS DOUBLE), 12)
+         |      AS DECIMAL(38,12))) OVER (PARTITION BY seg) AS DOUBLE) AS fsum,
+         |    CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS k_groups
+         |  FROM pq2),
+         |f AS (
+         |  SELECT *,
+         |    CAST(12 AS DOUBLE) / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)))
+         |      * (qsum + fsum) - CAST(3 AS DOUBLE) * (CAST(n_total AS DOUBLE) + CAST(1 AS DOUBLE)) AS hraw,
+         |    CASE WHEN n_total > 1 THEN CAST(1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+         |      CAST(CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS DOUBLE) END AS cc
+         |  FROM w),
+         |kwfin AS (
+         |  SELECT seg, n_total, k_groups, round(hraw, 6) AS h,
+         |    CASE WHEN cc > 0 THEN round(hraw / cc, 6) END AS h_adj
+         |  FROM f),
+         |kwred AS (SELECT DISTINCT seg, n_total, k_groups, h, h_adj FROM kwfin),
+         |pvin AS (
+         |  SELECT seg AS g, seg, n_total, k_groups, h, h_adj,
+         |    CAST(h_adj AS DOUBLE) AS x, CAST(k_groups - 1 AS DOUBLE) AS k
+         |  FROM kwred),
+         |${pvChiSqCtes("pvin")},
+         |bhin AS (SELECT seg, n_total, k_groups, h, h_adj, p, g FROM pvfin),
+         |${pvBhCtes("bhin", "g")}
+         |SELECT seg, n_total, k_groups, h, h_adj, p, bh_rank, m_tests, p_adj,
+         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject
+         |FROM bh3 ORDER BY seg""".stripMargin
+    },
+
+    // q218: the q159 Mann–Whitney chain, then the portable chi-square
+    // p at dof 1 (Z² ~ χ²₁ — the two-sided normal approximation with
+    // no new machinery) and the BH windows
+    "q218_mwu_fdr" -> {
+      s"""WITH src AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    o_orderdate AS d
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL),
+         |ca AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS ca FROM src
+         |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |cb AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cb FROM src
+         |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |m AS (
+         |  SELECT COALESCE(ca.grp, cb.grp) AS grp, COALESCE(ca.v, cb.v) AS v,
+         |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb ON ca.grp = cb.grp AND ca.v = cb.v),
+         |w AS (
+         |  SELECT *, ca + cb AS mm,
+         |    COALESCE(CAST(SUM(ca + cb) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+         |  FROM m),
+         |agg AS (
+         |  SELECT grp, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(s * 2 + mm + 1 AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS r2a,
+         |    CAST(SUM(CAST(mm AS DECIMAL(12,0)) * CAST(mm AS DECIMAL(12,0)) *
+         |      CAST(mm AS DECIMAL(12,0)) - CAST(mm AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS tie
+         |  FROM w GROUP BY 1),
+         |f AS (
+         |  SELECT grp, n_a, n_b,
+         |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0)) *
+         |      CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS u2,
+         |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE) *
+         |      ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE)) -
+         |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+         |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
+         |  FROM agg),
+         |mwufin AS (
+         |  SELECT grp, n_a, n_b, CAST(u2 AS BIGINT) AS u2,
+         |    CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
+         |      round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+         |        (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
+         |  FROM f),
+         |pvin AS (
+         |  SELECT grp AS g, grp, n_a, n_b, u2, z, z * z AS x,
+         |    CAST(1.0 AS DOUBLE) AS k
+         |  FROM mwufin),
+         |${pvChiSqCtes("pvin")},
+         |bhin AS (SELECT grp, n_a, n_b, u2, z, p, g FROM pvfin),
+         |${pvBhCtes("bhin", "g")}
+         |SELECT grp, n_a, n_b, u2, z, p, bh_rank, m_tests, p_adj,
+         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject
+         |FROM bh3 ORDER BY grp""".stripMargin
+    },
+
+    // q219: the q178 Spearman chain, the exact t-transform
+    // t = ρ√((n−2)/(1−ρ²)) on ν = n−2, the portable two-sided t p,
+    // the explicit ρ = ±1 → p = 0 branch, and the BH windows
+    "q219_spearman_fdr" -> {
+      s"""WITH src AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vx,
+         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS vy
+         |  FROM lineitem WHERE l_returnflag IS NOT NULL
+         |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         |cx AS (SELECT grp, vx, CAST(count(*) AS BIGINT) AS m FROM src GROUP BY 1, 2),
+         |rx AS (
+         |  SELECT grp, vx, COALESCE(CAST(SUM(m) OVER (PARTITION BY grp ORDER BY vx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) * 2
+         |    + m + 1 AS ux
+         |  FROM cx),
+         |cy AS (SELECT grp, vy, CAST(count(*) AS BIGINT) AS m FROM src GROUP BY 1, 2),
+         |ry AS (
+         |  SELECT grp, vy, COALESCE(CAST(SUM(m) OVER (PARTITION BY grp ORDER BY vy
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) * 2
+         |    + m + 1 AS uy
+         |  FROM cy),
+         |j AS (
+         |  SELECT s.grp, rx.ux, ry.uy FROM src s
+         |  JOIN rx ON s.grp = rx.grp AND s.vx = rx.vx
+         |  JOIN ry ON s.grp = ry.grp AND s.vy = ry.vy),
+         |agg AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(ux AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS su,
+         |    CAST(SUM(CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sv,
+         |    CAST(SUM(CAST(ux AS DECIMAL(19,0)) * CAST(ux AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS suu,
+         |    CAST(SUM(CAST(uy AS DECIMAL(19,0)) * CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS svv,
+         |    CAST(SUM(CAST(ux AS DECIMAL(19,0)) * CAST(uy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS suv
+         |  FROM j GROUP BY 1),
+         |sp AS (
+         |  SELECT grp, n,
+         |    CASE WHEN CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) > 0
+         |          AND CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) > 0 THEN
+         |      round((CAST(n AS DOUBLE) * CAST(suv AS DOUBLE) - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)) /
+         |        sqrt((CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) *
+         |             (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6)
+         |    END AS rho
+         |  FROM agg),
+         |tadd AS (
+         |  SELECT *, CASE WHEN n >= 3 AND rho IS NOT NULL AND rho * rho < 1.0 THEN
+         |    round(rho * sqrt(CAST(n - 2 AS DOUBLE) / (1.0 - rho * rho)), 6)
+         |  END AS t_stat
+         |  FROM sp),
+         |pvin AS (
+         |  SELECT grp AS g, grp, n, rho, t_stat,
+         |    CAST(t_stat AS DOUBLE) AS tv, CAST(n - 2 AS DOUBLE) AS nu
+         |  FROM tadd),
+         |${pvBetaTCtes("pvin")},
+         |pfix AS (
+         |  SELECT grp, n, rho, t_stat,
+         |    CASE WHEN n >= 3 AND rho IS NOT NULL AND rho * rho >= 1.0 THEN 0.0
+         |      ELSE p END AS p, g
+         |  FROM pvfin),
+         |${pvBhCtes("pfix", "g")}
+         |SELECT grp, n, rho, t_stat, p, bh_rank, m_tests, p_adj,
+         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject
+         |FROM bh3 ORDER BY grp""".stripMargin
+    },
+
+    // q220: the q158 KS chain, λ = √(n_a·n_b/(n_a+n_b))·D round 6,
+    // the portable 64-term Kolmogorov tail (see pvKsCtes), the BH
+    // windows
+    "q220_ks_fdr" -> {
+      s"""WITH src AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    o_orderdate AS d
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL),
+         |ca AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS ca FROM src
+         |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |cb AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cb FROM src
+         |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |m AS (
+         |  SELECT COALESCE(ca.grp, cb.grp) AS grp, COALESCE(ca.v, cb.v) AS v,
+         |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb ON ca.grp = cb.grp AND ca.v = cb.v),
+         |w AS (
+         |  SELECT grp, v, ca, cb,
+         |    CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
+         |    CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS n_b,
+         |    CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+         |    CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+         |  FROM m),
+         |g AS (
+         |  SELECT *, CAST(abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0)) -
+         |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
+         |  FROM w),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY d_num DESC, v) AS rk FROM g),
+         |ksfin AS (
+         |  SELECT grp, n_a, n_b, CAST(d_num AS BIGINT) AS d_num, v AS at_value,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS d_stat
+         |  FROM r WHERE rk = 1),
+         |lamc AS (
+         |  SELECT *, CASE WHEN d_stat IS NOT NULL AND n_a > 0 AND n_b > 0 THEN
+         |    round(d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+         |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) END AS lam
+         |  FROM ksfin),
+         |pvin AS (
+         |  SELECT grp AS g, grp, n_a, n_b, d_num, at_value, d_stat, lam
+         |  FROM lamc),
+         |${pvKsCtes("pvin")},
+         |bhin AS (SELECT grp, n_a, n_b, d_num, at_value, d_stat, lam, p, g FROM pvfin),
+         |${pvBhCtes("bhin", "g")}
+         |SELECT grp, n_a, n_b, d_num, at_value, d_stat, lam, p, bh_rank, m_tests,
+         |  p_adj, CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject
+         |FROM bh3 ORDER BY grp""".stripMargin
+    },
+
+    // q221: the three era-shift batteries (Welch t / MWU z / KS D)
+    // per priority, each finished through its portable p chain
+    // (prefixed CTE sets so three finishers coexist in one
+    // statement), unioned into ONE 15-hypothesis battery, BH over
+    // the union — a single FDR budget across tests AND segments
+    "q221_governance_battery" -> {
+      s"""WITH wa AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |wb AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |wm AS (
+         |  SELECT COALESCE(wa.grp, wb.grp) AS grp,
+         |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |    s_a, s_b, ss_a, ss_b
+         |  FROM wa FULL OUTER JOIN wb ON wa.grp = wb.grp),
+         |wf AS (
+         |  SELECT *,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE) AS vna,
+         |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
+         |  FROM wm),
+         |welch AS (
+         |  SELECT grp,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+         |      round((ma - mb) / sqrt(vna + vnb), 6) END AS t,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+         |      round((vna + vnb) * (vna + vnb) /
+         |        (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
+         |         vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
+         |  FROM wf),
+         |wpvin AS (
+         |  SELECT grp AS g, grp, t,
+         |    CAST(t AS DOUBLE) AS tv, CAST(df AS DOUBLE) AS nu
+         |  FROM welch),
+         |${pvBetaTCtes("wpvin", "w")},
+         |wsel AS (SELECT 'welch_t' AS test, grp, t AS stat, p FROM wpvfin),
+         |msrc AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    o_orderdate AS d
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL),
+         |mca AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS ca FROM msrc
+         |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |mcb AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cb FROM msrc
+         |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |mm AS (
+         |  SELECT COALESCE(mca.grp, mcb.grp) AS grp, COALESCE(mca.v, mcb.v) AS v,
+         |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         |  FROM mca FULL OUTER JOIN mcb ON mca.grp = mcb.grp AND mca.v = mcb.v),
+         |mw AS (
+         |  SELECT *, ca + cb AS mm2,
+         |    COALESCE(CAST(SUM(ca + cb) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+         |  FROM mm),
+         |magg AS (
+         |  SELECT grp, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(s * 2 + mm2 + 1 AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS r2a,
+         |    CAST(SUM(CAST(mm2 AS DECIMAL(12,0)) * CAST(mm2 AS DECIMAL(12,0)) *
+         |      CAST(mm2 AS DECIMAL(12,0)) - CAST(mm2 AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS tie
+         |  FROM mw GROUP BY 1),
+         |mf AS (
+         |  SELECT grp, n_a, n_b,
+         |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0)) *
+         |      CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS u2,
+         |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE) *
+         |      ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE)) -
+         |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+         |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
+         |  FROM magg),
+         |mwufin AS (
+         |  SELECT grp,
+         |    CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
+         |      round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+         |        (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
+         |  FROM mf),
+         |mpvin AS (
+         |  SELECT grp AS g, grp, z, z * z AS x, CAST(1.0 AS DOUBLE) AS k
+         |  FROM mwufin),
+         |${pvChiSqCtes("mpvin", "m")},
+         |msel AS (SELECT 'mwu_z' AS test, grp, z AS stat, p FROM mpvfin),
+         |kw0 AS (
+         |  SELECT grp, v, ca, cb,
+         |    CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
+         |    CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS n_b,
+         |    CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+         |    CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+         |  FROM mm),
+         |kg0 AS (
+         |  SELECT *, CAST(abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0)) -
+         |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
+         |  FROM kw0),
+         |kr0 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY d_num DESC, v) AS rk FROM kg0),
+         |ksfin AS (
+         |  SELECT grp, n_a, n_b,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS d_stat
+         |  FROM kr0 WHERE rk = 1),
+         |klamc AS (
+         |  SELECT *, CASE WHEN d_stat IS NOT NULL AND n_a > 0 AND n_b > 0 THEN
+         |    round(d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+         |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) END AS lam
+         |  FROM ksfin),
+         |kpvin AS (SELECT grp AS g, grp, d_stat, lam FROM klamc),
+         |${pvKsCtes("kpvin", "k")},
+         |ksel AS (SELECT 'ks' AS test, grp, d_stat AS stat, p FROM kpvfin),
+         |uni AS (
+         |  SELECT * FROM wsel UNION ALL SELECT * FROM msel
+         |  UNION ALL SELECT * FROM ksel),
+         |bhin AS (SELECT test, grp, stat, p, test || '|' || grp AS gkey FROM uni),
+         |${pvBhCtes("bhin", "gkey")},
+         |${pvHolmCtes("bh3", "gkey")}
+         |SELECT test, grp, stat, p, bh_rank, m_tests, p_adj,
+         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject,
+         |  p_holm, CASE WHEN p IS NOT NULL THEN (p_holm < 0.05) END AS reject_fwer
+         |FROM hl3 ORDER BY test, grp""".stripMargin
+    },
+
+    // q222: the q213 exact integer (n, successes) censuses keyed by
+    // priority, a full-outer segment join, the same pooled-variance
+    // sizing tree per segment with sanitized divisors
+    "q222_mde_prop_by_group" -> {
+      val z = String.format(java.util.Locale.ROOT,
+        "(CAST(%.17e AS DOUBLE) + CAST(%.17e AS DOUBLE))",
+        Double.box(graft.api.Ops.zAlpha025), Double.box(graft.api.Ops.zPower80))
+      s"""WITH a AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS x_a
+         |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |b AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS x_b
+         |  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |m AS (
+         |  SELECT COALESCE(a.grp, b.grp) AS grp,
+         |    COALESCE(n_a, 0) AS n_a, COALESCE(x_a, 0) AS x_a,
+         |    COALESCE(n_b, 0) AS n_b, COALESCE(x_b, 0) AS x_b
+         |  FROM a FULL OUTER JOIN b ON a.grp = b.grp),
+         |s AS (
+         |  SELECT *,
+         |    CASE WHEN n_a >= 1 THEN CAST(n_a AS DOUBLE) ELSE 1.0 END AS nsa,
+         |    CASE WHEN n_b >= 1 THEN CAST(n_b AS DOUBLE) ELSE 1.0 END AS nsb
+         |  FROM m),
+         |f AS (
+         |  SELECT *,
+         |    (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE)) / (nsa + nsb) AS pool
+         |  FROM s),
+         |g AS (
+         |  SELECT *, pool * (1.0 - pool) * (1.0 / nsa + 1.0 / nsb) AS se2
+         |  FROM f)
+         |SELECT grp, n_a, n_b, x_a, x_b,
+         |  CASE WHEN n_a > 0 THEN
+         |    round(CAST(x_a AS DOUBLE) / nsa, 6) END AS p_a,
+         |  CASE WHEN n_b > 0 THEN
+         |    round(CAST(x_b AS DOUBLE) / nsb, 6) END AS p_b,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN round(pool, 6) END AS p_pool,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1 AND se2 > 0 THEN
+         |    round($z * sqrt(se2), 6) END AS mde_abs,
+         |  CASE WHEN n_a >= 1 AND n_b >= 1 AND se2 > 0 AND CAST(x_a AS DOUBLE) > 0 THEN
+         |    round($z * sqrt(se2) / (CAST(x_a AS DOUBLE) / nsa), 6) END AS mde_rel
+         |FROM g ORDER BY grp""".stripMargin
+    },
+
+    // q223: the q214 moment census keyed by priority, the SAME
+    // pure-integer three-tier grid crossed per segment, the ln-space
+    // boundary, MIN crossing per segment
+    "q223_horizon_by_group" -> {
+      val thr = String.format(java.util.Locale.ROOT, "CAST(%.17e AS DOUBLE)",
+        Double.box(2.995732273553991))
+      s"""WITH m AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_src,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT *,
+         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |      / CAST(n_src AS DOUBLE)) /
+         |    (CASE WHEN n_src >= 2 THEN CAST(n_src AS DOUBLE) - 1.0 ELSE 1.0 END) AS v
+         |  FROM m),
+         |fok AS (
+         |  SELECT *, (n_src >= 2 AND v > 0.0) AS okv,
+         |    CASE WHEN n_src >= 2 AND v > 0.0 THEN v ELSE 1.0 END AS vs
+         |  FROM f),
+         |grid AS (
+         |  SELECT CAST(n AS BIGINT) AS n_try FROM generate_series(1, 65536) AS g1(n)
+         |  UNION ALL
+         |  SELECT CAST(n AS BIGINT) FROM generate_series(66560, 67108864, 1024) AS g2(n)
+         |  UNION ALL
+         |  SELECT CAST(n AS BIGINT) FROM generate_series(67174400, 1073741824, 65536) AS g3(n)),
+         |ex AS (
+         |  SELECT fok.*, grid.n_try,
+         |    2.0 * vs / CAST(n_try AS DOUBLE) AS vv
+         |  FROM fok CROSS JOIN grid),
+         |ln1 AS (
+         |  SELECT *, 0.5 * round(ln(vv / (vv + CAST(1000000.0 AS DOUBLE))), 12) +
+         |    CAST(10000.0 AS DOUBLE) * CAST(1000000.0 AS DOUBLE) /
+         |      (2.0 * vv * (vv + CAST(1000000.0 AS DOUBLE))) AS lnl
+         |  FROM ex)
+         |SELECT grp, MAX(n_src) AS n_src,
+         |  MAX(CASE WHEN okv THEN CAST(round(v, 0) AS BIGINT) END) AS sigma2,
+         |  CAST(100.0 AS DOUBLE) AS delta,
+         |  CAST(1000000.0 AS DOUBLE) AS tau2,
+         |  MIN(CASE WHEN okv AND lnl > $thr THEN n_try END) AS horizon_n
+         |FROM ln1 GROUP BY grp ORDER BY grp""".stripMargin
     },
   )
 
@@ -5954,68 +6478,70 @@ object SparkEntry {
     * `PValues.seriesLnSum`: explode n = 0..2047, DECIMAL(38,12)
     * ordered cumulative log (exact — associative in any window-
     * aggregation order), max-normalized round-12 exp terms summed as
-    * DECIMAL(38,14). Expects a CTE `pvpar(g, lnx, ra, rb, ...)` and
-    * ends in `pvagg(g, ml, sv)`.
+    * DECIMAL(38,14). Expects a CTE `<pre>pvpar(g, lnx, ra, rb, ...)`
+    * and ends in `<pre>pvagg(g, ml, sv)`. `pre` prefixes every CTE
+    * name so two finisher chains can coexist in one statement (the
+    * q221 cross-test battery).
     */
-  private def pvSeriesCtes: String =
-    s"""pvidx AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd
+  private def pvSeriesCtes(pre: String = ""): String =
+    s"""${pre}pvidx AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd
        |          FROM generate_series(0, 2047) AS gs(n)),
-       |pvex AS (SELECT pvpar.g, pvpar.lnx, pvpar.ra, pvpar.rb, pvidx.n, pvidx.nd
-       |         FROM pvpar CROSS JOIN pvidx),
-       |pvcum AS (
+       |${pre}pvex AS (SELECT ${pre}pvpar.g, ${pre}pvpar.lnx, ${pre}pvpar.ra, ${pre}pvpar.rb, ${pre}pvidx.n, ${pre}pvidx.nd
+       |         FROM ${pre}pvpar CROSS JOIN ${pre}pvidx),
+       |${pre}pvcum AS (
        |  SELECT g, n, SUM(CAST(CASE WHEN n = 0 THEN 0.0
        |      ELSE lnx + CASE WHEN ra >= 0.0 THEN round(ln(ra + nd), 12) ELSE 0.0 END
        |        - round(ln(rb + nd), 12) END AS DECIMAL(38,12)))
        |    OVER (PARTITION BY g ORDER BY n
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
-       |  FROM pvex),
-       |pvmx AS (SELECT *, MAX(l) OVER (PARTITION BY g) AS ml FROM pvcum),
-       |pvagg AS (
+       |  FROM ${pre}pvex),
+       |${pre}pvmx AS (SELECT *, MAX(l) OVER (PARTITION BY g) AS ml FROM ${pre}pvcum),
+       |${pre}pvagg AS (
        |  SELECT g, MAX(ml) AS ml,
        |    SUM(CAST(round(exp(CAST(l AS DOUBLE) - CAST(ml AS DOUBLE)), 12)
        |      AS DECIMAL(38,14))) AS sv
-       |  FROM pvmx GROUP BY g)""".stripMargin
+       |  FROM ${pre}pvmx GROUP BY g)""".stripMargin
 
   /** The portable chi-square p mirrored from `PValues.pValueChiSq`:
     * expects `<in>(g, x, k, ...)` (x = statistic, k = dof, both
     * DOUBLE), ends in `pvfin` = the input columns + `p`. Same
     * guards, same sanitized stand-ins, same branch order.
     */
-  private def pvChiSqCtes(in: String): String =
-    s"""pvg0 AS (
+  private def pvChiSqCtes(in: String, pre: String = ""): String =
+    s"""${pre}pvg0 AS (
        |  SELECT *, (x IS NOT NULL AND k IS NOT NULL AND k >= 1.0
        |    AND x >= 0.0 AND k <= 1200.0) AS okb
        |  FROM $in),
-       |pvg1 AS (
+       |${pre}pvg1 AS (
        |  SELECT *, (okb AND x > 2.0 * k + 60.0) AS clamp0,
        |    (okb AND x <= 0.0) AS triv1
-       |  FROM pvg0),
-       |pvg2 AS (
-       |  SELECT *, (okb AND NOT clamp0 AND x > 0.0) AS run FROM pvg1),
-       |pvpar AS (
+       |  FROM ${pre}pvg0),
+       |${pre}pvg2 AS (
+       |  SELECT *, (okb AND NOT clamp0 AND x > 0.0) AS run FROM ${pre}pvg1),
+       |${pre}pvpar AS (
        |  SELECT *,
        |    round(ln(CASE WHEN run THEN x / 2.0 ELSE 1.0 END), 12) AS lnx,
        |    -1.0 AS ra,
        |    CASE WHEN run THEN k / 2.0 ELSE 1.0 END AS rb,
        |    CASE WHEN run THEN k / 2.0 ELSE 1.0 END AS a2,
        |    CASE WHEN run THEN x / 2.0 ELSE 1.0 END AS z2
-       |  FROM pvg2),
-       |$pvSeriesCtes,
-       |pvf0 AS (
-       |  SELECT pvpar.*,
-       |    CAST(pvagg.ml AS DOUBLE) + round(ln(CAST(pvagg.sv AS DOUBLE)), 12) AS lnS
-       |  FROM pvpar JOIN pvagg USING (g)),
-       |pvf1 AS (
+       |  FROM ${pre}pvg2),
+       |${pvSeriesCtes(pre)},
+       |${pre}pvf0 AS (
+       |  SELECT ${pre}pvpar.*,
+       |    CAST(${pre}pvagg.ml AS DOUBLE) + round(ln(CAST(${pre}pvagg.sv AS DOUBLE)), 12) AS lnS
+       |  FROM ${pre}pvpar JOIN ${pre}pvagg USING (g)),
+       |${pre}pvf1 AS (
        |  SELECT *, 1.0 - exp(a2 * round(ln(z2), 12) - z2
        |    - ${lnGammaSql("(a2 + 1.0)")} + lnS) AS praw
-       |  FROM pvf0),
-       |pvfin AS (
+       |  FROM ${pre}pvf0),
+       |${pre}pvfin AS (
        |  SELECT *, CASE WHEN NOT okb THEN NULL
        |    WHEN clamp0 THEN 0.0
        |    WHEN triv1 THEN 1.0
        |    ELSE CASE WHEN praw > 0.0 THEN round(praw, 6) ELSE 0.0 END
        |  END AS p
-       |  FROM pvf1)""".stripMargin
+       |  FROM ${pre}pvf1)""".stripMargin
 
   /** The portable two-sided t p mirrored from `PValues.pValueT`:
     * expects `<in>(g, tv, nu, ...)` (tv = t statistic, nu = dof,
@@ -6023,53 +6549,153 @@ object SparkEntry {
     * branch split (t² ≥ ν direct / complement), same clamp, same
     * sanitized stand-ins, same branch order.
     */
-  private def pvBetaTCtes(in: String): String =
-    s"""pvg0 AS (
+  private def pvBetaTCtes(in: String, pre: String = ""): String =
+    s"""${pre}pvg0 AS (
        |  SELECT *, (tv IS NOT NULL AND nu IS NOT NULL AND nu >= 1.0) AS okb,
        |    tv * tv AS t2
        |  FROM $in),
-       |pvg1 AS (
-       |  SELECT *, (okb AND t2 <= 0.0) AS triv1, (t2 >= nu) AS ba FROM pvg0),
-       |pvg2 AS (
-       |  SELECT *, (okb AND NOT ba AND t2 >= 60.0) AS clamp0 FROM pvg1),
-       |pvg3 AS (
-       |  SELECT *, (okb AND NOT clamp0 AND t2 > 0.0) AS run FROM pvg2),
-       |pvg4 AS (
+       |${pre}pvg1 AS (
+       |  SELECT *, (okb AND t2 <= 0.0) AS triv1, (t2 >= nu) AS ba FROM ${pre}pvg0),
+       |${pre}pvg2 AS (
+       |  SELECT *, (okb AND NOT ba AND t2 >= 60.0) AS clamp0 FROM ${pre}pvg1),
+       |${pre}pvg3 AS (
+       |  SELECT *, (okb AND NOT clamp0 AND t2 > 0.0) AS run FROM ${pre}pvg2),
+       |${pre}pvg4 AS (
        |  SELECT *, CASE WHEN run THEN t2 ELSE 1.0 END AS t2s,
        |    CASE WHEN run THEN nu ELSE 4.0 END AS nvs
-       |  FROM pvg3),
-       |pvg5 AS (
-       |  SELECT *, nvs / (nvs + t2s) AS xa, t2s / (nvs + t2s) AS xb FROM pvg4),
-       |pvg6 AS (
+       |  FROM ${pre}pvg3),
+       |${pre}pvg5 AS (
+       |  SELECT *, nvs / (nvs + t2s) AS xa, t2s / (nvs + t2s) AS xb FROM ${pre}pvg4),
+       |${pre}pvg6 AS (
        |  SELECT *,
        |    CASE WHEN ba THEN nvs / 2.0 ELSE 0.5 END AS ap,
        |    CASE WHEN ba THEN 0.5 ELSE nvs / 2.0 END AS bp,
        |    CASE WHEN ba THEN xa ELSE xb END AS xp,
        |    CASE WHEN ba THEN xb ELSE xa END AS xc
-       |  FROM pvg5),
-       |pvpar AS (
+       |  FROM ${pre}pvg5),
+       |${pre}pvpar AS (
        |  SELECT *, round(ln(xp), 12) AS lnx, ap + bp - 1.0 AS ra, ap AS rb
-       |  FROM pvg6),
-       |$pvSeriesCtes,
-       |pvf0 AS (
-       |  SELECT pvpar.*,
-       |    CAST(pvagg.ml AS DOUBLE) + round(ln(CAST(pvagg.sv AS DOUBLE)), 12) AS lnS
-       |  FROM pvpar JOIN pvagg USING (g)),
-       |pvf1 AS (
+       |  FROM ${pre}pvg6),
+       |${pvSeriesCtes(pre)},
+       |${pre}pvf0 AS (
+       |  SELECT ${pre}pvpar.*,
+       |    CAST(${pre}pvagg.ml AS DOUBLE) + round(ln(CAST(${pre}pvagg.sv AS DOUBLE)), 12) AS lnS
+       |  FROM ${pre}pvpar JOIN ${pre}pvagg USING (g)),
+       |${pre}pvf1 AS (
        |  SELECT *, exp(ap * round(ln(xp), 12) + bp * round(ln(xc), 12)
        |    + ${lnGammaSql("(ap + bp)")} - ${lnGammaSql("(ap + 1.0)")}
        |    - ${lnGammaSql("(bp)")} + lnS) AS pinc
-       |  FROM pvf0),
-       |pvf2 AS (
-       |  SELECT *, CASE WHEN ba THEN pinc ELSE 1.0 - pinc END AS praw FROM pvf1),
-       |pvfin AS (
+       |  FROM ${pre}pvf0),
+       |${pre}pvf2 AS (
+       |  SELECT *, CASE WHEN ba THEN pinc ELSE 1.0 - pinc END AS praw FROM ${pre}pvf1),
+       |${pre}pvfin AS (
        |  SELECT *, CASE WHEN NOT okb THEN NULL
        |    WHEN triv1 THEN 1.0
        |    WHEN clamp0 THEN 0.0
        |    ELSE CASE WHEN praw >= 1.0 THEN 1.0
        |      WHEN praw > 0.0 THEN round(praw, 6) ELSE 0.0 END
        |  END AS p
-       |  FROM pvf2)""".stripMargin
+       |  FROM ${pre}pvf2)""".stripMargin
+
+  /** The portable F upper-tail p mirrored from `PValues.pValueF`
+    * (r16 — first gated by q216): expects `<in>(g, fv, k1, k2, ...)`
+    * (fv = F statistic, k1/k2 = numerator/denominator dof, DOUBLE),
+    * ends in `<pre>pvfin` = the input columns + `p`. Same incomplete-
+    * beta series as pvBetaTCtes with the F parameterization: branch
+    * on X = d2/(d2+d1·f) ≤ ½ (direct) vs > ½ (complement), the
+    * d1 > 100 NULL domain guard, the d2 > 2000 split-bound clamp.
+    */
+  private def pvFCtes(in: String, pre: String = ""): String =
+    s"""${pre}pvg0 AS (
+       |  SELECT *, (fv IS NOT NULL AND k1 IS NOT NULL AND k2 IS NOT NULL
+       |    AND fv >= 0.0 AND k1 >= 1.0 AND k2 >= 1.0 AND k1 <= 100.0) AS okb
+       |  FROM $in),
+       |${pre}pvg1 AS (
+       |  SELECT *, (okb AND fv <= 0.0) AS triv1, k1 * fv AS s1 FROM ${pre}pvg0),
+       |${pre}pvg2 AS (
+       |  SELECT *, (okb AND k2 > 2000.0 AND s1 >= 2.0 * k1 + 80.0) AS clamp0
+       |  FROM ${pre}pvg1),
+       |${pre}pvg3 AS (
+       |  SELECT *, (okb AND NOT clamp0 AND fv > 0.0) AS run FROM ${pre}pvg2),
+       |${pre}pvg4 AS (
+       |  SELECT *, CASE WHEN run THEN fv ELSE 1.0 END AS fs,
+       |    CASE WHEN run THEN k1 ELSE 1.0 END AS k1s,
+       |    CASE WHEN run THEN k2 ELSE 4.0 END AS k2s
+       |  FROM ${pre}pvg3),
+       |${pre}pvg5 AS (SELECT *, k1s * fs AS ssv FROM ${pre}pvg4),
+       |${pre}pvg6 AS (
+       |  SELECT *, k2s / (k2s + ssv) AS xa, ssv / (k2s + ssv) AS xb
+       |  FROM ${pre}pvg5),
+       |${pre}pvg7 AS (SELECT *, (xa <= 0.5) AS ba FROM ${pre}pvg6),
+       |${pre}pvg8 AS (
+       |  SELECT *,
+       |    CASE WHEN ba THEN k2s / 2.0 ELSE k1s / 2.0 END AS ap,
+       |    CASE WHEN ba THEN k1s / 2.0 ELSE k2s / 2.0 END AS bp,
+       |    CASE WHEN ba THEN xa ELSE xb END AS xp,
+       |    CASE WHEN ba THEN xb ELSE xa END AS xc
+       |  FROM ${pre}pvg7),
+       |${pre}pvpar AS (
+       |  SELECT *, round(ln(xp), 12) AS lnx, ap + bp - 1.0 AS ra, ap AS rb
+       |  FROM ${pre}pvg8),
+       |${pvSeriesCtes(pre)},
+       |${pre}pvf0 AS (
+       |  SELECT ${pre}pvpar.*,
+       |    CAST(${pre}pvagg.ml AS DOUBLE) + round(ln(CAST(${pre}pvagg.sv AS DOUBLE)), 12) AS lnS
+       |  FROM ${pre}pvpar JOIN ${pre}pvagg USING (g)),
+       |${pre}pvf1 AS (
+       |  SELECT *, exp(ap * round(ln(xp), 12) + bp * round(ln(xc), 12)
+       |    + ${lnGammaSql("(ap + bp)")} - ${lnGammaSql("(ap + 1.0)")}
+       |    - ${lnGammaSql("(bp)")} + lnS) AS pinc
+       |  FROM ${pre}pvf0),
+       |${pre}pvf2 AS (
+       |  SELECT *, CASE WHEN ba THEN pinc ELSE 1.0 - pinc END AS praw FROM ${pre}pvf1),
+       |${pre}pvfin AS (
+       |  SELECT *, CASE WHEN NOT okb THEN NULL
+       |    WHEN triv1 THEN 1.0
+       |    WHEN clamp0 THEN 0.0
+       |    ELSE CASE WHEN praw >= 1.0 THEN 1.0
+       |      WHEN praw > 0.0 THEN round(praw, 6) ELSE 0.0 END
+       |  END AS p
+       |  FROM ${pre}pvf2)""".stripMargin
+
+  /** The portable Kolmogorov tail mirrored from `PValues.pValueKs`
+    * (r16): expects `<in>(g, lam, ...)` (lam = the round-6
+    * √(n_a·n_b/(n_a+n_b))·D, DOUBLE), ends in `<pre>pvfin` = the
+    * input columns + `p`. Fixed-64-term alternating sum of round-12
+    * terms as exact DECIMAL(38,14); λ ≤ 0.2 → 1, λ ≥ 2.8 → 0 (both
+    * proven in the engine scaladoc), null λ passes through.
+    */
+  private def pvKsCtes(in: String, pre: String = ""): String =
+    s"""${pre}ksg0 AS (
+       |  SELECT *, (lam IS NOT NULL AND lam >= 0.0) AS okb FROM $in),
+       |${pre}ksg1 AS (
+       |  SELECT *, (okb AND lam <= 0.2) AS triv1,
+       |    (okb AND lam >= 2.8) AS clamp0
+       |  FROM ${pre}ksg0),
+       |${pre}ksg2 AS (
+       |  SELECT *, (okb AND NOT triv1 AND NOT clamp0) AS run FROM ${pre}ksg1),
+       |${pre}kspar AS (
+       |  SELECT *, CASE WHEN run THEN lam ELSE 1.0 END AS lams FROM ${pre}ksg2),
+       |${pre}ksidx AS (
+       |  SELECT CAST(j AS BIGINT) AS j, CAST(j AS DOUBLE) AS jd
+       |  FROM generate_series(1, 64) AS gs(j)),
+       |${pre}ksex AS (
+       |  SELECT ${pre}kspar.g, lams, j, jd FROM ${pre}kspar CROSS JOIN ${pre}ksidx),
+       |${pre}kssum AS (
+       |  SELECT g, SUM(CAST((CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END) *
+       |    round(exp(-2.0 * jd * jd * lams * lams), 12) AS DECIMAL(38,14))) AS sv
+       |  FROM ${pre}ksex GROUP BY g),
+       |${pre}ksf0 AS (
+       |  SELECT ${pre}kspar.*, 2.0 * CAST(${pre}kssum.sv AS DOUBLE) AS praw
+       |  FROM ${pre}kspar JOIN ${pre}kssum USING (g)),
+       |${pre}pvfin AS (
+       |  SELECT *, CASE WHEN NOT okb THEN NULL
+       |    WHEN triv1 THEN 1.0
+       |    WHEN clamp0 THEN 0.0
+       |    ELSE CASE WHEN praw >= 1.0 THEN 1.0
+       |      WHEN praw > 0.0 THEN round(praw, 6) ELSE 0.0 END
+       |  END AS p
+       |  FROM ${pre}ksf0)""".stripMargin
 
   /** The BH adjustment mirrored from `PValues.fdrAdjust`: expects a
     * CTE `<in>` carrying `p` and the unique tiebreak key `<key>`,
@@ -6096,6 +6722,33 @@ object SparkEntry {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
        |  END AS p_adj
        |  FROM bh2)""".stripMargin
+
+  /** The Holm step-down adjustment mirrored from
+    * `PValues.holmAdjust` (r16): expects a CTE `<in>` carrying `p`
+    * and the unique tiebreak key `<key>`, ends in `hl3` = the input
+    * columns + m_holm, holm_rank, hraw, p_holm. Same total order as
+    * the BH windows (sentinel 2.0 for nulls), running MAX instead of
+    * reverse running min.
+    */
+  private def pvHolmCtes(in: String, key: String): String =
+    s"""hl1 AS (
+       |  SELECT *,
+       |    CAST(COUNT(CASE WHEN p IS NOT NULL THEN 1 END) OVER () AS BIGINT) AS m_holm,
+       |    CASE WHEN p IS NOT NULL THEN
+       |      CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(p, 2.0) ASC, $key ASC) AS BIGINT)
+       |    END AS holm_rank
+       |  FROM $in),
+       |hl2 AS (
+       |  SELECT *, CASE WHEN p IS NOT NULL THEN
+       |    round(CAST(m_holm - holm_rank + 1 AS DOUBLE) * p, 12)
+       |  END AS hraw
+       |  FROM hl1),
+       |hl3 AS (
+       |  SELECT *, CASE WHEN p IS NOT NULL THEN
+       |    round(LEAST(1.0, MAX(hraw) OVER (ORDER BY COALESCE(p, 2.0) ASC, $key ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       |  END AS p_holm
+       |  FROM hl2)""".stripMargin
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —
     * mirrors `Ops.hllDistinct` (p=12) step for step: 60-bit seeded-md5

@@ -2023,6 +2023,11 @@ object Ops {
     * with its one ln rounded at 12. No crossing on the grid (δ too
     * small, or beyond 2³⁰) → null horizon, observable; degenerate
     * variance (n < 2 or σ² ≤ 0) → null with counts reporting.
+    * `sigma2` emits as a round-0 BIGINT (value-unit², the ANOVA-SS
+    * §3 rule: a round-6 double at 10¹⁰ magnitude is last-ulp-
+    * unportable — the scale multiply differs between engines — while
+    * round-0 is the same exact operation on the identical double in
+    * both; r16, caught by q223's gate).
     * Returns ONE row: (n_src, sigma2, delta, tau2, horizon_n).
     *
     * Scale shape: one map-combinable 1-row moment aggregate, one
@@ -2059,12 +2064,123 @@ object Ops {
       .withColumn("__cross", col("__ok") && lnLam > lit(-lnAlpha))
       .groupBy()
       .agg(first(col("n_src")).as("n_src"),
-        first(when(col("__ok"), round(v, 6))).as("sigma2"),
+        first(when(col("__ok"), round(v, 0).cast("long"))).as("sigma2"),
         min(when(col("__cross"), col("__n_try"))).as("horizon_n"))
       .withColumn("delta", lit(delta))
       .withColumn("tau2", lit(tau2))
       .select(col("n_src"), col("sigma2"), col("delta"), col("tau2"),
         col("horizon_n"))
+  }
+
+  /** Per-segment two-proportion MDE (r16 — [[mdeProportions]] keyed
+    * by a segment column, completing the proportions sizing in the
+    * per-segment family beside q188's mean-shift form: "which
+    * segments even have the traffic to see a conversion lift"): per
+    * (segment, side) ONE map-combinable exact integer (n, successes)
+    * census, a full-outer segment join (a segment seen on one side
+    * only reports its counts with null sizing — observable), then
+    * the same pooled-variance tree per segment, round 6. All
+    * divisions run on guarded stand-ins (an absent side's n = 0
+    * never reaches a divisor — ANSI-safe), masked by the same
+    * `ok` the whole-frame form uses. Returns one row per segment:
+    * (grp, n_a, n_b, x_a, x_b, p_a, p_b, p_pool, mde_abs, mde_rel).
+    *
+    * Scale shape: two map-combinable (segment) censuses + one
+    * segment-keyed join — nothing corpus-sized after the censuses,
+    * no cross joins at all in the keyed form (the q188 statement).
+    */
+  def mdeProportionsByGroup(a: DataFrame, b: DataFrame, group: String,
+                            success: Column,
+                            zAlpha: Double = zAlpha025,
+                            zPower: Double = zPower80): DataFrame = {
+    require(zAlpha > 0.0 && zPower >= 0.0,
+      "mdeProportionsByGroup: z constants must be positive")
+    def side(df: DataFrame, nc: String, xc: String): DataFrame =
+      df.filter(col(group).isNotNull && success.isNotNull)
+        .groupBy(col(group).as("grp"))
+        .agg(count(lit(1)).as(nc),
+          coalesce(sum(when(success, lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as(xc))
+    val m = side(a, "n_a", "x_a")
+      .join(side(b, "n_b", "x_b"), Seq("grp"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("x_a", coalesce(col("x_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("x_b", coalesce(col("x_b"), lit(0L)))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def xD(s: String) = col(s"x_$s").cast("double")
+    // sanitized divisors: an absent side computes on benign stand-ins
+    // and is masked by `ok` (the pValue-finisher discipline)
+    def nS(s: String) = when(col(s"n_$s") >= 1, nD(s)).otherwise(lit(1.0))
+    val ok = col("n_a") >= 1 && col("n_b") >= 1
+    val pool = (xD("a") + xD("b")) / (nS("a") + nS("b"))
+    val se2 = pool * (lit(1.0) - pool) *
+      (lit(1.0) / nS("a") + lit(1.0) / nS("b"))
+    val mde = (lit(zAlpha) + lit(zPower)) * sqrt(se2)
+    m
+      .withColumn("p_a", when(col("n_a") > 0, round(xD("a") / nS("a"), 6)))
+      .withColumn("p_b", when(col("n_b") > 0, round(xD("b") / nS("b"), 6)))
+      .withColumn("p_pool", when(ok, round(pool, 6)))
+      .withColumn("mde_abs", when(ok && se2 > 0.0, round(mde, 6)))
+      .withColumn("mde_rel", when(ok && se2 > 0.0 && xD("a") > 0.0,
+        round(mde / (xD("a") / nS("a")), 6)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        col("p_a"), col("p_b"), col("p_pool"), col("mde_abs"),
+        col("mde_rel"))
+  }
+
+  /** Per-segment mSPRT decision horizon (r16 — [[msprtHorizon]]
+    * keyed by a segment column: "which segments' monitors would even
+    * fire within the experiment's lifetime at effect δ" — the
+    * sequential sizing localized the way q188 localizes the fixed-n
+    * MDE): per segment ONE exact-decimal moment census, the SAME
+    * pure-integer three-tier candidate grid exploded per segment
+    * (segments × ~147k rows — grid cost tracks the segment domain,
+    * never the corpus), the q196 ln-space boundary, MIN crossing per
+    * segment. Degenerate segments (n < 2, zero variance) report
+    * null sigma2/horizon with counts saying why. Returns one row per
+    * segment: (grp, n_src, sigma2, delta, tau2, horizon_n).
+    */
+  def msprtHorizonByGroup(df: DataFrame, group: String, value: Column,
+                          delta: Double, tau2: Double,
+                          lnAlpha: Double = -2.995732273553991): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau2 > 0.0, s"msprtHorizonByGroup: tau2 ($tau2) must be positive")
+    require(lnAlpha < 0.0,
+      s"msprtHorizonByGroup: lnAlpha ($lnAlpha) must be negative")
+    val d = graft.util.Portable.dec(value)
+    val m = df.filter(col(group).isNotNull && value.isNotNull)
+      .groupBy(col(group).as("grp"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(d).cast(DecimalType(38, 2)).as("__s"),
+        sum(d * d).cast(DecimalType(38, 4)).as("__ss"))
+    val nD = col("n_src").cast("double")
+    // the n−1 divisor is guarded by the same stand-in discipline as
+    // the whole-frame form's okv mask (n_src = 1 segments exist)
+    val nden = when(col("n_src") >= 2, nD - lit(1.0)).otherwise(lit(1.0))
+    val v = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) / nden
+    val okv = col("n_src") >= 2
+    val vS = when(okv && v > 0.0, v).otherwise(lit(1.0))
+    val grid = concat(
+      sequence(lit(1L), lit(65536L)),
+      sequence(lit(66560L), lit(67108864L), lit(1024L)),
+      sequence(lit(67174400L), lit(1073741824L), lit(65536L)))
+    val vv = lit(2.0) * vS / col("__n_try").cast("double")
+    val lnLam = lit(0.5) * round(log(vv / (vv + lit(tau2))), 12) +
+      lit(delta * delta) * lit(tau2) /
+        (lit(2.0) * vv * (vv + lit(tau2)))
+    m.withColumn("__ok", okv && v > 0.0)
+      .withColumn("__n_try", explode(grid))
+      .withColumn("__cross", col("__ok") && lnLam > lit(-lnAlpha))
+      .groupBy(col("grp"))
+      .agg(first(col("n_src")).as("n_src"),
+        first(when(col("__ok"), round(v, 0).cast("long"))).as("sigma2"),
+        min(when(col("__cross"), col("__n_try"))).as("horizon_n"))
+      .withColumn("delta", lit(delta))
+      .withColumn("tau2", lit(tau2))
+      .select(col("grp"), col("n_src"), col("sigma2"), col("delta"),
+        col("tau2"), col("horizon_n"))
   }
 
   /** Mixture sequential probability ratio test (r15 — the

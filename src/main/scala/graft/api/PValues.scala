@@ -323,6 +323,75 @@ object PValues {
       .drop("__lnx", "__ra", "__rb", "__lnpre", "__lnS", "__bA")
   }
 
+  /** Two-sample Kolmogorov–Smirnov asymptotic p-value (r16): given
+    * the battery's round-6 λ = √(n_a·n_b/(n_a+n_b)) · D, finishes
+    * p = Q_KS(λ) = 2 Σ_{j≥1} (−1)^{j−1} e^{−2j²λ²} — the Kolmogorov
+    * distribution's upper tail — as a FIXED-64-term alternating sum
+    * of round-12 terms accumulated as exact DECIMAL(38,14). No
+    * log-space machinery is needed here (unlike [[pValueChiSq]] /
+    * [[pValueT]]): every term is in (0, 1], and past the round-12
+    * floor BOTH engines add exact zeros, so the truncation itself is
+    * portable — the entire 64-term sum is bit-identical by the same
+    * argument as the series core's term sum.
+    *
+    * Domain guards (λ is round-6, so both engines branch
+    * identically):
+    *   - λ ≤ 0.2 → p = 1: the Jacobi-theta complement
+    *     1 − Q(λ) = (√(2π)/λ) Σ_{j≥1} e^{−(2j−1)²π²/(8λ²)} is, at
+    *     λ = 0.2, bounded by (√(2π)/0.2)·e^{−π²/0.32}·(1 + e^{−π²})
+    *     < 6e-13 — the true p rounds to 1.000000 anyway;
+    *   - λ ≥ 2.8 → p = 0: the alternating series brackets
+    *     Q(λ) < 2e^{−2λ²} = 2e^{−15.68} ≈ 3.1e-7 < 5e-7 — rounds to
+    *     0.000000;
+    *   - inside (0.2, 2.8) the terms reach the round-12 zero floor
+    *     at 2j²λ² > ln(2e12) ≈ 28.3, i.e. j > 3.77/λ ≤ 19 — 64
+    *     terms is 3× the worst case, with every truncated term an
+    *     exact zero in both engines;
+    *   - null λ → NULL (the battery's degenerate segments pass
+    *     through to BH unranked).
+    *
+    * Scale shape: one 64-row explode per test row + one keyed
+    * re-aggregation — test outputs are census-sized, so this is
+    * nothing.
+    */
+  def pValueKs(df: DataFrame, lambda: String, keyCols: Seq[String],
+               out: String = "p"): DataFrame = {
+    val keys = if (keyCols.nonEmpty) keyCols else Seq("__onekey")
+    val base0 = if (keyCols.nonEmpty) df else df.withColumn("__onekey", lit(1))
+    val lam = col(lambda).cast("double")
+    val okBase = lam.isNotNull && lam >= 0.0
+    val triv1 = okBase && lam <= 0.2
+    val clamp0 = okBase && lam >= 2.8
+    val run = okBase && !triv1 && !clamp0
+    // sanitized stand-in (1.0) keeps the non-series rows benign; the
+    // result is masked by the guards below
+    val base = base0.withColumn("__lamS", when(run, lam).otherwise(lit(1.0)))
+    val carried = base.columns.filterNot(keys.contains).toSeq
+    val jd = col("__j").cast("double")
+    val term =
+      (when(pmod(col("__j"), lit(2)) === 1, lit(1.0)).otherwise(lit(-1.0)) *
+        round(exp(lit(-2.0) * jd * jd * col("__lamS") * col("__lamS")), 12))
+        .cast(DecimalType(38, 14))
+    val summed = base
+      .withColumn("__j", explode(sequence(lit(1), lit(64))))
+      .withColumn("__t", term)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__t")).as("__ksS"),
+        carried.map(c => first(col(c)).as(c)): _*)
+    val praw = lit(2.0) * col("__ksS").cast("double")
+    summed
+      .withColumn(out,
+        when(!okBase, lit(null).cast("double"))
+          .when(triv1, lit(1.0))
+          .when(clamp0, lit(0.0))
+          .otherwise(
+            when(praw >= 1.0, lit(1.0))
+              .when(praw > 0.0, round(praw, 6))
+              .otherwise(lit(0.0))))
+      .drop("__ksS", "__lamS")
+      .drop(if (keyCols.nonEmpty) "__nonexistent" else "__onekey")
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a keyed test battery:
     * given one p-value per hypothesis (segment), emits
     * `bh_rank` (1-based rank by ascending p, keys as tiebreak),
@@ -364,5 +433,44 @@ object PValues {
         when(p.isNotNull,
           round(least(lit(1.0), min(col("__raw")).over(wDesc)), 6)))
       .drop("__raw")
+  }
+
+  /** Holm–Bonferroni step-down adjustment over a keyed test battery
+    * (r16 — the FAMILY-WISE-ERROR twin of [[fdrAdjust]]: BH bounds
+    * the expected fraction of false alerts, Holm bounds the chance
+    * of ANY false alert — the control a ship/no-ship decision wants
+    * where a monitoring dashboard wants BH). Emits `m_holm` (the
+    * non-null hypothesis count), `holm_rank` (ascending-p rank, keys
+    * as tiebreak — the same total order as BH's), and `out` =
+    * min(1, max_{j ≤ rank} (m−j+1)·p_j) rounded at 6 — the running
+    * MAX is Holm's monotonicity repair, the mirror image of BH's
+    * reverse running min.
+    *
+    * Same league-table window contract as [[fdrAdjust]]: the
+    * hypotheses are the segment domain, bounded by construction;
+    * null-p rows sort last via the 2.0 sentinel and pass through
+    * unranked with null adjusted p.
+    */
+  def holmAdjust(df: DataFrame, pCol: String, keyCols: Seq[String],
+                 out: String = "p_holm"): DataFrame = {
+    require(keyCols.nonEmpty, "holmAdjust: keyCols must order the hypotheses")
+    val p = col(pCol).cast("double")
+    val pOrd = coalesce(p, lit(2.0))
+    val ascCols = pOrd.asc +: keyCols.map(col(_).asc)
+    val wAll = Window.partitionBy()
+    val wAsc = Window.orderBy(ascCols: _*)
+    val wAscRun = Window.orderBy(ascCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("m_holm", count(when(p.isNotNull, lit(1))).over(wAll))
+      .withColumn("holm_rank",
+        when(p.isNotNull, row_number().over(wAsc).cast("long")))
+      .withColumn("__hraw",
+        when(p.isNotNull,
+          round((col("m_holm") - col("holm_rank") + 1).cast("double") * p, 12)))
+      .withColumn(out,
+        when(p.isNotNull,
+          round(least(lit(1.0), max(col("__hraw")).over(wAscRun)), 6)))
+      .drop("__hraw")
   }
 }

@@ -1572,4 +1572,247 @@ object Extended {
       "qid", "vid",
       t.embeddings.select(col("vec_id").as("qid"), col("label")), "label")
       .orderBy(col("grp"))
+
+  /** q216: the q204 per-status ANOVA battery made decidable
+    * ([[graft.api.PValues.pValueF]] +
+    * [[graft.api.PValues.fdrAdjust]], r16) — each status segment's F
+    * is finished into a portable upper-tail p (fixed-iteration
+    * regularized incomplete beta at the battery's real d1 = k−1,
+    * d2 = N−k) and BH-adjusted across segments: the first GATED
+    * exercise of the F finisher (previously spec-only).
+    */
+  def q216(t: Tables): DataFrame = {
+    import graft.api.PValues
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull &&
+        col("o_orderstatus").isNotNull)
+    val an = graft.api.Ops.anovaFByGroup(o, "o_orderstatus",
+        "o_orderpriority", col("o_totalprice"))
+      .withColumn("d1", (col("k_groups") - 1).cast("double"))
+      .withColumn("d2", (col("n_total") - col("k_groups")).cast("double"))
+    PValues.fdrAdjust(
+        PValues.pValueF(an, "f", "d1", "d2", Seq("grp")), "p", Seq("grp"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .select(col("grp"), col("n_total"), col("k_groups"), col("f"),
+        col("eta_sq"), col("p"), col("bh_rank"), col("m_tests"),
+        col("p_adj"), col("reject"))
+      .orderBy(col("grp"))
+  }
+
+  /** q217: the q177 per-priority Kruskal–Wallis battery made
+    * decidable ([[graft.api.PValues.pValueChiSq]] + BH, r16) — H's
+    * null is χ²(k−1), so each segment's tie-corrected h_adj finishes
+    * through the same portable incomplete-gamma series as q211; a
+    * segment with a degenerate tie correction (null h_adj) passes
+    * through to BH unranked, observable.
+    */
+  def q217(t: Tables): DataFrame = {
+    import graft.api.PValues
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull &&
+        col("o_orderstatus").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val kw = graft.api.Ops.kruskalWallisByGroup(withC, "o_orderpriority",
+        "o_orderstatus", col("cents"))
+      .select(col("seg"), col("n_total"), col("k_groups"), col("h"),
+        col("h_adj")).distinct()
+      .withColumn("dof", (col("k_groups") - 1).cast("double"))
+    PValues.fdrAdjust(
+        PValues.pValueChiSq(kw, "h_adj", "dof", Seq("seg")), "p", Seq("seg"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .select(col("seg"), col("n_total"), col("k_groups"), col("h"),
+        col("h_adj"), col("p"), col("bh_rank"), col("m_tests"),
+        col("p_adj"), col("reject"))
+      .orderBy(col("seg"))
+  }
+
+  /** q218: the q159 per-priority Mann–Whitney battery made decidable
+    * (r16) — the tie-corrected normal approximation's two-sided p is
+    * EXACTLY the χ²₁ upper tail at z² (Z² ~ χ²₁), so the battery
+    * finishes through [[graft.api.PValues.pValueChiSq]] at dof 1
+    * with no new machinery; BH-adjusted across priorities.
+    */
+  def q218(t: Tables): DataFrame = {
+    import graft.api.PValues
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val m = graft.api.Ops.mannWhitneyUByGroup(
+        withC.filter(col("o_orderdate").cast("timestamp") < cut),
+        withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+        "o_orderpriority", col("cents"))
+      .withColumn("z2", col("z") * col("z"))
+      .withColumn("one_dof", lit(1.0))
+    PValues.fdrAdjust(
+        PValues.pValueChiSq(m, "z2", "one_dof", Seq("grp")), "p", Seq("grp"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("u2"), col("z"),
+        col("p"), col("bh_rank"), col("m_tests"), col("p_adj"), col("reject"))
+      .orderBy(col("grp"))
+  }
+
+  /** q219: the q178 per-returnflag Spearman battery made decidable
+    * (r16) — ρ's null distribution via the exact t-transform
+    * t = ρ√((n−2)/(1−ρ²)) on ν = n−2 dof, finished through
+    * [[graft.api.PValues.pValueT]]; a segment whose round-6 ρ is ±1
+    * (perfect monotone — the t-transform diverges) reports p = 0 by
+    * an explicit branch, mirrored in the oracle, never a ÷0.
+    */
+  def q219(t: Tables): DataFrame = {
+    import graft.api.PValues
+    val l = t.lineitem
+      .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull &&
+        col("l_extendedprice").isNotNull)
+      .withColumn("qc",
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .withColumn("pc",
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val sp = graft.api.Ops.spearmanCorrByGroup(l, "l_returnflag",
+        col("pc"), col("qc"))
+      .withColumn("t_stat",
+        when(col("n") >= 3 && col("rho").isNotNull &&
+            col("rho") * col("rho") < 1.0,
+          round(col("rho") * sqrt((col("n") - 2).cast("double") /
+            (lit(1.0) - col("rho") * col("rho"))), 6)))
+      .withColumn("nu", (col("n") - 2).cast("double"))
+    val pv = PValues.pValueT(sp, "t_stat", "nu", Seq("grp"))
+      .withColumn("p",
+        when(col("n") >= 3 && col("rho").isNotNull &&
+            col("rho") * col("rho") >= 1.0, lit(0.0))
+          .otherwise(col("p")))
+    PValues.fdrAdjust(pv, "p", Seq("grp"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .select(col("grp"), col("n"), col("rho"), col("t_stat"), col("p"),
+        col("bh_rank"), col("m_tests"), col("p_adj"), col("reject"))
+      .orderBy(col("grp"))
+  }
+
+  /** q220: the q158 per-priority KS battery made decidable
+    * ([[graft.api.PValues.pValueKs]] + BH, r16) — each segment's
+    * exact D finishes through the asymptotic Kolmogorov tail at
+    * λ = √(n_a·n_b/(n_a+n_b))·D (the fixed-64-term alternating
+    * series, oracle-replayed term for term).
+    */
+  def q220(t: Tables): DataFrame = {
+    import graft.api.PValues
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val ks = graft.api.Ops.ksStatisticByGroup(
+        withC.filter(col("o_orderdate").cast("timestamp") < cut),
+        withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+        "o_orderpriority", col("cents"))
+      .withColumn("lam",
+        when(col("d_stat").isNotNull && col("n_a") > 0 && col("n_b") > 0,
+          round(col("d_stat") * sqrt(col("n_a").cast("double") *
+            col("n_b").cast("double") /
+            (col("n_a").cast("double") + col("n_b").cast("double"))), 6)))
+    PValues.fdrAdjust(
+        PValues.pValueKs(ks, "lam", Seq("grp")), "p", Seq("grp"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("d_num"),
+        col("at_value"), col("d_stat"), col("lam"), col("p"),
+        col("bh_rank"), col("m_tests"), col("p_adj"), col("reject"))
+      .orderBy(col("grp"))
+  }
+
+  /** q221: the cross-test governance battery (r16 — the capstone of
+    * VERDICT r15's "runs the governance program": ONE decidable
+    * frame). Welch t (parametric mean shift), Mann–Whitney z
+    * (rank shift), and KS D (full-distribution shift) each run per
+    * priority segment across the 1998 era cut, each finishes through
+    * its portable p-value ([[graft.api.PValues.pValueT]], χ²₁,
+    * [[graft.api.PValues.pValueKs]]), and Benjamini–Hochberg adjusts
+    * the UNION — 3 tests × 5 segments = one 15-hypothesis battery
+    * with a single FDR budget, which is how a drift review actually
+    * fires alerts (per-test BH would triple-count the α).
+    *
+    * Scale shape: three census-bounded batteries (each one
+    * map-combinable census + k-row finishing), a 15-row union, and
+    * the league-table BH windows — nothing corpus-sized after the
+    * censuses; the three source scans share the cached orders frame.
+    */
+  def q221(t: Tables): DataFrame = {
+    import graft.api.{Ops, PValues}
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val aSide = o.filter(col("o_orderdate").cast("timestamp") < cut)
+    val bSide = o.filter(col("o_orderdate").cast("timestamp") >= cut)
+    val wp = PValues.pValueT(
+        Ops.welchTByGroup(aSide, bSide, "o_orderpriority", col("o_totalprice")),
+        "t", "df", Seq("grp"))
+      .select(lit("welch_t").as("test"), col("grp"), col("t").as("stat"),
+        col("p"))
+    val mwu = Ops.mannWhitneyUByGroup(aSide, bSide, "o_orderpriority",
+        col("cents"))
+      .withColumn("z2", col("z") * col("z"))
+      .withColumn("one_dof", lit(1.0))
+    val mp = PValues.pValueChiSq(mwu, "z2", "one_dof", Seq("grp"))
+      .select(lit("mwu_z").as("test"), col("grp"), col("z").as("stat"),
+        col("p"))
+    val ks = Ops.ksStatisticByGroup(aSide, bSide, "o_orderpriority",
+        col("cents"))
+      .withColumn("lam",
+        when(col("d_stat").isNotNull && col("n_a") > 0 && col("n_b") > 0,
+          round(col("d_stat") * sqrt(col("n_a").cast("double") *
+            col("n_b").cast("double") /
+            (col("n_a").cast("double") + col("n_b").cast("double"))), 6)))
+    val kp = PValues.pValueKs(ks, "lam", Seq("grp"))
+      .select(lit("ks").as("test"), col("grp"), col("d_stat").as("stat"),
+        col("p"))
+    val battery = wp.unionByName(mp).unionByName(kp)
+      .withColumn("gkey", concat_ws("|", col("test"), col("grp")))
+    // both controls on the SAME battery: BH (p_adj — the monitoring
+    // decision: expected false-alert fraction ≤ α) and Holm (p_holm —
+    // the ship decision: chance of ANY false alert ≤ α)
+    PValues.holmAdjust(
+        PValues.fdrAdjust(battery, "p", Seq("gkey")), "p", Seq("gkey"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .withColumn("reject_fwer",
+        when(col("p").isNotNull, col("p_holm") < lit(0.05)))
+      .select(col("test"), col("grp"), col("stat"), col("p"),
+        col("bh_rank"), col("m_tests"), col("p_adj"), col("reject"),
+        col("p_holm"), col("reject_fwer"))
+      .orderBy(col("test"), col("grp"))
+  }
+
+  /** q222: per-priority two-proportion MDE between order eras
+    * ([[graft.api.Ops.mdeProportionsByGroup]]) — the proportions
+    * sizing localized per segment: "which priorities even have the
+    * traffic to see a completed-rate lift across the 1998 cut" (r16).
+    */
+  def q222(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_orderdate").isNotNull && col("o_orderstatus").isNotNull &&
+        col("o_orderpriority").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.mdeProportionsByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("o_orderstatus") === "F")
+      .orderBy(col("grp"))
+  }
+
+  /** q223: per-priority mSPRT decision horizon
+    * ([[graft.api.Ops.msprtHorizonByGroup]]) — "at a $100 effect
+    * under the q196 mixing variance, how many samples per arm until
+    * EACH priority's always-valid monitor would fire": the q214
+    * sizing localized to the segment it would run in (r16).
+    */
+  def q223(t: Tables): DataFrame =
+    graft.api.Ops.msprtHorizonByGroup(
+      t.orders.filter(col("o_totalprice").isNotNull &&
+        col("o_orderpriority").isNotNull),
+      "o_orderpriority", col("o_totalprice"),
+      delta = 100.0, tau2 = 1000000.0)
+      .orderBy(col("grp"))
 }

@@ -186,6 +186,61 @@ class PValuesSpec extends AnyFunSuite {
       .select("p").collect().head.isNullAt(0), "d1 > 100 must yield null p")
   }
 
+  /** Independent Kolmogorov tail: the Jacobi-theta COMPLEMENT form
+    * for small λ (where the engine's direct series is at its
+    * slowest) and an adaptively-truncated direct sum for large λ —
+    * the classic probks recipe, sharing no code with the fixed-64
+    * engine path.
+    */
+  private def refKsQ(lam: Double): Double = {
+    if (lam <= 0.0) return 1.0
+    if (lam < 1.18) {
+      val y = math.exp(-math.Pi * math.Pi / (8.0 * lam * lam))
+      val sum = y + math.pow(y, 9) + math.pow(y, 25) + math.pow(y, 49)
+      1.0 - math.sqrt(2.0 * math.Pi) / lam * sum
+    } else {
+      var j = 1; var s = 0.0; var term = 1.0
+      while (j < 200 && math.abs(term) > 1e-18) {
+        term = (if (j % 2 == 1) 2.0 else -2.0) *
+          math.exp(-2.0 * j * j * lam * lam)
+        s += term; j += 1
+      }
+      math.max(0.0, s)
+    }
+  }
+
+  // ---- Kolmogorov (two-sample KS asymptotic) ----
+  test("pValueKs matches the independent theta/direct reference across the domain and clamps per contract") {
+    val grid = Seq(0.0, 0.05, 0.1, 0.2, 0.201, 0.25, 0.3, 0.4, 0.5, 0.7,
+      0.9, 1.0, 1.18, 1.36, 1.63, 2.0, 2.5, 2.79, 2.8, 3.5)
+      .map(l => (s"lam$l", l))
+    val df = grid.toDF("id", "lam")
+    val got = PValues.pValueKs(df, "lam", Seq("id"))
+      .select("id", "p").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    for ((id, lam) <- grid) {
+      val p = got(id)
+      val ref = refKsQ(lam)
+      assert(!p.isNaN, s"$id: unexpected null")
+      if (lam <= 0.2) {
+        assert(ref > 1.0 - 5e-7, s"$id: p=1 guard domain must have true p rounding to 1 (ref=$ref)")
+        assert(p == 1.0, s"$id: expected guarded 1, got $p")
+      } else if (lam >= 2.8) {
+        assert(ref < 5e-7, s"$id: clamp domain must have true p < 5e-7 (ref=$ref)")
+        assert(p == 0.0, s"$id: expected clamped 0, got $p")
+      } else {
+        assert(math.abs(p - ref) < 2e-6, s"$id: p=$p ref=$ref (lam=$lam)")
+      }
+    }
+    // null λ (a degenerate battery segment) passes through as null p
+    val nul = Seq(("a", Some(1.0)), ("b", None)).toDF("id", "lam")
+    val gotN = PValues.pValueKs(nul, "lam", Seq("id"))
+      .select("id", "p").collect()
+      .map(r => (r.getString(0), r.isNullAt(1))).toMap
+    assert(!gotN("a") && gotN("b"), "null lambda must yield null p")
+  }
+
   // ---- BH ----
   test("fdrAdjust reproduces the hand-computed Benjamini-Hochberg adjustment") {
     // classic example: m=5, sorted p = .01 .02 .03 .04 .5
