@@ -488,6 +488,14 @@ object ScaleProbe {
       // censuses collapse the corpus; the grid is segment-bounded
       "q222_mde_prop" -> (t => operators.Extended.q222(t)),
       "q223_horizon"  -> (t => operators.Extended.q223(t)),
+      // r16 wave 3: effect sizes ride the gated census chains; the
+      // sizing curve is one census + a 7-row grid
+      "q224_cliffs"   -> (t => operators.Extended.q224(t)),
+      "q225_cohens"   -> (t => operators.Extended.q225(t)),
+      "q226_curve"    -> (t => operators.Extended.q226(t)),
+      // r16 wave 4: the family-budgeted battery — censuses + the
+      // family-partitioned league windows
+      "q227_fam_fdr"  -> (t => operators.Extended.q227(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -243,6 +243,10 @@ object SparkEntry {
     "q221_governance_battery" -> q(Extended.q221),
     "q222_mde_prop_by_group" -> q(Extended.q222),
     "q223_horizon_by_group" -> q(Extended.q223),
+    "q224_cliffs_delta"   -> q(Extended.q224),
+    "q227_welch_fam_fdr"  -> q(Extended.q227),
+    "q225_cohens_d"       -> q(Extended.q225),
+    "q226_samplesize_curve" -> q(Extended.q226),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -6401,6 +6405,211 @@ object SparkEntry {
          |  MIN(CASE WHEN okv AND lnl > $thr THEN n_try END) AS horizon_n
          |FROM ln1 GROUP BY grp ORDER BY grp""".stripMargin
     },
+
+    // q224: the q159 Mann–Whitney chain, then Cliff's delta =
+    // (u2 − n_a·n_b)/(n_a·n_b) exact before ONE double division, and
+    // the Romano magnitude band on the round-6 delta
+    "q224_cliffs_delta" -> {
+      s"""WITH src AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    o_orderdate AS d
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL),
+         |ca AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS ca FROM src
+         |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |cb AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cb FROM src
+         |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |m AS (
+         |  SELECT COALESCE(ca.grp, cb.grp) AS grp, COALESCE(ca.v, cb.v) AS v,
+         |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb ON ca.grp = cb.grp AND ca.v = cb.v),
+         |w AS (
+         |  SELECT *, ca + cb AS mm,
+         |    COALESCE(CAST(SUM(ca + cb) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+         |  FROM m),
+         |agg AS (
+         |  SELECT grp, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(s * 2 + mm + 1 AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS r2a
+         |  FROM w GROUP BY 1),
+         |f AS (
+         |  SELECT grp, n_a, n_b,
+         |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0)) *
+         |      CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS u2
+         |  FROM agg),
+         |dl AS (
+         |  SELECT grp, n_a, n_b, CAST(u2 AS BIGINT) AS u2,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      round(CAST(CAST(CAST(u2 AS BIGINT) AS DECIMAL(38,0)) -
+         |          CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+         |            AS DECIMAL(38,0)) AS DOUBLE) /
+         |        (CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |          CAST(CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+         |            AS DECIMAL(38,0)) AS DOUBLE) ELSE 1.0 END), 6)
+         |    END AS delta
+         |  FROM f)
+         |SELECT grp, n_a, n_b, u2, delta,
+         |  CASE WHEN delta IS NOT NULL THEN
+         |    CASE WHEN abs(delta) < CAST(0.147 AS DOUBLE) THEN 'negligible'
+         |      WHEN abs(delta) < CAST(0.33 AS DOUBLE) THEN 'small'
+         |      WHEN abs(delta) < CAST(0.474 AS DOUBLE) THEN 'medium'
+         |      ELSE 'large' END
+         |  END AS magnitude
+         |FROM dl ORDER BY grp""".stripMargin
+    },
+
+    // q225: the q212 moment censuses, the pooled-SD d, and Hedges' g
+    // through the SAME Lanczos lnGamma the p-value layer uses —
+    // ln J = lnΓ(ν/2) − ½·round(ln(ν/2),12) − lnΓ((ν−1)/2)
+    "q225_cohens_d" -> {
+      val lnj = s"""(${lnGammaSql("(nus / 2.0)")} - 0.5 * round(ln(nus / 2.0), 12)
+         | - ${lnGammaSql("((nus - 1.0) / 2.0)")})""".stripMargin
+      s"""WITH a AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |b AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |m AS (
+         |  SELECT COALESCE(a.grp, b.grp) AS grp,
+         |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |    s_a, s_b, ss_a, ss_b
+         |  FROM a FULL OUTER JOIN b ON a.grp = b.grp),
+         |st AS (
+         |  SELECT *,
+         |    CASE WHEN n_a >= 1 THEN CAST(n_a AS DOUBLE) ELSE 1.0 END AS nma,
+         |    CASE WHEN n_b >= 1 THEN CAST(n_b AS DOUBLE) ELSE 1.0 END AS nmb,
+         |    CASE WHEN n_a >= 2 THEN CAST(n_a AS DOUBLE) ELSE 2.0 END AS nsa,
+         |    CASE WHEN n_b >= 2 THEN CAST(n_b AS DOUBLE) ELSE 2.0 END AS nsb,
+         |    (n_a >= 2 AND n_b >= 2) AS ok
+         |  FROM m),
+         |sp AS (
+         |  SELECT *,
+         |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / nsa)
+         |      + (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / nsb))
+         |      / (nsa + nsb - 2.0) AS sp2
+         |  FROM st),
+         |dr AS (
+         |  SELECT *,
+         |    CASE WHEN ok THEN CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0
+         |      ELSE 4.0 END AS nus,
+         |    (CAST(s_a AS DOUBLE) / nsa - CAST(s_b AS DOUBLE) / nsb) /
+         |      sqrt(CASE WHEN ok AND sp2 > 0.0 THEN sp2 ELSE 1.0 END) AS draw
+         |  FROM sp)
+         |SELECT grp, n_a, n_b,
+         |  CASE WHEN n_a > 0 THEN round(CAST(s_a AS DOUBLE) / nma, 6) END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN round(CAST(s_b AS DOUBLE) / nmb, 6) END AS mean_b,
+         |  CASE WHEN ok AND sp2 > 0.0 THEN round(sqrt(sp2), 6) END AS sd_pooled,
+         |  CASE WHEN ok AND sp2 > 0.0 THEN round(draw, 6) END AS d,
+         |  CASE WHEN ok AND sp2 > 0.0 THEN round(draw * exp($lnj), 6) END AS g
+         |FROM dr ORDER BY grp""".stripMargin
+    },
+
+    // q226: one moment census, the declared delta grid, the classic
+    // fixed-horizon n = ceil(2 sigma^2 (z_a+z_p)^2 / delta^2) with the
+    // z-sum squared ONCE and shared as a 17-digit literal
+    "q226_samplesize_curve" -> {
+      val zq = String.format(java.util.Locale.ROOT, "CAST(%.17e AS DOUBLE)",
+        Double.box((graft.api.Ops.zAlpha025 + graft.api.Ops.zPower80) *
+          (graft.api.Ops.zAlpha025 + graft.api.Ops.zPower80)))
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_src,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |f AS (
+         |  SELECT *,
+         |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |      / CAST(n_src AS DOUBLE)) /
+         |    (CASE WHEN n_src >= 2 THEN CAST(n_src AS DOUBLE) - 1.0 ELSE 1.0 END) AS v
+         |  FROM m),
+         |fok AS (
+         |  SELECT *, (n_src >= 2 AND v > 0.0) AS okv FROM f),
+         |dg AS (SELECT * FROM (VALUES
+         |  (CAST(10.0 AS DOUBLE)), (CAST(25.0 AS DOUBLE)), (CAST(50.0 AS DOUBLE)),
+         |  (CAST(100.0 AS DOUBLE)), (CAST(250.0 AS DOUBLE)), (CAST(500.0 AS DOUBLE)),
+         |  (CAST(1000.0 AS DOUBLE))) AS t(delta)),
+         |ex AS (SELECT fok.*, dg.delta FROM fok CROSS JOIN dg)
+         |SELECT delta, n_src,
+         |  CASE WHEN okv THEN CAST(round(v, 0) AS BIGINT) END AS sigma2,
+         |  CASE WHEN okv THEN CAST(ceil(2.0 * v * $zq / (delta * delta)) AS BIGINT)
+         |  END AS n_per_arm
+         |FROM ex ORDER BY delta""".stripMargin
+    },
+
+    // q227: the q212 Welch chain over the (status|priority) composite
+    // segment, the portable two-sided t p, then BH AND Holm with every
+    // window PARTITIONED BY the status family — per-family budgets
+    "q227_welch_fam_fdr" -> {
+      s"""WITH a AS (
+         |  SELECT o_orderstatus || '|' || o_orderpriority AS grp,
+         |    CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |b AS (
+         |  SELECT o_orderstatus || '|' || o_orderpriority AS grp,
+         |    CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |m AS (
+         |  SELECT COALESCE(a.grp, b.grp) AS grp,
+         |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |    s_a, s_b, ss_a, ss_b
+         |  FROM a FULL OUTER JOIN b ON a.grp = b.grp),
+         |f AS (
+         |  SELECT *,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE) AS vna,
+         |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
+         |  FROM m),
+         |welch AS (
+         |  SELECT grp, n_a, n_b,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+         |      round((ma - mb) / sqrt(vna + vnb), 6) END AS t,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+         |      round((vna + vnb) * (vna + vnb) /
+         |        (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
+         |         vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
+         |  FROM f),
+         |pvin AS (
+         |  SELECT grp AS g, grp, n_a, n_b, t, df,
+         |    CAST(t AS DOUBLE) AS tv, CAST(df AS DOUBLE) AS nu
+         |  FROM welch),
+         |${pvBetaTCtes("pvin")},
+         |bhin AS (
+         |  SELECT substr(grp, 1, 1) AS fam, grp, n_a, n_b, t, df, p, g
+         |  FROM pvfin),
+         |${pvBhCtes("bhin", "g", "fam")},
+         |${pvHolmCtes("bh3", "g", "fam")}
+         |SELECT fam, grp, n_a, n_b, t, df, p, bh_rank, m_tests, p_adj,
+         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject,
+         |  p_holm, CASE WHEN p IS NOT NULL THEN (p_holm < 0.05) END AS reject_fwer
+         |FROM hl3 ORDER BY fam, grp""".stripMargin
+    },
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER
@@ -6703,12 +6912,14 @@ object SparkEntry {
     * p_adj. Null-p rows sort via the 2.0 sentinel in BOTH
     * directions, exactly as the engine does.
     */
-  private def pvBhCtes(in: String, key: String): String =
+  private def pvBhCtes(in: String, key: String, fam: String = ""): String = {
+    val part = if (fam.isEmpty) "" else s"PARTITION BY $fam "
     s"""bh1 AS (
        |  SELECT *,
-       |    CAST(COUNT(CASE WHEN p IS NOT NULL THEN 1 END) OVER () AS BIGINT) AS m_tests,
+       |    CAST(COUNT(CASE WHEN p IS NOT NULL THEN 1 END)
+       |      OVER (${if (fam.isEmpty) "" else s"PARTITION BY $fam"}) AS BIGINT) AS m_tests,
        |    CASE WHEN p IS NOT NULL THEN
-       |      CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(p, 2.0) ASC, $key ASC) AS BIGINT)
+       |      CAST(ROW_NUMBER() OVER (${part}ORDER BY COALESCE(p, 2.0) ASC, $key ASC) AS BIGINT)
        |    END AS bh_rank
        |  FROM $in),
        |bh2 AS (
@@ -6718,10 +6929,11 @@ object SparkEntry {
        |  FROM bh1),
        |bh3 AS (
        |  SELECT *, CASE WHEN p IS NOT NULL THEN
-       |    round(LEAST(1.0, MIN(braw) OVER (ORDER BY COALESCE(p, 2.0) DESC, $key DESC
+       |    round(LEAST(1.0, MIN(braw) OVER (${part}ORDER BY COALESCE(p, 2.0) DESC, $key DESC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
        |  END AS p_adj
        |  FROM bh2)""".stripMargin
+  }
 
   /** The Holm step-down adjustment mirrored from
     * `PValues.holmAdjust` (r16): expects a CTE `<in>` carrying `p`
@@ -6730,12 +6942,14 @@ object SparkEntry {
     * the BH windows (sentinel 2.0 for nulls), running MAX instead of
     * reverse running min.
     */
-  private def pvHolmCtes(in: String, key: String): String =
+  private def pvHolmCtes(in: String, key: String, fam: String = ""): String = {
+    val part = if (fam.isEmpty) "" else s"PARTITION BY $fam "
     s"""hl1 AS (
        |  SELECT *,
-       |    CAST(COUNT(CASE WHEN p IS NOT NULL THEN 1 END) OVER () AS BIGINT) AS m_holm,
+       |    CAST(COUNT(CASE WHEN p IS NOT NULL THEN 1 END)
+       |      OVER (${if (fam.isEmpty) "" else s"PARTITION BY $fam"}) AS BIGINT) AS m_holm,
        |    CASE WHEN p IS NOT NULL THEN
-       |      CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(p, 2.0) ASC, $key ASC) AS BIGINT)
+       |      CAST(ROW_NUMBER() OVER (${part}ORDER BY COALESCE(p, 2.0) ASC, $key ASC) AS BIGINT)
        |    END AS holm_rank
        |  FROM $in),
        |hl2 AS (
@@ -6745,10 +6959,11 @@ object SparkEntry {
        |  FROM hl1),
        |hl3 AS (
        |  SELECT *, CASE WHEN p IS NOT NULL THEN
-       |    round(LEAST(1.0, MAX(hraw) OVER (ORDER BY COALESCE(p, 2.0) ASC, $key ASC
+       |    round(LEAST(1.0, MAX(hraw) OVER (${part}ORDER BY COALESCE(p, 2.0) ASC, $key ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
        |  END AS p_holm
        |  FROM hl2)""".stripMargin
+  }
 
   /** One measure's CTE chain for the q43 portable-HLL oracle —
     * mirrors `Ops.hllDistinct` (p=12) step for step: 60-bit seeded-md5

@@ -2183,6 +2183,158 @@ object Ops {
         col("tau2"), col("horizon_n"))
   }
 
+  /** Per-segment Cliff's delta (r16 wave 3 — the EFFECT-SIZE column
+    * beside the q218 battery's p-value: a segment with 10⁸ rows can
+    * have p = 0.000001 on a shift nobody would act on; δ says how
+    * OFTEN a random B-era order actually exceeds a random A-era one):
+    * δ = P(X > Y) − P(Y > X) over all cross pairs, ties splitting —
+    * which is EXACTLY (u2 − n_a·n_b)/(n_a·n_b) on [[mannWhitneyUByGroup]]'s
+    * doubled rank sum u2 = 2·U_A (an identity on the exact integers,
+    * zero new census work; this is also the rank-biserial
+    * correlation). The difference and product stay DECIMAL(38,0)
+    * exact before ONE double division, round 6; the magnitude band
+    * uses the published Romano thresholds (|δ| < 0.147 negligible,
+    * < 0.33 small, < 0.474 medium, else large) compared on the
+    * round-6 double — identical branches in both engines. Degenerate
+    * segments (an empty side) report null δ with counts saying why.
+    * Returns one row per segment: (grp, n_a, n_b, u2, delta,
+    * magnitude).
+    *
+    * Scale shape: the q159 census chain plus per-segment O(1)
+    * finishing — nothing new touches the corpus.
+    */
+  def cliffsDeltaByGroup(a: DataFrame, b: DataFrame, group: String,
+                         value: Column, allowWideCensus: Boolean = false,
+                         maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val m = mannWhitneyUByGroup(a, b, group, value, allowWideCensus,
+      maxExactCensusRows)
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    val nab = (col("n_a").cast(DecimalType(19, 0)) *
+      col("n_b").cast(DecimalType(19, 0))).cast(DecimalType(38, 0))
+    val diff = (col("u2").cast(DecimalType(38, 0)) - nab)
+      .cast(DecimalType(38, 0))
+    // sanitized divisor: an empty side computes on a benign stand-in
+    // and is masked by `ok`
+    val nabD = when(ok, nab.cast("double")).otherwise(lit(1.0))
+    val delta = when(ok, round(diff.cast("double") / nabD, 6))
+    m.withColumn("delta", delta)
+      .withColumn("magnitude",
+        when(delta.isNotNull,
+          when(abs(delta) < 0.147, lit("negligible"))
+            .when(abs(delta) < 0.33, lit("small"))
+            .when(abs(delta) < 0.474, lit("medium"))
+            .otherwise(lit("large"))))
+      .select(col("grp"), col("n_a"), col("n_b"), col("u2"),
+        col("delta"), col("magnitude"))
+  }
+
+  /** Per-segment Cohen's d and Hedges' g (r16 wave 3 — the
+    * PARAMETRIC effect size beside the q212 battery's p-value:
+    * standardized mean difference in pooled-SD units, with the
+    * small-sample bias correction): per (segment, side) the q162
+    * exact decimal moments, then
+    * `d = (mean_a − mean_b)/s_p` with
+    * `s_p² = ((SS_a − S_a²/n_a) + (SS_b − S_b²/n_b))/(n_a+n_b−2)`
+    * and `g = d·J(ν)`, ν = n_a+n_b−2, where the exact correction
+    * `J(ν) = Γ(ν/2)/(√(ν/2)·Γ((ν−1)/2))` runs the SAME Lanczos
+    * [[PValues.lnGammaCol]] column the p-value layer uses (its two
+    * transcendental ln outputs round-12; everything else IEEE on
+    * identical doubles) — in log space,
+    * `ln J = lnΓ(ν/2) − ½·round(ln(ν/2), 12) − lnΓ((ν−1)/2)`, one
+    * exp, one fixed tree, round 6. Degenerate segments (either side
+    * n < 2, zero pooled variance) null d/g with counts reporting;
+    * all divisors and the Lanczos argument run on sanitized
+    * stand-ins. Returns one row per segment: (grp, n_a, n_b, mean_a,
+    * mean_b, sd_pooled, d, g).
+    *
+    * Scale shape: two map-combinable (segment) censuses + one
+    * segment-keyed full-outer join — the q169 statement.
+    */
+  def cohensDByGroup(a: DataFrame, b: DataFrame, group: String,
+                     value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = graft.util.Portable.dec(value)
+    def side(df: DataFrame, suf: String): DataFrame =
+      df.filter(col(group).isNotNull && value.isNotNull)
+        .groupBy(col(group).as("grp"))
+        .agg(count(lit(1)).as(s"n_$suf"),
+          sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+          sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    val m = side(a, "a").join(side(b, "b"), Seq("grp"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    // two stand-in tiers: nM guards the means (valid from n = 1), nS
+    // guards the variance/dof divisors (valid from n = 2)
+    def nM(s: String) = when(col(s"n_$s") >= 1, nD(s)).otherwise(lit(1.0))
+    def nS(s: String) = when(col(s"n_$s") >= 2, nD(s)).otherwise(lit(2.0))
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val sp2 = ((sxx("a") - sx("a") * sx("a") / nS("a")) +
+      (sxx("b") - sx("b") * sx("b") / nS("b"))) /
+      (nS("a") + nS("b") - lit(2.0))
+    val nuS = when(ok, nD("a") + nD("b") - lit(2.0)).otherwise(lit(4.0))
+    val dRaw = (sx("a") / nS("a") - sx("b") / nS("b")) /
+      sqrt(when(ok && sp2 > 0.0, sp2).otherwise(lit(1.0)))
+    val lnJ = PValues.lnGammaCol(nuS / lit(2.0)) -
+      lit(0.5) * round(log(nuS / lit(2.0)), 12) -
+      PValues.lnGammaCol((nuS - lit(1.0)) / lit(2.0))
+    m
+      .withColumn("mean_a", when(col("n_a") > 0, round(sx("a") / nM("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(sx("b") / nM("b"), 6)))
+      .withColumn("sd_pooled", when(ok && sp2 > 0.0, round(sqrt(sp2), 6)))
+      .withColumn("d", when(ok && sp2 > 0.0, round(dRaw, 6)))
+      .withColumn("g", when(ok && sp2 > 0.0, round(dRaw * exp(lnJ), 6)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("sd_pooled"), col("d"), col("g"))
+  }
+
+  /** Fixed-horizon sample-size curve (r16 wave 3 — the FIXED-n
+    * sibling of [[msprtHorizon]], completing the sizing family: "to
+    * see effect δ at α/power, how many samples per arm does a
+    * classic two-sample test need" for a whole grid of δ in one
+    * statement): ONE exact-decimal moment census of the
+    * pre-experiment traffic, then per declared δ
+    * `n = ⌈2σ²(z_{1−α/2}+z_power)²/δ²⌉` — the z-sum squares ONCE in
+    * Scala and embeds as the SAME 17-digit literal in engine and
+    * oracle (the q183 shared-constant rule); ceil on the identical
+    * double is exact in both engines. σ² emits as round-0 BIGINT
+    * (the q214/q223 rule). Degenerate traffic (n < 2, zero
+    * variance) nulls the curve with counts reporting. Returns one
+    * row per δ: (delta, n_src, sigma2, n_per_arm).
+    *
+    * Scale shape: one map-combinable 1-row census + a |deltas|-row
+    * explode — corpus cost is the one scan.
+    */
+  def sampleSizeCurve(df: DataFrame, value: Column, deltas: Seq[Double],
+                      zAlpha: Double = zAlpha025,
+                      zPower: Double = zPower80): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(deltas.nonEmpty && deltas.forall(_ > 0.0),
+      "sampleSizeCurve: deltas must be positive")
+    require(zAlpha > 0.0 && zPower >= 0.0,
+      "sampleSizeCurve: z constants must be positive")
+    val zq = (zAlpha + zPower) * (zAlpha + zPower)
+    val d = graft.util.Portable.dec(value)
+    val m = df.filter(value.isNotNull).agg(
+      count(lit(1)).as("n_src"),
+      sum(d).cast(DecimalType(38, 2)).as("__s"),
+      sum(d * d).cast(DecimalType(38, 4)).as("__ss"))
+    val nD = col("n_src").cast("double")
+    val nden = when(col("n_src") >= 2, nD - lit(1.0)).otherwise(lit(1.0))
+    val v = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / nD) / nden
+    val okv = col("n_src") >= 2 && v > 0.0
+    m.withColumn("delta", explode(array(deltas.map(lit): _*)))
+      .withColumn("n_per_arm", when(okv,
+        ceil(lit(2.0) * v * lit(zq) / (col("delta") * col("delta")))
+          .cast("long")))
+      .withColumn("sigma2", when(okv, round(v, 0).cast("long")))
+      .select(col("delta"), col("n_src"), col("sigma2"), col("n_per_arm"))
+  }
+
   /** Mixture sequential probability ratio test (r15 — the
     * ALWAYS-VALID inference member of the experimentation-governance
     * family beside [[mdeReadout]]/[[srmCheck]]/[[welchT]]: a fixed-n

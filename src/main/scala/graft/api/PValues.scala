@@ -162,31 +162,46 @@ object PValues {
     */
   def pValueChiSq(df: DataFrame, stat: String, dof: String,
                   keyCols: Seq[String], out: String = "p"): DataFrame = {
-    val x = col(stat).cast("double")
-    val k = col(dof).cast("double")
-    val okBase = x.isNotNull && k.isNotNull && k >= 1.0 && x >= 0.0 && k <= 1200.0
-    val clamp0 = okBase && x > lit(2.0) * k + lit(60.0)
-    val triv1 = okBase && x <= 0.0
-    val run = okBase && !clamp0 && x > 0.0
-    // sanitized params: every non-series row computes on benign
-    // stand-ins (ANSI-safe: no ln(0), no 0/0) and is masked at the end
-    val aS = when(run, k / lit(2.0)).otherwise(lit(1.0))
-    val zS = when(run, x / lit(2.0)).otherwise(lit(1.0))
+    // STAGED columns, one level per oracle CTE (pvg0..pvpar): a Scala
+    // `val` reused inside a nested Column tree DUPLICATES its subtree
+    // at construction, and eight levels of reuse blow the plan up
+    // exponentially — the optimizer then walks that tree on EVERY run
+    // (q216 read 7 s of pure plan time before this layering, r16).
+    // Named non-cheap aliases referenced more than once stay aliases
+    // under CollapseProject, exactly like the oracle's CTE chain.
     val prepared = df
-      .withColumn("__lnx", round(log(zS), 12))
+      .withColumn("__pvx", col(stat).cast("double"))
+      .withColumn("__pvk", col(dof).cast("double"))
+      .withColumn("__okb",
+        col("__pvx").isNotNull && col("__pvk").isNotNull &&
+          col("__pvk") >= 1.0 && col("__pvx") >= 0.0 && col("__pvk") <= 1200.0)
+      .withColumn("__clamp0",
+        col("__okb") && col("__pvx") > lit(2.0) * col("__pvk") + lit(60.0))
+      .withColumn("__triv1", col("__okb") && col("__pvx") <= 0.0)
+      .withColumn("__run",
+        col("__okb") && !col("__clamp0") && col("__pvx") > 0.0)
+      // sanitized params: every non-series row computes on benign
+      // stand-ins (ANSI-safe: no ln(0), no 0/0), masked at the end
+      .withColumn("__aS",
+        when(col("__run"), col("__pvk") / lit(2.0)).otherwise(lit(1.0)))
+      .withColumn("__zS",
+        when(col("__run"), col("__pvx") / lit(2.0)).otherwise(lit(1.0)))
+      .withColumn("__lnx", round(log(col("__zS")), 12))
       .withColumn("__ra", lit(-1.0))
-      .withColumn("__rb", aS)
+      .withColumn("__rb", col("__aS"))
       .withColumn("__lnpre",
-        aS * round(log(zS), 12) - zS - lnGammaCol(aS + lit(1.0)))
+        col("__aS") * round(log(col("__zS")), 12) - col("__zS") -
+          lnGammaCol(col("__aS") + lit(1.0)))
     val praw = lit(1.0) - exp(col("__lnpre") + col("__lnS"))
     seriesLnSum(prepared, keyCols)
       .withColumn(out,
-        when(!okBase, lit(null).cast("double"))
-          .when(clamp0, lit(0.0))
-          .when(triv1, lit(1.0))
+        when(!col("__okb"), lit(null).cast("double"))
+          .when(col("__clamp0"), lit(0.0))
+          .when(col("__triv1"), lit(1.0))
           // branch, don't clamp: round(−ε, 6) would emit IEEE −0.0
           .otherwise(when(praw > 0.0, round(praw, 6)).otherwise(lit(0.0))))
-      .drop("__lnx", "__ra", "__rb", "__lnpre", "__lnS")
+      .drop("__pvx", "__pvk", "__okb", "__clamp0", "__triv1", "__run",
+        "__aS", "__zS", "__lnx", "__ra", "__rb", "__lnpre", "__lnS")
   }
 
   /** Two-sided Student/Welch t p-value: p = P(|T_ν| > t) =
@@ -219,42 +234,54 @@ object PValues {
     */
   def pValueT(df: DataFrame, t: String, nu: String,
               keyCols: Seq[String], out: String = "p"): DataFrame = {
-    val tv = col(t).cast("double")
-    val nv = col(nu).cast("double")
-    val okBase = tv.isNotNull && nv.isNotNull && nv >= 1.0
-    val t2 = tv * tv
-    val triv1 = okBase && t2 <= 0.0
-    val branchA = t2 >= nv
-    val clamp0 = okBase && !branchA && t2 >= 60.0
-    val run = okBase && !clamp0 && t2 > 0.0
-    val t2S = when(run, t2).otherwise(lit(1.0))
-    val nvS = when(run, nv).otherwise(lit(4.0))
-    val xa = nvS / (nvS + t2S)
-    val xb = t2S / (nvS + t2S)
-    val aP = when(branchA, nvS / lit(2.0)).otherwise(lit(0.5))
-    val bP = when(branchA, lit(0.5)).otherwise(nvS / lit(2.0))
-    val xP = when(branchA, xa).otherwise(xb)
-    val xC = when(branchA, xb).otherwise(xa)
+    // staged per oracle CTE level — see pValueChiSq on why
     val prepared = df
-      .withColumn("__lnx", round(log(xP), 12))
-      .withColumn("__ra", aP + bP - lit(1.0))
-      .withColumn("__rb", aP)
+      .withColumn("__pvt", col(t).cast("double"))
+      .withColumn("__pvn", col(nu).cast("double"))
+      .withColumn("__okb",
+        col("__pvt").isNotNull && col("__pvn").isNotNull && col("__pvn") >= 1.0)
+      .withColumn("__t2", col("__pvt") * col("__pvt"))
+      .withColumn("__triv1", col("__okb") && col("__t2") <= 0.0)
+      .withColumn("__bA", col("__t2") >= col("__pvn"))
+      .withColumn("__clamp0",
+        col("__okb") && !col("__bA") && col("__t2") >= 60.0)
+      .withColumn("__run",
+        col("__okb") && !col("__clamp0") && col("__t2") > 0.0)
+      .withColumn("__t2S", when(col("__run"), col("__t2")).otherwise(lit(1.0)))
+      .withColumn("__nvS", when(col("__run"), col("__pvn")).otherwise(lit(4.0)))
+      .withColumn("__xa", col("__nvS") / (col("__nvS") + col("__t2S")))
+      .withColumn("__xb", col("__t2S") / (col("__nvS") + col("__t2S")))
+      .withColumn("__aP",
+        when(col("__bA"), col("__nvS") / lit(2.0)).otherwise(lit(0.5)))
+      .withColumn("__bP",
+        when(col("__bA"), lit(0.5)).otherwise(col("__nvS") / lit(2.0)))
+      .withColumn("__xP", when(col("__bA"), col("__xa")).otherwise(col("__xb")))
+      .withColumn("__xC", when(col("__bA"), col("__xb")).otherwise(col("__xa")))
+      .withColumn("__ab", col("__aP") + col("__bP"))
+      .withColumn("__a1", col("__aP") + lit(1.0))
+      .withColumn("__lnx", round(log(col("__xP")), 12))
+      .withColumn("__ra", col("__ab") - lit(1.0))
+      .withColumn("__rb", col("__aP"))
       .withColumn("__lnpre",
-        aP * round(log(xP), 12) + bP * round(log(xC), 12) +
-          lnGammaCol(aP + bP) - lnGammaCol(aP + lit(1.0)) - lnGammaCol(bP))
-      .withColumn("__bA", branchA)
+        col("__aP") * round(log(col("__xP")), 12) +
+          col("__bP") * round(log(col("__xC")), 12) +
+          lnGammaCol(col("__ab")) - lnGammaCol(col("__a1")) -
+          lnGammaCol(col("__bP")))
     val inc = exp(col("__lnpre") + col("__lnS"))
     val praw = when(col("__bA"), inc).otherwise(lit(1.0) - inc)
     seriesLnSum(prepared, keyCols)
       .withColumn(out,
-        when(!okBase, lit(null).cast("double"))
-          .when(triv1, lit(1.0))
-          .when(clamp0, lit(0.0))
+        when(!col("__okb"), lit(null).cast("double"))
+          .when(col("__triv1"), lit(1.0))
+          .when(col("__clamp0"), lit(0.0))
           .otherwise(
             when(praw >= 1.0, lit(1.0))
               .when(praw > 0.0, round(praw, 6))
               .otherwise(lit(0.0))))
-      .drop("__lnx", "__ra", "__rb", "__lnpre", "__lnS", "__bA")
+      .drop("__pvt", "__pvn", "__okb", "__t2", "__triv1", "__bA",
+        "__clamp0", "__run", "__t2S", "__nvS", "__xa", "__xb", "__aP",
+        "__bP", "__xP", "__xC", "__ab", "__a1", "__lnx", "__ra", "__rb",
+        "__lnpre", "__lnS")
   }
 
   /** F upper-tail p-value: p = P(F_{d1,d2} > f) = I_X(d2/2, d1/2)
@@ -281,46 +308,64 @@ object PValues {
     */
   def pValueF(df: DataFrame, f: String, d1: String, d2: String,
               keyCols: Seq[String], out: String = "p"): DataFrame = {
-    val fv = col(f).cast("double")
-    val k1 = col(d1).cast("double")
-    val k2 = col(d2).cast("double")
-    val okBase = fv.isNotNull && k1.isNotNull && k2.isNotNull &&
-      fv >= 0.0 && k1 >= 1.0 && k2 >= 1.0 && k1 <= 100.0
-    val triv1 = okBase && fv <= 0.0
-    val s = k1 * fv
-    val clamp0 = okBase && k2 > 2000.0 && s >= lit(2.0) * k1 + lit(80.0)
-    val run = okBase && !clamp0 && fv > 0.0
-    val fS = when(run, fv).otherwise(lit(1.0))
-    val k1S = when(run, k1).otherwise(lit(1.0))
-    val k2S = when(run, k2).otherwise(lit(4.0))
-    val sS = k1S * fS
-    val xa = k2S / (k2S + sS)
-    val xb = sS / (k2S + sS)
-    val branchA = xa <= 0.5
-    val aP = when(branchA, k2S / lit(2.0)).otherwise(k1S / lit(2.0))
-    val bP = when(branchA, k1S / lit(2.0)).otherwise(k2S / lit(2.0))
-    val xP = when(branchA, xa).otherwise(xb)
-    val xC = when(branchA, xb).otherwise(xa)
+    // staged per oracle CTE level — see pValueChiSq on why (this
+    // finisher was the blow-up's worst case: q216 spent 7 s per run
+    // in pure plan time before the layering, 0.5 s after)
     val prepared = df
-      .withColumn("__lnx", round(log(xP), 12))
-      .withColumn("__ra", aP + bP - lit(1.0))
-      .withColumn("__rb", aP)
+      .withColumn("__pvf", col(f).cast("double"))
+      .withColumn("__pk1", col(d1).cast("double"))
+      .withColumn("__pk2", col(d2).cast("double"))
+      .withColumn("__okb",
+        col("__pvf").isNotNull && col("__pk1").isNotNull &&
+          col("__pk2").isNotNull && col("__pvf") >= 0.0 &&
+          col("__pk1") >= 1.0 && col("__pk2") >= 1.0 && col("__pk1") <= 100.0)
+      .withColumn("__triv1", col("__okb") && col("__pvf") <= 0.0)
+      .withColumn("__s1", col("__pk1") * col("__pvf"))
+      .withColumn("__clamp0",
+        col("__okb") && col("__pk2") > 2000.0 &&
+          col("__s1") >= lit(2.0) * col("__pk1") + lit(80.0))
+      .withColumn("__run",
+        col("__okb") && !col("__clamp0") && col("__pvf") > 0.0)
+      .withColumn("__fS", when(col("__run"), col("__pvf")).otherwise(lit(1.0)))
+      .withColumn("__k1S", when(col("__run"), col("__pk1")).otherwise(lit(1.0)))
+      .withColumn("__k2S", when(col("__run"), col("__pk2")).otherwise(lit(4.0)))
+      .withColumn("__sS", col("__k1S") * col("__fS"))
+      .withColumn("__xa", col("__k2S") / (col("__k2S") + col("__sS")))
+      .withColumn("__xb", col("__sS") / (col("__k2S") + col("__sS")))
+      .withColumn("__bA", col("__xa") <= 0.5)
+      .withColumn("__aP",
+        when(col("__bA"), col("__k2S") / lit(2.0))
+          .otherwise(col("__k1S") / lit(2.0)))
+      .withColumn("__bP",
+        when(col("__bA"), col("__k1S") / lit(2.0))
+          .otherwise(col("__k2S") / lit(2.0)))
+      .withColumn("__xP", when(col("__bA"), col("__xa")).otherwise(col("__xb")))
+      .withColumn("__xC", when(col("__bA"), col("__xb")).otherwise(col("__xa")))
+      .withColumn("__ab", col("__aP") + col("__bP"))
+      .withColumn("__a1", col("__aP") + lit(1.0))
+      .withColumn("__lnx", round(log(col("__xP")), 12))
+      .withColumn("__ra", col("__ab") - lit(1.0))
+      .withColumn("__rb", col("__aP"))
       .withColumn("__lnpre",
-        aP * round(log(xP), 12) + bP * round(log(xC), 12) +
-          lnGammaCol(aP + bP) - lnGammaCol(aP + lit(1.0)) - lnGammaCol(bP))
-      .withColumn("__bA", branchA)
+        col("__aP") * round(log(col("__xP")), 12) +
+          col("__bP") * round(log(col("__xC")), 12) +
+          lnGammaCol(col("__ab")) - lnGammaCol(col("__a1")) -
+          lnGammaCol(col("__bP")))
     val inc = exp(col("__lnpre") + col("__lnS"))
     val praw = when(col("__bA"), inc).otherwise(lit(1.0) - inc)
     seriesLnSum(prepared, keyCols)
       .withColumn(out,
-        when(!okBase, lit(null).cast("double"))
-          .when(triv1, lit(1.0))
-          .when(clamp0, lit(0.0))
+        when(!col("__okb"), lit(null).cast("double"))
+          .when(col("__triv1"), lit(1.0))
+          .when(col("__clamp0"), lit(0.0))
           .otherwise(
             when(praw >= 1.0, lit(1.0))
               .when(praw > 0.0, round(praw, 6))
               .otherwise(lit(0.0))))
-      .drop("__lnx", "__ra", "__rb", "__lnpre", "__lnS", "__bA")
+      .drop("__pvf", "__pk1", "__pk2", "__okb", "__triv1", "__s1",
+        "__clamp0", "__run", "__fS", "__k1S", "__k2S", "__sS", "__xa",
+        "__xb", "__bA", "__aP", "__bP", "__xP", "__xC", "__ab", "__a1",
+        "__lnx", "__ra", "__rb", "__lnpre", "__lnS")
   }
 
   /** Two-sample Kolmogorov–Smirnov asymptotic p-value (r16): given
@@ -433,6 +478,72 @@ object PValues {
         when(p.isNotNull,
           round(least(lit(1.0), min(col("__raw")).over(wDesc)), 6)))
       .drop("__raw")
+  }
+
+  /** [[fdrAdjust]] keyed by a FAMILY (r16 wave 4 — the
+    * multi-experiment form: a platform running hundreds of
+    * experiments adjusts each experiment's segment battery on its
+    * OWN budget, not one global budget that lets a giant experiment
+    * starve a small one): identical rank/reverse-running-min
+    * machinery with every window PARTITIONED BY the family columns —
+    * which is also the form that scales, since families adjust in
+    * parallel instead of one league table. `m_tests` and `bh_rank`
+    * are per-family. keyCols must order rows totally WITHIN a
+    * family.
+    */
+  def fdrAdjustByGroup(df: DataFrame, pCol: String, famCols: Seq[String],
+                       keyCols: Seq[String], out: String = "p_adj"): DataFrame = {
+    require(famCols.nonEmpty, "fdrAdjustByGroup: famCols must name the family")
+    require(keyCols.nonEmpty,
+      "fdrAdjustByGroup: keyCols must order the hypotheses")
+    val p = col(pCol).cast("double")
+    val pOrd = coalesce(p, lit(2.0))
+    val ascCols = pOrd.asc +: keyCols.map(col(_).asc)
+    val descCols = pOrd.desc +: keyCols.map(col(_).desc)
+    val wFam = Window.partitionBy(famCols.map(col): _*)
+    val wAsc = Window.partitionBy(famCols.map(col): _*).orderBy(ascCols: _*)
+    val wDesc = Window.partitionBy(famCols.map(col): _*).orderBy(descCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("m_tests", count(when(p.isNotNull, lit(1))).over(wFam))
+      .withColumn("bh_rank",
+        when(p.isNotNull, row_number().over(wAsc).cast("long")))
+      .withColumn("__raw",
+        when(p.isNotNull,
+          round(col("m_tests").cast("double") * p /
+            col("bh_rank").cast("double"), 12)))
+      .withColumn(out,
+        when(p.isNotNull,
+          round(least(lit(1.0), min(col("__raw")).over(wDesc)), 6)))
+      .drop("__raw")
+  }
+
+  /** [[holmAdjust]] keyed by a family — see [[fdrAdjustByGroup]];
+    * the same family-partitioned windows, Holm's running max.
+    */
+  def holmAdjustByGroup(df: DataFrame, pCol: String, famCols: Seq[String],
+                        keyCols: Seq[String], out: String = "p_holm"): DataFrame = {
+    require(famCols.nonEmpty, "holmAdjustByGroup: famCols must name the family")
+    require(keyCols.nonEmpty,
+      "holmAdjustByGroup: keyCols must order the hypotheses")
+    val p = col(pCol).cast("double")
+    val pOrd = coalesce(p, lit(2.0))
+    val ascCols = pOrd.asc +: keyCols.map(col(_).asc)
+    val wFam = Window.partitionBy(famCols.map(col): _*)
+    val wAsc = Window.partitionBy(famCols.map(col): _*).orderBy(ascCols: _*)
+    val wAscRun = Window.partitionBy(famCols.map(col): _*).orderBy(ascCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("m_holm", count(when(p.isNotNull, lit(1))).over(wFam))
+      .withColumn("holm_rank",
+        when(p.isNotNull, row_number().over(wAsc).cast("long")))
+      .withColumn("__hraw",
+        when(p.isNotNull,
+          round((col("m_holm") - col("holm_rank") + 1).cast("double") * p, 12)))
+      .withColumn(out,
+        when(p.isNotNull,
+          round(least(lit(1.0), max(col("__hraw")).over(wAscRun)), 6)))
+      .drop("__hraw")
   }
 
   /** Holm–Bonferroni step-down adjustment over a keyed test battery

@@ -1815,4 +1815,88 @@ object Extended {
       "o_orderpriority", col("o_totalprice"),
       delta = 100.0, tau2 = 1000000.0)
       .orderBy(col("grp"))
+
+  /** q224: per-priority Cliff's delta between order eras
+    * ([[graft.api.Ops.cliffsDeltaByGroup]]) — the effect-size column
+    * beside q218's p-value: how often a random post-cut order
+    * actually exceeds a random pre-cut one, per segment, with the
+    * Romano magnitude band (r16 wave 3).
+    */
+  def q224(t: Tables): DataFrame = {
+    val withC = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.cliffsDeltaByGroup(
+      withC.filter(col("o_orderdate").cast("timestamp") < cut),
+      withC.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("cents"))
+      .orderBy(col("grp"))
+  }
+
+  /** q225: per-priority Cohen's d / Hedges' g between order eras
+    * ([[graft.api.Ops.cohensDByGroup]]) — the parametric effect size
+    * beside q212's p-value, with the exact Γ-based small-sample
+    * correction riding the same Lanczos column as the p-value layer
+    * (r16 wave 3).
+    */
+  def q225(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.cohensDByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("o_totalprice"))
+      .orderBy(col("grp"))
+  }
+
+  /** q226: fixed-horizon sample-size curve for order totals
+    * ([[graft.api.Ops.sampleSizeCurve]]) — "to see a $10/$25/…/$1000
+    * mean shift at α = .05 / power = .80, how many samples per arm":
+    * the fixed-n sibling of q214's sequential horizon, one census,
+    * one curve (r16 wave 3).
+    */
+  def q226(t: Tables): DataFrame =
+    graft.api.Ops.sampleSizeCurve(
+      t.orders.filter(col("o_totalprice").isNotNull), col("o_totalprice"),
+      deltas = Seq(10.0, 25.0, 50.0, 100.0, 250.0, 500.0, 1000.0))
+      .orderBy(col("delta"))
+
+  /** q227: family-budgeted Welch batteries
+    * ([[graft.api.PValues.fdrAdjustByGroup]] /
+    * [[graft.api.PValues.holmAdjustByGroup]], r16 wave 4 — the
+    * multi-experiment form: each order STATUS is its own experiment
+    * family, its five priority segments adjusted on the family's OWN
+    * α budget rather than one global league table; the windows are
+    * family-partitioned, which is also the shape that scales to
+    * thousands of concurrent experiments).
+    */
+  def q227(t: Tables): DataFrame = {
+    import graft.api.{Ops, PValues}
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull && col("o_orderstatus").isNotNull)
+      .withColumn("fam_seg",
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val w = Ops.welchTByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "fam_seg", col("o_totalprice"))
+    val pv = PValues.pValueT(w, "t", "df", Seq("grp"))
+      .withColumn("fam", substring(col("grp"), 1, 1))
+    PValues.holmAdjustByGroup(
+        PValues.fdrAdjustByGroup(pv, "p", Seq("fam"), Seq("grp")),
+        "p", Seq("fam"), Seq("grp"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .withColumn("reject_fwer",
+        when(col("p").isNotNull, col("p_holm") < lit(0.05)))
+      .select(col("fam"), col("grp"), col("n_a"), col("n_b"), col("t"),
+        col("df"), col("p"), col("bh_rank"), col("m_tests"), col("p_adj"),
+        col("reject"), col("p_holm"), col("reject_fwer"))
+      .orderBy(col("fam"), col("grp"))
+  }
 }

@@ -276,4 +276,50 @@ class PValuesSpec extends AnyFunSuite {
     assert(got3("c") == ((1L, 2L, 0.02)))
     assert(got3("a") == ((2L, 2L, 0.04)))
   }
+
+  // ---- Holm ----
+  test("holmAdjust reproduces the hand-computed step-down adjustment") {
+    // m=5, sorted p = .01 .02 .03 .04 .5
+    // raw (m-i+1)p  = .05 .08 .09 .08 .5
+    // running max   = .05 .08 .09 .09 .5  (rank 4's .08 pulled UP — the
+    // step-down monotonicity repair, mirror image of BH's)
+    val df = Seq(("s1", 0.03), ("s2", 0.01), ("s3", 0.5), ("s4", 0.02),
+      ("s5", 0.04)).toDF("grp", "p")
+    val got = PValues.holmAdjust(df, "p", Seq("grp"))
+      .select("grp", "holm_rank", "m_holm", "p_holm").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("s2") == ((1L, 5L, 0.05)))
+    assert(got("s4") == ((2L, 5L, 0.08)))
+    assert(got("s1") == ((3L, 5L, 0.09)))
+    assert(got("s5") == ((4L, 5L, 0.09)))
+    assert(got("s3") == ((5L, 5L, 0.5)))
+    // the >1 clamp: m=3, p = .5 .6 .7 -> raw 1.5 1.2 .7 -> max 1.5 -> 1
+    val df2 = Seq(("a", 0.5), ("b", 0.6), ("c", 0.7)).toDF("grp", "p")
+    val got2 = PValues.holmAdjust(df2, "p", Seq("grp"))
+      .select("grp", "p_holm").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got2 == Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    // null p rows pass through unranked; m counts only non-null
+    val df3 = Seq(("a", Some(0.04)), ("b", None), ("c", Some(0.01)))
+      .toDF("grp", "p")
+    val got3 = PValues.holmAdjust(df3, "p", Seq("grp"))
+      .select("grp", "holm_rank", "m_holm", "p_holm").collect()
+      .map(r => (r.getString(0),
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(got3("b")._1 == -1L && got3("b")._3.isNaN)
+    assert(got3("b")._2 == 2L)
+    assert(got3("c") == ((1L, 2L, 0.02)))
+    assert(got3("a") == ((2L, 2L, 0.04)))
+    // Holm >= BH pointwise on the same battery (FWER is the stricter
+    // control) — checked on the q221-like mixed example
+    val df4 = Seq(("w1", 0.010), ("w2", 0.40), ("k1", 0.015), ("k2", 0.80),
+      ("m1", 0.011)).toDF("grp", "p")
+    val both = PValues.holmAdjust(
+        PValues.fdrAdjust(df4, "p", Seq("grp")), "p", Seq("grp"))
+      .select("grp", "p_adj", "p_holm").collect()
+    for (r <- both)
+      assert(r.getDouble(2) >= r.getDouble(1) - 1e-12,
+        s"${r.getString(0)}: Holm ${r.getDouble(2)} < BH ${r.getDouble(1)}")
+  }
 }
