@@ -496,6 +496,11 @@ object ScaleProbe {
       // r16 wave 4: the family-budgeted battery — censuses + the
       // family-partitioned league windows
       "q227_fam_fdr"  -> (t => operators.Extended.q227(t)),
+      // r16 wave 5: per-segment CUPED — (segment, arm) moments + one
+      // segment-keyed join
+      "q228_cuped"    -> (t => operators.Extended.q228(t)),
+      // r16 wave 6: per-segment DiD — (segment, cell) census + pivot
+      "q229_did"      -> (t => operators.Extended.q229(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

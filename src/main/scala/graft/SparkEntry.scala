@@ -245,6 +245,8 @@ object SparkEntry {
     "q223_horizon_by_group" -> q(Extended.q223),
     "q224_cliffs_delta"   -> q(Extended.q224),
     "q227_welch_fam_fdr"  -> q(Extended.q227),
+    "q228_cuped_by_group" -> q(Extended.q228),
+    "q229_did_by_group"   -> q(Extended.q229),
     "q225_cohens_d"       -> q(Extended.q225),
     "q226_samplesize_curve" -> q(Extended.q226),
   )
@@ -6609,6 +6611,159 @@ object SparkEntry {
          |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject,
          |  p_holm, CASE WHEN p IS NOT NULL THEN (p_holm < 0.05) END AS reject_fwer
          |FROM hl3 ORDER BY fam, grp""".stripMargin
+    },
+
+    // q228: the q172 per-user pre/post moments keyed by a user-id
+    // segment, a per-segment full-outer arm join, the SAME pooled-θ /
+    // adjusted-moment / z tree per segment with stand-in divisors
+    "q228_cuped_by_group" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS y,
+        |    COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b0 AS (
+        |  SELECT CAST(user_id % 3 AS VARCHAR) AS grp,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(CAST(y AS DECIMAL(18,2)) * 100 AS BIGINT) AS yy,
+        |    CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS xx
+        |  FROM u),
+        |pa AS (
+        |  SELECT grp, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(xx) AS BIGINT) AS sx, CAST(SUM(yy) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(xx AS DECIMAL(19,0)) * CAST(xx AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(yy AS DECIMAL(19,0)) * CAST(yy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(xx AS DECIMAL(19,0)) * CAST(yy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
+        |  FROM b0 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT COALESCE(a.grp, b.grp) AS grp,
+        |    COALESCE(a.n, 0) AS n_a, a.sx AS sx_a, a.sy AS sy_a, a.sxx AS sxx_a,
+        |    a.syy AS syy_a, a.sxy AS sxy_a,
+        |    COALESCE(b.n, 0) AS n_b, b.sx AS sx_b, b.sy AS sy_b, b.sxx AS sxx_b,
+        |    b.syy AS syy_b, b.sxy AS sxy_b
+        |  FROM (SELECT * FROM pa WHERE arm = 'A') a
+        |  FULL OUTER JOIN (SELECT * FROM pa WHERE arm = 'B') b ON a.grp = b.grp),
+        |f AS (
+        |  SELECT *,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nt,
+        |    CASE WHEN n_a + n_b >= 1 THEN CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+        |      ELSE 1.0 END AS nts,
+        |    CASE WHEN n_a >= 1 THEN CAST(n_a AS DOUBLE) ELSE 1.0 END AS nsa,
+        |    CASE WHEN n_b >= 1 THEN CAST(n_b AS DOUBLE) ELSE 1.0 END AS nsb,
+        |    CASE WHEN n_a >= 2 THEN CAST(n_a AS DOUBLE) - 1.0 ELSE 1.0 END AS n1sa,
+        |    CASE WHEN n_b >= 2 THEN CAST(n_b AS DOUBLE) - 1.0 ELSE 1.0 END AS n1sb,
+        |    CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE) AS sxt,
+        |    CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE) AS syt,
+        |    CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE) AS sxxt,
+        |    CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE) AS sxyt
+        |  FROM j),
+        |g AS (
+        |  SELECT *,
+        |    CASE WHEN nt * sxxt - sxt * sxt > 0
+        |      THEN (nt * sxyt - sxt * syt) / (nt * sxxt - sxt * sxt)
+        |      ELSE CAST(0 AS DOUBLE) END AS theta0,
+        |    sxt / nts AS xbar
+        |  FROM f),
+        |h AS (
+        |  SELECT *,
+        |    CAST(sy_a AS DOUBLE) - theta0 * (CAST(sx_a AS DOUBLE) - CAST(n_a AS DOUBLE) * xbar) AS sadj_a,
+        |    CAST(syy_a AS DOUBLE) - CAST(2 AS DOUBLE) * theta0 * (CAST(sxy_a AS DOUBLE) - xbar * CAST(sy_a AS DOUBLE))
+        |      + theta0 * theta0 * (CAST(sxx_a AS DOUBLE) - CAST(2 AS DOUBLE) * xbar * CAST(sx_a AS DOUBLE)
+        |        + CAST(n_a AS DOUBLE) * xbar * xbar) AS sqadj_a,
+        |    CAST(sy_b AS DOUBLE) - theta0 * (CAST(sx_b AS DOUBLE) - CAST(n_b AS DOUBLE) * xbar) AS sadj_b,
+        |    CAST(syy_b AS DOUBLE) - CAST(2 AS DOUBLE) * theta0 * (CAST(sxy_b AS DOUBLE) - xbar * CAST(sy_b AS DOUBLE))
+        |      + theta0 * theta0 * (CAST(sxx_b AS DOUBLE) - CAST(2 AS DOUBLE) * xbar * CAST(sx_b AS DOUBLE)
+        |        + CAST(n_b AS DOUBLE) * xbar * xbar) AS sqadj_b
+        |  FROM g),
+        |i AS (
+        |  SELECT *,
+        |    sadj_a / nsa AS ma,
+        |    sadj_b / nsb AS mb,
+        |    ((sqadj_a - sadj_a * sadj_a / nsa) / n1sa) / nsa
+        |      + ((sqadj_b - sadj_b * sadj_b / nsb) / n1sb) / nsb AS se2
+        |  FROM h)
+        |SELECT grp, n_a, n_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 THEN round(theta0, 6) END AS theta,
+        |  CASE WHEN n_a > 0 THEN
+        |    round(CAST(sy_a AS DOUBLE) / nsa / CAST(100 AS DOUBLE), 6) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN
+        |    round(CAST(sy_b AS DOUBLE) / nsb / CAST(100 AS DOUBLE), 6) END AS mean_b,
+        |  CASE WHEN n_a > 0 AND n_a >= 1 AND n_b >= 1 THEN
+        |    round(ma / CAST(100 AS DOUBLE), 6) END AS mean_adj_a,
+        |  CASE WHEN n_b > 0 AND n_a >= 1 AND n_b >= 1 THEN
+        |    round(mb / CAST(100 AS DOUBLE), 6) END AS mean_adj_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+        |    round((ma - mb) / sqrt(se2), 6) END AS z
+        |FROM i ORDER BY grp""".stripMargin,
+
+    // q229: the q173 cells keyed by a user-id segment, a per-segment
+    // 4-cell pivot, the same estimate/SE tree with the two-tier
+    // stand-in divisors the keyed engine form uses
+    "q229_did_by_group" -> {
+      val cs = Seq("t_pre", "t_post", "c_pre", "c_post")
+      val wCols = cs.map(c =>
+        s"""    MAX(CASE WHEN cell = '$c' THEN n END) AS ${c}_n,
+           |    MAX(CASE WHEN cell = '$c' THEN s END) AS ${c}_s,
+           |    MAX(CASE WHEN cell = '$c' THEN ss END) AS ${c}_ss""".stripMargin)
+        .mkString(",\n")
+      val stCols = cs.map(c =>
+        s"""    COALESCE(${c}_n, 0) AS ${c}_nc,
+           |    CASE WHEN COALESCE(${c}_n, 0) >= 1
+           |      THEN CAST(COALESCE(${c}_n, 0) AS DOUBLE) ELSE 1.0 END AS ${c}_nm,
+           |    CASE WHEN COALESCE(${c}_n, 0) >= 2
+           |      THEN CAST(COALESCE(${c}_n, 0) AS DOUBLE) - 1.0 ELSE 1.0 END AS ${c}_n1""".stripMargin)
+        .mkString(",\n")
+      def mean(c: String) =
+        s"CAST(${c}_s AS DOUBLE) / ${c}_nm / CAST(100 AS DOUBLE)"
+      def vn(c: String) =
+        s"((CAST(${c}_ss AS DOUBLE) - CAST(${c}_s AS DOUBLE) * CAST(${c}_s AS DOUBLE) / ${c}_nm) / ${c}_n1) / ${c}_nm / CAST(10000 AS DOUBLE)"
+      val se2 = cs.map(vn).mkString("\n      + ")
+      val allPresent = cs.map(c => s"${c}_nc > 0").mkString(" AND ")
+      val allVar = cs.map(c => s"${c}_nc >= 2").mkString(" AND ")
+      s"""WITH cells AS (
+         |  SELECT CAST(user_id % 3 AS VARCHAR) AS grp,
+         |    (CASE WHEN user_id % 2 = 0 THEN 't' ELSE 'c' END) ||
+         |    (CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN '_post' ELSE '_pre' END) AS cell,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+         |agg AS (
+         |  SELECT grp, cell, CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         |    CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ss
+         |  FROM cells GROUP BY 1, 2),
+         |w AS (
+         |  SELECT grp,
+         |$wCols
+         |  FROM agg GROUP BY grp),
+         |st AS (
+         |  SELECT *,
+         |$stCols
+         |  FROM w),
+         |f AS (
+         |  SELECT *,
+         |    ${mean("t_post")} AS m_t_post,
+         |    ${mean("t_pre")} AS m_t_pre,
+         |    ${mean("c_post")} AS m_c_post,
+         |    ${mean("c_pre")} AS m_c_pre,
+         |    $se2 AS se2
+         |  FROM st),
+         |f2 AS (
+         |  SELECT *, (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did0,
+         |    ($allVar) AS allvar,
+         |    ($allPresent) AS allpresent
+         |  FROM f)
+         |SELECT grp, t_pre_nc AS n_t_pre, t_post_nc AS n_t_post,
+         |  c_pre_nc AS n_c_pre, c_post_nc AS n_c_post,
+         |  CASE WHEN t_pre_nc > 0 THEN round(m_t_pre, 6) END AS mean_t_pre,
+         |  CASE WHEN t_post_nc > 0 THEN round(m_t_post, 6) END AS mean_t_post,
+         |  CASE WHEN c_pre_nc > 0 THEN round(m_c_pre, 6) END AS mean_c_pre,
+         |  CASE WHEN c_post_nc > 0 THEN round(m_c_post, 6) END AS mean_c_post,
+         |  CASE WHEN allpresent THEN round(did0, 6) END AS did,
+         |  CASE WHEN allvar AND se2 > 0 THEN round(sqrt(se2), 6) END AS se,
+         |  CASE WHEN allvar AND se2 > 0 THEN round(did0 / sqrt(se2), 6) END AS t
+         |FROM f2 ORDER BY grp""".stripMargin
     },
   )
 

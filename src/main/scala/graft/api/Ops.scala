@@ -2335,6 +2335,63 @@ object Ops {
       .select(col("delta"), col("n_src"), col("sigma2"), col("n_per_arm"))
   }
 
+  /** Cross-test governance battery (r16 — the ONE-FRAME decision
+    * readout the q221 gate runs, factored here so the live
+    * [[graft.streaming.Streams.governanceStream]] and the batch gate
+    * share every expression): Welch t (parametric mean shift) on
+    * `meanValue`, Mann–Whitney z (rank shift) and KS D
+    * (full-distribution shift) on the integer `rankValue`, each per
+    * `group` segment between frames `a` (baseline/control) and `b`
+    * (current/treatment), each finished through its portable p
+    * ([[PValues.pValueT]], the Z² ~ χ²₁ identity through
+    * [[PValues.pValueChiSq]], [[PValues.pValueKs]]), the UNION
+    * adjusted as one battery under BOTH controls —
+    * BH `p_adj`/`reject` (monitoring: expected false-alert fraction
+    * ≤ α) and Holm `p_holm`/`reject_fwer` (ship decision: chance of
+    * ANY false alert ≤ α). Per-test adjustment would multiply-count
+    * the α — the single budget is this operator's reason to exist.
+    * Returns one row per (test ∈ {welch_t, mwu_z, ks}, segment):
+    * (test, grp, stat, p, bh_rank, m_tests, p_adj, reject, p_holm,
+    * reject_fwer).
+    *
+    * Scale shape: three census-bounded batteries + a (3 × segments)-
+    * row union + the league-table BH/Holm windows — nothing
+    * corpus-sized after the censuses.
+    */
+  def governanceBatteryByGroup(a: DataFrame, b: DataFrame, group: String,
+                               meanValue: Column,
+                               rankValue: Column): DataFrame = {
+    val wp = PValues.pValueT(
+        welchTByGroup(a, b, group, meanValue), "t", "df", Seq("grp"))
+      .select(lit("welch_t").as("test"), col("grp"), col("t").as("stat"),
+        col("p"))
+    val mwu = mannWhitneyUByGroup(a, b, group, rankValue)
+      .withColumn("z2", col("z") * col("z"))
+      .withColumn("one_dof", lit(1.0))
+    val mp = PValues.pValueChiSq(mwu, "z2", "one_dof", Seq("grp"))
+      .select(lit("mwu_z").as("test"), col("grp"), col("z").as("stat"),
+        col("p"))
+    val ks = ksStatisticByGroup(a, b, group, rankValue)
+      .withColumn("lam",
+        when(col("d_stat").isNotNull && col("n_a") > 0 && col("n_b") > 0,
+          round(col("d_stat") * sqrt(col("n_a").cast("double") *
+            col("n_b").cast("double") /
+            (col("n_a").cast("double") + col("n_b").cast("double"))), 6)))
+    val kp = PValues.pValueKs(ks, "lam", Seq("grp"))
+      .select(lit("ks").as("test"), col("grp"), col("d_stat").as("stat"),
+        col("p"))
+    val battery = wp.unionByName(mp).unionByName(kp)
+      .withColumn("gkey", concat_ws("|", col("test"), col("grp")))
+    PValues.holmAdjust(
+        PValues.fdrAdjust(battery, "p", Seq("gkey")), "p", Seq("gkey"))
+      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
+      .withColumn("reject_fwer",
+        when(col("p").isNotNull, col("p_holm") < lit(0.05)))
+      .select(col("test"), col("grp"), col("stat"), col("p"),
+        col("bh_rank"), col("m_tests"), col("p_adj"), col("reject"),
+        col("p_holm"), col("reject_fwer"))
+  }
+
   /** Mixture sequential probability ratio test (r15 — the
     * ALWAYS-VALID inference member of the experimentation-governance
     * family beside [[mdeReadout]]/[[srmCheck]]/[[welchT]]: a fixed-n
@@ -3687,6 +3744,102 @@ object Ops {
         col("mean_b"), col("mean_adj_a"), col("mean_adj_b"), col("z"))
   }
 
+  /** Per-segment CUPED z (r16 wave 5 — [[cupedZ]] keyed by a
+    * unit-level segment column, joining the per-segment experiment
+    * family beside welch/mwu/ks/anova ByGroup: variance reduction is
+    * MOST needed exactly where segments thin the traffic, and a
+    * whole-frame θ ignores that segments regress differently): per
+    * (segment, arm) the same six exact integer-cent moment sums in
+    * ONE pass, a segment-keyed full-outer arm join (a segment seen
+    * in one arm only reports its counts and means with null θ/z —
+    * observable, where the whole-frame form would emit an empty
+    * frame), then the identical pooled-θ / adjusted-moment / z tree
+    * PER SEGMENT — θ is per-segment pooled, so each segment gets the
+    * regression its own covariate actually has. All divisors run on
+    * the stand-in discipline (absent or n<2 sides never reach a
+    * divisor); multiplier uses of n stay raw, divisor uses are
+    * guarded, so both-sides-present segments are value-identical to
+    * the whole-frame tree by construction. Returns one row per
+    * segment: (grp, n_a, n_b, theta, mean_a, mean_b, mean_adj_a,
+    * mean_adj_b, z).
+    *
+    * Scale shape: one map-combinable (segment, arm) census + one
+    * segment-keyed join — no cross joins in the keyed form (the
+    * q188 statement).
+    */
+  def cupedZByGroup(units: DataFrame, group: String, arm: Column,
+                    metric: Column, covariate: Column,
+                    armA: String, armB: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val base = units.filter(col(group).isNotNull && arm.isNotNull &&
+        metric.isNotNull && covariate.isNotNull)
+      .select(col(group).as("grp"), arm.cast("string").as("__arm"),
+        (graft.util.Portable.dec(metric) * 100).cast("long").as("__y"),
+        (graft.util.Portable.dec(covariate) * 100).cast("long").as("__x"))
+      .filter(col("__arm").isin(armA, armB))
+    val perArm = base.groupBy(col("grp"), col("__arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x").cast(d19) * col("__x").cast(d19)).cast(DecimalType(38, 0)).as("__sxx"),
+        sum(col("__y").cast(d19) * col("__y").cast(d19)).cast(DecimalType(38, 0)).as("__syy"),
+        sum(col("__x").cast(d19) * col("__y").cast(d19)).cast(DecimalType(38, 0)).as("__sxy"))
+    def armRows(a: String, suf: String) = perArm.filter(col("__arm") === a)
+      .select(col("grp"), col("n").as(s"n_$suf"), col("__sx").as(s"__sx_$suf"),
+        col("__sy").as(s"__sy_$suf"), col("__sxx").as(s"__sxx_$suf"),
+        col("__syy").as(s"__syy_$suf"), col("__sxy").as(s"__sxy_$suf"))
+    val j = armRows(armA, "a").join(armRows(armB, "b"), Seq("grp"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+    def d(c: String) = col(c).cast("double")
+    val bothPresent = col("n_a") >= 1 && col("n_b") >= 1
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    // stand-in divisors (the cohensDByGroup two-tier discipline);
+    // multiplier uses of n stay RAW so both-present segments are
+    // value-identical to the whole-frame tree
+    def nS(suf: String) = when(col(s"n_$suf") >= 1, d(s"n_$suf")).otherwise(lit(1.0))
+    def n1S(suf: String) =
+      when(col(s"n_$suf") >= 2, d(s"n_$suf") - lit(1.0)).otherwise(lit(1.0))
+    val nT = d("n_a") + d("n_b")
+    val nTS = when(col("n_a") + col("n_b") >= 1, nT).otherwise(lit(1.0))
+    val sxT = d("__sx_a") + d("__sx_b"); val syT = d("__sy_a") + d("__sy_b")
+    val sxxT = d("__sxx_a") + d("__sxx_b"); val sxyT = d("__sxy_a") + d("__sxy_b")
+    val varXN = nT * sxxT - sxT * sxT
+    val covN = nT * sxyT - sxT * syT
+    val theta = when(varXN > 0.0, covN / varXN).otherwise(lit(0.0))
+    def adj(suf: String) = {
+      val n = d(s"n_$suf"); val sx = d(s"__sx_$suf"); val sy = d(s"__sy_$suf")
+      val sxx = d(s"__sxx_$suf"); val syy = d(s"__syy_$suf")
+      val sxy = d(s"__sxy_$suf")
+      val sAdj = sy - col("__theta") * (sx - n * col("__xbar"))
+      val sqAdj = syy - lit(2.0) * col("__theta") * (sxy - col("__xbar") * sy) +
+        col("__theta") * col("__theta") *
+          (sxx - lit(2.0) * col("__xbar") * sx + n * col("__xbar") * col("__xbar"))
+      val m = sAdj / nS(suf)
+      val v = (sqAdj - sAdj * sAdj / nS(suf)) / n1S(suf)
+      (m, v)
+    }
+    val withPooled = j
+      .withColumn("__theta", theta)
+      .withColumn("__xbar", sxT / nTS)
+    val (ma, va) = adj("a"); val (mb, vb) = adj("b")
+    val se2 = va / nS("a") + vb / nS("b")
+    withPooled
+      .withColumn("theta", when(bothPresent, round(col("__theta"), 6)))
+      .withColumn("mean_a",
+        when(col("n_a") > 0, round(d("__sy_a") / nS("a") / lit(100.0), 6)))
+      .withColumn("mean_b",
+        when(col("n_b") > 0, round(d("__sy_b") / nS("b") / lit(100.0), 6)))
+      .withColumn("mean_adj_a",
+        when(col("n_a") > 0 && bothPresent, round(ma / lit(100.0), 6)))
+      .withColumn("mean_adj_b",
+        when(col("n_b") > 0 && bothPresent, round(mb / lit(100.0), 6)))
+      .withColumn("z", when(ok && se2 > 0.0, round((ma - mb) / sqrt(se2), 6)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("theta"),
+        col("mean_a"), col("mean_b"), col("mean_adj_a"), col("mean_adj_b"),
+        col("z"))
+  }
+
   /** Difference-in-differences estimator (r13 — the
     * quasi-experimental readout for when you CANNOT randomize: a
     * policy/price/feature hits one group at a known time, the
@@ -3744,6 +3897,74 @@ object Ops {
       .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
         col("mean_t_pre"), col("mean_t_post"), col("mean_c_pre"),
         col("mean_c_post"), col("did"), col("se"), col("t"))
+  }
+
+  /** Per-segment difference-in-differences (r16 wave 6 —
+    * [[diffInDiff]] keyed by a segment column, the quasi-experimental
+    * member of the per-segment family: a policy that hits everyone
+    * at once still lands DIFFERENTLY per market/device/cohort, and
+    * the whole-frame DiD averages that away): per (segment, group ×
+    * period) cell the same exact cent sums in ONE pass, a per-segment
+    * 4-cell pivot, the identical estimate/SE tree per segment. All
+    * cell divisors run on the two-tier stand-in discipline (a missing
+    * or n<2 cell never reaches a divisor — the whole-frame form
+    * would crash on a 1-row cell; here it reports null se/t with the
+    * counts saying why, observable). Returns one row per segment:
+    * (grp, n_t_pre, n_t_post, n_c_pre, n_c_post, mean_t_pre,
+    * mean_t_post, mean_c_pre, mean_c_post, did, se, t).
+    *
+    * Scale shape: one map-combinable (segment, cell) census + one
+    * segments×4 pivot — nothing corpus-sized after the census.
+    */
+  def diffInDiffByGroup(df: DataFrame, group: String, treated: Column,
+                        post: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val cells = df.filter(col(group).isNotNull && treated.isNotNull &&
+        post.isNotNull && value.isNotNull)
+      .select(col(group).as("grp"),
+        concat(when(treated, "t").otherwise("c"),
+          when(post, "_post").otherwise("_pre")).as("__cell"),
+        (graft.util.Portable.dec(value) * 100).cast("long").as("__v"))
+      .groupBy(col("grp"), col("__cell"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v").cast(d19) * col("__v").cast(d19))
+          .cast(DecimalType(38, 0)).as("__ss"))
+    val wide = cells.groupBy(col("grp"))
+      .pivot("__cell", Seq("t_pre", "t_post", "c_pre", "c_post"))
+      .agg(max(col("__n")).as("n"), max(col("__s")).as("s"),
+        max(col("__ss")).as("ss"))
+    def nC(c: String) = coalesce(col(s"${c}_n"), lit(0L))
+    def nRaw(c: String) = nC(c).cast("double")
+    // two stand-in tiers (the cohensDByGroup discipline): means valid
+    // from n = 1, variance divisors from n = 2
+    def nM(c: String) = when(nC(c) >= 1, nRaw(c)).otherwise(lit(1.0))
+    def n1S(c: String) = when(nC(c) >= 2, nRaw(c) - lit(1.0)).otherwise(lit(1.0))
+    def sD(c: String) = col(s"${c}_s").cast("double")
+    def ssD(c: String) = col(s"${c}_ss").cast("double")
+    def mean(c: String) = sD(c) / nM(c) / lit(100.0)
+    def vOverN(c: String) =
+      ((ssD(c) - sD(c) * sD(c) / nM(c)) / n1S(c)) / nM(c) / lit(10000.0)
+    val cellsOk = Seq("t_pre", "t_post", "c_pre", "c_post")
+    val allPresent = cellsOk.map(c => nC(c) > 0).reduce(_ && _)
+    val allVar = cellsOk.map(c => nC(c) >= 2).reduce(_ && _)
+    val did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    val se2 = cellsOk.map(vOverN).reduce(_ + _)
+    wide
+      .withColumn("n_t_pre", nC("t_pre"))
+      .withColumn("n_t_post", nC("t_post"))
+      .withColumn("n_c_pre", nC("c_pre"))
+      .withColumn("n_c_post", nC("c_post"))
+      .withColumn("mean_t_pre", when(nC("t_pre") > 0, round(mean("t_pre"), 6)))
+      .withColumn("mean_t_post", when(nC("t_post") > 0, round(mean("t_post"), 6)))
+      .withColumn("mean_c_pre", when(nC("c_pre") > 0, round(mean("c_pre"), 6)))
+      .withColumn("mean_c_post", when(nC("c_post") > 0, round(mean("c_post"), 6)))
+      .withColumn("did", when(allPresent, round(did, 6)))
+      .withColumn("se", when(allVar && se2 > 0.0, round(sqrt(se2), 6)))
+      .withColumn("t", when(allVar && se2 > 0.0, round(did / sqrt(se2), 6)))
+      .select(col("grp"), col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"), col("mean_t_pre"), col("mean_t_post"),
+        col("mean_c_pre"), col("mean_c_post"), col("did"), col("se"), col("t"))
   }
 
   /** Period-over-period report (r13 — the WoW/MoM dashboard readout

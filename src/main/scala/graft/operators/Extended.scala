@@ -1738,50 +1738,16 @@ object Extended {
     * censuses; the three source scans share the cached orders frame.
     */
   def q221(t: Tables): DataFrame = {
-    import graft.api.{Ops, PValues}
     val o = t.orders
       .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
         col("o_orderpriority").isNotNull)
       .withColumn("cents",
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
     val cut = lit("1998-01-01 00:00:00").cast("timestamp")
-    val aSide = o.filter(col("o_orderdate").cast("timestamp") < cut)
-    val bSide = o.filter(col("o_orderdate").cast("timestamp") >= cut)
-    val wp = PValues.pValueT(
-        Ops.welchTByGroup(aSide, bSide, "o_orderpriority", col("o_totalprice")),
-        "t", "df", Seq("grp"))
-      .select(lit("welch_t").as("test"), col("grp"), col("t").as("stat"),
-        col("p"))
-    val mwu = Ops.mannWhitneyUByGroup(aSide, bSide, "o_orderpriority",
-        col("cents"))
-      .withColumn("z2", col("z") * col("z"))
-      .withColumn("one_dof", lit(1.0))
-    val mp = PValues.pValueChiSq(mwu, "z2", "one_dof", Seq("grp"))
-      .select(lit("mwu_z").as("test"), col("grp"), col("z").as("stat"),
-        col("p"))
-    val ks = Ops.ksStatisticByGroup(aSide, bSide, "o_orderpriority",
-        col("cents"))
-      .withColumn("lam",
-        when(col("d_stat").isNotNull && col("n_a") > 0 && col("n_b") > 0,
-          round(col("d_stat") * sqrt(col("n_a").cast("double") *
-            col("n_b").cast("double") /
-            (col("n_a").cast("double") + col("n_b").cast("double"))), 6)))
-    val kp = PValues.pValueKs(ks, "lam", Seq("grp"))
-      .select(lit("ks").as("test"), col("grp"), col("d_stat").as("stat"),
-        col("p"))
-    val battery = wp.unionByName(mp).unionByName(kp)
-      .withColumn("gkey", concat_ws("|", col("test"), col("grp")))
-    // both controls on the SAME battery: BH (p_adj — the monitoring
-    // decision: expected false-alert fraction ≤ α) and Holm (p_holm —
-    // the ship decision: chance of ANY false alert ≤ α)
-    PValues.holmAdjust(
-        PValues.fdrAdjust(battery, "p", Seq("gkey")), "p", Seq("gkey"))
-      .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
-      .withColumn("reject_fwer",
-        when(col("p").isNotNull, col("p_holm") < lit(0.05)))
-      .select(col("test"), col("grp"), col("stat"), col("p"),
-        col("bh_rank"), col("m_tests"), col("p_adj"), col("reject"),
-        col("p_holm"), col("reject_fwer"))
+    graft.api.Ops.governanceBatteryByGroup(
+        o.filter(col("o_orderdate").cast("timestamp") < cut),
+        o.filter(col("o_orderdate").cast("timestamp") >= cut),
+        "o_orderpriority", col("o_totalprice"), col("cents"))
       .orderBy(col("test"), col("grp"))
   }
 
@@ -1898,5 +1864,42 @@ object Extended {
         col("df"), col("p"), col("bh_rank"), col("m_tests"), col("p_adj"),
         col("reject"), col("p_holm"), col("reject_fwer"))
       .orderBy(col("fam"), col("grp"))
+  }
+
+  /** q228: per-segment CUPED z over event spend
+    * ([[graft.api.Ops.cupedZByGroup]]) — the q172 variance-reduced
+    * A/B keyed by a user-id segment: each segment pools its OWN θ,
+    * the regression its covariate actually has (r16 wave 5).
+    */
+  def q228(t: Tables): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val dec = graft.util.Portable.dec(col("value"))
+    val units = t.events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts").cast("timestamp") >= cut, dec)), lit(0).cast("decimal(18,2)")).as("y"),
+        coalesce(sum(when(col("ts").cast("timestamp") < cut, dec)), lit(0).cast("decimal(18,2)")).as("x"))
+      .withColumn("seg", (col("user_id") % 3).cast("string"))
+    graft.api.Ops.cupedZByGroup(units, "seg",
+      when(col("user_id") % 2 === 0, "A").otherwise("B"),
+      col("y"), col("x"), "A", "B")
+      .orderBy(col("grp"))
+  }
+
+  /** q229: per-segment difference-in-differences over event spend
+    * ([[graft.api.Ops.diffInDiffByGroup]]) — the q173 estimator
+    * keyed by a user-id segment: the policy's lift and its SE
+    * localized to the cohort it actually moved (r16 wave 6).
+    */
+  def q229(t: Tables): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    graft.api.Ops.diffInDiffByGroup(
+      t.events.withColumn("seg", (col("user_id") % 3).cast("string")),
+      "seg",
+      col("user_id") % 2 === 0,
+      col("ts").cast("timestamp") >= cut,
+      col("value"))
+      .orderBy(col("grp"))
   }
 }

@@ -1055,6 +1055,39 @@ object Streams {
       .start()
   }
 
+  /** Live DECIDABLE governance monitoring (r16 — the drift family's
+    * capstone: the per-trigger statistics streams say "the statistic
+    * is X"; this one says "reject or not, with the multiple-testing
+    * budget already paid"): each trigger runs the full
+    * [[graft.api.Ops.governanceBatteryByGroup]] against the FROZEN
+    * baseline — Welch t + Mann–Whitney z + KS D per segment, each
+    * finished into its portable p-value, the union BH- AND
+    * Holm-adjusted as ONE battery — and the sink receives the
+    * decided frame (test, grp, stat, p, p_adj, reject, p_holm,
+    * reject_fwer) per trigger. Identical expressions to the gated
+    * q221 battery by shared code. Stateless per trigger (the
+    * [[psiDriftStream]] model); the baseline must be a stable
+    * source-backed frame, and the trigger-sizing statement of the
+    * statistic streams applies doubly here — a p-value on a
+    * ten-row trigger is noise with a decision stapled to it, so
+    * size triggers (or window upstream) to something a decision
+    * should hang on. Per-trigger cost: three census-bounded
+    * batteries + league-table windows over 3 × segments rows.
+    */
+  def governanceStream(records: DataFrame, baseline: DataFrame,
+                       group: String,
+                       meanValue: org.apache.spark.sql.Column,
+                       rankValue: org.apache.spark.sql.Column,
+                       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.governanceBatteryByGroup(
+          baseline, batch, group, meanValue, rankValue))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live Jensen–Shannon drift monitoring (r14 — the SYMMETRIC,
     * smoothing-free member of the drift quartet beside
     * [[psiDriftStream]]/[[ksDriftStream]]/[[mwuDriftStream]]): each

@@ -322,4 +322,35 @@ class PValuesSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= r.getDouble(1) - 1e-12,
         s"${r.getString(0)}: Holm ${r.getDouble(2)} < BH ${r.getDouble(1)}")
   }
+
+  // ---- family-keyed BH/Holm ----
+  test("fdrAdjustByGroup / holmAdjustByGroup adjust each family on its own budget") {
+    // family A: p = .01 .02 (m=2) -> BH .02 .02 ; Holm .02 .02
+    // family B: p = .03 null .6 (m=2) -> BH .06 .6 ; Holm .06 .6
+    // a GLOBAL adjustment would use m=4 and differ everywhere
+    val df = Seq(
+      ("A", "s1", Some(0.01)), ("A", "s2", Some(0.02)),
+      ("B", "s3", Some(0.03)), ("B", "s4", Option.empty[Double]),
+      ("B", "s5", Some(0.6))).toDF("fam", "grp", "p")
+    val got = PValues.holmAdjustByGroup(
+        PValues.fdrAdjustByGroup(df, "p", Seq("fam"), Seq("grp")),
+        "p", Seq("fam"), Seq("grp"))
+      .select("grp", "m_tests", "bh_rank", "p_adj", "m_holm", "holm_rank", "p_holm")
+      .collect()
+      .map(r => (r.getString(0), (
+        r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))).toMap
+    assert(got("s1") == ((2L, 1L, 0.02, 2L, 1L, 0.02)))
+    assert(got("s2") == ((2L, 2L, 0.02, 2L, 2L, 0.02)))
+    assert(got("s3") == ((2L, 1L, 0.06, 2L, 1L, 0.06)))
+    assert(got("s5") == ((2L, 2L, 0.6, 2L, 2L, 0.6)))
+    val s4 = got("s4")
+    assert(s4._1 == 2L && s4._2 == -1L && s4._3.isNaN &&
+      s4._4 == 2L && s4._5 == -1L && s4._6.isNaN,
+      s"null p passes through per family: $s4")
+  }
 }

@@ -2072,6 +2072,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(z2 < 0.0, s"shifted-up trigger must give negative z, got $z2")
   }
 
+  test("governanceStream: per-trigger decided battery ≡ batch governanceBatteryByGroup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // two segments; g2's trigger-2 values shift far up so SOME test fires
+    val baseline = Seq(
+      ("g1", 100L), ("g1", 110L), ("g1", 120L), ("g1", 130L), ("g1", 140L),
+      ("g2", 100L), ("g2", 110L), ("g2", 120L), ("g2", 130L), ("g2", 140L)
+    ).toDF("g", "v")
+    val t1 = Seq(("g1", 105L), ("g1", 125L), ("g2", 115L), ("g2", 135L))
+    val t2 = (1 to 40).map(i => ("g2", 9000L + i)) ++
+      Seq(("g1", 100L), ("g1", 140L))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy(col("test"), col("grp")).collect().map(_.toSeq.toSeq).toSeq
+    val stream = MemoryStream[(String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q = Streams.governanceStream(stream.toDF().toDF("g", "v"), baseline,
+      "g", col("v"), col("v"), r => { got += rows(r); () })
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2, "one decided battery per trigger")
+    def batch(cur: Seq[(String, Long)]) =
+      rows(graft.api.Ops.governanceBatteryByGroup(
+        baseline, cur.toDF("g", "v"), "g", col("v"), col("v")))
+    assert(got(0) == batch(t1), "trigger 1 ≡ batch battery")
+    assert(got(1) == batch(t2), "trigger 2 ≡ batch battery")
+    // shape: 3 tests × 2 segments, one multiple-testing budget
+    assert(got(0).size == 6 && got(0).forall(_(5) == 6L),
+      "m_tests counts the WHOLE battery")
+    // the calm trigger fires nothing; the shifted g2 fires under BOTH
+    // controls while calm g1 stays quiet — the per-segment decision
+    val rej1 = got(0).collect { case r if r(7) == true => r }
+    assert(rej1.isEmpty, s"calm trigger must not reject: $rej1")
+    val rej2 = got(1).collect { case r if r(7) == true => (r(0), r(1)) }
+    assert(rej2.nonEmpty && rej2.forall(_._2 == "g2"),
+      s"only the shifted segment may reject, got $rej2")
+    val fwer2 = got(1).collect { case r if r(9) == true => (r(0), r(1)) }
+    assert(fwer2.nonEmpty && fwer2.forall(_._2 == "g2"),
+      s"the shifted segment must survive even the FWER control, got $fwer2")
+  }
+
   test("recommendStream serves per-trigger top-N ≡ batch recommendTopN against the frozen sims") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
