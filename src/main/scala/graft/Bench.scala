@@ -101,7 +101,8 @@ object Bench {
     "q219_spearman_fdr", "q220_ks_fdr", "q221_governance_battery",
     "q222_mde_prop_by_group", "q223_horizon_by_group",
     "q224_cliffs_delta", "q225_cohens_d", "q226_samplesize_curve",
-    "q227_welch_fam_fdr", "q228_cuped_by_group", "q229_did_by_group")
+    "q227_welch_fam_fdr", "q228_cuped_by_group", "q229_did_by_group",
+    "q230_poststrat_by_group")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

@@ -501,6 +501,9 @@ object ScaleProbe {
       "q228_cuped"    -> (t => operators.Extended.q228(t)),
       // r16 wave 6: per-segment DiD — (segment, cell) census + pivot
       "q229_did"      -> (t => operators.Extended.q229(t)),
+      // r16 wave 6: per-segment post-stratification — (segment, arm,
+      // stratum) censuses + segment-partitioned weight windows
+      "q230_poststrat" -> (t => operators.Extended.q230(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

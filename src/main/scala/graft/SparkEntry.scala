@@ -247,6 +247,7 @@ object SparkEntry {
     "q227_welch_fam_fdr"  -> q(Extended.q227),
     "q228_cuped_by_group" -> q(Extended.q228),
     "q229_did_by_group"   -> q(Extended.q229),
+    "q230_poststrat_by_group" -> q(Extended.q230),
     "q225_cohens_d"       -> q(Extended.q225),
     "q226_samplesize_curve" -> q(Extended.q226),
   )
@@ -6765,6 +6766,79 @@ object SparkEntry {
          |  CASE WHEN allvar AND se2 > 0 THEN round(did0 / sqrt(se2), 6) END AS t
          |FROM f2 ORDER BY grp""".stripMargin
     },
+
+    // q230: the q202 chain keyed by o_orderstatus — per-(segment,
+    // stratum) censuses, the nCommon window PARTITIONED by the
+    // segment, the same round-12 term sums GROUPed by the segment
+    "q230_poststrat_by_group" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus AS grp, o_orderpriority AS s,
+        |    CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT o_orderstatus AS grp, o_orderpriority AS s,
+        |    CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT COALESCE(a.grp, b.grp) AS grp, COALESCE(a.s, b.s) AS s,
+        |    n_a, s_a, ss_a, n_b, s_b, ss_b,
+        |    (n_a IS NOT NULL AND n_b IS NOT NULL) AS inboth
+        |  FROM a FULL OUTER JOIN b ON a.grp = b.grp AND a.s = b.s),
+        |wj AS (
+        |  SELECT *, CAST(SUM(CASE WHEN inboth THEN n_a + n_b END)
+        |    OVER (PARTITION BY grp) AS BIGINT) AS ncom
+        |  FROM j),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN inboth THEN CAST(n_a + n_b AS DOUBLE) / CAST(ncom AS DOUBLE) END AS w,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) AS va,
+        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)) AS vb
+        |  FROM wj),
+        |terms AS (
+        |  SELECT *,
+        |    CASE WHEN inboth THEN round(w * ma, 12) END AS ma_t,
+        |    CASE WHEN inboth THEN round(w * mb, 12) END AS mb_t,
+        |    CASE WHEN inboth AND n_a >= 2 THEN
+        |      round(w * w * va / CAST(n_a AS DOUBLE), 12) END AS va_t,
+        |    CASE WHEN inboth AND n_b >= 2 THEN
+        |      round(w * w * vb / CAST(n_b AS DOUBLE), 12) END AS vb_t
+        |  FROM t),
+        |agg AS (
+        |  SELECT grp,
+        |    CAST(COALESCE(SUM(CASE WHEN inboth THEN n_a END), 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(SUM(CASE WHEN inboth THEN n_b END), 0) AS BIGINT) AS n_b,
+        |    CAST(COUNT(CASE WHEN inboth THEN 1 END) AS BIGINT) AS n_strata,
+        |    CAST(COUNT(CASE WHEN n_b IS NULL THEN 1 END) AS BIGINT) AS strata_a_only,
+        |    CAST(COUNT(CASE WHEN n_a IS NULL THEN 1 END) AS BIGINT) AS strata_b_only,
+        |    CAST(SUM(CAST(ma_t AS DECIMAL(38,12))) AS DOUBLE) AS ma_d,
+        |    CAST(SUM(CAST(mb_t AS DECIMAL(38,12))) AS DOUBLE) AS mb_d,
+        |    MAX(CASE WHEN inboth AND (n_a < 2 OR n_b < 2) THEN 1 ELSE 0 END) AS degen,
+        |    CAST(SUM(CAST(va_t AS DECIMAL(38,12))) AS DOUBLE) AS va_d,
+        |    CAST(SUM(CAST(vb_t AS DECIMAL(38,12))) AS DOUBLE) AS vb_d
+        |  FROM terms GROUP BY grp)
+        |SELECT grp, n_a, n_b, n_strata, strata_a_only, strata_b_only,
+        |  CASE WHEN n_strata > 0 THEN round(ma_d, 6) END AS mean_a_post,
+        |  CASE WHEN n_strata > 0 THEN round(mb_d, 6) END AS mean_b_post,
+        |  CASE WHEN n_strata > 0 THEN round(mb_d - ma_d, 6) END AS diff,
+        |  CASE WHEN degen = 0 AND n_strata > 0 AND va_d + vb_d > 0 THEN
+        |    round(sqrt(va_d + vb_d), 6) END AS se,
+        |  CASE WHEN degen = 0 AND n_strata > 0 AND va_d + vb_d > 0 THEN
+        |    round((mb_d - ma_d) / sqrt(va_d + vb_d), 6) END AS z
+        |FROM agg ORDER BY grp""".stripMargin,
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER

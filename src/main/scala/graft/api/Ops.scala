@@ -2644,6 +2644,88 @@ object Ops {
         col("z"))
   }
 
+  /** Per-segment post-stratified z (r16 wave 6 — [[postStratifiedZ]]
+    * keyed by a segment column, completing the variance-reduction
+    * pair beside [[cupedZByGroup]]: each segment re-weights its OWN
+    * per-stratum means by its OWN pooled stratum shares): per
+    * (segment, arm, stratum) the same exact moments in one pass, a
+    * (segment, stratum)-keyed full-outer join, the pooled weights off
+    * the joined frame with the nCommon window PARTITIONED by the
+    * segment (no scalar crosses in the keyed form), the same
+    * round-12 DECIMAL(38,12) term sums per segment. One-sided strata
+    * excluded and counted PER SEGMENT; a segment with any under-2
+    * common stratum nulls its se/z via the same max-degenerate flag.
+    * Returns one row per segment: (grp, n_a, n_b, n_strata,
+    * strata_a_only, strata_b_only, mean_a_post, mean_b_post, diff,
+    * se, z).
+    *
+    * Scale shape: two map-combinable (segment, stratum) censuses +
+    * one keyed join + segment-partitioned windows — cost tracks the
+    * segment × stratum domain, never the corpus.
+    */
+  def postStratifiedZByGroup(a: DataFrame, b: DataFrame, group: String,
+                             stratum: String, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(value.isNotNull && col(stratum).isNotNull &&
+          col(group).isNotNull)
+        .groupBy(col(group).as("grp"), col(stratum).as("__s")).agg(
+          count(lit(1)).as(s"n_$suf"),
+          sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+          sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    val joined = side(a, "a").join(side(b, "b"), Seq("grp", "__s"), "full_outer")
+    val both = col("n_a").isNotNull && col("n_b").isNotNull
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    val wSeg = Window.partitionBy(col("grp"))
+    val nCommon = sum(when(both, col("n_a") + col("n_b"))).over(wSeg)
+    val w = (col("n_a") + col("n_b")).cast("double") / nCommon.cast("double")
+    val d3812 = DecimalType(38, 12)
+    val terms = joined
+      .withColumn("__w", when(both, w))
+      .withColumn("__ma_t", when(both, round(col("__w") * mean("a"), 12)))
+      .withColumn("__mb_t", when(both, round(col("__w") * mean("b"), 12)))
+      .withColumn("__va_t", when(both && col("n_a") >= 2,
+        round(col("__w") * col("__w") * v("a") / nD("a"), 12)))
+      .withColumn("__vb_t", when(both && col("n_b") >= 2,
+        round(col("__w") * col("__w") * v("b") / nD("b"), 12)))
+    val agg = terms.groupBy(col("grp")).agg(
+      sum(when(both, col("n_a"))).as("n_a"),
+      sum(when(both, col("n_b"))).as("n_b"),
+      count(when(both, lit(1))).as("n_strata"),
+      count(when(col("n_b").isNull, lit(1))).as("strata_a_only"),
+      count(when(col("n_a").isNull, lit(1))).as("strata_b_only"),
+      sum(col("__ma_t").cast(d3812)).as("__ma"),
+      sum(col("__mb_t").cast(d3812)).as("__mb"),
+      max(when(both && (col("n_a") < 2 || col("n_b") < 2), lit(1))
+        .otherwise(lit(0))).as("__degenerate"),
+      sum(col("__va_t").cast(d3812)).as("__va"),
+      sum(col("__vb_t").cast(d3812)).as("__vb"))
+    val se2 = col("__va").cast("double") + col("__vb").cast("double")
+    val okVar = col("__degenerate") === 0 && col("n_strata") > 0
+    agg
+      .withColumn("mean_a_post",
+        when(col("n_strata") > 0, round(col("__ma").cast("double"), 6)))
+      .withColumn("mean_b_post",
+        when(col("n_strata") > 0, round(col("__mb").cast("double"), 6)))
+      .withColumn("diff", when(col("n_strata") > 0,
+        round(col("__mb").cast("double") - col("__ma").cast("double"), 6)))
+      .withColumn("se", when(okVar && se2 > 0.0, round(sqrt(se2), 6)))
+      .withColumn("z", when(okVar && se2 > 0.0,
+        round((col("__mb").cast("double") - col("__ma").cast("double")) /
+          sqrt(se2), 6)))
+      .select(col("grp"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), col("n_strata"),
+        col("strata_a_only"), col("strata_b_only"),
+        col("mean_a_post"), col("mean_b_post"), col("diff"), col("se"),
+        col("z"))
+  }
+
   /** The shared one-way-ANOVA finisher over a per-(keys…, group)
     * moment frame (n, __s DECIMAL(38,2), __ss DECIMAL(38,4)): the
     * between/within sums of squares decompose into per-group terms

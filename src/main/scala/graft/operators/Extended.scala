@@ -1902,4 +1902,22 @@ object Extended {
       col("value"))
       .orderBy(col("grp"))
   }
+
+  /** q230: per-status post-stratified A/B readout
+    * ([[graft.api.Ops.postStratifiedZByGroup]]) — the q202
+    * covariate-free variance reduction keyed by order status: each
+    * status segment re-weights its era means by its OWN pooled
+    * priority-stratum shares (r16 wave 6).
+    */
+  def q230(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull && col("o_orderstatus").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.postStratifiedZByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderstatus", "o_orderpriority", col("o_totalprice"))
+      .orderBy(col("grp"))
+  }
 }
