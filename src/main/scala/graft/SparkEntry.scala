@@ -6604,7 +6604,7 @@ object SparkEntry {
          |  FROM welch),
          |${pvBetaTCtes("pvin")},
          |bhin AS (
-         |  SELECT substr(grp, 1, 1) AS fam, grp, n_a, n_b, t, df, p, g
+         |  SELECT split_part(grp, '|', 1) AS fam, grp, n_a, n_b, t, df, p, g
          |  FROM pvfin),
          |${pvBhCtes("bhin", "g", "fam")},
          |${pvHolmCtes("bh3", "g", "fam")}

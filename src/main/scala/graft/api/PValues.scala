@@ -422,20 +422,45 @@ object PValues {
       .withColumn("__t", term)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__t")).as("__ksS"),
-        carried.map(c => first(col(c)).as(c)): _*)
+        count(lit(1)).as("__kn") +: carried.map(c => first(col(c)).as(c)): _*)
     val praw = lit(2.0) * col("__ksS").cast("double")
     summed
       .withColumn(out,
-        when(!okBase, lit(null).cast("double"))
+        // the re-aggregation is only correct when keyCols uniquely
+        // identify rows (first() merges duplicates' carried columns
+        // and the decimal term sums add up) — a contract violation
+        // fails loudly here instead of emitting a plausible p: a
+        // unique key explodes to exactly 64 series rows
+        when(col("__kn") =!= 64, raise_error(concat(
+          lit(s"pValueKs: keyCols (${keys.mkString(", ")}) must uniquely " +
+            "identify rows - key "),
+          concat_ws("|", keys.map(k => col(k).cast("string")): _*),
+          lit(" holds "), (col("__kn") / 64).cast("long").cast("string"),
+          lit(" rows"))).cast("double"))
+          .when(!okBase, lit(null).cast("double"))
           .when(triv1, lit(1.0))
           .when(clamp0, lit(0.0))
           .otherwise(
             when(praw >= 1.0, lit(1.0))
               .when(praw > 0.0, round(praw, 6))
               .otherwise(lit(0.0))))
-      .drop("__ksS", "__lamS")
+      .drop("__ksS", "__lamS", "__kn")
       .drop(if (keyCols.nonEmpty) "__nonexistent" else "__onekey")
   }
+
+  /** The KS effective-λ finisher argument over a two-sample report
+    * (r17 — ADVICE r16 #4: q220 and [[graft.api.Ops
+    * .governanceBatteryByGroup]] carried this expression as two
+    * verbatim copies that could drift; this is the ONE definition
+    * both now call): `λ = round(D·√(n_a·n_b/(n_a+n_b)), 6)`, null on
+    * a null D or an empty side (the divisor is then 0 — the guard
+    * masks it before any division). Round 6 so [[pValueKs]]'s domain
+    * branches select identically in both engines (§3 branch rule).
+    */
+  def ksLambda(dStat: Column, nA: Column, nB: Column): Column =
+    when(dStat.isNotNull && nA > 0 && nB > 0,
+      round(dStat * sqrt(nA.cast("double") * nB.cast("double") /
+        (nA.cast("double") + nB.cast("double"))), 6))
 
   /** Benjamini–Hochberg FDR adjustment over a keyed test battery:
     * given one p-value per hypothesis (segment), emits

@@ -1707,11 +1707,7 @@ object Extended {
         withC.filter(col("o_orderdate").cast("timestamp") < cut),
         withC.filter(col("o_orderdate").cast("timestamp") >= cut),
         "o_orderpriority", col("cents"))
-      .withColumn("lam",
-        when(col("d_stat").isNotNull && col("n_a") > 0 && col("n_b") > 0,
-          round(col("d_stat") * sqrt(col("n_a").cast("double") *
-            col("n_b").cast("double") /
-            (col("n_a").cast("double") + col("n_b").cast("double"))), 6)))
+      .withColumn("lam", PValues.ksLambda(col("d_stat"), col("n_a"), col("n_b")))
     PValues.fdrAdjust(
         PValues.pValueKs(ks, "lam", Seq("grp")), "p", Seq("grp"))
       .withColumn("reject", when(col("p").isNotNull, col("p_adj") < lit(0.05)))
@@ -1852,8 +1848,11 @@ object Extended {
       o.filter(col("o_orderdate").cast("timestamp") < cut),
       o.filter(col("o_orderdate").cast("timestamp") >= cut),
       "fam_seg", col("o_totalprice"))
+    // the family key splits on the composite's '|' delimiter (ADVICE
+    // r16 #3: substring(grp, 1, 1) only worked because o_orderstatus
+    // is single-character — a multi-char family would silently merge)
     val pv = PValues.pValueT(w, "t", "df", Seq("grp"))
-      .withColumn("fam", substring(col("grp"), 1, 1))
+      .withColumn("fam", substring_index(col("grp"), "|", 1))
     PValues.holmAdjustByGroup(
         PValues.fdrAdjustByGroup(pv, "p", Seq("fam"), Seq("grp")),
         "p", Seq("fam"), Seq("grp"))

@@ -1078,11 +1078,19 @@ object Streams {
                        group: String,
                        meanValue: org.apache.spark.sql.Column,
                        rankValue: org.apache.spark.sql.Column,
-                       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                       sink: DataFrame => Unit,
+                       allowWideCensus: Boolean = false,
+                       maxExactCensusRows: Long = graft.api.Ops.MaxExactCensusRows): org.apache.spark.sql.streaming.StreamingQuery = {
     records.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the census-width knobs pass through (ADVICE r16 #2): with
+        // the defaults, a trigger whose rankValue census exceeds the
+        // exact-path cap throws INSIDE the batch and terminates the
+        // whole streaming query — pre-bucket rankValue (the q191/q179
+        // sketch discipline) or raise the cap for wide-domain values
         sink(graft.api.Ops.governanceBatteryByGroup(
-          baseline, batch, group, meanValue, rankValue))
+          baseline, batch, group, meanValue, rankValue,
+          allowWideCensus, maxExactCensusRows))
       }
       .outputMode("update")
       .start()
