@@ -230,6 +230,10 @@ object ScaleProbe {
       // corpus — growth should track the probed cells' share, and the
       // equi cell join must stay hash (never NLJ)
       "q92_ivf_pq"    -> (t => operators.Similarity.q92(t)),
+      // r17: the q92 chain widened to a top-30 ADC shortlist + the
+      // exact re-rank join back to the raw vectors — the shortlist
+      // broadcasts, so cost tracks the ADC scan exactly like q92
+      "q232_rerank"   -> (t => operators.Similarity.q232(t)),
       // replicated events keep users and span: the (user, bucket) agg
       // absorbs the 10× rows map-side, the grid/windows stay constant
       // — cost must track input, output must not grow

@@ -250,6 +250,7 @@ object SparkEntry {
     "q230_poststrat_by_group" -> q(Extended.q230),
     "q225_cohens_d"       -> q(Extended.q225),
     "q226_samplesize_curve" -> q(Extended.q226),
+    "q232_ivf_pq_rerank"  -> q(Similarity.q232),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -2035,6 +2036,76 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT qid, rank, vid, round(adc, 4) AS adc_dist
         |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // q232: the whole q92 IVF-PQ CTE chain widened to an ADC top-30
+    // shortlist, then the exact re-rank — one join back to the raw
+    // embeddings + the q35 list_cosine_similarity expression
+    // (bit-identical to the codegen cosine_sim, proven by q35) + one
+    // (score DESC, vid) window
+    "q232_ivf_pq_rerank" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id >= 100 AND vec_id < 108),
+        |scored_cells AS (
+        |  SELECT v.vec_id, v.emb, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC, c.cid) AS rn
+        |  FROM v CROSS JOIN cents c),
+        |corpus_cell AS (SELECT vec_id, cid AS cell FROM scored_cells WHERE rn = 1),
+        |qcell AS (SELECT vec_id AS qid, cid AS cell
+        |          FROM scored_cells WHERE vec_id < 5 AND rn <= 2),
+        |cb AS (
+        |  SELECT s.s, j.j, d.d,
+        |    (CAST(('0x' || substr(md5('pq:7:' || s.s || ':' || j.j || ':' || d.d), 1, 15)) AS BIGINT) % 5 - 2) / 2.0 * 0.125 AS w
+        |  FROM range(0, 8) s(s), range(0, 16) j(j), range(0, 8) d(d)),
+        |cbv AS (SELECT s, j, list(w ORDER BY d) AS wv FROM cb GROUP BY s, j),
+        |sub AS (
+        |  SELECT vec_id, t.s, list_slice(emb, t.s * 8 + 1, t.s * 8 + 8) AS sv
+        |  FROM v, range(0, 8) t(s)),
+        |dist AS (
+        |  SELECT vec_id, sub.s, cbv.j,
+        |    list_reduce(list_transform(range(1, 9), i -> (sv[i] - wv[i]) * (sv[i] - wv[i])),
+        |                (a, b) -> a + b) AS dd
+        |  FROM sub JOIN cbv ON cbv.s = sub.s),
+        |code AS (
+        |  SELECT vec_id, s, j AS c FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, j) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |codesl AS (SELECT vec_id, list(c ORDER BY s) AS cl FROM code GROUP BY vec_id),
+        |qd AS (
+        |  SELECT q.vec_id AS qid, cbv.s, cbv.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |                i -> (q.emb[cbv.s * 8 + i] - wv[i]) * (q.emb[cbv.s * 8 + i] - wv[i])),
+        |                (a, b) -> a + b) AS dt
+        |  FROM (SELECT vec_id, emb FROM v WHERE vec_id < 5) q, cbv),
+        |qdl AS (SELECT qid, s, list(dt ORDER BY j) AS dts FROM qd GROUP BY qid, s),
+        |qdt AS (SELECT qid, list(dts ORDER BY s) AS dtt FROM qdl GROUP BY qid),
+        |pairs AS (
+        |  SELECT qdt.qid, c.vec_id AS vid,
+        |    list_reduce(list_transform(range(1, 9), s -> dtt[s][cl[s] + 1]),
+        |                (a, b) -> a + b) AS adc
+        |  FROM qcell
+        |  JOIN corpus_cell cc ON cc.cell = qcell.cell AND cc.vec_id <> qcell.qid
+        |  JOIN qdt ON qdt.qid = qcell.qid
+        |  JOIN codesl c ON c.vec_id = cc.vec_id),
+        |shortlist AS (
+        |  SELECT qid, vid, adc FROM (
+        |    SELECT qid, vid, adc,
+        |      row_number() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
+        |    FROM pairs) WHERE rank <= 30),
+        |rr AS (
+        |  SELECT s.qid, s.vid, s.adc,
+        |    list_cosine_similarity(qv.emb, cv.emb) AS score
+        |  FROM shortlist s
+        |  JOIN v qv ON qv.vec_id = s.qid
+        |  JOIN v cv ON cv.vec_id = s.vid),
+        |rfin AS (
+        |  SELECT qid, vid, adc, score,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS BIGINT) AS rank
+        |  FROM rr)
+        |SELECT qid, rank, vid, round(score, 4) AS score, round(adc, 4) AS adc_dist
+        |FROM rfin WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
     // the oracle materializes the full per-user grid (bounds +

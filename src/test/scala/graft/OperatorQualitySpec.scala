@@ -632,6 +632,49 @@ class OperatorQualitySpec extends AnyFunSuite {
       s"the coded duplicate must be the ADC nearest neighbor: ${top.mkString(", ")}")
   }
 
+  test("r17 ivfPqTopKRerank: recall never below raw ADC at fixed nprobe, exhaustive probe + full shortlist equals exact cosine top-k") {
+    import graft.api.Ops._
+    graft.functions.GraftFunctions.register(spark)
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+    val exact = t.embeddings.cosineTopK(queries,
+      id = "vec_id", emb = "embedding", queryId = "vec_id",
+      queryEmb = "embedding", k = 10)
+    def recalls(approx: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      graft.api.Ops.annRecallReport(exact, approx, "qid", "vid")
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val adcRec = recalls(Similarity.q92(t))
+    val rrRec = recalls(Similarity.q232(t))
+    // the ADC top-10 is a subset of the top-30 shortlist and true
+    // neighbors carry the highest exact scores in any candidate set
+    // containing them — per-query recall can never drop
+    adcRec.keys.foreach { qid =>
+      assert(rrRec(qid) >= adcRec(qid),
+        s"re-rank recall dropped for query $qid: ${rrRec(qid)} < ${adcRec(qid)}")
+    }
+    val (sumAdc, sumRr) = (adcRec.values.sum, rrRec.values.sum)
+    info(s"recall@10 vs exact cosine: adc=${sumAdc / 5} rerank=${sumRr / 5}")
+    assert(sumRr > sumAdc,
+      s"re-rank must buy recall on the bench corpus (adc=$sumAdc rerank=$sumRr)")
+    // with every cell probed and the shortlist covering the corpus
+    // the re-rank IS the exact search: row-identical to cosineTopK
+    val centroids = t.embeddings
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val index = Similarity.prepareIvfPq(t.embeddings, centroids,
+      id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 64, m = 8, ks = 16)
+    val full = Similarity.ivfPqTopKRerank(index, queries, centroids,
+      t.embeddings, id = "vec_id", emb = "embedding",
+      queryId = "vec_id", queryEmb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 64, m = 8, ks = 16, k = 10, nprobe = 8, rerankR = 1000)
+      .select(col("qid"), col("rank"), col("vid"), col("score"))
+    val a = full.orderBy(col("qid"), col("rank")).collect().toSeq
+    val b = exact.orderBy(col("qid"), col("rank")).collect().toSeq
+    assert(a == b, s"exhaustive re-rank must equal exact cosine top-k:\n$a\nvs\n$b")
+  }
+
   test("trainPqCodebooks: per-subspace k-means meets the grid and is partitioning-invariant") {
     import graft.api.Ops._
     import graft.operators.Vectors
