@@ -508,6 +508,12 @@ object ScaleProbe {
       // r16 wave 6: per-segment post-stratification — (segment, arm,
       // stratum) censuses + segment-partitioned weight windows
       "q230_poststrat" -> (t => operators.Extended.q230(t)),
+      // r17: the seeded permutation battery — one pooled scan of the
+      // 1-in-37 slice + the ×B explode over (segment, perm) windows
+      "q233_perm"     -> (t => operators.Extended.q233(t)),
+      // r17: group-sequential readout — one (look, arm) census + the
+      // K-row cumulative window
+      "q234_gs"       -> (t => operators.Extended.q234(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

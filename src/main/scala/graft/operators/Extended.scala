@@ -1919,4 +1919,46 @@ object Extended {
       "o_orderstatus", "o_orderpriority", col("o_totalprice"))
       .orderBy(col("grp"))
   }
+
+  /** q233: per-priority seeded permutation test on a SMALL planted
+    * battery ([[graft.api.Ops.permutationPByGroup]], r17 — the
+    * small-n-valid member of the decision layer): a 1-in-37
+    * deterministic slice of orders (n ≈ 20–80 per segment side at
+    * sf0.01 — exactly the regime where the asymptotic battery's
+    * normal/t approximations are shaky) tests the era mean shift per
+    * priority against 199 seeded label permutations. The oracle
+    * replays the seeded reassignment hash-for-hash (md5 affine
+    * family, rank, exact integer statistic).
+    */
+  def q233(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull && col("o_orderkey") % 37 === 0)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.permutationPByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      "o_orderpriority", col("o_orderkey"), col("o_totalprice"),
+      bPerms = 199)
+      .orderBy(col("grp"))
+  }
+
+  /** q234: group-sequential readout over five yearly looks
+    * ([[graft.api.Ops.groupSequential]], r17 — the scheduled-looks
+    * sibling of q196's always-valid monitor): order totals 1995–1999
+    * split into even/odd-key arms, each year a look, O'Brien–Fleming
+    * boundaries — per look the cumulative z, the published boundary,
+    * and the absorbing stop decision.
+    */
+  def q234(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("yr", year(col("o_orderdate").cast("timestamp")))
+      .filter(col("yr").between(1995, 1999))
+    graft.api.Ops.groupSequential(o,
+      when(col("o_orderkey") % 2 === 0, "A").otherwise("B"),
+      col("o_totalprice"), col("yr") - 1994,
+      looks = 5, spending = "obf")
+      .orderBy(col("look"))
+  }
 }
