@@ -508,6 +508,9 @@ object ScaleProbe {
       // r16 wave 6: per-segment post-stratification — (segment, arm,
       // stratum) censuses + segment-partitioned weight windows
       "q230_poststrat" -> (t => operators.Extended.q230(t)),
+      // r17: the cumulative battery — two prepare censuses + one
+      // absorb + the census-only battery (corpus cost = the scans)
+      "q231_gov_prep" -> (t => operators.Extended.q231(t)),
       // r17: the seeded permutation battery — one pooled scan of the
       // 1-in-37 slice + the ×B explode over (segment, perm) windows
       "q233_perm"     -> (t => operators.Extended.q233(t)),

@@ -250,12 +250,147 @@ object SparkEntry {
     "q230_poststrat_by_group" -> q(Extended.q230),
     "q225_cohens_d"       -> q(Extended.q225),
     "q226_samplesize_curve" -> q(Extended.q226),
+    "q231_governance_from_prepared" -> q(Extended.q231),
     "q232_ivf_pq_rerank"  -> q(Similarity.q232),
     "q233_permutation_p"  -> q(Extended.q233),
     "q234_group_sequential" -> q(Extended.q234),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
+
+  /** The q221 cross-test governance battery statement, shared with
+    * q231 (whose engine side decides the SAME battery from absorbed
+    * PreparedGovernance censuses — absorb is exact census addition,
+    * so the raw-row replay is the correct oracle for both).
+    */
+  private lazy val governanceBatterySql: String =
+      s"""WITH wa AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |wb AS (
+         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL
+         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
+         |wm AS (
+         |  SELECT COALESCE(wa.grp, wb.grp) AS grp,
+         |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |    s_a, s_b, ss_a, ss_b
+         |  FROM wa FULL OUTER JOIN wb ON wa.grp = wb.grp),
+         |wf AS (
+         |  SELECT *,
+         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE) AS vna,
+         |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
+         |  FROM wm),
+         |welch AS (
+         |  SELECT grp,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+         |      round((ma - mb) / sqrt(vna + vnb), 6) END AS t,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+         |      round((vna + vnb) * (vna + vnb) /
+         |        (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
+         |         vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
+         |  FROM wf),
+         |wpvin AS (
+         |  SELECT grp AS g, grp, t,
+         |    CAST(t AS DOUBLE) AS tv, CAST(df AS DOUBLE) AS nu
+         |  FROM welch),
+         |${pvBetaTCtes("wpvin", "w")},
+         |wsel AS (SELECT 'welch_t' AS test, grp, t AS stat, p FROM wpvfin),
+         |msrc AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    o_orderdate AS d
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL),
+         |mca AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS ca FROM msrc
+         |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |mcb AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cb FROM msrc
+         |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         |mm AS (
+         |  SELECT COALESCE(mca.grp, mcb.grp) AS grp, COALESCE(mca.v, mcb.v) AS v,
+         |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         |  FROM mca FULL OUTER JOIN mcb ON mca.grp = mcb.grp AND mca.v = mcb.v),
+         |mw AS (
+         |  SELECT *, ca + cb AS mm2,
+         |    COALESCE(CAST(SUM(ca + cb) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+         |  FROM mm),
+         |magg AS (
+         |  SELECT grp, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         |    CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(s * 2 + mm2 + 1 AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS r2a,
+         |    CAST(SUM(CAST(mm2 AS DECIMAL(12,0)) * CAST(mm2 AS DECIMAL(12,0)) *
+         |      CAST(mm2 AS DECIMAL(12,0)) - CAST(mm2 AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS tie
+         |  FROM mw GROUP BY 1),
+         |mf AS (
+         |  SELECT grp, n_a, n_b,
+         |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0)) *
+         |      CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS u2,
+         |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE) *
+         |      ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE)) -
+         |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
+         |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
+         |  FROM magg),
+         |mwufin AS (
+         |  SELECT grp,
+         |    CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
+         |      round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+         |        (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
+         |  FROM mf),
+         |mpvin AS (
+         |  SELECT grp AS g, grp, z, z * z AS x, CAST(1.0 AS DOUBLE) AS k
+         |  FROM mwufin),
+         |${pvChiSqCtes("mpvin", "m")},
+         |msel AS (SELECT 'mwu_z' AS test, grp, z AS stat, p FROM mpvfin),
+         |kw0 AS (
+         |  SELECT grp, v, ca, cb,
+         |    CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
+         |    CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS n_b,
+         |    CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+         |    CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+         |  FROM mm),
+         |kg0 AS (
+         |  SELECT *, CAST(abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0)) -
+         |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
+         |  FROM kw0),
+         |kr0 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY d_num DESC, v) AS rk FROM kg0),
+         |ksfin AS (
+         |  SELECT grp, n_a, n_b,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS d_stat
+         |  FROM kr0 WHERE rk = 1),
+         |klamc AS (
+         |  SELECT *, CASE WHEN d_stat IS NOT NULL AND n_a > 0 AND n_b > 0 THEN
+         |    round(d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+         |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) END AS lam
+         |  FROM ksfin),
+         |kpvin AS (SELECT grp AS g, grp, d_stat, lam FROM klamc),
+         |${pvKsCtes("kpvin", "k")},
+         |ksel AS (SELECT 'ks' AS test, grp, d_stat AS stat, p FROM kpvfin),
+         |uni AS (
+         |  SELECT * FROM wsel UNION ALL SELECT * FROM msel
+         |  UNION ALL SELECT * FROM ksel),
+         |bhin AS (SELECT test, grp, stat, p, test || '|' || grp AS gkey FROM uni),
+         |${pvBhCtes("bhin", "gkey")},
+         |${pvHolmCtes("bh3", "gkey")}
+         |SELECT test, grp, stat, p, bh_rank, m_tests, p_adj,
+         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject,
+         |  p_holm, CASE WHEN p IS NOT NULL THEN (p_holm < 0.05) END AS reject_fwer
+         |FROM hl3 ORDER BY test, grp""".stripMargin
 
   /** CAST(x AS DECIMAL(18,2)) — lossless for the testdata's 2-dec doubles. */
   private def d2(x: String) = s"CAST($x AS DECIMAL(18,2))"
@@ -6255,135 +6390,14 @@ object SparkEntry {
     // (prefixed CTE sets so three finishers coexist in one
     // statement), unioned into ONE 15-hypothesis battery, BH over
     // the union — a single FDR budget across tests AND segments
-    "q221_governance_battery" -> {
-      s"""WITH wa AS (
-         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_a,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
-         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
-         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
-         |    AND o_orderpriority IS NOT NULL
-         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
-         |wb AS (
-         |  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n_b,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
-         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
-         |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
-         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
-         |    AND o_orderpriority IS NOT NULL
-         |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1),
-         |wm AS (
-         |  SELECT COALESCE(wa.grp, wb.grp) AS grp,
-         |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
-         |    s_a, s_b, ss_a, ss_b
-         |  FROM wa FULL OUTER JOIN wb ON wa.grp = wb.grp),
-         |wf AS (
-         |  SELECT *,
-         |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
-         |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
-         |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-         |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE) AS vna,
-         |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-         |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
-         |  FROM wm),
-         |welch AS (
-         |  SELECT grp,
-         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
-         |      round((ma - mb) / sqrt(vna + vnb), 6) END AS t,
-         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
-         |      round((vna + vnb) * (vna + vnb) /
-         |        (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
-         |         vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
-         |  FROM wf),
-         |wpvin AS (
-         |  SELECT grp AS g, grp, t,
-         |    CAST(t AS DOUBLE) AS tv, CAST(df AS DOUBLE) AS nu
-         |  FROM welch),
-         |${pvBetaTCtes("wpvin", "w")},
-         |wsel AS (SELECT 'welch_t' AS test, grp, t AS stat, p FROM wpvfin),
-         |msrc AS (
-         |  SELECT o_orderpriority AS grp,
-         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
-         |    o_orderdate AS d
-         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
-         |    AND o_orderpriority IS NOT NULL),
-         |mca AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS ca FROM msrc
-         |  WHERE d < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
-         |mcb AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cb FROM msrc
-         |  WHERE d >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
-         |mm AS (
-         |  SELECT COALESCE(mca.grp, mcb.grp) AS grp, COALESCE(mca.v, mcb.v) AS v,
-         |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-         |  FROM mca FULL OUTER JOIN mcb ON mca.grp = mcb.grp AND mca.v = mcb.v),
-         |mw AS (
-         |  SELECT *, ca + cb AS mm2,
-         |    COALESCE(CAST(SUM(ca + cb) OVER (PARTITION BY grp ORDER BY v
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
-         |  FROM mm),
-         |magg AS (
-         |  SELECT grp, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
-         |    CAST(SUM(CAST(ca AS DECIMAL(19,0)) * CAST(s * 2 + mm2 + 1 AS DECIMAL(19,0)))
-         |      AS DECIMAL(38,0)) AS r2a,
-         |    CAST(SUM(CAST(mm2 AS DECIMAL(12,0)) * CAST(mm2 AS DECIMAL(12,0)) *
-         |      CAST(mm2 AS DECIMAL(12,0)) - CAST(mm2 AS DECIMAL(38,0)))
-         |      AS DECIMAL(38,0)) AS tie
-         |  FROM mw GROUP BY 1),
-         |mf AS (
-         |  SELECT grp, n_a, n_b,
-         |    CAST(r2a - CAST(CAST(n_a AS DECIMAL(19,0)) *
-         |      CAST(n_a + 1 AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS u2,
-         |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12 AS DOUBLE) *
-         |      ((CAST(n_a + n_b AS DOUBLE) + CAST(1 AS DOUBLE)) -
-         |        CAST(tie AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) *
-         |          (CAST(n_a + n_b AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
-         |  FROM magg),
-         |mwufin AS (
-         |  SELECT grp,
-         |    CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2 AND var > 0 THEN
-         |      round((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
-         |        (CAST(2 AS DOUBLE) * sqrt(var)), 6) END AS z
-         |  FROM mf),
-         |mpvin AS (
-         |  SELECT grp AS g, grp, z, z * z AS x, CAST(1.0 AS DOUBLE) AS k
-         |  FROM mwufin),
-         |${pvChiSqCtes("mpvin", "m")},
-         |msel AS (SELECT 'mwu_z' AS test, grp, z AS stat, p FROM mpvfin),
-         |kw0 AS (
-         |  SELECT grp, v, ca, cb,
-         |    CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
-         |    CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS n_b,
-         |    CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
-         |    CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
-         |  FROM mm),
-         |kg0 AS (
-         |  SELECT *, CAST(abs(CAST(cum_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0)) -
-         |    CAST(cum_b AS DECIMAL(18,0)) * CAST(n_a AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS d_num
-         |  FROM kw0),
-         |kr0 AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY d_num DESC, v) AS rk FROM kg0),
-         |ksfin AS (
-         |  SELECT grp, n_a, n_b,
-         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
-         |      round(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS d_stat
-         |  FROM kr0 WHERE rk = 1),
-         |klamc AS (
-         |  SELECT *, CASE WHEN d_stat IS NOT NULL AND n_a > 0 AND n_b > 0 THEN
-         |    round(d_stat * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
-         |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) END AS lam
-         |  FROM ksfin),
-         |kpvin AS (SELECT grp AS g, grp, d_stat, lam FROM klamc),
-         |${pvKsCtes("kpvin", "k")},
-         |ksel AS (SELECT 'ks' AS test, grp, d_stat AS stat, p FROM kpvfin),
-         |uni AS (
-         |  SELECT * FROM wsel UNION ALL SELECT * FROM msel
-         |  UNION ALL SELECT * FROM ksel),
-         |bhin AS (SELECT test, grp, stat, p, test || '|' || grp AS gkey FROM uni),
-         |${pvBhCtes("bhin", "gkey")},
-         |${pvHolmCtes("bh3", "gkey")}
-         |SELECT test, grp, stat, p, bh_rank, m_tests, p_adj,
-         |  CASE WHEN p IS NOT NULL THEN (p_adj < 0.05) END AS reject,
-         |  p_holm, CASE WHEN p IS NOT NULL THEN (p_holm < 0.05) END AS reject_fwer
-         |FROM hl3 ORDER BY test, grp""".stripMargin
-    },
+    "q221_governance_battery" -> governanceBatterySql,
+
+    // q231: the CUMULATIVE battery gate — the engine decides the
+    // battery from PreparedGovernance censuses (baseline = pre-1998,
+    // current = the 1998Q1 trigger ABSORBING the post-Q1 trigger);
+    // absorb is exact census addition, so the oracle replays the
+    // union directly: the identical q221 statement over raw rows
+    "q231_governance_from_prepared" -> governanceBatterySql,
 
     // q222: the q213 exact integer (n, successes) censuses keyed by
     // priority, a full-outer segment join, the same pooled-variance

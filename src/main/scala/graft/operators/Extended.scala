@@ -1920,6 +1920,38 @@ object Extended {
       .orderBy(col("grp"))
   }
 
+  /** q231: the CUMULATIVE governance battery
+    * ([[graft.api.Ops.governanceBatteryFromPrepared]], r17 — VERDICT
+    * r16 top-next): the pre-1998 era pins a
+    * [[graft.api.Ops.PreparedGovernance]] baseline, the post-1998
+    * traffic arrives as TWO triggers (1998 Q1, then everything
+    * after) absorbed into a cumulative census artifact, and the full
+    * Welch+MWU+KS battery with one BH/Holm budget is decided between
+    * the two artifacts. Absorb is exact census addition, so the
+    * battery must equal q221's row-input battery over the union —
+    * which is exactly what the oracle replays.
+    */
+  def q231(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+      .withColumn("cents",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val mid = lit("1998-04-01 00:00:00").cast("timestamp")
+    val baseline = graft.api.Ops.prepareGovernance(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      "o_orderpriority", col("o_totalprice"), col("cents"))
+    val current = graft.api.Ops.prepareGovernance(
+        o.filter(col("o_orderdate").cast("timestamp") >= cut &&
+          col("o_orderdate").cast("timestamp") < mid),
+        "o_orderpriority", col("o_totalprice"), col("cents"))
+      .absorb(o.filter(col("o_orderdate").cast("timestamp") >= mid),
+        col("o_totalprice"), col("cents"))
+    graft.api.Ops.governanceBatteryFromPrepared(baseline, current)
+      .orderBy(col("test"), col("grp"))
+  }
+
   /** q233: per-priority seeded permutation test on a SMALL planted
     * battery ([[graft.api.Ops.permutationPByGroup]], r17 — the
     * small-n-valid member of the decision layer): a 1-in-37

@@ -2115,6 +2115,86 @@ class StreamingSpec extends AnyFunSuite {
       s"the shifted segment must survive even the FWER control, got $fwer2")
   }
 
+  test("governanceIngestStream: trigger N's decided battery ≡ batch battery over union(triggers 1..N)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val baselineRows = Seq(
+      ("g1", 100L), ("g1", 110L), ("g1", 120L), ("g1", 130L), ("g1", 140L),
+      ("g2", 100L), ("g2", 110L), ("g2", 120L), ("g2", 130L), ("g2", 140L))
+    val baseline = graft.api.Ops.prepareGovernance(
+      baselineRows.toDF("g", "v"), "g", col("v"), col("v"))
+    // three small triggers; g2 drifts upward only in aggregate — no
+    // single trigger carries enough n to decide anything alone
+    val t1 = Seq(("g1", 105L), ("g2", 460L), ("g2", 480L))
+    val t2 = Seq(("g1", 125L), ("g2", 470L), ("g2", 490L), ("g2", 465L))
+    val t3 = (1 to 12).map(i => ("g2", 455L + i)) ++ Seq(("g1", 118L))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy(col("test"), col("grp")).collect().map(_.toSeq.toSeq).toSeq
+    val stream = MemoryStream[(String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q = Streams.governanceIngestStream(stream.toDF().toDF("g", "v"),
+      baseline, col("v"), col("v"), r => { got += rows(r); () })
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+      stream.addData(t3); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 3, "one decided battery per trigger")
+    def batchOverUnion(cur: Seq[(String, Long)]) =
+      rows(graft.api.Ops.governanceBatteryByGroup(
+        baselineRows.toDF("g", "v"), cur.toDF("g", "v"), "g", col("v"), col("v")))
+    assert(got(0) == batchOverUnion(t1), "trigger 1 ≡ batch over t1")
+    assert(got(1) == batchOverUnion(t1 ++ t2), "trigger 2 ≡ batch over t1 ∪ t2")
+    assert(got(2) == batchOverUnion(t1 ++ t2 ++ t3),
+      "trigger 3 ≡ batch over t1 ∪ t2 ∪ t3")
+    // the power story: no early trigger decides alone, the
+    // accumulated traffic does — and only in the drifted segment
+    def fwerRejects(battery: Seq[Seq[Any]]) =
+      battery.collect { case r if r(9) == true => (r(0), r(1)) }
+    val aloneT3 = fwerRejects(rows(graft.api.Ops.governanceBatteryByGroup(
+      baselineRows.toDF("g", "v"), t3.toDF("g", "v"), "g", col("v"), col("v"))))
+    val cumT3 = fwerRejects(got(2))
+    assert(cumT3.nonEmpty && cumT3.forall(_._2 == "g2"),
+      s"the accumulated battery must fire in the drifted segment only: $cumT3")
+    assert(cumT3.size >= aloneT3.size,
+      s"cumulative must never be weaker than the per-trigger battery ($cumT3 vs $aloneT3)")
+  }
+
+  test("PreparedGovernance: absorb ≡ prepare over the union, save/load round-trips, guards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val aRows = Seq(("g1", 10L), ("g1", 20L), ("g2", 30L)).toDF("g", "v")
+    val bRows = Seq(("g1", 15L), ("g2", 30L), ("g2", 45L)).toDF("g", "v")
+    val absorbed = graft.api.Ops.prepareGovernance(aRows, "g", col("v"), col("v"))
+      .absorb(bRows, col("v"), col("v"))
+    val direct = graft.api.Ops.prepareGovernance(aRows.unionByName(bRows),
+      "g", col("v"), col("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toSeq).toSet
+    assert(canon(absorbed.moments) == canon(direct.moments),
+      "absorbed moments ≡ union moments")
+    assert(canon(absorbed.ranks) == canon(direct.ranks),
+      "absorbed ranks ≡ union ranks")
+    val dir = java.nio.file.Files.createTempDirectory("gov_artifact").toString
+    absorbed.save(dir)
+    val loaded = graft.api.Ops.loadGovernance(spark, dir)
+    assert(loaded.group == "g" && loaded.bucketWidth == 1L && loaded.reliable)
+    assert(canon(loaded.moments) == canon(absorbed.moments) &&
+      canon(loaded.ranks) == canon(absorbed.ranks), "save/load round-trip")
+    // mixed-resolution or mixed-segment compares are refused
+    val wide = graft.api.Ops.prepareGovernance(bRows, "g", col("v"), col("v"),
+      bucketWidth = 10L)
+    intercept[IllegalArgumentException] {
+      graft.api.Ops.governanceBatteryFromPrepared(absorbed, wide)
+    }
+    val other = graft.api.Ops.prepareGovernance(
+      Seq(("x", 1L)).toDF("h", "v"), "h", col("v"), col("v"))
+    intercept[IllegalArgumentException] {
+      graft.api.Ops.governanceBatteryFromPrepared(absorbed, other)
+    }
+  }
+
   test("recommendStream serves per-trigger top-N ≡ batch recommendTopN against the frozen sims") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
