@@ -517,6 +517,12 @@ object ScaleProbe {
       // r17: group-sequential readout — one (look, arm) census + the
       // K-row cumulative window
       "q234_gs"       -> (t => operators.Extended.q234(t)),
+      // r17: unigram-LM train/encode — everything past the word
+      // count rides the DISTINCT-WORD frame (vocab-sized; the
+      // corpus replicas reuse the same vocabulary, so cost tracks
+      // the one corpus-wide census)
+      "q235_unigram"  -> (t => operators.Unigram.q235(t)),
+      "q236_uni_enc"  -> (t => operators.Unigram.q236(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

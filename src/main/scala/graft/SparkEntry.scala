@@ -254,6 +254,8 @@ object SparkEntry {
     "q232_ivf_pq_rerank"  -> q(Similarity.q232),
     "q233_permutation_p"  -> q(Extended.q233),
     "q234_group_sequential" -> q(Extended.q234),
+    "q235_unigram_train"  -> q(graft.operators.Unigram.q235),
+    "q236_unigram_encode" -> q(graft.operators.Unigram.q236),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -6392,6 +6394,11 @@ object SparkEntry {
     // the union — a single FDR budget across tests AND segments
     "q221_governance_battery" -> governanceBatterySql,
 
+    // q235/q236: the unigram-LM tokenizer pair — substring seed,
+    // recursive-CTE Viterbi-EM rounds, the apply half's vocab join
+    "q235_unigram_train" -> unigramTrainSql,
+    "q236_unigram_encode" -> unigramEncodeSql,
+
     // q231: the CUMULATIVE battery gate — the engine decides the
     // battery from PreparedGovernance censuses (baseline = pre-1998,
     // current = the 1998Q1 trigger ABSORBING the post-Q1 trigger);
@@ -7519,5 +7526,119 @@ object SparkEntry {
        |SELECT doc_id,
        |  array_to_string(flatten(list(syms ORDER BY pos)), ' ') AS bpe_text,
        |  CAST(len(flatten(list(syms ORDER BY pos))) AS BIGINT) AS n_bpe_tokens
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- unigram-LM oracle generators (q235/q236): the word census,
+  // substring seed, and per-round Viterbi-EM replay. The Viterbi DP
+  // is a LEVEL-SYNCHRONIZED recursive CTE: one row per word per
+  // position, carrying the best-cost and backpointer LISTS, each
+  // step a LEFT join against the candidate table + an argmax window
+  // (cost DESC, start ASC — the engine's strict-> j-ascending fold
+  // selects identically); the backtrack is a second recursion
+  // walking the backpointers out into pieces. ----
+
+  /** Unigram train parameters shared by engine and oracle (mirror
+    * Unigram.q235's literals): maxWordLen 16, maxPieceLen 6.
+    */
+  private def unigramVocabCtes(pre: String, usage: String, keep: Int): String =
+    s"""${pre}top AS (
+       |  SELECT piece, uses FROM (
+       |    SELECT piece, uses, row_number() OVER (ORDER BY uses DESC, piece) AS rk
+       |    FROM $usage WHERE length(piece) > 1) WHERE rk <= $keep),
+       |${pre}vocu AS (
+       |  SELECT chs.piece, CAST(COALESCE(u.uses, 0) AS BIGINT) AS uses
+       |  FROM chs LEFT JOIN $usage u ON u.piece = chs.piece
+       |  UNION ALL SELECT piece, uses FROM ${pre}top),
+       |${pre}tot AS (SELECT CAST(SUM(uses + 1) AS BIGINT) AS tot FROM ${pre}vocu),
+       |${pre}voc AS (
+       |  SELECT piece, uses,
+       |    round(ln(CAST(uses + 1 AS DOUBLE) / CAST(tot AS DOUBLE)), 12) AS lnp
+       |  FROM ${pre}vocu CROSS JOIN ${pre}tot)""".stripMargin
+
+  /** One Viterbi segmentation pass of every census word under vocab
+    * CTE `vin` — emits `{pre}seg(w, ps)` and the weighted usage
+    * census `{pre}use(piece, uses)`.
+    */
+  private def unigramRoundCtes(pre: String, vin: String): String =
+    s"""${pre}lk AS (
+       |  SELECT wc.w, j.j, i.i, v.lnp
+       |  FROM wc, range(0, 16) j(j), range(1, 17) i(i), $vin v
+       |  WHERE j.j < length(wc.w) AND i.i > j.j AND i.i <= length(wc.w)
+       |    AND i.i - j.j <= 6
+       |    AND v.piece = substr(wc.w, CAST(j.j + 1 AS INT), CAST(i.i - j.j AS INT))),
+       |${pre}dp AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS nxt,
+       |    [CAST(0.0 AS DOUBLE)] AS cs, [CAST(-1 AS BIGINT)] AS bps FROM wc
+       |  UNION ALL
+       |  SELECT w, nxt + 1 AS nxt, list_append(cs, bc) AS cs,
+       |    list_append(bps, bj) AS bps FROM (
+       |    SELECT d.w, d.nxt, d.cs, d.bps,
+       |      CASE WHEN d.cs[CAST(l.j + 1 AS INT)] IS NOT NULL
+       |        THEN d.cs[CAST(l.j + 1 AS INT)] + l.lnp END AS bc,
+       |      l.j AS bj,
+       |      row_number() OVER (PARTITION BY d.w ORDER BY
+       |        (CASE WHEN d.cs[CAST(l.j + 1 AS INT)] IS NOT NULL
+       |          THEN d.cs[CAST(l.j + 1 AS INT)] + l.lnp END) DESC NULLS LAST,
+       |        l.j NULLS LAST) AS rn
+       |    FROM ${pre}dp d LEFT JOIN ${pre}lk l ON l.w = d.w AND l.i = d.nxt
+       |    WHERE d.nxt <= length(d.w)
+       |  ) WHERE rn = 1),
+       |${pre}fin AS (SELECT w, cs, bps FROM ${pre}dp WHERE nxt = length(w) + 1),
+       |${pre}bt AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS ps, bps
+       |  FROM ${pre}fin WHERE cs[CAST(length(w) + 1 AS INT)] IS NOT NULL
+       |  UNION ALL
+       |  SELECT w, bps[CAST(pos + 1 AS INT)] AS pos,
+       |    list_prepend(substr(w, CAST(bps[CAST(pos + 1 AS INT)] + 1 AS INT),
+       |      CAST(pos - bps[CAST(pos + 1 AS INT)] AS INT)), ps) AS ps, bps
+       |  FROM ${pre}bt WHERE pos > 0),
+       |${pre}seg AS (SELECT w, ps FROM ${pre}bt WHERE pos = 0),
+       |${pre}use AS (
+       |  SELECT piece, CAST(SUM(f) AS BIGINT) AS uses FROM (
+       |    SELECT unnest(s.ps) AS piece, wc.f AS f
+       |    FROM ${pre}seg s JOIN wc ON wc.w = s.w)
+       |  GROUP BY 1)""".stripMargin
+
+  /** The shared train chain: word census → char floor → substring
+    * seed (top 60 + chars) → two EM rounds (keep 40, 24) → v2voc.
+    */
+  private def unigramTrainCtes: String =
+    s"""wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT u.w AS w FROM documents, UNNEST($duckTokens) AS u(w))
+       |  WHERE length(w) <= 16 GROUP BY w),
+       |chs AS (
+       |  SELECT DISTINCT substr(w, CAST(i.i AS INT), 1) AS piece
+       |  FROM wc, range(1, 17) i(i) WHERE i.i <= length(w)),
+       |sub AS (
+       |  SELECT substr(w, CAST(j.j + 1 AS INT), CAST(i.i - j.j AS INT)) AS piece,
+       |    CAST(SUM(f) AS BIGINT) AS uses
+       |  FROM wc, range(0, 16) j(j), range(1, 17) i(i)
+       |  WHERE j.j < length(w) AND i.i > j.j AND i.i <= length(w)
+       |    AND i.i - j.j <= 6
+       |  GROUP BY 1),
+       |${unigramVocabCtes("s0", "sub", 60)},
+       |${unigramRoundCtes("u1", "s0voc")},
+       |${unigramVocabCtes("v1", "u1use", 40)},
+       |${unigramRoundCtes("u2", "v1voc")},
+       |${unigramVocabCtes("v2", "u2use", 24)}""".stripMargin
+
+  private def unigramTrainSql: String =
+    s"""WITH RECURSIVE ${unigramTrainCtes}
+       |SELECT piece, uses, round(lnp, 6) AS lnp FROM v2voc
+       |ORDER BY piece""".stripMargin
+
+  private def unigramEncodeSql: String =
+    s"""WITH RECURSIVE ${unigramTrainCtes},
+       |${unigramRoundCtes("e3", "v2voc")},
+       |dw AS (
+       |  SELECT d.doc_id, u.p[1] AS w, CAST(u.p[2] AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, $duckTokens AS t FROM documents) d,
+       |       UNNEST(list_zip(d.t, range(1, len(d.t)+1))) AS u(p)
+       |  WHERE length(u.p[1]) <= 16),
+       |enc AS (SELECT doc_id, pos, s.ps FROM dw JOIN e3seg s ON s.w = dw.w)
+       |SELECT doc_id,
+       |  array_to_string(flatten(list(ps ORDER BY pos)), ' ') AS uni_text,
+       |  CAST(len(flatten(list(ps ORDER BY pos))) AS BIGINT) AS n_uni_tokens
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }
