@@ -104,7 +104,8 @@ object Bench {
     "q227_welch_fam_fdr", "q228_cuped_by_group", "q229_did_by_group",
     "q230_poststrat_by_group", "q231_governance_from_prepared",
     "q232_ivf_pq_rerank", "q233_permutation_p", "q234_group_sequential",
-    "q235_unigram_train", "q236_unigram_encode")
+    "q235_unigram_train", "q236_unigram_encode",
+    "q237_gs_pocock", "q238_gs_by_group")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

@@ -523,6 +523,9 @@ object ScaleProbe {
       // the one corpus-wide census)
       "q235_unigram"  -> (t => operators.Unigram.q235(t)),
       "q236_uni_enc"  -> (t => operators.Unigram.q236(t)),
+      // r17 wave 2: keyed group-sequential — one (grp, look, arm)
+      // census + segment-partitioned K-row windows
+      "q238_gs_grp"   -> (t => operators.Extended.q238(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -256,6 +256,8 @@ object SparkEntry {
     "q234_group_sequential" -> q(Extended.q234),
     "q235_unigram_train"  -> q(graft.operators.Unigram.q235),
     "q236_unigram_encode" -> q(graft.operators.Unigram.q236),
+    "q237_gs_pocock"      -> q(Extended.q237),
+    "q238_gs_by_group"    -> q(Extended.q238),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -6995,73 +6997,13 @@ object SparkEntry {
     // q234: the group-sequential replay — per-(look, arm) exact
     // moments, the K-row cumulative window, the welch-shape z, the
     // shared OBF constant literal, absorbing stop
-    "q234_group_sequential" -> {
-      val c = String.format(java.util.Locale.ROOT, "%.17e",
-        Double.box(graft.api.Ops.obfC(5)))
-      s"""WITH src AS (
-         |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
-         |    CAST(o_totalprice AS DECIMAL(18,2)) AS v,
-         |    CAST(year(o_orderdate) - 1994 AS BIGINT) AS look
-         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
-         |    AND year(o_orderdate) BETWEEN 1995 AND 1999),
-         |ia AS (SELECT look, CAST(count(*) AS BIGINT) AS inn,
-         |    CAST(SUM(v) AS DECIMAL(38,2)) AS isx,
-         |    CAST(SUM(v * v) AS DECIMAL(38,4)) AS isxx
-         |  FROM src WHERE arm = 'A' GROUP BY 1),
-         |ib AS (SELECT look, CAST(count(*) AS BIGINT) AS inn,
-         |    CAST(SUM(v) AS DECIMAL(38,2)) AS isx,
-         |    CAST(SUM(v * v) AS DECIMAL(38,4)) AS isxx
-         |  FROM src WHERE arm = 'B' GROUP BY 1),
-         |grid AS (SELECT unnest(range(1, 6)) AS look),
-         |j AS (
-         |  SELECT g.look, ia.inn AS na_i, ia.isx AS sa_i, ia.isxx AS ssa_i,
-         |    ib.inn AS nb_i, ib.isx AS sb_i, ib.isxx AS ssb_i
-         |  FROM grid g LEFT JOIN ia ON ia.look = g.look
-         |    LEFT JOIN ib ON ib.look = g.look),
-         |c AS (
-         |  SELECT look,
-         |    CAST(SUM(COALESCE(na_i, 0)) OVER w AS BIGINT) AS n_a,
-         |    CAST(SUM(COALESCE(sa_i, CAST(0 AS DECIMAL(38,2)))) OVER w AS DECIMAL(38,2)) AS s_a,
-         |    CAST(SUM(COALESCE(ssa_i, CAST(0 AS DECIMAL(38,4)))) OVER w AS DECIMAL(38,4)) AS ss_a,
-         |    CAST(SUM(COALESCE(nb_i, 0)) OVER w AS BIGINT) AS n_b,
-         |    CAST(SUM(COALESCE(sb_i, CAST(0 AS DECIMAL(38,2)))) OVER w AS DECIMAL(38,2)) AS s_b,
-         |    CAST(SUM(COALESCE(ssb_i, CAST(0 AS DECIMAL(38,4)))) OVER w AS DECIMAL(38,4)) AS ss_b
-         |  FROM j WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |f AS (
-         |  SELECT *,
-         |    CASE WHEN n_a >= 1 THEN CAST(n_a AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS nma,
-         |    CASE WHEN n_b >= 1 THEN CAST(n_b AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS nmb,
-         |    CASE WHEN n_a >= 2 THEN CAST(n_a AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS nsa,
-         |    CASE WHEN n_b >= 2 THEN CAST(n_b AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS nsb
-         |  FROM c),
-         |g2 AS (
-         |  SELECT *,
-         |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / nsa)
-         |      / (nsa - CAST(1.0 AS DOUBLE))) / nsa +
-         |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / nsb)
-         |      / (nsb - CAST(1.0 AS DOUBLE))) / nsb AS se2
-         |  FROM f),
-         |z0 AS (
-         |  SELECT look, n_a, n_b,
-         |    CASE WHEN n_a > 0 THEN round(CAST(s_a AS DOUBLE) / nma, 6) END AS mean_a,
-         |    CASE WHEN n_b > 0 THEN round(CAST(s_b AS DOUBLE) / nmb, 6) END AS mean_b,
-         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
-         |      round((CAST(s_b AS DOUBLE) / nsb - CAST(s_a AS DOUBLE) / nsa) /
-         |        sqrt(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
-         |          THEN se2 ELSE CAST(1.0 AS DOUBLE) END), 6) END AS z,
-         |    round(CAST($c AS DOUBLE) *
-         |      sqrt(CAST(5.0 AS DOUBLE) / CAST(look AS DOUBLE)), 6) AS boundary
-         |  FROM g2),
-         |z1 AS (
-         |  SELECT *, CASE WHEN z IS NOT NULL THEN abs(z) >= boundary END AS "cross",
-         |    MIN(CASE WHEN z IS NOT NULL AND abs(z) >= boundary THEN look END)
-         |      OVER () AS stop_look
-         |  FROM z0)
-         |SELECT look, n_a, n_b, mean_a, mean_b, z, boundary, "cross", stop_look,
-         |  CASE WHEN stop_look IS NOT NULL AND look > stop_look THEN 'stopped'
-         |    WHEN "cross" THEN 'reject' ELSE 'continue' END AS decision
-         |FROM z1 ORDER BY look""".stripMargin
-    },
+    // q234/q237/q238: the group-sequential replay — per-(look, arm)
+    // exact moments, the K-row cumulative window (PARTITION BY grp in
+    // the keyed form), the welch-shape z, the shared OBF/Pocock
+    // constant literal, absorbing stop (generator: gsOracleSql)
+    "q234_group_sequential" -> gsOracleSql("obf", grouped = false),
+    "q237_gs_pocock" -> gsOracleSql("pocock", grouped = false),
+    "q238_gs_by_group" -> gsOracleSql("obf", grouped = true),
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER
@@ -7627,6 +7569,97 @@ object SparkEntry {
     s"""WITH RECURSIVE ${unigramTrainCtes}
        |SELECT piece, uses, round(lnp, 6) AS lnp FROM v2voc
        |ORDER BY piece""".stripMargin
+
+  /** The group-sequential oracle (q234 OBF / q237 Pocock / q238
+    * keyed): per-(look, arm) exact moments over the 1995–1999 order
+    * years, the K-row cumulative window, the welch-shape z with the
+    * two-tier stand-in divisors, the shared boundary-constant
+    * literal (`Ops.obfC`/`pocockC`), absorbing stop. `grouped`
+    * threads the priority segment through every CTE and PARTITIONs
+    * the windows — the engine's gsDecide keying, replayed.
+    */
+  private def gsOracleSql(spending: String, grouped: Boolean): String = {
+    val c = String.format(java.util.Locale.ROOT, "%.17e", Double.box(
+      (if (spending == "obf") graft.api.Ops.obfC else graft.api.Ops.pocockC)(5)))
+    val boundary =
+      if (spending == "obf")
+        s"round(CAST($c AS DOUBLE) * sqrt(CAST(5.0 AS DOUBLE) / CAST(look AS DOUBLE)), 6)"
+      else s"round(CAST($c AS DOUBLE), 6)"
+    val gSel = if (grouped) "grp, " else ""
+    val gFilter = if (grouped) " AND o_orderpriority IS NOT NULL" else ""
+    val gSrc = if (grouped) "o_orderpriority AS grp, " else ""
+    val gBy = if (grouped) "grp, " else ""
+    val gPart = if (grouped) "PARTITION BY grp " else ""
+    val gJoin = if (grouped) "grp, look" else "look"
+    val grid =
+      if (grouped)
+        """grid AS (SELECT grp, unnest(range(1, 6)) AS look
+          |  FROM (SELECT DISTINCT grp FROM src))""".stripMargin
+      else "grid AS (SELECT unnest(range(1, 6)) AS look)"
+    s"""WITH src AS (
+       |  SELECT ${gSrc}CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+       |    CAST(year(o_orderdate) - 1994 AS BIGINT) AS look
+       |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL$gFilter
+       |    AND year(o_orderdate) BETWEEN 1995 AND 1999),
+       |ia AS (SELECT ${gBy}look, CAST(count(*) AS BIGINT) AS inn,
+       |    CAST(SUM(v) AS DECIMAL(38,2)) AS isx,
+       |    CAST(SUM(v * v) AS DECIMAL(38,4)) AS isxx
+       |  FROM src WHERE arm = 'A' GROUP BY ${gBy}look),
+       |ib AS (SELECT ${gBy}look, CAST(count(*) AS BIGINT) AS inn,
+       |    CAST(SUM(v) AS DECIMAL(38,2)) AS isx,
+       |    CAST(SUM(v * v) AS DECIMAL(38,4)) AS isxx
+       |  FROM src WHERE arm = 'B' GROUP BY ${gBy}look),
+       |$grid,
+       |j AS (
+       |  SELECT ${if (grouped) "grid.grp, " else ""}grid.look,
+       |    ia.inn AS na_i, ia.isx AS sa_i, ia.isxx AS ssa_i,
+       |    ib.inn AS nb_i, ib.isx AS sb_i, ib.isxx AS ssb_i
+       |  FROM grid LEFT JOIN ia USING ($gJoin)
+       |    LEFT JOIN ib USING ($gJoin)),
+       |c AS (
+       |  SELECT ${gSel}look,
+       |    CAST(SUM(COALESCE(na_i, 0)) OVER w AS BIGINT) AS n_a,
+       |    CAST(SUM(COALESCE(sa_i, CAST(0 AS DECIMAL(38,2)))) OVER w AS DECIMAL(38,2)) AS s_a,
+       |    CAST(SUM(COALESCE(ssa_i, CAST(0 AS DECIMAL(38,4)))) OVER w AS DECIMAL(38,4)) AS ss_a,
+       |    CAST(SUM(COALESCE(nb_i, 0)) OVER w AS BIGINT) AS n_b,
+       |    CAST(SUM(COALESCE(sb_i, CAST(0 AS DECIMAL(38,2)))) OVER w AS DECIMAL(38,2)) AS s_b,
+       |    CAST(SUM(COALESCE(ssb_i, CAST(0 AS DECIMAL(38,4)))) OVER w AS DECIMAL(38,4)) AS ss_b
+       |  FROM j WINDOW w AS (${gPart}ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |f AS (
+       |  SELECT *,
+       |    CASE WHEN n_a >= 1 THEN CAST(n_a AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS nma,
+       |    CASE WHEN n_b >= 1 THEN CAST(n_b AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS nmb,
+       |    CASE WHEN n_a >= 2 THEN CAST(n_a AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS nsa,
+       |    CASE WHEN n_b >= 2 THEN CAST(n_b AS DOUBLE) ELSE CAST(2.0 AS DOUBLE) END AS nsb
+       |  FROM c),
+       |g2 AS (
+       |  SELECT *,
+       |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / nsa)
+       |      / (nsa - CAST(1.0 AS DOUBLE))) / nsa +
+       |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / nsb)
+       |      / (nsb - CAST(1.0 AS DOUBLE))) / nsb AS se2
+       |  FROM f),
+       |z0 AS (
+       |  SELECT ${gSel}look, n_a, n_b,
+       |    CASE WHEN n_a > 0 THEN round(CAST(s_a AS DOUBLE) / nma, 6) END AS mean_a,
+       |    CASE WHEN n_b > 0 THEN round(CAST(s_b AS DOUBLE) / nmb, 6) END AS mean_b,
+       |    CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN
+       |      round((CAST(s_b AS DOUBLE) / nsb - CAST(s_a AS DOUBLE) / nsa) /
+       |        sqrt(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0
+       |          THEN se2 ELSE CAST(1.0 AS DOUBLE) END), 6) END AS z,
+       |    $boundary AS boundary
+       |  FROM g2),
+       |z1 AS (
+       |  SELECT *, CASE WHEN z IS NOT NULL THEN abs(z) >= boundary END AS "cross",
+       |    MIN(CASE WHEN z IS NOT NULL AND abs(z) >= boundary THEN look END)
+       |      OVER (${if (grouped) "PARTITION BY grp" else ""}) AS stop_look
+       |  FROM z0)
+       |SELECT ${gSel}look, n_a, n_b, mean_a, mean_b, z, boundary, "cross", stop_look,
+       |  CASE WHEN stop_look IS NOT NULL AND look > stop_look THEN 'stopped'
+       |    WHEN "cross" THEN 'reject' ELSE 'continue' END AS decision
+       |FROM z1 ORDER BY ${gSel}look""".stripMargin
+  }
 
   private def unigramEncodeSql: String =
     s"""WITH RECURSIVE ${unigramTrainCtes},

@@ -2408,25 +2408,83 @@ object Ops {
   def groupSequential(df: DataFrame, arm: Column, value: Column, look: Column,
                       looks: Int, spending: String = "obf",
                       armA: String = "A", armB: String = "B"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    gsRequires(looks, spending, armA, armB)
+    val grid = df.sparkSession.range(1, looks + 1).select(col("id").as("look"))
+    gsDecide(grid
+      .join(gsSide(df, None, arm, value, look, looks, armA, "a"), Seq("look"), "left")
+      .join(gsSide(df, None, arm, value, look, looks, armB, "b"), Seq("look"), "left"),
+      keyCols = Nil, looks, spending)
+  }
+
+  /** Per-segment group-sequential readout (r17 wave 2 —
+    * [[groupSequential]] keyed by a segment column, joining the keyed
+    * experimentation family: scheduled looks run per market/cohort,
+    * and each segment's trial stops INDEPENDENTLY at its own first
+    * crossing). Identical census/cumulative/boundary/decision
+    * expressions by the shared [[gsSide]]/[[gsDecide]] tails, with
+    * every window PARTITIONED BY the segment — adding segments adds
+    * parallelism, not passes; the look grid exists per segment
+    * observed in the input. Returns one row per (segment, look).
+    */
+  def groupSequentialByGroup(df: DataFrame, group: String, arm: Column,
+                             value: Column, look: Column,
+                             looks: Int, spending: String = "obf",
+                             armA: String = "A", armB: String = "B"): DataFrame = {
+    gsRequires(looks, spending, armA, armB)
+    val grid = df.filter(col(group).isNotNull)
+      .select(col(group).as("grp")).distinct()
+      .withColumn("look", explode(sequence(lit(1L), lit(looks.toLong))))
+    gsDecide(grid
+      .join(gsSide(df, Some(group), arm, value, look, looks, armA, "a"),
+        Seq("grp", "look"), "left")
+      .join(gsSide(df, Some(group), arm, value, look, looks, armB, "b"),
+        Seq("grp", "look"), "left"),
+      keyCols = Seq("grp"), looks, spending)
+  }
+
+  private def gsRequires(looks: Int, spending: String,
+                         armA: String, armB: String): Unit = {
     require(looks >= 1 && looks <= 5,
       s"groupSequential: looks ($looks) must be in 1..5 (the published boundary-constant table)")
     require(spending == "obf" || spending == "pocock",
       s"groupSequential: spending ('$spending') must be 'obf' or 'pocock'")
     require(armA != armB, "groupSequential: armA and armB must differ")
-    val cFinal = (if (spending == "obf") obfC else pocockC)(looks)
+  }
+
+  /** One arm's per-look exact decimal moment census, optionally
+    * keyed by a segment column — shared by the whole-frame and keyed
+    * forms so the two can never drift.
+    */
+  private def gsSide(df: DataFrame, grp: Option[String], arm: Column,
+                     value: Column, look: Column, looks: Int,
+                     a: String, suf: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val d = graft.util.Portable.dec(value)
-    def side(a: String, suf: String): DataFrame =
-      df.filter(value.isNotNull && look.isNotNull &&
-          look.cast("long").between(1L, looks.toLong) && arm === a)
-        .groupBy(look.cast("long").as("look"))
-        .agg(count(lit(1)).as(s"__in_$suf"),
-          sum(d).cast(DecimalType(38, 2)).as(s"__is_$suf"),
-          sum(d * d).cast(DecimalType(38, 4)).as(s"__iss_$suf"))
-    val grid = df.sparkSession.range(1, looks + 1).select(col("id").as("look"))
+    val base = df.filter(value.isNotNull && look.isNotNull &&
+      look.cast("long").between(1L, looks.toLong) && arm === a &&
+      grp.map(g => col(g).isNotNull).getOrElse(lit(true)))
+    val keys = grp.map(g => Seq(col(g).as("grp"))).getOrElse(Nil) :+
+      look.cast("long").as("look")
+    base.groupBy(keys: _*)
+      .agg(count(lit(1)).as(s"__in_$suf"),
+        sum(d).cast(DecimalType(38, 2)).as(s"__is_$suf"),
+        sum(d * d).cast(DecimalType(38, 4)).as(s"__iss_$suf"))
+  }
+
+  /** The shared group-sequential decision tail over the joined look
+    * grid — cumulative-through-look exact decimal sums (windows over
+    * the K-row schedule, partitioned by `keyCols` when keyed), the
+    * Welch-shape z, the published boundary (shared literal), and the
+    * absorbing stop. The ONE place these expressions live (the
+    * msprtFinishCols discipline).
+    */
+  private def gsDecide(joined: DataFrame, keyCols: Seq[String],
+                       looks: Int, spending: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cFinal = (if (spending == "obf") obfC else pocockC)(looks)
     // cumulative-through-look sums: exact decimal over the K-row
-    // schedule (unpartitioned window, bounded by K — league-table)
-    val w = Window.orderBy(col("look"))
+    // schedule per key (bounded by the look schedule — league-table)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("look"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def cum(suf: String): Seq[Column] = Seq(
       sum(coalesce(col(s"__in_$suf"), lit(0L))).over(w).as(s"n_$suf"),
@@ -2434,10 +2492,8 @@ object Ops {
         .cast(DecimalType(38, 2)).as(s"__s_$suf"),
       sum(coalesce(col(s"__iss_$suf"), lit(0).cast(DecimalType(38, 4)))).over(w)
         .cast(DecimalType(38, 4)).as(s"__ss_$suf"))
-    val m = grid
-      .join(side(armA, "a"), Seq("look"), "left")
-      .join(side(armB, "b"), Seq("look"), "left")
-      .select(col("look") +: (cum("a") ++ cum("b")): _*)
+    val m = joined
+      .select((keyCols.map(col) :+ col("look")) ++ cum("a") ++ cum("b"): _*)
     def nD(s: String) = col(s"n_$s").cast("double")
     def nM(s: String) = when(col(s"n_$s") >= 1, nD(s)).otherwise(lit(1.0))
     def nS(s: String) = when(col(s"n_$s") >= 2, nD(s)).otherwise(lit(2.0))
@@ -2462,15 +2518,16 @@ object Ops {
       .withColumn("boundary", boundary)
       .withColumn("cross", when(col("z").isNotNull, abs(col("z")) >= col("boundary")))
       .withColumn("stop_look",
-        min(when(col("cross"), col("look"))).over(Window.partitionBy()))
+        min(when(col("cross"), col("look"))).over(
+          Window.partitionBy(keyCols.map(col): _*)))
     decided
       .withColumn("decision",
         when(col("stop_look").isNotNull && col("look") > col("stop_look"), lit("stopped"))
           .when(col("cross") === true, lit("reject"))
           .otherwise(lit("continue")))
-      .select(col("look"), col("n_a"), col("n_b"), col("mean_a"),
-        col("mean_b"), col("z"), col("boundary"), col("cross"),
-        col("stop_look"), col("decision"))
+      .select(keyCols.map(col) ++ Seq(col("look"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("z"), col("boundary"), col("cross"),
+        col("stop_look"), col("decision")): _*)
   }
 
   /** Per-segment seeded permutation test (r17 — VERDICT r16 missing

@@ -1993,4 +1993,40 @@ object Extended {
       looks = 5, spending = "obf")
       .orderBy(col("look"))
   }
+
+  /** q237: the q234 readout under POCOCK boundaries (r17 wave 2 —
+    * the other published spending shape: a flat per-look constant
+    * that spends α evenly, where OBF hoards it for the end; the two
+    * gates together pin both rows of the boundary-constant table).
+    */
+  def q237(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("yr", year(col("o_orderdate").cast("timestamp")))
+      .filter(col("yr").between(1995, 1999))
+    graft.api.Ops.groupSequential(o,
+      when(col("o_orderkey") % 2 === 0, "A").otherwise("B"),
+      col("o_totalprice"), col("yr") - 1994,
+      looks = 5, spending = "pocock")
+      .orderBy(col("look"))
+  }
+
+  /** q238: per-priority group-sequential readout
+    * ([[graft.api.Ops.groupSequentialByGroup]], r17 wave 2 — the
+    * scheduled-looks monitor keyed by segment: each priority's trial
+    * stops independently at its own first crossing, the per-segment
+    * experimentation family's newest member).
+    */
+  def q238(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+      .withColumn("yr", year(col("o_orderdate").cast("timestamp")))
+      .filter(col("yr").between(1995, 1999))
+    graft.api.Ops.groupSequentialByGroup(o, "o_orderpriority",
+      when(col("o_orderkey") % 2 === 0, "A").otherwise("B"),
+      col("o_totalprice"), col("yr") - 1994,
+      looks = 5, spending = "obf")
+      .orderBy(col("grp"), col("look"))
+  }
 }

@@ -2090,6 +2090,34 @@ object Streams {
       .start()
   }
 
+  /** [[ivfPqTopKStream]] with the exact re-rank stage (r17 — the
+    * serving loop's production tail: per trigger the query batch
+    * takes the ADC top-`rerankR` shortlist from the pinned index and
+    * re-ranks it with exact cosine against the caller's `vectors`
+    * source of truth — [[graft.operators.Similarity.ivfPqTopKRerank]]
+    * semantics, so recall@k can never sit below the raw ADC path's
+    * at the same nprobe). `vectors` must be a stable source-backed
+    * frame (re-read per trigger — the psiDriftStream baseline rule);
+    * the shortlist broadcasts, the vector corpus never shuffles.
+    */
+  def ivfPqTopKRerankStream(queries: DataFrame, queryId: String, queryEmb: String,
+                            index: graft.operators.Similarity.PreparedIvfPq,
+                            vectors: DataFrame, emb: String,
+                            k: Int = 10, nprobe: Int = 2, rerankR: Int = 50,
+                            excludeSelf: Boolean = false)(
+                            sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(index.reliable,
+      "ivfPqTopKRerankStream needs a PreparedIvfPq built with a reliable checkpointDir " +
+        "(prepareIvfPqIndex(..., checkpointDir = Some(dir)))")
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(index.topKRerank(batch, queryId, queryEmb, vectors, emb,
+          k, nprobe, rerankR, excludeSelf))
+      }
+      .outputMode("update")
+      .start()
+  }
+
   final case class Doc(doc_id: Long, n_tokens: Long)
   final case class PackedDoc(doc_id: Long, shard: Long, start_offset: Long, pack_id: Long)
 

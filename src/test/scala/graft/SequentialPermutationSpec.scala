@@ -77,6 +77,33 @@ class SequentialPermutationSpec extends AnyFunSuite {
     }
   }
 
+  test("groupSequentialByGroup ≡ whole-frame groupSequential per slice; segments stop independently") {
+    // segment s1 calm throughout; segment s2 shifts hard from look 2
+    val rows = (for (l <- 1 to 3; i <- 1 to 30) yield Seq(
+      ("s1", "A", 100.0 + (i % 5), l), ("s1", "B", 100.0 + ((i + 2) % 5), l),
+      ("s2", "A", 100.0 + (i % 5), l),
+      ("s2", "B", (if (l >= 2) 170.0 else 100.0) + ((i + 2) % 5), l))).flatten
+    val df = rows.toDF("seg", "arm", "v", "look")
+    val keyed = Ops.groupSequentialByGroup(df, "seg", col("arm"), col("v"),
+      col("look"), 3, "obf").orderBy(col("grp"), col("look")).collect()
+    // the defining identity: each segment's keyed rows equal the
+    // whole-frame readout over that segment's slice
+    Seq("s1", "s2").foreach { s =>
+      val slice = Ops.groupSequential(df.filter(col("seg") === s), col("arm"),
+        col("v"), col("look"), 3, "obf").orderBy(col("look")).collect()
+        .map(_.toSeq.toSeq).toSeq
+      val k = keyed.filter(_.getString(0) == s).map(_.toSeq.drop(1).toSeq).toSeq
+      assert(k == slice, s"keyed segment $s must equal the whole-frame slice")
+    }
+    // independence: only the shifted segment stops
+    val dec = keyed.map(r => (r.getString(0), r.getAs[Long]("look"),
+      r.getAs[String]("decision")))
+    assert(dec.filter(_._1 == "s1").forall(_._3 == "continue"),
+      s"calm segment must never stop: ${dec.toSeq}")
+    assert(dec.exists(d => d._1 == "s2" && d._3 == "reject"),
+      s"shifted segment must stop: ${dec.toSeq}")
+  }
+
   private def permFrame(rows: Seq[(String, Long, Double)]): DataFrame =
     rows.toDF("grp", "id", "v")
 

@@ -1358,6 +1358,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopKRerankStream: per-trigger re-ranked top-k equals batch topKRerank against the same index and vectors") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Seq[Double] =
+      (0 until 8).map(d => math.sin(seed * 7 + d * 3).abs + (if (seed % 2 == 0) 1.0 else 0.0))
+    val corpus = (0L until 30L).map(i => (i, vec(i.toInt))).toDF("vec_id", "emb")
+    val centroids = Seq((100L, vec(0)), (101L, vec(1)))
+      .toDF("centroid_id", "cent_emb")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_rr").toString
+    val idx = Similarity.prepareIvfPqIndex(corpus, centroids,
+      id = "vec_id", emb = "emb", centroidId = "centroid_id", centroidEmb = "cent_emb",
+      dim = 8, m = 4, ks = 4, checkpointDir = Some(ckDir))
+    val incoming = (50L until 54L).map(i => (i, vec(i.toInt)))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+    val query = Streams.ivfPqTopKRerankStream(stream.toDF().toDF("qid", "qemb"),
+      "qid", "qemb", idx, corpus, "emb", k = 3, nprobe = 2, rerankR = 8)(
+      b => { got += b.collect().map(_.toSeq.toSeq).toSet; () })
+    try {
+      stream.addData(incoming.take(2)); query.processAllAvailable()
+      stream.addData(incoming.drop(2)); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2)
+    def batch(qs: Seq[(Long, Seq[Double])]) =
+      idx.topKRerank(qs.toDF("qid", "qemb"), "qid", "qemb", corpus, "emb",
+        k = 3, nprobe = 2, rerankR = 8, excludeSelf = false)
+        .collect().map(_.toSeq.toSeq).toSet
+    assert(got(0) == batch(incoming.take(2)), "trigger 1 ≡ batch re-rank")
+    assert(got(1) == batch(incoming.drop(2)), "trigger 2 ≡ batch re-rank")
+    assert(got.forall(_.nonEmpty))
+  }
+
   test("ivfPqIngestStream absorbs triggers into the rolling index, matching the batch chain") {
     import spark.implicits._
     import graft.operators.Similarity
