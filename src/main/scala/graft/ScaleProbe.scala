@@ -526,6 +526,9 @@ object ScaleProbe {
       // r17 wave 2: keyed group-sequential — one (grp, look, arm)
       // census + segment-partitioned K-row windows
       "q238_gs_grp"   -> (t => operators.Extended.q238(t)),
+      // r17 wave 3: the absorbing artifact path — two censuses + the
+      // bounded merge + the same decide; still census-bounded
+      "q239_gs_abs"   -> (t => operators.Extended.q239(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

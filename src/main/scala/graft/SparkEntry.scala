@@ -258,6 +258,7 @@ object SparkEntry {
     "q236_unigram_encode" -> q(graft.operators.Unigram.q236),
     "q237_gs_pocock"      -> q(Extended.q237),
     "q238_gs_by_group"    -> q(Extended.q238),
+    "q239_gs_absorbed"    -> q(Extended.q239),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -7004,6 +7005,10 @@ object SparkEntry {
     "q234_group_sequential" -> gsOracleSql("obf", grouped = false),
     "q237_gs_pocock" -> gsOracleSql("pocock", grouped = false),
     "q238_gs_by_group" -> gsOracleSql("obf", grouped = true),
+    // q239: the artifact path (prepare looks 1–3, absorb 4–5, decide)
+    // — absorb is exact census addition, so the oracle is the SAME
+    // keyed SQL over all rows (the q231 statement)
+    "q239_gs_absorbed" -> gsOracleSql("obf", grouped = true),
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER

@@ -2029,4 +2029,29 @@ object Extended {
       looks = 5, spending = "obf")
       .orderBy(col("grp"), col("look"))
   }
+
+  /** q239: the q238 readout through the ABSORBING artifact
+    * ([[graft.api.Ops.PreparedGroupSequential]], r17 wave 3 — looks
+    * 1–3 are PREPARED, looks 4–5 arrive later and are ABSORBED, and
+    * `decide()` reads over everything; absorb is exact census
+    * addition, so the oracle is the identical keyed SQL over all
+    * rows — the q231 statement applied to the scheduled-looks
+    * monitor, gating the census/absorb/decide-from-artifact path
+    * end-to-end through DuckDB).
+    */
+  def q239(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+      .withColumn("yr", year(col("o_orderdate").cast("timestamp")))
+      .filter(col("yr").between(1995, 1999))
+    val arm = when(col("o_orderkey") % 2 === 0, "A").otherwise("B")
+    val lk = col("yr") - 1994
+    graft.api.Ops.prepareGroupSequential(o.filter(col("yr") <= 1997),
+        arm, col("o_totalprice"), lk, looks = 5, spending = "obf",
+        group = Some("o_orderpriority"))
+      .absorb(o.filter(col("yr") >= 1998), arm, col("o_totalprice"), lk)
+      .decide()
+      .orderBy(col("grp"), col("look"))
+  }
 }

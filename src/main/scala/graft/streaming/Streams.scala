@@ -1142,6 +1142,47 @@ object Streams {
       .start()
   }
 
+  /** CUMULATIVE group-sequential monitor stream (r17 — the
+    * scheduled-looks trial run the way trials actually run: traffic
+    * ARRIVES, look by look, and the monitor re-decides after every
+    * increment over everything seen so far). Each trigger ABSORBS
+    * into a [[graft.api.Ops.PreparedGroupSequential]] census (exact
+    * addition — trigger N's state ≡ prepare over union(triggers
+    * 1..N), spec-pinned) and the sink receives the full per-look
+    * readout (`decide()` — identical boundary/z/absorbing-stop
+    * expressions to the gated q234/q237/q238 by shared `gsDecide`
+    * code). A trigger does NOT need to align with a look: late or
+    * split deliveries for any look just add to its census. Pass
+    * `group` for the per-segment monitor (each segment stops
+    * independently, the q238 semantics) and a `checkpointDir` in
+    * production (reliable state + per-trigger lineage breaks). State
+    * and per-trigger cost: O(segments × looks × 2) census rows plus
+    * the trigger's own census — never the accumulated traffic.
+    */
+  def groupSequentialIngestStream(records: DataFrame,
+                                  arm: org.apache.spark.sql.Column,
+                                  value: org.apache.spark.sql.Column,
+                                  look: org.apache.spark.sql.Column,
+                                  looks: Int, spending: String = "obf",
+                                  armA: String = "A", armB: String = "B",
+                                  group: Option[String] = None,
+                                  checkpointDir: Option[String] = None)(
+                                  sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var cumulative: Option[graft.api.Ops.PreparedGroupSequential] = None
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = cumulative match {
+          case Some(c) => c.absorb(batch, arm, value, look, checkpointDir)
+          case None => graft.api.Ops.prepareGroupSequential(batch, arm, value,
+            look, looks, spending, armA, armB, group, checkpointDir)
+        }
+        cumulative = Some(next)
+        sink(next.decide())
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live Jensen–Shannon drift monitoring (r14 — the SYMMETRIC,
     * smoothing-free member of the drift quartet beside
     * [[psiDriftStream]]/[[ksDriftStream]]/[[mwuDriftStream]]): each

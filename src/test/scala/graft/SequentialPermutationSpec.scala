@@ -104,6 +104,49 @@ class SequentialPermutationSpec extends AnyFunSuite {
       s"shifted segment must stop: ${dec.toSeq}")
   }
 
+  test("PreparedGroupSequential: absorb ≡ prepare-union, decide ≡ batch, save/load round-trips") {
+    val early = (for (l <- 1 to 2; i <- 1 to 25) yield Seq(
+      ("s1", "A", 100.0 + (i % 5), l), ("s1", "B", 100.0 + ((i + 2) % 5), l),
+      ("s2", "A", 100.0 + (i % 5), l), ("s2", "B", 150.0 + ((i + 2) % 5), l))).flatten
+    val late = (for (l <- 3 to 3; i <- 1 to 25) yield Seq(
+      ("s1", "A", 100.0 + (i % 5), l), ("s1", "B", 100.0 + ((i + 2) % 5), l),
+      ("s2", "A", 100.0 + (i % 5), l), ("s2", "B", 155.0 + ((i + 2) % 5), l))).flatten
+    def df(rows: Seq[(String, String, Double, Int)]) =
+      rows.toDF("seg", "arm", "v", "look")
+    def canon(d: DataFrame) = d.collect().map(_.toSeq.toSeq).toSet
+    // keyed form: absorb ≡ prepare over the union, census-exact
+    val absorbed = Ops.prepareGroupSequential(df(early), col("arm"), col("v"),
+        col("look"), 3, "obf", group = Some("seg"))
+      .absorb(df(late), col("arm"), col("v"), col("look"))
+    val direct = Ops.prepareGroupSequential(df(early ++ late), col("arm"),
+      col("v"), col("look"), 3, "obf", group = Some("seg"))
+    assert(canon(absorbed.census) == canon(direct.census),
+      "absorbed census ≡ union census")
+    // decide ≡ the batch keyed readout over all rows (shared gsDecide)
+    val batch = Ops.groupSequentialByGroup(df(early ++ late), "seg",
+      col("arm"), col("v"), col("look"), 3, "obf")
+    assert(canon(absorbed.decide()) == canon(batch),
+      "artifact decide ≡ batch groupSequentialByGroup")
+    // whole-frame form: decide ≡ batch groupSequential
+    val wf = Ops.prepareGroupSequential(df(early), col("arm"), col("v"),
+        col("look"), 3, "pocock")
+      .absorb(df(late), col("arm"), col("v"), col("look"))
+    assert(canon(wf.decide()) == canon(Ops.groupSequential(df(early ++ late),
+      col("arm"), col("v"), col("look"), 3, "pocock")),
+      "whole-frame artifact decide ≡ batch groupSequential")
+    // save/load round-trip preserves census and decide
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs_art").toString
+    absorbed.save(dir)
+    val loaded = Ops.loadGroupSequential(spark, dir)
+    assert(loaded.group.contains("seg") && loaded.looks == 3 &&
+      loaded.spending == "obf" && loaded.reliable)
+    assert(canon(loaded.decide()) == canon(batch), "loaded decide ≡ batch")
+    intercept[IllegalArgumentException] {
+      Ops.prepareGroupSequential(df(early), col("arm"), col("v"), col("look"),
+        7, "obf")
+    }
+  }
+
   private def permFrame(rows: Seq[(String, Long, Double)]): DataFrame =
     rows.toDF("grp", "id", "v")
 

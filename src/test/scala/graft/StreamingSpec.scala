@@ -2194,6 +2194,47 @@ class StreamingSpec extends AnyFunSuite {
       s"cumulative must never be weaker than the per-trigger battery ($cumT3 vs $aloneT3)")
   }
 
+  test("groupSequentialIngestStream: trigger N's readout ≡ batch groupSequential over union(triggers 1..N)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // looks arrive over three triggers; the shift only reaches
+    // significance once look 3's traffic has been absorbed
+    val t1 = (1 to 30).flatMap(i => Seq(("A", 100.0 + (i % 7), 1),
+      ("B", 100.0 + ((i + 3) % 7), 1)))
+    val t2 = (1 to 30).flatMap(i => Seq(("A", 100.0 + (i % 7), 2),
+      ("B", 100.5 + ((i + 3) % 7), 2)))
+    val t3 = (1 to 30).flatMap(i => Seq(("A", 100.0 + (i % 7), 3),
+      ("B", 140.0 + ((i + 3) % 7), 3)))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy(col("look")).collect().map(_.toSeq.toSeq).toSeq
+    val stream = MemoryStream[(String, Double, Int)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q = Streams.groupSequentialIngestStream(
+      stream.toDF().toDF("arm", "v", "look"),
+      col("arm"), col("v"), col("look"), looks = 3, spending = "obf")(
+      r => { got += rows(r); () })
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+      stream.addData(t3); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 3, "one readout per trigger")
+    def batchOverUnion(cur: Seq[(String, Double, Int)]) =
+      rows(graft.api.Ops.groupSequential(cur.toDF("arm", "v", "look"),
+        col("arm"), col("v"), col("look"), 3, "obf"))
+    assert(got(0) == batchOverUnion(t1), "trigger 1 ≡ batch over t1")
+    assert(got(1) == batchOverUnion(t1 ++ t2), "trigger 2 ≡ batch over t1 ∪ t2")
+    assert(got(2) == batchOverUnion(t1 ++ t2 ++ t3),
+      "trigger 3 ≡ batch over t1 ∪ t2 ∪ t3")
+    // the monitoring story: no stop until look 3's traffic lands
+    def stops(b: Seq[Seq[Any]]) = b.map(_.last)
+    assert(stops(got(1)).forall(_ == "continue"),
+      s"calm looks must continue: ${got(1)}")
+    assert(stops(got(2)).contains("reject"),
+      s"the planted look-3 shift must stop the trial: ${got(2)}")
+  }
+
   test("PreparedGovernance: absorb ≡ prepare over the union, save/load round-trips, guards") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
