@@ -105,7 +105,8 @@ object Bench {
     "q230_poststrat_by_group", "q231_governance_from_prepared",
     "q232_ivf_pq_rerank", "q233_permutation_p", "q234_group_sequential",
     "q235_unigram_train", "q236_unigram_encode",
-    "q237_gs_pocock", "q238_gs_by_group", "q239_gs_absorbed")
+    "q237_gs_pocock", "q238_gs_by_group", "q239_gs_absorbed",
+    "q240_nprobe_curve")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

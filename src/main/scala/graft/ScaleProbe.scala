@@ -529,6 +529,9 @@ object ScaleProbe {
       // r17 wave 3: the absorbing artifact path — two censuses + the
       // bounded merge + the same decide; still census-bounded
       "q239_gs_abs"   -> (t => operators.Extended.q239(t)),
+      // r17 wave 3: the nprobe curve — one max-depth cell join +
+      // k-bounded overlap joins; corpus-linear like q36 itself
+      "q240_curve"    -> (t => operators.Similarity.q240(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

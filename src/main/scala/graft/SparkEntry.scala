@@ -259,6 +259,7 @@ object SparkEntry {
     "q237_gs_pocock"      -> q(Extended.q237),
     "q238_gs_by_group"    -> q(Extended.q238),
     "q239_gs_absorbed"    -> q(Extended.q239),
+    "q240_nprobe_curve"   -> q(graft.operators.Similarity.q240),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -7009,6 +7010,9 @@ object SparkEntry {
     // — absorb is exact census addition, so the oracle is the SAME
     // keyed SQL over all rows (the q231 statement)
     "q239_gs_absorbed" -> gsOracleSql("obf", grouped = true),
+    // q240: the nprobe recall/cost curve — the q200 chain per depth
+    // over ONE shared scored_cells frame, aggregated and costed
+    "q240_nprobe_curve" -> annCurveOracleSql(Seq(1, 2, 4, 8), 5),
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER
@@ -7058,6 +7062,80 @@ object SparkEntry {
       |    END AS recall
       |  FROM ne FULL OUTER JOIN na ON ne.qid = na.qid
       |  LEFT JOIN nov ON COALESCE(ne.qid, na.qid) = nov.qid)""".stripMargin
+
+  /** The q240 nprobe tuning-curve oracle: the q200 shared CTEs
+    * (brute-force truth + corpus cell assignment + the 8-cell
+    * ranking) once, then per probe depth the level-specific
+    * queries/cand/ap/na/nov/per chain (prefixed `p{np}_`) aggregated
+    * to ONE row with its candidate count, unioned and costed against
+    * the corpus size — the engine's shared-max-depth filter replayed
+    * as independent rn <= np slices of the SAME scored_cells frame.
+    */
+  private def annCurveOracleSql(nps: Seq[Int], k: Int): String = {
+    val levels = nps.map { np =>
+      s"""p${np}_queries AS (SELECT vec_id AS qid, emb AS q_emb, cid AS cell
+         |            FROM scored_cells WHERE vec_id < 10 AND rn <= $np),
+         |p${np}_cand AS (
+         |  SELECT q.qid, c.vid, list_cosine_similarity(q.q_emb, c.c_emb) AS raw
+         |  FROM corpus c JOIN p${np}_queries q ON c.cell = q.cell AND c.vid <> q.qid),
+         |p${np}_ap AS (SELECT qid, vid FROM (
+         |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS rank
+         |  FROM p${np}_cand) WHERE rank <= $k),
+         |p${np}_na AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_approx
+         |  FROM (SELECT DISTINCT qid, vid FROM p${np}_ap) GROUP BY 1),
+         |p${np}_nov AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_overlap FROM (
+         |  (SELECT DISTINCT qid, vid FROM ex) INTERSECT
+         |  (SELECT DISTINCT qid, vid FROM p${np}_ap)) GROUP BY 1),
+         |p${np}_per AS (
+         |  SELECT COALESCE(ne.qid, p${np}_na.qid) AS qid,
+         |    COALESCE(n_exact, 0) AS n_exact,
+         |    COALESCE(n_approx, 0) AS n_approx,
+         |    COALESCE(n_overlap, 0) AS n_overlap
+         |  FROM ne FULL OUTER JOIN p${np}_na ON ne.qid = p${np}_na.qid
+         |  LEFT JOIN p${np}_nov ON COALESCE(ne.qid, p${np}_na.qid) = p${np}_nov.qid),
+         |p${np}_lvl AS (
+         |  SELECT CAST($np AS BIGINT) AS nprobe,
+         |    CAST(count(*) AS BIGINT) AS n_queries,
+         |    CAST(SUM(CASE WHEN n_approx = 0 AND n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent_miss,
+         |    CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+         |    CAST(SUM(n_approx) AS BIGINT) AS n_approx,
+         |    CAST(SUM(n_overlap) AS BIGINT) AS n_overlap,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p${np}_cand) AS n_candidates
+         |  FROM p${np}_per)""".stripMargin
+    }.mkString(",\n")
+    val union = nps.map(np => s"SELECT * FROM p${np}_lvl").mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |           FROM embeddings),
+       |ex_scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+       |    list_cosine_similarity(q.emb, c.emb) AS raw
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT qid, vid FROM (
+       |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vid) AS rank
+       |  FROM ex_scored) WHERE rank <= $k),
+       |ne AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM (SELECT DISTINCT qid, vid FROM ex) GROUP BY 1),
+       |cents AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id >= 100 AND vec_id < 108),
+       |scored_cells AS (
+       |  SELECT v.vec_id, v.emb, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_cosine_similarity(v.emb, c.cemb) DESC, c.cid) AS rn
+       |  FROM v CROSS JOIN cents c),
+       |corpus AS (SELECT vec_id AS vid, emb AS c_emb, cid AS cell FROM scored_cells WHERE rn = 1),
+       |$levels,
+       |curve AS ($union),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM v)
+       |SELECT nprobe, n_queries, n_silent_miss, n_exact, n_approx, n_overlap,
+       |  CASE WHEN n_exact > 0 THEN
+       |    round(CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) END AS recall,
+       |  n_candidates,
+       |  CASE WHEN n_queries > 0 THEN
+       |    round(CAST(n_candidates AS DOUBLE) / CAST(n_queries AS DOUBLE), 6) END AS cand_per_query,
+       |  CASE WHEN n_queries > 0 AND n_corpus > 0 THEN
+       |    round(CAST(n_candidates AS DOUBLE) /
+       |      (CAST(n_queries AS DOUBLE) * CAST(n_corpus AS DOUBLE)), 6) END AS scan_fraction
+       |FROM curve CROSS JOIN nc ORDER BY nprobe""".stripMargin
+  }
 
   private def pvLit(d: Double): String =
     String.format(java.util.Locale.ROOT, "%.17g", Double.box(d))

@@ -115,6 +115,90 @@ object Similarity {
     searchCells(c, q, k)
   }
 
+  /** Recall/cost tuning curve for the IVF serving path (r17 — the
+    * readout that SIZES nprobe: q200 reports recall at ONE depth,
+    * but the operational question is the trade — "how much recall
+    * does each extra probe buy, and at what scan cost"): for each
+    * depth in `nprobes`, the IVF top-k at that depth scores against
+    * the exact brute-force truth — micro recall, silent misses, and
+    * the probe COST (candidates scored, candidates per query,
+    * fraction of the corpus scanned) in one frame, one row per
+    * depth. ONE corpus cell assignment and ONE cell join at
+    * max(nprobes) serve every level (a level FILTERS `cell_rank`,
+    * never re-joins the corpus) and the exact side is one
+    * brute-force pass — the whole curve costs one max-depth search
+    * plus k-bounded overlap joins. With nprobe ≥ nCells the routing
+    * is exhaustive and recall = 1 by construction (spec-pinned).
+    */
+  def ivfRecallCurve(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                     id: String, emb: String, centroidId: String, centroidEmb: String,
+                     k: Int = 5, nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                     maxLiteralCentroids: Int = 4096): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      "ivfRecallCurve: nprobes must be non-empty and positive")
+    import graft.api.Ops._
+    val nps = nprobes.distinct.sorted
+    val assignR = cellAssignerRanked(centroids, centroidId, centroidEmb,
+      maxLiteralCentroids)
+    val assign1 = cellAssigner(centroids, centroidId, centroidEmb,
+      maxLiteralCentroids)
+    val c = assign1(corpus, id, emb, 1, "vid", "c_emb")
+    val q = assignR(queries, id, emb, nps.max, "qid", "q_emb")
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("score", call_function("cosine_sim", col("q_emb"), col("c_emb")))
+    val exact = corpus.cosineTopK(queries, id, emb, id, emb, k)
+      .select(col("qid"), col("vid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
+    val levels = nps.map { np =>
+      val lvl = cand.filter(col("cell_rank") <= np)
+      val ap = lvl
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("vid"))
+      val report = graft.api.Ops.annRecallReport(exact, ap, "qid", "vid")
+      report.agg(
+          count(lit(1)).as("n_queries"),
+          sum(when(col("n_approx") === 0 && col("n_exact") > 0, lit(1L))
+            .otherwise(lit(0L))).as("n_silent_miss"),
+          sum(col("n_exact")).as("n_exact"),
+          sum(col("n_approx")).as("n_approx"),
+          sum(col("n_overlap")).as("n_overlap"))
+        .crossJoin(broadcast(lvl.agg(count(lit(1)).as("n_candidates"))))
+        .withColumn("nprobe", lit(np.toLong))
+    }
+    levels.reduce(_ unionByName _)
+      .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_corpus"))))
+      .withColumn("recall", when(col("n_exact") > 0,
+        round(col("n_overlap").cast("double") / col("n_exact").cast("double"), 6)))
+      .withColumn("cand_per_query", when(col("n_queries") > 0,
+        round(col("n_candidates").cast("double") / col("n_queries").cast("double"), 6)))
+      .withColumn("scan_fraction", when(col("n_queries") > 0 && col("n_corpus") > 0,
+        round(col("n_candidates").cast("double") /
+          (col("n_queries").cast("double") * col("n_corpus").cast("double")), 6)))
+      .select(col("nprobe"), col("n_queries"), col("n_silent_miss"),
+        col("n_exact"), col("n_approx"), col("n_overlap"), col("recall"),
+        col("n_candidates"), col("cand_per_query"), col("scan_fraction"))
+  }
+
+  /** q240: the nprobe tuning curve over the q36 index (r17 wave 3 —
+    * [[ivfRecallCurve]] at depths 1/2/4/8 over the 8 fixed cells:
+    * the last row probes every cell, so it must read recall = 1 with
+    * scan_fraction ≈ 1 — the exhaustive anchor — and the q36
+    * operating point (nprobe = 2) sits on the curve with its cost
+    * beside it).
+    */
+  def q240(t: Tables): DataFrame = {
+    val centroids = t.embeddings
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    ivfRecallCurve(t.embeddings, t.embeddings.filter(col("vec_id") < 10),
+      centroids, id = "vec_id", emb = "embedding",
+      centroidId = "centroid_id", centroidEmb = "cent_emb",
+      k = 5, nprobes = Seq(1, 2, 4, 8))
+      .orderBy(col("nprobe"))
+  }
+
   /** The IVF cell-assignment stage, factored so every cell-routed
     * operator ([[ivfTopK]], [[ivfPqTopK]]) shares ONE bit-identical
     * assignment: per-row (−cosine, cid) sort over the centroid set,
@@ -125,6 +209,23 @@ object Similarity {
     * nearest cell ids.
     */
   private[graft] def cellAssigner(
+      centroids: DataFrame, centroidId: String, centroidEmb: String,
+      maxLiteralCentroids: Int = 4096)
+      : (DataFrame, String, String, Int, String, String) => DataFrame = {
+    val ranked = cellAssignerRanked(centroids, centroidId, centroidEmb,
+      maxLiteralCentroids)
+    (df, id, emb, n, outId, outEmb) =>
+      ranked(df, id, emb, n, outId, outEmb).drop("cell_rank")
+  }
+
+  /** [[cellAssigner]] with the probe rank kept (r17 — what the
+    * recall/cost curve needs: `cell_rank = r` means "the r-th nearest
+    * cell", so one assignment at max(nprobe) serves EVERY level of
+    * [[ivfRecallCurve]] by filtering). The ONE implementation both
+    * share — the fold, ordering and tie-break are the engine-wide
+    * (−score, cid).
+    */
+  private[graft] def cellAssignerRanked(
       centroids: DataFrame, centroidId: String, centroidEmb: String,
       maxLiteralCentroids: Int = 4096)
       : (DataFrame, String, String, Int, String, String) => DataFrame = {
@@ -141,17 +242,20 @@ object Similarity {
       def rankedOver(cents: Column) = sort_array(transform(cents, ct => struct(
         (lit(-1.0) * call_function("cosine_sim", col(outEmb), ct.getField("ce"))).as("negscore"),
         ct.getField("cid").as("cid"))))
-      def cells(ranked: Column) =
-        explode(transform(slice(ranked, 1, n), s => s.getField("cid"))).as("cell")
+      def withCells(pre: DataFrame, ranked: Column): DataFrame = pre
+        .select(col("*"),
+          posexplode(transform(slice(ranked, 1, n), s => s.getField("cid")))
+            .as(Seq("__cpos", "cell")))
+        .withColumn("cell_rank", (col("__cpos") + 1).cast("long"))
+        .drop("__cpos")
       if (nCents <= maxLiteralCentroids) {
         val cents = cdf.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
         val centLit = array(cents.map { case (cid, ce) =>
           struct(lit(cid).as("cid"), array(ce.map(lit): _*).as("ce")) }: _*)
-        base.withColumn("cell", cells(rankedOver(centLit)))
+        withCells(base, rankedOver(centLit))
       } else {
         val centsArr = cdf.agg(collect_list(struct(col("cid"), col("ce"))).as("__cents"))
-        base.join(broadcast(centsArr))
-          .withColumn("cell", cells(rankedOver(col("__cents"))))
+        withCells(base.join(broadcast(centsArr)), rankedOver(col("__cents")))
           .drop("__cents")
       }
     }

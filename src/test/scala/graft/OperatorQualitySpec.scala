@@ -53,6 +53,37 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall $recall vs brute force too low")
   }
 
+  test("r17 ivfRecallCurve: recall non-decreasing in nprobe, exhaustive depth is the recall-1 anchor, the q36 point sits on the curve") {
+    import org.apache.spark.sql.functions.col
+    val curve = Similarity.q240(t).collect()
+    assert(curve.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    val recalls = curve.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must be non-decreasing in probe depth: $recalls")
+    val scans = curve.map(_.getAs[Double]("scan_fraction")).toSeq
+    assert(scans.zip(scans.tail).forall { case (a, b) => b > a },
+      s"scan cost must strictly grow with depth: $scans")
+    // depth 8 probes every cell: the routing is exhaustive, so the
+    // top-k IS the exact top-k — the anchor the curve must hit
+    val full = curve.last
+    assert(full.getAs[Double]("recall") == 1.0, s"exhaustive depth: $full")
+    assert(full.getAs[Long]("n_overlap") == full.getAs[Long]("n_exact"))
+    assert(full.getAs[Long]("n_silent_miss") == 0L)
+    // scan_fraction at depth 8 ≈ 1 (all cells = the corpus minus self)
+    assert(full.getAs[Double]("scan_fraction") > 0.99, s"exhaustive scan: $full")
+    // the q36 operating point (nprobe=2) must agree with the gated
+    // q200 report's aggregate — the curve and the report share truth
+    val q200 = graft.api.Ops.annRecallReport(
+      Similarity.q35(t), Similarity.q36(t), "qid", "vid")
+      .agg(org.apache.spark.sql.functions.sum(col("n_exact")).as("e"),
+        org.apache.spark.sql.functions.sum(col("n_overlap")).as("o"))
+      .collect().head
+    val p2 = curve(1)
+    assert(p2.getAs[Long]("n_exact") == q200.getAs[Long]("e") &&
+      p2.getAs[Long]("n_overlap") == q200.getAs[Long]("o"),
+      s"nprobe=2 curve row $p2 must match the q200 aggregate $q200")
+  }
+
   test("cosine_sim expression matches manual double computation") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.sql(

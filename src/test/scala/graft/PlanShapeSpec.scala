@@ -56,6 +56,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // plan runs the peel/frontier loop, so their shape is spec'd
       // behaviorally. q186 composes the q46 loop — same exclusion.
       "q131_kcore", "q132_bfs_reach", "q186_dedup_yield",
+      // q240 composes q35's brute-force broadcast per curve level
+      // plus the documented 1-row crosses — its dedicated pin below
+      // bounds the exact count.
+      "q240_nprobe_curve",
       // q136's census completion crosses the groups-sized totals with
       // the broadcast 9-row digit frame — the q48/q76 bounded-frame
       // shape; its dedicated pin below bounds it to exactly that one
@@ -199,7 +203,13 @@ class PlanShapeSpec extends AnyFunSuite {
     for ((name, want, what) <- Seq(
       ("q211_srm_fdr", 1, "q210's segments×arms completion cross"),
       ("q213_mde_proportions", 1, "the 1-row × 1-row proportion-census cross"),
-      ("q215_ann_recall_by_group", 2, "q35's twice-rendered brute-force broadcast"))) {
+      ("q215_ann_recall_by_group", 2, "q35's twice-rendered brute-force broadcast"),
+      // r17 q240: per level the q35 brute-force broadcast renders
+      // twice (ne + overlap branches, the q200 shape) and the 1-row
+      // level-aggregate × 1-row candidate-count cross adds one; the
+      // final 1-row n_corpus cross adds one more: 4·(2+1)+1 = 13.
+      // Every corpus-sized join (the cell join) stays KEYED.
+      ("q240_nprobe_curve", 13, "4 levels × (twice-rendered q35 broadcast + 1-row cand cross) + the 1-row corpus-count cross"))) {
       val plan = physicalPlan(name)
       val keyless = plan.linesIterator.count(l =>
         l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
