@@ -532,6 +532,11 @@ object ScaleProbe {
       // r17 wave 3: the nprobe curve — one max-depth cell join +
       // k-bounded overlap joins; corpus-linear like q36 itself
       "q240_curve"    -> (t => operators.Similarity.q240(t)),
+      // r17 wave 3: WordPiece — merges train on the distinct-word
+      // census (one corpus word count); encode is the corpus-side
+      // explode + vocab join (q107 shape)
+      "q241_wp_train" -> (t => operators.Wordpiece.q241(t)),
+      "q242_wp_enc"   -> (t => operators.Wordpiece.q242(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -260,6 +260,8 @@ object SparkEntry {
     "q238_gs_by_group"    -> q(Extended.q238),
     "q239_gs_absorbed"    -> q(Extended.q239),
     "q240_nprobe_curve"   -> q(graft.operators.Similarity.q240),
+    "q241_wordpiece_train" -> q(graft.operators.Wordpiece.q241),
+    "q242_wordpiece_encode" -> q(graft.operators.Wordpiece.q242),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -7013,6 +7015,11 @@ object SparkEntry {
     // q240: the nprobe recall/cost curve — the q200 chain per depth
     // over ONE shared scored_cells frame, aggregated and costed
     "q240_nprobe_curve" -> annCurveOracleSql(Seq(1, 2, 4, 8), 5),
+    // q241/q242: the WordPiece pair — likelihood-scored merge rounds
+    // unrolled (q101 pattern + symbol census + score argmax), greedy
+    // longest-match encode as a per-word recursive CTE
+    "q241_wordpiece_train" -> wpOracleSql(10),
+    "q242_wordpiece_encode" -> wpEncodeOracleSql(10),
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER
@@ -7552,6 +7559,106 @@ object SparkEntry {
        |  array_to_string(flatten(list(syms ORDER BY pos)), ' ') AS bpe_text,
        |  CAST(len(flatten(list(syms ORDER BY pos))) AS BIGINT) AS n_bpe_tokens
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The q241/q242 WordPiece train rounds: the q101 unroll plus a
+    * per-round SYMBOL census and the likelihood-score argmax —
+    * score = pf / (fl · fr), one double division of exact longs,
+    * ordered (score DESC, l, r); the rewrite concatenates with the
+    * `##`-strip rule (`Wordpiece.mergedSymbol`).
+    */
+  private def wpTrainCtes(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT u.p[1] AS l, u.p[2] AS r, t.f
+         |  FROM (SELECT string_split(trim(s, '|'), '||') AS ss, f FROM c${i - 1}) t,
+         |       UNNEST(list_zip(t.ss[1:len(t.ss)-1], t.ss[2:len(t.ss)])) AS u(p)),
+         |y$i AS (
+         |  SELECT sym, CAST(SUM(f) AS BIGINT) AS sf FROM (
+         |    SELECT unnest(string_split(trim(s, '|'), '||')) AS sym, f FROM c${i - 1})
+         |  GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT pp.l, pp.r, pp.pf,
+         |    CAST(pp.pf AS DOUBLE) / (CAST(yl.sf AS DOUBLE) * CAST(yr.sf AS DOUBLE)) AS score
+         |  FROM (SELECT l, r, CAST(SUM(f) AS BIGINT) AS pf FROM p$i
+         |        GROUP BY l, r HAVING SUM(f) >= 2) pp
+         |  JOIN y$i yl ON yl.sym = pp.l
+         |  JOIN y$i yr ON yr.sym = pp.r
+         |  ORDER BY score DESC, pp.l, pp.r LIMIT 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT CASE WHEN a.l IS NULL THEN c.s
+         |              ELSE replace(c.s, '|' || a.l || '||' || a.r || '|',
+         |                '|' || a.l || CASE WHEN a.r LIKE '##%' THEN substr(a.r, 3) ELSE a.r END || '|')
+         |         END AS s, c.f
+         |  FROM c${i - 1} c LEFT JOIN a$i a ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT u.w AS w FROM documents, UNNEST($duckTokens) AS u(w)),
+       |c0 AS MATERIALIZED (
+       |  SELECT '|' || substr(regexp_replace(w, '(.)', '|##\\1|', 'g'), 4) AS s, COUNT(*) AS f
+       |  FROM w0 WHERE length(w) <= 16 GROUP BY 1),
+       |$rounds""".stripMargin
+  }
+
+  private def wpOracleSql(numMerges: Int): String = {
+    val out = (1 to numMerges).map { i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right", pf AS pair_freq,
+         |  round(score, 12) AS score FROM a$i""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${wpTrainCtes(numMerges)}
+       |SELECT * FROM (
+       |$out) ORDER BY rank""".stripMargin
+  }
+
+  /** q242's oracle: greedy longest-match encode under the trained
+    * vocab (initial symbols of c0 + the merge products). The
+    * longest-match table maxes the match end per (word, position);
+    * the greedy walk is a per-word recursive CTE following it —
+    * single deterministic path, simpler than q236's Viterbi — then
+    * the `Bpe.applyBpe`-shaped reassembly.
+    */
+  private def wpEncodeOracleSql(numMerges: Int): String = {
+    val mergedOf = (1 to numMerges).map { i =>
+      s"SELECT l || CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END AS piece FROM a$i"
+    }.mkString("\n  UNION ")
+    s"""WITH RECURSIVE ${wpTrainCtes(numMerges)},
+       |vsyms AS (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT unnest(string_split(trim(s, '|'), '||')) AS piece FROM c0)
+       |  UNION $mergedOf),
+       |dw AS (SELECT DISTINCT w FROM w0 WHERE length(w) <= 16),
+       |lm AS (
+       |  SELECT w, j, MAX(i) AS i FROM (
+       |    SELECT dw.w, j.j, i.i
+       |    FROM dw, range(0, 16) j(j), range(1, 17) i(i)
+       |    WHERE j.j < length(dw.w) AND i.i > j.j AND i.i <= length(dw.w)
+       |      AND (CASE WHEN j.j = 0 THEN substr(dw.w, 1, CAST(i.i AS INT))
+       |           ELSE '##' || substr(dw.w, CAST(j.j + 1 AS INT), CAST(i.i - j.j AS INT)) END)
+       |        IN (SELECT piece FROM vsyms))
+       |  GROUP BY w, j),
+       |gw AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS ps, TRUE AS ok FROM dw
+       |  UNION ALL
+       |  SELECT g.w,
+       |    CASE WHEN l.i IS NULL THEN CAST(length(g.w) AS BIGINT) ELSE l.i END AS pos,
+       |    CASE WHEN l.i IS NULL THEN g.ps
+       |      ELSE list_append(g.ps, CASE WHEN g.pos = 0 THEN substr(g.w, 1, CAST(l.i AS INT))
+       |        ELSE '##' || substr(g.w, CAST(g.pos + 1 AS INT), CAST(l.i - g.pos AS INT)) END) END AS ps,
+       |    (g.ok AND l.i IS NOT NULL) AS ok
+       |  FROM gw g LEFT JOIN lm l ON l.w = g.w AND l.j = g.pos
+       |  WHERE g.pos < length(g.w)),
+       |seg AS (
+       |  SELECT w, CASE WHEN ok THEN ps ELSE ['[unk]'] END AS ps
+       |  FROM gw WHERE pos = length(w)),
+       |dwp AS (
+       |  SELECT d.doc_id, u.p[1] AS w, CAST(u.p[2] AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, $duckTokens AS t FROM documents) d,
+       |       UNNEST(list_zip(d.t, range(1, len(d.t)+1))) AS u(p)),
+       |enc AS (SELECT doc_id, pos, ps FROM dwp JOIN seg USING (w))
+       |SELECT doc_id,
+       |  array_to_string(flatten(list(ps ORDER BY pos)), ' ') AS wp_text,
+       |  CAST(len(flatten(list(ps ORDER BY pos))) AS BIGINT) AS n_wp_tokens
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   // ---- unigram-LM oracle generators (q235/q236): the word census,
   // substring seed, and per-round Viterbi-EM replay. The Viterbi DP

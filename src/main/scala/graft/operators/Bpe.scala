@@ -58,8 +58,10 @@ object Bpe {
   private def wrapChars(w: Column): Column =
     regexp_replace(w, "(.)", "|$1|")
 
-  /** Wrapped symbol string back to the symbol array. */
-  private def symsOf(s: Column): Column =
+  /** Wrapped symbol string back to the symbol array (shared with
+    * [[Wordpiece]] — the delimited-string discipline is the same).
+    */
+  private[operators] def symsOf(s: Column): Column =
     split(trim(s, "|"), "\\|\\|")
 
   /** One merge application on the wrapped string: left-to-right
@@ -74,7 +76,7 @@ object Bpe {
     * (__l, __r, __pf) with __pf = sum of word frequencies over every
     * adjacency (overlaps counted).
     */
-  private def pairCensus(census: DataFrame): DataFrame =
+  private[operators] def pairCensus(census: DataFrame): DataFrame =
     census
       .select(col("__f"), symsOf(col("__s")).as("__syms"))
       .select(col("__f"), explode(zip_with(

@@ -60,6 +60,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // plus the documented 1-row crosses — its dedicated pin below
       // bounds the exact count.
       "q240_nprobe_curve",
+      // q241/q242 are checkpoint-iterative like q101/q107 (one merge
+      // round per checkpoint): building the plan runs the train loop.
+      "q241_wordpiece_train", "q242_wordpiece_encode",
       // q136's census completion crosses the groups-sized totals with
       // the broadcast 9-row digit frame — the q48/q76 bounded-frame
       // shape; its dedicated pin below bounds it to exactly that one
