@@ -537,6 +537,9 @@ object ScaleProbe {
       // explode + vocab join (q107 shape)
       "q241_wp_train" -> (t => operators.Wordpiece.q241(t)),
       "q242_wp_enc"   -> (t => operators.Wordpiece.q242(t)),
+      // r17 wave 3: DSIR — gram explode + bucket censuses; the two
+      // 1024-row log-prob tables broadcast, top-k is TakeOrdered
+      "q243_dsir"     -> (t => operators.Extended.q243(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

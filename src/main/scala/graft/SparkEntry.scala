@@ -262,6 +262,7 @@ object SparkEntry {
     "q240_nprobe_curve"   -> q(graft.operators.Similarity.q240),
     "q241_wordpiece_train" -> q(graft.operators.Wordpiece.q241),
     "q242_wordpiece_encode" -> q(graft.operators.Wordpiece.q242),
+    "q243_dsir_select"    -> q(Extended.q243),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -7020,6 +7021,9 @@ object SparkEntry {
     // longest-match encode as a per-word recursive CTE
     "q241_wordpiece_train" -> wpOracleSql(10),
     "q242_wordpiece_encode" -> wpEncodeOracleSql(10),
+    // q243: DSIR — hashed-ngram bucket censuses, smoothed log-prob
+    // ratio weights, seeded-Gumbel top-k (full replay)
+    "q243_dsir_select" -> dsirOracleSql(200, 1024, 7L),
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER
@@ -7658,6 +7662,66 @@ object SparkEntry {
        |  array_to_string(flatten(list(ps ORDER BY pos)), ' ') AS wp_text,
        |  CAST(len(flatten(list(ps ORDER BY pos))) AS BIGINT) AS n_wp_tokens
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q243's oracle: the DSIR replay — hashed unigram+bigram bucket
+    * censuses (seeded md5, the q171 family), add-one-smoothed
+    * round-12 log-probs over the full bucket domain, per-doc
+    * importance terms summed as exact DECIMAL(38,12), seeded Gumbel,
+    * top-k on the UNROUNDED score, output re-ordered on the rounded
+    * one (matching the engine's final sort).
+    */
+  private def dsirOracleSql(k: Int, buckets: Int, seed: Long): String = {
+    def grams(src: String, perDoc: Boolean) = {
+      val sel = if (perDoc) "doc_id, " else ""
+      s"""SELECT ${sel}u.g AS g FROM $src, UNNEST(t) AS u(g)
+         |  UNION ALL
+         |  SELECT ${sel}u.p[1] || ' ' || u.p[2] AS g
+         |  FROM $src, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)""".stripMargin
+    }
+    def lnp(census: String, out: String) =
+      s"""SELECT r.b,
+         |    round(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+         |      CAST(COALESCE((SELECT CAST(SUM(c) AS BIGINT) FROM $census), 0) + $buckets AS DOUBLE)), 12) AS $out
+         |  FROM range(0, $buckets) r(b) LEFT JOIN $census c ON c.b = r.b""".stripMargin
+    s"""WITH dt AS (SELECT doc_id, source, $duckTokens AS t FROM documents),
+       |tg AS (SELECT g FROM (${grams("(SELECT t FROM dt WHERE source = 'src0') s", perDoc = false)})),
+       |rg AS (SELECT doc_id, g FROM (${grams("dt", perDoc = true)})),
+       |tgc AS (
+       |  SELECT CAST(('0x' || substr(md5('dsir:$seed:' || g), 1, 7)) AS BIGINT) % $buckets AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tg GROUP BY 1),
+       |rgc AS (
+       |  SELECT CAST(('0x' || substr(md5('dsir:$seed:' || g), 1, 7)) AS BIGINT) % $buckets AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT g FROM rg) GROUP BY 1),
+       |lnpt AS (${lnp("tgc", "lnpt")}),
+       |lnpr AS (${lnp("rgc", "lnpr")}),
+       |dbc AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5('dsir:$seed:' || g), 1, 7)) AS BIGINT) % $buckets AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM rg GROUP BY 1, 2),
+       |docw AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       |    SUM(CAST(round(CAST(c AS DOUBLE) * (lnpt.lnpt - lnpr.lnpr), 12) AS DECIMAL(38,12))) AS lnw
+       |  FROM dbc JOIN lnpt ON lnpt.b = dbc.b JOIN lnpr ON lnpr.b = dbc.b
+       |  GROUP BY doc_id),
+       |alld AS (
+       |  SELECT d.doc_id, COALESCE(w.n_grams, 0) AS n_grams,
+       |    COALESCE(w.lnw, CAST(0 AS DECIMAL(38,12))) AS lnw
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN docw w ON w.doc_id = d.doc_id),
+       |scored AS (
+       |  SELECT doc_id, n_grams, lnw,
+       |    -round(ln(-round(ln((CAST(CAST(('0x' || substr(md5('dsirg:$seed:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS DOUBLE) + 0.5) / 268435456.0), 12)), 12) AS g
+       |  FROM alld),
+       |top AS (
+       |  SELECT doc_id, n_grams, lnw, g, CAST(lnw AS DOUBLE) + g AS s
+       |  FROM scored ORDER BY s DESC, doc_id LIMIT $k)
+       |SELECT doc_id, n_grams, round(CAST(lnw AS DOUBLE), 6) AS lnw,
+       |  round(g, 6) AS gumbel, round(s, 6) AS score
+       |FROM top ORDER BY score DESC, doc_id""".stripMargin
   }
 
   // ---- unigram-LM oracle generators (q235/q236): the word census,

@@ -10977,6 +10977,104 @@ object Ops {
     def ngramCoverageAgainst(index: PreparedGramIndex, id: String, text: String): DataFrame =
       coverageAgainstIndex(left, id, text, index)
 
+    /** Data selection via importance resampling (Xie et al., NeurIPS
+      * 2023 — the DSIR recipe, the published way to pick "target-like"
+      * training data from a big raw crawl at scale): featurize every
+      * document as HASHED n-gram bucket counts (unigrams + bigrams
+      * into `buckets` buckets — the fixed-dimension trick that makes
+      * the distributions corpus-size-free), fit add-one-smoothed
+      * bucket distributions over the `target` corpus and over `left`
+      * (the raw corpus), weight every raw document by its importance
+      * log-ratio `ln w(x) = Σ_b cnt_b(x)·(ln p_target(b) − ln
+      * p_raw(b))`, and take the top `k` under GUMBEL-perturbed
+      * weights — the standard reservoir-free way to sample k items
+      * ∝ w without replacement, made deterministic here by driving
+      * the Gumbel noise from the engine's seeded md5 family (the
+      * q171/q233 discipline), so the selected set replays
+      * bit-for-bit on any engine, any partitioning, any day.
+      *
+      * §3 portability: bucket counts are exact longs; each ln is one
+      * round-12 double; per-document terms `cnt·(lnpT − lnpR)` are
+      * single IEEE ops rounded to 12 and summed as exact
+      * DECIMAL(38,12) (associative — the seriesLnSum discipline);
+      * the Gumbel is `−ln(−ln u)` on `u = (h28 + 0.5)/2²⁸` with the
+      * same round-12 treatment; ordering uses the UNROUNDED score
+      * (identical IEEE doubles in any engine), output rounds to 6.
+      *
+      * Scale shape: one gram explode + census per corpus
+      * (map-combinable), the two `buckets`-row log-prob tables
+      * broadcast onto the per-doc bucket counts (never a corpus
+      * shuffle), and the top-k is TakeOrdered (k-bounded, no global
+      * window). A document with no grams keeps ln w = 0 and competes
+      * on its Gumbel alone (observable, never dropped). Returns the
+      * k selected rows: (id, n_grams, lnw, gumbel, score) ordered by
+      * (score desc, id).
+      */
+    def dsirSelect(target: DataFrame, id: String, text: String,
+                   k: Int, buckets: Int = 1024, seed: Long = 7L): DataFrame = {
+      require(k >= 1, s"dsirSelect: k ($k) must be positive")
+      require(buckets >= 2 && buckets <= (1 << 20),
+        s"dsirSelect: buckets ($buckets) must be in 2..2^20")
+      import org.apache.spark.sql.types.DecimalType
+      val spark = left.sparkSession
+      def h28(tag: String, c: Column): Column =
+        conv(substring(md5(concat(lit(s"$tag:$seed:"), c).cast("binary")),
+          1, 7), 16, 10).cast("long")
+      // (docId?, bucket, cnt): hashed unigram + bigram bucket counts
+      def gramBuckets(df: DataFrame, perDoc: Boolean): DataFrame = {
+        val toks = df.select(
+          (if (perDoc) Seq(col(id).as("__did")) else Seq.empty) :+
+            graft.functions.TextFunctions.tokens(col(text)).as("__t"): _*)
+        val uni = toks.select(
+          (if (perDoc) Seq(col("__did")) else Seq.empty) :+
+            explode(col("__t")).as("__g"): _*)
+        val bi = toks.select(
+          (if (perDoc) Seq(col("__did")) else Seq.empty) :+
+            explode(zip_with(
+              slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+              slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+              (a, b) => concat(a, lit(" "), b))).as("__g"): _*)
+        val keys = (if (perDoc) Seq(col("__did")) else Seq.empty) :+
+          pmod(h28("dsir", col("__g")), lit(buckets.toLong)).as("__b")
+        uni.unionByName(bi).groupBy(keys: _*).agg(count(lit(1)).as("__c"))
+      }
+      // add-one-smoothed round-12 log-probs over the FULL bucket
+      // domain (a `buckets`-row frame — broadcast-sized by contract)
+      def lnpOf(census: DataFrame, out: String): DataFrame = {
+        val tot = census.agg(sum(col("__c")).as("__tot"))
+        spark.range(buckets).select(col("id").as("__b"))
+          .join(census, Seq("__b"), "left")
+          .select(col("__b"), coalesce(col("__c"), lit(0L)).as("__c"))
+          .crossJoin(broadcast(tot))
+          .select(col("__b"), round(log(
+            (col("__c") + 1).cast("double") /
+              (coalesce(col("__tot"), lit(0L)) + buckets).cast("double")), 12).as(out))
+      }
+      val lnpT = lnpOf(gramBuckets(target, perDoc = false), "__lnpt")
+      val lnpR = lnpOf(gramBuckets(left, perDoc = false), "__lnpr")
+      val docW = gramBuckets(left, perDoc = true)
+        .join(broadcast(lnpT), Seq("__b"))
+        .join(broadcast(lnpR), Seq("__b"))
+        .groupBy(col("__did"))
+        .agg(sum(col("__c")).as("n_grams"),
+          sum(round(col("__c").cast("double") * (col("__lnpt") - col("__lnpr")), 12)
+            .cast(DecimalType(38, 12))).as("__lnw"))
+      val u = (h28("dsirg", col(id).cast("string")).cast("double") + 0.5) /
+        lit((1L << 28).toDouble)
+      left.select(col(id)).distinct()
+        .join(docW.withColumnRenamed("__did", id), Seq(id), "left")
+        .select(col(id), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("__lnw"), lit(0).cast(DecimalType(38, 12))).as("__lnw"))
+        .withColumn("__g", -round(log(-round(log(u), 12)), 12))
+        .withColumn("__score", col("__lnw").cast("double") + col("__g"))
+        .orderBy(col("__score").desc, col(id))
+        .limit(k)
+        .select(col(id), col("n_grams"),
+          round(col("__lnw").cast("double"), 6).as("lnw"),
+          round(col("__g"), 6).as("gumbel"),
+          round(col("__score"), 6).as("score"))
+    }
+
     /** Deterministic mixture sampling — reshape a corpus so category
       * shares match the target integer `parts` (the "data mixture"
       * step of a training pipeline: balance languages, cap a crawl

@@ -2054,4 +2054,19 @@ object Extended {
       .decide()
       .orderBy(col("grp"), col("look"))
   }
+
+  /** q243: DSIR importance resampling over the documents corpus
+    * ([[graft.api.Ops.GraftDataFrameOps.dsirSelect]], r17 wave 3 —
+    * the published data-selection recipe: pick the 200 raw documents
+    * whose hashed-ngram profile most resembles the `src0` target
+    * slice, under seeded-Gumbel importance sampling). The final
+    * order re-sorts on the ROUNDED score so the oracle's ORDER BY
+    * ties identically.
+    */
+  def q243(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.documents.dsirSelect(t.documents.filter(col("source") === "src0"),
+        id = "doc_id", text = "text", k = 200, buckets = 1024, seed = 7L)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
 }

@@ -53,6 +53,53 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall $recall vs brute force too low")
   }
 
+  test("r17 dsirSelect: target-like documents outrank off-target ones; deterministic under repartitioning; empty docs compete on Gumbel alone") {
+    import spark.implicits._
+    import graft.api.Ops._
+    import org.apache.spark.sql.functions.col
+    // two disjoint vocabularies: docs 0..39 speak the target language,
+    // docs 40..79 something else entirely; the target corpus samples
+    // the first vocabulary
+    def sent(seed: Int, vocab: Seq[String]): String =
+      (0 until 12).map(i => vocab((seed * 7 + i * 3) % vocab.size)).mkString(" ")
+    val tVocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val oVocab = Seq("zork", "quux", "fnord", "blorp", "wibble")
+    val raw = ((0L until 40L).map(i => (i, sent(i.toInt, tVocab))) ++
+      (40L until 80L).map(i => (i, sent(i.toInt, oVocab))) ++
+      Seq((80L, ""))).toDF("doc_id", "text")
+    val target = (100 until 110).map(i => (i.toLong, sent(i, tVocab)))
+      .toDF("doc_id", "text")
+    val sel = raw.dsirSelect(target, "doc_id", "text", k = 30)
+    val ids = sel.collect().map(_.getLong(0)).toSeq
+    val onTarget = ids.count(_ < 40L)
+    assert(onTarget >= 28, s"selection must strongly favor the target vocabulary: " +
+      s"$onTarget/30 on-target ($ids)")
+    // the importance weights separate cleanly even before the Gumbel
+    // (the ranking is RELATIVE — add-one smoothing over the bucket
+    // domain shifts all weights when the target corpus is small)
+    val allW = raw.dsirSelect(target, "doc_id", "text", k = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    val onW = allW.filter(_._1 < 40L).map(_._2)
+    val offW = allW.filter(w => w._1 >= 40L && w._1 < 80L).map(_._2)
+    assert(onW.min > offW.max + 10.0,
+      s"weights must separate the vocabularies: on ≥ ${onW.min}, off ≤ ${offW.max}")
+    // determinism: a different partitioning selects the same rows in
+    // the same order
+    val again = raw.repartition(13).dsirSelect(target, "doc_id", "text", k = 30)
+      .collect().map(_.toSeq.toSeq).toSeq
+    assert(again == sel.collect().map(_.toSeq.toSeq).toSeq,
+      "dsirSelect must be partitioning-invariant")
+    // the empty doc exists in the candidate set with lnw = 0 when k
+    // spans everything
+    val all = raw.dsirSelect(target, "doc_id", "text", k = 100).collect()
+    val empty = all.find(_.getLong(0) == 80L).get
+    assert(empty.getAs[Long]("n_grams") == 0L && empty.getAs[Double]("lnw") == 0.0,
+      s"the gram-free doc must compete on its Gumbel alone: $empty")
+    intercept[IllegalArgumentException] {
+      raw.dsirSelect(target, "doc_id", "text", k = 0)
+    }
+  }
+
   test("r17 ivfRecallCurve: recall non-decreasing in nprobe, exhaustive depth is the recall-1 anchor, the q36 point sits on the curve") {
     import org.apache.spark.sql.functions.col
     val curve = Similarity.q240(t).collect()

@@ -63,6 +63,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // q241/q242 are checkpoint-iterative like q101/q107 (one merge
       // round per checkpoint): building the plan runs the train loop.
       "q241_wordpiece_train", "q242_wordpiece_encode",
+      // q243's two 1-row smoothing-total crosses — dedicated pin below.
+      "q243_dsir_select",
       // q136's census completion crosses the groups-sized totals with
       // the broadcast 9-row digit frame — the q48/q76 bounded-frame
       // shape; its dedicated pin below bounds it to exactly that one
@@ -212,7 +214,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // level-aggregate × 1-row candidate-count cross adds one; the
       // final 1-row n_corpus cross adds one more: 4·(2+1)+1 = 13.
       // Every corpus-sized join (the cell join) stays KEYED.
-      ("q240_nprobe_curve", 13, "4 levels × (twice-rendered q35 broadcast + 1-row cand cross) + the 1-row corpus-count cross"))) {
+      ("q240_nprobe_curve", 13, "4 levels × (twice-rendered q35 broadcast + 1-row cand cross) + the 1-row corpus-count cross"),
+      // r17 q243: the two 1-row gram-total crosses onto the
+      // 1024-row bucket domains (target + raw smoothing totals);
+      // the per-doc joins and the domain completions are all KEYED
+      ("q243_dsir_select", 2, "the two 1-row smoothing-total crosses onto the bucket domains"))) {
       val plan = physicalPlan(name)
       val keyless = plan.linesIterator.count(l =>
         l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
