@@ -540,6 +540,9 @@ object ScaleProbe {
       // r17 wave 3: DSIR — gram explode + bucket censuses; the two
       // 1024-row log-prob tables broadcast, top-k is TakeOrdered
       "q243_dsir"     -> (t => operators.Extended.q243(t)),
+      // r17 wave 3: KN-LM — one bigram explode + vocab-sized
+      // censuses + gram-keyed joins back (the q73 shape)
+      "q244_kn"       -> (t => operators.Extended.q244(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -263,6 +263,7 @@ object SparkEntry {
     "q241_wordpiece_train" -> q(graft.operators.Wordpiece.q241),
     "q242_wordpiece_encode" -> q(graft.operators.Wordpiece.q242),
     "q243_dsir_select"    -> q(Extended.q243),
+    "q244_kn_lm"          -> q(Extended.q244),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -7024,6 +7025,40 @@ object SparkEntry {
     // q243: DSIR — hashed-ngram bucket censuses, smoothed log-prob
     // ratio weights, seeded-Gumbel top-k (full replay)
     "q243_dsir_select" -> dsirOracleSql(200, 1024, 7L),
+    // q244: interpolated Kneser–Ney — exact count censuses, the
+    // count-of-counts discount, continuation probabilities, round-12
+    // ln terms summed as DECIMAL(38,12)
+    "q244_kn_lm" ->
+      s"""WITH dt AS (SELECT doc_id, $duckTokens AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+         |  FROM dt, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)
+         |  WHERE len(t) >= 2),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1p FROM c2 GROUP BY 1),
+         |ncc AS (SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM c2 GROUP BY 1),
+         |sc AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM c2),
+         |dd AS (SELECT nt, CASE WHEN n1 + 2 * n2 > 0
+         |    THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)
+         |    ELSE CAST(0.5 AS DOUBLE) END AS d FROM sc),
+         |pl AS (
+         |  SELECT c2.w1, c2.w2,
+         |    round(ln(
+         |      greatest(CAST(c2.c2 AS DOUBLE) - d, CAST(0.0 AS DOUBLE)) / CAST(c1.c1 AS DOUBLE)
+         |      + d * CAST(c1.n1p AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+         |        * (CAST(ncc.nc AS DOUBLE) / CAST(dd.nt AS DOUBLE))), 12) AS lnp
+         |  FROM c2 JOIN c1 USING (w1) JOIN ncc USING (w2) CROSS JOIN dd),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    SUM(CAST(lnp AS DECIMAL(38,12))) AS s
+         |  FROM bg JOIN pl USING (w1, w2) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  round(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4) AS avg_logp,
+         |  round(exp(-round(CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4)), 2) AS ppl
+         |FROM per ORDER BY doc_id""".stripMargin,
   )
 
   /** The q35 brute-force + q36 IVF CTEs and the per-query FULL OUTER

@@ -11207,6 +11207,79 @@ object Ops {
         .withColumn("ppl", round(exp(-col("avg_logp")), 2))
     }
 
+    /** Interpolated Kneser–Ney bigram perplexity scoring (Kneser &
+      * Ney, ICASSP 1995; the Chen & Goodman 1999 interpolated form —
+      * r17: the PRODUCTION quality-filter LM beside [[lmScore]]'s
+      * add-k baseline; CCNet-style filtering actually ships KN-
+      * smoothed models because add-k systematically over-penalizes
+      * unseen continuations of frequent prefixes):
+      * `P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·) + λ(w₁)·P_cont(w₂)`
+      * with `λ(w₁) = D·N₁₊(w₁·)/c(w₁·)` and the CONTINUATION
+      * probability `P_cont(w₂) = N₁₊(·w₂)/N₁₊(··)` — "how many
+      * distinct contexts does w₂ complete", the fix for the
+      * "san FRANCISCO" pathology. The discount estimates from the
+      * count-of-counts, `D = n₁/(n₁ + 2n₂)` (the standard estimate).
+      *
+      * §3: every count is an exact long census of the corpus; D is
+      * ONE double division; each bigram's probability is a fixed
+      * IEEE op chain, its ln rounded to 12 and the per-doc sum
+      * exact DECIMAL(38,12) (the seriesLnSum discipline — stronger
+      * than q73's round-4 average, and what makes the oracle replay
+      * hash-exact). P > 0 always: λ > 0 (D > 0, N₁₊(w₁·) ≥ 1) and
+      * P_cont > 0 for any seen w₂.
+      *
+      * Scale shape: one bigram explode (lineage-broken, census and
+      * scoring both read it), map-combinable censuses, the 1-row
+      * discount/total frames cross onto the VOCAB-sized type table
+      * (the q48 shape — never the corpus), gram-keyed hash joins
+      * back. Returns (id, n_bigrams, avg_logp round 4, ppl round 2)
+      * — [[lmScore]]'s shape, directly comparable.
+      */
+    def knLmScore(id: String, text: String,
+                  checkpointDir: Option[String] = None): DataFrame = {
+      val toks = tokens(col(text))
+      val pairs = zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val bg = lineageBreaker(checkpointDir)(
+        floorPartitions(left.select(col(id), col(text)))
+          .withColumn("__toks", toks)
+          .filter(size(col("__toks")) >= 2)
+          .select(col(id), explode(pairs).as("__bg"))
+          .select(col(id), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2")))
+      val c2 = bg.groupBy(col("__w1"), col("__w2"))
+        .agg(count(lit(1)).as("__c2"))
+      val c1 = c2.groupBy(col("__w1"))
+        .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__n1p"))
+      val nc = c2.groupBy(col("__w2")).agg(count(lit(1)).as("__nc"))
+      val sc = c2.agg(count(lit(1)).as("__nt"),
+        sum(when(col("__c2") === 1, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__c2") === 2, 1L).otherwise(0L)).as("__n2"))
+      val dd = sc.select(col("__nt"),
+        when(col("__n1") + lit(2L) * col("__n2") > 0,
+          col("__n1").cast("double") /
+            (col("__n1") + lit(2L) * col("__n2")).cast("double"))
+          .otherwise(lit(0.5)).as("__d"))
+      import org.apache.spark.sql.types.DecimalType
+      val lnp = round(log(
+        greatest(col("__c2").cast("double") - col("__d"), lit(0.0)) /
+          col("__c1").cast("double") +
+          (col("__d") * col("__n1p").cast("double") / col("__c1").cast("double")) *
+            (col("__nc").cast("double") / col("__nt").cast("double"))), 12)
+      val pl = c2.join(c1, Seq("__w1")).join(nc, Seq("__w2"))
+        .crossJoin(broadcast(dd)) // 1 row × vocab rows, not corpus
+        .select(col("__w1"), col("__w2"), lnp.as("__lnp"))
+      bg.join(pl, Seq("__w1", "__w2"))
+        .groupBy(col(id))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("__lnp").cast(DecimalType(38, 12))).as("__s"))
+        .withColumn("avg_logp", round(
+          col("__s").cast("double") / col("n_bigrams").cast("double"), 4))
+        .withColumn("ppl", round(exp(-col("avg_logp")), 2))
+        .select(col(id), col("n_bigrams"), col("avg_logp"), col("ppl"))
+    }
+
     /** Score this frame against a once-trained [[PreparedLm]] — the
       * rolling-ingest shape of [[lmScore]]: the census never re-runs,
       * each batch pays only its own bigram explode plus vocab-sized

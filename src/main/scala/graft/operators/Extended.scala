@@ -2069,4 +2069,15 @@ object Extended {
         id = "doc_id", text = "text", k = 200, buckets = 1024, seed = 7L)
       .orderBy(col("score").desc, col("doc_id"))
   }
+
+  /** q244: interpolated Kneser–Ney bigram perplexity over the
+    * documents corpus ([[graft.api.Ops.GraftDataFrameOps.knLmScore]],
+    * r17 wave 3 — the production quality-filter LM beside q73's
+    * add-k baseline, count-of-counts discount, continuation
+    * probabilities).
+    */
+  def q244(t: Tables): DataFrame = {
+    import graft.api.Ops._
+    t.documents.knLmScore("doc_id", "text").orderBy(col("doc_id"))
+  }
 }

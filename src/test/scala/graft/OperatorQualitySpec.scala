@@ -53,6 +53,35 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall $recall vs brute force too low")
   }
 
+  test("r17 knLmScore: continuation probability beats raw frequency — a many-context word scores higher in a new context than an equally-frequent one-context word") {
+    import spark.implicits._
+    import graft.api.Ops._
+    import org.apache.spark.sql.functions.col
+    // 'multi' and 'locked' are equally frequent (4 each), but multi
+    // completes 4 distinct contexts while locked only ever follows
+    // 'san' — the Kneser–Ney pathology case: in the NEW context both
+    // bigrams are singletons, so only the continuation term differs
+    val docs = Seq(
+      (1L, "aa multi"), (2L, "bb multi"), (3L, "cc multi"), (4L, "dd multi"),
+      (5L, "san locked"), (6L, "san locked"), (7L, "san locked"), (8L, "san locked"),
+      (9L, "new multi"), (10L, "new locked")).toDF("doc_id", "text")
+    val got = docs.knLmScore("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(9L) < got(10L),
+      s"'new multi' must carry LOWER perplexity than 'new locked' " +
+        s"(continuation counts 5 vs 2): ${got(9L)} vs ${got(10L)}; " +
+        "an add-k model scores them identically")
+    // q73's add-k model cannot distinguish them — the family contrast
+    val addk = docs.lmScore("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(addk(9L) == addk(10L),
+      s"add-k must tie the two by construction: ${addk(9L)} vs ${addk(10L)}")
+    // <2-token docs drop, matching lmScore's contract
+    val tiny = Seq((1L, "word"), (2L, "two words")).toDF("doc_id", "text")
+      .knLmScore("doc_id", "text").collect()
+    assert(tiny.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("r17 dsirSelect: target-like documents outrank off-target ones; deterministic under repartitioning; empty docs compete on Gumbel alone") {
     import spark.implicits._
     import graft.api.Ops._

@@ -65,6 +65,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q241_wordpiece_train", "q242_wordpiece_encode",
       // q243's two 1-row smoothing-total crosses — dedicated pin below.
       "q243_dsir_select",
+      // q244's 1-row discount/total cross onto the vocab-sized type
+      // table (the q73 shape) — dedicated pin below.
+      "q244_kn_lm",
       // q136's census completion crosses the groups-sized totals with
       // the broadcast 9-row digit frame — the q48/q76 bounded-frame
       // shape; its dedicated pin below bounds it to exactly that one
@@ -218,7 +221,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // r17 q243: the two 1-row gram-total crosses onto the
       // 1024-row bucket domains (target + raw smoothing totals);
       // the per-doc joins and the domain completions are all KEYED
-      ("q243_dsir_select", 2, "the two 1-row smoothing-total crosses onto the bucket domains"))) {
+      ("q243_dsir_select", 2, "the two 1-row smoothing-total crosses onto the bucket domains"),
+      // r17 q244: the q73 shape — one 1-row discount/total frame
+      // crossed onto the vocab-sized type table; gram joins KEYED
+      ("q244_kn_lm", 1, "the 1-row discount/total cross onto the vocab-sized type table"))) {
       val plan = physicalPlan(name)
       val keyless = plan.linesIterator.count(l =>
         l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
