@@ -543,6 +543,9 @@ object ScaleProbe {
       // r17 wave 3: KN-LM — one bigram explode + vocab-sized
       // censuses + gram-keyed joins back (the q73 shape)
       "q244_kn"       -> (t => operators.Extended.q244(t)),
+      // r17 wave 3: always-valid CI — two 1-row moment censuses (the
+      // q196 shape), keyed form one (grp, arm) census + keyed merge
+      "q246_avci_grp" -> (t => operators.Extended.q246(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

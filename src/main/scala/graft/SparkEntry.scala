@@ -264,6 +264,8 @@ object SparkEntry {
     "q242_wordpiece_encode" -> q(graft.operators.Wordpiece.q242),
     "q243_dsir_select"    -> q(Extended.q243),
     "q244_kn_lm"          -> q(Extended.q244),
+    "q245_avci"           -> q(Extended.q245),
+    "q246_avci_by_group"  -> q(Extended.q246),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -7025,6 +7027,10 @@ object SparkEntry {
     // q243: DSIR — hashed-ngram bucket censuses, smoothed log-prob
     // ratio weights, seeded-Gumbel top-k (full replay)
     "q243_dsir_select" -> dsirOracleSql(200, 1024, 7L),
+    // q245/q246: the always-valid CI — the q196/q208 moments with
+    // the mixture-inversion radius tail (one parametrized generator)
+    "q245_avci" -> avciOracleSql(grouped = false),
+    "q246_avci_by_group" -> avciOracleSql(grouped = true),
     // q244: interpolated Kneser–Ney — exact count censuses, the
     // count-of-counts discount, continuation probabilities, round-12
     // ln terms summed as DECIMAL(38,12)
@@ -7757,6 +7763,71 @@ object SparkEntry {
        |SELECT doc_id, n_grams, round(CAST(lnw AS DOUBLE), 6) AS lnw,
        |  round(g, 6) AS gumbel, round(s, 6) AS score
        |FROM top ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  /** The q245/q246 always-valid-CI oracle: the q196/q208 moment and
+    * V/Δ CTEs verbatim, with the mixture-inversion radius tail —
+    * `√(V(V+τ²)/τ² · (round-12 ln((V+τ²)/V) − 2·lnα))` under the
+    * shared 17-digit lnα literal.
+    */
+  private def avciOracleSql(grouped: Boolean): String = {
+    val lnA = String.format(java.util.Locale.ROOT, "CAST(%.17e AS DOUBLE)",
+      Double.box(-2.995732273553991))
+    val t2 = "CAST(1000000 AS DOUBLE)"
+    val gSel = if (grouped) "grp, " else ""
+    val gCol = if (grouped) "o_orderpriority AS grp, " else ""
+    val gFil = if (grouped) "\n    AND o_orderpriority IS NOT NULL" else ""
+    val gBy = if (grouped) " GROUP BY 1" else ""
+    val join =
+      if (grouped)
+        """j AS (
+          |  SELECT COALESCE(a.grp, b.grp) AS grp,
+          |    COALESCE(n_a, 0) AS n_a, s_a, ss_a,
+          |    COALESCE(n_b, 0) AS n_b, s_b, ss_b
+          |  FROM a FULL OUTER JOIN b ON a.grp = b.grp)""".stripMargin
+      else "j AS (SELECT * FROM a CROSS JOIN b)"
+    val tail = if (grouped) " ORDER BY grp" else ""
+    s"""WITH a AS (
+       |  SELECT ${gCol}CAST(count(*) AS BIGINT) AS n_a,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_a,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+       |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_a
+       |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL$gFil
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'$gBy),
+       |b AS (
+       |  SELECT ${gCol}CAST(count(*) AS BIGINT) AS n_b,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s_b,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+       |      CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss_b
+       |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL$gFil
+       |    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'$gBy),
+       |$join,
+       |f AS (
+       |  SELECT *,
+       |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+       |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+       |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+       |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) AS va,
+       |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE)) AS vb
+       |  FROM j),
+       |g AS (
+       |  SELECT *, va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS vv,
+       |    mb - ma AS delta
+       |  FROM f),
+       |h AS (
+       |  SELECT *,
+       |    sqrt(vv * (vv + $t2) / $t2 *
+       |      (round(ln((vv + $t2) / vv), 12) - CAST(2.0 AS DOUBLE) * $lnA)) AS radius
+       |  FROM g)
+       |SELECT ${gSel}n_a, n_b,
+       |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+       |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(delta, 6) END AS delta,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN round(radius, 6) END AS radius,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN round(delta - radius, 6) END AS ci_lo,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN round(delta + radius, 6) END AS ci_hi
+       |FROM h$tail""".stripMargin
   }
 
   // ---- unigram-LM oracle generators (q235/q236): the word census,

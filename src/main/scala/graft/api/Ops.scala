@@ -3084,6 +3084,95 @@ object Ops {
         col("ln_p"), col("reject")): _*)
   }
 
+  /** Always-valid confidence interval for the mean difference (r17 —
+    * the INVERSION of [[msprt]]'s mixture test, the other half of
+    * always-valid inference (Johari, Pekelis & Walsh's "Peeking at
+    * A/B tests" construction): the dashboard that may peek at the
+    * p-value any time needs the matching CI that is simultaneously
+    * valid at every peek. The interval is every δ₀ the mixture test
+    * does NOT reject: `Δ̂ ± √( V(V+τ²)/τ² · ln((V+τ²)/(V·α²)) )` —
+    * wider than the fixed-n CI by design (the price of unlimited
+    * peeking), shrinking toward it as n grows. Same moment censuses,
+    * same V and Δ expressions as [[msprtFinishCols]] (column-for-
+    * column), the one ln rounded at 12 (`ln((V+τ²)/V) − 2·lnα` as a
+    * fixed tree with the caller's lnAlpha literal), total round 6.
+    * The DEFINING duality — reject(α) ⟺ 0 ∉ [ci_lo, ci_hi] — is
+    * spec-pinned against [[msprt]] on both sides of the boundary.
+    * Degenerate sides report null statistics with counts saying why.
+    * Returns (keys…, n_a, n_b, mean_a, mean_b, delta, radius,
+    * ci_lo, ci_hi).
+    */
+  private def avciFinishCols(sides: DataFrame, tau2: Double,
+                             lnAlpha: Double,
+                             keyCols: Seq[String]): DataFrame = {
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def sx(s: String) = col(s"__s_$s").cast("double")
+    def sxx(s: String) = col(s"__ss_$s").cast("double")
+    def mean(s: String) = sx(s) / nD(s)
+    def v(s: String) = (sxx(s) - sx(s) * sx(s) / nD(s)) / (nD(s) - lit(1.0))
+    val vv = v("a") / nD("a") + v("b") / nD("b")
+    val delta = mean("b") - mean("a")
+    val ok = col("n_a") >= 2 && col("n_b") >= 2
+    val radius = sqrt(vv * (vv + lit(tau2)) / lit(tau2) *
+      (round(log((vv + lit(tau2)) / vv), 12) - lit(2.0) * lit(lnAlpha)))
+    sides
+      .withColumn("mean_a", when(col("n_a") > 0, round(mean("a"), 6)))
+      .withColumn("mean_b", when(col("n_b") > 0, round(mean("b"), 6)))
+      .withColumn("delta", when(col("n_a") > 0 && col("n_b") > 0,
+        round(delta, 6)))
+      .withColumn("radius", when(ok && vv > 0.0, round(radius, 6)))
+      .withColumn("ci_lo", when(ok && vv > 0.0, round(delta - radius, 6)))
+      .withColumn("ci_hi", when(ok && vv > 0.0, round(delta + radius, 6)))
+      .select(keyCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("delta"), col("radius"),
+        col("ci_lo"), col("ci_hi")): _*)
+  }
+
+  /** Whole-frame always-valid CI — see [[avciFinishCols]]; the
+    * [[msprt]] input shape (two frames, one metric), one row out.
+    */
+  def alwaysValidCi(a: DataFrame, b: DataFrame, value: Column,
+                    tau2: Double,
+                    lnAlpha: Double = -2.995732273553991): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau2 > 0.0, s"alwaysValidCi: tau2 ($tau2) must be positive")
+    require(lnAlpha < 0.0, s"alwaysValidCi: lnAlpha ($lnAlpha) must be negative")
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(value.isNotNull).agg(
+        count(lit(1)).as(s"n_$suf"),
+        sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+        sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    avciFinishCols(side(a, "a").crossJoin(broadcast(side(b, "b"))),
+      tau2, lnAlpha, keyCols = Nil)
+  }
+
+  /** Per-segment always-valid CI — [[alwaysValidCi]] keyed the way
+    * [[msprtByGroup]] is (FULL OUTER arm merge, one-armed segments
+    * observable with null statistics).
+    */
+  def alwaysValidCiByGroup(a: DataFrame, b: DataFrame, group: String,
+                           value: Column, tau2: Double,
+                           lnAlpha: Double = -2.995732273553991): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau2 > 0.0, s"alwaysValidCiByGroup: tau2 ($tau2) must be positive")
+    require(lnAlpha < 0.0, s"alwaysValidCiByGroup: lnAlpha ($lnAlpha) must be negative")
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val d = graft.util.Portable.dec(value)
+      df.filter(value.isNotNull && col(group).isNotNull)
+        .groupBy(col(group).as("grp")).agg(
+          count(lit(1)).as(s"n_$suf"),
+          sum(d).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+          sum(d * d).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    avciFinishCols(
+      side(a, "a").join(side(b, "b"), Seq("grp"), "full_outer")
+        .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+        .withColumn("n_b", coalesce(col("n_b"), lit(0L))),
+      tau2, lnAlpha, keyCols = Seq("grp"))
+  }
+
   /** [[msprt]] served from a [[PreparedMoments]] artifact (r15 — the
     * composition that makes "always-valid" actually CONTINUOUS and
     * restart-safe: the sequential test's whole state is the two

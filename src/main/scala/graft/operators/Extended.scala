@@ -2080,4 +2080,36 @@ object Extended {
     import graft.api.Ops._
     t.documents.knLmScore("doc_id", "text").orderBy(col("doc_id"))
   }
+
+  /** q245: always-valid CI on the q196 slices
+    * ([[graft.api.Ops.alwaysValidCi]], r17 wave 3 — the inversion of
+    * the mSPRT the monitor already runs: the interval simultaneously
+    * valid at every peek, same moments, same τ²).
+    */
+  def q245(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.alwaysValidCi(
+      o.filter(col("o_orderdate").cast("timestamp") < cut),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut),
+      col("o_totalprice"), tau2 = 1000000.0)
+  }
+
+  /** q246: per-priority always-valid CI
+    * ([[graft.api.Ops.alwaysValidCiByGroup]] — the q208 keying).
+    */
+  def q246(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    graft.api.Ops.alwaysValidCiByGroup(
+      o.filter(col("o_orderdate").cast("timestamp") < cut)
+        .withColumn("grp0", col("o_orderpriority")),
+      o.filter(col("o_orderdate").cast("timestamp") >= cut)
+        .withColumn("grp0", col("o_orderpriority")),
+      "grp0", col("o_totalprice"), tau2 = 1000000.0)
+      .orderBy(col("grp"))
+  }
 }

@@ -53,6 +53,42 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall $recall vs brute force too low")
   }
 
+  test("r17 alwaysValidCi: the defining duality — msprt rejects at α exactly when 0 falls outside the CI; keyed ≡ whole-frame per slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def arms(shift: Double): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = (
+      (1 to 200).map(i => 100.0 + (i % 13)).toDF("v"),
+      (1 to 200).map(i => 100.0 + shift + ((i + 5) % 13)).toDF("v"))
+    // sweep the effect through the boundary: both regimes must appear
+    // and the duality must hold at EVERY point
+    val verdicts = Seq(0.0, 0.4, 0.8, 1.2, 2.0, 4.0, 8.0).map { shift =>
+      val (a, b) = arms(shift)
+      val m = graft.api.Ops.msprt(a, b, col("v"), tau2 = 25.0).collect().head
+      val c = graft.api.Ops.alwaysValidCi(a, b, col("v"), tau2 = 25.0).collect().head
+      val reject = m.getAs[Boolean]("reject")
+      val zeroOutside = c.getAs[Double]("ci_lo") > 0.0 || c.getAs[Double]("ci_hi") < 0.0
+      assert(reject == zeroOutside,
+        s"duality must hold at shift=$shift: reject=$reject ci=[${c.get(6)}, ${c.get(7)}]")
+      reject
+    }
+    assert(verdicts.contains(true) && verdicts.contains(false),
+      s"the sweep must cross the boundary: $verdicts")
+    // keyed ≡ whole-frame per slice (the engine-wide keying identity)
+    val (a0, b0) = arms(0.0); val (a8, b8) = arms(8.0)
+    val ka = a0.withColumn("g", lit("calm")).unionByName(a8.withColumn("g", lit("hot")))
+    val kb = b0.withColumn("g", lit("calm")).unionByName(b8.withColumn("g", lit("hot")))
+    val keyed = graft.api.Ops.alwaysValidCiByGroup(ka, kb, "g", col("v"), tau2 = 25.0)
+      .orderBy(col("grp")).collect().map(r => r.toSeq.drop(1).toSeq).toSeq
+    val slices = Seq(("calm", a0, b0), ("hot", a8, b8)).map { case (_, a, b) =>
+      graft.api.Ops.alwaysValidCi(a, b, col("v"), tau2 = 25.0)
+        .collect().head.toSeq.toSeq
+    }
+    assert(keyed == slices, "keyed rows must equal the whole-frame slices")
+    intercept[IllegalArgumentException] {
+      graft.api.Ops.alwaysValidCi(a0, b0, col("v"), tau2 = -1.0)
+    }
+  }
+
   test("r17 knLmScore: continuation probability beats raw frequency — a many-context word scores higher in a new context than an equally-frequent one-context word") {
     import spark.implicits._
     import graft.api.Ops._

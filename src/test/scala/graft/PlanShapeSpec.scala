@@ -68,6 +68,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // q244's 1-row discount/total cross onto the vocab-sized type
       // table (the q73 shape) — dedicated pin below.
       "q244_kn_lm",
+      // q245's 1-row × 1-row moment cross (the q196 shape) —
+      // dedicated pin below. (q246's keyed merge stays in the
+      // generic lock: no keyless joins.)
+      "q245_avci",
       // q136's census completion crosses the groups-sized totals with
       // the broadcast 9-row digit frame — the q48/q76 bounded-frame
       // shape; its dedicated pin below bounds it to exactly that one
@@ -224,7 +228,9 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q243_dsir_select", 2, "the two 1-row smoothing-total crosses onto the bucket domains"),
       // r17 q244: the q73 shape — one 1-row discount/total frame
       // crossed onto the vocab-sized type table; gram joins KEYED
-      ("q244_kn_lm", 1, "the 1-row discount/total cross onto the vocab-sized type table"))) {
+      ("q244_kn_lm", 1, "the 1-row discount/total cross onto the vocab-sized type table"),
+      // r17 q245: the q196 shape — the 1-row × 1-row moment cross
+      ("q245_avci", 1, "the 1-row × 1-row moment-frame cross"))) {
       val plan = physicalPlan(name)
       val keyless = plan.linesIterator.count(l =>
         l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
