@@ -317,6 +317,234 @@ object Ops {
       f("vocab").toLong, f("addK").toInt, reliable = true)
   }
 
+  /** A Kneser–Ney bigram LM trained once and reused — the production
+    * shape of [[GraftDataFrameOps.knLmScore]], mirroring
+    * [[PreparedLm]]: the model is the bigram census plus the derived
+    * prefix/continuation tables and three count-of-count scalars
+    * (nt, n1, n2 — D re-derives from them on every absorb). Scoring
+    * the TRAINING corpus against the artifact reproduces `knLmScore`
+    * bit-for-bit (spec-pinned: the hit-path expressions are the same
+    * op chains). OOV handling on NEW text, documented: an unseen
+    * PAIR of seen words takes the discounted-interpolation formula
+    * with c₂ = 0; an unseen PREFIX backs off to the continuation
+    * probability alone; an unseen CONTINUATION word takes the floor
+    * `1/(nt+1)` — so out-of-distribution text degrades to maximal
+    * perplexity instead of undefined ln 0.
+    */
+  final case class PreparedKnLm private[graft] (
+    bigrams: DataFrame, prefixes: DataFrame, conts: DataFrame,
+    nt: Long, n1: Long, n2: Long, reliable: Boolean) {
+
+    private[graft] def discount: Double =
+      if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2).toDouble else 0.5
+
+    /** Absorb a corpus increment: the bigram censuses merge by SUM,
+      * everything else re-derives exactly as prepare does —
+      * `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)` (vocab-sized jobs,
+      * never a re-census of A's corpus).
+      */
+    def absorb(increment: DataFrame, text: String,
+               checkpointDir: Option[String] = None): PreparedKnLm = {
+      val ckp = lineageBreaker(checkpointDir)
+      val bgB = bigramStream(floorPartitions(increment.select(col(text))), Seq.empty, text)
+      val c2B = bgB.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
+      val c2 = ckp(bigrams.unionByName(c2B)
+        .groupBy(col("__w1"), col("__w2")).agg(sum(col("__c2")).as("__c2")))
+      knDerive(c2, ckp, checkpointDir.isDefined && reliable)
+    }
+
+    /** Persist durably (three census frames + kind-tagged meta). */
+    def save(path: String): Unit = {
+      bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+      prefixes.write.mode("overwrite").parquet(s"$path/prefixes")
+      conts.write.mode("overwrite").parquet(s"$path/conts")
+      ArtifactIO.writeMeta(bigrams.sparkSession, path, "knlm",
+        Seq("nt" -> nt.toString, "n1" -> n1.toString, "n2" -> n2.toString))
+    }
+  }
+
+  /** Derive prefix/continuation tables and count-of-count scalars
+    * from a merged bigram census — the ONE place shared by prepare
+    * and absorb.
+    */
+  private def knDerive(c2: DataFrame, ckp: DataFrame => DataFrame,
+                       reliable: Boolean): PreparedKnLm = {
+    val c1 = ckp(c2.groupBy(col("__w1"))
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__n1p")))
+    val nc = ckp(c2.groupBy(col("__w2")).agg(count(lit(1)).as("__nc")))
+    val sc = c2.agg(count(lit(1)),
+      sum(when(col("__c2") === 1, 1L).otherwise(0L)),
+      sum(when(col("__c2") === 2, 1L).otherwise(0L))).collect()(0)
+    PreparedKnLm(c2, c1, nc, sc.getLong(0), sc.getLong(1), sc.getLong(2),
+      reliable)
+  }
+
+  /** Build a [[PreparedKnLm]] from a reference corpus (same censuses
+    * as `knLmScore`; `checkpointDir` reliability contract as
+    * [[prepareLm]]).
+    */
+  def prepareKnLm(corpus: DataFrame, text: String,
+                  checkpointDir: Option[String] = None): PreparedKnLm = {
+    val ckp = lineageBreaker(checkpointDir)
+    val bg = bigramStream(floorPartitions(corpus.select(col(text))), Seq.empty, text)
+    val c2 = ckp(bg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2")))
+    knDerive(c2, ckp, checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedKnLm]] persisted by its `save`. */
+  def loadKnLm(spark: org.apache.spark.sql.SparkSession, path: String): PreparedKnLm = {
+    val m = ArtifactIO.readMeta(spark, path, "knlm")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    PreparedKnLm(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/prefixes"),
+      spark.read.parquet(s"$path/conts"),
+      f("nt").toLong, f("n1").toLong, f("n2").toLong, reliable = true)
+  }
+
+  /** Score docs against a prepared KN LM — the shared core of the
+    * fluent form and the streaming foreachBatch form. Hit-path
+    * expressions match [[GraftDataFrameOps.knLmScore]] op-for-op
+    * (bit-equal on the training corpus); OOV paths per the
+    * [[PreparedKnLm]] doc.
+    */
+  private[graft] def scoreAgainstKnLm(docs: DataFrame, id: String, text: String,
+                                      kn: PreparedKnLm): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bg = bigramStream(floorPartitions(docs.select(col(id), col(text))),
+      Seq(col(id)), text)
+    val d = lit(kn.discount)
+    val ntD = lit(kn.nt).cast("double")
+    val pc = when(col("__nc").isNotNull,
+      col("__nc").cast("double") / ntD)
+      .otherwise(lit(1.0) / (ntD + lit(1.0)))
+    val term1 = greatest(coalesce(col("__c2"), lit(0L)).cast("double") - d, lit(0.0)) /
+      col("__c1").cast("double")
+    val lam = d * col("__n1p").cast("double") / col("__c1").cast("double")
+    val p = when(col("__c1").isNotNull, term1 + lam * pc).otherwise(pc)
+    bg.join(kn.bigrams, Seq("__w1", "__w2"), "left")
+      .join(kn.prefixes, Seq("__w1"), "left")
+      .join(kn.conts, Seq("__w2"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(log(p), 12).cast(DecimalType(38, 12))).as("__s"))
+      .withColumn("avg_logp", round(
+        col("__s").cast("double") / col("n_bigrams").cast("double"), 4))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 2))
+      .select(col(id), col("n_bigrams"), col("avg_logp"), col("ppl"))
+  }
+
+  /** The DSIR bucket distributions trained once and reused — the
+    * production shape of [[GraftDataFrameOps.dsirSelect]]: the target
+    * and raw hashed-ngram profiles are two `buckets`-row round-12
+    * log-prob tables (broadcast-sized by contract), frozen so any
+    * batch or stream scores against them without re-censusing either
+    * corpus. Selecting from the SAME raw corpus the artifact was
+    * prepared on reproduces `dsirSelect` bit-for-bit (shared code).
+    */
+  final case class PreparedDsir private[graft] (
+    lnpTarget: DataFrame, lnpRaw: DataFrame, buckets: Int, seed: Long,
+    reliable: Boolean) {
+    /** Persist durably (both profile tables + kind-tagged meta). */
+    def save(path: String): Unit = {
+      lnpTarget.write.mode("overwrite").parquet(s"$path/lnp_target")
+      lnpRaw.write.mode("overwrite").parquet(s"$path/lnp_raw")
+      ArtifactIO.writeMeta(lnpTarget.sparkSession, path, "dsir",
+        Seq("buckets" -> buckets.toString, "seed" -> seed.toString))
+    }
+  }
+
+  /** (docId?, bucket, cnt): hashed unigram + bigram bucket counts —
+    * the DSIR feature census, shared by prepare and score.
+    */
+  private[graft] def dsirGramBuckets(df: DataFrame, idCol: Option[String],
+                                     text: String, buckets: Int,
+                                     seed: Long): DataFrame = {
+    val pre = idCol.map(c => Seq(col(c).as("__did"))).getOrElse(Seq.empty)
+    val toks = df.select(pre :+
+      graft.functions.TextFunctions.tokens(col(text)).as("__t"): _*)
+    val keep = idCol.map(_ => Seq(col("__did"))).getOrElse(Seq.empty)
+    val uni = toks.select(keep :+ explode(col("__t")).as("__g"): _*)
+    val bi = toks.select(keep :+
+      explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("__g"): _*)
+    val keys = keep :+
+      pmod(dsirH28("dsir", seed, col("__g")), lit(buckets.toLong)).as("__b")
+    uni.unionByName(bi).groupBy(keys: _*).agg(count(lit(1)).as("__c"))
+  }
+
+  private[graft] def dsirH28(tag: String, seed: Long, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$tag:$seed:"), c).cast("binary")),
+      1, 7), 16, 10).cast("long")
+
+  /** Add-one-smoothed round-12 log-probs over the FULL bucket domain
+    * (a `buckets`-row frame — broadcast-sized by contract).
+    */
+  private def dsirLnp(census: DataFrame, buckets: Int, out: String): DataFrame = {
+    val tot = census.agg(sum(col("__c")).as("__tot"))
+    census.sparkSession.range(buckets).select(col("id").as("__b"))
+      .join(census, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__c"), lit(0L)).as("__c"))
+      .crossJoin(broadcast(tot))
+      .select(col("__b"), round(log(
+        (col("__c") + 1).cast("double") /
+          (coalesce(col("__tot"), lit(0L)) + buckets).cast("double")), 12).as(out))
+  }
+
+  /** Build a [[PreparedDsir]] from a target corpus and a raw-corpus
+    * reference (the importance denominators must profile the
+    * population the weights will score — pass the crawl, or a
+    * representative sample of it).
+    */
+  def prepareDsir(target: DataFrame, raw: DataFrame, text: String,
+                  buckets: Int = 1024, seed: Long = 7L,
+                  checkpointDir: Option[String] = None): PreparedDsir = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"prepareDsir: buckets ($buckets) must be in 2..2^20")
+    val ckp = lineageBreaker(checkpointDir)
+    PreparedDsir(
+      ckp(dsirLnp(dsirGramBuckets(target, None, text, buckets, seed), buckets, "__lnpt")),
+      ckp(dsirLnp(dsirGramBuckets(raw, None, text, buckets, seed), buckets, "__lnpr")),
+      buckets, seed, checkpointDir.isDefined)
+  }
+
+  /** Load a [[PreparedDsir]] persisted by its `save`. */
+  def loadDsir(spark: org.apache.spark.sql.SparkSession, path: String): PreparedDsir = {
+    val m = ArtifactIO.readMeta(spark, path, "dsir")
+    def f(k: String) = ArtifactIO.field(m, path, k)
+    PreparedDsir(
+      spark.read.parquet(s"$path/lnp_target"),
+      spark.read.parquet(s"$path/lnp_raw"),
+      f("buckets").toInt, f("seed").toLong, reliable = true)
+  }
+
+  /** Per-doc DSIR weights + seeded Gumbel against a prepared profile
+    * pair — unrounded internals, shared by [[GraftDataFrameOps
+    * .dsirSelect]] (which tops-k) and [[GraftDataFrameOps
+    * .dsirScoreAgainst]] (which emits every doc).
+    */
+  private[graft] def dsirScore(docs: DataFrame, p: PreparedDsir,
+                               id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docW = dsirGramBuckets(docs, Some(id), text, p.buckets, p.seed)
+      .join(broadcast(p.lnpTarget), Seq("__b"))
+      .join(broadcast(p.lnpRaw), Seq("__b"))
+      .groupBy(col("__did"))
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(round(col("__c").cast("double") * (col("__lnpt") - col("__lnpr")), 12)
+          .cast(DecimalType(38, 12))).as("__lnw"))
+    val u = (dsirH28("dsirg", p.seed, col(id).cast("string")).cast("double") + 0.5) /
+      lit((1L << 28).toDouble)
+    docs.select(col(id)).distinct()
+      .join(docW.withColumnRenamed("__did", id), Seq(id), "left")
+      .select(col(id), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("__lnw"), lit(0).cast(DecimalType(38, 12))).as("__lnw"))
+      .withColumn("__g", -round(log(-round(log(u), 12)), 12))
+      .withColumn("__score", col("__lnw").cast("double") + col("__g"))
+  }
+
   private[graft] def bigramStream(df: DataFrame, cols: Seq[Column], text: String) = {
     import graft.functions.TextFunctions._
     val pairs = zip_with(
@@ -3200,6 +3428,29 @@ object Ops {
         sum(col("__sxx")).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
     msprtFinish(side(armA, "a").crossJoin(broadcast(side(armB, "b"))),
       tau2, lnAlpha)
+  }
+
+  /** [[alwaysValidCi]] served from a [[PreparedMoments]] artifact —
+    * the same composition as [[msprtFromMoments]] (the CI's whole
+    * state IS the two arms' moment sums): absorb each trigger,
+    * re-read the interval, bit-for-bit the batch CI of the rows
+    * behind the artifact (same decimal sums, shared
+    * `avciFinishCols` tree — spec-pinned). The always-valid pair —
+    * test and interval — reads off ONE artifact.
+    */
+  def alwaysValidCiFromMoments(m: PreparedMoments, armA: String, armB: String,
+                               tau2: Double,
+                               lnAlpha: Double = -2.995732273553991): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(tau2 > 0.0, s"alwaysValidCiFromMoments: tau2 ($tau2) must be positive")
+    require(lnAlpha < 0.0, s"alwaysValidCiFromMoments: lnAlpha ($lnAlpha) must be negative")
+    def side(arm: String, suf: String): DataFrame =
+      m.moments.filter(col(m.groupCol).cast("string") === arm).agg(
+        coalesce(sum(col("n")), lit(0L)).as(s"n_$suf"),
+        sum(col("__sx")).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+        sum(col("__sxx")).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    avciFinishCols(side(armA, "a").crossJoin(broadcast(side(armB, "b"))),
+      tau2, lnAlpha, keyCols = Nil)
   }
 
   /** Per-segment mSPRT (r15 — [[msprt]] keyed by a segment, the
@@ -11102,60 +11353,8 @@ object Ops {
     def dsirSelect(target: DataFrame, id: String, text: String,
                    k: Int, buckets: Int = 1024, seed: Long = 7L): DataFrame = {
       require(k >= 1, s"dsirSelect: k ($k) must be positive")
-      require(buckets >= 2 && buckets <= (1 << 20),
-        s"dsirSelect: buckets ($buckets) must be in 2..2^20")
-      import org.apache.spark.sql.types.DecimalType
-      val spark = left.sparkSession
-      def h28(tag: String, c: Column): Column =
-        conv(substring(md5(concat(lit(s"$tag:$seed:"), c).cast("binary")),
-          1, 7), 16, 10).cast("long")
-      // (docId?, bucket, cnt): hashed unigram + bigram bucket counts
-      def gramBuckets(df: DataFrame, perDoc: Boolean): DataFrame = {
-        val toks = df.select(
-          (if (perDoc) Seq(col(id).as("__did")) else Seq.empty) :+
-            graft.functions.TextFunctions.tokens(col(text)).as("__t"): _*)
-        val uni = toks.select(
-          (if (perDoc) Seq(col("__did")) else Seq.empty) :+
-            explode(col("__t")).as("__g"): _*)
-        val bi = toks.select(
-          (if (perDoc) Seq(col("__did")) else Seq.empty) :+
-            explode(zip_with(
-              slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
-              slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
-              (a, b) => concat(a, lit(" "), b))).as("__g"): _*)
-        val keys = (if (perDoc) Seq(col("__did")) else Seq.empty) :+
-          pmod(h28("dsir", col("__g")), lit(buckets.toLong)).as("__b")
-        uni.unionByName(bi).groupBy(keys: _*).agg(count(lit(1)).as("__c"))
-      }
-      // add-one-smoothed round-12 log-probs over the FULL bucket
-      // domain (a `buckets`-row frame — broadcast-sized by contract)
-      def lnpOf(census: DataFrame, out: String): DataFrame = {
-        val tot = census.agg(sum(col("__c")).as("__tot"))
-        spark.range(buckets).select(col("id").as("__b"))
-          .join(census, Seq("__b"), "left")
-          .select(col("__b"), coalesce(col("__c"), lit(0L)).as("__c"))
-          .crossJoin(broadcast(tot))
-          .select(col("__b"), round(log(
-            (col("__c") + 1).cast("double") /
-              (coalesce(col("__tot"), lit(0L)) + buckets).cast("double")), 12).as(out))
-      }
-      val lnpT = lnpOf(gramBuckets(target, perDoc = false), "__lnpt")
-      val lnpR = lnpOf(gramBuckets(left, perDoc = false), "__lnpr")
-      val docW = gramBuckets(left, perDoc = true)
-        .join(broadcast(lnpT), Seq("__b"))
-        .join(broadcast(lnpR), Seq("__b"))
-        .groupBy(col("__did"))
-        .agg(sum(col("__c")).as("n_grams"),
-          sum(round(col("__c").cast("double") * (col("__lnpt") - col("__lnpr")), 12)
-            .cast(DecimalType(38, 12))).as("__lnw"))
-      val u = (h28("dsirg", col(id).cast("string")).cast("double") + 0.5) /
-        lit((1L << 28).toDouble)
-      left.select(col(id)).distinct()
-        .join(docW.withColumnRenamed("__did", id), Seq(id), "left")
-        .select(col(id), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("__lnw"), lit(0).cast(DecimalType(38, 12))).as("__lnw"))
-        .withColumn("__g", -round(log(-round(log(u), 12)), 12))
-        .withColumn("__score", col("__lnw").cast("double") + col("__g"))
+      dsirScore(left,
+        prepareDsir(target, left, text, buckets, seed), id, text)
         .orderBy(col("__score").desc, col(id))
         .limit(k)
         .select(col(id), col("n_grams"),
@@ -11163,6 +11362,22 @@ object Ops {
           round(col("__g"), 6).as("gumbel"),
           round(col("__score"), 6).as("score"))
     }
+
+    /** Score this frame's documents against a once-prepared pair of
+      * DSIR bucket distributions ([[Ops.prepareDsir]]) — the
+      * rolling-ingest shape of [[dsirSelect]]: the profiles never
+      * re-census, each batch (or stream trigger, via
+      * [[graft.streaming.Streams.dsirScoreStream]]) pays its own
+      * gram explode + two broadcast bucket joins. No top-k — the
+      * serving form emits EVERY document's (lnw, gumbel, score) so
+      * the caller selects downstream at whatever k the batch needs.
+      */
+    def dsirScoreAgainst(prepared: PreparedDsir, id: String, text: String): DataFrame =
+      dsirScore(left, prepared, id, text)
+        .select(col(id), col("n_grams"),
+          round(col("__lnw").cast("double"), 6).as("lnw"),
+          round(col("__g"), 6).as("gumbel"),
+          round(col("__score"), 6).as("score"))
 
     /** Deterministic mixture sampling — reshape a corpus so category
       * shares match the target integer `parts` (the "data mixture"
@@ -11379,6 +11594,15 @@ object Ops {
       */
     def lmScoreAgainst(lm: PreparedLm, id: String, text: String): DataFrame =
       scoreAgainstLm(left, id, text, lm)
+
+    /** Score this frame against a once-trained [[PreparedKnLm]] —
+      * the rolling-ingest shape of [[knLmScore]] (same contract as
+      * [[lmScoreAgainst]]; OOV text degrades to the documented
+      * floors instead of re-censusing anything). Streaming form:
+      * [[graft.streaming.Streams.knLmScoreStream]].
+      */
+    def knLmScoreAgainst(kn: PreparedKnLm, id: String, text: String): DataFrame =
+      scoreAgainstKnLm(left, id, text, kn)
 
     /** Okapi BM25 ranked retrieval (q90) — full-text search over the
       * corpus: for each row of `queries`, the top-k documents by

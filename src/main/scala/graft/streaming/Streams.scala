@@ -1376,6 +1376,45 @@ object Streams {
       .start()
   }
 
+  /** Live always-valid CONFIDENCE-INTERVAL monitoring (r17 — the
+    * interval half of [[msprtStream]]: the dashboard that reads the
+    * always-valid p after every trigger reads the matching
+    * simultaneously-valid CI beside it, and both share ONE state —
+    * the absorbing [[graft.api.Ops.PreparedMoments]]). Each trigger
+    * absorbs, the sink receives ([[graft.api.Ops
+    * .alwaysValidCiFromMoments]] over ALL traffic so far, the grown
+    * artifact) — trigger k ≡ the batch [[graft.api.Ops
+    * .alwaysValidCi]] over the union (spec-pinned), restart-safe
+    * from a saved artifact. Same [[IngestLoop]] replay guards as
+    * msprtStream (moment sums are not replay-idempotent).
+    */
+  def avciStream(records: DataFrame, arm: org.apache.spark.sql.Column,
+                 value: org.apache.spark.sql.Column,
+                 armA: String, armB: String, tau2: Double,
+                 prepared: graft.api.Ops.PreparedMoments,
+                 checkpointDir: String,
+                 sink: (DataFrame, graft.api.Ops.PreparedMoments) => Unit,
+                 lnAlpha: Double = -2.995732273553991): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "avciStream needs a PreparedMoments built with a reliable " +
+        "checkpointDir (prepareMoments(..., checkpointDir = Some(dir))) " +
+        "or loaded from a persisted artifact")
+    val g = prepared.groupCol
+    val loop = new IngestLoop[DataFrame, graft.api.Ops.PreparedMoments](
+      prepared,
+      (_, batch) => batch
+        .filter(arm.isNotNull && value.isNotNull)
+        .select(arm.cast("string").as(g), value.as("__v")),
+      (m, kept) => m.absorb(kept, org.apache.spark.sql.functions.col("__v"),
+        org.apache.spark.sql.functions.col("__v"), Some(checkpointDir)),
+      (_, m) => sink(
+        graft.api.Ops.alwaysValidCiFromMoments(m, armA, armB, tau2, lnAlpha), m))
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live classifier-calibration monitor (r15 — the MODEL-MONITORING
     * member of the cumulative-governance streams beside
     * [[msprtStream]]/[[kArmMonitorStream]]: a deployed quality/
@@ -1988,6 +2027,54 @@ object Streams {
       .outputMode("update")
       .start()
 
+  /** Weight a document stream against once-prepared DSIR profiles
+    * ([[graft.api.Ops.prepareDsir]]) — the data-selection pipeline's
+    * live form: as crawl batches arrive, each trigger's documents
+    * get their importance log-weights and seeded-Gumbel scores
+    * against the FROZEN target/raw profiles (two broadcast
+    * bucket-table joins per trigger, nothing re-censuses), and the
+    * downstream sink keeps whatever score band the pipeline wants.
+    * Reliable prep required (the [[lmScoreStream]] reasoning).
+    */
+  def dsirScoreStream(docs: DataFrame, id: String, text: String,
+                      prepared: graft.api.Ops.PreparedDsir,
+                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(prepared.reliable,
+      "dsirScoreStream needs a PreparedDsir built with a reliable checkpointDir " +
+        "(prepareDsir(..., checkpointDir = Some(dir)))")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.dsirScore(batch, prepared, id, text)
+          .select(org.apache.spark.sql.functions.col(id),
+            org.apache.spark.sql.functions.col("n_grams"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.col("__lnw").cast("double"), 6).as("lnw"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.col("__g"), 6).as("gumbel"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.col("__score"), 6).as("score")))
+      }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Encode a document stream with a frozen WordPiece vocabulary
+    * ([[graft.operators.Wordpiece.prepareWordpiece]]) —
+    * [[bpeEncodeStream]]'s sibling for the greedy-longest-match
+    * family: the vocab IS the whole model (driver-held), so no
+    * reliability contract applies; per trigger the batch pays its
+    * own distinct-word greedy walk + corpus-side join.
+    */
+  def wordpieceEncodeStream(docs: DataFrame, id: String, text: String,
+                            prepared: graft.operators.Wordpiece.PreparedWordpiece,
+                            sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Wordpiece.encodeWith(batch, id, text, prepared))
+      }
+      .outputMode("update")
+      .start()
+
   /** Match a live value stream against a once-prepared edit-distance
     * catalog index ([[graft.api.Ops.prepareEditIndex]]) — q94's
     * ingest form (dirty feed vs master list as records arrive): each
@@ -2034,6 +2121,28 @@ object Streams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.api.Ops.scoreAgainstLm(batch, id, text, lm))
+      }
+      .outputMode("update")
+      .start()
+  }
+
+  /** Score a document stream against a once-prepared Kneser–Ney LM
+    * ([[graft.api.Ops.prepareKnLm]]) — [[lmScoreStream]]'s sibling
+    * for the production smoothing: per trigger the batch pays its
+    * own bigram explode plus vocab-sized hash joins against the
+    * pinned census frames; OOV text degrades to the documented
+    * floors. Reliable prep required, same reasoning as
+    * [[lmScoreStream]].
+    */
+  def knLmScoreStream(docs: DataFrame, id: String, text: String,
+                      kn: graft.api.Ops.PreparedKnLm,
+                      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(kn.reliable,
+      "knLmScoreStream needs a PreparedKnLm built with a reliable checkpointDir " +
+        "(prepareKnLm(..., checkpointDir = Some(dir)))")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.api.Ops.scoreAgainstKnLm(batch, id, text, kn))
       }
       .outputMode("update")
       .start()

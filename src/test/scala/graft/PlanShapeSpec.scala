@@ -222,10 +222,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // final 1-row n_corpus cross adds one more: 4·(2+1)+1 = 13.
       // Every corpus-sized join (the cell join) stays KEYED.
       ("q240_nprobe_curve", 13, "4 levels × (twice-rendered q35 broadcast + 1-row cand cross) + the 1-row corpus-count cross"),
-      // r17 q243: the two 1-row gram-total crosses onto the
-      // 1024-row bucket domains (target + raw smoothing totals);
-      // the per-doc joins and the domain completions are all KEYED
-      ("q243_dsir_select", 2, "the two 1-row smoothing-total crosses onto the bucket domains"),
+      // r17 q243: since the PreparedDsir refactor the two 1-row
+      // smoothing-total crosses happen at PREPARE time (the profile
+      // frames materialize via checkpoint), so the serving plan has
+      // ZERO keyless joins — every per-doc join is keyed
+      ("q243_dsir_select", 0, "no keyless joins — the smoothing crosses live in the materialized prepare stage"),
       // r17 q244: the q73 shape — one 1-row discount/total frame
       // crossed onto the vocab-sized type table; gram joins KEYED
       ("q244_kn_lm", 1, "the 1-row discount/total cross onto the vocab-sized type table"),

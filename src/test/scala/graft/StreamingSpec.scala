@@ -1988,6 +1988,181 @@ class StreamingSpec extends AnyFunSuite {
       "the restarted monitor resumes the SAME cumulative test from the artifact")
   }
 
+  test("r17 avciStream: trigger k's interval ≡ batch alwaysValidCi over all evidence; the test+interval pair reads off one artifact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avci").toString
+    def batchOf(all: Seq[(String, Double)]): Seq[Seq[Any]] = rows(
+      graft.api.Ops.alwaysValidCi(
+        all.filter(_._1 == "a").map(_._2).toDF("v"),
+        all.filter(_._1 == "b").map(_._2).toDF("v"),
+        col("v"), tau2 = 100.0))
+    val prep0 = graft.api.Ops.prepareMoments(
+      Seq.empty[(String, Double)].toDF("arm", "v"), "arm",
+      col("v"), col("v"), Some(s"$tmp/ckpt"))
+    val stream = MemoryStream[(String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    var lastM: graft.api.Ops.PreparedMoments = null
+    val q = Streams.avciStream(stream.toDF().toDF("arm", "v"),
+      col("arm"), col("v"), "a", "b", tau2 = 100.0, prep0, s"$tmp/ckpt",
+      (r, m) => { got += rows(r); lastM = m; () })
+    val t1 = (1 to 30).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 30).map(i => ("b", (i % 10).toDouble))
+    val t2 = (1 to 30).map(i => ("b", (i % 10 + 50).toDouble))
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2)
+    assert(got(0) == batchOf(t1), "trigger 1 ≡ batch CI of trigger 1")
+    assert(got(1) == batchOf(t1 ++ t2), "trigger 2 ≡ batch CI over ALL rows")
+    // the duality against the msprt read off the SAME artifact
+    val m = graft.api.Ops.msprtFromMoments(lastM, "a", "b", tau2 = 100.0)
+      .collect().head
+    val c = graft.api.Ops.alwaysValidCiFromMoments(lastM, "a", "b", tau2 = 100.0)
+      .collect().head
+    val zeroOutside = c.getAs[Double]("ci_lo") > 0.0 || c.getAs[Double]("ci_hi") < 0.0
+    assert(m.getAs[Boolean]("reject") == zeroOutside,
+      s"the pair off one artifact must agree: $m vs $c")
+  }
+
+  test("r17 knLmScoreStream: trigger ≡ batch knLmScoreAgainst; against(training) ≡ knLmScore bit-for-bit; absorb ≡ prepare-union; OOV floors order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 40L).map(i =>
+      (i, s"the quick brown fox ${"jumps " * (i % 3).toInt}over the lazy dog"))
+      .toDF("doc_id", "text")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_knlm").toString
+    val kn = graft.api.Ops.prepareKnLm(corpus, "text", Some(ckDir))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSet
+    // against(training corpus) ≡ the one-shot knLmScore, bit-for-bit
+    assert(rows(corpus.knLmScoreAgainst(kn, "doc_id", "text")) ==
+      rows(corpus.knLmScore("doc_id", "text")),
+      "scoring the training corpus against the artifact must reproduce knLmScore")
+    // absorb ≡ prepare over the union (censuses and scores)
+    val (pa, pb) = (corpus.filter(col("doc_id") <= 20L),
+      corpus.filter(col("doc_id") > 20L))
+    val absorbed = graft.api.Ops.prepareKnLm(pa, "text").absorb(pb, "text")
+    val direct = graft.api.Ops.prepareKnLm(corpus, "text")
+    assert(rows(absorbed.bigrams) == rows(direct.bigrams) &&
+      (absorbed.nt, absorbed.n1, absorbed.n2) == (direct.nt, direct.n1, direct.n2),
+      "absorb must equal prepare-of-union")
+    // OOV paths: in-distribution beats both degradations, and the
+    // fully-OOV doc lands EXACTLY on the documented floor — every
+    // bigram P = 1/(nt+1), so ppl ≈ nt+1 (the ordering between the
+    // two degradations is corpus-dependent: with a tiny nt the floor
+    // can out-score a legitimately interpolated unseen pair)
+    val probe = Seq((1L, "the quick brown fox"), (2L, "dog the fox quick"),
+      (3L, "zorp glib flurm bax")).toDF("doc_id", "text")
+    val ppl = probe.knLmScoreAgainst(kn, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppl(1L) < ppl(2L) && ppl(1L) < ppl(3L),
+      s"in-distribution must beat both OOV paths: $ppl")
+    assert(math.abs(ppl(3L) - (kn.nt + 1)) < 0.1,
+      s"the fully-OOV doc must land on the 1/(nt+1) floor: ${ppl(3L)} vs nt=${kn.nt}")
+    // save/load round-trips; the stream matches the batch per trigger
+    kn.save(s"$ckDir/art")
+    val loaded = graft.api.Ops.loadKnLm(spark, s"$ckDir/art")
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+    val q = Streams.knLmScoreStream(stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", loaded, b => { got += rows(b); () })
+    val b1 = Seq((10L, "the quick brown fox"), (11L, "zorp glib"))
+    val b2 = Seq((12L, "over the lazy dog"))
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2)
+    assert(got(0) == rows(b1.toDF("doc_id", "text")
+      .knLmScoreAgainst(loaded, "doc_id", "text")), "trigger 1 ≡ batch against")
+    assert(got(1) == rows(b2.toDF("doc_id", "text")
+      .knLmScoreAgainst(loaded, "doc_id", "text")), "trigger 2 ≡ batch against")
+    intercept[IllegalArgumentException] {
+      Streams.knLmScoreStream(stream.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", graft.api.Ops.prepareKnLm(corpus, "text"), _ => ())
+    }
+  }
+
+  test("r17 wordpieceEncodeStream: per-trigger encodings ≡ batch encodeWith against the frozen vocab") {
+    import spark.implicits._
+    import graft.operators.Wordpiece
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "spark batch window table"), (2L, "spark window batch"),
+      (3L, "table window spark")).toDF("doc_id", "text")
+    val prepared = Wordpiece.prepareWordpiece(train, "text", numMerges = 4)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSet
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+    val q = Streams.wordpieceEncodeStream(stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", prepared, b => { got += rows(b); () })
+    val b1 = Seq((10L, "spark window"), (11L, "batch zork"))
+    val b2 = Seq((12L, "table spark batch"))
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2)
+    assert(got(0) == rows(Wordpiece.encodeWith(b1.toDF("doc_id", "text"),
+      "doc_id", "text", prepared)), "trigger 1 ≡ batch encode")
+    assert(got(1) == rows(Wordpiece.encodeWith(b2.toDF("doc_id", "text"),
+      "doc_id", "text", prepared)), "trigger 2 ≡ batch encode")
+  }
+
+  test("r17 dsirScoreStream: per-trigger weights ≡ batch dsirScoreAgainst; against's top-k ≡ dsirSelect; save/load round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.Ops._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = (0L until 30L).map(i =>
+      (i, if (i < 15) "alpha beta gamma delta" else "zork quux fnord blorp"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta gamma"), (101L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    val prepared = graft.api.Ops.prepareDsir(target, raw, "text",
+      checkpointDir = Some(ckDir))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSet
+    // against's top-k over the SAME raw corpus ≡ the one-shot select
+    val viaAgainst = raw.dsirScoreAgainst(prepared, "doc_id", "text")
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+    assert(rows(viaAgainst) == rows(raw.dsirSelect(target, "doc_id", "text", k = 10)),
+      "prepared top-k must equal the one-shot select")
+    // save/load; stream ≡ batch against per trigger
+    prepared.save(s"$ckDir/art")
+    val loaded = graft.api.Ops.loadDsir(spark, s"$ckDir/art")
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+    val q = Streams.dsirScoreStream(stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", loaded, b => { got += rows(b); () })
+    val b1 = Seq((200L, "alpha beta"), (201L, "zork quux"))
+    val b2 = Seq((202L, "gamma delta alpha"))
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2)
+    def batchOf(b: Seq[(Long, String)]) =
+      rows(b.toDF("doc_id", "text").dsirScoreAgainst(loaded, "doc_id", "text"))
+    assert(got(0) == batchOf(b1), "trigger 1 ≡ batch against")
+    assert(got(1) == batchOf(b2), "trigger 2 ≡ batch against")
+    // target-like streaming docs outscore off-target ones
+    val w = got(0).map(r => r.head.asInstanceOf[Long] -> r.last.asInstanceOf[Double]).toMap
+    assert(w(200L) > w(201L), s"target-like must outscore off-target: $w")
+    intercept[IllegalArgumentException] {
+      Streams.dsirScoreStream(stream.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", graft.api.Ops.prepareDsir(target, raw, "text"), _ => ())
+    }
+  }
+
   test("r15 calibrationStream: the cumulative reliability diagram ≡ batch calibrationBins over all traffic; restart resumes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
