@@ -546,6 +546,10 @@ object ScaleProbe {
       // r17 wave 3: always-valid CI — two 1-row moment censuses (the
       // q196 shape), keyed form one (grp, arm) census + keyed merge
       "q246_avci_grp" -> (t => operators.Extended.q246(t)),
+      // r17 wave 5: QTE/winsorized — value-domain censuses + bounded
+      // windows; the winsorized form adds one clamped row pass
+      "q249_qte_grp"  -> (t => operators.Extended.q249(t)),
+      "q248_winsor"   -> (t => operators.Extended.q248(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

@@ -266,6 +266,9 @@ object SparkEntry {
     "q244_kn_lm"          -> q(Extended.q244),
     "q245_avci"           -> q(Extended.q245),
     "q246_avci_by_group"  -> q(Extended.q246),
+    "q247_qte"            -> q(Extended.q247),
+    "q248_winsorized_welch" -> q(Extended.q248),
+    "q249_qte_by_group"   -> q(Extended.q249),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -7031,6 +7034,12 @@ object SparkEntry {
     // the mixture-inversion radius tail (one parametrized generator)
     "q245_avci" -> avciOracleSql(grouped = false),
     "q246_avci_by_group" -> avciOracleSql(grouped = true),
+    // q247/q249: exact rank quantile treatment effects (one
+    // parametrized generator); q248: winsorized Welch (census bounds
+    // + one clamped row pass + the q162 tree)
+    "q247_qte" -> qteOracleSql(grouped = false),
+    "q249_qte_by_group" -> qteOracleSql(grouped = true),
+    "q248_winsorized_welch" -> winsorizedWelchOracleSql,
     // q244: interpolated Kneser–Ney — exact count censuses, the
     // count-of-counts discount, continuation probabilities, round-12
     // ln terms summed as DECIMAL(38,12)
@@ -7828,6 +7837,99 @@ object SparkEntry {
        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN round(delta - radius, 6) END AS ci_lo,
        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vv > 0 THEN round(delta + radius, 6) END AS ci_hi
        |FROM h$tail""".stripMargin
+  }
+
+  /** The q247/q249 QTE oracle: per-arm (segment?, value) count
+    * census, the domain-bounded cumulative, the integer-free rank
+    * pick `floor((pct·n+99)/100)`, FULL OUTER arm join, exact
+    * decimal differences.
+    */
+  private def qteOracleSql(grouped: Boolean): String = {
+    val gSrc = if (grouped) "o_orderpriority AS grp, " else ""
+    val gFil = if (grouped) " AND o_orderpriority IS NOT NULL" else ""
+    val gBy = if (grouped) "grp, " else ""
+    val gPart = if (grouped) "PARTITION BY grp " else ""
+    val gOn = if (grouped) "qa.grp = qb.grp AND " else ""
+    val gSel = if (grouped) "COALESCE(qa.grp, qb.grp) AS grp, " else ""
+    val gOrd = if (grouped) "grp, " else ""
+    def cumOf(arm: String, pre: String) =
+      s"""c$pre AS (SELECT ${gBy}v, CAST(count(*) AS BIGINT) AS c
+         |  FROM s WHERE arm = '$arm' GROUP BY ${gBy}v),
+         |cu$pre AS (
+         |  SELECT ${gBy}v, CAST(SUM(c) OVER w AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER ($gPart) AS BIGINT) AS n
+         |  FROM c$pre WINDOW w AS ($gPart ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |q$pre AS (
+         |  SELECT ${gBy}pct, CAST(MAX(n) AS BIGINT) AS n_$pre, MIN(v) AS q_$pre
+         |  FROM cu$pre CROSS JOIN lv
+         |  WHERE cum >= CAST(floor(CAST(pct * n + 99 AS DOUBLE) / 100.0) AS BIGINT)
+         |  GROUP BY ${gBy}pct)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT ${gSrc}CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+       |  FROM orders WHERE o_totalprice IS NOT NULL$gFil),
+       |lv AS (SELECT CAST(unnest([10, 25, 50, 75, 90]) AS BIGINT) AS pct),
+       |${cumOf("A", "a")},
+       |${cumOf("B", "b")}
+       |SELECT ${gSel}COALESCE(qa.pct, qb.pct) AS pct,
+       |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+       |  q_a, q_b, CAST(q_b - q_a AS DECIMAL(18,2)) AS qte
+       |FROM qa FULL OUTER JOIN qb ON ${gOn}qa.pct = qb.pct
+       |ORDER BY ${gOrd}pct""".stripMargin
+  }
+
+  /** The q248 winsorized-Welch oracle: per-arm census + exact 5/95
+    * rank bounds, one more row pass clamping against the 1-row
+    * bounds, then the q162 Welch tree verbatim.
+    */
+  private def winsorizedWelchOracleSql: String = {
+    def armOf(arm: String, pre: String) =
+      s"""c$pre AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+         |  FROM s WHERE arm = '$arm' GROUP BY v),
+         |cu$pre AS (
+         |  SELECT v, CAST(SUM(c) OVER w AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER () AS BIGINT) AS n
+         |  FROM c$pre WINDOW w AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |b$pre AS (
+         |  SELECT
+         |    (SELECT MIN(v) FROM cu$pre
+         |     WHERE cum >= CAST(floor(CAST(5 * n + 99 AS DOUBLE) / 100.0) AS BIGINT)) AS lo_$pre,
+         |    (SELECT MIN(v) FROM cu$pre
+         |     WHERE cum >= CAST(floor(CAST(95 * n + 99 AS DOUBLE) / 100.0) AS BIGINT)) AS hi_$pre),
+         |m$pre AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_$pre,
+         |    MAX(lo_$pre) AS lo_$pre, MAX(hi_$pre) AS hi_$pre,
+         |    CAST(SUM(w) AS DECIMAL(38,2)) AS s_$pre,
+         |    CAST(SUM(w * w) AS DECIMAL(38,4)) AS ss_$pre
+         |  FROM (SELECT least(greatest(v, lo_$pre), hi_$pre) AS w, lo_$pre, hi_$pre
+         |        FROM s CROSS JOIN b$pre WHERE arm = '$arm'))""".stripMargin
+    s"""WITH s AS (
+       |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+       |  FROM orders WHERE o_totalprice IS NOT NULL),
+       |${armOf("A", "a")},
+       |${armOf("B", "b")},
+       |f AS (
+       |  SELECT *,
+       |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+       |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+       |    ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+       |      / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_a AS DOUBLE) AS vna,
+       |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
+       |  FROM ma CROSS JOIN mb)
+       |SELECT n_a, n_b, lo_a, hi_a, lo_b, hi_b,
+       |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+       |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+       |    round((ma - mb) / sqrt(vna + vnb), 6) END AS t,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN
+       |    round((vna + vnb) * (vna + vnb) /
+       |      (vna * vna / (CAST(n_a AS DOUBLE) - CAST(1 AS DOUBLE)) +
+       |       vnb * vnb / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))), 6) END AS df
+       |FROM f""".stripMargin
   }
 
   // ---- unigram-LM oracle generators (q235/q236): the word census,

@@ -4343,6 +4343,178 @@ object Ops {
         col("__tot").as("total_weight_cents"), col("__v").as("w_median"))
   }
 
+  /** Quantile treatment effects (r17 wave 5 — the DISTRIBUTIONAL
+    * readout of an experiment beside the mean-only Welch/CUPED/DiD
+    * family: a launch that moves the p90 while leaving the mean flat
+    * — or pads the median while gutting the tail — is invisible to
+    * every t-shaped statistic; per-quantile arm differences are how
+    * revenue/latency experiments are actually read). For each
+    * percentile in `pcts` (integers 1..99): each arm's EXACT rank
+    * quantile — the smallest census value whose cumulative count
+    * reaches `ceil(pct·n/100)`, pure integer arithmetic via
+    * `floor((pct·n + 99)/100)` (the division is exact in doubles for
+    * any count < 2⁵³ — no float-rank hazard), the q125/q38 real-
+    * data-value discipline (no interpolation) — and the exact
+    * decimal difference `qte = q_b − q_a`.
+    *
+    * Scale shape: each arm collapses to a (value) count census FIRST
+    * (map-combinable); the cumulative window walks the census —
+    * bounded by the value DOMAIN, not rows (the weightedMedian
+    * statement, same wide-census gate); the `pcts`-row level frame
+    * crosses onto the census (bounded × ≤ 99). Returns one row per
+    * percentile: (pct, n_a, n_b, q_a, q_b, qte).
+    */
+  def quantileTreatmentEffect(a: DataFrame, b: DataFrame, value: Column,
+                              pcts: Seq[Int] = Seq(10, 25, 50, 75, 90),
+                              allowWideCensus: Boolean = false,
+                              maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
+    qteRequires(pcts)
+    qteJoin(qteSide(a, None, value, "a", pcts, allowWideCensus, maxExactCensusRows),
+      qteSide(b, None, value, "b", pcts, allowWideCensus, maxExactCensusRows),
+      keyCols = Nil)
+  }
+
+  /** Per-segment [[quantileTreatmentEffect]] — the keyed member of
+    * the per-segment experimentation family: every window PARTITIONs
+    * by (segment, value-domain), one-sided segments report with the
+    * present arm's quantiles and null `qte` (observable). Returns
+    * one row per (segment, pct).
+    */
+  def quantileTreatmentEffectByGroup(a: DataFrame, b: DataFrame, group: String,
+                                     value: Column,
+                                     pcts: Seq[Int] = Seq(10, 25, 50, 75, 90),
+                                     allowWideCensus: Boolean = false,
+                                     maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
+    qteRequires(pcts)
+    qteJoin(
+      qteSide(a, Some(group), value, "a", pcts, allowWideCensus, maxExactCensusRows),
+      qteSide(b, Some(group), value, "b", pcts, allowWideCensus, maxExactCensusRows),
+      keyCols = Seq("grp"))
+  }
+
+  private def qteRequires(pcts: Seq[Int]): Unit =
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 99) &&
+      pcts.distinct.size == pcts.size,
+      s"quantileTreatmentEffect: pcts ($pcts) must be distinct integers in 1..99")
+
+  /** One arm's exact rank quantiles at every requested percentile —
+    * the (segment?, value) count census, the domain-bounded
+    * cumulative, the integer-free rank pick. Shared by the
+    * whole-frame and keyed forms.
+    */
+  private def qteSide(df: DataFrame, group: Option[String], value: Column,
+                      suf: String, pcts: Seq[Int],
+                      allowWideCensus: Boolean,
+                      maxExactCensusRows: Long): DataFrame = {
+    val keys = group.map(g => Seq(col(g).as("grp"))).getOrElse(Nil)
+    val keyNames = group.map(_ => Seq("grp")).getOrElse(Nil)
+    val census = df
+      .filter(value.isNotNull && group.map(g => col(g).isNotNull).getOrElse(lit(true)))
+      .groupBy(keys :+ graft.util.Portable.dec(value).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wRun = Window.partitionBy(keyNames.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyNames.map(col): _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lvls = pcts.map(_.toLong).toDF("pct")
+    census
+      .withColumn("__cr", count(lit(1)).over(wAll))
+      .withColumn("__cum", gateWideCensus(sum(col("__c")).over(wRun),
+        col("__cr"), "quantileTreatmentEffect", allowWideCensus, maxExactCensusRows))
+      .withColumn(s"n_$suf", sum(col("__c")).over(wAll))
+      .crossJoin(broadcast(lvls))
+      // the target rank: ceil(pct·n/100) by exact integer arithmetic
+      .withColumn("__r", floor((col("pct") * col(s"n_$suf") + lit(99L))
+        .cast("double") / lit(100.0)).cast("long"))
+      .filter(col("__cum") >= col("__r"))
+      .groupBy(keyNames.map(col) :+ col("pct"): _*)
+      .agg(max(col(s"n_$suf")).as(s"n_$suf"), min(col("__v")).as(s"q_$suf"))
+  }
+
+  /** The shared QTE join/diff tail: FULL OUTER on (keys, pct) so a
+    * one-armed segment stays observable; `qte` is the EXACT decimal
+    * difference (no rounding — census values subtract exactly).
+    */
+  private def qteJoin(sa: DataFrame, sb: DataFrame,
+                      keyCols: Seq[String]): DataFrame = {
+    sa.join(sb, keyCols :+ "pct", "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("qte", (col("q_b") - col("q_a"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .select(keyCols.map(col) ++ Seq(col("pct"), col("n_a"), col("n_b"),
+        col("q_a"), col("q_b"), col("qte")): _*)
+  }
+
+  /** Winsorized Welch t — the ROBUST average-treatment-effect readout
+    * (r17 wave 5: the heavy-tail discipline every revenue experiment
+    * ships — a single whale order swings the raw mean; clipping each
+    * arm at its own exact (p, 100−p) rank bounds before the t-test is
+    * the standard fix, and doing it WITHIN arm keeps the estimator
+    * honest under distribution shift between arms). Per arm: the
+    * value count census, the exact rank bounds (the
+    * [[quantileTreatmentEffect]] pick at `pctLow` and `100−pctLow`),
+    * then the winsorized exact decimal moments by ONE more row scan
+    * with the 1-row bounds crossed on (the q181 scalar-broadcast
+    * shape; aggregating rows — not census×count — keeps every
+    * product inside the q162 decimal widths) and the shared
+    * [[welchTFinishFromSides]]
+    * tree. Returns ONE row: (n_a, n_b, lo_a, hi_a, lo_b, hi_b,
+    * mean_a, mean_b, t, df) — means/t/df over the winsorized values.
+    */
+  def winsorizedWelch(a: DataFrame, b: DataFrame, value: Column,
+                      pctLow: Int = 5,
+                      allowWideCensus: Boolean = false,
+                      maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(pctLow >= 1 && pctLow <= 25,
+      s"winsorizedWelch: pctLow ($pctLow) must be in 1..25")
+    def side(df: DataFrame, suf: String): DataFrame = {
+      val census = df.filter(value.isNotNull)
+        .groupBy(graft.util.Portable.dec(value).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val wRun = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val cum = census
+        .withColumn("__cr", count(lit(1)).over(wAll))
+        .withColumn("__cum", gateWideCensus(sum(col("__c")).over(wRun),
+          col("__cr"), "winsorizedWelch", allowWideCensus, maxExactCensusRows))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+      def pick(pct: Int, out: String): DataFrame = cum
+        .withColumn("__r", floor((lit(pct.toLong) * col("__n") + lit(99L))
+          .cast("double") / lit(100.0)).cast("long"))
+        .filter(col("__cum") >= col("__r"))
+        .agg(min(col("__v")).as(out))
+      val bounds = pick(pctLow, s"lo_$suf")
+        .crossJoin(broadcast(pick(100 - pctLow, s"hi_$suf")))
+      val clamped = least(greatest(graft.util.Portable.dec(value),
+        col(s"lo_$suf")), col(s"hi_$suf"))
+      df.filter(value.isNotNull)
+        .crossJoin(broadcast(bounds))
+        .select(clamped.as("__w"), col(s"lo_$suf"), col(s"hi_$suf"))
+        .agg(count(lit(1)).as(s"n_$suf"),
+          max(col(s"lo_$suf")).as(s"lo_$suf"),
+          max(col(s"hi_$suf")).as(s"hi_$suf"),
+          sum(col("__w")).cast(DecimalType(38, 2)).as(s"__s_$suf"),
+          sum(col("__w") * col("__w")).cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    }
+    // materialize the 1-row merged moment frame once: the shared
+    // Welch finisher drops the bound columns, so both consumers read
+    // this single row instead of re-censusing the corpus
+    val merged = lineageBreaker(None)(
+      side(a, "a").crossJoin(broadcast(side(b, "b")))
+        .withColumn("grp", lit("all")))
+    welchTFinishFromSides(merged)
+      .drop("grp")
+      .crossJoin(broadcast(merged.select(
+        col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b"))))
+      .select(col("n_a"), col("n_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b"), col("mean_a"), col("mean_b"),
+        col("t"), col("df"))
+  }
+
   /** Bucketed two-sample KS — the SKETCH path for [[ksStatistic]]'s
     * wide-census refuse (r14, VERDICT r13 missing #1): pre-bucket the
     * value by the q108 portable floor division (`floor(v/width)` —

@@ -2096,6 +2096,49 @@ object Extended {
       col("o_totalprice"), tau2 = 1000000.0)
   }
 
+  /** q247: quantile treatment effects over the parity-arm order
+    * totals ([[graft.api.Ops.quantileTreatmentEffect]], r17 wave 5 —
+    * the distributional experiment readout: exact per-arm rank
+    * quantiles at p10/p25/p50/p75/p90 and their exact decimal
+    * differences).
+    */
+  def q247(t: Tables): DataFrame = {
+    val o = t.orders.filter(col("o_totalprice").isNotNull)
+    graft.api.Ops.quantileTreatmentEffect(
+      o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 =!= 0),
+      col("o_totalprice"))
+      .orderBy(col("pct"))
+  }
+
+  /** q248: winsorized Welch t over the same arms
+    * ([[graft.api.Ops.winsorizedWelch]] — the robust ATE: clip each
+    * arm at its own exact 5/95 rank bounds, then the shared Welch
+    * tree).
+    */
+  def q248(t: Tables): DataFrame = {
+    val o = t.orders.filter(col("o_totalprice").isNotNull)
+    graft.api.Ops.winsorizedWelch(
+      o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 =!= 0),
+      col("o_totalprice"), pctLow = 5)
+  }
+
+  /** q249: per-priority quantile treatment effects
+    * ([[graft.api.Ops.quantileTreatmentEffectByGroup]] — each
+    * segment's distributional readout independently, every window
+    * segment-partitioned).
+    */
+  def q249(t: Tables): DataFrame = {
+    val o = t.orders.filter(col("o_totalprice").isNotNull &&
+      col("o_orderpriority").isNotNull)
+    graft.api.Ops.quantileTreatmentEffectByGroup(
+      o.filter(col("o_orderkey") % 2 === 0),
+      o.filter(col("o_orderkey") % 2 =!= 0),
+      "o_orderpriority", col("o_totalprice"))
+      .orderBy(col("grp"), col("pct"))
+  }
+
   /** q246: per-priority always-valid CI
     * ([[graft.api.Ops.alwaysValidCiByGroup]] — the q208 keying).
     */

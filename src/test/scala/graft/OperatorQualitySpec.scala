@@ -53,6 +53,80 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(recall > 0.3, s"IVF recall $recall vs brute force too low")
   }
 
+  test("r17 quantileTreatmentEffect: exact rank semantics hand-checked; a tail-only shift moves p90 and nothing else; keyed ≡ whole-frame per slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.Ops
+    // hand-check: arm a = 1..10, arm b = 11..20; p50 rank = ceil(5.0)
+    // = 5 → a 5.00, b 15.00; p90 rank 9 → a 9.00, b 19.00
+    val a10 = (1 to 10).map(_.toDouble).toDF("v")
+    val b10 = (11 to 20).map(_.toDouble).toDF("v")
+    val hand = Ops.quantileTreatmentEffect(a10, b10, col("v"))
+      .orderBy(col("pct")).collect()
+      .map(r => r.getLong(0) -> (r.getDecimal(3), r.getDecimal(4))).toMap
+    assert(hand(50L)._1.doubleValue == 5.0 && hand(50L)._2.doubleValue == 15.0,
+      s"p50: ${hand(50L)}")
+    assert(hand(90L)._1.doubleValue == 9.0 && hand(90L)._2.doubleValue == 19.0,
+      s"p90: ${hand(90L)}")
+    assert(hand(10L)._1.doubleValue == 1.0, s"p10 rank ceil(1.0)=1: ${hand(10L)}")
+    // tail-only shift: identical bodies, arm b's top ~15% doubled —
+    // the p90 pick (rank 180, just past the 85-boundary's cum 170)
+    // must move while p10..p75 stay inside the untouched body
+    val body = (1 to 200).map(i => (i % 100 + 1).toDouble)
+    val aT = body.toDF("v")
+    val bT = body.map(v => if (v > 85) v * 2 else v).toDF("v")
+    val qte = Ops.quantileTreatmentEffect(aT, bT, col("v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(5).doubleValue).toMap
+    assert(qte(10L) == 0.0 && qte(25L) == 0.0 && qte(50L) == 0.0 &&
+      qte(75L) == 0.0, s"the body must not move: $qte")
+    assert(qte(90L) > 0.0, s"the planted tail shift must surface at p90: $qte")
+    // keyed ≡ whole-frame per slice; a one-armed segment reports
+    val ka = a10.withColumn("g", lit("s1"))
+      .unionByName(aT.withColumn("g", lit("s2")))
+    val kb = b10.withColumn("g", lit("s1"))
+    val keyed = Ops.quantileTreatmentEffectByGroup(ka, kb, "g", col("v"))
+      .orderBy(col("grp"), col("pct")).collect()
+    val s1 = keyed.filter(_.getString(0) == "s1").map(_.toSeq.drop(1).toSeq).toSeq
+    val wf = Ops.quantileTreatmentEffect(a10, b10, col("v"))
+      .orderBy(col("pct")).collect().map(_.toSeq.toSeq).toSeq
+    assert(s1 == wf, "keyed segment must equal the whole-frame slice")
+    val s2 = keyed.filter(_.getString(0) == "s2")
+    assert(s2.nonEmpty && s2.forall(r => r.getLong(3) == 0L && r.isNullAt(6)),
+      s"the one-armed segment must report with null qte: ${s2.toSeq}")
+    intercept[IllegalArgumentException] {
+      Ops.quantileTreatmentEffect(a10, b10, col("v"), pcts = Seq(0))
+    }
+  }
+
+  test("r17 winsorizedWelch: a planted whale that flips the raw Welch barely moves the winsorized one; bounds are the exact rank picks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.Ops
+    val base = (1 to 100).map(i => 100.0 + (i % 11))
+    val a = (base :+ 1000000.0).toDF("v") // one whale
+    val b = base.map(_ + 0.5).toDF("v")
+    val raw = Ops.welchT(a, b, col("v")).collect().head
+    val win = Ops.winsorizedWelch(a, b, col("v"), pctLow = 5).collect().head
+    val rawT = math.abs(raw.getAs[Double]("t"))
+    val winT = math.abs(win.getAs[Double]("t"))
+    // the whale inflates arm a's raw mean ~9900 above b; winsorizing
+    // clips it to the 95th-percentile value, so the tiny true 0.5
+    // shift is what remains
+    assert(math.abs(win.getAs[Double]("mean_a") - win.getAs[Double]("mean_b")) < 2.0,
+      s"winsorized means must sit near the true body: $win")
+    assert(math.abs(raw.getAs[Double]("mean_a") - raw.getAs[Double]("mean_b")) > 1000.0,
+      s"the raw mean must be whale-dominated: $raw")
+    assert(winT < rawT || rawT < 2.0,
+      s"winsorizing must defuse the whale (raw |t|=$rawT, wins |t|=$winT)")
+    // bounds: arm b's exact rank-5 pick — the first census value
+    // (100.5) already carries cumulative count 9 ≥ 5
+    assert(win.getDecimal(4).doubleValue == 100.5,
+      s"lo_b must be the rank-5 value: $win")
+    intercept[IllegalArgumentException] {
+      Ops.winsorizedWelch(a, b, col("v"), pctLow = 0)
+    }
+  }
+
   test("r17 alwaysValidCi: the defining duality — msprt rejects at α exactly when 0 falls outside the CI; keyed ≡ whole-frame per slice") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -72,6 +72,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // dedicated pin below. (q246's keyed merge stays in the
       // generic lock: no keyless joins.)
       "q245_avci",
+      // q247/q249: the 5-row percentile-level frame crosses onto each
+      // arm's census (bounded × ≤99) — dedicated pins below. q248
+      // additionally materializes its merged moment row (building the
+      // plan runs the checkpoint) and crosses the 1-row bounds onto
+      // the corpus (the q181 shape).
+      "q247_qte", "q248_winsorized_welch", "q249_qte_by_group",
       // q136's census completion crosses the groups-sized totals with
       // the broadcast 9-row digit frame — the q48/q76 bounded-frame
       // shape; its dedicated pin below bounds it to exactly that one
@@ -231,7 +237,15 @@ class PlanShapeSpec extends AnyFunSuite {
       // crossed onto the vocab-sized type table; gram joins KEYED
       ("q244_kn_lm", 1, "the 1-row discount/total cross onto the vocab-sized type table"),
       // r17 q245: the q196 shape — the 1-row × 1-row moment cross
-      ("q245_avci", 1, "the 1-row × 1-row moment-frame cross"))) {
+      ("q245_avci", 1, "the 1-row × 1-row moment-frame cross"),
+      // r17 q247/q249: one 5-row percentile-level broadcast cross per
+      // arm census (bounded × ≤99); every arm join stays keyed
+      ("q247_qte", 2, "the two 5-row level crosses onto the arm censuses"),
+      ("q249_qte_by_group", 2, "the two 5-row level crosses onto the keyed arm censuses"),
+      // r17 q248: the merged moment row is checkpoint-materialized
+      // (the per-arm bound/corpus crosses run inside that stage), so
+      // the SERVING plan carries exactly the final 1-row lo/hi cross
+      ("q248_winsorized_welch", 1, "the final 1-row lo/hi scalar cross onto the checkpointed moment row"))) {
       val plan = physicalPlan(name)
       val keyless = plan.linesIterator.count(l =>
         l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
