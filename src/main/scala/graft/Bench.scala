@@ -108,7 +108,8 @@ object Bench {
     "q237_gs_pocock", "q238_gs_by_group", "q239_gs_absorbed",
     "q240_nprobe_curve", "q241_wordpiece_train", "q242_wordpiece_encode",
     "q243_dsir_select", "q244_kn_lm", "q245_avci", "q246_avci_by_group",
-    "q247_qte", "q248_winsorized_welch", "q249_qte_by_group")
+    "q247_qte", "q248_winsorized_welch", "q249_qte_by_group",
+    "q250_qte_sketch")
 
   /** Queries whose JIT tail outlasts ONE warm-up (r15 q102 A/B:
     * same-host runs keep descending through run ~6 — first timed run

@@ -550,6 +550,9 @@ object ScaleProbe {
       // windows; the winsorized form adds one clamped row pass
       "q249_qte_grp"  -> (t => operators.Extended.q249(t)),
       "q248_winsor"   -> (t => operators.Extended.q248(t)),
+      // r17 wave 5: the artifact-served sketch QTE — register
+      // censuses absorb; decide walks resolution-bounded registers
+      "q250_qte_sk"   -> (t => operators.Extended.q250(t)),
       // r12: incremental SCD2 — prepare on the first 3 extracts, then
       // absorb the 4th: cost must track ONE open-frame ⋈ extract join
       // plus the linear closed-history rewrite, never a series rescan

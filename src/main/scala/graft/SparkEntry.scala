@@ -269,6 +269,7 @@ object SparkEntry {
     "q247_qte"            -> q(Extended.q247),
     "q248_winsorized_welch" -> q(Extended.q248),
     "q249_qte_by_group"   -> q(Extended.q249),
+    "q250_qte_sketch"     -> q(Extended.q250),
   )
 
   // ---- oracle SQL fragments (keep in lockstep with Portable helpers) ----
@@ -7040,6 +7041,44 @@ object SparkEntry {
     "q247_qte" -> qteOracleSql(grouped = false),
     "q249_qte_by_group" -> qteOracleSql(grouped = true),
     "q248_winsorized_welch" -> winsorizedWelchOracleSql,
+    // q250: the sketch QTE through the absorbing artifacts — absorb
+    // is exact register addition, so the full-data replay is the
+    // correct oracle (q108 register census + ceil(q·tot) midpoint
+    // pick per arm, keyed FULL OUTER)
+    "q250_qte_sketch" -> {
+      def armOf(arm: String, pre: String) =
+        s"""${pre}r AS (
+           |  SELECT g, CAST(floor(v / 100.0) AS BIGINT) AS b,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM s WHERE arm = '$arm'
+           |    AND v / 100.0 BETWEEN -CAST(4611686018427387904 AS DOUBLE)
+           |      AND CAST(4611686018427387904 AS DOUBLE)
+           |  GROUP BY 1, 2),
+           |${pre}c AS (
+           |  SELECT g, b, CAST(SUM(n) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cum,
+           |    CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS tot FROM ${pre}r),
+           |${pre}q AS (
+           |  SELECT g, pct, MAX(tot) AS n_$pre,
+           |    (CAST(MIN(CASE WHEN cum >=
+           |        CAST(ceil(CAST(pct AS DOUBLE) / 100.0 * tot) AS BIGINT)
+           |      THEN b END) AS DOUBLE) + 0.5) * 100.0 AS q_${pre}_mid
+           |  FROM ${pre}c CROSS JOIN lv GROUP BY 1, 2)""".stripMargin
+      s"""WITH s AS (
+         |  SELECT o_orderpriority AS g,
+         |    CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         |    CAST(o_totalprice AS DOUBLE) AS v
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL),
+         |lv AS (SELECT CAST(unnest([10, 25, 50, 75, 90]) AS BIGINT) AS pct),
+         |${armOf("A", "a")},
+         |${armOf("B", "b")}
+         |SELECT COALESCE(aq.g, bq.g) AS o_orderpriority,
+         |  COALESCE(aq.pct, bq.pct) AS pct,
+         |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |  q_a_mid, q_b_mid, round(q_b_mid - q_a_mid, 6) AS qte_mid
+         |FROM aq FULL OUTER JOIN bq ON aq.g = bq.g AND aq.pct = bq.pct
+         |ORDER BY o_orderpriority, pct""".stripMargin
+    },
     // q244: interpolated Kneser–Ney — exact count censuses, the
     // count-of-counts discount, continuation probabilities, round-12
     // ln terms summed as DECIMAL(38,12)

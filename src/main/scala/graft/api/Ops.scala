@@ -4447,6 +4447,75 @@ object Ops {
         col("q_a"), col("q_b"), col("qte")): _*)
   }
 
+  /** Bucketed quantile treatment effects — the SKETCH path for
+    * [[quantileTreatmentEffect]]'s wide-census refuse (the
+    * KS/MWU/median pattern: every exact rank operator ships its
+    * resolution-bounded sibling): both arms collapse to the q108
+    * bucket registers, each percentile picks the nearest-rank BUCKET
+    * (`ceil(q·tot)` — the [[quantileFromRegisters]] serve surface,
+    * shared code) and reports its MIDPOINT, so each arm's estimate
+    * is within width/2 of the exact quantile and `qte_mid` within
+    * `bucketWidth` of the exact QTE (the q108 bound). Returns one
+    * row per (segment?, pct): (…, pct, n_a, n_b, q_a_mid, q_b_mid,
+    * qte_mid round 6).
+    */
+  def quantileTreatmentEffectSketch(a: DataFrame, b: DataFrame, value: Column,
+                                    bucketWidth: Double,
+                                    pcts: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    qteRequires(pcts)
+    qteSketchJoin(
+      quantileRegisters(a, Seq.empty, value, bucketWidth),
+      quantileRegisters(b, Seq.empty, value, bucketWidth),
+      bucketWidth, pcts, keyCols = Nil)
+  }
+
+  /** [[quantileTreatmentEffectSketch]] served from two
+    * [[PreparedQuantiles]] artifacts — the experiment monitor's
+    * form: each arm's value census absorbs its traffic increments
+    * (exact addition), and the distributional readout re-reads from
+    * the artifacts at any time over ALL traffic so far. Keyed when
+    * the artifacts are (same group, same width — enforced).
+    */
+  def qteSketchFromPrepared(pa: PreparedQuantiles, pb: PreparedQuantiles,
+                            pcts: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    qteRequires(pcts)
+    require(pa.bucketWidth == pb.bucketWidth,
+      s"qteSketchFromPrepared: arms carry different bucket widths " +
+        s"(${pa.bucketWidth} vs ${pb.bucketWidth}) — the bucket censuses are incomparable")
+    require(pa.group == pb.group,
+      s"qteSketchFromPrepared: arms keyed by different segments " +
+        s"(${pa.group} vs ${pb.group})")
+    qteSketchJoin(pa.regs, pb.regs, pa.bucketWidth, pcts, keyCols = pa.group)
+  }
+
+  /** The shared sketch-QTE tail over two register tables: per side
+    * the [[quantileFromRegisters]] midpoints (one column per pct,
+    * melted to rows) + the register total, FULL OUTER join, round-6
+    * midpoint difference.
+    */
+  private def qteSketchJoin(ra: DataFrame, rb: DataFrame, width: Double,
+                            pcts: Seq[Int], keyCols: Seq[String]): DataFrame = {
+    def side(regs: DataFrame, suf: String): DataFrame = {
+      val wide = quantileFromRegisters(regs, keyCols, width,
+        pcts.map(p => (s"__p$p", p / 100.0)))
+      val n = regs.groupBy(keyCols.map(col): _*)
+        .agg(sum(col("__qn")).as(s"n_$suf"))
+      val melted = wide.select(keyCols.map(col) :+
+        explode(array(pcts.map(p => struct(lit(p.toLong).as("pct"),
+          col(s"__p$p").as(s"q_${suf}_mid"))): _*)).as("__m"): _*)
+        .select(keyCols.map(col) ++ Seq(col("__m.pct").as("pct"),
+          col(s"__m.q_${suf}_mid").as(s"q_${suf}_mid")): _*)
+      if (keyCols.isEmpty) melted.crossJoin(broadcast(n))
+      else melted.join(n, keyCols)
+    }
+    side(ra, "a").join(side(rb, "b"), keyCols :+ "pct", "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("qte_mid", round(col("q_b_mid") - col("q_a_mid"), 6))
+      .select(keyCols.map(col) ++ Seq(col("pct"), col("n_a"), col("n_b"),
+        col("q_a_mid"), col("q_b_mid"), col("qte_mid")): _*)
+  }
+
   /** Winsorized Welch t — the ROBUST average-treatment-effect readout
     * (r17 wave 5: the heavy-tail discipline every revenue experiment
     * ships — a single whale order swings the raw mean; clipping each

@@ -2139,6 +2139,30 @@ object Extended {
       .orderBy(col("grp"), col("pct"))
   }
 
+  /** q250: per-priority SKETCH QTE through the absorbing artifacts
+    * ([[graft.api.Ops.qteSketchFromPrepared]], r17 wave 5 — each
+    * arm's pre-1998 traffic is PREPARED and 1998+ ABSORBED, then the
+    * distributional readout decides off the artifacts; absorb is
+    * exact register addition, so the oracle replays all rows — the
+    * q239/q231 statement applied to the QTE monitor).
+    */
+  def q250(t: Tables): DataFrame = {
+    val o = t.orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderpriority").isNotNull)
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    val early = o.filter(col("o_orderdate").cast("timestamp") < cut)
+    val late = o.filter(col("o_orderdate").cast("timestamp") >= cut)
+    def arm(df: DataFrame, even: Boolean) =
+      df.filter(if (even) col("o_orderkey") % 2 === 0 else col("o_orderkey") % 2 =!= 0)
+    def prep(even: Boolean) = graft.api.Ops
+      .prepareQuantiles(arm(early, even), Seq("o_orderpriority"),
+        col("o_totalprice"), bucketWidth = 100.0)
+      .absorb(arm(late, even), col("o_totalprice"))
+    graft.api.Ops.qteSketchFromPrepared(prep(even = true), prep(even = false))
+      .orderBy(col("o_orderpriority"), col("pct"))
+  }
+
   /** q246: per-priority always-valid CI
     * ([[graft.api.Ops.alwaysValidCiByGroup]] — the q208 keying).
     */

@@ -1415,6 +1415,48 @@ object Streams {
       .start()
   }
 
+  /** Live distributional experiment monitoring (r17 — the QTE member
+    * of the cumulative-governance streams: each trigger's (arm,
+    * metric) rows absorb into the two arms' [[graft.api.Ops
+    * .PreparedQuantiles]] censuses (exact addition) and the sink
+    * receives [[graft.api.Ops.qteSketchFromPrepared]] decided over
+    * ALL traffic so far — the per-percentile readout that catches a
+    * launch moving the p90 while the mean monitors stay calm,
+    * updated live). Same [[IngestLoop]] replay guards (register
+    * sums are not replay-idempotent); reliable prep REQUIRED on
+    * both arms.
+    */
+  def qteIngestStream(records: DataFrame, arm: org.apache.spark.sql.Column,
+                      value: org.apache.spark.sql.Column,
+                      armA: String, armB: String,
+                      preparedA: graft.api.Ops.PreparedQuantiles,
+                      preparedB: graft.api.Ops.PreparedQuantiles,
+                      checkpointDir: String,
+                      pcts: Seq[Int] = Seq(10, 25, 50, 75, 90))(
+                      sink: (DataFrame, graft.api.Ops.PreparedQuantiles, graft.api.Ops.PreparedQuantiles) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(preparedA.reliable && preparedB.reliable,
+      "qteIngestStream needs PreparedQuantiles built with a reliable " +
+        "checkpointDir on BOTH arms (prepareQuantiles(..., checkpointDir = Some(dir)))")
+    import org.apache.spark.sql.functions.col
+    val loop = new IngestLoop[DataFrame,
+        (graft.api.Ops.PreparedQuantiles, graft.api.Ops.PreparedQuantiles)](
+      (preparedA, preparedB),
+      (_, batch) => batch
+        .filter(arm.isNotNull && value.isNotNull)
+        .select(arm.cast("string").as("__arm"), value.as("__v")),
+      { case ((pa, pb), kept) =>
+        (pa.absorb(kept.filter(col("__arm") === armA), col("__v"),
+          Some(checkpointDir)),
+         pb.absorb(kept.filter(col("__arm") === armB), col("__v"),
+          Some(checkpointDir))) },
+      { case (_, (pa, pb)) =>
+        sink(graft.api.Ops.qteSketchFromPrepared(pa, pb, pcts), pa, pb) })
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) => loop.handle(batch, bid) }
+      .outputMode("update")
+      .start()
+  }
+
   /** Live classifier-calibration monitor (r15 — the MODEL-MONITORING
     * member of the cumulative-governance streams beside
     * [[msprtStream]]/[[kArmMonitorStream]]: a deployed quality/

@@ -98,6 +98,43 @@ class OperatorQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("r17 quantileTreatmentEffectSketch: every midpoint within width/2 of the exact quantile, qte_mid within width; prepared-arm guards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.Ops
+    val a = (1 to 500).map(i => (i % 173).toDouble).toDF("v")
+    val b = (1 to 500).map(i => ((i * 7) % 211 + 20).toDouble).toDF("v")
+    val width = 8.0
+    val exact = Ops.quantileTreatmentEffect(a, b, col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue,
+          r.getDecimal(5).doubleValue)).toMap
+    val sk = Ops.quantileTreatmentEffectSketch(a, b, col("v"), width)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    exact.keys.foreach { p =>
+      assert(math.abs(sk(p)._1 - exact(p)._1) <= width / 2,
+        s"p$p arm a midpoint: ${sk(p)._1} vs exact ${exact(p)._1}")
+      assert(math.abs(sk(p)._2 - exact(p)._2) <= width / 2,
+        s"p$p arm b midpoint: ${sk(p)._2} vs exact ${exact(p)._2}")
+      assert(math.abs(sk(p)._3 - exact(p)._3) <= width,
+        s"p$p qte_mid: ${sk(p)._3} vs exact ${exact(p)._3}")
+    }
+    // from-prepared ≡ the one-shot sketch (shared code, exact absorb)
+    val pa = Ops.prepareQuantiles(a, Seq.empty, col("v"), width)
+    val pb = Ops.prepareQuantiles(b, Seq.empty, col("v"), width)
+    assert(Ops.qteSketchFromPrepared(pa, pb).collect().map(_.toSeq.toSeq).toSet ==
+      Ops.quantileTreatmentEffectSketch(a, b, col("v"), width)
+        .collect().map(_.toSeq.toSeq).toSet)
+    intercept[IllegalArgumentException] {
+      Ops.qteSketchFromPrepared(pa, Ops.prepareQuantiles(b, Seq.empty, col("v"), 4.0))
+    }
+    intercept[IllegalArgumentException] {
+      Ops.qteSketchFromPrepared(pa,
+        Ops.prepareQuantiles(b.withColumn("g", lit("x")), Seq("g"), col("v"), width))
+    }
+  }
+
   test("r17 winsorizedWelch: a planted whale that flips the raw Welch barely moves the winsorized one; bounds are the exact rank picks") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

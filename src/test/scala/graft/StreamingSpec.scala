@@ -2163,6 +2163,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("r17 qteIngestStream: trigger k's distributional readout ≡ from-prepared over union(triggers 1..k); a late tail shift surfaces at p90 only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy(col("pct")).collect().map(_.toSeq.toSeq).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qtei").toString
+    def prep0 = graft.api.Ops.prepareQuantiles(
+      Seq.empty[Double].toDF("v"), Seq.empty, col("v"), 5.0, Some(s"$tmp/ck"))
+    def batchOf(all: Seq[(String, Double)]): Seq[Seq[Any]] = rows(
+      graft.api.Ops.qteSketchFromPrepared(
+        graft.api.Ops.prepareQuantiles(
+          all.filter(_._1 == "a").map(_._2).toDF("v"), Seq.empty, col("v"), 5.0),
+        graft.api.Ops.prepareQuantiles(
+          all.filter(_._1 == "b").map(_._2).toDF("v"), Seq.empty, col("v"), 5.0)))
+    val stream = MemoryStream[(String, Double)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q = Streams.qteIngestStream(stream.toDF().toDF("arm", "v"),
+      col("arm"), col("v"), "a", "b", prep0, prep0, s"$tmp/ck")(
+      (r, _, _) => { got += rows(r); () })
+    // trigger 1: identical bodies; trigger 2: arm b's tail doubles
+    val body = (1 to 100).map(i => (i % 50 + 1).toDouble)
+    val t1 = body.map(("a", _)) ++ body.map(("b", _))
+    // the shift must survive DILUTION by trigger 1's calm traffic:
+    // half of t2's arm-b values quadruple, so the union's p90 rank
+    // (180 of 200) lands past the unshifted body
+    val t2 = body.map(("a", _)) ++ body.map(v => ("b", if (v > 25) v * 4 else v))
+    try {
+      stream.addData(t1); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size == 2)
+    assert(got(0) == batchOf(t1), "trigger 1 ≡ from-prepared over t1")
+    assert(got(1) == batchOf(t1 ++ t2), "trigger 2 ≡ from-prepared over t1 ∪ t2")
+    // the monitoring story: flat at trigger 1, p90 moves at trigger 2
+    def qteAt(b: Seq[Seq[Any]], p: Long) =
+      b.find(_(0) == p).get.last.asInstanceOf[Double]
+    assert(qteAt(got(0), 90L) == 0.0, s"identical bodies: ${got(0)}")
+    assert(qteAt(got(1), 90L) > 0.0 && qteAt(got(1), 25L) == 0.0,
+      s"the late tail shift must surface at p90 and not the body: ${got(1)}")
+    intercept[IllegalArgumentException] {
+      Streams.qteIngestStream(stream.toDF().toDF("arm", "v"),
+        col("arm"), col("v"), "a", "b",
+        graft.api.Ops.prepareQuantiles(Seq.empty[Double].toDF("v"), Seq.empty,
+          col("v"), 5.0),
+        prep0, s"$tmp/ck")((_, _, _) => ())
+    }
+  }
+
   test("r15 calibrationStream: the cumulative reliability diagram ≡ batch calibrationBins over all traffic; restart resumes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
