@@ -548,6 +548,8 @@ object ScaleProbe {
       "q246_avci_grp" -> (t => operators.Extended.q246(t)),
       // r17 wave 5: QTE/winsorized — value-domain censuses + bounded
       // windows; the winsorized form adds one clamped row pass
+      "q245_avci"     -> (t => operators.Extended.q245(t)),
+      "q247_qte"      -> (t => operators.Extended.q247(t)),
       "q249_qte_grp"  -> (t => operators.Extended.q249(t)),
       "q248_winsor"   -> (t => operators.Extended.q248(t)),
       // r17 wave 5: the artifact-served sketch QTE — register
