@@ -5852,11 +5852,12 @@ object SparkEntry {
         |      AS DECIMAL(38,0)) AS br
         |  FROM b GROUP BY 1, 2)
         |SELECT source, bin, n, n_pos,
-        |  round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_score,
-        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
-        |  round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) -
-        |    round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6), 6) AS gap,
-        |  round(CAST(br AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS brier
+        |  CAST((ssum * 2 + n) // (n * 2) AS DOUBLE) / 1000000.0 AS mean_score,
+        |  CAST((n_pos * 2000000 + n) // (n * 2) AS DOUBLE) / 1000000.0 AS pos_rate,
+        |  CAST((n_pos * 2000000 + n) // (n * 2)
+        |    - (ssum * 2 + n) // (n * 2) AS DOUBLE) / 1000000.0 AS gap,
+        |  CAST((CAST(br AS HUGEINT) * 2 + CAST(n AS HUGEINT) * 1000000)
+        |    // (CAST(n AS HUGEINT) * 2000000) AS DOUBLE) / 1000000.0 AS brier
         |FROM agg ORDER BY source, bin""".stripMargin,
 
     // q200: the q35 brute-force CTEs and the q36 IVF CTEs, then the
@@ -5918,11 +5919,12 @@ object SparkEntry {
         |      AS DECIMAL(38,0)) AS br
         |  FROM b GROUP BY 1)
         |SELECT bin, n, n_pos,
-        |  round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_score,
-        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
-        |  round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) -
-        |    round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6), 6) AS gap,
-        |  round(CAST(br AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0, 6) AS brier
+        |  CAST((ssum * 2 + n) // (n * 2) AS DOUBLE) / 1000000.0 AS mean_score,
+        |  CAST((n_pos * 2000000 + n) // (n * 2) AS DOUBLE) / 1000000.0 AS pos_rate,
+        |  CAST((n_pos * 2000000 + n) // (n * 2)
+        |    - (ssum * 2 + n) // (n * 2) AS DOUBLE) / 1000000.0 AS gap,
+        |  CAST((CAST(br AS HUGEINT) * 2 + CAST(n AS HUGEINT) * 1000000)
+        |    // (CAST(n AS HUGEINT) * 2000000) AS DOUBLE) / 1000000.0 AS brier
         |FROM agg ORDER BY bin""".stripMargin,
 
     // q211: the q210 chain reduced to one row per segment, then the

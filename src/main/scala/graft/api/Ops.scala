@@ -526,9 +526,20 @@ object Ops {
     * .dsirScoreAgainst]] (which emits every doc).
     */
   private[graft] def dsirScore(docs: DataFrame, p: PreparedDsir,
-                               id: String, text: String): DataFrame = {
+                               id: String, text: String): DataFrame =
+    dsirScoreFromCensus(docs, p, id,
+      dsirGramBuckets(docs, Some(id), text, p.buckets, p.seed))
+
+  /** [[dsirScore]] over a caller-supplied per-document bucket census
+    * (r17 optimization round): [[GraftDataFrameOps.dsirSelect]]
+    * materializes the census once and derives the raw profile from it
+    * too, so the raw corpus pays one gram explode instead of two.
+    */
+  private[graft] def dsirScoreFromCensus(docs: DataFrame, p: PreparedDsir,
+                                         id: String,
+                                         docCensus: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val docW = dsirGramBuckets(docs, Some(id), text, p.buckets, p.seed)
+    val docW = docCensus
       .join(broadcast(p.lnpTarget), Seq("__b"))
       .join(broadcast(p.lnpRaw), Seq("__b"))
       .groupBy(col("__did"))
@@ -1218,14 +1229,19 @@ object Ops {
     * [[governanceBatteryFromPrepared]] both end here (r17, the
     * welchTFinishFromSides discipline).
     */
-  private[graft] def ksStatisticFinishFromCensus(m: DataFrame,
-                                                 allowWideCensus: Boolean,
-                                                 maxExactCensusRows: Long): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+  /** The shared rank-census window pass (r17 optimization round): per
+    * (grp, v) row of a merged census, the per-segment totals, census
+    * width and running cumulatives that BOTH the keyed MWU and the
+    * keyed KS consume. Factored out so the governance battery computes
+    * the (join + sort + window) pass ONCE for the two tests instead of
+    * twice; the standalone forms route through it unchanged. All
+    * columns are exact longs — the derivations below are bit-identical
+    * to the per-test windows they replace.
+    */
+  private[graft] def governanceRankStats(m: DataFrame): DataFrame = {
     val wAll = Window.partitionBy(col("grp"))
     val wRun = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val d18 = DecimalType(18, 0)
     m.withColumn("n_a", sum(col("ca")).over(wAll))
       .withColumn("n_b", sum(col("cb")).over(wAll))
       // per-SEGMENT census gate (the windows here are group-
@@ -1234,7 +1250,21 @@ object Ops {
       .withColumn("__cn", count(lit(1)).over(wAll))
       .withColumn("__cumA", sum(col("ca")).over(wRun))
       .withColumn("__cumB", sum(col("cb")).over(wRun))
-      .withColumn("d_num", gateWideCensus(
+  }
+
+  private[graft] def ksStatisticFinishFromCensus(m: DataFrame,
+                                                 allowWideCensus: Boolean,
+                                                 maxExactCensusRows: Long): DataFrame =
+    ksStatisticFinishFromStats(governanceRankStats(m),
+      allowWideCensus, maxExactCensusRows)
+
+  /** The keyed-KS tail over a [[governanceRankStats]] frame. */
+  private[graft] def ksStatisticFinishFromStats(st: DataFrame,
+                                                allowWideCensus: Boolean,
+                                                maxExactCensusRows: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d18 = DecimalType(18, 0)
+    st.withColumn("d_num", gateWideCensus(
         abs(col("__cumA").cast(d18) * col("n_b").cast(d18) -
           col("__cumB").cast(d18) * col("n_a").cast(d18))
           .cast(DecimalType(38, 0)),
@@ -1283,17 +1313,26 @@ object Ops {
     */
   private[graft] def mannWhitneyUFinishFromCensus(m0: DataFrame,
                                                   allowWideCensus: Boolean,
-                                                  maxExactCensusRows: Long): DataFrame = {
+                                                  maxExactCensusRows: Long): DataFrame =
+    mannWhitneyUFinishFromStats(governanceRankStats(m0),
+      allowWideCensus, maxExactCensusRows)
+
+  /** The keyed-MWU tail over a [[governanceRankStats]] frame. The
+    * prior-count rank term derives from the shared cumulatives —
+    * `S = cumA + cumB − m` is exactly `Σ m over rows before` (longs,
+    * bit-identical to the dedicated unbounded-preceding window it
+    * replaces).
+    */
+  private[graft] def mannWhitneyUFinishFromStats(st: DataFrame,
+                                                 allowWideCensus: Boolean,
+                                                 maxExactCensusRows: Long): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val wBefore = Window.partitionBy(col("grp")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val d12 = DecimalType(12, 0); val d19 = DecimalType(19, 0)
-    val agg = m0
+    val agg = st
       .withColumn("__m", col("ca") + col("cb"))
       // per-SEGMENT census gate: see MaxExactCensusRows
-      .withColumn("__cn", count(lit(1)).over(Window.partitionBy(col("grp"))))
       .withColumn("__s", gateWideCensus(
-        coalesce(sum(col("__m")).over(wBefore), lit(0L)),
+        col("__cumA") + col("__cumB") - col("__m"),
         col("__cn"), "mannWhitneyUByGroup", allowWideCensus, maxExactCensusRows))
       .groupBy(col("grp"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
@@ -3019,13 +3058,41 @@ object Ops {
                                meanValue: Column,
                                rankValue: Column,
                                allowWideCensus: Boolean = false,
-                               maxExactCensusRows: Long = MaxExactCensusRows): DataFrame =
-    governanceBatteryFinish(
-      welchTByGroup(a, b, group, meanValue),
-      mannWhitneyUByGroup(a, b, group, rankValue,
-        allowWideCensus, maxExactCensusRows),
-      ksStatisticByGroup(a, b, group, rankValue,
-        allowWideCensus, maxExactCensusRows))
+                               maxExactCensusRows: Long = MaxExactCensusRows): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // r17 optimization round (guide §2.4 — remove redundant passes):
+    // ONE combined census per side, materialized once and fanned to
+    // the three shared finisher tails, instead of six separate row
+    // aggregations (Welch/MWU/KS × two sides). The rank key is the
+    // raw long cast (the exact path, bit-identical to the per-test
+    // censuses it replaces) and the finishers are the same shared
+    // tails the artifact battery uses, so every emitted value is
+    // unchanged — the q221 gate re-verifies.
+    def cen(df: DataFrame) = lineageBreaker(None)(
+      governanceCombinedCensus(df, group, meanValue,
+        rankValue.cast("long"), rankValue))
+    val caC = cen(a); val cbC = cen(b)
+    def tag(m: DataFrame, suf: String) = m.select(col("grp"),
+      col("n").as(s"n_$suf"),
+      col("s").cast(DecimalType(38, 2)).as(s"__s_$suf"),
+      col("ss").cast(DecimalType(38, 4)).as(s"__ss_$suf"))
+    val welch = welchTFinishFromSides(
+      tag(governanceMomentsOf(caC), "a").join(tag(governanceMomentsOf(cbC), "b"),
+        Seq("grp"), "full_outer"))
+    val rankMerged = governanceRanksOf(caC)
+      .select(col("grp"), col("v"), col("c").as("ca"))
+      .join(governanceRanksOf(cbC).select(col("grp"), col("v"), col("c").as("cb")),
+        Seq("grp", "v"), "full_outer")
+      .withColumn("ca", coalesce(col("ca"), lit(0L)))
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+    // the rank-window pass materializes ONCE and serves both rank
+    // tests (r17 optimization round — it was the battery's dominant
+    // stage, computed twice: once inside each finisher)
+    val st = lineageBreaker(None)(governanceRankStats(rankMerged))
+    governanceBatteryFinish(welch,
+      mannWhitneyUFinishFromStats(st, allowWideCensus, maxExactCensusRows),
+      ksStatisticFinishFromStats(st, allowWideCensus, maxExactCensusRows))
+  }
 
   /** The shared battery decision tail over the three per-segment
     * statistic frames — [[welchTByGroup]]'s (grp, …, t, df),
@@ -3065,34 +3132,57 @@ object Ops {
         col("p_holm"), col("reject_fwer"))
   }
 
-  /** The two governance censuses of one traffic frame (r17): the
-    * per-segment exact decimal MOMENTS of `meanValue` (what Welch
-    * needs) and the per-(segment, bucketed `rankValue`) COUNT census
-    * (what MWU and KS need). Both absorb by exact addition —
-    * `prepare(A).absorb(B)` ≡ `prepare(A ∪ B)` row-for-row — which
-    * is what makes [[PreparedGovernance]] cumulative. The rank
-    * census buckets by the q108 portable floor division
-    * ([[mannWhitneyUSketch]]'s pre-bucket): `bucketWidth = 1` on an
-    * integer domain is the identity (the battery is then EXACT);
-    * width > 1 is the resolution-bounded sketch path for wide
-    * domains, with the Sketch forms' coarsening bounds.
+  /** ONE-pass combined governance census (r17 optimization round,
+    * guide §1.2/§2.4 — the Welch moments census and the MWU/KS rank
+    * census are both exact-additive roll-ups of this finer frame, so
+    * computing them as two separate corpus aggregations paid a whole
+    * extra pass): per (segment, rank key) bucket, the rank COUNT plus
+    * the exact decimal moment partials of `meanValue`. `vCol` is the
+    * caller's rank key (the q108 floor bucket for the prepared
+    * artifact, the raw long cast for the exact row battery); rows
+    * whose rankValue is null land in the `v = null` bucket so their
+    * moments still count, and rows with both values null are dropped
+    * (they contribute to neither census). [[governanceMomentsOf]] /
+    * [[governanceRanksOf]] derive the two classic censuses
+    * bit-identically (long/decimal addition is associative — the same
+    * exactness argument that makes absorb ≡ prepare-union).
     */
-  private[graft] def governanceCensuses(df: DataFrame, group: String,
-                                        meanValue: Column, rankValue: Column,
-                                        bucketWidth: Long): (DataFrame, DataFrame) = {
+  private[graft] def governanceCombinedCensus(df: DataFrame, group: String,
+                                              meanValue: Column, vCol: Column,
+                                              rankValue: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d = graft.util.Portable.dec(meanValue)
-    val m = df.filter(col(group).isNotNull && meanValue.isNotNull)
-      .groupBy(col(group).as("grp"))
-      .agg(count(lit(1)).as("n"),
+    df.filter(col(group).isNotNull &&
+        (meanValue.isNotNull || rankValue.isNotNull))
+      .groupBy(col(group).as("grp"),
+        when(rankValue.isNotNull, vCol).as("v"))
+      .agg(count(when(rankValue.isNotNull, lit(1))).as("c"),
+        count(when(meanValue.isNotNull, lit(1))).as("n"),
         sum(d).cast(DecimalType(38, 2)).as("s"),
         sum(d * d).cast(DecimalType(38, 4)).as("ss"))
-    val r = df.filter(col(group).isNotNull && rankValue.isNotNull)
-      .groupBy(col(group).as("grp"),
-        rankBucket(rankValue, bucketWidth).as("v"))
-      .agg(count(lit(1)).as("c"))
-    (m, r)
   }
+
+  /** The per-segment Welch moments of a combined census — bit-equal
+    * to aggregating the rows directly (exact addition; a segment with
+    * no non-null meanValue row drops, exactly as the row aggregate
+    * drops it).
+    */
+  private[graft] def governanceMomentsOf(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    census.groupBy(col("grp"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("s")).cast(DecimalType(38, 2)).as("s"),
+        sum(col("ss")).cast(DecimalType(38, 4)).as("ss"))
+      .filter(col("n") > 0)
+      .select(col("grp"), col("n"), col("s"), col("ss"))
+  }
+
+  /** The (grp, v, c) rank census of a combined census (the `v = null`
+    * bucket holds moment-only rows and is not part of the rank
+    * census).
+    */
+  private[graft] def governanceRanksOf(census: DataFrame): DataFrame =
+    census.filter(col("v").isNotNull).select(col("grp"), col("v"), col("c"))
 
   /** Incrementally-maintained governance census pair (r17 — VERDICT
     * r16 missing #1/top-next: [[graft.streaming.Streams
@@ -3111,23 +3201,42 @@ object Ops {
     */
   final case class PreparedGovernance private[graft] (
       moments: DataFrame, ranks: DataFrame, group: String,
-      bucketWidth: Long, reliable: Boolean) {
+      bucketWidth: Long, reliable: Boolean,
+      private[graft] val combined: Option[DataFrame] = None) {
 
-    /** Absorb a traffic increment by exact census addition. */
+    /** Absorb a traffic increment by exact census addition (r17
+      * optimization round: one combined-census scan of the increment
+      * and ONE materialization when the artifact carries its combined
+      * census — a loaded artifact has only the two classic frames and
+      * keeps the two-frame merge).
+      */
     def absorb(increment: DataFrame, meanValue: Column, rankValue: Column,
                checkpointDir: Option[String] = None): PreparedGovernance = {
       val ckp = lineageBreaker(checkpointDir)
-      val (im, ir) = governanceCensuses(increment, group, meanValue,
-        rankValue, bucketWidth)
       import org.apache.spark.sql.types.DecimalType
-      val m2 = ckp(moments.unionByName(im).groupBy(col("grp"))
-        .agg(sum(col("n")).as("n"),
-          sum(col("s")).cast(DecimalType(38, 2)).as("s"),
-          sum(col("ss")).cast(DecimalType(38, 4)).as("ss")))
-      val r2 = ckp(ranks.unionByName(ir).groupBy(col("grp"), col("v"))
-        .agg(sum(col("c")).as("c")))
-      copy(moments = m2, ranks = r2,
-        reliable = reliable && checkpointDir.isDefined)
+      val ic = governanceCombinedCensus(increment, group, meanValue,
+        rankBucket(rankValue, bucketWidth), rankValue)
+      combined match {
+        case Some(c0) =>
+          val c2 = ckp(c0.unionByName(ic).groupBy(col("grp"), col("v"))
+            .agg(sum(col("c")).as("c"), sum(col("n")).as("n"),
+              sum(col("s")).cast(DecimalType(38, 2)).as("s"),
+              sum(col("ss")).cast(DecimalType(38, 4)).as("ss")))
+          copy(moments = governanceMomentsOf(c2), ranks = governanceRanksOf(c2),
+            reliable = reliable && checkpointDir.isDefined, combined = Some(c2))
+        case None =>
+          val icc = ckp(ic)
+          val m2 = ckp(moments.unionByName(governanceMomentsOf(icc))
+            .groupBy(col("grp"))
+            .agg(sum(col("n")).as("n"),
+              sum(col("s")).cast(DecimalType(38, 2)).as("s"),
+              sum(col("ss")).cast(DecimalType(38, 4)).as("ss")))
+          val r2 = ckp(ranks.unionByName(governanceRanksOf(icc))
+            .groupBy(col("grp"), col("v"))
+            .agg(sum(col("c")).as("c")))
+          copy(moments = m2, ranks = r2,
+            reliable = reliable && checkpointDir.isDefined)
+      }
     }
 
     /** Persist durably (both censuses + kind-tagged meta). */
@@ -3141,7 +3250,8 @@ object Ops {
   }
 
   /** Build a [[PreparedGovernance]] from a traffic corpus; its
-    * censuses ARE [[governanceCensuses]] of the corpus (shared code).
+    * censuses ARE the exact roll-ups of the corpus'
+    * [[governanceCombinedCensus]] (shared code).
     */
   def prepareGovernance(corpus: DataFrame, group: String,
                         meanValue: Column, rankValue: Column,
@@ -3150,10 +3260,13 @@ object Ops {
     require(bucketWidth >= 1,
       s"prepareGovernance: bucketWidth ($bucketWidth) must be >= 1")
     val ckp = lineageBreaker(checkpointDir)
-    val (m, r) = governanceCensuses(corpus, group, meanValue, rankValue,
-      bucketWidth)
-    PreparedGovernance(ckp(m), ckp(r), group, bucketWidth,
-      checkpointDir.isDefined)
+    // r17 optimization round: ONE corpus scan + ONE materialization
+    // (was two of each); the two classic censuses are exact-additive
+    // derivations of the materialized combined census
+    val cen = ckp(governanceCombinedCensus(corpus, group, meanValue,
+      rankBucket(rankValue, bucketWidth), rankValue))
+    PreparedGovernance(governanceMomentsOf(cen), governanceRanksOf(cen),
+      group, bucketWidth, checkpointDir.isDefined, Some(cen))
   }
 
   /** Load a [[PreparedGovernance]] persisted by its `save`. */
@@ -3209,9 +3322,13 @@ object Ops {
         Seq("grp", "v"), "full_outer")
       .withColumn("ca", coalesce(col("ca"), lit(0L)))
       .withColumn("cb", coalesce(col("cb"), lit(0L)))
+    // the rank-window pass materializes ONCE and serves both rank
+    // tests (r17 optimization round — it was the battery's dominant
+    // stage, computed twice: once inside each finisher)
+    val st = lineageBreaker(None)(governanceRankStats(rankMerged))
     governanceBatteryFinish(welch,
-      mannWhitneyUFinishFromCensus(rankMerged, allowWideCensus, maxExactCensusRows),
-      ksStatisticFinishFromCensus(rankMerged, allowWideCensus, maxExactCensusRows))
+      mannWhitneyUFinishFromStats(st, allowWideCensus, maxExactCensusRows),
+      ksStatisticFinishFromStats(st, allowWideCensus, maxExactCensusRows))
   }
 
   /** Mixture sequential probability ratio test (r15 — the
@@ -4022,8 +4139,16 @@ object Ops {
         })
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("hub").cast(d38)).as("__raw"))
-      val aNew0 = normalized(aRaw, "auth")
-      val aNew = ck(aNew0)
+      // the lineage break sits on the RAW aggregate, not the
+      // normalized frame (r17 optimization round): `normalized`
+      // consumes its input twice (the 1-row total subquery + the
+      // floor-divide projection), so breaking after normalization ran
+      // the edge join + aggregation TWICE per pass — 8 edge-join
+      // evaluations for a 2-iteration run. Breaking before it, the
+      // edge join runs once per pass and the two normalize reads hit
+      // the materialized node-sized frame. Values unchanged (a break
+      // is value-neutral); the per-pass cadence statement above holds.
+      val aNew = normalized(ck(aRaw), "auth")
       val authIn = aNew.select(col("node").as("__dst"), col("auth"))
       val hRaw = (hotIn match {
           case Some(h) => saltedVertexJoin(e, authIn, "__dst", col("__src"), h, saltK)
@@ -4031,8 +4156,7 @@ object Ops {
         })
         .groupBy(col("__src").as("node"))
         .agg(sum(col("auth").cast(d38)).as("__raw"))
-      val hNew0 = normalized(hRaw, "hub")
-      hubs = ck(hNew0)
+      hubs = normalized(ck(hRaw), "hub")
       auths = aNew
     }
     // the ONE node completion: dst-only nodes have hub 0, src-only
@@ -7257,23 +7381,49 @@ object Ops {
           .cast(DecimalType(38, 0)).as("__br"))
   }
 
-  /** The readout half: mean/rate/gap/Brier fixed double trees over
-    * the exact census sums, round 6.
+  /** The readout half: mean/rate/gap/Brier to 6 decimals over the
+    * exact census sums — as EXACT half-up integer divisions to micros
+    * (the q161 divmod discipline), divided by 1e6 at the very end.
+    *
+    * r17 (optimization round) correctness fix, found by the sf0.001
+    * smoke gate: the old finish rounded IEEE doubles (`round(x, 6)`),
+    * and a census landing on an exact 7th-digit midpoint rounds UP
+    * under Spark's shortest-string HALF_UP but DOWN under DuckDB's
+    * binary ×1e6 round — q209 at sf0.001 hit it with
+    * ssum/n = 2015398/4 = 503849.5 micros (Spark 0.50385, DuckDB
+    * 0.503849). The micros integers below are exact in both engines,
+    * match the old Spark values at every row (at a true midpoint the
+    * old shortest-string round was already half-up; away from
+    * midpoints the old double round agreed with the true decimal
+    * round while n stays far below the ~1e9-rows-per-bin point where
+    * double error could reach a boundary), and replace the oracle's
+    * double rounds with the same integer divisions.
     */
   private[graft] def calibrationFinish(census: DataFrame,
-                                       keys: Seq[String] = Nil): DataFrame =
+                                       keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // half-up integer division of non-negatives: floor((2a + b) / 2b)
+    val msM = expr("(__ssum * 2 + n) DIV (n * 2)")
+    val prM = expr("(n_pos * 2000000 + n) DIV (n * 2)")
+    // Brier numerator is DECIMAL(38,0) (can exceed LONG) — the q161
+    // exact divmod pattern: num − pmod is divisible, the division is
+    // exact, and the micros quotient (≤ 1e6) casts back to long
+    val brNum = (col("__br") * 2 +
+      (col("n") * lit(1000000L)).cast(DecimalType(38, 0)))
+      .cast(DecimalType(38, 0))
+    val brDen = col("n") * lit(2000000L)
+    val brM = ((brNum - pmod(brNum, brDen)) / brDen).cast("long")
     census
-      .withColumn("mean_score",
-        round(col("__ssum").cast("double") / col("n").cast("double") /
-          lit(1e6), 6))
-      .withColumn("pos_rate",
-        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
-      .withColumn("gap", round(col("pos_rate") - col("mean_score"), 6))
-      .withColumn("brier",
-        round(col("__br").cast("double") / col("n").cast("double") /
-          lit(1e12), 6))
+      .withColumn("__msM", msM)
+      .withColumn("__prM", prM)
+      .withColumn("mean_score", col("__msM").cast("double") / lit(1e6))
+      .withColumn("pos_rate", col("__prM").cast("double") / lit(1e6))
+      .withColumn("gap",
+        (col("__prM") - col("__msM")).cast("double") / lit(1e6))
+      .withColumn("brier", brM.cast("double") / lit(1e6))
       .select((keys.map(col) ++ Seq(col("bin"), col("n"), col("n_pos"),
         col("mean_score"), col("pos_rate"), col("gap"), col("brier"))): _*)
+  }
 
   /** Incrementally-maintained calibration census (r15 — the
     * TWENTIETH durable artifact and SEVENTH lossless-by-algebra
@@ -7931,7 +8081,12 @@ object Ops {
     require(n > 0, "pageRank: empty edge list")
     val r0 = totalMass / n
     val base = (r0 * (10000L - dampingBp)) / 10000L
-    val outdeg = e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("__od"))
+    // materialized ONCE (r17 optimization round, guide §2.4): every
+    // iteration's contribution join consumes it, and the dangling
+    // probe consumes it AGAIN per iteration — unmaterialized it
+    // re-aggregated the edge frame 3–6× per run for a node-sized
+    // result that never changes
+    val outdeg = ck(e.groupBy(col("__src").as("node")).agg(count(lit(1)).as("__od")))
     // hot-source set for the per-iteration edge ⨝ contributions join
     // (saltHotDegree = 0 → off): materialized ONCE so the broadcast
     // doesn't re-census the edges every iteration
@@ -7969,9 +8124,14 @@ object Ops {
       // every-2nd-iteration cadence (VERDICT r15 #5): the fixed
       // budget has no per-round probe, so a checkpoint per iteration
       // bought nothing but materialization wall; one un-broken
-      // iteration keeps lineage at two joins (the dangling 1-row
-      // aggregate rides the same plan, recomputed not re-collected)
-      ranks = if (i % 2 == 0 || i == iters) ck(next) else next
+      // iteration keeps lineage at two joins. EXCEPT under dangling
+      // redistribution (r17 optimization round): there the NEXT
+      // iteration consumes `ranks` twice — the contribution join AND
+      // the dangling 1-row probe — so an un-broken iteration's whole
+      // edge join re-evaluates; a node-sized break per iteration is
+      // cheaper than replaying an edge join (guide §1.2). Values
+      // unchanged either way (a break is value-neutral).
+      ranks = if (redistributeDangling || i % 2 == 0 || i == iters) ck(next) else next
     }
     ranks
   }
@@ -11594,8 +11754,27 @@ object Ops {
     def dsirSelect(target: DataFrame, id: String, text: String,
                    k: Int, buckets: Int = 1024, seed: Long = 7L): DataFrame = {
       require(k >= 1, s"dsirSelect: k ($k) must be positive")
-      dsirScore(left,
-        prepareDsir(target, left, text, buckets, seed), id, text)
+      require(buckets >= 2 && buckets <= (1 << 20),
+        s"dsirSelect: buckets ($buckets) must be in 2..2^20")
+      // r17 optimization round (guide §2.4): the raw-corpus profile is
+      // the exact bucket roll-up of the per-document census the scorer
+      // needs anyway (count addition is associative), so the raw
+      // corpus pays ONE gram explode instead of two; the profiles are
+      // value-identical and the selection replays bit-for-bit (the
+      // q243 gate re-verifies). Scoring against a separately PREPARED
+      // artifact (the serving path) is unchanged.
+      val ckp = lineageBreaker(None)
+      val docCensus = ckp(dsirGramBuckets(left, Some(id), text, buckets, seed))
+      // both profiles stay prepare-time materializations (their 1-row
+      // smoothing-total crosses must not leak into the serving plan —
+      // the q243 plan lock pins zero keyless joins there)
+      val prepared = PreparedDsir(
+        ckp(dsirLnp(dsirGramBuckets(target, None, text, buckets, seed),
+          buckets, "__lnpt")),
+        ckp(dsirLnp(docCensus.groupBy(col("__b")).agg(sum(col("__c")).as("__c")),
+          buckets, "__lnpr")),
+        buckets, seed, reliable = false)
+      dsirScoreFromCensus(left, prepared, id, docCensus)
         .orderBy(col("__score").desc, col(id))
         .limit(k)
         .select(col(id), col("n_grams"),

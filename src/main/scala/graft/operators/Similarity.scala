@@ -144,15 +144,30 @@ object Similarity {
       maxLiteralCentroids)
     val c = assign1(corpus, id, emb, 1, "vid", "c_emb")
     val q = assignR(queries, id, emb, nps.max, "qid", "q_emb")
-    val cand = c.join(broadcast(q), Seq("cell"))
+    // r17 optimization round (guide §1.2): the candidate join and the
+    // exact baseline used to re-evaluate for EVERY curve level — the
+    // per-level window, the recall report and the cost count each
+    // re-read them, 2 corpus-join evaluations per level plus one
+    // exact brute-force per level. Materialize each ONCE (projected
+    // to the consumed columns — guide §2.3) and fold the per-level
+    // candidate counts into one aggregate over the materialized
+    // frame. Every level's values are unchanged (same rows, same
+    // window, same report — the q240 gate re-verifies).
+    val ck = graft.api.Ops.lineageBreaker(None)
+    val cand = ck(c.join(broadcast(q), Seq("cell"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("score", call_function("cosine_sim", col("q_emb"), col("c_emb")))
-    val exact = corpus.cosineTopK(queries, id, emb, id, emb, k)
-      .select(col("qid"), col("vid"))
+      .select(col("qid"), col("vid"), col("cell_rank"), col("score")))
+    val exact = ck(corpus.cosineTopK(queries, id, emb, id, emb, k)
+      .select(col("qid"), col("vid")))
+    val candCounts = cand.agg(
+      sum(when(col("cell_rank") <= nps.head, 1L).otherwise(0L))
+        .as(s"__nc_${nps.head}"),
+      nps.tail.map(np => sum(when(col("cell_rank") <= np, 1L).otherwise(0L))
+        .as(s"__nc_$np")): _*)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
     val levels = nps.map { np =>
-      val lvl = cand.filter(col("cell_rank") <= np)
-      val ap = lvl
+      val ap = cand.filter(col("cell_rank") <= np)
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
         .select(col("qid"), col("vid"))
@@ -164,7 +179,8 @@ object Similarity {
           sum(col("n_exact")).as("n_exact"),
           sum(col("n_approx")).as("n_approx"),
           sum(col("n_overlap")).as("n_overlap"))
-        .crossJoin(broadcast(lvl.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(candCounts
+          .select(col(s"__nc_$np").as("n_candidates"))))
         .withColumn("nprobe", lit(np.toLong))
     }
     levels.reduce(_ unionByName _)

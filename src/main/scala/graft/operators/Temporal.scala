@@ -148,10 +148,18 @@ object Temporal {
     */
   def q102(t: Tables): DataFrame = {
     import graft.api.Ops._
-    val win = sessions(t).select(
+    // materialized ONCE (r17 optimization round, guide §2.4): the
+    // self interval-join references each side's start-only AND
+    // covered-bucket renderings, so the sessionize chain (events
+    // window + session aggregate) rendered FOUR times in one plan —
+    // ReuseExchange dedupes only the shuffle write, every consumer
+    // still re-runs the window + aggregate above it. One node-sized
+    // break makes the bucket join the only remaining cost (the
+    // candidate-bound audit shape). Values unchanged.
+    val win = graft.api.Ops.lineageBreaker(None)(sessions(t).select(
       (col("user_id") * 100000L + col("session_id")).as("wid"),
       col("session_start").as("ws"),
-      (col("session_end") + expr("INTERVAL 30 MINUTES")).as("we"))
+      (col("session_end") + expr("INTERVAL 30 MINUTES")).as("we")))
     win.intervalJoin(win, "wid", "ws", "we", "wid", "ws", "we",
         bucketUs = 1800000000L)
       .filter(expr("a_id div 100000 < b_id div 100000"))

@@ -162,7 +162,14 @@ object Unigram {
     * (substring census of the DISTINCT-WORD frame — vocab-scale,
     * never the corpus), then add-one log-probs.
     */
-  private def vocabFrom(chars: DataFrame, usage: DataFrame, keep: Int): DataFrame = {
+  private def vocabFrom(chars: DataFrame, usage0: DataFrame, keep: Int): DataFrame = {
+    // the usage census materializes FIRST (r17 optimization round):
+    // it is consumed twice below (the keep window + the char-floor
+    // join) and the add-one total doubles each consumer again — four
+    // evaluations of whatever produced it, which for an EM round is
+    // the whole Viterbi pass. One census-sized break caps that at one
+    // evaluation per round (guide §1.2). Values unchanged.
+    val usage = graft.api.Ops.lineageBreaker(None)(usage0)
     val wTop = Window.orderBy(col("uses").desc, col("piece"))
     val top = usage.filter(length(col("piece")) > 1)
       .withColumn("__rk", row_number().over(wTop))
@@ -184,7 +191,21 @@ object Unigram {
   def trainUnigram(docs: DataFrame, text: String, seedSize: Int,
                    keepSizes: Seq[Int], maxPieceLen: Int = 6,
                    maxWordLen: Int = 16,
-                   checkpointDir: Option[String] = None): DataFrame = {
+                   checkpointDir: Option[String] = None): DataFrame =
+    trainUnigramReturningWords(docs, text, seedSize, keepSizes,
+      maxPieceLen, maxWordLen, checkpointDir)._1
+
+  /** [[trainUnigram]] also handing back the materialized distinct-word
+    * census frame (w, f) it trained on (r17 optimization round): an
+    * encoder over the SAME corpus needs exactly that distinct-word set
+    * and used to recompute it with a corpus-wide distinct — sharing
+    * the checkpointed census removes that whole pass (guide §2.4).
+    */
+  private[graft] def trainUnigramReturningWords(
+      docs: DataFrame, text: String, seedSize: Int,
+      keepSizes: Seq[Int], maxPieceLen: Int,
+      maxWordLen: Int,
+      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     require(seedSize >= 1, s"trainUnigram: seedSize ($seedSize) must be positive")
     require(keepSizes.nonEmpty && keepSizes.forall(_ >= 1),
       "trainUnigram: keepSizes must be a non-empty list of positive keep sizes")
@@ -205,7 +226,8 @@ object Unigram {
         .groupBy(col("piece")).agg(sum(col("f")).as("uses"))
       vocab = ck(vocabFrom(chars, usage, keep))
     }
-    vocab.select(col("piece"), col("uses"), round(col("lnp"), 6).as("lnp"))
+    (vocab.select(col("piece"), col("uses"), round(col("lnp"), 6).as("lnp")),
+      words)
   }
 
   /** Encode a corpus against a trained (piece, lnp) vocab: Viterbi-
@@ -218,11 +240,27 @@ object Unigram {
     */
   def encodeUnigram(docs: DataFrame, id: String, text: String,
                     vocab: DataFrame, maxPieceLen: Int = 6,
-                    maxWordLen: Int = 16): DataFrame = {
+                    maxWordLen: Int = 16): DataFrame =
+    encodeUnigramOverWords(docs, id, text, vocab,
+      docs.select(explode(tokens(col(text))).as("w"))
+        .filter(length(col("w")) <= maxWordLen).distinct(),
+      maxPieceLen, maxWordLen)
+
+  /** [[encodeUnigram]] with the corpus' distinct-word frame supplied
+    * by the caller (r17 optimization round) — when training just ran
+    * on the same corpus, its checkpointed word census IS that frame
+    * and the encoder skips a corpus-wide distinct (guide §2.4). The
+    * caller owns the contract that `distinctWords.w` is exactly the
+    * corpus' distinct tokens under the same length cap.
+    */
+  private[graft] def encodeUnigramOverWords(
+      docs: DataFrame, id: String, text: String,
+      vocab: DataFrame, distinctWords: DataFrame,
+      maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     val wordsPos = docs
       .select(col(id), posexplode(tokens(col(text))).as(Seq("__pos", "w")))
       .filter(length(col("w")) <= maxWordLen)
-    val segs = viterbiSegments(wordsPos.select(col("w")).distinct(),
+    val segs = viterbiSegments(distinctWords.select(col("w")),
         vocab, maxPieceLen)
       .filter(col("pieces").isNotNull)
     wordsPos.join(segs, Seq("w"))
@@ -253,9 +291,16 @@ object Unigram {
     * space-joined piece stream is unambiguous ([a-z0-9]+ tokens).
     */
   def q236(t: Tables): DataFrame = {
-    val vocab = trainUnigram(t.documents, "text", seedSize = 60,
-      keepSizes = Seq(40, 24), maxPieceLen = 6, maxWordLen = 16)
-    encodeUnigram(t.documents, "doc_id", "text", vocab,
+    // r17 optimization round: train and encode share ONE word census —
+    // the corpus-wide distinct the encoder used to recompute is
+    // exactly the training census's word frame (same tokenizer, same
+    // length cap), so that whole pass is gone (guide §2.4); the
+    // output is unchanged (same distinct-word set, same Viterbi, same
+    // reassembly — the gate re-verifies).
+    val (vocab, words) = trainUnigramReturningWords(t.documents, "text",
+      seedSize = 60, keepSizes = Seq(40, 24), maxPieceLen = 6,
+      maxWordLen = 16, checkpointDir = None)
+    encodeUnigramOverWords(t.documents, "doc_id", "text", vocab, words,
       maxPieceLen = 6, maxWordLen = 16)
       .select(col("doc_id"),
         concat_ws(" ", col("uni_tokens")).as("uni_text"),

@@ -97,7 +97,22 @@ object Wordpiece {
     */
   def trainWordpiece(docs: DataFrame, text: String, numMerges: Int,
                      minFreq: Long = 2L, maxWordLen: Int = 16,
-                     checkpointDir: Option[String] = None): DataFrame = {
+                     checkpointDir: Option[String] = None): DataFrame =
+    trainWordpieceReturningCensus(docs, text, numMerges, minFreq,
+      maxWordLen, checkpointDir)._1
+
+  /** [[trainWordpiece]] also handing back the materialized initial
+    * word census (__w, __f, __s — word, frequency, wrapped initial
+    * symbols) it trained on (r17 optimization round): the induced
+    * encode vocabulary and the encoder's distinct-word frame are both
+    * derivations of exactly this frame, so sharing it removes a
+    * corpus re-scan (vocab init symbols) AND a corpus-wide distinct
+    * (encode) — guide §2.4.
+    */
+  private[graft] def trainWordpieceReturningCensus(
+      docs: DataFrame, text: String, numMerges: Int,
+      minFreq: Long, maxWordLen: Int,
+      checkpointDir: Option[String]): (DataFrame, DataFrame) = {
     val maxRounds = 400
     require(numMerges >= 1 && numMerges <= maxRounds,
       s"trainWordpiece: numMerges ($numMerges) must be in 1..$maxRounds — " +
@@ -108,11 +123,12 @@ object Wordpiece {
       s"trainWordpiece: maxWordLen ($maxWordLen) must be in 2..64")
     val spark = docs.sparkSession
     val ck = graft.api.Ops.lineageBreaker(checkpointDir)
-    var census = ck(docs
+    val census0 = ck(docs
       .select(explode(tokens(col(text))).as("__w"))
       .filter(length(col("__w")) <= maxWordLen)
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
-      .select(col("__f"), wrapWp(col("__w")).as("__s")))
+      .select(col("__w"), col("__f"), wrapWp(col("__w")).as("__s")))
+    var census = census0.select(col("__f"), col("__s"))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
@@ -135,14 +151,15 @@ object Wordpiece {
       }
     }
     import spark.implicits._
-    merges.zipWithIndex
+    (merges.zipWithIndex
       .map { case ((l, r, pf, fl, fr), i) => (i + 1, l, r, pf, fl, fr) }.toSeq
       .toDF("rank", "left", "right", "pair_freq", "__fl", "__fr")
       // the score re-derives IN the frame so the round is Spark's
       // (identical to the oracle's round), not the driver's
       .select(col("rank"), col("left"), col("right"), col("pair_freq"),
         round(col("pair_freq").cast("double") /
-          (col("__fl").cast("double") * col("__fr").cast("double")), 12).as("score"))
+          (col("__fl").cast("double") * col("__fr").cast("double")), 12).as("score")),
+      census0)
   }
 
   /** The encode vocabulary a merge list induces: every INITIAL symbol
@@ -220,11 +237,28 @@ object Wordpiece {
     * Returns (id, wp_tokens array<string>, n_wp_tokens).
     */
   def encodeWordpiece(docs: DataFrame, id: String, text: String,
-                      vocab: DataFrame, maxWordLen: Int = 16): DataFrame = {
+                      vocab: DataFrame, maxWordLen: Int = 16): DataFrame =
+    encodeWordpieceOverWords(docs, id, text, vocab,
+      docs.select(explode(tokens(col(text))).as("w"))
+        .filter(length(col("w")) <= maxWordLen).distinct(),
+      maxWordLen)
+
+  /** [[encodeWordpiece]] with the corpus' distinct-word frame supplied
+    * by the caller (r17 optimization round — the [[Unigram
+    * .encodeUnigramOverWords]] statement): when training just ran on
+    * the same corpus, its checkpointed census IS that frame and the
+    * corpus-wide distinct is gone. The caller owns the contract that
+    * `distinctWords.w` is exactly the corpus' distinct tokens under
+    * the same length cap.
+    */
+  private[graft] def encodeWordpieceOverWords(
+      docs: DataFrame, id: String, text: String,
+      vocab: DataFrame, distinctWords: DataFrame,
+      maxWordLen: Int): DataFrame = {
     val wordsPos = docs
       .select(col(id), posexplode(tokens(col(text))).as(Seq("__pos", "w")))
       .filter(length(col("w")) <= maxWordLen)
-    val segs = greedySegments(wordsPos.select(col("w")).distinct(), vocab)
+    val segs = greedySegments(distinctWords.select(col("w")), vocab)
     wordsPos.join(segs, Seq("w"))
       .groupBy(col(id))
       .agg(flatten(transform(
@@ -302,11 +336,27 @@ object Wordpiece {
     * q241, the greedy walk replayed as a per-word recursive CTE).
     */
   def q242(t: Tables): DataFrame = {
-    val merges = trainWordpiece(t.documents, "text", numMerges = 10)
-      .orderBy(col("rank")).collect()
+    // r17 optimization round: train, vocab induction and encode share
+    // ONE word census — the induced vocab's initial symbols and the
+    // encoder's distinct words are both derivations of the training
+    // census (same tokenizer, same length cap), so the corpus is
+    // scanned once for words instead of three times (guide §2.4).
+    // Output unchanged (same symbol set, same merges, same greedy
+    // walk — the gate re-verifies).
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val (mergeTable, census0) = trainWordpieceReturningCensus(
+      t.documents, "text", numMerges = 10, minFreq = 2L,
+      maxWordLen = 16, checkpointDir = None)
+    val merges = mergeTable.orderBy(col("rank")).collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
-    val vocab = wordpieceVocab(t.documents, "text", merges)
-    encodeWordpiece(t.documents, "doc_id", "text", vocab)
+    val vocab = census0
+      .select(explode(Bpe.symsOf(col("__s"))).as("piece")).distinct()
+      .unionByName(
+        merges.map { case (l, r) => mergedSymbol(l, r) }.toDF("piece"))
+      .distinct()
+    encodeWordpieceOverWords(t.documents, "doc_id", "text", vocab,
+      census0.select(col("__w").as("w")), maxWordLen = 16)
       .select(col("doc_id"),
         concat_ws(" ", col("wp_tokens")).as("wp_text"),
         col("n_wp_tokens"))

@@ -222,12 +222,15 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q211_srm_fdr", 1, "q210's segments×arms completion cross"),
       ("q213_mde_proportions", 1, "the 1-row × 1-row proportion-census cross"),
       ("q215_ann_recall_by_group", 2, "q35's twice-rendered brute-force broadcast"),
-      // r17 q240: per level the q35 brute-force broadcast renders
-      // twice (ne + overlap branches, the q200 shape) and the 1-row
-      // level-aggregate × 1-row candidate-count cross adds one; the
-      // final 1-row n_corpus cross adds one more: 4·(2+1)+1 = 13.
-      // Every corpus-sized join (the cell join) stays KEYED.
-      ("q240_nprobe_curve", 13, "4 levels × (twice-rendered q35 broadcast + 1-row cand cross) + the 1-row corpus-count cross"),
+      // r17 q240 (optimization round): the exact baseline and the
+      // scored candidate join are checkpoint-materialized ONCE (they
+      // used to re-render per level — 8 corpus-join evaluations for a
+      // 4-level curve), so the q35 brute-force broadcast no longer
+      // renders in the serving plan at all; what remains keyless is
+      // the 1-row candidate-count cross per level plus the final
+      // 1-row n_corpus cross: 4·1+1 = 5. Every corpus-sized join
+      // (the cell join) stays KEYED and lives in the prepare stage.
+      ("q240_nprobe_curve", 5, "4 per-level 1-row cand-count crosses + the 1-row corpus-count cross onto checkpointed frames"),
       // r17 q243: since the PreparedDsir refactor the two 1-row
       // smoothing-total crosses happen at PREPARE time (the profile
       // frames materialize via checkpoint), so the serving plan has
