@@ -184,7 +184,29 @@ object Bench {
     "q83_quality_buckets", "q84_char_entropy",
     "q88_vec_dedup_incr", "q89_paragraph_dedup", "q90_bm25",
     "q93_resample", "q94_edit_join", "q95_weighted_sample", "q97_funnel",
-    "q98_trailing_window", "q99_snapshot_diff")
+    "q98_trailing_window", "q99_snapshot_diff",
+    // r18 additions (VERDICT r17 next #2: the 32-core driver sweep hit
+    // its wall budget at 217 headline queries — most of the growth was
+    // ~30 post-r14 queries still paying a solo child JVM each). Every
+    // query below has a committed sub-2 s median in BOTH r17 driver
+    // artifacts (BENCH_r17_c8 at 8 cores — an upper bound for the
+    // 32-core time — and the BENCH_LOCAL_r17 solo sweep, host-noise
+    // movers adjudicated there); none is a graph loop / tokenizer
+    // trainer, and the blocking unpersist + GC between runs stays, so
+    // the r6 contamination shape does not apply. ~32 child JVM
+    // startups (~7 s each) leave the sweep wall without touching any
+    // timed run.
+    "q119_regression", "q200_ann_recall", "q207_corr_matrix",
+    "q208_msprt_by_group", "q209_calibration_by_group",
+    "q210_srm_by_group", "q211_srm_fdr", "q212_welch_fdr",
+    "q213_mde_proportions", "q214_msprt_horizon",
+    "q215_ann_recall_by_group", "q216_anova_fdr", "q217_kw_fdr",
+    "q218_mwu_fdr", "q222_mde_prop_by_group", "q224_cliffs_delta",
+    "q225_cohens_d", "q226_samplesize_curve", "q227_welch_fam_fdr",
+    "q228_cuped_by_group", "q229_did_by_group", "q230_poststrat_by_group",
+    "q234_group_sequential", "q237_gs_pocock", "q238_gs_by_group",
+    "q239_gs_absorbed", "q244_kn_lm", "q245_avci", "q246_avci_by_group",
+    "q248_winsorized_welch", "q249_qte_by_group", "q64_repetition_filter")
 
   private def chunkSize: Int =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "8").toInt.max(1)
@@ -201,7 +223,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN (r18, VERDICT r17 next #2): the whole-frame
+    // exact-rank operators legitimately run global windows over
+    // domain-bounded censuses (gated at MaxExactCensusRows), and at
+    // 217 queries the resulting per-run "WindowExec: No Partition
+    // Defined" flood dominated the 32-core sweep's stderr — wall and
+    // log volume, not computation. The stdout JSON contract is
+    // untouched; real failures still surface via the [bench] handlers.
+    spark.sparkContext.setLogLevel("ERROR")
     spark
   }
 

@@ -7880,10 +7880,12 @@ object SparkEntry {
        |FROM h$tail""".stripMargin
   }
 
-  /** The q247/q249 QTE oracle: per-arm (segment?, value) count
+  /** The q247/q249 QTE oracle: per-arm (segment?, cents) count
     * census, the domain-bounded cumulative, the integer-free rank
     * pick `floor((pct·n+99)/100)`, FULL OUTER arm join, exact
-    * decimal differences.
+    * integer-cents differences (the q161 BIGINT discipline — the
+    * r13/r17 driver-hash trap forbids DECIMAL output columns; the
+    * ×100 on DECIMAL(18,2) is integral, so the BIGINT cast is exact).
     */
   private def qteOracleSql(grouped: Boolean): String = {
     val gSrc = if (grouped) "o_orderpriority AS grp, " else ""
@@ -7902,20 +7904,21 @@ object SparkEntry {
          |  FROM c$pre WINDOW w AS ($gPart ORDER BY v
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |q$pre AS (
-         |  SELECT ${gBy}pct, CAST(MAX(n) AS BIGINT) AS n_$pre, MIN(v) AS q_$pre
+         |  SELECT ${gBy}pct, CAST(MAX(n) AS BIGINT) AS n_$pre,
+         |    MIN(v) AS q_${pre}_cents
          |  FROM cu$pre CROSS JOIN lv
          |  WHERE cum >= CAST(floor(CAST(pct * n + 99 AS DOUBLE) / 100.0) AS BIGINT)
          |  GROUP BY ${gBy}pct)""".stripMargin
     s"""WITH s AS (
        |  SELECT ${gSrc}CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
-       |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
        |  FROM orders WHERE o_totalprice IS NOT NULL$gFil),
        |lv AS (SELECT CAST(unnest([10, 25, 50, 75, 90]) AS BIGINT) AS pct),
        |${cumOf("A", "a")},
        |${cumOf("B", "b")}
        |SELECT ${gSel}COALESCE(qa.pct, qb.pct) AS pct,
        |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
-       |  q_a, q_b, CAST(q_b - q_a AS DECIMAL(18,2)) AS qte
+       |  q_a_cents, q_b_cents, q_b_cents - q_a_cents AS qte_cents
        |FROM qa FULL OUTER JOIN qb ON ${gOn}qa.pct = qb.pct
        |ORDER BY ${gOrd}pct""".stripMargin
   }
@@ -7961,7 +7964,11 @@ object SparkEntry {
        |    ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
        |      / (CAST(n_b AS DOUBLE) - CAST(1 AS DOUBLE))) / CAST(n_b AS DOUBLE) AS vnb
        |  FROM ma CROSS JOIN mb)
-       |SELECT n_a, n_b, lo_a, hi_a, lo_b, hi_b,
+       |SELECT n_a, n_b,
+       |  CAST(lo_a * 100 AS BIGINT) AS lo_a_cents,
+       |  CAST(hi_a * 100 AS BIGINT) AS hi_a_cents,
+       |  CAST(lo_b * 100 AS BIGINT) AS lo_b_cents,
+       |  CAST(hi_b * 100 AS BIGINT) AS hi_b_cents,
        |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
        |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND vna + vnb > 0 THEN

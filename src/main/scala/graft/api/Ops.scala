@@ -1242,7 +1242,19 @@ object Ops {
     val wAll = Window.partitionBy(col("grp"))
     val wRun = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    m.withColumn("n_a", sum(col("ca")).over(wAll))
+    // spread the merged census per grp with a PINNED partition count
+    // (r18, VERDICT r17 next #4): the windows below only need
+    // clustering by grp, but AQE coalesces the few-MB census exchange
+    // to ~1 task, serializing the battery's dominant stage at bench
+    // scale. An explicit numPartitions blocks the coalesce;
+    // defaultParallelism tracks the session's core count, so the
+    // spread is scale-adaptive, not local-tuned, and per-grp windows
+    // keep exact rank semantics under any grp-hash layout. (A single
+    // hot segment still serializes — inherent to exact per-segment
+    // ranks; the sketch forms are the declared refuse-route.)
+    val spread = m.repartition(
+      m.sparkSession.sparkContext.defaultParallelism, col("grp"))
+    spread.withColumn("n_a", sum(col("ca")).over(wAll))
       .withColumn("n_b", sum(col("cb")).over(wAll))
       // per-SEGMENT census gate (the windows here are group-
       // partitioned, so the risk is ONE segment's near-unique value
@@ -1553,10 +1565,14 @@ object Ops {
     * (doubling cancels), rounded at 6; a zero-variance side (all
     * values equal) yields null ρ. Returns ONE row: (n, rho).
     *
-    * Scale shape: two value censuses + their prior-count windows
-    * (domain-bounded), two value-keyed joins back to rows, ONE
-    * map-combinable moment aggregate — no global sort, no per-row
-    * window.
+    * Scale shape (r18): ONE corpus scan builds the (x, y) PAIR census
+    * (map-combinable); both variable censuses are exact roll-ups of
+    * it and the moment aggregate walks the pair census WEIGHTED by
+    * its count — `Σ_rows uᵢvᵢ = Σ_pairs c·u·v` exactly (every term an
+    * integer in DECIMAL(38,0)), so nothing corpus-sized is scanned or
+    * shuffled more than once; the prior-count windows stay
+    * domain-bounded and the value-keyed join-backs land on the pair
+    * census, not on rows. No global sort, no per-row window.
     */
   def spearmanCorr(df: DataFrame, x: Column, y: Column,
                    allowWideCensus: Boolean = false,
@@ -1565,8 +1581,13 @@ object Ops {
     val d19 = DecimalType(19, 0)
     val rows = df.filter(x.isNotNull && y.isNotNull)
       .select(x.cast("long").as("__vx"), y.cast("long").as("__vy"))
-    def rankMap(values: Column, name: String, out: String): DataFrame = {
-      val cen = rows.groupBy(values.as(name)).agg(count(lit(1)).as("__m"))
+    // ONE corpus pass: the (x, y) pair census; pair multiplicity is
+    // the exact weight of every downstream sum (|pairs| ≤ n rows)
+    val pairs = rows.groupBy(col("__vx"), col("__vy"))
+      .agg(count(lit(1)).as("__c"))
+    def rankMap(name: String, out: String): DataFrame = {
+      // the variable census is an exact roll-up of the pair census
+      val cen = pairs.groupBy(col(name)).agg(sum(col("__c")).as("__m"))
       val wB = Window.orderBy(col(name)).rowsBetween(Window.unboundedPreceding, -1)
       // the wide-census gate rides each variable's doubled rank —
       // the one column the join-back consumes: see MaxExactCensusRows
@@ -1576,18 +1597,19 @@ object Ops {
           col("__s") * 2 + col("__m") + 1,
           col("__cn"), "spearmanCorr", allowWideCensus, maxExactCensusRows).as(out))
     }
-    val withRanks = rows
-      .join(rankMap(col("__vx"), "__vx", "__ux"), Seq("__vx"))
-      .join(rankMap(col("__vy"), "__vy", "__uy"), Seq("__vy"))
+    val withRanks = pairs
+      .join(rankMap("__vx", "__ux"), Seq("__vx"))
+      .join(rankMap("__vy", "__uy"), Seq("__vy"))
+    val c19 = col("__c").cast(d19)
     val agg = withRanks.agg(
-      count(lit(1)).as("n"),
-      sum(col("__ux").cast(d19)).cast(DecimalType(38, 0)).as("__su"),
-      sum(col("__uy").cast(d19)).cast(DecimalType(38, 0)).as("__sv"),
-      sum(col("__ux").cast(d19) * col("__ux").cast(d19))
+      sum(col("__c")).as("n"),
+      sum(c19 * col("__ux").cast(d19)).cast(DecimalType(38, 0)).as("__su"),
+      sum(c19 * col("__uy").cast(d19)).cast(DecimalType(38, 0)).as("__sv"),
+      sum(col("__ux").cast(d19) * col("__ux").cast(d19) * c19)
         .cast(DecimalType(38, 0)).as("__suu"),
-      sum(col("__uy").cast(d19) * col("__uy").cast(d19))
+      sum(col("__uy").cast(d19) * col("__uy").cast(d19) * c19)
         .cast(DecimalType(38, 0)).as("__svv"),
-      sum(col("__ux").cast(d19) * col("__uy").cast(d19))
+      sum(col("__ux").cast(d19) * col("__uy").cast(d19) * c19)
         .cast(DecimalType(38, 0)).as("__suv"))
     val nD = col("n").cast("double")
     val su = col("__su").cast("double"); val sv = col("__sv").cast("double")
@@ -1688,9 +1710,14 @@ object Ops {
     * constant axis reports null rho (n still counts). Returns one row
     * per segment: (grp, n, rho).
     *
-    * Scale shape: two (segment, value) censuses + their segment-keyed
-    * prior windows (domain-bounded per segment), two keyed joins back
-    * to rows, one map-combinable moment aggregate — no global sort.
+    * Scale shape (r18): ONE corpus scan builds the (segment, x, y)
+    * PAIR census (map-combinable); both (segment, value) censuses are
+    * exact roll-ups of it and the per-segment moment aggregate walks
+    * the pair census WEIGHTED by its count — `Σ_rows uᵢvᵢ =
+    * Σ_pairs c·u·v` exactly per segment — so nothing corpus-sized is
+    * scanned or shuffled more than once; the segment-keyed prior
+    * windows stay domain-bounded per segment and the keyed join-backs
+    * land on the pair census, not on rows. No global sort.
     */
   def spearmanCorrByGroup(df: DataFrame, group: String,
                           x: Column, y: Column,
@@ -1701,8 +1728,13 @@ object Ops {
     val rows = df.filter(col(group).isNotNull && x.isNotNull && y.isNotNull)
       .select(col(group).as("__g"), x.cast("long").as("__vx"),
         y.cast("long").as("__vy"))
+    // ONE corpus pass: the (segment, x, y) pair census; pair
+    // multiplicity is the exact weight of every downstream sum
+    val pairs = rows.groupBy(col("__g"), col("__vx"), col("__vy"))
+      .agg(count(lit(1)).as("__c"))
     def rankMap(name: String, out: String): DataFrame = {
-      val cen = rows.groupBy(col("__g"), col(name)).agg(count(lit(1)).as("__m"))
+      // the (segment, value) census is an exact roll-up of the pairs
+      val cen = pairs.groupBy(col("__g"), col(name)).agg(sum(col("__c")).as("__m"))
       val wB = Window.partitionBy(col("__g")).orderBy(col(name))
         .rowsBetween(Window.unboundedPreceding, -1)
       // per-SEGMENT census gate: see MaxExactCensusRows
@@ -1713,18 +1745,19 @@ object Ops {
           col("__cn"), "spearmanCorrByGroup", allowWideCensus,
           maxExactCensusRows).as(out))
     }
-    val withRanks = rows
+    val withRanks = pairs
       .join(rankMap("__vx", "__ux"), Seq("__g", "__vx"))
       .join(rankMap("__vy", "__uy"), Seq("__g", "__vy"))
+    val c19 = col("__c").cast(d19)
     val agg = withRanks.groupBy(col("__g")).agg(
-      count(lit(1)).as("n"),
-      sum(col("__ux").cast(d19)).cast(DecimalType(38, 0)).as("__su"),
-      sum(col("__uy").cast(d19)).cast(DecimalType(38, 0)).as("__sv"),
-      sum(col("__ux").cast(d19) * col("__ux").cast(d19))
+      sum(col("__c")).as("n"),
+      sum(c19 * col("__ux").cast(d19)).cast(DecimalType(38, 0)).as("__su"),
+      sum(c19 * col("__uy").cast(d19)).cast(DecimalType(38, 0)).as("__sv"),
+      sum(col("__ux").cast(d19) * col("__ux").cast(d19) * c19)
         .cast(DecimalType(38, 0)).as("__suu"),
-      sum(col("__uy").cast(d19) * col("__uy").cast(d19))
+      sum(col("__uy").cast(d19) * col("__uy").cast(d19) * c19)
         .cast(DecimalType(38, 0)).as("__svv"),
-      sum(col("__ux").cast(d19) * col("__uy").cast(d19))
+      sum(col("__ux").cast(d19) * col("__uy").cast(d19) * c19)
         .cast(DecimalType(38, 0)).as("__suv"))
     val nD = col("n").cast("double")
     val su = col("__su").cast("double"); val sv = col("__sv").cast("double")
@@ -4485,8 +4518,12 @@ object Ops {
     * (map-combinable); the cumulative window walks the census —
     * bounded by the value DOMAIN, not rows (the weightedMedian
     * statement, same wide-census gate); the `pcts`-row level frame
-    * crosses onto the census (bounded × ≤ 99). Returns one row per
-    * percentile: (pct, n_a, n_b, q_a, q_b, qte).
+    * crosses onto the census (bounded × ≤ 99). Values are quantized
+    * to 2 decimal places (the Portable.dec money grain) and reported
+    * as EXACT integer cents — the q161 BIGINT discipline; a DECIMAL
+    * output column is a driver-hash trap (r13/r17: trailing-zero
+    * canonicalization differs across engines). Returns one row per
+    * percentile: (pct, n_a, n_b, q_a_cents, q_b_cents, qte_cents).
     */
   def quantileTreatmentEffect(a: DataFrame, b: DataFrame, value: Column,
                               pcts: Seq[Int] = Seq(10, 25, 50, 75, 90),
@@ -4501,7 +4538,7 @@ object Ops {
   /** Per-segment [[quantileTreatmentEffect]] — the keyed member of
     * the per-segment experimentation family: every window PARTITIONs
     * by (segment, value-domain), one-sided segments report with the
-    * present arm's quantiles and null `qte` (observable). Returns
+    * present arm's quantiles and null `qte_cents` (observable). Returns
     * one row per (segment, pct).
     */
   def quantileTreatmentEffectByGroup(a: DataFrame, b: DataFrame, group: String,
@@ -4532,9 +4569,13 @@ object Ops {
                       maxExactCensusRows: Long): DataFrame = {
     val keys = group.map(g => Seq(col(g).as("grp"))).getOrElse(Nil)
     val keyNames = group.map(_ => Seq("grp")).getOrElse(Nil)
+    // census key = exact integer cents (Portable.dec is DECIMAL(18,2),
+    // so ×100 is integral and the long cast exact); ordering by cents
+    // is ordering by value, and the BIGINT key keeps every downstream
+    // column integer — no DECIMAL rendering reaches the output
     val census = df
       .filter(value.isNotNull && group.map(g => col(g).isNotNull).getOrElse(lit(true)))
-      .groupBy(keys :+ graft.util.Portable.dec(value).as("__v"): _*)
+      .groupBy(keys :+ (graft.util.Portable.dec(value) * 100).cast("long").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     val wRun = Window.partitionBy(keyNames.map(col): _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4553,22 +4594,22 @@ object Ops {
         .cast("double") / lit(100.0)).cast("long"))
       .filter(col("__cum") >= col("__r"))
       .groupBy(keyNames.map(col) :+ col("pct"): _*)
-      .agg(max(col(s"n_$suf")).as(s"n_$suf"), min(col("__v")).as(s"q_$suf"))
+      .agg(max(col(s"n_$suf")).as(s"n_$suf"), min(col("__v")).as(s"q_${suf}_cents"))
   }
 
   /** The shared QTE join/diff tail: FULL OUTER on (keys, pct) so a
-    * one-armed segment stays observable; `qte` is the EXACT decimal
-    * difference (no rounding — census values subtract exactly).
+    * one-armed segment stays observable; `qte_cents` is the EXACT
+    * integer difference of the cents quantiles (long arithmetic —
+    * census cents fit a long by the DECIMAL(18,2) domain).
     */
   private def qteJoin(sa: DataFrame, sb: DataFrame,
                       keyCols: Seq[String]): DataFrame = {
     sa.join(sb, keyCols :+ "pct", "full_outer")
       .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
       .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
-      .withColumn("qte", (col("q_b") - col("q_a"))
-        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .withColumn("qte_cents", col("q_b_cents") - col("q_a_cents"))
       .select(keyCols.map(col) ++ Seq(col("pct"), col("n_a"), col("n_b"),
-        col("q_a"), col("q_b"), col("qte")): _*)
+        col("q_a_cents"), col("q_b_cents"), col("qte_cents")): _*)
   }
 
   /** Bucketed quantile treatment effects — the SKETCH path for
@@ -4653,7 +4694,9 @@ object Ops {
     * shape; aggregating rows — not census×count — keeps every
     * product inside the q162 decimal widths) and the shared
     * [[welchTFinishFromSides]]
-    * tree. Returns ONE row: (n_a, n_b, lo_a, hi_a, lo_b, hi_b,
+    * tree. The clip bounds are reported as EXACT integer cents (the
+    * q161 BIGINT discipline — no DECIMAL output column). Returns ONE
+    * row: (n_a, n_b, lo_a_cents, hi_a_cents, lo_b_cents, hi_b_cents,
     * mean_a, mean_b, t, df) — means/t/df over the winsorized values.
     */
   def winsorizedWelch(a: DataFrame, b: DataFrame, value: Column,
@@ -4699,12 +4742,14 @@ object Ops {
     val merged = lineageBreaker(None)(
       side(a, "a").crossJoin(broadcast(side(b, "b")))
         .withColumn("grp", lit("all")))
+    def cents(c: Column): Column = (c * 100).cast("long")
     welchTFinishFromSides(merged)
       .drop("grp")
       .crossJoin(broadcast(merged.select(
-        col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b"))))
-      .select(col("n_a"), col("n_b"), col("lo_a"), col("hi_a"),
-        col("lo_b"), col("hi_b"), col("mean_a"), col("mean_b"),
+        cents(col("lo_a")).as("lo_a_cents"), cents(col("hi_a")).as("hi_a_cents"),
+        cents(col("lo_b")).as("lo_b_cents"), cents(col("hi_b")).as("hi_b_cents"))))
+      .select(col("n_a"), col("n_b"), col("lo_a_cents"), col("hi_a_cents"),
+        col("lo_b_cents"), col("hi_b_cents"), col("mean_a"), col("mean_b"),
         col("t"), col("df"))
   }
 

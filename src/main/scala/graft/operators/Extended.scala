@@ -2099,7 +2099,7 @@ object Extended {
   /** q247: quantile treatment effects over the parity-arm order
     * totals ([[graft.api.Ops.quantileTreatmentEffect]], r17 wave 5 —
     * the distributional experiment readout: exact per-arm rank
-    * quantiles at p10/p25/p50/p75/p90 and their exact decimal
+    * quantiles at p10/p25/p50/p75/p90 (integer cents) and their exact
     * differences).
     */
   def q247(t: Tables): DataFrame = {

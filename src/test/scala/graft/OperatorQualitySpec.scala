@@ -58,17 +58,17 @@ class OperatorQualitySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     import graft.api.Ops
     // hand-check: arm a = 1..10, arm b = 11..20; p50 rank = ceil(5.0)
-    // = 5 → a 5.00, b 15.00; p90 rank 9 → a 9.00, b 19.00
+    // = 5 → a 500 cents, b 1500; p90 rank 9 → a 900, b 1900
     val a10 = (1 to 10).map(_.toDouble).toDF("v")
     val b10 = (11 to 20).map(_.toDouble).toDF("v")
     val hand = Ops.quantileTreatmentEffect(a10, b10, col("v"))
       .orderBy(col("pct")).collect()
-      .map(r => r.getLong(0) -> (r.getDecimal(3), r.getDecimal(4))).toMap
-    assert(hand(50L)._1.doubleValue == 5.0 && hand(50L)._2.doubleValue == 15.0,
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(hand(50L)._1 == 500L && hand(50L)._2 == 1500L,
       s"p50: ${hand(50L)}")
-    assert(hand(90L)._1.doubleValue == 9.0 && hand(90L)._2.doubleValue == 19.0,
+    assert(hand(90L)._1 == 900L && hand(90L)._2 == 1900L,
       s"p90: ${hand(90L)}")
-    assert(hand(10L)._1.doubleValue == 1.0, s"p10 rank ceil(1.0)=1: ${hand(10L)}")
+    assert(hand(10L)._1 == 100L, s"p10 rank ceil(1.0)=1: ${hand(10L)}")
     // tail-only shift: identical bodies, arm b's top ~15% doubled —
     // the p90 pick (rank 180, just past the 85-boundary's cum 170)
     // must move while p10..p75 stay inside the untouched body
@@ -76,10 +76,10 @@ class OperatorQualitySpec extends AnyFunSuite {
     val aT = body.toDF("v")
     val bT = body.map(v => if (v > 85) v * 2 else v).toDF("v")
     val qte = Ops.quantileTreatmentEffect(aT, bT, col("v"))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(5).doubleValue).toMap
-    assert(qte(10L) == 0.0 && qte(25L) == 0.0 && qte(50L) == 0.0 &&
-      qte(75L) == 0.0, s"the body must not move: $qte")
-    assert(qte(90L) > 0.0, s"the planted tail shift must surface at p90: $qte")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(qte(10L) == 0L && qte(25L) == 0L && qte(50L) == 0L &&
+      qte(75L) == 0L, s"the body must not move: $qte")
+    assert(qte(90L) > 0L, s"the planted tail shift must surface at p90: $qte")
     // keyed ≡ whole-frame per slice; a one-armed segment reports
     val ka = a10.withColumn("g", lit("s1"))
       .unionByName(aT.withColumn("g", lit("s2")))
@@ -107,8 +107,8 @@ class OperatorQualitySpec extends AnyFunSuite {
     val width = 8.0
     val exact = Ops.quantileTreatmentEffect(a, b, col("v"))
       .collect().map(r => r.getLong(0) ->
-        (r.getDecimal(3).doubleValue, r.getDecimal(4).doubleValue,
-          r.getDecimal(5).doubleValue)).toMap
+        (r.getLong(3) / 100.0, r.getLong(4) / 100.0,
+          r.getLong(5) / 100.0)).toMap
     val sk = Ops.quantileTreatmentEffectSketch(a, b, col("v"), width)
       .collect().map(r => r.getLong(0) ->
         (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
@@ -156,9 +156,9 @@ class OperatorQualitySpec extends AnyFunSuite {
     assert(winT < rawT || rawT < 2.0,
       s"winsorizing must defuse the whale (raw |t|=$rawT, wins |t|=$winT)")
     // bounds: arm b's exact rank-5 pick — the first census value
-    // (100.5) already carries cumulative count 9 ≥ 5
-    assert(win.getDecimal(4).doubleValue == 100.5,
-      s"lo_b must be the rank-5 value: $win")
+    // (100.5, i.e. 10050 cents) already carries cumulative count 9 ≥ 5
+    assert(win.getLong(4) == 10050L,
+      s"lo_b_cents must be the rank-5 value: $win")
     intercept[IllegalArgumentException] {
       Ops.winsorizedWelch(a, b, col("v"), pctLow = 0)
     }

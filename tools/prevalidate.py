@@ -58,24 +58,24 @@ def main():
     sys.exit(1 if n_fail else 0)
 
 def wide_decimal_check(spark_rel, duck_rel):
-    """HARD GATE: no wide-DECIMAL (precision > 18) column may reach the
+    """HARD GATE: no DECIMAL column of ANY precision may reach the
     external gate. The driver's hash canonicalizes trailing zeros of
-    HUGEINT-backed decimal renderings on one side only (VERDICT r13:
-    9/9 discriminator — a wide-decimal output fails iff any cell's
-    rendering ends in a zero at its scale), so such a column is a
-    LATENT hash failure even when every value matches locally. Emit
-    exact integers as BIGINT (micros/cents) or O(1) ratios as DOUBLE.
-    Checked on the DECLARED relation types (this duckdb's .df()
-    converts decimals to float64, hiding the class from value compare).
+    decimal renderings on one side only (VERDICT r13: 9/9 wide-decimal
+    discriminator; VERDICT r17: the same trap bites at DECIMAL(18,2) —
+    q247/q249 failed hash with exactly-equal values because one cell's
+    rendering ended in a zero at its scale), so a DECIMAL output column
+    is a LATENT hash failure even when every value matches locally.
+    Emit exact integers as BIGINT (micros/cents) or O(1) ratios as
+    DOUBLE. Checked on the DECLARED relation types (this duckdb's
+    .df() converts decimals to float64, hiding the class from value
+    compare).
     """
     for side, rel in (("spark", spark_rel), ("duck", duck_rel)):
         for col, typ in zip(rel.columns, rel.types):
             t = str(typ)
             if t.startswith("DECIMAL"):
-                prec = int(t.split("(")[1].split(",")[0])
-                if prec > 18:
-                    return "DECIMAL", (f"side={side} col={col} type={t}: wide-DECIMAL "
-                                       "column in a gated output (emit BIGINT/DOUBLE)")
+                return "DECIMAL", (f"side={side} col={col} type={t}: DECIMAL "
+                                   "column in a gated output (emit BIGINT/DOUBLE)")
     return None, None
 
 def compare(a, b):
