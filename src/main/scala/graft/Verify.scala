@@ -24,17 +24,19 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // defense at the source (r14, SURVEY §3): a wide-DECIMAL
-        // column in a gated output is a LATENT external-gate hash
-        // failure (trailing-zero canonicalization) even when every
-        // value matches — refuse loudly here so the driver's own run
-        // shows a visible error instead of a silent hash mismatch
+        // defense at the source (r14, SURVEY §3; widened r18): a
+        // DECIMAL column of ANY precision in a gated output is a
+        // LATENT external-gate hash failure (trailing-zero
+        // canonicalization — r17 proved the trap bites at (18,2) on
+        // q247/q249 with exactly-equal values) — refuse loudly here
+        // so the driver's own run shows a visible error instead of a
+        // silent hash mismatch
         val wide = df.schema.fields.filter(_.dataType match {
-          case d: org.apache.spark.sql.types.DecimalType => d.precision > 18
+          case _: org.apache.spark.sql.types.DecimalType => true
           case _ => false
         })
         if (wide.nonEmpty) throw new IllegalStateException(
-          s"gated output carries wide-DECIMAL column(s) " +
+          s"gated output carries DECIMAL column(s) " +
             wide.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ") +
             " — emit BIGINT or DOUBLE (SURVEY §3)")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

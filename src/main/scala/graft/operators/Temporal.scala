@@ -140,11 +140,16 @@ object Temporal {
     * minutes, self-joined on time overlap across DIFFERENT users
     * (wid = user·10⁵ + session, so the cross-user filter is a key
     * comparison). Two-sided owner-bucket equi-join + exact refine —
-    * never the nested loop a naive overlap predicate plans. The
-    * 30-minute bucketUs is exactly what `Ops.intervalStats` suggests
-    * for these windows (p95 span = the 30-minute pad — most sessions
-    * are single-event), so the remaining cost is true output volume,
-    * not bucketing.
+    * never the nested loop a naive overlap predicate plans.
+    * bucketUs = 15 min — HALF the `Ops.intervalStats` p95-span
+    * suggestion (r18, VERDICT r17 next #5): the output is
+    * bucket-independent (owner-bucket dedup), so the width is a pure
+    * performance knob, and with most sessions spanning exactly the
+    * 30-minute pad the cost here is candidate DENSITY per bucket, not
+    * coverage — measured solo medians at sf0.1/32c: 30 min 4.60 s,
+    * 15 min 4.12 s, 10 min 4.23 s, 5 min 5.28 s (explode volume takes
+    * over below ~10 min). The candidate count falls ~2× at 15 min
+    * while the covered-bucket explode grows only ~1.5×.
     */
   def q102(t: Tables): DataFrame = {
     import graft.api.Ops._
@@ -161,7 +166,7 @@ object Temporal {
       col("session_start").as("ws"),
       (col("session_end") + expr("INTERVAL 30 MINUTES")).as("we")))
     win.intervalJoin(win, "wid", "ws", "we", "wid", "ws", "we",
-        bucketUs = 1800000000L)
+        bucketUs = 900000000L)
       .filter(expr("a_id div 100000 < b_id div 100000"))
       .orderBy(col("a_id"), col("b_id"))
   }
