@@ -3179,6 +3179,18 @@ object Ops {
     * [[governanceRanksOf]] derive the two classic censuses
     * bit-identically (long/decimal addition is associative — the same
     * exactness argument that makes absorb ≡ prepare-union).
+    *
+    * CONTRACT (ADVICE r17 #1): `vCol` must be null exactly when
+    * `rankValue` is null — i.e. the rank key must be a TOTAL function
+    * of a non-null rankValue. Every engine call site passes the raw
+    * long cast of a NUMERIC rank column or its q108 floor bucket
+    * (total on numerics), so the contract holds throughout; a caller
+    * whose rank column can be non-null yet cast to null (non-numeric
+    * strings, decimal-to-long overflow under non-ANSI) would conflate
+    * such rows with the moment-only `v = null` bucket and silently
+    * lose rank counts relative to the standalone MWU/KS forms — route
+    * such data through an explicit pre-cast + isNotNull filter
+    * instead.
     */
   private[graft] def governanceCombinedCensus(df: DataFrame, group: String,
                                               meanValue: Column, vCol: Column,
@@ -7443,6 +7455,15 @@ object Ops {
     * round while n stays far below the ~1e9-rows-per-bin point where
     * double error could reach a boundary), and replace the oracle's
     * double rounds with the same integer divisions.
+    *
+    * SCALE BOUND (ADVICE r17 #2): `__ssum * 2` and `n_pos * 2000000`
+    * are LONG arithmetic — with scores in micros ≤ 1e6, the multiply
+    * wraps (silently, under non-ANSI) only past ~4.6e18 of per-bin
+    * micro-sum, i.e. ≳ 4.6e12 rows in ONE (segment, bin) at score
+    * 1.0. That is the stated contract (the Brier term, which can
+    * exceed it, already routes through DECIMAL(38,0) below); a
+    * deployment expecting trillions of rows per calibration bin
+    * should lift msM/prM to the same DECIMAL(38,0) divmod first.
     */
   private[graft] def calibrationFinish(census: DataFrame,
                                        keys: Seq[String] = Nil): DataFrame = {
